@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.round
+import org.apache.spark.sql.types.DecimalType
+
+/** One engine query: the Spark implementation plus (when SQL-expressible) the
+  * DuckDB oracle the driver hash-compares against (SURVEY.md §2.3 contract).
+  *
+  * Oracle style rules (SURVEY.md §7 risk register):
+  *   - total-order ORDER BY over (at minimum) a unique key or all output columns;
+  *   - every floating aggregate wrapped ROUND(x, 2);
+  *   - counts / sums of integers CAST to BIGINT (DuckDB sums ints as HUGEINT);
+  *   - rank/length/year/grouping CAST to INT (DuckDB widens to BIGINT);
+  *   - UTC timestamps only, CAST(date_trunc(...) AS TIMESTAMP) when emitted.
+  */
+final case class GQuery(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String = "")
+
+/** A module contributing queries to the SparkEntry registry. */
+trait QueryModule {
+  def queries: Map[String, GQuery]
+}
+
+/** Hash-determinism helpers (SURVEY.md §7 top risk). */
+object Exact {
+  /** Partition-order-proof rounding for aggregated doubles. Both Spark and
+    * DuckDB round doubles identically (shortest-decimal-repr, half-up), but
+    * double sums/avgs accumulate in partition order — a 1-ulp drift at a
+    * .xx5 boundary flips the rounded digit. Snapping to DECIMAL(30,8) first
+    * (round-to-nearest at 8 digits in both engines) absorbs the ulp, then
+    * the half-up round to `scale` is deterministic.
+    * Oracle twin: CAST(round(CAST(x AS DECIMAL(30,8)), s) AS DOUBLE).
+    */
+  def dround(c: Column, scale: Int = 2): Column =
+    round(c.cast(DecimalType(30, 8)), scale).cast("double")
+}
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md / FIXTURES.md §B).
+  * All engine inputs come from here — never synthesized data.
+  */
+object Tables {
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) — Spark has no ns timestamp
+      // type ([PARQUET_TYPE_ILLEGAL] without this conf). Read the raw ns
+      // longs and truncate to µs, exactly what DuckDB's TIMESTAMP_NS →
+      // TIMESTAMP cast does, so both engines see identical instants.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(path)
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.parquet(path)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{GQuery, QueryModule, Tables}
+import graft.Exact.dround
+
+/** Similarity-search block (north-star): cosine top-k over the embeddings
+  * table and the multimodal documents×embeddings join.
+  *
+  * All vector math is higher-order array functions (zip_with/aggregate) over
+  * ArrayType(Float→Double) — evaluated natively per-row, no UDF serialization.
+  * The brute-force kNN broadcasts the (small) probe set against the full
+  * embedding corpus: at scale that is a map-only pass over N vectors plus a
+  * top-k shuffle keyed by probe — the correct baseline plan. The bucketed /
+  * IVF variants build on the same kernels (see IvfOps).
+  */
+object SimilarityOps extends QueryModule {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  /** dot(a, b) in double precision via zip_with + aggregate fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Euclidean norm of a double array. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  /** cosine(a, b) — matches DuckDB list_cosine_similarity on DOUBLE[]. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-3 for probe vectors (vec_id < 5). */
+  private val qEmbedKnn = GQuery(
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("p_id"), col("emb").as("p_emb"))
+      val w = Window.partitionBy("p_id").orderBy(col("cos").desc, col("n_id").asc)
+      emb.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("p_id"))
+        .select(col("p_id"), col("vec_id").as("n_id"),
+          dround(cosine(col("p_emb"), col("emb")), 6).as("cos"))
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("p_id"), col("n_id"), col("rk"), round(col("cos"), 2).as("score"))
+        .orderBy("p_id", "rk")
+    },
+    Some("""WITH probes AS (
+              SELECT vec_id AS p_id, CAST(embedding AS DOUBLE[]) AS p_emb
+              FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT p_id, e.vec_id AS n_id,
+                     CAST(round(CAST(list_cosine_similarity(p_emb,
+                       CAST(e.embedding AS DOUBLE[])) AS DECIMAL(30,8)), 6) AS DOUBLE) AS cos
+              FROM probes, embeddings e WHERE e.vec_id <> p_id),
+            ranked AS (
+              SELECT p_id, n_id, cos,
+                     row_number() OVER (PARTITION BY p_id ORDER BY cos DESC, n_id) AS rn
+              FROM scored)
+            SELECT p_id, n_id, CAST(rn AS INT) AS rk, round(cos, 2) AS score
+            FROM ranked WHERE rn <= 3 ORDER BY p_id, rk"""))
+
+  /** Multimodal join: scalar document metadata × embedding vectors, arrays
+    * summarized as (dims, rounded L2 norm) to stay hash-comparable.
+    */
+  private val qMultimodalJoin = GQuery(
+    (s, d) => t(s, d, "documents")
+      .join(t(s, d, "embeddings"), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(col("embedding")).as("dims"),
+        dround(norm(col("embedding").cast("array<double>"))).as("emb_norm"),
+        col("label"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang, n_chars,
+                   CAST(len(embedding) AS INT) AS dims,
+                   CAST(round(CAST(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                     x -> x * x))) AS DECIMAL(30,8)), 2) AS DOUBLE) AS emb_norm,
+                   label
+            FROM documents JOIN embeddings ON doc_id = vec_id
+            ORDER BY doc_id"""))
+
+  override val queries: Map[String, GQuery] = Map(
+    "q_embed_knn" -> qEmbedKnn,
+    "q_multimodal_join" -> qMultimodalJoin)
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.sources.KafkaShaped
+
+/** Structured Streaming module (SURVEY.md §7 step 4; reference O1/O9 with
+  * time semantics added — the reference's rotation is count-based only and it
+  * has no watermark/window concept, SURVEY.md §2.2).
+  *
+  * Streams are file-source driven (no kafka jar in this zero-egress
+  * container); the transforms are the batch twins' streaming versions:
+  *   - tumbling 1-hour windows with a 30-minute watermark (q_events_tumbling)
+  *   - session windows with 30-minute gap (q_events_session)
+  *   - foreachBatch → OffsetNamedOrcSink (the reference's whole job, with
+  *     checkpointed exactly-once epoch commit).
+  */
+object StreamOps {
+
+  /** Tumbling-window counts over a Kafka-shaped stream. */
+  def tumblingCounts(shaped: DataFrame): DataFrame =
+    shaped
+      .withWatermark("timestamp", "30 minutes")
+      .groupBy(window(col("timestamp"), "1 hour"), col("value.etype").as("etype"))
+      .agg(count(lit(1)).as("n"), sum("value.dval").as("sum_val"))
+      .select(col("window.start").as("hour_ts"), col("etype"), col("n"),
+        col("sum_val"))
+
+  /** Session windows (30-min gap) per user over a Kafka-shaped stream. */
+  def sessionAgg(shaped: DataFrame): DataFrame =
+    shaped
+      .withWatermark("timestamp", "30 minutes")
+      .groupBy(session_window(col("timestamp"), "30 minutes"),
+        col("value.uid").as("uid"))
+      .agg(count(lit(1)).as("n_events"), sum("value.dval").as("sum_val"))
+      .select(col("uid"), col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("n_events"), col("sum_val"))
+
+  /** The reference's end-to-end job as a stream: file source → Kafka shape →
+    * offset-named chunked ORC files, exactly-once via checkpoint + idempotent
+    * dynamic-partition overwrite (O7/O10/O11).
+    */
+  def runPipeline(spark: SparkSession, srcDir: String, outDir: String,
+      checkpointDir: String, flushSize: Long = 250): StreamingQuery = {
+    val shaped = KafkaShaped.streamFromDir(spark, srcDir)
+    shaped.writeStream
+      .queryName("graft-orc-pipeline")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        OffsetNamedOrcSink.write(batch, outDir, flushSize)
+        ()
+      }
+      .start()
+  }
+
+  /** Convenience: run the streaming pipeline to completion over a static
+    * directory and return the read-back result.
+    */
+  def runPipelineBlocking(spark: SparkSession, srcDir: String, outDir: String,
+      flushSize: Long = 250): DataFrame = {
+    val checkpoint = Files.createTempDirectory("graft-ckpt-").toString
+    val q = runPipeline(spark, srcDir, outDir, checkpoint, flushSize)
+    q.awaitTermination()
+    OffsetNamedOrcSink.read(spark, s"$outDir/topics/${KafkaShaped.topic}")
+  }
+}

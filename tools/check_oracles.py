@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate: for each query, read the
+Spark parquet dump (written by graft.Verify) and the DuckDB oracle result,
+sort columns by name, and compare schema + row values exactly.
+
+Usage: python3 tools/check_oracles.py <sfDir> <verifyOutDir> [query...]
+"""
+import json, math, sys
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_ok = n_fail = 0
+    for name in sorted(oracles):
+        if only and name not in only:
+            continue
+        sql = oracles[name]
+        try:
+            spark_tbl = pq.read_table(f"{outdir}/{name}")
+            duck_tbl = con.sql(sql).arrow()
+            s_cols, d_cols = sorted(spark_tbl.column_names), sorted(duck_tbl.column_names)
+            if s_cols != d_cols:
+                raise AssertionError(f"columns differ: spark={s_cols} duck={d_cols}")
+            s = spark_tbl.select(s_cols)
+            d = duck_tbl.select(s_cols)
+            if s.num_rows != d.num_rows:
+                raise AssertionError(f"row count: spark={s.num_rows} duck={d.num_rows}")
+            s_types = [str(t) for t in s.schema.types]
+            d_types = [str(t) for t in d.schema.types]
+            if s_types != d_types:
+                print(f"  [warn] {name} type drift: spark={s_types} duck={d_types}")
+            sp, dp = s.to_pylist(), d.to_pylist()
+            for i, (r1, r2) in enumerate(zip(sp, dp)):
+                for c in s_cols:
+                    v1, v2 = norm(r1[c]), norm(r2[c])
+                    if v1 != v2:
+                        raise AssertionError(
+                            f"row {i} col {c}: spark={v1!r} duck={v2!r}\n"
+                            f"  spark row: {r1}\n  duck row:  {r2}")
+            print(f"  OK   {name} ({s.num_rows} rows)")
+            n_ok += 1
+        except Exception as e:
+            print(f"  FAIL {name}: {str(e)[:500]}")
+            n_fail += 1
+    print(f"== {n_ok} ok, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
