@@ -12,8 +12,10 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     operators.Relational,
     operators.PipelineOps,
+    operators.DedupOps,
     functions.TextOps,
-    functions.SimilarityOps)
+    functions.SimilarityOps,
+    functions.MultimodalOps)
 
   /** name → query registry; names are the t2 contract (SURVEY.md §2.3). */
   lazy val registry: Map[String, GQuery] = {

@@ -82,7 +82,58 @@ object SimilarityOps extends QueryModule {
             FROM documents JOIN embeddings ON doc_id = vec_id
             ORDER BY doc_id"""))
 
+  /** IVF/LSH-bucketed ANN — the scale path for q_embed_knn: vectors are
+    * coarse-quantized into 64 SRP (sign-random-projection) buckets; each
+    * probe searches only its own bucket. At 100 TB the bucket column is the
+    * partition key: the per-probe scan touches 1/64th of the corpus, and
+    * probes broadcast (small set) so the pass stays map-side.
+    */
+  private val qKnnIvf = GQuery(
+    (s, d) => {
+      val bucket = (0 until 6).map(i =>
+        (element_at(col("embedding"), i + 1) > 0).cast("int") * lit(1 << i))
+        .reduce(_ + _)
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), bucket.as("bucket"),
+          col("embedding").cast("array<double>").as("emb"))
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("p_id"), col("bucket").as("p_bucket"),
+          col("emb").as("p_emb"))
+      val w = Window.partitionBy("p_id").orderBy(col("cos").desc, col("n_id").asc)
+      emb.join(broadcast(probes),
+          col("bucket") === col("p_bucket") && col("vec_id") =!= col("p_id"))
+        .select(col("p_id"), col("vec_id").as("n_id"),
+          dround(cosine(col("p_emb"), col("emb")), 6).as("cos"))
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("p_id"), col("n_id"), col("rk"), round(col("cos"), 2).as("score"))
+        .orderBy("p_id", "rk")
+    },
+    Some {
+      val bucket = (0 until 6).map(i =>
+        s"CAST(embedding[${i + 1}] > 0 AS INT)*${1 << i}").mkString(" + ")
+      s"""WITH b AS (
+            SELECT vec_id, $bucket AS bucket,
+                   CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings),
+          probes AS (SELECT vec_id AS p_id, bucket AS p_bucket, emb AS p_emb
+                     FROM b WHERE vec_id < 5),
+          scored AS (
+            SELECT p_id, e.vec_id AS n_id,
+                   CAST(round(CAST(list_cosine_similarity(p_emb, e.emb)
+                     AS DECIMAL(30,8)), 6) AS DOUBLE) AS cos
+            FROM probes JOIN b e
+              ON e.bucket = p_bucket AND e.vec_id <> p_id),
+          ranked AS (
+            SELECT p_id, n_id, cos,
+                   row_number() OVER (PARTITION BY p_id ORDER BY cos DESC, n_id) AS rn
+            FROM scored)
+          SELECT p_id, n_id, CAST(rn AS INT) AS rk, round(cos, 2) AS score
+          FROM ranked WHERE rn <= 3 ORDER BY p_id, rk"""
+    })
+
   override val queries: Map[String, GQuery] = Map(
     "q_embed_knn" -> qEmbedKnn,
-    "q_multimodal_join" -> qMultimodalJoin)
+    "q_multimodal_join" -> qMultimodalJoin,
+    "q_knn_ivf" -> qKnnIvf)
 }

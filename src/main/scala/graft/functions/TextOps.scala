@@ -52,7 +52,157 @@ object TextOps extends QueryModule {
                    min(doc_id) AS min_doc, max(doc_id) AS max_doc
             FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY prefix"""))
 
+  // ----------------------------------------------------- language ID --
+
+  /** Stopword-profile language ID (the classic n-gram/profile heuristic in
+    * its portable form): score each language by profile-token hits, argmax
+    * with a deterministic precedence encoding (score*8 + lang-rank). Emits
+    * the label×prediction confusion counts.
+    */
+  private val langProfiles: Seq[(String, Int, Seq[String])] = Seq(
+    ("en", 4, Seq("the", "a", "and", "of", "to")),
+    ("de", 3, Seq("der", "und", "die", "das", "ist")),
+    ("fr", 2, Seq("le", "la", "et", "les", "des")),
+    ("es", 1, Seq("el", "los", "y", "que", "en")))
+
+  private val qTextLangid = GQuery(
+    (s, d) => {
+      val toks = split(lower(col("text")), " ")
+      val encoded = langProfiles.map { case (_, rank, words) =>
+        size(filter(toks, tk => tk.isin(words.map(lit): _*))) * 8 + lit(rank)
+      }
+      val m = greatest(encoded: _*)
+      val pred = langProfiles.foldLeft(lit("und")) { case (acc, (l, rank, _)) =>
+        when(pmod(m, lit(8)) === rank, l).otherwise(acc)
+      }
+      t(s, d, "documents")
+        .select(col("lang"), pred.as("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")
+    },
+    Some {
+      val enc = langProfiles.map { case (_, rank, words) =>
+        val inList = words.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split(lower(text), ' '), t -> t IN ($inList))) * 8 + $rank"
+      }.mkString("greatest(", ", ", ")")
+      val pred = langProfiles.foldLeft("'und'") { case (acc, (l, rank, _)) =>
+        s"CASE WHEN m % 8 = $rank THEN '$l' ELSE $acc END"
+      }
+      s"""WITH sc AS (SELECT lang, $enc AS m FROM documents)
+          SELECT lang, $pred AS pred_lang, CAST(count(*) AS BIGINT) AS n
+          FROM sc GROUP BY 1, 2 ORDER BY lang, pred_lang"""
+    })
+
+  // -------------------------------------------------- quality scoring --
+
+  /** Per-doc quality score from length, stopword ratio, and mean token
+    * length (the C4/Gopher-style heuristic battery in deterministic form).
+    */
+  private val qTextQuality = GQuery(
+    (s, d) => {
+      val toks = split(lower(col("text")), " ")
+      val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+      t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          size(toks).cast("long").as("n_tokens"),
+          size(filter(toks, tk => tk.isin(stops.map(lit): _*))).cast("long")
+            .as("n_stop"))
+        .withColumn("avg_tok_len",
+          dround((col("n_chars") - (col("n_tokens") - 1)).cast("double")
+            / col("n_tokens"), 3))
+        .withColumn("stop_ratio",
+          dround(col("n_stop").cast("double") / col("n_tokens"), 3))
+        .withColumn("score", dround(
+          least(col("n_tokens").cast("double") / 100, lit(1.0)) * 0.4
+            + (lit(1.0) - col("stop_ratio")) * 0.3
+            + least(col("avg_tok_len") / 8, lit(1.0)) * 0.3, 3))
+        .select("doc_id", "n_tokens", "avg_tok_len", "stop_ratio", "score")
+        .orderBy("doc_id")
+    },
+    Some {
+      val inList = Seq("the", "a", "of", "and", "to", "in", "is")
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH m AS (
+            SELECT doc_id, n_chars,
+                   CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                     t -> t IN ($inList))) AS BIGINT) AS n_stop
+            FROM documents),
+          r AS (
+            SELECT doc_id, n_tokens,
+                   CAST(round(CAST(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens
+                     AS DECIMAL(30,8)), 3) AS DOUBLE) AS avg_tok_len,
+                   CAST(round(CAST(CAST(n_stop AS DOUBLE) / n_tokens
+                     AS DECIMAL(30,8)), 3) AS DOUBLE) AS stop_ratio
+            FROM m)
+          SELECT doc_id, n_tokens, avg_tok_len, stop_ratio,
+                 CAST(round(CAST(least(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.4
+                   + (1.0 - stop_ratio) * 0.3
+                   + least(avg_tok_len / 8, 1.0) * 0.3 AS DECIMAL(30,8)), 3)
+                   AS DOUBLE) AS score
+          FROM r ORDER BY doc_id"""
+    })
+
+  // -------------------------------------------------- token counting --
+
+  /** Token counting three ways: whitespace split, BPE-ish regex word/number
+    * pieces, and distinct-token vocabulary size.
+    */
+  private val qTextTokens = GQuery(
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("n_bpe"),
+        size(array_distinct(split(lower(col("text")), " "))).as("n_vocab"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
+                   CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS n_bpe,
+                   CAST(len(list_distinct(string_split(lower(text), ' '))) AS INT) AS n_vocab
+            FROM documents ORDER BY doc_id"""))
+
+  // --------------------------------------------- document fingerprint --
+
+  /** Rolling polynomial fingerprint over token hashes:
+    * fp = fold((acc*31 + h(token)) mod 1e9+7, init 7) — an
+    * order-sensitive exact-dup fingerprint (vs the order-free shingle
+    * methods in DedupOps). Portable: h = first 16 bits of md5.
+    */
+  private val qTextFingerprint = GQuery(
+    (s, d) => {
+      val vals = transform(split(lower(col("text")), " "),
+        tk => conv(substring(md5(tk), 1, 4), 16, 10).cast("long"))
+      val fp = aggregate(vals, lit(7L),
+        (acc, v) => pmod(acc * 31 + v, lit(1000000007L)))
+      t(s, d, "documents")
+        .select(col("doc_id"), fp.as("fp"))
+        .withColumn("n_same",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("fp")))
+        .orderBy("doc_id")
+    },
+    Some {
+      val h = Seq(4096, 256, 16, 1).zipWithIndex.map { case (m, i) =>
+        s"(strpos('0123456789abcdef', substr(md5(t), ${i + 1}, 1))-1)*$m"
+      }.mkString("(", " + ", ")")
+      s"""WITH v AS (
+            SELECT doc_id,
+                   list_reduce([CAST(7 AS BIGINT)] ||
+                     list_transform(string_split(lower(text), ' '),
+                       t -> CAST($h AS BIGINT)),
+                     (a, b) -> (a * 31 + b) % 1000000007) AS fp
+            FROM documents)
+          SELECT doc_id, CAST(fp AS BIGINT) AS fp,
+                 CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_same
+          FROM v ORDER BY doc_id"""
+    })
+
   override val queries: Map[String, GQuery] = Map(
     "q_text_stats" -> qTextStats,
-    "q_text_shingle_dup" -> qTextShingleDup)
+    "q_text_shingle_dup" -> qTextShingleDup,
+    "q_text_langid" -> qTextLangid,
+    "q_text_quality" -> qTextQuality,
+    "q_text_tokens" -> qTextTokens,
+    "q_text_fingerprint" -> qTextFingerprint)
 }

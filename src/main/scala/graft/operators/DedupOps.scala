@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{GQuery, QueryModule, Tables}
+import graft.Exact.dround
+
+/** Deduplication block (north-star training-data pipeline ops): exact dedup
+  * lives in PipelineOps (q_dedup_exact); here are the *near*-dup detectors —
+  * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine — each fully
+  * distributed and expressed with codegen'd built-ins (no UDFs).
+  *
+  * Cross-engine determinism: every hash is md5 (identical hex output in Spark
+  * and DuckDB), so the oracle replays the exact same signatures. MinHash uses
+  * the *lexicographic min of md5 hex strings* per hash function (a valid
+  * uniform min-hash); SimHash uses the first 16 bits of md5 per token.
+  *
+  * Scale design: all four are linear-output formulations. MinHash emits
+  * per-doc band keys (the LSH bucket join is a groupBy on the band key —
+  * shuffle on a high-entropy key); Jaccard only scores pairs inside a
+  * blocking prefix (never the quadratic all-pairs); embedding near-dup only
+  * compares within an SRP (sign-random-projection) bucket.
+  */
+object DedupOps extends QueryModule {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  /** Lowercase whitespace tokens of documents.text. */
+  private def tokens: Column = split(lower(col("text")), " ")
+
+  /** 3-token shingles: one per starting position. */
+  private def shingles(toks: Column): Column =
+    transform(sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(3))))
+
+  /** First 4 hex chars of md5 as a long (0..65535) — the portable token hash.
+    * DuckDB twin: strpos-table arithmetic (no conv() there), see duckHex4.
+    */
+  private def hex4(c: Column): Column =
+    conv(substring(md5(c), 1, 4), 16, 10).cast("long")
+
+  /** DuckDB SQL for hex4 over expression `e` (re-evaluates e per digit — use
+    * only on cheap expressions).
+    */
+  private def duckHex4(e: String): String =
+    Seq(4096, 256, 16, 1).zipWithIndex.map { case (m, i) =>
+      s"(strpos('0123456789abcdef', substr($e, ${i + 1}, 1))-1)*$m"
+    }.mkString("(", " + ", ")")
+
+  private val duckTokens = "string_split(lower(text), ' ')"
+  private val duckShingles =
+    s"""list_transform(generate_series(1, greatest(len($duckTokens)-2, 1)),
+        i -> array_to_string(list_slice($duckTokens, i, i+2), ' '))"""
+
+  // ------------------------------------------------------ MinHash + LSH --
+
+  /** MinHash (4 hash fns) + LSH banding (2 bands × 2 rows): per-doc band
+    * keys plus the size of the doc's first-band bucket. Docs sharing a band
+    * key are near-dup candidates; the bucket join is the window count here.
+    * At scale: groupBy(band) instead of the window gives the candidate sets.
+    */
+  private val qDedupMinhash = GQuery(
+    (s, d) => {
+      val sh = shingles(tokens)
+      val mh = (0 until 4).map(k =>
+        array_min(transform(sh, x => md5(concat(x, lit(s"#$k"))))))
+      val w = Window.partitionBy("b0")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(substring(mh(0), 1, 8), substring(mh(1), 1, 8)).as("b0"),
+          concat(substring(mh(2), 1, 8), substring(mh(3), 1, 8)).as("b1"))
+        .withColumn("n_b0", count(lit(1)).over(w))
+        .orderBy("doc_id")
+    },
+    Some {
+      val mh = (0 until 4).map(k =>
+        s"list_min(list_transform($duckShingles, x -> md5(x || '#$k')))")
+      s"""WITH sig AS (
+            SELECT doc_id,
+                   substr(${mh(0)}, 1, 8) || substr(${mh(1)}, 1, 8) AS b0,
+                   substr(${mh(2)}, 1, 8) || substr(${mh(3)}, 1, 8) AS b1
+            FROM documents)
+          SELECT doc_id, b0, b1,
+                 CAST(count(*) OVER (PARTITION BY b0) AS BIGINT) AS n_b0
+          FROM sig ORDER BY doc_id"""
+    })
+
+  // ------------------------------------------------------------ SimHash --
+
+  /** 16-bit SimHash per doc (bit b set iff more than half the token hashes
+    * have bit b set), plus the doc's simhash-group size (near-dups collide).
+    */
+  private val qDedupSimhash = GQuery(
+    (s, d) => {
+      val vals = transform(tokens, tk => hex4(tk))
+      val total = size(col("vals")).cast("long")
+      val sim = (0 until 16).map { b =>
+        val ones = aggregate(col("vals"), lit(0L),
+          (acc, v) => acc + shiftright(v, b).bitwiseAND(lit(1L)))
+        when(ones * 2 > total, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      t(s, d, "documents")
+        .select(col("doc_id"), vals.as("vals"))
+        .select(col("doc_id"), sim.as("simhash"))
+        .withColumn("n_same",
+          count(lit(1)).over(Window.partitionBy("simhash")))
+        .orderBy("doc_id")
+    },
+    Some {
+      val bits = (0 until 16).map { b =>
+        s"""CASE WHEN 2 * list_sum(list_transform(vals, v -> (v >> $b) & 1))
+                    > len(vals) THEN ${1L << b} ELSE 0 END"""
+      }.mkString(" + ")
+      s"""WITH v AS (
+            SELECT doc_id,
+                   list_transform($duckTokens, t -> ${duckHex4("md5(t)")}) AS vals
+            FROM documents)
+          SELECT doc_id, CAST($bits AS BIGINT) AS simhash,
+                 CAST(count(*) OVER (PARTITION BY CAST($bits AS BIGINT)) AS BIGINT)
+                   AS n_same
+          FROM v ORDER BY doc_id"""
+    })
+
+  // ----------------------------------------------------- n-gram Jaccard --
+
+  /** Exact Jaccard over distinct 3-token shingles, computed only for pairs
+    * blocked on the same first-2-token prefix (linear candidate generation —
+    * never all-pairs). Emits every blocked pair with its score.
+    */
+  private val qDedupNgramJaccard = GQuery(
+    (s, d) => {
+      val docs = t(s, d, "documents").select(
+        col("doc_id"),
+        concat_ws(" ", slice(tokens, 1, 2)).as("pre"),
+        array_distinct(shingles(tokens)).as("sh"))
+      val a = docs.select(col("doc_id").as("doc_a"), col("pre"), col("sh").as("sh_a"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("pre").as("pre_b"),
+        col("sh").as("sh_b"))
+      a.join(b, col("pre") === col("pre_b") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("sh_a"), col("sh_b"))).as("n_inter"),
+          (size(col("sh_a")) + size(col("sh_b"))
+            - size(array_intersect(col("sh_a"), col("sh_b")))).as("n_union"))
+        .withColumn("jaccard",
+          dround(col("n_inter").cast("double") / col("n_union"), 3))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(
+      s"""WITH t AS (
+            SELECT doc_id,
+                   array_to_string(list_slice($duckTokens, 1, 2), ' ') AS pre,
+                   list_distinct($duckShingles) AS sh
+            FROM documents),
+          p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS n_inter,
+                   len(a.sh) + len(b.sh)
+                     - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS n_union
+            FROM t a JOIN t b ON a.pre = b.pre AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b, CAST(n_inter AS INT) AS n_inter,
+                 CAST(n_union AS INT) AS n_union,
+                 CAST(round(CAST(CAST(n_inter AS DOUBLE) / n_union
+                   AS DECIMAL(30,8)), 3) AS DOUBLE) AS jaccard
+          FROM p ORDER BY doc_a, doc_b"""))
+
+  // ------------------------------------------- embedding-cosine near-dup --
+
+  /** SRP (sign-random-projection) bucket from the signs of the first 6
+    * dims — a 64-way LSH for cosine similarity. Each vector reports its
+    * nearest neighbor *within its bucket* (singleton buckets emit nothing).
+    * At scale this is the linear-candidate near-dup pass; brute force is
+    * q_embed_knn in SimilarityOps.
+    */
+  private val qDedupEmbed = GQuery(
+    (s, d) => {
+      val bucket = (0 until 6).map(i =>
+        (element_at(col("embedding"), i + 1) > 0).cast("int") * lit(1 << i))
+        .reduce(_ + _)
+      val e = t(s, d, "embeddings").select(col("vec_id"),
+        bucket.as("bucket"), col("embedding").cast("array<double>").as("emb"))
+      val a = e.select(col("vec_id").as("a_id"), col("bucket"), col("emb").as("emb_a"))
+      val b = e.select(col("vec_id").as("b_id"), col("bucket").as("bucket_b"),
+        col("emb").as("emb_b"))
+      val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id").asc)
+      a.join(b, col("bucket") === col("bucket_b") && col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"), col("bucket"),
+          dround(graft.functions.SimilarityOps.cosine(col("emb_a"), col("emb_b")), 6)
+            .as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("a_id"), col("b_id").as("nn_id"), col("bucket").cast("int").as("bucket"),
+          round(col("cos"), 3).as("score"))
+        .orderBy("a_id")
+    },
+    Some {
+      val bucket = (0 until 6).map(i =>
+        s"CAST(embedding[${i + 1}] > 0 AS INT)*${1 << i}").mkString(" + ")
+      s"""WITH b AS (
+            SELECT vec_id, $bucket AS bucket,
+                   CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings),
+          p AS (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket,
+                   CAST(round(CAST(list_cosine_similarity(a.emb, b.emb)
+                     AS DECIMAL(30,8)), 6) AS DOUBLE) AS cos
+            FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+          r AS (
+            SELECT *, row_number() OVER (PARTITION BY a_id
+                        ORDER BY cos DESC, b_id) AS rn
+            FROM p)
+          SELECT a_id, b_id AS nn_id, CAST(bucket AS INT) AS bucket,
+                 round(cos, 3) AS score
+          FROM r WHERE rn = 1 ORDER BY a_id"""
+    })
+
+  override val queries: Map[String, GQuery] = Map(
+    "q_dedup_minhash" -> qDedupMinhash,
+    "q_dedup_simhash" -> qDedupSimhash,
+    "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
+    "q_dedup_embed" -> qDedupEmbed)
+}
