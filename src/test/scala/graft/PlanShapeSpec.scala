@@ -1,0 +1,55 @@
+package graft
+
+/** Plan-shape asserts (SURVEY.md §5.5): pins that Catalyst actually produces
+  * the physical plans the engine's scale story depends on — pushdown reaching
+  * the parquet scan, dimension broadcasts, and top-k short-circuiting.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_filter_pred pushes predicates into the parquet scan") {
+    val p = plan("q_filter_pred")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.contains("GreaterThan(l_quantity"), p.take(2000))
+  }
+
+  test("q_scan_project prunes columns at the scan") {
+    val p = plan("q_scan_project")
+    // ReadSchema carries only the 4 projected columns
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && !read.contains("l_comment"), read)
+  }
+
+  test("q_join_multiway broadcasts the dimension tables") {
+    val p = plan("q_join_multiway")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q_topk plans TakeOrderedAndProject (never a global sort)") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q_agg_pricing has map-side partial aggregation") {
+    val p = plan("q_agg_pricing")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("whole-stage codegen covers the relational block") {
+    // AQE shows codegen nodes only in the *final* plan — execute first
+    val df = SparkEntry.queries("q_agg_pricing")(spark, sf)
+    df.collect()
+    // codegen'd operators render with the "*(stageId)" prefix
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p.take(2000))
+  }
+
+  test("q_knn_ivf broadcasts the probe set") {
+    val p = plan("q_knn_ivf")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+}
