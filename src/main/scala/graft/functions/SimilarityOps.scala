@@ -31,18 +31,25 @@ object SimilarityOps extends QueryModule {
   /** cosine(a, b) — matches DuckDB list_cosine_similarity on DOUBLE[]. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Brute-force cosine top-3 for probe vectors (vec_id < 5). */
+  /** Brute-force cosine top-3 for probe vectors (vec_id < 5).
+    * Norms are computed ONCE per side before the join (a norm inside the
+    * pair loop would redo N×P sqrt-folds — at 100 TB that's the difference
+    * between one map pass and recomputing the corpus per probe).
+    */
   private val qEmbedKnn = GQuery(
     (s, d) => {
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .withColumn("nrm", norm(col("emb")))
       val probes = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("p_id"), col("emb").as("p_emb"))
+        .select(col("vec_id").as("p_id"), col("emb").as("p_emb"),
+          col("nrm").as("p_nrm"))
       val w = Window.partitionBy("p_id").orderBy(col("cos").desc, col("n_id").asc)
       emb.crossJoin(broadcast(probes))
         .filter(col("vec_id") =!= col("p_id"))
         .select(col("p_id"), col("vec_id").as("n_id"),
-          dround(cosine(col("p_emb"), col("emb")), 6).as("cos"))
+          dround(dot(col("p_emb"), col("emb")) / (col("p_nrm") * col("nrm")), 6)
+            .as("cos"))
         .withColumn("rk", row_number().over(w).cast("int"))
         .filter(col("rk") <= 3)
         .select(col("p_id"), col("n_id"), col("rk"), round(col("cos"), 2).as("score"))
@@ -96,14 +103,16 @@ object SimilarityOps extends QueryModule {
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), bucket.as("bucket"),
           col("embedding").cast("array<double>").as("emb"))
+        .withColumn("nrm", norm(col("emb")))
       val probes = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("p_id"), col("bucket").as("p_bucket"),
-          col("emb").as("p_emb"))
+          col("emb").as("p_emb"), col("nrm").as("p_nrm"))
       val w = Window.partitionBy("p_id").orderBy(col("cos").desc, col("n_id").asc)
       emb.join(broadcast(probes),
           col("bucket") === col("p_bucket") && col("vec_id") =!= col("p_id"))
         .select(col("p_id"), col("vec_id").as("n_id"),
-          dround(cosine(col("p_emb"), col("emb")), 6).as("cos"))
+          dround(dot(col("p_emb"), col("emb")) / (col("p_nrm") * col("nrm")), 6)
+            .as("cos"))
         .withColumn("rk", row_number().over(w).cast("int"))
         .filter(col("rk") <= 3)
         .select(col("p_id"), col("n_id"), col("rk"), round(col("cos"), 2).as("score"))

@@ -59,31 +59,43 @@ object DedupOps extends QueryModule {
     * keys plus the size of the doc's first-band bucket. Docs sharing a band
     * key are near-dup candidates; the bucket join is the window count here.
     * At scale: groupBy(band) instead of the window gives the candidate sets.
+    *
+    * One md5 per shingle, materialized once; the 4 hash functions are the 4
+    * disjoint 8-hex-char slices of that digest (independent 32-bit hashes —
+    * the standard one-digest MinHash trick). The naive form (4 md5s over a
+    * 4×-recomputed shingle array) benchmarked 8× slower.
     */
   private val qDedupMinhash = GQuery(
     (s, d) => {
-      val sh = shingles(tokens)
       val mh = (0 until 4).map(k =>
-        array_min(transform(sh, x => md5(concat(x, lit(s"#$k"))))))
+        array_min(transform(col("hs"), h => substring(h, k * 8 + 1, 8))))
       val w = Window.partitionBy("b0")
       t(s, d, "documents")
+        // tokens materialized first: slice() inside the shingle lambda would
+        // otherwise re-run split() once per shingle position
+        .select(col("doc_id"), tokens.as("toks"))
         .select(col("doc_id"),
-          concat(substring(mh(0), 1, 8), substring(mh(1), 1, 8)).as("b0"),
-          concat(substring(mh(2), 1, 8), substring(mh(3), 1, 8)).as("b1"))
+          transform(shingles(col("toks")), x => md5(x)).as("hs"))
+        .select(col("doc_id"),
+          concat(mh(0), mh(1)).as("b0"),
+          concat(mh(2), mh(3)).as("b1"))
         .withColumn("n_b0", count(lit(1)).over(w))
         .orderBy("doc_id")
     },
     Some {
       val mh = (0 until 4).map(k =>
-        s"list_min(list_transform($duckShingles, x -> md5(x || '#$k')))")
+        s"list_min(list_transform(hs, h -> substr(h, ${k * 8 + 1}, 8)))")
       s"""WITH sig AS (
+            SELECT doc_id, list_transform($duckShingles, x -> md5(x)) AS hs
+            FROM documents),
+          m AS (
             SELECT doc_id,
-                   substr(${mh(0)}, 1, 8) || substr(${mh(1)}, 1, 8) AS b0,
-                   substr(${mh(2)}, 1, 8) || substr(${mh(3)}, 1, 8) AS b1
-            FROM documents)
+                   ${mh(0)} || ${mh(1)} AS b0,
+                   ${mh(2)} || ${mh(3)} AS b1
+            FROM sig)
           SELECT doc_id, b0, b1,
                  CAST(count(*) OVER (PARTITION BY b0) AS BIGINT) AS n_b0
-          FROM sig ORDER BY doc_id"""
+          FROM m ORDER BY doc_id"""
     })
 
   // ------------------------------------------------------------ SimHash --
@@ -130,18 +142,34 @@ object DedupOps extends QueryModule {
     */
   private val qDedupNgramJaccard = GQuery(
     (s, d) => {
-      val docs = t(s, d, "documents").select(
-        col("doc_id"),
-        concat_ws(" ", slice(tokens, 1, 2)).as("pre"),
-        array_distinct(shingles(tokens)).as("sh"))
+      // Spark-side shingles are xxhash64 over the 3-token window (no shingle
+      // strings materialized; long-array intersect beats string-array 4×).
+      // The oracle intersects the literal shingle strings — counts agree
+      // because a 64-bit collision inside one doc's ~100-shingle set is
+      // ~1e-17. Output carries only counts, never hash values.
+      // `toks` MUST be a materialized column: expressions captured inside a
+      // lambda re-evaluate per call, so an inline split() would rerun 3× per
+      // shingle position.
+      val sh = array_distinct(
+        transform(sequence(lit(1), greatest(size(col("toks")) - 2, lit(1))),
+          i => xxhash64(element_at(col("toks"), i),
+            element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), tokens.as("toks"))
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("toks"), 1, 2)).as("pre"),
+          sh.as("sh"))
       val a = docs.select(col("doc_id").as("doc_a"), col("pre"), col("sh").as("sh_a"))
       val b = docs.select(col("doc_id").as("doc_b"), col("pre").as("pre_b"),
         col("sh").as("sh_b"))
       a.join(b, col("pre") === col("pre_b") && col("doc_a") < col("doc_b"))
+        // intersect once; union derived (|A|+|B|-|A∩B|) — a second
+        // array_intersect doubled this query's cost in the bench
         .select(col("doc_a"), col("doc_b"),
           size(array_intersect(col("sh_a"), col("sh_b"))).as("n_inter"),
-          (size(col("sh_a")) + size(col("sh_b"))
-            - size(array_intersect(col("sh_a"), col("sh_b")))).as("n_union"))
+          (size(col("sh_a")) + size(col("sh_b"))).as("n_both"))
+        .select(col("doc_a"), col("doc_b"), col("n_inter"),
+          (col("n_both") - col("n_inter")).as("n_union"))
         .withColumn("jaccard",
           dround(col("n_inter").cast("double") / col("n_union"), 3))
         .orderBy("doc_a", "doc_b")
@@ -177,15 +205,18 @@ object DedupOps extends QueryModule {
       val bucket = (0 until 6).map(i =>
         (element_at(col("embedding"), i + 1) > 0).cast("int") * lit(1 << i))
         .reduce(_ + _)
+      import graft.functions.SimilarityOps.{dot, norm}
       val e = t(s, d, "embeddings").select(col("vec_id"),
         bucket.as("bucket"), col("embedding").cast("array<double>").as("emb"))
-      val a = e.select(col("vec_id").as("a_id"), col("bucket"), col("emb").as("emb_a"))
+        .withColumn("nrm", norm(col("emb")))
+      val a = e.select(col("vec_id").as("a_id"), col("bucket"),
+        col("emb").as("emb_a"), col("nrm").as("nrm_a"))
       val b = e.select(col("vec_id").as("b_id"), col("bucket").as("bucket_b"),
-        col("emb").as("emb_b"))
+        col("emb").as("emb_b"), col("nrm").as("nrm_b"))
       val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id").asc)
       a.join(b, col("bucket") === col("bucket_b") && col("a_id") =!= col("b_id"))
         .select(col("a_id"), col("b_id"), col("bucket"),
-          dround(graft.functions.SimilarityOps.cosine(col("emb_a"), col("emb_b")), 6)
+          dround(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6)
             .as("cos"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
