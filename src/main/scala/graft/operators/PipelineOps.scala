@@ -134,7 +134,39 @@ object PipelineOps extends QueryModule {
                     ORDER BY event_id DESC) AS rn FROM events) t
             WHERE rn = 1 ORDER BY user_id, event_type"""))
 
+  /** Source/sink format breadth beyond ORC: the same landed data chained
+    * through CSV then JSON (write → schema-declared read → write → read),
+    * proving lossless roundtrips across the text formats. Oracle is the
+    * identity select. Dates survive as ISO strings; doubles are rounded
+    * only in the final projection (the formats carry full precision).
+    */
+  private val qFmtRoundtrip = GQuery(
+    (s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate")
+      val dir = writtenDirs.computeIfAbsent(s"fmt|$d", _ => {
+        val base = Files.createTempDirectory("graft-fmt-").toString
+        val src = t(s, d, "orders").filter(col("o_totalprice") > 200000)
+          .select(cols.map(col): _*)
+        src.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+        val fromCsv = s.read.schema(src.schema).option("header", "true")
+          .csv(s"$base/csv")
+        fromCsv.write.mode("overwrite").json(s"$base/json")
+        base
+      })
+      val schema = t(s, d, "orders").select(cols.map(col): _*).schema
+      s.read.schema(schema).json(s"$dir/json")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("price"), col("o_orderdate"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+                   round(o_totalprice, 2) AS price, o_orderdate
+            FROM orders WHERE o_totalprice > 200000
+            ORDER BY o_orderkey"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_fmt_roundtrip" -> qFmtRoundtrip,
     "q_orc_roundtrip" -> qOrcRoundtrip,
     "q_schema_sixtypes" -> qSchemaSixtypes,
     "q_rotation_files" -> qRotationFiles,

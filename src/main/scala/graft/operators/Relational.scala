@@ -410,7 +410,145 @@ object Relational extends QueryModule {
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum
             FROM events GROUP BY 1, 2 ORDER BY event_type, k_mod"""))
 
+  // ------------------------------------------------ as-of / range joins --
+
+  /** As-of join (attribution): for each click, the user's most recent
+    * purchase at-or-before it. Implemented with the union + last-ignore-nulls
+    * window formulation — ONE shuffle on user_id and a per-user sort, the
+    * scalable as-of plan (a per-click subquery would be quadratic; Spark has
+    * no native ASOF join operator). Ties at the same second: purchase sorts
+    * before click (kind 0 < 1), so a same-second purchase matches.
+    */
+  private val qJoinAsof = GQuery(
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("ts_sec"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_sec"), lit(0).as("kind"),
+          col("event_id"), col("event_id").as("p_id"), col("ts_sec").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_sec"), lit(1).as("kind"),
+          col("event_id"), lit(null).cast("long").as("p_id"),
+          lit(null).cast("long").as("p_ts"))
+      val w = Window.partitionBy("user_id")
+        .orderBy("ts_sec", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      purchases.union(clicks)
+        .withColumn("asof_p_id", last(col("p_id"), ignoreNulls = true).over(w))
+        .withColumn("asof_p_ts", last(col("p_ts"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts_sec"),
+          col("asof_p_id"), col("asof_p_ts"))
+        .orderBy("click_id")
+    },
+    Some("""WITH ev AS (
+              SELECT event_id, user_id, event_type,
+                     CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+              FROM events),
+            u AS (
+              SELECT user_id, ts_sec, 0 AS kind, event_id,
+                     event_id AS p_id, ts_sec AS p_ts
+              FROM ev WHERE event_type = 'purchase'
+              UNION ALL
+              SELECT user_id, ts_sec, 1 AS kind, event_id,
+                     CAST(NULL AS BIGINT) AS p_id, CAST(NULL AS BIGINT) AS p_ts
+              FROM ev WHERE event_type = 'click'),
+            m AS (
+              SELECT *,
+                     last_value(p_id IGNORE NULLS) OVER w AS asof_p_id,
+                     last_value(p_ts IGNORE NULLS) OVER w AS asof_p_ts
+              FROM u
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, kind, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            SELECT event_id AS click_id, user_id, ts_sec, asof_p_id, asof_p_ts
+            FROM m WHERE kind = 1 ORDER BY click_id"""))
+
+  /** Range join: per purchase, how many clicks the same user made in the
+    * preceding 30 minutes. Equi-key (user_id) + range predicate — Spark
+    * plans SMJ on the equi key with the range as a join filter, which is the
+    * right shape at scale (the range never becomes a cross product).
+    */
+  private val qJoinRange = GQuery(
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("ts_sec"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts_sec").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts_sec").as("c_ts"))
+      purchases.join(clicks,
+          col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - 1800 && col("c_ts") < col("p_ts"),
+          "left")
+        .groupBy("p_id", "p_user", "p_ts")
+        .agg(count(col("c_ts")).as("n_clicks_30m"))
+        .orderBy("p_id")
+    },
+    Some("""WITH ev AS (
+              SELECT event_id, user_id, event_type,
+                     CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+              FROM events),
+            p AS (SELECT event_id AS p_id, user_id AS p_user, ts_sec AS p_ts
+                  FROM ev WHERE event_type = 'purchase'),
+            c AS (SELECT user_id AS c_user, ts_sec AS c_ts
+                  FROM ev WHERE event_type = 'click')
+            SELECT p_id, p_user, p_ts, CAST(count(c_ts) AS BIGINT) AS n_clicks_30m
+            FROM p LEFT JOIN c
+              ON p_user = c_user AND c_ts >= p_ts - 1800 AND c_ts < p_ts
+            GROUP BY p_id, p_user, p_ts ORDER BY p_id"""))
+
+  /** CUBE grouping sets (all four combinations of the two keys). */
+  private val qAggCube = GQuery(
+    (s, d) => t(s, d, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        count(lit(1)).as("n"),
+        dround(sum("l_extendedprice")).as("sum_price"))
+      .orderBy(col("g_rf"), col("g_ls"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    Some("""SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+                   CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(round(CAST(sum(l_extendedprice) AS DECIMAL(30,8)), 2) AS DOUBLE) AS sum_price
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+            ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+
+  /** Salted join — the skew-mitigation pattern: the (hypothetically skewed)
+    * fact side derives salt = key mod 8; the dimension side explodes 8×, one
+    * copy per salt; the join runs on (key, salt) so one hot key spreads over
+    * 8 reducers. Result is provably identical to the plain join (oracle runs
+    * the unsalted SQL). At scale AQE's skew-join handles moderate skew; the
+    * salt is the explicit fix for pathological keys.
+    */
+  private val qJoinSalted = GQuery(
+    (s, d) => {
+      val salted = t(s, d, "orders")
+        .withColumn("salt", pmod(col("o_orderkey"), lit(8)).cast("int"))
+      val dimExploded = t(s, d, "customer")
+        .withColumn("salt", explode(sequence(lit(0), lit(7))))
+        .withColumn("salt", col("salt").cast("int"))
+      salted.join(dimExploded,
+          col("o_custkey") === col("c_custkey") && salted("salt") === dimExploded("salt"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          dround(sum("o_totalprice")).as("revenue"))
+        .orderBy("c_nationkey")
+    },
+    Some("""SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(round(CAST(sum(o_totalprice) AS DECIMAL(30,8)), 2) AS DOUBLE) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey ORDER BY c_nationkey"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_join_asof" -> qJoinAsof,
+    "q_join_range" -> qJoinRange,
+    "q_agg_cube" -> qAggCube,
+    "q_join_salted" -> qJoinSalted,
     "q_scan_project" -> qScanProject,
     "q_filter_pred" -> qFilterPred,
     "q_join_inner" -> qJoinInner,
