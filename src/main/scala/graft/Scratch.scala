@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Dev-only profiling scratchpad (not part of the driver contract). */
 object Scratch {
@@ -20,28 +21,40 @@ object Scratch {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    val tokens = split(lower(col("text")), " ")
-    val shingles = transform(sequence(lit(1), greatest(size(tokens) - 2, lit(1))),
-      i => concat_ws(" ", slice(tokens, i, lit(3))))
+    import graft.functions.SimilarityOps.{dot, norm}
+    import graft.functions.VectorExpressions.{vectorDot, vectorNorm}
 
-    val docs = Tables(spark, d, "documents").select(
-      col("doc_id"),
-      concat_ws(" ", slice(tokens, 1, 2)).as("pre"),
-      array_distinct(shingles).as("sh"))
+    val emb = Tables(spark, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val probes = emb.limit(50)
+      .select(col("vec_id").as("p_id"), col("emb").as("p_emb"))
 
-    // warmup
-    noop(docs); noop(docs)
-    time("shingle projection")(noop(docs))
-    val a = docs.select(col("doc_id").as("doc_a"), col("pre"), col("sh").as("sh_a"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("pre").as("pre_b"),
-      col("sh").as("sh_b"))
-    val joined = a.join(b, col("pre") === col("pre_b") && col("doc_a") < col("doc_b"))
-    time("join, count only")(noop(joined.select("doc_a", "doc_b")))
-    time("join + intersect")(noop(joined.select(col("doc_a"), col("doc_b"),
-      size(array_intersect(col("sh_a"), col("sh_b"))).as("n_inter"))))
-    val full = SparkEntry.queries("q_dedup_ngram_jaccard")
-    time("full query (warm)")(noop(full(spark, d)))
-    time("full query (warm2)")(noop(full(spark, d)))
+    def knn(dotF: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column, normF: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column) = {
+      val e = emb.withColumn("nrm", normF(col("emb")))
+      val p = probes.join(e.select(col("vec_id").as("p_id"),
+        col("nrm").as("p_nrm")), "p_id")
+      val w = Window.partitionBy("p_id").orderBy(col("cos").desc, col("n_id").asc)
+      e.crossJoin(broadcast(p))
+        .filter(col("vec_id") =!= col("p_id"))
+        .select(col("p_id"), col("vec_id").as("n_id"),
+          (dotF(col("p_emb"), col("emb")) / (col("p_nrm") * col("nrm"))).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+    }
+
+    // warmup both
+    noop(knn(dot, norm)); noop(knn(vectorDot, vectorNorm))
+    time("knn 50-probe HOF")(noop(knn(dot, norm)))
+    time("knn 50-probe native")(noop(knn(vectorDot, vectorNorm)))
+    time("knn 50-probe HOF (2)")(noop(knn(dot, norm)))
+    time("knn 50-probe native (2)")(noop(knn(vectorDot, vectorNorm)))
+
+    // bit-identical check
+    val a = knn(dot, norm).select("p_id", "n_id", "cos")
+    val b = knn(vectorDot, vectorNorm).select("p_id", "n_id", "cos")
+    println("diff rows: " + a.exceptAll(b).count() + " / " + b.exceptAll(a).count())
     spark.stop()
   }
 }

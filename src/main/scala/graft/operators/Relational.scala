@@ -500,6 +500,27 @@ object Relational extends QueryModule {
               ON p_user = c_user AND c_ts >= p_ts - 1800 AND c_ts < p_ts
             GROUP BY p_id, p_user, p_ts ORDER BY p_id"""))
 
+  /** Statistical aggregates: exact interpolated median/p90 (portable:
+    * Spark `percentile` ≡ DuckDB `quantile_cont`), sample stddev, and
+    * correlation — all dround-guarded (variance/corr accumulate in
+    * partition order).
+    */
+  private val qAggStats = GQuery(
+    (s, d) => t(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        dround(expr("percentile(o_totalprice, 0.5)")).as("median_price"),
+        dround(expr("percentile(o_totalprice, 0.9)")).as("p90_price"),
+        dround(stddev_samp(col("o_totalprice"))).as("sd_price"),
+        dround(corr(col("o_totalprice"), col("o_custkey")), 4).as("corr_pc"))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+                   CAST(round(CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(30,8)), 2) AS DOUBLE) AS median_price,
+                   CAST(round(CAST(quantile_cont(o_totalprice, 0.9) AS DECIMAL(30,8)), 2) AS DOUBLE) AS p90_price,
+                   CAST(round(CAST(stddev_samp(o_totalprice) AS DECIMAL(30,8)), 2) AS DOUBLE) AS sd_price,
+                   CAST(round(CAST(corr(o_totalprice, o_custkey) AS DECIMAL(30,8)), 4) AS DOUBLE) AS corr_pc
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   /** CUBE grouping sets (all four combinations of the two keys). */
   private val qAggCube = GQuery(
     (s, d) => t(s, d, "lineitem")
@@ -548,6 +569,7 @@ object Relational extends QueryModule {
     "q_join_asof" -> qJoinAsof,
     "q_join_range" -> qJoinRange,
     "q_agg_cube" -> qAggCube,
+    "q_agg_stats" -> qAggStats,
     "q_join_salted" -> qJoinSalted,
     "q_scan_project" -> qScanProject,
     "q_filter_pred" -> qFilterPred,

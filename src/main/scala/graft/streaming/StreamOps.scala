@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StreamingQuery, Trigger}
 import graft.sources.KafkaShaped
 
 /** Structured Streaming module (SURVEY.md §7 step 4; reference O1/O9 with
@@ -38,6 +39,35 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"), sum("value.dval").as("sum_val"))
       .select(col("uid"), col("session_window.start").as("sess_start"),
         col("session_window.end").as("sess_end"), col("n_events"), col("sum_val"))
+
+  /** A deduped stream record (first occurrence of each (uid, etype) key). */
+  final case class DedupedEvent(uid: Int, etype: String, offset: Long)
+
+  /** Cross-batch stateful dedup via flatMapGroupsWithState — the custom-state
+    * API the built-in dropDuplicates can't replace when you need explicit
+    * state control (here: a seen-flag per key that lives for the whole query,
+    * i.e. the reference's idempotent-replay contract extended across
+    * micro-batches). State is one boolean per key — at scale pair it with a
+    * timeout (ProcessingTimeTimeout) to bound the store; NoTimeout here keeps
+    * the test deterministic.
+    */
+  def dedupStream(shaped: DataFrame): Dataset[DedupedEvent] = {
+    val spark = shaped.sparkSession
+    import spark.implicits._
+    shaped
+      .select(col("value.uid").as("uid"), col("value.etype").as("etype"),
+        col("offset"))
+      .as[DedupedEvent]
+      .groupByKey(e => (e.uid, e.etype))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, String), rows: Iterator[DedupedEvent],
+            state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            rows.toSeq.sortBy(_.offset).headOption.iterator
+          })
+  }
 
   /** The reference's end-to-end job as a stream: file source → Kafka shape →
     * offset-named chunked ORC files, exactly-once via checkpoint + idempotent

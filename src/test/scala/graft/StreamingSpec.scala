@@ -91,6 +91,29 @@ class StreamingSpec extends SparkSpec {
     assert(result2.count() == 1000)
   }
 
+  test("stateful dedup suppresses duplicates across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Int, Long, Int, Double, String)]
+    val stream = KafkaShaped.shape(
+      mem.toDF().toDF("user_id", "event_id", "minute", "value", "event_type")
+        .withColumn("ts", expr("timestampadd(MINUTE, minute, timestamp'2024-01-01 10:00:00')"))
+        .withColumn("props", lit("{}"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val q = StreamOps.dedupStream(stream)
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((1, 0L, 0, 1.0, "a"), (1, 1L, 1, 1.0, "a"), (2, 2L, 2, 1.0, "b"))
+      q.processAllAvailable()
+      // batch 2 replays key (1,"a") and adds a new key (2,"a")
+      mem.addData((1, 3L, 3, 1.0, "a"), (2, 4L, 4, 1.0, "a"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_test").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+      assert(out == Set((1, "a", 0L), (2, "b", 2L), (2, "a", 4L)), out.toString)
+    } finally q.stop()
+  }
+
   test("watermark drops late data beyond 30 minutes") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Int, Long, Int, Double, String)]
