@@ -198,7 +198,32 @@ object TextOps extends QueryModule {
           FROM v ORDER BY doc_id"""
     })
 
+  /** Array-function battery over token arrays: sort, slice-join, membership,
+    * position, distinct count, reverse — emitted as scalars (arrays never
+    * appear in t2 output; cross-engine array hashing is undefined).
+    */
+  private val qScalarArrayFns = GQuery(
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .select(col("doc_id"),
+        array_join(slice(sort_array(col("toks")), 1, 3), ",").as("sorted3"),
+        array_contains(col("toks"), "data").as("has_data"),
+        array_position(col("toks"), "query").cast("int").as("query_pos"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        element_at(reverse(col("toks")), 1).as("last_tok"))
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                       FROM documents)
+            SELECT doc_id,
+                   array_to_string(list_slice(list_sort(toks), 1, 3), ',') AS sorted3,
+                   list_contains(toks, 'data') AS has_data,
+                   CAST(coalesce(list_position(toks, 'query'), 0) AS INT) AS query_pos,
+                   CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+                   toks[-1] AS last_tok
+            FROM t ORDER BY doc_id"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_scalar_array" -> qScalarArrayFns,
     "q_text_stats" -> qTextStats,
     "q_text_shingle_dup" -> qTextShingleDup,
     "q_text_langid" -> qTextLangid,

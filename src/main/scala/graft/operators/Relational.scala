@@ -521,6 +521,69 @@ object Relational extends QueryModule {
                    CAST(round(CAST(corr(o_totalprice, o_custkey) AS DECIMAL(30,8)), 4) AS DOUBLE) AS corr_pc
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** PIVOT: order-status counts per priority as columns. The oracle is the
+    * equivalent conditional aggregation (pivot is sugar over it; the plan is
+    * a single hash aggregate either way — no extra shuffle at scale).
+    */
+  private val qPivot = GQuery(
+    (s, d) => t(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderpriority"), col("O").as("n_o"), col("F").as("n_f"),
+        col("P").as("n_p"))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+                   CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+                   CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+                   CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** min_by/max_by argmin-argmax aggregates: each customer's cheapest and
+    * priciest order. Keyed per customer — (o_custkey, o_totalprice) has no
+    * ties in this corpus, so the arg extremes are deterministic.
+    */
+  private val qAggMinmaxby = GQuery(
+    (s, d) => t(s, d, "orders")
+      .groupBy("o_custkey")
+      .agg(
+        max_by(col("o_orderkey"), col("o_totalprice")).as("best_order"),
+        min_by(col("o_orderkey"), col("o_totalprice")).as("worst_order"),
+        round(max("o_totalprice"), 2).as("best_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_custkey"),
+    Some("""SELECT o_custkey,
+                   max_by(o_orderkey, o_totalprice) AS best_order,
+                   min_by(o_orderkey, o_totalprice) AS worst_order,
+                   round(max(o_totalprice), 2) AS best_price,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
+
+  /** lead/lag/ntile/first_value analytic battery per user over events. */
+  private val qWindowLeadlag = GQuery(
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          round(col("value"), 2).as("val"),
+          round(lag("value", 1).over(w), 2).as("prev_val"),
+          round(lead("value", 1).over(w), 2).as("next_val"),
+          ntile(4).over(w).cast("int").as("quartile"),
+          first_value(col("event_id")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).as("first_id"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id, round(value, 2) AS val,
+                   round(lag(value, 1) OVER w, 2) AS prev_val,
+                   round(lead(value, 1) OVER w, 2) AS next_val,
+                   CAST(ntile(4) OVER w AS INT) AS quartile,
+                   first_value(event_id) OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_id
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+            ORDER BY user_id, event_id"""))
+
   /** CUBE grouping sets (all four combinations of the two keys). */
   private val qAggCube = GQuery(
     (s, d) => t(s, d, "lineitem")
@@ -570,6 +633,9 @@ object Relational extends QueryModule {
     "q_join_range" -> qJoinRange,
     "q_agg_cube" -> qAggCube,
     "q_agg_stats" -> qAggStats,
+    "q_pivot" -> qPivot,
+    "q_agg_minmaxby" -> qAggMinmaxby,
+    "q_window_leadlag" -> qWindowLeadlag,
     "q_join_salted" -> qJoinSalted,
     "q_scan_project" -> qScanProject,
     "q_filter_pred" -> qFilterPred,
