@@ -584,6 +584,90 @@ object Relational extends QueryModule {
             WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
             ORDER BY user_id, event_id"""))
 
+  /** Correlated scalar subquery through the SQL surface: orders priced above
+    * their customer's average. Catalyst decorrelates this into an aggregate +
+    * join (no per-row subquery execution) — the §4 "subquery decorrelation
+    * for free" claim, exercised.
+    */
+  private val qSubqueryCorr = GQuery(
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("graft_orders_v")
+      s.sql("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+               FROM graft_orders_v o
+               WHERE o_totalprice > (SELECT avg(i.o_totalprice)
+                                     FROM graft_orders_v i
+                                     WHERE i.o_custkey = o.o_custkey)
+               ORDER BY o_orderkey""")
+    },
+    Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+            FROM orders o
+            WHERE o_totalprice > (SELECT avg(i.o_totalprice)
+                                  FROM orders i
+                                  WHERE i.o_custkey = o.o_custkey)
+            ORDER BY o_orderkey"""))
+
+  /** Date arithmetic battery: day diffs, interval add, day-of-week
+    * (Spark is 1-based from Sunday, DuckDB 0-based — aligned by -1),
+    * and month formatting.
+    */
+  private val qScalarDatearith = GQuery(
+    (s, d) => t(s, d, "orders")
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).as("days_since"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).cast("timestamp_ntz")
+          .as("plus30"),
+        (dayofweek(col("o_orderdate")) - 1).as("dow"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+                   CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since,
+                   CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS plus30,
+                   CAST(dayofweek(o_orderdate) AS INT) AS dow,
+                   strftime(o_orderdate, '%Y-%m') AS ym
+            FROM orders ORDER BY o_orderkey"""))
+
+  /** Bucketed co-located join: both tables pre-bucketed by the join key into
+    * the same bucket count, so the SortMergeJoin reads co-located buckets
+    * with NO shuffle on either side — at 100 TB this is the difference
+    * between a full-fact-table exchange per join and none (the plan assert
+    * lives in PlanShapeSpec). External CTAS keeps data in a temp dir.
+    */
+  /** Bucketed tables are per-sfDir (name carries a dir tag): a global name
+    * would silently serve one SF's data to another in a shared session.
+    */
+  def bucketedNames(d: String): (String, String) = {
+    val tag = java.lang.Integer.toHexString(d.hashCode)
+    (s"graft_orders_b_$tag", s"graft_cust_b_$tag")
+  }
+
+  private val qJoinBucketed = GQuery(
+    (s, d) => {
+      val (ordersB, custB) = bucketedNames(d)
+      if (!s.catalog.tableExists(ordersB)) {
+        val base = java.nio.file.Files.createTempDirectory("graft-bucket-").toString
+        t(s, d, "orders").createOrReplaceTempView("graft_orders_src")
+        t(s, d, "customer").createOrReplaceTempView("graft_cust_src")
+        s.sql(s"""CREATE TABLE $ordersB USING parquet
+                  CLUSTERED BY (o_custkey) SORTED BY (o_custkey) INTO 8 BUCKETS
+                  LOCATION '$base/orders_b'
+                  AS SELECT * FROM graft_orders_src""")
+        s.sql(s"""CREATE TABLE $custB USING parquet
+                  CLUSTERED BY (c_custkey) SORTED BY (c_custkey) INTO 8 BUCKETS
+                  LOCATION '$base/cust_b'
+                  AS SELECT * FROM graft_cust_src""")
+      }
+      s.table(ordersB)
+        .join(s.table(custB), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          dround(sum("o_totalprice")).as("revenue"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(round(CAST(sum(o_totalprice) AS DECIMAL(30,8)), 2) AS DOUBLE) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   /** CUBE grouping sets (all four combinations of the two keys). */
   private val qAggCube = GQuery(
     (s, d) => t(s, d, "lineitem")
@@ -636,6 +720,9 @@ object Relational extends QueryModule {
     "q_pivot" -> qPivot,
     "q_agg_minmaxby" -> qAggMinmaxby,
     "q_window_leadlag" -> qWindowLeadlag,
+    "q_subquery_corr" -> qSubqueryCorr,
+    "q_scalar_datearith" -> qScalarDatearith,
+    "q_join_bucketed" -> qJoinBucketed,
     "q_join_salted" -> qJoinSalted,
     "q_scan_project" -> qScanProject,
     "q_filter_pred" -> qFilterPred,

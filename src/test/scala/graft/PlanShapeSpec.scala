@@ -52,4 +52,33 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q_knn_ivf")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
+
+  test("bucketed join shuffles neither side (at-scale shape: no broadcast)") {
+    // materialize the bucketed tables, then inspect the join-only plan with
+    // auto-broadcast off — at test SF the dim side fits a broadcast (and
+    // Spark rightly prefers it), but at 100 TB neither side broadcasts and
+    // the co-located buckets must carry the join
+    SparkEntry.queries("q_join_bucketed")(spark, sf).collect()
+    val (ordersB, custB) = operators.Relational.bucketedNames(sf)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table(ordersB)
+        .join(spark.table(custB),
+          org.apache.spark.sql.functions.col("o_custkey") ===
+            org.apache.spark.sql.functions.col("c_custkey"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), p.take(3000))
+      assert(p.contains("SortMergeJoin"), p.take(3000))
+      assert(p.contains("Bucketed: true"), p.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("correlated subquery is decorrelated into a join (no per-row subquery)") {
+    val df = SparkEntry.queries("q_subquery_corr")(spark, sf)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(!p.toLowerCase.contains("scalarsubquery"), p.take(2000))
+    assert(p.contains("Join"), p.take(2000))
+  }
 }
