@@ -245,7 +245,82 @@ object DedupOps extends QueryModule {
           FROM r WHERE rn = 1 ORDER BY a_id"""
     })
 
+  // --------------------------------------- dup-cluster connected components --
+
+  /** Near-dup clustering: connected components over the bipartite doc↔band
+    * graph (a doc touches its two LSH band buckets; docs sharing either band
+    * are connected, and chains A~B~C merge transitively). Implemented as
+    * iterative smallest-label propagation — the Pregel pattern in DataFrame
+    * form: each round is two shuffles (band-min, then doc-min), labels are
+    * monotone decreasing, and the loop stops at fixpoint. localCheckpoint
+    * per round truncates the exponentially-growing lineage. At 100 TB this
+    * is exactly GraphX/GraphFrames connected components: O(diameter) rounds,
+    * all data distributed; only the single `changed == 0` counter crosses to
+    * the driver. Oracle: recursive-CTE transitive closure + min label.
+    */
+  private val qDedupComponents = GQuery(
+    (s, d) => {
+      val mh = (0 until 4).map(k =>
+        array_min(transform(col("hs"), h => substring(h, k * 8 + 1, 8))))
+      val sig = t(s, d, "documents")
+        .select(col("doc_id"), tokens.as("toks"))
+        .select(col("doc_id"),
+          transform(shingles(col("toks")), x => md5(x)).as("hs"))
+        .select(col("doc_id"),
+          concat(mh(0), mh(1)).as("b0"), concat(mh(2), mh(3)).as("b1"))
+      val bands = sig.select(col("doc_id"),
+        explode(array(col("b0"), col("b1"))).as("band"))
+        .localCheckpoint(true)
+      var labels = sig.select(col("doc_id"), col("doc_id").as("lbl"))
+        .localCheckpoint(true)
+      var converged = false
+      var iters = 0
+      while (!converged && iters < 20) {
+        val bandMin = bands.join(labels, "doc_id")
+          .groupBy("band").agg(min("lbl").as("bmin"))
+        val next = bands.join(bandMin, "band")
+          .groupBy("doc_id").agg(min("bmin").as("lbl"))
+          .localCheckpoint(true)
+        val changed = next.join(labels.withColumnRenamed("lbl", "prev"), "doc_id")
+          .filter(col("lbl") =!= col("prev")).count()
+        labels = next
+        converged = changed == 0
+        iters += 1
+      }
+      labels
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy("lbl")))
+        .select(col("doc_id"), col("lbl").as("component"), col("n_members"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val mh = (0 until 4).map(k =>
+        s"list_min(list_transform(hs, h -> substr(h, ${k * 8 + 1}, 8)))")
+      s"""WITH RECURSIVE
+          sig AS (
+            SELECT doc_id, list_transform($duckShingles, x -> md5(x)) AS hs
+            FROM documents),
+          m AS (
+            SELECT doc_id, ${mh(0)} || ${mh(1)} AS b0, ${mh(2)} || ${mh(3)} AS b1
+            FROM sig),
+          e AS (
+            SELECT a.doc_id AS a, b.doc_id AS b
+            FROM m a JOIN m b ON a.b0 = b.b0 AND a.doc_id <> b.doc_id
+            UNION
+            SELECT a.doc_id, b.doc_id
+            FROM m a JOIN m b ON a.b1 = b.b1 AND a.doc_id <> b.doc_id),
+          reach AS (
+            SELECT doc_id AS a, doc_id AS b FROM m
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+          lbl AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a)
+          SELECT doc_id, component,
+                 CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS n_members
+          FROM lbl ORDER BY doc_id"""
+    })
+
   override val queries: Map[String, GQuery] = Map(
+    "q_dedup_components" -> qDedupComponents,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
