@@ -149,7 +149,34 @@ object SimilarityOps extends QueryModule {
           FROM ranked WHERE rn <= 3 ORDER BY p_id, rk"""
     })
 
+  /** Higher-order-function battery over the first 8 embedding dims:
+    * transform / filter / exists / forall / aggregate — the lambda calculus
+    * of array processing, emitted as scalars.
+    */
+  private val qScalarHof = GQuery(
+    (s, d) => t(s, d, "embeddings")
+      .select(col("vec_id"),
+        slice(col("embedding").cast("array<double>"), 1, 8).as("arr"))
+      .select(col("vec_id"),
+        size(filter(col("arr"), x => x > 0)).as("n_pos"),
+        exists(col("arr"), x => abs(x) > 0.3).as("any_big"),
+        forall(col("arr"), x => abs(x) <= 1.0).as("all_small"),
+        dround(aggregate(col("arr"), lit(0.0), (a, x) => a + x), 4).as("sum8"),
+        dround(element_at(transform(col("arr"), x => x * 2), 1), 4).as("dbl0"))
+      .orderBy("vec_id"),
+    Some("""WITH t AS (SELECT vec_id,
+                   list_slice(CAST(embedding AS DOUBLE[]), 1, 8) AS arr
+                   FROM embeddings)
+            SELECT vec_id,
+                   CAST(len(list_filter(arr, x -> x > 0)) AS INT) AS n_pos,
+                   len(list_filter(arr, x -> abs(x) > 0.3)) > 0 AS any_big,
+                   len(list_filter(arr, x -> NOT abs(x) <= 1.0)) = 0 AS all_small,
+                   CAST(round(CAST(list_sum(arr) AS DECIMAL(30,8)), 4) AS DOUBLE) AS sum8,
+                   CAST(round(CAST(arr[1] * 2 AS DECIMAL(30,8)), 4) AS DOUBLE) AS dbl0
+            FROM t ORDER BY vec_id"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_scalar_hof" -> qScalarHof,
     "q_embed_knn" -> qEmbedKnn,
     "q_multimodal_join" -> qMultimodalJoin,
     "q_knn_ivf" -> qKnnIvf)

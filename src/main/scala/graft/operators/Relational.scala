@@ -292,6 +292,26 @@ object Relational extends QueryModule {
                    trim(concat('  ', p_brand, '  ')) AS trimmed
             FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey"""))
 
+  /** Regexp battery over part: group extraction, match predicate, match
+    * counting, anchored extraction. Patterns stay in the RE2 ∩ Java-regex
+    * common subset so both engines agree.
+    */
+  private val qScalarRegexp = GQuery(
+    (s, d) => t(s, d, "part")
+      .select(col("p_partkey"),
+        regexp_extract(col("p_brand"), "Brand#([0-9]+)", 1).cast("int")
+          .as("brand_num"),
+        col("p_name").rlike("w[a-z]+t").as("has_wt"),
+        size(expr("regexp_extract_all(p_name, '[a-z]+', 0)")).as("n_words"),
+        regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"))
+      .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+                   CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS INT) AS brand_num,
+                   regexp_matches(p_name, 'w[a-z]+t') AS has_wt,
+                   CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS INT) AS n_words,
+                   regexp_extract(p_name, '^([a-z]+)', 1) AS first_word
+            FROM part ORDER BY p_partkey"""))
+
   /** Date extraction + truncation and math functions over orders. */
   private val qScalarDatemath = GQuery(
     (s, d) => t(s, d, "orders")
@@ -738,6 +758,7 @@ object Relational extends QueryModule {
     "q_topk" -> qTopk,
     "q_set_ops" -> qSetOps,
     "q_scalar_string" -> qScalarString,
+    "q_scalar_regexp" -> qScalarRegexp,
     "q_scalar_datemath" -> qScalarDatemath,
     "q_case_nullsafe" -> qCaseNullsafe,
     "q_events_tumbling" -> qEventsTumbling,

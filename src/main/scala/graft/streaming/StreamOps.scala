@@ -69,6 +69,28 @@ object StreamOps {
           })
   }
 
+  /** Stream-stream interval join: purchases matched to same-user clicks in
+    * the preceding 30 minutes (the streaming twin of the batch q_join_range).
+    * Both sides carry watermarks so Spark can bound the join state: click
+    * state is dropped once the purchase-side watermark passes
+    * click_ts + 30min. Without the interval condition the state would be
+    * unbounded — this is the canonical watermarked-join shape.
+    */
+  def clickPurchaseJoin(shaped: DataFrame): DataFrame = {
+    val clicks = shaped.filter(col("value.etype") === "click")
+      .select(col("value.uid").as("c_uid"), col("timestamp").as("c_ts"),
+        col("offset").as("c_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = shaped.filter(col("value.etype") === "purchase")
+      .select(col("value.uid").as("p_uid"), col("timestamp").as("p_ts"),
+        col("offset").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_uid") === col("c_uid") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") < col("p_ts"))
+  }
+
   /** The reference's end-to-end job as a stream: file source → Kafka shape →
     * offset-named chunked ORC files, exactly-once via checkpoint + idempotent
     * dynamic-partition overwrite (O7/O10/O11).

@@ -114,6 +114,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches purchases to preceding clicks") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Int, Long, Int, Double, String)]
+    val stream = KafkaShaped.shape(
+      mem.toDF().toDF("user_id", "event_id", "minute", "value", "event_type")
+        .withColumn("ts", expr("timestampadd(MINUTE, minute, timestamp'2024-01-01 10:00:00')"))
+        .withColumn("props", lit("{}"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val q = StreamOps.clickPurchaseJoin(stream)
+      .select("p_id", "c_id")
+      .writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode("append").start()
+    try {
+      // user 1: clicks at min 0 and 40; purchase at min 20 — only the first
+      // click is within (p_ts-30m, p_ts); user 2's click belongs to no purchase
+      mem.addData((1, 0L, 0, 1.0, "click"), (1, 1L, 40, 1.0, "click"),
+        (1, 2L, 20, 1.0, "purchase"), (2, 3L, 5, 1.0, "click"))
+      q.processAllAvailable()
+      val pairs = spark.table("ssjoin_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((2L, 0L)), pairs.toString)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses replayed ids") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Int, Long, Int, Double, String)]
+    val stream = KafkaShaped.shape(
+      mem.toDF().toDF("user_id", "event_id", "minute", "value", "event_type")
+        .withColumn("ts", expr("timestampadd(MINUTE, minute, timestamp'2024-01-01 10:00:00')"))
+        .withColumn("props", lit("{}"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val q = stream
+      .withWatermark("timestamp", "1 hour")
+      .dropDuplicatesWithinWatermark("offset")
+      .select("offset")
+      .writeStream.format("memory").queryName("ddw_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((1, 10L, 0, 1.0, "click"), (1, 11L, 1, 1.0, "click"))
+      q.processAllAvailable()
+      mem.addData((1, 10L, 2, 1.0, "click")) // replay of offset 10 within watermark
+      q.processAllAvailable()
+      val offsets = spark.table("ddw_test").collect().map(_.getLong(0)).sorted.toSeq
+      assert(offsets == Seq(10L, 11L), offsets.toString)
+    } finally q.stop()
+  }
+
   test("watermark drops late data beyond 30 minutes") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Int, Long, Int, Double, String)]
