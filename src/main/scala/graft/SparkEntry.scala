@@ -13,6 +13,7 @@ object SparkEntry {
     operators.Relational,
     operators.PipelineOps,
     operators.DedupOps,
+    operators.TypedOps,
     functions.TextOps,
     functions.SimilarityOps,
     functions.MultimodalOps)
