@@ -222,7 +222,26 @@ object TextOps extends QueryModule {
                    toks[-1] AS last_tok
             FROM t ORDER BY doc_id"""))
 
+  /** UNNEST/explode: tokens flattened to (doc, position, token) rows via
+    * posexplode — the generator/table-function surface. Bounded to 20 docs
+    * (flattening is row-multiplying; the operator matters, not the volume).
+    */
+  private val qExplodeUnnest = GQuery(
+    (s, d) => t(s, d, "documents")
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("int").as("pos"), col("tok"))
+      .orderBy("doc_id", "pos"),
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                       FROM documents WHERE doc_id < 20)
+            SELECT doc_id,
+                   CAST(unnest(generate_series(1, len(toks))) AS INT) AS pos,
+                   unnest(toks) AS tok
+            FROM t ORDER BY doc_id, pos"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_explode_unnest" -> qExplodeUnnest,
     "q_scalar_array" -> qScalarArrayFns,
     "q_text_stats" -> qTextStats,
     "q_text_shingle_dup" -> qTextShingleDup,
