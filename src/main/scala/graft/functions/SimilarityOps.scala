@@ -175,8 +175,98 @@ object SimilarityOps extends QueryModule {
                    CAST(round(CAST(arr[1] * 2 AS DECIMAL(30,8)), 4) AS DOUBLE) AS dbl0
             FROM t ORDER BY vec_id"""))
 
+  /** Centroid-based IVF with multi-cell probing (the production ANN shape,
+    * next to the SRP variant): 8 coarse centroids (vectors 100..107 stand in
+    * for a trained codebook), every vector assigned to its nearest centroid
+    * (argmax dot — unit-norm corpus, so dot = cosine), probes search their 2
+    * nearest cells (nprobe=2). At 100 TB: centroids broadcast, assignment is
+    * one map pass stored as a partition column, and each probe touches
+    * nprobe/K of the corpus. Assignment ties break to the lowest centroid id
+    * via the max_by struct key; fp-identical dots make the oracle's window
+    * formulation agree exactly.
+    */
+  private val qKnnIvfCentroid = GQuery(
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .withColumn("nrm", norm(col("emb")))
+      val cents = emb.filter(col("vec_id").between(100, 107))
+        .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+      // nearest centroid per vector: partial-aggregable argmax, no window
+      val assign = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("c_id"),
+          dround(dot(col("emb"), col("c_emb")), 6).as("aff"))
+        .groupBy("vec_id")
+        .agg(max_by(col("c_id"), struct(col("aff"), (col("c_id") * -1).as("nc")))
+          .as("cell"))
+      val corpus = emb.join(assign, "vec_id")
+      // each probe ranks cells by centroid affinity, keeps the top 2
+      val wCell = Window.partitionBy("p_id").orderBy(col("aff").desc, col("c_id").asc)
+      val probeCells = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("p_id"), col("emb").as("p_emb"),
+          col("nrm").as("p_nrm"))
+        .crossJoin(broadcast(cents))
+        .select(col("p_id"), col("p_emb"), col("p_nrm"), col("c_id"),
+          dround(dot(col("p_emb"), col("c_emb")), 6).as("aff"))
+        .withColumn("crk", row_number().over(wCell))
+        .filter(col("crk") <= 2)
+        .select(col("p_id"), col("p_emb"), col("p_nrm"), col("c_id").as("cell"))
+      val wTop = Window.partitionBy("p_id").orderBy(col("cos").desc, col("n_id").asc)
+      corpus.join(broadcast(probeCells), Seq("cell"))
+        .filter(col("vec_id") =!= col("p_id"))
+        .select(col("p_id"), col("vec_id").as("n_id"),
+          dround(dot(col("p_emb"), col("emb")) / (col("p_nrm") * col("nrm")), 6)
+            .as("cos"))
+        .withColumn("rk", row_number().over(wTop).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("p_id"), col("n_id"), col("rk"), round(col("cos"), 2).as("score"))
+        .orderBy("p_id", "rk")
+    },
+    Some("""WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                     sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> x * x))) AS nrm
+              FROM embeddings),
+            cents AS (SELECT vec_id AS c_id, emb AS c_emb FROM e
+                      WHERE vec_id BETWEEN 100 AND 107),
+            aff AS (
+              SELECT e.vec_id, c.c_id,
+                     CAST(round(CAST(list_dot_product(e.emb, c.c_emb)
+                       AS DECIMAL(30,8)), 6) AS DOUBLE) AS aff
+              FROM e, cents c),
+            assign AS (
+              SELECT vec_id, c_id AS cell FROM (
+                SELECT vec_id, c_id,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY aff DESC, c_id) AS rn
+                FROM aff) WHERE rn = 1),
+            pcells AS (
+              SELECT p_id, c_id AS cell FROM (
+                SELECT e.vec_id AS p_id, a.c_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY a.aff DESC, a.c_id) AS crk
+                FROM e JOIN aff a ON a.vec_id = e.vec_id
+                WHERE e.vec_id < 5) WHERE crk <= 2),
+            cand AS (
+              SELECT pc.p_id, ce.vec_id AS n_id,
+                     CAST(round(CAST(list_dot_product(pe.emb, ce.emb)
+                       / (pe.nrm * ce.nrm) AS DECIMAL(30,8)), 6) AS DOUBLE) AS cos
+              FROM pcells pc
+              JOIN assign a ON a.cell = pc.cell
+              JOIN e ce ON ce.vec_id = a.vec_id
+              JOIN e pe ON pe.vec_id = pc.p_id
+              WHERE ce.vec_id <> pc.p_id),
+            ranked AS (
+              SELECT p_id, n_id, cos,
+                     row_number() OVER (PARTITION BY p_id
+                       ORDER BY cos DESC, n_id) AS rn
+              FROM cand)
+            SELECT p_id, n_id, CAST(rn AS INT) AS rk, round(cos, 2) AS score
+            FROM ranked WHERE rn <= 3 ORDER BY p_id, rk"""))
+
   override val queries: Map[String, GQuery] = Map(
     "q_scalar_hof" -> qScalarHof,
+    "q_knn_ivf_centroid" -> qKnnIvfCentroid,
     "q_embed_knn" -> qEmbedKnn,
     "q_multimodal_join" -> qMultimodalJoin,
     "q_knn_ivf" -> qKnnIvf)
