@@ -162,6 +162,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("same-checkpoint restart processes only new files (exactly-once)") {
+    val srcDir = tmp("graft-ckrestart-src-")
+    val outDir = tmp("graft-ckrestart-out-")
+    val ck = tmp("graft-ckrestart-ck-")
+    val events = Tables(spark, sf, "events")
+      .withColumn("ts", expr("unix_micros(ts) * 1000"))
+    // first half, run 1
+    events.filter(col("event_id") < 500)
+      .write.mode("overwrite").parquet(s"$srcDir/batch1")
+    val q1 = StreamOps.runPipeline(spark, s"$srcDir/batch1", outDir, ck)
+    q1.awaitTermination()
+    val afterFirst = graft.streaming.OffsetNamedOrcSink
+      .read(spark, s"$outDir/topics/events").count()
+    assert(afterFirst == 500, s"run1 rows: $afterFirst")
+    // second half arrives; SAME checkpoint → only new files processed,
+    // existing committed chunks stay (idempotent dynamic overwrite)
+    events.filter(col("event_id") >= 500)
+      .write.mode("append").parquet(s"$srcDir/batch1")
+    val q2 = StreamOps.runPipeline(spark, s"$srcDir/batch1", outDir, ck)
+    q2.awaitTermination()
+    val afterSecond = graft.streaming.OffsetNamedOrcSink
+      .read(spark, s"$outDir/topics/events").count()
+    assert(afterSecond == 1000, s"run2 rows: $afterSecond")
+  }
+
   test("watermark drops late data beyond 30 minutes") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Int, Long, Int, Double, String)]
