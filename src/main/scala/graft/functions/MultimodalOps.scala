@@ -61,9 +61,9 @@ object MultimodalOps extends QueryModule {
     (s, d) => decodeAll(Tables(s, d, "documents")).toDF().orderBy("doc_id"),
     Some("""SELECT doc_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                   CAST(list_sum(list_transform(
+                   CAST(coalesce(list_sum(list_transform(
                      generate_series(1, least(length(text), 16)),
-                     i -> ascii(substr(text, CAST(i AS INT), 1)))) AS BIGINT)
+                     i -> ascii(substr(text, CAST(i AS INT), 1)))), 0) AS BIGINT)
                      AS head_sum,
                    CAST(ascii(substr(text, length(text), 1)) AS INT) AS tail_code,
                    CAST(octet_length(encode(text)) % 64 AS INT) AS fake_w,

@@ -39,6 +39,18 @@ object SimilarityOps extends QueryModule {
   /** cosine(a, b) — matches DuckDB list_cosine_similarity on DOUBLE[]. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Sign-random-projection bucket from the first `bits` dims (shared by the
+    * SRP kNN and the embedding near-dup; the SQL twin is duckSrpBucket).
+    */
+  def srpBucket(emb: Column, bits: Int = 6): Column =
+    (0 until bits).map(i =>
+      (element_at(emb, i + 1) > 0).cast("int") * lit(1 << i)).reduce(_ + _)
+
+  /** DuckDB SQL twin of srpBucket over column expression `e`. */
+  def duckSrpBucket(e: String = "embedding", bits: Int = 6): String =
+    (0 until bits).map(i => s"CAST($e[${i + 1}] > 0 AS INT)*${1 << i}")
+      .mkString(" + ")
+
   /** Brute-force cosine top-3 for probe vectors (vec_id < 5).
     * Norms are computed ONCE per side before the join (a norm inside the
     * pair loop would redo N×P sqrt-folds — at 100 TB that's the difference
@@ -60,7 +72,7 @@ object SimilarityOps extends QueryModule {
             .as("cos"))
         .withColumn("rk", row_number().over(w).cast("int"))
         .filter(col("rk") <= 3)
-        .select(col("p_id"), col("n_id"), col("rk"), round(col("cos"), 2).as("score"))
+        .select(col("p_id"), col("n_id"), col("rk"), dround(col("cos"), 2).as("score"))
         .orderBy("p_id", "rk")
     },
     Some("""WITH probes AS (
@@ -75,7 +87,7 @@ object SimilarityOps extends QueryModule {
               SELECT p_id, n_id, cos,
                      row_number() OVER (PARTITION BY p_id ORDER BY cos DESC, n_id) AS rn
               FROM scored)
-            SELECT p_id, n_id, CAST(rn AS INT) AS rk, round(cos, 2) AS score
+            SELECT p_id, n_id, CAST(rn AS INT) AS rk, CAST(round(CAST(cos AS DECIMAL(30,8)), 2) AS DOUBLE) AS score
             FROM ranked WHERE rn <= 3 ORDER BY p_id, rk"""))
 
   /** Multimodal join: scalar document metadata × embedding vectors, arrays
@@ -105,9 +117,7 @@ object SimilarityOps extends QueryModule {
     */
   private val qKnnIvf = GQuery(
     (s, d) => {
-      val bucket = (0 until 6).map(i =>
-        (element_at(col("embedding"), i + 1) > 0).cast("int") * lit(1 << i))
-        .reduce(_ + _)
+      val bucket = srpBucket(col("embedding"))
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), bucket.as("bucket"),
           col("embedding").cast("array<double>").as("emb"))
@@ -123,12 +133,11 @@ object SimilarityOps extends QueryModule {
             .as("cos"))
         .withColumn("rk", row_number().over(w).cast("int"))
         .filter(col("rk") <= 3)
-        .select(col("p_id"), col("n_id"), col("rk"), round(col("cos"), 2).as("score"))
+        .select(col("p_id"), col("n_id"), col("rk"), dround(col("cos"), 2).as("score"))
         .orderBy("p_id", "rk")
     },
     Some {
-      val bucket = (0 until 6).map(i =>
-        s"CAST(embedding[${i + 1}] > 0 AS INT)*${1 << i}").mkString(" + ")
+      val bucket = duckSrpBucket()
       s"""WITH b AS (
             SELECT vec_id, $bucket AS bucket,
                    CAST(embedding AS DOUBLE[]) AS emb
@@ -145,7 +154,7 @@ object SimilarityOps extends QueryModule {
             SELECT p_id, n_id, cos,
                    row_number() OVER (PARTITION BY p_id ORDER BY cos DESC, n_id) AS rn
             FROM scored)
-          SELECT p_id, n_id, CAST(rn AS INT) AS rk, round(cos, 2) AS score
+          SELECT p_id, n_id, CAST(rn AS INT) AS rk, CAST(round(CAST(cos AS DECIMAL(30,8)), 2) AS DOUBLE) AS score
           FROM ranked WHERE rn <= 3 ORDER BY p_id, rk"""
     })
 
@@ -219,7 +228,7 @@ object SimilarityOps extends QueryModule {
             .as("cos"))
         .withColumn("rk", row_number().over(wTop).cast("int"))
         .filter(col("rk") <= 3)
-        .select(col("p_id"), col("n_id"), col("rk"), round(col("cos"), 2).as("score"))
+        .select(col("p_id"), col("n_id"), col("rk"), dround(col("cos"), 2).as("score"))
         .orderBy("p_id", "rk")
     },
     Some("""WITH e AS (
@@ -261,7 +270,7 @@ object SimilarityOps extends QueryModule {
                      row_number() OVER (PARTITION BY p_id
                        ORDER BY cos DESC, n_id) AS rn
               FROM cand)
-            SELECT p_id, n_id, CAST(rn AS INT) AS rk, round(cos, 2) AS score
+            SELECT p_id, n_id, CAST(rn AS INT) AS rk, CAST(round(CAST(cos AS DECIMAL(30,8)), 2) AS DOUBLE) AS score
             FROM ranked WHERE rn <= 3 ORDER BY p_id, rk"""))
 
   override val queries: Map[String, GQuery] = Map(

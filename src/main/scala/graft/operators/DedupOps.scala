@@ -150,10 +150,14 @@ object DedupOps extends QueryModule {
       // `toks` MUST be a materialized column: expressions captured inside a
       // lambda re-evaluate per call, so an inline split() would rerun 3× per
       // shingle position.
-      val sh = array_distinct(
-        transform(sequence(lit(1), greatest(size(col("toks")) - 2, lit(1))),
+      // <3-token docs: element_at past the array throws under ANSI mode —
+      // fall back to one whole-doc shingle (matches the oracle's short
+      // list_slice join exactly: equality of the joined string)
+      val sh = when(size(col("toks")) >= 3, array_distinct(
+        transform(sequence(lit(1), size(col("toks")) - 2),
           i => xxhash64(element_at(col("toks"), i),
-            element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+            element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))))
+        .otherwise(array(xxhash64(concat_ws(" ", col("toks")))))
       val docs = t(s, d, "documents")
         .select(col("doc_id"), tokens.as("toks"))
         .select(col("doc_id"),
@@ -202,9 +206,7 @@ object DedupOps extends QueryModule {
     */
   private val qDedupEmbed = GQuery(
     (s, d) => {
-      val bucket = (0 until 6).map(i =>
-        (element_at(col("embedding"), i + 1) > 0).cast("int") * lit(1 << i))
-        .reduce(_ + _)
+      val bucket = graft.functions.SimilarityOps.srpBucket(col("embedding"))
       import graft.functions.SimilarityOps.{dot, norm}
       val e = t(s, d, "embeddings").select(col("vec_id"),
         bucket.as("bucket"), col("embedding").cast("array<double>").as("emb"))
@@ -221,12 +223,11 @@ object DedupOps extends QueryModule {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("a_id"), col("b_id").as("nn_id"), col("bucket").cast("int").as("bucket"),
-          round(col("cos"), 3).as("score"))
+          dround(col("cos"), 3).as("score"))
         .orderBy("a_id")
     },
     Some {
-      val bucket = (0 until 6).map(i =>
-        s"CAST(embedding[${i + 1}] > 0 AS INT)*${1 << i}").mkString(" + ")
+      val bucket = graft.functions.SimilarityOps.duckSrpBucket()
       s"""WITH b AS (
             SELECT vec_id, $bucket AS bucket,
                    CAST(embedding AS DOUBLE[]) AS emb
@@ -241,7 +242,7 @@ object DedupOps extends QueryModule {
                         ORDER BY cos DESC, b_id) AS rn
             FROM p)
           SELECT a_id, b_id AS nn_id, CAST(bucket AS INT) AS bucket,
-                 round(cos, 3) AS score
+                 CAST(round(CAST(cos AS DECIMAL(30,8)), 3) AS DOUBLE) AS score
           FROM r WHERE rn = 1 ORDER BY a_id"""
     })
 
@@ -287,6 +288,9 @@ object DedupOps extends QueryModule {
         converged = changed == 0
         iters += 1
       }
+      if (!converged)
+        throw new IllegalStateException(
+          s"label propagation did not converge in $iters rounds")
       labels
         .withColumn("n_members",
           count(lit(1)).over(Window.partitionBy("lbl")))

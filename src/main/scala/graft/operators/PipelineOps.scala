@@ -126,10 +126,10 @@ object PipelineOps extends QueryModule {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_type"), col("event_id"),
-          round(col("value"), 2).as("val"))
+          dround(col("value")).as("val"))
         .orderBy("user_id", "event_type")
     },
-    Some("""SELECT user_id, event_type, event_id, round(value, 2) AS val
+    Some("""SELECT user_id, event_type, event_id, CAST(round(CAST(value AS DECIMAL(30,8)), 2) AS DOUBLE) AS val
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
                     ORDER BY event_id DESC) AS rn FROM events) t
             WHERE rn = 1 ORDER BY user_id, event_type"""))
@@ -157,11 +157,11 @@ object PipelineOps extends QueryModule {
       val schema = t(s, d, "orders").select(cols.map(col): _*).schema
       s.read.schema(schema).json(s"$dir/json")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-          round(col("o_totalprice"), 2).as("price"), col("o_orderdate"))
+          dround(col("o_totalprice")).as("price"), col("o_orderdate"))
         .orderBy("o_orderkey")
     },
     Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
-                   round(o_totalprice, 2) AS price, o_orderdate
+                   CAST(round(CAST(o_totalprice AS DECIMAL(30,8)), 2) AS DOUBLE) AS price, o_orderdate
             FROM orders WHERE o_totalprice > 200000
             ORDER BY o_orderkey"""))
 

@@ -197,10 +197,10 @@ object Relational extends QueryModule {
         .withColumn("drk", dense_rank().over(w).cast("int"))
         .filter(col("rk") <= 3)
         .select(col("o_custkey"), col("o_orderkey"),
-          round(col("o_totalprice"), 2).as("tp"), col("rk"), col("drk"))
+          dround(col("o_totalprice")).as("tp"), col("rk"), col("drk"))
         .orderBy("o_custkey", "rk", "o_orderkey")
     },
-    Some("""SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS tp,
+    Some("""SELECT o_custkey, o_orderkey, CAST(round(CAST(o_totalprice AS DECIMAL(30,8)), 2) AS DOUBLE) AS tp,
                    CAST(rank() OVER w AS INT) AS rk,
                    CAST(dense_rank() OVER w AS INT) AS drk
             FROM orders
@@ -216,13 +216,13 @@ object Relational extends QueryModule {
     (s, d) => {
       val w = Window.partitionBy("user_id").orderBy("event_id")
       t(s, d, "events")
-        .select(col("user_id"), col("event_id"), round(col("value"), 2).as("val"),
+        .select(col("user_id"), col("event_id"), dround(col("value")).as("val"),
           dround(sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)))
             .as("r_sum"),
           dround(avg("value").over(w.rowsBetween(-2, 0))).as("m_avg"))
         .orderBy("user_id", "event_id")
     },
-    Some("""SELECT user_id, event_id, round(value, 2) AS val,
+    Some("""SELECT user_id, event_id, CAST(round(CAST(value AS DECIMAL(30,8)), 2) AS DOUBLE) AS val,
                    CAST(round(CAST(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(30,8)), 2) AS DOUBLE) AS r_sum,
                    CAST(round(CAST(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
@@ -239,8 +239,8 @@ object Relational extends QueryModule {
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(10)
       .select(col("o_orderkey"), col("o_custkey"),
-        round(col("o_totalprice"), 2).as("tp")),
-    Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS tp
+        dround(col("o_totalprice")).as("tp")),
+    Some("""SELECT o_orderkey, o_custkey, CAST(round(CAST(o_totalprice AS DECIMAL(30,8)), 2) AS DOUBLE) AS tp
             FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"""))
 
   // -------------------------------------------------------------- set ops --
@@ -322,8 +322,8 @@ object Relational extends QueryModule {
         // timestamp_ntz: dumps as naive timestamp[us], the exact arrow type
         // DuckDB's CAST(... AS TIMESTAMP) produces (session tz is UTC)
         date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month_start"),
-        round(col("o_totalprice"), 2).as("p_round"),
-        round(abs(col("o_totalprice") - 150000), 2).as("p_abs"),
+        dround(col("o_totalprice")).as("p_round"),
+        dround(abs(col("o_totalprice") - 150000)).as("p_abs"),
         floor(col("o_totalprice")).as("p_floor"),
         ceil(col("o_totalprice")).as("p_ceil"))
       .orderBy("o_orderkey"),
@@ -332,8 +332,8 @@ object Relational extends QueryModule {
                    CAST(month(o_orderdate) AS INT) AS mo,
                    CAST(day(o_orderdate) AS INT) AS dy,
                    CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
-                   round(o_totalprice, 2) AS p_round,
-                   round(abs(o_totalprice - 150000), 2) AS p_abs,
+                   CAST(round(CAST(o_totalprice AS DECIMAL(30,8)), 2) AS DOUBLE) AS p_round,
+                   CAST(round(CAST(abs(o_totalprice - 150000) AS DECIMAL(30,8)), 2) AS DOUBLE) AS p_abs,
                    CAST(floor(o_totalprice) AS BIGINT) AS p_floor,
                    CAST(ceil(o_totalprice) AS BIGINT) AS p_ceil
             FROM orders ORDER BY o_orderkey"""))
@@ -570,13 +570,13 @@ object Relational extends QueryModule {
       .agg(
         max_by(col("o_orderkey"), col("o_totalprice")).as("best_order"),
         min_by(col("o_orderkey"), col("o_totalprice")).as("worst_order"),
-        round(max("o_totalprice"), 2).as("best_price"),
+        dround(max("o_totalprice")).as("best_price"),
         count(lit(1)).as("n"))
       .orderBy("o_custkey"),
     Some("""SELECT o_custkey,
                    max_by(o_orderkey, o_totalprice) AS best_order,
                    min_by(o_orderkey, o_totalprice) AS worst_order,
-                   round(max(o_totalprice), 2) AS best_price,
+                   CAST(round(CAST(max(o_totalprice) AS DECIMAL(30,8)), 2) AS DOUBLE) AS best_price,
                    CAST(count(*) AS BIGINT) AS n
             FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
 
@@ -586,17 +586,17 @@ object Relational extends QueryModule {
       val w = Window.partitionBy("user_id").orderBy("event_id")
       t(s, d, "events")
         .select(col("user_id"), col("event_id"),
-          round(col("value"), 2).as("val"),
-          round(lag("value", 1).over(w), 2).as("prev_val"),
-          round(lead("value", 1).over(w), 2).as("next_val"),
+          dround(col("value")).as("val"),
+          dround(lag("value", 1).over(w)).as("prev_val"),
+          dround(lead("value", 1).over(w)).as("next_val"),
           ntile(4).over(w).cast("int").as("quartile"),
           first_value(col("event_id")).over(
             w.rowsBetween(Window.unboundedPreceding, 0)).as("first_id"))
         .orderBy("user_id", "event_id")
     },
-    Some("""SELECT user_id, event_id, round(value, 2) AS val,
-                   round(lag(value, 1) OVER w, 2) AS prev_val,
-                   round(lead(value, 1) OVER w, 2) AS next_val,
+    Some("""SELECT user_id, event_id, CAST(round(CAST(value AS DECIMAL(30,8)), 2) AS DOUBLE) AS val,
+                   CAST(round(CAST(lag(value, 1) OVER w AS DECIMAL(30,8)), 2) AS DOUBLE) AS prev_val,
+                   CAST(round(CAST(lead(value, 1) OVER w AS DECIMAL(30,8)), 2) AS DOUBLE) AS next_val,
                    CAST(ntile(4) OVER w AS INT) AS quartile,
                    first_value(event_id) OVER (PARTITION BY user_id ORDER BY event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_id
@@ -612,14 +612,14 @@ object Relational extends QueryModule {
   private val qSubqueryCorr = GQuery(
     (s, d) => {
       t(s, d, "orders").createOrReplaceTempView("graft_orders_v")
-      s.sql("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+      s.sql("""SELECT o_orderkey, o_custkey, CAST(round(CAST(o_totalprice AS DECIMAL(30,8)), 2) AS DOUBLE) AS price
                FROM graft_orders_v o
                WHERE o_totalprice > (SELECT avg(i.o_totalprice)
                                      FROM graft_orders_v i
                                      WHERE i.o_custkey = o.o_custkey)
                ORDER BY o_orderkey""")
     },
-    Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+    Some("""SELECT o_orderkey, o_custkey, CAST(round(CAST(o_totalprice AS DECIMAL(30,8)), 2) AS DOUBLE) AS price
             FROM orders o
             WHERE o_totalprice > (SELECT avg(i.o_totalprice)
                                   FROM orders i

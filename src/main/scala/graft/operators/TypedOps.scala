@@ -70,12 +70,12 @@ object TypedOps extends QueryModule {
           (uid, n, maxV, minId)
         }
         .toDF("user_id", "n", "max_val", "first_id")
-        .select(col("user_id"), col("n"), round(col("max_val"), 2).as("max_val"),
+        .select(col("user_id"), col("n"), dround(col("max_val")).as("max_val"),
           col("first_id"))
         .orderBy("user_id")
     },
     Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-                   round(max(value), 2) AS max_val,
+                   CAST(round(CAST(max(value) AS DECIMAL(30,8)), 2) AS DOUBLE) AS max_val,
                    min(event_id) AS first_id
             FROM events GROUP BY user_id ORDER BY user_id"""))
 

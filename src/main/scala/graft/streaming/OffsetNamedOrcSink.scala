@@ -31,12 +31,20 @@ object OffsetNamedOrcSink {
 
   /** Write a Kafka-shaped DataFrame (key, value:struct, topic, partition,
     * offset, timestamp) as offset-named ORC files. Returns the topic dir.
+    *
+    * Chunk-spanning batches: a rotation chunk only partially covered by this
+    * batch may already hold rows from an earlier batch (micro-batch
+    * boundaries are not flush-size-aligned). Dynamic overwrite would delete
+    * those rows, so the touched chunks' existing rows are read back (the
+    * (partition, chunk) filter prunes to exactly those directories), unioned
+    * in, and deduped by offset — replay-safe AND batch-boundary-safe. Cost
+    * is O(touched chunks × flushSize), never O(output).
     */
   def write(df: DataFrame, outDir: String, flushSize: Long,
       topic: String = "events"): String = {
     require(flushSize > 0, "flush.size must be positive")
     val spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
 
     val topicDir = s"$outDir/topics/$topic"
     // start offset of the file this record rotates into (O9/O10)
@@ -45,12 +53,25 @@ object OffsetNamedOrcSink {
       .withColumn(ChunkCol, chunk)
       .select(col("partition"), col(ChunkCol), col("offset"),
         col("value.*"))
-    flat
-      .repartition(col("partition"), col(ChunkCol))
-      .sortWithinPartitions(col("offset"))
-      .write.mode("overwrite")
-      .partitionBy("partition", ChunkCol)
-      .orc(topicDir)
+    val fs = FileSystem.get(new java.net.URI(topicDir),
+      spark.sparkContext.hadoopConfiguration)
+    val merged = if (fs.exists(new Path(topicDir))) {
+      val touched = flat.select(col("partition"), col(ChunkCol)).distinct()
+      val existing = spark.read.orc(topicDir)
+        .join(broadcast(touched), Seq("partition", ChunkCol), "left_semi")
+        // partition-dir columns read back as inferred ints — realign types
+        .select(flat.schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
+      flat.union(existing).dropDuplicates("offset")
+    } else flat
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      merged
+        .repartition(col("partition"), col(ChunkCol))
+        .sortWithinPartitions(col("offset"))
+        .write.mode("overwrite")
+        .partitionBy("partition", ChunkCol)
+        .orc(topicDir)
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
     renameToOffsetNames(spark, topicDir, topic)
     topicDir
   }

@@ -23,10 +23,12 @@ class StreamingSpec extends SparkSpec {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
 
-  /** Kafka-shaped rows from (uid, id, minute, value, etype). */
-  private def shapedBatch(rows: Seq[(Int, Long, Int, Double, String)]) =
+  /** Kafka-shaped stream from a MemoryStream of (uid, id, minute, value,
+    * etype) tuples — the one shaping pipeline every memory-stream test uses.
+    */
+  private def shapedStream(mem: MemoryStream[(Int, Long, Int, Double, String)]) =
     KafkaShaped.shape(
-      rows.toDF("user_id", "event_id", "minute", "value", "event_type")
+      mem.toDF().toDF("user_id", "event_id", "minute", "value", "event_type")
         .withColumn("ts", expr("timestampadd(MINUTE, minute, timestamp'2024-01-01 10:00:00')"))
         .withColumn("props", lit("{}"))
         .select("event_id", "ts", "user_id", "event_type", "value", "props"))
@@ -34,11 +36,7 @@ class StreamingSpec extends SparkSpec {
   test("tumbling window aggregates a memory stream correctly") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Int, Long, Int, Double, String)]
-    val stream = KafkaShaped.shape(
-      mem.toDF().toDF("user_id", "event_id", "minute", "value", "event_type")
-        .withColumn("ts", expr("timestampadd(MINUTE, minute, timestamp'2024-01-01 10:00:00')"))
-        .withColumn("props", lit("{}"))
-        .select("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val stream = shapedStream(mem)
     val agg = StreamOps.tumblingCounts(stream)
     val q = agg.writeStream.format("memory").queryName("tumbling_test")
       .outputMode("complete").start()
@@ -59,11 +57,7 @@ class StreamingSpec extends SparkSpec {
   test("session windows split on the 30-minute gap") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Int, Long, Int, Double, String)]
-    val stream = KafkaShaped.shape(
-      mem.toDF().toDF("user_id", "event_id", "minute", "value", "event_type")
-        .withColumn("ts", expr("timestampadd(MINUTE, minute, timestamp'2024-01-01 10:00:00')"))
-        .withColumn("props", lit("{}"))
-        .select("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val stream = shapedStream(mem)
     val q = StreamOps.sessionAgg(stream)
       .writeStream.format("memory").queryName("session_test")
       .outputMode("complete").start()
@@ -94,11 +88,7 @@ class StreamingSpec extends SparkSpec {
   test("stateful dedup suppresses duplicates across micro-batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Int, Long, Int, Double, String)]
-    val stream = KafkaShaped.shape(
-      mem.toDF().toDF("user_id", "event_id", "minute", "value", "event_type")
-        .withColumn("ts", expr("timestampadd(MINUTE, minute, timestamp'2024-01-01 10:00:00')"))
-        .withColumn("props", lit("{}"))
-        .select("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val stream = shapedStream(mem)
     val q = StreamOps.dedupStream(stream)
       .writeStream.format("memory").queryName("dedup_test")
       .outputMode("append").start()
@@ -117,11 +107,7 @@ class StreamingSpec extends SparkSpec {
   test("stream-stream interval join matches purchases to preceding clicks") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Int, Long, Int, Double, String)]
-    val stream = KafkaShaped.shape(
-      mem.toDF().toDF("user_id", "event_id", "minute", "value", "event_type")
-        .withColumn("ts", expr("timestampadd(MINUTE, minute, timestamp'2024-01-01 10:00:00')"))
-        .withColumn("props", lit("{}"))
-        .select("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val stream = shapedStream(mem)
     val q = StreamOps.clickPurchaseJoin(stream)
       .select("p_id", "c_id")
       .writeStream.format("memory").queryName("ssjoin_test")
@@ -141,11 +127,7 @@ class StreamingSpec extends SparkSpec {
   test("dropDuplicatesWithinWatermark suppresses replayed ids") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Int, Long, Int, Double, String)]
-    val stream = KafkaShaped.shape(
-      mem.toDF().toDF("user_id", "event_id", "minute", "value", "event_type")
-        .withColumn("ts", expr("timestampadd(MINUTE, minute, timestamp'2024-01-01 10:00:00')"))
-        .withColumn("props", lit("{}"))
-        .select("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val stream = shapedStream(mem)
     val q = stream
       .withWatermark("timestamp", "1 hour")
       .dropDuplicatesWithinWatermark("offset")
@@ -168,17 +150,18 @@ class StreamingSpec extends SparkSpec {
     val ck = tmp("graft-ckrestart-ck-")
     val events = Tables(spark, sf, "events")
       .withColumn("ts", expr("unix_micros(ts) * 1000"))
-    // first half, run 1
-    events.filter(col("event_id") < 500)
+    // first slice ends MID-CHUNK (437 % 250 != 0): the partially-filled
+    // chunk must survive the next batch's overwrite of the same chunk dir
+    events.filter(col("event_id") < 437)
       .write.mode("overwrite").parquet(s"$srcDir/batch1")
     val q1 = StreamOps.runPipeline(spark, s"$srcDir/batch1", outDir, ck)
     q1.awaitTermination()
     val afterFirst = graft.streaming.OffsetNamedOrcSink
       .read(spark, s"$outDir/topics/events").count()
-    assert(afterFirst == 500, s"run1 rows: $afterFirst")
-    // second half arrives; SAME checkpoint → only new files processed,
-    // existing committed chunks stay (idempotent dynamic overwrite)
-    events.filter(col("event_id") >= 500)
+    assert(afterFirst == 437, s"run1 rows: $afterFirst")
+    // remainder arrives; SAME checkpoint → only new files processed, and
+    // the spanning chunk's earlier rows are merged, not clobbered
+    events.filter(col("event_id") >= 437)
       .write.mode("append").parquet(s"$srcDir/batch1")
     val q2 = StreamOps.runPipeline(spark, s"$srcDir/batch1", outDir, ck)
     q2.awaitTermination()
@@ -190,11 +173,7 @@ class StreamingSpec extends SparkSpec {
   test("watermark drops late data beyond 30 minutes") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Int, Long, Int, Double, String)]
-    val stream = KafkaShaped.shape(
-      mem.toDF().toDF("user_id", "event_id", "minute", "value", "event_type")
-        .withColumn("ts", expr("timestampadd(MINUTE, minute, timestamp'2024-01-01 10:00:00')"))
-        .withColumn("props", lit("{}"))
-        .select("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val stream = shapedStream(mem)
     val q = StreamOps.tumblingCounts(stream)
       .writeStream.format("memory").queryName("late_test")
       .outputMode("append").start()
