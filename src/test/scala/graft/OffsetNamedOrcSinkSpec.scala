@@ -80,6 +80,23 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
     assert(back.select("partition").distinct().count() == 4)
   }
 
+  test("chunk-spanning writes merge, not clobber (batch-boundary safety)") {
+    val out = freshOut()
+    // first write covers offsets [0, 437) — chunk 250 is partially filled
+    val first = OffsetNamedOrcSink.write(
+      shaped.filter(col("offset") < 437), out, flushSize = 250)
+    assert(OffsetNamedOrcSink.read(spark, first).count() == 437)
+    // second write covers [437, 1000) — touches chunk 250 again
+    val second = OffsetNamedOrcSink.write(
+      shaped.filter(col("offset") >= 437), out, flushSize = 250)
+    val back = OffsetNamedOrcSink.read(spark, second)
+    assert(back.count() == 1000)
+    // the spanning chunk holds BOTH halves
+    val chunk250 = back.filter(col(OffsetNamedOrcSink.ChunkCol) === 250)
+    assert(chunk250.agg(min("offset"), max("offset")).head ===
+      org.apache.spark.sql.Row(250L, 499L))
+  }
+
   test("O4/O5: six-type schema survives ORC with nulls intact") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
