@@ -175,7 +175,7 @@ object TextOps extends QueryModule {
   private val qTextFingerprint = GQuery(
     (s, d) => {
       val vals = transform(split(lower(col("text")), " "),
-        tk => conv(substring(md5(tk), 1, 4), 16, 10).cast("long"))
+        tk => graft.operators.DedupOps.hex4(tk))
       val fp = aggregate(vals, lit(7L),
         (acc, v) => pmod(acc * 31 + v, lit(1000000007L)))
       t(s, d, "documents")
@@ -186,9 +186,7 @@ object TextOps extends QueryModule {
         .orderBy("doc_id")
     },
     Some {
-      val h = Seq(4096, 256, 16, 1).zipWithIndex.map { case (m, i) =>
-        s"(strpos('0123456789abcdef', substr(md5(t), ${i + 1}, 1))-1)*$m"
-      }.mkString("(", " + ", ")")
+      val h = graft.operators.DedupOps.duckHex4("md5(t)")
       s"""WITH v AS (
             SELECT doc_id,
                    list_reduce([CAST(7 AS BIGINT)] ||

@@ -41,13 +41,20 @@ case class VectorDot(left: Expression, right: Expression)
       .TypeCheckFailure(s"left must be array<double>, got ${left.dataType}")
   }
 
+  /** Null ELEMENTS propagate to a null result — the same semantics as the
+    * HOF fold (x*y with null is null, the sum absorbs it) and DuckDB.
+    */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -60,9 +67,10 @@ case class VectorDot(left: Expression, right: Expression)
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         double $s = 0.0;
         for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
           $s += $a.getDouble($i) * $b.getDouble($i);
         }
-        ${ev.value} = $s;
+        if (!${ev.isNull}) { ${ev.value} = $s; }
       """
     })
 
@@ -91,7 +99,10 @@ case class VectorNorm(child: Expression)
     val n = x.numElements()
     var s = 0.0
     var i = 0
-    while (i < n) { val v = x.getDouble(i); s += v * v; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = x.getDouble(i); s += v * v; i += 1
+    }
     math.sqrt(s)
   }
 
@@ -105,10 +116,11 @@ case class VectorNorm(child: Expression)
         int $n = $a.numElements();
         double $s = 0.0;
         for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
           double $v = $a.getDouble($i);
           $s += $v * $v;
         }
-        ${ev.value} = java.lang.Math.sqrt($s);
+        if (!${ev.isNull}) { ${ev.value} = java.lang.Math.sqrt($s); }
       """
     })
 

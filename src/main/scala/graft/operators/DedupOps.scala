@@ -37,13 +37,13 @@ object DedupOps extends QueryModule {
   /** First 4 hex chars of md5 as a long (0..65535) — the portable token hash.
     * DuckDB twin: strpos-table arithmetic (no conv() there), see duckHex4.
     */
-  private def hex4(c: Column): Column =
+  def hex4(c: Column): Column =
     conv(substring(md5(c), 1, 4), 16, 10).cast("long")
 
   /** DuckDB SQL for hex4 over expression `e` (re-evaluates e per digit — use
     * only on cheap expressions).
     */
-  private def duckHex4(e: String): String =
+  def duckHex4(e: String): String =
     Seq(4096, 256, 16, 1).zipWithIndex.map { case (m, i) =>
       s"(strpos('0123456789abcdef', substr($e, ${i + 1}, 1))-1)*$m"
     }.mkString("(", " + ", ")")

@@ -157,7 +157,8 @@ object PipelineOps extends QueryModule {
       val schema = t(s, d, "orders").select(cols.map(col): _*).schema
       s.read.schema(schema).json(s"$dir/json")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-          dround(col("o_totalprice")).as("price"), col("o_orderdate"))
+          dround(col("o_totalprice")).as("price"),
+          col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"))
         .orderBy("o_orderkey")
     },
     Some("""SELECT o_orderkey, o_custkey, o_orderstatus,

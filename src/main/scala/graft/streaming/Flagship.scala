@@ -24,7 +24,7 @@ object Flagship {
   private val outDirs = new ConcurrentHashMap[String, String]()
 
   def run(spark: SparkSession, sfDir: String, flushSize: Long = 250): DataFrame = {
-    val topicDir = outDirs.computeIfAbsent(sfDir, _ => {
+    val topicDir = outDirs.computeIfAbsent(s"$sfDir|$flushSize", _ => {
       // stage the single-file table as a streaming source directory
       val src = Files.createTempDirectory("graft-flagship-src-")
       Files.copy(Paths.get(s"$sfDir/events.parquet"),

@@ -61,7 +61,9 @@ object OffsetNamedOrcSink {
         .join(broadcast(touched), Seq("partition", ChunkCol), "left_semi")
         // partition-dir columns read back as inferred ints — realign types
         .select(flat.schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
-      flat.union(existing).dropDuplicates("offset")
+      // offsets are unique only per partition (Kafka contract) — a global
+      // offset dedup would drop same-offset rows across partitions
+      flat.union(existing).dropDuplicates("partition", "offset")
     } else flat
     try {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -35,6 +35,21 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out(2).isNullAt(1) == false && out(1).isNullAt(1))
   }
 
+  test("null ELEMENTS propagate to null, matching the HOF fold") {
+    val df = Seq(
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)),
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)))
+      .toDF("a", "b")
+      .select(col("a").cast("array<double>").as("a"),
+        col("b").cast("array<double>").as("b"))
+    val out = df.select(
+      VectorExpressions.vectorDot(col("a"), col("b")).as("d"),
+      VectorExpressions.vectorNorm(col("a")).as("n"),
+      SimilarityOps.dotHof(col("a"), col("b")).as("d_hof")).collect()
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1) && out(0).isNullAt(2))
+    assert(out(1).getDouble(0) == 11.0 && out(1).getDouble(2) == 11.0)
+  }
+
   test("SQL registration exposes graft_vector_dot / graft_vector_norm") {
     VectorExpressions.register(spark)
     val row = spark.sql(
