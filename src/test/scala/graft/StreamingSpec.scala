@@ -144,6 +144,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("multi-micro-batch run keeps every chunk complete (maxFilesPerTrigger=1)") {
+    val srcDir = tmp("graft-mmb-src-")
+    val outDir = tmp("graft-mmb-out-")
+    val ck = tmp("graft-mmb-ck-")
+    // 5 source files → 5 micro-batches; random row→file split means nearly
+    // every 250-chunk spans several batches
+    Tables(spark, sf, "events")
+      .withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .repartition(5)
+      .write.mode("overwrite").parquet(srcDir)
+    val raw = spark.readStream.schema(KafkaShaped.eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = KafkaShaped.shape(raw).writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        OffsetNamedOrcSink.write(b, outDir, 250); ()
+      }
+      .start()
+    q.awaitTermination()
+    val back = OffsetNamedOrcSink.read(spark, s"$outDir/topics/events")
+    // no loss, no duplication: all 1000 distinct offsets present exactly once
+    assert(back.count() == 1000, s"rows: ${back.count()}")
+    assert(back.select("offset").distinct().count() == 1000)
+  }
+
   test("same-checkpoint restart processes only new files (exactly-once)") {
     val srcDir = tmp("graft-ckrestart-src-")
     val outDir = tmp("graft-ckrestart-out-")
