@@ -102,6 +102,66 @@ object Relational extends QueryModule {
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
             ORDER BY c_custkey, tag"""))
 
+  /** Full outer join: per-custkey order totals ⟗ customer balances — rows
+    * survive from either side (customers with no orders AND orders whose
+    * custkey is absent from customer, if any), keys coalesced.
+    */
+  private val qJoinFull = GQuery(
+    (s, d) => {
+      val ordAgg = t(s, d, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), dround(sum("o_totalprice")).as("spend"))
+      t(s, d, "customer")
+        .select(col("c_custkey"), dround(col("c_acctbal")).as("acctbal"))
+        .join(ordAgg, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("acctbal"), coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("spend"), lit(0.0)).as("spend"))
+        .orderBy("custkey")
+    },
+    Some("""WITH oa AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+                               CAST(round(CAST(sum(o_totalprice) AS DECIMAL(30,8)), 2) AS DOUBLE) AS spend
+                        FROM orders GROUP BY o_custkey),
+                 c AS (SELECT c_custkey,
+                              CAST(round(CAST(c_acctbal AS DECIMAL(30,8)), 2) AS DOUBLE) AS acctbal
+                       FROM customer)
+            SELECT coalesce(c_custkey, o_custkey) AS custkey, acctbal,
+                   coalesce(n_orders, 0) AS n_orders,
+                   coalesce(spend, 0.0) AS spend
+            FROM c FULL OUTER JOIN oa ON c_custkey = o_custkey
+            ORDER BY custkey"""))
+
+  /** Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL keep multiplicity —
+    * the distinct-set variants live in q_set_ops).
+    */
+  private val qSetOpsAll = GQuery(
+    (s, d) => {
+      val a = t(s, d, "orders").filter(col("o_orderstatus") === "O")
+        .select("o_custkey")
+      val b = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey")
+      a.intersectAll(b).groupBy("o_custkey").agg(count(lit(1)).as("n_inter"))
+        .join(
+          a.exceptAll(b).groupBy("o_custkey").agg(count(lit(1)).as("n_except")),
+          Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+          coalesce(col("n_except"), lit(0L)).as("n_except"))
+        .orderBy("o_custkey")
+    },
+    Some("""WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+                 b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+                 i AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_inter
+                       FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+                       GROUP BY o_custkey),
+                 e AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_except
+                       FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+                       GROUP BY o_custkey)
+            SELECT coalesce(i.o_custkey, e.o_custkey) AS o_custkey,
+                   coalesce(n_inter, 0) AS n_inter,
+                   coalesce(n_except, 0) AS n_except
+            FROM i FULL OUTER JOIN e ON i.o_custkey = e.o_custkey
+            ORDER BY o_custkey"""))
+
   /** 4-way star join; region/nation are explicitly broadcast (dim tables are
     * tiny at any scale factor — never shuffle the fact side for them).
     */
@@ -749,6 +809,8 @@ object Relational extends QueryModule {
     "q_join_inner" -> qJoinInner,
     "q_join_left" -> qJoinLeft,
     "q_join_semi_anti" -> qJoinSemiAnti,
+    "q_join_full" -> qJoinFull,
+    "q_set_ops_all" -> qSetOpsAll,
     "q_join_multiway" -> qJoinMultiway,
     "q_agg_pricing" -> qAggPricing,
     "q_agg_distinct" -> qAggDistinct,
