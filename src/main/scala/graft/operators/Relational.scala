@@ -778,6 +778,25 @@ object Relational extends QueryModule {
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** FILTER-clause aggregates: conditional aggregation without CASE
+    * scaffolding — one pass, several differently-filtered measures.
+    */
+  private val qAggFilter = GQuery(
+    (s, d) => t(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("count(*) FILTER (WHERE o_orderstatus = 'O')").as("n_open"),
+        expr("count(*) FILTER (WHERE o_orderstatus = 'F')").as("n_done"),
+        dround(expr("sum(o_totalprice) FILTER (WHERE o_totalprice > 200000)"))
+          .as("big_spend"))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+                   CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+                   CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_done,
+                   CAST(round(CAST(sum(o_totalprice) FILTER (WHERE o_totalprice > 200000)
+                     AS DECIMAL(30,8)), 2) AS DOUBLE) AS big_spend
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   /** CUBE grouping sets (all four combinations of the two keys). */
   private val qAggCube = GQuery(
     (s, d) => t(s, d, "lineitem")
@@ -827,6 +846,7 @@ object Relational extends QueryModule {
     "q_join_range" -> qJoinRange,
     "q_agg_cube" -> qAggCube,
     "q_agg_stats" -> qAggStats,
+    "q_agg_filter" -> qAggFilter,
     "q_pivot" -> qPivot,
     "q_agg_minmaxby" -> qAggMinmaxby,
     "q_window_leadlag" -> qWindowLeadlag,
