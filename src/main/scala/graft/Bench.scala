@@ -23,16 +23,29 @@ object Bench {
     def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
-    qs.foreach { case (_, fn) => try runOne(fn) catch { case _: Throwable => } }
+    // warmup failures only logged — the timed pass records them per query
+    qs.foreach { case (name, fn) =>
+      try runOne(fn) catch {
+        case t: Throwable => System.err.println(s"[bench] warmup $name: $t")
+      }
+    }
+    // a crashed query must NOT read as a ~0s success: record null in the
+    // queries map, list it under "errors", and exit nonzero
     val results = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try runOne(fn) catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { runOne(fn); true } catch {
+        case t: Throwable => System.err.println(s"[bench] FAILED $name: $t"); false
+      }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val qjson = results.map { case (k, v, ok) =>
+      s"\"" + k + "\":" + (if (ok) v.toString else "null")
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, false) => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(!_._3)) sys.exit(1)
   }
 }

@@ -28,6 +28,13 @@ case class VectorDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_vector_dot"
 
+  /** Always nullable: length-mismatched or null-element inputs yield null
+    * even when both children are non-nullable. Without this, codegen's
+    * `ev.isNull` is the literal `false` and the generated `ev.isNull = true`
+    * assignment does not compile (silent per-stage interpreter fallback).
+    */
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     if (left.dataType == ArrayType(DoubleType, true) ||
@@ -41,13 +48,17 @@ case class VectorDot(left: Expression, right: Expression)
       .TypeCheckFailure(s"left must be array<double>, got ${left.dataType}")
   }
 
-  /** Null ELEMENTS propagate to a null result — the same semantics as the
-    * HOF fold (x*y with null is null, the sum absorbs it) and DuckDB.
+  /** Null ELEMENTS and length-mismatched arrays propagate to a null result —
+    * the same semantics as the HOF fold (`zip_with` pads the shorter array
+    * with nulls, x*y with null is null, the sum absorbs it). DuckDB's
+    * `list_cosine_similarity` errors on ragged input instead; the engine's
+    * queries only ever dot fixed-dimension embeddings, where the two agree.
     */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -64,9 +75,10 @@ case class VectorDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        int $n = $a.numElements();
         double $s = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
+        if ($b.numElements() != $n) { ${ev.isNull} = true; }
+        for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
           if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
           $s += $a.getDouble($i) * $b.getDouble($i);
         }
@@ -85,6 +97,15 @@ case class VectorNorm(child: Expression)
 
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = DoubleType
+
+  /** Null elements yield null even from a non-nullable child — keep
+    * `nullable` consistent with that so codegen's isNull is a real variable.
+    */
+  override def nullable: Boolean = child.nullable || (child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true // unresolved/mistyped child: stay safe pre-typecheck
+  })
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == ArrayType(DoubleType, true) ||
@@ -112,11 +133,16 @@ case class VectorNorm(child: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val v = ctx.freshName("v")
+      // when !nullable, ev.isNull is the literal `false` (not assignable) —
+      // and containsNull=false guarantees the element null-check is dead code
+      val nullCheck =
+        if (nullable) s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
         int $n = $a.numElements();
         double $s = 0.0;
         for (int $i = 0; $i < $n; $i++) {
-          if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+          $nullCheck
           double $v = $a.getDouble($i);
           $s += $v * $v;
         }

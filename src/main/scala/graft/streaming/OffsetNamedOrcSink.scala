@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * `topics/<topic>/partition=<p>/<topic>+<p>+<%010d startOffset>.orc`
   * (`FileUtils.java:10-26`, pad format `DataWriterOrcTest.java:38`, delims
   * `TestWithMockedS3.java:40-41`; `#`→`_` sanitizer `OrcRecordWriter.java:50`
-  * — we use `+` directly, the production delimiter).
+  * — we use `+` directly, the production delimiter). Final layout matches the
+  * reference exactly: offset-named files directly under `partition=<p>/`.
   *
   * Design for scale:
   *  - rotation (flush.size, reference O9) = offset-range chunking, computed
@@ -24,6 +25,9 @@ import org.apache.spark.sql.functions._
   *    `overwrite(true)` recovery contract, `DataWriterOrcTest.java:102-124`);
   *  - the rename to reference-style names is a driver-side, metadata-only
   *    pass (one FS rename per committed file — O(#files), never O(#rows)).
+  *
+  * All writes against one topic dir must use the same flushSize (the chunk
+  * of an existing row is recomputed from its offset during merges).
   */
 object OffsetNamedOrcSink {
 
@@ -35,9 +39,11 @@ object OffsetNamedOrcSink {
     * Chunk-spanning batches: a rotation chunk only partially covered by this
     * batch may already hold rows from an earlier batch (micro-batch
     * boundaries are not flush-size-aligned). Dynamic overwrite would delete
-    * those rows, so the touched chunks' existing rows are read back (the
-    * (partition, chunk) filter prunes to exactly those directories), unioned
-    * in, and deduped by offset — replay-safe AND batch-boundary-safe. Cost
+    * those rows, so the touched chunks' existing files — located exactly, by
+    * their deterministic names — are read back, eagerly MATERIALIZED
+    * (`localCheckpoint`), unioned in, and deduped by offset. Replay-safe AND
+    * batch-boundary-safe, and the write job never scans the directory it is
+    * about to overwrite (no dependence on the V1 path-check loophole). Cost
     * is O(touched chunks × flushSize), never O(output).
     */
   def write(df: DataFrame, outDir: String, flushSize: Long,
@@ -56,14 +62,38 @@ object OffsetNamedOrcSink {
     val fs = FileSystem.get(new java.net.URI(topicDir),
       spark.sparkContext.hadoopConfiguration)
     val merged = if (fs.exists(new Path(topicDir))) {
-      val touched = flat.select(col("partition"), col(ChunkCol)).distinct()
-      val existing = spark.read.orc(topicDir)
-        .join(broadcast(touched), Seq("partition", ChunkCol), "left_semi")
-        // partition-dir columns read back as inferred ints — realign types
-        .select(flat.schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
-      // offsets are unique only per partition (Kafka contract) — a global
-      // offset dedup would drop same-offset rows across partitions
-      flat.union(existing).dropDuplicates("partition", "offset")
+      // touched (partition, chunk) pairs — small by construction: one per
+      // output file of this batch. Their existing files have deterministic
+      // names, so the read-back lists exactly those files (never a scan of
+      // the whole topic dir).
+      val touched = flat.select(col("partition").cast("int"),
+        col(ChunkCol).cast("long")).distinct()
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      val existingPaths = touched.flatMap { case (p, c) =>
+        val pDir = new Path(s"$topicDir/partition=$p")
+        if (fs.exists(pDir)) {
+          val prefix = f"$topic+$p+$c%010d"
+          fs.listStatus(pDir).toSeq.filter(f => f.isFile &&
+            f.getPath.getName.startsWith(prefix) &&
+            f.getPath.getName.endsWith(".orc")).map(_.getPath.toString)
+        } else Nil
+      }
+      if (existingPaths.isEmpty) flat
+      else {
+        val existing = spark.read.option("basePath", topicDir)
+          .orc(existingPaths: _*)
+          .withColumn(ChunkCol,
+            col("offset") - pmod(col("offset"), lit(flushSize)))
+          // partition-dir column reads back as inferred int — realign types
+          .select(flat.schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
+          // materialize NOW: after this the write job holds the old rows in
+          // memory and never reads under topicDir (ADVICE r1: dynamic
+          // overwrite must not scan its own output path)
+          .localCheckpoint(true)
+        // offsets are unique only per partition (Kafka contract) — a global
+        // offset dedup would drop same-offset rows across partitions
+        flat.union(existing).dropDuplicates("partition", "offset")
+      }
     } else flat
     try {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -78,8 +108,12 @@ object OffsetNamedOrcSink {
     topicDir
   }
 
-  /** Rename Spark's part-* files to `<topic>+<partition>+<%010d offset>.orc`.
-    * Metadata-only: one rename per committed file.
+  /** Rename Spark's part-* files to `<topic>+<partition>+<%010d offset>.orc`
+    * and hoist them from the transient `_chunk=` dirs up into `partition=<p>/`
+    * — the reference's exact key layout (`FileUtils.fileKeyToCommit`).
+    * Metadata-only: one rename per committed file. Stale files for a
+    * rewritten chunk are deleted first, so replays converge to one file per
+    * chunk.
     */
   private def renameToOffsetNames(spark: org.apache.spark.sql.SparkSession,
       topicDir: String, topic: String): Unit = {
@@ -95,23 +129,32 @@ object OffsetNamedOrcSink {
     } {
       val p = pName.stripPrefix("partition=")
       val startOffset = cName.stripPrefix(s"$ChunkCol=").toLong
-      val target = new Path(cDir.getPath, f"$topic+$p+$startOffset%010d.orc")
+      val prefix = f"$topic+$p+$startOffset%010d"
+      // this chunk was just rewritten: clear any previously committed files
+      // for it (incl. defensive -N suffixes) before moving the new ones up
+      fs.listStatus(pDir.getPath).toSeq
+        .filter(f => f.isFile && f.getPath.getName.startsWith(prefix))
+        .foreach(f => fs.delete(f.getPath, false))
       val parts = fs.listStatus(cDir.getPath).toSeq
         .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
       parts.zipWithIndex.foreach { case (f, i) =>
         // normally exactly one part per chunk (repartition above); suffix
         // defensively if a chunk ever spans writers
-        val t = if (i == 0) target
-          else new Path(cDir.getPath, f"$topic+$p+$startOffset%010d-$i.orc")
-        if (fs.exists(t)) fs.delete(t, false)
+        val t = if (i == 0) new Path(pDir.getPath, s"$prefix.orc")
+          else new Path(pDir.getPath, s"$prefix-$i.orc")
         fs.rename(f.getPath, t)
       }
+      fs.delete(cDir.getPath, true) // now holds only commit markers, if that
     }
   }
 
   /** Read the sink's output back (reference O13 / EP3 verification path).
-    * Partition-dir columns (partition, _chunk) come back as inferred ints.
+    * `partition` comes from the directory; `_chunk` is recovered from the
+    * offset embedded in each file's name.
     */
   def read(spark: org.apache.spark.sql.SparkSession, topicDir: String): DataFrame =
     spark.read.orc(topicDir)
+      .withColumn(ChunkCol,
+        regexp_extract(input_file_name(), raw"\+(\d+)(?:-\d+)?\.orc$$", 1)
+          .cast("long"))
 }

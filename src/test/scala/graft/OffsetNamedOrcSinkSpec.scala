@@ -17,11 +17,19 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
 
   private lazy val shaped = KafkaShaped.fromEvents(spark, sf) // 1000 events
 
-  test("O10: files are offset-named <topic>+<partition>+<%010d>.orc") {
+  /** Reference layout (`FileUtils.fileKeyToCommit`): offset-named files sit
+    * DIRECTLY under `partition=<p>/` — no other directory level.
+    */
+  private def orcFiles(topicDir: String) =
+    new java.io.File(topicDir).listFiles.filter(_.isDirectory)
+      .filter(_.getName.startsWith("partition="))
+      .flatMap(_.listFiles).filter(_.isFile)
+      .filter(_.getName.endsWith(".orc"))
+
+  test("O10: files are offset-named <topic>+<partition>+<%010d>.orc in partition dirs") {
     val out = freshOut()
     val topicDir = OffsetNamedOrcSink.write(shaped, out, flushSize = 250)
-    val files = new java.io.File(topicDir).listFiles.flatMap(_.listFiles)
-      .flatMap(_.listFiles).filter(_.getName.endsWith(".orc")).map(_.getName)
+    val files = orcFiles(topicDir).map(_.getName)
     assert(files.nonEmpty)
     // every file matches events+<p>+<zero-padded offset>.orc
     val pat = raw"events\+\d+\+\d{10}\.orc".r
@@ -63,10 +71,13 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
     val second = OffsetNamedOrcSink.write(shaped, out, flushSize = 250)
     val c2 = OffsetNamedOrcSink.read(spark, second).count()
     assert(c1 == c2 && c1 == 1000)
-    val files = new java.io.File(first).listFiles.flatMap(_.listFiles)
-      .flatMap(_.listFiles).filter(_.getName.endsWith(".orc"))
+    val files = orcFiles(first)
     // no -1 suffixed duplicates appeared on rewrite
     assert(files.forall(f => !f.getName.contains("-1.orc")), files.map(_.getName).mkString(","))
+    // and no leftover _chunk= staging dirs below the partition dirs
+    val stray = new java.io.File(first).listFiles.filter(_.isDirectory)
+      .flatMap(_.listFiles).filter(_.isDirectory)
+    assert(stray.isEmpty, stray.map(_.getName).mkString(","))
   }
 
   test("O8/O12: multi-partition routing is complete and disjoint") {

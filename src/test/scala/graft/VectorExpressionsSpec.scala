@@ -50,6 +50,34 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out(1).getDouble(0) == 11.0 && out(1).getDouble(2) == 11.0)
   }
 
+  test("length-mismatched arrays yield null, matching the zip_with pad") {
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(3.0, 4.0)),
+      (Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+    val out = df.select(
+      VectorExpressions.vectorDot(col("a"), col("b")).as("d"),
+      SimilarityOps.dotHof(col("a"), col("b")).as("d_hof")).collect()
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1)) // ragged → null, both forms
+    assert(out(1).getDouble(0) == 11.0 && out(1).getDouble(1) == 11.0)
+  }
+
+  test("non-nullable no-null-element input executes with codegen (nullable contract)") {
+    // pre-fix, non-nullable children made ev.isNull a literal → broken
+    // generated code → silent interpreter fallback. RDD-backed (a local
+    // relation would be constant-folded away, leaving no codegen stage).
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("a",
+      ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Seq(3.0, 4.0))), 1), schema)
+    val out = df.select(
+      VectorExpressions.vectorDot(col("a"), col("a")).as("d"),
+      VectorExpressions.vectorNorm(col("a")).as("n"))
+    assert(out.head == org.apache.spark.sql.Row(25.0, 5.0))
+    assert(out.queryExecution.executedPlan.toString.contains("*("))
+  }
+
   test("SQL registration exposes graft_vector_dot / graft_vector_norm") {
     VectorExpressions.register(spark)
     val row = spark.sql(
