@@ -1,8 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Dev-only profiling scratchpad (not part of the driver contract). */
 object Scratch {
@@ -12,7 +10,7 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.1"
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     def time(label: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime(); f
@@ -21,40 +19,13 @@ object Scratch {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    import graft.functions.SimilarityOps.{dot, norm}
-    import graft.functions.VectorExpressions.{vectorDot, vectorNorm}
-
-    val emb = Tables(spark, d, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val probes = emb.limit(50)
-      .select(col("vec_id").as("p_id"), col("emb").as("p_emb"))
-
-    def knn(dotF: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
-        org.apache.spark.sql.Column, normF: org.apache.spark.sql.Column =>
-        org.apache.spark.sql.Column) = {
-      val e = emb.withColumn("nrm", normF(col("emb")))
-      val p = probes.join(e.select(col("vec_id").as("p_id"),
-        col("nrm").as("p_nrm")), "p_id")
-      val w = Window.partitionBy("p_id").orderBy(col("cos").desc, col("n_id").asc)
-      e.crossJoin(broadcast(p))
-        .filter(col("vec_id") =!= col("p_id"))
-        .select(col("p_id"), col("vec_id").as("n_id"),
-          (dotF(col("p_emb"), col("emb")) / (col("p_nrm") * col("nrm"))).as("cos"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
+    val names = if (args.isEmpty) Seq("q_dedup_components") else args.toSeq
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      noop(fn(spark, d)) // warmup
+      time(n)(noop(fn(spark, d)))
+      time(n + " (2)")(noop(fn(spark, d)))
     }
-
-    // warmup both
-    noop(knn(dot, norm)); noop(knn(vectorDot, vectorNorm))
-    time("knn 50-probe HOF")(noop(knn(dot, norm)))
-    time("knn 50-probe native")(noop(knn(vectorDot, vectorNorm)))
-    time("knn 50-probe HOF (2)")(noop(knn(dot, norm)))
-    time("knn 50-probe native (2)")(noop(knn(vectorDot, vectorNorm)))
-
-    // bit-identical check
-    val a = knn(dot, norm).select("p_id", "n_id", "cos")
-    val b = knn(vectorDot, vectorNorm).select("p_id", "n_id", "cos")
-    println("diff rows: " + a.exceptAll(b).count() + " / " + b.exceptAll(a).count())
     spark.stop()
   }
 }

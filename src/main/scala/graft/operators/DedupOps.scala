@@ -281,17 +281,21 @@ object DedupOps extends QueryModule {
       var converged = false
       var iters = 0
       while (!converged && iters < 20) {
-        val bandMin = bands.join(labels, "doc_id")
-          .groupBy("band").agg(min("lbl").as("bmin"))
+        // carry the previous label through the round so convergence is
+        // checked on the materialized output — no separate join-and-count
+        // job per round (labels are monotone non-increasing, so
+        // lbl == prev everywhere ⟺ fixpoint)
+        val withPrev = bands.join(labels, "doc_id")
+          .withColumnRenamed("lbl", "prev")
+        val bandMin = withPrev.groupBy("band").agg(min("prev").as("bmin"))
         // checkpoint the labels each round: without truncation the plan
         // doubles per iteration (join of join of ...), and codegen cost
         // grows faster than the data work at this size
-        val next = bands.join(bandMin, "band")
-          .groupBy("doc_id").agg(min("bmin").as("lbl"))
+        val next = withPrev.join(bandMin, "band")
+          .groupBy("doc_id").agg(min("bmin").as("lbl"), min("prev").as("prev"))
           .localCheckpoint(true)
-        val changed = next.join(labels.withColumnRenamed("lbl", "prev"), "doc_id")
-          .filter(col("lbl") =!= col("prev")).count()
-        labels = next
+        val changed = next.filter(col("lbl") =!= col("prev")).count()
+        labels = next.select("doc_id", "lbl")
         converged = changed == 0
         iters += 1
       }
