@@ -11,6 +11,7 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     operators.Relational,
+    operators.RelationalExt,
     operators.PipelineOps,
     operators.DedupOps,
     operators.TypedOps,

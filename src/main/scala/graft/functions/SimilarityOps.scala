@@ -273,7 +273,36 @@ object SimilarityOps extends QueryModule {
             SELECT p_id, n_id, CAST(rn AS INT) AS rk, CAST(round(CAST(cos AS DECIMAL(30,8)), 2) AS DOUBLE) AS score
             FROM ranked WHERE rn <= 3 ORDER BY p_id, rk"""))
 
+  // -------------------------------------------------- label centroids --
+
+  /** Per-label elementwise centroid of the embedding vectors (the k-means
+    * "update" step / class-prototype computation), emitted for the first 8
+    * dims. posexplode → (label, dim) hash aggregate: fully partial-aggregable,
+    * one shuffle of #labels × #dims rows regardless of corpus size. Oracle
+    * uses DuckDB's zipped-unnest to replay the (value, position) pairing.
+    */
+  private val qEmbedCentroid = GQuery(
+    (s, d) => Tables(s, d, "embeddings")
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .filter(col("pos") < 8)
+      .groupBy("label", "pos")
+      .agg(dround(avg("v"), 6).as("mean_v"), count(lit(1)).as("n"))
+      .select(col("label"), (col("pos") + 1).cast("int").as("dim"),
+        col("mean_v"), col("n"))
+      .orderBy("label", "dim"),
+    Some("""WITH x AS (
+              SELECT label,
+                     unnest(CAST(embedding AS DOUBLE[])) AS v,
+                     unnest(generate_series(1, len(embedding))) AS dim
+              FROM embeddings)
+            SELECT label, CAST(dim AS INT) AS dim,
+                   CAST(round(CAST(avg(v) AS DECIMAL(30,8)), 6) AS DOUBLE) AS mean_v,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM x WHERE dim <= 8 GROUP BY 1, 2 ORDER BY label, dim"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_embed_centroid" -> qEmbedCentroid,
     "q_scalar_hof" -> qScalarHof,
     "q_knn_ivf_centroid" -> qKnnIvfCentroid,
     "q_embed_knn" -> qEmbedKnn,

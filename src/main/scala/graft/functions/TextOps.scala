@@ -241,7 +241,101 @@ object TextOps extends QueryModule {
                    unnest(toks) AS tok
             FROM t ORDER BY doc_id, pos"""))
 
+  // ------------------------------------------------------------ TF-IDF --
+
+  /** Per-doc most-characteristic term by tf·(N/df) — the log-free idf
+    * variant: every arithmetic step (count ratios, one multiply, one divide)
+    * is a correctly-rounded IEEE op, so scores are bit-identical across
+    * engines, unlike ln()-based idf (libm vs JDK last-ulp drift). Ranking
+    * quality is the same idea: frequent-in-doc, rare-in-corpus terms win.
+    *
+    * Shape at scale: explode → doc-term hash aggregation (tf) → df as a
+    * COUNT window over the same rows partitioned by term (tf has exactly one
+    * row per doc-term, so the window count IS the document frequency) — the
+    * tf subtree is computed once, never re-scanned for a df join; the
+    * corpus-size "join" is a 1-row broadcast. No driver-side counting.
+    */
+  private val qTextTfidf = GQuery(
+    (s, d) => {
+      val terms = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val withDf = tf.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("term")))
+      val total = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+      withDf.crossJoin(broadcast(total))
+        .withColumn("score",
+          col("tf").cast("double") * col("n_docs") / col("df"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          dround(col("score"), 6).as("score"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tk AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            sc AS (
+              SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                     CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS score
+              FROM tf JOIN df USING (term), n),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, term) AS rn
+              FROM sc)
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+                   CAST(round(CAST(score AS DECIMAL(30,8)), 6) AS DOUBLE) AS score
+            FROM r WHERE rn = 1 ORDER BY doc_id"""))
+
+  // --------------------------------------------- repetition quality --
+
+  /** Gopher-style repetition signals per doc: unique-token ratio and
+    * duplicate-bigram fraction. Pure HOFs — no shuffle, no explode; at scale
+    * this is a single codegen'd map pass over the corpus.
+    */
+  private val qTextRepetition = GQuery(
+    (s, d) => {
+      // bigram at the last position degenerates to 1 token (slice clamps) —
+      // DuckDB's list_slice clamps identically, so the strings agree
+      val bigrams = transform(
+        sequence(lit(1), greatest(size(col("toks")) - 1, lit(1))),
+        i => concat_ws(" ", slice(col("toks"), i, lit(2))))
+      t(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_uniq"), bigrams.as("bg"))
+        .select(col("doc_id"), col("n_tokens"),
+          dround(col("n_uniq").cast("double") / col("n_tokens"), 4)
+            .as("uniq_ratio"),
+          dround((size(col("bg")) - size(array_distinct(col("bg"))))
+            .cast("double") / size(col("bg")), 4).as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS INT) AS n_tokens,
+                     CAST(len(list_distinct(toks)) AS INT) AS n_uniq,
+                     list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
+                       i -> array_to_string(list_slice(toks, i, i + 1), ' ')) AS bg
+              FROM t)
+            SELECT doc_id, n_tokens,
+                   CAST(round(CAST(CAST(n_uniq AS DOUBLE) / n_tokens
+                     AS DECIMAL(30,8)), 4) AS DOUBLE) AS uniq_ratio,
+                   CAST(round(CAST(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
+                     / len(bg) AS DECIMAL(30,8)), 4) AS DOUBLE) AS dup_bigram_frac
+            FROM m ORDER BY doc_id"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_text_tfidf" -> qTextTfidf,
+    "q_text_repetition" -> qTextRepetition,
     "q_explode_unnest" -> qExplodeUnnest,
     "q_scalar_array" -> qScalarArrayFns,
     "q_text_stats" -> qTextStats,

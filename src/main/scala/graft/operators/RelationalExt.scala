@@ -1,0 +1,246 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{GQuery, QueryModule, Tables}
+import graft.Exact.dround
+
+/** Second relational block: the operator categories beyond Relational.scala's
+  * round-1 inventory — explicit GROUPING SETS, distribution window functions,
+  * string/boolean/bitwise aggregates, UNPIVOT, cross join, struct grouping,
+  * row-level bitwise scalars, and hopping (sliding) time windows.
+  *
+  * Same ground rules as Relational.scala: Catalyst-optimizable built-ins only,
+  * every query ends in a total-order ORDER BY, aggregated doubles go through
+  * `Exact.dround`, and NULLS FIRST is pinned wherever grouping-set nulls can
+  * reach an ORDER BY (Spark and DuckDB default differently).
+  */
+object RelationalExt extends QueryModule {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  // -------------------------------------------------- grouping sets --
+
+  /** Explicit GROUPING SETS — including a set (l_linestatus) that neither
+    * ROLLUP nor CUBE of (rf, ls) produces, so this genuinely exercises the
+    * free-form operator. Map-side partial aggregation applies per set; the
+    * expand is linear in #sets.
+    */
+  private val qGroupingSets = GQuery(
+    (s, d) => t(s, d, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        count(lit(1)).as("n"),
+        dround(sum("l_quantity")).as("sum_qty"))
+      .orderBy(col("g_rf"), col("g_ls"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    Some("""SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+                   CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(round(CAST(sum(l_quantity) AS DECIMAL(30,8)), 2) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+            ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST,
+                     l_linestatus ASC NULLS FIRST"""))
+
+  // ------------------------------------- distribution window functions --
+
+  /** cume_dist / percent_rank / nth_value per priority. The window ordering
+    * includes o_orderkey so frames are tie-free — nth_value over a tied
+    * ordering is engine-dependent (SURVEY.md §7 determinism risk).
+    */
+  private val qWindowDistribution = GQuery(
+    (s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          dround(cume_dist().over(w), 6).as("cd"),
+          dround(percent_rank().over(w), 6).as("pr"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderpriority,
+                   CAST(round(CAST(cume_dist() OVER w AS DECIMAL(30,8)), 6) AS DOUBLE) AS cd,
+                   CAST(round(CAST(percent_rank() OVER w AS DECIMAL(30,8)), 6) AS DOUBLE) AS pr,
+                   nth_value(o_orderkey, 2) OVER w AS second_key
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey)
+            ORDER BY o_orderkey"""))
+
+  // --------------------------------------------------- string aggregate --
+
+  /** Deterministic list aggregation: the sorted-distinct form
+    * (collect_set → array_sort → array_join) — a raw collect_list/string_agg
+    * would hash-differ on partition arrival order.
+    */
+  private val qAggListagg = GQuery(
+    (s, d) => t(s, d, "orders")
+      .groupBy("o_custkey")
+      .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+          .as("statuses"),
+        countDistinct(col("o_orderpriority")).as("n_prio"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey"),
+    Some("""SELECT o_custkey,
+                   array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+                     AS statuses,
+                   CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
+
+  // ---------------------------------------- boolean / bitwise aggregates --
+
+  /** bool_and/bool_or + bit_and/bit_or/bit_xor — order-insensitive
+    * aggregates, safe for cross-engine hashing with no rounding needed.
+    */
+  private val qAggBool = GQuery(
+    (s, d) => t(s, d, "customer")
+      .groupBy("c_mktsegment")
+      .agg(bool_and(col("c_acctbal") > 0).as("all_pos"),
+        bool_or(col("c_acctbal") > 9000).as("any_rich"),
+        bit_and(col("c_nationkey").cast("long")).as("nk_and"),
+        bit_or(col("c_nationkey").cast("long")).as("nk_or"),
+        bit_xor(col("c_custkey")).as("ck_xor"),
+        count(lit(1)).as("n"))
+      .orderBy("c_mktsegment"),
+    Some("""SELECT c_mktsegment,
+                   bool_and(c_acctbal > 0) AS all_pos,
+                   bool_or(c_acctbal > 9000) AS any_rich,
+                   CAST(bit_and(c_nationkey) AS BIGINT) AS nk_and,
+                   CAST(bit_or(c_nationkey) AS BIGINT) AS nk_or,
+                   CAST(bit_xor(c_custkey) AS BIGINT) AS ck_xor,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  // ---------------------------------------------------------- unpivot --
+
+  /** UNPIVOT (melt): wide per-flag aggregates to (flag, metric, val) rows.
+    * All value columns are pre-rounded doubles so the melted column is
+    * type-stable and hash-deterministic.
+    */
+  private val qUnpivot = GQuery(
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(dround(sum("l_quantity")).as("sum_qty"),
+        dround(sum("l_extendedprice")).as("sum_price"),
+        dround(avg("l_discount"), 4).as("avg_disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
+        "metric", "val")
+      .orderBy("l_returnflag", "metric"),
+    Some("""WITH base AS (
+              SELECT l_returnflag,
+                     CAST(round(CAST(sum(l_quantity) AS DECIMAL(30,8)), 2) AS DOUBLE) AS sum_qty,
+                     CAST(round(CAST(sum(l_extendedprice) AS DECIMAL(30,8)), 2) AS DOUBLE) AS sum_price,
+                     CAST(round(CAST(avg(l_discount) AS DECIMAL(30,8)), 4) AS DOUBLE) AS avg_disc
+              FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM base
+            UNION ALL
+            SELECT l_returnflag, 'sum_price', sum_price FROM base
+            UNION ALL
+            SELECT l_returnflag, 'avg_disc', avg_disc FROM base
+            ORDER BY l_returnflag, metric"""))
+
+  // --------------------------------------------------------- cross join --
+
+  /** Explicit cartesian product (tiny × tiny — the only safe shape; Spark
+    * plans BroadcastNestedLoopJoin, no shuffle).
+    */
+  private val qJoinCross = GQuery(
+    (s, d) => {
+      val a = t(s, d, "region").select(col("r_name").as("r1"))
+      val b = t(s, d, "region").select(col("r_name").as("r2"))
+      a.crossJoin(b)
+        .select(col("r1"), col("r2"),
+          (length(col("r1")) + length(col("r2"))).cast("int").as("name_len"))
+        .orderBy("r1", "r2")
+    },
+    Some("""SELECT a.r_name AS r1, b.r_name AS r2,
+                   CAST(len(a.r_name) + len(b.r_name) AS INT) AS name_len
+            FROM region a CROSS JOIN region b ORDER BY r1, r2"""))
+
+  // ---------------------------------------------------- struct grouping --
+
+  /** Group by a STRUCT column, then extract its fields — nested-type
+    * grouping semantics (struct equality = fieldwise). Oracle groups by the
+    * equivalent flat fields; results are identical by construction.
+    */
+  private val qScalarStruct = GQuery(
+    (s, d) => t(s, d, "orders")
+      .select(struct(year(col("o_orderdate")).cast("int").as("y"),
+        col("o_orderpriority").as("p")).as("s"), col("o_totalprice"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("n"), dround(max("o_totalprice")).as("max_price"))
+      .select(col("s.y").as("y"), col("s.p").as("p"), col("n"), col("max_price"))
+      .orderBy("y", "p"),
+    Some("""SELECT CAST(year(o_orderdate) AS INT) AS y, o_orderpriority AS p,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(round(CAST(max(o_totalprice) AS DECIMAL(30,8)), 2) AS DOUBLE) AS max_price
+            FROM orders GROUP BY 1, 2 ORDER BY y, p"""))
+
+  // ------------------------------------------------- bitwise scalars --
+
+  /** Row-level bitwise battery: AND/OR/XOR, shifts. Inputs masked so shifts
+    * cannot overflow under ANSI mode.
+    */
+  private val qScalarBits = GQuery(
+    (s, d) => t(s, d, "orders")
+      .select(col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("band"),
+        col("o_orderkey").bitwiseOR(lit(4096L)).as("bor"),
+        col("o_orderkey").bitwiseXOR(col("o_custkey")).as("bxor"),
+        shiftright(col("o_orderkey"), 4).as("shr"),
+        shiftleft(col("o_orderkey").bitwiseAND(lit(1023L)), 2).as("shl"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+                   o_orderkey & 255 AS band,
+                   o_orderkey | 4096 AS bor,
+                   xor(o_orderkey, o_custkey) AS bxor,
+                   o_orderkey >> 4 AS shr,
+                   (o_orderkey & 1023) << 2 AS shl
+            FROM orders ORDER BY o_orderkey"""))
+
+  // ----------------------------------------------- hopping time windows --
+
+  /** Hopping (sliding) windows: 1-hour windows every 30 minutes — each event
+    * lands in exactly size/slide = 2 windows. Spark's `window()` generator
+    * is the streaming-native operator; the oracle replays the expansion with
+    * an explicit 2-hop unnest on the epoch-µs grid.
+    */
+  private val qEventsHopping = GQuery(
+    (s, d) => t(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dround(sum("value")).as("sum_value"))
+      .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type"),
+    Some("""WITH h AS (
+              SELECT make_timestamp(((epoch_us(ts) // 1800000000) - k) * 1800000000)
+                       AS window_start,
+                     event_type, value
+              FROM events, (SELECT unnest([0, 1]) AS k) hops)
+            SELECT window_start, event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(round(CAST(sum(value) AS DECIMAL(30,8)), 2) AS DOUBLE) AS sum_value
+            FROM h GROUP BY 1, 2 ORDER BY window_start, event_type"""))
+
+  override val queries: Map[String, GQuery] = Map(
+    "q_grouping_sets" -> qGroupingSets,
+    "q_window_distribution" -> qWindowDistribution,
+    "q_agg_listagg" -> qAggListagg,
+    "q_agg_bool" -> qAggBool,
+    "q_unpivot" -> qUnpivot,
+    "q_join_cross" -> qJoinCross,
+    "q_scalar_struct" -> qScalarStruct,
+    "q_scalar_bits" -> qScalarBits,
+    "q_events_hopping" -> qEventsHopping)
+}

@@ -75,6 +75,32 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_grouping_sets expands once (single Expand node, partial agg after)") {
+    val p = plan("q_grouping_sets")
+    // one Expand feeding a hash aggregate — the sets do not multiply scans
+    assert(p.linesIterator.count(_.contains("Expand")) == 1, p.take(2000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("Union"), p.take(2000)) // NOT rewritten to N scans
+  }
+
+  test("q_join_cross plans a broadcast nested-loop (tiny × tiny)") {
+    val p = plan("q_join_cross")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("q_text_tfidf computes tf once (df is a window, not a re-scanned join)") {
+    val df = SparkEntry.queries("q_text_tfidf")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // one explode feeds tf; df hangs off it as a window — a join-based df
+    // duplicated the whole explode+aggregate subtree
+    assert(p.linesIterator.count(_.contains("Generate explode")) == 1, p.take(3000))
+  }
+
+  test("q_embed_centroid partially aggregates before the (label, dim) shuffle") {
+    val p = plan("q_embed_centroid")
+    assert(p.contains("partial_avg") || p.contains("partial_sum"), p.take(3000))
+  }
+
   test("correlated subquery is decorrelated into a join (no per-row subquery)") {
     val df = SparkEntry.queries("q_subquery_corr")(spark, sf)
     val p = df.queryExecution.optimizedPlan.toString
