@@ -333,7 +333,33 @@ object TextOps extends QueryModule {
                      / len(bg) AS DECIMAL(30,8)), 4) AS DOUBLE) AS dup_bigram_frac
             FROM m ORDER BY doc_id"""))
 
+  // ------------------------------------------------------ PII scrub --
+
+  /** Pattern-scrub pass (the PII-masking stage of a training-data pipeline,
+    * in deterministic form): digit runs masked to '#', with run counts and
+    * the masked text summarized as scalars. Spark's regexp_replace is
+    * global by default; DuckDB needs the 'g' flag.
+    */
+  private val qTextScrub = GQuery(
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"), col("text"),
+        regexp_replace(col("text"), "[0-9]+", "#").as("masked"))
+      .select(col("doc_id"),
+        substring(col("masked"), 1, 40).as("masked_prefix"),
+        length(col("masked")).as("masked_len"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_digit_runs"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   substr(regexp_replace(text, '[0-9]+', '#', 'g'), 1, 40)
+                     AS masked_prefix,
+                   CAST(len(regexp_replace(text, '[0-9]+', '#', 'g')) AS INT)
+                     AS masked_len,
+                   CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT)
+                     AS n_digit_runs
+            FROM documents ORDER BY doc_id"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_text_scrub" -> qTextScrub,
     "q_text_tfidf" -> qTextTfidf,
     "q_text_repetition" -> qTextRepetition,
     "q_explode_unnest" -> qExplodeUnnest,

@@ -233,7 +233,80 @@ object RelationalExt extends QueryModule {
                    CAST(round(CAST(sum(value) AS DECIMAL(30,8)), 2) AS DOUBLE) AS sum_value
             FROM h GROUP BY 1, 2 ORDER BY window_start, event_type"""))
 
+  // ------------------------------------------- approximate aggregates --
+
+  /** Sketch aggregates validated in-engine: HLL distinct (rsd 1%) and
+    * approx median, each checked against its exact twin and emitted as a
+    * pass flag plus the exact value. Sketch internals differ per engine, so
+    * the raw estimate can never hash-match an oracle — the *bounds check*
+    * can, and it is the property a user of approx aggregates actually needs.
+    * Margins are 5σ-wide: deterministic at any SF.
+    *
+    * The exact-distinct runs as its OWN aggregation, joined back on the
+    * 5-row group key: countDistinct mixed into the same agg as the sketch
+    * buffers triggers Catalyst's multi-distinct Expand rewrite, which keys
+    * the partial HLL/percentile buffers by (group, custkey) — 15k sketch
+    * buffers instead of 5 (measured 10.7 s vs 1 s at sf0.1).
+    */
+  private val qAggApprox = GQuery(
+    (s, d) => {
+      val sketches = t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("n_approx"),
+          expr("percentile(o_totalprice, 0.5)").as("med_exact"),
+          expr("approx_percentile(o_totalprice, 0.5, 10000)").as("med_approx"))
+      val exact = t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      sketches.join(broadcast(exact), "o_orderpriority")
+      .select(col("o_orderpriority"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact"))
+          <= col("n_exact") * 0.05).as("cd_ok"),
+        dround(col("med_exact")).as("med_exact"),
+        (abs(col("med_approx") - col("med_exact"))
+          <= col("med_exact") * 0.1).as("med_ok"))
+      .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+                   true AS cd_ok,
+                   CAST(round(CAST(quantile_cont(o_totalprice, 0.5)
+                     AS DECIMAL(30,8)), 2) AS DOUBLE) AS med_exact,
+                   true AS med_ok
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  // ------------------------------------------------------ map functions --
+
+  /** MAP type surface: build from arrays, key lookup, keys/cardinality.
+    * DuckDB's map extract returns a single-element LIST — the oracle indexes
+    * `[1]` to align scalars.
+    */
+  private val qScalarMap = GQuery(
+    (s, d) => t(s, d, "orders")
+      .select(col("o_orderkey"),
+        map_from_arrays(array(lit("status"), lit("prio")),
+          array(col("o_orderstatus"), col("o_orderpriority"))).as("m"))
+      .select(col("o_orderkey"),
+        element_at(col("m"), "status").as("status"),
+        element_at(col("m"), "prio").as("prio"),
+        size(map_keys(col("m"))).as("n_keys"),
+        array_join(map_keys(col("m")), ",").as("keys"))
+      .orderBy("o_orderkey"),
+    Some("""WITH t AS (
+              SELECT o_orderkey,
+                     map(['status', 'prio'],
+                         [o_orderstatus, o_orderpriority]) AS m
+              FROM orders)
+            SELECT o_orderkey,
+                   m['status'][1] AS status,
+                   m['prio'][1] AS prio,
+                   CAST(cardinality(m) AS INT) AS n_keys,
+                   array_to_string(map_keys(m), ',') AS keys
+            FROM t ORDER BY o_orderkey"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_agg_approx" -> qAggApprox,
+    "q_scalar_map" -> qScalarMap,
     "q_grouping_sets" -> qGroupingSets,
     "q_window_distribution" -> qWindowDistribution,
     "q_agg_listagg" -> qAggListagg,
