@@ -133,11 +133,14 @@ case class VectorNorm(child: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val v = ctx.freshName("v")
-      // when !nullable, ev.isNull is the literal `false` (not assignable) —
-      // and containsNull=false guarantees the element null-check is dead code
+      // when !nullable, nullSafeCodeGen never DECLARES ev.isNull (it swaps
+      // in a false-literal for consumers) — any reference to the name is an
+      // undeclared identifier, so both the element null-check (dead code:
+      // containsNull=false) and the final guard must vanish entirely
       val nullCheck =
         if (nullable) s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
         else ""
+      val guard = if (nullable) s"if (!${ev.isNull}) " else ""
       s"""
         int $n = $a.numElements();
         double $s = 0.0;
@@ -146,7 +149,7 @@ case class VectorNorm(child: Expression)
           double $v = $a.getDouble($i);
           $s += $v * $v;
         }
-        if (!${ev.isNull}) { ${ev.value} = java.lang.Math.sqrt($s); }
+        $guard{ ${ev.value} = java.lang.Math.sqrt($s); }
       """
     })
 

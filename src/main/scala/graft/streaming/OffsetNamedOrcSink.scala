@@ -62,20 +62,30 @@ object OffsetNamedOrcSink {
     val fs = FileSystem.get(new java.net.URI(topicDir),
       spark.sparkContext.hadoopConfiguration)
     val merged = if (fs.exists(new Path(topicDir))) {
+      // RECOVERY: a crash between a committed overwrite and the rename pass
+      // leaves merged rows inside `_chunk=` staging dirs (possibly with the
+      // superseded committed file already deleted). Re-running the rename
+      // pass first hoists those to committed names — it only ever sees
+      // job-committed part files (in-flight writes live under
+      // .spark-staging), and hoisted data is by construction a dedup-safe
+      // superset of what it replaces — so the name-based listing below is
+      // complete again. Steady state: no _chunk dirs, metadata-only no-op.
+      renameToOffsetNames(spark, topicDir, topic)
       // touched (partition, chunk) pairs — small by construction: one per
       // output file of this batch. Their existing files have deterministic
-      // names, so the read-back lists exactly those files (never a scan of
-      // the whole topic dir).
+      // names, so the read-back lists exactly those files (one listing per
+      // touched partition, never a scan of the whole topic dir).
       val touched = flat.select(col("partition").cast("int"),
         col(ChunkCol).cast("long")).distinct()
         .collect().map(r => (r.getInt(0), r.getLong(1)))
-      val existingPaths = touched.flatMap { case (p, c) =>
+      val existingPaths = touched.groupBy(_._1).toSeq.flatMap { case (p, pcs) =>
         val pDir = new Path(s"$topicDir/partition=$p")
         if (fs.exists(pDir)) {
-          val prefix = f"$topic+$p+$c%010d"
+          val prefixes = pcs.map { case (_, c) => f"$topic+$p+$c%010d" }
           fs.listStatus(pDir).toSeq.filter(f => f.isFile &&
-            f.getPath.getName.startsWith(prefix) &&
-            f.getPath.getName.endsWith(".orc")).map(_.getPath.toString)
+            f.getPath.getName.endsWith(".orc") &&
+            prefixes.exists(f.getPath.getName.startsWith))
+            .map(_.getPath.toString)
         } else Nil
       }
       if (existingPaths.isEmpty) flat
@@ -130,19 +140,25 @@ object OffsetNamedOrcSink {
       val p = pName.stripPrefix("partition=")
       val startOffset = cName.stripPrefix(s"$ChunkCol=").toLong
       val prefix = f"$topic+$p+$startOffset%010d"
-      // this chunk was just rewritten: clear any previously committed files
-      // for it (incl. defensive -N suffixes) before moving the new ones up
-      fs.listStatus(pDir.getPath).toSeq
-        .filter(f => f.isFile && f.getPath.getName.startsWith(prefix))
-        .foreach(f => fs.delete(f.getPath, false))
       val parts = fs.listStatus(cDir.getPath).toSeq
         .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-      parts.zipWithIndex.foreach { case (f, i) =>
-        // normally exactly one part per chunk (repartition above); suffix
-        // defensively if a chunk ever spans writers
-        val t = if (i == 0) new Path(pDir.getPath, s"$prefix.orc")
-          else new Path(pDir.getPath, s"$prefix-$i.orc")
-        fs.rename(f.getPath, t)
+      // a part-less _chunk dir means a crash landed between this chunk's
+      // renames and its dir delete — the committed files ARE the data;
+      // touching them here would destroy the only copy
+      if (parts.nonEmpty) {
+        // this chunk was just rewritten: clear any previously committed
+        // files for it (incl. defensive -N suffixes) before moving the new
+        // ones up
+        fs.listStatus(pDir.getPath).toSeq
+          .filter(f => f.isFile && f.getPath.getName.startsWith(prefix))
+          .foreach(f => fs.delete(f.getPath, false))
+        parts.zipWithIndex.foreach { case (f, i) =>
+          // normally exactly one part per chunk (repartition above); suffix
+          // defensively if a chunk ever spans writers
+          val t = if (i == 0) new Path(pDir.getPath, s"$prefix.orc")
+            else new Path(pDir.getPath, s"$prefix-$i.orc")
+          fs.rename(f.getPath, t)
+        }
       }
       fs.delete(cDir.getPath, true) // now holds only commit markers, if that
     }

@@ -108,6 +108,43 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
       org.apache.spark.sql.Row(250L, 499L))
   }
 
+  test("crash between stale-delete and rename is recovered (no row loss)") {
+    val out = freshOut()
+    // batch 1 lands offsets [0, 437); chunk 250 of partition 0 is committed
+    OffsetNamedOrcSink.write(shaped.filter(col("offset") < 437), out, 250)
+    // simulate the crash window of a follow-up write: the overwrite job
+    // committed its _chunk staging dir and the rename pass already deleted
+    // the superseded committed file, but died before the rename. The
+    // staged part file holds (at least) the rows of the deleted file —
+    // reconstruct exactly that state from the committed file itself.
+    val pDir = new java.io.File(s"$out/topics/events/partition=0")
+    val committed = pDir.listFiles.filter(_.getName.startsWith("events+0+0000000250"))
+    assert(committed.length == 1)
+    val staging = new java.io.File(pDir, "_chunk=250")
+    assert(staging.mkdir())
+    assert(committed.head.renameTo(new java.io.File(staging, "part-00000-crash.orc")))
+    // next batch touches chunk 250 again — must merge the crashed rows back
+    val topicDir = OffsetNamedOrcSink.write(
+      shaped.filter(col("offset") >= 437), out, 250)
+    val back = OffsetNamedOrcSink.read(spark, topicDir)
+    assert(back.count() == 1000, s"rows: ${back.count()}")
+    assert(back.select("offset").distinct().count() == 1000)
+    assert(!staging.exists()) // staging dir cleaned up by the recovery pass
+  }
+
+  test("part-less _chunk dir (crash after renames) must not destroy committed files") {
+    val out = freshOut()
+    OffsetNamedOrcSink.write(shaped.filter(col("offset") < 437), out, 250)
+    val pDir = new java.io.File(s"$out/topics/events/partition=0")
+    // crash landed between a chunk's renames and its dir delete: the dir
+    // remains but holds no part files — the committed files ARE the data
+    assert(new java.io.File(pDir, "_chunk=250").mkdir())
+    val topicDir = OffsetNamedOrcSink.write(
+      shaped.filter(col("offset") >= 437), out, 250)
+    val back = OffsetNamedOrcSink.read(spark, topicDir)
+    assert(back.count() == 1000, s"rows: ${back.count()}")
+  }
+
   test("O4/O5: six-type schema survives ORC with nulls intact") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -65,17 +65,28 @@ class VectorExpressionsSpec extends SparkSpec {
     // pre-fix, non-nullable children made ev.isNull a literal → broken
     // generated code → silent interpreter fallback. RDD-backed (a local
     // relation would be constant-folded away, leaving no codegen stage).
+    // fallback=false + CODEGEN_ONLY make a Janino compile failure THROW
+    // instead of silently interpreting — without them this test is vacuous.
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("a",
       ArrayType(DoubleType, containsNull = false), nullable = false)))
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row(Seq(3.0, 4.0))), 1), schema)
-    val out = df.select(
-      VectorExpressions.vectorDot(col("a"), col("a")).as("d"),
-      VectorExpressions.vectorNorm(col("a")).as("n"))
-    assert(out.head == org.apache.spark.sql.Row(25.0, 5.0))
-    assert(out.queryExecution.executedPlan.toString.contains("*("))
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+    val prevMode = spark.conf.get("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      val out = df.select(
+        VectorExpressions.vectorDot(col("a"), col("a")).as("d"),
+        VectorExpressions.vectorNorm(col("a")).as("n"))
+      assert(out.head == org.apache.spark.sql.Row(25.0, 5.0))
+      assert(out.queryExecution.executedPlan.toString.contains("*("))
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevMode)
+    }
   }
 
   test("SQL registration exposes graft_vector_dot / graft_vector_norm") {
