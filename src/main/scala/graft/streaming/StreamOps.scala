@@ -30,6 +30,19 @@ object StreamOps {
       .select(col("window.start").as("hour_ts"), col("etype"), col("n"),
         col("sum_val"))
 
+  /** Hopping (sliding) window counts — 1-hour windows every 30 minutes, so
+    * each event contributes to exactly 2 windows (the streaming twin of the
+    * batch q_events_hopping). Watermark bounds the open-window state to
+    * (size/slide + watermark/slide) windows per key.
+    */
+  def hoppingCounts(shaped: DataFrame): DataFrame =
+    shaped
+      .withWatermark("timestamp", "30 minutes")
+      .groupBy(window(col("timestamp"), "1 hour", "30 minutes"),
+        col("value.etype").as("etype"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_ts"), col("etype"), col("n"))
+
   /** Session windows (30-min gap) per user over a Kafka-shaped stream. */
   def sessionAgg(shaped: DataFrame): DataFrame =
     shaped

@@ -54,6 +54,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hopping windows place each event in exactly two windows") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Int, Long, Int, Double, String)]
+    val stream = shapedStream(mem)
+    val q = StreamOps.hoppingCounts(stream)
+      .writeStream.format("memory").queryName("hopping_test")
+      .outputMode("complete").start()
+    try {
+      // one event at 10:05 → windows [09:30,10:30) and [10:00,11:00)
+      mem.addData((1, 0L, 5, 1.0, "a"))
+      q.processAllAvailable()
+      val out = spark.table("hopping_test")
+        .select("win_ts", "etype", "n").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(out == Set(
+        ("2024-01-01 09:30:00.0", "a", 1L),
+        ("2024-01-01 10:00:00.0", "a", 1L)))
+    } finally q.stop()
+  }
+
   test("session windows split on the 30-minute gap") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Int, Long, Int, Double, String)]
