@@ -12,6 +12,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     operators.Relational,
     operators.RelationalExt,
+    operators.AnalyticsOps,
     operators.PipelineOps,
     operators.DedupOps,
     operators.TypedOps,

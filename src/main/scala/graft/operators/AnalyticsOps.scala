@@ -1,0 +1,343 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GQuery, QueryModule, Tables}
+import graft.Exact.dround
+
+/** Third block: analytics + training-pipeline operators beyond the round-1/2
+  * inventory — deterministic train/val/test splits, document chunking, column
+  * profiling, funnel + cohort retention analysis, correlated-scalar/IN/EXISTS
+  * subqueries, lateral joins, theta (band) joins, and text normalization.
+  *
+  * Same ground rules as Relational.scala: Catalyst built-ins only, total-order
+  * ORDER BY, `Exact.dround` on aggregated doubles, md5 as the only
+  * cross-engine hash (SURVEY.md §7 risk register).
+  */
+object AnalyticsOps extends QueryModule {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  // ------------------------------------------ deterministic dataset split --
+
+  /** Hash-based train/val/test split (80/10/10) — the standard reproducible
+    * split for training corpora: bucket = md5(doc_id) mod 100, so membership
+    * is a pure function of the key (stable under re-runs, re-partitioning,
+    * and incremental appends — unlike sample()/TABLESAMPLE, which depend on
+    * partition layout). At scale this is one codegen'd map + a 3-group agg.
+    */
+  private val qSplitTrain = GQuery(
+    (s, d) => {
+      val bucket = pmod(DedupOps.hex4(col("doc_id").cast("string")), lit(100))
+      t(s, d, "documents")
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          // size(collect_set) over the bounded lang column: map-side
+          // combinable, so no second distinct-expand exchange.
+          size(collect_set(col("lang"))).cast("long").as("n_langs"))
+        .orderBy("split")
+    },
+    Some(s"""WITH b AS (
+              SELECT *, ${DedupOps.duckHex4("md5(CAST(doc_id AS VARCHAR))")} % 100
+                        AS bucket
+              FROM documents),
+            sp AS (
+              SELECT CASE WHEN bucket < 80 THEN 'train'
+                          WHEN bucket < 90 THEN 'val'
+                          ELSE 'test' END AS split,
+                     n_chars, lang
+              FROM b)
+            SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM sp GROUP BY split ORDER BY split"""))
+
+  // --------------------------------------------------- document chunking --
+
+  /** Fixed-size token chunking with overlap (window 50, stride 40) — the
+    * standard pre-tokenization step for LLM training data. One row per chunk
+    * via explode(sequence(...)); the token array is materialized as a column
+    * BEFORE the explode so it is computed once per doc (HOF re-eval rule,
+    * CLAUDE.md). Chunking is embarrassingly parallel — no shuffle until the
+    * final presentation sort.
+    */
+  private val qTextChunk = GQuery(
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")), lit(40))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        size(slice(col("toks"), col("pos"), lit(50))).as("n_toks"),
+        length(concat_ws(" ", slice(col("toks"), col("pos"), lit(50))))
+          .as("n_chars"))
+      .orderBy("doc_id", "pos"),
+    Some("""WITH tk AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM documents),
+            c AS (
+              SELECT doc_id, unnest(generate_series(1, len(toks), 40)) AS pos,
+                     toks
+              FROM tk)
+            SELECT doc_id, CAST(pos AS INT) AS pos,
+                   CAST(len(list_slice(toks, pos, pos + 49)) AS INT) AS n_toks,
+                   CAST(length(array_to_string(list_slice(toks, pos, pos + 49), ' '))
+                        AS INT) AS n_chars
+            FROM c ORDER BY doc_id, pos"""))
+
+  // ----------------------------------------------------- column profiling --
+
+  /** Data-quality column profiler: one stack() pass melts the table to
+    * (col_name, val) rows, one hash agg computes rows/non-null/distinct/
+    * min/max per column. The nullif-derived column proves the null-accounting
+    * path (the synthetic tables carry no physical nulls). At scale this is
+    * the map-side-combinable alternative to k separate full scans.
+    */
+  private val qProfileColumns = GQuery(
+    (s, d) => t(s, d, "orders")
+      .selectExpr(
+        """stack(4,
+             'o_orderstatus',   o_orderstatus,
+             'o_orderpriority', o_orderpriority,
+             'o_custkey',       CAST(o_custkey AS STRING),
+             'status_nullable', nullif(o_orderstatus, 'O')) AS (col_name, val)""")
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("val")).as("n_nonnull"),
+        countDistinct(col("val")).as("n_distinct"),
+        min("val").as("min_val"),
+        max("val").as("max_val"))
+      .orderBy("col_name"),
+    Some("""WITH m AS (
+              SELECT 'o_orderstatus' AS col_name, o_orderstatus AS val FROM orders
+              UNION ALL
+              SELECT 'o_orderpriority', o_orderpriority FROM orders
+              UNION ALL
+              SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+              UNION ALL
+              SELECT 'status_nullable', nullif(o_orderstatus, 'O') FROM orders)
+            SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(val) AS BIGINT) AS n_nonnull,
+                   CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+                   min(val) AS min_val, max(val) AS max_val
+            FROM m GROUP BY col_name ORDER BY col_name"""))
+
+  // ----------------------------- correlated scalar / IN / EXISTS subqueries --
+
+  /** Scalar subqueries in the SELECT list + IN and NOT EXISTS filters.
+    * Catalyst decorrelates all three to joins (RewriteCorrelatedScalarSubquery
+    * → left outer + agg; RewritePredicateSubquery → semi/anti) — no per-row
+    * re-execution, unlike a naive interpreter.
+    */
+  private val qSubqueryExistsIn = GQuery(
+    (s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("graft_cust_sq")
+      t(s, d, "orders").createOrReplaceTempView("graft_ord_sq")
+      s.sql("""SELECT c_custkey,
+                      (SELECT count(*) FROM graft_ord_sq o
+                        WHERE o.o_custkey = c.c_custkey) AS n_orders,
+                      (SELECT CAST(round(CAST(max(o_totalprice) AS DECIMAL(30,8)), 2)
+                              AS DOUBLE)
+                         FROM graft_ord_sq o WHERE o.o_custkey = c.c_custkey)
+                        AS max_price
+               FROM graft_cust_sq c
+               WHERE c_custkey IN (SELECT o_custkey FROM graft_ord_sq
+                                    WHERE o_orderpriority = '1-URGENT')
+                 AND NOT EXISTS (SELECT 1 FROM graft_ord_sq o2
+                                  WHERE o2.o_custkey = c.c_custkey
+                                    AND o2.o_orderstatus = 'P')
+               ORDER BY c_custkey""")
+    },
+    Some("""SELECT c_custkey,
+                   (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                     WHERE o.o_custkey = c.c_custkey) AS n_orders,
+                   (SELECT CAST(round(CAST(max(o_totalprice) AS DECIMAL(30,8)), 2)
+                           AS DOUBLE)
+                      FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_price
+            FROM customer c
+            WHERE c_custkey IN (SELECT o_custkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
+              AND NOT EXISTS (SELECT 1 FROM orders o2
+                               WHERE o2.o_custkey = c.c_custkey
+                                 AND o2.o_orderstatus = 'P')
+            ORDER BY c_custkey"""))
+
+  // ------------------------------------------------------- lateral join --
+
+  /** LATERAL correlated subquery with per-row ORDER BY + LIMIT (top-2 orders
+    * per customer). Catalyst plans this as a LateralJoin and decorrelates the
+    * limit into a partitioned window — one shuffle, not one subquery per row.
+    * The inner ordering is tie-free (price DESC, then unique orderkey).
+    */
+  private val qJoinLateral = GQuery(
+    (s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("graft_cust_lat")
+      t(s, d, "orders").createOrReplaceTempView("graft_ord_lat")
+      s.sql("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice AS price
+               FROM graft_cust_lat c,
+               LATERAL (SELECT o_orderkey, o_totalprice FROM graft_ord_lat
+                         WHERE o_custkey = c.c_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+               ORDER BY c_custkey, o_orderkey""")
+    },
+    Some("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice AS price
+            FROM customer c,
+            LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                      WHERE o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+            ORDER BY c_custkey, o_orderkey"""))
+
+  // ---------------------------------------------------- theta (band) join --
+
+  /** Pure-inequality join: orders banded into 50k-wide price buckets via a
+    * 10-row band dimension. No equi-key exists, so Spark picks
+    * BroadcastNestedLoopJoin — correct and cheap BECAUSE the build side is
+    * tiny and broadcast (10 rows × N orders probes). The anti-pattern at
+    * scale is NLJ between two big sides; banding against a small dimension
+    * is the legitimate use (plan shape pinned in PlanShapeSpec).
+    */
+  private val qJoinThetaBand = GQuery(
+    (s, d) => {
+      val bands = s.range(0, 10).select(
+        col("id").cast("int").as("band_id"),
+        (col("id") * 50000.0).as("lo"),
+        ((col("id") + 1) * 50000.0).as("hi"))
+      t(s, d, "orders")
+        .join(broadcast(bands),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n"), dround(sum("o_totalprice")).as("sum_price"))
+        .orderBy("band_id")
+    },
+    Some("""WITH bands AS (
+              SELECT CAST(i AS INT) AS band_id, i * 50000.0 AS lo,
+                     (i + 1) * 50000.0 AS hi
+              FROM generate_series(0, 9) t(i))
+            SELECT band_id, CAST(count(*) AS BIGINT) AS n,
+                   CAST(round(CAST(sum(o_totalprice) AS DECIMAL(30,8)), 2)
+                        AS DOUBLE) AS sum_price
+            FROM orders JOIN bands
+              ON o_totalprice >= lo AND o_totalprice < hi
+            GROUP BY band_id ORDER BY band_id"""))
+
+  // -------------------------------------------------- text normalization --
+
+  /** Canonical text normalization (case-fold, punctuation→space, whitespace
+    * collapse, trim) — the first stage of every dedup/quality pipeline.
+    * Single codegen'd map pass; emits lengths + a bounded prefix so the t2
+    * output stays hashable without carrying full normalized bodies.
+    */
+  private val qTextNormalize = GQuery(
+    (s, d) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      t(s, d, "documents")
+        .select(col("doc_id"), norm.as("norm"))
+        .select(col("doc_id"),
+          length(col("norm")).as("n_chars"),
+          size(split(col("norm"), " ")).as("n_toks"),
+          substring(col("norm"), 1, 40).as("prefix"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+              FROM documents)
+            SELECT doc_id, CAST(length(norm) AS INT) AS n_chars,
+                   CAST(len(string_split(norm, ' ')) AS INT) AS n_toks,
+                   substr(norm, 1, 40) AS prefix
+            FROM n ORDER BY doc_id"""))
+
+  // -------------------------------------------------- funnel conversion --
+
+  /** Click→purchase funnel: per user with ≥1 click, the first click and the
+    * first purchase at-or-after it, plus a 1-hour conversion flag. Epoch
+    * seconds throughout (the cross-engine events-timestamp anchor). Shape at
+    * scale: one agg by user (clicks) + one shuffled left join to the purchase
+    * stream re-aggregated by user — both exchanges hash on user_id, so AQE
+    * reuses the partitioning.
+    */
+  private val qFunnelEvents = GQuery(
+    (s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_sec"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min("ts_sec").as("first_click"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), col("ts_sec").as("p_sec"))
+      clicks.join(purch,
+          col("user_id") === col("p_uid") && col("p_sec") >= col("first_click"),
+          "left")
+        .groupBy("user_id", "first_click")
+        .agg(min("p_sec").as("first_purchase"))
+        .select(col("user_id"), col("first_click"), col("first_purchase"),
+          (col("first_purchase").isNotNull &&
+            col("first_purchase") <= col("first_click") + 3600)
+            .as("converted_1h"))
+        .orderBy("user_id")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_type,
+                     CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+              FROM events),
+            c AS (SELECT user_id, min(ts_sec) AS first_click
+                  FROM e WHERE event_type = 'click' GROUP BY user_id),
+            p AS (SELECT c.user_id, c.first_click, min(e.ts_sec) AS first_purchase
+                  FROM c LEFT JOIN e
+                    ON e.user_id = c.user_id AND e.event_type = 'purchase'
+                   AND e.ts_sec >= c.first_click
+                  GROUP BY c.user_id, c.first_click)
+            SELECT user_id, first_click, first_purchase,
+                   (first_purchase IS NOT NULL
+                    AND first_purchase <= first_click + 3600) AS converted_1h
+            FROM p ORDER BY user_id"""))
+
+  // ---------------------------------------------------- cohort retention --
+
+  /** Cohort retention: users grouped by first-active day, distinct actives
+    * per (cohort_day, day_offset ≤ 14). The cohort table is keyed on user_id
+    * by the same groupBy that feeds the join, so the exchange is reused; the
+    * final countDistinct is the only re-shuffle.
+    */
+  private val qRetentionCohort = GQuery(
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ev.join(cohort, "user_id")
+        .select(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"),
+          col("user_id"))
+        .filter(col("day_offset") <= 14)
+        .groupBy("cohort_day", "day_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+            c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+            j AS (SELECT c.cohort_day,
+                         CAST(date_diff('day', c.cohort_day, e.day) AS INT)
+                           AS day_offset,
+                         e.user_id
+                  FROM e JOIN c USING (user_id))
+            SELECT cohort_day, day_offset,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM j WHERE day_offset <= 14
+            GROUP BY cohort_day, day_offset
+            ORDER BY cohort_day, day_offset"""))
+
+  val queries: Map[String, GQuery] = Map(
+    "q_split_train" -> qSplitTrain,
+    "q_text_chunk" -> qTextChunk,
+    "q_profile_columns" -> qProfileColumns,
+    "q_subquery_existsin" -> qSubqueryExistsIn,
+    "q_join_lateral" -> qJoinLateral,
+    "q_join_theta_band" -> qJoinThetaBand,
+    "q_text_normalize" -> qTextNormalize,
+    "q_funnel_events" -> qFunnelEvents,
+    "q_retention_cohort" -> qRetentionCohort)
+}

@@ -107,4 +107,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("scalarsubquery"), p.take(2000))
     assert(p.contains("Join"), p.take(2000))
   }
+
+  test("q_join_theta_band broadcasts the 10-row band dimension (NLJ build side)") {
+    val p = plan("q_join_theta_band")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("q_join_lateral decorrelates the per-row LIMIT into a window (no subquery)") {
+    val df = SparkEntry.queries("q_join_lateral")(spark, sf)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(!p.contains("LateralJoin"), p.take(3000))
+    assert(p.contains("Join"), p.take(3000))
+  }
+
+  test("q_subquery_existsin plans semi/anti joins for IN / NOT EXISTS") {
+    val df = SparkEntry.queries("q_subquery_existsin")(spark, sf)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p.take(3000))
+  }
+
+  test("q_split_train and q_text_chunk stay shuffle-minimal (one exchange each)") {
+    // split: map + single-key agg; chunk: map + explode + presentation sort.
+    // More exchanges would mean the split/chunk stage itself shuffles.
+    def exchanges(name: String): Int = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    }
+    assert(exchanges("q_text_chunk") <= 1, "chunk shuffles more than the final sort")
+    // split_train: partial agg -> final agg exchange + the tiny 3-row sort
+    assert(exchanges("q_split_train") <= 2, "split shuffles beyond agg + sort")
+  }
 }
