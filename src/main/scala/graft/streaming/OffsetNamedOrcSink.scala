@@ -1,8 +1,13 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.DataFrame
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.regex.Pattern
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Offset-named, rotation-chunked, idempotent ORC sink — the one piece of the
   * reference that Spark's file sink does not provide (SURVEY.md §4
@@ -17,21 +22,127 @@ import org.apache.spark.sql.functions._
   * Design for scale:
   *  - rotation (flush.size, reference O9) = offset-range chunking, computed
   *    as a column, so the whole write stays distributed;
-  *  - `repartition(partition, chunk)` co-locates each output file's rows in
-  *    one task → exactly one ORC file per (partition, chunk), written in
-  *    parallel across the cluster;
-  *  - `partitionBy(partition, chunk)` + dynamic partition overwrite makes
-  *    re-processing an offset range idempotent (reference O11's
-  *    `overwrite(true)` recovery contract, `DataWriterOrcTest.java:102-124`);
+  *  - `repartition(layout cols, chunk)` co-locates each output file's rows in
+  *    one task → exactly one ORC file per leaf, written in parallel across
+  *    the cluster;
+  *  - `partitionBy` + dynamic partition overwrite makes re-processing an
+  *    offset range idempotent (reference O11's `overwrite(true)` recovery
+  *    contract, `DataWriterOrcTest.java:102-124`);
   *  - the rename to reference-style names is a driver-side, metadata-only
-  *    pass (one FS rename per committed file — O(#files), never O(#rows)).
+  *    pass that in steady state touches ONLY this batch's `(partition,
+  *    chunk)` dirs — O(files-in-this-batch) FS ops per commit, independent
+  *    of how many files the topic has accumulated. The full directory walk
+  *    exists only on the recovery path, gated by an in-flight marker: it
+  *    runs at most once after a crash, never per batch.
   *
-  * All writes against one topic dir must use the same flushSize (the chunk
-  * of an existing row is recomputed from its offset during merges).
+  * Durability protocol (one commit per rotation file, `FileUtils.java:10-26`):
+  *  1. `_graft_inflight` marker is created (listing the touched leaves);
+  *  2. the overwrite job commits rows into transient `_chunk=` staging dirs;
+  *  3. the touched staging dirs are hoisted to committed offset names;
+  *  4. the marker is deleted.
+  * A crash anywhere in 1–4 leaves the marker behind; the next `write` (or
+  * `read`) sees it and runs the full-walk recovery, which re-hoists whatever
+  * staging dirs survive — hoisted data is by construction a dedup-safe
+  * superset of what it replaces. No marker ⇒ layout is clean by protocol.
+  *
+  * The per-topic-dir configuration (flush.size, layout) is persisted in a
+  * `_graft_sink.conf` marker on first write and enforced on every subsequent
+  * write: a mismatched flush.size would probe existing files on the wrong
+  * chunk grid and silently commit overlapping data, so it fails fast instead.
   */
 object OffsetNamedOrcSink {
 
   val ChunkCol = "_chunk"
+  val DtCol = "dt"
+
+  private val InflightMarker = "_graft_inflight"
+  private val ConfigMarker = "_graft_sink.conf"
+  private val SchemaMarker = "_graft_schema.json"
+
+  /** Output directory layout under `topics/<topic>/` (the reference's
+    * partitioner surface, `S3SinkConnectorTestBase.java:62-64`:
+    * `partition.field.name` / `path.format` / timezone).
+    */
+  sealed trait Layout
+  object Layout {
+    /** `partition=<p>/` — the reference's default kafka-partition router. */
+    case object KafkaPartition extends Layout
+    /** `dt=<formatted record timestamp>/partition=<p>/` — the reference's
+      * time-based partitioner (`path.format`). Chunking stays on the offset
+      * grid per kafka partition (batch-invariant ⇒ idempotent replay); a
+      * chunk whose rows straddle a time boundary commits one file per
+      * (dt, chunk) — both deterministically named.
+      */
+    final case class TimeDaily(pathFormat: String = "yyyy-MM-dd") extends Layout
+  }
+
+  /** Schema-drift policy against the latched first-write schema (reference
+    * O4 latch `OrcRecordWriter.java:59-69`; compat config surface
+    * `S3SinkConnectorTestBase.java:76`).
+    */
+  sealed trait DriftMode
+  object DriftMode {
+    /** `schema.compatibility=NONE`: any drift fails the write. */
+    case object Reject extends DriftMode
+    /** Project onto the latched schema: missing fields become null, extra
+      * fields are dropped, matching names are cast to the latched type.
+      */
+    case object Project extends DriftMode
+  }
+
+  /** S3A configuration bundle mirroring the reference's storage conf
+    * (`OrcRecordWriter.java:133-152` / the connector's `store.url`,
+    * path-style and env-credential behavior). Offline-testable: it only
+    * sets `fs.s3a.*` keys on a Hadoop `Configuration`; the write path is
+    * already scheme-parameterized via `FileSystem.get(URI)`.
+    */
+  final case class S3AConf(
+      endpoint: Option[String] = None,
+      region: Option[String] = None,
+      pathStyleAccess: Boolean = true,
+      sslEnabled: Boolean = true,
+      credsFromEnv: Boolean = true) {
+    def applyTo(conf: Configuration): Unit = {
+      endpoint.foreach(conf.set("fs.s3a.endpoint", _))
+      region.foreach(conf.set("fs.s3a.endpoint.region", _))
+      conf.setBoolean("fs.s3a.path.style.access", pathStyleAccess)
+      conf.setBoolean("fs.s3a.connection.ssl.enabled", sslEnabled)
+      if (credsFromEnv) {
+        for (a <- sys.env.get("AWS_ACCESS_KEY_ID"))
+          conf.set("fs.s3a.access.key", a)
+        for (s <- sys.env.get("AWS_SECRET_ACCESS_KEY"))
+          conf.set("fs.s3a.secret.key", s)
+        for (t <- sys.env.get("AWS_SESSION_TOKEN"))
+          conf.set("fs.s3a.session.token", t)
+      }
+    }
+  }
+
+  /** Test-only audit of driver-side FS enumeration: every directory listing
+    * and file-probe the sink performs is recorded here when enabled, so the
+    * spec can assert that a steady-state batch never lists an untouched
+    * partition's files (the 100-TB invariant).
+    */
+  private[graft] object FsAudit {
+    @volatile var enabled = false
+    val dirsListed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val probes = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    def reset(): Unit = { dirsListed.clear(); probes.clear() }
+  }
+
+  private def listDir(fs: FileSystem, dir: Path): Seq[FileStatus] = {
+    if (FsAudit.enabled) FsAudit.dirsListed.add(dir.toString)
+    fs.listStatus(dir).toSeq
+  }
+
+  /** One output leaf touched by the current batch. */
+  private final case class Touched(dt: Option[String], partition: Int, chunk: Long) {
+    def partitionDir(root: Path): Path = {
+      val base = dt.fold(root)(d => new Path(root, s"$DtCol=$d"))
+      new Path(base, s"partition=$partition")
+    }
+    def prefix(topic: String): String = f"$topic+$partition+$chunk%010d"
+  }
 
   /** Write a Kafka-shaped DataFrame (key, value:struct, topic, partition,
     * offset, timestamp) as offset-named ORC files. Returns the topic dir.
@@ -47,54 +158,76 @@ object OffsetNamedOrcSink {
     * is O(touched chunks × flushSize), never O(output).
     */
   def write(df: DataFrame, outDir: String, flushSize: Long,
-      topic: String = "events"): String = {
+      topic: String = "events",
+      layout: Layout = Layout.KafkaPartition,
+      drift: DriftMode = DriftMode.Reject,
+      s3a: Option[S3AConf] = None): String = {
     require(flushSize > 0, "flush.size must be positive")
     val spark = df.sparkSession
-    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    s3a.foreach(_.applyTo(spark.sparkContext.hadoopConfiguration))
 
     val topicDir = s"$outDir/topics/$topic"
-    // start offset of the file this record rotates into (O9/O10)
-    val chunk = (col("offset") - pmod(col("offset"), lit(flushSize)))
-    val flat = df
-      .withColumn(ChunkCol, chunk)
-      .select(col("partition"), col(ChunkCol), col("offset"),
-        col("value.*"))
+    val root = new Path(topicDir)
     val fs = FileSystem.get(new java.net.URI(topicDir),
       spark.sparkContext.hadoopConfiguration)
-    val merged = if (fs.exists(new Path(topicDir))) {
-      // RECOVERY: a crash between a committed overwrite and the rename pass
-      // leaves merged rows inside `_chunk=` staging dirs (possibly with the
-      // superseded committed file already deleted). Re-running the rename
-      // pass first hoists those to committed names — it only ever sees
-      // job-committed part files (in-flight writes live under
-      // .spark-staging), and hoisted data is by construction a dedup-safe
-      // superset of what it replaces — so the name-based listing below is
-      // complete again. Steady state: no _chunk dirs, metadata-only no-op.
-      renameToOffsetNames(spark, topicDir, topic)
-      // touched (partition, chunk) pairs — small by construction: one per
-      // output file of this batch. Their existing files have deterministic
-      // names, so the read-back lists exactly those files (one listing per
-      // touched partition, never a scan of the whole topic dir).
-      val touched = flat.select(col("partition").cast("int"),
-        col(ChunkCol).cast("long")).distinct()
-        .collect().map(r => (r.getInt(0), r.getLong(1)))
-      val existingPaths = touched.groupBy(_._1).toSeq.flatMap { case (p, pcs) =>
-        val pDir = new Path(s"$topicDir/partition=$p")
-        if (fs.exists(pDir)) {
-          val prefixes = pcs.map { case (_, c) => f"$topic+$p+$c%010d" }
-          fs.listStatus(pDir).toSeq.filter(f => f.isFile &&
-            f.getPath.getName.endsWith(".orc") &&
-            prefixes.exists(f.getPath.getName.startsWith))
-            .map(_.getPath.toString)
-        } else Nil
+
+    ensureConfig(fs, root, flushSize, layout)
+    val conformed = conformValueSchema(fs, root, df, drift)
+
+    val partCols: Seq[String] = layout match {
+      case Layout.KafkaPartition => Seq("partition", ChunkCol)
+      case Layout.TimeDaily(_) => Seq(DtCol, "partition", ChunkCol)
+    }
+    // start offset of the file this record rotates into (O9/O10)
+    val chunk = col("offset") - pmod(col("offset"), lit(flushSize))
+    val withDt = layout match {
+      case Layout.TimeDaily(fmt) =>
+        conformed.withColumn(DtCol, date_format(col("timestamp"), fmt))
+      case _ => conformed
+    }
+    val flat = withDt
+      .withColumn(ChunkCol, chunk)
+      .select(partCols.map(col) ++ Seq(col("offset"), col("value.*")): _*)
+
+    // touched output leaves — small by construction: one per output file of
+    // this batch. Their existing files have deterministic names, so the
+    // read-back probes exactly those names (never a directory scan).
+    val touched: Seq[Touched] = {
+      val sel = partCols.map {
+        case `DtCol` => col(DtCol)
+        case "partition" => col("partition").cast("int")
+        case `ChunkCol` => col(ChunkCol).cast("long")
       }
+      flat.select(sel: _*).distinct().collect().toSeq.map { r =>
+        layout match {
+          case Layout.KafkaPartition => Touched(None, r.getInt(0), r.getLong(1))
+          case Layout.TimeDaily(_) =>
+            Touched(Some(r.getString(0)), r.getInt(1), r.getLong(2))
+        }
+      }
+    }
+
+    val inflight = new Path(root, InflightMarker)
+    // RECOVERY (rare, marker-gated): a crash inside a previous commit left
+    // merged rows inside `_chunk=` staging dirs. Re-running the hoist pass
+    // makes the name-based probes below complete again. Steady state never
+    // enters this branch — no per-batch directory walk.
+    if (fs.exists(inflight)) {
+      recover(fs, root, topic)
+      fs.delete(inflight, false)
+    }
+    val existingPaths = touched.flatMap { t =>
+      committedChunkFiles(fs, t.partitionDir(root), t.prefix(topic))
+        .map(_.toString)
+    }
+    val merged =
       if (existingPaths.isEmpty) flat
       else {
         val existing = spark.read.option("basePath", topicDir)
           .orc(existingPaths: _*)
           .withColumn(ChunkCol,
             col("offset") - pmod(col("offset"), lit(flushSize)))
-          // partition-dir column reads back as inferred int — realign types
+          // partition-dir columns read back as inferred types — realign
           .select(flat.schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
           // materialize NOW: after this the write job holds the old rows in
           // memory and never reads under topicDir (ADVICE r1: dynamic
@@ -104,73 +237,212 @@ object OffsetNamedOrcSink {
         // offset dedup would drop same-offset rows across partitions
         flat.union(existing).dropDuplicates("partition", "offset")
       }
-    } else flat
+
+    writeMarker(fs, inflight,
+      touched.map(t => s"${t.dt.getOrElse("")}|${t.partition}|${t.chunk}")
+        .mkString("\n"))
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     try {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       merged
-        .repartition(col("partition"), col(ChunkCol))
+        .repartition(partCols.map(col): _*)
         .sortWithinPartitions(col("offset"))
         .write.mode("overwrite")
-        .partitionBy("partition", ChunkCol)
+        .partitionBy(partCols: _*)
         .orc(topicDir)
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
-    renameToOffsetNames(spark, topicDir, topic)
+    // steady-state hoist: ONLY this batch's leaves — never a directory walk
+    touched.foreach(t =>
+      hoistChunkDir(fs, t.partitionDir(root), t.partition.toString, t.chunk, topic))
+    fs.delete(inflight, false)
     topicDir
   }
 
-  /** Rename Spark's part-* files to `<topic>+<partition>+<%010d offset>.orc`
-    * and hoist them from the transient `_chunk=` dirs up into `partition=<p>/`
-    * — the reference's exact key layout (`FileUtils.fileKeyToCommit`).
-    * Metadata-only: one rename per committed file. Stale files for a
-    * rewritten chunk are deleted first, so replays converge to one file per
-    * chunk.
+  /** Mixed-topic batch: one topic dir per topic, offsets deduped per
+    * (topic, partition) — the reference routes one writer per TopicPartition
+    * across all subscribed topics (`DataWriterOrcTest.java:144-172`; the
+    * connector's `topics` list is config-enumerated and small, so a
+    * driver-side loop over distinct topics is one commit per topic, not a
+    * scale risk). Returns the topic dirs in topic order.
     */
-  private def renameToOffsetNames(spark: org.apache.spark.sql.SparkSession,
-      topicDir: String, topic: String): Unit = {
-    val fs = FileSystem.get(new java.net.URI(topicDir),
-      spark.sparkContext.hadoopConfiguration)
-    val root = new Path(topicDir)
+  def writeMulti(df: DataFrame, outDir: String, flushSize: Long,
+      layout: Layout = Layout.KafkaPartition,
+      drift: DriftMode = DriftMode.Reject,
+      s3a: Option[S3AConf] = None): Seq[String] = {
+    val topics = df.select("topic").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq
+    if (topics.lengthCompare(1) <= 0)
+      topics.map(t => write(df, outDir, flushSize, t, layout, drift, s3a))
+    else {
+      val cached = df.persist()
+      try topics.map(t =>
+        write(cached.filter(col("topic") === t), outDir, flushSize, t,
+          layout, drift, s3a))
+      finally { cached.unpersist(); () }
+    }
+  }
+
+  /** Persist flush.size + layout on first write; fail fast on mismatch
+    * (a different flush.size would probe existing files on the wrong chunk
+    * grid and silently commit overlapping offset ranges).
+    */
+  private def ensureConfig(fs: FileSystem, root: Path, flushSize: Long,
+      layout: Layout): Unit = {
+    val layoutId = layout match {
+      case Layout.KafkaPartition => "kafka-partition"
+      case Layout.TimeDaily(fmt) => s"time:$fmt"
+    }
+    val desc = s"flushSize=$flushSize\nlayout=$layoutId"
+    val p = new Path(root, ConfigMarker)
+    readMarker(fs, p) match {
+      case Some(existing) => require(existing == desc,
+        s"sink config mismatch at $root: committed {${existing.replace("\n", ", ")}} " +
+          s"vs requested {${desc.replace("\n", ", ")}} — all writes against one " +
+          "topic dir must use the same flush.size and layout")
+      case None => fs.mkdirs(root); writeMarker(fs, p, desc)
+    }
+  }
+
+  /** Latch the first write's value-struct schema (O4) and apply the drift
+    * policy on subsequent writes. Comparison is on (name, type) pairs;
+    * nullability is not part of the contract (ORC files are nullable).
+    */
+  private def conformValueSchema(fs: FileSystem, root: Path, df: DataFrame,
+      drift: DriftMode): DataFrame = {
+    val incoming = df.schema("value").dataType.asInstanceOf[StructType]
+    val p = new Path(root, SchemaMarker)
+    readMarker(fs, p) match {
+      case None =>
+        fs.mkdirs(root); writeMarker(fs, p, incoming.json); df
+      case Some(json) =>
+        val latched = DataType.fromJson(json).asInstanceOf[StructType]
+        val key = (s: StructType) => s.fields.toSeq.map(f => (f.name, f.dataType))
+        if (key(latched) == key(incoming)) df
+        else drift match {
+          case DriftMode.Reject => throw new IllegalStateException(
+            s"schema drift rejected (DriftMode.Reject): latched " +
+              s"${latched.simpleString} vs incoming ${incoming.simpleString}")
+          case DriftMode.Project =>
+            val incNames = incoming.fieldNames.toSet
+            val fields = latched.fields.toSeq.map { f =>
+              if (incNames.contains(f.name))
+                col("value").getField(f.name).cast(f.dataType).as(f.name)
+              else lit(null).cast(f.dataType).as(f.name)
+            }
+            df.withColumn("value", struct(fields: _*))
+        }
+    }
+  }
+
+  /** The committed files of one chunk, matched EXACTLY: `<prefix>.orc` or
+    * `<prefix>-<digits>.orc`. Never a bare `startsWith` — once offsets
+    * exceed the 10-digit pad, chunk 1250000000's prefix is a string prefix
+    * of chunk 12500000000's file name (ADVICE r2), so prefix matching would
+    * delete/merge an unrelated chunk's data.
+    */
+  private def committedChunkFiles(fs: FileSystem, pDir: Path,
+      prefix: String): Seq[Path] = {
+    if (FsAudit.enabled) FsAudit.probes.add(s"$pDir/$prefix")
+    val exact = new Path(pDir, s"$prefix.orc")
+    val base = if (fs.exists(exact)) Seq(exact) else Nil
+    val pat = Pattern.quote(prefix) + "-\\d+\\.orc"
+    val suffixed = Option(fs.globStatus(new Path(pDir, s"$prefix-*.orc")))
+      .map(_.toSeq).getOrElse(Nil)
+      .filter(_.isFile).map(_.getPath)
+      .filter(_.getName.matches(pat))
+    base ++ suffixed
+  }
+
+  /** Hoist ONE chunk's staging dir to its committed offset name — the
+    * reference's exact key layout (`FileUtils.fileKeyToCommit`). Metadata
+    * only: one rename per committed file. Stale committed files for the
+    * chunk (matched exactly, incl. `-N` suffixes) are deleted first, so
+    * replays converge to one file per chunk.
+    */
+  private def hoistChunkDir(fs: FileSystem, pDir: Path, p: String,
+      chunkStart: Long, topic: String): Unit = {
+    val cDir = new Path(pDir, s"$ChunkCol=$chunkStart")
+    if (!fs.exists(cDir)) return
+    val prefix = f"$topic+$p+$chunkStart%010d"
+    val parts = listDir(fs, cDir)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    // a part-less _chunk dir means a crash landed between this chunk's
+    // renames and its dir delete — the committed files ARE the data;
+    // touching them here would destroy the only copy
+    if (parts.nonEmpty) {
+      committedChunkFiles(fs, pDir, prefix).foreach(f => fs.delete(f, false))
+      parts.zipWithIndex.foreach { case (f, i) =>
+        // normally exactly one part per chunk (repartition above); suffix
+        // defensively if a chunk ever spans writers
+        val t = if (i == 0) new Path(pDir, s"$prefix.orc")
+          else new Path(pDir, s"$prefix-$i.orc")
+        fs.rename(f.getPath, t)
+      }
+    }
+    fs.delete(cDir, true) // now holds only commit markers, if that
+  }
+
+  /** Full-walk recovery: hoist every surviving `_chunk=` staging dir under
+    * the topic dir (both layouts). O(#dirs) — runs only when an in-flight
+    * marker shows a previous commit crashed, never per steady-state batch.
+    */
+  private def recover(fs: FileSystem, root: Path, topic: String): Unit = {
     if (!fs.exists(root)) return
-    for {
-      pDir <- fs.listStatus(root).toSeq if pDir.isDirectory
-      pName = pDir.getPath.getName if pName.startsWith("partition=")
-      cDir <- fs.listStatus(pDir.getPath).toSeq if cDir.isDirectory
-      cName = cDir.getPath.getName if cName.startsWith(s"$ChunkCol=")
-    } {
-      val p = pName.stripPrefix("partition=")
-      val startOffset = cName.stripPrefix(s"$ChunkCol=").toLong
-      val prefix = f"$topic+$p+$startOffset%010d"
-      val parts = fs.listStatus(cDir.getPath).toSeq
-        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-      // a part-less _chunk dir means a crash landed between this chunk's
-      // renames and its dir delete — the committed files ARE the data;
-      // touching them here would destroy the only copy
-      if (parts.nonEmpty) {
-        // this chunk was just rewritten: clear any previously committed
-        // files for it (incl. defensive -N suffixes) before moving the new
-        // ones up
-        fs.listStatus(pDir.getPath).toSeq
-          .filter(f => f.isFile && f.getPath.getName.startsWith(prefix))
-          .foreach(f => fs.delete(f.getPath, false))
-        parts.zipWithIndex.foreach { case (f, i) =>
-          // normally exactly one part per chunk (repartition above); suffix
-          // defensively if a chunk ever spans writers
-          val t = if (i == 0) new Path(pDir.getPath, s"$prefix.orc")
-            else new Path(pDir.getPath, s"$prefix-$i.orc")
-          fs.rename(f.getPath, t)
+    def walk(dir: Path): Unit =
+      listDir(fs, dir).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && !n.startsWith(".") && !n.startsWith("_")) {
+          if (n.startsWith("partition=")) {
+            val p = n.stripPrefix("partition=")
+            listDir(fs, st.getPath)
+              .filter(c => c.isDirectory && c.getPath.getName.startsWith(s"$ChunkCol="))
+              .foreach { c =>
+                val chunkStart = c.getPath.getName.stripPrefix(s"$ChunkCol=").toLong
+                hoistChunkDir(fs, st.getPath, p, chunkStart, topic)
+              }
+          } else walk(st.getPath) // dt=<...> level
         }
       }
-      fs.delete(cDir.getPath, true) // now holds only commit markers, if that
+    walk(root)
+  }
+
+  private def readMarker(fs: FileSystem, p: Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(out.toByteArray, UTF_8))
+      } finally in.close()
     }
+
+  private def writeMarker(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(UTF_8)) finally out.close()
   }
 
   /** Read the sink's output back (reference O13 / EP3 verification path).
     * `partition` comes from the directory; `_chunk` is recovered from the
-    * offset embedded in each file's name.
+    * offset embedded in each file's name. If a crashed commit left an
+    * in-flight marker, the (idempotent, metadata-only) recovery pass runs
+    * first so leftover `_chunk=` staging dirs can't poison partition
+    * inference (ADVICE r2).
     */
-  def read(spark: org.apache.spark.sql.SparkSession, topicDir: String): DataFrame =
+  def read(spark: SparkSession, topicDir: String): DataFrame = {
+    val fs = FileSystem.get(new java.net.URI(topicDir),
+      spark.sparkContext.hadoopConfiguration)
+    val root = new Path(topicDir)
+    val inflight = new Path(root, InflightMarker)
+    if (fs.exists(inflight)) {
+      recover(fs, root, root.getName)
+      fs.delete(inflight, false)
+    }
     spark.read.orc(topicDir)
       .withColumn(ChunkCol,
         regexp_extract(input_file_name(), raw"\+(\d+)(?:-\d+)?\.orc$$", 1)
           .cast("long"))
+  }
 }

@@ -108,6 +108,17 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
       org.apache.spark.sql.Row(250L, 499L))
   }
 
+  /** A crash inside the commit protocol always leaves the in-flight marker
+    * behind (it is created before the overwrite job and deleted only after
+    * the hoist pass completes) — crash simulations must reproduce it, since
+    * the marker is what gates the recovery walk.
+    */
+  private def leaveInflightMarker(out: String): Unit = {
+    val m = new java.io.File(s"$out/topics/events/_graft_inflight")
+    java.nio.file.Files.write(m.toPath, "crash".getBytes)
+    ()
+  }
+
   test("crash between stale-delete and rename is recovered (no row loss)") {
     val out = freshOut()
     // batch 1 lands offsets [0, 437); chunk 250 of partition 0 is committed
@@ -123,6 +134,7 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
     val staging = new java.io.File(pDir, "_chunk=250")
     assert(staging.mkdir())
     assert(committed.head.renameTo(new java.io.File(staging, "part-00000-crash.orc")))
+    leaveInflightMarker(out)
     // next batch touches chunk 250 again — must merge the crashed rows back
     val topicDir = OffsetNamedOrcSink.write(
       shaped.filter(col("offset") >= 437), out, 250)
@@ -139,10 +151,27 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
     // crash landed between a chunk's renames and its dir delete: the dir
     // remains but holds no part files — the committed files ARE the data
     assert(new java.io.File(pDir, "_chunk=250").mkdir())
+    leaveInflightMarker(out)
     val topicDir = OffsetNamedOrcSink.write(
       shaped.filter(col("offset") >= 437), out, 250)
     val back = OffsetNamedOrcSink.read(spark, topicDir)
     assert(back.count() == 1000, s"rows: ${back.count()}")
+  }
+
+  test("read() on a crashed layout recovers first instead of failing") {
+    val out = freshOut()
+    OffsetNamedOrcSink.write(shaped.filter(col("offset") < 437), out, 250)
+    val pDir = new java.io.File(s"$out/topics/events/partition=0")
+    val committed = pDir.listFiles.filter(_.getName.startsWith("events+0+0000000250"))
+    val staging = new java.io.File(pDir, "_chunk=250")
+    assert(staging.mkdir())
+    assert(committed.head.renameTo(new java.io.File(staging, "part-00000-crash.orc")))
+    leaveInflightMarker(out)
+    // without recovery this read throws Spark's 'conflicting directory
+    // structures' (mixed partition depths); read() must self-heal (ADVICE r2)
+    val back = OffsetNamedOrcSink.read(spark, s"$out/topics/events")
+    assert(back.count() == 437, s"rows: ${back.count()}")
+    assert(!staging.exists())
   }
 
   test("O4/O5: six-type schema survives ORC with nulls intact") {
@@ -165,5 +194,167 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
       schema.map(f => (f.name, f.dataType)))
     assert(back.count() == 3)
     assert(back.filter(col("b").isNull && col("s").isNull).count() == 1)
+  }
+
+  // ---- round-3 surfaces -------------------------------------------------
+
+  import graft.streaming.OffsetNamedOrcSink.{DriftMode, FsAudit, Layout, S3AConf}
+
+  /** Minimal Kafka-shaped frame with chosen (offset, user_id) pairs — for
+    * tests that need offsets the events table doesn't have.
+    */
+  private def shapedRows(rows: (Long, Long)*) = {
+    import spark.implicits._
+    KafkaShaped.shape(rows.toSeq.toDF("event_id", "user_id")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .withColumn("event_type", lit("x"))
+      .withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props"))
+  }
+
+  test("steady-state batch never lists an untouched partition's files") {
+    val out = freshOut()
+    OffsetNamedOrcSink.write(shaped, out, flushSize = 250) // 1000 rows, 4 partitions
+    FsAudit.reset(); FsAudit.enabled = true
+    try {
+      // replay touches ONLY partition 0 / chunk 0
+      OffsetNamedOrcSink.write(
+        shaped.filter(col("partition") === 0 && col("offset") < 250), out, 250)
+    } finally FsAudit.enabled = false
+    // the only directory the driver may enumerate is the touched chunk's own
+    // staging dir; file probes stay inside the touched partition dir
+    val badDirs = FsAudit.dirsListed.toArray.map(_.toString)
+      .filterNot(_.contains("partition=0"))
+    assert(badDirs.isEmpty, s"steady-state listed: ${badDirs.mkString(", ")}")
+    val badProbes = FsAudit.probes.toArray.map(_.toString)
+      .filterNot(_.contains("partition=0"))
+    assert(badProbes.isEmpty, s"steady-state probed: ${badProbes.mkString(", ")}")
+    val dirListings = FsAudit.dirsListed.toArray.map(_.toString)
+    assert(dirListings.forall(_.contains("_chunk=")),
+      s"listed a non-staging dir: ${dirListings.mkString(", ")}")
+  }
+
+  test("mismatched flush.size on an existing topic dir fails fast") {
+    val out = freshOut()
+    OffsetNamedOrcSink.write(shaped.filter(col("offset") < 437), out, 250)
+    val e = intercept[IllegalArgumentException] {
+      OffsetNamedOrcSink.write(shaped.filter(col("offset") >= 437), out, 500)
+    }
+    assert(e.getMessage.contains("flushSize=250"), e.getMessage)
+    // and a mismatched layout too
+    intercept[IllegalArgumentException] {
+      OffsetNamedOrcSink.write(shaped, out, 250, layout = Layout.TimeDaily())
+    }
+  }
+
+  test("offsets past the 10-digit pad never cross-match another chunk (exact names)") {
+    val out = freshOut()
+    val fl = 1250000000L
+    // chunk 1250000000's committed name is a string PREFIX of chunk
+    // 12500000000's — the historical startsWith bug corrupted exactly this
+    val big = shapedRows((1250000000L, 0L), (1250000001L, 0L), (12500000000L, 0L))
+    OffsetNamedOrcSink.write(big, out, fl)
+    val pDir = new java.io.File(s"$out/topics/events/partition=0")
+    val names0 = pDir.listFiles.filter(_.isFile).map(_.getName)
+      .filter(_.endsWith(".orc")).toSet
+    assert(names0 == Set("events+0+1250000000.orc", "events+0+12500000000.orc"), names0)
+    // rewrite ONLY the short chunk; the long chunk's file must be untouched
+    OffsetNamedOrcSink.write(shapedRows((1250000000L, 0L)), out, fl)
+    val back = OffsetNamedOrcSink.read(spark, s"$out/topics/events")
+    assert(back.count() == 3, s"rows: ${back.count()}")
+    assert(back.select("offset").distinct().count() == 3)
+  }
+
+  test("schema drift: Reject fails, Project conforms to the latched schema") {
+    val out = freshOut()
+    OffsetNamedOrcSink.write(shaped.filter(col("offset") < 437), out, 250)
+    // a batch whose value struct GAINED a field and LOST etype
+    val drifted = shaped.filter(col("offset") >= 437)
+      .withColumn("value", struct(
+        col("value.flag"), col("value.uid"), col("value.id"),
+        col("value.fval"), col("value.dval"), lit(7).as("extra")))
+    intercept[IllegalStateException] {
+      OffsetNamedOrcSink.write(drifted, out, 250) // default DriftMode.Reject
+    }
+    // Project: extra dropped, missing etype becomes null, write succeeds
+    val topicDir = OffsetNamedOrcSink.write(drifted, out, 250,
+      drift = DriftMode.Project)
+    val back = OffsetNamedOrcSink.read(spark, topicDir)
+    assert(back.count() == 1000)
+    assert(!back.columns.contains("extra"))
+    assert(back.filter(col("offset") >= 437 && col("etype").isNull).count() == 563)
+    assert(back.filter(col("offset") < 437 && col("etype").isNotNull).count() == 437)
+  }
+
+  test("time-based layout: dt=<day>/partition=<p>/ with offset-named files") {
+    import spark.implicits._
+    val out = freshOut()
+    // offsets 0..9 in one chunk, timestamps straddling midnight → the chunk
+    // commits one file per (dt, partition) — both deterministically named
+    val events = (0L until 10L).map(i => (i, i % 2)).toDF("event_id", "user_id")
+      .withColumn("ts", expr(
+        "timestampadd(HOUR, cast(event_id as int) * 6, timestamp'2024-03-01 20:00:00')"))
+      .withColumn("event_type", lit("x"))
+      .withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val topicDir = OffsetNamedOrcSink.write(KafkaShaped.shape(events), out,
+      flushSize = 250, layout = Layout.TimeDaily())
+    val dtDirs = new java.io.File(topicDir).listFiles.filter(_.isDirectory)
+      .filter(_.getName.startsWith("dt=")).map(_.getName).sorted
+    assert(dtDirs.nonEmpty && dtDirs.head == "dt=2024-03-01", dtDirs.mkString(","))
+    val files = new java.io.File(topicDir).listFiles.filter(_.isDirectory)
+      .filter(_.getName.startsWith("dt="))
+      .flatMap(_.listFiles).filter(_.isDirectory)
+      .flatMap(_.listFiles).filter(f => f.isFile && f.getName.endsWith(".orc"))
+    val pat = raw"events\+\d+\+\d{10}\.orc".r
+    assert(files.forall(f => pat.matches(f.getName)), files.map(_.getName).mkString(","))
+    val back = OffsetNamedOrcSink.read(spark, topicDir)
+    assert(back.count() == 10)
+    // dt routes by record timestamp: 20:00 + 6h*i ⇒ 1 | 4 | 4 | 1 per day
+    val byDt = back.groupBy(col("dt").cast("string").as("d")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDt == Map("2024-03-01" -> 1L, "2024-03-02" -> 4L,
+      "2024-03-03" -> 4L, "2024-03-04" -> 1L), byDt.toString)
+    // replay is idempotent in this layout too
+    OffsetNamedOrcSink.write(KafkaShaped.shape(events), out,
+      flushSize = 250, layout = Layout.TimeDaily())
+    assert(OffsetNamedOrcSink.read(spark, topicDir).count() == 10)
+  }
+
+  test("multi-topic batch: one topic dir each, both layouts correct") {
+    val out = freshOut()
+    val mixed = shaped.filter(col("offset") < 300)
+      .withColumn("topic",
+        when(col("offset") % 2 === 0, lit("alpha")).otherwise(lit("beta")))
+    val dirs = OffsetNamedOrcSink.writeMulti(mixed, out, flushSize = 250)
+    assert(dirs == Seq(s"$out/topics/alpha", s"$out/topics/beta"))
+    val alpha = OffsetNamedOrcSink.read(spark, s"$out/topics/alpha")
+    val beta = OffsetNamedOrcSink.read(spark, s"$out/topics/beta")
+    assert(alpha.count() == 150 && beta.count() == 150)
+    // file names carry their own topic
+    val alphaFiles = orcFiles(s"$out/topics/alpha").map(_.getName)
+    assert(alphaFiles.forall(_.startsWith("alpha+")), alphaFiles.mkString(","))
+    val betaFiles = orcFiles(s"$out/topics/beta").map(_.getName)
+    assert(betaFiles.forall(_.startsWith("beta+")), betaFiles.mkString(","))
+    // offsets dedupe per (topic, partition): replaying one topic's slice
+    // doesn't disturb the other
+    OffsetNamedOrcSink.writeMulti(
+      mixed.filter(col("topic") === "alpha" && col("offset") < 100), out, 250)
+    assert(OffsetNamedOrcSink.read(spark, s"$out/topics/alpha").count() == 150)
+    assert(OffsetNamedOrcSink.read(spark, s"$out/topics/beta").count() == 150)
+  }
+
+  test("S3A conf bundle lands the reference's storage settings on a hadoop conf") {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    S3AConf(endpoint = Some("http://localhost:9000"),
+      region = Some("us-east-1"), pathStyleAccess = true,
+      sslEnabled = false, credsFromEnv = false).applyTo(conf)
+    assert(conf.get("fs.s3a.endpoint") == "http://localhost:9000")
+    assert(conf.get("fs.s3a.endpoint.region") == "us-east-1")
+    assert(conf.get("fs.s3a.path.style.access") == "true")
+    assert(conf.get("fs.s3a.connection.ssl.enabled") == "false")
+    assert(conf.get("fs.s3a.access.key") == null) // credsFromEnv off
   }
 }
