@@ -124,6 +124,55 @@ object AnalyticsOps extends QueryModule {
                    min(val) AS min_val, max(val) AS max_val
             FROM m GROUP BY col_name ORDER BY col_name"""))
 
+  /** Scale path of the profiler: approx_count_distinct (HLL, rsd 1%)
+    * replaces the exact countDistinct — per-group value buffering on a
+    * melted table is the OOM pattern at 100 TB (SCALE.md "Known costs");
+    * the sketch is fixed-size and map-side combinable. Validated with the
+    * q_agg_approx pattern: the exact distinct runs as its own aggregation
+    * joined back on the tiny group key (never mixed into the sketch agg —
+    * the multi-distinct Expand trap), and the emitted `nd_ok` bounds flag
+    * (5σ margin) is what cross-engine hashes.
+    */
+  private val qProfileApprox = GQuery(
+    (s, d) => {
+      val melted = t(s, d, "orders")
+        .selectExpr(
+          """stack(4,
+               'o_orderstatus',   o_orderstatus,
+               'o_orderpriority', o_orderpriority,
+               'o_custkey',       CAST(o_custkey AS STRING),
+               'status_nullable', nullif(o_orderstatus, 'O')) AS (col_name, val)""")
+      val approx = melted.groupBy("col_name")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("val")).as("n_nonnull"),
+          approx_count_distinct(col("val"), 0.01).as("nd_approx"),
+          min("val").as("min_val"),
+          max("val").as("max_val"))
+      val exact = melted.groupBy("col_name")
+        .agg(countDistinct(col("val")).as("nd_exact"))
+      approx.join(broadcast(exact), "col_name")
+        .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+          col("nd_exact"),
+          (abs(col("nd_approx") - col("nd_exact"))
+            <= col("nd_exact") * 0.05).as("nd_ok"),
+          col("min_val"), col("max_val"))
+        .orderBy("col_name")
+    },
+    Some("""WITH m AS (
+              SELECT 'o_orderstatus' AS col_name, o_orderstatus AS val FROM orders
+              UNION ALL
+              SELECT 'o_orderpriority', o_orderpriority FROM orders
+              UNION ALL
+              SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+              UNION ALL
+              SELECT 'status_nullable', nullif(o_orderstatus, 'O') FROM orders)
+            SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(val) AS BIGINT) AS n_nonnull,
+                   CAST(count(DISTINCT val) AS BIGINT) AS nd_exact,
+                   true AS nd_ok,
+                   min(val) AS min_val, max(val) AS max_val
+            FROM m GROUP BY col_name ORDER BY col_name"""))
+
   // ----------------------------- correlated scalar / IN / EXISTS subqueries --
 
   /** Scalar subqueries in the SELECT list + IN and NOT EXISTS filters.
@@ -334,6 +383,7 @@ object AnalyticsOps extends QueryModule {
     "q_split_train" -> qSplitTrain,
     "q_text_chunk" -> qTextChunk,
     "q_profile_columns" -> qProfileColumns,
+    "q_profile_approx" -> qProfileApprox,
     "q_subquery_existsin" -> qSubqueryExistsIn,
     "q_join_lateral" -> qJoinLateral,
     "q_join_theta_band" -> qJoinThetaBand,

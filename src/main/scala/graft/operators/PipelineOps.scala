@@ -166,8 +166,36 @@ object PipelineOps extends QueryModule {
             FROM orders WHERE o_totalprice > 200000
             ORDER BY o_orderkey"""))
 
+  /** Time-based partitioning (reference partitioner surface,
+    * `S3SinkConnectorTestBase.java:62-64`: `partition.field.name` /
+    * `path.format`): the REAL TimeDaily sink writes events once per sfDir
+    * (memoized — bench must measure the engine, not tempfs), then the
+    * read-back's (dt, partition) routing is oracled against DuckDB grouping
+    * the source by (day(ts), user_id % 4). Day granularity is immune to the
+    * ns→µs truncation.
+    */
+  private val qPartitionTime = GQuery(
+    (s, d) => {
+      val topicDir = writtenDirs.computeIfAbsent(s"timesink|$d", _ => {
+        val out = Files.createTempDirectory("graft-timesink-").toString
+        graft.streaming.OffsetNamedOrcSink.write(
+          graft.sources.KafkaShaped.fromEvents(s, d), out, flushSize = 5000,
+          layout = graft.streaming.OffsetNamedOrcSink.Layout.TimeDaily())
+      })
+      graft.streaming.OffsetNamedOrcSink.read(s, topicDir)
+        .groupBy(col("dt").cast("string").as("dt"),
+          col("partition").cast("int").as("route"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("dt", "route")
+    },
+    Some("""SELECT strftime(ts, '%Y-%m-%d') AS dt,
+                   CAST(user_id % 4 AS INT) AS route,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2 ORDER BY dt, route"""))
+
   override val queries: Map[String, GQuery] = Map(
     "q_fmt_roundtrip" -> qFmtRoundtrip,
+    "q_partition_time" -> qPartitionTime,
     "q_orc_roundtrip" -> qOrcRoundtrip,
     "q_schema_sixtypes" -> qSchemaSixtypes,
     "q_rotation_files" -> qRotationFiles,

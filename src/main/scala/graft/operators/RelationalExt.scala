@@ -75,6 +75,37 @@ object RelationalExt extends QueryModule {
                          ORDER BY o_totalprice, o_orderkey)
             ORDER BY o_orderkey"""))
 
+  /** Scale-safe twin of q_window_distribution: cume_dist computed as a
+    * per-value histogram + running sum over the ordered histogram, never a
+    * window sort over the full rows. q_window_distribution partitions the
+    * row-level window on a 5-value key — at 100× that is ~N/5 rows in one
+    * task's sort (the textbook low-cardinality window skew). Here the window
+    * input is the (priority, price) histogram: |distinct values| rows, the
+    * row-level sort is replaced by a map-side-combinable hash aggregate, and
+    * the oracle is the SAME cume_dist SQL collapsed per value.
+    */
+  private val qDistHistogram = GQuery(
+    (s, d) => {
+      val hist = t(s, d, "orders")
+        .groupBy("o_orderpriority", "o_totalprice")
+        .agg(count(lit(1)).as("cnt"))
+      val run = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy("o_orderpriority")
+      hist
+        .select(col("o_orderpriority"), col("o_totalprice"), col("cnt"),
+          dround(sum("cnt").over(run) / sum("cnt").over(tot), 6).as("cd"))
+        .orderBy("o_orderpriority", "o_totalprice")
+    },
+    Some("""SELECT o_orderpriority, o_totalprice,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(round(CAST(max(cd) AS DECIMAL(30,8)), 6) AS DOUBLE) AS cd
+            FROM (SELECT o_orderpriority, o_totalprice,
+                         cume_dist() OVER (PARTITION BY o_orderpriority
+                                           ORDER BY o_totalprice) AS cd
+                  FROM orders) t
+            GROUP BY 1, 2 ORDER BY o_orderpriority, o_totalprice"""))
+
   // --------------------------------------------------- string aggregate --
 
   /** Deterministic list aggregation: the sorted-distinct form
@@ -309,6 +340,7 @@ object RelationalExt extends QueryModule {
     "q_scalar_map" -> qScalarMap,
     "q_grouping_sets" -> qGroupingSets,
     "q_window_distribution" -> qWindowDistribution,
+    "q_dist_histogram" -> qDistHistogram,
     "q_agg_listagg" -> qAggListagg,
     "q_agg_bool" -> qAggBool,
     "q_unpivot" -> qUnpivot,

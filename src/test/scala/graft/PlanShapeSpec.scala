@@ -126,6 +126,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p.take(3000))
   }
 
+  test("q_dist_histogram windows over the histogram, not the raw rows") {
+    val p = plan("q_dist_histogram")
+    // the low-cardinality window's input must be the (priority, price)
+    // hash aggregate — a Window directly over the scan would sort ~N/5
+    // raw rows in one task at scale
+    val wIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate", wIdx)
+    assert(wIdx >= 0 && aggIdx > wIdx,
+      s"window not fed by the histogram aggregate:\n${p.take(3000)}")
+    assert(p.contains("partial_count"), p.take(3000)) // map-side combine
+  }
+
+  test("q_profile_approx avoids the multi-distinct Expand rewrite") {
+    val p = plan("q_profile_approx")
+    assert(!p.contains("Expand"), p.take(3000))
+    assert(p.contains("approx_count_distinct"), p.take(3000))
+  }
+
   test("q_split_train and q_text_chunk stay shuffle-minimal (one exchange each)") {
     // split: map + single-key agg; chunk: map + explode + presentation sort.
     // More exchanges would mean the split/chunk stage itself shuffles.
