@@ -82,6 +82,37 @@ object StreamOps {
           })
   }
 
+  /** The bounded-state variant of [[dedupStream]]: each seen-key entry is
+    * armed with a sliding processing-time TTL and removed when it fires, so
+    * the state store is bounded by the number of keys active within one TTL
+    * window — the shape that survives an unbounded key space at 100 TB/day.
+    * An expired key re-admits its next occurrence (dedup-within-TTL
+    * semantics, like dropDuplicatesWithinWatermark but on processing time
+    * and with explicit state control).
+    */
+  def dedupStreamExpiring(shaped: DataFrame, ttlMs: Long): Dataset[DedupedEvent] = {
+    val spark = shaped.sparkSession
+    import spark.implicits._
+    shaped
+      .select(col("value.uid").as("uid"), col("value.etype").as("etype"),
+        col("offset"))
+      .as[DedupedEvent]
+      .groupByKey(e => (e.uid, e.etype))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.ProcessingTimeTimeout)(
+        (_: (Int, String), rows: Iterator[DedupedEvent],
+            state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) {
+            state.setTimeoutDuration(ttlMs) // sliding TTL: re-arm on sighting
+            Iterator.empty
+          } else {
+            state.update(true)
+            state.setTimeoutDuration(ttlMs)
+            rows.toSeq.sortBy(_.offset).headOption.iterator
+          })
+  }
+
   /** Stream-stream interval join: purchases matched to same-user clicks in
     * the preceding 30 minutes (the streaming twin of the batch q_join_range).
     * Both sides carry watermarks so Spark can bound the join state: click

@@ -124,6 +124,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("expiring dedup bounds its state: a key re-admits after its TTL") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Int, Long, Int, Double, String)]
+    val q = StreamOps.dedupStreamExpiring(shapedStream(mem), ttlMs = 500)
+      .writeStream.format("memory").queryName("dedup_ttl_test")
+      .outputMode("append").start()
+    // processAllAvailable can livelock against the continuous empty batches
+    // Spark schedules to fire processing-time timeouts — poll the sink with
+    // a deadline instead
+    def awaitRows(n: Int): Set[(Int, String, Long)] = {
+      val deadline = System.currentTimeMillis + 30000
+      var out = Set.empty[(Int, String, Long)]
+      while (out.size < n && System.currentTimeMillis < deadline) {
+        Thread.sleep(100)
+        out = spark.table("dedup_ttl_test").collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+      }
+      out
+    }
+    try {
+      // batch 1: key (1,a) admitted once, duplicate suppressed
+      mem.addData((1, 0L, 0, 1.0, "a"), (1, 1L, 1, 1.0, "a"))
+      assert(awaitRows(1) == Set((1, "a", 0L)))
+      Thread.sleep(800) // let (1,a)'s TTL lapse
+      // batch 2 (unrelated key) runs while (1,a)'s timeout fires → removed
+      mem.addData((9, 2L, 2, 1.0, "z"))
+      assert(awaitRows(2) == Set((1, "a", 0L), (9, "z", 2L)))
+      // batch 3: the expired key re-admits
+      mem.addData((1, 3L, 3, 1.0, "a"))
+      val out = awaitRows(3)
+      assert(out == Set((1, "a", 0L), (9, "z", 2L), (1, "a", 3L)), out.toString)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches purchases to preceding clicks") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Int, Long, Int, Double, String)]
