@@ -13,6 +13,7 @@ object SparkEntry {
     operators.Relational,
     operators.RelationalExt,
     operators.AnalyticsOps,
+    operators.GraphOps,
     operators.PipelineOps,
     operators.DedupOps,
     operators.TypedOps,

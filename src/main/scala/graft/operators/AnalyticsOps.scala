@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GQuery, QueryModule, Tables}
 import graft.Exact.dround
@@ -172,6 +173,71 @@ object AnalyticsOps extends QueryModule {
                    true AS nd_ok,
                    min(val) AS min_val, max(val) AS max_val
             FROM m GROUP BY col_name ORDER BY col_name"""))
+
+  /** SCD2 / point-in-time validity intervals — the temporal-correctness
+    * primitive of a training-data pipeline: every feature observation
+    * becomes a `[valid_from, valid_to)` interval closed by the key's next
+    * observation (open interval ⇒ current row), so downstream joins can be
+    * as-of-correct and never leak the future. One lead() window per key —
+    * a single shuffle, no self-join. Second-granularity epochs sidestep the
+    * ns-vs-µs timestamp hazard (same convention as the session queries).
+    */
+  private val qScd2Intervals = GQuery(
+    (s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts_sec", "event_id")
+      t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_timestamp(col("ts")).as("ts_sec"),
+          dround(col("value")).as("val"))
+        .select(col("user_id"), col("event_type"), col("event_id"), col("val"),
+          col("ts_sec").as("valid_from"),
+          lead("ts_sec", 1).over(w).as("valid_to"),
+          lead("ts_sec", 1).over(w).isNull.as("is_current"))
+        .orderBy("user_id", "event_type", "valid_from", "event_id")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_type, event_id,
+                     CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec,
+                     CAST(round(CAST(value AS DECIMAL(30,8)), 2) AS DOUBLE) AS val
+              FROM events)
+            SELECT user_id, event_type, event_id, val,
+                   ts_sec AS valid_from,
+                   lead(ts_sec) OVER w AS valid_to,
+                   (lead(ts_sec) OVER w IS NULL) AS is_current
+            FROM e WINDOW w AS (PARTITION BY user_id, event_type
+                                ORDER BY ts_sec, event_id)
+            ORDER BY user_id, event_type, valid_from, event_id"""))
+
+  /** Stratified sampling (`df.stat.sampleBy`) — the per-class downsampling
+    * staple of training-corpus prep. Seeded Bernoulli per stratum is
+    * deterministic for Spark but not reproducible in another engine, so the
+    * oracle pins the derived property (the q_agg_approx pattern): exact
+    * per-stratum totals plus a flag that the sampled count sits within 5σ
+    * of n·p (binomial; deterministic at any SF). The strata list is a
+    * 5-row driver collect — bounded by the key's cardinality, not the data.
+    */
+  private val qSampleStratified = GQuery(
+    (s, d) => {
+      val orders = t(s, d, "orders")
+      val strata = orders.select("o_orderpriority").distinct()
+        .collect().map(_.getString(0))
+      val p = 0.2
+      val sampled = orders.stat.sampleBy("o_orderpriority",
+        strata.map(_ -> p).toMap, 42L)
+      val counts = sampled.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_samp"))
+      val totals = orders.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_total"))
+      totals.join(broadcast(counts), Seq("o_orderpriority"), "left")
+        .select(col("o_orderpriority"), col("n_total"),
+          (abs(coalesce(col("n_samp"), lit(0L)) - col("n_total") * p)
+            <= lit(5.0) * sqrt(col("n_total") * p * (1 - p))).as("samp_ok"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_total,
+                   true AS samp_ok
+            FROM orders GROUP BY 1 ORDER BY o_orderpriority"""))
 
   // ----------------------------- correlated scalar / IN / EXISTS subqueries --
 
@@ -384,6 +450,8 @@ object AnalyticsOps extends QueryModule {
     "q_text_chunk" -> qTextChunk,
     "q_profile_columns" -> qProfileColumns,
     "q_profile_approx" -> qProfileApprox,
+    "q_scd2_intervals" -> qScd2Intervals,
+    "q_sample_stratified" -> qSampleStratified,
     "q_subquery_existsin" -> qSubqueryExistsIn,
     "q_join_lateral" -> qJoinLateral,
     "q_join_theta_band" -> qJoinThetaBand,

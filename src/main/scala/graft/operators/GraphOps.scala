@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GQuery, QueryModule, Tables}
+
+/** Iterative graph analytics on DataFrames (beyond the connected-components
+  * operator in DedupOps): PageRank over the supplier↔part co-occurrence
+  * graph. The reference has no graph surface (SURVEY.md §2.2 — every query
+  * category "Absent"); this is part of the engine's training-data toolbox
+  * (influence/hub scoring of entities feeding sample weighting).
+  *
+  * Determinism-first design: ranks are computed in FIXED-POINT integer
+  * arithmetic (mass units of 1e-6, floor division per edge). Floating-point
+  * PageRank can never hash-match across engines — partition-order sum drift
+  * lands values a few ulps apart and any rounding grid occasionally snaps
+  * them to different cells — while integer `div` is exact in both Spark and
+  * DuckDB, so the t2 gate hashes the full rank vector, not a bounds flag.
+  *
+  * Scale shape: each iteration is one join (edges ⋈ ranks, both partitioned
+  * on the node key) + one partial-aggregated groupBy — the same 2-shuffle
+  * round as the label-propagation components operator, O(iterations) rounds,
+  * no driver data paths.
+  */
+object GraphOps extends QueryModule {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  /** 3-iteration fixed-point PageRank (damping 0.85, initial mass 1_000_000
+    * per node) over the symmetric bipartite supplier↔part graph from
+    * lineitem. Symmetry guarantees every node has both in- and out-edges —
+    * no dangling-mass term. The oracle unrolls the same three iterations as
+    * chained CTEs with integer `//` division.
+    */
+  private val qGraphPagerank = GQuery(
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_suppkey"), col("l_partkey")).distinct()
+      val edges = li.select(
+          concat(lit("s:"), col("l_suppkey")).as("src"),
+          concat(lit("p:"), col("l_partkey")).as("dst"))
+        .union(li.select(
+          concat(lit("p:"), col("l_partkey")).as("src"),
+          concat(lit("s:"), col("l_suppkey")).as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val withDeg = edges.join(deg, "src")
+      var rank = deg.select(col("src").as("node"), lit(1000000L).as("mass"))
+      for (_ <- 1 to 3) {
+        rank = withDeg.join(rank, col("src") === col("node"))
+          .select(col("dst"), expr("(mass * 85) div (100 * deg)").as("c"))
+          .groupBy("dst")
+          .agg((lit(150000L) + sum("c")).as("mass"))
+          .select(col("dst").as("node"), col("mass"))
+      }
+      rank.orderBy("node")
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+            edges AS (
+              SELECT 's:' || CAST(l_suppkey AS VARCHAR) AS src,
+                     'p:' || CAST(l_partkey AS VARCHAR) AS dst FROM li
+              UNION ALL
+              SELECT 'p:' || CAST(l_partkey AS VARCHAR),
+                     's:' || CAST(l_suppkey AS VARCHAR) FROM li),
+            deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                    FROM edges GROUP BY src),
+            ed AS (SELECT e.src, e.dst, d.deg
+                   FROM edges e JOIN deg d ON e.src = d.src),
+            r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS mass FROM deg),
+            r1 AS (SELECT ed.dst AS node,
+                          CAST(150000 + sum((r0.mass * 85) // (100 * ed.deg))
+                            AS BIGINT) AS mass
+                   FROM ed JOIN r0 ON ed.src = r0.node GROUP BY ed.dst),
+            r2 AS (SELECT ed.dst AS node,
+                          CAST(150000 + sum((r1.mass * 85) // (100 * ed.deg))
+                            AS BIGINT) AS mass
+                   FROM ed JOIN r1 ON ed.src = r1.node GROUP BY ed.dst),
+            r3 AS (SELECT ed.dst AS node,
+                          CAST(150000 + sum((r2.mass * 85) // (100 * ed.deg))
+                            AS BIGINT) AS mass
+                   FROM ed JOIN r2 ON ed.src = r2.node GROUP BY ed.dst)
+            SELECT node, mass FROM r3 ORDER BY node"""))
+
+  override val queries: Map[String, GQuery] = Map(
+    "q_graph_pagerank" -> qGraphPagerank)
+}

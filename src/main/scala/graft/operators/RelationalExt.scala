@@ -75,26 +75,43 @@ object RelationalExt extends QueryModule {
                          ORDER BY o_totalprice, o_orderkey)
             ORDER BY o_orderkey"""))
 
-  /** Scale-safe twin of q_window_distribution: cume_dist computed as a
-    * per-value histogram + running sum over the ordered histogram, never a
-    * window sort over the full rows. q_window_distribution partitions the
-    * row-level window on a 5-value key — at 100× that is ~N/5 rows in one
-    * task's sort (the textbook low-cardinality window skew). Here the window
-    * input is the (priority, price) histogram: |distinct values| rows, the
-    * row-level sort is replaced by a map-side-combinable hash aggregate, and
-    * the oracle is the SAME cume_dist SQL collapsed per value.
+  /** Scale-safe twin of q_window_distribution: exact cume_dist via the
+    * distributed two-level prefix sum, never a window sort over ~N/5 rows
+    * in one task (q_window_distribution partitions the row-level window on
+    * a 5-value key — the textbook low-cardinality window skew; a plain
+    * per-value histogram doesn't fix it when the value is near-unique, as
+    * o_totalprice is). Levels:
+    *   1. histogram (priority, price) → cnt — map-side combinable;
+    *   2. bin totals (priority, bin) with bin = floor(price/10k): the
+    *      per-priority ordered-bin window runs over #bins rows (tiny), and
+    *      yields each bin's exclusive prefix offset + the priority total;
+    *   3. the heavy running sum partitions on (priority, bin) — high
+    *      cardinality, bounded rows per task — and adds the bin offset.
+    * cd = (bin_offset + running_within_bin) / total: identical to
+    * cume_dist, oracled against the SAME cume_dist SQL collapsed per value.
     */
   private val qDistHistogram = GQuery(
     (s, d) => {
       val hist = t(s, d, "orders")
         .groupBy("o_orderpriority", "o_totalprice")
         .agg(count(lit(1)).as("cnt"))
-      val run = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+        .withColumn("bin", floor(col("o_totalprice") / 10000.0))
+      val binTotals = hist.groupBy("o_orderpriority", "bin")
+        .agg(sum("cnt").as("bin_cnt"))
+      val wBins = Window.partitionBy("o_orderpriority").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wPrio = Window.partitionBy("o_orderpriority")
+      val binOffsets = binTotals
+        .select(col("o_orderpriority"), col("bin"),
+          coalesce(sum("bin_cnt").over(wBins), lit(0L)).as("bin_off"),
+          sum("bin_cnt").over(wPrio).as("total"))
+      val wInBin = Window.partitionBy("o_orderpriority", "bin")
+        .orderBy("o_totalprice")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = Window.partitionBy("o_orderpriority")
-      hist
+      hist.join(broadcast(binOffsets), Seq("o_orderpriority", "bin"))
         .select(col("o_orderpriority"), col("o_totalprice"), col("cnt"),
-          dround(sum("cnt").over(run) / sum("cnt").over(tot), 6).as("cd"))
+          dround((col("bin_off") + sum("cnt").over(wInBin)) / col("total"), 6)
+            .as("cd"))
         .orderBy("o_orderpriority", "o_totalprice")
     },
     Some("""SELECT o_orderpriority, o_totalprice,
@@ -306,6 +323,34 @@ object RelationalExt extends QueryModule {
                    true AS med_ok
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** Diagnosability twin of q_agg_approx (ADVICE r2): emits the actual
+    * sketch deltas as rounded relative errors, deliberately WITHOUT an
+    * oracle (rows-only check) — if a margin in q_agg_approx ever breaks
+    * (larger SF, Spark upgrade shifting sketch internals), this query shows
+    * by how much instead of an opaque t2 hash mismatch.
+    */
+  private val qAggApproxDebug = GQuery(
+    (s, d) => {
+      val sketches = t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("n_approx"),
+          expr("percentile(o_totalprice, 0.5)").as("med_exact_raw"),
+          expr("approx_percentile(o_totalprice, 0.5, 10000)").as("med_approx_raw"))
+      val exact = t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      sketches.join(broadcast(exact), "o_orderpriority")
+        .select(col("o_orderpriority"), col("n_exact"), col("n_approx"),
+          dround(abs(col("n_approx") - col("n_exact")) / col("n_exact"), 4)
+            .as("cd_rel_err"),
+          dround(col("med_exact_raw")).as("med_exact"),
+          dround(col("med_approx_raw")).as("med_approx"),
+          dround(abs(col("med_approx_raw") - col("med_exact_raw"))
+            / col("med_exact_raw"), 4).as("med_rel_err"))
+        .orderBy("o_orderpriority")
+    },
+    None)
+
   // ------------------------------------------------------ map functions --
 
   /** MAP type surface: build from arrays, key lookup, keys/cardinality.
@@ -337,6 +382,7 @@ object RelationalExt extends QueryModule {
 
   override val queries: Map[String, GQuery] = Map(
     "q_agg_approx" -> qAggApprox,
+    "q_agg_approx_debug" -> qAggApproxDebug,
     "q_scalar_map" -> qScalarMap,
     "q_grouping_sets" -> qGroupingSets,
     "q_window_distribution" -> qWindowDistribution,

@@ -135,6 +135,16 @@ object StreamOps {
         col("c_ts") < col("p_ts"))
   }
 
+  /** Stream-static dimension enrichment: every micro-batch left-joins the
+    * (small, broadcast) static dimension — the standard feature-lookup shape.
+    * The broadcast hint keeps the stream side shuffle-free: at scale the
+    * stream partitions map against a replicated dim, and the static side is
+    * re-read per batch only if its source changes (Spark re-plans static
+    * sides each micro-batch).
+    */
+  def enrichStream(shaped: DataFrame, dim: DataFrame, dimKey: String): DataFrame =
+    shaped.join(broadcast(dim), col("value.uid") === dim(dimKey), "left")
+
   /** The reference's end-to-end job as a stream: file source → Kafka shape →
     * offset-named chunked ORC files, exactly-once via checkpoint + idempotent
     * dynamic-partition overwrite (O7/O10/O11).

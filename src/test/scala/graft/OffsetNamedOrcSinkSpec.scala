@@ -346,6 +346,20 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
     assert(OffsetNamedOrcSink.read(spark, s"$out/topics/beta").count() == 150)
   }
 
+  test("sink read-back prunes partition dirs at the source (PartitionFilters)") {
+    val out = freshOut()
+    val topicDir = OffsetNamedOrcSink.write(shaped, out, flushSize = 250)
+    val df = spark.read.orc(topicDir).filter(col("partition") === 2)
+    val p = df.queryExecution.executedPlan.toString
+    // the partition predicate must land in PartitionFilters (directory-level
+    // pruning — at scale: N dirs skipped without listing their files), not
+    // as a post-scan filter
+    assert(p.contains("PartitionFilters: ["), p.take(2000))
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("partition")), p.take(2000))
+    assert(df.count() == shaped.filter(col("partition") === 2).count())
+  }
+
   test("S3A conf bundle lands the reference's storage settings on a hadoop conf") {
     val conf = new org.apache.hadoop.conf.Configuration(false)
     S3AConf(endpoint = Some("http://localhost:9000"),

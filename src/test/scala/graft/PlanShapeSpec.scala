@@ -126,11 +126,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p.take(3000))
   }
 
-  test("q_dist_histogram windows over the histogram, not the raw rows") {
+  test("q_dist_histogram's heavy window partitions on (priority, bin), not priority alone") {
     val p = plan("q_dist_histogram")
-    // the low-cardinality window's input must be the (priority, price)
-    // hash aggregate — a Window directly over the scan would sort ~N/5
-    // raw rows in one task at scale
+    // the running-sum window over the histogram must partition on the
+    // high-cardinality (priority, bin) pair — partitioning on the 5-value
+    // priority alone is the single-task sort skew this query exists to avoid
+    val windowLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.exists(l =>
+      l.contains("o_orderpriority") && l.contains("bin") && l.contains("o_totalprice")),
+      s"no (priority, bin)-partitioned running window:\n${windowLines.mkString("\n")}")
+    // and the window input is the histogram aggregate, not raw rows
     val wIdx = p.indexOf("Window")
     val aggIdx = p.indexOf("HashAggregate", wIdx)
     assert(wIdx >= 0 && aggIdx > wIdx,

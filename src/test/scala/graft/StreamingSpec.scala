@@ -251,6 +251,25 @@ class StreamingSpec extends SparkSpec {
     assert(afterSecond == 1000, s"run2 rows: $afterSecond")
   }
 
+  test("stream-static enrichment broadcasts the dimension into each batch") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Int, Long, Int, Double, String)]
+    val dim = Seq((1, "gold"), (2, "silver")).toDF("uid_key", "tier")
+    val q = StreamOps.enrichStream(shapedStream(mem), dim, "uid_key")
+      .select(col("value.uid").as("uid"), col("offset"), col("tier"))
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((1, 0L, 0, 1.0, "a"), (2, 1L, 1, 1.0, "b"), (7, 2L, 2, 1.0, "c"))
+      q.processAllAvailable()
+      val out = spark.table("enrich_test").collect()
+        .map(r => (r.getInt(0), r.getLong(1), Option(r.getString(2)))).toSet
+      // matched keys enriched; unmatched key survives with null tier (left join)
+      assert(out == Set((1, 0L, Some("gold")), (2, 1L, Some("silver")),
+        (7, 2L, None)), out.toString)
+    } finally q.stop()
+  }
+
   test("watermark drops late data beyond 30 minutes") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Int, Long, Int, Double, String)]
