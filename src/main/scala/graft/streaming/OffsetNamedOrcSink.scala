@@ -1,7 +1,6 @@
 package graft.streaming
 
 import java.nio.charset.StandardCharsets.UTF_8
-import java.util.regex.Pattern
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
@@ -182,7 +181,13 @@ object OffsetNamedOrcSink {
     val chunk = col("offset") - pmod(col("offset"), lit(flushSize))
     val withDt = layout match {
       case Layout.TimeDaily(fmt) =>
-        conformed.withColumn(DtCol, date_format(col("timestamp"), fmt))
+        // null timestamps must not fall through to Spark's
+        // __HIVE_DEFAULT_PARTITION__ null dir: the hoist pass probes the dt
+        // VALUE, so a null would strand the staged file (and poison every
+        // later read with mixed partition depths). Route them to an explicit
+        // literal dir instead.
+        conformed.withColumn(DtCol,
+          coalesce(date_format(col("timestamp"), fmt), lit("unknown")))
       case _ => conformed
     }
     val flat = withDt
@@ -213,7 +218,7 @@ object OffsetNamedOrcSink {
     // makes the name-based probes below complete again. Steady state never
     // enters this branch — no per-batch directory walk.
     if (fs.exists(inflight)) {
-      recover(fs, root, topic)
+      recoverFromMarker(fs, root, topic, inflight)
       fs.delete(inflight, false)
     }
     val existingPaths = touched.flatMap { t =>
@@ -335,22 +340,29 @@ object OffsetNamedOrcSink {
   }
 
   /** The committed files of one chunk, matched EXACTLY: `<prefix>.orc` or
-    * `<prefix>-<digits>.orc`. Never a bare `startsWith` — once offsets
-    * exceed the 10-digit pad, chunk 1250000000's prefix is a string prefix
-    * of chunk 12500000000's file name (ADVICE r2), so prefix matching would
-    * delete/merge an unrelated chunk's data.
+    * `<prefix>-<N>.orc`. Never a bare `startsWith` — once offsets exceed
+    * the 10-digit pad, chunk 1250000000's prefix is a string prefix of
+    * chunk 12500000000's file name (ADVICE r2), so prefix matching would
+    * delete/merge an unrelated chunk's data. And never a glob — Hadoop
+    * implements a final-component wildcard as a listStatus of the parent
+    * dir, which would make every steady-state probe O(all files the
+    * partition has accumulated). `-N` suffixes are assigned contiguously
+    * from 1 by the hoist pass, so exact-name probes until the first miss
+    * cover them in O(1 + #suffixed).
     */
   private def committedChunkFiles(fs: FileSystem, pDir: Path,
       prefix: String): Seq[Path] = {
     if (FsAudit.enabled) FsAudit.probes.add(s"$pDir/$prefix")
+    val found = Seq.newBuilder[Path]
     val exact = new Path(pDir, s"$prefix.orc")
-    val base = if (fs.exists(exact)) Seq(exact) else Nil
-    val pat = Pattern.quote(prefix) + "-\\d+\\.orc"
-    val suffixed = Option(fs.globStatus(new Path(pDir, s"$prefix-*.orc")))
-      .map(_.toSeq).getOrElse(Nil)
-      .filter(_.isFile).map(_.getPath)
-      .filter(_.getName.matches(pat))
-    base ++ suffixed
+    if (fs.exists(exact)) found += exact
+    var i = 1
+    var more = true
+    while (more) {
+      val p = new Path(pDir, s"$prefix-$i.orc")
+      if (fs.exists(p)) { found += p; i += 1 } else more = false
+    }
+    found.result()
   }
 
   /** Hoist ONE chunk's staging dir to its committed offset name — the
@@ -376,15 +388,44 @@ object OffsetNamedOrcSink {
         // defensively if a chunk ever spans writers
         val t = if (i == 0) new Path(pDir, s"$prefix.orc")
           else new Path(pDir, s"$prefix-$i.orc")
-        fs.rename(f.getPath, t)
+        // Hadoop signals most rename failures (e.g. a failed S3A copy) by
+        // returning false, not throwing. An unchecked false here followed by
+        // the staging-dir delete would destroy the chunk's only copy — fail
+        // instead, leaving the staging dir AND the in-flight marker in
+        // place, so the next write/read recovers.
+        if (!fs.rename(f.getPath, t))
+          throw new java.io.IOException(
+            s"rename ${f.getPath} -> $t failed; staging dir kept for recovery")
       }
     }
     fs.delete(cDir, true) // now holds only commit markers, if that
   }
 
+  /** Recover a crashed commit. The in-flight marker records the crashed
+    * batch's touched leaves, and only one marker can ever exist (each write
+    * recovers its predecessor before writing its own), so hoisting exactly
+    * those leaves is complete — O(touched leaves), even on a topic with
+    * millions of committed files. The full directory walk remains only as
+    * the fallback for an unparsable/legacy marker payload.
+    */
+  private def recoverFromMarker(fs: FileSystem, root: Path, topic: String,
+      inflight: Path): Unit = {
+    val Line = raw"([^|]*)\|(\d+)\|(\d+)".r
+    val lines = readMarker(fs, inflight)
+      .map(_.linesIterator.filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val parsed = lines.collect {
+      case Line(dt, p, c) =>
+        Touched(if (dt.isEmpty) None else Some(dt), p.toInt, c.toLong)
+    }
+    if (parsed.nonEmpty && parsed.size == lines.size)
+      parsed.foreach(t =>
+        hoistChunkDir(fs, t.partitionDir(root), t.partition.toString, t.chunk, topic))
+    else recover(fs, root, topic)
+  }
+
   /** Full-walk recovery: hoist every surviving `_chunk=` staging dir under
-    * the topic dir (both layouts). O(#dirs) — runs only when an in-flight
-    * marker shows a previous commit crashed, never per steady-state batch.
+    * the topic dir (both layouts). O(#dirs) — the fallback when a marker
+    * payload is unparsable; never runs per steady-state batch.
     */
   private def recover(fs: FileSystem, root: Path, topic: String): Unit = {
     if (!fs.exists(root)) return
@@ -429,17 +470,20 @@ object OffsetNamedOrcSink {
     * offset embedded in each file's name. If a crashed commit left an
     * in-flight marker, the (idempotent, metadata-only) recovery pass runs
     * first so leftover `_chunk=` staging dirs can't poison partition
-    * inference (ADVICE r2).
+    * inference (ADVICE r2). The marker is deliberately NOT deleted here:
+    * only `write` owns the commit protocol, so a reader that races a live
+    * writer can never erase the crash evidence a future recovery depends
+    * on. (Reading a topic dir while a write is actively committing to it
+    * is otherwise unsupported — same as the reference, whose verification
+    * reads run between commits.)
     */
   def read(spark: SparkSession, topicDir: String): DataFrame = {
     val fs = FileSystem.get(new java.net.URI(topicDir),
       spark.sparkContext.hadoopConfiguration)
     val root = new Path(topicDir)
     val inflight = new Path(root, InflightMarker)
-    if (fs.exists(inflight)) {
-      recover(fs, root, root.getName)
-      fs.delete(inflight, false)
-    }
+    if (fs.exists(inflight))
+      recoverFromMarker(fs, root, root.getName, inflight)
     spark.read.orc(topicDir)
       .withColumn(ChunkCol,
         regexp_extract(input_file_name(), raw"\+(\d+)(?:-\d+)?\.orc$$", 1)

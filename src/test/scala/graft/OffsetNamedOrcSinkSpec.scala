@@ -111,11 +111,13 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
   /** A crash inside the commit protocol always leaves the in-flight marker
     * behind (it is created before the overwrite job and deleted only after
     * the hoist pass completes) — crash simulations must reproduce it, since
-    * the marker is what gates the recovery walk.
+    * the marker is what gates the recovery walk. A real marker carries
+    * parseable `dt|partition|chunk` lines (scoped recovery); garbage content
+    * exercises the full-walk fallback.
     */
-  private def leaveInflightMarker(out: String): Unit = {
+  private def leaveInflightMarker(out: String, content: String = "crash"): Unit = {
     val m = new java.io.File(s"$out/topics/events/_graft_inflight")
-    java.nio.file.Files.write(m.toPath, "crash".getBytes)
+    java.nio.file.Files.write(m.toPath, content.getBytes)
     ()
   }
 
@@ -134,7 +136,7 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
     val staging = new java.io.File(pDir, "_chunk=250")
     assert(staging.mkdir())
     assert(committed.head.renameTo(new java.io.File(staging, "part-00000-crash.orc")))
-    leaveInflightMarker(out)
+    leaveInflightMarker(out, "|0|250") // real payload → scoped recovery path
     // next batch touches chunk 250 again — must merge the crashed rows back
     val topicDir = OffsetNamedOrcSink.write(
       shaped.filter(col("offset") >= 437), out, 250)
@@ -166,12 +168,15 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
     val staging = new java.io.File(pDir, "_chunk=250")
     assert(staging.mkdir())
     assert(committed.head.renameTo(new java.io.File(staging, "part-00000-crash.orc")))
-    leaveInflightMarker(out)
+    leaveInflightMarker(out, "|0|250")
     // without recovery this read throws Spark's 'conflicting directory
     // structures' (mixed partition depths); read() must self-heal (ADVICE r2)
     val back = OffsetNamedOrcSink.read(spark, s"$out/topics/events")
     assert(back.count() == 437, s"rows: ${back.count()}")
     assert(!staging.exists())
+    // but read() must NOT consume the marker — only write() owns the commit
+    // protocol (a reader racing a live writer may never erase crash evidence)
+    assert(new java.io.File(s"$out/topics/events/_graft_inflight").exists())
   }
 
   test("O4/O5: six-type schema survives ORC with nulls intact") {
@@ -321,6 +326,31 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
     OffsetNamedOrcSink.write(KafkaShaped.shape(events), out,
       flushSize = 250, layout = Layout.TimeDaily())
     assert(OffsetNamedOrcSink.read(spark, topicDir).count() == 10)
+  }
+
+  test("TimeDaily routes null timestamps to dt=unknown, never strands staging") {
+    import spark.implicits._
+    val out = freshOut()
+    val events = Seq((0L, 0L, Some("2024-03-01 10:00:00")), (1L, 0L, None))
+      .toDF("event_id", "user_id", "ts_str")
+      .withColumn("ts", col("ts_str").cast("timestamp"))
+      .withColumn("event_type", lit("x"))
+      .withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val topicDir = OffsetNamedOrcSink.write(KafkaShaped.shape(events), out,
+      flushSize = 250, layout = Layout.TimeDaily())
+    // a null dt would land in Spark's __HIVE_DEFAULT_PARTITION__ while the
+    // hoist pass probes "dt=null" — the row must go to an explicit literal
+    // dir the hoist pass can find
+    assert(new java.io.File(topicDir, "dt=unknown").isDirectory)
+    val back = OffsetNamedOrcSink.read(spark, topicDir)
+    assert(back.count() == 2, s"rows: ${back.count()}")
+    // and nothing was stranded in a staging dir
+    val stray = new java.io.File(topicDir).listFiles.filter(_.isDirectory)
+      .flatMap(_.listFiles).filter(_.isDirectory)
+      .flatMap(_.listFiles).filter(_.isDirectory)
+    assert(stray.isEmpty, stray.map(_.getPath).mkString(","))
   }
 
   test("multi-topic batch: one topic dir each, both layouts correct") {
