@@ -239,6 +239,99 @@ object AnalyticsOps extends QueryModule {
                    true AS samp_ok
             FROM orders GROUP BY 1 ORDER BY o_orderpriority"""))
 
+  /** MERGE/upsert semantics (CDC batch application) — the incremental-
+    * pipeline primitive Spark expresses as one full-outer join + CASE
+    * routing, with the change set derived deterministically from the base
+    * table: keys ≡ 0 (mod 10) are updates (price × 1.1), of which keys
+    * ≡ 0 (mod 30) are deletes, and each update key k also inserts a new
+    * key k + 10_000_000. Semantics: DELETE wins, UPDATE replaces, INSERT
+    * appends, unmatched base rows pass through — exactly SQL MERGE's three
+    * WHEN branches. One shuffle (the join); change set is 10% of base.
+    */
+  private val qMergeUpsert = GQuery(
+    (s, d) => {
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val updates = base.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 30 === 0, lit("D")).otherwise(lit("U")).as("op"),
+          (col("o_totalprice") * 1.1).as("new_price"))
+      val inserts = base.filter(col("o_orderkey") % 10 === 0)
+        .select((col("o_orderkey") + 10000000L).as("k"), lit("I").as("op"),
+          (col("o_totalprice") * 2.0).as("new_price"))
+      val changes = updates.union(inserts)
+      base.join(changes, col("o_orderkey") === col("k"), "full_outer")
+        .filter(coalesce(col("op"), lit("")) =!= "D")
+        .select(
+          coalesce(col("o_orderkey"), col("k")).as("key"),
+          when(col("op") === "U" || col("op") === "I",
+            dround(col("new_price"))).otherwise(dround(col("o_totalprice")))
+            .as("price"),
+          coalesce(col("op"), lit("KEEP")).as("action"))
+        .orderBy("key")
+    },
+    Some("""WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+            changes AS (
+              SELECT o_orderkey AS k,
+                     CASE WHEN o_orderkey % 30 = 0 THEN 'D' ELSE 'U' END AS op,
+                     o_totalprice * 1.1 AS new_price
+              FROM base WHERE o_orderkey % 10 = 0
+              UNION ALL
+              SELECT o_orderkey + 10000000, 'I', o_totalprice * 2.0
+              FROM base WHERE o_orderkey % 10 = 0)
+            SELECT coalesce(b.o_orderkey, c.k) AS key,
+                   CAST(round(CAST(CASE WHEN c.op IN ('U', 'I') THEN c.new_price
+                                        ELSE b.o_totalprice END
+                     AS DECIMAL(30,8)), 2) AS DOUBLE) AS price,
+                   coalesce(c.op, 'KEEP') AS action
+            FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.k
+            WHERE coalesce(c.op, '') <> 'D'
+            ORDER BY key"""))
+
+  /** Feature discretization: per-stratum quartile binning. Boundaries are
+    * the exact interpolated quartiles (percentile ≡ quantile_cont, parity
+    * proven by q_agg_stats), computed once per 5-row stratum and broadcast
+    * back — at scale the boundary table is strata-sized, the binning pass
+    * is map-only, and the scale path swaps percentile for approx_percentile
+    * with the same join shape. Bin membership compares raw doubles against
+    * the interpolated boundary — identical doubles compare identically in
+    * both engines, so the assignment is hash-stable.
+    */
+  private val qFeatureBucketize = GQuery(
+    (s, d) => {
+      val orders = t(s, d, "orders")
+      val bounds = orders.groupBy("o_orderpriority")
+        .agg(expr("percentile(o_totalprice, 0.25)").as("q1"),
+          expr("percentile(o_totalprice, 0.5)").as("q2"),
+          expr("percentile(o_totalprice, 0.75)").as("q3"))
+      orders.join(broadcast(bounds), "o_orderpriority")
+        .select(col("o_orderpriority"),
+          when(col("o_totalprice") <= col("q1"), 1)
+            .when(col("o_totalprice") <= col("q2"), 2)
+            .when(col("o_totalprice") <= col("q3"), 3)
+            .otherwise(4).as("bin"),
+          col("o_totalprice"))
+        .groupBy("o_orderpriority", "bin")
+        .agg(count(lit(1)).as("n"), dround(avg("o_totalprice")).as("avg_price"))
+        .orderBy("o_orderpriority", "bin")
+    },
+    Some("""WITH bounds AS (
+              SELECT o_orderpriority,
+                     quantile_cont(o_totalprice, 0.25) AS q1,
+                     quantile_cont(o_totalprice, 0.5)  AS q2,
+                     quantile_cont(o_totalprice, 0.75) AS q3
+              FROM orders GROUP BY o_orderpriority)
+            SELECT o.o_orderpriority,
+                   CAST(CASE WHEN o.o_totalprice <= b.q1 THEN 1
+                             WHEN o.o_totalprice <= b.q2 THEN 2
+                             WHEN o.o_totalprice <= b.q3 THEN 3
+                             ELSE 4 END AS INT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(round(CAST(avg(o.o_totalprice) AS DECIMAL(30,8)), 2)
+                     AS DOUBLE) AS avg_price
+            FROM orders o JOIN bounds b USING (o_orderpriority)
+            GROUP BY 1, 2 ORDER BY o_orderpriority, bin"""))
+
   // ----------------------------- correlated scalar / IN / EXISTS subqueries --
 
   /** Scalar subqueries in the SELECT list + IN and NOT EXISTS filters.
@@ -452,6 +545,8 @@ object AnalyticsOps extends QueryModule {
     "q_profile_approx" -> qProfileApprox,
     "q_scd2_intervals" -> qScd2Intervals,
     "q_sample_stratified" -> qSampleStratified,
+    "q_merge_upsert" -> qMergeUpsert,
+    "q_feature_bucketize" -> qFeatureBucketize,
     "q_subquery_existsin" -> qSubqueryExistsIn,
     "q_join_lateral" -> qJoinLateral,
     "q_join_theta_band" -> qJoinThetaBand,

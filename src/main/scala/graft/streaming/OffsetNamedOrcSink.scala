@@ -134,13 +134,20 @@ object OffsetNamedOrcSink {
     fs.listStatus(dir).toSeq
   }
 
+  /** File-name form of the topic: `#` → `_`, the reference's sanitizer for
+    * committed keys (`OrcRecordWriter.java:50`). Directory names keep the
+    * raw topic (matching the reference's `topics/<topic>/` layout).
+    */
+  private def fileTopic(topic: String): String = topic.replace('#', '_')
+
   /** One output leaf touched by the current batch. */
   private final case class Touched(dt: Option[String], partition: Int, chunk: Long) {
     def partitionDir(root: Path): Path = {
       val base = dt.fold(root)(d => new Path(root, s"$DtCol=$d"))
       new Path(base, s"partition=$partition")
     }
-    def prefix(topic: String): String = f"$topic+$partition+$chunk%010d"
+    def prefix(topic: String): String =
+      f"${fileTopic(topic)}+$partition+$chunk%010d"
   }
 
   /** Write a Kafka-shaped DataFrame (key, value:struct, topic, partition,
@@ -375,7 +382,7 @@ object OffsetNamedOrcSink {
       chunkStart: Long, topic: String): Unit = {
     val cDir = new Path(pDir, s"$ChunkCol=$chunkStart")
     if (!fs.exists(cDir)) return
-    val prefix = f"$topic+$p+$chunkStart%010d"
+    val prefix = f"${fileTopic(topic)}+$p+$chunkStart%010d"
     val parts = listDir(fs, cDir)
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
     // a part-less _chunk dir means a crash landed between this chunk's

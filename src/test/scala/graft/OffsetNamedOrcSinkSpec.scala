@@ -390,6 +390,19 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
     assert(df.count() == shaped.filter(col("partition") === 2).count())
   }
 
+  test("topic names sanitize '#' to '_' in committed file keys (reference sanitizer)") {
+    val out = freshOut()
+    val topicDir = OffsetNamedOrcSink.write(
+      shaped.filter(col("offset") < 300), out, 250, topic = "a#1")
+    // dir keeps the raw topic; file keys carry the sanitized form
+    assert(topicDir.endsWith("/topics/a#1"))
+    val files = orcFiles(topicDir).map(_.getName)
+    assert(files.nonEmpty && files.forall(_.startsWith("a_1+")), files.mkString(","))
+    // replay is still idempotent under sanitized names
+    OffsetNamedOrcSink.write(shaped.filter(col("offset") < 300), out, 250, topic = "a#1")
+    assert(OffsetNamedOrcSink.read(spark, topicDir).count() == 300)
+  }
+
   test("S3A conf bundle lands the reference's storage settings on a hadoop conf") {
     val conf = new org.apache.hadoop.conf.Configuration(false)
     S3AConf(endpoint = Some("http://localhost:9000"),

@@ -105,6 +105,35 @@ class StreamingSpec extends SparkSpec {
     assert(result2.count() == 1000)
   }
 
+  test("streaming pipeline with TimeDaily layout lands dt-partitioned offset files") {
+    import graft.streaming.OffsetNamedOrcSink.Layout
+    val srcDir = tmp("graft-timestream-src-")
+    val outDir = tmp("graft-timestream-out-")
+    val ck = tmp("graft-timestream-ck-")
+    Tables(spark, sf, "events")
+      .withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .repartition(3)
+      .write.mode("overwrite").parquet(srcDir)
+    val raw = spark.readStream.schema(KafkaShaped.eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = KafkaShaped.shape(raw).writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        OffsetNamedOrcSink.write(b, outDir, 250, layout = Layout.TimeDaily()); ()
+      }
+      .start()
+    q.awaitTermination()
+    val topicDir = s"$outDir/topics/events"
+    val dtDirs = new java.io.File(topicDir).listFiles.filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("dt="))
+    assert(dtDirs.nonEmpty, "no dt= dirs")
+    val back = OffsetNamedOrcSink.read(spark, topicDir)
+    assert(back.count() == 1000, s"rows: ${back.count()}")
+    assert(back.select("offset").distinct().count() == 1000)
+  }
+
   test("stateful dedup suppresses duplicates across micro-batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Int, Long, Int, Double, String)]
