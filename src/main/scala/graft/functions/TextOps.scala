@@ -358,7 +358,25 @@ object TextOps extends QueryModule {
                      AS n_digit_runs
             FROM documents ORDER BY doc_id"""))
 
+  /** Vocabulary building: top-100 tokens by document frequency — the
+    * tokenizer-training precursor. Distinct-per-doc explode bounds each
+    * doc's contribution to 1 per token; the global top-k is
+    * TakeOrderedAndProject (per-partition heaps, never a global sort).
+    * Ties broken by token for a total order.
+    */
+  private val qVocabTopk = GQuery(
+    (s, d) => t(s, d, "documents")
+      .select(explode(array_distinct(split(lower(col("text")), " "))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token")).limit(100),
+    Some("""WITH t AS (
+              SELECT unnest(list_distinct(string_split(lower(text), ' '))) AS token
+              FROM documents)
+            SELECT token, CAST(count(*) AS BIGINT) AS df
+            FROM t GROUP BY token ORDER BY df DESC, token LIMIT 100"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_vocab_topk" -> qVocabTopk,
     "q_text_scrub" -> qTextScrub,
     "q_text_tfidf" -> qTextTfidf,
     "q_text_repetition" -> qTextRepetition,

@@ -332,6 +332,46 @@ object AnalyticsOps extends QueryModule {
             FROM orders o JOIN bounds b USING (o_orderpriority)
             GROUP BY 1, 2 ORDER BY o_orderpriority, bin"""))
 
+  /** Sequence packing — concatenate documents into fixed-token-budget
+    * training sequences. Real pipelines pack greedily per shard (never
+    * globally: a global pack order would be a single-task sort); here
+    * shard = md5-bucket(doc_id) mod 16, docs are packed in doc_id order
+    * within their shard, and a doc's pack is the exclusive-prefix token
+    * count div the 512-token budget (pack boundaries at budget multiples
+    * of cumulative token space — the streaming-packer semantics). One
+    * window per shard; shards are the parallelism unit at scale.
+    */
+  private val qPackSequences = GQuery(
+    (s, d) => {
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          pmod(DedupOps.hex4(col("doc_id").cast("string")), lit(16)).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum("n_tokens").over(w))
+        .withColumn("pack_id", expr("(cum - n_tokens) div 512"))
+        .groupBy("shard", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("shard", "pack_id")
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id,
+                     CAST(${DedupOps.duckHex4("md5(CAST(doc_id AS VARCHAR))")} % 16
+                       AS BIGINT) AS shard,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM toks)
+            SELECT shard, CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM c GROUP BY 1, 2 ORDER BY shard, pack_id"""))
+
   // ----------------------------- correlated scalar / IN / EXISTS subqueries --
 
   /** Scalar subqueries in the SELECT list + IN and NOT EXISTS filters.
@@ -547,6 +587,7 @@ object AnalyticsOps extends QueryModule {
     "q_sample_stratified" -> qSampleStratified,
     "q_merge_upsert" -> qMergeUpsert,
     "q_feature_bucketize" -> qFeatureBucketize,
+    "q_pack_sequences" -> qPackSequences,
     "q_subquery_existsin" -> qSubqueryExistsIn,
     "q_join_lateral" -> qJoinLateral,
     "q_join_theta_band" -> qJoinThetaBand,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GQuery, QueryModule, Tables}
 
@@ -42,10 +43,22 @@ object GraphOps extends QueryModule {
         .union(li.select(
           concat(lit("p:"), col("l_partkey")).as("src"),
           concat(lit("s:"), col("l_suppkey")).as("dst")))
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      val withDeg = edges.join(deg, "src")
-      var rank = deg.select(col("src").as("node"), lit(1000000L).as("mass"))
-      for (_ <- 1 to 3) {
+      // degree as a window over the one edge shuffle (not groupBy + join —
+      // that costs a second full-edge shuffle), then materialize ONCE:
+      // every iteration reuses the checkpointed (src, dst, deg) edge list
+      // instead of re-deriving it from the scan. Same pattern as the
+      // components operator.
+      val withDeg = edges
+        .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+        .localCheckpoint(true)
+      // iteration 1's rank is the constant initial mass, so it is inlined —
+      // the first edges⋈ranks join exists only from iteration 2 on
+      var rank = withDeg
+        .select(col("dst"), expr("(1000000 * 85) div (100 * deg)").as("c"))
+        .groupBy("dst")
+        .agg((lit(150000L) + sum("c")).as("mass"))
+        .select(col("dst").as("node"), col("mass"))
+      for (_ <- 2 to 3) {
         rank = withDeg.join(rank, col("src") === col("node"))
           .select(col("dst"), expr("(mass * 85) div (100 * deg)").as("c"))
           .groupBy("dst")

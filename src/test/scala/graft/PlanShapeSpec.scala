@@ -149,6 +149,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("approx_count_distinct"), p.take(3000))
   }
 
+  test("q_feature_bucketize broadcasts the per-stratum boundaries") {
+    val p = plan("q_feature_bucketize")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q_merge_upsert plans a single full-outer sort-merge join") {
+    val p = plan("q_merge_upsert")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p.take(3000))
+    assert(p.linesIterator.count(_.contains("SortMergeJoin")) == 1, p.take(3000))
+  }
+
+  test("q_vocab_topk short-circuits via TakeOrderedAndProject") {
+    val p = plan("q_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
   test("q_split_train and q_text_chunk stay shuffle-minimal (one exchange each)") {
     // split: map + single-key agg; chunk: map + explode + presentation sort.
     // More exchanges would mean the split/chunk stage itself shuffles.
