@@ -70,6 +70,66 @@ object MultimodalOps extends QueryModule {
                    CAST(octet_length(encode(text)) % 48 AS INT) AS fake_h
             FROM documents ORDER BY doc_id"""))
 
+  /** One sampled frame of a media payload (the 1→N decode shape). */
+  final case class FrameFeatures(
+      doc_id: Long,
+      frame_idx: Int,  // index on the fixed 256-byte frame grid
+      frame_len: Int,  // bytes in this frame (last frame may be short)
+      fsum: Long)      // checksum of the frame's first 8 bytes
+
+  /** Frame sampling — the video-frame-extraction / audio-chunking shape:
+    * one payload row flatMaps to every STRIDE-th fixed-size frame, each
+    * carrying deterministic pseudo-features. Same stub-codec contract as
+    * decodeStub; the real plumbing being exercised is the 1→N typed
+    * `mapPartitions` expansion (a real extractor amortizes its decoder
+    * handle per partition and yields frames lazily — no per-doc frame
+    * buffer materializes).
+    */
+  def sampleFrames(docs: DataFrame, frameBytes: Int = 256,
+      stride: Int = 2): Dataset[FrameFeatures] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val nFrames = (payload.length + frameBytes - 1) / frameBytes
+          (0 until nFrames).iterator.filter(_ % stride == 0).map { f =>
+            val off = f * frameBytes
+            val len = math.min(frameBytes, payload.length - off)
+            val fsum = payload.iterator.slice(off, off + math.min(8, len))
+              .map(b => (b & 0xff).toLong).sum
+            FrameFeatures(id, f, len, fsum)
+          }
+        }
+      }
+  }
+
+  /** Oracled frame-sampling query (ASCII corpus ⇒ byte == char arithmetic
+    * in the DuckDB twin, as verified for q_multimodal_decode).
+    */
+  private val qMultimodalFrames = GQuery(
+    (s, d) => sampleFrames(Tables(s, d, "documents")).toDF()
+      .orderBy("doc_id", "frame_idx"),
+    Some("""WITH d AS (
+              SELECT doc_id, text, octet_length(encode(text)) AS n
+              FROM documents),
+            f AS (
+              SELECT doc_id, text, n,
+                     unnest(generate_series(0,
+                       CAST((n + 255) // 256 AS INT) - 1)) AS fidx
+              FROM d)
+            SELECT doc_id,
+                   CAST(fidx AS INT) AS frame_idx,
+                   CAST(least(256, n - fidx*256) AS INT) AS frame_len,
+                   CAST(list_sum(list_transform(
+                     generate_series(1, CAST(least(8, n - fidx*256) AS INT)),
+                     i -> ascii(substr(text, CAST(fidx*256 + i AS INT), 1))))
+                     AS BIGINT) AS fsum
+            FROM f WHERE fidx % 2 = 0
+            ORDER BY doc_id, frame_idx"""))
+
   override val queries: Map[String, GQuery] = Map(
-    "q_multimodal_decode" -> qMultimodalDecode)
+    "q_multimodal_decode" -> qMultimodalDecode,
+    "q_multimodal_frames" -> qMultimodalFrames)
 }
