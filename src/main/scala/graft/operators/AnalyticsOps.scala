@@ -251,13 +251,17 @@ object AnalyticsOps extends QueryModule {
   private val qMergeUpsert = GQuery(
     (s, d) => {
       val base = t(s, d, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .select(col("o_orderkey"), col("o_totalprice"))
       val updates = base.filter(col("o_orderkey") % 10 === 0)
         .select(col("o_orderkey").as("k"),
           when(col("o_orderkey") % 30 === 0, lit("D")).otherwise(lit("U")).as("op"),
           (col("o_totalprice") * 1.1).as("new_price"))
+      // insert keys are NEGATED base keys: disjoint from the (positive) base
+      // key space at EVERY sf — an additive offset would collide once
+      // orderkeys exceed it, fanning out the full-outer join into non-MERGE
+      // output that both engines would compute identically (hash-invisible)
       val inserts = base.filter(col("o_orderkey") % 10 === 0)
-        .select((col("o_orderkey") + 10000000L).as("k"), lit("I").as("op"),
+        .select((-col("o_orderkey")).as("k"), lit("I").as("op"),
           (col("o_totalprice") * 2.0).as("new_price"))
       val changes = updates.union(inserts)
       base.join(changes, col("o_orderkey") === col("k"), "full_outer")
@@ -270,14 +274,14 @@ object AnalyticsOps extends QueryModule {
           coalesce(col("op"), lit("KEEP")).as("action"))
         .orderBy("key")
     },
-    Some("""WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+    Some("""WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
             changes AS (
               SELECT o_orderkey AS k,
                      CASE WHEN o_orderkey % 30 = 0 THEN 'D' ELSE 'U' END AS op,
                      o_totalprice * 1.1 AS new_price
               FROM base WHERE o_orderkey % 10 = 0
               UNION ALL
-              SELECT o_orderkey + 10000000, 'I', o_totalprice * 2.0
+              SELECT -o_orderkey, 'I', o_totalprice * 2.0
               FROM base WHERE o_orderkey % 10 = 0)
             SELECT coalesce(b.o_orderkey, c.k) AS key,
                    CAST(round(CAST(CASE WHEN c.op IN ('U', 'I') THEN c.new_price
@@ -293,17 +297,18 @@ object AnalyticsOps extends QueryModule {
     * proven by q_agg_stats), computed once per 5-row stratum and broadcast
     * back — at scale the boundary table is strata-sized, the binning pass
     * is map-only, and the scale path swaps percentile for approx_percentile
-    * with the same join shape. Bin membership compares raw doubles against
-    * the interpolated boundary — identical doubles compare identically in
-    * both engines, so the assignment is hash-stable.
+    * with the same join shape. Boundaries are dround-SNAPPED before the
+    * comparison: the engines' interpolation arithmetic ((1−f)·lo+f·hi vs
+    * lo+f·(hi−lo)) can differ by 1 ulp, and a raw-boundary `<=` against a
+    * row exactly at the boundary would then bin it differently per engine.
     */
   private val qFeatureBucketize = GQuery(
     (s, d) => {
       val orders = t(s, d, "orders")
       val bounds = orders.groupBy("o_orderpriority")
-        .agg(expr("percentile(o_totalprice, 0.25)").as("q1"),
-          expr("percentile(o_totalprice, 0.5)").as("q2"),
-          expr("percentile(o_totalprice, 0.75)").as("q3"))
+        .agg(dround(expr("percentile(o_totalprice, 0.25)")).as("q1"),
+          dround(expr("percentile(o_totalprice, 0.5)")).as("q2"),
+          dround(expr("percentile(o_totalprice, 0.75)")).as("q3"))
       orders.join(broadcast(bounds), "o_orderpriority")
         .select(col("o_orderpriority"),
           when(col("o_totalprice") <= col("q1"), 1)
@@ -317,9 +322,12 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH bounds AS (
               SELECT o_orderpriority,
-                     quantile_cont(o_totalprice, 0.25) AS q1,
-                     quantile_cont(o_totalprice, 0.5)  AS q2,
-                     quantile_cont(o_totalprice, 0.75) AS q3
+                     CAST(round(CAST(quantile_cont(o_totalprice, 0.25)
+                       AS DECIMAL(30,8)), 2) AS DOUBLE) AS q1,
+                     CAST(round(CAST(quantile_cont(o_totalprice, 0.5)
+                       AS DECIMAL(30,8)), 2) AS DOUBLE) AS q2,
+                     CAST(round(CAST(quantile_cont(o_totalprice, 0.75)
+                       AS DECIMAL(30,8)), 2) AS DOUBLE) AS q3
               FROM orders GROUP BY o_orderpriority)
             SELECT o.o_orderpriority,
                    CAST(CASE WHEN o.o_totalprice <= b.q1 THEN 1
@@ -339,7 +347,10 @@ object AnalyticsOps extends QueryModule {
     * within their shard, and a doc's pack is the exclusive-prefix token
     * count div the 512-token budget (pack boundaries at budget multiples
     * of cumulative token space — the streaming-packer semantics). One
-    * window per shard; shards are the parallelism unit at scale.
+    * window per shard; shards are the parallelism unit, so a production
+    * run sets the shard count ≈ cluster task slots (16 here is a test-SF
+    * constant baked into the oracle, not a design limit — the md5 bucket
+    * arithmetic scales to any modulus).
     */
   private val qPackSequences = GQuery(
     (s, d) => {

@@ -47,7 +47,9 @@ object GraphOps extends QueryModule {
       // that costs a second full-edge shuffle), then materialize ONCE:
       // every iteration reuses the checkpointed (src, dst, deg) edge list
       // instead of re-deriving it from the scan. Same pattern as the
-      // components operator.
+      // components operator; the checkpoint's blocks are reclaimed by
+      // Spark's ContextCleaner once the returned plan is GC'd (no explicit
+      // unpersist is possible — the result still references the RDD).
       val withDeg = edges
         .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
         .localCheckpoint(true)
