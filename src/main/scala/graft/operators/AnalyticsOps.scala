@@ -383,6 +383,71 @@ object AnalyticsOps extends QueryModule {
                    min(doc_id) AS first_doc, max(doc_id) AS last_doc
             FROM c GROUP BY 1, 2 ORDER BY shard, pack_id"""))
 
+  /** The end-to-end corpus-prep pipeline as ONE composed query — the
+    * engine's whole training-data story chained: normalize (lower+trim) →
+    * quality filter (≥5 tokens) → exact dedup (md5 of normalized text,
+    * lowest doc_id wins) → near-dup removal (first-5-token prefix block,
+    * lowest doc_id wins — the q_text_shingle_dup blocking) → deterministic
+    * hash split → per-split stats. Every stage is an operator proven
+    * individually elsewhere; this pins that they COMPOSE: three shuffles
+    * total (two dedup windows + the final 3-group agg), tokens computed
+    * once and carried as a column (CLAUDE.md HOF rule).
+    */
+  private val qCorpusPipeline = GQuery(
+    (s, d) => {
+      val wExact = Window.partitionBy("h").orderBy("doc_id")
+      val wBlock = Window.partitionBy("prefix").orderBy("doc_id")
+      val bucket = pmod(DedupOps.hex4(col("doc_id").cast("string")), lit(100))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), lower(trim(col("text"))).as("norm"))
+        .withColumn("toks", split(col("norm"), " "))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .filter(col("n_tokens") >= 5)
+        .withColumn("h", md5(col("norm")))
+        .withColumn("rn", row_number().over(wExact))
+        .filter(col("rn") === 1)
+        .withColumn("prefix", array_join(slice(col("toks"), 1, 5), " "))
+        .withColumn("rb", row_number().over(wBlock))
+        .filter(col("rb") === 1)
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("sum_tokens"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("split")
+    },
+    Some(s"""WITH norm AS (
+              SELECT doc_id, lang, lower(trim(text)) AS norm,
+                     string_split(lower(trim(text)), ' ') AS toks
+              FROM documents),
+            tok AS (
+              SELECT *, CAST(len(toks) AS BIGINT) AS n_tokens
+              FROM norm WHERE len(toks) >= 5),
+            exact AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY md5(norm)
+                            ORDER BY doc_id) AS rn
+                FROM tok) WHERE rn = 1),
+            blocked AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (
+                            PARTITION BY array_to_string(list_slice(toks, 1, 5), ' ')
+                            ORDER BY doc_id) AS rb
+                FROM exact) WHERE rb = 1),
+            sp AS (
+              SELECT CASE WHEN b < 80 THEN 'train'
+                          WHEN b < 90 THEN 'val'
+                          ELSE 'test' END AS split,
+                     n_tokens, lang
+              FROM (SELECT *,
+                      ${DedupOps.duckHex4("md5(CAST(doc_id AS VARCHAR))")} % 100 AS b
+                    FROM blocked))
+            SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM sp GROUP BY split ORDER BY split"""))
+
   // ----------------------------- correlated scalar / IN / EXISTS subqueries --
 
   /** Scalar subqueries in the SELECT list + IN and NOT EXISTS filters.
@@ -599,6 +664,7 @@ object AnalyticsOps extends QueryModule {
     "q_merge_upsert" -> qMergeUpsert,
     "q_feature_bucketize" -> qFeatureBucketize,
     "q_pack_sequences" -> qPackSequences,
+    "q_corpus_pipeline" -> qCorpusPipeline,
     "q_subquery_existsin" -> qSubqueryExistsIn,
     "q_join_lateral" -> qJoinLateral,
     "q_join_theta_band" -> qJoinThetaBand,
