@@ -38,13 +38,16 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
+    // ms precision: full-double seconds ballooned the line past the
+    // driver's tail capture (BENCH_r02.json arrived truncated mid-JSON)
+    def fmt(v: Double): String = f"$v%.3f"
     val qjson = results.map { case (k, v, ok) =>
-      s"\"" + k + "\":" + (if (ok) v.toString else "null")
+      s"\"" + k + "\":" + (if (ok) fmt(v) else "null")
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qjson,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(!_._3)) sys.exit(1)
   }

@@ -89,6 +89,10 @@ object RelationalExt extends QueryModule {
     *      cardinality, bounded rows per task — and adds the bin offset.
     * cd = (bin_offset + running_within_bin) / total: identical to
     * cume_dist, oracled against the SAME cume_dist SQL collapsed per value.
+    * The fixed 10k bin width is the test-SF constant; rows-per-bin is the
+    * knob, and a production run derives the boundaries from
+    * approx_percentile instead (equi-depth bins ⇒ bounded rows per task at
+    * any skew) — the plan shape is unchanged.
     */
   private val qDistHistogram = GQuery(
     (s, d) => {
