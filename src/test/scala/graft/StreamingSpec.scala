@@ -134,6 +134,33 @@ class StreamingSpec extends SparkSpec {
     assert(back.select("offset").distinct().count() == 1000)
   }
 
+  test("multi-topic stream routes one topic dir each through writeMulti") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Int, Long, Int, Double, String)]
+    val outDir = tmp("graft-multitopic-out-")
+    val q = shapedStream(mem)
+      .withColumn("topic",
+        when(col("value.uid") % 2 === 0, lit("even")).otherwise(lit("odd")))
+      .writeStream
+      .option("checkpointLocation", tmp("graft-multitopic-ck-"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        OffsetNamedOrcSink.writeMulti(b, outDir, 250); ()
+      }
+      .start()
+    try {
+      mem.addData((1, 0L, 0, 1.0, "a"), (2, 1L, 1, 1.0, "b"), (3, 2L, 2, 1.0, "c"))
+      q.processAllAvailable()
+      mem.addData((4, 3L, 3, 1.0, "d")) // second batch, other topic again
+      q.processAllAvailable()
+    } finally q.stop()
+    val even = OffsetNamedOrcSink.read(spark, s"$outDir/topics/even")
+    val odd = OffsetNamedOrcSink.read(spark, s"$outDir/topics/odd")
+    assert(even.count() == 2 && odd.count() == 2,
+      s"even=${even.count()} odd=${odd.count()}")
+    assert(even.select("uid").collect().map(_.getInt(0)).toSet == Set(2, 4))
+    assert(odd.select("uid").collect().map(_.getInt(0)).toSet == Set(1, 3))
+  }
+
   test("stateful dedup suppresses duplicates across micro-batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Int, Long, Int, Double, String)]
