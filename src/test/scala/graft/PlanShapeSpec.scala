@@ -165,6 +165,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
 
+  test("newest pipeline queries stay shuffle-bounded") {
+    def exchanges(name: String): Int = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    }
+    // corpus pipeline: two dedup windows + final agg + presentation sort
+    assert(exchanges("q_corpus_pipeline") <= 5,
+      "corpus pipeline shuffles beyond its two windows + agg + sort")
+    // packing: per-shard window (+ agg may reuse, + tiny sort)
+    assert(exchanges("q_pack_sequences") <= 3, "packing shuffles beyond its window")
+    // SCD2: one lead() window + presentation sort
+    assert(exchanges("q_scd2_intervals") <= 2, "SCD2 shuffles beyond its window")
+  }
+
   test("q_split_train and q_text_chunk stay shuffle-minimal (one exchange each)") {
     // split: map + single-key agg; chunk: map + explode + presentation sort.
     // More exchanges would mean the split/chunk stage itself shuffles.
