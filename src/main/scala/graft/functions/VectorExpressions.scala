@@ -157,6 +157,83 @@ case class VectorNorm(child: Expression)
     copy(child = newChild)
 }
 
+/** 16-bit SimHash of a token array in ONE fused pass — the upgrade path
+  * SCALE.md recorded for the 16-HOF-pass formulation in q_dedup_simhash
+  * ("single-pass custom expression like VectorDot — measured-then-
+  * optimized"). Bit-exact with that formulation: per token, the hash is the
+  * first 4 md5 hex chars (= first 2 digest bytes, big-endian) exactly as
+  * `conv(substring(md5(t),1,4),16,10)` computes, bit b of the result is set
+  * iff strictly more than half the token hashes have bit b set — so the
+  * existing DuckDB oracle keeps matching unchanged.
+  */
+case class SimHash16(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash16"
+
+  /** Null ELEMENTS yield null (matching the HOF fold, where a null token
+    * hash nulls the aggregate) — nullable regardless of the child.
+    */
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"child must be array<string>, got $t")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    SimHash16.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("sh")
+      // the md5 loop lives in a static helper — the expression still fuses
+      // into the enclosing WholeStageCodegen stage (one call per row, no
+      // interpreter fallback), which is the part that matters
+      s"""
+        java.lang.Long $r = graft.functions.SimHash16.compute($a);
+        if ($r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $r.longValue(); }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+}
+
+object SimHash16 {
+  /** One pass: per token md5 → first 2 bytes → 16 bit-counters; majority
+    * vote per bit. Returns null on a null token (HOF-fold parity).
+    */
+  def compute(arr: ArrayData): java.lang.Long = {
+    val n = arr.numElements()
+    val ones = new Array[Int](16)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      md.reset()
+      val h = md.digest(arr.getUTF8String(i).getBytes)
+      val v = ((h(0) & 0xff) << 8) | (h(1) & 0xff)
+      var b = 0
+      while (b < 16) { ones(b) += (v >> b) & 1; b += 1 }
+      i += 1
+    }
+    var r = 0L
+    var b = 0
+    while (b < 16) { if (2L * ones(b) > n) r |= 1L << b; b += 1 }
+    java.lang.Long.valueOf(r)
+  }
+}
+
 object VectorExpressions {
 
   import org.apache.spark.sql.GraftColumnShim
@@ -166,6 +243,8 @@ object VectorExpressions {
     GraftColumnShim.column(VectorDot(expr(a), expr(b)))
   def vectorNorm(a: Column): Column =
     GraftColumnShim.column(VectorNorm(expr(a)))
+  def simhash16(tokens: Column): Column =
+    GraftColumnShim.column(SimHash16(expr(tokens)))
 
   private def expr(c: Column): Expression = GraftColumnShim.expression(c)
 
@@ -183,6 +262,10 @@ object VectorExpressions {
       FunctionIdentifier("graft_vector_norm"),
       new ExpressionInfo(classOf[VectorNorm].getName, "graft_vector_norm"),
       (children: Seq[Expression]) => VectorNorm(children.head))
+    reg.registerFunction(
+      FunctionIdentifier("graft_simhash16"),
+      new ExpressionInfo(classOf[SimHash16].getName, "graft_simhash16"),
+      (children: Seq[Expression]) => SimHash16(children.head))
   }
 }
 
@@ -200,5 +283,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_vector_norm"),
       new ExpressionInfo(classOf[VectorNorm].getName, "graft_vector_norm"),
       (children: Seq[Expression]) => VectorNorm(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash16"),
+      new ExpressionInfo(classOf[SimHash16].getName, "graft_simhash16"),
+      (children: Seq[Expression]) => SimHash16(children.head)))
   }
 }

@@ -102,23 +102,21 @@ object DedupOps extends QueryModule {
 
   /** 16-bit SimHash per doc (bit b set iff more than half the token hashes
     * have bit b set), plus the doc's simhash-group size (near-dups collide).
+    *
+    * Computed by the native single-pass `SimHash16` kernel (VectorExpressions)
+    * — bit-exact with the original 16-HOF-pass fold (pinned by
+    * VectorExpressionsSpec), which cost 16 interpreted `aggregate` passes
+    * per doc. The DuckDB oracle still spells out the md5-bit majority vote.
     */
   private val qDedupSimhash = GQuery(
-    (s, d) => {
-      val vals = transform(tokens, tk => hex4(tk))
-      val total = size(col("vals")).cast("long")
-      val sim = (0 until 16).map { b =>
-        val ones = aggregate(col("vals"), lit(0L),
-          (acc, v) => acc + shiftright(v, b).bitwiseAND(lit(1L)))
-        when(ones * 2 > total, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
+    (s, d) =>
       t(s, d, "documents")
-        .select(col("doc_id"), vals.as("vals"))
-        .select(col("doc_id"), sim.as("simhash"))
+        .select(col("doc_id"), tokens.as("toks"))
+        .select(col("doc_id"),
+          graft.functions.VectorExpressions.simhash16(col("toks")).as("simhash"))
         .withColumn("n_same",
           count(lit(1)).over(Window.partitionBy("simhash")))
-        .orderBy("doc_id")
-    },
+        .orderBy("doc_id"),
     Some {
       val bits = (0 until 16).map { b =>
         s"""CASE WHEN 2 * list_sum(list_transform(vals, v -> (v >> $b) & 1))

@@ -97,6 +97,52 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(row.getDouble(0) == 11.0 && row.getDouble(1) == 5.0)
   }
 
+  test("native SimHash16 is bit-identical to the 16-pass HOF fold") {
+    import graft.operators.DedupOps
+    val toks = split(lower(col("text")), " ")
+    val vals = transform(toks, tk => DedupOps.hex4(tk))
+    val total = size(col("vals")).cast("long")
+    // the ORIGINAL 16-pass formulation, kept here as the reference impl
+    val hofSim = (0 until 16).map { b =>
+      val ones = aggregate(col("vals"), lit(0L),
+        (acc, v) => acc + shiftright(v, b).bitwiseAND(lit(1L)))
+      when(ones * 2 > total, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val both = Tables(spark, sf, "documents")
+      .select(col("doc_id"), toks.as("toks"), vals.as("vals"))
+      .select(col("doc_id"),
+        VectorExpressions.simhash16(col("toks")).as("nat"),
+        hofSim.as("hof"))
+    assert(both.filter(col("nat") =!= col("hof") ||
+      col("nat").isNull =!= col("hof").isNull).count() == 0)
+    // edge cases: empty token array → 0; null element → null; null array → null
+    val edge = Seq(
+      (1L, Some(Seq[String]())),
+      (2L, Some(Seq[String]("a", null))),
+      (3L, None)).toDF("id", "toks")
+      .select(col("id"), col("toks").cast("array<string>").as("toks"))
+      .select(col("id"), VectorExpressions.simhash16(col("toks")).as("s"))
+      .orderBy("id").collect()
+    assert(edge(0).getLong(1) == 0L)
+    assert(edge(1).isNullAt(1) && edge(2).isNullAt(1))
+  }
+
+  test("SQL registration exposes graft_simhash16 under CODEGEN_ONLY") {
+    VectorExpressions.register(spark)
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+    val prevMode = spark.conf.get("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      // md5('a') = 0cc175b9... → hash 0x0cc1; single token → every set bit wins
+      val row = spark.sql("SELECT graft_simhash16(array('a')) AS s").head
+      assert(row.getLong(0) == 0x0cc1L, row.getLong(0).toHexString)
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevMode)
+    }
+  }
+
   test("kernels execute inside whole-stage codegen") {
     val emb = Tables(spark, sf, "embeddings")
       .select(col("embedding").cast("array<double>").as("e"))
