@@ -173,18 +173,16 @@ object TextOps extends QueryModule {
     * methods in DedupOps). Portable: h = first 16 bits of md5.
     */
   private val qTextFingerprint = GQuery(
-    (s, d) => {
-      val vals = transform(split(lower(col("text")), " "),
-        tk => graft.operators.DedupOps.hex4(tk))
-      val fp = aggregate(vals, lit(7L),
-        (acc, v) => pmod(acc * 31 + v, lit(1000000007L)))
+    (s, d) =>
+      // native single-pass RollingFp kernel — bit-exact with the original
+      // transform+aggregate fold (pinned by VectorExpressionsSpec)
       t(s, d, "documents")
-        .select(col("doc_id"), fp.as("fp"))
+        .select(col("doc_id"),
+          VectorExpressions.rollfp(split(lower(col("text")), " ")).as("fp"))
         .withColumn("n_same",
           count(lit(1)).over(org.apache.spark.sql.expressions.Window
             .partitionBy("fp")))
-        .orderBy("doc_id")
-    },
+        .orderBy("doc_id"),
     Some {
       val h = graft.operators.DedupOps.duckHex4("md5(t)")
       s"""WITH v AS (

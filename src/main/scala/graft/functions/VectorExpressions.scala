@@ -234,6 +234,65 @@ object SimHash16 {
   }
 }
 
+/** Rolling polynomial fingerprint of a token array in one fused pass:
+  * fp = fold((acc·31 + h(token)) mod 1e9+7, init 7), h = first 4 md5 hex
+  * chars — bit-exact with q_text_fingerprint's interpreted
+  * transform+aggregate formulation (and its DuckDB list_reduce oracle).
+  */
+case class RollingFp(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rollfp"
+  override def nullable: Boolean = true // null ELEMENTS yield null
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"child must be array<string>, got $t")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    RollingFp.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("fp")
+      s"""
+        java.lang.Long $r = graft.functions.RollingFp.compute($a);
+        if ($r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $r.longValue(); }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingFp =
+    copy(child = newChild)
+}
+
+object RollingFp {
+  def compute(arr: ArrayData): java.lang.Long = {
+    val n = arr.numElements()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var acc = 7L
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      md.reset()
+      val h = md.digest(arr.getUTF8String(i).getBytes)
+      val v = ((h(0) & 0xff) << 8) | (h(1) & 0xff)
+      acc = (acc * 31 + v) % 1000000007L // acc·31+v < 2^35: no overflow
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+}
+
 object VectorExpressions {
 
   import org.apache.spark.sql.GraftColumnShim
@@ -245,6 +304,8 @@ object VectorExpressions {
     GraftColumnShim.column(VectorNorm(expr(a)))
   def simhash16(tokens: Column): Column =
     GraftColumnShim.column(SimHash16(expr(tokens)))
+  def rollfp(tokens: Column): Column =
+    GraftColumnShim.column(RollingFp(expr(tokens)))
 
   private def expr(c: Column): Expression = GraftColumnShim.expression(c)
 
@@ -266,6 +327,10 @@ object VectorExpressions {
       FunctionIdentifier("graft_simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "graft_simhash16"),
       (children: Seq[Expression]) => SimHash16(children.head))
+    reg.registerFunction(
+      FunctionIdentifier("graft_rollfp"),
+      new ExpressionInfo(classOf[RollingFp].getName, "graft_rollfp"),
+      (children: Seq[Expression]) => RollingFp(children.head))
   }
 }
 
@@ -287,5 +352,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "graft_simhash16"),
       (children: Seq[Expression]) => SimHash16(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_rollfp"),
+      new ExpressionInfo(classOf[RollingFp].getName, "graft_rollfp"),
+      (children: Seq[Expression]) => RollingFp(children.head)))
   }
 }

@@ -143,6 +143,27 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("native RollingFp is bit-identical to the transform+aggregate fold") {
+    import graft.operators.DedupOps
+    val toks = split(lower(col("text")), " ")
+    val vals = transform(toks, tk => DedupOps.hex4(tk))
+    val hofFp = aggregate(vals, lit(7L),
+      (acc, v) => pmod(acc * 31 + v, lit(1000000007L)))
+    val both = Tables(spark, sf, "documents")
+      .select(VectorExpressions.rollfp(toks).as("nat"), hofFp.as("hof"))
+    assert(both.filter(col("nat") =!= col("hof")).count() == 0)
+    // empty array → the init value 7; null element / null array → null
+    val edge = Seq(
+      (1L, Some(Seq[String]())),
+      (2L, Some(Seq[String]("a", null))),
+      (3L, None)).toDF("id", "toks")
+      .select(col("id"), col("toks").cast("array<string>").as("toks"))
+      .select(col("id"), VectorExpressions.rollfp(col("toks")).as("f"))
+      .orderBy("id").collect()
+    assert(edge(0).getLong(1) == 7L)
+    assert(edge(1).isNullAt(1) && edge(2).isNullAt(1))
+  }
+
   test("kernels execute inside whole-stage codegen") {
     val emb = Tables(spark, sf, "embeddings")
       .select(col("embedding").cast("array<double>").as("e"))
