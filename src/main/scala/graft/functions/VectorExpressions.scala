@@ -293,6 +293,100 @@ object RollingFp {
   }
 }
 
+/** MinHash LSH band keys of a token array in ONE fused pass: 3-token
+  * shingles (one per starting position, end-clamped — exactly
+  * `transform(sequence(1, greatest(n-2,1)), i => concat_ws(" ",
+  * slice(toks, i, 3)))`), one md5 hex digest per shingle, 4 hash functions
+  * as the digest's 4 disjoint 8-hex-char slices, minima taken
+  * lexicographically (binary compare over lowercase hex — identical in
+  * Spark, Java and DuckDB), banded 2×2 → `[min0‖min1, min2‖min3]`.
+  * Bit-exact with q_dedup_minhash's interpreted shingle→md5→4×array_min
+  * formulation, so its DuckDB oracle is unchanged. The interpreted form
+  * allocates the shingle array, the digest array and 4 sliced copies per
+  * doc; this kernel allocates none of them.
+  */
+case class MinHashBands(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  import org.apache.spark.sql.types.StringType
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_minhash_bands"
+  override def nullable: Boolean = true // null ELEMENTS yield null
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"child must be array<string>, got $t")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    MinHashBands.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("mhb")
+      s"""
+        org.apache.spark.sql.catalyst.util.ArrayData $r =
+          graft.functions.MinHashBands.compute($a);
+        if ($r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $r; }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
+object MinHashBands {
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val m = math.max(n - 2, 1) // shingle count, 1-based starts 1..m
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = new Array[String](4)
+    val sb = new java.lang.StringBuilder
+    val hex = new Array[Char](32)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      val end = math.min(i + 2, n - 1) // slice(toks, i+1, 3), end-clamped
+      var j = i
+      while (j <= end) {
+        if (arr.isNullAt(j)) return null
+        if (j > i) sb.append(' ')
+        sb.append(arr.getUTF8String(j).toString)
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = HexChars((d(b) >> 4) & 0xf)
+        hex(2 * b + 1) = HexChars(d(b) & 0xf)
+        b += 1
+      }
+      val h = new String(hex)
+      var k = 0
+      while (k < 4) {
+        val s = h.substring(k * 8, k * 8 + 8)
+        if (mins(k) == null || s.compareTo(mins(k)) < 0) mins(k) = s
+        k += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](
+      org.apache.spark.unsafe.types.UTF8String.fromString(mins(0) + mins(1)),
+      org.apache.spark.unsafe.types.UTF8String.fromString(mins(2) + mins(3))))
+  }
+}
+
 object VectorExpressions {
 
   import org.apache.spark.sql.GraftColumnShim
@@ -306,6 +400,8 @@ object VectorExpressions {
     GraftColumnShim.column(SimHash16(expr(tokens)))
   def rollfp(tokens: Column): Column =
     GraftColumnShim.column(RollingFp(expr(tokens)))
+  def minhashBands(tokens: Column): Column =
+    GraftColumnShim.column(MinHashBands(expr(tokens)))
 
   private def expr(c: Column): Expression = GraftColumnShim.expression(c)
 
@@ -331,6 +427,10 @@ object VectorExpressions {
       FunctionIdentifier("graft_rollfp"),
       new ExpressionInfo(classOf[RollingFp].getName, "graft_rollfp"),
       (children: Seq[Expression]) => RollingFp(children.head))
+    reg.registerFunction(
+      FunctionIdentifier("graft_minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "graft_minhash_bands"),
+      (children: Seq[Expression]) => MinHashBands(children.head))
   }
 }
 
@@ -356,5 +456,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_rollfp"),
       new ExpressionInfo(classOf[RollingFp].getName, "graft_rollfp"),
       (children: Seq[Expression]) => RollingFp(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "graft_minhash_bands"),
+      (children: Seq[Expression]) => MinHashBands(children.head)))
   }
 }

@@ -30,7 +30,7 @@ object DedupOps extends QueryModule {
   private def tokens: Column = split(lower(col("text")), " ")
 
   /** 3-token shingles: one per starting position. */
-  private def shingles(toks: Column): Column =
+  private[graft] def shingles(toks: Column): Column =
     transform(sequence(lit(1), greatest(size(toks) - 2, lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(3))))
 
@@ -67,18 +67,17 @@ object DedupOps extends QueryModule {
     */
   private val qDedupMinhash = GQuery(
     (s, d) => {
-      val mh = (0 until 4).map(k =>
-        array_min(transform(col("hs"), h => substring(h, k * 8 + 1, 8))))
       val w = Window.partitionBy("b0")
       t(s, d, "documents")
-        // tokens materialized first: slice() inside the shingle lambda would
-        // otherwise re-run split() once per shingle position
+        // native single-pass MinHashBands kernel (VectorExpressions):
+        // shingle→md5→4×min fused, no shingle/digest/slice arrays allocated;
+        // bit-exact with the interpreted form (VectorExpressionsSpec pin)
         .select(col("doc_id"), tokens.as("toks"))
         .select(col("doc_id"),
-          transform(shingles(col("toks")), x => md5(x)).as("hs"))
+          graft.functions.VectorExpressions.minhashBands(col("toks")).as("bands"))
         .select(col("doc_id"),
-          concat(mh(0), mh(1)).as("b0"),
-          concat(mh(2), mh(3)).as("b1"))
+          col("bands").getItem(0).as("b0"),
+          col("bands").getItem(1).as("b1"))
         .withColumn("n_b0", count(lit(1)).over(w))
         .orderBy("doc_id")
     },
@@ -259,14 +258,14 @@ object DedupOps extends QueryModule {
     */
   private val qDedupComponents = GQuery(
     (s, d) => {
-      val mh = (0 until 4).map(k =>
-        array_min(transform(col("hs"), h => substring(h, k * 8 + 1, 8))))
+      // band keys via the fused MinHashBands kernel (bit-exact with the
+      // interpreted shingle→md5→array_min form; VectorExpressionsSpec pin)
       val sig = t(s, d, "documents")
         .select(col("doc_id"), tokens.as("toks"))
         .select(col("doc_id"),
-          transform(shingles(col("toks")), x => md5(x)).as("hs"))
+          graft.functions.VectorExpressions.minhashBands(col("toks")).as("bands"))
         .select(col("doc_id"),
-          concat(mh(0), mh(1)).as("b0"), concat(mh(2), mh(3)).as("b1"))
+          col("bands").getItem(0).as("b0"), col("bands").getItem(1).as("b1"))
       // persist (memory) + count each round: materializes the new labels and
       // truncates nothing — but with O(diameter) ≈ 3-5 rounds the lineage
       // stays shallow, and skipping localCheckpoint's disk write halves the

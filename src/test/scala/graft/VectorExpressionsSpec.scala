@@ -164,6 +164,27 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(edge(1).isNullAt(1) && edge(2).isNullAt(1))
   }
 
+  test("native MinHashBands is bit-identical to the shingle→md5→array_min form") {
+    import graft.operators.DedupOps
+    val toks = split(lower(col("text")), " ")
+    val mh = (0 until 4).map(k =>
+      array_min(transform(col("hs"), h => substring(h, k * 8 + 1, 8))))
+    val both = Tables(spark, sf, "documents")
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        transform(DedupOps.shingles(col("toks")), x => md5(x)).as("hs"))
+      .select(
+        VectorExpressions.minhashBands(col("toks")).as("bands"),
+        concat(mh(0), mh(1)).as("b0_hof"),
+        concat(mh(2), mh(3)).as("b1_hof"))
+    assert(both.filter(col("bands").getItem(0) =!= col("b0_hof") ||
+      col("bands").getItem(1) =!= col("b1_hof")).count() == 0)
+    // short docs (< 3 tokens) still produce one end-clamped shingle
+    val short = Seq((1L, Seq("a")), (2L, Seq("a", "b"))).toDF("id", "toks")
+      .select(VectorExpressions.minhashBands(col("toks")).as("bands")).collect()
+    assert(short.forall(r => r.getSeq[String](0).forall(_.length == 16)))
+  }
+
   test("kernels execute inside whole-stage codegen") {
     val emb = Tables(spark, sf, "embeddings")
       .select(col("embedding").cast("array<double>").as("e"))
