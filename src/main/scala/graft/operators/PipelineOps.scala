@@ -193,8 +193,37 @@ object PipelineOps extends QueryModule {
                    CAST(count(*) AS BIGINT) AS n
             FROM events GROUP BY 1, 2 ORDER BY dt, route"""))
 
+  /** Offset-range pruned read-back (the reference's verification reads are
+    * offset-window scoped): `readRange` derives the overlapping chunk files
+    * from the persisted flush.size grid and probes them by name — never a
+    * listing of the topic's committed files. Window [2000, 7000) straddles
+    * the flush-5000 chunk boundary, so both partial-overlap chunks and the
+    * top offset filter are exercised. Same memoized TimeDaily sink dir as
+    * q_partition_time. Oracle: the equivalent filter on the source events.
+    */
+  private val qReadOffsetRange = GQuery(
+    (s, d) => {
+      val topicDir = writtenDirs.computeIfAbsent(s"timesink|$d", _ => {
+        val out = Files.createTempDirectory("graft-timesink-").toString
+        graft.streaming.OffsetNamedOrcSink.write(
+          graft.sources.KafkaShaped.fromEvents(s, d), out, flushSize = 5000,
+          layout = graft.streaming.OffsetNamedOrcSink.Layout.TimeDaily())
+      })
+      graft.streaming.OffsetNamedOrcSink.readRange(s, topicDir, 2000L, 7000L)
+        .groupBy(col("partition").cast("int").as("route"))
+        .agg(count(lit(1)).as("n"),
+          min("offset").as("lo"), max("offset").as("hi"))
+        .orderBy("route")
+    },
+    Some("""SELECT CAST(user_id % 4 AS INT) AS route,
+                   CAST(count(*) AS BIGINT) AS n,
+                   min(event_id) AS lo, max(event_id) AS hi
+            FROM events WHERE event_id >= 2000 AND event_id < 7000
+            GROUP BY 1 ORDER BY route"""))
+
   override val queries: Map[String, GQuery] = Map(
     "q_fmt_roundtrip" -> qFmtRoundtrip,
+    "q_read_offset_range" -> qReadOffsetRange,
     "q_partition_time" -> qPartitionTime,
     "q_orc_roundtrip" -> qOrcRoundtrip,
     "q_schema_sixtypes" -> qSchemaSixtypes,

@@ -496,4 +496,73 @@ object OffsetNamedOrcSink {
         regexp_extract(input_file_name(), raw"\+(\d+)(?:-\d+)?\.orc$$", 1)
           .cast("long"))
   }
+
+  /** Read back ONLY the offsets in `[fromOffset, untilOffset)` — the
+    * reference's offset-range verification read, done without enumerating
+    * the topic's committed files. `read().filter(offset)` would list every
+    * file the topic has ever committed just to plan the scan; at millions
+    * of files that listing dominates a bounded-window read. This path
+    * instead derives the overlapping chunk starts from the persisted
+    * flush.size (the chunk grid is the file-naming contract, so file-level
+    * pruning is exact), lists only DIRECTORIES (the `partition=` leaves,
+    * O(#partitions × #dt-dirs)), and probes the candidate files by their
+    * deterministic names — O(#leaf-dirs × window/flushSize) FS ops,
+    * independent of total committed files. The offset filter stays on top
+    * for the boundary chunks' partial overlap.
+    *
+    * Equals `read(...).filter(fromOffset <= offset < untilOffset)` by
+    * construction; falls back to exactly that when the topic dir predates
+    * the config marker or the window matches no committed file. Meant for
+    * bounded windows: a window spanning most of the topic is cheaper as a
+    * full `read()` (the probe count exceeds the listing it avoids).
+    */
+  def readRange(spark: SparkSession, topicDir: String, fromOffset: Long,
+      untilOffset: Long): DataFrame = {
+    require(fromOffset < untilOffset,
+      s"empty offset range [$fromOffset, $untilOffset)")
+    val fs = FileSystem.get(new java.net.URI(topicDir),
+      spark.sparkContext.hadoopConfiguration)
+    val root = new Path(topicDir)
+    val topic = root.getName
+    val inflight = new Path(root, InflightMarker)
+    if (fs.exists(inflight))
+      recoverFromMarker(fs, root, topic, inflight)
+    def fullScan = read(spark, topicDir)
+      .filter(col("offset") >= fromOffset && col("offset") < untilOffset)
+    readMarker(fs, new Path(root, ConfigMarker)) match {
+      case None => fullScan // legacy dir: no recorded chunk grid to prune on
+      case Some(desc) =>
+        val flushSize = desc.linesIterator
+          .collectFirst { case l if l.startsWith("flushSize=") =>
+            l.stripPrefix("flushSize=").toLong }
+          .getOrElse(0L)
+        if (flushSize <= 0) fullScan else {
+        val chunks = Iterator
+          .iterate(fromOffset - math.floorMod(fromOffset, flushSize))(_ + flushSize)
+          .takeWhile(_ < untilOffset).toSeq
+        val leafDirs = listDir(fs, root).flatMap { st =>
+          val n = st.getPath.getName
+          if (!st.isDirectory) Nil
+          else if (n.startsWith("partition=")) Seq(st.getPath)
+          else if (n.startsWith(s"$DtCol=")) // TimeDaily: one more level
+            listDir(fs, st.getPath)
+              .filter(c => c.isDirectory && c.getPath.getName.startsWith("partition="))
+              .map(_.getPath)
+          else Nil
+        }
+        val files = for {
+          dir <- leafDirs
+          p = dir.getName.stripPrefix("partition=")
+          c <- chunks
+          f <- committedChunkFiles(fs, dir, f"${fileTopic(topic)}+$p+$c%010d")
+        } yield f.toString
+        if (files.isEmpty) fullScan
+        else spark.read.option("basePath", topicDir).orc(files: _*)
+          .withColumn(ChunkCol,
+            regexp_extract(input_file_name(), raw"\+(\d+)(?:-\d+)?\.orc$$", 1)
+              .cast("long"))
+          .filter(col("offset") >= fromOffset && col("offset") < untilOffset)
+        }
+    }
+  }
 }

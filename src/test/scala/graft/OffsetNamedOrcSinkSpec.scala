@@ -240,6 +240,46 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
       s"listed a non-staging dir: ${dirListings.mkString(", ")}")
   }
 
+  test("readRange prunes to the window's chunk files by name — no file listings") {
+    val out = freshOut()
+    val topicDir = OffsetNamedOrcSink.write(shaped, out, flushSize = 250)
+    val full = OffsetNamedOrcSink.read(spark, topicDir)
+      .filter(col("offset") >= 100 && col("offset") < 600)
+      .select("offset", "partition", "id").collect().map(_.toSeq).toSet
+    FsAudit.reset(); FsAudit.enabled = true
+    val pruned = try {
+      OffsetNamedOrcSink.readRange(spark, topicDir, 100, 600)
+        .select("offset", "partition", "id").collect().map(_.toSeq).toSet
+    } finally FsAudit.enabled = false
+    assert(pruned == full && full.nonEmpty)
+    // window [100, 600) on the 250 grid → chunks 0, 250, 500 only
+    val probedChunks = FsAudit.probes.toArray.map(_.toString)
+      .map(_.replaceAll(".*\\+(\\d+)$", "$1").toLong).toSet
+    assert(probedChunks == Set(0L, 250L, 500L), s"probed $probedChunks")
+    // only the topic ROOT may be listed (to find partition dirs) — listing a
+    // partition dir would enumerate every committed file the topic has
+    val badDirs = FsAudit.dirsListed.toArray.map(_.toString)
+      .filter(_.contains("partition="))
+    assert(badDirs.isEmpty, s"listed partition dirs: ${badDirs.mkString(", ")}")
+    // a window with no committed files falls back to the full-scan filter
+    assert(OffsetNamedOrcSink.readRange(spark, topicDir, 50000, 50100).count() == 0)
+  }
+
+  test("readRange spans dt dirs under the TimeDaily layout") {
+    val out = freshOut()
+    val twoDays = shapedRows((0L until 40L).map(i => (i, i % 4)): _*)
+      .withColumn("timestamp",
+        when(col("offset") < 20, lit(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+          .otherwise(lit(java.sql.Timestamp.valueOf("2024-01-02 10:00:00"))))
+    val topicDir = OffsetNamedOrcSink.write(twoDays, out, flushSize = 25,
+      layout = Layout.TimeDaily())
+    // [10, 30) straddles both the chunk boundary (25) and the day boundary (20)
+    val got = OffsetNamedOrcSink.readRange(spark, topicDir, 10, 30)
+    assert(got.count() == 20)
+    assert(got.select(countDistinct(col("dt"))).head.getLong(0) == 2)
+    assert(got.agg(min("offset"), max("offset")).head.toSeq == Seq(10L, 29L))
+  }
+
   test("mismatched flush.size on an existing topic dir fails fast") {
     val out = freshOut()
     OffsetNamedOrcSink.write(shaped.filter(col("offset") < 437), out, 250)
