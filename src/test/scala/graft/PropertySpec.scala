@@ -72,6 +72,74 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native kernels match the interpreted HOF forms on adversarial random tokens") {
+    import graft.functions.VectorExpressions
+    import graft.operators.DedupOps
+    // tokens beyond what split(text, " ") can produce: multi-script unicode
+    // (2-byte and 3-byte UTF-8, so the kernels' byte-level md5/compare paths
+    // are exercised off the ascii fast path), empty strings, empty arrays
+    val tokenGen: Gen[String] = Gen.oneOf(
+      Gen.asciiPrintableStr.map(_.take(8).replace(" ", "_")),
+      Gen.listOfN(4, Gen.oneOf('å', 'ß', 'λ', 'ж', '中', '日', 'ا', '€'))
+        .map(_.mkString),
+      Gen.const(""))
+    val docGen: Gen[List[List[String]]] =
+      Gen.listOfN(60, Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, tokenGen)))
+    forAllSeeded(docGen, 11L, 97L, 31337L) { docs =>
+      import spark.implicits._
+      val df = docs.toDF("toks")
+      val vals = transform(col("toks"), tk => DedupOps.hex4(tk))
+      val total = size(col("vals")).cast("long")
+      val hofSim = (0 until 16).map { b =>
+        val ones = aggregate(col("vals"), lit(0L),
+          (acc, v) => acc + shiftright(v, b).bitwiseAND(lit(1L)))
+        when(ones * 2 > total, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val hofFp = aggregate(col("vals"), lit(7L),
+        (acc, v) => pmod(acc * 31 + v, lit(1000000007L)))
+      val mh = (0 until 4).map(k =>
+        array_min(transform(col("hs"), h => substring(h, k * 8 + 1, 8))))
+      val both = df
+        .select(col("toks"), vals.as("vals"),
+          transform(DedupOps.shingles(col("toks")), x => md5(x)).as("hs"))
+        .select(
+          VectorExpressions.simhash16(col("toks")).as("sim_nat"), hofSim.as("sim_hof"),
+          VectorExpressions.rollfp(col("toks")).as("fp_nat"), hofFp.as("fp_hof"),
+          VectorExpressions.minhashBands(col("toks")).as("bands"),
+          concat(mh(0), mh(1)).as("b0_hof"), concat(mh(2), mh(3)).as("b1_hof"))
+      val bad = both.filter(
+        col("sim_nat") =!= col("sim_hof") || col("fp_nat") =!= col("fp_hof") ||
+          col("bands").getItem(0) =!= col("b0_hof") ||
+          col("bands").getItem(1) =!= col("b1_hof"))
+      assert(bad.count() == 0, bad.collect().take(3).mkString("\n"))
+    }
+  }
+
+  test("native dot/norm match the HOF forms on random double arrays") {
+    import graft.functions.{SimilarityOps, VectorExpressions}
+    // denormals, huge magnitudes, exact negatives — bit-exact fp parity needs
+    // the same operation ORDER, which is what the kernel promises
+    val valGen: Gen[Double] = Gen.oneOf(
+      Gen.chooseNum(-1e300, 1e300), Gen.chooseNum(-1.0, 1.0),
+      Gen.const(0.0), Gen.const(4.9e-324), Gen.const(-1e308))
+    val vecGen: Gen[List[List[Double]]] =
+      Gen.listOfN(50, Gen.choose(1, 16).flatMap(n => Gen.listOfN(n, valGen)))
+    forAllSeeded(vecGen, 5L, 23L, 777L) { vecs =>
+      import spark.implicits._
+      // self-pairs keep lengths equal (ragged input is pinned elsewhere)
+      val df = vecs.toDF("e")
+      val both = df.select(
+        VectorExpressions.vectorDot(col("e"), col("e")).as("d_nat"),
+        SimilarityOps.dotHof(col("e"), col("e")).as("d_hof"),
+        VectorExpressions.vectorNorm(col("e")).as("n_nat"),
+        SimilarityOps.normHof(col("e")).as("n_hof"))
+      // NaN-safe comparison: eqNullSafe treats NaN == NaN as true in Spark
+      val bad = both.filter(!col("d_nat").eqNullSafe(col("d_hof")) ||
+        !col("n_nat").eqNullSafe(col("n_hof")))
+      assert(bad.count() == 0, bad.collect().take(3).mkString("\n"))
+    }
+  }
+
   test("minhash containment: identical docs share every band key") {
     // duplicate the documents table against itself — every doc's band keys
     // must equal its copy's (pure function of text)
