@@ -221,9 +221,37 @@ object PipelineOps extends QueryModule {
             FROM events WHERE event_id >= 2000 AND event_id < 7000
             GROUP BY 1 ORDER BY route"""))
 
+  /** Compaction losslessness: the memoized TimeDaily sink dir (flush 5000)
+    * recompacted onto the 10000 grid must read back row-identical — oracled
+    * as per-day count/offset-range against the source events. Compaction is
+    * the 100-TB small-file answer (see OffsetNamedOrcSink.compactTo).
+    */
+  private val qCompactRoundtrip = GQuery(
+    (s, d) => {
+      val topicDir = writtenDirs.computeIfAbsent(s"timesink|$d", _ => {
+        val out = Files.createTempDirectory("graft-timesink-").toString
+        graft.streaming.OffsetNamedOrcSink.write(
+          graft.sources.KafkaShaped.fromEvents(s, d), out, flushSize = 5000,
+          layout = graft.streaming.OffsetNamedOrcSink.Layout.TimeDaily())
+      })
+      val compacted = writtenDirs.computeIfAbsent(s"compact|$d", _ =>
+        graft.streaming.OffsetNamedOrcSink.compactTo(s, topicDir,
+          Files.createTempDirectory("graft-compact-").toString, 10000))
+      graft.streaming.OffsetNamedOrcSink.read(s, compacted)
+        .groupBy(col("dt").cast("string").as("dt"))
+        .agg(count(lit(1)).as("n"),
+          min("offset").as("lo"), max("offset").as("hi"))
+        .orderBy("dt")
+    },
+    Some("""SELECT strftime(ts, '%Y-%m-%d') AS dt,
+                   CAST(count(*) AS BIGINT) AS n,
+                   min(event_id) AS lo, max(event_id) AS hi
+            FROM events GROUP BY 1 ORDER BY dt"""))
+
   override val queries: Map[String, GQuery] = Map(
     "q_fmt_roundtrip" -> qFmtRoundtrip,
     "q_read_offset_range" -> qReadOffsetRange,
+    "q_compact_roundtrip" -> qCompactRoundtrip,
     "q_partition_time" -> qPartitionTime,
     "q_orc_roundtrip" -> qOrcRoundtrip,
     "q_schema_sixtypes" -> qSchemaSixtypes,

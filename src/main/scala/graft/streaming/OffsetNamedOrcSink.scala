@@ -204,20 +204,7 @@ object OffsetNamedOrcSink {
     // touched output leaves — small by construction: one per output file of
     // this batch. Their existing files have deterministic names, so the
     // read-back probes exactly those names (never a directory scan).
-    val touched: Seq[Touched] = {
-      val sel = partCols.map {
-        case `DtCol` => col(DtCol)
-        case "partition" => col("partition").cast("int")
-        case `ChunkCol` => col(ChunkCol).cast("long")
-      }
-      flat.select(sel: _*).distinct().collect().toSeq.map { r =>
-        layout match {
-          case Layout.KafkaPartition => Touched(None, r.getInt(0), r.getLong(1))
-          case Layout.TimeDaily(_) =>
-            Touched(Some(r.getString(0)), r.getInt(1), r.getLong(2))
-        }
-      }
-    }
+    val touched = touchedLeaves(flat, partCols)
 
     val inflight = new Path(root, InflightMarker)
     // RECOVERY (rare, marker-gated): a crash inside a previous commit left
@@ -250,24 +237,51 @@ object OffsetNamedOrcSink {
         flat.union(existing).dropDuplicates("partition", "offset")
       }
 
+    commitOverwrite(spark, fs, root, topicDir, topic, merged, partCols, touched)
+    topicDir
+  }
+
+  /** The distinct output leaves of a flattened batch. One driver-side
+    * collect, bounded by files-in-this-batch (dt cast to string: the batch
+    * API builds dt as a string, but compaction's read-back infers DateType
+    * from the dirs).
+    */
+  private def touchedLeaves(flat: DataFrame, partCols: Seq[String]): Seq[Touched] = {
+    val sel = partCols.map {
+      case `DtCol` => col(DtCol).cast("string")
+      case "partition" => col("partition").cast("int")
+      case `ChunkCol` => col(ChunkCol).cast("long")
+    }
+    flat.select(sel: _*).distinct().collect().toSeq.map { r =>
+      if (partCols.contains(DtCol)) Touched(Some(r.getString(0)), r.getInt(1), r.getLong(2))
+      else Touched(None, r.getInt(0), r.getLong(1))
+    }
+  }
+
+  /** The shared commit step (write + compact): in-flight marker → dynamic
+    * partition overwrite → hoist ONLY the touched leaves to their committed
+    * offset names → drop the marker. Never a directory walk.
+    */
+  private def commitOverwrite(spark: SparkSession, fs: FileSystem, root: Path,
+      topicDir: String, topic: String, flat: DataFrame,
+      partCols: Seq[String], touched: Seq[Touched]): Unit = {
+    val inflight = new Path(root, InflightMarker)
     writeMarker(fs, inflight,
       touched.map(t => s"${t.dt.getOrElse("")}|${t.partition}|${t.chunk}")
         .mkString("\n"))
     val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     try {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      merged
+      flat
         .repartition(partCols.map(col): _*)
         .sortWithinPartitions(col("offset"))
         .write.mode("overwrite")
         .partitionBy(partCols: _*)
         .orc(topicDir)
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
-    // steady-state hoist: ONLY this batch's leaves — never a directory walk
     touched.foreach(t =>
       hoistChunkDir(fs, t.partitionDir(root), t.partition.toString, t.chunk, topic))
     fs.delete(inflight, false)
-    topicDir
   }
 
   /** Mixed-topic batch: one topic dir per topic, offsets deduped per
@@ -564,5 +578,130 @@ object OffsetNamedOrcSink {
           .filter(col("offset") >= fromOffset && col("offset") < untilOffset)
         }
     }
+  }
+
+  /** Parse a `_graft_sink.conf` payload → (flushSize, layoutId). */
+  private def parseConfig(desc: String): (Long, String) = {
+    val kv = desc.linesIterator.flatMap { l =>
+      l.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None }
+    }.toMap
+    (kv.get("flushSize").map(_.toLong).getOrElse(
+        throw new IllegalStateException(s"no flushSize in sink config: $desc")),
+      kv.getOrElse("layout", "kafka-partition"))
+  }
+
+  /** Compact a topic dir onto a coarser rotation grid — the object-store
+    * small-file problem. A long-running stream with a small flush.size (or a
+    * low-rate topic under a time-based trigger) accumulates files whose
+    * per-object overhead (S3 request counts, ORC footer reads, scan task
+    * scheduling) eventually dominates; at 100 TB the fix is periodic
+    * compaction, not a bigger flush.size at write time (which would delay
+    * commit durability).
+    *
+    * Rewrites every committed row into `outDir/topics/<topic>/` on the
+    * `targetFlushSize` grid — required to be a multiple of the source grid,
+    * so old chunk ranges NEST inside new ones and the offset-named contract
+    * is preserved exactly (readers, readRange and future writes work
+    * unchanged, just with fewer, larger files). The dt/partition layout is
+    * carried over from the source dirs (no timestamp re-derivation — the
+    * files do not store the record timestamp). Runs through the same
+    * marker → overwrite → hoist commit protocol as `write`, so a crashed
+    * compaction recovers the same way; the incomplete output dir is simply
+    * re-compacted (the source dir is never mutated). Swapping the compacted
+    * dir in place of the source is the caller's move — on a rename-capable
+    * FS a dir rename; on S3 a prefix/pointer flip — matching how production
+    * compaction jobs publish snapshots.
+    *
+    * This is a maintenance operation: it reads the full topic (one file
+    * listing of the source dir), unlike the steady-state write/readRange
+    * paths, which never list committed files.
+    */
+  def compactTo(spark: SparkSession, topicDir: String, outDir: String,
+      targetFlushSize: Long): String = {
+    val fs = FileSystem.get(new java.net.URI(topicDir),
+      spark.sparkContext.hadoopConfiguration)
+    val root = new Path(topicDir)
+    val topic = root.getName
+    val desc = readMarker(fs, new Path(root, ConfigMarker)).getOrElse(
+      throw new IllegalStateException(
+        s"$topicDir has no sink config marker — not a sink topic dir"))
+    val (flushSize, layoutId) = parseConfig(desc)
+    require(targetFlushSize > flushSize && targetFlushSize % flushSize == 0,
+      s"target flush.size $targetFlushSize must be a proper multiple of the " +
+        s"committed $flushSize (chunk ranges must nest to keep offset names exact)")
+
+    val partCols =
+      if (layoutId.startsWith("time:")) Seq(DtCol, "partition", ChunkCol)
+      else Seq("partition", ChunkCol)
+    val df = read(spark, topicDir)
+    val valueCols = df.columns.toSeq
+      .filterNot(c => c == "offset" || c == ChunkCol || partCols.contains(c))
+    val flat = df
+      .withColumn(ChunkCol, col("offset") - pmod(col("offset"), lit(targetFlushSize)))
+      .select(partCols.map {
+        case `DtCol` => col(DtCol).cast("string").as(DtCol)
+        case c => col(c)
+      } ++ (col("offset") +: valueCols.map(col)): _*)
+
+    val newTopicDir = s"$outDir/topics/$topic"
+    val newRoot = new Path(newTopicDir)
+    val newFs = FileSystem.get(new java.net.URI(newTopicDir),
+      spark.sparkContext.hadoopConfiguration)
+    val newDesc = s"flushSize=$targetFlushSize\nlayout=$layoutId"
+    readMarker(newFs, new Path(newRoot, ConfigMarker)) match {
+      case Some(existing) => require(existing == newDesc,
+        s"compaction target $newTopicDir already committed a different config")
+      case None =>
+        newFs.mkdirs(newRoot)
+        writeMarker(newFs, new Path(newRoot, ConfigMarker), newDesc)
+    }
+    // carry the latched schema so later write()s keep their drift checks
+    readMarker(fs, new Path(root, SchemaMarker)).foreach(json =>
+      writeMarker(newFs, new Path(newRoot, SchemaMarker), json))
+
+    commitOverwrite(spark, newFs, newRoot, newTopicDir, topic, flat, partCols,
+      touchedLeaves(flat, partCols))
+    newTopicDir
+  }
+
+  /** Retention: delete every committed chunk file wholly below the offset
+    * watermark — chunk-granular (a chunk straddling the watermark stays
+    * whole; rewriting it would break the offset-named contract), matching
+    * Kafka's segment-granular log retention. Idempotent and crash-safe by
+    * construction: deleting a committed file is a single FS op, and a
+    * partial pass is finished by re-running. Files are matched by EXACT
+    * name parse; anything else (markers, foreign files) is untouched.
+    * Maintenance-path listing, like compactTo. Returns #files deleted.
+    */
+  def expire(spark: SparkSession, topicDir: String, beforeOffset: Long): Int = {
+    val fs = FileSystem.get(new java.net.URI(topicDir),
+      spark.sparkContext.hadoopConfiguration)
+    val root = new Path(topicDir)
+    if (!fs.exists(root)) return 0
+    val topic = root.getName
+    val inflight = new Path(root, InflightMarker)
+    if (fs.exists(inflight)) // normalize a crashed layout before judging names
+      recoverFromMarker(fs, root, topic, inflight)
+    val desc = readMarker(fs, new Path(root, ConfigMarker)).getOrElse(
+      throw new IllegalStateException(
+        s"$topicDir has no sink config marker — not a sink topic dir"))
+    val (flushSize, _) = parseConfig(desc)
+    val FileName =
+      (java.util.regex.Pattern.quote(fileTopic(topic)) + raw"\+(\d+)\+(\d+)(?:-\d+)?\.orc").r
+    var deleted = 0
+    def visit(dir: Path): Unit =
+      listDir(fs, dir).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && (n.startsWith("partition=") || n.startsWith(s"$DtCol=")))
+          visit(st.getPath)
+        else if (st.isFile) n match {
+          case FileName(_, chunk)
+              if chunk.toLong + flushSize <= beforeOffset =>
+            if (fs.delete(st.getPath, false)) deleted += 1
+          case _ => ()
+        }
+      }
+    visit(root)
+    deleted
   }
 }

@@ -280,6 +280,71 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
     assert(got.agg(min("offset"), max("offset")).head.toSeq == Seq(10L, 29L))
   }
 
+  test("compactTo coarsens the chunk grid losslessly (small-file maintenance)") {
+    val out = freshOut()
+    val topicDir = OffsetNamedOrcSink.write(shaped, out, flushSize = 125)
+    val before = orcFiles(topicDir)
+    val compacted = OffsetNamedOrcSink.compactTo(spark, topicDir,
+      freshOut(), targetFlushSize = 500)
+    val after = new java.io.File(compacted).listFiles.filter(_.isDirectory)
+      .filter(_.getName.startsWith("partition="))
+      .flatMap(_.listFiles).filter(f => f.isFile && f.getName.endsWith(".orc"))
+    assert(after.length < before.length,
+      s"${before.length} files -> ${after.length}")
+    // every file name sits on the 500 grid
+    val chunks = after.map(_.getName.replaceAll(".*\\+(\\d+)\\.orc$", "$1").toLong)
+    assert(chunks.forall(_ % 500 == 0), chunks.mkString(","))
+    // row-for-row lossless
+    val a = OffsetNamedOrcSink.read(spark, topicDir).drop("_chunk")
+    val b = OffsetNamedOrcSink.read(spark, compacted).drop("_chunk")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // the compacted dir is a full sink dir: config marker carries the new
+    // grid, so readRange prunes on it and appends keep their drift checks
+    val window = OffsetNamedOrcSink.readRange(spark, compacted, 100, 600)
+    assert(window.count() ==
+      a.filter(col("offset") >= 100 && col("offset") < 600).count())
+    // nesting guard: a non-multiple target must be refused
+    intercept[IllegalArgumentException] {
+      OffsetNamedOrcSink.compactTo(spark, topicDir, freshOut(), 300)
+    }
+  }
+
+  test("compactTo preserves dt dirs under TimeDaily (no timestamp re-derivation)") {
+    val out = freshOut()
+    val twoDays = shapedRows((0L until 40L).map(i => (i, i % 4)): _*)
+      .withColumn("timestamp",
+        when(col("offset") < 20, lit(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+          .otherwise(lit(java.sql.Timestamp.valueOf("2024-01-02 10:00:00"))))
+    val topicDir = OffsetNamedOrcSink.write(twoDays, out, flushSize = 5,
+      layout = Layout.TimeDaily())
+    val compacted = OffsetNamedOrcSink.compactTo(spark, topicDir, freshOut(), 25)
+    val back = OffsetNamedOrcSink.read(spark, compacted)
+    assert(back.count() == 40)
+    assert(back.select(countDistinct(col("dt"))).head.getLong(0) == 2)
+    // day boundary (offset 20) ≠ chunk boundary (25): chunk 0 holds rows of
+    // both days, so it commits one file under EACH dt dir
+    assert(back.filter(col("_chunk") === 0)
+      .select(countDistinct(col("dt"))).head.getLong(0) == 2)
+  }
+
+  test("expire drops whole chunks below the offset watermark, never more") {
+    val out = freshOut()
+    val topicDir = OffsetNamedOrcSink.write(shaped, out, flushSize = 250)
+    val total = OffsetNamedOrcSink.read(spark, topicDir).count()
+    // watermark inside chunk 500: chunks 0 and 250 go, 500 stays whole
+    val deleted = OffsetNamedOrcSink.expire(spark, topicDir, beforeOffset = 600)
+    assert(deleted > 0)
+    val back = OffsetNamedOrcSink.read(spark, topicDir)
+    assert(back.agg(min("offset")).head.getLong(0) == 500L)
+    assert(back.count() ==
+      shaped.filter(col("offset") >= 500).count() && back.count() < total)
+    // idempotent: a second pass deletes nothing
+    assert(OffsetNamedOrcSink.expire(spark, topicDir, 600) == 0)
+    // and the markers/config survive: appends still work after retention
+    OffsetNamedOrcSink.write(shapedRows((2000L, 1L)), out, 250)
+    assert(OffsetNamedOrcSink.read(spark, topicDir).count() == back.count() + 1)
+  }
+
   test("mismatched flush.size on an existing topic dir fails fast") {
     val out = freshOut()
     OffsetNamedOrcSink.write(shaped.filter(col("offset") < 437), out, 250)
