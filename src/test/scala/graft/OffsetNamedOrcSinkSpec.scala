@@ -495,6 +495,21 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
     assert(df.count() == shaped.filter(col("partition") === 2).count())
   }
 
+  test("readRange's offset window reaches the ORC scan as PushedFilters") {
+    val out = freshOut()
+    val topicDir = OffsetNamedOrcSink.write(shaped, out, flushSize = 250)
+    val df = OffsetNamedOrcSink.readRange(spark, topicDir, 100, 600)
+      .select("offset", "id") // prune too: ReadSchema must shrink
+    val p = df.queryExecution.executedPlan.toString
+    // file-level pruning picked the chunk files; within each file the offset
+    // bounds must still reach ORC so stripe/row-group stats skip the
+    // non-overlapping tail of the boundary chunks
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters") &&
+      l.contains("GreaterThanOrEqual(offset,100)") &&
+      l.contains("LessThan(offset,600)")), p.take(2000))
+    assert(df.count() == 500)
+  }
+
   test("topic names sanitize '#' to '_' in committed file keys (reference sanitizer)") {
     val out = freshOut()
     val topicDir = OffsetNamedOrcSink.write(
