@@ -301,11 +301,68 @@ object SimilarityOps extends QueryModule {
                    CAST(count(*) AS BIGINT) AS n
             FROM x WHERE dim <= 8 GROUP BY 1, 2 ORDER BY label, dim"""))
 
+  /** ANN quality metric: recall@3 of the SRP-bucketed IVF against the
+    * brute-force ground truth, per probe — the number every production ANN
+    * deployment monitors (speed without a recall gauge is meaningless).
+    * Both neighbor sets come from the SAME deterministic formulations as
+    * q_embed_knn / q_knn_ivf (rounded-cosine + id tiebreak total order), so
+    * hits are exact integers and the t2 gate hashes them cross-engine. At
+    * scale this runs on a sampled probe set: cost = brute truth over the
+    * sample, not the corpus pairing.
+    */
+  private val qKnnRecall = GQuery(
+    (s, d) => {
+      val truth = qEmbedKnn.fn(s, d).select("p_id", "n_id")
+      val approx = qKnnIvf.fn(s, d).select("p_id", "n_id")
+        .withColumn("hit", lit(1))
+      truth.join(approx, Seq("p_id", "n_id"), "left")
+        .groupBy("p_id")
+        .agg(count(col("hit")).as("hits"), count(lit(1)).as("n_truth"))
+        .orderBy("p_id")
+    },
+    Some {
+      val bucket = duckSrpBucket("e.embedding")
+      s"""WITH probes AS (
+            SELECT vec_id AS p_id, CAST(embedding AS DOUBLE[]) AS p_emb
+            FROM embeddings WHERE vec_id < 5),
+          scored AS (
+            SELECT p_id, e.vec_id AS n_id,
+                   CAST(round(CAST(list_cosine_similarity(p_emb,
+                     CAST(e.embedding AS DOUBLE[])) AS DECIMAL(30,8)), 6) AS DOUBLE) AS cos
+            FROM probes, embeddings e WHERE e.vec_id <> p_id),
+          truth AS (
+            SELECT p_id, n_id FROM (
+              SELECT p_id, n_id,
+                     row_number() OVER (PARTITION BY p_id ORDER BY cos DESC, n_id) AS rn
+              FROM scored) WHERE rn <= 3),
+          b AS (
+            SELECT e.vec_id, $bucket AS bucket,
+                   CAST(e.embedding AS DOUBLE[]) AS emb
+            FROM embeddings e),
+          bscored AS (
+            SELECT p.vec_id AS p_id, e.vec_id AS n_id,
+                   CAST(round(CAST(list_cosine_similarity(p.emb, e.emb)
+                     AS DECIMAL(30,8)), 6) AS DOUBLE) AS cos
+            FROM b p JOIN b e ON e.bucket = p.bucket AND e.vec_id <> p.vec_id
+            WHERE p.vec_id < 5),
+          approx AS (
+            SELECT p_id, n_id FROM (
+              SELECT p_id, n_id,
+                     row_number() OVER (PARTITION BY p_id ORDER BY cos DESC, n_id) AS rn
+              FROM bscored) WHERE rn <= 3)
+          SELECT t.p_id, CAST(count(a.n_id) AS BIGINT) AS hits,
+                 CAST(count(*) AS BIGINT) AS n_truth
+          FROM truth t LEFT JOIN approx a
+            ON a.p_id = t.p_id AND a.n_id = t.n_id
+          GROUP BY 1 ORDER BY t.p_id"""
+    })
+
   override val queries: Map[String, GQuery] = Map(
     "q_embed_centroid" -> qEmbedCentroid,
     "q_scalar_hof" -> qScalarHof,
     "q_knn_ivf_centroid" -> qKnnIvfCentroid,
     "q_embed_knn" -> qEmbedKnn,
     "q_multimodal_join" -> qMultimodalJoin,
-    "q_knn_ivf" -> qKnnIvf)
+    "q_knn_ivf" -> qKnnIvf,
+    "q_knn_recall" -> qKnnRecall)
 }
