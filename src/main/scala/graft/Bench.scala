@@ -39,8 +39,11 @@ object Bench {
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
     // ms precision: full-double seconds ballooned the line past the
-    // driver's tail capture (BENCH_r02.json arrived truncated mid-JSON)
-    def fmt(v: Double): String = f"$v%.3f"
+    // driver's tail capture (BENCH_r02.json arrived truncated mid-JSON).
+    // Locale.ROOT: the f interpolator formats with the JVM default locale,
+    // and a comma decimal separator would corrupt the JSON line.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qjson = results.map { case (k, v, ok) =>
       s"\"" + k + "\":" + (if (ok) fmt(v) else "null")
     }.mkString("{", ",", "}")

@@ -175,8 +175,11 @@ case class SimHash16(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash16"
 
-  /** Null ELEMENTS yield null (matching the HOF fold, where a null token
-    * hash nulls the aggregate) — nullable regardless of the child.
+  /** Null ELEMENTS yield null — DELIBERATELY STRICTER than the 16-pass HOF
+    * fold, which coerces the nulled per-bit aggregate to a 0 vote via
+    * `when(...).otherwise(0)` and returns 0: a null token is corrupt input,
+    * not 16 silent zero-votes. Unreachable from q_dedup_simhash (split()
+    * never yields null elements); the divergence is pinned by its own test.
     */
   override def nullable: Boolean = true
 
@@ -211,7 +214,8 @@ case class SimHash16(child: Expression)
 
 object SimHash16 {
   /** One pass: per token md5 → first 2 bytes → 16 bit-counters; majority
-    * vote per bit. Returns null on a null token (HOF-fold parity).
+    * vote per bit. Returns null on a null token (stricter than the HOF
+    * fold's 0 — see the `nullable` scaladoc).
     */
   def compute(arr: ArrayData): java.lang.Long = {
     val n = arr.numElements()
@@ -301,9 +305,13 @@ object RollingFp {
   * lexicographically (binary compare over lowercase hex — identical in
   * Spark, Java and DuckDB), banded 2×2 → `[min0‖min1, min2‖min3]`.
   * Bit-exact with q_dedup_minhash's interpreted shingle→md5→4×array_min
-  * formulation, so its DuckDB oracle is unchanged. The interpreted form
-  * allocates the shingle array, the digest array and 4 sliced copies per
-  * doc; this kernel allocates none of them.
+  * formulation on every null-free array, so its DuckDB oracle is unchanged
+  * (split() never yields null elements). On a NULL ELEMENT the kernel
+  * null-poisons the whole result — deliberately stricter than the
+  * interpreted form, whose `concat_ws` silently DROPS null tokens from the
+  * shingle and emits real band keys for corrupt input. The interpreted
+  * form allocates the shingle array, the digest array and 4 sliced copies
+  * per doc; this kernel allocates none of them.
   */
 case class MinHashBands(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {

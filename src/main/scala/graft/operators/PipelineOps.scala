@@ -174,15 +174,23 @@ object PipelineOps extends QueryModule {
     * the source by (day(ts), user_id % 4). Day granularity is immune to the
     * ns→µs truncation.
     */
+  /** THE memoized TimeDaily sink artifact (flush.size 5000) shared by
+    * q_partition_time / q_read_offset_range / q_compact_roundtrip — one
+    * definition, so the 5000 grid that q_read_offset_range's [2000, 7000)
+    * window and q_compact_roundtrip's 10000 target both depend on cannot
+    * silently diverge per query.
+    */
+  private def timesinkDir(s: SparkSession, d: String): String =
+    writtenDirs.computeIfAbsent(s"timesink|$d", _ => {
+      val out = Files.createTempDirectory("graft-timesink-").toString
+      graft.streaming.OffsetNamedOrcSink.write(
+        graft.sources.KafkaShaped.fromEvents(s, d), out, flushSize = 5000,
+        layout = graft.streaming.OffsetNamedOrcSink.Layout.TimeDaily())
+    })
+
   private val qPartitionTime = GQuery(
     (s, d) => {
-      val topicDir = writtenDirs.computeIfAbsent(s"timesink|$d", _ => {
-        val out = Files.createTempDirectory("graft-timesink-").toString
-        graft.streaming.OffsetNamedOrcSink.write(
-          graft.sources.KafkaShaped.fromEvents(s, d), out, flushSize = 5000,
-          layout = graft.streaming.OffsetNamedOrcSink.Layout.TimeDaily())
-      })
-      graft.streaming.OffsetNamedOrcSink.read(s, topicDir)
+      graft.streaming.OffsetNamedOrcSink.read(s, timesinkDir(s, d))
         .groupBy(col("dt").cast("string").as("dt"),
           col("partition").cast("int").as("route"))
         .agg(count(lit(1)).as("n"))
@@ -203,13 +211,7 @@ object PipelineOps extends QueryModule {
     */
   private val qReadOffsetRange = GQuery(
     (s, d) => {
-      val topicDir = writtenDirs.computeIfAbsent(s"timesink|$d", _ => {
-        val out = Files.createTempDirectory("graft-timesink-").toString
-        graft.streaming.OffsetNamedOrcSink.write(
-          graft.sources.KafkaShaped.fromEvents(s, d), out, flushSize = 5000,
-          layout = graft.streaming.OffsetNamedOrcSink.Layout.TimeDaily())
-      })
-      graft.streaming.OffsetNamedOrcSink.readRange(s, topicDir, 2000L, 7000L)
+      graft.streaming.OffsetNamedOrcSink.readRange(s, timesinkDir(s, d), 2000L, 7000L)
         .groupBy(col("partition").cast("int").as("route"))
         .agg(count(lit(1)).as("n"),
           min("offset").as("lo"), max("offset").as("hi"))
@@ -228,12 +230,7 @@ object PipelineOps extends QueryModule {
     */
   private val qCompactRoundtrip = GQuery(
     (s, d) => {
-      val topicDir = writtenDirs.computeIfAbsent(s"timesink|$d", _ => {
-        val out = Files.createTempDirectory("graft-timesink-").toString
-        graft.streaming.OffsetNamedOrcSink.write(
-          graft.sources.KafkaShaped.fromEvents(s, d), out, flushSize = 5000,
-          layout = graft.streaming.OffsetNamedOrcSink.Layout.TimeDaily())
-      })
+      val topicDir = timesinkDir(s, d)
       val compacted = writtenDirs.computeIfAbsent(s"compact|$d", _ =>
         graft.streaming.OffsetNamedOrcSink.compactTo(s, topicDir,
           Files.createTempDirectory("graft-compact-").toString, 10000))
@@ -248,10 +245,39 @@ object PipelineOps extends QueryModule {
                    min(event_id) AS lo, max(event_id) AS hi
             FROM events GROUP BY 1 ORDER BY dt"""))
 
+  /** Retention is chunk-granular (OffsetNamedOrcSink.expire): its own sink
+    * artifact on a 500 grid, expired at watermark 600 — chunk 0 (offsets
+    * 0–499) is wholly below and goes; chunk 500 straddles the watermark and
+    * stays WHOLE, so offsets 500–599 survive. The oracle is therefore
+    * `event_id >= 500` (the chunk floor), not `>= 600`: the oracle itself
+    * pins the chunk granularity, at every SF.
+    */
+  private val qExpireRetention = GQuery(
+    (s, d) => {
+      val topicDir = writtenDirs.computeIfAbsent(s"expiresink|$d", _ => {
+        val out = Files.createTempDirectory("graft-expiresink-").toString
+        val dir = graft.streaming.OffsetNamedOrcSink.write(
+          graft.sources.KafkaShaped.fromEvents(s, d), out, flushSize = 500)
+        graft.streaming.OffsetNamedOrcSink.expire(s, dir, beforeOffset = 600)
+        dir
+      })
+      graft.streaming.OffsetNamedOrcSink.read(s, topicDir)
+        .groupBy(col("partition").cast("int").as("route"))
+        .agg(count(lit(1)).as("n"),
+          min("offset").as("lo"), max("offset").as("hi"))
+        .orderBy("route")
+    },
+    Some("""SELECT CAST(user_id % 4 AS INT) AS route,
+                   CAST(count(*) AS BIGINT) AS n,
+                   min(event_id) AS lo, max(event_id) AS hi
+            FROM events WHERE event_id >= 500
+            GROUP BY 1 ORDER BY route"""))
+
   override val queries: Map[String, GQuery] = Map(
     "q_fmt_roundtrip" -> qFmtRoundtrip,
     "q_read_offset_range" -> qReadOffsetRange,
     "q_compact_roundtrip" -> qCompactRoundtrip,
+    "q_expire_retention" -> qExpireRetention,
     "q_partition_time" -> qPartitionTime,
     "q_orc_roundtrip" -> qOrcRoundtrip,
     "q_schema_sixtypes" -> qSchemaSixtypes,

@@ -546,11 +546,7 @@ object OffsetNamedOrcSink {
     readMarker(fs, new Path(root, ConfigMarker)) match {
       case None => fullScan // legacy dir: no recorded chunk grid to prune on
       case Some(desc) =>
-        val flushSize = desc.linesIterator
-          .collectFirst { case l if l.startsWith("flushSize=") =>
-            l.stripPrefix("flushSize=").toLong }
-          .getOrElse(0L)
-        if (flushSize <= 0) fullScan else {
+        val (flushSize, _) = parseConfig(desc) // corrupt marker throws, like compactTo/expire
         val chunks = Iterator
           .iterate(fromOffset - math.floorMod(fromOffset, flushSize))(_ + flushSize)
           .takeWhile(_ < untilOffset).toSeq
@@ -576,7 +572,6 @@ object OffsetNamedOrcSink {
             regexp_extract(input_file_name(), raw"\+(\d+)(?:-\d+)?\.orc$$", 1)
               .cast("long"))
           .filter(col("offset") >= fromOffset && col("offset") < untilOffset)
-        }
     }
   }
 

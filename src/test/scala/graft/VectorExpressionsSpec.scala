@@ -185,6 +185,35 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(short.forall(r => r.getSeq[String](0).forall(_.length == 16)))
   }
 
+  test("null tokens: kernels null-poison where the HOF forms silently coerce") {
+    import graft.operators.DedupOps
+    // the HOF simhash turns the nulled per-bit aggregate into a 0 vote via
+    // when/otherwise; the HOF shingle's concat_ws DROPS null tokens and
+    // emits real band keys. Both would bucket corrupt input as if it were
+    // clean — the kernels return null instead, and this divergence is a
+    // deliberate contract (unreachable from split()-produced tokens).
+    val vals = transform(col("toks"), tk => DedupOps.hex4(tk))
+    val total = size(vals).cast("long")
+    val hofSim = (0 until 16).map { b =>
+      val ones = aggregate(vals, lit(0L),
+        (acc, v) => acc + shiftright(v, b).bitwiseAND(lit(1L)))
+      when(ones * 2 > total, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val mh = (0 until 4).map(k =>
+      array_min(transform(col("hs"), h => substring(h, k * 8 + 1, 8))))
+    val row = Seq(Tuple1(Seq[String]("a", null, "b"))).toDF("toks")
+      .select(col("toks").cast("array<string>").as("toks"))
+      .select(col("toks"),
+        transform(DedupOps.shingles(col("toks")), x => md5(x)).as("hs"))
+      .select(
+        VectorExpressions.simhash16(col("toks")).as("sim_nat"), hofSim.as("sim_hof"),
+        VectorExpressions.minhashBands(col("toks")).as("bands_nat"),
+        concat(mh(0), mh(1)).as("b0_hof"))
+      .head
+    assert(row.isNullAt(0) && !row.isNullAt(1) && row.getLong(1) == 0L)
+    assert(row.isNullAt(2) && !row.isNullAt(3) && row.getString(3).length == 16)
+  }
+
   test("kernels execute inside whole-stage codegen") {
     val emb = Tables(spark, sf, "embeddings")
       .select(col("embedding").cast("array<double>").as("e"))
