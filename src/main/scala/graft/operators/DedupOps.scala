@@ -137,24 +137,29 @@ object DedupOps extends QueryModule {
     * blocked on the same first-2-token prefix (linear candidate generation —
     * never all-pairs). Emits every blocked pair with its score.
     */
+  /** Distinct 64-bit shingle hashes of the materialized `toks` column:
+    * xxhash64 over each 3-token window (no shingle strings materialized;
+    * long-array ops beat string arrays 4×). Oracle twins intersect/join the
+    * literal shingle strings — counts agree because a 64-bit collision
+    * inside one doc's ~100-shingle set is ~1e-17, and outputs carry only
+    * counts, never hash values (CLAUDE.md xxhash64 rule).
+    * <3-token docs: element_at past the array throws under ANSI mode — fall
+    * back to one whole-doc shingle (matches the oracle's short list_slice
+    * join exactly: equality of the joined string).
+    */
+  private def shingleHashes: Column =
+    when(size(col("toks")) >= 3, array_distinct(
+      transform(sequence(lit(1), size(col("toks")) - 2),
+        i => xxhash64(element_at(col("toks"), i),
+          element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))))
+      .otherwise(array(xxhash64(concat_ws(" ", col("toks")))))
+
   private val qDedupNgramJaccard = GQuery(
     (s, d) => {
-      // Spark-side shingles are xxhash64 over the 3-token window (no shingle
-      // strings materialized; long-array intersect beats string-array 4×).
-      // The oracle intersects the literal shingle strings — counts agree
-      // because a 64-bit collision inside one doc's ~100-shingle set is
-      // ~1e-17. Output carries only counts, never hash values.
       // `toks` MUST be a materialized column: expressions captured inside a
       // lambda re-evaluate per call, so an inline split() would rerun 3× per
       // shingle position.
-      // <3-token docs: element_at past the array throws under ANSI mode —
-      // fall back to one whole-doc shingle (matches the oracle's short
-      // list_slice join exactly: equality of the joined string)
-      val sh = when(size(col("toks")) >= 3, array_distinct(
-        transform(sequence(lit(1), size(col("toks")) - 2),
-          i => xxhash64(element_at(col("toks"), i),
-            element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))))
-        .otherwise(array(xxhash64(concat_ws(" ", col("toks")))))
+      val sh = shingleHashes
       val docs = t(s, d, "documents")
         .select(col("doc_id"), tokens.as("toks"))
         .select(col("doc_id"),
@@ -332,10 +337,71 @@ object DedupOps extends QueryModule {
           FROM lbl ORDER BY doc_id"""
     })
 
+  /** Train/test DECONTAMINATION — the eval-integrity step of every LLM data
+    * pipeline: find held-out (test-split) documents sharing 3-token shingles
+    * with the training split, so leaked eval content can be dropped before
+    * training. Splits are the same deterministic hash-of-key buckets as
+    * q_split_train (train <80, test ≥90); candidate generation is the
+    * shingle-hash key join — linear in total shingles, never a doc-pair
+    * product. A train-side document-frequency cap (df ≤ 50) drops ubiquitous
+    * shingles first — the stop-shingle guard real decontamination pipelines
+    * use, and the at-scale safety valve: without it one boilerplate phrase
+    * shared by millions of train docs would blow up the join. The final
+    * two-distinct aggregate Expands ×2 over contaminated (test, shingle,
+    * train) triples only — bounded by contamination volume, not the corpus.
+    * Output: per contaminated test doc, #distinct shared shingles and
+    * #distinct train docs implicated.
+    */
+  private val qDecontaminate = GQuery(
+    (s, d) => {
+      val bucket = pmod(hex4(col("doc_id").cast("string")), lit(100))
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), tokens.as("toks"))
+        .select(col("doc_id"), bucket.as("bucket"), shingleHashes.as("sh"))
+      // df as a window over the exploded train shingles — the q_text_tfidf
+      // trick: ONE shuffle of the train side on shash, no df-groupBy self-join
+      // (which would evaluate the shingle subtree twice)
+      val train = docs.filter(col("bucket") < 80)
+        .select(col("doc_id").as("train_doc"), explode(col("sh")).as("shash"))
+        .withColumn("df",
+          count(lit(1)).over(Window.partitionBy("shash"))) // pairs distinct ⇒ df = doc freq
+        .filter(col("df") <= 50)
+        .drop("df")
+      val test = docs.filter(col("bucket") >= 90)
+        .select(col("doc_id").as("test_doc"), explode(col("sh")).as("shash"))
+      test.join(train, "shash")
+        .groupBy("test_doc")
+        .agg(countDistinct("shash").as("n_shared"),
+          countDistinct("train_doc").as("n_train_docs"))
+        .orderBy("test_doc")
+    },
+    Some(s"""WITH docs AS (
+              SELECT doc_id,
+                     ${duckHex4("md5(CAST(doc_id AS VARCHAR))")} % 100 AS bucket,
+                     list_distinct($duckShingles) AS sh
+              FROM documents),
+            tr AS (
+              SELECT doc_id AS train_doc, unnest(sh) AS shash
+              FROM docs WHERE bucket < 80),
+            kept AS (
+              SELECT shash FROM (
+                SELECT shash, count(*) AS df FROM tr GROUP BY 1)
+              WHERE df <= 50),
+            te AS (
+              SELECT doc_id AS test_doc, unnest(sh) AS shash
+              FROM docs WHERE bucket >= 90)
+            SELECT test_doc,
+                   CAST(count(DISTINCT te.shash) AS BIGINT) AS n_shared,
+                   CAST(count(DISTINCT tr.train_doc) AS BIGINT) AS n_train_docs
+            FROM te JOIN tr ON te.shash = tr.shash
+                    JOIN kept ON kept.shash = te.shash
+            GROUP BY 1 ORDER BY test_doc"""))
+
   override val queries: Map[String, GQuery] = Map(
     "q_dedup_components" -> qDedupComponents,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
-    "q_dedup_embed" -> qDedupEmbed)
+    "q_dedup_embed" -> qDedupEmbed,
+    "q_decontaminate" -> qDecontaminate)
 }
