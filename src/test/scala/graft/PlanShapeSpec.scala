@@ -96,6 +96,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Generate explode")) == 1, p.take(3000))
   }
 
+  test("q_decontaminate's train df is a window, not a groupBy self-join") {
+    val df = SparkEntry.queries("q_decontaminate")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // a df-groupBy + join formulation would evaluate the train shingle
+    // subtree twice: exactly 2 explodes total (one train, one test), and the
+    // stop-shingle cap appears as a post-window Filter, not a join
+    assert(p.linesIterator.count(_.contains("Generate explode")) == 2, p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+  }
+
   test("q_embed_centroid partially aggregates before the (label, dim) shuffle") {
     val p = plan("q_embed_centroid")
     assert(p.contains("partial_avg") || p.contains("partial_sum"), p.take(3000))
