@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Dev-only feature probe (not part of the driver contract). */
 object Probe {
@@ -10,28 +11,45 @@ object Probe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.001"
-    Tables(spark, d, "customer").createOrReplaceTempView("customer")
-    Tables(spark, d, "orders").createOrReplaceTempView("orders")
-    // 1. lateral join with ORDER BY + LIMIT
-    try {
-      val r = spark.sql(
-        """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
-           FROM customer c,
-           LATERAL (SELECT o_orderkey, o_totalprice FROM orders
-                    WHERE o_custkey = c.c_custkey
-                    ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
-           ORDER BY c_custkey, o_orderkey""")
-      println("LATERAL ok rows=" + r.count())
-    } catch { case t: Throwable => println("LATERAL FAIL: " + t.getMessage.take(300)) }
-    // 2. correlated scalar subquery in SELECT list
-    try {
-      val r = spark.sql(
-        """SELECT c_custkey,
-                  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n
-           FROM customer c ORDER BY c_custkey""")
-      println("SCALAR-SUBQ ok rows=" + r.count())
-    } catch { case t: Throwable => println("SCALAR-SUBQ FAIL: " + t.getMessage.take(300)) }
+    import spark.implicits._
+
+    // Does a pathGlobFilter-ed (streaming-style) InMemoryFileIndex still
+    // infer partition columns from a `_chunk=` staging dir whose files are
+    // all filtered out? (sink-as-source CONFLICTING_PARTITION_COLUMN_NAMES)
+    val base = java.nio.file.Files.createTempDirectory("graft-probe-").toString
+    Seq((1L, "a")).toDF("offset", "v").write.orc(s"$base/partition=0")
+    // rename the committed file to the offset-name shape
+    val dir = new java.io.File(s"$base/partition=0")
+    dir.listFiles.filter(f => f.getName.endsWith(".orc")).zipWithIndex.foreach {
+      case (f, _) => f.renameTo(new java.io.File(dir, "events+0+0000000000.orc"))
+    }
+    // plant a staging dir with a part- file
+    Seq((2L, "b")).toDF("offset", "v").write.orc(s"$base/partition=0/_chunk=250")
+
+    def attempt(label: String)(f: => Long): Unit =
+      try println(s"$label ok rows=" + f)
+      catch { case t: Throwable => println(s"$label FAIL: " + t.getMessage.take(200)) }
+
+    attempt("BATCH-noglob") {
+      spark.read.option("basePath", base).orc(s"$base/partition=*").count()
+    }
+    attempt("BATCH-glob") {
+      spark.read.option("basePath", base)
+        .option("pathGlobFilter", "*+*+*.orc").orc(s"$base/partition=*").count()
+    }
+    attempt("STREAM-glob") {
+      val q = spark.readStream
+        .schema("offset long, v string, partition int")
+        .option("basePath", base)
+        .option("pathGlobFilter", "*+*+*.orc")
+        .orc(s"$base/partition=*")
+        .writeStream.format("memory").queryName("probe_tail")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-probe-ck-").toString)
+        .start()
+      q.processAllAvailable(); q.stop()
+      spark.table("probe_tail").count()
+    }
     spark.stop()
   }
 }

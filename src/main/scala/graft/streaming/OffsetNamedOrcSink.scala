@@ -575,6 +575,20 @@ object OffsetNamedOrcSink {
     }
   }
 
+  /** The committed layout id of a topic dir (`"kafka-partition"` or
+    * `"time:<fmt>"`) from its config marker — how a consumer that didn't
+    * write the topic (e.g. `StreamOps.streamFromSink`) learns the directory
+    * shape without guessing from listings.
+    */
+  def layoutId(spark: SparkSession, topicDir: String): String = {
+    val fs = FileSystem.get(new java.net.URI(topicDir),
+      spark.sparkContext.hadoopConfiguration)
+    readMarker(fs, new Path(new Path(topicDir), ConfigMarker)) match {
+      case Some(desc) => parseConfig(desc)._2
+      case None => "kafka-partition" // legacy dir: the default layout
+    }
+  }
+
   /** Parse a `_graft_sink.conf` payload → (flushSize, layoutId). */
   private def parseConfig(desc: String): (Long, String) = {
     val kv = desc.linesIterator.flatMap { l =>

@@ -173,4 +173,63 @@ object StreamOps {
     q.awaitTermination()
     OffsetNamedOrcSink.read(spark, s"$outDir/topics/${KafkaShaped.topic}")
   }
+
+  /** The sink as a SOURCE: tail a topic dir's committed ORC files as a
+    * stream — how a downstream consumer (feature builder, trainer feed)
+    * subscribes to landed data without re-reading the topic. Safe against
+    * in-flight commits by construction, in two parts (both necessary —
+    * observed live: the spec's tail runs continuous triggers against
+    * concurrent writes): (1) `recursiveFileLookup` disables directory-based
+    * partition inference, which would otherwise die with
+    * CONFLICTING_PARTITION_COLUMN_NAMES the moment a listing raced a
+    * commit — the transient `_chunk=c` staging dirs are EXEMPT from the
+    * file index's `_` filter because their names contain '='; (2) the
+    * committed-name pathGlobFilter `*+*+*.orc` excludes every staging
+    * `part-*` file and every sink marker, admitting exactly the
+    * offset-named commits, which appear atomically at their final names
+    * via the hoist rename. The dir-encoded columns (partition, dt, chunk)
+    * are re-derived from the committed path, which embeds them all.
+    * Exactly-once per file from the file-source's processed-files log;
+    * chunk replays rewrite the SAME file name, which the file source
+    * (keyed on path) does not re-emit — a consumer therefore sees a
+    * chunk's rows as-of first commit, the documented
+    * at-least-the-first-commit contract of tailing an idempotently-
+    * rewritten layout. Tailing during a REPLAY (stale-file delete→rename
+    * gaps) carries the same single-writer caveat as `read`.
+    *
+    * The value schema must be supplied (streaming sources cannot infer;
+    * normally `KafkaShaped.valueSchema` plus whatever the drift policy
+    * latched). `maxFilesPerTrigger` bounds per-batch work for backfills over
+    * topics with many committed files.
+    */
+  def streamFromSink(spark: SparkSession, topicDir: String,
+      valueSchema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // recursiveFileLookup DISABLES directory-based partition inference —
+    // the race-proofing: a mid-commit `_chunk=` staging dir (exempt from the
+    // `_` filter because its name contains '=') can then never reach
+    // partition parsing. Every dir-encoded column is re-derived from the
+    // committed file PATH instead: partition and chunk are embedded in the
+    // name contract `<topic>+<p>+<%010d chunk>[-N].orc`, dt in its dir.
+    val timeDaily = OffsetNamedOrcSink.layoutId(spark, topicDir).startsWith("time:")
+    val schema = StructType(
+      StructField("offset", LongType) +: valueSchema.fields.toSeq)
+    val base = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*+*+*.orc") // committed names only — see scaladoc
+      .orc(topicDir)
+      .withColumn("partition",
+        regexp_extract(input_file_name(), raw"\+(\d+)\+\d+(?:-\d+)?\.orc$$", 1)
+          .cast("int"))
+      .withColumn(OffsetNamedOrcSink.ChunkCol,
+        regexp_extract(input_file_name(), raw"\+(\d+)(?:-\d+)?\.orc$$", 1)
+          .cast("long"))
+    if (timeDaily)
+      base.withColumn(OffsetNamedOrcSink.DtCol, // string: dt=unknown exists
+        regexp_extract(input_file_name(), s"/${OffsetNamedOrcSink.DtCol}=([^/]+)/", 1))
+    else base
+  }
 }

@@ -134,6 +134,61 @@ class StreamingSpec extends SparkSpec {
     assert(back.select("offset").distinct().count() == 1000)
   }
 
+  test("sink-as-source: streamFromSink tails committed files, blind to staging dirs") {
+    val outDir = tmp("graft-tail-out-")
+    val shaped = KafkaShaped.fromEvents(spark, sf)
+    val topicDir = OffsetNamedOrcSink.write(
+      shaped.filter(col("offset") < 400), outDir, flushSize = 250)
+    val tailed = StreamOps.streamFromSink(spark, topicDir, KafkaShaped.valueSchema)
+    val q = tailed.writeStream.format("memory").queryName("sink_tail")
+      .option("checkpointLocation", tmp("graft-tail-ck-"))
+      .start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("sink_tail")
+      assert(first.count() == 400, s"first batch rows: ${first.count()}")
+      // partition comes from the dir, _chunk from the committed file name
+      assert(first.select(countDistinct(col("partition"))).head.getLong(0) == 4)
+      assert(first.select("_chunk").distinct().collect().map(_.getLong(0)).toSet
+        == Set(0L, 250L))
+      // a NEW file committed after the stream started is picked up on the
+      // next trigger — the tailing contract. (A rewrite of the half-full
+      // chunk 250 would NOT re-emit: the file source keys on path — the
+      // documented as-of-first-commit caveat — so the new data is
+      // chunk-aligned here.)
+      OffsetNamedOrcSink.write(
+        shaped.filter(col("offset") >= 500 && col("offset") < 750), outDir, 250)
+      q.processAllAvailable()
+      val next = spark.table("sink_tail")
+      assert(next.count() == 650, s"after second commit: ${next.count()}")
+      assert(next.select(min("offset"), max("offset")).head.toSeq == Seq(0L, 749L))
+    } finally q.stop()
+  }
+
+  test("streamFromSink derives dt from the path under the TimeDaily layout") {
+    import graft.streaming.OffsetNamedOrcSink.Layout
+    val outDir = tmp("graft-tail-dt-")
+    val topicDir = OffsetNamedOrcSink.write(KafkaShaped.fromEvents(spark, sf),
+      outDir, flushSize = 250, layout = Layout.TimeDaily())
+    val q = StreamOps.streamFromSink(spark, topicDir, KafkaShaped.valueSchema)
+      .writeStream.format("memory").queryName("sink_tail_dt")
+      .option("checkpointLocation", tmp("graft-tail-dt-ck-"))
+      .start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("sink_tail_dt")
+      assert(out.count() == 1000)
+      val dts = out.select("dt").distinct().collect().map(_.getString(0))
+      assert(dts.length > 1 && dts.forall(_.matches(raw"\d{4}-\d{2}-\d{2}")),
+        dts.mkString(","))
+      // path-derived partition/chunk agree with the batch read-back
+      val batch = OffsetNamedOrcSink.read(spark, topicDir)
+        .select("offset", "partition", "_chunk").collect().map(_.toSeq).toSet
+      assert(out.select("offset", "partition", "_chunk")
+        .collect().map(_.toSeq).toSet == batch)
+    } finally q.stop()
+  }
+
   test("multi-topic stream routes one topic dir each through writeMulti") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Int, Long, Int, Double, String)]
