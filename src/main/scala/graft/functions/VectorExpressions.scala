@@ -354,26 +354,30 @@ object MinHashBands {
 
   private val HexChars = "0123456789abcdef".toCharArray
 
+  private val Space = Array[Byte](' ')
+
   def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val m = math.max(n - 2, 1) // shingle count, 1-based starts 1..m
     val md = java.security.MessageDigest.getInstance("MD5")
     val mins = new Array[String](4)
-    val sb = new java.lang.StringBuilder
     val hex = new Array[Char](32)
     var i = 0
     while (i < m) {
-      sb.setLength(0)
+      md.reset()
       val end = math.min(i + 2, n - 1) // slice(toks, i+1, 3), end-clamped
       var j = i
       while (j <= end) {
         if (arr.isNullAt(j)) return null
-        if (j > i) sb.append(' ')
-        sb.append(arr.getUTF8String(j).toString)
+        if (j > i) md.update(Space)
+        // digest the RAW UTF8String bytes — a round-trip through
+        // java.lang.String would substitute U+FFFD for invalid UTF-8 (legal
+        // in Spark's unvalidated UTF8String) and diverge from the
+        // interpreted md5(concat_ws(...)) form and the DuckDB oracle
+        md.update(arr.getUTF8String(j).getBytes)
         j += 1
       }
-      md.reset()
-      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = md.digest()
       var b = 0
       while (b < 16) {
         hex(2 * b) = HexChars((d(b) >> 4) & 0xf)

@@ -325,7 +325,56 @@ object OffsetNamedOrcSink {
         s"sink config mismatch at $root: committed {${existing.replace("\n", ", ")}} " +
           s"vs requested {${desc.replace("\n", ", ")}} — all writes against one " +
           "topic dir must use the same flush.size and layout")
-      case None => fs.mkdirs(root); writeMarker(fs, p, desc)
+      case None =>
+        // a markerless dir that already holds committed layout dirs was
+        // written before the config-marker protocol (or by something else):
+        // silently adopting the caller's flush.size would probe existing
+        // files on the wrong chunk grid and commit overlapping offset
+        // ranges, and a crash under the pre-marker sink may have left
+        // staged rows that only the full-walk recovery can save — both are
+        // exactly what migrate() handles, so demand it instead of guessing.
+        // One root listing, and only on a markerless dir — never steady state.
+        if (fs.exists(root) && listDir(fs, root).exists { st =>
+            val n = st.getPath.getName
+            st.isDirectory && (n.startsWith("partition=") || n.startsWith(s"$DtCol="))
+          })
+          throw new IllegalStateException(
+            s"$root holds a committed layout but no $ConfigMarker — a dir " +
+              "from before the config-marker protocol must be adopted " +
+              "explicitly: call migrate(topicDir, flushSize, layout) with " +
+              "the grid it was originally written with")
+        fs.mkdirs(root); writeMarker(fs, p, desc)
+    }
+  }
+
+  /** Adopt a topic dir written before the config-marker protocol: run the
+    * full-walk recovery FIRST (a markerless dir may hold staged `_chunk=`
+    * rows from a crash under the pre-marker sink — hoisting is idempotent
+    * and metadata-only), then stamp the config marker with the grid the dir
+    * was ORIGINALLY written with (the caller must know it; stamping a
+    * different grid would commit overlapping offset ranges on the next
+    * write). A maintenance path, like compactTo/expire.
+    */
+  def migrate(spark: SparkSession, topicDir: String, flushSize: Long,
+      layout: Layout = Layout.KafkaPartition): Unit = {
+    require(flushSize > 0, "flush.size must be positive")
+    val fs = FileSystem.get(new java.net.URI(topicDir),
+      spark.sparkContext.hadoopConfiguration)
+    val root = new Path(topicDir)
+    require(fs.exists(root), s"$topicDir does not exist")
+    val inflight = new Path(root, InflightMarker)
+    recover(fs, root, root.getName)
+    fs.delete(inflight, false) // full walk covers whatever a marker recorded
+    val layoutId = layout match {
+      case Layout.KafkaPartition => "kafka-partition"
+      case Layout.TimeDaily(fmt) => s"time:$fmt"
+    }
+    val p = new Path(root, ConfigMarker)
+    val desc = s"flushSize=$flushSize\nlayout=$layoutId"
+    readMarker(fs, p) match {
+      case Some(existing) => require(existing == desc,
+        s"$root already committed a different config: $existing")
+      case None => writeMarker(fs, p, desc)
     }
   }
 

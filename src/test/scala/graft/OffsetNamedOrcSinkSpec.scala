@@ -345,6 +345,43 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
     assert(OffsetNamedOrcSink.read(spark, topicDir).count() == back.count() + 1)
   }
 
+  test("markerless legacy dirs: write refuses, migrate recovers staged rows and adopts") {
+    val out = freshOut()
+    val topicDir = OffsetNamedOrcSink.write(
+      shaped.filter(col("offset") < 500), out, flushSize = 250)
+    val before = OffsetNamedOrcSink.read(spark, topicDir).count()
+    // strip the protocol markers — the dir now looks like one written by the
+    // pre-marker sink — and simulate a crash it suffered mid-commit: chunk
+    // 250's committed file is staged in _chunk=250 (stale-delete done,
+    // rename not reached), with no inflight marker to gate recovery on
+    val root = new java.io.File(topicDir)
+    assert(new java.io.File(root, "_graft_sink.conf").delete())
+    val pDir = new java.io.File(root, "partition=0")
+    val committed = pDir.listFiles.filter(_.getName.startsWith("events+0+0000000250")).head
+    val staging = new java.io.File(pDir, "_chunk=250")
+    assert(staging.mkdir())
+    assert(committed.renameTo(new java.io.File(staging, "part-00000.orc")))
+    // silently adopting a grid would commit overlapping ranges / destroy the
+    // staged rows on the next overwrite — write must demand migrate()
+    val e = intercept[IllegalStateException] {
+      OffsetNamedOrcSink.write(
+        shaped.filter(col("offset") >= 500 && col("offset") < 750), out, 250)
+    }
+    assert(e.getMessage.contains("migrate"), e.getMessage)
+    // migrate: full-walk recovery hoists the staged rows, then stamps the grid
+    OffsetNamedOrcSink.migrate(spark, topicDir, flushSize = 250)
+    assert(!staging.exists)
+    assert(OffsetNamedOrcSink.read(spark, topicDir).count() == before)
+    // adopted dir now behaves like any marker'd dir: appends merge correctly
+    OffsetNamedOrcSink.write(
+      shaped.filter(col("offset") >= 500 && col("offset") < 750), out, 250)
+    assert(OffsetNamedOrcSink.read(spark, topicDir).count() == before + 250)
+    // and migrating with a DIFFERENT grid is refused
+    intercept[IllegalArgumentException] {
+      OffsetNamedOrcSink.migrate(spark, topicDir, flushSize = 500)
+    }
+  }
+
   test("mismatched flush.size on an existing topic dir fails fast") {
     val out = freshOut()
     OffsetNamedOrcSink.write(shaped.filter(col("offset") < 437), out, 250)

@@ -185,6 +185,25 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(short.forall(r => r.getSeq[String](0).forall(_.length == 16)))
   }
 
+  test("MinHashBands digests raw token bytes (invalid UTF-8 survives un-mangled)") {
+    // cast(binary AS string) copies raw bytes into an unvalidated UTF8String
+    // — legal input the kernel must digest byte-identically to Spark's own
+    // md5(). A java.lang.String round-trip would substitute U+FFFD.
+    val bad = Array(0x61.toByte, 0xff.toByte, 0x62.toByte) // "a<invalid>b"
+    val row = Seq(Tuple1(Array(bad))).toDF("bins")
+      .select(transform(col("bins"), b => b.cast("string")).as("toks"))
+      .select(
+        VectorExpressions.minhashBands(col("toks")).as("bands"),
+        md5(element_at(col("toks"), 1)).as("spark_md5"))
+      .head
+    val hex = row.getString(1) // Spark md5 of the raw bytes
+    assert(row.getSeq[String](0) ==
+      Seq(hex.substring(0, 16), hex.substring(16, 32)))
+    val jvm = java.security.MessageDigest.getInstance("MD5").digest(bad)
+      .map(b => f"$b%02x").mkString
+    assert(hex == jvm) // and Spark's md5 digested the raw bytes too
+  }
+
   test("null tokens: kernels null-poison where the HOF forms silently coerce") {
     import graft.operators.DedupOps
     // the HOF simhash turns the nulled per-bit aggregate into a 0 vote via
