@@ -147,7 +147,7 @@ object DedupOps extends QueryModule {
     * back to one whole-doc shingle (matches the oracle's short list_slice
     * join exactly: equality of the joined string).
     */
-  private def shingleHashes: Column =
+  private[graft] def shingleHashes: Column =
     when(size(col("toks")) >= 3, array_distinct(
       transform(sequence(lit(1), size(col("toks")) - 2),
         i => xxhash64(element_at(col("toks"), i),
@@ -275,8 +275,13 @@ object DedupOps extends QueryModule {
       // truncates nothing — but with O(diameter) ≈ 3-5 rounds the lineage
       // stays shallow, and skipping localCheckpoint's disk write halves the
       // per-round cost. Old rounds unpersist to bound the cache footprint.
+      // explode_OUTER: plain explode's InferFiltersFromGenerate pushes
+      // size/isnotnull of array(b0,b1) below the projections, re-running the
+      // MinHashBands kernel twice per row in the filter (see q_decontaminate,
+      // where the same rule cost 7×); the 2-element array is never
+      // null/empty, so OUTER is identical and skips the inferred filter.
       val bands = sig.select(col("doc_id"),
-        explode(array(col("b0"), col("b1"))).as("band"))
+        explode_outer(array(col("b0"), col("b1"))).as("band"))
         .persist()
       var labels = sig.select(col("doc_id"), col("doc_id").as("lbl"))
         .localCheckpoint(true)
@@ -360,15 +365,22 @@ object DedupOps extends QueryModule {
         .select(col("doc_id"), bucket.as("bucket"), shingleHashes.as("sh"))
       // df as a window over the exploded train shingles — the q_text_tfidf
       // trick: ONE shuffle of the train side on shash, no df-groupBy self-join
-      // (which would evaluate the shingle subtree twice)
+      // (which would evaluate the shingle subtree twice).
+      // explode_OUTER, deliberately: plain explode triggers
+      // InferFiltersFromGenerate, which pushes `size(sh)>0 AND isnotnull(sh)`
+      // below the projections with the WHOLE shingle expression inlined —
+      // split() then re-evaluates per lambda element inside the filter,
+      // measured 9-12 s (vs ~1.5 s) at sf0.1. sh is never null/empty for
+      // non-null text, and a null shash row joins nothing, so OUTER is
+      // semantically identical and skips the inferred filter.
       val train = docs.filter(col("bucket") < 80)
-        .select(col("doc_id").as("train_doc"), explode(col("sh")).as("shash"))
+        .select(col("doc_id").as("train_doc"), explode_outer(col("sh")).as("shash"))
         .withColumn("df",
           count(lit(1)).over(Window.partitionBy("shash"))) // pairs distinct ⇒ df = doc freq
         .filter(col("df") <= 50)
         .drop("df")
       val test = docs.filter(col("bucket") >= 90)
-        .select(col("doc_id").as("test_doc"), explode(col("sh")).as("shash"))
+        .select(col("doc_id").as("test_doc"), explode_outer(col("sh")).as("shash"))
       test.join(train, "shash")
         .groupBy("test_doc")
         .agg(countDistinct("shash").as("n_shared"),
