@@ -50,7 +50,12 @@ object Bench {
     val errs = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qjson,"errors":$errs,"sf":"$sfDir"}""")
+    // Two lines: the full per-query detail first, then a SHORT summary line
+    // LAST. The driver's tail capture truncated the single long line two
+    // rounds running (r2 and r3 both lost the head fields); a final line
+    // under 200 bytes survives any tail window and parses on its own.
+    println(s"""{"metric":"detail","queries":$qjson,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${qs.size},"nerrors":${results.count(!_._3)},"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(!_._3)) sys.exit(1)
   }

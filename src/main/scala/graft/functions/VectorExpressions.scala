@@ -212,6 +212,22 @@ case class SimHash16(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-thread MD5 instance shared by the fused kernels: `getInstance` does a
+  * provider lookup + allocation per call, measurable overhead when invoked
+  * once per ROW inside a codegen'd loop. Kernel threads are task threads, so
+  * a ThreadLocal is contention-free; callers must `reset()` before use (the
+  * shared `get()` does it).
+  */
+private[functions] object Md5 {
+  private val tl: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+  def get(): java.security.MessageDigest = {
+    val md = tl.get()
+    md.reset()
+    md
+  }
+}
+
 object SimHash16 {
   /** One pass: per token md5 → first 2 bytes → 16 bit-counters; majority
     * vote per bit. Returns null on a null token (stricter than the HOF
@@ -220,7 +236,7 @@ object SimHash16 {
   def compute(arr: ArrayData): java.lang.Long = {
     val n = arr.numElements()
     val ones = new Array[Int](16)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5.get()
     var i = 0
     while (i < n) {
       if (arr.isNullAt(i)) return null
@@ -282,7 +298,7 @@ case class RollingFp(child: Expression)
 object RollingFp {
   def compute(arr: ArrayData): java.lang.Long = {
     val n = arr.numElements()
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5.get()
     var acc = 7L
     var i = 0
     while (i < n) {
@@ -359,7 +375,7 @@ object MinHashBands {
   def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val m = math.max(n - 2, 1) // shingle count, 1-based starts 1..m
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5.get()
     val mins = new Array[String](4)
     val hex = new Array[Char](32)
     var i = 0

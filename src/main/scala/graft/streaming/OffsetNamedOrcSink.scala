@@ -169,6 +169,16 @@ object OffsetNamedOrcSink {
       drift: DriftMode = DriftMode.Reject,
       s3a: Option[S3AConf] = None): String = {
     require(flushSize > 0, "flush.size must be positive")
+    // Topic values become filesystem path components. Kafka-legal names
+    // ([a-zA-Z0-9._-]) can never escape the topics dir, but writeMulti feeds
+    // DATA-carried topic strings here and nothing upstream enforces Kafka's
+    // charset on an arbitrary DataFrame — a '/' or '..' would write outside
+    // the intended dir. '#' is additionally admitted (the reference's test
+    // delimiter, sanitized to '_' in file names). '.'/'..' exactly are path
+    // navigation, not names.
+    require(topic.nonEmpty && topic != "." && topic != ".." &&
+        topic.forall(c => c.isLetterOrDigit && c < 128 || "._-#".contains(c)),
+      s"illegal topic name '$topic': must match [a-zA-Z0-9._#-]+")
     val spark = df.sparkSession
     s3a.foreach(_.applyTo(spark.sparkContext.hadoopConfiguration))
 
@@ -452,21 +462,27 @@ object OffsetNamedOrcSink {
     // renames and its dir delete — the committed files ARE the data;
     // touching them here would destroy the only copy
     if (parts.nonEmpty) {
+      // exactly one part per chunk is an invariant (repartition on the leaf
+      // cols upstream). The old defensive multi-part branch was itself
+      // unsafe under crash-recovery: re-running it after a crash mid-rename
+      // would first DELETE the parts already renamed to committed names and
+      // then re-hoist only the survivors — losing data. Fail loudly instead;
+      // the staging dir and in-flight marker stay for manual inspection.
+      if (parts.size > 1)
+        throw new IllegalStateException(
+          s"$cDir holds ${parts.size} part files — the one-file-per-chunk " +
+            "repartition invariant is broken; refusing to hoist (a multi-part " +
+            "rename pass is not crash-idempotent). Staging dir kept.")
       committedChunkFiles(fs, pDir, prefix).foreach(f => fs.delete(f, false))
-      parts.zipWithIndex.foreach { case (f, i) =>
-        // normally exactly one part per chunk (repartition above); suffix
-        // defensively if a chunk ever spans writers
-        val t = if (i == 0) new Path(pDir, s"$prefix.orc")
-          else new Path(pDir, s"$prefix-$i.orc")
-        // Hadoop signals most rename failures (e.g. a failed S3A copy) by
-        // returning false, not throwing. An unchecked false here followed by
-        // the staging-dir delete would destroy the chunk's only copy — fail
-        // instead, leaving the staging dir AND the in-flight marker in
-        // place, so the next write/read recovers.
-        if (!fs.rename(f.getPath, t))
-          throw new java.io.IOException(
-            s"rename ${f.getPath} -> $t failed; staging dir kept for recovery")
-      }
+      val t = new Path(pDir, s"$prefix.orc")
+      // Hadoop signals most rename failures (e.g. a failed S3A copy) by
+      // returning false, not throwing. An unchecked false here followed by
+      // the staging-dir delete would destroy the chunk's only copy — fail
+      // instead, leaving the staging dir AND the in-flight marker in
+      // place, so the next write/read recovers.
+      if (!fs.rename(parts.head.getPath, t))
+        throw new java.io.IOException(
+          s"rename ${parts.head.getPath} -> $t failed; staging dir kept for recovery")
     }
     fs.delete(cDir, true) // now holds only commit markers, if that
   }
@@ -596,8 +612,16 @@ object OffsetNamedOrcSink {
       case None => fullScan // legacy dir: no recorded chunk grid to prune on
       case Some(desc) =>
         val (flushSize, _) = parseConfig(desc) // corrupt marker throws, like compactTo/expire
+        // An open-ended sentinel window (untilOffset=Long.MaxValue with a
+        // small flush.size) must not eagerly enumerate billions of chunk
+        // starts on the driver: past this cap the probe count exceeds any
+        // listing it could save, so degrade to the documented full scan.
+        val firstChunk = fromOffset - math.floorMod(fromOffset, flushSize)
+        val maxProbes = 16384L
+        if ((untilOffset - 1 - firstChunk) / flushSize + 1 > maxProbes)
+          return fullScan
         val chunks = Iterator
-          .iterate(fromOffset - math.floorMod(fromOffset, flushSize))(_ + flushSize)
+          .iterate(firstChunk)(_ + flushSize)
           .takeWhile(_ < untilOffset).toSeq
         val leafDirs = listDir(fs, root).flatMap { st =>
           val n = st.getPath.getName
