@@ -245,6 +245,66 @@ object PipelineOps extends QueryModule {
                    min(event_id) AS lo, max(event_id) AS hi
             FROM events GROUP BY 1 ORDER BY dt"""))
 
+  /** Field-based partitioner (reference `partition.field.name`,
+    * `S3SinkConnectorTestBase.java:61`): the REAL Field-layout sink routes
+    * events by the value column `etype` into `etype=<v>/partition=<p>/`
+    * dirs (memoized artifact, flush.size 5000); the read-back's dir-derived
+    * (etype, partition) routing is oracled against DuckDB grouping the
+    * source by (event_type, user_id % 4).
+    */
+  private val qPartitionField = GQuery(
+    (s, d) => {
+      val dir = writtenDirs.computeIfAbsent(s"fieldsink|$d", _ => {
+        val out = Files.createTempDirectory("graft-fieldsink-").toString
+        graft.streaming.OffsetNamedOrcSink.write(
+          graft.sources.KafkaShaped.fromEvents(s, d), out, flushSize = 5000,
+          layout = graft.streaming.OffsetNamedOrcSink.Layout.Field("etype"))
+      })
+      graft.streaming.OffsetNamedOrcSink.read(s, dir)
+        .groupBy(col("etype").cast("string").as("etype"),
+          col("partition").cast("int").as("route"))
+        .agg(count(lit(1)).as("n"),
+          min("offset").as("lo"), max("offset").as("hi"))
+        .orderBy("etype", "route")
+    },
+    Some("""SELECT event_type AS etype,
+                   CAST(user_id % 4 AS INT) AS route,
+                   CAST(count(*) AS BIGINT) AS n,
+                   min(event_id) AS lo, max(event_id) AS hi
+            FROM events GROUP BY 1, 2 ORDER BY etype, route"""))
+
+  /** Multi-level time layout (reference `path.format`
+    * `'year'=YYYY_'month'=MM_'day'=dd_'hour'=HH`,
+    * `S3SinkConnectorTestBase.java:62-64`): the REAL TimeMulti sink writes
+    * `year=/month=/day=/hour=/partition=` dirs (UTC partitioner tz — the
+    * tz surface itself is pinned by the sink spec; UTC here keeps the
+    * DuckDB oracle exact); hour-grain routing oracled against strftime on
+    * the source. Zero-padded dir values type-infer as ints — cast both
+    * sides.
+    */
+  private val qPartitionHour = GQuery(
+    (s, d) => {
+      val dir = writtenDirs.computeIfAbsent(s"hoursink|$d", _ => {
+        val out = Files.createTempDirectory("graft-hoursink-").toString
+        graft.streaming.OffsetNamedOrcSink.write(
+          graft.sources.KafkaShaped.fromEvents(s, d), out, flushSize = 5000,
+          layout = graft.streaming.OffsetNamedOrcSink.Layout.TimeMulti())
+      })
+      graft.streaming.OffsetNamedOrcSink.read(s, dir)
+        .groupBy(col("year").cast("int").as("y"),
+          col("month").cast("int").as("m"),
+          col("day").cast("int").as("dd"),
+          col("hour").cast("int").as("hh"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("y", "m", "dd", "hh")
+    },
+    Some("""SELECT CAST(strftime(ts, '%Y') AS INT) AS y,
+                   CAST(strftime(ts, '%m') AS INT) AS m,
+                   CAST(strftime(ts, '%d') AS INT) AS dd,
+                   CAST(strftime(ts, '%H') AS INT) AS hh,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2, 3, 4 ORDER BY y, m, dd, hh"""))
+
   /** Retention is chunk-granular (OffsetNamedOrcSink.expire): its own sink
     * artifact on a 500 grid, expired at watermark 600 — chunk 0 (offsets
     * 0–499) is wholly below and goes; chunk 500 straddles the watermark and
@@ -279,6 +339,8 @@ object PipelineOps extends QueryModule {
     "q_compact_roundtrip" -> qCompactRoundtrip,
     "q_expire_retention" -> qExpireRetention,
     "q_partition_time" -> qPartitionTime,
+    "q_partition_field" -> qPartitionField,
+    "q_partition_hour" -> qPartitionHour,
     "q_orc_roundtrip" -> qOrcRoundtrip,
     "q_schema_sixtypes" -> qSchemaSixtypes,
     "q_rotation_files" -> qRotationFiles,

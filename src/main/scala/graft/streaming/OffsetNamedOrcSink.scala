@@ -70,9 +70,86 @@ object OffsetNamedOrcSink {
       * time-based partitioner (`path.format`). Chunking stays on the offset
       * grid per kafka partition (batch-invariant ⇒ idempotent replay); a
       * chunk whose rows straddle a time boundary commits one file per
-      * (dt, chunk) — both deterministically named.
+      * (dt, chunk) — both deterministically named. Formats whose output
+      * contains path-special characters (e.g. `yyyy/MM/dd`) are legal: the
+      * hoist pass probes the Hive-escaped dir names partitionBy writes.
       */
     final case class TimeDaily(pathFormat: String = "yyyy-MM-dd") extends Layout
+    /** Multi-level time layout + partitioner timezone — the reference's
+      * full `path.format` surface (`S3SinkConnectorTestBase.java:62-64`:
+      * `'year'=YYYY_'month'=MM_'day'=dd_'hour'=HH` with
+      * `timezone=America/Los_Angeles`): one directory level per (name,
+      * pattern) pair, e.g. `year=2024/month=08/day=12/hour=14/partition=0/`.
+      * Wall-clock rendering is in `timezone` (the session timezone is UTC
+      * by project invariant, so `from_utc_timestamp` gives exact tz walls).
+      * Level names must match `[A-Za-z0-9_]+` and not collide with the
+      * record columns.
+      */
+    final case class TimeMulti(
+        levels: Seq[(String, String)] = Seq(
+          "year" -> "yyyy", "month" -> "MM", "day" -> "dd", "hour" -> "HH"),
+        timezone: String = "UTC") extends Layout
+    /** `<fieldName>=<value>/partition=<p>/` — the reference's field-based
+      * partitioner (`partition.field.name`,
+      * `S3SinkConnectorTestBase.java:61`): routes by a VALUE column. The
+      * field is stringified into the directory (null → literal "null",
+      * matching Connect's String.valueOf) and is not duplicated inside the
+      * files — read-back re-derives it from the dir, like any partition
+      * column. Values containing path-special characters are Hive-escaped
+      * in the dir name and unescaped on read.
+      */
+    final case class Field(fieldName: String) extends Layout
+  }
+
+  /** The persisted identity of a layout (the `_graft_sink.conf` form). */
+  private def layoutIdOf(layout: Layout): String = layout match {
+    case Layout.KafkaPartition => "kafka-partition"
+    case Layout.TimeDaily(fmt) => s"time:$fmt"
+    case Layout.TimeMulti(levels, tz) =>
+      s"timev2:$tz|" + levels.map { case (n, f) => s"$n=$f" }.mkString(",")
+    case Layout.Field(n) => s"field:$n"
+  }
+
+  /** The value-derived directory levels above `partition=` for a persisted
+    * layout id — how every consumer (readRange, compactTo, streamFromSink,
+    * marker recovery) learns the dir shape without guessing from listings.
+    */
+  private[graft] def prefixColsOf(layoutId: String): Seq[String] =
+    if (layoutId == "kafka-partition") Nil
+    else if (layoutId.startsWith("time:")) Seq(DtCol)
+    else if (layoutId.startsWith("timev2:"))
+      layoutId.stripPrefix("timev2:").split("\\|", 2)(1)
+        .split(",").toSeq.map(_.split("=", 2)(0))
+    else if (layoutId.startsWith("field:")) Seq(layoutId.stripPrefix("field:"))
+    else throw new IllegalStateException(s"unknown sink layout id: $layoutId")
+
+  private val LevelName = "[A-Za-z0-9_]+".r
+  private val ReservedCols =
+    Set("key", "value", "topic", "partition", "offset", "timestamp", ChunkCol)
+
+  /** Fail fast on layout params that would corrupt the persisted config
+    * marker, the directory contract, or collide with the record columns.
+    */
+  private def validateLayout(layout: Layout): Unit = layout match {
+    case Layout.TimeDaily(fmt) =>
+      require(fmt.nonEmpty && !fmt.exists(c => c == '\n' || c == '|' || c == ','),
+        s"TimeDaily pathFormat '$fmt' must be nonempty without newline/|/,")
+    case Layout.TimeMulti(levels, tz) =>
+      require(levels.nonEmpty, "TimeMulti needs at least one level")
+      require(levels.map(_._1).distinct.size == levels.size,
+        s"TimeMulti level names must be unique: ${levels.map(_._1)}")
+      levels.foreach { case (n, f) =>
+        require(LevelName.pattern.matcher(n).matches() && !ReservedCols(n),
+          s"TimeMulti level name '$n' must match [A-Za-z0-9_]+ and not be reserved")
+        require(f.nonEmpty && !f.exists(c => c == '\n' || c == '|' || c == ','),
+          s"TimeMulti pattern '$f' must be nonempty without newline/|/,")
+      }
+      require(tz.nonEmpty && !tz.exists(c => c == '\n' || c == '|'),
+        s"TimeMulti timezone '$tz' must be nonempty without newline/|")
+    case Layout.Field(n) =>
+      require(LevelName.pattern.matcher(n).matches() && !ReservedCols(n),
+        s"Field name '$n' must match [A-Za-z0-9_]+ and not be a reserved column")
+    case Layout.KafkaPartition => ()
   }
 
   /** Schema-drift policy against the latched first-write schema (reference
@@ -140,13 +217,23 @@ object OffsetNamedOrcSink {
     */
   private def fileTopic(topic: String): String = topic.replace('#', '_')
 
-  /** One output leaf touched by the current batch. */
-  private final case class Touched(dt: Option[String], partition: Int, chunk: Long) {
+  /** One output leaf touched by the current batch. `prefix` carries the
+    * value-derived dir levels as (dirName, RAW value) pairs, in layout
+    * order; `partitionDir` applies the same Hive escaping `partitionBy`
+    * uses when it writes the dirs (ADVICE r3: probing the raw value would
+    * miss any dir whose value contains path-special chars — e.g.
+    * TimeDaily("yyyy/MM/dd") — stranding staged chunks forever).
+    */
+  private final case class Touched(prefix: Seq[(String, String)],
+      partition: Int, chunk: Long) {
     def partitionDir(root: Path): Path = {
-      val base = dt.fold(root)(d => new Path(root, s"$DtCol=$d"))
+      val base = prefix.foldLeft(root) { case (p, (n, v)) =>
+        new Path(p, s"$n=${org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.escapePathName(v)}")
+      }
       new Path(base, s"partition=$partition")
     }
-    def prefix(topic: String): String =
+    def filePrefix(topic: String): String =
       f"${fileTopic(topic)}+$partition+$chunk%010d"
   }
 
@@ -187,29 +274,49 @@ object OffsetNamedOrcSink {
     val fs = FileSystem.get(new java.net.URI(topicDir),
       spark.sparkContext.hadoopConfiguration)
 
+    validateLayout(layout)
     ensureConfig(fs, root, flushSize, layout)
     val conformed = conformValueSchema(fs, root, df, drift)
 
-    val partCols: Seq[String] = layout match {
-      case Layout.KafkaPartition => Seq("partition", ChunkCol)
-      case Layout.TimeDaily(_) => Seq(DtCol, "partition", ChunkCol)
-    }
+    val prefixCols: Seq[String] = prefixColsOf(layoutIdOf(layout))
+    val partCols: Seq[String] = prefixCols ++ Seq("partition", ChunkCol)
     // start offset of the file this record rotates into (O9/O10)
     val chunk = col("offset") - pmod(col("offset"), lit(flushSize))
-    val withDt = layout match {
+    // null prefix values must not fall through to Spark's
+    // __HIVE_DEFAULT_PARTITION__ null dir: the hoist pass probes the dir
+    // VALUE, so a null would strand the staged file (and poison every
+    // later read with mixed partition depths). Route them to explicit
+    // literal dirs instead ("unknown" for time, "null" for field values —
+    // the latter matching Connect's String.valueOf rendering).
+    val withPrefix = layout match {
       case Layout.TimeDaily(fmt) =>
-        // null timestamps must not fall through to Spark's
-        // __HIVE_DEFAULT_PARTITION__ null dir: the hoist pass probes the dt
-        // VALUE, so a null would strand the staged file (and poison every
-        // later read with mixed partition depths). Route them to an explicit
-        // literal dir instead.
         conformed.withColumn(DtCol,
           coalesce(date_format(col("timestamp"), fmt), lit("unknown")))
-      case _ => conformed
+      case Layout.TimeMulti(levels, tz) =>
+        // session tz is UTC by project invariant, so from_utc_timestamp
+        // renders exact wall-clock values in the partitioner timezone
+        levels.foldLeft(conformed) { case (acc, (n, f)) =>
+          acc.withColumn(n, coalesce(
+            date_format(from_utc_timestamp(col("timestamp"), tz), f),
+            lit("unknown")))
+        }
+      case Layout.Field(name) =>
+        conformed.withColumn(name,
+          coalesce(col("value").getField(name).cast("string"), lit("null")))
+      case Layout.KafkaPartition => conformed
     }
-    val flat = withDt
+    // Field layout: the routed field lives in the dir, not in the file —
+    // emitting it from value.* too would collide with the partition column
+    val valueFields = conformed.schema("value").dataType
+      .asInstanceOf[StructType].fieldNames.toSeq
+    val emittedValue = layout match {
+      case Layout.Field(name) => valueFields.filterNot(_ == name)
+      case _ => valueFields
+    }
+    val flat = withPrefix
       .withColumn(ChunkCol, chunk)
-      .select(partCols.map(col) ++ Seq(col("offset"), col("value.*")): _*)
+      .select(partCols.map(col) ++ (col("offset") +:
+        emittedValue.map(n => col("value").getField(n).as(n))): _*)
 
     // touched output leaves — small by construction: one per output file of
     // this batch. Their existing files have deterministic names, so the
@@ -226,22 +333,32 @@ object OffsetNamedOrcSink {
       fs.delete(inflight, false)
     }
     val existingPaths = touched.flatMap { t =>
-      committedChunkFiles(fs, t.partitionDir(root), t.prefix(topic))
+      committedChunkFiles(fs, t.partitionDir(root), t.filePrefix(topic))
         .map(_.toString)
     }
     val merged =
       if (existingPaths.isEmpty) flat
       else {
-        val existing = spark.read.option("basePath", topicDir)
-          .orc(existingPaths: _*)
-          .withColumn(ChunkCol,
-            col("offset") - pmod(col("offset"), lit(flushSize)))
-          // partition-dir columns read back as inferred types — realign
-          .select(flat.schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
-          // materialize NOW: after this the write job holds the old rows in
-          // memory and never reads under topicDir (ADVICE r1: dynamic
-          // overwrite must not scan its own output path)
-          .localCheckpoint(true)
+        // partition-type inference OFF for the merge read: flat carries
+        // every prefix col as a STRING, and inference would corrupt
+        // non-canonical values on the round trip (dir `f=05` infers int 5,
+        // casts back to "5" ≠ "05"). With inference off all dir cols come
+        // back as raw (unescaped) strings — exact.
+        val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        val prevInfer = spark.conf.get(inferKey)
+        val existing = try {
+          spark.conf.set(inferKey, "false")
+          spark.read.option("basePath", topicDir)
+            .orc(existingPaths: _*)
+            .withColumn(ChunkCol,
+              col("offset") - pmod(col("offset"), lit(flushSize)))
+            // realign column order/types to flat's
+            .select(flat.schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
+            // materialize NOW: after this the write job holds the old rows in
+            // memory and never reads under topicDir (ADVICE r1: dynamic
+            // overwrite must not scan its own output path)
+            .localCheckpoint(true)
+        } finally spark.conf.set(inferKey, prevInfer)
         // offsets are unique only per partition (Kafka contract) — a global
         // offset dedup would drop same-offset rows across partitions
         flat.union(existing).dropDuplicates("partition", "offset")
@@ -252,19 +369,17 @@ object OffsetNamedOrcSink {
   }
 
   /** The distinct output leaves of a flattened batch. One driver-side
-    * collect, bounded by files-in-this-batch (dt cast to string: the batch
-    * API builds dt as a string, but compaction's read-back infers DateType
-    * from the dirs).
+    * collect, bounded by files-in-this-batch (prefix cols cast to string:
+    * the batch API builds them as strings, but compaction's read-back may
+    * infer other types from the dirs).
     */
   private def touchedLeaves(flat: DataFrame, partCols: Seq[String]): Seq[Touched] = {
-    val sel = partCols.map {
-      case `DtCol` => col(DtCol).cast("string")
-      case "partition" => col("partition").cast("int")
-      case `ChunkCol` => col(ChunkCol).cast("long")
-    }
+    val prefixNames = partCols.dropRight(2)
+    val sel = prefixNames.map(n => col(n).cast("string")) ++
+      Seq(col("partition").cast("int"), col(ChunkCol).cast("long"))
     flat.select(sel: _*).distinct().collect().toSeq.map { r =>
-      if (partCols.contains(DtCol)) Touched(Some(r.getString(0)), r.getInt(1), r.getLong(2))
-      else Touched(None, r.getInt(0), r.getLong(1))
+      Touched(prefixNames.zipWithIndex.map { case (n, i) => n -> r.getString(i) },
+        r.getInt(prefixNames.size), r.getLong(prefixNames.size + 1))
     }
   }
 
@@ -276,8 +391,14 @@ object OffsetNamedOrcSink {
       topicDir: String, topic: String, flat: DataFrame,
       partCols: Seq[String], touched: Seq[Touched]): Unit = {
     val inflight = new Path(root, InflightMarker)
+    // marker line = url-encoded prefix values, partition, chunk, '|'-joined.
+    // URL-encoding makes the split unambiguous for arbitrary Field values
+    // ('|', newline, '%' all encode away); TimeDaily's default-format values
+    // contain no '%', so legacy raw-dt markers decode unchanged.
     writeMarker(fs, inflight,
-      touched.map(t => s"${t.dt.getOrElse("")}|${t.partition}|${t.chunk}")
+      touched.map(t =>
+        (t.prefix.map(p => java.net.URLEncoder.encode(p._2, "UTF-8")) ++
+          Seq(t.partition.toString, t.chunk.toString)).mkString("|"))
         .mkString("\n"))
     val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     try {
@@ -292,6 +413,7 @@ object OffsetNamedOrcSink {
     touched.foreach(t =>
       hoistChunkDir(fs, t.partitionDir(root), t.partition.toString, t.chunk, topic))
     fs.delete(inflight, false)
+    ()
   }
 
   /** Mixed-topic batch: one topic dir per topic, offsets deduped per
@@ -324,11 +446,7 @@ object OffsetNamedOrcSink {
     */
   private def ensureConfig(fs: FileSystem, root: Path, flushSize: Long,
       layout: Layout): Unit = {
-    val layoutId = layout match {
-      case Layout.KafkaPartition => "kafka-partition"
-      case Layout.TimeDaily(fmt) => s"time:$fmt"
-    }
-    val desc = s"flushSize=$flushSize\nlayout=$layoutId"
+    val desc = s"flushSize=$flushSize\nlayout=${layoutIdOf(layout)}"
     val p = new Path(root, ConfigMarker)
     readMarker(fs, p) match {
       case Some(existing) => require(existing == desc,
@@ -375,12 +493,9 @@ object OffsetNamedOrcSink {
     val inflight = new Path(root, InflightMarker)
     recover(fs, root, root.getName)
     fs.delete(inflight, false) // full walk covers whatever a marker recorded
-    val layoutId = layout match {
-      case Layout.KafkaPartition => "kafka-partition"
-      case Layout.TimeDaily(fmt) => s"time:$fmt"
-    }
+    validateLayout(layout)
     val p = new Path(root, ConfigMarker)
-    val desc = s"flushSize=$flushSize\nlayout=$layoutId"
+    val desc = s"flushSize=$flushSize\nlayout=${layoutIdOf(layout)}"
     readMarker(fs, p) match {
       case Some(existing) => require(existing == desc,
         s"$root already committed a different config: $existing")
@@ -491,18 +606,32 @@ object OffsetNamedOrcSink {
     * batch's touched leaves, and only one marker can ever exist (each write
     * recovers its predecessor before writing its own), so hoisting exactly
     * those leaves is complete — O(touched leaves), even on a topic with
-    * millions of committed files. The full directory walk remains only as
-    * the fallback for an unparsable/legacy marker payload.
+    * millions of committed files. The expected field count comes from the
+    * persisted layout; any line that doesn't parse against it (incl. a
+    * legacy pre-generalization marker, whose KafkaPartition form carried an
+    * empty leading dt field) falls back to the full directory walk —
+    * correct, just slower, and only ever after a crash.
     */
   private def recoverFromMarker(fs: FileSystem, root: Path, topic: String,
       inflight: Path): Unit = {
-    val Line = raw"([^|]*)\|(\d+)\|(\d+)".r
+    val prefixNames = readMarker(fs, new Path(root, ConfigMarker))
+      .map(desc => prefixColsOf(parseConfig(desc)._2))
     val lines = readMarker(fs, inflight)
       .map(_.linesIterator.filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    val parsed = lines.collect {
-      case Line(dt, p, c) =>
-        Touched(if (dt.isEmpty) None else Some(dt), p.toInt, c.toLong)
-    }
+    val Num = raw"\d+".r
+    val parsed = prefixNames.map { names =>
+      lines.flatMap { line =>
+        val parts = line.split("\\|", -1).toSeq
+        if (parts.size == names.size + 2 &&
+            Num.pattern.matcher(parts(names.size)).matches() &&
+            Num.pattern.matcher(parts(names.size + 1)).matches())
+          Some(Touched(
+            names.zip(parts.take(names.size)
+              .map(v => java.net.URLDecoder.decode(v, "UTF-8"))),
+            parts(names.size).toInt, parts(names.size + 1).toLong))
+        else None
+      }
+    }.getOrElse(Nil)
     if (parsed.nonEmpty && parsed.size == lines.size)
       parsed.foreach(t =>
         hoistChunkDir(fs, t.partitionDir(root), t.partition.toString, t.chunk, topic))
@@ -527,7 +656,7 @@ object OffsetNamedOrcSink {
                 val chunkStart = c.getPath.getName.stripPrefix(s"$ChunkCol=").toLong
                 hoistChunkDir(fs, st.getPath, p, chunkStart, topic)
               }
-          } else walk(st.getPath) // dt=<...> level
+          } else walk(st.getPath) // value-derived prefix level (dt=, year=, <field>=…)
         }
       }
     walk(root)
@@ -623,18 +752,19 @@ object OffsetNamedOrcSink {
         val chunks = Iterator
           .iterate(firstChunk)(_ + flushSize)
           .takeWhile(_ < untilOffset).toSeq
-        val leafDirs = listDir(fs, root).flatMap { st =>
+        // descend the value-derived prefix levels (0 for KafkaPartition,
+        // 1 for TimeDaily/Field, N for TimeMulti) down to the partition=
+        // leaves; `_`-prefixed dirs are staging/markers, never layout
+        def leafDirs(dir: Path): Seq[Path] = listDir(fs, dir).flatMap { st =>
           val n = st.getPath.getName
           if (!st.isDirectory) Nil
           else if (n.startsWith("partition=")) Seq(st.getPath)
-          else if (n.startsWith(s"$DtCol=")) // TimeDaily: one more level
-            listDir(fs, st.getPath)
-              .filter(c => c.isDirectory && c.getPath.getName.startsWith("partition="))
-              .map(_.getPath)
+          else if (n.contains("=") && !n.startsWith("_") && !n.startsWith("."))
+            leafDirs(st.getPath)
           else Nil
         }
         val files = for {
-          dir <- leafDirs
+          dir <- leafDirs(root)
           p = dir.getName.stripPrefix("partition=")
           c <- chunks
           f <- committedChunkFiles(fs, dir, f"${fileTopic(topic)}+$p+$c%010d")
@@ -712,17 +842,15 @@ object OffsetNamedOrcSink {
       s"target flush.size $targetFlushSize must be a proper multiple of the " +
         s"committed $flushSize (chunk ranges must nest to keep offset names exact)")
 
-    val partCols =
-      if (layoutId.startsWith("time:")) Seq(DtCol, "partition", ChunkCol)
-      else Seq("partition", ChunkCol)
+    val prefixCols = prefixColsOf(layoutId)
+    val partCols = prefixCols ++ Seq("partition", ChunkCol)
     val df = read(spark, topicDir)
     val valueCols = df.columns.toSeq
       .filterNot(c => c == "offset" || c == ChunkCol || partCols.contains(c))
     val flat = df
       .withColumn(ChunkCol, col("offset") - pmod(col("offset"), lit(targetFlushSize)))
-      .select(partCols.map {
-        case `DtCol` => col(DtCol).cast("string").as(DtCol)
-        case c => col(c)
+      .select(partCols.map { c =>
+        if (prefixCols.contains(c)) col(c).cast("string").as(c) else col(c)
       } ++ (col("offset") +: valueCols.map(col)): _*)
 
     val newTopicDir = s"$outDir/topics/$topic"
@@ -774,7 +902,10 @@ object OffsetNamedOrcSink {
     def visit(dir: Path): Unit =
       listDir(fs, dir).foreach { st =>
         val n = st.getPath.getName
-        if (st.isDirectory && (n.startsWith("partition=") || n.startsWith(s"$DtCol=")))
+        // any layout dir (partition=, dt=, year=, <field>=…); `_`-prefixed
+        // are staging/markers
+        if (st.isDirectory && n.contains("=") &&
+            !n.startsWith("_") && !n.startsWith("."))
           visit(st.getPath)
         else if (st.isFile) n match {
           case FileName(_, chunk)

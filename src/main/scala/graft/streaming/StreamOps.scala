@@ -212,7 +212,8 @@ object StreamOps {
     // partition parsing. Every dir-encoded column is re-derived from the
     // committed file PATH instead: partition and chunk are embedded in the
     // name contract `<topic>+<p>+<%010d chunk>[-N].orc`, dt in its dir.
-    val timeDaily = OffsetNamedOrcSink.layoutId(spark, topicDir).startsWith("time:")
+    val prefixCols =
+      OffsetNamedOrcSink.prefixColsOf(OffsetNamedOrcSink.layoutId(spark, topicDir))
     val schema = StructType(
       StructField("offset", LongType) +: valueSchema.fields.toSeq)
     val base = spark.readStream
@@ -227,9 +228,15 @@ object StreamOps {
       .withColumn(OffsetNamedOrcSink.ChunkCol,
         regexp_extract(input_file_name(), raw"\+(\d+)(?:-\d+)?\.orc$$", 1)
           .cast("long"))
-    if (timeDaily)
-      base.withColumn(OffsetNamedOrcSink.DtCol, // string: dt=unknown exists
-        regexp_extract(input_file_name(), s"/${OffsetNamedOrcSink.DtCol}=([^/]+)/", 1))
-    else base
+    // one string column per value-derived dir level (dt=/year=/<field>=…),
+    // unescaped back to the raw value: partitionBy Hive-escapes path-special
+    // chars (%XX) when writing the dirs. Hive escaping never emits '+', so
+    // pre-encoding literal '+' makes url_decode the exact inverse (plain
+    // url_decode would eat '+' as a space).
+    prefixCols.foldLeft(base) { (df, n) =>
+      df.withColumn(n, url_decode(regexp_replace(
+        regexp_extract(input_file_name(), s"/$n=([^/]+)/", 1),
+        "\\+", "%2B")))
+    }
   }
 }

@@ -136,7 +136,7 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
     val staging = new java.io.File(pDir, "_chunk=250")
     assert(staging.mkdir())
     assert(committed.head.renameTo(new java.io.File(staging, "part-00000-crash.orc")))
-    leaveInflightMarker(out, "|0|250") // real payload → scoped recovery path
+    leaveInflightMarker(out, "0|250") // real payload → scoped recovery path
     // next batch touches chunk 250 again — must merge the crashed rows back
     val topicDir = OffsetNamedOrcSink.write(
       shaped.filter(col("offset") >= 437), out, 250)
@@ -168,7 +168,7 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
     val staging = new java.io.File(pDir, "_chunk=250")
     assert(staging.mkdir())
     assert(committed.head.renameTo(new java.io.File(staging, "part-00000-crash.orc")))
-    leaveInflightMarker(out, "|0|250")
+    leaveInflightMarker(out, "0|250")
     // without recovery this read throws Spark's 'conflicting directory
     // structures' (mixed partition depths); read() must self-heal (ADVICE r2)
     val back = OffsetNamedOrcSink.read(spark, s"$out/topics/events")
@@ -570,5 +570,159 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
     assert(conf.get("fs.s3a.path.style.access") == "true")
     assert(conf.get("fs.s3a.connection.ssl.enabled") == "false")
     assert(conf.get("fs.s3a.access.key") == null) // credsFromEnv off
+  }
+
+  // ---- round-4 surfaces: field / multi-level-time layouts, escaping ------
+
+  /** No `_chunk=` staging dir anywhere below the topic dir — i.e. every
+    * staged leaf was found and hoisted (the ADVICE r3 escaped-dir bug left
+    * them stranded forever).
+    */
+  private def noStagingDirs(topicDir: String): Boolean = {
+    def walk(f: java.io.File): Boolean = {
+      val kids = Option(f.listFiles).getOrElse(Array.empty)
+      kids.filter(_.isDirectory).forall(d =>
+        !d.getName.startsWith(s"${OffsetNamedOrcSink.ChunkCol}=") && walk(d))
+    }
+    walk(new java.io.File(topicDir))
+  }
+
+  /** Shaped events whose etype carries path-special characters (':' and
+    * '/'), which partitionBy Hive-escapes in directory names.
+    */
+  private lazy val shapedSpecial = shaped.withColumn("value", struct(
+    col("value.flag").as("flag"), col("value.uid").as("uid"),
+    col("value.id").as("id"), col("value.fval").as("fval"),
+    col("value.dval").as("dval"),
+    concat(col("value.etype"), lit(":a/b")).as("etype")))
+
+  test("Field layout routes by a value column through escaped dirs; replay idempotent") {
+    val out = freshOut()
+    val topicDir = OffsetNamedOrcSink.write(shapedSpecial, out, flushSize = 250,
+      layout = Layout.Field("etype"))
+    // dirs are etype=<Hive-escaped value>/partition=<p>/ with offset-named files
+    val fieldDirs = new java.io.File(topicDir).listFiles.filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("etype="))
+    assert(fieldDirs.nonEmpty)
+    assert(fieldDirs.forall(n => n.contains("%3A") && n.contains("%2F")),
+      fieldDirs.mkString(","))
+    val back = OffsetNamedOrcSink.read(spark, topicDir)
+    assert(back.count() == 1000)
+    // the field comes back unescaped from the dir — exactly the raw values
+    val backKeys = back.select(col("etype").cast("string"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val srcKeys = shapedSpecial.select("value.etype")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(backKeys == srcKeys, s"$backKeys vs $srcKeys")
+    // per-row equality (field not duplicated inside the files)
+    val expected = shapedSpecial.select(col("offset"),
+      col("value.uid").as("uid"), col("value.etype").as("etype"))
+    assert(back.select(col("offset"), col("uid"), col("etype").cast("string"))
+      .exceptAll(expected).count() == 0)
+    // replay converges: same rows, and the escaped-dir hoist left no staging
+    OffsetNamedOrcSink.write(shapedSpecial, out, flushSize = 250,
+      layout = Layout.Field("etype"))
+    assert(OffsetNamedOrcSink.read(spark, topicDir).count() == 1000)
+    assert(noStagingDirs(topicDir))
+  }
+
+  test("TimeDaily pathFormat with '/' commits via escaped dirs (ADVICE r3)") {
+    val out = freshOut()
+    val topicDir = OffsetNamedOrcSink.write(shaped, out, flushSize = 250,
+      layout = Layout.TimeDaily("yyyy/MM/dd"))
+    // before the escaping fix the hoist probed the RAW dt path, found
+    // nothing, stranded every staged chunk and dropped the batch's rows
+    assert(noStagingDirs(topicDir))
+    val back = OffsetNamedOrcSink.read(spark, topicDir)
+    assert(back.count() == 1000)
+    val dts = back.select(col("dt").cast("string")).distinct()
+      .collect().map(_.getString(0))
+    assert(dts.length > 1 && dts.forall(_.matches(raw"\d{4}/\d{2}/\d{2}")),
+      dts.mkString(","))
+    // replay stays idempotent across the escaped layout
+    OffsetNamedOrcSink.write(shaped, out, flushSize = 250,
+      layout = Layout.TimeDaily("yyyy/MM/dd"))
+    assert(OffsetNamedOrcSink.read(spark, topicDir).count() == 1000)
+    assert(noStagingDirs(topicDir))
+  }
+
+  test("crash recovery hoists staged chunks under escaped field dirs") {
+    val out = freshOut()
+    val topicDir = OffsetNamedOrcSink.write(shapedSpecial, out, flushSize = 250,
+      layout = Layout.Field("etype"))
+    // reconstruct a crash mid-commit under ONE escaped field dir: staged
+    // part exists, committed file already deleted, marker in place
+    val fieldDir = new java.io.File(topicDir).listFiles.filter(_.isDirectory)
+      .filter(_.getName.startsWith("etype=")).head
+    val pDir = new java.io.File(fieldDir, "partition=0")
+    val committed = pDir.listFiles.filter(_.getName.endsWith(".orc")).head
+    val chunk = committed.getName.replaceAll(".*\\+(\\d+)\\.orc$", "$1").toLong
+    val staging = new java.io.File(pDir, s"${OffsetNamedOrcSink.ChunkCol}=$chunk")
+    assert(staging.mkdir())
+    assert(committed.renameTo(new java.io.File(staging, "part-00000-crash.orc")))
+    // marker line = url-encoded raw field value | partition | chunk
+    val rawValue = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(fieldDir.getName.stripPrefix("etype="))
+    leaveInflightMarker(out,
+      s"${java.net.URLEncoder.encode(rawValue, "UTF-8")}|0|$chunk")
+    // read() must run the scoped recovery across the ESCAPED dir and heal
+    val back = OffsetNamedOrcSink.read(spark, topicDir)
+    assert(back.count() == 1000, s"rows: ${back.count()}")
+    assert(!staging.exists())
+    assert(new java.io.File(pDir, committed.getName).exists())
+  }
+
+  test("TimeMulti renders multi-level tz wall-clock dirs; straddling chunks split per hour") {
+    val tz = "America/Los_Angeles"
+    val out = freshOut()
+    val topicDir = OffsetNamedOrcSink.write(shaped, out, flushSize = 250,
+      layout = Layout.TimeMulti(timezone = tz))
+    val back = OffsetNamedOrcSink.read(spark, topicDir)
+    assert(back.count() == 1000)
+    assert(noStagingDirs(topicDir))
+    // dir-derived (year, month, day, hour) equals the tz-rendered timestamp
+    // (cast through int: zero-padded dir values type-infer as integers)
+    val expected = shaped.select(col("offset"),
+      date_format(from_utc_timestamp(col("timestamp"), tz), "yyyy")
+        .cast("int").as("e_year"),
+      date_format(from_utc_timestamp(col("timestamp"), tz), "MM")
+        .cast("int").as("e_month"),
+      date_format(from_utc_timestamp(col("timestamp"), tz), "dd")
+        .cast("int").as("e_day"),
+      date_format(from_utc_timestamp(col("timestamp"), tz), "HH")
+        .cast("int").as("e_hour"))
+    val bad = back.select(col("offset"), col("year").cast("int"),
+        col("month").cast("int"), col("day").cast("int"), col("hour").cast("int"))
+      .join(expected, "offset")
+      .filter(col("year") =!= col("e_year") || col("month") =!= col("e_month") ||
+        col("day") =!= col("e_day") || col("hour") =!= col("e_hour"))
+    assert(bad.count() == 0)
+    // a chunk whose rows straddle an hour boundary commits one file per
+    // (hour-dir, chunk) — deterministic names in each
+    val straddling = back.groupBy("partition", OffsetNamedOrcSink.ChunkCol)
+      .agg(countDistinct(col("hour")).as("n_hours"))
+      .filter(col("n_hours") > 1).count()
+    assert(straddling > 0)
+    // replay idempotent
+    OffsetNamedOrcSink.write(shaped, out, flushSize = 250,
+      layout = Layout.TimeMulti(timezone = tz))
+    assert(OffsetNamedOrcSink.read(spark, topicDir).count() == 1000)
+  }
+
+  test("layout params that would corrupt the dir or config contract fail fast") {
+    val out = freshOut()
+    intercept[IllegalArgumentException] {
+      OffsetNamedOrcSink.write(shaped, out, 250, layout = Layout.Field("no=good"))
+    }
+    intercept[IllegalArgumentException] {
+      OffsetNamedOrcSink.write(shaped, out, 250, layout = Layout.Field("offset"))
+    }
+    intercept[IllegalArgumentException] {
+      OffsetNamedOrcSink.write(shaped, out, 250,
+        layout = Layout.TimeMulti(levels = Seq("dt" -> "yyyy", "dt" -> "MM")))
+    }
+    intercept[IllegalArgumentException] {
+      OffsetNamedOrcSink.write(shaped, out, 250, topic = "../escape")
+    }
   }
 }
