@@ -58,6 +58,13 @@ object OffsetNamedOrcSink {
   private val ConfigMarker = "_graft_sink.conf"
   private val SchemaMarker = "_graft_schema.json"
 
+  /** Tail of every committed file name:
+    * `+<zero-padded chunk>[+t<time bucket>][-N].orc` — group 1 is the
+    * offset-chunk start, group 2 the wall-clock-rotation bucket (empty when
+    * rotation is off).
+    */
+  private val CommittedTailRe = raw"\+(\d+)(?:\+t(-?\d+))?(?:-\d+)?\.orc$$"
+
   /** Output directory layout under `topics/<topic>/` (the reference's
     * partitioner surface, `S3SinkConnectorTestBase.java:62-64`:
     * `partition.field.name` / `path.format` / timezone).
@@ -217,6 +224,26 @@ object OffsetNamedOrcSink {
     */
   private def fileTopic(topic: String): String = topic.replace('#', '_')
 
+  /** A rotation cell id as staged in `_chunk=<cell>` dirs: the offset-chunk
+    * start, optionally suffixed `t<timeBucket>` when wall-clock (event-time)
+    * rotation is on — e.g. "250" or "250t473621". Both components are pure
+    * functions of the record, so the cell grid is batch-invariant (the
+    * idempotent-replay requirement the offset grid already satisfies).
+    */
+  private def cellParts(cell: String): (Long, Option[String]) =
+    cell.split("t", 2) match {
+      case Array(c) => (c.toLong, None)
+      case Array(c, b) => (c.toLong, Some(b))
+    }
+
+  /** Committed file prefix of a cell (reference `FileUtils.fileKeyToCommit`
+    * naming, extended with `+t<bucket>` under wall-clock rotation).
+    */
+  private def cellFilePrefix(topic: String, partition: String, cell: String): String = {
+    val (chunk, bucket) = cellParts(cell)
+    f"${fileTopic(topic)}+$partition+$chunk%010d" + bucket.fold("")(b => s"+t$b")
+  }
+
   /** One output leaf touched by the current batch. `prefix` carries the
     * value-derived dir levels as (dirName, RAW value) pairs, in layout
     * order; `partitionDir` applies the same Hive escaping `partitionBy`
@@ -225,7 +252,7 @@ object OffsetNamedOrcSink {
     * TimeDaily("yyyy/MM/dd") — stranding staged chunks forever).
     */
   private final case class Touched(prefix: Seq[(String, String)],
-      partition: Int, chunk: Long) {
+      partition: Int, cell: String) {
     def partitionDir(root: Path): Path = {
       val base = prefix.foldLeft(root) { case (p, (n, v)) =>
         new Path(p, s"$n=${org.apache.spark.sql.catalyst.catalog
@@ -234,7 +261,7 @@ object OffsetNamedOrcSink {
       new Path(base, s"partition=$partition")
     }
     def filePrefix(topic: String): String =
-      f"${fileTopic(topic)}+$partition+$chunk%010d"
+      cellFilePrefix(topic, partition.toString, cell)
   }
 
   /** Write a Kafka-shaped DataFrame (key, value:struct, topic, partition,
@@ -254,8 +281,10 @@ object OffsetNamedOrcSink {
       topic: String = "events",
       layout: Layout = Layout.KafkaPartition,
       drift: DriftMode = DriftMode.Reject,
-      s3a: Option[S3AConf] = None): String = {
+      s3a: Option[S3AConf] = None,
+      rotateMs: Option[Long] = None): String = {
     require(flushSize > 0, "flush.size must be positive")
+    require(rotateMs.forall(_ > 0), "rotate interval must be positive")
     // Topic values become filesystem path components. Kafka-legal names
     // ([a-zA-Z0-9._-]) can never escape the topics dir, but writeMulti feeds
     // DATA-carried topic strings here and nothing upstream enforces Kafka's
@@ -275,13 +304,27 @@ object OffsetNamedOrcSink {
       spark.sparkContext.hadoopConfiguration)
 
     validateLayout(layout)
-    ensureConfig(fs, root, flushSize, layout)
+    ensureConfig(fs, root, flushSize, layout, rotateMs)
     val conformed = conformValueSchema(fs, root, df, drift)
 
     val prefixCols: Seq[String] = prefixColsOf(layoutIdOf(layout))
     val partCols: Seq[String] = prefixCols ++ Seq("partition", ChunkCol)
-    // start offset of the file this record rotates into (O9/O10)
-    val chunk = col("offset") - pmod(col("offset"), lit(flushSize))
+    // start offset of the file this record rotates into (O9/O10). With
+    // wall-clock rotation (the reference connector surface's
+    // rotate.interval.ms), the cell additionally carries the EVENT-time
+    // bucket floor(ts_millis / rotateMs) — event time, not processing time,
+    // because only a pure function of the record keeps file names
+    // batch-invariant under replay (the same determinism contract as the
+    // offset grid). Null timestamps land in bucket 0 (the epoch bucket),
+    // deterministically.
+    val offChunk = col("offset") - pmod(col("offset"), lit(flushSize))
+    val chunk = rotateMs match {
+      case None => offChunk
+      case Some(ms) =>
+        val bucket = floor(unix_millis(coalesce(col("timestamp"),
+          timestamp_millis(lit(0L)))) / lit(ms.toDouble)).cast("long")
+        concat(offChunk.cast("string"), lit("t"), bucket.cast("string"))
+    }
     // null prefix values must not fall through to Spark's
     // __HIVE_DEFAULT_PARTITION__ null dir: the hoist pass probes the dir
     // VALUE, so a null would strand the staged file (and poison every
@@ -346,12 +389,22 @@ object OffsetNamedOrcSink {
         // back as raw (unescaped) strings — exact.
         val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
         val prevInfer = spark.conf.get(inferKey)
+        // the rotated cell's time bucket is not stored in the rows (only in
+        // the file name) — rebuild the composite cell from the probed file's
+        // own name; without rotation the offset grid suffices
+        val existingCell = rotateMs match {
+          case None => col("offset") - pmod(col("offset"), lit(flushSize))
+          case Some(_) => concat(
+            // the name embeds the ZERO-PADDED chunk — normalize via long
+            regexp_extract(input_file_name(), CommittedTailRe, 1)
+              .cast("long").cast("string"),
+            lit("t"), regexp_extract(input_file_name(), CommittedTailRe, 2))
+        }
         val existing = try {
           spark.conf.set(inferKey, "false")
           spark.read.option("basePath", topicDir)
             .orc(existingPaths: _*)
-            .withColumn(ChunkCol,
-              col("offset") - pmod(col("offset"), lit(flushSize)))
+            .withColumn(ChunkCol, existingCell)
             // realign column order/types to flat's
             .select(flat.schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
             // materialize NOW: after this the write job holds the old rows in
@@ -376,10 +429,10 @@ object OffsetNamedOrcSink {
   private def touchedLeaves(flat: DataFrame, partCols: Seq[String]): Seq[Touched] = {
     val prefixNames = partCols.dropRight(2)
     val sel = prefixNames.map(n => col(n).cast("string")) ++
-      Seq(col("partition").cast("int"), col(ChunkCol).cast("long"))
+      Seq(col("partition").cast("int"), col(ChunkCol).cast("string"))
     flat.select(sel: _*).distinct().collect().toSeq.map { r =>
       Touched(prefixNames.zipWithIndex.map { case (n, i) => n -> r.getString(i) },
-        r.getInt(prefixNames.size), r.getLong(prefixNames.size + 1))
+        r.getInt(prefixNames.size), r.getString(prefixNames.size + 1))
     }
   }
 
@@ -398,7 +451,7 @@ object OffsetNamedOrcSink {
     writeMarker(fs, inflight,
       touched.map(t =>
         (t.prefix.map(p => java.net.URLEncoder.encode(p._2, "UTF-8")) ++
-          Seq(t.partition.toString, t.chunk.toString)).mkString("|"))
+          Seq(t.partition.toString, t.cell)).mkString("|"))
         .mkString("\n"))
     val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     try {
@@ -411,7 +464,7 @@ object OffsetNamedOrcSink {
         .orc(topicDir)
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
     touched.foreach(t =>
-      hoistChunkDir(fs, t.partitionDir(root), t.partition.toString, t.chunk, topic))
+      hoistChunkDir(fs, t.partitionDir(root), t.partition.toString, t.cell, topic))
     fs.delete(inflight, false)
     ()
   }
@@ -426,16 +479,17 @@ object OffsetNamedOrcSink {
   def writeMulti(df: DataFrame, outDir: String, flushSize: Long,
       layout: Layout = Layout.KafkaPartition,
       drift: DriftMode = DriftMode.Reject,
-      s3a: Option[S3AConf] = None): Seq[String] = {
+      s3a: Option[S3AConf] = None,
+      rotateMs: Option[Long] = None): Seq[String] = {
     val topics = df.select("topic").distinct().collect()
       .map(_.getString(0)).sorted.toSeq
     if (topics.lengthCompare(1) <= 0)
-      topics.map(t => write(df, outDir, flushSize, t, layout, drift, s3a))
+      topics.map(t => write(df, outDir, flushSize, t, layout, drift, s3a, rotateMs))
     else {
       val cached = df.persist()
       try topics.map(t =>
         write(cached.filter(col("topic") === t), outDir, flushSize, t,
-          layout, drift, s3a))
+          layout, drift, s3a, rotateMs))
       finally { cached.unpersist(); () }
     }
   }
@@ -445,8 +499,9 @@ object OffsetNamedOrcSink {
     * grid and silently commit overlapping offset ranges).
     */
   private def ensureConfig(fs: FileSystem, root: Path, flushSize: Long,
-      layout: Layout): Unit = {
-    val desc = s"flushSize=$flushSize\nlayout=${layoutIdOf(layout)}"
+      layout: Layout, rotateMs: Option[Long] = None): Unit = {
+    val desc = s"flushSize=$flushSize\nlayout=${layoutIdOf(layout)}" +
+      rotateMs.fold("")(ms => s"\nrotate=$ms")
     val p = new Path(root, ConfigMarker)
     readMarker(fs, p) match {
       case Some(existing) => require(existing == desc,
@@ -567,10 +622,10 @@ object OffsetNamedOrcSink {
     * replays converge to one file per chunk.
     */
   private def hoistChunkDir(fs: FileSystem, pDir: Path, p: String,
-      chunkStart: Long, topic: String): Unit = {
-    val cDir = new Path(pDir, s"$ChunkCol=$chunkStart")
+      cell: String, topic: String): Unit = {
+    val cDir = new Path(pDir, s"$ChunkCol=$cell")
     if (!fs.exists(cDir)) return
-    val prefix = f"${fileTopic(topic)}+$p+$chunkStart%010d"
+    val prefix = cellFilePrefix(topic, p, cell)
     val parts = listDir(fs, cDir)
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
     // a part-less _chunk dir means a crash landed between this chunk's
@@ -619,22 +674,23 @@ object OffsetNamedOrcSink {
     val lines = readMarker(fs, inflight)
       .map(_.linesIterator.filter(_.nonEmpty).toSeq).getOrElse(Nil)
     val Num = raw"\d+".r
+    val Cell = raw"\d+(?:t-?\d+)?".r
     val parsed = prefixNames.map { names =>
       lines.flatMap { line =>
         val parts = line.split("\\|", -1).toSeq
         if (parts.size == names.size + 2 &&
             Num.pattern.matcher(parts(names.size)).matches() &&
-            Num.pattern.matcher(parts(names.size + 1)).matches())
+            Cell.pattern.matcher(parts(names.size + 1)).matches())
           Some(Touched(
             names.zip(parts.take(names.size)
               .map(v => java.net.URLDecoder.decode(v, "UTF-8"))),
-            parts(names.size).toInt, parts(names.size + 1).toLong))
+            parts(names.size).toInt, parts(names.size + 1)))
         else None
       }
     }.getOrElse(Nil)
     if (parsed.nonEmpty && parsed.size == lines.size)
       parsed.foreach(t =>
-        hoistChunkDir(fs, t.partitionDir(root), t.partition.toString, t.chunk, topic))
+        hoistChunkDir(fs, t.partitionDir(root), t.partition.toString, t.cell, topic))
     else recover(fs, root, topic)
   }
 
@@ -653,8 +709,8 @@ object OffsetNamedOrcSink {
             listDir(fs, st.getPath)
               .filter(c => c.isDirectory && c.getPath.getName.startsWith(s"$ChunkCol="))
               .foreach { c =>
-                val chunkStart = c.getPath.getName.stripPrefix(s"$ChunkCol=").toLong
-                hoistChunkDir(fs, st.getPath, p, chunkStart, topic)
+                val cell = c.getPath.getName.stripPrefix(s"$ChunkCol=")
+                hoistChunkDir(fs, st.getPath, p, cell, topic)
               }
           } else walk(st.getPath) // value-derived prefix level (dt=, year=, <field>=…)
         }
@@ -701,7 +757,7 @@ object OffsetNamedOrcSink {
       recoverFromMarker(fs, root, root.getName, inflight)
     spark.read.orc(topicDir)
       .withColumn(ChunkCol,
-        regexp_extract(input_file_name(), raw"\+(\d+)(?:-\d+)?\.orc$$", 1)
+        regexp_extract(input_file_name(), CommittedTailRe, 1)
           .cast("long"))
   }
 
@@ -740,7 +796,11 @@ object OffsetNamedOrcSink {
     readMarker(fs, new Path(root, ConfigMarker)) match {
       case None => fullScan // legacy dir: no recorded chunk grid to prune on
       case Some(desc) =>
-        val (flushSize, _) = parseConfig(desc) // corrupt marker throws, like compactTo/expire
+        val (flushSize, _, rotate) = parseConfig(desc) // corrupt marker throws, like compactTo/expire
+        // a wall-clock-rotated grid has unbounded time buckets per offset
+        // chunk — cell names are not enumerable from the window alone, so
+        // degrade to the (still offset-pushed-down) full scan
+        if (rotate.isDefined) return fullScan
         // An open-ended sentinel window (untilOffset=Long.MaxValue with a
         // small flush.size) must not eagerly enumerate billions of chunk
         // starts on the driver: past this cap the probe count exceeds any
@@ -772,7 +832,7 @@ object OffsetNamedOrcSink {
         if (files.isEmpty) fullScan
         else spark.read.option("basePath", topicDir).orc(files: _*)
           .withColumn(ChunkCol,
-            regexp_extract(input_file_name(), raw"\+(\d+)(?:-\d+)?\.orc$$", 1)
+            regexp_extract(input_file_name(), CommittedTailRe, 1)
               .cast("long"))
           .filter(col("offset") >= fromOffset && col("offset") < untilOffset)
     }
@@ -792,14 +852,15 @@ object OffsetNamedOrcSink {
     }
   }
 
-  /** Parse a `_graft_sink.conf` payload → (flushSize, layoutId). */
-  private def parseConfig(desc: String): (Long, String) = {
+  /** Parse a `_graft_sink.conf` payload → (flushSize, layoutId, rotateMs). */
+  private def parseConfig(desc: String): (Long, String, Option[Long]) = {
     val kv = desc.linesIterator.flatMap { l =>
       l.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None }
     }.toMap
     (kv.get("flushSize").map(_.toLong).getOrElse(
         throw new IllegalStateException(s"no flushSize in sink config: $desc")),
-      kv.getOrElse("layout", "kafka-partition"))
+      kv.getOrElse("layout", "kafka-partition"),
+      kv.get("rotate").map(_.toLong))
   }
 
   /** Compact a topic dir onto a coarser rotation grid — the object-store
@@ -837,7 +898,7 @@ object OffsetNamedOrcSink {
     val desc = readMarker(fs, new Path(root, ConfigMarker)).getOrElse(
       throw new IllegalStateException(
         s"$topicDir has no sink config marker — not a sink topic dir"))
-    val (flushSize, layoutId) = parseConfig(desc)
+    val (flushSize, layoutId, _) = parseConfig(desc)
     require(targetFlushSize > flushSize && targetFlushSize % flushSize == 0,
       s"target flush.size $targetFlushSize must be a proper multiple of the " +
         s"committed $flushSize (chunk ranges must nest to keep offset names exact)")
@@ -895,9 +956,10 @@ object OffsetNamedOrcSink {
     val desc = readMarker(fs, new Path(root, ConfigMarker)).getOrElse(
       throw new IllegalStateException(
         s"$topicDir has no sink config marker — not a sink topic dir"))
-    val (flushSize, _) = parseConfig(desc)
+    val (flushSize, _, _) = parseConfig(desc)
     val FileName =
-      (java.util.regex.Pattern.quote(fileTopic(topic)) + raw"\+(\d+)\+(\d+)(?:-\d+)?\.orc").r
+      (java.util.regex.Pattern.quote(fileTopic(topic)) +
+        raw"\+(\d+)\+(\d+)(?:\+t-?\d+)?(?:-\d+)?\.orc").r
     var deleted = 0
     def visit(dir: Path): Unit =
       listDir(fs, dir).foreach { st =>

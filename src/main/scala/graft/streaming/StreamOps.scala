@@ -150,14 +150,15 @@ object StreamOps {
     * dynamic-partition overwrite (O7/O10/O11).
     */
   def runPipeline(spark: SparkSession, srcDir: String, outDir: String,
-      checkpointDir: String, flushSize: Long = 250): StreamingQuery = {
+      checkpointDir: String, flushSize: Long = 250,
+      rotateMs: Option[Long] = None): StreamingQuery = {
     val shaped = KafkaShaped.streamFromDir(spark, srcDir)
     shaped.writeStream
       .queryName("graft-orc-pipeline")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        OffsetNamedOrcSink.write(batch, outDir, flushSize)
+        OffsetNamedOrcSink.write(batch, outDir, flushSize, rotateMs = rotateMs)
         ()
       }
       .start()
@@ -223,10 +224,12 @@ object StreamOps {
       .option("pathGlobFilter", "*+*+*.orc") // committed names only — see scaladoc
       .orc(topicDir)
       .withColumn("partition",
-        regexp_extract(input_file_name(), raw"\+(\d+)\+\d+(?:-\d+)?\.orc$$", 1)
+        regexp_extract(input_file_name(),
+          raw"\+(\d+)\+\d+(?:\+t-?\d+)?(?:-\d+)?\.orc$$", 1)
           .cast("int"))
       .withColumn(OffsetNamedOrcSink.ChunkCol,
-        regexp_extract(input_file_name(), raw"\+(\d+)(?:-\d+)?\.orc$$", 1)
+        regexp_extract(input_file_name(),
+          raw"\+(\d+)(?:\+t-?\d+)?(?:-\d+)?\.orc$$", 1)
           .cast("long"))
     // one string column per value-derived dir level (dt=/year=/<field>=…),
     // unescaped back to the raw value: partitionBy Hive-escapes path-special

@@ -709,6 +709,54 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
     assert(OffsetNamedOrcSink.read(spark, topicDir).count() == 1000)
   }
 
+  test("wall-clock rotation: event-time cells are batch-invariant and replay-deterministic") {
+    val rot = Some(3600000L) // 1 hour of EVENT time
+    val outA = freshOut()
+    val dirA = OffsetNamedOrcSink.write(shaped, outA, flushSize = 250, rotateMs = rot)
+    val fileNames = (d: String) => orcFiles(d)
+      .map(f => s"${f.getParentFile.getName}/${f.getName}").sorted.toSeq
+    val filesA = fileNames(dirA)
+    // committed names carry the +t<bucket> suffix after the padded chunk
+    assert(filesA.nonEmpty && filesA.forall(
+      _.matches(raw"partition=\d+/events\+\d+\+\d{10}\+t-?\d+\.orc")),
+      filesA.take(5).mkString(","))
+    // one file per (partition, offset chunk, event-hour bucket) cell
+    val expectedCells = shaped.select(col("partition"),
+      (col("offset") - pmod(col("offset"), lit(250L))).as("c"),
+      floor(unix_millis(col("timestamp")) / lit(3600000.0)).cast("long").as("b"))
+      .distinct().count()
+    assert(filesA.size.toLong == expectedCells,
+      s"${filesA.size} files vs $expectedCells cells")
+    // the same stream split at a batch boundary commits the SAME file set —
+    // the grid is a pure function of the records, like the offset grid
+    val outB = freshOut()
+    OffsetNamedOrcSink.write(shaped.filter(col("offset") < 437), outB, 250,
+      rotateMs = rot)
+    val dirB = OffsetNamedOrcSink.write(shaped.filter(col("offset") >= 437),
+      outB, 250, rotateMs = rot)
+    assert(fileNames(dirB) == filesA)
+    val a = OffsetNamedOrcSink.read(spark, dirA)
+    val b = OffsetNamedOrcSink.read(spark, dirB)
+    assert(a.count() == 1000 && b.count() == 1000)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // full replay converges to the identical layout
+    OffsetNamedOrcSink.write(shaped, outA, 250, rotateMs = rot)
+    assert(fileNames(dirA) == filesA)
+    assert(OffsetNamedOrcSink.read(spark, dirA).count() == 1000)
+    assert(noStagingDirs(dirA))
+    // readRange degrades to the full-scan path on a rotated grid (buckets
+    // are not enumerable) but stays correct
+    val w = OffsetNamedOrcSink.readRange(spark, dirA, 100, 600)
+    assert(w.count() == 500)
+    // the rotation grid is part of the sink config contract
+    intercept[IllegalArgumentException] {
+      OffsetNamedOrcSink.write(shaped, outA, 250, rotateMs = Some(60000L))
+    }
+    // expire stays chunk-granular across t-suffixed names
+    assert(OffsetNamedOrcSink.expire(spark, dirA, beforeOffset = 250) > 0)
+    assert(OffsetNamedOrcSink.read(spark, dirA).count() == 750)
+  }
+
   test("layout params that would corrupt the dir or config contract fail fast") {
     val out = freshOut()
     intercept[IllegalArgumentException] {

@@ -336,6 +336,35 @@ class StreamingSpec extends SparkSpec {
     assert(back.select("offset").distinct().count() == 1000)
   }
 
+  test("wall-clock rotation in the streaming pipeline replays to identical file names") {
+    val srcDir = tmp("graft-rotstream-src-")
+    val outDir = tmp("graft-rotstream-out-")
+    Tables(spark, sf, "events")
+      .withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .repartition(3)
+      .write.mode("overwrite").parquet(srcDir)
+    val rot = Some(3600000L)
+    val q1 = StreamOps.runPipeline(spark, srcDir, outDir,
+      tmp("graft-rotstream-ck1-"), flushSize = 250, rotateMs = rot)
+    q1.awaitTermination()
+    val topicDir = s"$outDir/topics/events"
+    def committed() = new java.io.File(topicDir).listFiles
+      .filter(_.isDirectory).filter(_.getName.startsWith("partition="))
+      .flatMap(_.listFiles).filter(f => f.isFile && f.getName.endsWith(".orc"))
+      .map(f => s"${f.getParentFile.getName}/${f.getName}").sorted.toSeq
+    val first = committed()
+    assert(first.nonEmpty && first.forall(_.contains("+t")), first.take(3).mkString(","))
+    assert(graft.streaming.OffsetNamedOrcSink.read(spark, topicDir).count() == 1000)
+    // full replay from a FRESH checkpoint (different micro-batch boundaries
+    // possible) must land the exact same committed names — the event-time
+    // grid, like the offset grid, is derived from the records alone
+    val q2 = StreamOps.runPipeline(spark, srcDir, outDir,
+      tmp("graft-rotstream-ck2-"), flushSize = 250, rotateMs = rot)
+    q2.awaitTermination()
+    assert(committed() == first)
+    assert(graft.streaming.OffsetNamedOrcSink.read(spark, topicDir).count() == 1000)
+  }
+
   test("same-checkpoint restart processes only new files (exactly-once)") {
     val srcDir = tmp("graft-ckrestart-src-")
     val outDir = tmp("graft-ckrestart-out-")
