@@ -171,6 +171,17 @@ object OffsetNamedOrcSink {
       * fields are dropped, matching names are cast to the latched type.
       */
     case object Project extends DriftMode
+    /** `schema.compatibility=BACKWARD` (the Connect sink's evolution mode):
+      * added fields WIDEN the latch — the persisted `_graft_schema.json`
+      * becomes latched ++ new fields and later writes conform to it — while
+      * records carrying an OLDER (narrower) schema are projected up onto the
+      * current latch with nulls for the missing fields (Connect's
+      * SchemaProjector behavior). Only a retyped shared field fails. Files
+      * committed before a widening keep their narrower physical schema;
+      * `read` declares the latched schema and ORC's name-based column
+      * matching surfaces the missing columns as nulls per file.
+      */
+    case object Backward extends DriftMode
   }
 
   /** S3A configuration bundle mirroring the reference's storage conf
@@ -402,9 +413,15 @@ object OffsetNamedOrcSink {
         }
         val existing = try {
           spark.conf.set(inferKey, "false")
-          spark.read.option("basePath", topicDir)
+          val raw0 = spark.read.option("basePath", topicDir)
             .orc(existingPaths: _*)
             .withColumn(ChunkCol, existingCell)
+          // files committed before a Backward widening lack the added
+          // columns — surface them as nulls before realigning
+          flat.schema.fields.foldLeft(raw0) { (acc, f) =>
+            if (acc.columns.contains(f.name)) acc
+            else acc.withColumn(f.name, lit(null).cast(f.dataType))
+          }
             // realign column order/types to flat's
             .select(flat.schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
             // materialize NOW: after this the write job holds the old rows in
@@ -585,6 +602,25 @@ object OffsetNamedOrcSink {
               else lit(null).cast(f.dataType).as(f.name)
             }
             df.withColumn("value", struct(fields: _*))
+          case DriftMode.Backward =>
+            val incTypes = incoming.fields.map(f => f.name -> f.dataType).toMap
+            val retyped = latched.fields.toSeq.filter(f =>
+              incTypes.get(f.name).exists(_ != f.dataType))
+            if (retyped.nonEmpty) throw new IllegalStateException(
+              "schema drift not BACKWARD-compatible: latched fields " +
+                s"${retyped.map(f => s"${f.name}:${f.dataType.simpleString}")
+                  .mkString(", ")} retyped in " +
+                s"incoming ${incoming.simpleString}")
+            val latchedNames = latched.fieldNames.toSet
+            val added = incoming.fields.filterNot(f => latchedNames.contains(f.name))
+            val widened = StructType(latched.fields ++ added)
+            if (added.nonEmpty) writeMarker(fs, p, widened.json) // re-latch
+            val incNames = incoming.fieldNames.toSet
+            df.withColumn("value", struct(widened.fields.toSeq.map { f =>
+              if (incNames.contains(f.name))
+                col("value").getField(f.name).cast(f.dataType).as(f.name)
+              else lit(null).cast(f.dataType).as(f.name) // project up
+            }: _*))
         }
     }
   }
@@ -755,7 +791,22 @@ object OffsetNamedOrcSink {
     val inflight = new Path(root, InflightMarker)
     if (fs.exists(inflight))
       recoverFromMarker(fs, root, root.getName, inflight)
-    spark.read.orc(topicDir)
+    // Read with the LATCHED schema, not a sampled file's: after a Backward
+    // widening the files carry mixed physical schemas, and sampling an old
+    // one would silently drop the added columns. With the declared schema,
+    // ORC's name-based column matching null-fills exactly the files that
+    // predate each widening. Layout dir columns (partition, dt, year, a
+    // routed field…) keep coming from the dirs — a declared column that is
+    // also a partition column is filled from its dir value.
+    val reader = readMarker(fs, new Path(root, SchemaMarker)) match {
+      case Some(json) =>
+        val latched = DataType.fromJson(json).asInstanceOf[StructType]
+        spark.read.schema(StructType(
+          org.apache.spark.sql.types.StructField("offset",
+            org.apache.spark.sql.types.LongType) +: latched.fields.toSeq))
+      case None => spark.read // pre-protocol dir: sampled-schema read
+    }
+    reader.orc(topicDir)
       .withColumn(ChunkCol,
         regexp_extract(input_file_name(), CommittedTailRe, 1)
           .cast("long"))

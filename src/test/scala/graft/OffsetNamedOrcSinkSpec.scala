@@ -709,6 +709,46 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
     assert(OffsetNamedOrcSink.read(spark, topicDir).count() == 1000)
   }
 
+  test("schema drift: Backward widens the latch on added fields; old files read as nulls") {
+    val out = freshOut()
+    // first write latches the six-field schema; ends MID-CHUNK so the
+    // widened write must also merge a pre-widening file (chunk 250)
+    OffsetNamedOrcSink.write(shaped.filter(col("offset") < 437), out, 250,
+      drift = DriftMode.Backward)
+    val widened = shaped.filter(col("offset") >= 437).withColumn("value", struct(
+      col("value.flag").as("flag"), col("value.uid").as("uid"),
+      col("value.id").as("id"), col("value.fval").as("fval"),
+      col("value.dval").as("dval"), col("value.etype").as("etype"),
+      (col("offset") * 2).as("extra")))
+    val topicDir = OffsetNamedOrcSink.write(widened, out, 250,
+      drift = DriftMode.Backward)
+    // the persisted latch is now the widened schema
+    val latchedJson = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(topicDir, "_graft_schema.json").toPath))
+    assert(latchedJson.contains("\"extra\""))
+    val back = OffsetNamedOrcSink.read(spark, topicDir)
+    assert(back.count() == 1000)
+    // pre-widening rows surface the added column as null; post-widening
+    // rows carry their values — across mixed-physical-schema files
+    assert(back.filter(col("offset") < 437 && col("extra").isNotNull).count() == 0)
+    assert(back.filter(col("offset") >= 437).count() == 563)
+    assert(back.filter(col("offset") >= 437 &&
+      col("extra") =!= col("offset") * 2).count() == 0)
+    // a straggler with the ORIGINAL narrow schema is projected UP onto the
+    // widened latch (Connect's SchemaProjector behavior): extra → null
+    OffsetNamedOrcSink.write(shaped.filter(col("offset") < 10), out, 250,
+      drift = DriftMode.Backward)
+    val after = OffsetNamedOrcSink.read(spark, topicDir)
+    assert(after.count() == 1000)
+    assert(after.filter(col("offset") < 10 && col("extra").isNotNull).count() == 0)
+    // a retyped shared field is never backward-compatible
+    intercept[IllegalStateException] {
+      OffsetNamedOrcSink.write(
+        shaped.withColumn("value", struct(col("value.uid").cast("string").as("uid"))),
+        out, 250, drift = DriftMode.Backward)
+    }
+  }
+
   test("wall-clock rotation: event-time cells are batch-invariant and replay-deterministic") {
     val rot = Some(3600000L) // 1 hour of EVENT time
     val outA = freshOut()
