@@ -409,11 +409,119 @@ object DedupOps extends QueryModule {
                     JOIN kept ON kept.shash = te.shash
             GROUP BY 1 ORDER BY test_doc"""))
 
+  // ------------------------------------- incremental dedup vs band index --
+
+  /** The maintained MinHash band index: a bucketed table of (band, hist_doc)
+    * rows — the persisted dedup state a 100-TB pipeline carries between
+    * batches. Incremental dedup of a new batch then NEVER rescans corpus
+    * text: it minhashes only the new documents and joins their band keys
+    * against the index, whose CLUSTERED BY (band) layout feeds the
+    * SortMergeJoin without an index-side exchange (only the small new side
+    * shuffles into the bucket partitioning). `append` is the maintenance
+    * step: after a batch is admitted, its band keys INSERT INTO the bucketed
+    * table, keeping the index current for the next batch — an append of
+    * bucketed files, no rewrite of the existing index.
+    */
+  object BandIndex {
+    /** Per-sfDir table name (a global name would serve one SF's index to
+      * another in a shared session — the q_join_bucketed rule).
+      */
+    def name(d: String): String =
+      s"graft_band_idx_${java.lang.Integer.toHexString(d.hashCode)}"
+
+    /** (doc_id, band) rows of a documents-shaped frame via the fused
+      * MinHashBands kernel. explode_OUTER for the same
+      * InferFiltersFromGenerate reason as q_decontaminate.
+      */
+    def bands(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), tokens.as("toks"))
+      .select(col("doc_id"),
+        graft.functions.VectorExpressions.minhashBands(col("toks")).as("bands"))
+      .select(col("doc_id"), explode_outer(col("bands")).as("band"))
+
+    /** Build the index over `history` (CTAS, 8 band buckets) if absent. */
+    def ensure(s: SparkSession, d: String, history: DataFrame): String = {
+      val idx = name(d)
+      if (!s.catalog.tableExists(idx)) {
+        val base = java.nio.file.Files.createTempDirectory("graft-bandidx-").toString
+        bands(history).select(col("doc_id").as("hist_doc"), col("band"))
+          .createOrReplaceTempView("graft_band_idx_src")
+        s.sql(s"""CREATE TABLE $idx USING parquet
+                  CLUSTERED BY (band) SORTED BY (band) INTO 8 BUCKETS
+                  LOCATION '$base'
+                  AS SELECT * FROM graft_band_idx_src""")
+      }
+      idx
+    }
+
+    /** Admit a batch into the index (bucketed append — no index rewrite). */
+    def append(s: SparkSession, d: String, batch: DataFrame): Unit = {
+      bands(batch).select(col("doc_id").as("hist_doc"), col("band"))
+        .createOrReplaceTempView("graft_band_idx_add")
+      s.sql(s"INSERT INTO ${name(d)} SELECT * FROM graft_band_idx_add")
+      ()
+    }
+  }
+
+  /** Incremental corpus dedup: the new batch (hash bucket ≥ 80 — the same
+    * deterministic split convention as q_decontaminate) minhashed and joined
+    * against the PERSISTED band index of history (bucket < 80). The history
+    * corpus text is never rescanned — the plan holds exactly one scan of
+    * `documents` (the new slice) plus the bucketed index scan with no
+    * exchange above it (PlanShapeSpec pin). Oracle: the full-recompute
+    * identity — DuckDB re-derives both sides' bands from scratch and must
+    * agree exactly. Output per new doc: #distinct history near-dup
+    * candidates, the smallest such doc, and the dup flag.
+    */
+  private val qDedupIncremental = GQuery(
+    (s, d) => {
+      val bucket = pmod(hex4(col("doc_id").cast("string")), lit(100))
+      val idx = BandIndex.ensure(s, d,
+        t(s, d, "documents").filter(bucket < 80))
+      val newBands = BandIndex.bands(
+        t(s, d, "documents").filter(bucket >= 80))
+      // MERGE hint: at toy SF the index fits a broadcast, but the whole
+      // point of the bucketed layout is the 100-TB shape — SMJ whose
+      // index side reads co-located buckets shuffle-free
+      newBands.join(s.table(idx).hint("MERGE"), Seq("band"), "left")
+        .groupBy("doc_id")
+        .agg(countDistinct("hist_doc").as("n_hist_docs"),
+          min("hist_doc").as("first_hit"))
+        .withColumn("is_dup", col("n_hist_docs") > 0)
+        .orderBy("doc_id")
+    },
+    Some {
+      val mh = (0 until 4).map(k =>
+        s"list_min(list_transform(hs, h -> substr(h, ${k * 8 + 1}, 8)))")
+      s"""WITH sig AS (
+            SELECT doc_id,
+                   ${duckHex4("md5(CAST(doc_id AS VARCHAR))")} % 100 AS bucket,
+                   list_transform($duckShingles, x -> md5(x)) AS hs
+            FROM documents),
+          m AS (
+            SELECT doc_id, bucket,
+                   ${mh(0)} || ${mh(1)} AS b0, ${mh(2)} || ${mh(3)} AS b1
+            FROM sig),
+          hist AS (
+            SELECT doc_id AS hist_doc, unnest([b0, b1]) AS band
+            FROM m WHERE bucket < 80),
+          newb AS (
+            SELECT doc_id, unnest([b0, b1]) AS band
+            FROM m WHERE bucket >= 80)
+          SELECT n.doc_id,
+                 CAST(count(DISTINCT h.hist_doc) AS BIGINT) AS n_hist_docs,
+                 min(h.hist_doc) AS first_hit,
+                 count(DISTINCT h.hist_doc) > 0 AS is_dup
+          FROM newb n LEFT JOIN hist h ON n.band = h.band
+          GROUP BY n.doc_id ORDER BY doc_id"""
+    })
+
   override val queries: Map[String, GQuery] = Map(
     "q_dedup_components" -> qDedupComponents,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "q_dedup_embed" -> qDedupEmbed,
+    "q_dedup_incremental" -> qDedupIncremental,
     "q_decontaminate" -> qDecontaminate)
 }

@@ -75,6 +75,31 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_dedup_incremental: bucketed SMJ on the band index, single corpus scan") {
+    import org.apache.spark.sql.functions.col
+    val df = SparkEntry.queries("q_dedup_incremental")(spark, sf)
+    df.collect() // builds + queries the memoized index
+    val p = df.queryExecution.executedPlan.toString
+    // the index side carries the join co-located (bucketed scan, SMJ)
+    assert(p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("Bucketed: true"), p.take(3000))
+    // exactly two parquet scans: the NEW slice of documents and the index —
+    // history text is never rescanned (AQE prints final + initial plans;
+    // inspect the final one only)
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val scans = finalPlan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.size == 2, finalPlan.take(3000))
+    assert(scans.count(_.contains("graft_band_idx")) == 1, scans.mkString("\n"))
+    // maintenance: admitting a batch appends bucketed files in place
+    val idx = operators.DedupOps.BandIndex.name(sf)
+    val before = spark.table(idx).count()
+    operators.DedupOps.BandIndex.append(spark, sf,
+      Tables(spark, sf, "documents").filter(col("doc_id") < 3))
+    assert(spark.table(idx).count() > before)
+    // drop the mutated memoized index so any later run rebuilds it clean
+    spark.sql(s"DROP TABLE $idx")
+  }
+
   test("q_grouping_sets expands once (single Expand node, partial agg after)") {
     val p = plan("q_grouping_sets")
     // one Expand feeding a hash aggregate — the sets do not multiply scans
