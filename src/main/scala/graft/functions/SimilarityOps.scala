@@ -364,6 +364,106 @@ object SimilarityOps extends QueryModule {
           FROM ranked WHERE rn <= 3 ORDER BY p_id, rk"""
     })
 
+  /** Two-stage ANN re-ranking — the standard recall lever AFTER multi-probe:
+    * stage 1 casts a wider net (Hamming-≤2 bucket union: 22/64 buckets vs
+    * multi-probe's 7/64) but scores candidates CHEAPLY (dot of the first-16-dim
+    * truncations — the PQ/truncation trick: at 100 TB the coarse pass reads
+    * a quarter of the vector bytes) and keeps a top-50 shortlist per probe;
+    * stage 2 fetches the FULL vectors for just the shortlist (a broadcast of
+    * 50·P ids back against the corpus — the “fetch for re-rank” pattern) and
+    * re-scores exactly, emitting the final top-3. Recall@3 ≥ multi-probe's
+    * on the same probes (gauged by SimilaritySpec via the q_knn_recall
+    * harness): the wider-but-cheaper net plus exact re-scoring dominates.
+    * Every score is dround(…,6) with id tiebreaks, so both stages are
+    * hash-exact against the DuckDB twin.
+    */
+  private val qKnnRerank = GQuery(
+    (s, d) => {
+      val bucket = srpBucket(col("embedding"))
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), bucket.as("bucket"),
+          col("embedding").cast("array<double>").as("emb"))
+        .withColumn("nrm", norm(col("emb")))
+      val probesBase = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("p_id"), col("bucket").as("p_bucket"),
+          col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+      // Hamming-≤2 masks over 6 bits: 1 + 6 + 15 = 22 buckets
+      val maskVals = (0 +: (0 until 6).map(1 << _)) ++
+        (for { i <- 0 until 6; j <- i + 1 until 6 } yield (1 << i) | (1 << j))
+      val probes = probesBase
+        .withColumn("mask", explode(array(maskVals.map(lit): _*)))
+        .select(col("p_id"), col("p_emb"),
+          col("p_bucket").bitwiseXOR(col("mask")).as("cand_bucket"))
+      // stage 1: cheap truncated-dot scores over the widened bucket union;
+      // only (p_id, n_id, coarse) pass through the shortlist window — the
+      // full vectors are NOT carried through the shuffle
+      val wCoarse = Window.partitionBy("p_id")
+        .orderBy(col("coarse").desc, col("n_id").asc)
+      val shortlist = emb
+        .join(broadcast(probes),
+          col("bucket") === col("cand_bucket") && col("vec_id") =!= col("p_id"))
+        .select(col("p_id"), col("vec_id").as("n_id"),
+          dround(dot(slice(col("p_emb"), 1, 16), slice(col("emb"), 1, 16)), 6)
+            .as("coarse"))
+        .withColumn("crk", row_number().over(wCoarse))
+        .filter(col("crk") <= 50)
+        .select("p_id", "n_id")
+      // stage 2: fetch full vectors for the tiny shortlist and re-score
+      // exactly — shortlist broadcasts, the corpus side stays map-only
+      val wExact = Window.partitionBy("p_id").orderBy(col("cos").desc, col("n_id").asc)
+      emb.select(col("vec_id").as("n_id"), col("emb").as("n_emb"),
+          col("nrm").as("n_nrm"))
+        .join(broadcast(shortlist), "n_id")
+        .join(broadcast(probesBase), "p_id")
+        .select(col("p_id"), col("n_id"),
+          dround(dot(col("p_emb"), col("n_emb")) / (col("p_nrm") * col("n_nrm")), 6)
+            .as("cos"))
+        .withColumn("rk", row_number().over(wExact).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("p_id"), col("n_id"), col("rk"), dround(col("cos"), 2).as("score"))
+        .orderBy("p_id", "rk")
+    },
+    Some {
+      val bucket = duckSrpBucket()
+      val maskVals = (0 +: (0 until 6).map(1 << _)) ++
+        (for { i <- 0 until 6; j <- i + 1 until 6 } yield (1 << i) | (1 << j))
+      s"""WITH b AS (
+            SELECT vec_id, $bucket AS bucket,
+                   CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings),
+          probes AS (
+            SELECT p.vec_id AS p_id, xor(p.bucket, m.mask) AS cand_bucket,
+                   p.emb AS p_emb
+            FROM b p, (SELECT unnest([${maskVals.mkString(", ")}]) AS mask) m
+            WHERE p.vec_id < 5),
+          coarse AS (
+            SELECT p_id, e.vec_id AS n_id,
+                   CAST(round(CAST(list_dot_product(list_slice(p_emb, 1, 16),
+                     list_slice(e.emb, 1, 16)) AS DECIMAL(30,8)), 6) AS DOUBLE)
+                     AS coarse
+            FROM probes JOIN b e
+              ON e.bucket = cand_bucket AND e.vec_id <> p_id),
+          short AS (
+            SELECT p_id, n_id FROM (
+              SELECT p_id, n_id, row_number() OVER (PARTITION BY p_id
+                       ORDER BY coarse DESC, n_id) AS crk
+              FROM coarse) WHERE crk <= 50),
+          exact AS (
+            SELECT s.p_id, s.n_id,
+                   CAST(round(CAST(list_cosine_similarity(pe.emb, ne.emb)
+                     AS DECIMAL(30,8)), 6) AS DOUBLE) AS cos
+            FROM short s
+            JOIN b pe ON pe.vec_id = s.p_id
+            JOIN b ne ON ne.vec_id = s.n_id),
+          ranked AS (
+            SELECT p_id, n_id, cos,
+                   row_number() OVER (PARTITION BY p_id ORDER BY cos DESC, n_id) AS rn
+            FROM exact)
+          SELECT p_id, n_id, CAST(rn AS INT) AS rk,
+                 CAST(round(CAST(cos AS DECIMAL(30,8)), 2) AS DOUBLE) AS score
+          FROM ranked WHERE rn <= 3 ORDER BY p_id, rk"""
+    })
+
   /** ANN quality metric: recall@3 of the SRP-bucketed IVF against the
     * brute-force ground truth, per probe — the number every production ANN
     * deployment monitors (speed without a recall gauge is meaningless).
@@ -428,5 +528,6 @@ object SimilarityOps extends QueryModule {
     "q_multimodal_join" -> qMultimodalJoin,
     "q_knn_ivf" -> qKnnIvf,
     "q_knn_ivf_multiprobe" -> qKnnIvfMultiprobe,
+    "q_knn_rerank" -> qKnnRerank,
     "q_knn_recall" -> qKnnRecall)
 }

@@ -1,0 +1,25 @@
+package graft
+
+/** ANN recall gauges (the q_knn_recall harness applied across variants):
+  * speed without recall is meaningless, and each recall lever must actually
+  * lift the number it claims to lift.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  /** (p_id, n_id) pairs a query returns for the shared probe set. */
+  private def pairs(name: String): Set[(Long, Long)] =
+    SparkEntry.queries(name)(spark, sf).select("p_id", "n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("re-ranking recall@3 >= multi-probe's on the same probes") {
+    val truth = pairs("q_embed_knn")
+    val multiprobe = pairs("q_knn_ivf_multiprobe").count(truth)
+    val rerank = pairs("q_knn_rerank").count(truth)
+    // the wider-but-cheap candidate net + exact re-scoring must not lose
+    // recall vs the narrower exact multi-probe (VERDICT r3 done-criterion)
+    assert(rerank >= multiprobe, s"rerank $rerank < multiprobe $multiprobe")
+    // and the single-bucket IVF stays the lower bound of the ladder
+    val single = pairs("q_knn_ivf").count(truth)
+    assert(multiprobe >= single, s"multiprobe $multiprobe < single $single")
+  }
+}
