@@ -384,8 +384,58 @@ object RelationalExt extends QueryModule {
                    array_to_string(map_keys(m), ',') AS keys
             FROM t ORDER BY o_orderkey"""))
 
+  // ------------------------------------------- bloom-pruned fact join --
+
+  /** Bloom-pre-filtered fact⋈dim join — Spark's runtime-filter pattern made
+    * explicit and deterministic. A `BloomFilterAggregate` over the FILTERED
+    * dimension's hashed keys (partial-merge agg; the sketch buffer is
+    * fixed-size) is collected once — one row of ~KB driver-side metadata,
+    * the strata-list precedent — and re-embedded as a literal, so the
+    * codegen'd `might_contain` prunes the fact side BELOW its join exchange
+    * (plan-pinned). The 100-TB shape this exists for: a selective dimension
+    * too large to broadcast-HASH-join still has a bloom that broadcasts —
+    * only might-contain survivors shuffle into the SMJ (hinted MERGE here
+    * for that reason; at toy SF Spark would rightly broadcast the dim).
+    * Blooms admit no false negatives and the exact join removes the false
+    * positives, so the result is hash-identical to the plain join — which
+    * is exactly the oracle. xxhash64 stays internal (CLAUDE.md: Spark-only
+    * hashes must not reach t2 output).
+    */
+  private val qJoinBloom = GQuery(
+    (s, d) => {
+      import org.apache.spark.sql.GraftColumnShim.{column => gcol, expression => gexpr}
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.types.BinaryType
+      val dim = t(s, d, "supplier")
+        .filter(col("s_acctbal") > 5000 && col("s_nationkey") < 10)
+      // size the sketch to the build side (floor 1024): an over-estimated
+      // bloom is pure waste shipped inside every task's plan literal
+      val nItems = math.max(dim.count(), 1024L)
+      val bloomBytes = dim
+        .agg(gcol(new BloomFilterAggregate(gexpr(xxhash64(col("s_suppkey"))), nItems)
+          .toAggregateExpression()).as("bf"))
+        .head.getAs[Array[Byte]](0)
+      val pre = t(s, d, "lineitem")
+        .filter(gcol(BloomFilterMightContain(
+          Literal.create(bloomBytes, BinaryType),
+          gexpr(xxhash64(col("l_suppkey"))))))
+      pre.join(dim.hint("MERGE"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(count(lit(1)).as("n"),
+          dround(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue"))
+        .orderBy("s_suppkey")
+    },
+    Some("""SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n,
+                   CAST(round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DECIMAL(30,8)), 2) AS DOUBLE) AS revenue
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            WHERE s_acctbal > 5000 AND s_nationkey < 10
+            GROUP BY s_suppkey, s_name ORDER BY s_suppkey"""))
+
   override val queries: Map[String, GQuery] = Map(
     "q_agg_approx" -> qAggApprox,
+    "q_join_bloom" -> qJoinBloom,
     "q_agg_approx_debug" -> qAggApproxDebug,
     "q_scalar_map" -> qScalarMap,
     "q_grouping_sets" -> qGroupingSets,

@@ -214,6 +214,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges("q_scd2_intervals") <= 2, "SCD2 shuffles beyond its window")
   }
 
+  test("q_join_bloom prunes the fact side below its join exchange") {
+    val df = SparkEntry.queries("q_join_bloom")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the might_contain filter must sit on the fact SCAN side (pre-shuffle),
+    // and the join must be the at-scale SMJ shape, not a dim broadcast
+    assert(p.contains("might_contain"), p.take(3000))
+    assert(p.contains("SortMergeJoin"), p.take(3000))
+    val lines = p.linesIterator.toSeq
+    val filterIdx = lines.indexWhere(_.contains("might_contain"))
+    val joinIdx = lines.indexWhere(_.contains("SortMergeJoin"))
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      s"bloom filter not below the join (join@$joinIdx, filter@$filterIdx)")
+  }
+
   test("q_split_train and q_text_chunk stay shuffle-minimal (one exchange each)") {
     // split: map + single-key agg; chunk: map + explode + presentation sort.
     // More exchanges would mean the split/chunk stage itself shuffles.
