@@ -384,6 +384,47 @@ object RelationalExt extends QueryModule {
                    array_to_string(map_keys(m), ',') AS keys
             FROM t ORDER BY o_orderkey"""))
 
+  // ------------------------------------- mergeable-sketch re-aggregation --
+
+  /** Mergeable HLL sketch rollup — the re-aggregatable-cube scale shape.
+    * Stage 1 builds per-(day, type) DataSketches HLL binaries
+    * (`hll_sketch_agg`, lgK=12 — fixed-size, map-side combinable); in a
+    * production pipeline those partials PERSIST alongside the daily
+    * aggregates. Stage 2 answers the cross-day rollup from the sketches
+    * alone (`hll_union_agg` → estimate): distinct-users-per-type over the
+    * union of 30 days without rescanning a single raw event — at 100 TB the
+    * raw scan is the whole cost, and this is the operator that removes it
+    * (same theme as q_dedup_incremental's persisted band index).
+    *
+    * Oracle per the q_agg_approx convention: outputs carry exact values +
+    * deterministic bounds flags, never engine-specific estimates. The exact
+    * twin runs as its OWN aggregation joined back on the 5-row key (the
+    * multi-distinct Expand trap — see q_agg_approx's scaladoc); n_days
+    * additionally pins that stage 2 really consumed one partial per
+    * (day, type) group.
+    */
+  private val qAggSketchMerge = GQuery(
+    (s, d) => {
+      val e = t(s, d, "events").withColumn("dt", to_date(col("ts")))
+      val daily = e.groupBy("dt", "event_type")
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      val merged = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+      val exact = e.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      merged.join(broadcast(exact), "event_type")
+        .select(col("event_type"), col("n_days"), col("n_exact"),
+          (abs(col("est") - col("n_exact"))
+            <= greatest(col("n_exact") * 0.05, lit(3.0))).as("merge_ok"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type,
+                   CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+                   true AS merge_ok
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
   // ------------------------------------------- bloom-pruned fact join --
 
   /** Bloom-pre-filtered fact⋈dim join — Spark's runtime-filter pattern made
@@ -436,6 +477,7 @@ object RelationalExt extends QueryModule {
   override val queries: Map[String, GQuery] = Map(
     "q_agg_approx" -> qAggApprox,
     "q_join_bloom" -> qJoinBloom,
+    "q_agg_sketch_merge" -> qAggSketchMerge,
     "q_agg_approx_debug" -> qAggApproxDebug,
     "q_scalar_map" -> qScalarMap,
     "q_grouping_sets" -> qGroupingSets,

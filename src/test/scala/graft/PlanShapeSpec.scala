@@ -228,6 +228,15 @@ class PlanShapeSpec extends SparkSpec {
       s"bloom filter not below the join (join@$joinIdx, filter@$filterIdx)")
   }
 
+  test("q_agg_sketch_merge keeps sketch buffers out of the Expand rewrite") {
+    // countDistinct mixed into the sketch agg would key HLL partials by
+    // (group, user_id) via the multi-distinct Expand — the q_agg_approx trap
+    val df = SparkEntry.queries("q_agg_sketch_merge")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("hll_union_agg") || p.contains("HllUnionAgg"), p.take(3000))
+    assert(!p.contains("Expand"), "sketch agg fell into the multi-distinct Expand rewrite")
+  }
+
   test("q_split_train and q_text_chunk stay shuffle-minimal (one exchange each)") {
     // split: map + single-key agg; chunk: map + explode + presentation sort.
     // More exchanges would mean the split/chunk stage itself shuffles.
