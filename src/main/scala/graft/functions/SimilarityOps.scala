@@ -464,6 +464,116 @@ object SimilarityOps extends QueryModule {
           FROM ranked WHERE rn <= 3 ORDER BY p_id, rk"""
     })
 
+  /** Int8-quantized ANN — the memory/IO lever for a 100-TB embedding store:
+    * the corpus carries a symmetric per-vector int8 quantization (64 bytes
+    * vs 512 for the float64 working form — 8× less coarse-scan IO), the
+    * coarse pass scores candidates entirely in INTEGER arithmetic (quantized
+    * dot ≤ 64·127² — hash-exact cross-engine by construction, no rounding
+    * grid at all), and only the top-50 shortlist fetches full-precision
+    * vectors for the exact re-score (the q_knn_rerank fetch-for-re-rank
+    * shape over the same Hamming-≤2 net). Quantization is
+    * floor(x·scale + ½) with scale = 127 / max|xᵢ| (guarded for the zero
+    * vector): IEEE double multiply + floor is bit-deterministic in both
+    * engines. The quantized array is materialized as a column BEFORE the
+    * pair loop (HOF-capture invariant) — at scale it IS the stored column,
+    * quantized once at ingest, and the float vectors are cold storage only
+    * the shortlist touches.
+    */
+  private val qKnnQuantized = GQuery(
+    (s, d) => {
+      val bucket = srpBucket(col("embedding"))
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), bucket.as("bucket"),
+          col("embedding").cast("array<double>").as("emb"))
+        .withColumn("nrm", norm(col("emb")))
+        .withColumn("scale",
+          lit(127.0) / greatest(array_max(transform(col("emb"), abs(_))), lit(1e-30)))
+        .withColumn("qemb",
+          transform(col("emb"), x => floor(x * col("scale") + lit(0.5))))
+      val probesBase = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("p_id"), col("bucket").as("p_bucket"),
+          col("emb").as("p_emb"), col("nrm").as("p_nrm"), col("qemb").as("p_qemb"))
+      val maskVals = (0 +: (0 until 6).map(1 << _)) ++
+        (for { i <- 0 until 6; j <- i + 1 until 6 } yield (1 << i) | (1 << j))
+      val probes = probesBase
+        .withColumn("mask", explode(array(maskVals.map(lit): _*)))
+        .select(col("p_id"), col("p_qemb"),
+          col("p_bucket").bitwiseXOR(col("mask")).as("cand_bucket"))
+      // coarse: int8×int8 dot — pure integer HOF fold, no doubles anywhere
+      val wCoarse = Window.partitionBy("p_id")
+        .orderBy(col("qdot").desc, col("n_id").asc)
+      val shortlist = emb
+        .join(broadcast(probes),
+          col("bucket") === col("cand_bucket") && col("vec_id") =!= col("p_id"))
+        .select(col("p_id"), col("vec_id").as("n_id"),
+          aggregate(zip_with(col("p_qemb"), col("qemb"), (x, y) => x * y),
+            lit(0L), (acc, v) => acc + v).as("qdot"))
+        .withColumn("crk", row_number().over(wCoarse))
+        .filter(col("crk") <= 50)
+        .select("p_id", "n_id")
+      val wExact = Window.partitionBy("p_id").orderBy(col("cos").desc, col("n_id").asc)
+      emb.select(col("vec_id").as("n_id"), col("emb").as("n_emb"),
+          col("nrm").as("n_nrm"))
+        .join(broadcast(shortlist), "n_id")
+        .join(broadcast(probesBase), "p_id")
+        .select(col("p_id"), col("n_id"),
+          dround(dot(col("p_emb"), col("n_emb")) / (col("p_nrm") * col("n_nrm")), 6)
+            .as("cos"))
+        .withColumn("rk", row_number().over(wExact).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("p_id"), col("n_id"), col("rk"), dround(col("cos"), 2).as("score"))
+        .orderBy("p_id", "rk")
+    },
+    Some {
+      val bucket = duckSrpBucket()
+      val maskVals = (0 +: (0 until 6).map(1 << _)) ++
+        (for { i <- 0 until 6; j <- i + 1 until 6 } yield (1 << i) | (1 << j))
+      s"""WITH b0 AS (
+            SELECT vec_id, $bucket AS bucket,
+                   CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings),
+          b AS (
+            SELECT vec_id, bucket, emb,
+                   127.0 / greatest(list_max(list_transform(emb, x -> abs(x))),
+                                    1e-30) AS scale
+            FROM b0),
+          q AS (
+            SELECT vec_id, bucket, emb,
+                   list_transform(emb,
+                     x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qemb
+            FROM b),
+          probes AS (
+            SELECT p.vec_id AS p_id, xor(p.bucket, m.mask) AS cand_bucket,
+                   p.qemb AS p_qemb
+            FROM q p, (SELECT unnest([${maskVals.mkString(", ")}]) AS mask) m
+            WHERE p.vec_id < 5),
+          coarse AS (
+            SELECT p_id, e.vec_id AS n_id,
+                   CAST(list_dot_product(CAST(p_qemb AS DOUBLE[]),
+                     CAST(e.qemb AS DOUBLE[])) AS BIGINT) AS qdot
+            FROM probes JOIN q e
+              ON e.bucket = cand_bucket AND e.vec_id <> p_id),
+          short AS (
+            SELECT p_id, n_id FROM (
+              SELECT p_id, n_id, row_number() OVER (PARTITION BY p_id
+                       ORDER BY qdot DESC, n_id) AS crk
+              FROM coarse) WHERE crk <= 50),
+          exact AS (
+            SELECT s.p_id, s.n_id,
+                   CAST(round(CAST(list_cosine_similarity(pe.emb, ne.emb)
+                     AS DECIMAL(30,8)), 6) AS DOUBLE) AS cos
+            FROM short s
+            JOIN b pe ON pe.vec_id = s.p_id
+            JOIN b ne ON ne.vec_id = s.n_id),
+          ranked AS (
+            SELECT p_id, n_id, cos,
+                   row_number() OVER (PARTITION BY p_id ORDER BY cos DESC, n_id) AS rn
+            FROM exact)
+          SELECT p_id, n_id, CAST(rn AS INT) AS rk,
+                 CAST(round(CAST(cos AS DECIMAL(30,8)), 2) AS DOUBLE) AS score
+          FROM ranked WHERE rn <= 3 ORDER BY p_id, rk"""
+    })
+
   /** ANN quality metric: recall@3 of the SRP-bucketed IVF against the
     * brute-force ground truth, per probe — the number every production ANN
     * deployment monitors (speed without a recall gauge is meaningless).
@@ -529,5 +639,6 @@ object SimilarityOps extends QueryModule {
     "q_knn_ivf" -> qKnnIvf,
     "q_knn_ivf_multiprobe" -> qKnnIvfMultiprobe,
     "q_knn_rerank" -> qKnnRerank,
+    "q_knn_quantized" -> qKnnQuantized,
     "q_knn_recall" -> qKnnRecall)
 }

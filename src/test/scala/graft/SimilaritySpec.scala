@@ -22,4 +22,14 @@ class SimilaritySpec extends SparkSpec {
     val single = pairs("q_knn_ivf").count(truth)
     assert(multiprobe >= single, s"multiprobe $multiprobe < single $single")
   }
+
+  test("int8-quantized coarse pass keeps multi-probe-level recall@3") {
+    val truth = pairs("q_embed_knn")
+    val multiprobe = pairs("q_knn_ivf_multiprobe").count(truth)
+    val quantized = pairs("q_knn_quantized").count(truth)
+    // the quantized coarse scorer sees the full 64 dims (vs rerank's 16-dim
+    // float truncation) at 1/8 the bytes — quantization noise must not cost
+    // recall vs the narrower exact multi-probe
+    assert(quantized >= multiprobe, s"quantized $quantized < multiprobe $multiprobe")
+  }
 }
