@@ -654,7 +654,51 @@ object AnalyticsOps extends QueryModule {
             GROUP BY cohort_day, day_offset
             ORDER BY cohort_day, day_offset"""))
 
+  /** Weighted (mixture/temperature) sampling for corpus composition — the
+    * data-mixing primitive: each language gets a mixing weight and each doc
+    * keeps with that probability. Unlike q_sample_stratified's seeded RNG
+    * (Spark-internal, bounds-checked oracle), the coin here is the doc's
+    * OWN hash — `hex4(md5(doc_id)) < w·65536` — which makes the sample (a)
+    * cross-engine EXACT (the oracle hash-matches kept counts and kept
+    * tokens, not 5σ bounds), (b) reproducible across reruns and engines,
+    * and (c) stable under corpus appends (a new doc's fate never reshuffles
+    * old docs) — the property a resumable 100-TB ingest actually needs.
+    * Map-only except the 5-row final agg.
+    */
+  private val qSampleWeighted = GQuery(
+    (s, d) => {
+      import graft.operators.DedupOps.hex4
+      val w = when(col("lang") === "en", 0.9).when(col("lang") === "zh", 0.7)
+        .when(col("lang") === "es", 0.5).when(col("lang") === "de", 0.4)
+        .when(col("lang") === "fr", 0.3).otherwise(0.2)
+      t(s, d, "documents")
+        .select(col("lang"), col("doc_id"),
+          size(split(lower(col("text")), " ")).as("ntok"))
+        .withColumn("keep",
+          hex4(col("doc_id").cast("string")) < w * 65536)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(col("keep").cast("long")).as("n_kept"),
+          sum(when(col("keep"), col("ntok")).otherwise(0)).cast("long")
+            .as("tok_kept"))
+        .orderBy("lang")
+    },
+    Some {
+      val h = graft.operators.DedupOps.duckHex4("md5(CAST(doc_id AS VARCHAR))")
+      val w = """CASE lang WHEN 'en' THEN 0.9 WHEN 'zh' THEN 0.7
+                           WHEN 'es' THEN 0.5 WHEN 'de' THEN 0.4
+                           WHEN 'fr' THEN 0.3 ELSE 0.2 END"""
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+                 CAST(sum(CASE WHEN $h < ($w) * 65536 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_kept,
+                 CAST(sum(CASE WHEN $h < ($w) * 65536
+                   THEN len(string_split(lower(text), ' ')) ELSE 0 END)
+                   AS BIGINT) AS tok_kept
+          FROM documents GROUP BY lang ORDER BY lang"""
+    })
+
   val queries: Map[String, GQuery] = Map(
+    "q_sample_weighted" -> qSampleWeighted,
     "q_split_train" -> qSplitTrain,
     "q_text_chunk" -> qTextChunk,
     "q_profile_columns" -> qProfileColumns,

@@ -516,6 +516,82 @@ object DedupOps extends QueryModule {
           GROUP BY n.doc_id ORDER BY doc_id"""
     })
 
+  /** Substring-level dedup signal (the Lee et al. 2022 "deduplicating
+    * training data" shape, arXiv:2107.06499 — remove REPEATED SPANS, not
+    * whole docs): every 5-token span that occurs more than once in the
+    * corpus (within OR across docs) is a duplicated span; per doc, the
+    * TOKEN COVERAGE of its duplicated spans (union of overlapping [start,
+    * start+4] intervals — a running-max window, the standard interval-union
+    * trick) yields `covered` and `dup_ratio`, the fraction of the doc that
+    * is boilerplate/copy. A doc-level near-dup (q_dedup_minhash) misses a
+    * clean doc with one plagiarized paragraph; this is the operator that
+    * catches it, and at 100 TB the span table keys on a span HASH (here the
+    * span text itself — cross-engine-exact; the md5 swap is one line), so
+    * candidate generation stays linear: explode to (span, doc, start) →
+    * groupBy span → join back survivors → per-doc window. Everything is
+    * integer arithmetic until the final ratio, which goes through dround.
+    */
+  private val qDedupSubstring = GQuery(
+    (s, d) => {
+      val L = 5
+      val sp = t(s, d, "documents")
+        .select(col("doc_id"), tokens.as("toks"))
+        .withColumn("ntok", size(col("toks")))
+        .withColumn("starts",
+          when(col("ntok") >= L, sequence(lit(1), col("ntok") - (L - 1)))
+            .otherwise(array().cast("array<int>")))
+        .select(col("doc_id"), col("ntok"), col("toks"),
+          explode(col("starts")).as("start"))
+        .select(col("doc_id"), col("ntok"), col("start"),
+          concat_ws(" ", slice(col("toks"), col("start"), lit(L))).as("span"))
+      val dup = sp.groupBy("span").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).select("span")
+      val w = Window.partitionBy("doc_id").orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      sp.join(dup, "span")
+        .select(col("doc_id"), col("ntok"), col("start"),
+          (col("start") + (L - 1)).as("e"))
+        .withColumn("prev_end", max(col("e")).over(w))
+        .select(col("doc_id"), col("ntok"),
+          greatest(col("e") - greatest(coalesce(col("prev_end"), lit(0)),
+            col("start") - 1), lit(0)).as("contrib"))
+        .groupBy("doc_id", "ntok")
+        .agg(sum("contrib").cast("long").as("covered"))
+        .select(col("doc_id"), col("ntok").cast("long").as("ntok"), col("covered"),
+          dround(col("covered").cast("double") / col("ntok"), 4).as("dup_ratio"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM documents),
+            spans AS (
+              SELECT doc_id, len(toks) AS ntok,
+                     unnest(CASE WHEN len(toks) >= 5
+                                 THEN generate_series(1, len(toks) - 4)
+                                 ELSE [] END) AS start,
+                     toks
+              FROM d),
+            sp AS (
+              SELECT doc_id, ntok, start,
+                     array_to_string(list_slice(toks, start, start + 4), ' ')
+                       AS span
+              FROM spans),
+            dup AS (SELECT span FROM sp GROUP BY span HAVING count(*) > 1),
+            hits AS (SELECT sp.* FROM sp JOIN dup USING (span)),
+            cov AS (
+              SELECT doc_id, ntok, start, start + 4 AS e,
+                     max(start + 4) OVER (PARTITION BY doc_id ORDER BY start
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_end
+              FROM hits)
+            SELECT doc_id, CAST(ntok AS BIGINT) AS ntok,
+                   CAST(sum(greatest(e - greatest(coalesce(prev_end, 0),
+                     start - 1), 0)) AS BIGINT) AS covered,
+                   CAST(round(CAST(CAST(sum(greatest(e - greatest(
+                     coalesce(prev_end, 0), start - 1), 0)) AS DOUBLE) / ntok
+                     AS DECIMAL(30,8)), 4) AS DOUBLE) AS dup_ratio
+            FROM cov GROUP BY doc_id, ntok ORDER BY doc_id"""))
+
   override val queries: Map[String, GQuery] = Map(
     "q_dedup_components" -> qDedupComponents,
     "q_dedup_minhash" -> qDedupMinhash,
@@ -523,5 +599,6 @@ object DedupOps extends QueryModule {
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "q_dedup_embed" -> qDedupEmbed,
     "q_dedup_incremental" -> qDedupIncremental,
+    "q_dedup_substring" -> qDedupSubstring,
     "q_decontaminate" -> qDecontaminate)
 }
