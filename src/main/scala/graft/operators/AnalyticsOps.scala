@@ -697,8 +697,65 @@ object AnalyticsOps extends QueryModule {
           FROM documents GROUP BY lang ORDER BY lang"""
     })
 
+  /** Time-series resampling + forward fill — regularize an irregular event
+    * stream onto a per-user hourly grid, carrying the last observation
+    * forward into empty cells (LOCF): the feature-pipeline primitive behind
+    * "state of user U at time T" training features. The grid is generated
+    * per user from its own [min, max] hour span (`sequence` + explode —
+    * linear in cells, no cross-user blowup), the per-hour observation is a
+    * dround'd avg, and the fill is `last(v, ignoreNulls)` over an
+    * unbounded-preceding row window — per-user ordered state, exactly the
+    * partitioning a 1000-executor run wants (one user never spans tasks;
+    * grid cells per user are bounded by the retention window). Leading
+    * cells are always observed (the grid starts at the user's first event),
+    * so the fill is total.
+    */
+  private val qEventsResample = GQuery(
+    (s, d) => {
+      val e = t(s, d, "events").filter(col("user_id") < 5)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"),
+          col("value"))
+      val hourly = e.groupBy("user_id", "hr")
+        .agg(dround(avg("value"), 4).as("v_obs"))
+      val grid = hourly.groupBy("user_id")
+        .agg(min("hr").as("h0"), max("hr").as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+            .as("hr"))
+      val w = Window.partitionBy("user_id").orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid.join(hourly, Seq("user_id", "hr"), "left")
+        .withColumn("v_fill", last(col("v_obs"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("hr").cast("timestamp_ntz").as("hour_ts"),
+          col("v_obs").isNotNull.as("observed"), col("v_fill"))
+        .orderBy("user_id", "hour_ts")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, date_trunc('hour', ts) AS hr, value
+              FROM events WHERE user_id < 5),
+            hourly AS (
+              SELECT user_id, hr,
+                     CAST(round(CAST(avg(value) AS DECIMAL(30,8)), 4) AS DOUBLE)
+                       AS v_obs
+              FROM e GROUP BY 1, 2),
+            span AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1
+                     FROM hourly GROUP BY 1),
+            grid AS (
+              SELECT user_id,
+                     unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+              FROM span)
+            SELECT g.user_id, g.hr AS hour_ts,
+                   h.v_obs IS NOT NULL AS observed,
+                   last_value(h.v_obs IGNORE NULLS) OVER (
+                     PARTITION BY g.user_id ORDER BY g.hr
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
+            FROM grid g LEFT JOIN hourly h
+              ON h.user_id = g.user_id AND h.hr = g.hr
+            ORDER BY g.user_id, hour_ts"""))
+
   val queries: Map[String, GQuery] = Map(
     "q_sample_weighted" -> qSampleWeighted,
+    "q_events_resample" -> qEventsResample,
     "q_split_train" -> qSplitTrain,
     "q_text_chunk" -> qTextChunk,
     "q_profile_columns" -> qProfileColumns,
