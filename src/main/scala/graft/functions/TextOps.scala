@@ -373,7 +373,52 @@ object TextOps extends QueryModule {
             SELECT token, CAST(count(*) AS BIGINT) AS df
             FROM t GROUP BY token ORDER BY df DESC, token LIMIT 100"""))
 
+  /** Fuzzy matching / record linkage: edit distance over BLOCKED candidate
+    * pairs — the classic two-phase shape (block on a cheap key, score the
+    * in-block pairs), here first-2-token prefix blocks (the
+    * q_dedup_ngram_jaccard blocking) scored by `levenshtein` on the first
+    * 60 chars (codegen'd built-in, identical semantics in DuckDB — integer
+    * distances hash-match exactly). Blocking keeps the pair count linear in
+    * practice (in-block quadratic, block sizes bounded; a production run
+    * caps hot blocks exactly like q_decontaminate's stop-shingle cap), and
+    * the 60-char truncation bounds the O(n·m) DP cost per pair — the same
+    * two-phase economics as the MinHash family, but for EDIT similarity,
+    * which shingle overlap can't express (transpositions, small in-word
+    * typos).
+    */
+  private val qTextLevenshtein = GQuery(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), lower(col("text")).as("txt"))
+        .withColumn("blk",
+          array_join(slice(split(col("txt"), " "), 1, 2), " "))
+      val a = docs.select(col("doc_id").as("doc_a"), col("txt").as("txt_a"),
+        col("blk"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("txt").as("txt_b"),
+        col("blk"))
+      a.join(b, Seq("blk"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(substring(col("txt_a"), 1, 60),
+            substring(col("txt_b"), 1, 60)).as("dist"))
+        .withColumn("near", col("dist") <= 15)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, lower(text) AS txt,
+                     array_to_string(list_slice(string_split(lower(text), ' '),
+                       1, 2), ' ') AS blk
+              FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(levenshtein(substr(a.txt, 1, 60),
+                     substr(b.txt, 1, 60)) AS INT) AS dist,
+                   levenshtein(substr(a.txt, 1, 60),
+                     substr(b.txt, 1, 60)) <= 15 AS near
+            FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+            ORDER BY doc_a, doc_b"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_text_levenshtein" -> qTextLevenshtein,
     "q_vocab_topk" -> qVocabTopk,
     "q_text_scrub" -> qTextScrub,
     "q_text_tfidf" -> qTextTfidf,

@@ -753,9 +753,53 @@ object AnalyticsOps extends QueryModule {
               ON h.user_id = g.user_id AND h.hr = g.hr
             ORDER BY g.user_id, hour_ts"""))
 
+  /** Numeric outlier flagging (3σ rule) — the value-cleaning gate a feature
+    * pipeline runs before training statistics. The per-type μ/σ run as
+    * their own tiny aggregation (partial-merge, 5 rows) whose outputs are
+    * dround'd to 6 digits BEFORE the comparison: both engines then compare
+    * raw parquet doubles against bit-identical thresholds, so the flags —
+    * and therefore the outlier counts and extremes — hash-match exactly
+    * (the trick that turns an ε-sensitive predicate into a t2-gateable
+    * one). Data path is map-only against the broadcast 5-row stats.
+    */
+  private val qEventsOutliers = GQuery(
+    (s, d) => {
+      val e = t(s, d, "events").select(col("event_type"), col("value"))
+      val stats = e.groupBy("event_type")
+        .agg(dround(avg("value"), 6).as("mu"),
+          dround(stddev_samp(col("value")), 6).as("sigma"))
+      e.join(broadcast(stats), "event_type")
+        .withColumn("is_out",
+          col("value") > col("mu") + lit(3.0) * col("sigma") ||
+          col("value") < col("mu") - lit(3.0) * col("sigma"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_total"),
+          sum(col("is_out").cast("long")).as("n_outliers"),
+          max(when(col("is_out"), col("value"))).as("max_outlier"))
+        .orderBy("event_type")
+    },
+    Some("""WITH stats AS (
+              SELECT event_type,
+                     CAST(round(CAST(avg(value) AS DECIMAL(30,8)), 6) AS DOUBLE)
+                       AS mu,
+                     CAST(round(CAST(stddev_samp(value) AS DECIMAL(30,8)), 6)
+                       AS DOUBLE) AS sigma
+              FROM events GROUP BY event_type),
+            flagged AS (
+              SELECT e.event_type, e.value,
+                     e.value > s.mu + 3.0 * s.sigma OR
+                     e.value < s.mu - 3.0 * s.sigma AS is_out
+              FROM events e JOIN stats s USING (event_type))
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(sum(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_outliers,
+                   max(CASE WHEN is_out THEN value END) AS max_outlier
+            FROM flagged GROUP BY event_type ORDER BY event_type"""))
+
   val queries: Map[String, GQuery] = Map(
     "q_sample_weighted" -> qSampleWeighted,
     "q_events_resample" -> qEventsResample,
+    "q_events_outliers" -> qEventsOutliers,
     "q_split_train" -> qSplitTrain,
     "q_text_chunk" -> qTextChunk,
     "q_profile_columns" -> qProfileColumns,
