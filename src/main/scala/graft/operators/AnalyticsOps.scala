@@ -796,10 +796,90 @@ object AnalyticsOps extends QueryModule {
                    max(CASE WHEN is_out THEN value END) AS max_outlier
             FROM flagged GROUP BY event_type ORDER BY event_type"""))
 
+  /** Time-series similarity search (the EDBT'19 streaming-similarity shape,
+    * PAPERS.md): each user active on 2024-01-01 becomes a 24-dim hourly
+    * activity vector (dround'd hour avgs on a dense grid, silent hours = 0),
+    * and each probe user (id < 3) finds its top-3 most-similar users by
+    * squared Euclidean distance. Vector building is two bounded aggs
+    * (hour avg, then per-user assembly via array_sort of the 24 (h, v)
+    * structs — collect_list alone is order-nondeterministic); scoring is
+    * the brute baseline: broadcast probes × users, map-only, then a top-k
+    * window — the same economics as q_embed_knn, and the same LSH/IVF
+    * escalation path applies unchanged because the series IS an embedding.
+    * Distances are exact cross-engine: identical dround'd inputs folded in
+    * identical sequential order (Spark `aggregate` ≡ DuckDB `list_reduce`),
+    * then dround'd for presentation.
+    */
+  private val qSeriesSimilarity = GQuery(
+    (s, d) => {
+      val e = t(s, d, "events")
+        .filter(to_date(col("ts")) === lit("2024-01-01"))
+        .select(col("user_id"), hour(col("ts")).as("h"), col("value"))
+      val hourly = e.groupBy("user_id", "h")
+        .agg(dround(avg("value"), 4).as("v"))
+      val grid = hourly.select("user_id").distinct()
+        .select(col("user_id"), explode(sequence(lit(0), lit(23))).as("h"))
+      val series = grid.join(hourly, Seq("user_id", "h"), "left")
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(
+          struct(col("h"), coalesce(col("v"), lit(0.0)).as("v")))).as("hv"))
+        .select(col("user_id"),
+          transform(col("hv"), x => x.getField("v")).as("series"))
+      val probes = series.filter(col("user_id") < 3)
+        .select(col("user_id").as("p_id"), col("series").as("p_series"))
+      val w = Window.partitionBy("p_id").orderBy(col("dist").asc, col("n_id").asc)
+      series.crossJoin(broadcast(probes))
+        .filter(col("user_id") =!= col("p_id"))
+        .select(col("p_id"), col("user_id").as("n_id"),
+          aggregate(zip_with(col("p_series"), col("series"),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+            .as("dist"))
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("p_id"), col("n_id"), col("rk"),
+          dround(col("dist"), 4).as("dist"))
+        .orderBy("p_id", "rk")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, extract(hour FROM ts) AS h, value
+              FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01'),
+            hourly AS (
+              SELECT user_id, h,
+                     CAST(round(CAST(avg(value) AS DECIMAL(30,8)), 4) AS DOUBLE)
+                       AS v
+              FROM e GROUP BY 1, 2),
+            grid AS (
+              SELECT u.user_id, g.h
+              FROM (SELECT DISTINCT user_id FROM hourly) u,
+                   (SELECT unnest(generate_series(0, 23)) AS h) g),
+            series AS (
+              SELECT g.user_id,
+                     array_agg(coalesce(h2.v, 0.0) ORDER BY g.h) AS series
+              FROM grid g LEFT JOIN hourly h2
+                ON h2.user_id = g.user_id AND h2.h = g.h
+              GROUP BY g.user_id),
+            scored AS (
+              SELECT p.user_id AS p_id, n.user_id AS n_id,
+                     list_reduce(list_transform(generate_series(1, 24),
+                       i -> (p.series[i] - n.series[i])
+                          * (p.series[i] - n.series[i])),
+                       (x, y) -> x + y) AS dist
+              FROM series p JOIN series n ON n.user_id <> p.user_id
+              WHERE p.user_id < 3),
+            ranked AS (
+              SELECT p_id, n_id, dist,
+                     row_number() OVER (PARTITION BY p_id
+                       ORDER BY dist ASC, n_id ASC) AS rk
+              FROM scored)
+            SELECT p_id, n_id, CAST(rk AS INT) AS rk,
+                   CAST(round(CAST(dist AS DECIMAL(30,8)), 4) AS DOUBLE) AS dist
+            FROM ranked WHERE rk <= 3 ORDER BY p_id, rk"""))
+
   val queries: Map[String, GQuery] = Map(
     "q_sample_weighted" -> qSampleWeighted,
     "q_events_resample" -> qEventsResample,
     "q_events_outliers" -> qEventsOutliers,
+    "q_series_similarity" -> qSeriesSimilarity,
     "q_split_train" -> qSplitTrain,
     "q_text_chunk" -> qTextChunk,
     "q_profile_columns" -> qProfileColumns,

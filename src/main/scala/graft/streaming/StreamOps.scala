@@ -135,6 +135,31 @@ object StreamOps {
         col("c_ts") < col("p_ts"))
   }
 
+  /** Left-outer variant of clickPurchaseJoin — the attribution shape that
+    * also has to account for UNATTRIBUTED purchases. Outer stream-stream
+    * joins are watermark-gated on the null side: a purchase with no
+    * qualifying click can only emit its null row once the watermark passes
+    * the purchase's join window (until then a matching click may still
+    * arrive), so the null emission is DELAYED, not dropped — the semantic
+    * this op exists to pin (and the reason Spark requires the interval
+    * condition: it bounds how long each purchase must wait).
+    */
+  def clickPurchaseJoinOuter(shaped: DataFrame): DataFrame = {
+    val clicks = shaped.filter(col("value.etype") === "click")
+      .select(col("value.uid").as("c_uid"), col("timestamp").as("c_ts"),
+        col("offset").as("c_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = shaped.filter(col("value.etype") === "purchase")
+      .select(col("value.uid").as("p_uid"), col("timestamp").as("p_ts"),
+        col("offset").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_uid") === col("c_uid") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") < col("p_ts"),
+      "leftOuter")
+  }
+
   /** Stream-static dimension enrichment: every micro-batch left-joins the
     * (small, broadcast) static dimension — the standard feature-lookup shape.
     * The broadcast hint keeps the stream side shuffle-free: at scale the

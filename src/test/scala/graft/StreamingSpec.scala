@@ -289,6 +289,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join delays null rows until the watermark") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Int, Long, Int, Double, String)]
+    val stream = shapedStream(mem)
+    val q = StreamOps.clickPurchaseJoinOuter(stream)
+      .select("p_id", "c_id")
+      .writeStream.format("memory").queryName("ssjoin_outer_test")
+      .outputMode("append").start()
+    def rows(): Set[(Long, Long)] = spark.table("ssjoin_outer_test").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    try {
+      // user 1's purchase matches the click; user 2's purchase has NO click —
+      // its null row must NOT appear yet (a matching click could still arrive)
+      mem.addData((1, 0L, 0, 1.0, "click"), (1, 2L, 20, 1.0, "purchase"),
+        (2, 3L, 25, 1.0, "purchase"))
+      q.processAllAvailable()
+      assert(rows() == Set((2L, 0L)), rows().toString)
+      // advance BOTH sides' watermarks far past purchase + interval + delay
+      // (the global watermark is the MIN across the two filtered sides — a
+      // click alone moves nothing): the unmatched purchase's state is
+      // evicted and the null row emits (eviction runs on the batch AFTER
+      // the watermark moves — two batches pin that it emits, and emits once)
+      mem.addData((9, 8L, 200, 1.0, "click"), (9, 9L, 200, 1.0, "purchase"))
+      q.processAllAvailable()
+      mem.addData((9, 10L, 201, 1.0, "click"), (9, 11L, 201, 1.0, "purchase"))
+      q.processAllAvailable()
+      // (11, 8): the advancing purchase@201 matches the advancing click@200;
+      // (3, -1): user 2's original purchase finally emits its null row
+      assert(rows() == Set((2L, 0L), (3L, -1L), (11L, 8L)), rows().toString)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses replayed ids") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Int, Long, Int, Double, String)]
