@@ -373,6 +373,57 @@ object TextOps extends QueryModule {
             SELECT token, CAST(count(*) AS BIGINT) AS df
             FROM t GROUP BY token ORDER BY df DESC, token LIMIT 100"""))
 
+  /** Adjacent-pair (bigram) statistics — the BPE merge-candidate step: the
+    * most frequent ADJACENT token pair is exactly what a BPE trainer merges
+    * next, and the lift ratio (n·c(ab) / (c(a)·c(b)), the log-free PMI
+    * monotone) separates collocations from pairs that co-occur by chance.
+    * Pairs explode positionally (zip of toks with its own tail — one row
+    * per adjacency, linear in tokens); counts are exact integers; lift is
+    * integer arithmetic until one final dround'd division. Top-20 by count
+    * with pair tiebreak = TakeOrderedAndProject, never a global sort.
+    */
+  private val qVocabBigrams = GQuery(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      val pairs = docs
+        .select(explode(zip_with(col("toks"),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(1))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .filter(col("p.w2").isNotNull)
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val uni = docs
+        .select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val n = docs.select(sum(size(col("toks")))).head.getLong(0)
+      pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_pair"))
+        .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+        .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+        .select(col("w1"), col("w2"), col("c_pair"),
+          dround((col("c_pair") * lit(n)).cast("double")
+            / (col("c1") * col("c2")), 4).as("lift"))
+        .orderBy(col("c_pair").desc, col("w1"), col("w2")).limit(20)
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM documents),
+            pairs AS (
+              SELECT toks[i] AS w1, toks[i + 1] AS w2
+              FROM d, LATERAL (SELECT unnest(generate_series(1,
+                greatest(len(toks) - 1, 0))) AS i)),
+            uni AS (
+              SELECT unnest(toks) AS w FROM d),
+            uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+            n AS (SELECT count(*) AS n FROM uni)
+            SELECT p.w1, p.w2, CAST(count(*) AS BIGINT) AS c_pair,
+                   CAST(round(CAST(CAST(count(*) * n.n AS DOUBLE)
+                     / (u1.c * u2.c) AS DECIMAL(30,8)), 4) AS DOUBLE) AS lift
+            FROM pairs p, n
+            JOIN uc u1 ON u1.w = p.w1
+            JOIN uc u2 ON u2.w = p.w2
+            GROUP BY p.w1, p.w2, n.n, u1.c, u2.c
+            ORDER BY c_pair DESC, w1, w2 LIMIT 20"""))
+
   /** Fuzzy matching / record linkage: edit distance over BLOCKED candidate
     * pairs — the classic two-phase shape (block on a cheap key, score the
     * in-block pairs), here first-2-token prefix blocks (the
@@ -419,6 +470,7 @@ object TextOps extends QueryModule {
 
   override val queries: Map[String, GQuery] = Map(
     "q_text_levenshtein" -> qTextLevenshtein,
+    "q_vocab_bigrams" -> qVocabBigrams,
     "q_vocab_topk" -> qVocabTopk,
     "q_text_scrub" -> qTextScrub,
     "q_text_tfidf" -> qTextTfidf,

@@ -289,6 +289,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("append-mode window agg seals windows at the watermark and drops late rows") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Int, Long, Int, Double, String)]
+    val stream = shapedStream(mem)
+    val q = StreamOps.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("late_test")
+      .outputMode("append").start()
+    def rows(): Set[(String, String, Long)] = spark.table("late_test").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    try {
+      // two hour-10 events: the window is still open (wm = 10:20 − 30m), so
+      // append mode must emit NOTHING yet
+      mem.addData((1, 0L, 5, 2.0, "a"), (1, 1L, 20, 3.0, "a"))
+      q.processAllAvailable()
+      assert(rows() == Set.empty, rows().toString)
+      // 11:35 event → wm 11:05 > 11:00: the hour-10 window seals and emits
+      mem.addData((2, 2L, 95, 1.0, "b"))
+      q.processAllAvailable()
+      assert(rows() == Set(("2024-01-01 10:00:00.0", "a", 2L)), rows().toString)
+      // a LATE hour-10 event (10:25, behind the 11:05 watermark) is dropped —
+      // the sealed window must NOT change (count stays 2, no re-emission)
+      mem.addData((1, 3L, 25, 9.0, "a"))
+      q.processAllAvailable()
+      // 13:05 event → wm 12:35 seals hour 11; hour 13 stays open
+      mem.addData((3, 4L, 185, 1.0, "c"))
+      q.processAllAvailable()
+      assert(rows() == Set(
+        ("2024-01-01 10:00:00.0", "a", 2L),
+        ("2024-01-01 11:00:00.0", "b", 1L)), rows().toString)
+    } finally q.stop()
+  }
+
   test("left-outer stream-stream join delays null rows until the watermark") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Int, Long, Int, Double, String)]
