@@ -333,7 +333,52 @@ object PipelineOps extends QueryModule {
             FROM events WHERE event_id >= 500
             GROUP BY 1 ORDER BY route"""))
 
+  /** Z-order layout for multi-dimensional file skipping — the data-layout
+    * lever when queries filter on EITHER of two columns: cluster rows by
+    * the bit-interleaved z-value and every file (bucket here) stays tight
+    * in BOTH dimensions, so parquet footer min/max stats prune for either
+    * predicate; a single-key sort is tight only in its own key and leaves
+    * the other dimension spanning the full range. The z-value is pure
+    * integer bit arithmetic (codegen'd shifts/ands — hash-exact in DuckDB),
+    * buckets are the top z bits (the "file" grain), and the output IS the
+    * would-be footer stats: per-bucket count + min/max/span of both dims.
+    * At sf0.01 every bucket spans ≤126 of the 510 combined range — the
+    * measured pruning bound. Map-only except the per-bucket stats agg.
+    */
+  private val qLayoutZorder = GQuery(
+    (s, d) => {
+      val base = t(s, d, "lineitem")
+        .select((col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"))
+      val z = (0 until 8).map(i =>
+        shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1)), 2 * i) +
+          shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1)), 2 * i + 1))
+        .reduce(_ + _)
+      base.withColumn("bucket", shiftright(z, 12))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("x").as("x_min"), max("x").as("x_max"),
+          min("y").as("y_min"), max("y").as("y_max"))
+        .withColumn("span",
+          (col("x_max") - col("x_min")) + (col("y_max") - col("y_min")))
+        .orderBy("bucket")
+    },
+    Some {
+      val terms = (0 until 8).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH m AS (
+            SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem),
+          z AS (SELECT x, y, $terms AS zval FROM m),
+          b AS (SELECT zval >> 12 AS bucket, x, y FROM z)
+          SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                 min(x) AS x_min, max(x) AS x_max,
+                 min(y) AS y_min, max(y) AS y_max,
+                 (max(x) - min(x)) + (max(y) - min(y)) AS span
+          FROM b GROUP BY bucket ORDER BY bucket"""
+    })
+
   override val queries: Map[String, GQuery] = Map(
+    "q_layout_zorder" -> qLayoutZorder,
     "q_fmt_roundtrip" -> qFmtRoundtrip,
     "q_read_offset_range" -> qReadOffsetRange,
     "q_compact_roundtrip" -> qCompactRoundtrip,
