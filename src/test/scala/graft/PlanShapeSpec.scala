@@ -237,6 +237,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Expand"), "sketch agg fell into the multi-distinct Expand rewrite")
   }
 
+  test("round-4 operators stay shuffle-bounded") {
+    def exchanges(name: String): Int = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    }
+    // substring dedup: span agg + survivor join + per-doc window + final agg + sort
+    assert(exchanges("q_dedup_substring") <= 6, "substring dedup shuffles beyond its stages")
+    // weighted sampling: map-only keep + 5-row agg + sort
+    assert(exchanges("q_sample_weighted") <= 2, "weighted sampling shuffles on the data path")
+    // outlier gate: stats agg + broadcast back (no join exchange) + final agg + sort
+    assert(exchanges("q_events_outliers") <= 4, "outlier gate shuffles beyond stats + final agg")
+    // z-order: map-only z + bucket agg + sort
+    assert(exchanges("q_layout_zorder") <= 2, "zorder shuffles beyond its bucket agg")
+    // fuzzy matching: block self-join + presentation sort
+    assert(exchanges("q_text_levenshtein") <= 3, "levenshtein shuffles beyond block join + sort")
+  }
+
+  test("q_knn_quantized broadcasts probes; corpus side never exchanges for the coarse pass") {
+    val df = SparkEntry.queries("q_knn_quantized")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("q_split_train and q_text_chunk stay shuffle-minimal (one exchange each)") {
     // split: map + single-key agg; chunk: map + explode + presentation sort.
     // More exchanges would mean the split/chunk stage itself shuffles.

@@ -298,6 +298,17 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append").start()
     def rows(): Set[(String, String, Long)] = spark.table("late_test").collect()
       .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    // watermark-triggered emission lands in a no-data microbatch that can
+    // trail processAllAvailable under load — poll with a deadline (the
+    // dedup_ttl_test convention) before asserting exact contents
+    def awaitRows(n: Int): Set[(String, String, Long)] = {
+      val deadline = System.currentTimeMillis + 30000
+      var out = rows()
+      while (out.size < n && System.currentTimeMillis < deadline) {
+        Thread.sleep(100); out = rows()
+      }
+      out
+    }
     try {
       // two hour-10 events: the window is still open (wm = 10:20 − 30m), so
       // append mode must emit NOTHING yet
@@ -307,7 +318,7 @@ class StreamingSpec extends SparkSpec {
       // 11:35 event → wm 11:05 > 11:00: the hour-10 window seals and emits
       mem.addData((2, 2L, 95, 1.0, "b"))
       q.processAllAvailable()
-      assert(rows() == Set(("2024-01-01 10:00:00.0", "a", 2L)), rows().toString)
+      assert(awaitRows(1) == Set(("2024-01-01 10:00:00.0", "a", 2L)), rows().toString)
       // a LATE hour-10 event (10:25, behind the 11:05 watermark) is dropped —
       // the sealed window must NOT change (count stays 2, no re-emission)
       mem.addData((1, 3L, 25, 9.0, "a"))
@@ -315,7 +326,7 @@ class StreamingSpec extends SparkSpec {
       // 13:05 event → wm 12:35 seals hour 11; hour 13 stays open
       mem.addData((3, 4L, 185, 1.0, "c"))
       q.processAllAvailable()
-      assert(rows() == Set(
+      assert(awaitRows(2) == Set(
         ("2024-01-01 10:00:00.0", "a", 2L),
         ("2024-01-01 11:00:00.0", "b", 1L)), rows().toString)
     } finally q.stop()
@@ -331,6 +342,16 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append").start()
     def rows(): Set[(Long, Long)] = spark.table("ssjoin_outer_test").collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    // null-side eviction lands in a trailing no-data microbatch — poll with
+    // a deadline (the dedup_ttl_test convention) before asserting contents
+    def awaitRows(n: Int): Set[(Long, Long)] = {
+      val deadline = System.currentTimeMillis + 30000
+      var out = rows()
+      while (out.size < n && System.currentTimeMillis < deadline) {
+        Thread.sleep(100); out = rows()
+      }
+      out
+    }
     try {
       // user 1's purchase matches the click; user 2's purchase has NO click —
       // its null row must NOT appear yet (a matching click could still arrive)
@@ -349,7 +370,7 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       // (11, 8): the advancing purchase@201 matches the advancing click@200;
       // (3, -1): user 2's original purchase finally emits its null row
-      assert(rows() == Set((2L, 0L), (3L, -1L), (11L, 8L)), rows().toString)
+      assert(awaitRows(3) == Set((2L, 0L), (3L, -1L), (11L, 8L)), rows().toString)
     } finally q.stop()
   }
 
