@@ -395,7 +395,8 @@ object TextOps extends QueryModule {
       val uni = docs
         .select(explode(col("toks")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
-      val n = docs.select(sum(size(col("toks")))).head.getLong(0)
+      // total tokens from the (tiny) unigram agg — NOT a third corpus scan
+      val n = uni.select(sum(col("c"))).head.getLong(0)
       pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_pair"))
         .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
         .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")

@@ -528,8 +528,10 @@ object DedupOps extends QueryModule {
     * catches it, and at 100 TB the span table keys on a span HASH (here the
     * span text itself — cross-engine-exact; the md5 swap is one line), so
     * candidate generation stays linear: explode to (span, doc, start) →
-    * groupBy span → join back survivors → per-doc window. Everything is
-    * integer arithmetic until the final ratio, which goes through dround.
+    * count-over-span WINDOW (one pass — not a groupBy + join-back, which
+    * would recompute the exploded spans; plan-pinned single corpus scan) →
+    * per-doc interval-union window. Everything is integer arithmetic until
+    * the final ratio, which goes through dround.
     */
   private val qDedupSubstring = GQuery(
     (s, d) => {
@@ -544,11 +546,14 @@ object DedupOps extends QueryModule {
           explode(col("starts")).as("start"))
         .select(col("doc_id"), col("ntok"), col("start"),
           concat_ws(" ", slice(col("toks"), col("start"), lit(L))).as("span"))
-      val dup = sp.groupBy("span").agg(count(lit(1)).as("n"))
-        .filter(col("n") > 1).select("span")
+      // duplicated-span detection is a WINDOW over span, not a groupBy +
+      // join-back — one pass over the exploded spans instead of two (the
+      // q_decontaminate df-as-window precedent; same shuffle key either way)
+      val wSpan = Window.partitionBy("span")
       val w = Window.partitionBy("doc_id").orderBy("start")
         .rowsBetween(Window.unboundedPreceding, -1)
-      sp.join(dup, "span")
+      sp.withColumn("n_span", count(lit(1)).over(wSpan))
+        .filter(col("n_span") > 1)
         .select(col("doc_id"), col("ntok"), col("start"),
           (col("start") + (L - 1)).as("e"))
         .withColumn("prev_end", max(col("e")).over(w))

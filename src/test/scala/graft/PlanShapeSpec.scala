@@ -237,6 +237,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Expand"), "sketch agg fell into the multi-distinct Expand rewrite")
   }
 
+  test("q_dedup_substring scans the corpus once (dup detection is a window)") {
+    val df = SparkEntry.queries("q_dedup_substring")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val scans = finalPlan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"$scans corpus scans — groupBy+join-back crept back in")
+  }
+
   test("round-4 operators stay shuffle-bounded") {
     def exchanges(name: String): Int = {
       val df = SparkEntry.queries(name)(spark, sf)
