@@ -413,15 +413,24 @@ object OffsetNamedOrcSink {
         }
         val existing = try {
           spark.conf.set(inferKey, "false")
-          val raw0 = spark.read.option("basePath", topicDir)
+          // Read with the DECLARED (latched) schema, never a sampled file's:
+          // after a Backward widening a touched chunk set can mix pre- and
+          // post-widening physical files, and sampling a narrow one would
+          // read the added columns as absent from EVERY file — the rewrite
+          // would then erase those values from rows not replayed in this
+          // batch (silent data loss; ADVICE r4). With the declared schema
+          // ORC's name-based matching null-fills exactly the files that
+          // predate each widening — the same contract as read(). flat's
+          // schema IS the latch (conformValueSchema ran above), so columns
+          // added by this very batch null-fill the same way; dir-derived
+          // columns (prefix values, partition) are declared too and fill
+          // from their dir values at the declared (string/int) types.
+          val declared = StructType(
+            flat.schema.fields.filterNot(_.name == ChunkCol))
+          spark.read.option("basePath", topicDir)
+            .schema(declared)
             .orc(existingPaths: _*)
             .withColumn(ChunkCol, existingCell)
-          // files committed before a Backward widening lack the added
-          // columns — surface them as nulls before realigning
-          flat.schema.fields.foldLeft(raw0) { (acc, f) =>
-            if (acc.columns.contains(f.name)) acc
-            else acc.withColumn(f.name, lit(null).cast(f.dataType))
-          }
             // realign column order/types to flat's
             .select(flat.schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
             // materialize NOW: after this the write job holds the old rows in

@@ -749,6 +749,45 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
     }
   }
 
+  test("Backward drift: merge read spanning mixed-physical-schema chunks keeps widened values") {
+    val out = freshOut()
+    val widen = (df: org.apache.spark.sql.DataFrame) => df.withColumn("value",
+      struct(col("value.flag").as("flag"), col("value.uid").as("uid"),
+        col("value.id").as("id"), col("value.fval").as("fval"),
+        col("value.dval").as("dval"), col("value.etype").as("etype"),
+        (col("offset") * 2).as("extra")))
+    // 1) narrow latch: chunks 0 and 250 committed with the six-field schema
+    OffsetNamedOrcSink.write(shaped.filter(col("offset") < 500), out, 250,
+      drift = DriftMode.Backward)
+    // 2) widening batch touches ONLY chunk 500 — the earlier chunks stay
+    //    narrow on disk while chunk 500's file carries the added column
+    val topicDir = OffsetNamedOrcSink.write(
+      widen(shaped.filter(col("offset") >= 500 && col("offset") < 600)),
+      out, 250, drift = DriftMode.Backward)
+    // 3) one batch whose touched set mixes a narrow chunk (replay of
+    //    400-436) and the wide chunk (new offsets 600-639). The merge read
+    //    now sees BOTH physical schemas at once; a sampled (narrow) schema
+    //    would read `extra` as absent everywhere and the rewrite would
+    //    erase it from the non-replayed rows 500-599 (ADVICE r4).
+    OffsetNamedOrcSink.write(
+      widen(shaped.filter(
+        col("offset") >= 400 && col("offset") < 437 ||
+          (col("offset") >= 600 && col("offset") < 640))),
+      out, 250, drift = DriftMode.Backward)
+    val back = OffsetNamedOrcSink.read(spark, topicDir)
+    assert(back.count() == 640)
+    // rows 500-599 were NOT replayed in batch 3 — their widened values must
+    // survive the chunk rewrite
+    assert(back.filter(col("offset") >= 500 && col("offset") < 600 &&
+      (col("extra").isNull || col("extra") =!= col("offset") * 2)).count() == 0)
+    // replayed rows take the new wide values (new batch wins the dedup)
+    assert(back.filter(col("offset") >= 400 && col("offset") < 437 &&
+      col("extra") =!= col("offset") * 2).count() == 0)
+    // untouched pre-widening rows still surface the added column as null
+    assert(back.filter(col("offset") < 400 && col("extra").isNotNull)
+      .count() == 0)
+  }
+
   test("wall-clock rotation: event-time cells are batch-invariant and replay-deterministic") {
     val rot = Some(3600000L) // 1 hour of EVENT time
     val outA = freshOut()
