@@ -430,20 +430,31 @@ object TextOps extends QueryModule {
     * in-block pairs), here first-2-token prefix blocks (the
     * q_dedup_ngram_jaccard blocking) scored by `levenshtein` on the first
     * 60 chars (codegen'd built-in, identical semantics in DuckDB — integer
-    * distances hash-match exactly). Blocking keeps the pair count linear in
-    * practice (in-block quadratic, block sizes bounded; a production run
-    * caps hot blocks exactly like q_decontaminate's stop-shingle cap), and
-    * the 60-char truncation bounds the O(n·m) DP cost per pair — the same
-    * two-phase economics as the MinHash family, but for EDIT similarity,
-    * which shingle overlap can't express (transpositions, small in-word
-    * typos).
+    * distances hash-match exactly). The 60-char truncation bounds the
+    * O(n·m) DP cost per pair.
+    *
+    * STOP-BLOCK GUARD (the at-scale safety valve, ADVICE/VERDICT r4):
+    * natural-language prefixes are Zipfian ("it is", "this is"), so one hot
+    * block is O(n²) pairs in a single reducer at 100 TB. Block membership is
+    * counted with a WINDOW over blk (one shuffle, reused by the join) and
+    * blocks past `LevMaxBlock` are DROPPED before the self-join — the exact
+    * stop-shingle pattern of q_decontaminate: an ultra-common prefix carries
+    * no linkage signal, like a stop word. The threshold is a knob; it is set
+    * low enough that the sf0.01 t2 gate exercises the drop path in both
+    * engines (blocks of 4 exist at sf0.01), so the oracle hash actually
+    * gates the guard, not just the scoring.
     */
+  private[graft] val LevMaxBlock = 3
   private val qTextLevenshtein = GQuery(
     (s, d) => {
       val docs = t(s, d, "documents")
         .select(col("doc_id"), lower(col("text")).as("txt"))
         .withColumn("blk",
           array_join(slice(split(col("txt"), " "), 1, 2), " "))
+        .withColumn("nb", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("blk")))
+        .filter(col("nb") <= LevMaxBlock)
+        .drop("nb")
       val a = docs.select(col("doc_id").as("doc_a"), col("txt").as("txt_a"),
         col("blk"))
       val b = docs.select(col("doc_id").as("doc_b"), col("txt").as("txt_b"),
@@ -456,11 +467,15 @@ object TextOps extends QueryModule {
         .withColumn("near", col("dist") <= 15)
         .orderBy("doc_a", "doc_b")
     },
-    Some("""WITH d AS (
+    Some(s"""WITH d0 AS (
               SELECT doc_id, lower(text) AS txt,
                      array_to_string(list_slice(string_split(lower(text), ' '),
                        1, 2), ' ') AS blk
-              FROM documents)
+              FROM documents),
+            d AS (
+              SELECT doc_id, txt, blk FROM (
+                SELECT *, count(*) OVER (PARTITION BY blk) AS nb FROM d0)
+              WHERE nb <= $LevMaxBlock)
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    CAST(levenshtein(substr(a.txt, 1, 60),
                      substr(b.txt, 1, 60)) AS INT) AS dist,

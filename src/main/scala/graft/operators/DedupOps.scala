@@ -154,6 +154,14 @@ object DedupOps extends QueryModule {
           element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))))
       .otherwise(array(xxhash64(concat_ws(" ", col("toks")))))
 
+  /** Stop-block threshold for the 2-token-prefix blocking (shared intent
+    * with TextOps.LevMaxBlock): prefixes are Zipfian, so an uncapped block
+    * self-join is O(hottest²) in one reducer at scale (VERDICT r4). Blocks
+    * past the cap are DROPPED — q_decontaminate's stop-shingle pattern —
+    * and the cap is mirrored in the oracle so the sf0.01 t2 hash gates the
+    * guard itself (size-4 blocks exist at sf0.01; the drop path runs).
+    */
+  private[graft] val NgramMaxBlock = 3
   private val qDedupNgramJaccard = GQuery(
     (s, d) => {
       // `toks` MUST be a materialized column: expressions captured inside a
@@ -165,6 +173,11 @@ object DedupOps extends QueryModule {
         .select(col("doc_id"),
           concat_ws(" ", slice(col("toks"), 1, 2)).as("pre"),
           sh.as("sh"))
+        // membership counted with a window (one blk shuffle, reused by the
+        // self-join below); hot blocks dropped before any pair forms
+        .withColumn("nb", count(lit(1)).over(Window.partitionBy("pre")))
+        .filter(col("nb") <= NgramMaxBlock)
+        .drop("nb")
       val a = docs.select(col("doc_id").as("doc_a"), col("pre"), col("sh").as("sh_a"))
       val b = docs.select(col("doc_id").as("doc_b"), col("pre").as("pre_b"),
         col("sh").as("sh_b"))
@@ -181,11 +194,15 @@ object DedupOps extends QueryModule {
         .orderBy("doc_a", "doc_b")
     },
     Some(
-      s"""WITH t AS (
+      s"""WITH t0 AS (
             SELECT doc_id,
                    array_to_string(list_slice($duckTokens, 1, 2), ' ') AS pre,
                    list_distinct($duckShingles) AS sh
             FROM documents),
+          t AS (
+            SELECT doc_id, pre, sh FROM (
+              SELECT *, count(*) OVER (PARTITION BY pre) AS nb FROM t0)
+            WHERE nb <= $NgramMaxBlock),
           p AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS n_inter,
@@ -200,19 +217,43 @@ object DedupOps extends QueryModule {
 
   // ------------------------------------------- embedding-cosine near-dup --
 
-  /** SRP (sign-random-projection) bucket from the signs of the first 6
-    * dims — a 64-way LSH for cosine similarity. Each vector reports its
-    * nearest neighbor *within its bucket* (singleton buckets emit nothing).
-    * At scale this is the linear-candidate near-dup pass; brute force is
-    * q_embed_knn in SimilarityOps.
+  /** SRP (sign-random-projection) bucket LSH for cosine similarity. Each
+    * vector reports its nearest neighbor *within its bucket* (singleton
+    * buckets emit nothing). At scale this is the linear-candidate near-dup
+    * pass; brute force is q_embed_knn in SimilarityOps.
+    *
+    * HOT-BUCKET GUARD (VERDICT r4): a low-entropy corpus — near-duplicate
+    * shards, exactly what a dedup pass sees — collapses into few 6-bit
+    * buckets, making the in-bucket self-join quadratic. Two levels, both
+    * window-counted (the q_decontaminate pattern) and both mirrored in the
+    * oracle:
+    *  1. REFINE — buckets past `EmbedBucketCap` members re-key on 12 SRP
+    *     bits. The 12-bit key is a strict refinement of the 6-bit key (same
+    *     sign function, low 6 bits identical), so cool buckets are
+    *     untouched and hot ones split ~64-way; `+ 64` keeps the two key
+    *     spaces disjoint. This is the real scale knob: bits grow with
+    *     log2(corpus/cap), one level shown here.
+    *  2. DROP — rows whose refined bucket STILL exceeds the cap are dropped
+    *     (the hard recursion bound; a degenerate all-identical-sign corpus
+    *     ends here instead of in an O(n²) reducer). Exercised by a
+    *     synthetic hot corpus in DedupGuardSpec; at sf0.01 the refine path
+    *     runs (6-bit buckets reach 15 > cap 10), gated by the t2 hash.
     */
+  private[graft] val EmbedBucketCap = 10
   private val qDedupEmbed = GQuery(
     (s, d) => {
-      val bucket = graft.functions.SimilarityOps.srpBucket(col("embedding"))
-      import graft.functions.SimilarityOps.{dot, norm}
+      import graft.functions.SimilarityOps.{dot, norm, srpBucket}
       val e = t(s, d, "embeddings").select(col("vec_id"),
-        bucket.as("bucket"), col("embedding").cast("array<double>").as("emb"))
+        srpBucket(col("embedding")).as("b6"),
+        srpBucket(col("embedding"), 12).as("b12"),
+        col("embedding").cast("array<double>").as("emb"))
         .withColumn("nrm", norm(col("emb")))
+        .withColumn("n6", count(lit(1)).over(Window.partitionBy("b6")))
+        .withColumn("bucket",
+          when(col("n6") > EmbedBucketCap, col("b12") + 64).otherwise(col("b6")))
+        .withColumn("n2", count(lit(1)).over(Window.partitionBy("bucket")))
+        .filter(col("n2") <= EmbedBucketCap)
+        .select(col("vec_id"), col("bucket"), col("emb"), col("nrm"))
       val a = e.select(col("vec_id").as("a_id"), col("bucket"),
         col("emb").as("emb_a"), col("nrm").as("nrm_a"))
       val b = e.select(col("vec_id").as("b_id"), col("bucket").as("bucket_b"),
@@ -229,11 +270,21 @@ object DedupOps extends QueryModule {
         .orderBy("a_id")
     },
     Some {
-      val bucket = graft.functions.SimilarityOps.duckSrpBucket()
-      s"""WITH b AS (
-            SELECT vec_id, $bucket AS bucket,
+      val b6 = graft.functions.SimilarityOps.duckSrpBucket()
+      val b12 = graft.functions.SimilarityOps.duckSrpBucket(bits = 12)
+      s"""WITH b0 AS (
+            SELECT vec_id, $b6 AS b6, $b12 AS b12,
                    CAST(embedding AS DOUBLE[]) AS emb
             FROM embeddings),
+          b1 AS (
+            SELECT vec_id, emb,
+                   CASE WHEN count(*) OVER (PARTITION BY b6) > $EmbedBucketCap
+                        THEN b12 + 64 ELSE b6 END AS bucket
+            FROM b0),
+          b AS (
+            SELECT vec_id, bucket, emb FROM (
+              SELECT *, count(*) OVER (PARTITION BY bucket) AS n2 FROM b1)
+            WHERE n2 <= $EmbedBucketCap),
           p AS (
             SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket,
                    CAST(round(CAST(list_cosine_similarity(a.emb, b.emb)

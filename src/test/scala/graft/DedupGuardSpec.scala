@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Exercises the stop-block guards of the three blocked near-dup scorers
+  * (VERDICT r4: uncapped quadratic blocks were the last at-scale defect
+  * class) on DEGENERATE corpora — the skewed inputs the guards exist for,
+  * which the driver's well-mixed synthetic tables never produce. The sf0.01
+  * t2 hash gates the guards' cross-engine equivalence (the caps are mirrored
+  * in each oracle); these tests pin the BOUND itself: a pathological block
+  * must be dropped, not joined.
+  */
+class DedupGuardSpec extends SparkSpec {
+
+  private def freshDir() = Files.createTempDirectory("graft-guard-").toString
+
+  test("q_dedup_embed: a single-sign corpus collapses to one bucket at BOTH " +
+      "levels and is dropped by the refined-bucket guard") {
+    val dir = freshDir()
+    import spark.implicits._
+    // all dims positive → every vector lands in 6-bit bucket 63 AND 12-bit
+    // bucket 4095: refinement cannot split it, the hard drop must fire
+    (0 until 40).map(i =>
+        (i.toLong, Array.tabulate(64)(j => 1.0f + i * 0.01f + j * 0.001f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q_dedup_embed")(spark, dir)
+    assert(out.count() == 0) // 40² in-bucket pairs never form
+  }
+
+  test("q_dedup_embed: a hot-but-splittable bucket refines instead of dropping") {
+    val dir = freshDir()
+    import spark.implicits._
+    // 20 vectors share the first-6-dim signs (one hot 6-bit bucket) but
+    // differ in dims 7-12 → refinement splits them into 12-bit sub-buckets
+    // of 2; every vector keeps a neighbor, nothing is dropped
+    (0 until 20).map { i =>
+      val sub = i / 2 // pair index 0..9: ten distinct dim-7..12 sign patterns
+      (i.toLong, Array.tabulate(64) { j =>
+        if (j < 6) 1.0f + i * 0.01f
+        else if (j < 12) (if (((sub >> (j - 6)) & 1) == 1) 1.0f else -1.0f)
+        else 0.5f + i * 0.001f
+      }, 0)
+    }.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q_dedup_embed")(spark, dir)
+    assert(out.count() == 20, out.count()) // every vector reports its pair-mate
+    // and every emitted bucket is a REFINED key (disjoint +64 key space)
+    assert(out.filter(col("bucket") < 64).count() == 0)
+  }
+
+  private def writeDocs(dir: String, rows: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+  }
+
+  test("q_text_levenshtein: a Zipfian hot prefix block is dropped, cool blocks score") {
+    val dir = freshDir()
+    // 30 docs open with the stop-prefix "it is" (block size 30 > cap 3);
+    // 3 docs share the discriminative prefix "zq wv" (≤ cap)
+    writeDocs(dir,
+      (0 until 30).map(i => (i.toLong, s"it is document number $i padding")) ++
+        (0 until 3).map(i => (100L + i, s"zq wv document number $i padding")))
+    val out = SparkEntry.queries("q_text_levenshtein")(spark, dir)
+    assert(out.count() == 3, out.count()) // C(3,2) from the cool block only
+    assert(out.filter(col("doc_a") < 100).count() == 0) // no hot-block pair
+  }
+
+  test("q_dedup_ngram_jaccard: same stop-block guard on the shingle prefix join") {
+    val dir = freshDir()
+    writeDocs(dir,
+      (0 until 30).map(i => (i.toLong, s"it is document number $i padding")) ++
+        (0 until 3).map(i => (100L + i, s"zq wv document number $i padding")))
+    val out = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, dir)
+    assert(out.count() == 3, out.count())
+    assert(out.filter(col("doc_a") < 100).count() == 0)
+  }
+}

@@ -259,8 +259,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges("q_events_outliers") <= 4, "outlier gate shuffles beyond stats + final agg")
     // z-order: map-only z + bucket agg + sort
     assert(exchanges("q_layout_zorder") <= 2, "zorder shuffles beyond its bucket agg")
-    // fuzzy matching: block self-join + presentation sort
-    assert(exchanges("q_text_levenshtein") <= 3, "levenshtein shuffles beyond block join + sort")
+    // fuzzy matching: per-side stop-block window + block self-join + sort
+    assert(exchanges("q_text_levenshtein") <= 4, "levenshtein shuffles beyond guard + block join + sort")
+  }
+
+  test("stop-block guards count membership with a window BELOW the pair join") {
+    // The r5 hot-block caps (VERDICT r4): block membership must be a window
+    // over the block key feeding the self-join — never a groupBy + join-back
+    // (extra corpus scan) and never a post-join filter (the pairs would
+    // already have formed, defeating the guard).
+    def planOf(name: String) =
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    def exchanges(p: String) = "Exchange".r.findAllIn(p).length
+    for (name <- Seq("q_text_levenshtein", "q_dedup_ngram_jaccard")) {
+      val p = planOf(name)
+      val joinAt = p.linesIterator.indexWhere(l =>
+        l.contains("Join") && !l.contains("windowspec"))
+      val winAt = p.linesIterator.indexWhere(_.contains("Window"))
+      assert(joinAt >= 0 && winAt > joinAt, // toString prints children below
+        s"$name: guard window not below the join\n${p.take(2500)}")
+      assert(exchanges(p) <= 4, s"$name guard added unexpected shuffles")
+    }
+    // embed: two window levels per side (coarse count, refined count) +
+    // top-1-per-vector window + presentation sort
+    val pe = planOf("q_dedup_embed")
+    assert("Window".r.findAllIn(pe).length >= 3, pe.take(2500))
+    assert(exchanges(pe) <= 7, "embed guard added unexpected shuffles")
   }
 
   test("q_knn_quantized broadcasts probes; corpus side never exchanges for the coarse pass") {
