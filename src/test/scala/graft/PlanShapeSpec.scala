@@ -100,6 +100,45 @@ class PlanShapeSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $idx")
   }
 
+  test("band index is truly incremental: batch 2 dedups against batch 1 " +
+      "through the appended index, never rescanning batch 1 text") {
+    import org.apache.spark.sql.functions.col
+    val B = operators.DedupOps.BandIndex
+    // fresh index keyed off a temp path (the memoization key), so this test
+    // never collides with q_dedup_incremental's memoized per-sfDir index
+    val key = java.nio.file.Files.createTempDirectory("graft-incr-").toString
+    val docs = Tables(spark, sf, "documents")
+    B.ensure(spark, key, docs.filter(col("doc_id") < 200))
+    // ADMIT batch 1 (doc_ids 200-259): bucketed INSERT, no index rewrite
+    B.append(spark, key, docs.filter(col("doc_id") >= 200 && col("doc_id") < 260))
+    // batch 2 = fresh docs PLUS a replay of doc 200's text under a new id —
+    // materialized to its own parquet so the engine-side plan reads ONE
+    // batch file (the union scaffolding must not pollute the scan count)
+    val b2dir = java.nio.file.Files.createTempDirectory("graft-incr-b2-").toString
+    docs.filter(col("doc_id") >= 260 && col("doc_id") < 320)
+      .select(col("doc_id"), col("text"))
+      .union(docs.filter(col("doc_id") === 200)
+        .select(org.apache.spark.sql.functions.lit(9999L).as("doc_id"), col("text")))
+      .write.parquet(s"$b2dir/batch2.parquet")
+    val batch2 = spark.read.parquet(s"$b2dir/batch2.parquet")
+    val hits = B.bands(batch2)
+      .join(spark.table(B.name(key)).hint("MERGE"), Seq("band"), "left")
+    // batch 2's replayed doc matches batch 1's 200 through the INDEX alone
+    assert(hits.filter(col("doc_id") === 9999 && col("hist_doc") === 200)
+      .count() > 0, "appended batch-1 bands not visible to batch 2")
+    // plan: the index side stays a bucketed co-located SMJ after the
+    // append, and the only text scanned is batch 2's own file — history and
+    // batch-1 text never rescan
+    val p = hits.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") && p.contains("Bucketed: true"), p.take(3000))
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val scans = finalPlan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.size == 2, scans.mkString("\n"))
+    assert(scans.count(_.contains("graft_band_idx")) == 1, scans.mkString("\n"))
+    assert(!scans.exists(_.contains("documents.parquet")), scans.mkString("\n"))
+    spark.sql(s"DROP TABLE ${B.name(key)}")
+  }
+
   test("q_grouping_sets expands once (single Expand node, partial agg after)") {
     val p = plan("q_grouping_sets")
     // one Expand feeding a hash aggregate — the sets do not multiply scans
