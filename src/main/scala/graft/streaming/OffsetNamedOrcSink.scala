@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -81,7 +81,8 @@ object OffsetNamedOrcSink {
       * contains path-special characters (e.g. `yyyy/MM/dd`) are legal: the
       * hoist pass probes the Hive-escaped dir names partitionBy writes.
       */
-    final case class TimeDaily(pathFormat: String = "yyyy-MM-dd") extends Layout
+    final case class TimeDaily(pathFormat: String = "yyyy-MM-dd",
+        locale: String = "en") extends Layout
     /** Multi-level time layout + partitioner timezone — the reference's
       * full `path.format` surface (`S3SinkConnectorTestBase.java:62-64`:
       * `'year'=YYYY_'month'=MM_'day'=dd_'hour'=HH` with
@@ -95,7 +96,8 @@ object OffsetNamedOrcSink {
     final case class TimeMulti(
         levels: Seq[(String, String)] = Seq(
           "year" -> "yyyy", "month" -> "MM", "day" -> "dd", "hour" -> "HH"),
-        timezone: String = "UTC") extends Layout
+        timezone: String = "UTC",
+        locale: String = "en") extends Layout
     /** `<fieldName>=<value>/partition=<p>/` — the reference's field-based
       * partitioner (`partition.field.name`,
       * `S3SinkConnectorTestBase.java:61`): routes by a VALUE column. The
@@ -108,12 +110,20 @@ object OffsetNamedOrcSink {
     final case class Field(fieldName: String) extends Layout
   }
 
-  /** The persisted identity of a layout (the `_graft_sink.conf` form). */
+  /** The persisted identity of a layout (the `_graft_sink.conf` form).
+    * Locale (the reference's `"locale"` partitioner config,
+    * `S3SinkConnectorTestBase.java:63`) is part of the identity — two
+    * locales render different dir names for the same record — but the
+    * default "en" keeps the pre-locale id forms, so existing sink dirs
+    * stay readable and replayable.
+    */
   private def layoutIdOf(layout: Layout): String = layout match {
     case Layout.KafkaPartition => "kafka-partition"
-    case Layout.TimeDaily(fmt) => s"time:$fmt"
-    case Layout.TimeMulti(levels, tz) =>
-      s"timev2:$tz|" + levels.map { case (n, f) => s"$n=$f" }.mkString(",")
+    case Layout.TimeDaily(fmt, "en") => s"time:$fmt"
+    case Layout.TimeDaily(fmt, loc) => s"timeloc:$loc|$fmt"
+    case Layout.TimeMulti(levels, tz, loc) =>
+      val lv = levels.map { case (n, f) => s"$n=$f" }.mkString(",")
+      if (loc == "en") s"timev2:$tz|$lv" else s"timev3:$loc|$tz|$lv"
     case Layout.Field(n) => s"field:$n"
   }
 
@@ -123,9 +133,13 @@ object OffsetNamedOrcSink {
     */
   private[graft] def prefixColsOf(layoutId: String): Seq[String] =
     if (layoutId == "kafka-partition") Nil
-    else if (layoutId.startsWith("time:")) Seq(DtCol)
+    else if (layoutId.startsWith("time:") || layoutId.startsWith("timeloc:"))
+      Seq(DtCol)
     else if (layoutId.startsWith("timev2:"))
       layoutId.stripPrefix("timev2:").split("\\|", 2)(1)
+        .split(",").toSeq.map(_.split("=", 2)(0))
+    else if (layoutId.startsWith("timev3:"))
+      layoutId.stripPrefix("timev3:").split("\\|", 3)(2)
         .split(",").toSeq.map(_.split("=", 2)(0))
     else if (layoutId.startsWith("field:")) Seq(layoutId.stripPrefix("field:"))
     else throw new IllegalStateException(s"unknown sink layout id: $layoutId")
@@ -137,11 +151,15 @@ object OffsetNamedOrcSink {
   /** Fail fast on layout params that would corrupt the persisted config
     * marker, the directory contract, or collide with the record columns.
     */
+  private val LocaleTag = "[A-Za-z0-9-]+".r
+
   private def validateLayout(layout: Layout): Unit = layout match {
-    case Layout.TimeDaily(fmt) =>
+    case Layout.TimeDaily(fmt, loc) =>
       require(fmt.nonEmpty && !fmt.exists(c => c == '\n' || c == '|' || c == ','),
         s"TimeDaily pathFormat '$fmt' must be nonempty without newline/|/,")
-    case Layout.TimeMulti(levels, tz) =>
+      require(LocaleTag.pattern.matcher(loc).matches(),
+        s"locale '$loc' must be a BCP-47 tag matching [A-Za-z0-9-]+")
+    case Layout.TimeMulti(levels, tz, loc) =>
       require(levels.nonEmpty, "TimeMulti needs at least one level")
       require(levels.map(_._1).distinct.size == levels.size,
         s"TimeMulti level names must be unique: ${levels.map(_._1)}")
@@ -153,10 +171,76 @@ object OffsetNamedOrcSink {
       }
       require(tz.nonEmpty && !tz.exists(c => c == '\n' || c == '|'),
         s"TimeMulti timezone '$tz' must be nonempty without newline/|")
+      require(LocaleTag.pattern.matcher(loc).matches(),
+        s"locale '$loc' must be a BCP-47 tag matching [A-Za-z0-9-]+")
     case Layout.Field(n) =>
       require(LevelName.pattern.matcher(n).matches() && !ReservedCols(n),
         s"Field name '$n' must match [A-Za-z0-9_]+ and not be a reserved column")
     case Layout.KafkaPartition => ()
+  }
+
+  /** Render `fmt` over `ts` in `locale` (the reference partitioner's
+    * `"locale"` config) with PURE BUILT-INS: the quote-aware split below
+    * isolates the locale-sensitive name tokens (MMM/MMMM month names,
+    * EEE/EEEE day names — the only tokens whose output differs by locale
+    * among the partitioner patterns), renders each as an `element_at` over
+    * a 12/7-entry literal array of java.time display names, and leaves
+    * every other run to `date_format` (numerics and quoted literals are
+    * locale-free). For the default "en" this IS `date_format` — Spark
+    * formats in Locale.US — so the pre-locale rendering is unchanged.
+    */
+  private def localizedFormat(ts: Column, fmt: String, locale: String): Column = {
+    if (locale == "en") date_format(ts, fmt)
+    else {
+      val loc = java.util.Locale.forLanguageTag(locale)
+      val cols = splitLocaleTokens(fmt).map {
+        case Left(seg) => date_format(ts, seg)
+        case Right(tok) =>
+          val style =
+            if (tok.length >= 4) java.time.format.TextStyle.FULL
+            else java.time.format.TextStyle.SHORT
+          if (tok.head == 'M') {
+            val names = (1 to 12).map(m =>
+              java.time.Month.of(m).getDisplayName(style, loc))
+            element_at(array(names.map(lit): _*), month(ts))
+          } else {
+            // Spark dayofweek(): 1=Sunday..7=Saturday
+            val names = Seq(7, 1, 2, 3, 4, 5, 6).map(d =>
+              java.time.DayOfWeek.of(d).getDisplayName(style, loc))
+            element_at(array(names.map(lit): _*), dayofweek(ts))
+          }
+      }
+      if (cols.size == 1) cols.head else concat(cols: _*)
+    }
+  }
+
+  /** Split a datetime pattern into locale-free runs (Left) and
+    * locale-sensitive name tokens (Right: MMM/MMMM/EEE/EEEE), respecting
+    * single-quoted literals — `'month'=MM` must NOT treat the quoted M as a
+    * token. Runs of 5+ (narrow style) are clamped to FULL.
+    */
+  private[graft] def splitLocaleTokens(fmt: String)
+      : Seq[Either[String, String]] = {
+    val out = scala.collection.mutable.Buffer[Either[String, String]]()
+    val cur = new StringBuilder
+    var i = 0
+    var inQuote = false
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '\'') { inQuote = !inQuote; cur += c; i += 1 }
+      else if (!inQuote && (c == 'M' || c == 'E')) {
+        var j = i
+        while (j < fmt.length && fmt.charAt(j) == c) j += 1
+        val run = fmt.substring(i, j)
+        if (run.length >= 3) {
+          if (cur.nonEmpty) { out += Left(cur.toString); cur.clear() }
+          out += Right(run.take(4))
+        } else cur ++= run
+        i = j
+      } else { cur += c; i += 1 }
+    }
+    if (cur.nonEmpty) out += Left(cur.toString)
+    out.toSeq
   }
 
   /** Schema-drift policy against the latched first-write schema (reference
@@ -182,6 +266,25 @@ object OffsetNamedOrcSink {
       * matching surfaces the missing columns as nulls per file.
       */
     case object Backward extends DriftMode
+    /** `schema.compatibility=FORWARD`: the latch is the READER contract and
+      * never moves — records carrying a NEWER (wider) schema are projected
+      * DOWN onto it (added fields dropped: nothing beyond the latch is ever
+      * written, so readers of the original schema stay valid), records
+      * missing latched fields project up with nulls. Unlike Project, a
+      * retyped shared field REFUSES (Project is the lossy-tolerant mode
+      * that casts; the compat modes never re-interpret values).
+      */
+    case object Forward extends DriftMode
+    /** `schema.compatibility=FULL`: both directions validated. The
+      * reference's own FULL is literally BACKWARD's implementation
+      * (kafka-connect-storage-common `StorageSchemaCompatibility.FULL`
+      * extends BACKWARD with no overrides), because with nullable fields —
+      * all ORC columns here — an ADD is the only evolution that passes both
+      * checks, and it is exactly what BACKWARD admits: the latch widens,
+      * narrower records project up, and every widened latch remains
+      * down-projectable onto each earlier one. Retype fails either check.
+      */
+    case object Full extends DriftMode
   }
 
   /** S3A configuration bundle mirroring the reference's storage conf
@@ -343,15 +446,15 @@ object OffsetNamedOrcSink {
     // literal dirs instead ("unknown" for time, "null" for field values —
     // the latter matching Connect's String.valueOf rendering).
     val withPrefix = layout match {
-      case Layout.TimeDaily(fmt) =>
+      case Layout.TimeDaily(fmt, loc) =>
         conformed.withColumn(DtCol,
-          coalesce(date_format(col("timestamp"), fmt), lit("unknown")))
-      case Layout.TimeMulti(levels, tz) =>
+          coalesce(localizedFormat(col("timestamp"), fmt, loc), lit("unknown")))
+      case Layout.TimeMulti(levels, tz, loc) =>
         // session tz is UTC by project invariant, so from_utc_timestamp
         // renders exact wall-clock values in the partitioner timezone
         levels.foldLeft(conformed) { case (acc, (n, f)) =>
           acc.withColumn(n, coalesce(
-            date_format(from_utc_timestamp(col("timestamp"), tz), f),
+            localizedFormat(from_utc_timestamp(col("timestamp"), tz), f, loc),
             lit("unknown")))
         }
       case Layout.Field(name) =>
@@ -611,15 +714,12 @@ object OffsetNamedOrcSink {
               else lit(null).cast(f.dataType).as(f.name)
             }
             df.withColumn("value", struct(fields: _*))
-          case DriftMode.Backward =>
-            val incTypes = incoming.fields.map(f => f.name -> f.dataType).toMap
-            val retyped = latched.fields.toSeq.filter(f =>
-              incTypes.get(f.name).exists(_ != f.dataType))
-            if (retyped.nonEmpty) throw new IllegalStateException(
-              "schema drift not BACKWARD-compatible: latched fields " +
-                s"${retyped.map(f => s"${f.name}:${f.dataType.simpleString}")
-                  .mkString(", ")} retyped in " +
-                s"incoming ${incoming.simpleString}")
+          case DriftMode.Backward | DriftMode.Full =>
+            // FULL runs BACKWARD's widening (the reference's FULL *is*
+            // BACKWARD's implementation — see the DriftMode scaladoc); the
+            // additional forward-direction validation is the same symmetric
+            // retype check, made explicit in the error label.
+            rejectRetyped(latched, incoming, drift)
             val latchedNames = latched.fieldNames.toSet
             val added = incoming.fields.filterNot(f => latchedNames.contains(f.name))
             val widened = StructType(latched.fields ++ added)
@@ -630,7 +730,40 @@ object OffsetNamedOrcSink {
                 col("value").getField(f.name).cast(f.dataType).as(f.name)
               else lit(null).cast(f.dataType).as(f.name) // project up
             }: _*))
+          case DriftMode.Forward =>
+            // the latch never moves: project DOWN onto it (added incoming
+            // fields dropped, missing ones null), refuse retypes
+            rejectRetyped(latched, incoming, drift)
+            val incNames = incoming.fieldNames.toSet
+            df.withColumn("value", struct(latched.fields.toSeq.map { f =>
+              if (incNames.contains(f.name))
+                col("value").getField(f.name).cast(f.dataType).as(f.name)
+              else lit(null).cast(f.dataType).as(f.name)
+            }: _*))
         }
+    }
+  }
+
+  /** A shared field whose TYPE changed is incompatible in every compat
+    * direction (values would need re-interpretation — that is Project's
+    * lossy-tolerant job, never the compat modes').
+    */
+  private def rejectRetyped(latched: StructType, incoming: StructType,
+      drift: DriftMode): Unit = {
+    val incTypes = incoming.fields.map(f => f.name -> f.dataType).toMap
+    val retyped = latched.fields.toSeq.filter(f =>
+      incTypes.get(f.name).exists(_ != f.dataType))
+    if (retyped.nonEmpty) {
+      val label = drift match {
+        case DriftMode.Backward => "BACKWARD"
+        case DriftMode.Forward => "FORWARD"
+        case _ => "FULL"
+      }
+      throw new IllegalStateException(
+        s"schema drift not $label-compatible: latched fields " +
+          s"${retyped.map(f => s"${f.name}:${f.dataType.simpleString}")
+            .mkString(", ")} retyped in " +
+          s"incoming ${incoming.simpleString}")
     }
   }
 

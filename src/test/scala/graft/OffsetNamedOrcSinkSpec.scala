@@ -749,6 +749,115 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
     }
   }
 
+  test("partitioner locale: non-English month names render, commit, and read back") {
+    val out = freshOut()
+    val topicDir = OffsetNamedOrcSink.write(shaped, out, flushSize = 250,
+      layout = Layout.TimeMulti(
+        levels = Seq("year" -> "yyyy", "month" -> "MMMM"),
+        timezone = "UTC", locale = "fr"))
+    val frMonths = (1 to 12).map(m => java.time.Month.of(m)
+      .getDisplayName(java.time.format.TextStyle.FULL, java.util.Locale.FRENCH))
+    val enMonths = (1 to 12).map(m => java.time.Month.of(m)
+      .getDisplayName(java.time.format.TextStyle.FULL, java.util.Locale.ENGLISH))
+    val back = OffsetNamedOrcSink.read(spark, topicDir)
+    assert(back.count() == 1000)
+    // every row's month dir value is ITS OWN timestamp's French month name
+    // (timestamps live only in the source frame — join back by offset)
+    val expected = shaped.select(col("offset"),
+      element_at(array(frMonths.map(lit): _*), month(col("timestamp")))
+        .as("exp_month"),
+      date_format(col("timestamp"), "yyyy").as("exp_year"))
+    val bad = back.select(col("offset"), col("month"), col("year"))
+      .join(expected, "offset")
+      .filter(col("month") =!= col("exp_month") || col("year") =!= col("exp_year"))
+    assert(bad.count() == 0)
+    // the rendered names are genuinely localized (no English leakage), and
+    // accents survive the dir write + Hive escape + read round trip
+    val monthVals = back.select("month").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(monthVals.nonEmpty && monthVals.subsetOf(frMonths.toSet), monthVals)
+    assert(monthVals.intersect(enMonths.toSet).isEmpty, monthVals)
+    // replay is idempotent under the locale layout too
+    OffsetNamedOrcSink.write(shaped, out, flushSize = 250,
+      layout = Layout.TimeMulti(
+        levels = Seq("year" -> "yyyy", "month" -> "MMMM"),
+        timezone = "UTC", locale = "fr"))
+    assert(OffsetNamedOrcSink.read(spark, topicDir).count() == 1000)
+    // quoted literals never tokenize: the M inside 'month' is literal text
+    assert(OffsetNamedOrcSink.splitLocaleTokens("'month'=MMMM") ==
+      Seq(Left("'month'="), Right("MMMM")))
+    assert(OffsetNamedOrcSink.splitLocaleTokens("yyyy-MM-dd") ==
+      Seq(Left("yyyy-MM-dd")))
+  }
+
+  test("schema drift: Forward projects wider records DOWN onto the frozen latch") {
+    val out = freshOut()
+    // latch the six-field schema
+    OffsetNamedOrcSink.write(shaped.filter(col("offset") < 500), out, 250,
+      drift = DriftMode.Forward)
+    // a WIDER batch: the added field must be dropped (old readers stay
+    // valid), the latch must not move
+    val widened = shaped.filter(col("offset") >= 500).withColumn("value", struct(
+      col("value.flag").as("flag"), col("value.uid").as("uid"),
+      col("value.id").as("id"), col("value.fval").as("fval"),
+      col("value.dval").as("dval"), col("value.etype").as("etype"),
+      (col("offset") * 2).as("extra")))
+    val topicDir = OffsetNamedOrcSink.write(widened, out, 250,
+      drift = DriftMode.Forward)
+    val latchedJson = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(topicDir, "_graft_schema.json").toPath))
+    assert(!latchedJson.contains("\"extra\""), "Forward must not widen the latch")
+    val back = OffsetNamedOrcSink.read(spark, topicDir)
+    assert(back.count() == 1000)
+    assert(!back.columns.contains("extra"))
+    // a NARROWER batch projects up with nulls (replay offsets 0-9 without uid)
+    OffsetNamedOrcSink.write(
+      shaped.filter(col("offset") < 10).withColumn("value", struct(
+        col("value.flag").as("flag"), col("value.id").as("id"),
+        col("value.fval").as("fval"), col("value.dval").as("dval"),
+        col("value.etype").as("etype"))),
+      out, 250, drift = DriftMode.Forward)
+    val after = OffsetNamedOrcSink.read(spark, topicDir)
+    assert(after.count() == 1000)
+    assert(after.filter(col("offset") < 10 && col("uid").isNotNull).count() == 0)
+    // a retyped shared field refuses (unlike Project, which casts)
+    val ex = intercept[IllegalStateException] {
+      OffsetNamedOrcSink.write(
+        shaped.withColumn("value", struct(col("value.uid").cast("string").as("uid"))),
+        out, 250, drift = DriftMode.Forward)
+    }
+    assert(ex.getMessage.contains("FORWARD"))
+  }
+
+  test("schema drift: Full runs Backward's widening and names the FULL check on retype") {
+    val out = freshOut()
+    OffsetNamedOrcSink.write(shaped.filter(col("offset") < 500), out, 250,
+      drift = DriftMode.Full)
+    val widened = shaped.filter(col("offset") >= 500).withColumn("value", struct(
+      col("value.flag").as("flag"), col("value.uid").as("uid"),
+      col("value.id").as("id"), col("value.fval").as("fval"),
+      col("value.dval").as("dval"), col("value.etype").as("etype"),
+      (col("offset") * 3).as("extra")))
+    val topicDir = OffsetNamedOrcSink.write(widened, out, 250,
+      drift = DriftMode.Full)
+    // FULL admits the add by widening (the reference's FULL is BACKWARD's
+    // implementation); old rows read as null, new rows carry values
+    val latchedJson = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(topicDir, "_graft_schema.json").toPath))
+    assert(latchedJson.contains("\"extra\""))
+    val back = OffsetNamedOrcSink.read(spark, topicDir)
+    assert(back.count() == 1000)
+    assert(back.filter(col("offset") < 500 && col("extra").isNotNull).count() == 0)
+    assert(back.filter(col("offset") >= 500 &&
+      col("extra") =!= col("offset") * 3).count() == 0)
+    val ex = intercept[IllegalStateException] {
+      OffsetNamedOrcSink.write(
+        shaped.withColumn("value", struct(col("value.uid").cast("string").as("uid"))),
+        out, 250, drift = DriftMode.Full)
+    }
+    assert(ex.getMessage.contains("FULL"))
+  }
+
   test("Backward drift: merge read spanning mixed-physical-schema chunks keeps widened values") {
     val out = freshOut()
     val widen = (df: org.apache.spark.sql.DataFrame) => df.withColumn("value",
