@@ -256,15 +256,27 @@ object StreamOps {
         regexp_extract(input_file_name(),
           raw"\+(\d+)(?:\+t-?\d+)?(?:-\d+)?\.orc$$", 1)
           .cast("long"))
-    // one string column per value-derived dir level (dt=/year=/<field>=…),
+    // one column per value-derived dir level (dt=/year=/<field>=…),
     // unescaped back to the raw value: partitionBy Hive-escapes path-special
     // chars (%XX) when writing the dirs. Hive escaping never emits '+', so
     // pre-encoding literal '+' makes url_decode the exact inverse (plain
-    // url_decode would eat '+' as a space).
+    // url_decode would eat '+' as a space). A Field-routed column that is
+    // LATCHED non-string is cast back to its latched type so this path
+    // agrees with batch read()'s declared-schema typing (ADVICE r4); the
+    // write side renders null field values as the literal "null" dir, which
+    // maps back to NULL here. Time-layout levels (dt/year/…) are sink-
+    // generated strings with no latched type and stay strings.
     prefixCols.foldLeft(base) { (df, n) =>
-      df.withColumn(n, url_decode(regexp_replace(
+      val raw = url_decode(regexp_replace(
         regexp_extract(input_file_name(), s"/$n=([^/]+)/", 1),
-        "\\+", "%2B")))
+        "\\+", "%2B"))
+      val typed = valueSchema.fields.find(_.name == n) match {
+        case Some(f) if f.dataType != org.apache.spark.sql.types.StringType =>
+          when(raw === "null", lit(null).cast(f.dataType))
+            .otherwise(raw.cast(f.dataType))
+        case _ => raw
+      }
+      df.withColumn(n, typed)
     }
   }
 }

@@ -189,6 +189,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamFromSink types a Field-routed non-string column like batch read") {
+    import graft.streaming.OffsetNamedOrcSink.Layout
+    val outDir = tmp("graft-tail-field-")
+    val topicDir = OffsetNamedOrcSink.write(KafkaShaped.fromEvents(spark, sf),
+      outDir, flushSize = 250, layout = Layout.Field("uid"))
+    val stream = StreamOps.streamFromSink(spark, topicDir, KafkaShaped.valueSchema)
+    // the dir-derived routed column carries its LATCHED type (int), not the
+    // raw dir string — the two read paths must agree (ADVICE r4)
+    assert(stream.schema("uid").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val q = stream.writeStream.format("memory").queryName("sink_tail_field")
+      .option("checkpointLocation", tmp("graft-tail-field-ck-"))
+      .start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("sink_tail_field")
+      assert(out.count() == 1000)
+      val batch = OffsetNamedOrcSink.read(spark, topicDir)
+      assert(batch.schema("uid").dataType == out.schema("uid").dataType)
+      assert(out.select("offset", "uid").collect().map(_.toSeq).toSet ==
+        batch.select("offset", "uid").collect().map(_.toSeq).toSet)
+    } finally q.stop()
+  }
+
   test("multi-topic stream routes one topic dir each through writeMulti") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Int, Long, Int, Double, String)]
