@@ -580,7 +580,10 @@ object SimilarityOps extends QueryModule {
     * (vectors 100..115 stand in for the trained codebook, the
     * q_knn_ivf_centroid convention) assigns each sub-vector its nearest
     * codeword (argmin squared distance via the |a|²+|b|²−2ab identity on
-    * the native dot kernel, dround-snapped, tie → lowest code). A vector is
+    * the native dot kernel — the sub-vector self-dot is constant within the
+    * argmin and drops out, the codeword self-dot precomputes per codeword,
+    * so scoring is ONE dot per candidate; dround-snapped, tie → lowest
+    * code). A vector is
     * then 16 4-bit codes = 8 BYTES — 8× below the int8 coarse column's 64 B
     * and 64× below the float64 working form, which at 100 TB makes the
     * coarse pass a sub-1% IO scan.
@@ -615,11 +618,14 @@ object SimilarityOps extends QueryModule {
       val cb = subs(emb.filter(col("vec_id").between(100, 100 + K - 1)))
         .select(col("m"), (col("vec_id") - 100).cast("int").as("k"),
           col("sv").as("cw"))
-      // encode: nearest codeword per (vec, m); ||sv−cw||² = ss + cc − 2·sc
+        // codeword self-dot once per codeword, not once per (vec, m, k)
+        .withColumn("cc", dot(col("cw"), col("cw")))
+      // encode: nearest codeword per (vec, m). ||sv−cw||² = ss + cc − 2·sc
+      // and ss is constant within the argmin group, so the rank key drops
+      // it — one dot per candidate pair instead of three
       val codes = subs(emb).join(broadcast(cb), Seq("m"))
         .select(col("vec_id"), col("nrm"), col("m"), col("k"),
-          dround(dot(col("sv"), col("sv")) + dot(col("cw"), col("cw"))
-            - lit(2) * dot(col("sv"), col("cw")), 6).as("dist"))
+          dround(col("cc") - lit(2) * dot(col("sv"), col("cw")), 6).as("dist"))
         .groupBy("vec_id", "m")
         .agg(min_by(col("k"), struct(col("dist"), col("k"))).as("code"),
           max("nrm").as("nrm"))
@@ -671,7 +677,9 @@ object SimilarityOps extends QueryModule {
             ms AS (SELECT unnest(generate_series(0, 15)) AS m),
             cb AS (
               SELECT m, CAST(vec_id - 100 AS INT) AS k,
-                     list_slice(emb, m * 4 + 1, m * 4 + 4) AS cw
+                     list_slice(emb, m * 4 + 1, m * 4 + 4) AS cw,
+                     list_dot_product(list_slice(emb, m * 4 + 1, m * 4 + 4),
+                       list_slice(emb, m * 4 + 1, m * 4 + 4)) AS cc
               FROM e, ms WHERE vec_id BETWEEN 100 AND 115),
             sv AS (
               SELECT vec_id, nrm, m,
@@ -679,8 +687,7 @@ object SimilarityOps extends QueryModule {
               FROM e, ms),
             dists AS (
               SELECT s.vec_id, s.nrm, s.m, c.k,
-                     CAST(round(CAST(list_dot_product(s.sv, s.sv)
-                       + list_dot_product(c.cw, c.cw)
+                     CAST(round(CAST(c.cc
                        - 2 * list_dot_product(s.sv, c.cw)
                        AS DECIMAL(30,8)), 6) AS DOUBLE) AS dist
               FROM sv s JOIN cb c ON c.m = s.m),
