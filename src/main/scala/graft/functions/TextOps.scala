@@ -290,6 +290,75 @@ object TextOps extends QueryModule {
                    CAST(round(CAST(score AS DECIMAL(30,8)), 6) AS DOUBLE) AS score
             FROM r WHERE rn = 1 ORDER BY doc_id"""))
 
+  // ------------------------------------------- unigram corpus-fit score --
+
+  /** Perplexity-family corpus-fit score — the quality gate every LLM
+    * pipeline runs over candidate documents, here as the hash-exact
+    * log-free variant (the q_text_tfidf precedent: ln() drifts a last ulp
+    * between libm and the JDK, so the t2 gate bans it): each held-out
+    * (test-split, bucket ≥ 90) document scores the MEAN INVERSE PROBABILITY
+    * of its tokens under the train split's (bucket < 80) unigram
+    * distribution. Per-token surprisal is pure integer arithmetic —
+    * `(train_total · 1e6) div count(token)` (Spark `div` ≡ DuckDB `//` for
+    * positives, the fixed-point PageRank trick) — summed exactly, one
+    * dround at the end. Unseen tokens take the count-1 floor and are
+    * counted as `n_oov`: high rarity or OOV = off-distribution document,
+    * exactly the eval-set-curation signal.
+    *
+    * Scale: train explode → token agg (1 shuffle); the vocab is VOCAB-sized
+    * and broadcasts onto the exploded test tokens (map-only, the
+    * q_vocab_bigrams economics); per-doc INTEGER agg (1 shuffle). At a
+    * 1e12-token train corpus the 1e6 fixed-point base nears long range —
+    * production drops the base or scores against per-shard totals; the
+    * shape is unchanged.
+    */
+  private val qTextRarity = GQuery(
+    (s, d) => {
+      import graft.operators.DedupOps.hex4
+      val bucket = pmod(hex4(col("doc_id").cast("string")), lit(100))
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), bucket.as("bucket"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+      val vocab = toks.filter(col("bucket") < 80)
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val totalTrain = vocab.agg(sum("c").as("n"))
+      toks.filter(col("bucket") >= 90)
+        .join(broadcast(vocab), Seq("tok"), "left")
+        .crossJoin(broadcast(totalTrain))
+        .select(col("doc_id"),
+          coalesce(col("c"), lit(1L)).as("cf"),
+          col("c").isNull.cast("long").as("is_oov"), col("n"))
+        .withColumn("itok", expr("(n * CAST(1000000 AS BIGINT)) div cf"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("is_oov").as("n_oov"),
+          sum("itok").as("isum"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          dround(col("isum").cast("double") / lit(1e6) / col("n_tokens"), 4)
+            .as("rarity"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS (
+              SELECT doc_id,
+                     ${graft.operators.DedupOps.duckHex4("md5(CAST(doc_id AS VARCHAR))")} % 100 AS bucket,
+                     unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents),
+            vocab AS (
+              SELECT tok, count(*) AS c FROM tk WHERE bucket < 80 GROUP BY 1),
+            n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vocab),
+            sc AS (
+              SELECT te.doc_id,
+                     coalesce(v.c, 1) AS cf,
+                     CASE WHEN v.c IS NULL THEN 1 ELSE 0 END AS is_oov,
+                     n.n
+              FROM (SELECT doc_id, tok FROM tk WHERE bucket >= 90) te
+              LEFT JOIN vocab v USING (tok), n)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(is_oov) AS BIGINT) AS n_oov,
+                   CAST(round(CAST(CAST(sum((n * 1000000) // cf) AS DOUBLE)
+                     / 1e6 / count(*) AS DECIMAL(30,8)), 4) AS DOUBLE) AS rarity
+            FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+
   // --------------------------------------------- repetition quality --
 
   /** Gopher-style repetition signals per doc: unique-token ratio and
@@ -490,6 +559,7 @@ object TextOps extends QueryModule {
     "q_vocab_topk" -> qVocabTopk,
     "q_text_scrub" -> qTextScrub,
     "q_text_tfidf" -> qTextTfidf,
+    "q_text_rarity" -> qTextRarity,
     "q_text_repetition" -> qTextRepetition,
     "q_explode_unnest" -> qExplodeUnnest,
     "q_scalar_array" -> qScalarArrayFns,

@@ -367,31 +367,75 @@ object DedupOps extends QueryModule {
         .select(col("doc_id"), col("lbl").as("component"), col("n_members"))
         .orderBy("doc_id")
     },
-    Some {
-      val mh = (0 until 4).map(k =>
-        s"list_min(list_transform(hs, h -> substr(h, ${k * 8 + 1}, 8)))")
-      s"""WITH RECURSIVE
-          sig AS (
-            SELECT doc_id, list_transform($duckShingles, x -> md5(x)) AS hs
-            FROM documents),
-          m AS (
-            SELECT doc_id, ${mh(0)} || ${mh(1)} AS b0, ${mh(2)} || ${mh(3)} AS b1
-            FROM sig),
-          e AS (
-            SELECT a.doc_id AS a, b.doc_id AS b
-            FROM m a JOIN m b ON a.b0 = b.b0 AND a.doc_id <> b.doc_id
-            UNION
-            SELECT a.doc_id, b.doc_id
-            FROM m a JOIN m b ON a.b1 = b.b1 AND a.doc_id <> b.doc_id),
-          reach AS (
-            SELECT doc_id AS a, doc_id AS b FROM m
-            UNION
-            SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
-          lbl AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a)
+    Some(
+      s"""WITH RECURSIVE $componentsCte
           SELECT doc_id, component,
                  CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS n_members
-          FROM lbl ORDER BY doc_id"""
-    })
+          FROM lbl ORDER BY doc_id"""))
+
+  /** The recursive transitive-closure prefix shared by the components oracle
+    * and the keep-list oracle: doc↔band edges → reachability → min-label
+    * `lbl(doc_id, component)`.
+    */
+  private lazy val componentsCte: String = {
+    val mh = (0 until 4).map(k =>
+      s"list_min(list_transform(hs, h -> substr(h, ${k * 8 + 1}, 8)))")
+    s"""sig AS (
+          SELECT doc_id, list_transform($duckShingles, x -> md5(x)) AS hs
+          FROM documents),
+        m AS (
+          SELECT doc_id, ${mh(0)} || ${mh(1)} AS b0, ${mh(2)} || ${mh(3)} AS b1
+          FROM sig),
+        e AS (
+          SELECT a.doc_id AS a, b.doc_id AS b
+          FROM m a JOIN m b ON a.b0 = b.b0 AND a.doc_id <> b.doc_id
+          UNION
+          SELECT a.doc_id, b.doc_id
+          FROM m a JOIN m b ON a.b1 = b.b1 AND a.doc_id <> b.doc_id),
+        reach AS (
+          SELECT doc_id AS a, doc_id AS b FROM m
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        lbl AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a)"""
+  }
+
+  /** The DECISION step near-dup clustering exists for: per duplicate
+    * cluster, KEEP the highest-quality member and emit the drop list. The
+    * quality key here is `n_chars` (ties → lowest doc_id; production plugs
+    * any score — the q_text_quality composite, rarity, recency — into the
+    * same struct-max), chosen per component with a single window max of
+    * `struct(quality, −doc_id)` over the components output: one extra
+    * shuffle past the clustering itself, no joins back to text. Singleton
+    * components keep themselves, so `keep` partitions the corpus exactly
+    * into survivors and drops — `sum(keep::int) = #components`.
+    */
+  private val qDedupKeep = GQuery(
+    (s, d) => {
+      val comp = qDedupComponents.fn(s, d).select("doc_id", "component")
+      val quality = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      val w = Window.partitionBy("component")
+      comp.join(quality, "doc_id")
+        .withColumn("best",
+          max(struct(col("n_chars"), (-col("doc_id")).as("nd"))).over(w))
+        .select(col("doc_id"), col("component"), col("n_chars"),
+          (-col("best.nd")).as("keeper"))
+        .withColumn("keep", col("doc_id") === col("keeper"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH RECURSIVE $componentsCte,
+          q AS (
+            SELECT l.doc_id, l.component, d.n_chars
+            FROM lbl l JOIN documents d USING (doc_id)),
+          k AS (
+            SELECT component, doc_id AS keeper FROM (
+              SELECT component, doc_id,
+                     row_number() OVER (PARTITION BY component
+                       ORDER BY n_chars DESC, doc_id) AS rn
+              FROM q) WHERE rn = 1)
+          SELECT q.doc_id, q.component, CAST(q.n_chars AS BIGINT) AS n_chars,
+                 k.keeper, q.doc_id = k.keeper AS keep
+          FROM q JOIN k USING (component) ORDER BY q.doc_id"""))
 
   /** Train/test DECONTAMINATION — the eval-integrity step of every LLM data
     * pipeline: find held-out (test-split) documents sharing 3-token shingles
@@ -650,6 +694,7 @@ object DedupOps extends QueryModule {
 
   override val queries: Map[String, GQuery] = Map(
     "q_dedup_components" -> qDedupComponents,
+    "q_dedup_keep" -> qDedupKeep,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
