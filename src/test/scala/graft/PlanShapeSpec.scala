@@ -326,6 +326,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges(pe) <= 7, "embed guard added unexpected shuffles")
   }
 
+  test("round-5 operators stay shuffle-bounded and broadcast their small sides") {
+    def planOf(name: String) =
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    def exchanges(p: String) = "Exchange".r.findAllIn(p).length
+    // rarity: vocab agg + 1-row total agg (both broadcast back) + per-doc
+    // integer agg + presentation sort; the corpus token side never
+    // shuffles for the vocab join
+    val pr = planOf("q_text_rarity")
+    assert(pr.contains("BroadcastHashJoin"), pr.take(3000))
+    assert(exchanges(pr) <= 7, s"rarity: ${exchanges(pr)} exchanges")
+    // PQ: codebook, ADC tables, shortlist, and probes ALL broadcast — the
+    // corpus side joins without a single shuffle (no SMJ anywhere); the
+    // exchanges are the encode/coarse aggregations and rank windows
+    val pq = planOf("q_knn_pq")
+    assert(pq.contains("BroadcastHashJoin") && !pq.contains("SortMergeJoin"),
+      pq.take(3000))
+    assert(exchanges(pq) <= 10, s"pq: ${exchanges(pq)} exchanges")
+    // keep-list: ONE window shuffle past the components fixpoint (plus the
+    // quality join and presentation sort) — never a join back to text
+    val pk = planOf("q_dedup_keep")
+    assert(exchanges(pk) <= 5, s"keep: ${exchanges(pk)} exchanges")
+    assert(!pk.split("== Initial Plan ==")(0).linesIterator
+      .exists(l => l.contains("FileScan parquet") && l.contains("text")),
+      "keep-list plan reads document text")
+  }
+
   test("q_knn_quantized broadcasts probes; corpus side never exchanges for the coarse pass") {
     val df = SparkEntry.queries("q_knn_quantized")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
