@@ -875,7 +875,127 @@ object AnalyticsOps extends QueryModule {
                    CAST(round(CAST(dist AS DECIMAL(30,8)), 4) AS DOUBLE) AS dist
             FROM ranked WHERE rk <= 3 ORDER BY p_id, rk"""))
 
+  // ------------------------------------------- exact-k reservoir sample --
+
+  /** Deterministic k-per-stratum reservoir sample (k=64 per lang) — the
+    * bottom-k-by-priority formulation of reservoir sampling: assign each doc
+    * the priority `hex4(md5(doc_id || ':rsv'))` (salted so this sampler is
+    * independent of every other hash-coin in the engine) and keep the k
+    * smallest per stratum. Complements the two existing samplers:
+    * q_sample_stratified draws a FRACTION, q_sample_weighted a Bernoulli
+    * coin — this one returns an EXACT count per group, the contract a
+    * fixed-size eval set needs. Same determinism dividends: membership is a
+    * pure function of the key, so re-runs, engine swaps, and corpus appends
+    * never reshuffle the choice (a new doc displaces at most the current
+    * rank-k member).
+    *
+    * At scale: `row_number <= k` after a window is exactly the shape
+    * Spark's WindowGroupLimit rewrite targets — every map task pre-filters
+    * to its local top-k per stratum BEFORE the exchange, so the shuffle
+    * carries O(k × tasks) rows, not the corpus (plan-pinned in
+    * PlanShapeSpec).
+    */
+  private val qSampleReservoir = GQuery(
+    (s, d) => {
+      val w = Window.partitionBy("lang").orderBy(col("pri"), col("doc_id"))
+      t(s, d, "documents")
+        .select(col("lang"), col("doc_id"),
+          DedupOps.hex4(concat(col("doc_id").cast("string"), lit(":rsv")))
+            .as("pri"))
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 64)
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy("lang", "rk")
+    },
+    Some(s"""WITH p AS (
+              SELECT lang, doc_id,
+                     ${DedupOps.duckHex4("md5(CAST(doc_id AS VARCHAR) || ':rsv')")}
+                       AS pri
+              FROM documents),
+            r AS (
+              SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY pri, doc_id) AS rk
+              FROM p)
+            SELECT lang, CAST(rk AS INT) AS rk, doc_id
+            FROM r WHERE rk <= 64 ORDER BY lang, rk"""))
+
+  // ------------------------------------------- token-budget selection --
+
+  /** Per-source token-budget curation: rank each source's docs by quality
+    * (longest-first here; the key is pluggable) and keep the greedy prefix
+    * whose cumulative token count fits the budget — "give me the best
+    * 800 tokens per domain", the selection step between scoring and
+    * training-mix assembly.
+    *
+    * The naive form is one cumulative-sum window per source — and a source
+    * is a SKEWED partition at corpus scale (one crawl domain can be half
+    * the data), so that window serializes. This implementation is the
+    * two-level decomposition (same trick as q_dist_histogram): (1) bucket
+    * docs by coarse quality (n_chars div 16 — bucket order refines the
+    * greedy order), (2) prefix-sum TOKEN TOTALS over the tiny
+    * (source × bucket) table, (3) broadcast that back: buckets whose
+    * running total fits are kept outright map-side, buckets past the
+    * budget are dropped map-side, and ONLY the single boundary bucket per
+    * source pays a fine-grained window — over 1/n_buckets of the skewed
+    * partition. Decomposition is exact because the bucket key is a
+    * monotone function of the greedy sort key.
+    */
+  private val qCorpusBudget = GQuery(
+    (s, d) => {
+      val B = 800L
+      val docs = t(s, d, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          size(split(lower(col("text")), " ")).cast("long").as("ntok"),
+          expr("n_chars div 16").as("bucket"))
+      val wb = Window.partitionBy("source").orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bpre = docs.groupBy("source", "bucket")
+        .agg(sum("ntok").as("btok"))
+        .withColumn("pre", sum("btok").over(wb))
+        .withColumn("prior", col("pre") - col("btok"))
+        .select("source", "bucket", "pre", "prior")
+      val j = docs.join(broadcast(bpre), Seq("source", "bucket"))
+      val wf = Window.partitionBy("source", "bucket")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val kept = j.filter(col("pre") <= B).select("source", "ntok")
+        .unionByName(
+          j.filter(col("prior") < B && col("pre") > B)
+            .withColumn("fcum", sum("ntok").over(wf))
+            .filter(col("prior") + col("fcum") <= B)
+            .select("source", "ntok"))
+      val totals = t(s, d, "documents").groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+      totals.join(
+          kept.groupBy("source").agg(count(lit(1)).as("n_sel"),
+            sum("ntok").as("tok_sel")),
+          Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_sel"), lit(0L)).as("n_sel"),
+          coalesce(col("tok_sel"), lit(0L)).as("tok_sel"))
+        .orderBy("source")
+    },
+    Some("""WITH d AS (
+              SELECT source, doc_id, n_chars,
+                     CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                       AS ntok
+              FROM documents),
+            c AS (
+              SELECT *, sum(ntok) OVER (PARTITION BY source
+                ORDER BY n_chars DESC, doc_id
+                ROWS UNBOUNDED PRECEDING) AS cum
+              FROM d)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN cum <= 800 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_sel,
+                   CAST(sum(CASE WHEN cum <= 800 THEN ntok ELSE 0 END)
+                     AS BIGINT) AS tok_sel
+            FROM c GROUP BY source ORDER BY source"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_sample_reservoir" -> qSampleReservoir,
+    "q_corpus_budget" -> qCorpusBudget,
     "q_sample_weighted" -> qSampleWeighted,
     "q_events_resample" -> qEventsResample,
     "q_events_outliers" -> qEventsOutliers,

@@ -352,6 +352,29 @@ class PlanShapeSpec extends SparkSpec {
       "keep-list plan reads document text")
   }
 
+  test("q_sample_reservoir pre-filters top-k per stratum before the exchange") {
+    val p = SparkEntry.queries("q_sample_reservoir")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // WindowGroupLimit must appear BOTH sides of the exchange: the partial
+    // (map-side local top-k) is what keeps the shuffle at O(k × tasks)
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2, p.take(2500))
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      "reservoir shuffles beyond window + presentation sort")
+  }
+
+  test("q_corpus_budget: bucket totals broadcast back; only the boundary bucket pays a fine window") {
+    val p = SparkEntry.queries("q_corpus_budget")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // the fine window must sit above a Filter on the broadcast-joined
+    // prior/pre bounds (boundary rows only), not over the whole corpus
+    val lines = p.linesIterator.toSeq
+    val winAt = lines.indexWhere(l => l.contains("Window") && l.contains("fcum"))
+    assert(winAt >= 0, p.take(3000))
+    assert(lines.drop(winAt).exists(_.contains("BroadcastHashJoin")),
+      "fine window is not fed by the broadcast-joined boundary filter")
+  }
+
   test("q_knn_quantized broadcasts probes; corpus side never exchanges for the coarse pass") {
     val df = SparkEntry.queries("q_knn_quantized")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
