@@ -788,7 +788,109 @@ object SimilarityOps extends QueryModule {
           GROUP BY 1 ORDER BY t.p_id"""
     })
 
+  // ----------------------------------------------- iterated k-means --
+
+  /** Two Lloyd iterations of k-means (k=4, deterministic init = the first
+    * k vectors by vec_id), emitting per-cluster size, inertia, and the
+    * number of vectors that changed assignment between iterations — the
+    * full iterate-until-stable clustering loop q_embed_centroid is one
+    * update step of.
+    *
+    * Cross-engine exactness for an ITERATED float algorithm is the same
+    * problem PageRank solved (CLAUDE.md): a 1-ulp drift in iteration 1's
+    * centroids can flip an argmin in iteration 2 and cascade. So all
+    * arithmetic is fixed-point integer: embeddings quantize once to
+    * `floor(x·1000 + 0.5) + 1000` (the +1000 offset keeps every value —
+    * and so every centroid-update sum — positive, where Spark's
+    * truncating `div` and DuckDB's flooring `//` agree; squared distances
+    * are offset-invariant), distances and inertia are exact BIGINTs, and
+    * centroid updates are elementwise `sum div count`.
+    *
+    * Scale shape per iteration: ASSIGN is map-only — k×d centroids
+    * broadcast, distance via zip_with/aggregate HOFs over the quantized
+    * array, partial-aggregable min(struct(dist, cid)) — and UPDATE is
+    * q_embed_centroid's (cid, dim) partial agg: shuffle rows = k×d,
+    * independent of corpus size. O(iters) rounds, like PageRank.
+    */
+  private val qEmbedKmeans = GQuery(
+    (s, d) => {
+      val qv = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => floor(x * lit(1000d) + lit(0.5d)).cast("long") + lit(1000L))
+            .as("qarr"))
+      val c0 = qv.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("qarr").as("carr"))
+      def assign(cents: DataFrame): DataFrame =
+        qv.crossJoin(broadcast(cents))
+          .withColumn("dist",
+            aggregate(
+              zip_with(col("qarr"), col("carr"), (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, x) => acc + x))
+          // argmin as min over ONE packed long (dist·8 + cid, cid < 8):
+          // lexicographic (dist, cid) order survives the packing, and a
+          // plain long min hash-aggregates with map-side combine where a
+          // min(struct(...)) would force SortAggregate
+          .groupBy("vec_id")
+          .agg(min(col("dist") * lit(8L) + col("cid")).as("m"))
+          .select(col("vec_id"), pmod(col("m"), lit(8L)).as("cid"),
+            expr("m div 8").as("dist"))
+      def update(assigned: DataFrame): DataFrame =
+        qv.join(broadcast(assigned.select("vec_id", "cid")), "vec_id")
+          .select(col("cid"), posexplode(col("qarr")).as(Seq("pos", "v")))
+          .groupBy("cid", "pos")
+          .agg(expr("sum(v) div count(1)").as("cv"))
+          .groupBy("cid")
+          .agg(transform(
+            sort_array(collect_list(struct(col("pos"), col("cv")))),
+            x => x.getField("cv")).as("carr"))
+      val a1 = assign(c0)
+      val a2 = assign(update(a1))
+      a2.join(broadcast(a1.select(col("vec_id"), col("cid").as("cid1"))),
+          "vec_id")
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"), sum("dist").as("inertia"),
+          sum(when(col("cid") =!= col("cid1"), 1L).otherwise(0L))
+            .as("n_changed"))
+        .orderBy("cid")
+    },
+    Some("""WITH q AS (
+              SELECT vec_id,
+                     unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x*1000 + 0.5) AS BIGINT) + 1000)) AS v,
+                     unnest(generate_series(1, len(embedding))) AS dim
+              FROM embeddings),
+            c0 AS (SELECT vec_id AS cid, dim, v AS c FROM q WHERE vec_id < 4),
+            d1 AS (
+              SELECT q.vec_id, c0.cid, sum((q.v - c0.c)*(q.v - c0.c)) AS dist
+              FROM q JOIN c0 USING (dim) GROUP BY 1, 2),
+            a1 AS (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dist, cid) AS rn
+              FROM d1),
+            s1 AS (SELECT vec_id, cid FROM a1 WHERE rn = 1),
+            c1 AS (
+              SELECT s1.cid, q.dim, sum(q.v) // count(*) AS c
+              FROM q JOIN s1 USING (vec_id) GROUP BY 1, 2),
+            d2 AS (
+              SELECT q.vec_id, c1.cid, sum((q.v - c1.c)*(q.v - c1.c)) AS dist
+              FROM q JOIN c1 USING (dim) GROUP BY 1, 2),
+            a2 AS (
+              SELECT vec_id, cid, dist,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dist, cid) AS rn
+              FROM d2),
+            s2 AS (SELECT vec_id, cid, dist FROM a2 WHERE rn = 1)
+            SELECT s2.cid AS cid, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(s2.dist) AS BIGINT) AS inertia,
+                   CAST(sum(CASE WHEN s1.cid <> s2.cid THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_changed
+            FROM s2 JOIN s1 USING (vec_id)
+            GROUP BY 1 ORDER BY cid"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_embed_kmeans" -> qEmbedKmeans,
     "q_embed_centroid" -> qEmbedCentroid,
     "q_scalar_hof" -> qScalarHof,
     "q_knn_ivf_centroid" -> qKnnIvfCentroid,

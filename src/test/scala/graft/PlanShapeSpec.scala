@@ -375,6 +375,21 @@ class PlanShapeSpec extends SparkSpec {
       "fine window is not fed by the broadcast-joined boundary filter")
   }
 
+  test("q_embed_kmeans: broadcast-only joins, hash-aggregable argmin") {
+    val p = SparkEntry.queries("q_embed_kmeans")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // every join is broadcast (centroids, assignments) — a SortMergeJoin
+    // would mean a corpus-sized side shuffled for the iterate loop
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    // the packed-long argmin must hash-aggregate; min(struct) regresses
+    // to SortAggregate, which loses map-side combine on the assign step
+    assert(!p.contains("SortAggregate"), p.take(3000))
+    // 12 = the per-iteration agg structure with a1's subtree inlined twice
+    // (update input + churn join) — string-counted, so reuse isn't visible
+    assert("Exchange".r.findAllIn(p).length <= 12,
+      "kmeans shuffles beyond the per-iteration agg structure")
+  }
+
   test("q_knn_quantized broadcasts probes; corpus side never exchanges for the coarse pass") {
     val df = SparkEntry.queries("q_knn_quantized")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
