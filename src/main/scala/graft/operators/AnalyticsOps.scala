@@ -993,7 +993,57 @@ object AnalyticsOps extends QueryModule {
                      AS BIGINT) AS tok_sel
             FROM c GROUP BY source ORDER BY source"""))
 
+  // ------------------------------------------------ skew diagnostics --
+
+  /** Join/shuffle-key skew profiler: per-key cardinality histogram head —
+    * the top-10 heavy hitters of a prospective shuffle key with their
+    * basis-point share of all rows, plus global (n_rows, n_keys). This is
+    * the measurement that DECIDES the mitigations SCALE.md catalogues
+    * (salt q_join_salted-style past a share threshold, AQE skew split
+    * otherwise): run it on the key before burning a 1000-executor shuffle.
+    *
+    * Shape: one partial-aggregable count per key, then a GLOBAL top-10 as
+    * `orderBy().limit()` — which Spark plans as TakeOrderedAndProject:
+    * every map task forwards only its local top-10, so constant rows reach
+    * the driver-side merge no matter how many keys exist (a global
+    * row_number window would single-task the whole key list instead —
+    * Spark's WindowGroupLimit rewrite needs a PARTITIONED rank). The rank
+    * is then a window over the 10 surviving rows. Share is integer basis
+    * points (cnt·10000 div total) — hash-exact, no float division.
+    */
+  private val qProfileSkew = GQuery(
+    (s, d) => {
+      val counts = t(s, d, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(sum("cnt").as("n_rows"),
+        count(lit(1)).as("n_keys"))
+      val w = Window.orderBy(col("cnt").desc, col("user_id"))
+      counts.orderBy(col("cnt").desc, col("user_id")).limit(10)
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .crossJoin(broadcast(tot))
+        .select(col("rk"), col("user_id"), col("cnt"),
+          expr("cnt * 10000 div n_rows").as("share_bp"),
+          col("n_rows"), col("n_keys"))
+        .orderBy("rk")
+    },
+    Some("""WITH c AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1),
+            t AS (
+              SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                     CAST(count(*) AS BIGINT) AS n_keys
+              FROM c),
+            r AS (
+              SELECT user_id, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, user_id) AS rk
+              FROM c)
+            SELECT CAST(rk AS INT) AS rk, user_id, cnt,
+                   CAST(cnt * 10000 // n_rows AS BIGINT) AS share_bp,
+                   n_rows, n_keys
+            FROM r, t WHERE rk <= 10 ORDER BY rk"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_profile_skew" -> qProfileSkew,
     "q_sample_reservoir" -> qSampleReservoir,
     "q_corpus_budget" -> qCorpusBudget,
     "q_sample_weighted" -> qSampleWeighted,

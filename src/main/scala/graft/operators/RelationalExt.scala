@@ -474,7 +474,77 @@ object RelationalExt extends QueryModule {
             WHERE s_acctbal > 5000 AND s_nationkey < 10
             GROUP BY s_suppkey, s_name ORDER BY s_suppkey"""))
 
+  // ------------------------------------------ mergeable quantile sketch --
+
+  /** Mergeable quantile estimation without a raw rescan — the quantile
+    * analogue of q_agg_sketch_merge's HLL story. Stage 1 builds a
+    * fixed-grid integer histogram per (ship-month, bin) — the per-partition
+    * "sketch", 32 counters each; stage 2 MERGES sketches by summing bins
+    * (associative + commutative, so partial agg and re-aggregation across
+    * any partition cut are free); quantiles (p50/p90/p99) then read off the
+    * 32-row cumulative histogram as the first bin whose cumulative count
+    * covers q·N. Everything is integer (bin = floor(price/4096) — division
+    * by a power of two is EXACT in IEEE doubles, so the binning itself
+    * can't drift cross-engine) → hash-exact, unlike a t-digest/KLL sketch
+    * whose estimates are impl-defined. Contrast: q_feature_bucketize's
+    * exact percentile needs every raw value in one place; this needs 32
+    * longs per partition, the shape that survives 100 TB.
+    */
+  private val qAggQuantileMerge = GQuery(
+    (s, d) => {
+      val parts = t(s, d, "lineitem")
+        .select(trunc(col("l_shipdate"), "month").as("m"),
+          least(lit(31),
+            floor(col("l_extendedprice") / lit(4096d)).cast("int"))
+            .as("bin"))
+        .groupBy("m", "bin").agg(count(lit(1)).as("pc"))
+      val merged = parts.groupBy("bin").agg(sum("pc").as("c"))
+      // one single-partition window pass yields BOTH the running total and
+      // the grand total (same partitioning + sort → one Window operator);
+      // packing (bin, cum) into one long makes the per-quantile "first
+      // covering bin" a plain min — the whole readout is ONE linear chain,
+      // so the raw table is scanned exactly once (plan-pinned)
+      val wcum = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wall = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      merged
+        .select(col("bin"), sum("c").over(wcum).as("cum"),
+          sum("c").over(wall).as("n"))
+        .select(col("cum"), col("n"),
+          (col("bin").cast("long") * lit(1L << 48) + col("cum")).as("packed"),
+          explode(array(lit(50), lit(90), lit(99))).as("q"))
+        .filter(col("cum") * 100 >= col("q") * col("n"))
+        .groupBy("q")
+        .agg(min("packed").as("m"), max("n").as("n"))
+        .select(col("q"), expr("m div (1L << 48)").cast("int").as("bin"),
+          (expr("m div (1L << 48)") * 4096L).as("lo"),
+          pmod(col("m"), lit(1L << 48)).as("cum"), col("n"))
+        .orderBy("q")
+    },
+    Some("""WITH h AS (
+              SELECT least(CAST(floor(l_extendedprice / 4096) AS INT), 31)
+                       AS bin,
+                     count(*) AS c
+              FROM lineitem GROUP BY 1),
+            cum AS (
+              SELECT bin,
+                     sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                       AS cum
+              FROM h),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+            qq AS (SELECT unnest([50, 90, 99]) AS q),
+            hit AS (
+              SELECT q, min(bin) AS bin
+              FROM cum, tot, qq
+              WHERE cum * 100 >= q * n GROUP BY q)
+            SELECT CAST(hit.q AS INT) AS q, CAST(hit.bin AS INT) AS bin,
+                   CAST(hit.bin * 4096 AS BIGINT) AS lo,
+                   CAST(cum.cum AS BIGINT) AS cum, tot.n AS n
+            FROM hit JOIN cum USING (bin), tot ORDER BY q"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_agg_quantile_merge" -> qAggQuantileMerge,
     "q_agg_approx" -> qAggApprox,
     "q_join_bloom" -> qJoinBloom,
     "q_agg_sketch_merge" -> qAggSketchMerge,

@@ -390,6 +390,23 @@ class PlanShapeSpec extends SparkSpec {
       "kmeans shuffles beyond the per-iteration agg structure")
   }
 
+  test("q_profile_skew: global top-k is TakeOrdered (map-side partial), not a single-task window") {
+    val p = SparkEntry.queries("q_profile_skew")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("q_agg_quantile_merge: two-stage sketch agg, no sort-merge join, broadcast totals") {
+    val p = SparkEntry.queries("q_agg_quantile_merge")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    // stage-1 (month, bin) partial + stage-2 (bin) merge: the raw scan
+    // feeds exactly one aggregation chain — re-cuts reuse sketches, never
+    // the raw table
+    assert("Scan parquet".r.findAllIn(p).length <= 1,
+      "quantile merge rescans the raw table")
+  }
+
   test("q_knn_quantized broadcasts probes; corpus side never exchanges for the coarse pass") {
     val df = SparkEntry.queries("q_knn_quantized")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
