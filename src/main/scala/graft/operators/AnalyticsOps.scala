@@ -1042,7 +1042,50 @@ object AnalyticsOps extends QueryModule {
                    n_rows, n_keys
             FROM r, t WHERE rk <= 10 ORDER BY rk"""))
 
+  // ------------------------------------------------ mixture reweighting --
+
+  /** Training-mixture reweighting: given the corpus's actual per-source
+    * token distribution, compute each source's sampling weight to hit a
+    * TARGET distribution (uniform here; the target vector is pluggable) —
+    * the step that turns q_profile_* measurements into the weights
+    * q_sample_weighted consumes. Upsampling is capped at 3× (30000 bp),
+    * the standard guard against a tiny source being repeated into
+    * memorization. Integer basis points end-to-end (shares and weights are
+    * `div` fixed-point) — hash-exact, and the weights are append-stable
+    * inputs to the hash-coin sampler. Shape: one partial agg to (source),
+    * a 1-row total broadcast back — the data path never shuffles twice.
+    */
+  private val qCorpusMix = GQuery(
+    (s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("source"),
+          size(split(lower(col("text")), " ")).cast("long").as("ntok"))
+        .groupBy("source").agg(sum("ntok").as("tok"))
+      val tot = toks.agg(sum("tok").as("ttok"), count(lit(1)).as("nsrc"))
+      toks.crossJoin(broadcast(tot))
+        .select(col("source"), col("tok"),
+          expr("tok * 10000 div ttok").as("share_bp"),
+          least(lit(30000L), expr("(ttok div nsrc) * 10000 div tok"))
+            .as("weight_bp"))
+        .orderBy("source")
+    },
+    Some("""WITH tk AS (
+              SELECT source,
+                     CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+                       AS tok
+              FROM documents GROUP BY 1),
+            tot AS (
+              SELECT CAST(sum(tok) AS BIGINT) AS ttok,
+                     CAST(count(*) AS BIGINT) AS nsrc
+              FROM tk)
+            SELECT source, tok,
+                   CAST(tok * 10000 // ttok AS BIGINT) AS share_bp,
+                   CAST(least(30000, (ttok // nsrc) * 10000 // tok)
+                     AS BIGINT) AS weight_bp
+            FROM tk, tot ORDER BY source"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_corpus_mix" -> qCorpusMix,
     "q_profile_skew" -> qProfileSkew,
     "q_sample_reservoir" -> qSampleReservoir,
     "q_corpus_budget" -> qCorpusBudget,

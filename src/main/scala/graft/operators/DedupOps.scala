@@ -692,7 +692,117 @@ object DedupOps extends QueryModule {
                      AS DECIMAL(30,8)), 4) AS DOUBLE) AS dup_ratio
             FROM cov GROUP BY doc_id, ntok ORDER BY doc_id"""))
 
+  // ------------------------------------------- semantic (SemDeDup) dedup --
+
+  /** Cluster-partitioned embedding near-dup (the SemDeDup recipe: k-means
+    * the corpus, then compare only WITHIN a cluster): the learned-partition
+    * complement to q_dedup_embed's random-projection buckets — centroids
+    * adapt to where the corpus actually is, so semantically-close vectors
+    * co-locate even when a random hyperplane would separate them.
+    *
+    * Assignment reuses q_embed_kmeans' fixed-point machinery (quantized
+    * ints, broadcast centroids, packed-long argmin) so the partition is
+    * hash-exact cross-engine; only the final cosine SCORE is floating, and
+    * it goes through the dround rail like every other scorer. Oversized
+    * clusters (dense corpus regions — exactly where a dedup pass lands)
+    * split into SRP-12 sub-buckets before pairing, the same stop-block
+    * pattern as q_dedup_embed/q_decontaminate: candidate generation stays
+    * linear, never quadratic in a hot cluster. The cap (30) is low enough
+    * that the split path is exercised at the ORACLE scale, not just in
+    * production.
+    */
+  private[graft] val SemClusterCap = 30
+  private val qDedupSemantic = GQuery(
+    (s, d) => {
+      import graft.functions.SimilarityOps.{dot, norm, srpBucket}
+      val base = t(s, d, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"),
+        srpBucket(col("embedding"), 12).as("b12"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * lit(1000d) + lit(0.5d)).cast("long") + lit(1000L))
+          .as("qarr"))
+      val cents = base.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("qarr").as("carr"))
+      val assigned = base.crossJoin(broadcast(cents))
+        .withColumn("dist",
+          aggregate(
+            zip_with(col("qarr"), col("carr"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x))
+        .groupBy("vec_id")
+        .agg(min(col("dist") * lit(32L) + col("cid")).as("m"),
+          first(col("emb")).as("emb"), first(col("b12")).as("b12"))
+        .select(col("vec_id"), pmod(col("m"), lit(32L)).as("cluster"),
+          col("emb"), col("b12"))
+        .withColumn("nrm", norm(col("emb")))
+      val keyed = assigned
+        .withColumn("n1", count(lit(1)).over(Window.partitionBy("cluster")))
+        .withColumn("bucket", when(col("n1") <= SemClusterCap, col("cluster"))
+          .otherwise(col("cluster") * 4096 + col("b12") + 16))
+        .withColumn("n2", count(lit(1)).over(Window.partitionBy("bucket")))
+        .filter(col("n2") <= SemClusterCap)
+      val a = keyed.select(col("vec_id").as("a_id"), col("cluster"),
+        col("bucket"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+      val b = keyed.select(col("vec_id").as("b_id"),
+        col("bucket").as("bucket_b"), col("emb").as("emb_b"),
+        col("nrm").as("nrm_b"))
+      val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id").asc)
+      a.join(b, col("bucket") === col("bucket_b") && col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("cluster"), col("b_id"),
+          dround(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6)
+            .as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("a_id"), col("cluster").cast("int").as("cluster"),
+          col("b_id").as("nn_id"), dround(col("cos"), 3).as("score"),
+          (col("cos") >= 0.4).as("is_dup"))
+        .orderBy("a_id")
+    },
+    Some {
+      val b12 = graft.functions.SimilarityOps.duckSrpBucket(bits = 12)
+      s"""WITH q AS (
+            SELECT vec_id,
+                   unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                     x -> CAST(floor(x*1000 + 0.5) AS BIGINT) + 1000)) AS v,
+                   unnest(generate_series(1, len(embedding))) AS dim
+            FROM embeddings),
+          c0 AS (SELECT vec_id AS cid, dim, v AS c FROM q WHERE vec_id < 16),
+          d1 AS (
+            SELECT q.vec_id, c0.cid, sum((q.v - c0.c)*(q.v - c0.c)) AS dist
+            FROM q JOIN c0 USING (dim) GROUP BY 1, 2),
+          asg AS (
+            SELECT vec_id, min(dist*32 + cid) % 32 AS cluster
+            FROM d1 GROUP BY 1),
+          e0 AS (
+            SELECT em.vec_id, asg.cluster,
+                   CAST(embedding AS DOUBLE[]) AS emb, $b12 AS b12
+            FROM embeddings em JOIN asg ON em.vec_id = asg.vec_id),
+          e1 AS (
+            SELECT *, CASE WHEN count(*) OVER (PARTITION BY cluster)
+                             <= $SemClusterCap
+                      THEN cluster ELSE cluster*4096 + b12 + 16 END AS bucket
+            FROM e0),
+          e AS (
+            SELECT vec_id, cluster, bucket, emb FROM (
+              SELECT *, count(*) OVER (PARTITION BY bucket) AS n2 FROM e1)
+            WHERE n2 <= $SemClusterCap),
+          p AS (
+            SELECT a.vec_id AS a_id, a.cluster, b.vec_id AS b_id,
+                   CAST(round(CAST(list_cosine_similarity(a.emb, b.emb)
+                     AS DECIMAL(30,8)), 6) AS DOUBLE) AS cos
+            FROM e a JOIN e b
+              ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+          r AS (
+            SELECT *, row_number() OVER (PARTITION BY a_id
+                        ORDER BY cos DESC, b_id) AS rn
+            FROM p)
+          SELECT a_id, CAST(cluster AS INT) AS cluster, b_id AS nn_id,
+                 CAST(round(CAST(cos AS DECIMAL(30,8)), 3) AS DOUBLE) AS score,
+                 cos >= 0.4 AS is_dup
+          FROM r WHERE rn = 1 ORDER BY a_id"""
+    })
+
   override val queries: Map[String, GQuery] = Map(
+    "q_dedup_semantic" -> qDedupSemantic,
     "q_dedup_components" -> qDedupComponents,
     "q_dedup_keep" -> qDedupKeep,
     "q_dedup_minhash" -> qDedupMinhash,

@@ -390,6 +390,21 @@ class PlanShapeSpec extends SparkSpec {
       "kmeans shuffles beyond the per-iteration agg structure")
   }
 
+  test("q_dedup_semantic: cap windows gate the self-join; centroids broadcast") {
+    val p = SparkEntry.queries("q_dedup_semantic")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the pairing join must see only capped buckets: both count-windows
+    // (cluster, then sub-bucket) sit below the self-join in the plan tree
+    val lines = p.linesIterator.toSeq
+    val joinAt = lines.indexWhere(l =>
+      l.contains("Join") && l.contains("bucket"))
+    assert(joinAt >= 0, p.take(3000))
+    assert(lines.drop(joinAt).count(_.contains("Window")) >= 2,
+      "cap windows not below the pairing join")
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
   test("q_profile_skew: global top-k is TakeOrdered (map-side partial), not a single-task window") {
     val p = SparkEntry.queries("q_profile_skew")(spark, sf)
       .queryExecution.executedPlan.toString
