@@ -1084,7 +1084,59 @@ object AnalyticsOps extends QueryModule {
                      AS BIGINT) AS weight_bp
             FROM tk, tot ORDER BY source"""))
 
+  // ------------------------------------------- seasonal anomaly gate --
+
+  /** Seasonality-aware anomaly detection: the 3-sigma gate of
+    * q_events_outliers, but against a PER-(event_type, hour-of-day)
+    * baseline instead of a global one — "checkout values are high for
+    * 3 AM" flags what a global mean absorbs (and vice versa: a globally
+    * extreme value can be normal for peak hour). Baseline cells are
+    * dround'd (the outlier gate's determinism rail) and broadcast back;
+    * the data path is one partial agg + one map-only flagging pass, and
+    * the baseline table is (types × 24) rows at any corpus size.
+    */
+  private val qEventsSeasonal = GQuery(
+    (s, d) => {
+      val e = t(s, d, "events")
+        .select(col("event_type"), hour(col("ts")).as("hod"), col("value"))
+      val base = e.groupBy("event_type", "hod")
+        .agg(dround(avg("value"), 6).as("mu"),
+          dround(stddev_samp(col("value")), 6).as("sigma"))
+      e.join(broadcast(base), Seq("event_type", "hod"))
+        .withColumn("is_anom",
+          col("value") > col("mu") + lit(2.0) * col("sigma") ||
+          col("value") < col("mu") - lit(2.0) * col("sigma"))
+        .groupBy("event_type", "hod")
+        .agg(count(lit(1)).as("n"),
+          sum(col("is_anom").cast("long")).as("n_anom"),
+          dround(max(when(col("is_anom"), col("value"))), 2).as("max_anom"))
+        .orderBy("event_type", "hod")
+    },
+    Some("""WITH e AS (
+              SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS hod,
+                     value
+              FROM events),
+            base AS (
+              SELECT event_type, hod,
+                     CAST(round(CAST(avg(value) AS DECIMAL(30,8)), 6)
+                       AS DOUBLE) AS mu,
+                     CAST(round(CAST(stddev_samp(value) AS DECIMAL(30,8)), 6)
+                       AS DOUBLE) AS sigma
+              FROM e GROUP BY 1, 2),
+            f AS (
+              SELECT e.event_type, e.hod, e.value,
+                     e.value > b.mu + 2.0 * b.sigma OR
+                     e.value < b.mu - 2.0 * b.sigma AS is_anom
+              FROM e JOIN base b USING (event_type, hod))
+            SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN is_anom THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_anom,
+                   CAST(round(CAST(max(CASE WHEN is_anom THEN value END)
+                     AS DECIMAL(30,8)), 2) AS DOUBLE) AS max_anom
+            FROM f GROUP BY 1, 2 ORDER BY event_type, hod"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_events_seasonal" -> qEventsSeasonal,
     "q_corpus_mix" -> qCorpusMix,
     "q_profile_skew" -> qProfileSkew,
     "q_sample_reservoir" -> qSampleReservoir,

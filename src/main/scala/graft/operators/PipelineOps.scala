@@ -377,7 +377,81 @@ object PipelineOps extends QueryModule {
           FROM b GROUP BY bucket ORDER BY bucket"""
     })
 
+  // --------------------------------------------- layout skipping eval --
+
+  /** File-skipping evaluation — the measurement the layout operators exist
+    * for: bucket the SAME rows two ways (z-order interleave vs sorted by x
+    * alone), keep per-bucket min/max "footer stats", and count how many
+    * buckets (files) a probe predicate could skip on those stats alone.
+    * One row per layout: x-only probes prune both layouts, the two-dim
+    * probe collapses on the sorted layout (y spans the full domain in
+    * every x-run) while z-order keeps pruning — the quantified version of
+    * SCALE.md's zorder rationale. Single scan: rows are tagged with both
+    * layouts via explode, so the comparison costs one extra groupBy, not
+    * a rescan. All stats are integer min/max/counts — hash-exact.
+    */
+  private val qLayoutSkipping = GQuery(
+    (s, d) => {
+      val base = t(s, d, "lineitem")
+        .select((col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"))
+      val z = (0 until 8).map(i =>
+        shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1)), 2 * i) +
+          shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1)), 2 * i + 1))
+        .reduce(_ + _)
+      val tagged = base
+        .withColumn("zb", shiftright(z, 12))
+        .withColumn("sb", expr("x div 16"))
+        .withColumn("layout", explode(array(lit("sorted"), lit("zorder"))))
+        .withColumn("bucket",
+          when(col("layout") === "zorder", col("zb")).otherwise(col("sb")))
+      val stats = tagged.groupBy("layout", "bucket")
+        .agg(count(lit(1)).as("n"),
+          min("x").as("x_min"), max("x").as("x_max"),
+          min("y").as("y_min"), max("y").as("y_max"))
+      // probe A: x BETWEEN 64 AND 95; probe B adds y BETWEEN 64 AND 95
+      val skipX = col("x_max") < 64 || col("x_min") > 95
+      val skipXY = skipX || col("y_max") < 64 || col("y_min") > 95
+      stats.groupBy("layout")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(skipX.cast("long")).as("skip_x"),
+          sum(skipXY.cast("long")).as("skip_xy"),
+          sum(when(skipXY, col("n")).otherwise(0L)).as("rows_skipped"))
+        .orderBy("layout")
+    },
+    Some {
+      val terms = (0 until 8).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH m AS (
+            SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem),
+          tagged AS (
+            SELECT x, y, layout,
+                   CASE WHEN layout = 'zorder' THEN ($terms) >> 12
+                        ELSE x // 16 END AS bucket
+            FROM m, (SELECT unnest(['sorted', 'zorder']) AS layout)),
+          stats AS (
+            SELECT layout, bucket, count(*) AS n,
+                   min(x) AS x_min, max(x) AS x_max,
+                   min(y) AS y_min, max(y) AS y_max
+            FROM tagged GROUP BY 1, 2),
+          f AS (
+            SELECT layout, n,
+                   (x_max < 64 OR x_min > 95) AS skip_x,
+                   (x_max < 64 OR x_min > 95 OR y_max < 64 OR y_min > 95)
+                     AS skip_xy
+            FROM stats)
+          SELECT layout, CAST(count(*) AS BIGINT) AS n_buckets,
+                 CAST(sum(CASE WHEN skip_x THEN 1 ELSE 0 END) AS BIGINT)
+                   AS skip_x,
+                 CAST(sum(CASE WHEN skip_xy THEN 1 ELSE 0 END) AS BIGINT)
+                   AS skip_xy,
+                 CAST(sum(CASE WHEN skip_xy THEN n ELSE 0 END) AS BIGINT)
+                   AS rows_skipped
+          FROM f GROUP BY layout ORDER BY layout"""
+    })
+
   override val queries: Map[String, GQuery] = Map(
+    "q_layout_skipping" -> qLayoutSkipping,
     "q_layout_zorder" -> qLayoutZorder,
     "q_fmt_roundtrip" -> qFmtRoundtrip,
     "q_read_offset_range" -> qReadOffsetRange,

@@ -405,6 +405,13 @@ class PlanShapeSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q_layout_skipping compares both layouts from ONE scan") {
+    val p = SparkEntry.queries("q_layout_skipping")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).length <= 1,
+      "layout comparison rescans the table per layout")
+  }
+
   test("q_profile_skew: global top-k is TakeOrdered (map-side partial), not a single-task window") {
     val p = SparkEntry.queries("q_profile_skew")(spark, sf)
       .queryExecution.executedPlan.toString
