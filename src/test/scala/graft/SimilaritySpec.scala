@@ -33,6 +33,27 @@ class SimilaritySpec extends SparkSpec {
     assert(quantized >= multiprobe, s"quantized $quantized < multiprobe $multiprobe")
   }
 
+  test("semantic clusters co-locate every surviving true-NN pair") {
+    // SemDeDup's partition-quality proxy: a near-dup can only be FOUND if
+    // the learned partition puts the pair in one cluster. Among the
+    // brute-force truth pairs whose BOTH endpoints survive the cluster
+    // cap, co-location must be total — the learned centroids adapt to the
+    // corpus where a random SRP hyperplane splits neighbors (the
+    // single-bucket SRP variant measures 0/15 on the same probes,
+    // q_knn_ivf_multiprobe scaladoc). Measured at sf0.01: 6 of 15 truth
+    // pairs survive, 6/6 co-locate.
+    val truth = pairs("q_embed_knn")
+    val cluster = SparkEntry.queries("q_dedup_semantic")(spark, sf)
+      .select("a_id", "cluster")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val surviving = truth.filter { case (p, n) =>
+      cluster.contains(p) && cluster.contains(n) }
+    assert(surviving.size >= 5, s"cap obliterated the truth pairs: $surviving")
+    val colocated = surviving.count { case (p, n) => cluster(p) == cluster(n) }
+    assert(colocated == surviving.size,
+      s"only $colocated/${surviving.size} surviving truth pairs co-locate")
+  }
+
   test("PQ tops the ladder: recall@3 >= int8-quantized at 1/8 its bytes") {
     val truth = pairs("q_embed_knn")
     val quantized = pairs("q_knn_quantized").count(truth)
