@@ -534,27 +534,41 @@ object DedupOps extends QueryModule {
         graft.functions.VectorExpressions.minhashBands(col("toks")).as("bands"))
       .select(col("doc_id"), explode_outer(col("bands")).as("band"))
 
-    /** Build the index over `history` (CTAS, 8 band buckets) if absent. */
+    /** Build the index over `history` (CTAS, 8 band buckets) if absent.
+      * The staging view and the DDL run on the FRAME's session, not the
+      * caller's: under foreachBatch the batch frame belongs to a per-batch
+      * session clone (shared catalog, separate temp views), and splitting
+      * the pair across sessions loses the view.
+      */
     def ensure(s: SparkSession, d: String, history: DataFrame): String = {
       val idx = name(d)
       if (!s.catalog.tableExists(idx)) {
         val base = java.nio.file.Files.createTempDirectory("graft-bandidx-").toString
         bands(history).select(col("doc_id").as("hist_doc"), col("band"))
           .createOrReplaceTempView("graft_band_idx_src")
-        s.sql(s"""CREATE TABLE $idx USING parquet
-                  CLUSTERED BY (band) SORTED BY (band) INTO 8 BUCKETS
-                  LOCATION '$base'
-                  AS SELECT * FROM graft_band_idx_src""")
+        history.sparkSession.sql(
+          s"""CREATE TABLE $idx USING parquet
+              CLUSTERED BY (band) SORTED BY (band) INTO 8 BUCKETS
+              LOCATION '$base'
+              AS SELECT * FROM graft_band_idx_src""")
       }
       idx
     }
 
-    /** Admit a batch into the index (bucketed append — no index rewrite). */
+    /** Admit a batch into the index (bucketed append — no index rewrite).
+      * Session discipline as in ensure(): view + INSERT on the batch's own
+      * session, so the call works identically from batch code and from
+      * inside foreachBatch.
+      */
     def append(s: SparkSession, d: String, batch: DataFrame): Unit = {
       bands(batch).select(col("doc_id").as("hist_doc"), col("band"))
         .createOrReplaceTempView("graft_band_idx_add")
-      s.sql(s"INSERT INTO ${name(d)} SELECT * FROM graft_band_idx_add")
-      ()
+      batch.sparkSession.sql(
+        s"INSERT INTO ${name(d)} SELECT * FROM graft_band_idx_add")
+      // the INSERT refreshes the BATCH session's relation cache only; the
+      // caller's session still holds the pre-append file listing and would
+      // silently miss the new bands — refresh it explicitly
+      s.catalog.refreshTable(name(d))
     }
   }
 

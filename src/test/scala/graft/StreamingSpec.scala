@@ -259,6 +259,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus dedup: each micro-batch checks, then feeds, the band index") {
+    // The incremental-dedup loop on the STREAMING surface: history index →
+    // per-batch near-dup check via the bucketed band index → bucketed
+    // append admits the batch for every LATER batch. Batch 2's replay of a
+    // batch-1 document can only be caught through the appended index —
+    // batch-1 text is gone when batch 2 arrives.
+    implicit val sq = spark.sqlContext
+    val B = operators.DedupOps.BandIndex
+    val key = Files.createTempDirectory("graft-stream-dedup-").toString
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    B.ensure(spark, key, docs.filter(col("doc_id") < 100))
+    val textOf = docs.filter(col("doc_id").isin(0, 150))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val flagged = scala.collection.mutable.Map[Long, Boolean]()
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF.toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        B.bands(b)
+          .join(spark.table(B.name(key)).hint("MERGE"), Seq("band"), "left")
+          .groupBy("doc_id")
+          .agg(max(col("hist_doc").isNotNull).as("dup"))
+          .collect().foreach { r =>
+            flagged.synchronized { flagged(r.getLong(0)) = r.getBoolean(1) }
+          }
+        B.append(spark, key, b)
+      }
+      .start()
+    try {
+      // batch 1: a genuinely new doc (150, not in the history slice) and a
+      // replay of history doc 0 under a new id
+      mem.addData((150L, textOf(150L)), (8888L, textOf(0L)))
+      q.processAllAvailable()
+      // batch 2: replay of BATCH 1's new doc — only the appended index
+      // can know it
+      mem.addData((9999L, textOf(150L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(flagged.get(8888L).contains(true), s"history replay missed: $flagged")
+    assert(flagged.get(150L).contains(false), s"fresh doc false-flagged: $flagged")
+    assert(flagged.get(9999L).contains(true),
+      s"batch-1 replay not caught through the appended index: $flagged")
+    spark.sql(s"DROP TABLE ${B.name(key)}")
+  }
+
   test("expiring dedup bounds its state: a key re-admits after its TTL") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Int, Long, Int, Double, String)]
