@@ -1135,7 +1135,112 @@ object AnalyticsOps extends QueryModule {
                      AS DECIMAL(30,8)), 2) AS DOUBLE) AS max_anom
             FROM f GROUP BY 1, 2 ORDER BY event_type, hod"""))
 
+  // ------------------------------------------------ CDC log compaction --
+
+  /** CDC log compaction: latest-state-per-key from an out-of-order change
+    * log with tombstones — the other half of the CDC story next to
+    * q_merge_upsert (which APPLIES a change batch; this one COMPACTS the
+    * log itself, the Kafka-compacted-topic / Hudi-MoR read path). Key =
+    * user_id, version order = (ts, event_id) — the tie-break makes the
+    * order total under same-timestamp replays — and 'error' events act as
+    * tombstones: a key whose LATEST version is a tombstone leaves the
+    * compacted view entirely.
+    *
+    * Scale shape: one shuffle on the key; `row_number = 1` triggers
+    * WindowGroupLimit, so each map task forwards only its local per-key
+    * champion before the exchange — the shuffle carries O(keys), not the
+    * log (plan-pinned alongside q_sample_reservoir). The tombstone filter
+    * runs AFTER rn=1: a tombstone must suppress the key, not resurrect the
+    * previous version.
+    */
+  private val qEventsCdc = GQuery(
+    (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("event_type") =!= "error")
+        .select(col("user_id"), col("event_type").as("last_type"),
+          dround(col("value")).as("last_value"),
+          col("ts").cast("timestamp_ntz").as("last_ts"))
+        .orderBy("user_id")
+    },
+    Some("""WITH ranked AS (
+              SELECT user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+            SELECT user_id, event_type AS last_type,
+                   CAST(round(CAST(value AS DECIMAL(30,8)), 2) AS DOUBLE)
+                     AS last_value,
+                   ts AS last_ts
+            FROM ranked WHERE rn = 1 AND event_type <> 'error'
+            ORDER BY user_id"""))
+
+  // ------------------------------------- grid-blocked interval overlap --
+
+  /** Interval-overlap join via grid blocking — the scale pattern for joins
+    * whose predicate is `a.start <= b.end AND b.start <= a.end` (no equi
+    * key at all, where q_join_range at least had user_id to hash on).
+    * Naively that's a broadcast-nested-loop touching |A|×|B| pairs; here
+    * both interval sets explode to the epoch-HOUR grid cells they cover,
+    * the join becomes an equi-join on the cell, and a distinct + exact
+    * overlap re-check removes grid artifacts (two intervals can share a
+    * cell without overlapping, and an overlapping pair meets in every
+    * shared cell — hence the distinct BEFORE emit).
+    *
+    * Intervals: A = per-(user, day) activity spans (first..last event that
+    * day); B = ±30-min incident windows around high-value events
+    * (value > 300). Cell fan-out is bounded by construction — ≤25 cells
+    * per day-span, ≤2 per incident — which is the knob that keeps the
+    * explode linear at 100 TB (pick the grid so span/cell ≈ small const;
+    * a skewed mega-interval would instead be split by the same cap logic
+    * the dedup blockers use).
+    */
+  private val qJoinInterval = GQuery(
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          to_date(col("ts")).as("day"),
+          unix_timestamp(col("ts")).as("ts_sec"))
+      val spans = ev.groupBy("user_id", "day")
+        .agg(min("ts_sec").as("a_start"), max("ts_sec").as("a_end"))
+      val incidents = ev.filter(col("value") > 300)
+        .select(col("event_id").as("incident_id"),
+          (col("ts_sec") - 1800).as("b_start"),
+          (col("ts_sec") + 1800).as("b_end"))
+      val aCells = spans.withColumn("cell",
+        explode(sequence(floor(col("a_start") / 3600),
+          floor(col("a_end") / 3600))))
+      val bCells = incidents.withColumn("cell",
+        explode(sequence(floor(col("b_start") / 3600),
+          floor(col("b_end") / 3600))))
+      aCells.join(bCells, "cell")
+        .filter(col("a_start") <= col("b_end") &&
+          col("b_start") <= col("a_end"))
+        .select(col("user_id"), col("day"), col("incident_id"))
+        .distinct()
+        .orderBy("user_id", "day", "incident_id")
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, event_id, value, CAST(ts AS DATE) AS day,
+                     CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+              FROM events),
+            a AS (SELECT user_id, day, min(ts_sec) AS a_start,
+                         max(ts_sec) AS a_end
+                  FROM ev GROUP BY 1, 2),
+            b AS (SELECT event_id AS incident_id, ts_sec - 1800 AS b_start,
+                         ts_sec + 1800 AS b_end
+                  FROM ev WHERE value > 300)
+            SELECT user_id, day, incident_id
+            FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+            ORDER BY user_id, day, incident_id"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_events_cdc" -> qEventsCdc,
+    "q_join_interval" -> qJoinInterval,
     "q_events_seasonal" -> qEventsSeasonal,
     "q_corpus_mix" -> qCorpusMix,
     "q_profile_skew" -> qProfileSkew,

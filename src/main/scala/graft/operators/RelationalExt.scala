@@ -543,7 +543,85 @@ object RelationalExt extends QueryModule {
                    CAST(cum.cum AS BIGINT) AS cum, tot.n AS n
             FROM hit JOIN cum USING (bin), tot ORDER BY q"""))
 
+  // ------------------------------------------------ Count-Min sketch --
+
+  /** Count-Min sketch point-frequency estimation — the third mergeable
+    * sketch next to HLL (q_agg_sketch_merge, distinct counts) and KLL-style
+    * quantiles (q_agg_quantile_merge): CM answers "how often did THIS key
+    * appear" in depth×width integer cells. Both engines compute the SAME
+    * sketch because the hash rows are md5-derived (`hex4`, the portable
+    * anchor): cell(i, k) = hex4(i || ':' || k) mod 64, depth 4.
+    *
+    * Shape at scale: the build is one explode(×4) + groupBy(row, cell) —
+    * partial-agg combinable, and the sketch is 256 rows at ANY corpus
+    * size; merging shards is cell-wise SUM of exactly those rows (the same
+    * re-aggregation contract the HLL query proves). Estimation joins the
+    * broadcast 40-row probe-cell table against the sketch and takes
+    * min-over-rows; the exact twin (computable at test SF) rides along to
+    * pin CM's one-sided guarantee: est >= exact, always.
+    */
+  private val qAggCountmin = GQuery(
+    (s, d) => {
+      val depth = 4
+      val width = 64
+      val keyed = t(s, d, "events")
+        .select(col("user_id").cast("string").as("k"))
+      val cells = keyed
+        .select(col("k"), explode(sequence(lit(0), lit(depth - 1))).as("rw"))
+        .select(col("rw"),
+          (DedupOps.hex4(concat_ws(":", col("rw"), col("k"))) % width)
+            .as("cell"))
+      val sketch = cells.groupBy("rw", "cell").agg(count(lit(1)).as("c"))
+      val probes = s.range(1, 11)
+        .select(col("id").as("probe"), col("id").cast("string").as("k"))
+        .select(col("probe"), col("k"),
+          explode(sequence(lit(0), lit(depth - 1))).as("rw"))
+        .select(col("probe"),
+          (DedupOps.hex4(concat_ws(":", col("rw"), col("k"))) % width)
+            .as("cell"), col("rw"))
+      val est = sketch.join(broadcast(probes), Seq("rw", "cell"))
+        .groupBy("probe").agg(min("c").as("est"))
+      val exact = t(s, d, "events")
+        .filter(col("user_id").between(1, 10))
+        .groupBy(col("user_id").as("probe"))
+        .agg(count(lit(1)).as("exact"))
+      est.join(exact, Seq("probe"), "left")
+        .select(col("probe"), col("est"),
+          coalesce(col("exact"), lit(0L)).as("exact"),
+          (col("est") >= coalesce(col("exact"), lit(0L))).as("sound"))
+        .orderBy("probe")
+    },
+    Some(s"""WITH keyed AS (
+               SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+             cells AS (
+               SELECT rw,
+                      ${DedupOps.duckHex4("md5(rw || ':' || k)")} % 64 AS cell
+               FROM keyed CROSS JOIN (SELECT CAST(i AS VARCHAR) AS rw
+                                      FROM generate_series(0, 3) t(i))),
+             sketch AS (
+               SELECT rw, cell, count(*) AS c FROM cells GROUP BY 1, 2),
+             probes AS (
+               SELECT p.probe, r.rw,
+                      ${DedupOps.duckHex4(
+                        "md5(r.rw || ':' || CAST(p.probe AS VARCHAR))")} % 64
+                        AS cell
+               FROM generate_series(1, 10) p(probe)
+               CROSS JOIN (SELECT CAST(i AS VARCHAR) AS rw
+                           FROM generate_series(0, 3) t(i)) r),
+             est AS (
+               SELECT probe, min(c) AS est
+               FROM sketch JOIN probes USING (rw, cell) GROUP BY probe),
+             exact AS (
+               SELECT user_id AS probe, CAST(count(*) AS BIGINT) AS exact
+               FROM events WHERE user_id BETWEEN 1 AND 10 GROUP BY 1)
+             SELECT e.probe, CAST(e.est AS BIGINT) AS est,
+                    coalesce(x.exact, 0) AS exact,
+                    e.est >= coalesce(x.exact, 0) AS sound
+             FROM est e LEFT JOIN exact x USING (probe)
+             ORDER BY probe"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_agg_countmin" -> qAggCountmin,
     "q_agg_quantile_merge" -> qAggQuantileMerge,
     "q_agg_approx" -> qAggApprox,
     "q_join_bloom" -> qJoinBloom,
