@@ -435,6 +435,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("q_events_cdc: per-key champion pre-filtered map-side (WindowGroupLimit)") {
+    val p = plan("q_events_cdc")
+    // rn=1 must run as a group-limit BOTH sides of the key exchange, so the
+    // shuffle carries each task's local champions — O(keys), not the log
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2, p.take(2500))
+  }
+
+  test("q_join_interval equi-joins on the grid cell — never a nested loop") {
+    val p = plan("q_join_interval")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    // the join key is the grid cell (hash or sort-merge equi-join on cell)
+    assert(p.contains("cell"), p.take(3000))
+  }
+
+  test("q_agg_countmin: sketch build partially aggregates; probes broadcast") {
+    val p = plan("q_agg_countmin")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("q_split_train and q_text_chunk stay shuffle-minimal (one exchange each)") {
     // split: map + single-key agg; chunk: map + explode + presentation sort.
     // More exchanges would mean the split/chunk stage itself shuffles.
