@@ -77,4 +77,56 @@ class DedupGuardSpec extends SparkSpec {
     assert(out.count() == 3, out.count())
     assert(out.filter(col("doc_a") < 100).count() == 0)
   }
+
+  test("MinHash LSH recall gauge: every exact-dup truth pair shares a band; " +
+      "J>=0.5 truth recall measured against brute force") {
+    // The LSH quality number the SemDeDup gauge provides for clustering,
+    // here for the banding scheme itself: truth = brute-force shingle-set
+    // Jaccard (shared-shingle join — never doc×doc), candidates = pairs
+    // sharing >=1 of the 2 bands. J=1 pairs MUST collide (identical
+    // signatures — deterministic); probabilistic pairs are gauged, not
+    // promised: with 2 bands x 2 rows, P(candidate | J) = 1-(1-J^2)^2.
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(operators.DedupOps.shingles(col("toks")))).as("s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    val truth = inter
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sza")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("sz").as("szb")), "db")
+      .withColumn("j",
+        col("inter") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("j") >= 0.5)
+      .select("da", "db", "j")
+      .cache()
+    val bands = docs.select(col("doc_id"),
+        explode(graft.functions.VectorExpressions.minhashBands(col("toks")))
+          .as("band"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    val exact = truth.filter(col("j") >= 0.9999)
+    val nExact = exact.count()
+    val nExactCaught = exact.join(cand, Seq("da", "db"), "left_semi").count()
+    val nTruth = truth.count()
+    val nCaught = truth.join(cand, Seq("da", "db"), "left_semi").count()
+    truth.unpersist()
+    info(s"truth pairs J>=0.5: $nTruth, caught: $nCaught; " +
+      s"exact pairs: $nExact, caught: $nExactCaught")
+    assert(nTruth > 0, "corpus has no J>=0.5 truth pairs to gauge")
+    // identical shingle sets => identical signatures, collision guaranteed;
+    // vacuous when the corpus has no exact pairs (sf0.001 has none — its
+    // near-dups are paraphrase-grade, measured J 0.5-0.95)
+    assert(nExactCaught == nExact,
+      s"an exact duplicate escaped LSH: $nExactCaught/$nExact")
+    // measured 28/28 at sf0.001 — the floor leaves room for an unlucky
+    // banding draw on a regenerated corpus, not for a broken kernel
+    assert(nCaught >= (nTruth * 0.7).toLong,
+      s"LSH recall below 0.7 on J>=0.5 truth: $nCaught/$nTruth")
+  }
 }
