@@ -1238,7 +1238,49 @@ object AnalyticsOps extends QueryModule {
             FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
             ORDER BY user_id, day, incident_id"""))
 
+  // ------------------------------------------------ curriculum ordering --
+
+  /** Curriculum-phase assignment: every doc gets a global difficulty rank
+    * (by n_chars, doc_id tie-break) and a phase = which fifth of the ranked
+    * corpus it falls in — the easy→hard schedule a curriculum-training run
+    * consumes. The naive form is `ntile()`/`row_number()` over a GLOBAL
+    * ORDER BY — one task holds the corpus (the WindowExec warning). Here
+    * the exact global rank comes from the q_dist_histogram two-level
+    * decomposition instead: a (bin) histogram agg, a tiny ordered-bin
+    * prefix window (#bins rows), then a per-bin row_number — high
+    * cardinality, bounded rows per task — plus the broadcast bin offset.
+    * Phase arithmetic stays integral (`div` ≡ DuckDB `//`) so the t2 hash
+    * gates exact ints, and the floor formula — NOT ntile(), which
+    * distributes remainders differently — is mirrored in the oracle.
+    */
+  private val qCurriculum = GQuery(
+    (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        .withColumn("bin", floor(col("n_chars") / 64))
+      val binCounts = docs.groupBy("bin").agg(count(lit(1)).as("cnt"))
+      val wBins = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = binCounts.select(col("bin"),
+        coalesce(sum("cnt").over(wBins), lit(0L)).as("off"),
+        sum("cnt").over(Window.partitionBy()).as("total"))
+      val wInBin = Window.partitionBy("bin").orderBy("n_chars", "doc_id")
+      docs.join(broadcast(offsets), "bin")
+        .withColumn("rank", col("off") + row_number().over(wInBin))
+        .select(col("doc_id"), col("n_chars"), col("rank"),
+          expr("CAST(((rank - 1) * 5) div total AS INT)").as("phase"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH r AS (
+              SELECT doc_id, n_chars,
+                     row_number() OVER (ORDER BY n_chars, doc_id) AS rank
+              FROM documents),
+            t AS (SELECT count(*) AS n FROM documents)
+            SELECT doc_id, n_chars, CAST(rank AS BIGINT) AS rank,
+                   CAST(((rank - 1) * 5) // n AS INT) AS phase
+            FROM r, t ORDER BY doc_id"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_curriculum" -> qCurriculum,
     "q_events_cdc" -> qEventsCdc,
     "q_join_interval" -> qJoinInterval,
     "q_events_seasonal" -> qEventsSeasonal,

@@ -456,6 +456,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("q_curriculum: the per-doc window partitions on bin; offsets broadcast") {
+    val p = plan("q_curriculum")
+    // the corpus-sized row_number must partition on the high-cardinality
+    // bin — a global ORDER BY window (empty partition spec over raw docs)
+    // is the single-task skew this query exists to avoid
+    val windowLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.exists(l => l.contains("bin") && l.contains("doc_id")),
+      s"no bin-partitioned per-doc window:\n${windowLines.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("q_split_train and q_text_chunk stay shuffle-minimal (one exchange each)") {
     // split: map + single-key agg; chunk: map + explode + presentation sort.
     // More exchanges would mean the split/chunk stage itself shuffles.
