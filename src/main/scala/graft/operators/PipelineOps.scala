@@ -450,7 +450,70 @@ object PipelineOps extends QueryModule {
           FROM f GROUP BY layout ORDER BY layout"""
     })
 
+  // ---------------------------------------------- table diff / checksum --
+
+  /** Distributed table compare — the validation step every migration,
+    * backfill, and engine swap needs: per-group row counts and an
+    * ORDER-INDEPENDENT content checksum (sum of per-row md5-derived ints,
+    * commutative ⇒ partition- and arrival-order-proof, partial-agg
+    * combinable) over table A and a deterministically corrupted twin B
+    * (every 1000th key family: one value drifts, another's rows vanish —
+    * the two classic silent-corruption modes). Groups where B is clean
+    * report match=true; the drifted and dropped families flag. At 100 TB:
+    * two scans + two tiny aggs, a groups-sized join — no row-level
+    * shuffle, no sort, and the checksum never leaves the executors.
+    * Hash input is integer-rendered columns only (doubles render
+    * differently across engines; l_quantity is integral by data contract).
+    */
+  private val qTableDiff = GQuery(
+    (s, d) => {
+      val rows = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"))
+      def side(df: DataFrame) = df
+        .withColumn("h", DedupOps.hex4(concat_ws("|",
+          col("l_orderkey"), col("l_linenumber"), col("qty"))))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("h").as("chk"))
+      val a = side(rows)
+      val b = side(rows
+        .filter(col("l_orderkey") % 1000 =!= 13)
+        .withColumn("qty", when(col("l_orderkey") % 1000 === 7,
+          col("qty") + 1).otherwise(col("qty"))))
+      a.select(col("l_returnflag"), col("n").as("n_a"), col("chk").as("chk_a"))
+        .join(b.select(col("l_returnflag"), col("n").as("n_b"),
+          col("chk").as("chk_b")), "l_returnflag")
+        .select(col("l_returnflag"), col("n_a"), col("n_b"),
+          (col("n_a") === col("n_b") && col("chk_a") === col("chk_b"))
+            .as("match"))
+        .orderBy("l_returnflag")
+    },
+    Some {
+      val h = DedupOps.duckHex4(
+        "md5(l_orderkey || '|' || l_linenumber || '|' || qty)")
+      s"""WITH rows_a AS (
+            SELECT l_returnflag, l_orderkey, l_linenumber,
+                   CAST(l_quantity AS BIGINT) AS qty
+            FROM lineitem),
+          rows_b AS (
+            SELECT l_returnflag, l_orderkey, l_linenumber,
+                   CASE WHEN l_orderkey % 1000 = 7 THEN qty + 1 ELSE qty END
+                     AS qty
+            FROM rows_a WHERE l_orderkey % 1000 <> 13),
+          a AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_a,
+                       CAST(sum($h) AS BIGINT) AS chk_a
+                FROM rows_a GROUP BY 1),
+          b AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_b,
+                       CAST(sum($h) AS BIGINT) AS chk_b
+                FROM rows_b GROUP BY 1)
+          SELECT l_returnflag, n_a, n_b,
+                 n_a = n_b AND chk_a = chk_b AS "match"
+          FROM a JOIN b USING (l_returnflag)
+          ORDER BY l_returnflag"""
+    })
+
   override val queries: Map[String, GQuery] = Map(
+    "q_table_diff" -> qTableDiff,
     "q_layout_skipping" -> qLayoutSkipping,
     "q_layout_zorder" -> qLayoutZorder,
     "q_fmt_roundtrip" -> qFmtRoundtrip,

@@ -620,7 +620,58 @@ object RelationalExt extends QueryModule {
              FROM est e LEFT JOIN exact x USING (probe)
              ORDER BY probe"""))
 
+  // --------------------------------------- incremental agg maintenance --
+
+  /** Incremental aggregate maintenance: yesterday's materialized per-key
+    * states + today's delta states merge into the current view WITHOUT
+    * rescanning history — the plain-aggregate version of the re-aggregation
+    * contract the HLL/quantile/CM sketch queries prove. The mergeable
+    * state is (n, sum, min, max); avg DERIVES from merged (n, sum) — the
+    * classic IVM rule that avg itself never merges. Insert-only deltas
+    * (tombstone retraction breaks min/max — that path is q_events_cdc's
+    * compaction). The full-outer merge keeps keys that exist on one side
+    * only; the oracle recomputes from scratch, pinning merge ≡ rescan. At
+    * 100 TB the left input is a states table thousands of times smaller
+    * than the raw history it replaces.
+    */
+  private val qAggIncremental = GQuery(
+    (s, d) => {
+      val e = t(s, d, "events")
+        .withColumn("recent", to_date(col("ts")) >= lit("2024-01-16"))
+      def state(df: DataFrame, tag: String) = df.groupBy("event_type")
+        .agg(count(lit(1)).as(s"n_$tag"), sum("value").as(s"sum_$tag"),
+          min("value").as(s"min_$tag"), max("value").as(s"max_$tag"))
+      state(e.filter(!col("recent")), "h")
+        .join(state(e.filter(col("recent")), "d"), Seq("event_type"),
+          "full_outer")
+        .select(col("event_type"),
+          (coalesce(col("n_h"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+            .as("n"),
+          dround(coalesce(col("sum_h"), lit(0.0))
+            + coalesce(col("sum_d"), lit(0.0))).as("total"),
+          dround((coalesce(col("sum_h"), lit(0.0))
+              + coalesce(col("sum_d"), lit(0.0)))
+            / (coalesce(col("n_h"), lit(0L)) + coalesce(col("n_d"), lit(0L))))
+            .as("mean"),
+          dround(least(coalesce(col("min_h"), col("min_d")),
+            coalesce(col("min_d"), col("min_h")))).as("lo"),
+          dround(greatest(coalesce(col("max_h"), col("max_d")),
+            coalesce(col("max_d"), col("max_h")))).as("hi"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(round(CAST(sum(value) AS DECIMAL(30,8)), 2) AS DOUBLE)
+                     AS total,
+                   CAST(round(CAST(sum(value) / count(*) AS DECIMAL(30,8)), 2)
+                     AS DOUBLE) AS mean,
+                   CAST(round(CAST(min(value) AS DECIMAL(30,8)), 2) AS DOUBLE)
+                     AS lo,
+                   CAST(round(CAST(max(value) AS DECIMAL(30,8)), 2) AS DOUBLE)
+                     AS hi
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_agg_incremental" -> qAggIncremental,
     "q_agg_countmin" -> qAggCountmin,
     "q_agg_quantile_merge" -> qAggQuantileMerge,
     "q_agg_approx" -> qAggApprox,

@@ -467,6 +467,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("q_table_diff: checksums partially aggregate — row data never shuffles") {
+    val p = plan("q_table_diff")
+    // each side's (count, sum-of-hash) must map-side combine: the exchange
+    // carries group states, not rows
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") || p.contains("HashAggregate"), p.take(3000))
+  }
+
   test("q_split_train and q_text_chunk stay shuffle-minimal (one exchange each)") {
     // split: map + single-key agg; chunk: map + explode + presentation sort.
     // More exchanges would mean the split/chunk stage itself shuffles.
