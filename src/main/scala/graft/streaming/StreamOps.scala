@@ -170,6 +170,45 @@ object StreamOps {
   def enrichStream(shaped: DataFrame, dim: DataFrame, dimKey: String): DataFrame =
     shaped.join(broadcast(dim), col("value.uid") === dim(dimKey), "left")
 
+  /** Streaming corpus admission — the streaming twin of q_corpus_pipeline's
+    * normalize → quality-gate → near-dup-gate chain, run per micro-batch
+    * against the PERSISTED BandIndex so history text is never rescanned.
+    * Each batch: (1) normalize text, (2) drop docs under `minToks` tokens,
+    * (3) drop docs sharing a MinHash band with the index, (4) append the
+    * survivors' bands — admitted docs gate every LATER batch, including
+    * within-stream replays — and (5) hand the kept batch to `onBatch`.
+    *
+    * The kept frame is MATERIALIZED (localCheckpoint) before the index
+    * append: the anti-join must never re-evaluate against an index that
+    * already contains this batch's own bands — lazily, (4) would make (3)
+    * drop everything it just admitted. Two near-dups arriving in the SAME
+    * batch both admit (neither is indexed yet); intra-batch near-dedup is
+    * the batch operators' job (q_dedup_minhash) and a pre-step if needed.
+    * `BandIndex.ensure` must have been called for `indexKey`.
+    */
+  def corpusAdmit(docs: DataFrame, indexKey: String, minToks: Int)(
+      onBatch: DataFrame => Unit): StreamingQuery = {
+    val B = graft.operators.DedupOps.BandIndex
+    // the stream-defining (root) session: per-batch session clones inherit
+    // ITS relation cache, so the post-append refresh must land there or the
+    // next batch's clone starts from the pre-append file listing
+    val root = docs.sparkSession
+    docs.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+      val norm = b.select(col("doc_id"),
+          trim(regexp_replace(regexp_replace(lower(col("text")),
+            "[^a-z0-9 ]", " "), " +", " ")).as("text"))
+        .filter(size(split(col("text"), " ")) >= minToks)
+      val dupIds = B.bands(norm)
+        .join(b.sparkSession.table(B.name(indexKey)).hint("MERGE"),
+          Seq("band"), "left_semi")
+        .select("doc_id").distinct()
+      val kept = norm.join(dupIds, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      B.append(root, indexKey, kept)
+      onBatch(kept)
+    }.start()
+  }
+
   /** The reference's end-to-end job as a stream: file source → Kafka shape →
     * offset-named chunked ORC files, exactly-once via checkpoint + idempotent
     * dynamic-partition overwrite (O7/O10/O11).

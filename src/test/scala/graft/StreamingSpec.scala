@@ -303,6 +303,39 @@ class StreamingSpec extends SparkSpec {
     spark.sql(s"DROP TABLE ${B.name(key)}")
   }
 
+  test("corpusAdmit composes gate + near-dup + index feed over the stream") {
+    // The product streaming-admission API end-to-end: a short doc falls to
+    // the quality gate, a history near-dup falls to the index check, an
+    // admitted doc's replay in a LATER batch falls to the appended bands,
+    // and the fresh doc survives — q_corpus_pipeline's chain, per batch.
+    implicit val sq = spark.sqlContext
+    val B = operators.DedupOps.BandIndex
+    val key = Files.createTempDirectory("graft-admit-").toString
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    B.ensure(spark, key, docs.filter(col("doc_id") < 100))
+    val textOf = docs.filter(col("doc_id").isin(0, 150))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val kept = scala.collection.mutable.Set[Long]()
+    val mem = MemoryStream[(Long, String)]
+    val q = streaming.StreamOps.corpusAdmit(
+        mem.toDF.toDF("doc_id", "text"), key, 5) { b =>
+      val ids = b.select("doc_id").collect().map(_.getLong(0))
+      kept.synchronized { kept ++= ids }
+    }
+    try {
+      mem.addData(
+        (150L, textOf(150L)),      // fresh — admit
+        (7777L, "too short"),      // quality gate
+        (8888L, textOf(0L)))       // history near-dup
+      q.processAllAvailable()
+      mem.addData((9999L, textOf(150L))) // replay of batch-1 admit
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(kept.toSet == Set(150L),
+      s"admission set wrong: $kept (gate, index, or append misfired)")
+    spark.sql(s"DROP TABLE ${B.name(key)}")
+  }
+
   test("expiring dedup bounds its state: a key re-admits after its TTL") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Int, Long, Int, Double, String)]
