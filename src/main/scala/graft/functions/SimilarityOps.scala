@@ -889,7 +889,62 @@ object SimilarityOps extends QueryModule {
             FROM s2 JOIN s1 USING (vec_id)
             GROUP BY 1 ORDER BY cid"""))
 
+  // ------------------------------------------------------ filtered ANN --
+
+  /** Metadata-filtered vector search — the retrieval shape modern vector
+    * stores call "filtered ANN": top-k cosine neighbors AMONG the vectors
+    * satisfying a scalar predicate (here `label < 3`). The predicate is a
+    * plain comparison so it reaches the parquet scan as a pushed filter
+    * (plan-pinned): the corpus shrinks BEFORE any distance arithmetic or
+    * top-k state, which is the whole economics of pre-filtered search — at
+    * a 3% selectivity the scan does 97% less distance work than
+    * post-filtering brute force. Probes stay unfiltered (a query vector's
+    * own metadata is irrelevant). Same map-only broadcast-probe shape as
+    * q_embed_knn; the IVF escalation path applies per filtered stratum.
+    */
+  private val qKnnFiltered = GQuery(
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("emb"))
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("p_id"), col("emb").as("p_emb"),
+          norm(col("emb")).as("p_nrm"))
+      val corpus = emb.filter(col("label") < 3)
+        .withColumn("nrm", norm(col("emb")))
+      val w = Window.partitionBy("p_id").orderBy(col("cos").desc, col("n_id").asc)
+      corpus.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("p_id"))
+        .select(col("p_id"), col("vec_id").as("n_id"), col("label"),
+          dround(dot(col("p_emb"), col("emb")) / (col("p_nrm") * col("nrm")), 6)
+            .as("cos"))
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("p_id"), col("n_id"), col("label"), col("rk"),
+          dround(col("cos"), 2).as("score"))
+        .orderBy("p_id", "rk")
+    },
+    Some("""WITH probes AS (
+              SELECT vec_id AS p_id, CAST(embedding AS DOUBLE[]) AS p_emb
+              FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT p_id, e.vec_id AS n_id, e.label,
+                     CAST(round(CAST(list_cosine_similarity(p_emb,
+                       CAST(e.embedding AS DOUBLE[])) AS DECIMAL(30,8)), 6)
+                       AS DOUBLE) AS cos
+              FROM probes, embeddings e
+              WHERE e.label < 3 AND e.vec_id <> p_id),
+            ranked AS (
+              SELECT p_id, n_id, label, cos,
+                     row_number() OVER (PARTITION BY p_id
+                       ORDER BY cos DESC, n_id) AS rn
+              FROM scored)
+            SELECT p_id, n_id, label, CAST(rn AS INT) AS rk,
+                   CAST(round(CAST(cos AS DECIMAL(30,8)), 2) AS DOUBLE) AS score
+            FROM ranked WHERE rn <= 3 ORDER BY p_id, rk"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_knn_filtered" -> qKnnFiltered,
     "q_embed_kmeans" -> qEmbedKmeans,
     "q_embed_centroid" -> qEmbedCentroid,
     "q_scalar_hof" -> qScalarHof,

@@ -53,6 +53,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("q_knn_filtered pushes the metadata predicate into the corpus scan") {
+    val p = plan("q_knn_filtered")
+    // the whole point of pre-filtered ANN: the corpus shrinks AT THE SCAN,
+    // before any distance arithmetic — and the probe side broadcasts
+    assert(p.contains("LessThan(label,3)"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("bucketed join shuffles neither side (at-scale shape: no broadcast)") {
     // materialize the bucketed tables, then inspect the join-only plan with
     // auto-broadcast off — at test SF the dim side fits a broadcast (and
