@@ -553,7 +553,112 @@ object TextOps extends QueryModule {
             FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
             ORDER BY doc_a, doc_b"""))
 
+  // ------------------------------------------------- BM25 retrieval --
+
+  /** BM25 ranked retrieval — the full-text search scorer (Robertson/Spärck
+    * Jones; the tf-idf refinement every search engine ships): per-(query,
+    * doc) score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf(t) = ln((N−df+0.5)/(df+0.5)+1). Complements q_text_tfidf (feature
+    * vectors) with the retrieval form: static query set, top-5 per query.
+    *
+    * Scale shape (single corpus scan end-to-end):
+    *  - corpus stats (N, avgdl, per-term df) are ONE tiny partial agg
+    *    broadcast back — never a second scan, never a driver collect;
+    *  - scoring is per-row arithmetic over the broadcast row (map-only);
+    *  - group-wise top-k is the two-level form: local row_number per
+    *    (qid, doc_id%16 salt) prunes to ≤80 candidates per query, the
+    *    global window then ranks ≤80 rows — a per-qid window over the raw
+    *    corpus would funnel N rows through 3 reducers at 100 TB.
+    * Ranking happens on the dround'd score (4 dp) so both engines rank the
+    * identical value; doc_id breaks ties for a total order. avgdl is exact
+    * cross-engine: doc lengths are integers, so the double sum is
+    * order-proof below 2^53.
+    */
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val bm25Queries: Seq[(String, Seq[String])] = Seq(
+    ("hash_join", Seq("hash", "join")),
+    ("stream_pipe", Seq("stream", "window", "merge")),
+    ("vector_scan", Seq("vector", "scan")))
+
+  private val qTextBm25 = GQuery(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .withColumn("dl", size(col("toks")).cast("double"))
+      val allTerms = bm25Queries.flatMap(_._2).distinct
+      val statCols = count(lit(1)).cast("double").as("n_docs") +:
+        avg(col("dl")).as("avgdl") +:
+        allTerms.map(tm =>
+          sum(when(array_contains(col("toks"), tm), 1L).otherwise(0L))
+            .cast("double").as(s"df_$tm"))
+      val stats = docs.agg(statCols.head, statCols.tail: _*)
+      val perQuery = bm25Queries.map { case (qid, terms) =>
+        val score = terms.map { tm =>
+          val tf = size(filter(col("toks"), tk => tk === tm)).cast("double")
+          val idf = log(
+            (col("n_docs") - col(s"df_$tm") + 0.5) / (col(s"df_$tm") + 0.5)
+              + 1.0)
+          // association mirrors the oracle exactly: (b*dl)/avgdl, then
+          // (1-b) + that — fp identical only when the tree matches
+          idf * (tf * (Bm25K1 + 1.0)) /
+            (tf + lit(Bm25K1) * (lit(1.0 - Bm25B)
+              + lit(Bm25B) * col("dl") / col("avgdl")))
+        }.reduce(_ + _)
+        struct(lit(qid).as("qid"), dround(score, 4).as("score"))
+      }
+      val wLocal = Window
+        .partitionBy(col("qid"), pmod(col("doc_id"), lit(16)))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      val wGlobal = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      docs.crossJoin(broadcast(stats))
+        .select(col("doc_id"), explode(array(perQuery: _*)).as("qs"))
+        .select(col("doc_id"), col("qs.qid").as("qid"), col("qs.score").as("score"))
+        .withColumn("rn", row_number().over(wLocal)).filter(col("rn") <= 5)
+        .withColumn("rk", row_number().over(wGlobal).cast("int"))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("doc_id"), col("score"))
+        .orderBy("qid", "rk")
+    },
+    Some {
+      val allTerms = bm25Queries.flatMap(_._2).distinct
+      val dfCols = allTerms.map(tm =>
+        s"CAST(sum(CASE WHEN list_contains(toks, '$tm') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$tm")
+        .mkString(",\n                     ")
+      val branches = bm25Queries.map { case (qid, terms) =>
+        val score = terms.map { tm =>
+          s"""(ln((n_docs - df_$tm + 0.5) / (df_$tm + 0.5) + 1.0)
+               * (CAST(len(list_filter(toks, tk -> tk = '$tm')) AS DOUBLE) * ${Bm25K1 + 1.0})
+               / (CAST(len(list_filter(toks, tk -> tk = '$tm')) AS DOUBLE)
+                  + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl)))"""
+        }.mkString(" + ")
+        s"""SELECT doc_id, '$qid' AS qid,
+               CAST(round(CAST($score AS DECIMAL(30,8)), 4) AS DOUBLE) AS score
+            FROM docs CROSS JOIN stats"""
+      }.mkString("\n            UNION ALL\n            ")
+      s"""WITH docs AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS toks,
+                     CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS dl
+              FROM documents),
+            stats AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+                     $dfCols
+              FROM docs),
+            scored AS (
+              $branches),
+            ranked AS (
+              SELECT qid, doc_id, score,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY score DESC, doc_id ASC) AS rk
+              FROM scored)
+            SELECT qid, CAST(rk AS INT) AS rk, doc_id, score
+            FROM ranked WHERE rk <= 5 ORDER BY qid, rk"""
+    })
+
   override val queries: Map[String, GQuery] = Map(
+    "q_text_bm25" -> qTextBm25,
     "q_text_levenshtein" -> qTextLevenshtein,
     "q_vocab_bigrams" -> qVocabBigrams,
     "q_vocab_topk" -> qVocabTopk,

@@ -61,6 +61,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("q_text_bm25 broadcasts corpus stats and two-levels the per-query top-k") {
+    val p = plan("q_text_bm25")
+    // stats row reaches the corpus as a broadcast (never a shuffle or a
+    // driver collect), and the group-wise top-k is local-prune → tiny
+    // global window: exactly two Window nodes, salt level first
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    val windows = p.linesIterator.count(_.trim.stripPrefix("+- ").stripPrefix("*(")
+      .contains("Window ["))
+    assert(windows == 2, s"expected 2 Window nodes, got $windows\n" + p.take(3000))
+  }
+
   test("bucketed join shuffles neither side (at-scale shape: no broadcast)") {
     // materialize the bucketed tables, then inspect the join-only plan with
     // auto-broadcast off — at test SF the dim side fits a broadcast (and
