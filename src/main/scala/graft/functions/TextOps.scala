@@ -553,6 +553,67 @@ object TextOps extends QueryModule {
             FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
             ORDER BY doc_a, doc_b"""))
 
+  // ------------------------------------------- Gopher-rule filtering --
+
+  /** Gopher-rules document filter (Rae et al. 2021 §A1.1, the published
+    * quality-rule battery every LLM corpus pipeline reimplements): hard
+    * per-document checks, each yielding a bit in an explainable violation
+    * mask — downstream curation reads WHY a doc was dropped, not just that
+    * it was. Rules (thresholds tuned so the sf0.01 gate exercises both
+    * outcomes of every rule):
+    *   bit 1 — word count ≥ 30;
+    *   bit 2 — mean word length in [4, 5];
+    *   bit 4 — ≥ 2 stopwords (the Gopher "stop word" check);
+    *   bit 8 — unique-word ratio ≥ 50% (repetition signal).
+    * All ratios are cross-multiplied integers (4·nw ≤ Σlen, 2·nd ≥ nw …) —
+    * no division anywhere, so the t2 hash gates exact values. Map-only:
+    * per-row array math, no shuffle, no stats pass — the filter streams at
+    * scan speed over 100 TB and composes in front of any dedup stage.
+    */
+  private val qQualityGopher = GQuery(
+    (s, d) => {
+      val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+      t(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("nw"),
+          aggregate(col("toks"), lit(0L), (acc, tk) => acc + length(tk))
+            .as("sumlen"),
+          size(filter(col("toks"), tk => tk.isin(stops.map(lit): _*)))
+            .cast("long").as("nstop"),
+          size(array_distinct(col("toks"))).cast("long").as("nd"))
+        .select(col("doc_id"), col("nw"),
+          (when(col("nw") >= 30, 0).otherwise(1)
+            + when(col("sumlen") >= col("nw") * 4
+                && col("sumlen") <= col("nw") * 5, 0).otherwise(2)
+            + when(col("nstop") >= 2, 0).otherwise(4)
+            + when(col("nd") * 2 >= col("nw"), 0).otherwise(8))
+            .cast("int").as("flags"))
+        .withColumn("keep", col("flags") === 0)
+        .orderBy("doc_id")
+    },
+    Some("""WITH s AS (
+              SELECT doc_id, CAST(len(toks) AS BIGINT) AS nw,
+                     CAST(list_sum(list_transform(toks, tk -> len(tk))) AS BIGINT) AS sumlen,
+                     CAST(len(list_filter(toks, tk -> tk IN
+                       ('the','a','of','and','to','in','is'))) AS BIGINT) AS nstop,
+                     CAST(len(list_distinct(toks)) AS BIGINT) AS nd
+              FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                    FROM documents))
+            SELECT doc_id, nw,
+                   CAST((CASE WHEN nw >= 30 THEN 0 ELSE 1 END)
+                      + (CASE WHEN sumlen >= nw * 4 AND sumlen <= nw * 5
+                              THEN 0 ELSE 2 END)
+                      + (CASE WHEN nstop >= 2 THEN 0 ELSE 4 END)
+                      + (CASE WHEN nd * 2 >= nw THEN 0 ELSE 8 END) AS INT)
+                     AS flags,
+                   (CASE WHEN nw >= 30 THEN 0 ELSE 1 END)
+                      + (CASE WHEN sumlen >= nw * 4 AND sumlen <= nw * 5
+                              THEN 0 ELSE 2 END)
+                      + (CASE WHEN nstop >= 2 THEN 0 ELSE 4 END)
+                      + (CASE WHEN nd * 2 >= nw THEN 0 ELSE 8 END) = 0 AS keep
+            FROM s ORDER BY doc_id"""))
+
   // ------------------------------------------------- BM25 retrieval --
 
   /** BM25 ranked retrieval — the full-text search scorer (Robertson/Spärck
@@ -658,6 +719,7 @@ object TextOps extends QueryModule {
     })
 
   override val queries: Map[String, GQuery] = Map(
+    "q_quality_gopher" -> qQualityGopher,
     "q_text_bm25" -> qTextBm25,
     "q_text_levenshtein" -> qTextLevenshtein,
     "q_vocab_bigrams" -> qVocabBigrams,
