@@ -815,7 +815,86 @@ object DedupOps extends QueryModule {
           FROM r WHERE rn = 1 ORDER BY a_id"""
     })
 
+  // ------------------------------------------ exact set-similarity join --
+
+  /** Exact set-similarity self-join via PREFIX FILTERING (PPJoin family,
+    * Xiao et al. 2008): all document pairs with token-set Jaccard ≥ 0.9 —
+    * EXACTLY, no LSH approximation — without the all-pairs product. The
+    * other near-dup scorers here are probabilistic (MinHash bands, SimHash,
+    * SRP buckets); this is the exact counterpart for when recall must be 1.
+    *
+    * The filter theorem: order tokens by a GLOBAL total order (ascending
+    * document frequency, token tiebreak — rarest first); if J(x,y) ≥ t then
+    * the first |x|−⌈t·|x|⌉+1 tokens of x and the first |y|−⌈t·|y|⌉+1 of y
+    * (in that order) share at least one token. So candidates = pairs
+    * sharing a PREFIX token, a join keyed on rare tokens, plus the length
+    * filter 100·min(n) ≥ 90·max(n); each candidate is then verified with
+    * the exact intersection. All comparisons are cross-multiplied integers.
+    *
+    * Scale: the token-rank window runs over the VOCABULARY (|V| ≪ corpus;
+    * same single-partition caveat as the unigram side of q_vocab_bigrams),
+    * then broadcasts. Prefix tokens are the globally RAREST — on a Zipfian
+    * vocabulary the candidate blocks are small by construction (the prefix
+    * of a hot token is carried only by docs where it is among the rarest
+    * ~10%), the opposite economics of naive 2-token-prefix blocking. At
+    * sf0.01 the synthetic 30-word vocabulary makes every block hot — the
+    * worst case for this operator and still exact.
+    */
+  private val SetJoinTau100 = 90
+  private val qDedupSetjoin = GQuery(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), array_distinct(tokens).as("ts"))
+        .withColumn("n", size(col("ts")).cast("long"))
+      val tok = docs.select(col("doc_id"), col("n"), explode(col("ts")).as("tok"))
+      val rank = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("df").asc, col("tok").asc)))
+        .select("tok", "rk")
+      val pref = tok.join(broadcast(rank), "tok")
+        .groupBy(col("doc_id"), col("n"))
+        .agg(sort_array(collect_list(struct(col("rk"), col("tok")))).as("st"))
+        .withColumn("p",
+          (col("n") - expr(s"(n * $SetJoinTau100 + 99) div 100") + 1).cast("int"))
+        .select(col("doc_id"), col("n"),
+          explode(transform(slice(col("st"), lit(1), col("p")),
+            st => st.getField("tok"))).as("ptok"))
+      val cand = pref.select(col("ptok"), col("doc_id").as("doc_a"), col("n").as("na"))
+        .join(pref.select(col("ptok"), col("doc_id").as("doc_b"), col("n").as("nb")),
+          "ptok")
+        .filter(col("doc_a") < col("doc_b")
+          && least(col("na"), col("nb")) * 100
+             >= greatest(col("na"), col("nb")) * SetJoinTau100)
+        .select("doc_a", "doc_b", "na", "nb").distinct()
+      cand
+        .join(docs.select(col("doc_id").as("doc_a"), col("ts").as("ts_a")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("ts").as("ts_b")), "doc_b")
+        .withColumn("inter", size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
+        .filter(col("inter") * 100 >= (col("na") + col("nb") - col("inter")) * SetJoinTau100)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
+          dround(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4)
+            .as("jac"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH d AS (
+              SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ts
+              FROM documents),
+            e AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n, unnest(ts) AS tok
+                  FROM d),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(count(*) AS BIGINT) AS inter, a.n AS na, b.n AS nb
+              FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 4, 5)
+            SELECT doc_a, doc_b, inter, na, nb,
+                   CAST(round(CAST(CAST(inter AS DOUBLE) / (na + nb - inter)
+                     AS DECIMAL(30,8)), 4) AS DOUBLE) AS jac
+            FROM pairs
+            WHERE inter * 100 >= (na + nb - inter) * $SetJoinTau100
+            ORDER BY doc_a, doc_b"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_dedup_setjoin" -> qDedupSetjoin,
     "q_dedup_semantic" -> qDedupSemantic,
     "q_dedup_components" -> qDedupComponents,
     "q_dedup_keep" -> qDedupKeep,

@@ -72,6 +72,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(windows == 2, s"expected 2 Window nodes, got $windows\n" + p.take(3000))
   }
 
+  test("q_dedup_setjoin broadcasts the vocabulary rank to the token stream") {
+    val p = plan("q_dedup_setjoin")
+    // the global token order is vocab-sized and must reach the corpus as a
+    // broadcast — a shuffle join here would re-key the whole token stream
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("bucketed join shuffles neither side (at-scale shape: no broadcast)") {
     // materialize the bucketed tables, then inspect the join-only plan with
     // auto-broadcast off — at test SF the dim side fits a broadcast (and
