@@ -1279,7 +1279,85 @@ object AnalyticsOps extends QueryModule {
                    CAST(((rank - 1) * 5) // n AS INT) AS phase
             FROM r, t ORDER BY doc_id"""))
 
+  // ------------------------------------- single-pass correlation matrix --
+
+  /** Pairwise covariance/correlation matrix over the lineitem numerics in
+    * ONE scan — the feature-correlation profile a curation pipeline runs
+    * before mixing signals. All 6 column pairs come from a single partial
+    * aggregate of product sums (map-side combine; nothing like 6 corr()
+    * passes), then the matrix is assembled from the 1-row result.
+    *
+    * Hash-exactness at any scale: values are snapped to integer CENTS
+    * (DECIMAL(18,2)·100 → BIGINT, identical half-up in both engines), and
+    * every Σx, Σx², Σxy is an EXACT DECIMAL(38)/HUGEINT sum — order-proof
+    * where double sums are not. corr = (n·Σxy − ΣxΣy) / (√(n·Σx²−Σx²)·√…)
+    * touches floating point only in the final cast→sqrt→divide chain
+    * (correctly-rounded IEEE ops on identical exact inputs), then drounds.
+    * Long products (≤1e14) can't overflow; the SUMS would at 100 TB, which
+    * is exactly why they're decimal, not long.
+    */
+  private val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val qStatsCorrmatrix = GQuery(
+    (s, d) => {
+      def cents(c: String) =
+        col(c).cast("decimal(18,2)").*(lit(100)).cast("long")
+      val sumAggs =
+        CorrCols.map(c => sum(cents(c).cast("decimal(38,0)")).as(s"s_$c")) ++
+        (for { i <- CorrCols.indices; j <- i until CorrCols.size } yield {
+          val (a, b) = (CorrCols(i), CorrCols(j))
+          sum((cents(a) * cents(b)).cast("decimal(38,0)")).as(s"ss_${a}_$b")
+        })
+      val aggCols = count(lit(1)).as("n") +: sumAggs
+      val stats = t(s, d, "lineitem").agg(aggCols.head, aggCols.tail: _*)
+      val pairs = for { i <- CorrCols.indices; j <- (i + 1) until CorrCols.size }
+        yield {
+          val (a, b) = (CorrCols(i), CorrCols(j))
+          val num = (col("n") * col(s"ss_${a}_$b") - col(s"s_$a") * col(s"s_$b"))
+            .cast("double")
+          val va = (col("n") * col(s"ss_${a}_$a") - col(s"s_$a") * col(s"s_$a"))
+            .cast("double")
+          val vb = (col("n") * col(s"ss_${b}_$b") - col(s"s_$b") * col(s"s_$b"))
+            .cast("double")
+          struct(lit(a).as("col_x"), lit(b).as("col_y"),
+            dround(num / (col("n").cast("double") * (col("n") - 1).cast("double")
+              * 10000.0), 4).as("cov"),
+            dround(num / (sqrt(va) * sqrt(vb)), 6).as("corr"))
+        }
+      stats.select(col("n"), explode(array(pairs: _*)).as("p"))
+        .select(col("p.col_x"), col("p.col_y"), col("n"),
+          col("p.cov"), col("p.corr"))
+        .orderBy("col_x", "col_y")
+    },
+    Some {
+      def cents(c: String) = s"CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT)"
+      val sums =
+        CorrCols.map(c => s"sum(${cents(c)}) AS s_$c") ++
+        (for { i <- CorrCols.indices; j <- i until CorrCols.size } yield {
+          val (a, b) = (CorrCols(i), CorrCols(j))
+          s"sum(${cents(a)} * ${cents(b)}) AS ss_${a}_$b"
+        })
+      val branches = (for { i <- CorrCols.indices; j <- (i + 1) until CorrCols.size }
+        yield {
+          val (a, b) = (CorrCols(i), CorrCols(j))
+          s"""SELECT '$a' AS col_x, '$b' AS col_y, n,
+                CAST(round(CAST(CAST(n * ss_${a}_$b - s_$a * s_$b AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) * 10000.0)
+                  AS DECIMAL(30,8)), 4) AS DOUBLE) AS cov,
+                CAST(round(CAST(CAST(n * ss_${a}_$b - s_$a * s_$b AS DOUBLE)
+                  / (sqrt(CAST(n * ss_${a}_$a - s_$a * s_$a AS DOUBLE))
+                     * sqrt(CAST(n * ss_${b}_$b - s_$b * s_$b AS DOUBLE)))
+                  AS DECIMAL(30,8)), 6) AS DOUBLE) AS corr
+              FROM stats"""
+        }).mkString("\n            UNION ALL\n            ")
+      s"""WITH stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n, ${sums.mkString(",\n                   ")}
+            FROM lineitem)
+          $branches
+          ORDER BY col_x, col_y"""
+    })
+
   val queries: Map[String, GQuery] = Map(
+    "q_stats_corrmatrix" -> qStatsCorrmatrix,
     "q_curriculum" -> qCurriculum,
     "q_events_cdc" -> qEventsCdc,
     "q_join_interval" -> qJoinInterval,

@@ -79,6 +79,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("q_stats_corrmatrix computes the whole matrix from ONE lineitem scan") {
+    val p = plan("q_stats_corrmatrix")
+    // 6 pairs, 15 product sums — all in one partial aggregate, never a
+    // per-pair corr() pass over the table
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 scan, got $scans\n" + p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
   test("bucketed join shuffles neither side (at-scale shape: no broadcast)") {
     // materialize the bucketed tables, then inspect the join-only plan with
     // auto-broadcast off — at test SF the dim side fits a broadcast (and
