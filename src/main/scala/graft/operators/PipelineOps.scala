@@ -312,6 +312,37 @@ object PipelineOps extends QueryModule {
     * `event_id >= 500` (the chunk floor), not `>= 600`: the oracle itself
     * pins the chunk granularity, at every SF.
     */
+  /** Keyed erasure (GDPR/CCPA delete) through the sink's chunk-rewrite path:
+    * every row of the erased users (uid ≡ 2 mod 5) disappears from the
+    * committed layout; only chunks holding such rows are rewritten, chunks
+    * emptied by the delete lose their files, and the read-back per-route
+    * profile equals the oracle's plain `WHERE NOT erased` — proving the
+    * rewrite dropped exactly the matched rows. See
+    * OffsetNamedOrcSink.deleteRows for the commit-protocol story.
+    */
+  private val qDeleteKeyed = GQuery(
+    (s, d) => {
+      val topicDir = writtenDirs.computeIfAbsent(s"deletesink|$d", _ => {
+        val out = Files.createTempDirectory("graft-deletesink-").toString
+        val dir = graft.streaming.OffsetNamedOrcSink.write(
+          graft.sources.KafkaShaped.fromEvents(s, d), out, flushSize = 500)
+        graft.streaming.OffsetNamedOrcSink.deleteRows(s, dir,
+          pmod(col("uid"), lit(5)) === 2)
+        dir
+      })
+      graft.streaming.OffsetNamedOrcSink.read(s, topicDir)
+        .groupBy(col("partition").cast("int").as("route"))
+        .agg(count(lit(1)).as("n"), count_distinct(col("uid")).as("n_users"),
+          min("offset").as("lo"), max("offset").as("hi"))
+        .orderBy("route")
+    },
+    Some("""SELECT CAST(user_id % 4 AS INT) AS route,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   min(event_id) AS lo, max(event_id) AS hi
+            FROM events WHERE NOT user_id % 5 = 2
+            GROUP BY 1 ORDER BY route"""))
+
   private val qExpireRetention = GQuery(
     (s, d) => {
       val topicDir = writtenDirs.computeIfAbsent(s"expiresink|$d", _ => {
@@ -519,6 +550,7 @@ object PipelineOps extends QueryModule {
     "q_fmt_roundtrip" -> qFmtRoundtrip,
     "q_read_offset_range" -> qReadOffsetRange,
     "q_compact_roundtrip" -> qCompactRoundtrip,
+    "q_delete_keyed" -> qDeleteKeyed,
     "q_expire_retention" -> qExpireRetention,
     "q_partition_time" -> qPartitionTime,
     "q_partition_field" -> qPartitionField,

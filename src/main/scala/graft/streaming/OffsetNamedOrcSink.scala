@@ -1172,4 +1172,108 @@ object OffsetNamedOrcSink {
     visit(root)
     deleted
   }
+
+  /** Keyed erasure — the GDPR/CCPA right-to-be-forgotten delete every lake
+    * table needs: drop all rows where `predicate` is TRUE, rewriting ONLY
+    * the chunks that hold such rows. Untouched chunks are never read for
+    * data or rewritten; touched chunks are re-read by their EXACT committed
+    * names (the committedChunkFiles probes — no directory scan of the data)
+    * and their survivors recommitted through the same marker → dynamic
+    * overwrite → hoist protocol as write(), so a crash mid-erasure recovers
+    * identically and the operation is re-runnable until it returns 0.
+    * Chunks left with NO survivors have their committed files deleted
+    * directly (a dynamic overwrite cannot express an empty partition);
+    * those deletes are idempotent single FS ops, done before the rewrite so
+    * any crash leaves only convergent work. Non-matching rows are only ever
+    * rewritten, never dropped; rows where the predicate evaluates NULL are
+    * kept (deleted ⟺ predicate TRUE — the SQL DELETE contract).
+    *
+    * Finding the touched chunks takes one full read of the topic (a
+    * maintenance-path listing, like compactTo/expire) — but the REWRITE is
+    * O(touched chunks × flushSize), never O(topic). Survivor rows are
+    * localCheckpoint-materialized before the overwrite, because the
+    * overwrite deletes the very files they came from (the write()-merge
+    * invariant). Returns #rows deleted.
+    */
+  def deleteRows(spark: SparkSession, topicDir: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    val fs = FileSystem.get(new java.net.URI(topicDir),
+      spark.sparkContext.hadoopConfiguration)
+    val root = new Path(topicDir)
+    val topic = root.getName
+    val inflight = new Path(root, InflightMarker)
+    if (fs.exists(inflight)) {
+      recoverFromMarker(fs, root, topic, inflight)
+      fs.delete(inflight, false)
+    }
+    val desc = readMarker(fs, new Path(root, ConfigMarker)).getOrElse(
+      throw new IllegalStateException(
+        s"$topicDir has no sink config marker — not a sink topic dir"))
+    val (_, layoutId, rotate) = parseConfig(desc)
+    val prefixCols = prefixColsOf(layoutId)
+    val partCols = prefixCols ++ Seq("partition", ChunkCol)
+
+    // the commit cell lives only in the file NAME: offset chunk, plus the
+    // event-time bucket on a wall-clock-rotated grid (write()'s merge-path
+    // convention — the zero-padded chunk normalizes through long)
+    val cellCol = rotate match {
+      case None =>
+        regexp_extract(input_file_name(), CommittedTailRe, 1)
+          .cast("long").cast("string")
+      case Some(_) => concat(
+        regexp_extract(input_file_name(), CommittedTailRe, 1)
+          .cast("long").cast("string"),
+        lit("t"), regexp_extract(input_file_name(), CommittedTailRe, 2))
+    }
+    val matches = read(spark, topicDir).withColumn(ChunkCol, cellCol)
+      .filter(predicate)
+    val touched = touchedLeaves(matches, partCols)
+    if (touched.isEmpty) return 0L
+
+    // re-read EXACTLY the touched chunks' files, with the latched schema
+    // (mixed pre-/post-widening physical schemas — the read() contract)
+    val files = touched.flatMap(t =>
+      committedChunkFiles(fs, t.partitionDir(root), t.filePrefix(topic))
+        .map(_.toString))
+    val reader = readMarker(fs, new Path(root, SchemaMarker)) match {
+      case Some(json) =>
+        val latched = DataType.fromJson(json).asInstanceOf[StructType]
+        spark.read.schema(StructType(
+          org.apache.spark.sql.types.StructField("offset",
+            org.apache.spark.sql.types.LongType) +: latched.fields.toSeq))
+      case None => spark.read
+    }
+    val chunkRows = reader.option("basePath", topicDir).orc(files: _*)
+      .withColumn(ChunkCol, cellCol)
+    val nBefore = chunkRows.count()
+    val valueCols = chunkRows.columns.toSeq
+      .filterNot(c => c == "offset" || c == ChunkCol || partCols.contains(c))
+    // keep rows where the predicate is NOT TRUE (NULL keeps — SQL DELETE)
+    val survivors = chunkRows
+      .filter(!coalesce(predicate, lit(false)))
+      .select(partCols.map { c =>
+        if (prefixCols.contains(c)) col(c).cast("string").as(c) else col(c)
+      } ++ (col("offset") +: valueCols.map(col)): _*)
+      .localCheckpoint(true)
+    val deleted = nBefore - survivors.count()
+    if (deleted == 0L) return 0L
+
+    // chunks with zero survivors can't be expressed by the overwrite —
+    // delete their committed files directly (idempotent, convergent)
+    val alive = survivors
+      .select(partCols.map(c => col(c).cast("string")): _*)
+      .distinct().collect()
+      .map(r => (0 until partCols.size).map(r.getString).mkString("\u0000"))
+      .toSet
+    val (liveTouched, emptyTouched) = touched.partition(t =>
+      alive((t.prefix.map(_._2) ++ Seq(t.partition.toString, t.cell))
+        .mkString("\u0000")))
+    emptyTouched.foreach(t =>
+      committedChunkFiles(fs, t.partitionDir(root), t.filePrefix(topic))
+        .foreach(f => fs.delete(f, false)))
+    if (liveTouched.nonEmpty)
+      commitOverwrite(spark, fs, root, topicDir, topic, survivors, partCols,
+        liveTouched)
+    deleted
+  }
 }

@@ -345,6 +345,71 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
     assert(OffsetNamedOrcSink.read(spark, topicDir).count() == back.count() + 1)
   }
 
+  test("deleteRows erases by predicate, rewrites only touched chunks, drops emptied ones") {
+    val out = freshOut()
+    val topicDir = OffsetNamedOrcSink.write(shaped, out, flushSize = 250)
+    val filesBefore = orcFiles(topicDir).map(f => f.getPath -> f.lastModified).toMap
+
+    // selective erase: only offsets < 100 → touches exactly chunk 0 of each
+    // partition; every other committed file must remain byte-untouched
+    val n0 = shaped.filter(col("offset") < 100).count()
+    val deleted = OffsetNamedOrcSink.deleteRows(spark, topicDir, col("offset") < 100)
+    assert(deleted == n0, s"deleted $deleted, expected $n0")
+    val back = OffsetNamedOrcSink.read(spark, topicDir)
+    assert(back.count() == 1000 - n0)
+    assert(back.filter(col("offset") < 100).count() == 0)
+    val untouched = orcFiles(topicDir)
+      .filter(!_.getName.contains("+0000000000.orc"))
+    assert(untouched.nonEmpty)
+    untouched.foreach(f => assert(filesBefore(f.getPath) == f.lastModified,
+      s"${f.getName} was rewritten but holds no matching rows"))
+    // re-run converges to 0; no crash evidence left behind
+    assert(OffsetNamedOrcSink.deleteRows(spark, topicDir, col("offset") < 100) == 0)
+    assert(!new java.io.File(topicDir, "_graft_inflight").exists)
+
+    // NULL predicate keeps (SQL DELETE contract): TRUE only for uid%7==0,
+    // NULL elsewhere — non-matching rows must all survive
+    val pred = when(col("uid") % 7 === 0, lit(true))
+    val n7 = back.filter(col("uid") % 7 === 0).count()
+    assert(OffsetNamedOrcSink.deleteRows(spark, topicDir, pred) == n7)
+    assert(OffsetNamedOrcSink.read(spark, topicDir).count() == 1000 - n0 - n7)
+
+    // erase an entire chunk: its committed files must be REMOVED (an
+    // overwrite can't express an empty partition), the rest intact
+    val rest = OffsetNamedOrcSink.read(spark, topicDir)
+      .filter(col("offset") >= 500).count()
+    OffsetNamedOrcSink.deleteRows(spark, topicDir, col("offset") < 500)
+    assert(!orcFiles(topicDir).exists(f =>
+      f.getName.contains("+0000000000.orc") || f.getName.contains("+0000000250.orc")))
+    assert(OffsetNamedOrcSink.read(spark, topicDir).count() == rest)
+    // the dir still accepts appends after maintenance
+    OffsetNamedOrcSink.write(shapedRows((3000L, 1L)), out, 250)
+    assert(OffsetNamedOrcSink.read(spark, topicDir).count() == rest + 1)
+  }
+
+  test("deleteRows spans dt dirs under TimeDaily and erases whole days cleanly") {
+    val out = freshOut()
+    val topicDir = OffsetNamedOrcSink.write(shaped, out, flushSize = 250,
+      layout = OffsetNamedOrcSink.Layout.TimeDaily())
+    val full = OffsetNamedOrcSink.read(spark, topicDir)
+    val days = full.select(col("dt").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(days.length > 1, s"need multiple dt dirs, got ${days.mkString(",")}")
+    val firstDay = days.head
+    val nDay = full.filter(col("dt") === firstDay).count()
+    val deleted = OffsetNamedOrcSink.deleteRows(spark, topicDir,
+      col("dt") === firstDay)
+    assert(deleted == nDay)
+    val back = OffsetNamedOrcSink.read(spark, topicDir)
+    assert(back.count() == 1000 - nDay)
+    assert(back.filter(col("dt") === firstDay).count() == 0)
+    // mixed-day predicate: erase one uid across remaining days
+    val nUid = back.filter(col("uid") === 7).count()
+    assert(OffsetNamedOrcSink.deleteRows(spark, topicDir, col("uid") === 7) == nUid)
+    assert(OffsetNamedOrcSink.read(spark, topicDir)
+      .filter(col("uid") === 7).count() == 0)
+  }
+
   test("markerless legacy dirs: write refuses, migrate recovers staged rows and adopts") {
     val out = freshOut()
     val topicDir = OffsetNamedOrcSink.write(
