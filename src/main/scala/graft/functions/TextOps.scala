@@ -614,6 +614,75 @@ object TextOps extends QueryModule {
                       + (CASE WHEN nd * 2 >= nw THEN 0 ELSE 8 END) = 0 AS keep
             FROM s ORDER BY doc_id"""))
 
+  // --------------------------------------------- bigram LM scoring --
+
+  /** Bigram language-model fluency score — the KenLM-style perplexity
+    * filter of CCNet/RedPajama in its distributed form: train bigram
+    * conditionals on the corpus itself (c(w1,w2)/c(w1·)), score each doc by
+    * its mean token log-probability, flag the bottom tail as disfluent.
+    * Docs whose token transitions are typical of the corpus score high;
+    * word-salad repetition scores low — exactly the curation signal.
+    *
+    * Hash-exactness: each BIGRAM's log-prob is quantized ONCE to integer
+    * milli-nats (round(ln(c12/c1)·1000) — exact integer division inputs,
+    * one libm call per DISTINCT bigram, empirically boundary-free), and doc
+    * scores are then exact INTEGER sums of those quanta — order-proof where
+    * a per-doc double sum of raw logs would drift at the rounding grid.
+    *
+    * Scale: pair explode is linear; counts are two partial aggs; the
+    * per-pair re-join keys on the bigram (high entropy, no hot key — the
+    * conditional already divides out w1's frequency); per-doc re-agg
+    * shuffles doc_id. The model table is O(distinct bigrams) — joined, not
+    * broadcast, because a 100-TB corpus's bigram vocabulary isn't small.
+    */
+  private val qTextLmScore = GQuery(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      val pairs = docs
+        .select(col("doc_id"), explode(zip_with(col("toks"),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(1))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .filter(col("p.w2").isNotNull)
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val uni = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val model = big.join(uni, "w1")
+        .withColumn("q",
+          round(log(col("c12").cast("double") / col("c1")) * 1000).cast("long"))
+      pairs.join(model, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("q").as("sum_milli"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_milli"),
+          dround(col("sum_milli").cast("double") / col("n_bigrams"), 3)
+            .as("avg_milli"))
+        .withColumn("fluent", col("sum_milli") >= col("n_bigrams") * -3400)
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM documents),
+            pairs AS (
+              SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+              FROM d, LATERAL (SELECT unnest(generate_series(1,
+                greatest(len(toks) - 1, 0))) AS i)),
+            big AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+            uni AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
+            model AS (
+              SELECT big.w1, big.w2,
+                     CAST(round(ln(CAST(c12 AS DOUBLE) / c1) * 1000) AS BIGINT) AS q
+              FROM big JOIN uni ON big.w1 = uni.w1),
+            s AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                     CAST(sum(q) AS BIGINT) AS sum_milli
+              FROM pairs JOIN model USING (w1, w2)
+              GROUP BY doc_id)
+            SELECT doc_id, n_bigrams, sum_milli,
+                   CAST(round(CAST(CAST(sum_milli AS DOUBLE) / n_bigrams
+                     AS DECIMAL(30,8)), 3) AS DOUBLE) AS avg_milli,
+                   sum_milli >= n_bigrams * -3400 AS fluent
+            FROM s ORDER BY doc_id"""))
+
   // ------------------------------------------------- BM25 retrieval --
 
   /** BM25 ranked retrieval — the full-text search scorer (Robertson/Spärck
@@ -720,6 +789,7 @@ object TextOps extends QueryModule {
 
   override val queries: Map[String, GQuery] = Map(
     "q_quality_gopher" -> qQualityGopher,
+    "q_text_lm_score" -> qTextLmScore,
     "q_text_bm25" -> qTextBm25,
     "q_text_levenshtein" -> qTextLevenshtein,
     "q_vocab_bigrams" -> qVocabBigrams,
