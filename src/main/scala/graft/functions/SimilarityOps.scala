@@ -889,6 +889,112 @@ object SimilarityOps extends QueryModule {
             FROM s2 JOIN s1 USING (vec_id)
             GROUP BY 1 ORDER BY cid"""))
 
+  // ------------------------------------------------- PCA (power iteration) --
+
+  /** Top principal component of the embedding corpus by POWER ITERATION in
+    * fixed-point integer arithmetic — the dimensionality-reduction /
+    * whitening step an ANN pipeline runs before indexing (and the OPQ
+    * precursor). Three Spark-side stages, all exact integers end-to-end:
+    *
+    *  1. scatter matrix M = n·Σxᵢxⱼ − SᵢSⱼ over milli-quantized embeddings
+    *     (the shift-invariant centered form; one (vec,dim)-explode self-join
+    *     + (i,j) partial agg — the same outer-product aggregation economics
+    *     as q_stats_corrmatrix, D²=4096 cells regardless of corpus size);
+    *  2. three power steps v ← M·v, each renormalized to ‖v‖∞ = 1000 by an
+    *     integer divide (sign·(|w|·1000 div max|w|) — abs keeps the divide
+    *     on positives, where Spark `div` ≡ DuckDB `//` is contract);
+    *  3. Rayleigh quotient λ = vᵀMv / vᵀv with the bilinear numerator
+    *     summed in DECIMAL(38) (it tops 8e21 — past long, exact in both
+    *     engines' wide-int sums), one final double division, dround.
+    *
+    * Power iteration from the all-ones start is fully deterministic — both
+    * engines walk the identical integer sequence, so even the eigenvector
+    * SIGN hash-matches. At 100-TB corpus scale the long sums in stage 1
+    * move to DECIMAL(38) exactly like q_stats_corrmatrix (n·Σxᵢxⱼ passes
+    * 2^63 around n ≈ 1e10); the iteration cost never grows with n — M is
+    * D×D and each step is a 4096-row join against a 64-row broadcast.
+    */
+  private val qEmbedPca = GQuery(
+    (s, d) => {
+      val qdim = t(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(
+          transform(col("embedding").cast("array<double>"),
+            x => floor(x * lit(1000d) + lit(0.5d)).cast("long")))
+          .as(Seq("dim", "v")))
+      val nDf = qdim.agg(countDistinct(col("vec_id")).as("n"))
+      val sums = qdim.groupBy("dim").agg(sum("v").as("sv"))
+      val scatter = qdim.select(col("vec_id"), col("dim").as("i"), col("v").as("vi"))
+        .join(qdim.select(col("vec_id"), col("dim").as("j"), col("v").as("vj")),
+          "vec_id")
+        .groupBy("i", "j").agg(sum(col("vi") * col("vj")).as("ss"))
+        .crossJoin(broadcast(nDf))
+        .join(broadcast(sums.select(col("dim").as("i"), col("sv").as("si"))), "i")
+        .join(broadcast(sums.select(col("dim").as("j"), col("sv").as("sj"))), "j")
+        .select(col("i"), col("j"), (col("n") * col("ss") - col("si") * col("sj"))
+          .as("m"))
+      val v0 = sums.select(col("dim"), lit(1000L).as("v")) // dims from data
+      def step(v: DataFrame): DataFrame = {
+        val w = scatter.join(broadcast(v.withColumnRenamed("dim", "j")), "j")
+          .groupBy(col("i").as("dim")).agg(sum(col("m") * col("v")).as("w"))
+        val mx = w.agg(max(abs(col("w"))).as("mx"))
+        // two-step scaling (÷(mx÷1000), not ×1000÷mx): |w|·1000 would pass
+        // 2^63 — |w| alone cannot, by the previous step's own bound
+        w.crossJoin(broadcast(mx))
+          .select(col("dim"),
+            (signum(col("w")).cast("long")
+              * expr("abs(w) div greatest(mx div 1000, 1)")).as("v"))
+      }
+      val v3 = step(step(step(v0)))
+      val num = scatter
+        .join(broadcast(v3.select(col("dim").as("i"), col("v").as("xi"))), "i")
+        .join(broadcast(v3.select(col("dim").as("j"), col("v").as("xj"))), "j")
+        .agg(sum(col("xi").cast("decimal(38,0)") * col("m") * col("xj"))
+          .as("num"))
+      val den = v3.agg(sum(col("v") * col("v")).as("den"))
+      v3.crossJoin(broadcast(num)).crossJoin(broadcast(den))
+        .select(col("dim").cast("int").as("dim"), col("v"),
+          dround(col("num").cast("double") / col("den"), 2).as("lam"))
+        .orderBy("dim")
+    },
+    Some("""WITH q AS (
+              SELECT vec_id,
+                     unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x*1000 + 0.5) AS BIGINT))) AS v,
+                     unnest(generate_series(0, len(embedding) - 1)) AS dim
+              FROM embeddings),
+            nn AS (SELECT count(DISTINCT vec_id) AS n FROM q),
+            s AS (SELECT dim, sum(v) AS sv FROM q GROUP BY 1),
+            m AS (
+              SELECT a.dim AS i, b.dim AS j,
+                     nn.n * sum(a.v * b.v) - sa.sv * sb.sv AS m
+              FROM q a JOIN q b USING (vec_id) CROSS JOIN nn
+              JOIN s sa ON sa.dim = a.dim JOIN s sb ON sb.dim = b.dim
+              GROUP BY 1, 2, nn.n, sa.sv, sb.sv),
+            v0 AS (SELECT dim, CAST(1000 AS BIGINT) AS v FROM s),
+            w1 AS (SELECT m.i AS dim, sum(m.m * v0.v) AS w
+                   FROM m JOIN v0 ON m.j = v0.dim GROUP BY 1),
+            x1 AS (SELECT max(abs(w)) AS mx FROM w1),
+            v1 AS (SELECT dim, CAST(CASE WHEN w < 0 THEN -1 ELSE 1 END
+                     * (abs(w) // greatest(mx // 1000, 1)) AS BIGINT) AS v FROM w1, x1),
+            w2 AS (SELECT m.i AS dim, sum(m.m * v1.v) AS w
+                   FROM m JOIN v1 ON m.j = v1.dim GROUP BY 1),
+            x2 AS (SELECT max(abs(w)) AS mx FROM w2),
+            v2 AS (SELECT dim, CAST(CASE WHEN w < 0 THEN -1 ELSE 1 END
+                     * (abs(w) // greatest(mx // 1000, 1)) AS BIGINT) AS v FROM w2, x2),
+            w3 AS (SELECT m.i AS dim, sum(m.m * v2.v) AS w
+                   FROM m JOIN v2 ON m.j = v2.dim GROUP BY 1),
+            x3 AS (SELECT max(abs(w)) AS mx FROM w3),
+            v3 AS (SELECT dim, CAST(CASE WHEN w < 0 THEN -1 ELSE 1 END
+                     * (abs(w) // greatest(mx // 1000, 1)) AS BIGINT) AS v FROM w3, x3),
+            num AS (SELECT sum(CAST(va.v AS HUGEINT) * m.m * vb.v) AS num
+                    FROM m JOIN v3 va ON m.i = va.dim
+                           JOIN v3 vb ON m.j = vb.dim),
+            den AS (SELECT sum(v * v) AS den FROM v3)
+            SELECT CAST(v3.dim AS INT) AS dim, v3.v,
+                   CAST(round(CAST(CAST(num AS DOUBLE) / den
+                     AS DECIMAL(30,8)), 2) AS DOUBLE) AS lam
+            FROM v3, num, den ORDER BY dim"""))
+
   // ------------------------------------------------------ filtered ANN --
 
   /** Metadata-filtered vector search — the retrieval shape modern vector
@@ -945,6 +1051,7 @@ object SimilarityOps extends QueryModule {
 
   override val queries: Map[String, GQuery] = Map(
     "q_knn_filtered" -> qKnnFiltered,
+    "q_embed_pca" -> qEmbedPca,
     "q_embed_kmeans" -> qEmbedKmeans,
     "q_embed_centroid" -> qEmbedCentroid,
     "q_scalar_hof" -> qScalarHof,
