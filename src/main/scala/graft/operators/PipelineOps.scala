@@ -408,6 +408,79 @@ object PipelineOps extends QueryModule {
           FROM b GROUP BY bucket ORDER BY bucket"""
     })
 
+  /** Hilbert-curve layout — the locality upgrade over Z-order: the Hilbert
+    * walk never takes the long diagonal jumps Z's bit-interleave does, so
+    * equal-size buckets cover TIGHTER rectangles (smaller per-file min/max
+    * spans → better footer pruning; Delta/Iceberg both moved their
+    * clustering default from Z to Hilbert for exactly this reason). The
+    * index is the textbook xy2d walk, 8 unrolled rounds of pure integer
+    * bit arithmetic (rx/ry quadrant bits, (3·rx)⊕ry quadrant rank, reflect
+    * + swap rotation) — each round a named projection, so the expression
+    * tree stays LINEAR in rounds (a nested-when fold would double the tree
+    * per round and blow past codegen method limits). Same per-bucket stats
+    * contract as q_layout_zorder so the two layouts' spans are directly
+    * comparable; map-only + one stats agg, identical economics.
+    */
+  private val qLayoutHilbert = GQuery(
+    (s, d) => {
+      val base = t(s, d, "lineitem")
+        .select((col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"))
+        .withColumn("hx", col("x")).withColumn("hy", col("y"))
+        .withColumn("hd", lit(0L))
+      val walked = Seq(128, 64, 32, 16, 8, 4, 2, 1).foldLeft(base) { (df, sBit) =>
+        df.withColumn("rx",
+            when(col("hx").bitwiseAND(lit(sBit)) > 0, 1).otherwise(0))
+          .withColumn("ry",
+            when(col("hy").bitwiseAND(lit(sBit)) > 0, 1).otherwise(0))
+          .withColumn("hd", col("hd")
+            + lit(sBit.toLong * sBit) * (col("rx") * 3).bitwiseXOR(col("ry")))
+          .withColumn("nx",
+            when(col("rx") === 1, lit(sBit - 1) - col("hx")).otherwise(col("hx")))
+          .withColumn("ny",
+            when(col("rx") === 1, lit(sBit - 1) - col("hy")).otherwise(col("hy")))
+          .withColumn("hx2", when(col("ry") === 0, col("ny")).otherwise(col("hx")))
+          .withColumn("hy2", when(col("ry") === 0, col("nx")).otherwise(col("hy")))
+          .drop("hx", "hy", "rx", "ry", "nx", "ny")
+          .withColumnRenamed("hx2", "hx").withColumnRenamed("hy2", "hy")
+      }
+      walked.withColumn("bucket", shiftright(col("hd"), 12))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("x").as("x_min"), max("x").as("x_max"),
+          min("y").as("y_min"), max("y").as("y_max"))
+        .withColumn("span",
+          (col("x_max") - col("x_min")) + (col("y_max") - col("y_min")))
+        .orderBy("bucket")
+    },
+    Some {
+      val steps = Seq(128, 64, 32, 16, 8, 4, 2, 1).zipWithIndex.map {
+        case (sBit, k) =>
+          s"""h${k + 1} AS (
+               SELECT x, y,
+                      CASE WHEN ry = 0 THEN ny ELSE hx END AS hx,
+                      CASE WHEN ry = 0 THEN nx ELSE hy END AS hy,
+                      hd + ${sBit.toLong * sBit} * xor(3 * rx, ry) AS hd
+               FROM (
+                 SELECT x, y, hx, hy, hd, rx, ry,
+                        CASE WHEN rx = 1 THEN ${sBit - 1} - hx ELSE hx END AS nx,
+                        CASE WHEN rx = 1 THEN ${sBit - 1} - hy ELSE hy END AS ny
+                 FROM (
+                   SELECT x, y, hx, hy, hd,
+                          CASE WHEN (hx & $sBit) > 0 THEN 1 ELSE 0 END AS rx,
+                          CASE WHEN (hy & $sBit) > 0 THEN 1 ELSE 0 END AS ry
+                   FROM h$k)))"""
+      }.mkString(",\n          ")
+      s"""WITH m AS (
+            SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem),
+          h0 AS (SELECT x, y, x AS hx, y AS hy, CAST(0 AS BIGINT) AS hd FROM m),
+          $steps
+          SELECT hd >> 12 AS bucket, CAST(count(*) AS BIGINT) AS n,
+                 min(x) AS x_min, max(x) AS x_max,
+                 min(y) AS y_min, max(y) AS y_max,
+                 (max(x) - min(x)) + (max(y) - min(y)) AS span
+          FROM h8 GROUP BY 1 ORDER BY bucket"""
+    })
+
   // --------------------------------------------- layout skipping eval --
 
   /** File-skipping evaluation — the measurement the layout operators exist
@@ -547,6 +620,7 @@ object PipelineOps extends QueryModule {
     "q_table_diff" -> qTableDiff,
     "q_layout_skipping" -> qLayoutSkipping,
     "q_layout_zorder" -> qLayoutZorder,
+    "q_layout_hilbert" -> qLayoutHilbert,
     "q_fmt_roundtrip" -> qFmtRoundtrip,
     "q_read_offset_range" -> qReadOffsetRange,
     "q_compact_roundtrip" -> qCompactRoundtrip,
