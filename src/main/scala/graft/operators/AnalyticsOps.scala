@@ -1279,6 +1279,189 @@ object AnalyticsOps extends QueryModule {
                    CAST(((rank - 1) * 5) // n AS INT) AS phase
             FROM r, t ORDER BY doc_id"""))
 
+  // ----------------------------------------------- entropy profiling --
+
+  /** Shannon entropy per categorical column — the profiler signal that
+    * ranks columns by information content (partition-key selection, leakage
+    * screening, skew triage read it). One value-histogram agg per column,
+    * then H = −Σ(c/n)·ln(c/n) assembled from the histogram: per DISTINCT
+    * value the log term is quantized once to integer micro-nats (the
+    * q_text_lm_score pattern), so the doc-side accumulation Σ c·q is an
+    * exact integer sum — order-proof — and fp appears only in one final
+    * division. Histograms shuffle on the value (low-card → tiny aggs).
+    */
+  private val qProfileEntropy = GQuery(
+    (s, d) => {
+      def h(table: String, column: String): DataFrame = {
+        val hist = t(s, d, table).groupBy(col(column).cast("string").as("v"))
+          .agg(count(lit(1)).as("c"))
+        val n = hist.agg(sum("c").as("n"), count(lit(1)).as("n_distinct"))
+        hist.crossJoin(broadcast(n))
+          .select(col("c"), col("n"), col("n_distinct"),
+            round(log(col("c").cast("double") / col("n")) * 1e6).cast("long")
+              .as("q"))
+          .groupBy("n", "n_distinct")
+          .agg(sum(col("c") * col("q")).as("sq"))
+          .select(lit(table).as("tbl"), lit(column).as("col"),
+            col("n"), col("n_distinct").cast("long").as("n_distinct"),
+            dround(-col("sq").cast("double") / col("n") / 1e6, 4).as("entropy"))
+      }
+      h("documents", "lang")
+        .union(h("documents", "source"))
+        .union(h("events", "event_type"))
+        .union(h("lineitem", "l_returnflag"))
+        .orderBy("tbl", "col")
+    },
+    Some {
+      def h(table: String, column: String) =
+        s"""SELECT '$table' AS tbl, '$column' AS col, CAST(n AS BIGINT) AS n,
+              CAST(n_distinct AS BIGINT) AS n_distinct,
+              CAST(round(CAST(-CAST(sq AS DOUBLE) / n / 1e6
+                AS DECIMAL(30,8)), 4) AS DOUBLE) AS entropy
+            FROM (
+              SELECT any_value(n) AS n, any_value(n_distinct) AS n_distinct,
+                     sum(c * q) AS sq
+              FROM (
+                SELECT c, sum(c) OVER () AS n, count(*) OVER () AS n_distinct,
+                       CAST(round(ln(CAST(c AS DOUBLE) / (sum(c) OVER ())) * 1e6)
+                         AS BIGINT) AS q
+                FROM (SELECT CAST($column AS VARCHAR) AS v, count(*) AS c
+                      FROM $table GROUP BY 1)))"""
+      Seq(h("documents", "lang"), h("documents", "source"),
+        h("events", "event_type"), h("lineitem", "l_returnflag"))
+        .mkString("", "\n            UNION ALL\n            ",
+          "\n            ORDER BY tbl, col")
+    })
+
+  // ------------------------------------------------- A/B experiment --
+
+  /** Two-arm experiment readout (Welch's t) per event type: users split by
+    * id-hash into arms A/B, the metric is the event `value`, and the whole
+    * table computes in ONE conditional-aggregation pass (no per-arm scans,
+    * no join — the arms pivot into columns map-side). The experimentation
+    * dashboard every event pipeline ends in.
+    *
+    * Determinism: values snap to integer cents, Σx and Σx² accumulate as
+    * exact DECIMAL(38) (the q_stats_corrmatrix pattern), and the t statistic
+    * touches fp only in its final cast→divide→sqrt chain, built with the
+    * IDENTICAL association tree in both engines, then drounds. The verdict
+    * bit compares the already-rounded t, so it can never disagree.
+    */
+  private val qStatsAbtest = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      def arm(a: Int, c: org.apache.spark.sql.Column) =
+        sum(when(pmod(col("user_id"), lit(2)) === a, c).otherwise(lit(0L))
+          .cast("decimal(38,0)"))
+      val g = t(s, d, "events")
+        .groupBy("event_type")
+        .agg(
+          sum(when(pmod(col("user_id"), lit(2)) === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(pmod(col("user_id"), lit(2)) === 1, 1L).otherwise(0L)).as("n_b"),
+          arm(0, cents).as("s_a"), arm(1, cents).as("s_b"),
+          arm(0, cents * cents).as("ss_a"), arm(1, cents * cents).as("ss_b"))
+      val va = (col("n_a") * col("ss_a") - col("s_a") * col("s_a")).cast("double") /
+        (col("n_a") * col("n_a") * (col("n_a") - 1)).cast("double")
+      val vb = (col("n_b") * col("ss_b") - col("s_b") * col("s_b")).cast("double") /
+        (col("n_b") * col("n_b") * (col("n_b") - 1)).cast("double")
+      val tstat = (col("s_a").cast("double") / col("n_a")
+        - col("s_b").cast("double") / col("n_b")) / sqrt(va + vb)
+      g.select(col("event_type"), col("n_a"), col("n_b"),
+          dround(col("s_a").cast("double") / col("n_a") / 100.0, 4).as("mean_a"),
+          dround(col("s_b").cast("double") / col("n_b") / 100.0, 4).as("mean_b"),
+          dround(tstat, 4).as("t_welch"))
+        .withColumn("significant", abs(col("t_welch")) > 1.96)
+        .orderBy("event_type")
+    },
+    Some("""WITH g AS (
+              SELECT event_type,
+                     CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                     CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                     sum(CASE WHEN user_id % 2 = 0
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS s_a,
+                     sum(CASE WHEN user_id % 2 = 1
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS s_b,
+                     sum(CASE WHEN user_id % 2 = 0
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                            * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS ss_a,
+                     sum(CASE WHEN user_id % 2 = 1
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                            * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS ss_b
+              FROM events GROUP BY 1),
+            r AS (
+              SELECT event_type, n_a, n_b,
+                     CAST(round(CAST(CAST(s_a AS DOUBLE) / n_a / 100.0
+                       AS DECIMAL(30,8)), 4) AS DOUBLE) AS mean_a,
+                     CAST(round(CAST(CAST(s_b AS DOUBLE) / n_b / 100.0
+                       AS DECIMAL(30,8)), 4) AS DOUBLE) AS mean_b,
+                     CAST(round(CAST(
+                       (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+                       / sqrt(CAST(n_a * ss_a - s_a * s_a AS DOUBLE)
+                                / CAST(n_a * n_a * (n_a - 1) AS DOUBLE)
+                              + CAST(n_b * ss_b - s_b * s_b AS DOUBLE)
+                                / CAST(n_b * n_b * (n_b - 1) AS DOUBLE))
+                       AS DECIMAL(30,8)), 4) AS DOUBLE) AS t_welch
+              FROM g)
+            SELECT event_type, n_a, n_b, mean_a, mean_b, t_welch,
+                   abs(t_welch) > 1.96 AS significant
+            FROM r ORDER BY event_type"""))
+
+  // ----------------------------------------------- association rules --
+
+  /** Market-basket association rules over order baskets (Agrawal's
+    * support/confidence/lift, the A-Priori output surface): supplier pairs
+    * co-occurring in the same order, minimum support 20, top-25 by lift.
+    * The pair explode is bounded by per-basket size (TPC-H orders carry ≤7
+    * lines), so candidate generation is LINEAR in orders — the reason
+    * basket mining scales where generic self-joins don't; supports are
+    * exact integers, confidence/lift take one dround'd division each, and
+    * the top-k is TakeOrdered on (lift, pair) — never a global sort.
+    */
+  private val qBasketRules = GQuery(
+    (s, d) => {
+      val b = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")).distinct()
+      val nOrders = b.agg(countDistinct(col("o")).as("n"))
+      val item = b.groupBy(col("s")).agg(count(lit(1)).as("c1"))
+      val pairs = b.select(col("o"), col("s").as("sa"))
+        .join(b.select(col("o"), col("s").as("sb")), "o")
+        .filter(col("sa") < col("sb"))
+        .groupBy("sa", "sb").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 20)
+      pairs
+        .join(broadcast(item.select(col("s").as("sa"), col("c1").as("c_a"))), "sa")
+        .join(broadcast(item.select(col("s").as("sb"), col("c1").as("c_b"))), "sb")
+        .crossJoin(broadcast(nOrders))
+        .select(col("sa"), col("sb"), col("c_ab"), col("c_a"), col("c_b"),
+          dround(col("c_ab").cast("double") / col("c_a"), 4).as("conf_ab"),
+          dround(col("c_ab").cast("double") / col("c_b"), 4).as("conf_ba"),
+          dround((col("c_ab") * col("n")).cast("double")
+            / (col("c_a") * col("c_b")), 4).as("lift"))
+        .orderBy(col("lift").desc, col("sa"), col("sb")).limit(25)
+    },
+    Some("""WITH b AS (
+              SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+            nn AS (SELECT count(DISTINCT o) AS n FROM b),
+            item AS (SELECT s, CAST(count(*) AS BIGINT) AS c1 FROM b GROUP BY 1),
+            pairs AS (
+              SELECT a.s AS sa, bb.s AS sb, CAST(count(*) AS BIGINT) AS c_ab
+              FROM b a JOIN b bb ON a.o = bb.o AND a.s < bb.s
+              GROUP BY 1, 2 HAVING count(*) >= 20)
+            SELECT sa, sb, c_ab, ia.c1 AS c_a, ib.c1 AS c_b,
+                   CAST(round(CAST(CAST(c_ab AS DOUBLE) / ia.c1
+                     AS DECIMAL(30,8)), 4) AS DOUBLE) AS conf_ab,
+                   CAST(round(CAST(CAST(c_ab AS DOUBLE) / ib.c1
+                     AS DECIMAL(30,8)), 4) AS DOUBLE) AS conf_ba,
+                   CAST(round(CAST(CAST(c_ab * nn.n AS DOUBLE) / (ia.c1 * ib.c1)
+                     AS DECIMAL(30,8)), 4) AS DOUBLE) AS lift
+            FROM pairs JOIN item ia ON ia.s = sa JOIN item ib ON ib.s = sb
+            CROSS JOIN nn
+            ORDER BY lift DESC, sa, sb LIMIT 25"""))
+
   // ------------------------------------- single-pass correlation matrix --
 
   /** Pairwise covariance/correlation matrix over the lineitem numerics in
@@ -1358,6 +1541,9 @@ object AnalyticsOps extends QueryModule {
 
   val queries: Map[String, GQuery] = Map(
     "q_stats_corrmatrix" -> qStatsCorrmatrix,
+    "q_basket_rules" -> qBasketRules,
+    "q_stats_abtest" -> qStatsAbtest,
+    "q_profile_entropy" -> qProfileEntropy,
     "q_curriculum" -> qCurriculum,
     "q_events_cdc" -> qEventsCdc,
     "q_join_interval" -> qJoinInterval,
