@@ -1656,10 +1656,121 @@ object AnalyticsOps extends QueryModule {
                      AS err_recoveries
             FROM j ORDER BY user_id"""))
 
+  // ------------------------------------------ Markov transition matrix --
+
+  /** First-order Markov transition matrix over each user's event stream:
+    * consecutive (prev → cur) event-type pairs via a lag window ordered by
+    * (epoch µs, event_id) — the same explicit cross-engine order as
+    * q_events_pattern — then exact pair counts, per-source totals, and the
+    * conditional transition probability. The session-dynamics profile that
+    * feeds next-event prediction and anomaly scoring (a transition that
+    * never occurs in the matrix is the anomaly).
+    *
+    * Counts and totals are exact integers; the probability is one division
+    * of two identical exact longs, drounded — no accumulation of floats
+    * anywhere. Scale: one user-keyed window (partition-local sort) + one
+    * 25-key aggregate; the per-source total is a window over the pair
+    * aggregate's 25 rows, so the second pass is metadata-sized.
+    */
+  private val qEventsMarkov = GQuery(
+    (s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val pairs = ev.withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("cur"))
+        .agg(count(lit(1)).as("c"))
+      val tot = Window.partitionBy("prev")
+      pairs.withColumn("total", sum("c").over(tot))
+        .select(col("prev"), col("cur"), col("c"), col("total"),
+          dround(col("c").cast("double") / col("total"), 6).as("p"))
+        .orderBy("prev", "cur")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+              FROM events),
+            pr AS (SELECT user_id, event_type AS cur,
+                          lag(event_type) OVER (PARTITION BY user_id
+                                                ORDER BY us, event_id) AS prev
+                   FROM e),
+            pc AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c
+                   FROM pr WHERE prev IS NOT NULL GROUP BY 1, 2)
+            SELECT prev, cur, c,
+                   CAST(sum(c) OVER (PARTITION BY prev) AS BIGINT) AS total,
+                   CAST(round(CAST(CAST(c AS DOUBLE)
+                     / CAST(sum(c) OVER (PARTITION BY prev) AS DOUBLE)
+                     AS DECIMAL(30,8)), 6) AS DOUBLE) AS p
+            FROM pc ORDER BY prev, cur"""))
+
+  // --------------------------------------------- chi-square independence --
+
+  /** Pearson chi-square test of independence between order priority and
+    * order status — the categorical-association sibling of the Welch-t
+    * readout (q_stats_abtest): per-cell contribution
+    * (N·n_ij − r_i·c_j)² / (N·r_i·c_j), all inputs exact BIGINT counts so
+    * the per-cell double is bit-identical cross-engine, quantized ONCE to
+    * integer micro-units (the lm_score milli-nat pattern) and summed as
+    * exact integers — the 15-cell total can never drift by summation order.
+    * Emits each cell (observed, expected in micro-units, contribution) plus
+    * a TOTAL row carrying the statistic.
+    *
+    * Scale: one map-side-combined cell aggregate on a 15-value key; row and
+    * column totals are windows over the 15-row cell table — everything
+    * after the first shuffle is metadata-sized.
+    */
+  private val qStatsChisq = GQuery(
+    (s, d) => {
+      val cells = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("n"))
+      val withTot = cells
+        .withColumn("r", sum("n").over(Window.partitionBy("pri")))
+        .withColumn("cc", sum("n").over(Window.partitionBy("st")))
+        .withColumn("nn", sum("n").over(Window.partitionBy()))
+      val dev = (col("nn") * col("n") - col("r") * col("cc")).cast("double")
+      val scored = withTot.select(col("pri"), col("st"), col("n"),
+        round((col("r") * col("cc")).cast("double") / col("nn") * 1000000.0)
+          .cast("long").as("exp_micro"),
+        round(dev * dev
+          / (col("nn") * col("r") * col("cc")).cast("double") * 1000000.0)
+          .cast("long").as("contrib_micro"))
+      scored
+        .union(scored.agg(sum("n").as("n"), sum("contrib_micro").as("chi2"))
+          .select(lit("TOTAL").as("pri"), lit("*").as("st"), col("n"),
+            lit(null).cast("long").as("exp_micro"), col("chi2")))
+        .orderBy("pri", "st")
+    },
+    Some("""WITH cells AS (
+              SELECT o_orderpriority AS pri, o_orderstatus AS st,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM orders GROUP BY 1, 2),
+            wt AS (SELECT pri, st, n,
+                          CAST(sum(n) OVER (PARTITION BY pri) AS BIGINT) AS r,
+                          CAST(sum(n) OVER (PARTITION BY st) AS BIGINT) AS cc,
+                          CAST(sum(n) OVER () AS BIGINT) AS nn
+                   FROM cells),
+            sc AS (SELECT pri, st, n,
+                          CAST(round(CAST(r * cc AS DOUBLE) / nn * 1000000.0)
+                            AS BIGINT) AS exp_micro,
+                          CAST(round(CAST(nn * n - r * cc AS DOUBLE)
+                            * CAST(nn * n - r * cc AS DOUBLE)
+                            / CAST(nn * r * cc AS DOUBLE) * 1000000.0)
+                            AS BIGINT) AS contrib_micro
+                   FROM wt)
+            SELECT pri, st, n, exp_micro, contrib_micro FROM sc
+            UNION ALL
+            SELECT 'TOTAL', '*', CAST(sum(n) AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(sum(contrib_micro) AS BIGINT)
+            FROM sc
+            ORDER BY pri, st"""))
+
   val queries: Map[String, GQuery] = Map(
     "q_stats_corrmatrix" -> qStatsCorrmatrix,
     "q_stats_linreg" -> qStatsLinreg,
     "q_events_pattern" -> qEventsPattern,
+    "q_events_markov" -> qEventsMarkov,
+    "q_stats_chisq" -> qStatsChisq,
     "q_basket_rules" -> qBasketRules,
     "q_stats_abtest" -> qStatsAbtest,
     "q_profile_entropy" -> qProfileEntropy,
