@@ -1765,12 +1765,134 @@ object AnalyticsOps extends QueryModule {
             FROM sc
             ORDER BY pri, st"""))
 
+  // ------------------------------------------ class-balanced sampling --
+
+  /** Class-balanced downsampling: every label keeps exactly min-class-count
+    * rows, chosen by hash rank (row_number over md5(id) within label) — the
+    * rebalancing step before training on a skewed corpus, and like
+    * q_split_train it is a pure function of the keys: stable under re-runs,
+    * re-partitioning, and appends that don't change the minimum. Emits the
+    * per-label audit row (original count, kept count, exact id checksum).
+    *
+    * Scale: one class-count agg (broadcast, label-cardinality rows), one
+    * per-label rank window. The window sorts within label partitions; a
+    * label holding half the corpus makes that partition's sort the straggler
+    * — the salted two-level top-k in q_text_bm25 is the documented remedy
+    * once per-label cardinality outgrows a task.
+    */
+  private val qSampleBalanced = GQuery(
+    (s, d) => {
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+      val cnt = e.groupBy("label").agg(count(lit(1)).as("n_orig"))
+      val cap = cnt.agg(min("n_orig").as("cap"))
+      val ranked = e.withColumn("rk", row_number().over(
+        Window.partitionBy("label")
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
+      ranked.crossJoin(broadcast(cap)).filter(col("rk") <= col("cap"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_kept"), sum("vec_id").as("id_sum"))
+        .join(broadcast(cnt), "label")
+        .select(col("label"), col("n_orig"), col("n_kept"), col("id_sum"))
+        .orderBy("label")
+    },
+    Some("""WITH e AS (SELECT vec_id, label FROM embeddings),
+            cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n_orig
+                    FROM e GROUP BY 1),
+            cap AS (SELECT min(n_orig) AS cap FROM cnt),
+            rk AS (SELECT label, vec_id,
+                          row_number() OVER (PARTITION BY label
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+                   FROM e)
+            SELECT r.label, c.n_orig, CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(sum(r.vec_id) AS BIGINT) AS id_sum
+            FROM rk r CROSS JOIN cap JOIN cnt c ON c.label = r.label
+            WHERE r.rk <= cap.cap
+            GROUP BY 1, 2 ORDER BY 1"""))
+
+  // --------------------------------------- Kolmogorov–Smirnov two-sample --
+
+  /** Two-sample Kolmogorov–Smirnov distance between the R and A return
+    * flags' price distributions — the distribution-shift detector that
+    * complements the mean-level Welch-t (q_stats_abtest): D = max over
+    * values of |F_R(v) − F_A(v)|. ENTIRELY integer until the final readout:
+    * prices snap to cents, ECDF numerators are cumulative counts, and the
+    * max is taken over |cum1·n2 − cum2·n1| (cross-multiplied — no per-row
+    * division anywhere), so the statistic's numerator hashes as an exact
+    * BIGINT. Emits n1, n2, the integer numerator, D, and the (smallest)
+    * value attaining it.
+    *
+    * Scale: the ECDF prefix sum uses the q_dist_histogram two-level shape —
+    * bucket totals (≈105 rows) take the tiny global window, in-bucket
+    * windows run per-bucket in parallel — NOT a single N-row sort; the
+    * oracle deliberately computes the same statistic with a flat global
+    * window, so the gate checks the algorithm, not a mirror of it.
+    */
+  private val qStatsKs = GQuery(
+    (s, d) => {
+      val cents = col("l_extendedprice").cast("decimal(18,2)")
+        .*(lit(100)).cast("long")
+      val li = t(s, d, "lineitem")
+        .filter(col("l_returnflag").isin("R", "A"))
+        .select(cents.as("v"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("isr"))
+      val vals = li.groupBy("v")
+        .agg(sum("isr").as("c1"), sum(lit(1L) - col("isr")).as("c2"))
+      val b = vals.withColumn("bkt", expr("v div 100000"))
+      val wb = Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bp = b.groupBy("bkt").agg(sum("c1").as("t1"), sum("c2").as("t2"))
+        .select(col("bkt"),
+          coalesce(sum("t1").over(wb), lit(0L)).as("off1"),
+          coalesce(sum("t2").over(wb), lit(0L)).as("off2"))
+      val wv = Window.partitionBy("bkt").orderBy("v")
+      val tot = vals.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      val cum = b.join(broadcast(bp), "bkt")
+        .select(col("v"),
+          (col("off1") + sum("c1").over(wv)).as("cum1"),
+          (col("off2") + sum("c2").over(wv)).as("cum2"))
+      val sc = cum.crossJoin(broadcast(tot))
+        .select(col("v"),
+          abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("dnum"))
+      val dm = sc.agg(max("dnum").as("d_num"))
+      val vAt = sc.join(broadcast(dm), col("dnum") === col("d_num"))
+        .agg(min("v").as("v_at"))
+      tot.crossJoin(dm).crossJoin(vAt)
+        .select(col("n1"), col("n2"), col("d_num"),
+          dround(col("d_num").cast("double")
+            / (col("n1").cast("double") * col("n2").cast("double")), 6).as("d"),
+          col("v_at"))
+    },
+    Some("""WITH li AS (
+              SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS v,
+                     CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS isr
+              FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+            vals AS (SELECT v, CAST(sum(isr) AS BIGINT) AS c1,
+                            CAST(sum(1 - isr) AS BIGINT) AS c2
+                     FROM li GROUP BY 1),
+            cum AS (SELECT v, sum(c1) OVER (ORDER BY v) AS cum1,
+                           sum(c2) OVER (ORDER BY v) AS cum2
+                    FROM vals),
+            tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                           CAST(sum(c2) AS BIGINT) AS n2 FROM vals),
+            sc AS (SELECT v, CAST(abs(cum1 * n2 - cum2 * n1) AS BIGINT) AS dnum
+                   FROM cum CROSS JOIN tot),
+            dm AS (SELECT max(dnum) AS d_num FROM sc)
+            SELECT t.n1, t.n2, CAST(dm.d_num AS BIGINT) AS d_num,
+                   CAST(round(CAST(CAST(dm.d_num AS DOUBLE)
+                     / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE))
+                     AS DECIMAL(30,8)), 6) AS DOUBLE) AS d,
+                   (SELECT min(v) FROM sc WHERE dnum = dm.d_num) AS v_at
+            FROM tot t CROSS JOIN dm"""))
+
   val queries: Map[String, GQuery] = Map(
     "q_stats_corrmatrix" -> qStatsCorrmatrix,
     "q_stats_linreg" -> qStatsLinreg,
     "q_events_pattern" -> qEventsPattern,
     "q_events_markov" -> qEventsMarkov,
     "q_stats_chisq" -> qStatsChisq,
+    "q_sample_balanced" -> qSampleBalanced,
+    "q_stats_ks" -> qStatsKs,
     "q_basket_rules" -> qBasketRules,
     "q_stats_abtest" -> qStatsAbtest,
     "q_profile_entropy" -> qProfileEntropy,
