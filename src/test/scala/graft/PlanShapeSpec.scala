@@ -510,6 +510,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") || p.contains("HashAggregate"), p.take(3000))
   }
 
+  test("round-5 stats/sampling ops: parallel windows, broadcast small sides") {
+    // q_stats_ks: the ECDF prefix sum must be the TWO-LEVEL shape — the
+    // per-value cumulative window partitions on the bucket (parallel), and
+    // the tiny bucket/total tables come back as broadcasts, never a
+    // corpus-wide single-partition window.
+    val ks = plan("q_stats_ks")
+    assert(ks.matches("(?s).*Window \\[[^\\]]*\\], \\[bkt#\\d+L\\].*"), ks.take(3000))
+    assert(ks.contains("BroadcastExchange"), ks.take(3000))
+    // q_sample_balanced: rank window partitions on label; class counts and
+    // the cap join back as broadcasts.
+    val sb = plan("q_sample_balanced")
+    assert(sb.matches("(?s).*Window \\[row_number\\(\\)[^\\]]*\\], \\[label#\\d+\\].*"),
+      sb.take(3000))
+    assert(sb.contains("BroadcastExchange"), sb.take(3000))
+    // q_events_markov: the lag window partitions on user_id — the journey
+    // stage never sorts globally.
+    val mk = plan("q_events_markov")
+    assert(mk.matches("(?s).*Window \\[lag\\([^\\]]*\\], \\[user_id#\\d+L\\].*"),
+      mk.take(3000))
+    // q_stats_chisq / q_stats_linreg: the one data-scale stage partially
+    // aggregates (map-side combine) before its exchange.
+    assert(plan("q_stats_chisq").contains("partial_count"), "chisq partial agg")
+    assert(plan("q_stats_linreg").contains("partial_sum"), "linreg partial agg")
+  }
+
   test("q_split_train and q_text_chunk stay shuffle-minimal (one exchange each)") {
     // split: map + single-key agg; chunk: map + explode + presentation sort.
     // More exchanges would mean the split/chunk stage itself shuffles.
