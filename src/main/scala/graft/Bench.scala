@@ -27,7 +27,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times a subset (the driver
+    // never sets it → full registry)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_(n)) }
     // warmup failures only logged — the timed passes record them per query
     qs.foreach { case (name, fn) =>
       try runOne(fn) catch {
