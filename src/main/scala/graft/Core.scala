@@ -48,15 +48,24 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) — Spark has no ns timestamp
-      // type ([PARQUET_TYPE_ILLEGAL] without this conf). Read the raw ns
-      // longs and truncate to µs, exactly what DuckDB's TIMESTAMP_NS →
-      // TIMESTAMP cast does, so both engines see identical instants.
+      // events.ts has shipped as both parquet TIMESTAMP(NANOS) (rounds 1-4)
+      // and TIMESTAMP(MICROS, ntz) (round-5 regeneration). Spark has no ns
+      // timestamp type ([PARQUET_TYPE_ILLEGAL] without nanosAsLong), so read
+      // with the conf on — NANOS then arrives as a raw ns LONG (truncate to
+      // µs, exactly DuckDB's TIMESTAMP_NS → TIMESTAMP cast) while MICROS
+      // still arrives as a timestamp. Branch on the read dtype, and land
+      // both on TimestampType (session tz is UTC, so ntz → ltz is an
+      // identity on instants) — the type every downstream query was
+      // written against.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(path)
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+      val raw = spark.read.parquet(path)
+      val f = org.apache.spark.sql.functions
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", f.timestamp_micros(f.expr("ts div 1000")))
+        case _ =>
+          raw.withColumn("ts", f.col("ts").cast("timestamp"))
+      }
     } else spark.read.parquet(path)
   }
 }
