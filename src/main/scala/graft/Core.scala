@@ -62,9 +62,21 @@ object Tables {
       val f = org.apache.spark.sql.functions
       raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
+          // nanosAsLong only rewrites TIMESTAMP(NANOS); a LONG here IS ns.
           raw.withColumn("ts", f.timestamp_micros(f.expr("ts div 1000")))
-        case _ =>
+        case org.apache.spark.sql.types.TimestampType =>
+          raw
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // Session tz is UTC, so ntz -> ltz is an identity on instants.
           raw.withColumn("ts", f.col("ts").cast("timestamp"))
+        case other =>
+          // Any other dtype means the generator changed representation (e.g.
+          // numeric seconds or a string); casting would silently reinterpret
+          // and surface only as an opaque oracle hash mismatch downstream.
+          throw new IllegalStateException(
+            s"events.ts arrived as unsupported parquet type $other; " +
+              "expected TIMESTAMP(NANOS) (read as ns LONG), TIMESTAMP(MICROS) " +
+              "ltz, or ntz. Update graft.Tables for the new representation.")
       }
     } else spark.read.parquet(path)
   }
