@@ -17,6 +17,8 @@ object SparkEntry {
     operators.PipelineOps,
     operators.DedupOps,
     operators.TypedOps,
+    operators.ScoringOps,
+    operators.GovernanceOps,
     functions.TextOps,
     functions.SimilarityOps,
     functions.MultimodalOps)

@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GQuery, QueryModule, Tables}
+
+/** Round-6 governance block: the data-contract and privacy-audit surface a
+  * training-data platform wraps around ingestion — declarative expectation
+  * rules (the dbt-test / Great-Expectations shape) evaluated in one pass,
+  * and an l-diversity audit complementing q_privacy_kanon's k-anonymity
+  * ladder.
+  *
+  * House rules as everywhere: built-ins only, fixed-point integers on every
+  * fractional output, total-order ORDER BY (SURVEY.md §7).
+  */
+object GovernanceOps extends QueryModule {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  // ------------------------------------------- expectation-rule contract --
+
+  /** Declarative data-contract validation over `orders`: five expectation
+    * rules (not-null, numeric range, categorical domain, regex format, key
+    * uniqueness) evaluated in ONE aggregation pass — each rule is a
+    * conditional count inside the same agg, so adding rules never adds
+    * scans. Uniqueness rides the same pass as `count − count(distinct key)`.
+    * Output: one row per rule with violation count and pass flag.
+    *
+    * Scale: a single map-side-combinable agg over the table (the distinct
+    * for the uniqueness rule is the only expansion, and it is on the
+    * table's own primary key — already near-unique, so the partial
+    * distinct collapses immediately). The rule table is code here; a
+    * deployment would broadcast it and generate the same conditional
+    * columns.
+    */
+  private val qQualityExpectations = GQuery(
+    (s, d) => {
+      val o = t(s, d, "orders")
+      val agg = o.agg(
+        count(lit(1L)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v_notnull"),
+        sum(when(col("o_totalprice") < 0 || col("o_totalprice") > 600000, 1L)
+          .otherwise(0L)).as("v_range"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+          .as("v_domain"),
+        sum(when(!col("o_orderpriority").rlike("^[1-5]-"), 1L).otherwise(0L))
+          .as("v_format"),
+        (count(lit(1L)) - countDistinct(col("o_orderkey"))).as("v_unique"))
+      agg.selectExpr(
+        """stack(5,
+             'not_null_custkey',   v_notnull,
+             'range_totalprice',   v_range,
+             'domain_orderstatus', v_domain,
+             'format_priority',    v_format,
+             'unique_orderkey',    v_unique) AS (rule_id, n_violations)""",
+        "n_rows")
+        .select(col("rule_id"), col("n_rows"), col("n_violations"),
+          (col("n_violations") === 0L).as("passed"))
+        .orderBy("rule_id")
+    },
+    Some("""WITH agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS v_notnull,
+                     CAST(sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 600000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+                     CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_domain,
+                     CAST(sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_format,
+                     CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+                       AS v_unique
+              FROM orders),
+            rules AS (
+              SELECT t.rule_id, agg.n_rows, t.n_violations
+              FROM agg, LATERAL (VALUES
+                ('not_null_custkey', v_notnull),
+                ('range_totalprice', v_range),
+                ('domain_orderstatus', v_domain),
+                ('format_priority', v_format),
+                ('unique_orderkey', v_unique)) AS t(rule_id, n_violations))
+            SELECT rule_id, n_rows, n_violations,
+                   n_violations = 0 AS passed
+            FROM rules ORDER BY rule_id"""))
+
+  // ------------------------------------------------------- l-diversity --
+
+  /** l-diversity audit over the `events` quasi-identifier (event_type,
+    * hour-of-day): per equivalence class, l = #distinct users (the
+    * sensitive attribute); classes below l<10 are re-identification risks
+    * even when k-anonymous (everyone in the class maps to few people).
+    * Emits the class-size/diversity ladder: per l-band, class count, row
+    * coverage, and min observed l — the privacy-review summary table.
+    *
+    * Scale: one (QI → count, distinct-count) agg — the distinct is over
+    * users WITHIN a class (map-side partial distinct on the QI key), then
+    * metadata-sized band re-aggregation, exactly q_privacy_kanon's ladder
+    * economics.
+    */
+  private val qPrivacyLdiv = GQuery(
+    (s, d) => {
+      val classes = t(s, d, "events")
+        .select(col("event_type"), hour(col("ts")).as("hod"), col("user_id"))
+        .groupBy("event_type", "hod")
+        .agg(count(lit(1L)).as("n_rows"),
+          countDistinct(col("user_id")).as("l"))
+      classes
+        .withColumn("l_band",
+          when(col("l") < 10, "risk_lt10")
+            .when(col("l") < 50, "low_10_49")
+            .otherwise("diverse_50plus"))
+        .groupBy("l_band")
+        .agg(count(lit(1L)).as("n_classes"),
+          sum("n_rows").as("n_rows"),
+          min("l").as("min_l"), max("l").as("max_l"))
+        .orderBy("l_band")
+    },
+    Some("""WITH classes AS (
+              SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(count(DISTINCT user_id) AS BIGINT) AS l
+              FROM events GROUP BY 1, 2)
+            SELECT CASE WHEN l < 10 THEN 'risk_lt10'
+                        WHEN l < 50 THEN 'low_10_49'
+                        ELSE 'diverse_50plus' END AS l_band,
+                   CAST(count(*) AS BIGINT) AS n_classes,
+                   CAST(sum(n_rows) AS BIGINT) AS n_rows,
+                   CAST(min(l) AS BIGINT) AS min_l,
+                   CAST(max(l) AS BIGINT) AS max_l
+            FROM classes GROUP BY 1 ORDER BY 1"""))
+
+  // ----------------------------------------------- score calibration --
+
+  /** Calibration / reliability table for a purchase "score" (events.value
+    * scaled to p̂ = value/500 as the predicted probability): fixed $50
+    * score bins, per bin the mean predicted probability vs the observed
+    * purchase rate, gap, and a final expected-calibration-error row
+    * (bin = −1) — Σ n_b·|gap| div N. All fixed-point ppm over exact cents,
+    * so the t2 gate hashes integers.
+    *
+    * Scale: one map-side-combinable agg to ≤10 bin rows; the ECE row
+    * re-aggregates the bin table (metadata-sized). The companion metric to
+    * q_stats_auc: AUC ranks, calibration checks the probabilities
+    * themselves.
+    */
+  private val qStatsCalibration = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val bins = t(s, d, "events")
+        .select(cents.as("c"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+        .withColumn("bin", expr("c div 5000").cast("int"))
+        .groupBy("bin")
+        .agg(count(lit(1L)).as("n"), sum("pos").as("n_pos"), sum("c").as("sc"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          // p̂ ppm: cents/50000 per row, averaged exactly over the bin
+          expr("sc * 20 div n").as("avg_phat_ppm"),
+          expr("n_pos * 1000000 div n").as("pos_rate_ppm"))
+        .withColumn("gap_ppm",
+          abs(col("avg_phat_ppm") - col("pos_rate_ppm")))
+      val ece = bins.agg(sum("n").as("nt"), sum("n_pos").as("npt"),
+          sum(col("n") * col("gap_ppm")).as("wg"))
+        .select(lit(-1).cast("int").as("bin"), col("nt").as("n"),
+          col("npt").as("n_pos"), lit(0L).as("avg_phat_ppm"),
+          lit(0L).as("pos_rate_ppm"), expr("wg div nt").as("gap_ppm"))
+      bins.unionAll(ece).orderBy("bin")
+    },
+    Some("""WITH ev AS (
+              SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+              FROM events),
+            bins AS (
+              SELECT CAST(c // 5000 AS INT) AS bin,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(pos) AS BIGINT) AS n_pos,
+                     CAST(sum(c) AS BIGINT) AS sc
+              FROM ev GROUP BY 1),
+            b2 AS (
+              SELECT bin, n, n_pos,
+                     CAST(sc * 20 // n AS BIGINT) AS avg_phat_ppm,
+                     CAST(n_pos * 1000000 // n AS BIGINT) AS pos_rate_ppm,
+                     CAST(abs(sc * 20 // n - n_pos * 1000000 // n) AS BIGINT)
+                       AS gap_ppm
+              FROM bins),
+            ece AS (
+              SELECT CAST(-1 AS INT) AS bin, CAST(sum(n) AS BIGINT) AS n,
+                     CAST(sum(n_pos) AS BIGINT) AS n_pos,
+                     CAST(0 AS BIGINT) AS avg_phat_ppm,
+                     CAST(0 AS BIGINT) AS pos_rate_ppm,
+                     CAST(sum(n * gap_ppm) // sum(n) AS BIGINT) AS gap_ppm
+              FROM b2)
+            SELECT * FROM b2
+            UNION ALL SELECT * FROM ece
+            ORDER BY bin"""))
+
+  val queries: Map[String, GQuery] = Map(
+    "q_quality_expectations" -> qQualityExpectations,
+    "q_privacy_ldiv" -> qPrivacyLdiv,
+    "q_stats_calibration" -> qStatsCalibration)
+}

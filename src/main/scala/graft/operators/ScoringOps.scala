@@ -1,0 +1,597 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GQuery, QueryModule, Tables}
+
+/** Round-6 block: ranking/scoring operators a training-data platform runs on
+  * top of the relational core — ROC-AUC model evaluation, hybrid lexical+
+  * semantic retrieval fusion (RRF), BPE tokenizer-training merge steps,
+  * DSIR-style importance weighting for corpus selection, multi-touch
+  * attribution, and a Gini concentration profiler.
+  *
+  * House rules (SURVEY.md §7): Catalyst built-ins only; every fractional
+  * output is FIXED-POINT integer (ppm = parts-per-million via `div`, which
+  * matches DuckDB `//` on the all-positive operands used here) so the t2 gate
+  * hashes exact integers; total-order ORDER BY; md5 is the only cross-engine
+  * hash. Reference scope note: the reference sink (OrcRecordWriter.java:41)
+  * computes nothing relational — this whole block is north-star surface.
+  */
+object ScoringOps extends QueryModule {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  // ----------------------------------------------------------- ROC AUC --
+
+  /** One-vs-rest ROC AUC of `events.value` as a score for each event_type,
+    * via the Mann-Whitney rank-sum identity: AUC = (R⁺ − n⁺(n⁺+1)/2)/(n⁺n⁻)
+    * with mid-rank ties. Everything is exact integers: values snap to cents;
+    * per distinct cent value v the doubled mid-rank is 2·cum_before(v) +
+    * cnt(v) + 1 (ranks cum+1..cum+cnt average to cum + (cnt+1)/2), so
+    * 2R⁺ = Σ c⁺(v)·(2·cum_before + cnt + 1) needs no fractions, and
+    * auc_ppm = (2R⁺ − n⁺(n⁺+1))·10⁶ div (2·n⁺·n⁻).
+    *
+    * Scale: one hash-agg to the distinct cent grid (bounded by the score
+    * domain, ~49k cells here), then the dist_histogram/stats_ks two-level
+    * prefix sum — bucket offsets (tiny agg, broadcast) + in-bucket running
+    * sums — so no single-partition window ever sees the full grid. All five
+    * one-vs-rest AUCs come from the same single pass.
+    */
+  private val qStatsAuc = GQuery(
+    (s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val perV = t(s, d, "events")
+        .select(cents.as("v"), col("event_type"))
+        .groupBy("v")
+        .agg(count(lit(1L)).as("cnt"), types.map(tp =>
+          sum(when(col("event_type") === tp, 1L).otherwise(0L)).as(s"c_$tp")): _*)
+      val b = perV.withColumn("bkt", expr("v div 100000"))
+      val wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+      val off = b.groupBy("bkt").agg(sum("cnt").as("bc"))
+        .select(col("bkt"), coalesce(sum("bc").over(wb), lit(0L)).as("off"))
+      val wv = Window.partitionBy("bkt").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = b.join(broadcast(off), "bkt")
+        .withColumn("cumb", col("off") + coalesce(sum("cnt").over(wv), lit(0L)))
+      val s2 = ranked.agg(sum("cnt").as("n"),
+        (types.map(tp => sum(col(s"c_$tp") * (col("cumb") * 2 + col("cnt") + 1))
+          .as(s"s2_$tp")) ++
+          types.map(tp => sum(col(s"c_$tp")).as(s"n_$tp"))): _*)
+      val stacked = types.map(tp =>
+        s"'$tp', s2_$tp, n_$tp").mkString(", ")
+      s2.selectExpr(s"stack(${types.size}, $stacked) AS (event_type, s2, np)",
+          "n")
+        .select(col("event_type"), col("np"),
+          expr("(s2 - np * (np + 1)) * 1000000 div (2 * np * (n - np))")
+            .as("auc_ppm"))
+        .orderBy("event_type")
+    },
+    Some("""WITH perv AS (
+              SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+                     CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS c_click,
+                     CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS c_error,
+                     CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c_purchase,
+                     CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS c_signup,
+                     CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS c_view,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1),
+            ranked AS (
+              SELECT *, CAST(coalesce(sum(cnt) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS cumb
+              FROM perv),
+            agg AS (
+              SELECT CAST(sum(c_click * (cumb*2 + cnt + 1)) AS BIGINT) AS s2_click,
+                     CAST(sum(c_error * (cumb*2 + cnt + 1)) AS BIGINT) AS s2_error,
+                     CAST(sum(c_purchase * (cumb*2 + cnt + 1)) AS BIGINT) AS s2_purchase,
+                     CAST(sum(c_signup * (cumb*2 + cnt + 1)) AS BIGINT) AS s2_signup,
+                     CAST(sum(c_view * (cumb*2 + cnt + 1)) AS BIGINT) AS s2_view,
+                     CAST(sum(c_click) AS BIGINT) AS n_click,
+                     CAST(sum(c_error) AS BIGINT) AS n_error,
+                     CAST(sum(c_purchase) AS BIGINT) AS n_purchase,
+                     CAST(sum(c_signup) AS BIGINT) AS n_signup,
+                     CAST(sum(c_view) AS BIGINT) AS n_view,
+                     CAST(sum(cnt) AS BIGINT) AS n
+              FROM ranked),
+            m AS (
+              SELECT t.* FROM agg, LATERAL (VALUES
+                ('click', s2_click, n_click), ('error', s2_error, n_error),
+                ('purchase', s2_purchase, n_purchase),
+                ('signup', s2_signup, n_signup), ('view', s2_view, n_view))
+                AS t(event_type, s2, np)),
+            fin AS (SELECT m.event_type, m.np,
+                      (m.s2 - m.np * (m.np + 1)) * 1000000
+                        // (2 * m.np * (agg.n - m.np)) AS auc_ppm
+                    FROM m, agg)
+            SELECT event_type, np, CAST(auc_ppm AS BIGINT) AS auc_ppm
+            FROM fin ORDER BY event_type"""))
+
+  // ------------------------------------- hybrid retrieval fusion (RRF) --
+
+  /** Reciprocal-rank fusion of a lexical and a semantic retriever — the
+    * standard hybrid-search combiner (Cormack et al., SIGIR'09). Queries are
+    * three probe documents (doc_id 0..2, which also own embedding vec_id
+    * 0..2). Retriever A ranks candidates by distinct-token overlap with the
+    * query text; retriever B by embedding cosine. Each returns its top-50;
+    * the fused score is Σ 10⁶ div (60 + rank) over the lists the doc appears
+    * in (absent list ⇒ no contribution — real RRF fuses TRUNCATED lists, the
+    * full rankings never materialize). Ranks tie-break on doc_id after
+    * snapping cosine to a 1e-6 grid, so both engines rank identically.
+    *
+    * Scale: each retriever is the engine's own top-k shape (overlap is an
+    * integer agg; cosine is the q_embed_knn broadcast pattern); the fusion
+    * joins two ≤50-row lists per query — negligible next to retrieval. The
+    * per-query window is bounded by the candidate count, and queries
+    * parallelize across partitions.
+    */
+  private val qTextRrf = GQuery(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          array_distinct(split(lower(col("text")), " ")).as("toks"))
+      val qdocs = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), col("toks").as("q_toks"))
+      val wLex = Window.partitionBy("qid")
+        .orderBy(col("ov").desc, col("doc_id").asc)
+      val lex = docs.crossJoin(broadcast(qdocs))
+        .filter(col("doc_id") =!= col("qid"))
+        .select(col("qid"), col("doc_id"),
+          size(array_intersect(col("toks"), col("q_toks"))).as("ov"))
+        .withColumn("r_lex", row_number().over(wLex).cast("long"))
+        .filter(col("r_lex") <= 50)
+        .select(col("qid"), col("doc_id"), col("r_lex"))
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val qemb = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("emb").as("q_emb"))
+      // cosine snapped to integer micros so rank order is engine-portable
+      val dot = aggregate(zip_with(col("emb"), col("q_emb"), _ * _),
+        lit(0.0), _ + _)
+      val nrm = sqrt(aggregate(transform(col("emb"), x => x * x), lit(0.0), _ + _))
+      val qnrm = sqrt(aggregate(transform(col("q_emb"), x => x * x), lit(0.0), _ + _))
+      val wSem = Window.partitionBy("qid")
+        .orderBy(col("cos_micro").desc, col("vec_id").asc)
+      val sem = emb.crossJoin(broadcast(qemb))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          floor(dot / (nrm * qnrm) * 1e6).cast("long").as("cos_micro"))
+        .withColumn("r_sem", row_number().over(wSem).cast("long"))
+        .filter(col("r_sem") <= 50)
+        .select(col("qid"), col("vec_id").as("doc_id"), col("r_sem"))
+      val wF = Window.partitionBy("qid")
+        .orderBy(col("rrf_ppm").desc, col("doc_id").asc)
+      lex.join(sem, Seq("qid", "doc_id"), "full_outer")
+        .select(col("qid"), col("doc_id"),
+          (coalesce(expr("1000000 div (60 + r_lex)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + r_sem)"), lit(0L))).as("rrf_ppm"),
+          coalesce(col("r_lex"), lit(0L)).as("r_lex"),
+          coalesce(col("r_sem"), lit(0L)).as("r_sem"))
+        .withColumn("rk", row_number().over(wF).cast("int"))
+        .filter(col("rk") <= 10)
+        .orderBy("qid", "rk")
+    },
+    Some("""WITH docs AS (
+              SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+              FROM documents),
+            q AS (SELECT doc_id AS qid, toks AS q_toks FROM docs WHERE doc_id < 3),
+            lex0 AS (
+              SELECT q.qid, d.doc_id,
+                     CAST(len(list_intersect(d.toks, q.q_toks)) AS BIGINT) AS ov
+              FROM docs d CROSS JOIN q WHERE d.doc_id <> q.qid),
+            lex AS (
+              SELECT qid, doc_id, CAST(row_number() OVER (PARTITION BY qid
+                       ORDER BY ov DESC, doc_id ASC) AS BIGINT) AS r_lex
+              FROM lex0 QUALIFY r_lex <= 50),
+            emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                    FROM embeddings),
+            qe AS (SELECT vec_id AS qid, emb AS q_emb FROM emb WHERE vec_id < 3),
+            sem0 AS (
+              SELECT qe.qid, e.vec_id,
+                     CAST(floor(list_dot_product(e.emb, qe.q_emb)
+                       / (sqrt(list_dot_product(e.emb, e.emb))
+                          * sqrt(list_dot_product(qe.q_emb, qe.q_emb))) * 1e6)
+                       AS BIGINT) AS cos_micro
+              FROM emb e CROSS JOIN qe WHERE e.vec_id <> qe.qid),
+            sem AS (
+              SELECT qid, vec_id AS doc_id,
+                     CAST(row_number() OVER (PARTITION BY qid
+                       ORDER BY cos_micro DESC, vec_id ASC) AS BIGINT) AS r_sem
+              FROM sem0 QUALIFY r_sem <= 50),
+            fused AS (
+              SELECT coalesce(lex.qid, sem.qid) AS qid,
+                     coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+                     coalesce(1000000 // (60 + lex.r_lex), 0)
+                       + coalesce(1000000 // (60 + sem.r_sem), 0) AS rrf_ppm,
+                     coalesce(lex.r_lex, 0) AS r_lex,
+                     coalesce(sem.r_sem, 0) AS r_sem
+              FROM lex FULL OUTER JOIN sem
+                ON lex.qid = sem.qid AND lex.doc_id = sem.doc_id)
+            SELECT qid, doc_id, CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+                   CAST(r_lex AS BIGINT) AS r_lex, CAST(r_sem AS BIGINT) AS r_sem,
+                   CAST(row_number() OVER (PARTITION BY qid
+                     ORDER BY rrf_ppm DESC, doc_id ASC) AS INT) AS rk
+            FROM fused QUALIFY rk <= 10 ORDER BY qid, rk"""))
+
+  // ------------------------------------------- BPE tokenizer training --
+
+  /** Three greedy BPE merge steps (Sennrich et al. 2016) over the corpus
+    * vocabulary — the tokenizer-training inner loop. The corpus is scanned
+    * ONCE into (token, count); every iteration then runs on that tiny vocab
+    * table (the standard BPE formulation — real tokenizer trainers iterate
+    * on the word-type table too, never the corpus). Each step counts
+    * count-weighted adjacent symbol pairs, picks the argmax (count desc,
+    * pair asc), and rewrites the vocab's spaced symbol strings.
+    *
+    * The rewrite is `replace` on DOUBLED separators: with two spaces between
+    * symbols the pattern ' l<sp><sp>r ' consumes one space from each side,
+    * so disjoint occurrences never share a character and left-to-right
+    * replace implements exact greedy merging ('a a a' → 'aa a' — verified
+    * identical in Spark and DuckDB, including overlapping runs).
+    *
+    * Scale: one corpus-wide token count (map-side combinable) + k iterations
+    * over |vocab| rows with a broadcast 1-row argmax — shuffle-free after
+    * the first agg.
+    */
+  private val qVocabBpe = GQuery(
+    (s, d) => {
+      val vocab0 = t(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1L)).as("cnt"))
+        .select(col("tok"), col("cnt"),
+          concat(lit(" "),
+            concat_ws(" ", filter(split(col("tok"), ""), c => c =!= "")),
+            lit(" ")).as("s"))
+      def bestPair(vocab: DataFrame): DataFrame = {
+        val toks = filter(split(trim(col("s")), " "), c => c =!= "")
+        vocab
+          .select(col("cnt"), toks.as("sy"))
+          // Spark sequence(1, 0) counts DOWN ([1,0]) — guard 1-symbol words
+          // to an empty pair list (explode then drops the row).
+          .select(col("cnt"), explode(
+            transform(
+              when(size(col("sy")) >= 2, sequence(lit(1), size(col("sy")) - 1))
+                .otherwise(array().cast("array<int>")),
+              i => struct(element_at(col("sy"), i).as("l"),
+                element_at(col("sy"), i + 1).as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("cnt").as("pair_cnt"))
+          .orderBy(col("pair_cnt").desc, col("l").asc, col("r").asc)
+          .limit(1)
+      }
+      def applyMerge(vocab: DataFrame, best: DataFrame): DataFrame =
+        vocab.crossJoin(broadcast(best.select(col("l").as("m_l"), col("r").as("m_r"))))
+          .select(col("tok"), col("cnt"),
+            expr("""replace(replace(replace(s, ' ', '  '),
+                      ' ' || m_l || '  ' || m_r || ' ',
+                      ' ' || m_l || m_r || ' '), '  ', ' ')""").as("s"))
+      var vocab = vocab0.localCheckpoint(eager = true)
+      val steps = (1 to 3).map { it =>
+        val best = bestPair(vocab).localCheckpoint(eager = true)
+        vocab = applyMerge(vocab, best).localCheckpoint(eager = true)
+        best.select(lit(it).cast("int").as("iter"), col("l"), col("r"),
+          concat(col("l"), col("r")).as("merged"), col("pair_cnt"))
+      }
+      steps.reduce(_ unionAll _).orderBy("iter")
+    },
+    Some {
+      def pairs(v: String, p: String) =
+        s"""$p AS (
+              SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pair_cnt
+              FROM (SELECT cnt,
+                      string_split(trim(s), ' ') AS sy
+                    FROM $v),
+                   LATERAL (SELECT unnest(generate_series(1, len(sy)-1)) AS i)
+              , LATERAL (SELECT sy[i] AS l, sy[i+1] AS r)
+              GROUP BY l, r),
+            ${p}b AS (SELECT * FROM $p
+                      ORDER BY pair_cnt DESC, l ASC, r ASC LIMIT 1)"""
+      def merge(v: String, p: String, v2: String) =
+        s"""$v2 AS (
+              SELECT tok, cnt,
+                     replace(replace(replace(s, ' ', '  '),
+                       ' ' || b.l || '  ' || b.r || ' ',
+                       ' ' || b.l || b.r || ' '), '  ', ' ') AS s
+              FROM $v CROSS JOIN ${p}b b)"""
+      s"""WITH v0 AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS cnt,
+                     ' ' || array_to_string(string_split(tok, ''), ' ') || ' ' AS s
+              FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+                    FROM documents)
+              GROUP BY tok),
+            ${pairs("v0", "p1")},
+            ${merge("v0", "p1", "v1")},
+            ${pairs("v1", "p2")},
+            ${merge("v1", "p2", "v2")},
+            ${pairs("v2", "p3")}
+            SELECT * FROM (
+              SELECT CAST(1 AS INT) AS iter, l, r, l || r AS merged, pair_cnt FROM p1b
+              UNION ALL
+              SELECT CAST(2 AS INT), l, r, l || r, pair_cnt FROM p2b
+              UNION ALL
+              SELECT CAST(3 AS INT), l, r, l || r, pair_cnt FROM p3b)
+            ORDER BY iter"""
+    })
+
+  // --------------------------------- DSIR-style importance weighting --
+
+  /** Hashed n-gram importance weights for targeted corpus selection (DSIR,
+    * Xie et al. 2023): featurize every token into one of 64 hash buckets,
+    * estimate the target distribution p from a "wiki-like" slice (source
+    * src0–src3) and the raw distribution q from the whole corpus, and score
+    * each document by the mean importance ratio p(b)/q(b) of its tokens.
+    * Ratios are fixed-point with add-one smoothing:
+    * w_ppm(b) = (tgt(b)+1)·(raw_total+64)·10⁶ div ((raw(b)+1)·(tgt_total+64)).
+    * Top-20 admitted documents by mean weight.
+    *
+    * Scale: token explode → 64-row bucket histogram (map-side combinable);
+    * the 64-row weight table broadcasts back onto the exploded stream, so
+    * the only shuffles are the two tiny aggs and the final TakeOrdered.
+    * Longs hold to ~sf10 (counts·10⁶ < 2⁶³); beyond that widen the ratio
+    * arithmetic to DECIMAL(38,0).
+    */
+  private val qSampleImportance = GQuery(
+    (s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .withColumn("b", pmod(DedupOps.hex4(col("tok")), lit(64)))
+      val hist = toks.groupBy("b").agg(
+        count(lit(1L)).as("raw"),
+        sum(when(col("source") <= "src3", 1L).otherwise(0L)).as("tgt"))
+      val tot = hist.agg(sum("raw").as("raw_tot"), sum("tgt").as("tgt_tot"))
+      val w = hist.crossJoin(broadcast(tot))
+        .select(col("b"),
+          expr("""(tgt + 1) * (raw_tot + 64) * 1000000
+                  div ((raw + 1) * (tgt_tot + 64))""").as("w_ppm"))
+      toks.join(broadcast(w), "b")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1L)).as("n_toks"), sum("w_ppm").as("sw"))
+        .select(col("doc_id"), col("source"), col("n_toks"),
+          expr("sw div n_toks").as("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("doc_id").asc)
+        .limit(20)
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, source,
+                     unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents),
+            tb AS (
+              SELECT doc_id, source,
+                     ${DedupOps.duckHex4("md5(tok)")} % 64 AS b
+              FROM toks),
+            hist AS (
+              SELECT b, CAST(count(*) AS BIGINT) AS raw,
+                     CAST(sum(CASE WHEN source <= 'src3' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS tgt
+              FROM tb GROUP BY b),
+            tot AS (SELECT CAST(sum(raw) AS BIGINT) AS raw_tot,
+                           CAST(sum(tgt) AS BIGINT) AS tgt_tot FROM hist),
+            w AS (SELECT b, (tgt + 1) * (raw_tot + 64) * 1000000
+                           // ((raw + 1) * (tgt_tot + 64)) AS w_ppm
+                  FROM hist CROSS JOIN tot),
+            sc AS (
+              SELECT tb.doc_id, tb.source, CAST(count(*) AS BIGINT) AS n_toks,
+                     CAST(sum(w.w_ppm) AS BIGINT) AS sw
+              FROM tb JOIN w ON tb.b = w.b
+              GROUP BY tb.doc_id, tb.source)
+            SELECT doc_id, source, n_toks, CAST(sw // n_toks AS BIGINT) AS score_ppm
+            FROM sc ORDER BY score_ppm DESC, doc_id ASC LIMIT 20"""))
+
+  // ------------------------------------------- multi-touch attribution --
+
+  /** Linear multi-touch attribution: every purchase distributes one unit of
+    * credit equally across the SAME USER's clicks in the preceding 30
+    * minutes (the q_join_range window, now with credit math). Credit is
+    * fixed-point: each contributing click earns 10⁶ div n_clicks ppm, so
+    * per-purchase credit sums to ≤ 10⁶ exactly (the remainder of the
+    * integer division is deliberately dropped — deterministic in both
+    * engines). Per-user rollup: attributed purchases, credited clicks, and
+    * total credit.
+    *
+    * Scale: equi-join on user_id (time predicate evaluated inside the
+    * match), partial-agg rollup — the standard attribution shape; skewed
+    * power-users would take the q_join_salted treatment.
+    */
+  private val qEventsAttribution = GQuery(
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("ts_sec"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts_sec").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts_sec").as("c_ts"))
+      val matched = purchases.join(clicks,
+          col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - 1800 && col("c_ts") < col("p_ts"))
+        .groupBy("p_id", "p_user")
+        .agg(count(lit(1L)).as("n_clicks"))
+      matched
+        .select(col("p_user"), col("n_clicks"),
+          expr("1000000 div n_clicks").as("credit_ppm"))
+        .groupBy(col("p_user").as("user_id"))
+        .agg(count(lit(1L)).as("n_attributed"),
+          sum("n_clicks").as("n_credited_clicks"),
+          sum(col("credit_ppm") * col("n_clicks")).as("credit_ppm"))
+        .orderBy("user_id")
+    },
+    Some("""WITH ev AS (
+              SELECT event_id, user_id, event_type,
+                     CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+              FROM events),
+            p AS (SELECT event_id AS p_id, user_id AS p_user, ts_sec AS p_ts
+                  FROM ev WHERE event_type = 'purchase'),
+            c AS (SELECT user_id AS c_user, ts_sec AS c_ts
+                  FROM ev WHERE event_type = 'click'),
+            m AS (
+              SELECT p_id, p_user, CAST(count(*) AS BIGINT) AS n_clicks
+              FROM p JOIN c ON p_user = c_user
+                AND c_ts >= p_ts - 1800 AND c_ts < p_ts
+              GROUP BY p_id, p_user)
+            SELECT p_user AS user_id, CAST(count(*) AS BIGINT) AS n_attributed,
+                   CAST(sum(n_clicks) AS BIGINT) AS n_credited_clicks,
+                   CAST(sum((1000000 // n_clicks) * n_clicks) AS BIGINT)
+                     AS credit_ppm
+            FROM m GROUP BY p_user ORDER BY user_id"""))
+
+  // ------------------------------------------------ Gini concentration --
+
+  /** Per-market-segment Gini coefficient of customer spend — the corpus-
+    * balance concentration metric (a source hogging the token budget shows
+    * exactly like a customer hogging revenue). Spend snaps to cents; with
+    * x sorted ascending and i the 1-based rank,
+    * G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx), emitted as
+    * gini_ppm = ((2·S₁ − (n+1)·S) div n) · 10⁶ div S (div-by-n first keeps
+    * the intermediate < 2⁶³ through sf1; beyond that widen to DECIMAL).
+    * Ties are rank-order-insensitive in S₁ (equal x swap freely), so the
+    * custkey tiebreak is presentation-only.
+    *
+    * Scale: ranks come from the dist_histogram two-level prefix sum — per
+    * (segment, spend-bucket) offsets broadcast back, in-bucket row_number —
+    * so no segment-wide single-partition sort.
+    */
+  private val qProfileGini = GQuery(
+    (s, d) => {
+      val spend = t(s, d, "customer")
+        .join(t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(coalesce(sum(col("o_totalprice").cast("decimal(18,2)") * 100),
+          lit(0)).cast("long").as("cents"))
+      val b = spend.withColumn("bkt", expr("cents div 1000000"))
+      val wb = Window.partitionBy("c_mktsegment").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = b.groupBy("c_mktsegment", "bkt").agg(count(lit(1L)).as("bc"))
+        .select(col("c_mktsegment"), col("bkt"),
+          coalesce(sum("bc").over(wb), lit(0L)).as("off"))
+      val wv = Window.partitionBy("c_mktsegment", "bkt")
+        .orderBy(col("cents").asc, col("c_custkey").asc)
+      val ranked = b.join(broadcast(off), Seq("c_mktsegment", "bkt"))
+        .select(col("c_mktsegment"), col("cents"),
+          (col("off") + row_number().over(wv)).as("rk"))
+      ranked.groupBy("c_mktsegment")
+        .agg(count(lit(1L)).as("n"), sum("cents").as("s"),
+          sum(col("rk") * col("cents")).as("s1"))
+        .select(col("c_mktsegment"), col("n"), col("s"),
+          expr("((2 * s1 - (n + 1) * s) div n) * 1000000 div s").as("gini_ppm"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""WITH spend AS (
+              SELECT c_custkey, c_mktsegment,
+                     CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100),
+                       0) AS BIGINT) AS cents
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey, c_mktsegment),
+            ranked AS (
+              SELECT c_mktsegment, cents,
+                     CAST(row_number() OVER (PARTITION BY c_mktsegment
+                       ORDER BY cents ASC, c_custkey ASC) AS BIGINT) AS rk
+              FROM spend),
+            agg AS (
+              SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(cents) AS BIGINT) AS s,
+                     CAST(sum(rk * cents) AS BIGINT) AS s1
+              FROM ranked GROUP BY c_mktsegment)
+            SELECT c_mktsegment, n, s,
+                   CAST(((2 * s1 - (n + 1) * s) // n) * 1000000 // s AS BIGINT)
+                     AS gini_ppm
+            FROM agg ORDER BY c_mktsegment"""))
+
+  // --------------------------------------------------- PSI drift gate --
+
+  /** Population-stability-index drift detection between the first and
+    * second half of the event stream (the train-window vs serve-window
+    * check every ML platform runs): $50 value bins, add-one smoothing,
+    * PSI = Σ (p−q)·ln(p/q). The split point is data-derived (midpoint of
+    * the observed ts range, integer epoch seconds) so the op is a pure
+    * function of the table. ln is quantized to milli-nats over an
+    * exact-integer rational (the q_text_lm_score precedent), p/q are
+    * fixed-point ppm, and each bin's contribution is
+    * greatest((p−q)·ln_mnat, 0) div 1000 — clamped at zero so quantization
+    * can never produce a negative-operand `div` (Spark div ≡ DuckDB //
+    * only for non-negatives). Emits per-bin rows + a bin = −1 total row
+    * (PSI in micro-nats; > 0.2 nat ⇒ drifted).
+    *
+    * Scale: two thin-projection scans (ts-range agg broadcast back, then
+    * one map-side-combinable bin agg over the fixed score-domain grid);
+    * everything after is ≤ #bins rows.
+    */
+  private val qStatsPsi = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val ev = t(s, d, "events")
+        .select(unix_timestamp(col("ts")).as("sec"), cents.as("c"))
+      val rng = ev.agg(min("sec").as("lo"), max("sec").as("hi"))
+      val nb = 11
+      val bins = ev.crossJoin(broadcast(rng))
+        .select(expr("c div 5000").cast("int").as("bin"),
+          when(col("sec") < expr("lo + (hi - lo) div 2"), 1L)
+            .otherwise(0L).as("isref"))
+        .groupBy("bin")
+        .agg(sum("isref").as("cref"), sum(lit(1L) - col("isref")).as("ccur"))
+      val tot = bins.agg(sum("cref").as("nref"), sum("ccur").as("ncur"))
+      val scored = bins.crossJoin(broadcast(tot))
+        .select(col("bin"), col("cref"), col("ccur"),
+          expr(s"(cref + 1) * 1000000 div (nref + $nb)").as("p_ppm"),
+          expr(s"(ccur + 1) * 1000000 div (ncur + $nb)").as("q_ppm"),
+          round(log((col("cref") + 1.0) * (col("ncur") + nb.toDouble) /
+            ((col("ccur") + 1.0) * (col("nref") + nb.toDouble))) * 1000)
+            .cast("long").as("lr_mnat"))
+        .withColumn("contrib_micro",
+          expr("greatest((p_ppm - q_ppm) * lr_mnat, 0) div 1000"))
+      val total = scored.agg(sum("cref").as("cref"), sum("ccur").as("ccur"),
+          sum("contrib_micro").as("psi"))
+        .select(lit(-1).cast("int").as("bin"), col("cref"), col("ccur"),
+          lit(0L).as("p_ppm"), lit(0L).as("q_ppm"), lit(0L).as("lr_mnat"),
+          col("psi").as("contrib_micro"))
+      scored.unionAll(total).orderBy("bin")
+    },
+    Some("""WITH ev AS (
+              SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+              FROM events),
+            rng AS (SELECT min(sec) AS lo, max(sec) AS hi FROM ev),
+            bins AS (
+              SELECT CAST(c // 5000 AS INT) AS bin,
+                     CAST(sum(CASE WHEN sec < lo + (hi - lo) // 2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS cref,
+                     CAST(sum(CASE WHEN sec < lo + (hi - lo) // 2
+                       THEN 0 ELSE 1 END) AS BIGINT) AS ccur
+              FROM ev CROSS JOIN rng GROUP BY 1),
+            tot AS (SELECT CAST(sum(cref) AS BIGINT) AS nref,
+                           CAST(sum(ccur) AS BIGINT) AS ncur FROM bins),
+            scored AS (
+              SELECT bin, cref, ccur,
+                     CAST((cref + 1) * 1000000 // (nref + 11) AS BIGINT) AS p_ppm,
+                     CAST((ccur + 1) * 1000000 // (ncur + 11) AS BIGINT) AS q_ppm,
+                     CAST(round(ln((cref + 1.0) * (ncur + 11.0)
+                       / ((ccur + 1.0) * (nref + 11.0))) * 1000) AS BIGINT)
+                       AS lr_mnat
+              FROM bins CROSS JOIN tot),
+            s2 AS (
+              SELECT bin, cref, ccur, p_ppm, q_ppm, lr_mnat,
+                     CAST(greatest((p_ppm - q_ppm) * lr_mnat, 0) // 1000
+                       AS BIGINT) AS contrib_micro
+              FROM scored),
+            total AS (
+              SELECT CAST(-1 AS INT) AS bin, CAST(sum(cref) AS BIGINT) AS cref,
+                     CAST(sum(ccur) AS BIGINT) AS ccur,
+                     CAST(0 AS BIGINT) AS p_ppm, CAST(0 AS BIGINT) AS q_ppm,
+                     CAST(0 AS BIGINT) AS lr_mnat,
+                     CAST(sum(contrib_micro) AS BIGINT) AS contrib_micro
+              FROM s2)
+            SELECT * FROM s2 UNION ALL SELECT * FROM total
+            ORDER BY bin"""))
+
+  val queries: Map[String, GQuery] = Map(
+    "q_stats_psi" -> qStatsPsi,
+    "q_stats_auc" -> qStatsAuc,
+    "q_text_rrf" -> qTextRrf,
+    "q_vocab_bpe" -> qVocabBpe,
+    "q_sample_importance" -> qSampleImportance,
+    "q_events_attribution" -> qEventsAttribution,
+    "q_profile_gini" -> qProfileGini)
+}

@@ -546,4 +546,45 @@ class PlanShapeSpec extends SparkSpec {
     // split_train: partial agg -> final agg exchange + the tiny 3-row sort
     assert(exchanges("q_split_train") <= 2, "split shuffles beyond agg + sort")
   }
+
+  test("round-6 scoring ops: two-level ranks, broadcast small sides") {
+    // q_stats_auc: the rank window must be the two-level shape — the
+    // cumulative sum partitions on the cent bucket (parallel), bucket
+    // offsets broadcast back; never a grid-wide single-partition window.
+    val auc = plan("q_stats_auc")
+    assert(auc.matches("(?s).*Window \\[[^\\]]*\\], \\[bkt#\\d+L\\].*"), auc.take(3000))
+    assert(auc.contains("BroadcastExchange"), auc.take(3000))
+    // q_profile_gini: same two-level shape, partitioned (segment, bucket).
+    val g = plan("q_profile_gini")
+    assert(g.matches(
+      "(?s).*Window \\[row_number\\(\\)[^\\]]*\\], \\[c_mktsegment#\\d+, bkt#\\d+L\\].*"),
+      g.take(3000))
+    assert(g.contains("BroadcastExchange"), g.take(3000))
+    // q_text_rrf: both retrievers broadcast the 3-query side; the corpus
+    // never exchanges for scoring.
+    val rrf = plan("q_text_rrf")
+    assert("BroadcastExchange".r.findAllIn(rrf).length >= 2, rrf.take(3000))
+    // q_sample_importance: the 64-row weight table joins back as a
+    // broadcast (scoring stays map-side), and the final top-20 is
+    // TakeOrdered, not a global sort.
+    val imp = plan("q_sample_importance")
+    assert(imp.contains("BroadcastHashJoin"), imp.take(3000))
+    assert(imp.contains("TakeOrderedAndProject"), imp.take(3000))
+    // q_vocab_bpe: the emitted plan reads the CHECKPOINTED per-iteration
+    // argmax rows (Scan ExistingRDD) — the lineage cap that keeps k merge
+    // steps from compounding into one 3^k-deep plan.
+    assert(plan("q_vocab_bpe").contains("Scan ExistingRDD"), "bpe checkpoint feed")
+    // q_events_attribution: the user-keyed join partially aggregates the
+    // per-purchase click counts before the rollup.
+    assert(plan("q_events_attribution").contains("partial_count"),
+      "attribution partial agg")
+    // governance ops: single map-side-combinable agg passes — the contract
+    // rules and calibration bins partially aggregate before their exchange.
+    assert(plan("q_quality_expectations").contains("partial_count"),
+      "expectations partial agg")
+    assert(plan("q_stats_calibration").contains("partial_count"),
+      "calibration partial agg")
+    assert(plan("q_privacy_ldiv").contains("partial_count"),
+      "ldiv partial agg")
+  }
 }

@@ -151,4 +151,105 @@ class PropertySpec extends SparkSpec {
     assert(joined.filter(col("b0") =!= col("b0_2") || col("b1") =!= col("b1_2"))
       .count() == 0)
   }
+
+  test("AUC rank-sum identity equals brute-force pair counting") {
+    // The op computes one-vs-rest AUC via the Mann-Whitney rank-sum formula
+    // over the distinct-cents grid. Ground truth on sf0.001: AUC·n⁺n⁻ =
+    // #(pos>neg pairs) + #(ties)/2 — counted directly over the cross join.
+    // auc_ppm = 2·wins_x2/2 · 1e6 div (2·n⁺n⁻) must match exactly.
+    val auc = SparkEntry.queries("q_stats_auc")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ev = Tables(spark, sf, "events")
+      .select(col("value").cast("decimal(18,2)").*(lit(100)).cast("long").as("v"),
+        col("event_type")).cache()
+    val n = ev.count()
+    for ((tp, (np, ppm)) <- auc) {
+      val pos = ev.filter(col("event_type") === tp).select(col("v").as("pv"))
+      val neg = ev.filter(col("event_type") =!= tp).select(col("v").as("nv"))
+      // wins_x2 = 2·#(pos>neg) + #(pos==neg)  (exact, integer)
+      val winsX2 = pos.crossJoin(neg)
+        .agg(sum(when(col("pv") > col("nv"), 2L)
+          .when(col("pv") === col("nv"), 1L).otherwise(0L)))
+        .head().getLong(0)
+      val expected = winsX2 * 1000000L / (2L * np * (n - np))
+      assert(ppm == expected, s"$tp: op=$ppm brute=$expected")
+      assert(ppm >= 0L && ppm <= 1000000L, s"$tp out of [0,1] range: $ppm")
+    }
+    ev.unpersist()
+  }
+
+  test("Gini rank formula equals the mean-absolute-difference definition") {
+    // For sorted x: Σᵢⱼ|xᵢ−xⱼ| = 2·(2S₁ − (n+1)S), so the op's
+    // gini_ppm = ((pairsum/2) div n)·10⁶ div S when pairsum is counted
+    // directly over the per-segment cross join (sf0.001: 150 customers).
+    val g = SparkEntry.queries("q_profile_gini")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val spend = Tables(spark, sf, "customer")
+      .join(Tables(spark, sf, "orders"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(coalesce(sum(col("o_totalprice").cast("decimal(18,2)") * 100),
+        lit(0)).cast("long").as("cents")).cache()
+    for ((seg, n, s, ppm) <- g) {
+      val xs = spend.filter(col("c_mktsegment") === seg).select("cents")
+      val pairSum = xs.crossJoin(xs.select(col("cents").as("c2")))
+        .agg(sum(abs(col("cents") - col("c2")))).head().getLong(0)
+      val expected = (pairSum / 2 / n) * 1000000L / s
+      assert(ppm == expected, s"$seg: op=$ppm brute=$expected")
+      assert(ppm >= 0L && ppm < 1000000L, s"$seg gini out of range: $ppm")
+    }
+    spend.unpersist()
+  }
+
+  test("BPE merge priorities are monotonically non-increasing") {
+    // Each merge can only create pairs bounded by the merged pair's count
+    // and never raises an existing pair's count — so greedy argmax counts
+    // must not increase across iterations.
+    val merges = SparkEntry.queries("q_vocab_bpe")(spark, sf)
+      .orderBy("iter").collect()
+    assert(merges.length == 3)
+    val cnts = merges.map(_.getLong(4))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+      cnts.mkString(","))
+    // merged symbol is the concatenation of its parts
+    merges.foreach { r =>
+      assert(r.getString(3) == r.getString(1) + r.getString(2))
+    }
+  }
+
+  test("calibration ECE row re-derives from the bin rows; PSI is non-negative") {
+    val cal = SparkEntry.queries("q_stats_calibration")(spark, sf).collect()
+    val bins = cal.filter(_.getInt(0) >= 0)
+    val ece = cal.find(_.getInt(0) == -1).get
+    val n = bins.map(_.getLong(1)).sum
+    val wg = bins.map(r => r.getLong(1) * r.getLong(5)).sum
+    assert(ece.getLong(1) == n)
+    assert(ece.getLong(5) == wg / n, s"ece=${ece.getLong(5)} expect=${wg / n}")
+    val psi = SparkEntry.queries("q_stats_psi")(spark, sf).collect()
+    val contribs = psi.filter(_.getInt(0) >= 0).map(_.getLong(6))
+    val total = psi.find(_.getInt(0) == -1).get.getLong(6)
+    assert(contribs.forall(_ >= 0L) && total == contribs.sum)
+  }
+
+  test("expectation rules: violation counts never exceed row count") {
+    val rows = SparkEntry.queries("q_quality_expectations")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (n, v, passed) = (r.getLong(1), r.getLong(2), r.getBoolean(3))
+      assert(v >= 0L && v <= n, r.toString)
+      assert(passed == (v == 0L), r.toString)
+    }
+  }
+
+  test("attribution credit is conservative: within remainder of full units") {
+    // Each attributed purchase distributes (10⁶ div k)·k ppm ∈ (10⁶−k, 10⁶],
+    // so per user: n·10⁶ − clicks < credit ≤ n·10⁶.
+    val rows = SparkEntry.queries("q_events_attribution")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, clicks, credit) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(credit <= n * 1000000L, r.toString)
+      assert(credit > n * 1000000L - clicks, r.toString)
+    }
+  }
 }
