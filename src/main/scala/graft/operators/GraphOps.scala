@@ -279,8 +279,75 @@ object GraphOps extends QueryModule {
             FROM e3 GROUP BY x HAVING count(*) >= 7
             ORDER BY user_id"""))
 
+  /** BFS hop distances from a deterministic seed (the smallest node id)
+    * over the strong-tie co-engagement graph — reachability/radius probing,
+    * the fourth member of the graph family (influence = pagerank, cohesion
+    * = k-core, closure = triangles, proximity = BFS). Three synchronous
+    * frontier-expansion rounds: dist(seed) = 0, then each round joins the
+    * known set to its neighbors and keeps the min distance per node.
+    *
+    * Scale: the textbook distributed BFS — per round one edges⋈frontier
+    * join on the node key + one min-agg, O(diameter) rounds; the known-set
+    * table is ≤ |V| rows and checkpointed per round (components pattern),
+    * so lineage never compounds.
+    */
+  private val qGraphBfs = GQuery(
+    (s, d) => {
+      val und = CoGraph.pairCounts(s, d)
+        .filter(col("c") >= 26)
+        .select("u", "v")
+        .localCheckpoint(true)
+      val edges = und.select(col("u").as("x"), col("v").as("y"))
+        .union(und.select(col("v").as("x"), col("u").as("y")))
+      val seed = und.agg(min(col("u")).as("seed"))
+      var dist = und.crossJoin(broadcast(seed))
+        .filter(col("u") === col("seed"))
+        .select(col("u").as("node"), lit(0L).as("dist"))
+        .distinct()
+        .localCheckpoint(true)
+      for (_ <- 1 to 3) {
+        val frontier = edges.join(dist, col("x") === col("node"))
+          .select(col("y").as("node"), (col("dist") + 1L).as("dist"))
+        dist = dist.unionAll(frontier)
+          .groupBy("node").agg(min("dist").as("dist"))
+          .localCheckpoint(true)
+      }
+      dist.select(col("node").as("user_id"), col("dist"))
+        .orderBy("user_id")
+    },
+    Some("""WITH ev AS (
+              SELECT DISTINCT event_type,
+                     CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+              FROM events),
+            und AS (
+              SELECT a.user_id AS u, b.user_id AS v
+              FROM ev a JOIN ev b
+                ON a.event_type = b.event_type AND a.d = b.d
+                   AND a.user_id < b.user_id
+              GROUP BY 1, 2 HAVING count(*) >= 26),
+            e0 AS (SELECT u AS x, v AS y FROM und
+                   UNION ALL SELECT v, u FROM und),
+            d0 AS (SELECT min(u) AS node, CAST(0 AS BIGINT) AS dist FROM und),
+            d1 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+                     SELECT node, dist FROM d0
+                     UNION ALL
+                     SELECT e.y, d.dist + 1 FROM e0 e JOIN d0 d ON e.x = d.node)
+                   GROUP BY node),
+            d2 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+                     SELECT node, dist FROM d1
+                     UNION ALL
+                     SELECT e.y, d.dist + 1 FROM e0 e JOIN d1 d ON e.x = d.node)
+                   GROUP BY node),
+            d3 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+                     SELECT node, dist FROM d2
+                     UNION ALL
+                     SELECT e.y, d.dist + 1 FROM e0 e JOIN d2 d ON e.x = d.node)
+                   GROUP BY node)
+            SELECT node AS user_id, dist FROM d3 ORDER BY user_id"""))
+
   override val queries: Map[String, GQuery] = Map(
     "q_graph_pagerank" -> qGraphPagerank,
     "q_graph_triangles" -> qGraphTriangles,
-    "q_graph_kcore" -> qGraphKcore)
+    "q_graph_kcore" -> qGraphKcore,
+    "q_graph_bfs" -> qGraphBfs)
 }

@@ -586,7 +586,86 @@ object ScoringOps extends QueryModule {
             SELECT * FROM s2 UNION ALL SELECT * FROM total
             ORDER BY bin"""))
 
+  // ------------------------------------------- Poisson bootstrap CI --
+
+  /** Deterministic Poisson-bootstrap 95% confidence interval for the mean
+    * purchase value — resampling inference without randomness: each
+    * (event, resample b) pair draws its multiplicity w ∈ 0..4 from a fixed
+    * quantization of Poisson(1) (pmf thresholds on md5(event_id:b) mod
+    * 1000: 368/368/184/61/19 — the standard streaming-bootstrap
+    * approximation, hash-seeded so re-runs and both engines draw the SAME
+    * weights). 64 resample means in exact cents (integer div), CI bounds
+    * at ranks 2 and 63 of the sorted means (≈2.5/97.5 pct of 64).
+    *
+    * Scale: the explode is a constant 64× fan-out of a thin (id, cents)
+    * projection that immediately partial-aggregates to 64 rows — the
+    * map-side combine absorbs the fan-out, so no 64×-sized shuffle ever
+    * materializes; everything after is 64 rows.
+    */
+  private val qStatsBootstrap = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val pv = t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), cents.as("c"))
+      val drawn = pv
+        .select(col("event_id"), col("c"),
+          explode(sequence(lit(0), lit(63))).as("b"))
+        .withColumn("h",
+          pmod(DedupOps.hex4(concat(col("event_id"), lit(":"), col("b"))),
+            lit(1000)))
+        .withColumn("w",
+          when(col("h") < 368, 0L).when(col("h") < 736, 1L)
+            .when(col("h") < 920, 2L).when(col("h") < 981, 3L).otherwise(4L))
+      val means = drawn.groupBy("b")
+        .agg(sum(col("w") * col("c")).as("swc"), sum("w").as("sw"))
+        .select(col("b"), expr("swc div sw").as("mean_cents"))
+      val w = Window.orderBy(col("mean_cents").asc, col("b").asc)
+      val ranked = means.withColumn("rn", row_number().over(w))
+      val point = pv.agg(count(lit(1L)).as("n"),
+        expr("sum(c) div count(1)").as("mean_cents"))
+      point.crossJoin(broadcast(
+          ranked.filter(col("rn") === 2).select(col("mean_cents").as("ci_lo"))))
+        .crossJoin(broadcast(
+          ranked.filter(col("rn") === 63).select(col("mean_cents").as("ci_hi"))))
+        .select(col("n"), col("mean_cents"), col("ci_lo"), col("ci_hi"),
+          lit(64L).as("n_resamples"))
+    },
+    Some(s"""WITH pv AS (
+              SELECT event_id,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+              FROM events WHERE event_type = 'purchase'),
+            drawn AS (
+              SELECT event_id, c, b,
+                     ${DedupOps.duckHex4(
+                       "md5(CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR))")}
+                       % 1000 AS h
+              FROM pv CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)),
+            wt AS (
+              SELECT b, c, CASE WHEN h < 368 THEN 0 WHEN h < 736 THEN 1
+                                WHEN h < 920 THEN 2 WHEN h < 981 THEN 3
+                                ELSE 4 END AS w
+              FROM drawn),
+            means AS (
+              SELECT b, CAST(sum(w * c) // sum(w) AS BIGINT) AS mean_cents
+              FROM wt GROUP BY b),
+            ranked AS (
+              SELECT b, mean_cents,
+                     row_number() OVER (ORDER BY mean_cents ASC, b ASC) AS rn
+              FROM means),
+            point AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(c) // count(*) AS BIGINT) AS mean_cents
+              FROM pv)
+            SELECT point.n, point.mean_cents,
+                   lo.mean_cents AS ci_lo, hi.mean_cents AS ci_hi,
+                   CAST(64 AS BIGINT) AS n_resamples
+            FROM point
+            CROSS JOIN (SELECT mean_cents FROM ranked WHERE rn = 2) lo
+            CROSS JOIN (SELECT mean_cents FROM ranked WHERE rn = 63) hi"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_stats_bootstrap" -> qStatsBootstrap,
     "q_stats_psi" -> qStatsPsi,
     "q_stats_auc" -> qStatsAuc,
     "q_text_rrf" -> qTextRrf,

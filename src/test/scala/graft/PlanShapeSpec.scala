@@ -586,5 +586,12 @@ class PlanShapeSpec extends SparkSpec {
       "calibration partial agg")
     assert(plan("q_privacy_ldiv").contains("partial_count"),
       "ldiv partial agg")
+    // q_stats_bootstrap: the 64× resample fan-out must partially aggregate
+    // (map-side combine) so the full-width explode never crosses a shuffle.
+    val bs = plan("q_stats_bootstrap")
+    assert(bs.contains("partial_sum"), bs.take(3000))
+    // q_graph_bfs: the emitted distances read the per-round checkpoints —
+    // the lineage cap of the iterative frontier expansion.
+    assert(plan("q_graph_bfs").contains("Scan ExistingRDD"), "bfs checkpoint feed")
   }
 }

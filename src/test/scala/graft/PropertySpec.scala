@@ -241,6 +241,17 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bootstrap CI brackets are ordered; BFS layers start at the seed") {
+    val bs = SparkEntry.queries("q_stats_bootstrap")(spark, sf).head()
+    val (mean, lo, hi) = (bs.getLong(1), bs.getLong(2), bs.getLong(3))
+    assert(lo <= hi, s"lo=$lo hi=$hi")
+    // the point estimate of THIS data sits inside its own 95% bootstrap CI
+    assert(lo <= mean && mean <= hi, s"mean=$mean outside [$lo,$hi]")
+    val bfs = SparkEntry.queries("q_graph_bfs")(spark, sf).collect()
+    assert(bfs.count(_.getLong(1) == 0L) == 1, "exactly one seed at dist 0")
+    assert(bfs.forall(r => r.getLong(1) >= 0L && r.getLong(1) <= 3L))
+  }
+
   test("attribution credit is conservative: within remainder of full units") {
     // Each attributed purchase distributes (10⁶ div k)·k ppm ∈ (10⁶−k, 10⁶],
     // so per user: n·10⁶ − clicks < credit ≤ n·10⁶.
