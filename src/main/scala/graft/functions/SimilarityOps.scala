@@ -1049,7 +1049,258 @@ object SimilarityOps extends QueryModule {
                    CAST(round(CAST(cos AS DECIMAL(30,8)), 2) AS DOUBLE) AS score
             FROM ranked WHERE rn <= 3 ORDER BY p_id, rk"""))
 
+  /** IVF-PQ — the production ANN pairing (Jégou et al. 2011): the centroid
+    * IVF's coarse cells (vec_id 100–107, nprobe = 2) restrict WHICH vectors
+    * the PQ-ADC integer scan touches, and the PQ codes (16 sub-spaces × 4
+    * dims, codebook vec_id 100–115) make that scan 8-byte-per-vector cheap.
+    * Each parent exists alone (q_knn_ivf_centroid scans full vectors in
+    * visited cells; q_knn_pq ADC-scans the whole corpus); combined, the
+    * coarse pass reads ~nprobe/ncells of the corpus at 1/32 the bytes —
+    * multiplicative savings. Shortlist 50 by exact integer ADC sum, exact
+    * re-rank to top-3, same deterministic total order as the whole ladder.
+    *
+    * Scale: assignment + encoding are one-time map-side passes against
+    * broadcast centroids/codebooks (a deployment persists both — the band-
+    * index pattern); per query the scan cost is cells-visited × 8 bytes per
+    * vector, and only the ≤50-row shortlist ever sees full vectors.
+    */
+  private val qKnnIvfPq = GQuery(
+    (s, d) => {
+      val M = 16; val dsub = 4; val K = 16
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .withColumn("nrm", norm(col("emb")))
+      val cents = emb.filter(col("vec_id").between(100, 107))
+        .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+      val assign = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("c_id"),
+          dround(dot(col("emb"), col("c_emb")), 6).as("aff"))
+        .groupBy("vec_id")
+        .agg(max_by(col("c_id"), struct(col("aff"), (col("c_id") * -1).as("nc")))
+          .as("cell"))
+      def subs(df: DataFrame): DataFrame = df
+        .withColumn("m", explode(sequence(lit(0), lit(M - 1))))
+        .withColumn("sv", slice(col("emb"), col("m") * dsub + 1, lit(dsub)))
+      val cb = subs(emb.filter(col("vec_id").between(100, 100 + K - 1)))
+        .select(col("m"), (col("vec_id") - 100).cast("int").as("k"),
+          col("sv").as("cw"))
+        .withColumn("cc", dot(col("cw"), col("cw")))
+      val codes = subs(emb).join(broadcast(cb), Seq("m"))
+        .select(col("vec_id"), col("nrm"), col("m"), col("k"),
+          dround(col("cc") - lit(2) * dot(col("sv"), col("cw")), 6).as("dist"))
+        .groupBy("vec_id", "m")
+        .agg(min_by(col("k"), struct(col("dist"), col("k"))).as("code"),
+          max("nrm").as("nrm"))
+        .join(assign, "vec_id")
+      val wCell = Window.partitionBy("p_id").orderBy(col("aff").desc, col("c_id").asc)
+      val probeCells = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("p_id"), col("emb"), col("nrm").as("p_nrm"))
+        .crossJoin(broadcast(cents))
+        .select(col("p_id"), col("emb"), col("p_nrm"), col("c_id"),
+          dround(dot(col("emb"), col("c_emb")), 6).as("aff"))
+        .withColumn("crk", row_number().over(wCell))
+        .filter(col("crk") <= 2)
+        .select(col("p_id"), col("emb"), col("p_nrm"), col("c_id").as("cell"))
+      val ptab = subs(probeCells.select(col("p_id"), col("cell"), col("emb"),
+          col("p_nrm")))
+        .join(broadcast(cb), Seq("m"))
+        .select(col("p_id"), col("cell"), col("p_nrm"), col("m"),
+          col("k").as("code"),
+          floor(dround(dot(col("sv"), col("cw")), 6) * lit(1e6) + lit(0.5))
+            .cast("long").as("ipdot"))
+      val wShort = Window.partitionBy("p_id")
+        .orderBy(col("approx").desc, col("n_id").asc)
+      val shortlist = codes.join(broadcast(ptab), Seq("cell", "m", "code"))
+        .filter(col("vec_id") =!= col("p_id"))
+        .groupBy("p_id", "vec_id")
+        .agg(sum("ipdot").as("isum"), max("nrm").as("n_nrm"),
+          max("p_nrm").as("p_nrm"))
+        // a vector scores in ≤ nprobe visited cells, but it LIVES in one —
+        // the (cell, m, code) join keys guarantee one cell per vec here
+        .select(col("p_id"), col("vec_id").as("n_id"),
+          dround(col("isum").cast("double") / lit(1e6)
+            / (col("p_nrm") * col("n_nrm")), 6).as("approx"))
+        .withColumn("crk", row_number().over(wShort))
+        .filter(col("crk") <= 50)
+        .select("p_id", "n_id")
+      val probesBase = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("p_id"), col("emb").as("p_emb"),
+          col("nrm").as("p_nrm"))
+      val wExact = Window.partitionBy("p_id")
+        .orderBy(col("cos").desc, col("n_id").asc)
+      emb.select(col("vec_id").as("n_id"), col("emb").as("n_emb"),
+          col("nrm").as("n_nrm"))
+        .join(broadcast(shortlist), "n_id")
+        .join(broadcast(probesBase), "p_id")
+        .select(col("p_id"), col("n_id"),
+          dround(dot(col("p_emb"), col("n_emb")) / (col("p_nrm") * col("n_nrm")), 6)
+            .as("cos"))
+        .withColumn("rk", row_number().over(wExact).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("p_id"), col("n_id"), col("rk"), dround(col("cos"), 2).as("score"))
+        .orderBy("p_id", "rk")
+    },
+    Some("""WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                     sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> x * x))) AS nrm
+              FROM embeddings),
+            cents AS (SELECT vec_id AS c_id, emb AS c_emb FROM e
+                      WHERE vec_id BETWEEN 100 AND 107),
+            aff AS (
+              SELECT e.vec_id, c.c_id,
+                     CAST(round(CAST(list_dot_product(e.emb, c.c_emb)
+                       AS DECIMAL(30,8)), 6) AS DOUBLE) AS aff
+              FROM e, cents c),
+            assign AS (
+              SELECT vec_id, c_id AS cell FROM (
+                SELECT vec_id, c_id,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY aff DESC, c_id) AS rn
+                FROM aff) WHERE rn = 1),
+            ms AS (SELECT unnest(generate_series(0, 15)) AS m),
+            cb AS (
+              SELECT m, CAST(vec_id - 100 AS INT) AS k,
+                     list_slice(emb, m * 4 + 1, m * 4 + 4) AS cw,
+                     list_dot_product(list_slice(emb, m * 4 + 1, m * 4 + 4),
+                       list_slice(emb, m * 4 + 1, m * 4 + 4)) AS cc
+              FROM e, ms WHERE vec_id BETWEEN 100 AND 115),
+            sv AS (
+              SELECT vec_id, nrm, m,
+                     list_slice(emb, m * 4 + 1, m * 4 + 4) AS sv
+              FROM e, ms),
+            dists AS (
+              SELECT s.vec_id, s.nrm, s.m, c.k,
+                     CAST(round(CAST(c.cc
+                       - 2 * list_dot_product(s.sv, c.cw)
+                       AS DECIMAL(30,8)), 6) AS DOUBLE) AS dist
+              FROM sv s JOIN cb c ON c.m = s.m),
+            codes AS (
+              SELECT d.vec_id, d.nrm, d.m, d.k AS code, a.cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                           ORDER BY dist, k) AS rn
+                FROM dists) d JOIN assign a ON a.vec_id = d.vec_id
+              WHERE d.rn = 1),
+            pcells AS (
+              SELECT p_id, c_id AS cell FROM (
+                SELECT e.vec_id AS p_id, a.c_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY a.aff DESC, a.c_id) AS crk
+                FROM e JOIN aff a ON a.vec_id = e.vec_id
+                WHERE e.vec_id < 5) WHERE crk <= 2),
+            ptab AS (
+              SELECT pc.p_id, pc.cell, s.nrm AS p_nrm, s.m, c.k AS code,
+                     CAST(floor(CAST(round(CAST(list_dot_product(s.sv, c.cw)
+                       AS DECIMAL(30,8)), 6) AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                       AS ipdot
+              FROM pcells pc
+              JOIN sv s ON s.vec_id = pc.p_id
+              JOIN cb c ON c.m = s.m),
+            coarse AS (
+              SELECT p.p_id, c.vec_id AS n_id,
+                     CAST(round(CAST(CAST(sum(p.ipdot) AS DOUBLE) / 1e6
+                       / (max(p.p_nrm) * max(c.nrm)) AS DECIMAL(30,8)), 6)
+                       AS DOUBLE) AS approx
+              FROM codes c
+              JOIN ptab p ON p.cell = c.cell AND p.m = c.m AND p.code = c.code
+              WHERE c.vec_id <> p.p_id
+              GROUP BY p.p_id, c.vec_id),
+            short AS (
+              SELECT p_id, n_id FROM (
+                SELECT p_id, n_id, row_number() OVER (PARTITION BY p_id
+                         ORDER BY approx DESC, n_id) AS crk
+                FROM coarse) WHERE crk <= 50),
+            exact AS (
+              SELECT s.p_id, s.n_id,
+                     CAST(round(CAST(list_dot_product(pe.emb, ne.emb)
+                       / (pe.nrm * ne.nrm) AS DECIMAL(30,8)), 6) AS DOUBLE) AS cos
+              FROM short s
+              JOIN e pe ON pe.vec_id = s.p_id
+              JOIN e ne ON ne.vec_id = s.n_id),
+            ranked AS (
+              SELECT p_id, n_id, cos,
+                     row_number() OVER (PARTITION BY p_id
+                       ORDER BY cos DESC, n_id) AS rn
+              FROM exact)
+            SELECT p_id, n_id, CAST(rn AS INT) AS rk,
+                   CAST(round(CAST(cos AS DECIMAL(30,8)), 2) AS DOUBLE) AS score
+            FROM ranked WHERE rn <= 3 ORDER BY p_id, rk"""))
+
+  /** Greedy k-center coreset selection (Gonzalez 1985 / farthest-point
+    * traversal) — the diverse-subset draw used for eval-set construction
+    * and active-learning seeding: start from the smallest vec_id, then 4×
+    * pick the vector farthest (max min-cosine-distance, integer micros)
+    * from everything chosen so far. Deterministic throughout: distances
+    * snap to the micro grid (round-half-up) and ties break on vec_id, so
+    * both engines trace the identical greedy path.
+    *
+    * Scale: each round is one map-side pass against the ≤k broadcast
+    * chosen set + one TakeOrdered(1) argmax — O(k·N) total, the textbook
+    * coreset economics (k rounds, no pairwise materialization).
+    */
+  private val qSampleCoreset = GQuery(
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .withColumn("nrm", norm(col("emb")))
+        .localCheckpoint(true)
+      val dMicro = (
+        lit(1000000L) -
+          floor(dround(dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm")), 6)
+            * lit(1e6) + lit(0.5)).cast("long")).as("d_micro")
+      var chosen = emb.orderBy("vec_id").limit(1)
+        .select(col("vec_id"), lit(0).cast("int").as("round"),
+          lit(0L).as("d_micro"))
+        .localCheckpoint(true)
+      for (r <- 1 to 4) {
+        val centers = chosen.select(col("vec_id").as("c_id"))
+          .join(emb.select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
+            col("nrm").as("c_nrm")), "c_id")
+        val next = emb.join(broadcast(chosen.select("vec_id")), Seq("vec_id"),
+            "left_anti")
+          .crossJoin(broadcast(centers))
+          .select(col("vec_id"), dMicro)
+          .groupBy("vec_id").agg(min("d_micro").as("d_micro"))
+          .orderBy(col("d_micro").desc, col("vec_id").asc).limit(1)
+          .select(col("vec_id"), lit(r).cast("int").as("round"), col("d_micro"))
+        chosen = chosen.unionAll(next).localCheckpoint(true)
+      }
+      chosen.select(col("round"), col("vec_id"), col("d_micro")).orderBy("round")
+    },
+    Some {
+      def rnd(k: Int, prev: String): String =
+        s"""c$k AS (
+              SELECT vec_id, CAST($k AS INT) AS round, d_micro FROM (
+                SELECT e.vec_id,
+                       min(1000000 - CAST(floor(
+                         CAST(round(CAST(list_dot_product(e.emb, ce.emb)
+                           / (e.nrm * ce.nrm) AS DECIMAL(30,8)), 6) AS DOUBLE)
+                         * 1e6 + 0.5) AS BIGINT)) AS d_micro
+                FROM e, e ce
+                WHERE ce.vec_id IN (SELECT vec_id FROM $prev)
+                  AND e.vec_id NOT IN (SELECT vec_id FROM $prev)
+                GROUP BY e.vec_id
+                ORDER BY d_micro DESC, e.vec_id ASC LIMIT 1)),
+            s$k AS (SELECT vec_id, round, d_micro FROM $prev
+                    UNION ALL SELECT vec_id, round, d_micro FROM c$k)"""
+      s"""WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                     sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> x * x))) AS nrm
+              FROM embeddings),
+            s0 AS (
+              SELECT vec_id, CAST(0 AS INT) AS round, CAST(0 AS BIGINT) AS d_micro
+              FROM e ORDER BY vec_id LIMIT 1),
+            ${rnd(1, "s0")},
+            ${rnd(2, "s1")},
+            ${rnd(3, "s2")},
+            ${rnd(4, "s3")}
+            SELECT round, vec_id, d_micro FROM s4 ORDER BY round"""
+    })
+
   override val queries: Map[String, GQuery] = Map(
+    "q_knn_ivfpq" -> qKnnIvfPq,
+    "q_sample_coreset" -> qSampleCoreset,
     "q_knn_filtered" -> qKnnFiltered,
     "q_embed_pca" -> qEmbedPca,
     "q_embed_kmeans" -> qEmbedKmeans,

@@ -64,4 +64,22 @@ class SimilaritySpec extends SparkSpec {
     // measured 13/15 vs 8/15 at sf0.01)
     assert(pq >= quantized, s"pq $pq < quantized $quantized")
   }
+
+  test("IVF-PQ keeps centroid-IVF-level recall@3 at a fraction of the scan") {
+    val truth = pairs("q_embed_knn")
+    val ivf = pairs("q_knn_ivf_centroid").count(truth)
+    val ivfpq = pairs("q_knn_ivfpq").count(truth)
+    // restricting the PQ-ADC scan to the 2 visited IVF cells can only miss
+    // what cell routing already missed — the 8-byte codes must not cost
+    // recall vs the same cells scanned with full vectors
+    assert(ivfpq >= ivf, s"ivfpq $ivfpq < centroid-ivf $ivf")
+  }
+
+  test("coreset centers are distinct and greedily distant") {
+    val rows = SparkEntry.queries("q_sample_coreset")(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).distinct.length == 5, "centers must be distinct")
+    // each later pick covers a no-farther point: max-min distance shrinks
+    val ds = rows.sortBy(_.getInt(0)).map(_.getLong(2)).drop(1)
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b }, ds.mkString(","))
+  }
 }
