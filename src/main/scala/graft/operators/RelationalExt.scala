@@ -670,7 +670,51 @@ object RelationalExt extends QueryModule {
                      AS hi
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  // ----------------------------------------------- VariantType surface --
+
+  /** Semi-structured JSON through Spark 4's columnar VariantType — the
+    * modern engine path for schema-flexible columns (parse once into the
+    * shreddable binary Variant encoding, then TYPED `variant_get`
+    * extraction), complementing q_events_json's string-function path. The
+    * extraction is typed at the expression level (`$.k` as int), a missing
+    * path probes the null semantics (`try_variant_get` → null, counted),
+    * and the grouped rollup proves extracted values flow into ordinary
+    * aggregation. Output is plain typed columns, so the DuckDB oracle
+    * (json_extract on the same strings) hashes it engine-neutrally.
+    *
+    * Scale: parse_json is a map-only codegen'd pass; at 100 TB the Variant
+    * column shreds into parquet subcolumns so repeated `$.k` extraction
+    * reads a numeric subcolumn instead of re-parsing text — the reason this
+    * surface exists at all.
+    */
+  private val qEventsVariant = GQuery(
+    (s, d) => {
+      val v = parse_json(col("props"))
+      t(s, d, "events")
+        .select(col("event_type"),
+          variant_get(v, "$.k", "int").as("k"),
+          try_variant_get(v, "$.missing", "int").as("miss"))
+        .groupBy(col("event_type"), expr("k div 25").as("bucket"))
+        .agg(count(lit(1L)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"),
+          sum(when(col("miss").isNull, 1L).otherwise(0L)).as("n_missing"))
+        .orderBy("event_type", "bucket")
+    },
+    Some("""WITH ev AS (
+              SELECT event_type,
+                     CAST(json_extract(props, '$.k') AS INT) AS k,
+                     CAST(json_extract(props, '$.missing') AS INT) AS miss
+              FROM events)
+            SELECT event_type, CAST(k // 25 AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   CAST(min(k) AS INT) AS min_k, CAST(max(k) AS INT) AS max_k,
+                   CAST(sum(CASE WHEN miss IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_missing
+            FROM ev GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_events_variant" -> qEventsVariant,
     "q_agg_incremental" -> qAggIncremental,
     "q_agg_countmin" -> qAggCountmin,
     "q_agg_quantile_merge" -> qAggQuantileMerge,
