@@ -209,6 +209,55 @@ object StreamOps {
     }.start()
   }
 
+  /** Per-micro-batch PSI drift monitor — the streaming face of the batch
+    * q_stats_psi gate: the reference histogram (fixed-width value bins) is
+    * computed ONCE from a static reference frame, then every micro-batch
+    * bins its own values, add-one-smooths both sides over the union of
+    * bins, and emits one (n_rows, psi_micro) row through `onBatch` — the
+    * serve-time distribution check that pages before a drifted upstream
+    * poisons a training snapshot.
+    *
+    * Same fixed-point arithmetic as the batch twin (ppm frequencies,
+    * milli-nat quantized ln, zero-clamped contributions, `div` only on
+    * non-negatives), so batch and stream agree on the same inputs. The
+    * reference histogram is bin-count-sized (score-domain-bounded), joined
+    * as a broadcast into each batch; per-batch cost is one map-side bin
+    * agg over the micro-batch.
+    *
+    * `values` must carry a LONG `c` column (e.g. exact cents).
+    */
+  def driftMonitor(values: DataFrame, reference: DataFrame,
+      binWidth: Long = 5000L)(
+      onBatch: (Long, Long, Long) => Unit): StreamingQuery = {
+    val refHist = reference
+      .selectExpr(s"c div $binWidth AS bin")
+      .groupBy("bin").agg(count(lit(1L)).as("cref"))
+      .localCheckpoint(true)
+    values.writeStream.foreachBatch { (b: DataFrame, batchId: Long) =>
+      val batchHist = b
+        .selectExpr(s"c div $binWidth AS bin")
+        .groupBy("bin").agg(count(lit(1L)).as("ccur"))
+      val bins = refHist.join(batchHist, Seq("bin"), "full_outer")
+        .select(col("bin"), coalesce(col("cref"), lit(0L)).as("cref"),
+          coalesce(col("ccur"), lit(0L)).as("ccur"))
+      val tot = bins.agg(sum("cref").as("nref"), sum("ccur").as("ncur"),
+        count(lit(1L)).as("nb"))
+      val out = bins.crossJoin(broadcast(tot))
+        .select(col("ccur"),
+          expr("(ccur + 1) * 1000000 div (ncur + nb)").as("p_ppm"),
+          expr("(cref + 1) * 1000000 div (nref + nb)").as("q_ppm"),
+          round(log((col("ccur") + 1.0) * (col("nref") + col("nb")) /
+            ((col("cref") + 1.0) * (col("ncur") + col("nb")))) * 1000)
+            .cast("long").as("lr_mnat"))
+        .select(col("ccur"),
+          expr("greatest((p_ppm - q_ppm) * lr_mnat, 0) div 1000")
+            .as("contrib_micro"))
+        .agg(sum("ccur").as("n"), sum("contrib_micro").as("psi"))
+        .head()
+      onBatch(batchId, out.getLong(0), out.getLong(1))
+    }.start()
+  }
+
   /** The reference's end-to-end job as a stream: file source → Kafka shape →
     * offset-named chunked ORC files, exactly-once via checkpoint + idempotent
     * dynamic-partition overwrite (O7/O10/O11).

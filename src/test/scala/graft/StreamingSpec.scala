@@ -671,4 +671,31 @@ class StreamingSpec extends SparkSpec {
       assert(hour10 == Seq(1L), s"late event leaked: $hour10")
     } finally q.stop()
   }
+
+  test("drift monitor: in-distribution batch stays quiet, shifted batch pages") {
+    // The streaming face of q_stats_psi: a static reference histogram, one
+    // PSI reading per micro-batch. A batch drawn from the reference
+    // distribution must read near zero; a batch collapsed into one bin
+    // must cross the canonical 0.2-nat alarm (200_000 micro-nats).
+    implicit val sq = spark.sqlContext
+    val ref = spark.range(0, 10000).selectExpr("(id * 7919) % 50000 AS c")
+    val mem = MemoryStream[Long]
+    val readings = scala.collection.mutable.Map[Long, (Long, Long)]()
+    val q = StreamOps.driftMonitor(mem.toDF.toDF("c"), ref) { (bid, n, psi) =>
+      readings.synchronized { readings(bid) = (n, psi) }
+    }
+    try {
+      // batch 0: the same generator — in-distribution
+      mem.addData(0L until 2000L map (i => (i * 7919) % 50000): _*)
+      q.processAllAvailable()
+      // batch 1: everything lands in one $50 bin — drifted
+      mem.addData(Seq.fill(2000)(1234L): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val Seq((n0, psi0), (n1, psi1)) = Seq(readings(0L), readings(1L))
+    assert(n0 == 2000L && n1 == 2000L, readings.toString)
+    assert(psi0 < 50000L, s"in-distribution batch read psi=$psi0")
+    assert(psi1 > 200000L, s"shifted batch under the alarm: psi=$psi1")
+    assert(psi1 > psi0)
+  }
 }
