@@ -594,4 +594,29 @@ class PlanShapeSpec extends SparkSpec {
     // the lineage cap of the iterative frontier expansion.
     assert(plan("q_graph_bfs").contains("Scan ExistingRDD"), "bfs checkpoint feed")
   }
+
+  test("dynamic partition pruning reaches a partitioned fact scan") {
+    // The at-scale mechanism behind every date-partitioned fact⋈dim join:
+    // the dim filter prunes fact PARTITIONS at runtime (DPP), so the scan
+    // never lists the non-qualifying directories. Pin that Catalyst
+    // actually plans the dynamicpruning subquery against a disk layout the
+    // sink family produces (partitioned parquet, dim too large to inline).
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp-").toString
+    SparkEntry.queries("q_filter_pred")(spark, sf) // warm session
+    Tables(spark, sf, "lineitem")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val dim = Tables(spark, sf, "orders")
+      .select(substring(col("o_orderpriority"), 1, 1).as("flag"))
+      .distinct()
+      .filter(col("flag") === "1")
+      .select(when(col("flag") === "1", "R").otherwise("N").as("flag"))
+    val j = fact.join(dim, col("l_returnflag") === col("flag"))
+      .groupBy("flag").agg(sum("l_quantity").as("q"))
+    j.collect()
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "DPP missing from the partitioned join plan:\n" + p.take(3000))
+  }
 }
