@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GQuery, QueryModule, Tables}
 
@@ -193,8 +194,117 @@ object GovernanceOps extends QueryModule {
             UNION ALL SELECT * FROM ece
             ORDER BY bin"""))
 
+  // ------------------------------------------------ continuity audit --
+
+  /** Gaps-and-islands continuity audit over per-user event_id sequences —
+    * the "did the exactly-once pipeline actually lose anything" check (the
+    * reference world's offset-gap detector, applied to the event log): an
+    * island is a maximal run of consecutive ids, found with the classic
+    * id − row_number() grouping key; a gap between islands is missing
+    * data. Emits per user: event count, island count, the largest gap, and
+    * the id span — a clean feed for an alerting rule (n_islands > 1 ⇒
+    * investigate).
+    *
+    * Scale: one user-partitioned window (rows sort within user partitions
+    * only) + one partial-agg rollup — sessionize economics; a hot user
+    * takes the stop-block cap.
+    */
+  private val qEventsGaps = GQuery(
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val isl = t(s, d, "events")
+        .select(col("user_id"), col("event_id"))
+        .withColumn("isl", col("event_id") - row_number().over(w))
+        .withColumn("prev", lag(col("event_id"), 1).over(w))
+      isl.groupBy("user_id")
+        .agg(count(lit(1L)).as("n_events"),
+          countDistinct(col("isl")).as("n_islands"),
+          max(when(col("prev").isNotNull,
+            col("event_id") - col("prev") - 1L).otherwise(0L)).as("max_gap"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"))
+        .orderBy("user_id")
+    },
+    Some("""WITH isl AS (
+              SELECT user_id, event_id,
+                     event_id - row_number() OVER (PARTITION BY user_id
+                       ORDER BY event_id) AS isl,
+                     lag(event_id, 1) OVER (PARTITION BY user_id
+                       ORDER BY event_id) AS prev
+              FROM events)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT isl) AS BIGINT) AS n_islands,
+                   CAST(max(CASE WHEN prev IS NOT NULL
+                     THEN event_id - prev - 1 ELSE 0 END) AS BIGINT) AS max_gap,
+                   CAST(min(event_id) AS BIGINT) AS min_id,
+                   CAST(max(event_id) AS BIGINT) AS max_id
+            FROM isl GROUP BY user_id ORDER BY user_id"""))
+
+  // --------------------------------------------------- Benford screen --
+
+  /** Benford first-significant-digit screen on order totals — the classic
+    * fabricated-numbers detector (synthetic or copy-pasted value columns
+    * fail it; organic heavy-tailed ones pass): observed first-digit
+    * frequencies in ppm vs the Benford expectation log₁₀(1+1/d), quantized
+    * to ppm literals that sum to exactly 10⁶ (both engines compare the
+    * SAME constants, so the op is integer-exact). Emits per digit
+    * n/obs/exp/|dev| plus a digit = −1 total-variation summary row
+    * (Σ|dev| div 2).
+    *
+    * Scale: one map-side-combinable 9-row digit agg; the first digit comes
+    * from the cents integer (scale shifts never change the leading
+    * significant digit), so no string parsing of doubles is on the path.
+    */
+  private val qStatsBenford = GQuery(
+    (s, d) => {
+      val exp = Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L,
+        57992L, 51153L, 45757L)
+      val cents = col("o_totalprice").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val expCol = exp.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
+        when(col("digit") === (i + 1), p).otherwise(acc)
+      }
+      val digits = t(s, d, "orders")
+        .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1L)).as("n"))
+      val tot = digits.agg(sum("n").as("nt"))
+      val scored = digits.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          expr("n * 1000000 div nt").as("obs_ppm"),
+          expCol.as("exp_ppm"))
+        .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+      val summary = scored.agg(sum("n").as("n"), sum("dev_ppm").as("sd"))
+        .select(lit(-1).cast("int").as("digit"), col("n"),
+          lit(0L).as("obs_ppm"), lit(0L).as("exp_ppm"),
+          expr("sd div 2").as("dev_ppm"))
+      scored.unionAll(summary).orderBy("digit")
+    },
+    Some("""WITH digits AS (
+              SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                       * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM orders GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM digits),
+            exp AS (SELECT * FROM (VALUES (1, 301030), (2, 176091),
+                      (3, 124939), (4, 96910), (5, 79181), (6, 66947),
+                      (7, 57992), (8, 51153), (9, 45757)) AS t(digit, exp_ppm)),
+            scored AS (
+              SELECT d.digit, d.n,
+                     CAST(d.n * 1000000 // t.nt AS BIGINT) AS obs_ppm,
+                     CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+                     CAST(abs(d.n * 1000000 // t.nt - e.exp_ppm) AS BIGINT)
+                       AS dev_ppm
+              FROM digits d CROSS JOIN tot t JOIN exp e ON e.digit = d.digit),
+            summary AS (
+              SELECT CAST(-1 AS INT) AS digit, CAST(sum(n) AS BIGINT) AS n,
+                     CAST(0 AS BIGINT) AS obs_ppm, CAST(0 AS BIGINT) AS exp_ppm,
+                     CAST(sum(dev_ppm) // 2 AS BIGINT) AS dev_ppm
+              FROM scored)
+            SELECT * FROM scored UNION ALL SELECT * FROM summary
+            ORDER BY digit"""))
+
   val queries: Map[String, GQuery] = Map(
     "q_quality_expectations" -> qQualityExpectations,
     "q_privacy_ldiv" -> qPrivacyLdiv,
-    "q_stats_calibration" -> qStatsCalibration)
+    "q_stats_calibration" -> qStatsCalibration,
+    "q_events_gaps" -> qEventsGaps,
+    "q_stats_benford" -> qStatsBenford)
 }

@@ -252,6 +252,25 @@ class PropertySpec extends SparkSpec {
     assert(bfs.forall(r => r.getLong(1) >= 0L && r.getLong(1) <= 3L))
   }
 
+  test("continuity audit: islands bound gaps; Benford deviations re-derive") {
+    val gaps = SparkEntry.queries("q_events_gaps")(spark, sf).collect()
+    gaps.foreach { r =>
+      val (n, isl, maxGap, lo, hi) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(isl >= 1L && isl <= n, r.toString)
+      // single island ⟺ no gap; any gap implies ≥2 islands
+      assert((isl == 1L) == (maxGap == 0L), r.toString)
+      // ids fit the span: n events + gap slack
+      assert(hi - lo + 1 >= n, r.toString)
+    }
+    val ben = SparkEntry.queries("q_stats_benford")(spark, sf).collect()
+    val digits = ben.filter(_.getInt(0) >= 1)
+    assert(digits.map(_.getInt(0)).toSeq == (1 to 9), "all nine digits present")
+    assert(digits.map(_.getLong(3)).sum == 1000000L, "expectation table sums to 1e6")
+    val tv = ben.find(_.getInt(0) == -1).get.getLong(4)
+    assert(tv == digits.map(_.getLong(4)).sum / 2, "summary row re-derives")
+  }
+
   test("attribution credit is conservative: within remainder of full units") {
     // Each attributed purchase distributes (10⁶ div k)·k ppm ∈ (10⁶−k, 10⁶],
     // so per user: n·10⁶ − clicks < credit ≤ n·10⁶.
