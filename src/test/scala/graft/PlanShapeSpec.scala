@@ -593,6 +593,14 @@ class PlanShapeSpec extends SparkSpec {
     // q_graph_bfs: the emitted distances read the per-round checkpoints —
     // the lineage cap of the iterative frontier expansion.
     assert(plan("q_graph_bfs").contains("Scan ExistingRDD"), "bfs checkpoint feed")
+    // q_events_gaps: the island window partitions on user_id — rows sort
+    // within user partitions, never corpus-wide.
+    val gaps = plan("q_events_gaps")
+    assert(gaps.matches("(?s).*Window \\[[^\\]]*\\], \\[user_id#\\d+L\\].*"),
+      gaps.take(3000))
+    // q_stats_benford: the digit histogram partially aggregates.
+    assert(plan("q_stats_benford").contains("partial_count"),
+      "benford partial agg")
   }
 
   test("dynamic partition pruning reaches a partitioned fact scan") {
