@@ -262,8 +262,13 @@ object GovernanceOps extends QueryModule {
       val expCol = exp.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
         when(col("digit") === (i + 1), p).otherwise(acc)
       }
+      // Domain guard: cents <= 0 has no Benford first digit — digit '0'
+      // would silently diverge between engines (Spark keeps it with
+      // exp_ppm=0; the oracle's INNER JOIN drops it) and a negative total
+      // would ANSI-throw on the '-' substring cast. Filter on both sides.
       val digits = t(s, d, "orders")
-        .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+        .select(cents.as("cents")).filter(col("cents") > 0)
+        .select(substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
         .groupBy("digit").agg(count(lit(1L)).as("n"))
       val tot = digits.agg(sum("n").as("nt"))
       val scored = digits.crossJoin(broadcast(tot))
@@ -277,11 +282,14 @@ object GovernanceOps extends QueryModule {
           expr("sd div 2").as("dev_ppm"))
       scored.unionAll(summary).orderBy("digit")
     },
-    Some("""WITH digits AS (
-              SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
-                       * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+    Some("""WITH cents AS (
+              SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS c
+              FROM orders),
+            digits AS (
+              SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
                      CAST(count(*) AS BIGINT) AS n
-              FROM orders GROUP BY 1),
+              FROM cents WHERE c > 0 GROUP BY 1),
             tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM digits),
             exp AS (SELECT * FROM (VALUES (1, 301030), (2, 176091),
                       (3, 124939), (4, 96910), (5, 79181), (6, 66947),

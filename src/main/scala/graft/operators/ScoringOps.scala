@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GQuery, QueryModule, Tables}
+import graft.Exact.dround
 
 /** Round-6 block: ranking/scoring operators a training-data platform runs on
   * top of the relational core — ROC-AUC model evaluation, hybrid lexical+
@@ -61,8 +62,12 @@ object ScoringOps extends QueryModule {
           types.map(tp => sum(col(s"c_$tp")).as(s"n_$tp"))): _*)
       val stacked = types.map(tp =>
         s"'$tp', s2_$tp, n_$tp").mkString(", ")
+      // ANSI guard: a hard-coded type absent from the data (np=0) or the
+      // only type present (np=n) makes the denominator 0 — AUC is undefined
+      // one-vs-rest there, so drop the row on BOTH engines.
       s2.selectExpr(s"stack(${types.size}, $stacked) AS (event_type, s2, np)",
           "n")
+        .filter(col("np") > 0 && col("np") < col("n"))
         .select(col("event_type"), col("np"),
           expr("(s2 - np * (np + 1)) * 1000000 div (2 * np * (n - np))")
             .as("auc_ppm"))
@@ -104,7 +109,8 @@ object ScoringOps extends QueryModule {
             fin AS (SELECT m.event_type, m.np,
                       (m.s2 - m.np * (m.np + 1)) * 1000000
                         // (2 * m.np * (agg.n - m.np)) AS auc_ppm
-                    FROM m, agg)
+                    FROM m, agg
+                    WHERE m.np > 0 AND m.np < agg.n)
             SELECT event_type, np, CAST(auc_ppm AS BIGINT) AS auc_ppm
             FROM fin ORDER BY event_type"""))
 
@@ -156,7 +162,7 @@ object ScoringOps extends QueryModule {
       val sem = emb.crossJoin(broadcast(qemb))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
-          floor(dot / (nrm * qnrm) * 1e6).cast("long").as("cos_micro"))
+          floor(dround(dot / (nrm * qnrm), 6) * 1e6 + 0.5).cast("long").as("cos_micro"))
         .withColumn("r_sem", row_number().over(wSem).cast("long"))
         .filter(col("r_sem") <= 50)
         .select(col("qid"), col("vec_id").as("doc_id"), col("r_sem"))
@@ -189,9 +195,10 @@ object ScoringOps extends QueryModule {
             qe AS (SELECT vec_id AS qid, emb AS q_emb FROM emb WHERE vec_id < 3),
             sem0 AS (
               SELECT qe.qid, e.vec_id,
-                     CAST(floor(list_dot_product(e.emb, qe.q_emb)
+                     CAST(floor(CAST(round(CAST(list_dot_product(e.emb, qe.q_emb)
                        / (sqrt(list_dot_product(e.emb, e.emb))
-                          * sqrt(list_dot_product(qe.q_emb, qe.q_emb))) * 1e6)
+                          * sqrt(list_dot_product(qe.q_emb, qe.q_emb)))
+                       AS DECIMAL(30,8)), 6) AS DOUBLE) * 1e6 + 0.5)
                        AS BIGINT) AS cos_micro
               FROM emb e CROSS JOIN qe WHERE e.vec_id <> qe.qid),
             sem AS (
@@ -617,8 +624,13 @@ object ScoringOps extends QueryModule {
         .withColumn("w",
           when(col("h") < 368, 0L).when(col("h") < 736, 1L)
             .when(col("h") < 920, 2L).when(col("h") < 981, 3L).otherwise(4L))
+      // ANSI guard: a resample whose Poisson weights are all zero (prob
+      // 0.368^n — negligible at sf0.01, real on tiny fixtures) would throw
+      // DIVIDE_BY_ZERO. Drop such resamples on BOTH engines (the hash-seeded
+      // weights are identical cross-engine, so both drop the same b).
       val means = drawn.groupBy("b")
         .agg(sum(col("w") * col("c")).as("swc"), sum("w").as("sw"))
+        .filter(col("sw") > 0)
         .select(col("b"), expr("swc div sw").as("mean_cents"))
       val w = Window.orderBy(col("mean_cents").asc, col("b").asc)
       val ranked = means.withColumn("rn", row_number().over(w))
@@ -648,7 +660,7 @@ object ScoringOps extends QueryModule {
               FROM drawn),
             means AS (
               SELECT b, CAST(sum(w * c) // sum(w) AS BIGINT) AS mean_cents
-              FROM wt GROUP BY b),
+              FROM wt GROUP BY b HAVING sum(w) > 0),
             ranked AS (
               SELECT b, mean_cents,
                      row_number() OVER (ORDER BY mean_cents ASC, b ASC) AS rn
