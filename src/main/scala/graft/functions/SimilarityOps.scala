@@ -788,6 +788,51 @@ object SimilarityOps extends QueryModule {
           GROUP BY 1 ORDER BY t.p_id"""
     })
 
+  /** Recall@3 of the production IVF-PQ pairing (q_knn_ivfpq) against
+    * brute-force truth (q_embed_knn) — same harness shape as q_knn_recall
+    * gauges the SRP IVF with. Promotes the recall pin from SimilaritySpec
+    * into the oracle gate: the t2 hash now owns the claim that coarse
+    * nprobe=2 + 8-byte-ADC shortlists keep the measured share of true
+    * neighbors. Both sides emit per-probe (hits, n_truth) over
+    * deterministic top-3 sets (dround-snapped scores, id tiebreaks).
+    *
+    * Scale: truth is the one brute-force pass a recall audit needs (run on
+    * a sampled probe set, never the corpus); the approx side is the
+    * index-backed query itself — auditing recall costs one extra scan over
+    * the probe set, not an index rebuild.
+    */
+  private val qKnnRecallPq = GQuery(
+    (s, d) => {
+      val truth = qEmbedKnn.fn(s, d).select("p_id", "n_id")
+      val approx = qKnnIvfPq.fn(s, d).select("p_id", "n_id")
+        .withColumn("hit", lit(1))
+      truth.join(approx, Seq("p_id", "n_id"), "left")
+        .groupBy("p_id")
+        .agg(count(col("hit")).as("hits"), count(lit(1)).as("n_truth"))
+        .orderBy("p_id")
+    },
+    Some(s"""WITH $ivfPqOracleCtes,
+            approx AS (
+              SELECT p_id, n_id FROM ranked WHERE rn <= 3),
+            tprobes AS (
+              SELECT vec_id AS p_id, emb AS p_emb FROM e WHERE vec_id < 5),
+            tscored AS (
+              SELECT p_id, e2.vec_id AS n_id,
+                     CAST(round(CAST(list_cosine_similarity(p_emb, e2.emb)
+                       AS DECIMAL(30,8)), 6) AS DOUBLE) AS cos
+              FROM tprobes, e e2 WHERE e2.vec_id <> p_id),
+            truth AS (
+              SELECT p_id, n_id FROM (
+                SELECT p_id, n_id,
+                       row_number() OVER (PARTITION BY p_id
+                         ORDER BY cos DESC, n_id) AS rn
+                FROM tscored) WHERE rn <= 3)
+            SELECT t.p_id, CAST(count(a.n_id) AS BIGINT) AS hits,
+                   CAST(count(*) AS BIGINT) AS n_truth
+            FROM truth t LEFT JOIN approx a
+              ON a.p_id = t.p_id AND a.n_id = t.n_id
+            GROUP BY 1 ORDER BY t.p_id"""))
+
   // ----------------------------------------------- iterated k-means --
 
   /** Two Lloyd iterations of k-means (k=4, deterministic init = the first
@@ -1104,69 +1149,14 @@ object SimilarityOps extends QueryModule {
     }
   }
 
-  private val qKnnIvfPq = GQuery(
-    (s, d) => {
-      val M = PqIndex.M; val dsub = PqIndex.dsub; val K = PqIndex.K
-      val emb = t(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-        .withColumn("nrm", norm(col("emb")))
-      val cents = emb.filter(col("vec_id").between(100, 107))
-        .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
-      def subs(df: DataFrame): DataFrame = PqIndex.subs(df)
-      val cb = subs(emb.filter(col("vec_id").between(100, 100 + K - 1)))
-        .select(col("m"), (col("vec_id") - 100).cast("int").as("k"),
-          col("sv").as("cw"))
-        .withColumn("cc", dot(col("cw"), col("cw")))
-      val codes = PqIndex.codes(s, d)
-      val wCell = Window.partitionBy("p_id").orderBy(col("aff").desc, col("c_id").asc)
-      val probeCells = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("p_id"), col("emb"), col("nrm").as("p_nrm"))
-        .crossJoin(broadcast(cents))
-        .select(col("p_id"), col("emb"), col("p_nrm"), col("c_id"),
-          dround(dot(col("emb"), col("c_emb")), 6).as("aff"))
-        .withColumn("crk", row_number().over(wCell))
-        .filter(col("crk") <= 2)
-        .select(col("p_id"), col("emb"), col("p_nrm"), col("c_id").as("cell"))
-      val ptab = subs(probeCells.select(col("p_id"), col("cell"), col("emb"),
-          col("p_nrm")))
-        .join(broadcast(cb), Seq("m"))
-        .select(col("p_id"), col("cell"), col("p_nrm"), col("m"),
-          col("k").as("code"),
-          floor(dround(dot(col("sv"), col("cw")), 6) * lit(1e6) + lit(0.5))
-            .cast("long").as("ipdot"))
-      val wShort = Window.partitionBy("p_id")
-        .orderBy(col("approx").desc, col("n_id").asc)
-      val shortlist = codes.join(broadcast(ptab), Seq("cell", "m", "code"))
-        .filter(col("vec_id") =!= col("p_id"))
-        .groupBy("p_id", "vec_id")
-        .agg(sum("ipdot").as("isum"), max("nrm").as("n_nrm"),
-          max("p_nrm").as("p_nrm"))
-        // a vector scores in ≤ nprobe visited cells, but it LIVES in one —
-        // the (cell, m, code) join keys guarantee one cell per vec here
-        .select(col("p_id"), col("vec_id").as("n_id"),
-          dround(col("isum").cast("double") / lit(1e6)
-            / (col("p_nrm") * col("n_nrm")), 6).as("approx"))
-        .withColumn("crk", row_number().over(wShort))
-        .filter(col("crk") <= 50)
-        .select("p_id", "n_id")
-      val probesBase = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("p_id"), col("emb").as("p_emb"),
-          col("nrm").as("p_nrm"))
-      val wExact = Window.partitionBy("p_id")
-        .orderBy(col("cos").desc, col("n_id").asc)
-      emb.select(col("vec_id").as("n_id"), col("emb").as("n_emb"),
-          col("nrm").as("n_nrm"))
-        .join(broadcast(shortlist), "n_id")
-        .join(broadcast(probesBase), "p_id")
-        .select(col("p_id"), col("n_id"),
-          dround(dot(col("p_emb"), col("n_emb")) / (col("p_nrm") * col("n_nrm")), 6)
-            .as("cos"))
-        .withColumn("rk", row_number().over(wExact).cast("int"))
-        .filter(col("rk") <= 3)
-        .select(col("p_id"), col("n_id"), col("rk"), dround(col("cos"), 2).as("score"))
-        .orderBy("p_id", "rk")
-    },
-    Some("""WITH e AS (
+  /** Shared CTE chain of the IVF-PQ oracle (assignment, codebook, codes,
+    * probe ADC tables, integer shortlist, exact re-rank ending in `ranked`).
+    * q_knn_ivfpq reads its top-3; q_knn_recall_pq joins that top-3 against
+    * brute-force truth. Lazy: q_knn_recall_pq initializes earlier in this
+    * object and a forward reference to a strict val would be null.
+    */
+  private lazy val ivfPqOracleCtes: String =
+    """e AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
                      sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
                        x -> x * x))) AS nrm
@@ -1247,7 +1237,71 @@ object SimilarityOps extends QueryModule {
               SELECT p_id, n_id, cos,
                      row_number() OVER (PARTITION BY p_id
                        ORDER BY cos DESC, n_id) AS rn
-              FROM exact)
+              FROM exact)"""
+
+  private val qKnnIvfPq = GQuery(
+    (s, d) => {
+      val M = PqIndex.M; val dsub = PqIndex.dsub; val K = PqIndex.K
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .withColumn("nrm", norm(col("emb")))
+      val cents = emb.filter(col("vec_id").between(100, 107))
+        .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+      def subs(df: DataFrame): DataFrame = PqIndex.subs(df)
+      val cb = subs(emb.filter(col("vec_id").between(100, 100 + K - 1)))
+        .select(col("m"), (col("vec_id") - 100).cast("int").as("k"),
+          col("sv").as("cw"))
+        .withColumn("cc", dot(col("cw"), col("cw")))
+      val codes = PqIndex.codes(s, d)
+      val wCell = Window.partitionBy("p_id").orderBy(col("aff").desc, col("c_id").asc)
+      val probeCells = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("p_id"), col("emb"), col("nrm").as("p_nrm"))
+        .crossJoin(broadcast(cents))
+        .select(col("p_id"), col("emb"), col("p_nrm"), col("c_id"),
+          dround(dot(col("emb"), col("c_emb")), 6).as("aff"))
+        .withColumn("crk", row_number().over(wCell))
+        .filter(col("crk") <= 2)
+        .select(col("p_id"), col("emb"), col("p_nrm"), col("c_id").as("cell"))
+      val ptab = subs(probeCells.select(col("p_id"), col("cell"), col("emb"),
+          col("p_nrm")))
+        .join(broadcast(cb), Seq("m"))
+        .select(col("p_id"), col("cell"), col("p_nrm"), col("m"),
+          col("k").as("code"),
+          floor(dround(dot(col("sv"), col("cw")), 6) * lit(1e6) + lit(0.5))
+            .cast("long").as("ipdot"))
+      val wShort = Window.partitionBy("p_id")
+        .orderBy(col("approx").desc, col("n_id").asc)
+      val shortlist = codes.join(broadcast(ptab), Seq("cell", "m", "code"))
+        .filter(col("vec_id") =!= col("p_id"))
+        .groupBy("p_id", "vec_id")
+        .agg(sum("ipdot").as("isum"), max("nrm").as("n_nrm"),
+          max("p_nrm").as("p_nrm"))
+        // a vector scores in ≤ nprobe visited cells, but it LIVES in one —
+        // the (cell, m, code) join keys guarantee one cell per vec here
+        .select(col("p_id"), col("vec_id").as("n_id"),
+          dround(col("isum").cast("double") / lit(1e6)
+            / (col("p_nrm") * col("n_nrm")), 6).as("approx"))
+        .withColumn("crk", row_number().over(wShort))
+        .filter(col("crk") <= 50)
+        .select("p_id", "n_id")
+      val probesBase = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("p_id"), col("emb").as("p_emb"),
+          col("nrm").as("p_nrm"))
+      val wExact = Window.partitionBy("p_id")
+        .orderBy(col("cos").desc, col("n_id").asc)
+      emb.select(col("vec_id").as("n_id"), col("emb").as("n_emb"),
+          col("nrm").as("n_nrm"))
+        .join(broadcast(shortlist), "n_id")
+        .join(broadcast(probesBase), "p_id")
+        .select(col("p_id"), col("n_id"),
+          dround(dot(col("p_emb"), col("n_emb")) / (col("p_nrm") * col("n_nrm")), 6)
+            .as("cos"))
+        .withColumn("rk", row_number().over(wExact).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("p_id"), col("n_id"), col("rk"), dround(col("cos"), 2).as("score"))
+        .orderBy("p_id", "rk")
+    },
+    Some(s"""WITH $ivfPqOracleCtes
             SELECT p_id, n_id, CAST(rn AS INT) AS rk,
                    CAST(round(CAST(cos AS DECIMAL(30,8)), 2) AS DOUBLE) AS score
             FROM ranked WHERE rn <= 3 ORDER BY p_id, rk"""))
@@ -1340,5 +1394,6 @@ object SimilarityOps extends QueryModule {
     "q_knn_rerank" -> qKnnRerank,
     "q_knn_quantized" -> qKnnQuantized,
     "q_knn_pq" -> qKnnPq,
-    "q_knn_recall" -> qKnnRecall)
+    "q_knn_recall" -> qKnnRecall,
+    "q_knn_recall_pq" -> qKnnRecallPq)
 }
