@@ -627,4 +627,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.toLowerCase.contains("dynamicpruning"),
       "DPP missing from the partitioned join plan:\n" + p.take(3000))
   }
+
+  test("AQE skew join splits the hot partition (skew=true SMJ)") {
+    // q_join_salted proves MANUAL salting; real 100-TB deployments lean on
+    // AQE's runtime re-plan first and salt only what it can't fix. Pin that
+    // a skewed fact⋈dim join under AQE actually plans skew-split SMJ
+    // partitions (skew=true) — with test-sized thresholds standing in for
+    // the prod defaults (256 MB per split), and broadcast disabled so the
+    // join is a genuine shuffle join. Results are unchanged by the split
+    // (same sum either way), which the assert also checks.
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32768",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    // 99% of fact rows share key 0 — one reducer partition dwarfs the rest
+    def query() = {
+      val fact = s.range(200000)
+        .select(when(col("id") % 100 =!= 0, lit(0L)).otherwise(col("id"))
+          .as("k"), col("id").as("v"))
+      val dim = s.range(200000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      fact.join(dim, "k").agg(sum(col("v") + col("w")).as("t"))
+    }
+    // identity baseline under default confs (no skew split)
+    val expected = query().collect()(0).getLong(0)
+    try {
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      val j = query()
+      val total = j.collect()(0).getLong(0)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        "no skew-split partitions in the AQE plan:\n" + p.take(4000))
+      // identity check: the split is a physical re-plan only
+      assert(total == expected)
+    } finally saved.foreach { case (k, vo) =>
+      vo.fold(s.conf.unset(k))(v => s.conf.set(k, v)) }
+  }
 }
