@@ -554,6 +554,103 @@ object PipelineOps extends QueryModule {
           FROM f GROUP BY layout ORDER BY layout"""
     })
 
+  /** Bloom-filter skipping evaluation — the q_layout_skipping counterpart
+    * for POINT lookups, quantifying why the sink writes
+    * `orc.bloom.filter.columns` (OffsetNamedOrcSinkSpec pins the physical
+    * half: bloom streams in the committed files prune real scans). Rows are
+    * chunked on the write grid (250/chunk); the lookup key is an
+    * md5-scrambled 16-bit surrogate (high cardinality, zero arrival-order
+    * locality — the exact shape where min/max footer stats prune NOTHING).
+    * Each chunk gets a simulated 4096-bit k=2 bloom (bit = md5-derived,
+    * engine-portable integer hashing); each probe key then counts: chunks
+    * it actually lives in, chunks min/max stats would admit (~all of them),
+    * and chunks the bloom admits (actual + ~1.5% false positives) — the
+    * measured gap between stats-only and bloom skipping.
+    *
+    * Scale: the bit table is ≤ 2 rows per input row pre-distinct and
+    * partial-aggregates to (chunks × fill) entries; probes broadcast; the
+    * membership join keys on the bit value (high entropy). Nothing is
+    * quadratic in chunks or rows.
+    */
+  private val qLayoutBloom = GQuery(
+    (s, d) => {
+      def h(prefix: String, c: org.apache.spark.sql.Column) =
+        DedupOps.hex4(concat(lit(prefix), c))
+      val ev = t(s, d, "events")
+        .select(col("event_id"), expr("event_id div 250").as("chunk"))
+        .withColumn("skey", h("s:", col("event_id")))
+      val bits = ev.select(col("chunk"),
+          explode(array(pmod(h("b1:", col("skey")), lit(4096)),
+            pmod(h("b2:", col("skey")), lit(4096)))).as("bit"))
+        .distinct()
+      val stats = ev.groupBy("chunk")
+        .agg(min("skey").as("mn"), max("skey").as("mx"))
+      val probes = ev.filter(col("event_id") < 15)
+        .select(col("skey").as("probe")).distinct()
+        .select(col("probe"),
+          pmod(h("b1:", col("probe")), lit(4096)).as("p1"),
+          pmod(h("b2:", col("probe")), lit(4096)).as("p2"))
+      val mm = probes.crossJoin(broadcast(stats))
+        .groupBy("probe", "p1", "p2")
+        .agg(count(lit(1)).as("chunks_total"),
+          sum(when(col("probe").between(col("mn"), col("mx")), 1L)
+            .otherwise(0L)).as("chunks_minmax"))
+      val c1 = bits.select(col("chunk").as("chunk1"), col("bit").as("bit1"))
+      val c2 = bits.select(col("chunk").as("chunk2"), col("bit").as("bit2"))
+      val pos = mm.select("probe", "p1", "p2")
+        .join(c1, col("p1") === col("bit1"))
+        .join(c2, col("p2") === col("bit2") && col("chunk1") === col("chunk2"))
+        .groupBy("probe").agg(countDistinct("chunk1").as("chunks_bloom"))
+      val act = ev.join(probes.select(col("probe")),
+          col("skey") === col("probe"))
+        .groupBy("probe").agg(countDistinct("chunk").as("chunks_actual"))
+      mm.join(pos, Seq("probe"), "left").join(act, Seq("probe"), "left")
+        .select(col("probe"), col("chunks_total"), col("chunks_minmax"),
+          coalesce(col("chunks_bloom"), lit(0L)).as("chunks_bloom"),
+          coalesce(col("chunks_actual"), lit(0L)).as("chunks_actual"))
+        .orderBy("probe")
+    },
+    Some {
+      def h(prefix: String, e: String) =
+        DedupOps.duckHex4(s"md5('$prefix' || CAST($e AS VARCHAR))")
+      s"""WITH ev AS (
+            SELECT event_id, event_id // 250 AS chunk,
+                   ${h("s:", "event_id")} AS skey
+            FROM events),
+          bits AS (
+            SELECT DISTINCT chunk, bit FROM (
+              SELECT chunk, ${h("b1:", "skey")} % 4096 AS bit FROM ev
+              UNION ALL
+              SELECT chunk, ${h("b2:", "skey")} % 4096 AS bit FROM ev)),
+          stats AS (
+            SELECT chunk, min(skey) AS mn, max(skey) AS mx FROM ev GROUP BY 1),
+          probes AS (
+            SELECT probe, ${h("b1:", "probe")} % 4096 AS p1,
+                   ${h("b2:", "probe")} % 4096 AS p2
+            FROM (SELECT DISTINCT skey AS probe FROM ev WHERE event_id < 15)),
+          mm AS (
+            SELECT probe, p1, p2, CAST(count(*) AS BIGINT) AS chunks_total,
+                   CAST(sum(CASE WHEN probe BETWEEN mn AND mx THEN 1 ELSE 0 END)
+                     AS BIGINT) AS chunks_minmax
+            FROM probes, stats GROUP BY 1, 2, 3),
+          pos AS (
+            SELECT probe, CAST(count(DISTINCT c1.chunk) AS BIGINT) AS chunks_bloom
+            FROM probes p
+            JOIN bits c1 ON c1.bit = p.p1
+            JOIN bits c2 ON c2.bit = p.p2 AND c2.chunk = c1.chunk
+            GROUP BY 1),
+          act AS (
+            SELECT probe, CAST(count(DISTINCT chunk) AS BIGINT) AS chunks_actual
+            FROM probes p JOIN ev e ON e.skey = p.probe GROUP BY 1)
+          SELECT m.probe, m.chunks_total, m.chunks_minmax,
+                 coalesce(pos.chunks_bloom, 0) AS chunks_bloom,
+                 coalesce(act.chunks_actual, 0) AS chunks_actual
+          FROM mm m
+          LEFT JOIN pos ON pos.probe = m.probe
+          LEFT JOIN act ON act.probe = m.probe
+          ORDER BY m.probe"""
+    })
+
   // ---------------------------------------------- table diff / checksum --
 
   /** Distributed table compare — the validation step every migration,
@@ -672,6 +769,7 @@ object PipelineOps extends QueryModule {
     "q_privacy_kanon" -> qPrivacyKanon,
     "q_table_diff" -> qTableDiff,
     "q_layout_skipping" -> qLayoutSkipping,
+    "q_layout_bloom" -> qLayoutBloom,
     "q_layout_zorder" -> qLayoutZorder,
     "q_layout_hilbert" -> qLayoutHilbert,
     "q_fmt_roundtrip" -> qFmtRoundtrip,

@@ -396,7 +396,8 @@ object OffsetNamedOrcSink {
       layout: Layout = Layout.KafkaPartition,
       drift: DriftMode = DriftMode.Reject,
       s3a: Option[S3AConf] = None,
-      rotateMs: Option[Long] = None): String = {
+      rotateMs: Option[Long] = None,
+      orcOptions: Map[String, String] = Map.empty): String = {
     require(flushSize > 0, "flush.size must be positive")
     require(rotateMs.forall(_ > 0), "rotate interval must be positive")
     // Topic values become filesystem path components. Kafka-legal names
@@ -546,7 +547,8 @@ object OffsetNamedOrcSink {
         flat.union(existing).dropDuplicates("partition", "offset")
       }
 
-    commitOverwrite(spark, fs, root, topicDir, topic, merged, partCols, touched)
+    commitOverwrite(spark, fs, root, topicDir, topic, merged, partCols, touched,
+      orcOptions)
     topicDir
   }
 
@@ -571,7 +573,8 @@ object OffsetNamedOrcSink {
     */
   private def commitOverwrite(spark: SparkSession, fs: FileSystem, root: Path,
       topicDir: String, topic: String, flat: DataFrame,
-      partCols: Seq[String], touched: Seq[Touched]): Unit = {
+      partCols: Seq[String], touched: Seq[Touched],
+      orcOptions: Map[String, String] = Map.empty): Unit = {
     val inflight = new Path(root, InflightMarker)
     // marker line = url-encoded prefix values, partition, chunk, '|'-joined.
     // URL-encoding makes the split unambiguous for arbitrary Field values
@@ -589,6 +592,11 @@ object OffsetNamedOrcSink {
         .repartition(partCols.map(col): _*)
         .sortWithinPartitions(col("offset"))
         .write.mode("overwrite")
+        // ORC writer tuning (e.g. orc.bloom.filter.columns /
+        // orc.bloom.filter.fpp): Spark forwards data-source options into
+        // the ORC writer configuration, so point-lookup columns get bloom
+        // streams in every row-group index of the committed files
+        .options(orcOptions)
         .partitionBy(partCols: _*)
         .orc(topicDir)
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
@@ -609,16 +617,18 @@ object OffsetNamedOrcSink {
       layout: Layout = Layout.KafkaPartition,
       drift: DriftMode = DriftMode.Reject,
       s3a: Option[S3AConf] = None,
-      rotateMs: Option[Long] = None): Seq[String] = {
+      rotateMs: Option[Long] = None,
+      orcOptions: Map[String, String] = Map.empty): Seq[String] = {
     val topics = df.select("topic").distinct().collect()
       .map(_.getString(0)).sorted.toSeq
     if (topics.lengthCompare(1) <= 0)
-      topics.map(t => write(df, outDir, flushSize, t, layout, drift, s3a, rotateMs))
+      topics.map(t =>
+        write(df, outDir, flushSize, t, layout, drift, s3a, rotateMs, orcOptions))
     else {
       val cached = df.persist()
       try topics.map(t =>
         write(cached.filter(col("topic") === t), outDir, flushSize, t,
-          layout, drift, s3a, rotateMs))
+          layout, drift, s3a, rotateMs, orcOptions))
       finally { cached.unpersist(); () }
     }
   }
@@ -948,10 +958,21 @@ object OffsetNamedOrcSink {
             org.apache.spark.sql.types.LongType) +: latched.fields.toSeq))
       case None => spark.read // pre-protocol dir: sampled-schema read
     }
-    reader.orc(topicDir)
-      .withColumn(ChunkCol,
-        regexp_extract(input_file_name(), CommittedTailRe, 1)
-          .cast("long"))
+    // _chunk: prefer the persisted chunk grid (offset - offset % flushSize,
+    // a PURE function of the row — identical to the committed file names by
+    // the O9 rotation invariant). The input_file_name() fallback (legacy
+    // dirs without a config marker) is NONDETERMINISTIC to Catalyst, and a
+    // nondeterministic projection blocks every filter above it from pushing
+    // into the ORC scan — with the row-pure grid, point lookups reach the
+    // scan's row-group stats and bloom filters.
+    val chunkCol = readMarker(fs, new Path(root, ConfigMarker)) match {
+      case Some(desc) =>
+        val flushSize = parseConfig(desc)._1
+        col("offset") - pmod(col("offset"), lit(flushSize))
+      case None =>
+        regexp_extract(input_file_name(), CommittedTailRe, 1).cast("long")
+    }
+    reader.orc(topicDir).withColumn(ChunkCol, chunkCol)
   }
 
   /** Read back ONLY the offsets in `[fromOffset, untilOffset)` — the
@@ -1024,9 +1045,10 @@ object OffsetNamedOrcSink {
         } yield f.toString
         if (files.isEmpty) fullScan
         else spark.read.option("basePath", topicDir).orc(files: _*)
+          // row-pure grid (see read()): keeps the offset filter below
+          // pushdown-eligible
           .withColumn(ChunkCol,
-            regexp_extract(input_file_name(), CommittedTailRe, 1)
-              .cast("long"))
+            col("offset") - pmod(col("offset"), lit(flushSize)))
           .filter(col("offset") >= fromOffset && col("offset") < untilOffset)
     }
   }

@@ -1026,4 +1026,65 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
       OffsetNamedOrcSink.write(shaped, out, 250, topic = "../escape")
     }
   }
+
+  test("O6+: orc.bloom.filter.columns reaches the writer and prunes point lookups") {
+    // The sink writes ORC-library defaults (reference parity); at 100 TB the
+    // point-lookup story needs bloom streams on the lookup columns, because
+    // min/max row-group stats never prune a high-cardinality column in
+    // arrival order (every row group spans the whole domain). Pin both
+    // halves: the option reaches the writer through the commit path, and a
+    // point lookup on the committed files reads a fraction of the rows a
+    // bloom-less file must read.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val n = 40000L
+    // uid = md5-scrambled id: high-cardinality, no arrival-order locality
+    val base = spark.range(n).select(
+      col("id").cast("string").cast("binary").as("key"),
+      struct(
+        lit(true).as("flag"),
+        conv(substring(md5(col("id").cast("string")), 1, 4), 16, 10)
+          .cast("int").as("uid"),
+        col("id").as("id"),
+        lit(1.0f).as("fval"),
+        lit(1.0).as("dval"),
+        lit("x").as("etype")).as("value"),
+      lit("events").as("topic"),
+      lit(0).as("partition"),
+      col("id").as("offset"),
+      timestamp_millis(col("id")).as("timestamp"))
+    val stride = Map("orc.row.index.stride" -> "1000") // 40 row groups/file
+    val bloomDir = OffsetNamedOrcSink.write(base, freshOut(), flushSize = n,
+      orcOptions = stride ++ Map(
+        "orc.bloom.filter.columns" -> "uid",
+        "orc.bloom.filter.fpp" -> "0.01"))
+    val plainDir = OffsetNamedOrcSink.write(base, freshOut(), flushSize = n,
+      orcOptions = stride)
+    val target = spark.range(1)
+      .select(conv(substring(md5(lit("0")), 1, 4), 16, 10).cast("int"))
+      .head.getInt(0)
+    def rowsRead(topicDir: String): (Long, Long) = {
+      val df = OffsetNamedOrcSink.read(spark, topicDir)
+        .filter(col("uid") === target)
+      val hits = df.count()
+      df.collect()
+      def unwrap(p: SparkPlan): SparkPlan = p match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      val scans = unwrap(df.queryExecution.executedPlan).collect {
+        case f: FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, df.queryExecution.executedPlan.toString.take(2000))
+      (scans.map(_.metrics("numOutputRows").value).sum, hits)
+    }
+    val (bloomRows, bloomHits) = rowsRead(bloomDir)
+    val (plainRows, plainHits) = rowsRead(plainDir)
+    assert(bloomHits == plainHits) // identical data either way
+    // bloom-less: stats can't prune scrambled uids — the scan reads ~all 40
+    // row groups; bloom: only groups whose filter admits the value survive
+    assert(plainRows >= n / 2, s"expected an unpruned scan, read $plainRows")
+    assert(bloomRows * 3 <= plainRows,
+      s"bloom pruned nothing: $bloomRows vs $plainRows rows read")
+  }
 }
