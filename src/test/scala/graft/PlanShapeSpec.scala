@@ -628,6 +628,18 @@ class PlanShapeSpec extends SparkSpec {
       "DPP missing from the partitioned join plan:\n" + p.take(3000))
   }
 
+  test("q_join_incremental: history is never re-joined — one delta join only") {
+    val df = SparkEntry.queries("q_join_incremental")(spark, sf)
+    df.collect() // materialize (first call builds the MV artifact)
+    val p = plan("q_join_incremental")
+    // the maintained plan: MV parquet scan (filtered) UNION delta⋈dim —
+    // exactly one join node; the base join ran once at MV build time
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(p).size
+    assert(joins == 1, s"expected 1 delta join, got $joins:\n" + p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("AQE skew join splits the hot partition (skew=true SMJ)") {
     // q_join_salted proves MANUAL salting; real 100-TB deployments lean on
     // AQE's runtime re-plan first and salt only what it can't fix. Pin that
