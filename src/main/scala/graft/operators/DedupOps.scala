@@ -437,6 +437,59 @@ object DedupOps extends QueryModule {
                  k.keeper, q.doc_id = k.keeper AS keep
           FROM q JOIN k USING (component) ORDER BY q.doc_id"""))
 
+  /** Keeper choice with SPAN EVIDENCE — closes the loop between the
+    * cluster graph (q_dedup_components) and the duplicated-span audit
+    * (q_dedup_substring), the way Lee et al. 2022's pipeline actually
+    * decides: within each near-dup cluster, keep the document with the
+    * LEAST duplicated-span coverage (integer ppm of tokens inside spans
+    * that occur elsewhere in the corpus), tie-breaking on length then id —
+    * cleanest-content-wins instead of q_dedup_keep's longest-wins. Both
+    * signal paths are the already-oracled operators; this query is their
+    * deterministic composition, so the keeper list is stable under
+    * re-runs by construction (every rank key is an exact integer).
+    *
+    * Scale: components and span coverage are each linear-with-caps
+    * (see their rows); the composition adds one doc-keyed left join and a
+    * component-partitioned argmin window — bounded by docs, not pairs.
+    */
+  private val qDedupKeepSpans = GQuery(
+    (s, d) => {
+      val comp = qDedupComponents.fn(s, d).select("doc_id", "component")
+      val spans = qDedupSubstring.fn(s, d)
+        .select(col("doc_id"), col("covered"), col("ntok"))
+      val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      val w = Window.partitionBy("component")
+      comp.join(docs, "doc_id")
+        .join(spans, Seq("doc_id"), "left")
+        .withColumn("dup_ppm",
+          coalesce(expr("covered * 1000000 div ntok"), lit(0L)))
+        .withColumn("best", min(struct(col("dup_ppm"),
+          (-col("n_chars")).as("nc"), col("doc_id"))).over(w))
+        .select(col("doc_id"), col("component"), col("dup_ppm"),
+          col("n_chars").cast("long").as("n_chars"),
+          col("best.doc_id").as("keeper"))
+        .withColumn("keep", col("doc_id") === col("keeper"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH RECURSIVE $componentsCte,
+          $substringCovCtes,
+          q AS (
+            SELECT l.doc_id, l.component, d.n_chars,
+                   coalesce(sc.covered * 1000000 // sc.ntok, 0) AS dup_ppm
+            FROM lbl l JOIN documents d USING (doc_id)
+            LEFT JOIN subcov sc ON sc.doc_id = l.doc_id),
+          k AS (
+            SELECT component, doc_id AS keeper FROM (
+              SELECT component, doc_id,
+                     row_number() OVER (PARTITION BY component
+                       ORDER BY dup_ppm ASC, n_chars DESC, doc_id) AS rn
+              FROM q) WHERE rn = 1)
+          SELECT q.doc_id, q.component, CAST(q.dup_ppm AS BIGINT) AS dup_ppm,
+                 CAST(q.n_chars AS BIGINT) AS n_chars, k.keeper,
+                 q.doc_id = k.keeper AS keep
+          FROM q JOIN k USING (component) ORDER BY q.doc_id"""))
+
   /** Train/test DECONTAMINATION — the eval-integrity step of every LLM data
     * pipeline: find held-out (test-split) documents sharing 3-token shingles
     * with the training split, so leaked eval content can be dropped before
@@ -642,6 +695,41 @@ object DedupOps extends QueryModule {
     * per-doc interval-union window. Everything is integer arithmetic until
     * the final ratio, which goes through dround.
     */
+  /** Shared CTE chain of the duplicated-span coverage oracle, ending in
+    * `subcov(doc_id, ntok, covered)` — q_dedup_substring reads it directly;
+    * q_dedup_keep_spans joins it into the component keeper choice. Lazy for
+    * the same forward-reference reason as componentsCte.
+    */
+  private lazy val substringCovCtes: String =
+    """sd AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM documents),
+            sspans AS (
+              SELECT doc_id, len(toks) AS ntok,
+                     unnest(CASE WHEN len(toks) >= 5
+                                 THEN generate_series(1, len(toks) - 4)
+                                 ELSE [] END) AS start,
+                     toks
+              FROM sd),
+            ssp AS (
+              SELECT doc_id, ntok, start,
+                     array_to_string(list_slice(toks, start, start + 4), ' ')
+                       AS span
+              FROM sspans),
+            sdup AS (SELECT span FROM ssp GROUP BY span HAVING count(*) > 1),
+            shits AS (SELECT ssp.* FROM ssp JOIN sdup USING (span)),
+            scov AS (
+              SELECT doc_id, ntok, start, start + 4 AS e,
+                     max(start + 4) OVER (PARTITION BY doc_id ORDER BY start
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_end
+              FROM shits),
+            subcov AS (
+              SELECT doc_id, CAST(ntok AS BIGINT) AS ntok,
+                     CAST(sum(greatest(e - greatest(coalesce(prev_end, 0),
+                       start - 1), 0)) AS BIGINT) AS covered
+              FROM scov GROUP BY doc_id, ntok)"""
+
   private val qDedupSubstring = GQuery(
     (s, d) => {
       val L = 5
@@ -675,36 +763,11 @@ object DedupOps extends QueryModule {
           dround(col("covered").cast("double") / col("ntok"), 4).as("dup_ratio"))
         .orderBy("doc_id")
     },
-    Some("""WITH d AS (
-              SELECT doc_id, string_split(lower(text), ' ') AS toks
-              FROM documents),
-            spans AS (
-              SELECT doc_id, len(toks) AS ntok,
-                     unnest(CASE WHEN len(toks) >= 5
-                                 THEN generate_series(1, len(toks) - 4)
-                                 ELSE [] END) AS start,
-                     toks
-              FROM d),
-            sp AS (
-              SELECT doc_id, ntok, start,
-                     array_to_string(list_slice(toks, start, start + 4), ' ')
-                       AS span
-              FROM spans),
-            dup AS (SELECT span FROM sp GROUP BY span HAVING count(*) > 1),
-            hits AS (SELECT sp.* FROM sp JOIN dup USING (span)),
-            cov AS (
-              SELECT doc_id, ntok, start, start + 4 AS e,
-                     max(start + 4) OVER (PARTITION BY doc_id ORDER BY start
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                       AS prev_end
-              FROM hits)
-            SELECT doc_id, CAST(ntok AS BIGINT) AS ntok,
-                   CAST(sum(greatest(e - greatest(coalesce(prev_end, 0),
-                     start - 1), 0)) AS BIGINT) AS covered,
-                   CAST(round(CAST(CAST(sum(greatest(e - greatest(
-                     coalesce(prev_end, 0), start - 1), 0)) AS DOUBLE) / ntok
+    Some(s"""WITH $substringCovCtes
+            SELECT doc_id, ntok, covered,
+                   CAST(round(CAST(CAST(covered AS DOUBLE) / ntok
                      AS DECIMAL(30,8)), 4) AS DOUBLE) AS dup_ratio
-            FROM cov GROUP BY doc_id, ntok ORDER BY doc_id"""))
+            FROM subcov ORDER BY doc_id"""))
 
   // ------------------------------------------- semantic (SemDeDup) dedup --
 
@@ -922,6 +985,7 @@ object DedupOps extends QueryModule {
     "q_dedup_semantic" -> qDedupSemantic,
     "q_dedup_components" -> qDedupComponents,
     "q_dedup_keep" -> qDedupKeep,
+    "q_dedup_keep_spans" -> qDedupKeepSpans,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
