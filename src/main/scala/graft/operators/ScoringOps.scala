@@ -241,38 +241,47 @@ object ScoringOps extends QueryModule {
     * over |vocab| rows with a broadcast 1-row argmax — shuffle-free after
     * the first agg.
     */
+  private def bpeVocab0(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1L)).as("cnt"))
+      .select(col("tok"), col("cnt"),
+        concat(lit(" "),
+          concat_ws(" ", filter(split(col("tok"), ""), c => c =!= "")),
+          lit(" ")).as("s"))
+
+  private def bpeBestPair(vocab: DataFrame, minCount: Long = 0L): DataFrame = {
+    val toks = filter(split(trim(col("s")), " "), c => c =!= "")
+    vocab
+      .select(col("cnt"), toks.as("sy"))
+      // Spark sequence(1, 0) counts DOWN ([1,0]) — guard 1-symbol words
+      // to an empty pair list (explode then drops the row).
+      .select(col("cnt"), explode(
+        transform(
+          when(size(col("sy")) >= 2, sequence(lit(1), size(col("sy")) - 1))
+            .otherwise(array().cast("array<int>")),
+          i => struct(element_at(col("sy"), i).as("l"),
+            element_at(col("sy"), i + 1).as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("cnt").as("pair_cnt"))
+      .filter(col("pair_cnt") >= minCount)
+      .orderBy(col("pair_cnt").desc, col("l").asc, col("r").asc)
+      .limit(1)
+  }
+
+  private def bpeApplyMerge(vocab: DataFrame, best: DataFrame): DataFrame =
+    vocab.crossJoin(broadcast(best.select(col("l").as("m_l"), col("r").as("m_r"))))
+      .select(col("tok"), col("cnt"),
+        expr("""replace(replace(replace(s, ' ', '  '),
+                  ' ' || m_l || '  ' || m_r || ' ',
+                  ' ' || m_l || m_r || ' '), '  ', ' ')""").as("s"))
+
   private val qVocabBpe = GQuery(
     (s, d) => {
-      val vocab0 = t(s, d, "documents")
-        .select(explode(split(lower(col("text")), " ")).as("tok"))
-        .groupBy("tok").agg(count(lit(1L)).as("cnt"))
-        .select(col("tok"), col("cnt"),
-          concat(lit(" "),
-            concat_ws(" ", filter(split(col("tok"), ""), c => c =!= "")),
-            lit(" ")).as("s"))
-      def bestPair(vocab: DataFrame): DataFrame = {
-        val toks = filter(split(trim(col("s")), " "), c => c =!= "")
-        vocab
-          .select(col("cnt"), toks.as("sy"))
-          // Spark sequence(1, 0) counts DOWN ([1,0]) — guard 1-symbol words
-          // to an empty pair list (explode then drops the row).
-          .select(col("cnt"), explode(
-            transform(
-              when(size(col("sy")) >= 2, sequence(lit(1), size(col("sy")) - 1))
-                .otherwise(array().cast("array<int>")),
-              i => struct(element_at(col("sy"), i).as("l"),
-                element_at(col("sy"), i + 1).as("r")))).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum("cnt").as("pair_cnt"))
-          .orderBy(col("pair_cnt").desc, col("l").asc, col("r").asc)
-          .limit(1)
-      }
+      val vocab0 = bpeVocab0(s, d)
+      def bestPair(vocab: DataFrame): DataFrame = bpeBestPair(vocab)
       def applyMerge(vocab: DataFrame, best: DataFrame): DataFrame =
-        vocab.crossJoin(broadcast(best.select(col("l").as("m_l"), col("r").as("m_r"))))
-          .select(col("tok"), col("cnt"),
-            expr("""replace(replace(replace(s, ' ', '  '),
-                      ' ' || m_l || '  ' || m_r || ' ',
-                      ' ' || m_l || m_r || ' '), '  ', ' ')""").as("s"))
+        bpeApplyMerge(vocab, best)
       var vocab = vocab0.localCheckpoint(eager = true)
       val steps = (1 to 3).map { it =>
         val best = bestPair(vocab).localCheckpoint(eager = true)
@@ -319,6 +328,94 @@ object ScoringOps extends QueryModule {
               UNION ALL
               SELECT CAST(3 AS INT), l, r, l || r, pair_cnt FROM p3b)
             ORDER BY iter"""
+    })
+
+  /** BPE merge-until-vocab-K — the full tokenizer-training loop q_vocab_bpe
+    * is three steps of: keep merging the most frequent adjacent symbol pair
+    * until the vocabulary (base characters + one new symbol per merge)
+    * reaches K = |base| + 8, with the real convergence guard (stop when no
+    * pair occurs twice — merging singletons gains nothing). The Spark side
+    * is a genuine driver-controlled loop (localCheckpoint per round, the
+    * PageRank/components pattern; the only driver value is the 1-row best
+    * pair, a control-plane fixpoint read); the oracle unrolls the same 8
+    * steps with the same ≥2 guard, each step LEFT-joining its (possibly
+    * empty) best pair so a converged step passes the vocab through
+    * unchanged on both engines. Output = the vocab at K: base symbols
+    * (iter 0, corpus char counts) + the merge table (iter 1..8, pair
+    * counts), every value an exact integer.
+    *
+    * Scale: iteration cost is O(|vocab|) — every pass runs over the
+    * DISTINCT-token table (corpus-sized work happened once in vocab0's
+    * token count), so 8 or 80 merges never rescan the corpus; the pair agg
+    * partial-aggregates and the 1-row best broadcasts back.
+    */
+  private val qVocabBpeK = GQuery(
+    (s, d) => {
+      val mergeBudget = 8
+      val vocab0 = bpeVocab0(s, d)
+      val base = vocab0
+        .select(col("cnt"), explode(filter(split(col("tok"), ""), c => c =!= ""))
+          .as("sym"))
+        .groupBy("sym").agg(sum("cnt").as("cnt"))
+        .select(lit(0).cast("int").as("iter"), col("sym"), col("cnt"))
+      var vocab = vocab0.localCheckpoint(eager = true)
+      val merges = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      var it = 0
+      var converged = false
+      while (it < mergeBudget && !converged) {
+        val best = bpeBestPair(vocab, minCount = 2L).localCheckpoint(eager = true)
+        if (best.isEmpty) converged = true
+        else {
+          vocab = bpeApplyMerge(vocab, best).localCheckpoint(eager = true)
+          it += 1
+          merges += best.select(lit(it).cast("int").as("iter"),
+            concat(col("l"), col("r")).as("sym"), col("pair_cnt").as("cnt"))
+        }
+      }
+      merges.foldLeft(base)(_ unionAll _).orderBy("iter", "sym")
+    },
+    Some {
+      def pairs(v: String, p: String) =
+        s"""$p AS (
+              SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pair_cnt
+              FROM (SELECT cnt,
+                      string_split(trim(s), ' ') AS sy
+                    FROM $v),
+                   LATERAL (SELECT unnest(generate_series(1, len(sy)-1)) AS i)
+              , LATERAL (SELECT sy[i] AS l, sy[i+1] AS r)
+              GROUP BY l, r),
+            ${p}b AS (SELECT * FROM $p WHERE pair_cnt >= 2
+                      ORDER BY pair_cnt DESC, l ASC, r ASC LIMIT 1)"""
+      def merge(v: String, p: String, v2: String) =
+        s"""$v2 AS (
+              SELECT tok, cnt,
+                     CASE WHEN b.l IS NULL THEN s
+                          ELSE replace(replace(replace(s, ' ', '  '),
+                            ' ' || b.l || '  ' || b.r || ' ',
+                            ' ' || b.l || b.r || ' '), '  ', ' ') END AS s
+              FROM $v LEFT JOIN ${p}b b ON TRUE)"""
+      val steps = (1 to 8).map { i =>
+        pairs(s"v${i - 1}", s"p$i") + ",\n            " +
+          merge(s"v${i - 1}", s"p$i", s"v$i")
+      }.mkString(",\n            ")
+      val unions = (1 to 8).map(i =>
+        s"UNION ALL SELECT CAST($i AS INT), l || r, pair_cnt FROM p${i}b")
+        .mkString("\n              ")
+      s"""WITH v0 AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS cnt,
+                     ' ' || array_to_string(string_split(tok, ''), ' ') || ' ' AS s
+              FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+                    FROM documents)
+              GROUP BY tok),
+            base AS (
+              SELECT sym, CAST(sum(cnt) AS BIGINT) AS cnt
+              FROM (SELECT cnt, unnest(string_split(tok, '')) AS sym FROM v0)
+              GROUP BY sym),
+            $steps
+            SELECT * FROM (
+              SELECT CAST(0 AS INT) AS iter, sym, cnt FROM base
+              $unions)
+            ORDER BY iter, sym"""
     })
 
   // --------------------------------- DSIR-style importance weighting --
@@ -682,6 +779,7 @@ object ScoringOps extends QueryModule {
     "q_stats_auc" -> qStatsAuc,
     "q_text_rrf" -> qTextRrf,
     "q_vocab_bpe" -> qVocabBpe,
+    "q_vocab_bpe_k" -> qVocabBpeK,
     "q_sample_importance" -> qSampleImportance,
     "q_events_attribution" -> qEventsAttribution,
     "q_profile_gini" -> qProfileGini)
