@@ -223,6 +223,53 @@ object PipelineOps extends QueryModule {
             FROM events WHERE event_id >= 2000 AND event_id < 7000
             GROUP BY 1 ORDER BY route"""))
 
+  /** As-of (event-time window) sink read — the time-travel counterpart of
+    * q_read_offset_range's offset pruning: the memoized asof artifact
+    * writes events (ts-ordered offsets, 4 routed partitions, flush 1000)
+    * with `statsColumn = tsu` (event-time micros carried in the value), so
+    * every commit records per-cell min/max event-time in the sink's
+    * `_graft_stats` marker. `readAsOf` then serves a mid-January window by
+    * probing ONLY the cells whose recorded range intersects it (exact
+    * committed names — no listing of non-qualifying chunks, no footer
+    * reads) plus the row-level window filter for the boundary files. The
+    * oracle is the same window straight off the source table, so the t2
+    * hash pins as-of ≡ ts-filtered scan.
+    *
+    * Scale: stats lines are one per committed file (the Delta-log
+    * economics); a window read costs O(qualifying files) FS probes +
+    * their scan, independent of topic history length.
+    */
+  private val qReadAsof = GQuery(
+    (s, d) => {
+      val dir = writtenDirs.computeIfAbsent(s"asofsink|$d", _ => {
+        val shaped = t(s, d, "events").select(
+          col("user_id").cast("string").cast("binary").as("key"),
+          struct(col("event_id").as("id"), unix_micros(col("ts")).as("tsu"),
+            col("event_type").as("etype")).as("value"),
+          lit("asof").as("topic"),
+          pmod(col("user_id"), lit(4)).cast("int").as("partition"),
+          col("event_id").as("offset"),
+          col("ts").as("timestamp"))
+        graft.streaming.OffsetNamedOrcSink.write(shaped,
+          Files.createTempDirectory("graft-asof-").toString,
+          flushSize = 1000, topic = "asof", statsColumn = Some("tsu"))
+      })
+      graft.streaming.OffsetNamedOrcSink
+        .readAsOf(s, dir, "tsu", 1705500000000000L, 1706000000000000L)
+        .groupBy(col("etype"))
+        .agg(count(lit(1)).as("n"), min("offset").as("lo"),
+          max("offset").as("hi"), min("tsu").as("ts_lo"),
+          max("tsu").as("ts_hi"))
+        .orderBy("etype")
+    },
+    Some("""SELECT event_type AS etype, CAST(count(*) AS BIGINT) AS n,
+                   min(event_id) AS lo, max(event_id) AS hi,
+                   min(epoch_us(ts)) AS ts_lo, max(epoch_us(ts)) AS ts_hi
+            FROM events
+            WHERE epoch_us(ts) >= 1705500000000000
+              AND epoch_us(ts) < 1706000000000000
+            GROUP BY 1 ORDER BY etype"""))
+
   /** Compaction losslessness: the memoized TimeDaily sink dir (flush 5000)
     * recompacted onto the 10000 grid must read back row-identical — oracled
     * as per-day count/offset-range against the source events. Compaction is
@@ -774,6 +821,7 @@ object PipelineOps extends QueryModule {
     "q_layout_hilbert" -> qLayoutHilbert,
     "q_fmt_roundtrip" -> qFmtRoundtrip,
     "q_read_offset_range" -> qReadOffsetRange,
+    "q_read_asof" -> qReadAsof,
     "q_compact_roundtrip" -> qCompactRoundtrip,
     "q_delete_keyed" -> qDeleteKeyed,
     "q_expire_retention" -> qExpireRetention,

@@ -55,6 +55,7 @@ object OffsetNamedOrcSink {
   val DtCol = "dt"
 
   private val InflightMarker = "_graft_inflight"
+  private val StatsMarker = "_graft_stats"
   private val ConfigMarker = "_graft_sink.conf"
   private val SchemaMarker = "_graft_schema.json"
 
@@ -397,7 +398,8 @@ object OffsetNamedOrcSink {
       drift: DriftMode = DriftMode.Reject,
       s3a: Option[S3AConf] = None,
       rotateMs: Option[Long] = None,
-      orcOptions: Map[String, String] = Map.empty): String = {
+      orcOptions: Map[String, String] = Map.empty,
+      statsColumn: Option[String] = None): String = {
     require(flushSize > 0, "flush.size must be positive")
     require(rotateMs.forall(_ > 0), "rotate interval must be positive")
     // Topic values become filesystem path components. Kafka-legal names
@@ -419,7 +421,7 @@ object OffsetNamedOrcSink {
       spark.sparkContext.hadoopConfiguration)
 
     validateLayout(layout)
-    ensureConfig(fs, root, flushSize, layout, rotateMs)
+    ensureConfig(fs, root, flushSize, layout, rotateMs, statsColumn)
     val conformed = conformValueSchema(fs, root, df, drift)
 
     val prefixCols: Seq[String] = prefixColsOf(layoutIdOf(layout))
@@ -547,6 +549,12 @@ object OffsetNamedOrcSink {
         flat.union(existing).dropDuplicates("partition", "offset")
       }
 
+    // per-cell column stats (file-skipping metadata, the Delta-log idea):
+    // recorded BEFORE the commit so a crash mid-commit leaves stats that
+    // describe the post-recovery content — `merged` IS the full new content
+    // of every touched cell, so replacing those cells' lines is exact
+    statsColumn.foreach(c =>
+      updateStats(fs, root, merged, partCols, touched, c))
     commitOverwrite(spark, fs, root, topicDir, topic, merged, partCols, touched,
       orcOptions)
     topicDir
@@ -618,17 +626,19 @@ object OffsetNamedOrcSink {
       drift: DriftMode = DriftMode.Reject,
       s3a: Option[S3AConf] = None,
       rotateMs: Option[Long] = None,
-      orcOptions: Map[String, String] = Map.empty): Seq[String] = {
+      orcOptions: Map[String, String] = Map.empty,
+      statsColumn: Option[String] = None): Seq[String] = {
     val topics = df.select("topic").distinct().collect()
       .map(_.getString(0)).sorted.toSeq
     if (topics.lengthCompare(1) <= 0)
       topics.map(t =>
-        write(df, outDir, flushSize, t, layout, drift, s3a, rotateMs, orcOptions))
+        write(df, outDir, flushSize, t, layout, drift, s3a, rotateMs,
+          orcOptions, statsColumn))
     else {
       val cached = df.persist()
       try topics.map(t =>
         write(cached.filter(col("topic") === t), outDir, flushSize, t,
-          layout, drift, s3a, rotateMs, orcOptions))
+          layout, drift, s3a, rotateMs, orcOptions, statsColumn))
       finally { cached.unpersist(); () }
     }
   }
@@ -638,9 +648,14 @@ object OffsetNamedOrcSink {
     * grid and silently commit overlapping offset ranges).
     */
   private def ensureConfig(fs: FileSystem, root: Path, flushSize: Long,
-      layout: Layout, rotateMs: Option[Long] = None): Unit = {
+      layout: Layout, rotateMs: Option[Long] = None,
+      statsColumn: Option[String] = None): Unit = {
     val desc = s"flushSize=$flushSize\nlayout=${layoutIdOf(layout)}" +
-      rotateMs.fold("")(ms => s"\nrotate=$ms")
+      rotateMs.fold("")(ms => s"\nrotate=$ms") +
+      // stats coverage is all-or-nothing per topic: a cell missing from the
+      // stats marker would be silently excluded by readAsOf, so mixing
+      // stats and no-stats writes must fail fast like a flush.size mismatch
+      statsColumn.fold("")(c => s"\nstats=$c")
     val p = new Path(root, ConfigMarker)
     readMarker(fs, p) match {
       case Some(existing) => require(existing == desc,
@@ -950,14 +965,7 @@ object OffsetNamedOrcSink {
     // predate each widening. Layout dir columns (partition, dt, year, a
     // routed field…) keep coming from the dirs — a declared column that is
     // also a partition column is filled from its dir value.
-    val reader = readMarker(fs, new Path(root, SchemaMarker)) match {
-      case Some(json) =>
-        val latched = DataType.fromJson(json).asInstanceOf[StructType]
-        spark.read.schema(StructType(
-          org.apache.spark.sql.types.StructField("offset",
-            org.apache.spark.sql.types.LongType) +: latched.fields.toSeq))
-      case None => spark.read // pre-protocol dir: sampled-schema read
-    }
+    val reader = latchedReader(spark, fs, root)
     // _chunk: prefer the persisted chunk grid (offset - offset % flushSize,
     // a PURE function of the row — identical to the committed file names by
     // the O9 rotation invariant). The input_file_name() fallback (legacy
@@ -973,6 +981,113 @@ object OffsetNamedOrcSink {
         regexp_extract(input_file_name(), CommittedTailRe, 1).cast("long")
     }
     reader.orc(topicDir).withColumn(ChunkCol, chunkCol)
+  }
+
+  /** Declared-(latched-)schema reader — see read()'s scaladoc for why a
+    * sampled file's schema must never drive a read-back.
+    */
+  private def latchedReader(spark: SparkSession, fs: FileSystem,
+      root: Path): org.apache.spark.sql.DataFrameReader =
+    readMarker(fs, new Path(root, SchemaMarker)) match {
+      case Some(json) =>
+        val latched = DataType.fromJson(json).asInstanceOf[StructType]
+        spark.read.schema(StructType(
+          org.apache.spark.sql.types.StructField("offset",
+            org.apache.spark.sql.types.LongType) +: latched.fields.toSeq))
+      case None => spark.read // pre-protocol dir: sampled-schema read
+    }
+
+  /** Per-cell min/max stats of `statsCol` (an integer-typed emitted
+    * column), merged into the `_graft_stats` marker: one line per committed
+    * cell, `<enc prefix values>|partition|cell|min|max`. Touched cells'
+    * lines are REPLACED (merged is their full new content); an all-null
+    * cell records the always-qualifying sentinel range. One driver collect,
+    * bounded by files-in-this-batch like touchedLeaves.
+    */
+  private def updateStats(fs: FileSystem, root: Path, merged: DataFrame,
+      partCols: Seq[String], touched: Seq[Touched], statsCol: String): Unit = {
+    require(merged.columns.contains(statsCol),
+      s"stats column '$statsCol' is not an emitted column " +
+        s"(${merged.columns.mkString(", ")})")
+    val prefixNames = partCols.dropRight(2)
+    val keyCols = prefixNames.map(n => col(n).cast("string").as(n)) ++
+      Seq(col("partition").cast("int").as("partition"),
+        col(ChunkCol).cast("string").as(ChunkCol))
+    val rows = merged
+      .select(keyCols :+ col(statsCol).cast("long").as("_v"): _*)
+      .groupBy((prefixNames :+ "partition" :+ ChunkCol).map(col): _*)
+      .agg(min("_v").as("mn"), max("_v").as("mx"))
+      .collect()
+    def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
+    val fresh = rows.map { r =>
+      val key = (prefixNames.map(n => enc(r.getAs[String](n))) ++
+        Seq(r.getAs[Int]("partition").toString,
+          r.getAs[String](ChunkCol))).mkString("|")
+      val mn = if (r.isNullAt(r.fieldIndex("mn"))) Long.MinValue
+        else r.getLong(r.fieldIndex("mn"))
+      val mx = if (r.isNullAt(r.fieldIndex("mx"))) Long.MaxValue
+        else r.getLong(r.fieldIndex("mx"))
+      key -> s"$key|$mn|$mx"
+    }.toMap
+    val statsPath = new Path(root, StatsMarker)
+    val kept = readMarker(fs, statsPath)
+      .map(_.linesIterator.filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      .filterNot { l =>
+        fresh.contains(l.split("\\|", -1).dropRight(2).mkString("|"))
+      }
+    writeMarker(fs, statsPath,
+      (kept ++ fresh.values.toSeq).sorted.mkString("\n"))
+  }
+
+  /** Time-travel / as-of read by a stats column: rows with
+    * `column ∈ [lo, hi)`, touching ONLY the committed files whose recorded
+    * min/max range intersects the window. The commit-time `_graft_stats`
+    * marker (written by every `write(statsColumn = ...)` batch) plays the
+    * role of a Delta log's per-file stats: qualifying cells are probed by
+    * their exact committed names — no directory listing of non-qualifying
+    * partitions, no footer reads of non-qualifying files. Equals
+    * `read().filter(lo <= column < hi)` by construction; falls back to
+    * exactly that when the topic has no stats for `column` (legacy dir, or
+    * written without statsColumn — the config marker records which).
+    */
+  def readAsOf(spark: SparkSession, topicDir: String, column: String,
+      lo: Long, hi: Long): DataFrame = {
+    require(lo < hi, s"empty stats window [$lo, $hi)")
+    val fs = FileSystem.get(new java.net.URI(topicDir),
+      spark.sparkContext.hadoopConfiguration)
+    val root = new Path(topicDir)
+    val topic = root.getName
+    val inflight = new Path(root, InflightMarker)
+    if (fs.exists(inflight))
+      recoverFromMarker(fs, root, topic, inflight)
+    def window(df: DataFrame) = df.filter(col(column) >= lo && col(column) < hi)
+    def fullScan = window(read(spark, topicDir))
+    (readMarker(fs, new Path(root, StatsMarker)),
+        readMarker(fs, new Path(root, ConfigMarker))) match {
+      case (Some(statsText), Some(desc)) =>
+        val (flushSize, layoutId, _) = parseConfig(desc)
+        if (!desc.linesIterator.contains(s"stats=$column")) return fullScan
+        val prefixNames = prefixColsOf(layoutId)
+        val nFields = prefixNames.size + 4
+        val lines = statsText.linesIterator.filter(_.nonEmpty)
+          .map(_.split("\\|", -1)).toSeq
+        if (lines.exists(_.length != nFields)) return fullScan // corrupt: correctness first
+        val qual = lines.filter(f =>
+          f(nFields - 1).toLong >= lo && f(nFields - 2).toLong < hi)
+        val files = qual.flatMap { f =>
+          val prefix = prefixNames.zip(f).map { case (n, v) =>
+            n -> java.net.URLDecoder.decode(v, "UTF-8") }
+          val t = Touched(prefix, f(prefixNames.size).toInt,
+            f(prefixNames.size + 1))
+          committedChunkFiles(fs, t.partitionDir(root), t.filePrefix(topic))
+        }
+        if (files.isEmpty) fullScan.filter(lit(false)) // provably empty window
+        else window(latchedReader(spark, fs, root)
+          .option("basePath", topicDir).orc(files.map(_.toString): _*)
+          .withColumn(ChunkCol,
+            col("offset") - pmod(col("offset"), lit(flushSize))))
+      case _ => fullScan
+    }
   }
 
   /** Read back ONLY the offsets in `[fromOffset, untilOffset)` — the

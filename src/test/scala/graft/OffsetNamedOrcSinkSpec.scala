@@ -1087,4 +1087,55 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
     assert(bloomRows * 3 <= plainRows,
       s"bloom pruned nothing: $bloomRows vs $plainRows rows read")
   }
+
+  test("readAsOf prunes to stats-qualifying files and equals the filtered read") {
+    // commit-time per-cell min/max stats (the _graft_stats marker) are the
+    // sink's Delta-log-style skipping metadata: an event-time window read
+    // must touch only files whose recorded range intersects the window, and
+    // return exactly what read().filter would.
+    val ev = Tables(spark, sf, "events") // 1000 rows, ts-ordered by event_id
+    val shaped = ev.select(
+      col("user_id").cast("string").cast("binary").as("key"),
+      struct(col("event_id").as("id"), unix_micros(col("ts")).as("tsu"),
+        col("event_type").as("etype")).as("value"),
+      lit("asof").as("topic"),
+      pmod(col("user_id"), lit(4)).cast("int").as("partition"),
+      col("event_id").as("offset"),
+      col("ts").as("timestamp"))
+    val out = freshOut()
+    val topicDir = OffsetNamedOrcSink.write(shaped, out, flushSize = 100,
+      topic = "asof", statsColumn = Some("tsu"))
+    // stats marker exists, one line per committed cell
+    assert(new java.io.File(topicDir, "_graft_stats").exists)
+    val Array(lo, hi) = ev
+      .agg(unix_micros(min("ts")), unix_micros(max("ts"))).collect()(0) match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+    val mid1 = lo + (hi - lo) / 3
+    val mid2 = lo + 2 * (hi - lo) / 3
+    val asOf = OffsetNamedOrcSink.readAsOf(spark, topicDir, "tsu", mid1, mid2)
+    val full = OffsetNamedOrcSink.read(spark, topicDir)
+      .filter(col("tsu") >= mid1 && col("tsu") < mid2)
+    assert(asOf.count() == full.count() && full.count() > 0)
+    assert(asOf.exceptAll(full).count() == 0 && full.exceptAll(asOf).count() == 0)
+    // the pruning claim: the as-of plan reads a strict subset of the files
+    val allFiles = OffsetNamedOrcSink.read(spark, topicDir).inputFiles.length
+    val asOfFiles = asOf.inputFiles.length
+    assert(asOfFiles > 0 && asOfFiles * 2 <= allFiles,
+      s"expected <=half the files, read $asOfFiles of $allFiles")
+    // a provably-empty window returns no rows
+    assert(OffsetNamedOrcSink.readAsOf(spark, topicDir, "tsu",
+      hi + 1000000L, hi + 2000000L).count() == 0)
+    // rewriting a touched chunk updates its stats line (replay idempotence)
+    OffsetNamedOrcSink.write(shaped.filter(col("offset") < 150), out,
+      flushSize = 100, topic = "asof", statsColumn = Some("tsu"))
+    val asOf2 = OffsetNamedOrcSink.readAsOf(spark, topicDir, "tsu", mid1, mid2)
+    assert(asOf2.count() == full.count())
+    // stats coverage is all-or-nothing per topic: a stats-less write to the
+    // same topic dir must fail fast (config mismatch), not silently leave
+    // cells missing from the marker
+    intercept[IllegalArgumentException] {
+      OffsetNamedOrcSink.write(shaped, out, flushSize = 100, topic = "asof")
+    }
+  }
 }
