@@ -1039,6 +1039,27 @@ object OffsetNamedOrcSink {
       (kept ++ fresh.values.toSeq).sorted.mkString("\n"))
   }
 
+  /** Drop the stats lines of cells whose committed files no longer exist
+    * (emptied by erasure/expiry). Stale lines are merely a safe
+    * over-approximation — probes find no files — but an erasure pass
+    * should not leave metadata describing removed cells.
+    */
+  private def removeStatsLines(fs: FileSystem, root: Path,
+      gone: Seq[Touched]): Unit = {
+    if (gone.isEmpty) return
+    val statsPath = new Path(root, StatsMarker)
+    readMarker(fs, statsPath).foreach { text =>
+      def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
+      val goneKeys = gone.map(t =>
+        (t.prefix.map(p => enc(p._2)) ++
+          Seq(t.partition.toString, t.cell)).mkString("|")).toSet
+      val kept = text.linesIterator.filter(_.nonEmpty).filterNot { l =>
+        goneKeys(l.split("\\|", -1).dropRight(2).mkString("|"))
+      }.toSeq
+      writeMarker(fs, statsPath, kept.mkString("\n"))
+    }
+  }
+
   /** Time-travel / as-of read by a stats column: rows with
     * `column ∈ [lo, hi)`, touching ONLY the committed files whose recorded
     * min/max range intersects the window. The commit-time `_graft_stats`
@@ -1411,6 +1432,17 @@ object OffsetNamedOrcSink {
     if (liveTouched.nonEmpty)
       commitOverwrite(spark, fs, root, topicDir, topic, survivors, partCols,
         liveTouched)
+    // stats refresh AFTER the commit: erased rows must stop being described
+    // by the skipping metadata (a stale min/max is only a safe
+    // over-approximation until then), and the post-commit order means a
+    // crash can never leave stats NARROWER than the surviving data
+    desc.linesIterator.collectFirst {
+      case l if l.startsWith("stats=") => l.stripPrefix("stats=")
+    }.foreach { sc =>
+      if (survivors.columns.contains(sc) && liveTouched.nonEmpty)
+        updateStats(fs, root, survivors, partCols, liveTouched, sc)
+      removeStatsLines(fs, root, emptyTouched)
+    }
     deleted
   }
 }

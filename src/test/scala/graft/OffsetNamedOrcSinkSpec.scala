@@ -1138,4 +1138,40 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
       OffsetNamedOrcSink.write(shaped, out, flushSize = 100, topic = "asof")
     }
   }
+
+  test("deleteRows refreshes stats — erasure leaves no stale skipping ranges") {
+    val ev = Tables(spark, sf, "events")
+    val shaped = ev.select(
+      col("user_id").cast("string").cast("binary").as("key"),
+      struct(col("event_id").as("id"), unix_micros(col("ts")).as("tsu"),
+        col("event_type").as("etype")).as("value"),
+      lit("asof").as("topic"),
+      pmod(col("user_id"), lit(4)).cast("int").as("partition"),
+      col("event_id").as("offset"),
+      col("ts").as("timestamp"))
+    val out = freshOut()
+    val topicDir = OffsetNamedOrcSink.write(shaped, out, flushSize = 100,
+      topic = "asof", statsColumn = Some("tsu"))
+    val Array(lo, hi) = ev
+      .agg(unix_micros(min("ts")), unix_micros(max("ts"))).collect()(0) match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+    val cutoff = lo + (hi - lo) / 10
+    assert(OffsetNamedOrcSink.readAsOf(spark, topicDir, "tsu", lo, cutoff)
+      .count() > 0)
+    val deleted = OffsetNamedOrcSink.deleteRows(spark, topicDir,
+      col("tsu") < cutoff)
+    assert(deleted > 0)
+    val after = OffsetNamedOrcSink.readAsOf(spark, topicDir, "tsu", lo, cutoff)
+    assert(after.count() == 0)
+    // the refreshed marker no longer admits any cell for the erased window
+    val stats = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(topicDir, "_graft_stats")), "UTF-8")
+    val mins = stats.linesIterator.filter(_.nonEmpty)
+      .map(_.split("\\|")(2).toLong).toSeq
+    assert(mins.forall(_ >= cutoff), s"stale stats min below cutoff: $stats")
+    // untouched windows unchanged
+    assert(OffsetNamedOrcSink.readAsOf(spark, topicDir, "tsu", cutoff, hi + 1)
+      .count() == OffsetNamedOrcSink.read(spark, topicDir).count())
+  }
 }
