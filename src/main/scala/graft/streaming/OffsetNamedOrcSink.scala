@@ -1241,7 +1241,8 @@ object OffsetNamedOrcSink {
     * paths, which never list committed files.
     */
   def compactTo(spark: SparkSession, topicDir: String, outDir: String,
-      targetFlushSize: Long): String = {
+      targetFlushSize: Long,
+      orcOptions: Map[String, String] = Map.empty): String = {
     val fs = FileSystem.get(new java.net.URI(topicDir),
       spark.sparkContext.hadoopConfiguration)
     val root = new Path(topicDir)
@@ -1269,7 +1270,13 @@ object OffsetNamedOrcSink {
     val newRoot = new Path(newTopicDir)
     val newFs = FileSystem.get(new java.net.URI(newTopicDir),
       spark.sparkContext.hadoopConfiguration)
-    val newDesc = s"flushSize=$targetFlushSize\nlayout=$layoutId"
+    // carry the stats contract: the compacted topic keeps file-skipping
+    // metadata if the source tracked it (recomputed below on the new grid)
+    val statsCol = desc.linesIterator.collectFirst {
+      case l if l.startsWith("stats=") => l.stripPrefix("stats=")
+    }
+    val newDesc = s"flushSize=$targetFlushSize\nlayout=$layoutId" +
+      statsCol.fold("")(c => s"\nstats=$c")
     readMarker(newFs, new Path(newRoot, ConfigMarker)) match {
       case Some(existing) => require(existing == newDesc,
         s"compaction target $newTopicDir already committed a different config")
@@ -1281,8 +1288,15 @@ object OffsetNamedOrcSink {
     readMarker(fs, new Path(root, SchemaMarker)).foreach(json =>
       writeMarker(newFs, new Path(newRoot, SchemaMarker), json))
 
+    val touched = touchedLeaves(flat, partCols)
+    // stats BEFORE the commit (the write() ordering): flat is the full new
+    // content, so a crashed compaction recovers with consistent metadata.
+    // orcOptions ride the same path as write() — compaction must not strip
+    // the topic's bloom filters.
+    statsCol.filter(flat.columns.contains).foreach(c =>
+      updateStats(newFs, newRoot, flat, partCols, touched, c))
     commitOverwrite(spark, newFs, newRoot, newTopicDir, topic, flat, partCols,
-      touchedLeaves(flat, partCols))
+      touched, orcOptions)
     newTopicDir
   }
 

@@ -1174,4 +1174,34 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
     assert(OffsetNamedOrcSink.readAsOf(spark, topicDir, "tsu", cutoff, hi + 1)
       .count() == OffsetNamedOrcSink.read(spark, topicDir).count())
   }
+
+  test("compactTo carries the stats contract onto the coarser grid") {
+    val ev = Tables(spark, sf, "events")
+    val shaped = ev.select(
+      col("user_id").cast("string").cast("binary").as("key"),
+      struct(col("event_id").as("id"), unix_micros(col("ts")).as("tsu"),
+        col("event_type").as("etype")).as("value"),
+      lit("asof").as("topic"),
+      pmod(col("user_id"), lit(4)).cast("int").as("partition"),
+      col("event_id").as("offset"),
+      col("ts").as("timestamp"))
+    val topicDir = OffsetNamedOrcSink.write(shaped, freshOut(), flushSize = 100,
+      topic = "asof", statsColumn = Some("tsu"))
+    val compacted = OffsetNamedOrcSink.compactTo(spark, topicDir,
+      freshOut(), 500)
+    assert(new java.io.File(compacted, "_graft_stats").exists)
+    val Array(lo, hi) = ev
+      .agg(unix_micros(min("ts")), unix_micros(max("ts"))).collect()(0) match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+    // first-quarter window: with 2 coarse chunks per partition only the
+    // early chunk qualifies — half the files prune
+    val q1 = lo + (hi - lo) / 4
+    val asOf = OffsetNamedOrcSink.readAsOf(spark, compacted, "tsu", lo, q1)
+    val full = OffsetNamedOrcSink.read(spark, compacted)
+      .filter(col("tsu") >= lo && col("tsu") < q1)
+    assert(asOf.count() == full.count() && full.count() > 0)
+    assert(asOf.inputFiles.length * 2 <=
+      OffsetNamedOrcSink.read(spark, compacted).inputFiles.length)
+  }
 }
