@@ -273,6 +273,98 @@ object SimilarityOps extends QueryModule {
             SELECT p_id, n_id, CAST(rn AS INT) AS rk, CAST(round(CAST(cos AS DECIMAL(30,8)), 2) AS DOUBLE) AS score
             FROM ranked WHERE rn <= 3 ORDER BY p_id, rk"""))
 
+  // ------------------------------------------------------- kNN join --
+
+  /** Full kNN JOIN — every vector gets its top-3 cosine neighbors (the
+    * kNN-graph construction underlying SemDeDup clustering, kNN
+    * classification, and graph-based ANN index builds). The per-probe
+    * queries above broadcast a handful of probes; here BOTH sides are the
+    * corpus, so the plan must be different: assign each vector to its
+    * nearest coarse centroid (one broadcast map pass, the q_knn_ivf_centroid
+    * codebook), replicate the query side to its 2 nearest cells (bounded
+    * ×nprobe blow-up), then a cell-keyed SHUFFLE join — corpus and queries
+    * co-partitioned on `cell`, never broadcast, never all-pairs. Per-cell
+    * candidate work is (n/K)·(nprobe·n/K); K grows with the corpus (√n rule)
+    * so the per-task quadratic term stays bounded, and the top-3 window
+    * partitions on p_id — a high-cardinality key that spreads across the
+    * cluster. Cell skew (a hot centroid) is AQE skew-join territory; the
+    * codebook stand-in here is deliberately the same 8 vectors the other IVF
+    * queries share so recall is comparable across the family.
+    */
+  private val qKnnJoin = GQuery(
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .withColumn("nrm", norm(col("emb")))
+      val cents = emb.filter(col("vec_id").between(100, 107))
+        .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+      val aff = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("c_id"),
+          dround(dot(col("emb"), col("c_emb")), 6).as("aff"))
+      val assign = aff.groupBy("vec_id")
+        .agg(max_by(col("c_id"), struct(col("aff"), (col("c_id") * -1).as("nc")))
+          .as("cell"))
+      val corpus = emb.join(assign, "vec_id")
+      val wCell = Window.partitionBy("vec_id").orderBy(col("aff").desc, col("c_id").asc)
+      val queries = emb
+        .join(aff.withColumn("crk", row_number().over(wCell))
+          .filter(col("crk") <= 2).select(col("vec_id"), col("c_id").as("cell")),
+          "vec_id")
+        .select(col("vec_id").as("p_id"), col("emb").as("p_emb"),
+          col("nrm").as("p_nrm"), col("cell"))
+      val wTop = Window.partitionBy("p_id").orderBy(col("cos").desc, col("n_id").asc)
+      corpus.join(queries, "cell")
+        .filter(col("vec_id") =!= col("p_id"))
+        .select(col("p_id"), col("vec_id").as("n_id"),
+          dround(dot(col("p_emb"), col("emb")) / (col("p_nrm") * col("nrm")), 6)
+            .as("cos"))
+        .withColumn("rk", row_number().over(wTop).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("p_id"), col("n_id"), col("rk"), dround(col("cos"), 2).as("score"))
+        .orderBy("p_id", "rk")
+    },
+    Some("""WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                     sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> x * x))) AS nrm
+              FROM embeddings),
+            cents AS (SELECT vec_id AS c_id, emb AS c_emb FROM e
+                      WHERE vec_id BETWEEN 100 AND 107),
+            aff AS (
+              SELECT e.vec_id, c.c_id,
+                     CAST(round(CAST(list_dot_product(e.emb, c.c_emb)
+                       AS DECIMAL(30,8)), 6) AS DOUBLE) AS aff
+              FROM e, cents c),
+            assign AS (
+              SELECT vec_id, c_id AS cell FROM (
+                SELECT vec_id, c_id,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY aff DESC, c_id) AS rn
+                FROM aff) WHERE rn = 1),
+            qcells AS (
+              SELECT vec_id AS p_id, c_id AS cell FROM (
+                SELECT vec_id, c_id,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY aff DESC, c_id) AS crk
+                FROM aff) WHERE crk <= 2),
+            cand AS (
+              SELECT q.p_id, ce.vec_id AS n_id,
+                     CAST(round(CAST(list_dot_product(pe.emb, ce.emb)
+                       / (pe.nrm * ce.nrm) AS DECIMAL(30,8)), 6) AS DOUBLE) AS cos
+              FROM qcells q
+              JOIN assign a ON a.cell = q.cell
+              JOIN e ce ON ce.vec_id = a.vec_id
+              JOIN e pe ON pe.vec_id = q.p_id
+              WHERE ce.vec_id <> q.p_id),
+            ranked AS (
+              SELECT p_id, n_id, cos,
+                     row_number() OVER (PARTITION BY p_id
+                       ORDER BY cos DESC, n_id) AS rn
+              FROM cand)
+            SELECT p_id, n_id, CAST(rn AS INT) AS rk,
+                   CAST(round(CAST(cos AS DECIMAL(30,8)), 2) AS DOUBLE) AS score
+            FROM ranked WHERE rn <= 3 ORDER BY p_id, rk"""))
+
   // -------------------------------------------------- label centroids --
 
   /** Per-label elementwise centroid of the embedding vectors (the k-means
@@ -1387,6 +1479,7 @@ object SimilarityOps extends QueryModule {
     "q_embed_centroid" -> qEmbedCentroid,
     "q_scalar_hof" -> qScalarHof,
     "q_knn_ivf_centroid" -> qKnnIvfCentroid,
+    "q_knn_join" -> qKnnJoin,
     "q_embed_knn" -> qEmbedKnn,
     "q_multimodal_join" -> qMultimodalJoin,
     "q_knn_ivf" -> qKnnIvf,
