@@ -345,9 +345,93 @@ object GraphOps extends QueryModule {
                    GROUP BY node)
             SELECT node AS user_id, dist FROM d3 ORDER BY user_id"""))
 
+  /** Link prediction by common-neighbor / Jaccard scoring over the same
+    * co-engagement graph as the triangle counter (ties ≥ 28): for every
+    * NON-adjacent user pair sharing at least one neighbor, score
+    * cn = |N(u)∩N(v)| and jac_ppm = cn·10⁶ div (deg(u)+deg(v)−cn); emit the
+    * top-20 predicted links. The "who should be connected" primer feeding
+    * recommendation candidates and graph densification.
+    *
+    * Candidate generation is the wedge join (adjacency self-joined on the
+    * shared neighbor), NOT an all-pairs product — only pairs with a common
+    * neighbor ever materialize. Hub wedges are deg² per hub, so neighbors
+    * with deg > 64 are excluded from the PIVOT role (the stop-word-node cap,
+    * the same stop-block treatment every candidate generator here gets);
+    * degrees and the adjacency stay exact. Jaccard is integer ppm (Spark
+    * `div` ≡ DuckDB `//`) — no fp anywhere. Scale: one pair-count agg keyed
+    * on (a, b) after the wedge join, one anti-join against the edge set
+    * (existing links are not predictions), top-k via TakeOrdered — never a
+    * global sort.
+    */
+  private val qGraphLinkpred = GQuery(
+    (s, d) => {
+      val edges = CoGraph.pairCounts(s, d)
+        .filter(col("c") >= 28)
+        .select("u", "v")
+      val deg = edges.select(col("u").as("x"))
+        .union(edges.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("deg"))
+      val adj = edges.select(col("u").as("w"), col("v").as("n"))
+        .union(edges.select(col("v").as("w"), col("u").as("n")))
+      // pivot role capped: hubs fan out deg^2 wedges, so they don't pivot
+      val pivots = adj.join(
+        deg.filter(col("deg") <= 64).select(col("x").as("w")), "w")
+      val cn = pivots.select(col("w"), col("n").as("a"))
+        .join(pivots.select(col("w"), col("n").as("b")), "w")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+      cn.join(edges.select(col("u").as("a"), col("v").as("b")),
+          Seq("a", "b"), "left_anti")
+        .join(deg.select(col("x").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("x").as("b"), col("deg").as("db")), "b")
+        .select(col("a").as("u"), col("b").as("v"), col("cn"),
+          col("da").cast("long").as("deg_u"), col("db").cast("long").as("deg_v"),
+          expr("(cn * 1000000L) div (da + db - cn)").cast("long").as("jac_ppm"))
+        .orderBy(col("cn").desc, col("jac_ppm").desc, col("u"), col("v"))
+        .limit(20)
+    },
+    Some("""WITH ev AS (
+              SELECT DISTINCT event_type,
+                     CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+              FROM events),
+            edges AS (
+              SELECT a.user_id AS u, b.user_id AS v
+              FROM ev a JOIN ev b
+                ON a.event_type = b.event_type AND a.d = b.d
+                   AND a.user_id < b.user_id
+              GROUP BY 1, 2 HAVING count(*) >= 28),
+            deg AS (
+              SELECT x, count(*) AS deg FROM (
+                SELECT u AS x FROM edges UNION ALL SELECT v FROM edges)
+              GROUP BY 1),
+            adj AS (
+              SELECT u AS w, v AS n FROM edges
+              UNION ALL SELECT v AS w, u AS n FROM edges),
+            pivots AS (
+              SELECT adj.w, adj.n FROM adj
+              JOIN deg ON deg.x = adj.w WHERE deg.deg <= 64),
+            cn AS (
+              SELECT p1.n AS a, p2.n AS b, count(*) AS cn
+              FROM pivots p1 JOIN pivots p2
+                ON p1.w = p2.w AND p1.n < p2.n
+              GROUP BY 1, 2),
+            cand AS (
+              SELECT cn.a, cn.b, cn.cn, da.deg AS deg_u, db.deg AS deg_v
+              FROM cn
+              JOIN deg da ON da.x = cn.a
+              JOIN deg db ON db.x = cn.b
+              WHERE NOT EXISTS (SELECT 1 FROM edges e
+                                WHERE e.u = cn.a AND e.v = cn.b))
+            SELECT a AS u, b AS v, CAST(cn AS BIGINT) AS cn,
+                   CAST(deg_u AS BIGINT) AS deg_u, CAST(deg_v AS BIGINT) AS deg_v,
+                   CAST(cn * 1000000 // (deg_u + deg_v - cn) AS BIGINT) AS jac_ppm
+            FROM cand
+            ORDER BY cn DESC, jac_ppm DESC, u, v LIMIT 20"""))
+
   override val queries: Map[String, GQuery] = Map(
     "q_graph_pagerank" -> qGraphPagerank,
     "q_graph_triangles" -> qGraphTriangles,
     "q_graph_kcore" -> qGraphKcore,
-    "q_graph_bfs" -> qGraphBfs)
+    "q_graph_bfs" -> qGraphBfs,
+    "q_graph_linkpred" -> qGraphLinkpred)
 }
