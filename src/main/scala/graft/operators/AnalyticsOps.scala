@@ -1885,7 +1885,74 @@ object AnalyticsOps extends QueryModule {
                    (SELECT min(v) FROM sc WHERE dnum = dm.d_num) AS v_at
             FROM tot t CROSS JOIN dm"""))
 
+  /** Changepoint detection on the daily event-value series — the exact
+    * first split of binary segmentation: for every candidate split day t,
+    * the gap |mean(cents before ≤t) − mean(cents after)| in integer
+    * micro-cents, with the argmax flagged (`is_cp`). The drift-localization
+    * primitive behind "when did the metric shift" — q_stats_psi says THAT
+    * distributions drifted; this says WHEN the level moved.
+    *
+    * Everything is exact integers: values snap to cents at the scan, the
+    * split means are (Σ·10⁶) div n fixed-point (Spark `div` ≡ DuckDB `//`),
+    * the argmax tie-breaks to the earliest day. Scale: one partial-agg
+    * groupBy collapses the corpus to ≤ #days rows; every window after runs
+    * over that calendar-bounded series (a year is 365 rows regardless of
+    * corpus size), so the unpartitioned windows are metadata-sized — the
+    * q_stats_calibration economics. At 100-TB sums, Σcents·10⁶ approaches
+    * BIGINT range (~9e18): the corrmatrix DECIMAL(38) widening applies.
+    */
+  private val qTsChangepoint = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val daily = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), cents.as("v"))
+        .groupBy("day").agg(count(lit(1)).as("n"), sum(col("v")).as("sc"))
+      val wCum = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val scored = daily
+        .select(col("day"),
+          sum(col("n")).over(wCum).as("cn"), sum(col("sc")).over(wCum).as("cs"),
+          sum(col("n")).over(wAll).as("tn"), sum(col("sc")).over(wAll).as("ts"))
+        .filter(col("cn") < col("tn"))
+        .select(col("day"), col("cn").as("n_before"),
+          expr("(cs * 1000000L) div cn").as("mb_micro"),
+          expr("((ts - cs) * 1000000L) div (tn - cn)").as("ma_micro"))
+        .withColumn("gap_micro", abs(col("mb_micro") - col("ma_micro")))
+      val wArg = Window.orderBy(col("gap_micro").desc, col("day").asc)
+      scored.withColumn("is_cp", row_number().over(wArg) === 1)
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                     count(*) AS n,
+                     sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sc
+              FROM events GROUP BY 1),
+            cum AS (
+              SELECT day,
+                     sum(n) OVER (ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) AS cn,
+                     sum(sc) OVER (ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) AS cs,
+                     sum(n) OVER () AS tn, sum(sc) OVER () AS ts
+              FROM daily),
+            scored AS (
+              SELECT day, cn AS n_before,
+                     (cs * 1000000) // cn AS mb_micro,
+                     ((ts - cs) * 1000000) // (tn - cn) AS ma_micro,
+                     abs((cs * 1000000) // cn
+                       - ((ts - cs) * 1000000) // (tn - cn)) AS gap_micro
+              FROM cum WHERE cn < tn)
+            SELECT day, CAST(n_before AS BIGINT) AS n_before,
+                   CAST(mb_micro AS BIGINT) AS mb_micro,
+                   CAST(ma_micro AS BIGINT) AS ma_micro,
+                   CAST(gap_micro AS BIGINT) AS gap_micro,
+                   row_number() OVER (ORDER BY gap_micro DESC, day) = 1 AS is_cp
+            FROM scored ORDER BY day"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_ts_changepoint" -> qTsChangepoint,
     "q_stats_corrmatrix" -> qStatsCorrmatrix,
     "q_stats_linreg" -> qStatsLinreg,
     "q_events_pattern" -> qEventsPattern,
