@@ -833,7 +833,198 @@ object ScoringOps extends QueryModule {
             CROSS JOIN (SELECT mean_cents FROM ranked WHERE rn = 2) lo
             CROSS JOIN (SELECT mean_cents FROM ranked WHERE rn = 63) hi"""))
 
+  // ------------------------------------------------------ ranking eval --
+
+  /** NDCG@10 per market segment — the ranking-quality member of the eval
+    * family (q_stats_auc scores separability, q_stats_calibration scores
+    * probabilities; this scores the ORDER a model induces). The "model"
+    * ranks a segment's customers by account balance; graded relevance is
+    * the customer's realized spend tier (cents thresholds → grades 0..3,
+    * gain 2^g−1). DCG needs 1/log₂(rank+1) — irrational, so both engines
+    * share a 10-row INTEGER micro-unit discount literal table (the Benford
+    * ppm-table precedent): dcg_micro = Σ gain·disc(rank) is exact, and
+    * ndcg_ppm = dcg_micro·10⁶ div idcg_micro where the ideal ranking
+    * re-ranks the same segment by grade itself.
+    *
+    * Scale: spend grades come from one partial-agg groupBy on o_custkey;
+    * both rankings are top-10 windows partitioned by the query key
+    * (segment here; a real eval has millions of queries, so the partition
+    * key is high-cardinality and spreads — with 5 segments at 100 TB you'd
+    * pre-aggregate per (segment, grade) instead). Everything after the two
+    * top-10s is 10 rows per query.
+    */
+  private val qEvalNdcg = GQuery(
+    (s, d) => {
+      val disc = Seq(1000000L, 630930L, 500000L, 430677L, 386853L, 356207L,
+        333333L, 315465L, 301030L, 289065L)
+      val discCol = array(disc.map(lit): _*)
+      val spend = t(s, d, "orders")
+        .select(col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").*(lit(100)).cast("long")
+            .as("cents"))
+        .groupBy("o_custkey").agg(sum("cents").as("tot"))
+      val graded = t(s, d, "customer")
+        .join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_mktsegment").as("seg"), col("c_custkey"),
+          col("c_acctbal"),
+          coalesce(col("tot"), lit(0L)).as("tot"))
+        .withColumn("grade",
+          when(col("tot") >= 350000000L, 3L)
+            .when(col("tot") >= 250000000L, 2L)
+            .when(col("tot") >= 150000000L, 1L).otherwise(0L))
+        .withColumn("gain", expr("shiftleft(1L, cast(grade AS int)) - 1L"))
+      val wModel = Window.partitionBy("seg")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      val wIdeal = Window.partitionBy("seg")
+        .orderBy(col("grade").desc, col("c_custkey").asc)
+      val dcg = graded.withColumn("rk", row_number().over(wModel))
+        .filter(col("rk") <= 10)
+        .groupBy("seg")
+        .agg(sum(col("gain") * element_at(discCol, col("rk"))).as("dcg_micro"))
+      val idcg = graded.withColumn("rk", row_number().over(wIdeal))
+        .filter(col("rk") <= 10)
+        .groupBy("seg")
+        .agg(sum(col("gain") * element_at(discCol, col("rk"))).as("idcg_micro"))
+      dcg.join(idcg, "seg")
+        .select(col("seg"), col("dcg_micro"), col("idcg_micro"),
+          when(col("idcg_micro") > 0,
+            expr("(dcg_micro * 1000000L) div idcg_micro")).otherwise(0L)
+            .as("ndcg_ppm"))
+        .orderBy("seg")
+    },
+    Some("""WITH disc(rk, m) AS (VALUES
+              (1, 1000000), (2, 630930), (3, 500000), (4, 430677),
+              (5, 386853), (6, 356207), (7, 333333), (8, 315465),
+              (9, 301030), (10, 289065)),
+            spend AS (
+              SELECT o_custkey,
+                     sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS tot
+              FROM orders GROUP BY 1),
+            graded AS (
+              SELECT c_mktsegment AS seg, c_custkey, c_acctbal,
+                     CASE WHEN coalesce(tot, 0) >= 350000000 THEN 3
+                          WHEN coalesce(tot, 0) >= 250000000 THEN 2
+                          WHEN coalesce(tot, 0) >= 150000000 THEN 1
+                          ELSE 0 END AS grade
+              FROM customer LEFT JOIN spend ON c_custkey = o_custkey),
+            g2 AS (SELECT seg, c_custkey, c_acctbal, grade,
+                          CAST(2 ** grade - 1 AS BIGINT) AS gain FROM graded),
+            model AS (
+              SELECT seg, gain, rk FROM (
+                SELECT seg, gain, row_number() OVER (PARTITION BY seg
+                  ORDER BY c_acctbal DESC, c_custkey) AS rk FROM g2)
+              WHERE rk <= 10),
+            ideal AS (
+              SELECT seg, gain, rk FROM (
+                SELECT seg, gain, row_number() OVER (PARTITION BY seg
+                  ORDER BY grade DESC, c_custkey) AS rk FROM g2)
+              WHERE rk <= 10),
+            dcg AS (SELECT seg, sum(gain * m) AS dcg_micro
+                    FROM model JOIN disc USING (rk) GROUP BY seg),
+            idcg AS (SELECT seg, sum(gain * m) AS idcg_micro
+                     FROM ideal JOIN disc USING (rk) GROUP BY seg)
+            SELECT seg, CAST(dcg_micro AS BIGINT) AS dcg_micro,
+                   CAST(idcg_micro AS BIGINT) AS idcg_micro,
+                   CAST(CASE WHEN idcg_micro > 0
+                     THEN dcg_micro * 1000000 // idcg_micro
+                     ELSE 0 END AS BIGINT) AS ndcg_ppm
+            FROM dcg JOIN idcg USING (seg) ORDER BY seg"""))
+
+  // ------------------------------------------------- classification eval --
+
+  /** Threshold-sweep confusion matrix with precision/recall/F1/accuracy —
+    * the classification-eval harness (the PR-curve shape). Classifier under
+    * eval: "order is high-priority" predicted by o_totalprice ≥ threshold;
+    * label = priority ∈ {1-URGENT, 2-HIGH}. All four thresholds evaluate in
+    * ONE conditional-count aggregation pass (the q_quality_expectations
+    * economics — adding thresholds adds columns, never scans), stacked to a
+    * row per threshold. Ratios are integer ppm; F1 composes in ppm space as
+    * (2·p·r) div (p+r); empty-prediction edges guard with when/CASE on both
+    * engines instead of throwing under ANSI.
+    */
+  private val qEvalConfusion = GQuery(
+    (s, d) => {
+      val ths = Seq(100000L, 200000L, 300000L, 400000L) // dollars on the price domain
+      val label = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      val o = t(s, d, "orders")
+        .select(label.as("y"),
+          col("o_totalprice").cast("decimal(18,2)").*(lit(100)).cast("long")
+            .as("cents"))
+      val agg = o.agg(
+        count(lit(1L)).as("n"),
+        ths.flatMap(th => Seq(
+          sum(when(col("y") && col("cents") >= th * 100, 1L).otherwise(0L))
+            .as(s"tp_$th"),
+          sum(when(!col("y") && col("cents") >= th * 100, 1L).otherwise(0L))
+            .as(s"fp_$th"),
+          sum(when(col("y") && col("cents") < th * 100, 1L).otherwise(0L))
+            .as(s"fn_$th"))): _*)
+      val stacked = ths.map(th => s"${th}L, tp_$th, fp_$th, fn_$th").mkString(", ")
+      agg.selectExpr(
+          s"stack(${ths.size}, $stacked) AS (threshold, tp, fp, fn)", "n")
+        .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+          (col("n") - col("tp") - col("fp") - col("fn")).as("tn"),
+          when(col("tp") + col("fp") > 0,
+            expr("tp * 1000000L div (tp + fp)")).otherwise(0L).as("prec_ppm"),
+          when(col("tp") + col("fn") > 0,
+            expr("tp * 1000000L div (tp + fn)")).otherwise(0L).as("rec_ppm"))
+        .withColumn("f1_ppm",
+          when(col("prec_ppm") + col("rec_ppm") > 0,
+            expr("(2 * prec_ppm * rec_ppm) div (prec_ppm + rec_ppm)"))
+            .otherwise(0L))
+        .withColumn("acc_ppm", expr("(tp + tn) * 1000000L div (tp + fp + fn + tn)"))
+        .drop("n")
+        .orderBy("threshold")
+    },
+    Some("""WITH o AS (
+              SELECT o_orderpriority IN ('1-URGENT', '2-HIGH') AS y,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cents
+              FROM orders),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN y AND cents >= 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS tp_1,
+                     CAST(sum(CASE WHEN NOT y AND cents >= 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS fp_1,
+                     CAST(sum(CASE WHEN y AND cents < 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS fn_1,
+                     CAST(sum(CASE WHEN y AND cents >= 20000000 THEN 1 ELSE 0 END) AS BIGINT) AS tp_2,
+                     CAST(sum(CASE WHEN NOT y AND cents >= 20000000 THEN 1 ELSE 0 END) AS BIGINT) AS fp_2,
+                     CAST(sum(CASE WHEN y AND cents < 20000000 THEN 1 ELSE 0 END) AS BIGINT) AS fn_2,
+                     CAST(sum(CASE WHEN y AND cents >= 30000000 THEN 1 ELSE 0 END) AS BIGINT) AS tp_3,
+                     CAST(sum(CASE WHEN NOT y AND cents >= 30000000 THEN 1 ELSE 0 END) AS BIGINT) AS fp_3,
+                     CAST(sum(CASE WHEN y AND cents < 30000000 THEN 1 ELSE 0 END) AS BIGINT) AS fn_3,
+                     CAST(sum(CASE WHEN y AND cents >= 40000000 THEN 1 ELSE 0 END) AS BIGINT) AS tp_4,
+                     CAST(sum(CASE WHEN NOT y AND cents >= 40000000 THEN 1 ELSE 0 END) AS BIGINT) AS fp_4,
+                     CAST(sum(CASE WHEN y AND cents < 40000000 THEN 1 ELSE 0 END) AS BIGINT) AS fn_4
+              FROM o),
+            rows_ AS (
+              SELECT t.threshold, t.tp, t.fp, t.fn, agg.n - t.tp - t.fp - t.fn AS tn
+              FROM agg, LATERAL (VALUES
+                (CAST(100000 AS BIGINT), tp_1, fp_1, fn_1),
+                (CAST(200000 AS BIGINT), tp_2, fp_2, fn_2),
+                (CAST(300000 AS BIGINT), tp_3, fp_3, fn_3),
+                (CAST(400000 AS BIGINT), tp_4, fp_4, fn_4))
+                AS t(threshold, tp, fp, fn)),
+            m AS (
+              SELECT threshold, tp, fp, fn, tn,
+                     CASE WHEN tp + fp > 0
+                       THEN tp * 1000000 // (tp + fp) ELSE 0 END AS prec_ppm,
+                     CASE WHEN tp + fn > 0
+                       THEN tp * 1000000 // (tp + fn) ELSE 0 END AS rec_ppm
+              FROM rows_)
+            SELECT threshold, tp, fp, fn, tn,
+                   CAST(prec_ppm AS BIGINT) AS prec_ppm,
+                   CAST(rec_ppm AS BIGINT) AS rec_ppm,
+                   CAST(CASE WHEN prec_ppm + rec_ppm > 0
+                     THEN (2 * prec_ppm * rec_ppm) // (prec_ppm + rec_ppm)
+                     ELSE 0 END AS BIGINT) AS f1_ppm,
+                   CAST((tp + tn) * 1000000 // (tp + fp + fn + tn) AS BIGINT)
+                     AS acc_ppm
+            FROM m ORDER BY threshold"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_eval_ndcg" -> qEvalNdcg,
+    "q_eval_confusion" -> qEvalConfusion,
     "q_stats_bootstrap" -> qStatsBootstrap,
     "q_stats_psi" -> qStatsPsi,
     "q_stats_auc" -> qStatsAuc,
