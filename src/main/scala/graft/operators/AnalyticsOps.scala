@@ -1951,8 +1951,82 @@ object AnalyticsOps extends QueryModule {
                    row_number() OVER (ORDER BY gap_micro DESC, day) = 1 AS is_cp
             FROM scored ORDER BY day"""))
 
+  /** Deterministic negative sampling for contrastive/recommender training:
+    * per customer, 4 parts they have NOT bought, drawn by hashing
+    * (customer, slot) into the part catalog — md5-slot candidates, the
+    * engine's seeded-randomness idiom (bootstrap's Poisson weights, the
+    * split_train hash gate). The at-scale point is the candidate shape:
+    * |customers| × 8 slots (LINEAR), never customers × catalog — the naive
+    * "anti-join the cross product" is the quadratic trap this op exists to
+    * avoid. Slots over-provision ×2 so positive collisions (a sampled part
+    * the customer did buy) drop out in the anti-join and later slots
+    * backfill; the first 4 surviving slots (slot-order rank) are emitted,
+    * so the draw is reproducible row-for-row on both engines.
+    *
+    * The catalog maps hash → part via a dense row_number index over the
+    * part DIM (no key-contiguity assumption); the dim-sized window and the
+    * candidate join are broadcast — only the positives anti-join shuffles,
+    * keyed on the (custkey, partkey) pair.
+    */
+  private val qSampleNegatives = GQuery(
+    (s, d) => {
+      val nParts = t(s, d, "part").count()
+      val partIdx = t(s, d, "part").select(col("p_partkey"))
+        .withColumn("idx",
+          row_number().over(Window.orderBy("p_partkey")).cast("long") - 1L)
+      val pos = t(s, d, "orders")
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"))
+        .distinct()
+      val cand = t(s, d, "customer")
+        .select(col("c_custkey"))
+        .withColumn("slot", explode(sequence(lit(1), lit(8))))
+        .withColumn("idx",
+          pmod(DedupOps.hex4(concat(col("c_custkey"), lit(":"), col("slot"))),
+            lit(nParts)))
+      val w = Window.partitionBy("c_custkey").orderBy("slot")
+      cand.join(broadcast(partIdx), "idx")
+        .join(pos, col("c_custkey") === col("ck")
+          && col("p_partkey") === col("pk"), "left_anti")
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 4)
+        .select(col("c_custkey"), col("rk"), col("slot"),
+          col("p_partkey").as("neg_partkey"))
+        .orderBy("c_custkey", "rk")
+    },
+    Some(s"""WITH pidx AS (
+               SELECT p_partkey,
+                      row_number() OVER (ORDER BY p_partkey) - 1 AS idx
+               FROM part),
+             np AS (SELECT count(*) AS n FROM part),
+             pos AS (
+               SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             cand AS (
+               SELECT c_custkey, i AS slot,
+                      ${DedupOps.duckHex4(
+                        "md5(CAST(c_custkey AS VARCHAR) || ':' || CAST(i AS VARCHAR))")}
+                        % np.n AS idx
+               FROM customer, np,
+                    LATERAL (SELECT unnest(generate_series(1, 8)) AS i)),
+             kept AS (
+               SELECT c.c_custkey, c.slot, p.p_partkey
+               FROM cand c JOIN pidx p USING (idx)
+               WHERE NOT EXISTS (SELECT 1 FROM pos
+                                 WHERE pos.ck = c.c_custkey
+                                   AND pos.pk = p.p_partkey)),
+             ranked AS (
+               SELECT c_custkey, slot, p_partkey,
+                      row_number() OVER (PARTITION BY c_custkey
+                        ORDER BY slot) AS rk
+               FROM kept)
+             SELECT c_custkey, CAST(rk AS INT) AS rk, CAST(slot AS INT) AS slot,
+                    p_partkey AS neg_partkey
+             FROM ranked WHERE rk <= 4 ORDER BY c_custkey, rk"""))
+
   val queries: Map[String, GQuery] = Map(
     "q_ts_changepoint" -> qTsChangepoint,
+    "q_sample_negatives" -> qSampleNegatives,
     "q_stats_corrmatrix" -> qStatsCorrmatrix,
     "q_stats_linreg" -> qStatsLinreg,
     "q_events_pattern" -> qEventsPattern,
