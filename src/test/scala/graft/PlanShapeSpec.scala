@@ -682,4 +682,45 @@ class PlanShapeSpec extends SparkSpec {
     } finally saved.foreach { case (k, vo) =>
       vo.fold(s.conf.unset(k))(v => s.conf.set(k, v)) }
   }
+
+  test("round-7 operators: keyed candidate joins, one-pass aggs, no cartesians") {
+    def planOf(name: String) = plan(name)
+
+    // kNN join: every candidate pair comes from the cell-keyed HASH join —
+    // the only permitted unkeyed product is the broadcast 8-row codebook
+    // cross (a BroadcastNLJ against a constant-size dim); a corpus-sized
+    // product would plan CartesianProduct
+    val knn = planOf("q_knn_join")
+    assert(!knn.contains("CartesianProduct"),
+      "kNN join degenerated to an unkeyed corpus product:\n" + knn.take(3000))
+    assert(knn.contains("HashJoin"), // cell-keyed candidate join
+      "candidate join is not a keyed hash join:\n" + knn.take(3000))
+
+    // link prediction: wedge join keyed on the pivot; existing edges leave
+    // via an anti-join; top-20 short-circuits (never a global sort)
+    val lp = planOf("q_graph_linkpred")
+    assert(!lp.contains("CartesianProduct") && !lp.contains("BroadcastNestedLoopJoin"),
+      "wedge join degenerated to a product:\n" + lp.take(3000))
+    assert(lp.contains("LeftAnti"), "existing edges not anti-joined:\n" + lp.take(3000))
+    assert(lp.contains("TakeOrderedAndProject"), lp.take(3000))
+
+    // negative sampling: candidates join the dense part index broadcast
+    // (dim-sized); only the positives anti-join is a real shuffle
+    val neg = planOf("q_sample_negatives")
+    assert(neg.contains("BroadcastHashJoin"), neg.take(3000))
+    assert(neg.contains("LeftAnti"), neg.take(3000))
+    assert(!neg.contains("CartesianProduct"), neg.take(3000))
+
+    // confusion sweep: all thresholds in ONE scan + one agg chain
+    val cm = planOf("q_eval_confusion")
+    assert("Scan parquet".r.findAllIn(cm).length <= 1,
+      "threshold sweep rescans orders:\n" + cm.take(3000))
+
+    // changepoint: corpus collapses through a partial agg BEFORE any
+    // window — one scan, map-side combine present
+    val cp = planOf("q_ts_changepoint")
+    assert("Scan parquet".r.findAllIn(cp).length <= 1,
+      "changepoint rescans events:\n" + cp.take(3000))
+    assert(cp.contains("HashAggregate"), cp.take(3000))
+  }
 }
