@@ -298,9 +298,13 @@ object SimilarityOps extends QueryModule {
         .withColumn("nrm", norm(col("emb")))
       val cents = emb.filter(col("vec_id").between(100, 107))
         .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+      // aff feeds BOTH the assignment and the query-cell ranking — Spark
+      // shares no subplans across consumers, so materialize the K-per-vector
+      // affinity table once (the triangles/setjoin lesson)
       val aff = emb.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("c_id"),
           dround(dot(col("emb"), col("c_emb")), 6).as("aff"))
+        .localCheckpoint(true)
       val assign = aff.groupBy("vec_id")
         .agg(max_by(col("c_id"), struct(col("aff"), (col("c_id") * -1).as("nc")))
           .as("cell"))
