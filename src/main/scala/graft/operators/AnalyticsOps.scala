@@ -2024,8 +2024,86 @@ object AnalyticsOps extends QueryModule {
                     p_partkey AS neg_partkey
              FROM ranked WHERE rk <= 4 ORDER BY c_custkey, rk"""))
 
+  /** Autocorrelation function of the daily revenue series at lags 1..7 —
+    * the periodicity diagnostic next to q_events_seasonal (which assumes a
+    * weekly cycle; the ACF is how you FIND the cycle) and q_ts_changepoint
+    * (level shifts). Per lag k: Pearson r between (xₜ, xₜ₋ₖ) over the
+    * overlapping days.
+    *
+    * Hash-exactness is the corrmatrix/linreg discipline: the series is
+    * exact summed cents, all seven lag columns come from ONE window pass
+    * over the ≤ #days aggregate and stack to (k, x, xl) rows, moment sums
+    * accumulate as exact DECIMAL(38), and floating point appears only in
+    * the final cast→sqrt→divide on identical exact inputs with mirrored
+    * parenthesization, then drounds. Constant-series edges (zero variance)
+    * null out on both engines instead of emitting NaN.
+    *
+    * Scale: corpus → ≤ #days rows in one partial agg; the window, stack,
+    * and 7-row moment agg all run on the calendar-bounded series.
+    */
+  private val qTsAutocorr = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val daily = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), cents.as("v"))
+        .groupBy("day").agg(sum("v").as("x"))
+      val w = Window.orderBy("day")
+      val lags = (1 to 7).map(k => lag("x", k).over(w).as(s"x_$k"))
+      val lagged = daily.select(col("day") +: col("x") +: lags: _*)
+      val stacked = lagged.selectExpr("x",
+        s"stack(7, ${(1 to 7).map(k => s"$k, x_$k").mkString(", ")}) AS (k, xl)")
+        .filter(col("xl").isNotNull)
+      val st = stacked.groupBy("k").agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("xl").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("xl") * col("xl")).cast("decimal(38,0)")).as("syy"),
+        sum((col("x") * col("xl")).cast("decimal(38,0)")).as("sxy"))
+      val dxx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      val dyy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+      val dxy = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+      st.select(col("k").cast("int").as("k"), col("n"),
+          when(dxx > 0 && dyy > 0, dround(dxy / sqrt(dxx * dyy), 6))
+            .as("acf"))
+        .orderBy("k")
+    },
+    Some(s"""WITH daily AS (
+               SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                      sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                        AS x
+               FROM events GROUP BY 1),
+             lagged AS (
+               SELECT day, x,
+                      ${(1 to 7).map(k =>
+                        s"lag(x, $k) OVER (ORDER BY day) AS x_$k")
+                        .mkString(", ")}
+               FROM daily),
+             stacked AS (
+               SELECT lagged.x, t.k, t.xl
+               FROM lagged, LATERAL (VALUES
+                 ${(1 to 7).map(k => s"($k, x_$k)").mkString(", ")})
+                 AS t(k, xl)
+               WHERE t.xl IS NOT NULL),
+             st AS (
+               SELECT k, CAST(count(*) AS BIGINT) AS n,
+                      sum(x) AS sx, sum(xl) AS sy,
+                      sum(x * x) AS sxx, sum(xl * xl) AS syy,
+                      sum(x * xl) AS sxy
+               FROM stacked GROUP BY 1)
+             SELECT CAST(k AS INT) AS k, n,
+                    CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                          AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+                      THEN CAST(round(CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+                        / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                               * CAST(n * syy - sy * sy AS DOUBLE))
+                        AS DECIMAL(30,8)), 6) AS DOUBLE)
+                    END AS acf
+             FROM st ORDER BY k"""))
+
   val queries: Map[String, GQuery] = Map(
     "q_ts_changepoint" -> qTsChangepoint,
+    "q_ts_autocorr" -> qTsAutocorr,
     "q_sample_negatives" -> qSampleNegatives,
     "q_stats_corrmatrix" -> qStatsCorrmatrix,
     "q_stats_linreg" -> qStatsLinreg,
