@@ -369,6 +369,98 @@ object SimilarityOps extends QueryModule {
                    CAST(round(CAST(cos AS DECIMAL(30,8)), 2) AS DOUBLE) AS score
             FROM ranked WHERE rn <= 3 ORDER BY p_id, rk"""))
 
+  /** Recall@3 of the IVF-blocked kNN join against brute-force truth over
+    * EVERY vector, emitted as a hits histogram (hits∈0..3 → #vectors) —
+    * the q_knn_recall harness extended from 5 probes to the whole corpus,
+    * which is the claim a kNN-graph build actually stakes: distributional
+    * recall, not per-probe anecdotes. Any vector whose top-3 set shifts
+    * moves a histogram cell, so the t2 hash still gates the full join.
+    *
+    * The truth side is the deliberate quadratic baseline (all-pairs cosine)
+    * — gauge-only economics: at 100 TB a recall audit runs this on a
+    * sampled vector set against the production join output, never
+    * corpus×corpus. The corpus here IS the sample.
+    */
+  private val qKnnJoinRecall = GQuery(
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .withColumn("nrm", norm(col("emb")))
+      val wTop = Window.partitionBy("p_id").orderBy(col("cos").desc, col("n_id").asc)
+      val truth = emb.select(col("vec_id").as("p_id"), col("emb").as("p_emb"),
+          col("nrm").as("p_nrm"))
+        .crossJoin(broadcast(emb.select(col("vec_id").as("n_id"),
+          col("emb").as("n_emb"), col("nrm").as("n_nrm"))))
+        .filter(col("p_id") =!= col("n_id"))
+        .select(col("p_id"), col("n_id"),
+          dround(dot(col("p_emb"), col("n_emb")) / (col("p_nrm") * col("n_nrm")), 6)
+            .as("cos"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 3)
+        .select("p_id", "n_id")
+      val approx = qKnnJoin.fn(s, d).select("p_id", "n_id")
+        .withColumn("hit", lit(1))
+      truth.join(approx, Seq("p_id", "n_id"), "left")
+        .groupBy("p_id").agg(count(col("hit")).as("hits"))
+        .groupBy("hits").agg(count(lit(1)).as("n_vectors"))
+        .orderBy("hits")
+    },
+    Some("""WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                     sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> x * x))) AS nrm
+              FROM embeddings),
+            tscored AS (
+              SELECT p.vec_id AS p_id, n.vec_id AS n_id,
+                     CAST(round(CAST(list_dot_product(p.emb, n.emb)
+                       / (p.nrm * n.nrm) AS DECIMAL(30,8)), 6) AS DOUBLE) AS cos
+              FROM e p, e n WHERE n.vec_id <> p.vec_id),
+            truth AS (
+              SELECT p_id, n_id FROM (
+                SELECT p_id, n_id, row_number() OVER (PARTITION BY p_id
+                         ORDER BY cos DESC, n_id) AS rn
+                FROM tscored) WHERE rn <= 3),
+            cents AS (SELECT vec_id AS c_id, emb AS c_emb FROM e
+                      WHERE vec_id BETWEEN 100 AND 107),
+            aff AS (
+              SELECT e.vec_id, c.c_id,
+                     CAST(round(CAST(list_dot_product(e.emb, c.c_emb)
+                       AS DECIMAL(30,8)), 6) AS DOUBLE) AS aff
+              FROM e, cents c),
+            assign AS (
+              SELECT vec_id, c_id AS cell FROM (
+                SELECT vec_id, c_id,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY aff DESC, c_id) AS rn
+                FROM aff) WHERE rn = 1),
+            qcells AS (
+              SELECT vec_id AS p_id, c_id AS cell FROM (
+                SELECT vec_id, c_id,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY aff DESC, c_id) AS crk
+                FROM aff) WHERE crk <= 2),
+            cand AS (
+              SELECT q.p_id, ce.vec_id AS n_id,
+                     CAST(round(CAST(list_dot_product(pe.emb, ce.emb)
+                       / (pe.nrm * ce.nrm) AS DECIMAL(30,8)), 6) AS DOUBLE) AS cos
+              FROM qcells q
+              JOIN assign a ON a.cell = q.cell
+              JOIN e ce ON ce.vec_id = a.vec_id
+              JOIN e pe ON pe.vec_id = q.p_id
+              WHERE ce.vec_id <> q.p_id),
+            approx AS (
+              SELECT p_id, n_id FROM (
+                SELECT p_id, n_id, row_number() OVER (PARTITION BY p_id
+                         ORDER BY cos DESC, n_id) AS rn
+                FROM cand) WHERE rn <= 3),
+            perp AS (
+              SELECT t.p_id, CAST(count(a.n_id) AS BIGINT) AS hits
+              FROM truth t LEFT JOIN approx a
+                ON a.p_id = t.p_id AND a.n_id = t.n_id
+              GROUP BY 1)
+            SELECT hits, CAST(count(*) AS BIGINT) AS n_vectors
+            FROM perp GROUP BY 1 ORDER BY hits"""))
+
   // -------------------------------------------------- label centroids --
 
   /** Per-label elementwise centroid of the embedding vectors (the k-means
@@ -1484,6 +1576,7 @@ object SimilarityOps extends QueryModule {
     "q_scalar_hof" -> qScalarHof,
     "q_knn_ivf_centroid" -> qKnnIvfCentroid,
     "q_knn_join" -> qKnnJoin,
+    "q_knn_join_recall" -> qKnnJoinRecall,
     "q_embed_knn" -> qEmbedKnn,
     "q_multimodal_join" -> qMultimodalJoin,
     "q_knn_ivf" -> qKnnIvf,
