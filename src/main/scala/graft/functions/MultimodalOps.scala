@@ -129,7 +129,60 @@ object MultimodalOps extends QueryModule {
             FROM f WHERE fidx % 2 = 0
             ORDER BY doc_id, frame_idx"""))
 
+  /** Exact content dedup of binary payloads by (size, md5) identity — the
+    * image/audio dedup stage that runs BEFORE any decode: the same blob
+    * ingested twice under different ids (re-crawl, mirror, re-upload) is
+    * one asset. The double-ingest is staged explicitly: docs with id < 50
+    * re-enter under id+10000, and the query recovers exactly those — per
+    * duplicated content group the keeper (min id) plus each dropped id.
+    *
+    * Size joins the hash in the group key for the production reason, not
+    * correctness: at 100 TB the 8-byte length short-circuits comparison
+    * before anyone hashes 100 MB blobs, and lets a deployment hash only
+    * within size-buckets that actually collide. One window over the
+    * (hash, size)-partitioned groups — high-cardinality key, map-side
+    * friendly, no self-join. md5 is the cross-engine anchor (CLAUDE.md);
+    * the ASCII corpus makes DuckDB's string md5 byte-identical to Spark's
+    * binary md5 (the decodeStub equivalence, verified there).
+    */
+  private val qMultimodalDedup = GQuery(
+    (s, d) => {
+      val base = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+      val corpus = base.unionByName(
+        base.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+      val keyed = corpus.select(col("doc_id"),
+        md5(col("text").cast("binary")).as("h"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("h", "n_bytes")
+      keyed
+        .withColumn("keeper_id", min("doc_id").over(w))
+        .withColumn("n_copies", count(lit(1)).over(w))
+        .filter(col("doc_id") =!= col("keeper_id"))
+        .select(col("doc_id").as("dup_id"), col("keeper_id"),
+          col("n_bytes"), col("n_copies"))
+        .orderBy("dup_id")
+    },
+    Some("""WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50),
+            keyed AS (
+              SELECT doc_id, md5(text) AS h,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+              FROM corpus),
+            grouped AS (
+              SELECT doc_id, n_bytes,
+                     min(doc_id) OVER (PARTITION BY h, n_bytes) AS keeper_id,
+                     count(*) OVER (PARTITION BY h, n_bytes) AS n_copies
+              FROM keyed)
+            SELECT doc_id AS dup_id, keeper_id, n_bytes,
+                   CAST(n_copies AS BIGINT) AS n_copies
+            FROM grouped WHERE doc_id <> keeper_id
+            ORDER BY dup_id"""))
+
   override val queries: Map[String, GQuery] = Map(
     "q_multimodal_decode" -> qMultimodalDecode,
-    "q_multimodal_frames" -> qMultimodalFrames)
+    "q_multimodal_frames" -> qMultimodalFrames,
+    "q_multimodal_dedup" -> qMultimodalDedup)
 }
