@@ -1022,7 +1022,82 @@ object ScoringOps extends QueryModule {
                      AS acc_ppm
             FROM m ORDER BY threshold"""))
 
+  // --------------------------------------------------- mutual information --
+
+  /** Mutual information between event_type and six-hour time-of-day bucket —
+    * the feature-relevance primitive (does knowing WHEN predict WHAT):
+    * MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) over the joint contingency table.
+    * Chi-square (q_stats_chisq) tests independence; MI measures its
+    * strength in nats — the pair a feature-selection pass ranks by.
+    *
+    * Fixed-point discipline: the corpus collapses to the ≤ |X|·|Y| joint
+    * table in one partial agg; marginals re-aggregate FROM the joint (never
+    * a second scan). The log ratio is ln over an exact-integer rational
+    * (n·c_xy vs c_x·c_y — identical operands both engines, the PSI
+    * milli-nat precedent) and each cell contributes p_ppm·lr_mnat exactly,
+    * in NANO-nats — a pure product, no division, because cell terms go
+    * negative and Spark `div` (truncate) ≠ DuckDB `//` (floor) below zero.
+    * The total row is the MI estimate. At 100-TB counts n·c_xy nears
+    * BIGINT: the corrmatrix DECIMAL(38) widening applies.
+    */
+  private val qStatsMi = GQuery(
+    (s, d) => {
+      val joint = t(s, d, "events")
+        .select(col("event_type").as("x"),
+          expr("cast(hour(ts) div 6 AS int)").as("y"))
+        .groupBy("x", "y").agg(count(lit(1L)).as("cxy"))
+      val mx = joint.groupBy("x").agg(sum("cxy").as("cx"))
+      val my = joint.groupBy("y").agg(sum("cxy").as("cy"))
+      val n = joint.agg(sum("cxy").as("n"))
+      val cells = joint
+        .join(broadcast(mx), "x").join(broadcast(my), "y")
+        .crossJoin(broadcast(n))
+        .select(col("x"), col("y"), col("cxy"),
+          expr("cxy * 1000000L div n").as("p_ppm"),
+          round(log((col("cxy") * col("n")).cast("double")
+            / (col("cx") * col("cy")).cast("double")) * 1000)
+            .cast("long").as("lr_mnat"))
+        .withColumn("contrib_nano", col("p_ppm") * col("lr_mnat"))
+      val total = cells.agg(sum("cxy").as("cxy"),
+          sum("contrib_nano").as("mi"))
+        .select(lit("_total").as("x"), lit(-1).cast("int").as("y"),
+          col("cxy"), lit(0L).as("p_ppm"), lit(0L).as("lr_mnat"),
+          col("mi").as("contrib_nano"))
+      cells.unionAll(total).orderBy("x", "y")
+    },
+    Some("""WITH joint AS (
+              SELECT event_type AS x,
+                     CAST(hour(ts) // 6 AS INT) AS y,
+                     CAST(count(*) AS BIGINT) AS cxy
+              FROM events GROUP BY 1, 2),
+            mx AS (SELECT x, CAST(sum(cxy) AS BIGINT) AS cx FROM joint GROUP BY 1),
+            my AS (SELECT y, CAST(sum(cxy) AS BIGINT) AS cy FROM joint GROUP BY 1),
+            n AS (SELECT CAST(sum(cxy) AS BIGINT) AS n FROM joint),
+            cells AS (
+              SELECT j.x, j.y, j.cxy,
+                     CAST(j.cxy * 1000000 // n.n AS BIGINT) AS p_ppm,
+                     CAST(round(ln(CAST(j.cxy * n.n AS DOUBLE)
+                       / CAST(mx.cx * my.cy AS DOUBLE)) * 1000) AS BIGINT)
+                       AS lr_mnat
+              FROM joint j
+              JOIN mx USING (x) JOIN my USING (y) CROSS JOIN n),
+            c2 AS (
+              SELECT x, y, cxy, p_ppm, lr_mnat,
+                     p_ppm * lr_mnat AS contrib_nano
+              FROM cells),
+            total AS (
+              SELECT '_total' AS x, CAST(-1 AS INT) AS y,
+                     CAST(sum(cxy) AS BIGINT) AS cxy,
+                     CAST(0 AS BIGINT) AS p_ppm, CAST(0 AS BIGINT) AS lr_mnat,
+                     CAST(sum(contrib_nano) AS BIGINT) AS contrib_nano
+              FROM c2)
+            SELECT x, y, cxy, p_ppm, lr_mnat,
+                   CAST(contrib_nano AS BIGINT) AS contrib_nano
+            FROM (SELECT * FROM c2 UNION ALL SELECT * FROM total)
+            ORDER BY x, y"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_stats_mi" -> qStatsMi,
     "q_eval_ndcg" -> qEvalNdcg,
     "q_eval_confusion" -> qEvalConfusion,
     "q_stats_bootstrap" -> qStatsBootstrap,
