@@ -980,7 +980,88 @@ object DedupOps extends QueryModule {
             WHERE inter * 100 >= (na + nb - inter) * $SetJoinTau100
             ORDER BY doc_a, doc_b"""))
 
+  /** Recall of the MinHash/LSH banding against exact-Jaccard truth — the
+    * q_knn_recall pattern applied to the dedup family, so the oracle gate
+    * owns the LSH recall claim instead of a spec assertion. Truth: every
+    * doc pair with exact 3-shingle Jaccard ≥ 0.8 (25 planted pairs at
+    * sf0.01). Found: pairs colliding in EITHER LSH band (the candidate set
+    * q_dedup_minhash's banding generates). Emits each truth pair with its
+    * integer-micro Jaccard and a found flag; at b=2 bands of r=2 rows the
+    * expected catch probability at j=0.8 is 1−(1−j²)² ≈ 0.87, and the
+    * hashed flags pin the realized catches exactly.
+    *
+    * The truth side is the sanctioned gauge-only quadratic baseline
+    * (q_knn_join_recall economics — a production audit samples); the found
+    * side is band-KEYED self-joins, the production shape.
+    */
+  private val qDedupMinhashRecall = GQuery(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), tokens.as("toks"))
+        .select(col("doc_id"), array_distinct(shingles(col("toks"))).as("sh"),
+          graft.functions.VectorExpressions.minhashBands(col("toks")).as("bands"))
+        .select(col("doc_id"), col("sh"),
+          col("bands").getItem(0).as("b0"), col("bands").getItem(1).as("b1"))
+        .localCheckpoint(true) // feeds truth (2 sides) + 2 band joins
+      val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("b0").as("a0"), col("b1").as("a1"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("b0").as("c0"), col("b1").as("c1"))
+      val truth = a.crossJoin(broadcast(b))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("sh_a"), col("sh_b"))).as("ni"),
+          (size(col("sh_a")) + size(col("sh_b"))).as("nb"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("ni * 1000000L div (nb - ni)").as("jac_micro"))
+        .filter(col("jac_micro") >= 800000L)
+      val cand = a.select(col("doc_a"), col("a0").as("k"))
+        .join(b.select(col("doc_b"), col("c0").as("k")), "k")
+        .unionByName(a.select(col("doc_a"), col("a1").as("k"))
+          .join(b.select(col("doc_b"), col("c1").as("k")), "k"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+        .withColumn("hit", lit(1))
+      truth.join(cand, Seq("doc_a", "doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"), col("jac_micro"),
+          col("hit").isNotNull.as("found"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some {
+      val mh = (0 until 4).map(k =>
+        s"list_min(list_transform(hs, h -> substr(h, ${k * 8 + 1}, 8)))")
+      s"""WITH t0 AS (
+            SELECT doc_id, list_distinct($duckShingles) AS sh,
+                   list_transform($duckShingles, x -> md5(x)) AS hs
+            FROM documents),
+          m AS (
+            SELECT doc_id, sh,
+                   ${mh(0)} || ${mh(1)} AS b0,
+                   ${mh(2)} || ${mh(3)} AS b1
+            FROM t0),
+          truth AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_intersect(a.sh, b.sh)) * 1000000
+                     // (len(a.sh) + len(b.sh)
+                         - len(list_intersect(a.sh, b.sh))) AS jac_micro
+            FROM m a JOIN m b ON a.doc_id < b.doc_id),
+          tr AS (SELECT * FROM truth WHERE jac_micro >= 800000),
+          cand AS (
+            SELECT DISTINCT doc_a, doc_b FROM (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM m a JOIN m b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+              UNION ALL
+              SELECT a.doc_id, b.doc_id
+              FROM m a JOIN m b ON a.b1 = b.b1 AND a.doc_id < b.doc_id))
+          SELECT tr.doc_a, tr.doc_b, CAST(tr.jac_micro AS BIGINT) AS jac_micro,
+                 c.doc_a IS NOT NULL AS found
+          FROM tr LEFT JOIN cand c
+            ON c.doc_a = tr.doc_a AND c.doc_b = tr.doc_b
+          ORDER BY tr.doc_a, tr.doc_b"""
+    })
+
   override val queries: Map[String, GQuery] = Map(
+    "q_dedup_minhash_recall" -> qDedupMinhashRecall,
     "q_dedup_setjoin" -> qDedupSetjoin,
     "q_dedup_semantic" -> qDedupSemantic,
     "q_dedup_components" -> qDedupComponents,
