@@ -309,7 +309,64 @@ object GovernanceOps extends QueryModule {
             SELECT * FROM scored UNION ALL SELECT * FROM summary
             ORDER BY digit"""))
 
+  // -------------------------------------------- differential privacy --
+
+  /** ε-differentially-private count release (Laplace mechanism) per
+    * event_type — the DP member of the governance family: k-anonymity and
+    * l-diversity audit the data; this is the mechanism that releases an
+    * aggregate with a privacy budget (ε = 0.5, sensitivity 1 for a count,
+    * so noise ~ Laplace(b = 2)).
+    *
+    * Determinism: the noise draw is the engine's hash-seeded-randomness
+    * idiom (bootstrap's Poisson weights) — u comes from md5(key) as the
+    * exact rational (2·u16 + 1)/131072 ∈ (0,1), and the Laplace inverse CDF
+    * −b·sign(u−½)·ln(1−2|u−½|) evaluates on identical exact operands with
+    * mirrored parenthesization (the corrmatrix fp rule), quantized to
+    * milli-counts. Per-key seeding makes the release REPLAYABLE — same
+    * data, same budget, same release — which is how a DP release pipeline
+    * is audited. The true count is emitted here ONLY for the t2 gate;
+    * a production release ships released_milli alone.
+    *
+    * Scale: one partial-agg count per key; the mechanism is per-GROUP
+    * arithmetic on the ≤ |keys| aggregate — free at any corpus size.
+    */
+  private val qPrivacyDp = GQuery(
+    (s, d) => {
+      val counts = t(s, d, "events")
+        .groupBy("event_type").agg(count(lit(1L)).as("n_true"))
+      val u16 = conv(substring(md5(concat(col("event_type"), lit(":dp1"))),
+        1, 4), 16, 10).cast("long")
+      val dev = abs(u16 * 2 + 1 - 65536L) // |2u−1| numerator over 131072
+      val mag = lit(-2.0) * log((lit(131072L) - dev * 2).cast("double") / 131072.0)
+      val noise = when(u16 * 2 + 1 >= 65536L, mag).otherwise(-mag)
+      counts
+        .withColumn("noise_milli", round(noise * 1000).cast("long"))
+        .select(col("event_type"), col("n_true"), col("noise_milli"),
+          (col("n_true") * 1000 + col("noise_milli")).as("released_milli"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH c AS (
+               SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+               FROM events GROUP BY 1),
+             u AS (
+               SELECT event_type, n_true,
+                      ${DedupOps.duckHex4("md5(event_type || ':dp1')")} AS u16
+               FROM c),
+             nz AS (
+               SELECT event_type, n_true,
+                      CAST(round((CASE WHEN u16 * 2 + 1 >= 65536
+                          THEN -2.0 * ln(CAST(131072 - abs(u16 * 2 + 1 - 65536) * 2
+                            AS DOUBLE) / 131072.0)
+                          ELSE 2.0 * ln(CAST(131072 - abs(u16 * 2 + 1 - 65536) * 2
+                            AS DOUBLE) / 131072.0) END) * 1000) AS BIGINT)
+                        AS noise_milli
+               FROM u)
+             SELECT event_type, n_true, noise_milli,
+                    n_true * 1000 + noise_milli AS released_milli
+             FROM nz ORDER BY event_type"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_privacy_dp" -> qPrivacyDp,
     "q_quality_expectations" -> qQualityExpectations,
     "q_privacy_ldiv" -> qPrivacyLdiv,
     "q_stats_calibration" -> qStatsCalibration,
