@@ -772,7 +772,70 @@ object RelationalExt extends QueryModule {
                      AS n_missing
             FROM ev GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Exact WEIGHTED quantiles (p25 / median / p75 of l_extendedprice
+    * weighted by l_quantity) per return flag — the quantile a
+    * sample-weighted pipeline actually needs (every unweighted quantile op
+    * silently assumes uniform example weights; curation pipelines rarely
+    * have them). The weighted q-quantile is the smallest value v whose
+    * inclusive cumulative weight reaches q·W.
+    *
+    * Plan is the q_stats_auc/ks two-level prefix sum: collapse to the
+    * (flag, cent-value) grid in one partial agg, then bucket offsets (tiny
+    * agg, broadcast back via a flag-partitioned window over ≤ #buckets
+    * rows) + in-bucket running sums — no single-partition window ever sees
+    * a full flag's grid. Selection is a conditional-min agg (2·cum ≥ W
+    * etc. in exact integers ×4 to keep quartile thresholds integral), so
+    * the output derives from count arithmetic only — hash-exact.
+    */
+  private val qAggWquantile = GQuery(
+    (s, d) => {
+      val v = col("l_extendedprice").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val w = col("l_quantity").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val grid = t(s, d, "lineitem")
+        .select(col("l_returnflag").as("flag"), v.as("v"), w.as("w"))
+        .groupBy("flag", "v").agg(sum("w").as("vw"))
+        .withColumn("bkt", expr("v div 100000000"))
+      val wOff = Window.partitionBy("flag").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = grid.groupBy("flag", "bkt").agg(sum("vw").as("bw"))
+        .select(col("flag"), col("bkt"),
+          coalesce(sum("bw").over(wOff), lit(0L)).as("off"))
+      val wIn = Window.partitionBy("flag", "bkt").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = grid.join(broadcast(off), Seq("flag", "bkt"))
+        .withColumn("cw", col("off") + sum("vw").over(wIn))
+      val tot = cum.groupBy("flag").agg(max("cw").as("totw"))
+      cum.join(broadcast(tot), "flag")
+        .groupBy("flag")
+        .agg(min(when(col("cw") * 4 >= col("totw"), col("v"))).as("wq25_cents"),
+          min(when(col("cw") * 2 >= col("totw"), col("v"))).as("median_cents"),
+          min(when(col("cw") * 4 >= col("totw") * 3, col("v"))).as("wq75_cents"),
+          max("totw").as("total_weight"))
+        .orderBy("flag")
+    },
+    Some("""WITH grid AS (
+              SELECT l_returnflag AS flag,
+                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+                     CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS vw
+              FROM lineitem GROUP BY 1, 2),
+            cum AS (
+              SELECT flag, v, vw,
+                     CAST(sum(vw) OVER (PARTITION BY flag ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+              FROM grid),
+            tot AS (SELECT flag, CAST(max(cw) AS BIGINT) AS totw
+                    FROM cum GROUP BY 1)
+            SELECT c.flag,
+                   min(CASE WHEN c.cw * 4 >= t.totw THEN c.v END) AS wq25_cents,
+                   min(CASE WHEN c.cw * 2 >= t.totw THEN c.v END) AS median_cents,
+                   min(CASE WHEN c.cw * 4 >= t.totw * 3 THEN c.v END) AS wq75_cents,
+                   max(t.totw) AS total_weight
+            FROM cum c JOIN tot t USING (flag)
+            GROUP BY 1 ORDER BY c.flag"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_agg_wquantile" -> qAggWquantile,
     "q_events_variant" -> qEventsVariant,
     "q_agg_incremental" -> qAggIncremental,
     "q_join_incremental" -> qJoinIncremental,
