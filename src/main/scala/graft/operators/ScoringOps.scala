@@ -1096,8 +1096,97 @@ object ScoringOps extends QueryModule {
             FROM (SELECT * FROM c2 UNION ALL SELECT * FROM total)
             ORDER BY x, y"""))
 
+  // ----------------------------------------------------- regression eval --
+
+  /** Regression eval — MAE / RMSE / R² / mean bias of a predictor, per
+    * evaluation slice. Completes the eval family's coverage of model
+    * output types: confusion (labels), NDCG (rankings), calibration
+    * (probabilities), AUC (scores) — and this, point predictions. The
+    * predictor under eval is the segment-mean baseline (predict a
+    * customer's order total by their segment's mean), so residuals are
+    * data-derived and the metrics are the "can you beat the group mean"
+    * floor every real model is measured against.
+    *
+    * Exactness: predictions are integer micro-cents (Σcents·10⁶ div n —
+    * the fixed-point mean), residuals are exact integers, |r| and r² sum
+    * as exact DECIMAL(38) (corrmatrix discipline), and fp appears only in
+    * the final divide/sqrt chain, drounded. Two passes over the SAME tiny
+    * aggregate economics: one groupBy builds the predictor, one
+    * conditional agg scores it — the fit/eval split every honest eval has
+    * (here fit==eval population; a deployment feeds disjoint splits via
+    * q_split_train).
+    */
+  private val qEvalRegression = GQuery(
+    (s, d) => {
+      val cents = col("o_totalprice").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val o = t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("seg"), cents.as("y"))
+      val model = o.groupBy("seg")
+        .agg(count(lit(1L)).as("n_fit"), sum("y").as("sy"))
+        .select(col("seg"), expr("(sy * 1000000L) div n_fit").as("pred_micro"))
+      val scored = o.join(broadcast(model), "seg")
+        .select(col("seg"), col("y"),
+          (col("y") * lit(1000000L) - col("pred_micro")).as("r_micro"))
+      val agg = scored.groupBy("seg").agg(
+        count(lit(1L)).as("n"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+        sum(abs(col("r_micro")).cast("decimal(38,0)")).as("sar"),
+        // r² ≈ 2.5e27 overflows BIGINT — widen BEFORE the multiply
+        sum(col("r_micro").cast("decimal(19,0)")
+          * col("r_micro").cast("decimal(19,0)")).as("srr"),
+        sum(col("r_micro").cast("decimal(38,0)")).as("sr"))
+      val sse = col("srr").cast("double") / 1e12
+      val sst = (col("n") * col("syy") - col("sy") * col("sy")).cast("double") /
+        col("n").cast("double")
+      agg.select(col("seg"), col("n"),
+          dround(col("sar").cast("double") / 1e6 / col("n").cast("double") / 100.0, 4)
+            .as("mae_dollars"),
+          dround(sqrt(sse / col("n").cast("double")) / 100.0, 4).as("rmse_dollars"),
+          dround(lit(1.0) - sse / sst, 6).as("r2"),
+          dround(col("sr").cast("double") / 1e6 / col("n").cast("double") / 100.0, 4)
+            .as("bias_dollars"))
+        .orderBy("seg")
+    },
+    Some("""WITH o AS (
+              SELECT c_mktsegment AS seg,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+              FROM orders JOIN customer ON o_custkey = c_custkey),
+            model AS (
+              SELECT seg, sum(y) * 1000000 // count(*) AS pred_micro
+              FROM o GROUP BY 1),
+            scored AS (
+              SELECT o.seg, o.y,
+                     o.y * 1000000 - m.pred_micro AS r_micro
+              FROM o JOIN model m USING (seg)),
+            agg AS (
+              SELECT seg, CAST(count(*) AS BIGINT) AS n,
+                     sum(y) AS sy, sum(y * y) AS syy,
+                     sum(abs(r_micro)) AS sar,
+                     sum(CAST(r_micro AS HUGEINT) * r_micro) AS srr,
+                     sum(r_micro) AS sr
+              FROM scored GROUP BY 1)
+            SELECT seg, n,
+                   CAST(round(CAST(CAST(sar AS DOUBLE) / 1e6
+                     / CAST(n AS DOUBLE) / 100.0 AS DECIMAL(30,8)), 4) AS DOUBLE)
+                     AS mae_dollars,
+                   CAST(round(CAST(sqrt(CAST(srr AS DOUBLE) / 1e12
+                     / CAST(n AS DOUBLE)) / 100.0 AS DECIMAL(30,8)), 4) AS DOUBLE)
+                     AS rmse_dollars,
+                   CAST(round(CAST(1.0 - (CAST(srr AS DOUBLE) / 1e12)
+                     / (CAST(n * syy - sy * sy AS DOUBLE) / CAST(n AS DOUBLE))
+                     AS DECIMAL(30,8)), 6) AS DOUBLE) AS r2,
+                   CAST(round(CAST(CAST(sr AS DOUBLE) / 1e6
+                     / CAST(n AS DOUBLE) / 100.0 AS DECIMAL(30,8)), 4) AS DOUBLE)
+                     AS bias_dollars
+            FROM agg ORDER BY seg"""))
+
   val queries: Map[String, GQuery] = Map(
     "q_stats_mi" -> qStatsMi,
+    "q_eval_regression" -> qEvalRegression,
     "q_eval_ndcg" -> qEvalNdcg,
     "q_eval_confusion" -> qEvalConfusion,
     "q_stats_bootstrap" -> qStatsBootstrap,
