@@ -239,21 +239,28 @@ object PipelineOps extends QueryModule {
     * economics); a window read costs O(qualifying files) FS probes +
     * their scan, independent of topic history length.
     */
+  /** Memoized tsu-stats sink artifact shared by q_read_asof and
+    * q_pipeline_manifest (one write, two read surfaces — the deployment
+    * shape: a topic's data reads and its catalog reads hit the same commit).
+    */
+  private def asofSinkDir(s: SparkSession, d: String): String =
+    writtenDirs.computeIfAbsent(s"asofsink|$d", _ => {
+      val shaped = t(s, d, "events").select(
+        col("user_id").cast("string").cast("binary").as("key"),
+        struct(col("event_id").as("id"), unix_micros(col("ts")).as("tsu"),
+          col("event_type").as("etype")).as("value"),
+        lit("asof").as("topic"),
+        pmod(col("user_id"), lit(4)).cast("int").as("partition"),
+        col("event_id").as("offset"),
+        col("ts").as("timestamp"))
+      graft.streaming.OffsetNamedOrcSink.write(shaped,
+        Files.createTempDirectory("graft-asof-").toString,
+        flushSize = 1000, topic = "asof", statsColumn = Some("tsu"))
+    })
+
   private val qReadAsof = GQuery(
     (s, d) => {
-      val dir = writtenDirs.computeIfAbsent(s"asofsink|$d", _ => {
-        val shaped = t(s, d, "events").select(
-          col("user_id").cast("string").cast("binary").as("key"),
-          struct(col("event_id").as("id"), unix_micros(col("ts")).as("tsu"),
-            col("event_type").as("etype")).as("value"),
-          lit("asof").as("topic"),
-          pmod(col("user_id"), lit(4)).cast("int").as("partition"),
-          col("event_id").as("offset"),
-          col("ts").as("timestamp"))
-        graft.streaming.OffsetNamedOrcSink.write(shaped,
-          Files.createTempDirectory("graft-asof-").toString,
-          flushSize = 1000, topic = "asof", statsColumn = Some("tsu"))
-      })
+      val dir = asofSinkDir(s, d)
       graft.streaming.OffsetNamedOrcSink
         .readAsOf(s, dir, "tsu", 1705500000000000L, 1706000000000000L)
         .groupBy(col("etype"))
@@ -269,6 +276,27 @@ object PipelineOps extends QueryModule {
             WHERE epoch_us(ts) >= 1705500000000000
               AND epoch_us(ts) < 1706000000000000
             GROUP BY 1 ORDER BY etype"""))
+
+  /** The sink's catalog surface oracled: `OffsetNamedOrcSink.manifest`
+    * parses the `_graft_stats` marker into the (partition, chunk,
+    * stats_lo, stats_hi) metadata table — ONE small-file read, no listing
+    * of committed files — and the oracle re-derives every cell's range
+    * from the SOURCE with the same chunking arithmetic (partition =
+    * user_id mod 4, chunk = offset − offset mod flushSize, min/max
+    * epoch-µs). Hash equality proves the commit-time stats describe the
+    * data exactly — the invariant every marker-pruned read (readAsOf /
+    * readRange) silently leans on, now owned by the t2 gate.
+    */
+  private val qPipelineManifest = GQuery(
+    (s, d) => graft.streaming.OffsetNamedOrcSink
+      .manifest(s, asofSinkDir(s, d))
+      .select(col("partition"), col("chunk"), col("stats_lo"), col("stats_hi"))
+      .orderBy("partition", "chunk"),
+    Some("""SELECT CAST(user_id % 4 AS INT) AS partition,
+                   event_id - event_id % 1000 AS chunk,
+                   min(epoch_us(ts)) AS stats_lo,
+                   max(epoch_us(ts)) AS stats_hi
+            FROM events GROUP BY 1, 2 ORDER BY partition, chunk"""))
 
   /** Compaction losslessness: the memoized TimeDaily sink dir (flush 5000)
     * recompacted onto the 10000 grid must read back row-identical — oracled
@@ -822,6 +850,7 @@ object PipelineOps extends QueryModule {
     "q_fmt_roundtrip" -> qFmtRoundtrip,
     "q_read_offset_range" -> qReadOffsetRange,
     "q_read_asof" -> qReadAsof,
+    "q_pipeline_manifest" -> qPipelineManifest,
     "q_compact_roundtrip" -> qCompactRoundtrip,
     "q_delete_keyed" -> qDeleteKeyed,
     "q_expire_retention" -> qExpireRetention,

@@ -1071,6 +1071,37 @@ object OffsetNamedOrcSink {
     * exactly that when the topic has no stats for `column` (legacy dir, or
     * written without statsColumn — the config marker records which).
     */
+  /** The topic's committed-cell CATALOG as a DataFrame — the queryable face
+    * of the `_graft_stats` marker (one row per committed (prefix, partition,
+    * chunk) cell with its recorded stats range): what a lakehouse exposes as
+    * a manifest/`files` metadata table. Reading it costs ONE small marker
+    * file — never a listing of the topic's committed files — so "how many
+    * chunks, covering which ranges" is answerable at any topic size; an
+    * audit joins it against source-side chunk arithmetic to prove the
+    * recorded stats match the data (q_pipeline_manifest does exactly that).
+    * Driver-side parse of a metadata-sized marker: the touchedLeaves /
+    * maintenance-listing control-plane sanction.
+    */
+  def manifest(spark: SparkSession, topicDir: String): DataFrame = {
+    val fs = FileSystem.get(new java.net.URI(topicDir),
+      spark.sparkContext.hadoopConfiguration)
+    val root = new Path(topicDir)
+    val inflight = new Path(root, InflightMarker)
+    if (fs.exists(inflight))
+      recoverFromMarker(fs, root, root.getName, inflight)
+    import spark.implicits._
+    val rows = readMarker(fs, new Path(root, StatsMarker))
+      .map(_.linesIterator.filter(_.nonEmpty).map { l =>
+        val f = l.split("\\|", -1)
+        val nPrefix = f.length - 4
+        val prefix = f.take(nPrefix)
+          .map(v => java.net.URLDecoder.decode(v, "UTF-8")).mkString("/")
+        (prefix, f(nPrefix).toInt, f(nPrefix + 1).toLong,
+          f(nPrefix + 2).toLong, f(nPrefix + 3).toLong)
+      }.toSeq).getOrElse(Nil)
+    rows.toDF("prefix", "partition", "chunk", "stats_lo", "stats_hi")
+  }
+
   def readAsOf(spark: SparkSession, topicDir: String, column: String,
       lo: Long, hi: Long): DataFrame = {
     require(lo < hi, s"empty stats window [$lo, $hi)")
