@@ -787,7 +787,61 @@ object TextOps extends QueryModule {
             FROM ranked WHERE rk <= 5 ORDER BY qid, rk"""
     })
 
+  /** Feature hashing (the hashing trick, Weinberger et al. 2009) with its
+    * collision profile — the fixed-width vectorizer that needs NO vocabulary
+    * pass: token → md5-hex4 mod 256 bucket, sign from the next hash bit
+    * (unbiased signed variant). Emits the 20 most loaded buckets with their
+    * total hits, signed sum, and DISTINCT-token load — the collision count
+    * that decides whether 2^k buckets suffice for the vocabulary, which is
+    * the one diagnostic a hashing-trick deployment must watch (collisions
+    * are silent; this makes them a number).
+    *
+    * Scale: one token explode → (bucket) partial agg; the distinct-token
+    * load aggregates over the (bucket, token) pairs — bounded by vocabulary,
+    * not corpus (the tfidf df economics). No vocabulary broadcast, no
+    * dictionary build: exactly why the trick exists at 100 TB.
+    */
+  private val qTextHashing = GQuery(
+    (s, d) => {
+      val toks = t(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+      val hashed = toks.select(col("tok"),
+        graft.operators.DedupOps.hex4(col("tok")).as("h"))
+        .select(col("tok"), pmod(col("h"), lit(256)).as("bucket"),
+          when(pmod(expr("h div 256"), lit(2)) === 0, 1L).otherwise(-1L)
+            .as("sign"))
+      val perTok = hashed.groupBy("bucket", "tok")
+        .agg(count(lit(1)).as("c"), max("sign").as("sign"))
+      perTok.groupBy("bucket")
+        .agg(sum("c").as("n_hits"),
+          sum(col("c") * col("sign")).as("signed_sum"),
+          count(lit(1)).as("n_tokens"))
+        .orderBy(col("n_hits").desc, col("bucket").asc)
+        .limit(20)
+    },
+    Some(s"""WITH toks AS (
+               SELECT unnest(string_split(lower(text), ' ')) AS tok
+               FROM documents),
+             hashed AS (
+               SELECT tok,
+                      ${graft.operators.DedupOps.duckHex4("md5(tok)")} AS h
+               FROM toks),
+             b AS (
+               SELECT tok, h % 256 AS bucket,
+                      CASE WHEN (h // 256) % 2 = 0 THEN 1 ELSE -1 END AS sign
+               FROM hashed),
+             pertok AS (
+               SELECT bucket, tok, CAST(count(*) AS BIGINT) AS c,
+                      CAST(max(sign) AS BIGINT) AS sign
+               FROM b GROUP BY 1, 2)
+             SELECT bucket, CAST(sum(c) AS BIGINT) AS n_hits,
+                    CAST(sum(c * sign) AS BIGINT) AS signed_sum,
+                    CAST(count(*) AS BIGINT) AS n_tokens
+             FROM pertok GROUP BY 1
+             ORDER BY n_hits DESC, bucket LIMIT 20"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_text_hashing" -> qTextHashing,
     "q_quality_gopher" -> qQualityGopher,
     "q_text_lm_score" -> qTextLmScore,
     "q_text_bm25" -> qTextBm25,
