@@ -428,7 +428,127 @@ object GraphOps extends QueryModule {
             FROM cand
             ORDER BY cn DESC, jac_ppm DESC, u, v LIMIT 20"""))
 
+  /** Community detection (3 fixed rounds of min-label propagation over the
+    * triangle-counter's co-engagement graph) SCORED by Newman modularity —
+    * the "did the clustering find real structure" number. Emitted exactly:
+    * per community, nodes / intra-edges / degree mass and the integer
+    * modularity numerator 4m·m_c − d_c² (Q = Σnum / 4m²); the total row
+    * carries Σnum and 4m² so Q is a ratio of two hashed BIGINTs — no
+    * division anywhere, because per-community terms go NEGATIVE and
+    * truncating `div` (Spark) vs flooring `//` (DuckDB) disagree below
+    * zero (the q_stats_mi rule).
+    *
+    * Determinism: min-label propagation is a fixed-round min-fold — no
+    * tie-breaking randomness (min is total on node ids); 3 rounds is the
+    * pagerank/kcore unrollable-oracle convention. Scale: each round is one
+    * adjacency join + min agg (BFS economics); the scoring pass is one
+    * edge join against the final labels + community-sized aggregates.
+    */
+  private val qGraphModularity = GQuery(
+    (s, d) => {
+      val edges = CoGraph.pairCounts(s, d)
+        .filter(col("c") >= 28)
+        .select("u", "v")
+        .localCheckpoint(true) // feeds adj, deg, scoring join
+      val adj = edges.select(col("u").as("x"), col("v").as("n"))
+        .union(edges.select(col("v").as("x"), col("u").as("n")))
+      var lab = adj.select(col("x")).distinct()
+        .select(col("x"), col("x").as("l"))
+      for (_ <- 1 to 3) {
+        val nbr = adj.join(lab.select(col("x").as("n"), col("l").as("nl")), "n")
+          .groupBy("x").agg(min("nl").as("best"))
+        lab = lab.join(nbr, Seq("x"), "left")
+          .select(col("x"), least(col("l"), coalesce(col("best"), col("l"))).as("l"))
+          .localCheckpoint(true)
+      }
+      val deg = adj.groupBy("x").agg(count(lit(1)).as("deg"))
+      val m = edges.count() // control-plane scalar (bigrams-n precedent)
+      val comm = lab.join(deg, "x")
+        .groupBy(col("l").as("community"))
+        .agg(count(lit(1)).as("n_nodes"), sum("deg").as("d_sum"))
+      val intra = edges
+        .join(lab.select(col("x").as("u"), col("l").as("lu")), "u")
+        .join(lab.select(col("x").as("v"), col("l").as("lv")), "v")
+        .filter(col("lu") === col("lv"))
+        .groupBy(col("lu").as("community")).agg(count(lit(1)).as("m_intra"))
+      val cells = comm.join(intra, Seq("community"), "left")
+        .select(col("community"), col("n_nodes"), col("d_sum"),
+          coalesce(col("m_intra"), lit(0L)).as("m_intra"))
+        .withColumn("num",
+          lit(4L * m) * col("m_intra") - col("d_sum") * col("d_sum"))
+      val total = cells.agg(sum("n_nodes").as("n_nodes"),
+          sum("d_sum").as("d_sum"), sum("m_intra").as("m_intra"),
+          sum("num").as("num"))
+        .select(lit(-1L).as("community"), col("n_nodes"), col("d_sum"),
+          col("m_intra"), col("num"))
+      cells.unionByName(total)
+        .withColumn("q_den", lit(4L * m * m))
+        .orderBy("community")
+    },
+    Some("""WITH ev AS (
+              SELECT DISTINCT event_type,
+                     CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+              FROM events),
+            edges AS (
+              SELECT a.user_id AS u, b.user_id AS v
+              FROM ev a JOIN ev b
+                ON a.event_type = b.event_type AND a.d = b.d
+                   AND a.user_id < b.user_id
+              GROUP BY 1, 2 HAVING count(*) >= 28),
+            adj AS (
+              SELECT u AS x, v AS n FROM edges
+              UNION ALL SELECT v, u FROM edges),
+            l0 AS (SELECT DISTINCT x, x AS l FROM adj),
+            l1 AS (
+              SELECT l0.x, least(l0.l, coalesce(min(nb.l), l0.l)) AS l
+              FROM l0 LEFT JOIN (
+                SELECT adj.x, t.l FROM adj JOIN l0 t ON t.x = adj.n) nb
+                ON nb.x = l0.x
+              GROUP BY l0.x, l0.l),
+            l2 AS (
+              SELECT l1.x, least(l1.l, coalesce(min(nb.l), l1.l)) AS l
+              FROM l1 LEFT JOIN (
+                SELECT adj.x, t.l FROM adj JOIN l1 t ON t.x = adj.n) nb
+                ON nb.x = l1.x
+              GROUP BY l1.x, l1.l),
+            l3 AS (
+              SELECT l2.x, least(l2.l, coalesce(min(nb.l), l2.l)) AS l
+              FROM l2 LEFT JOIN (
+                SELECT adj.x, t.l FROM adj JOIN l2 t ON t.x = adj.n) nb
+                ON nb.x = l2.x
+              GROUP BY l2.x, l2.l),
+            deg AS (SELECT x, CAST(count(*) AS BIGINT) AS deg
+                    FROM adj GROUP BY 1),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+            comm AS (
+              SELECT l3.l AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+                     CAST(sum(deg.deg) AS BIGINT) AS d_sum
+              FROM l3 JOIN deg USING (x) GROUP BY 1),
+            intra AS (
+              SELECT a.l AS community, CAST(count(*) AS BIGINT) AS m_intra
+              FROM edges e
+              JOIN l3 a ON a.x = e.u JOIN l3 b ON b.x = e.v
+              WHERE a.l = b.l GROUP BY 1),
+            cells AS (
+              SELECT c.community, c.n_nodes, c.d_sum,
+                     coalesce(i.m_intra, 0) AS m_intra,
+                     4 * m.m * coalesce(i.m_intra, 0) - c.d_sum * c.d_sum AS num
+              FROM comm c LEFT JOIN intra i USING (community) CROSS JOIN m),
+            total AS (
+              SELECT CAST(-1 AS BIGINT) AS community,
+                     CAST(sum(n_nodes) AS BIGINT) AS n_nodes,
+                     CAST(sum(d_sum) AS BIGINT) AS d_sum,
+                     CAST(sum(m_intra) AS BIGINT) AS m_intra,
+                     CAST(sum(num) AS BIGINT) AS num
+              FROM cells)
+            SELECT u.community, u.n_nodes, u.d_sum, u.m_intra,
+                   CAST(u.num AS BIGINT) AS num,
+                   CAST(4 * m.m * m.m AS BIGINT) AS q_den
+            FROM (SELECT * FROM cells UNION ALL SELECT * FROM total) u
+            CROSS JOIN m ORDER BY u.community"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_graph_modularity" -> qGraphModularity,
     "q_graph_pagerank" -> qGraphPagerank,
     "q_graph_triangles" -> qGraphTriangles,
     "q_graph_kcore" -> qGraphKcore,
