@@ -834,7 +834,60 @@ object RelationalExt extends QueryModule {
             FROM cum c JOIN tot t USING (flag)
             GROUP BY 1 ORDER BY c.flag"""))
 
+  /** Set algebra ON sketches — audience-overlap estimation by
+    * inclusion–exclusion over HLLs: per event_type, the users active in the
+    * stream's first half (A), second half (B), and their retention overlap
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B). HLLs union natively but do NOT
+    * intersect — inclusion–exclusion is the standard workaround and its
+    * error COMPOUNDS (three ±1% estimates difference), which is exactly
+    * what the soundness flag bounds: |est − exact| ≤ 5% of (|A|+|B|) + 5,
+    * an absolute margin because a small true intersection makes relative
+    * error unbounded. The q_agg_approx gate pattern: exact values hash
+    * cross-engine, sketch behavior collapses to a margin boolean the
+    * oracle asserts `true` (drift shows in q_agg_approx_debug's twin
+    * methodology, not an opaque hash flip).
+    *
+    * Scale: ONE conditional-sketch pass (when() nulls route each user into
+    * its half's HLL — no second scan, no join); exact twins ride the same
+    * partial-agg pass. At 100 TB the sketches merge tree-wise; the exact
+    * twins are the audit, run on samples.
+    */
+  private val qAggHllIntersect = GQuery(
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_type"), col("user_id"),
+          (unix_timestamp(col("ts")) < lit(1705752000L)).as("firsthalf"))
+      val agg = ev.groupBy("event_type").agg(
+        approx_count_distinct(when(col("firsthalf"), col("user_id")), 0.01)
+          .as("ea"),
+        approx_count_distinct(when(!col("firsthalf"), col("user_id")), 0.01)
+          .as("eb"),
+        approx_count_distinct(col("user_id"), 0.01).as("eu"),
+        countDistinct(when(col("firsthalf"), col("user_id"))).as("na"),
+        countDistinct(when(!col("firsthalf"), col("user_id"))).as("nb"),
+        countDistinct(col("user_id")).as("nu"))
+      agg.select(col("event_type"), col("na"), col("nb"),
+          (col("na") + col("nb") - col("nu")).as("inter_exact"),
+          (abs((col("ea") + col("eb") - col("eu"))
+            - (col("na") + col("nb") - col("nu")))
+            <= (col("na") + col("nb")) * 0.05 + 5).as("inter_ok"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type,
+                   CAST(count(DISTINCT CASE WHEN epoch(date_trunc('second', ts))
+                     < 1705752000 THEN user_id END) AS BIGINT) AS na,
+                   CAST(count(DISTINCT CASE WHEN epoch(date_trunc('second', ts))
+                     >= 1705752000 THEN user_id END) AS BIGINT) AS nb,
+                   CAST(count(DISTINCT CASE WHEN epoch(date_trunc('second', ts))
+                     < 1705752000 THEN user_id END)
+                     + count(DISTINCT CASE WHEN epoch(date_trunc('second', ts))
+                         >= 1705752000 THEN user_id END)
+                     - count(DISTINCT user_id) AS BIGINT) AS inter_exact,
+                   true AS inter_ok
+            FROM events GROUP BY 1 ORDER BY event_type"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_agg_hll_intersect" -> qAggHllIntersect,
     "q_agg_wquantile" -> qAggWquantile,
     "q_events_variant" -> qEventsVariant,
     "q_agg_incremental" -> qAggIncremental,
