@@ -841,7 +841,95 @@ object Relational extends QueryModule {
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey ORDER BY c_nationkey"""))
 
+  /** As-of join, NEAREST direction with a tolerance (pandas merge_asof's
+    * `direction='nearest', tolerance=...` — q_join_asof is the backward
+    * default): each click matches its temporally closest same-user purchase
+    * within ±900 s, ties to the earlier side. Same union-merge plan as the
+    * backward twin — ONE user-partitioned sort carries BOTH directions
+    * (backward = last-ignoreNulls over the preceding frame, forward =
+    * first-ignoreNulls over the following frame), so nearest costs the
+    * same single window pass as backward, never a range self-join. The
+    * signed delta (negative = matched backward) and a matched flag emit;
+    * out-of-tolerance clicks keep their row with nulls (left semantics).
+    */
+  private val qJoinAsofNearest = GQuery(
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("ts_sec"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_sec"), lit(0).as("kind"),
+          col("event_id"), col("event_id").as("p_id"), col("ts_sec").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_sec"), lit(1).as("kind"),
+          col("event_id"), lit(null).cast("long").as("p_id"),
+          lit(null).cast("long").as("p_ts"))
+      val ord = Window.partitionBy("user_id").orderBy("ts_sec", "kind", "event_id")
+      val wB = ord.rowsBetween(Window.unboundedPreceding, 0)
+      val wF = ord.rowsBetween(0, Window.unboundedFollowing)
+      val merged = purchases.union(clicks)
+        .withColumn("b_id", last(col("p_id"), ignoreNulls = true).over(wB))
+        .withColumn("b_ts", last(col("p_ts"), ignoreNulls = true).over(wB))
+        .withColumn("f_id", first(col("p_id"), ignoreNulls = true).over(wF))
+        .withColumn("f_ts", first(col("p_ts"), ignoreNulls = true).over(wF))
+        .filter(col("kind") === 1)
+        .withColumn("bd", col("ts_sec") - col("b_ts"))
+        .withColumn("fd", col("f_ts") - col("ts_sec"))
+      val takeB = col("bd").isNotNull && (col("fd").isNull || col("bd") <= col("fd"))
+      val candId = when(takeB, col("b_id")).otherwise(col("f_id"))
+      val candDt = when(takeB, -col("bd")).otherwise(col("fd"))
+      merged
+        .withColumn("near_p_id", when(abs(candDt) <= 900, candId))
+        .withColumn("near_dt", when(abs(candDt) <= 900, candDt))
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts_sec"), col("near_p_id"), col("near_dt"),
+          col("near_p_id").isNotNull.as("matched"))
+        .orderBy("click_id")
+    },
+    Some("""WITH ev AS (
+              SELECT event_id, user_id, event_type,
+                     CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+              FROM events),
+            u AS (
+              SELECT user_id, ts_sec, 0 AS kind, event_id,
+                     event_id AS p_id, ts_sec AS p_ts
+              FROM ev WHERE event_type = 'purchase'
+              UNION ALL
+              SELECT user_id, ts_sec, 1 AS kind, event_id,
+                     CAST(NULL AS BIGINT) AS p_id, CAST(NULL AS BIGINT) AS p_ts
+              FROM ev WHERE event_type = 'click'),
+            m AS (
+              SELECT *,
+                     last_value(p_id IGNORE NULLS) OVER wb AS b_id,
+                     last_value(p_ts IGNORE NULLS) OVER wb AS b_ts,
+                     first_value(p_id IGNORE NULLS) OVER wf AS f_id,
+                     first_value(p_ts IGNORE NULLS) OVER wf AS f_ts
+              FROM u
+              WINDOW wb AS (PARTITION BY user_id ORDER BY ts_sec, kind, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     wf AS (PARTITION BY user_id ORDER BY ts_sec, kind, event_id
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+            c AS (
+              SELECT event_id, user_id, ts_sec,
+                     ts_sec - b_ts AS bd, f_ts - ts_sec AS fd,
+                     b_id, f_id
+              FROM m WHERE kind = 1),
+            pick AS (
+              SELECT event_id, user_id, ts_sec,
+                     CASE WHEN bd IS NOT NULL AND (fd IS NULL OR bd <= fd)
+                       THEN b_id ELSE f_id END AS cand_id,
+                     CASE WHEN bd IS NOT NULL AND (fd IS NULL OR bd <= fd)
+                       THEN -bd ELSE fd END AS cand_dt
+              FROM c)
+            SELECT event_id AS click_id, user_id, ts_sec,
+                   CASE WHEN abs(cand_dt) <= 900 THEN cand_id END AS near_p_id,
+                   CASE WHEN abs(cand_dt) <= 900 THEN cand_dt END AS near_dt,
+                   CASE WHEN abs(cand_dt) <= 900 THEN cand_id END IS NOT NULL
+                     AS matched
+            FROM pick ORDER BY click_id"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_join_asof_nearest" -> qJoinAsofNearest,
     "q_join_asof" -> qJoinAsof,
     "q_join_range" -> qJoinRange,
     "q_agg_cube" -> qAggCube,
