@@ -928,7 +928,57 @@ object Relational extends QueryModule {
                      AS matched
             FROM pick ORDER BY click_id"""))
 
+  /** The SQL ENTRY PATH end-to-end: a TPC-H-Q5-shaped star join (local
+    * supplier revenue per nation — lineitem ⋈ orders ⋈ customer ⋈ supplier
+    * ⋈ nation ⋈ region, same-nation constraint, date window) submitted as
+    * `spark.sql` TEXT over registered temp views — every other query here
+    * drives the DataFrame API; this one proves a SQL-only user gets the
+    * identical engine (same Catalyst plans, same broadcasts, ANSI mode).
+    * Revenue is exact centi-cent integers (price-cents × (100 − disc-pct))
+    * so the engines hash identical BIGINTs — no fp revenue anywhere.
+    */
+  private val qSqlStar = GQuery(
+    (s, d) => {
+      Seq("lineitem", "orders", "customer", "supplier", "nation", "region")
+        .foreach(n => t(s, d, n).createOrReplaceTempView(s"graft_$n"))
+      s.sql("""
+        SELECT n.n_name,
+               count(*) AS n_items,
+               sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   * (100L - CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)))
+                 AS revenue_cc
+        FROM graft_lineitem l
+        JOIN graft_orders o    ON l.l_orderkey = o.o_orderkey
+        JOIN graft_customer c  ON o.o_custkey = c.c_custkey
+        JOIN graft_supplier su ON l.l_suppkey = su.s_suppkey
+        JOIN graft_nation n    ON c.c_nationkey = n.n_nationkey
+        JOIN graft_region r    ON n.n_regionkey = r.r_regionkey
+        WHERE su.s_nationkey = c.c_nationkey
+          AND r.r_name IN ('ASIA', 'EUROPE')
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n.n_name
+        ORDER BY revenue_cc DESC, n_name""")
+    },
+    Some("""SELECT n.n_name,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)
+                     * (100 - CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100
+                         AS BIGINT))) AS BIGINT) AS revenue_cc
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n   ON c.c_nationkey = n.n_nationkey
+            JOIN region r   ON n.n_regionkey = r.r_regionkey
+            WHERE s.s_nationkey = c.c_nationkey
+              AND r.r_name IN ('ASIA', 'EUROPE')
+              AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n.n_name
+            ORDER BY revenue_cc DESC, n_name"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_sql_star" -> qSqlStar,
     "q_join_asof_nearest" -> qJoinAsofNearest,
     "q_join_asof" -> qJoinAsof,
     "q_join_range" -> qJoinRange,
