@@ -791,10 +791,14 @@ object RelationalExt extends QueryModule {
     (s, d) => {
       val v = col("l_extendedprice").cast("decimal(18,2)").*(lit(100)).cast("long")
       val w = col("l_quantity").cast("decimal(18,2)").*(lit(100)).cast("long")
+      // the grid feeds off + cum (and tot through cum) — materialize the
+      // value-domain-sized aggregate once or the corpus scan runs per
+      // consumer (the triangles/setjoin lesson; plan-pinned to 1 scan)
       val grid = t(s, d, "lineitem")
         .select(col("l_returnflag").as("flag"), v.as("v"), w.as("w"))
         .groupBy("flag", "v").agg(sum("w").as("vw"))
         .withColumn("bkt", expr("v div 100000000"))
+        .localCheckpoint(true)
       val wOff = Window.partitionBy("flag").orderBy("bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
       val off = grid.groupBy("flag", "bkt").agg(sum("vw").as("bw"))

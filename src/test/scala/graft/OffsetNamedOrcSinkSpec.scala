@@ -1139,6 +1139,36 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
     }
   }
 
+  test("manifest exposes the committed-cell catalog; erasure drops emptied cells' rows") {
+    val ev = Tables(spark, sf, "events")
+    val shaped = ev.select(
+      col("user_id").cast("string").cast("binary").as("key"),
+      struct(col("event_id").as("id"), unix_micros(col("ts")).as("tsu"),
+        col("event_type").as("etype")).as("value"),
+      lit("man").as("topic"),
+      pmod(col("user_id"), lit(4)).cast("int").as("partition"),
+      col("event_id").as("offset"),
+      col("ts").as("timestamp"))
+    val topicDir = OffsetNamedOrcSink.write(shaped, freshOut(), flushSize = 100,
+      topic = "man", statsColumn = Some("tsu"))
+    val man = OffsetNamedOrcSink.manifest(spark, topicDir)
+    // one row per committed (partition, chunk) cell; ranges match the data
+    val truth = OffsetNamedOrcSink.read(spark, topicDir)
+      .groupBy(col("partition"), col("_chunk").as("chunk"))
+      .agg(min("tsu").as("stats_lo"), max("tsu").as("stats_hi"))
+    assert(man.count() == truth.count() && man.count() > 0)
+    assert(man.select("partition", "chunk", "stats_lo", "stats_hi")
+      .exceptAll(truth.select("partition", "chunk", "stats_lo", "stats_hi"))
+      .count() == 0)
+    // erasing a whole chunk's rows removes its manifest row, keeps the rest
+    val before = man.count()
+    OffsetNamedOrcSink.deleteRows(spark, topicDir, col("offset") < 100)
+    val after = OffsetNamedOrcSink.manifest(spark, topicDir)
+    assert(after.filter(col("chunk") === 0L).count() == 0,
+      "emptied cell still listed in the manifest")
+    assert(after.count() < before && after.count() > 0)
+  }
+
   test("deleteRows refreshes stats — erasure leaves no stale skipping ranges") {
     val ev = Tables(spark, sf, "events")
     val shaped = ev.select(

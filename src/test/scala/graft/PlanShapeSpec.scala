@@ -723,4 +723,35 @@ class PlanShapeSpec extends SparkSpec {
       "changepoint rescans events:\n" + cp.take(3000))
     assert(cp.contains("HashAggregate"), cp.take(3000))
   }
+
+  test("round-7b operators: SQL lowers to broadcasts, merge-asof sorts once, one-pass sketches") {
+    // SQL text → the same engine: dims broadcast, the date filter reaches
+    // the orders scan
+    val sql = plan("q_sql_star")
+    assert(sql.contains("BroadcastHashJoin"), sql.take(3000))
+    assert(sql.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate")
+      || sql.contains("GreaterThanOrEqual(o_orderdate"), sql.take(4000))
+
+    // nearest as-of: both direction frames ride ONE user-partitioned sort —
+    // adding the forward frame must not add an exchange
+    val asof = plan("q_join_asof_nearest")
+    val exchanges = "Exchange".r.findAllIn(asof).length
+    assert(exchanges <= 3, // union inputs + window partition + final sort
+      s"nearest as-of shuffles beyond its merge plan ($exchanges):\n" + asof.take(3000))
+    assert(!asof.contains("CartesianProduct") && !asof.contains("BroadcastNestedLoopJoin"),
+      asof.take(3000))
+
+    // weighted quantiles: one scan; windows are (flag)/(flag,bkt)
+    // partitioned — never a whole-table single-partition sort
+    val wq = plan("q_agg_wquantile")
+    assert("Scan parquet".r.findAllIn(wq).length <= 1, wq.take(3000))
+
+    // hashing trick: top-k short-circuits
+    val th = plan("q_text_hashing")
+    assert(th.contains("TakeOrderedAndProject"), th.take(3000))
+
+    // HLL intersect: sketches and exact twins share ONE scan and agg chain
+    val hll = plan("q_agg_hll_intersect")
+    assert("Scan parquet".r.findAllIn(hll).length <= 1, hll.take(3000))
+  }
 }
