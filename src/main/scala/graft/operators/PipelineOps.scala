@@ -298,6 +298,58 @@ object PipelineOps extends QueryModule {
                    max(epoch_us(ts)) AS stats_hi
             FROM events GROUP BY 1, 2 ORDER BY partition, chunk"""))
 
+  /** Schema evolution on READ: two parquet batches of the same logical
+    * table written under one root with different physical schemas — the
+    * second batch adds a `priority` column — read back through Spark's
+    * mergeSchema union, old rows surfacing the added column as null
+    * (Backward-compat semantics, the parquet twin of the ORC sink's drift
+    * modes pinned in OffsetNamedOrcSinkSpec). The aggregation coalesces
+    * the evolution gap explicitly ('unknown'), which is what a pipeline
+    * consuming an evolving landing zone must always do.
+    *
+    * Scale note: mergeSchema reconciles footers at planning time — cost is
+    * per-FILE metadata, not data; production pins the merged schema in a
+    * catalog once rather than re-deriving per query (the sink's schema
+    * latch is exactly that discipline).
+    */
+  private val qSchemaEvolution = GQuery(
+    (s, d) => {
+      val root = writtenDirs.computeIfAbsent(s"evolve|$d", _ => {
+        val base = Files.createTempDirectory("graft-evolve-").toString
+        val o = t(s, d, "orders").select(col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").*(lit(100)).cast("long")
+            .as("cents"),
+          col("o_orderpriority"))
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+          .select("o_orderkey", "cents")
+          .write.mode("overwrite").parquet(s"$base/v1")
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+          .select(col("o_orderkey"), col("cents"),
+            col("o_orderpriority").as("priority"))
+          .write.mode("overwrite").parquet(s"$base/v2")
+        base
+      })
+      s.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true").parquet(root)
+        .select(coalesce(col("priority"), lit("unknown")).as("priority"),
+          col("cents"))
+        .groupBy("priority")
+        .agg(count(lit(1L)).as("n"), sum("cents").as("sum_cents"))
+        .orderBy("priority")
+    },
+    Some("""WITH u AS (
+              SELECT 'unknown' AS priority,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cents
+              FROM orders WHERE o_orderkey % 2 = 0
+              UNION ALL
+              SELECT o_orderpriority,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              FROM orders WHERE o_orderkey % 2 = 1)
+            SELECT priority, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM u GROUP BY 1 ORDER BY priority"""))
+
   /** Compaction losslessness: the memoized TimeDaily sink dir (flush 5000)
     * recompacted onto the 10000 grid must read back row-identical — oracled
     * as per-day count/offset-range against the source events. Compaction is
@@ -851,6 +903,7 @@ object PipelineOps extends QueryModule {
     "q_read_offset_range" -> qReadOffsetRange,
     "q_read_asof" -> qReadAsof,
     "q_pipeline_manifest" -> qPipelineManifest,
+    "q_schema_evolution" -> qSchemaEvolution,
     "q_compact_roundtrip" -> qCompactRoundtrip,
     "q_delete_keyed" -> qDeleteKeyed,
     "q_expire_retention" -> qExpireRetention,

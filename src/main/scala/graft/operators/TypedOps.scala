@@ -79,7 +79,50 @@ object TypedOps extends QueryModule {
                    min(event_id) AS first_id
             FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  /** Case classes for the typed join — object-level so their Encoders
+    * derive once.
+    */
+  final case class OrderRow(o_custkey: Long, cents: Long)
+  final case class CustRow(c_custkey: Long, seg: String)
+
+  /** `joinWith` + `reduceGroups`: the fully TYPED relational path —
+    * Dataset[OrderRow] ⋈ Dataset[CustRow] yields Dataset[(OrderRow,
+    * CustRow)] (both sides survive as typed objects, no Row casts), mapped
+    * to (segment, cents, 1) and reduced per key. reduceGroups runs through
+    * ReduceAggregator, so it gets map-side partial aggregation like any
+    * built-in — the typed API costs an encoder round-trip per row here
+    * (why the engine's default surface is columns), but loses nothing on
+    * plan shape: same broadcast join, same partial-then-final agg. Cents
+    * stay exact longs through the typed path; the oracle is the plain
+    * relational twin.
+    */
+  private val qTypedJoinwith = GQuery(
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val od = t(s, d, "orders").select(col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").*(lit(100)).cast("long")
+            .as("cents"))
+        .as[OrderRow]
+      val cd = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+        .as[CustRow]
+      od.joinWith(cd, od("o_custkey") === cd("c_custkey"), "inner")
+        .map { case (o, c) => (c.seg, o.cents, 1L) }
+        .groupByKey(_._1)
+        .reduceGroups((a, b) => (a._1, a._2 + b._2, a._3 + b._3))
+        .map { case (seg, (_, cents, n)) => (seg, n, cents) }
+        .toDF("seg", "n_orders", "sum_cents")
+        .orderBy("seg")
+    },
+    Some("""SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                     AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1 ORDER BY seg"""))
+
   override val queries: Map[String, GQuery] = Map(
     "q_agg_udaf" -> qAggUdaf,
+    "q_typed_joinwith" -> qTypedJoinwith,
     "q_typed_mapgroups" -> qTypedMapgroups)
 }
