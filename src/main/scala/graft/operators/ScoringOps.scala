@@ -973,7 +973,9 @@ object ScoringOps extends QueryModule {
           when(col("prec_ppm") + col("rec_ppm") > 0,
             expr("(2 * prec_ppm * rec_ppm) div (prec_ppm + rec_ppm)"))
             .otherwise(0L))
-        .withColumn("acc_ppm", expr("(tp + tn) * 1000000L div (tp + fp + fn + tn)"))
+        .withColumn("acc_ppm",
+          when(col("tp") + col("fp") + col("fn") + col("tn") > 0,
+            expr("(tp + tn) * 1000000L div (tp + fp + fn + tn)")).otherwise(0L))
         .drop("n")
         .orderBy("threshold")
     },
@@ -1018,8 +1020,9 @@ object ScoringOps extends QueryModule {
                    CAST(CASE WHEN prec_ppm + rec_ppm > 0
                      THEN (2 * prec_ppm * rec_ppm) // (prec_ppm + rec_ppm)
                      ELSE 0 END AS BIGINT) AS f1_ppm,
-                   CAST((tp + tn) * 1000000 // (tp + fp + fn + tn) AS BIGINT)
-                     AS acc_ppm
+                   CAST(CASE WHEN tp + fp + fn + tn > 0
+                     THEN (tp + tn) * 1000000 // (tp + fp + fn + tn)
+                     ELSE 0 END AS BIGINT) AS acc_ppm
             FROM m ORDER BY threshold"""))
 
   // --------------------------------------------------- mutual information --
@@ -1146,7 +1149,8 @@ object ScoringOps extends QueryModule {
           dround(col("sar").cast("double") / 1e6 / col("n").cast("double") / 100.0, 4)
             .as("mae_dollars"),
           dround(sqrt(sse / col("n").cast("double")) / 100.0, 4).as("rmse_dollars"),
-          dround(lit(1.0) - sse / sst, 6).as("r2"),
+          // constant-y slice ⇒ SST = 0 ⇒ R² undefined: null, not ±Inf
+          when(sst > 0, dround(lit(1.0) - sse / sst, 6)).as("r2"),
           dround(col("sr").cast("double") / 1e6 / col("n").cast("double") / 100.0, 4)
             .as("bias_dollars"))
         .orderBy("seg")
@@ -1176,9 +1180,12 @@ object ScoringOps extends QueryModule {
                    CAST(round(CAST(sqrt(CAST(srr AS DOUBLE) / 1e12
                      / CAST(n AS DOUBLE)) / 100.0 AS DECIMAL(30,8)), 4) AS DOUBLE)
                      AS rmse_dollars,
-                   CAST(round(CAST(1.0 - (CAST(srr AS DOUBLE) / 1e12)
-                     / (CAST(n * syy - sy * sy AS DOUBLE) / CAST(n AS DOUBLE))
-                     AS DECIMAL(30,8)), 6) AS DOUBLE) AS r2,
+                   CASE WHEN CAST(n * syy - sy * sy AS DOUBLE)
+                       / CAST(n AS DOUBLE) > 0
+                     THEN CAST(round(CAST(1.0 - (CAST(srr AS DOUBLE) / 1e12)
+                       / (CAST(n * syy - sy * sy AS DOUBLE) / CAST(n AS DOUBLE))
+                       AS DECIMAL(30,8)), 6) AS DOUBLE)
+                   END AS r2,
                    CAST(round(CAST(CAST(sr AS DOUBLE) / 1e6
                      / CAST(n AS DOUBLE) / 100.0 AS DECIMAL(30,8)), 4) AS DOUBLE)
                      AS bias_dollars
