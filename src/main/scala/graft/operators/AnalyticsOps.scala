@@ -2101,7 +2101,82 @@ object AnalyticsOps extends QueryModule {
                     END AS acf
              FROM st ORDER BY k"""))
 
+  /** RFM segmentation — recency / frequency / monetary quintile scores per
+    * purchasing user, with the classic lifecycle labels (champion / loyal /
+    * at-risk / hibernating / regular). The anchor for recency is the
+    * stream's own max timestamp (data-derived, so the query is
+    * replay-stable). ntile(5) with a user_id tie-break makes the quintile
+    * assignment a total order — both engines implement SQL-standard ntile
+    * (equal buckets, earlier rows take the remainder) identically.
+    *
+    * Scale: the corpus collapses to one row per purchasing USER in a
+    * partial agg before any window; the unpartitioned ntile then sorts
+    * users, not events — fine to millions, and past that the production
+    * path is quantile-boundary bucketing (q_feature_bucketize's shape)
+    * instead of a rank. Monetary is exact cents; recency is whole days.
+    */
+  private val qEventsRfm = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val p = t(s, d, "events").filter(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("day"), cents.as("v"))
+      val perUser = p.groupBy("user_id")
+        .agg(max("day").as("last_day"), count(lit(1L)).as("f_n"),
+          sum("v").as("m_cents"))
+      val anchor = p.agg(max("day").as("anchor"))
+      val scored = perUser.crossJoin(broadcast(anchor))
+        .withColumn("r_days", datediff(col("anchor"), col("last_day")).cast("long"))
+        .withColumn("r_score",
+          lit(6) - ntile(5).over(Window.orderBy(col("r_days").asc, col("user_id").asc)))
+        .withColumn("f_score",
+          ntile(5).over(Window.orderBy(col("f_n").asc, col("user_id").asc)))
+        .withColumn("m_score",
+          ntile(5).over(Window.orderBy(col("m_cents").asc, col("user_id").asc)))
+      scored.select(col("user_id"), col("r_days"), col("f_n"), col("m_cents"),
+          col("r_score"), col("f_score"), col("m_score"),
+          when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4,
+            "champion")
+            .when(col("f_score") >= 4, "loyal")
+            .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+            .when(col("r_score") <= 2, "hibernating")
+            .otherwise("regular").as("segment"))
+        .orderBy("user_id")
+    },
+    Some("""WITH p AS (
+              SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+              FROM events WHERE event_type = 'purchase'),
+            pu AS (
+              SELECT user_id, max(day) AS last_day,
+                     CAST(count(*) AS BIGINT) AS f_n,
+                     CAST(sum(v) AS BIGINT) AS m_cents
+              FROM p GROUP BY 1),
+            a AS (SELECT max(day) AS anchor FROM p),
+            scored AS (
+              SELECT user_id,
+                     CAST(datediff('day', last_day, anchor) AS BIGINT) AS r_days,
+                     f_n, m_cents
+              FROM pu CROSS JOIN a),
+            ranked AS (
+              SELECT *,
+                     6 - ntile(5) OVER (ORDER BY r_days, user_id) AS r_score,
+                     ntile(5) OVER (ORDER BY f_n, user_id) AS f_score,
+                     ntile(5) OVER (ORDER BY m_cents, user_id) AS m_score
+              FROM scored)
+            SELECT user_id, r_days, f_n, m_cents,
+                   CAST(r_score AS INT) AS r_score,
+                   CAST(f_score AS INT) AS f_score,
+                   CAST(m_score AS INT) AS m_score,
+                   CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                          THEN 'champion'
+                        WHEN f_score >= 4 THEN 'loyal'
+                        WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                        WHEN r_score <= 2 THEN 'hibernating'
+                        ELSE 'regular' END AS segment
+            FROM ranked ORDER BY user_id"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_events_rfm" -> qEventsRfm,
     "q_ts_changepoint" -> qTsChangepoint,
     "q_ts_autocorr" -> qTsAutocorr,
     "q_sample_negatives" -> qSampleNegatives,
