@@ -2175,7 +2175,82 @@ object AnalyticsOps extends QueryModule {
                         ELSE 'regular' END AS segment
             FROM ranked ORDER BY user_id"""))
 
+  /** Spearman rank correlation between l_quantity and l_extendedprice —
+    * the robust (outlier-immune, monotonicity-sensing) companion to the
+    * Pearson corrmatrix. ρ = Pearson over the two columns' mid-ranks; the
+    * ranks come from the q_stats_auc machinery: per column, collapse to
+    * the distinct cent-value grid, cumulative counts give DOUBLED
+    * mid-ranks (2·cum + cnt + 1 — integers, no .5 halves), broadcast the
+    * value→rank map back onto the rows, then exact DECIMAL(38) moment
+    * sums over the (2rx, 2ry) pairs; the doubling cancels in ρ. fp only
+    * in the final cast→sqrt→divide (corrmatrix rule), drounded.
+    *
+    * Scale: two value-grid aggs (score-domain-bounded) + one row pass
+    * joining both rank maps + one scalar moment agg — the rank maps are
+    * grid-sized broadcasts, so no row-level sort or window ever runs over
+    * the corpus (the naive rank() formulation would).
+    */
+  private val qStatsSpearman = GQuery(
+    (s, d) => {
+      def cents(c: String) =
+        col(c).cast("decimal(18,2)").*(lit(100)).cast("long")
+      val rows = t(s, d, "lineitem")
+        .select(cents("l_quantity").as("x"), cents("l_extendedprice").as("y"))
+      def rankMap(c: String) = {
+        val w = Window.orderBy(c)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        rows.groupBy(c).agg(count(lit(1L)).as("cnt"))
+          .withColumn("cumb", coalesce(sum("cnt").over(w), lit(0L)))
+          .select(col(c), (col("cumb") * 2 + col("cnt") + 1).as(s"r$c"))
+      }
+      val ranked = rows
+        .join(broadcast(rankMap("x")), "x")
+        .join(broadcast(rankMap("y")), "y")
+      val st = ranked.agg(
+        count(lit(1L)).as("n"),
+        sum(col("rx").cast("decimal(38,0)")).as("sx"),
+        sum(col("ry").cast("decimal(38,0)")).as("sy"),
+        sum((col("rx") * col("rx")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("ry") * col("ry")).cast("decimal(38,0)")).as("syy"),
+        sum((col("rx") * col("ry")).cast("decimal(38,0)")).as("sxy"))
+      val dxx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      val dyy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+      val dxy = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+      st.select(col("n"), dround(dxy / sqrt(dxx * dyy), 6).as("spearman_rho"))
+    },
+    Some("""WITH rows_ AS (
+              SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+              FROM lineitem),
+            rmx AS (
+              SELECT x, CAST(coalesce(sum(cnt) OVER (ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+                     + cnt + 1 AS BIGINT) AS rx
+              FROM (SELECT x, CAST(count(*) AS BIGINT) AS cnt
+                    FROM rows_ GROUP BY 1)),
+            rmy AS (
+              SELECT y, CAST(coalesce(sum(cnt) OVER (ORDER BY y
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+                     + cnt + 1 AS BIGINT) AS ry
+              FROM (SELECT y, CAST(count(*) AS BIGINT) AS cnt
+                    FROM rows_ GROUP BY 1)),
+            rk AS (
+              SELECT rx, ry FROM rows_ JOIN rmx USING (x) JOIN rmy USING (y)),
+            st AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     sum(rx) AS sx, sum(ry) AS sy,
+                     sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+                     sum(rx * ry) AS sxy
+              FROM rk)
+            SELECT n,
+                   CAST(round(CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE))
+                     AS DECIMAL(30,8)), 6) AS DOUBLE) AS spearman_rho
+            FROM st"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_stats_spearman" -> qStatsSpearman,
     "q_events_rfm" -> qEventsRfm,
     "q_ts_changepoint" -> qTsChangepoint,
     "q_ts_autocorr" -> qTsAutocorr,
