@@ -2249,7 +2249,144 @@ object AnalyticsOps extends QueryModule {
                      AS DECIMAL(30,8)), 6) AS DOUBLE) AS spearman_rho
             FROM st"""))
 
+  /** Seasonal-naive forecast with MASE — the forecast-eval member of the
+    * time-series family (ACF finds the cycle; this scores the forecast the
+    * cycle implies). Per day in the series' last week: forecast = the
+    * value 7 days earlier (seasonal naive), baseline = the previous day
+    * (naive); errors are exact cents and MASE_ppm = Σ|e_model|·10⁶ div
+    * Σ|e_naive| — below 10⁶ means the weekly cycle beats persistence,
+    * the standard "is there a learnable pattern" gate before any real
+    * forecaster earns its compute.
+    *
+    * One day-level partial agg collapses the corpus; both lag columns ride
+    * ONE window pass over the ≤ #days series (changepoint economics). The
+    * per-day rows emit alongside the -1-keyed MASE summary row; integer
+    * div is safe — absolute errors are non-negative.
+    */
+  private val qTsSnaive = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val daily = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), cents.as("v"))
+        .groupBy("day").agg(sum("v").as("x"))
+      val w = Window.orderBy("day")
+      val wAll = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val lagged = daily
+        .withColumn("f_snaive", lag("x", 7).over(w))
+        .withColumn("f_naive", lag("x", 1).over(w))
+        .withColumn("last_day", max("day").over(wAll))
+        .filter(col("day") > date_sub(col("last_day"), 7))
+        .filter(col("f_snaive").isNotNull && col("f_naive").isNotNull)
+        .select(col("day"), col("x"),
+          col("f_snaive"), abs(col("x") - col("f_snaive")).as("e_model"),
+          abs(col("x") - col("f_naive")).as("e_naive"))
+      val summary = lagged.agg(sum("e_model").as("sm"), sum("e_naive").as("sn"))
+        .select(lit(null).cast("date").as("day"), lit(0L).as("x"),
+          lit(0L).as("f_snaive"), col("sm").as("e_model"),
+          col("sn").as("e_naive"))
+        .withColumn("mase_ppm",
+          when(col("e_naive") > 0, expr("e_model * 1000000L div e_naive"))
+            .otherwise(0L))
+      lagged.withColumn("mase_ppm", lit(0L))
+        .unionByName(summary)
+        .orderBy(col("day").asc_nulls_last)
+    },
+    Some("""WITH daily AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                     sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
+              FROM events GROUP BY 1),
+            lagged AS (
+              SELECT day, x,
+                     lag(x, 7) OVER (ORDER BY day) AS f_snaive,
+                     lag(x, 1) OVER (ORDER BY day) AS f_naive,
+                     max(day) OVER () AS last_day
+              FROM daily),
+            t AS (
+              SELECT day, CAST(x AS BIGINT) AS x,
+                     CAST(f_snaive AS BIGINT) AS f_snaive,
+                     CAST(abs(x - f_snaive) AS BIGINT) AS e_model,
+                     CAST(abs(x - f_naive) AS BIGINT) AS e_naive
+              FROM lagged
+              WHERE day > last_day - INTERVAL 7 DAY
+                AND f_snaive IS NOT NULL AND f_naive IS NOT NULL),
+            s AS (
+              SELECT CAST(NULL AS DATE) AS day, CAST(0 AS BIGINT) AS x,
+                     CAST(0 AS BIGINT) AS f_snaive,
+                     CAST(sum(e_model) AS BIGINT) AS e_model,
+                     CAST(sum(e_naive) AS BIGINT) AS e_naive
+              FROM t)
+            SELECT day, x, f_snaive, e_model, e_naive,
+                   CAST(0 AS BIGINT) AS mase_ppm FROM t
+            UNION ALL
+            SELECT day, x, f_snaive, e_model, e_naive,
+                   CAST(CASE WHEN e_naive > 0
+                     THEN e_model * 1000000 // e_naive ELSE 0 END AS BIGINT)
+            FROM s
+            ORDER BY day ASC NULLS LAST"""))
+
+  /** Deterministic epoch resharding — training-loader shuffling WITHOUT a
+    * global sort: each document's shard for epoch e is md5(doc_id:e) mod 8,
+    * so every epoch is a fresh pseudo-random permutation that any worker
+    * can recompute locally (resumable, seedable, no shuffle service state).
+    * Emits per (epoch, shard): count + id checksum (balance proof: the
+    * md5 assignment spreads uniformly), plus a summary row counting docs
+    * whose shard CHANGED between epochs 0 and 1 — the decorrelation
+    * property epoch reshuffling exists for (≈ 7/8 of docs move under
+    * independent assignment).
+    *
+    * Scale: a map-only hash per (doc, epoch) and one partial agg — no
+    * sort, no exchange beyond the 16-cell aggregation; this is why
+    * hash-sharding replaces orderBy(rand(seed)) at 100 TB (a true
+    * permutation costs a corpus sort PER EPOCH and pins the RNG to a
+    * partitioning).
+    */
+  private val qCorpusShuffle = GQuery(
+    (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+        .withColumn("s0",
+          pmod(DedupOps.hex4(concat(col("doc_id"), lit(":0"))), lit(8)))
+        .withColumn("s1",
+          pmod(DedupOps.hex4(concat(col("doc_id"), lit(":1"))), lit(8)))
+      val cells = docs.select(col("doc_id"), lit(0).as("epoch"), col("s0").as("shard"))
+        .unionByName(docs.select(col("doc_id"), lit(1).as("epoch"),
+          col("s1").as("shard")))
+        .groupBy("epoch", "shard")
+        .agg(count(lit(1L)).as("n"), sum("doc_id").as("id_sum"))
+      val moved = docs.agg(
+          sum(when(col("s0") =!= col("s1"), 1L).otherwise(0L)).as("n"),
+          count(lit(1L)).as("id_sum"))
+        .select(lit(-1).as("epoch"), lit(-1).cast("long").as("shard"),
+          col("n"), col("id_sum"))
+      cells.unionByName(moved).orderBy("epoch", "shard")
+    },
+    Some(s"""WITH docs AS (
+               SELECT doc_id,
+                      ${DedupOps.duckHex4("md5(CAST(doc_id AS VARCHAR) || ':0')")}
+                        % 8 AS s0,
+                      ${DedupOps.duckHex4("md5(CAST(doc_id AS VARCHAR) || ':1')")}
+                        % 8 AS s1
+               FROM documents),
+             cells AS (
+               SELECT epoch, shard, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(doc_id) AS BIGINT) AS id_sum
+               FROM (
+                 SELECT doc_id, 0 AS epoch, s0 AS shard FROM docs
+                 UNION ALL SELECT doc_id, 1, s1 FROM docs)
+               GROUP BY 1, 2),
+             moved AS (
+               SELECT -1 AS epoch, CAST(-1 AS BIGINT) AS shard,
+                      CAST(sum(CASE WHEN s0 <> s1 THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n,
+                      CAST(count(*) AS BIGINT) AS id_sum
+               FROM docs)
+             SELECT epoch, shard, n, id_sum FROM cells
+             UNION ALL SELECT epoch, shard, n, id_sum FROM moved
+             ORDER BY epoch, shard"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_corpus_shuffle" -> qCorpusShuffle,
+    "q_ts_snaive" -> qTsSnaive,
     "q_stats_spearman" -> qStatsSpearman,
     "q_events_rfm" -> qEventsRfm,
     "q_ts_changepoint" -> qTsChangepoint,
