@@ -2384,7 +2384,119 @@ object AnalyticsOps extends QueryModule {
              UNION ALL SELECT epoch, shard, n, id_sum FROM moved
              ORDER BY epoch, shard"""))
 
+  // ------------------------------------------------ 2D skyline (Pareto) --
+
+  /** Pareto-frontier (skyline) of customers: maximize order count, minimize
+    * average ticket — "the cheapest way to buy N times" frontier, the classic
+    * multi-criteria operator (Börzsönyi et al., ICDE'01). A customer is on
+    * the skyline iff no other has ≥ orders AND ≤ avg ticket with at least
+    * one strict. 2D lets the quadratic NOT-EXISTS collapse to a domain
+    * window: survive ⇔ avg == min(avg) among the same order count AND
+    * avg < min(avg) over every STRICTLY larger order count.
+    *
+    * Scale: the fact table collapses to one row per customer (map-side
+    * combined agg), then the dominance thresholds live on the x-DOMAIN
+    * (distinct order counts — dozens, not rows): per-x min agg → one tiny
+    * suffix-min window → broadcast back. No row-level global sort, no
+    * all-pairs join; the only corpus-sized ops are one agg and one
+    * broadcast-join filter pass. Higher dimensions would grid-partition and
+    * exploit skyline's distributivity (skyline(∪parts) = skyline of local
+    * skylines); the 2D suffix-min is the exact closed form of that.
+    */
+  private val qSkylinePareto = GQuery(
+    (s, d) => {
+      val cents = col("o_totalprice").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cust = t(s, d, "orders")
+        .select(col("o_custkey"), cents.as("c"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1L)).cast("int").as("n_orders"), sum("c").as("sc"))
+        .select(col("o_custkey"), col("n_orders"),
+          expr("sc div n_orders").as("avg_cents"))
+      val perX = cust.groupBy("n_orders").agg(min("avg_cents").as("ymin"))
+      // suffix-min over the order-count DOMAIN: x' > x via a range frame
+      val wAbove = Window.orderBy("n_orders")
+        .rangeBetween(1L, Window.unboundedFollowing)
+      val thr = perX.withColumn("min_above", min("ymin").over(wAbove))
+      cust.join(broadcast(thr), "n_orders")
+        .filter(col("avg_cents") === col("ymin") &&
+          (col("min_above").isNull || col("avg_cents") < col("min_above")))
+        .select(col("o_custkey"), col("n_orders"), col("avg_cents"))
+        .orderBy("n_orders", "o_custkey")
+    },
+    Some("""WITH cust AS (
+              SELECT o_custkey, CAST(count(*) AS INT) AS n_orders,
+                     CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) // count(*) AS BIGINT) AS avg_cents
+              FROM orders GROUP BY 1),
+            perx AS (
+              SELECT n_orders, min(avg_cents) AS ymin
+              FROM cust GROUP BY 1),
+            thr AS (
+              SELECT n_orders, ymin,
+                     min(ymin) OVER (ORDER BY n_orders RANGE BETWEEN
+                       1 FOLLOWING AND UNBOUNDED FOLLOWING) AS min_above
+              FROM perx)
+            SELECT c.o_custkey, c.n_orders, c.avg_cents
+            FROM cust c JOIN thr t ON t.n_orders = c.n_orders
+            WHERE c.avg_cents = t.ymin
+              AND (t.min_above IS NULL OR c.avg_cents < t.min_above)
+            ORDER BY c.n_orders, c.o_custkey"""))
+
+  // ---------------------------------------- leave-one-out target encoding --
+
+  /** Leave-one-out target encoding of a categorical feature (order priority)
+    * against the order-value target, with additive smoothing toward the
+    * global mean (m = 20 pseudo-observations) — the standard high-cardinality
+    * categorical encoder for tabular training sets. Each row's own target is
+    * excluded from its encoding (the leakage guard):
+    * enc = (Σcat − own + m·global_mean) div (n_cat − 1 + m), all exact cents
+    * BIGINTs. Emitted for the o_custkey < 100 slice (the encoding is still
+    * computed against the FULL table).
+    *
+    * Scale: one map-side-combined per-category agg (|categories| rows) + one
+    * scalar global agg, both broadcast back onto a single codegen'd row pass
+    * — the corpus is scanned twice, shuffled never. High-cardinality
+    * categories stay safe: the join key is the category and the agg is
+    * combine-heavy; a category seen once (n_cat = 1) degrades smoothly to
+    * the smoothed prior rather than dividing by zero (denominator ≥ m).
+    */
+  private val qFeatureTargetEncode = GQuery(
+    (s, d) => {
+      val cents = col("o_totalprice").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority").as("cat"), cents.as("c"))
+      val stats = o.groupBy("cat")
+        .agg(sum("c").as("sc"), count(lit(1L)).as("nc"))
+      val g = o.agg(sum("c").as("st"), count(lit(1L)).as("nt"))
+      o.filter(col("o_custkey") < 100)
+        .join(broadcast(stats), "cat")
+        .crossJoin(broadcast(g))
+        .select(col("o_orderkey"), col("cat"), col("c").as("price_cents"),
+          expr("(sc - c + 20 * (st div nt)) div (nc - 1 + 20)").as("enc_cents"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH o AS (
+              SELECT o_orderkey, o_custkey, o_orderpriority AS cat,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS c
+              FROM orders),
+            stats AS (
+              SELECT cat, CAST(sum(c) AS BIGINT) AS sc,
+                     CAST(count(*) AS BIGINT) AS nc
+              FROM o GROUP BY 1),
+            g AS (SELECT CAST(sum(c) AS BIGINT) AS st,
+                         CAST(count(*) AS BIGINT) AS nt FROM o)
+            SELECT o.o_orderkey, o.cat, o.c AS price_cents,
+                   CAST((s.sc - o.c + 20 * (g.st // g.nt))
+                     // (s.nc - 1 + 20) AS BIGINT) AS enc_cents
+            FROM o JOIN stats s ON s.cat = o.cat CROSS JOIN g
+            WHERE o.o_custkey < 100
+            ORDER BY o.o_orderkey"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_skyline_pareto" -> qSkylinePareto,
+    "q_feature_target_encode" -> qFeatureTargetEncode,
     "q_corpus_shuffle" -> qCorpusShuffle,
     "q_ts_snaive" -> qTsSnaive,
     "q_stats_spearman" -> qStatsSpearman,
