@@ -2494,7 +2494,109 @@ object AnalyticsOps extends QueryModule {
             WHERE o.o_custkey < 100
             ORDER BY o.o_orderkey"""))
 
+  // ----------------------------------------------- integer EWMA smoothing --
+
+  /** Exponentially-weighted moving average of the daily revenue series with
+    * α = 1/4, in EXACT integer arithmetic: e₁ = x₁, eₜ = (3·eₜ₋₁ + xₜ) div 4
+    * — the denoised trend line next to q_ts_snaive/q_ts_autocorr. Floating
+    * EWMA can never hash cross-engine (the recurrence compounds ulps); the
+    * integer recurrence is a pure function of the series, so both engines
+    * fold the identical sequence (Spark: one `aggregate` HOF over the
+    * day-sorted array; DuckDB: a recursive CTE).
+    *
+    * Scale: the corpus collapses to one row per DAY before the fold — the
+    * sequential part is calendar-bounded (≤ #days elements), never
+    * corpus-sized, exactly the changepoint/snaive economics. Per-key EWMA at
+    * scale runs the same fold inside groupBy(key) over each key's bounded
+    * series; keys parallelize.
+    */
+  private val qTsEwma = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val daily = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), cents.as("v"))
+        .groupBy("day").agg(sum("v").as("x"))
+      val series = daily
+        .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("s"))
+        .select(transform(col("s"), r => r.getField("day")).as("days"),
+          transform(col("s"), r => r.getField("x")).as("xs"))
+      // (3·prev + x) div 4 as a right-shift: exact for the non-negative
+      // revenue domain, and identical to DuckDB's floor-division `// 4`.
+      val folded = series.withColumn("es",
+        aggregate(col("xs"), array().cast("array<long>"),
+          (acc, x) => when(size(acc) === 0, array(x))
+            .otherwise(concat(acc,
+              array(shiftright(lit(3L) * element_at(acc, -1) + x, 2))))))
+      folded
+        .select(posexplode(arrays_zip(col("days"), col("xs"), col("es"))))
+        .select(col("col.days").as("day"), col("col.xs").as("x"),
+          col("col.es").as("ewma_cents"))
+        .orderBy("day")
+    },
+    Some("""WITH RECURSIVE daily AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS x
+              FROM events GROUP BY 1),
+            seq AS (
+              SELECT day, x, CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+                       AS rn
+              FROM daily),
+            ew AS (
+              SELECT day, x, rn, x AS ewma_cents FROM seq WHERE rn = 1
+              UNION ALL
+              SELECT s.day, s.x, s.rn,
+                     CAST((3 * e.ewma_cents + s.x) // 4 AS BIGINT)
+              FROM seq s JOIN ew e ON s.rn = e.rn + 1)
+            SELECT day, x, CAST(ewma_cents AS BIGINT) AS ewma_cents
+            FROM ew ORDER BY day"""))
+
+  // ------------------------------------------------- top navigation paths --
+
+  /** Top-20 user journey prefixes: each user's first five event types (by
+    * time, event_id tie-break) joined into a `a>b>c` path string, counted
+    * across users — the product-analytics "what do people actually do first"
+    * operator next to funnel (fixed target order) and markov (memoryless
+    * transitions); paths keep full order sensitivity.
+    *
+    * Scale: the per-user prefix is bounded (5 events) by an early
+    * row_number filter, so the path build never carries a user's full
+    * history; the path count is a map-side-combinable string-key agg and the
+    * final top-20 is TakeOrdered (no global sort). Skewed path keys are safe
+    * — the combiner collapses them before the shuffle.
+    */
+  private val qEventsPaths = GQuery(
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val prefix = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+      val paths = prefix.groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("rn"), col("event_type"))))
+          .as("steps"))
+        .select(concat_ws(">",
+          transform(col("steps"), st => st.getField("event_type"))).as("path"))
+      paths.groupBy("path").agg(count(lit(1L)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path").asc)
+        .limit(20)
+    },
+    Some("""WITH ranked AS (
+              SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS rn
+              FROM events),
+            paths AS (
+              SELECT user_id,
+                     string_agg(event_type, '>' ORDER BY rn) AS path
+              FROM ranked WHERE rn <= 5 GROUP BY user_id)
+            SELECT path, CAST(count(*) AS BIGINT) AS n_users
+            FROM paths GROUP BY path
+            ORDER BY n_users DESC, path ASC LIMIT 20"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_ts_ewma" -> qTsEwma,
+    "q_events_paths" -> qEventsPaths,
     "q_skyline_pareto" -> qSkylinePareto,
     "q_feature_target_encode" -> qFeatureTargetEncode,
     "q_corpus_shuffle" -> qCorpusShuffle,
