@@ -1566,7 +1566,120 @@ object SimilarityOps extends QueryModule {
             SELECT round, vec_id, d_micro FROM s4 ORDER BY round"""
     })
 
+  // ------------------------------------- MMR diversified retrieval --------
+
+  /** Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98): rerank a
+    * relevance shortlist so results are RELEVANT but not redundant — the
+    * retrieval-side twin of SemDeDup (dedup removes near-dups from the
+    * corpus; MMR removes them from the answer). Query = vec 0; shortlist =
+    * cosine top-20; then greedily take 5, each maximizing
+    * 7·rel − 3·max_sim_to_already_chosen (λ = 0.7 scaled to integers on the
+    * 1e-6 cosine grid, ties → vec_id). Emits rank, relevance, the redundancy
+    * penalty actually paid, and the MMR objective.
+    *
+    * Scale: the corpus-sized work is exactly one top-k retrieval (any ladder
+    * member — brute/IVF/PQ — can feed it); the greedy loop touches only the
+    * k×shortlist pair grid (≤ 20×5 sims here), so its cost is independent of
+    * corpus size. The 4 unrolled rounds are tiny broadcast joins, coreset
+    * economics.
+    */
+  private val qEmbedMmr = GQuery(
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .withColumn("nrm", norm(col("emb")))
+        .localCheckpoint(true)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+      val relMicro =
+        floor(dround(dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm")), 6)
+          * lit(1e6) + lit(0.5)).cast("long").as("rel_micro")
+      val cand = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("emb"), col("nrm"), relMicro)
+        .orderBy(col("rel_micro").desc, col("vec_id").asc).limit(20)
+        .localCheckpoint(true)
+      val simMicro =
+        floor(dround(dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm")), 6)
+          * lit(1e6) + lit(0.5)).cast("long").as("sim_micro")
+      var sel = cand
+        .orderBy(col("rel_micro").desc, col("vec_id").asc).limit(1)
+        .select(col("vec_id"), lit(1).cast("int").as("rank"), col("rel_micro"),
+          lit(0L).as("pen_micro"),
+          (col("rel_micro") * 7L).as("mmr_micro"))
+        .localCheckpoint(true)
+      for (r <- 2 to 5) {
+        val chosen = sel.select(col("vec_id").as("c_id"))
+          .join(cand.select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
+            col("nrm").as("c_nrm")), "c_id")
+        val next = cand
+          .join(broadcast(sel.select("vec_id")), Seq("vec_id"), "left_anti")
+          .crossJoin(broadcast(chosen))
+          .select(col("vec_id"), col("rel_micro"), simMicro)
+          .groupBy("vec_id", "rel_micro").agg(max("sim_micro").as("pen_micro"))
+          .withColumn("mmr_micro",
+            col("rel_micro") * 7L - col("pen_micro") * 3L)
+          .orderBy(col("mmr_micro").desc, col("vec_id").asc).limit(1)
+          .select(col("vec_id"), lit(r).cast("int").as("rank"),
+            col("rel_micro"), col("pen_micro"), col("mmr_micro"))
+        sel = sel.unionAll(next).localCheckpoint(true)
+      }
+      sel.select(col("rank"), col("vec_id"), col("rel_micro"),
+        col("pen_micro"), col("mmr_micro")).orderBy("rank")
+    },
+    Some {
+      def rnd(k: Int, prev: String): String =
+        s"""c$k AS (
+              SELECT vec_id, CAST($k AS INT) AS rank, rel_micro, pen_micro,
+                     7 * rel_micro - 3 * pen_micro AS mmr_micro FROM (
+                SELECT a.vec_id, a.rel_micro,
+                       max(CAST(floor(
+                         CAST(round(CAST(list_dot_product(a.emb, c.emb)
+                           / (a.nrm * c.nrm) AS DECIMAL(30,8)), 6) AS DOUBLE)
+                         * 1e6 + 0.5) AS BIGINT)) AS pen_micro
+                FROM cand a, cand c
+                WHERE c.vec_id IN (SELECT vec_id FROM $prev)
+                  AND a.vec_id NOT IN (SELECT vec_id FROM $prev)
+                GROUP BY a.vec_id, a.rel_micro
+                ORDER BY 7 * a.rel_micro - 3 * max(CAST(floor(
+                    CAST(round(CAST(list_dot_product(a.emb, c.emb)
+                      / (a.nrm * c.nrm) AS DECIMAL(30,8)), 6) AS DOUBLE)
+                    * 1e6 + 0.5) AS BIGINT)) DESC, a.vec_id ASC
+                LIMIT 1)),
+            s$k AS (SELECT vec_id, rank, rel_micro, pen_micro, mmr_micro
+                    FROM $prev
+                    UNION ALL SELECT vec_id, rank, rel_micro, pen_micro,
+                      mmr_micro FROM c$k)"""
+      s"""WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                     sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> x * x))) AS nrm
+              FROM embeddings),
+            q AS (SELECT emb AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0),
+            cand AS (
+              SELECT e.vec_id, e.emb, e.nrm,
+                     CAST(floor(CAST(round(CAST(list_dot_product(e.emb, q.q_emb)
+                       / (e.nrm * q.q_nrm) AS DECIMAL(30,8)), 6) AS DOUBLE)
+                       * 1e6 + 0.5) AS BIGINT) AS rel_micro
+              FROM e, q WHERE e.vec_id <> 0
+              ORDER BY rel_micro DESC, e.vec_id ASC LIMIT 20),
+            s1 AS (
+              SELECT vec_id, CAST(1 AS INT) AS rank, rel_micro,
+                     CAST(0 AS BIGINT) AS pen_micro,
+                     7 * rel_micro AS mmr_micro
+              FROM cand ORDER BY rel_micro DESC, vec_id ASC LIMIT 1),
+            ${rnd(2, "s1")},
+            ${rnd(3, "s2")},
+            ${rnd(4, "s3")},
+            ${rnd(5, "s4")}
+            SELECT rank, vec_id, CAST(rel_micro AS BIGINT) AS rel_micro,
+                   CAST(pen_micro AS BIGINT) AS pen_micro,
+                   CAST(mmr_micro AS BIGINT) AS mmr_micro
+            FROM s5 ORDER BY rank"""
+    })
+
   override val queries: Map[String, GQuery] = Map(
+    "q_embed_mmr" -> qEmbedMmr,
     "q_knn_ivfpq" -> qKnnIvfPq,
     "q_sample_coreset" -> qSampleCoreset,
     "q_knn_filtered" -> qKnnFiltered,

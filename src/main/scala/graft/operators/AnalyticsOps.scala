@@ -2594,7 +2594,86 @@ object AnalyticsOps extends QueryModule {
             FROM paths GROUP BY path
             ORDER BY n_users DESC, path ASC LIMIT 20"""))
 
+  // --------------------------------------------- interval union coverage --
+
+  /** Per-user activity coverage: each event claims a 5-minute interval
+    * [ts, ts+300s); overlapping/touching intervals merge (interval union)
+    * and the user's islands, total covered seconds, and span are emitted —
+    * the time-domain twin of q_events_gaps' id-domain islands, and the
+    * primitive behind billing meters, SLA uptime, and session stitching.
+    * Island detection is the cummax trick: a new island starts exactly when
+    * an interval begins after the running max end of everything before it;
+    * within an island the union is contiguous, so covered = max(en) − min(st)
+    * — all exact epoch-second BIGINTs.
+    *
+    * Scale: one user-partitioned sort window (running max + running island
+    * id in the same pass) + two keyed aggs — the as-of/sessionize economics:
+    * no self-join, no range probe; users parallelize and the window state is
+    * O(1) per row.
+    */
+  private val qIntervalCoverage = GQuery(
+    (s, d) => {
+      val e = t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("st"))
+        .withColumn("en", col("st") + 300L)
+      val w = Window.partitionBy("user_id").orderBy("st", "event_id")
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+      val marked = e
+        .withColumn("prev_max_en", max("en").over(wPrev))
+        .withColumn("new_isl",
+          when(col("prev_max_en").isNull ||
+            col("st") > col("prev_max_en"), 1L).otherwise(0L))
+        .withColumn("isl", sum("new_isl").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val islands = marked.groupBy("user_id", "isl")
+        .agg(min("st").as("i_st"), max("en").as("i_en"),
+          count(lit(1L)).as("n_ev"))
+      islands.groupBy("user_id")
+        .agg(sum("n_ev").as("n_events"),
+          count(lit(1L)).as("n_islands"),
+          sum(col("i_en") - col("i_st")).as("covered_s"),
+          (max("i_en") - min("i_st")).as("span_s"))
+        .orderBy("user_id")
+    },
+    Some("""WITH e AS (
+              -- floor(), not CAST: epoch() carries fractional seconds and a
+              -- bare BIGINT cast would round while Spark's unix_timestamp
+              -- truncates
+              SELECT user_id, event_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS st,
+                     CAST(floor(epoch(ts)) + 300 AS BIGINT) AS en
+              FROM events),
+            marked AS (
+              SELECT user_id, event_id, st, en,
+                     CASE WHEN max(en) OVER (PARTITION BY user_id
+                         ORDER BY st, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       IS NULL THEN 1
+                       WHEN st > max(en) OVER (PARTITION BY user_id
+                         ORDER BY st, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       THEN 1 ELSE 0 END AS new_isl
+              FROM e),
+            numbered AS (
+              SELECT user_id, st, en,
+                     sum(new_isl) OVER (PARTITION BY user_id
+                       ORDER BY st, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS isl
+              FROM marked),
+            islands AS (
+              SELECT user_id, isl, min(st) AS i_st, max(en) AS i_en,
+                     count(*) AS n_ev
+              FROM numbered GROUP BY 1, 2)
+            SELECT user_id, CAST(sum(n_ev) AS BIGINT) AS n_events,
+                   CAST(count(*) AS BIGINT) AS n_islands,
+                   CAST(sum(i_en - i_st) AS BIGINT) AS covered_s,
+                   CAST(max(i_en) - min(i_st) AS BIGINT) AS span_s
+            FROM islands GROUP BY user_id ORDER BY user_id"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_interval_coverage" -> qIntervalCoverage,
     "q_ts_ewma" -> qTsEwma,
     "q_events_paths" -> qEventsPaths,
     "q_skyline_pareto" -> qSkylinePareto,
