@@ -2672,7 +2672,69 @@ object AnalyticsOps extends QueryModule {
                    CAST(max(i_en) - min(i_st) AS BIGINT) AS span_s
             FROM islands GROUP BY user_id ORDER BY user_id"""))
 
+  // ------------------------------------------- grid-blocked spatial join --
+
+  /** ε-distance self-join of 2D points (embedding dims 1–2 as coordinates):
+    * all pairs within L2 ε = 0.02, found by GRID BLOCKING — each point hashes
+    * to its ⌊coord/ε⌋ cell, the probe side explodes to its 3×3 cell
+    * neighbourhood, and candidates meet in an equi-join on the cell key
+    * (within-ε ⇒ |Δx|,|Δy| ≤ ε ⇒ neighbouring cells, so recall is exact).
+    * Each ordered pair is generated exactly once (probe neighbourhood ×
+    * build home cell); a < b keeps one per unordered pair. Distances are
+    * bit-identical cross-engine (same IEEE ops on the same doubles), snapped
+    * to the 1e-6 grid for the emitted column.
+    *
+    * Scale: the classic spatial-join shape — candidates are per-cell, never
+    * all-pairs (the brute-force oracle is the TEST, the grid is the
+    * engine); the 9× probe fan-out is map-side, the join is a plain
+    * shuffle-hash on the cell key, and skewed dense cells are the familiar
+    * hot-block problem (cap or sub-split cells, the dedup stop-block rule).
+    */
+  private val qJoinSpatial = GQuery(
+    (s, d) => {
+      val eps = 0.02
+      val pts = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          element_at(col("embedding").cast("array<double>"), 1).as("x"),
+          element_at(col("embedding").cast("array<double>"), 2).as("y"))
+        .withColumn("cx", floor(col("x") / eps).cast("long"))
+        .withColumn("cy", floor(col("y") / eps).cast("long"))
+      val probe = pts
+        .withColumn("dxy", explode(array((for {dx <- -1 to 1; dy <- -1 to 1}
+          yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)))
+        .select(col("vec_id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
+          (col("cx") + col("dxy.dx")).as("cx"),
+          (col("cy") + col("dxy.dy")).as("cy"))
+      val build = pts.select(col("vec_id").as("b_id"), col("x").as("bx"),
+        col("y").as("by"), col("cx"), col("cy"))
+      probe.join(build, Seq("cx", "cy"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("d2",
+          (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+            (col("ay") - col("by")) * (col("ay") - col("by")))
+        .filter(col("d2") <= eps * eps)
+        .select(col("a_id"), col("b_id"),
+          floor(dround(sqrt(col("d2")), 6) * lit(1e6) + lit(0.5)).cast("long")
+            .as("dist_micro"))
+        .orderBy("a_id", "b_id")
+    },
+    Some("""WITH p AS (
+              SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+                     CAST(embedding[2] AS DOUBLE) AS y
+              FROM embeddings),
+            pairs AS (
+              SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                     (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                       AS d2
+              FROM p a JOIN p b ON a.vec_id < b.vec_id)
+            SELECT a_id, b_id,
+                   CAST(floor(CAST(round(CAST(sqrt(d2) AS DECIMAL(30,8)), 6)
+                     AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS dist_micro
+            FROM pairs WHERE d2 <= 0.02 * 0.02
+            ORDER BY a_id, b_id"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_join_spatial" -> qJoinSpatial,
     "q_interval_coverage" -> qIntervalCoverage,
     "q_ts_ewma" -> qTsEwma,
     "q_events_paths" -> qEventsPaths,

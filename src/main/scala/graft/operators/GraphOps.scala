@@ -3,7 +3,9 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataTypes
 import graft.{GQuery, QueryModule, Tables}
+import graft.Exact.dround
 
 /** Iterative graph analytics on DataFrames (beyond the connected-components
   * operator in DedupOps): PageRank over the supplier↔part co-occurrence
@@ -547,7 +549,85 @@ object GraphOps extends QueryModule {
             FROM (SELECT * FROM cells UNION ALL SELECT * FROM total) u
             CROSS JOIN m ORDER BY u.community"""))
 
+  // ------------------------------------------------ degree assortativity --
+
+  /** Degree assortativity (Newman 2002) of the co-engagement graph: the
+    * Pearson correlation of endpoint degrees over all directed edge
+    * instances — positive means hubs link to hubs (social-network shape),
+    * negative means hubs link to leaves (hub-and-spoke). Moment sums
+    * (Σd_a, Σd_a·d_b, Σd_a²) accumulate EXACTLY in DECIMAL(38,0) over the
+    * symmetrized edge list (each undirected edge counted in both
+    * orientations, which is the definition — and makes Σx = Σy, Σx² = Σy²);
+    * fp appears only in the final r = (n·Sxy − Sx²)/(n·Sxx − Sx²) division,
+    * dround-snapped. A degree-regular graph (zero variance) nulls r rather
+    * than dividing by zero.
+    *
+    * Scale: one degree agg + two node-keyed joins + one scalar moment agg —
+    * the corrmatrix economics on the edge list; no pairs beyond the edges
+    * themselves, and the memoized CoGraph artifact amortizes the build
+    * across the graph family.
+    */
+  private val qGraphAssortativity = GQuery(
+    (s, d) => {
+      val edges = CoGraph.pairCounts(s, d)
+        .filter(col("c") >= 26)
+        .select("u", "v")
+      val sym = edges.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
+      val deg = sym.groupBy("a").agg(count(lit(1)).as("dg"))
+      val paired = sym
+        .join(deg.select(col("a"), col("dg").as("da")), "a")
+        .join(deg.select(col("a").as("b"), col("dg").as("db")), "b")
+      val dec = DataTypes.createDecimalType(38, 0)
+      paired.agg(
+          count(lit(1)).as("n"),
+          sum(col("da").cast(dec)).as("sx"),
+          sum((col("da") * col("db")).cast(dec)).as("sxy"),
+          sum((col("da") * col("da")).cast(dec)).as("sxx"))
+        .select(
+          expr("n div 2").as("n_edges"),
+          col("n").as("n_endpoints"),
+          when(col("n") * col("sxx") - col("sx") * col("sx") > 0,
+            dround((col("n") * col("sxy") - col("sx") * col("sx")).cast("double")
+              / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
+            .as("r"))
+    },
+    Some("""WITH ev AS (
+              SELECT DISTINCT event_type,
+                     CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+              FROM events),
+            edges AS (
+              SELECT a.user_id AS u, b.user_id AS v
+              FROM ev a JOIN ev b
+                ON a.event_type = b.event_type AND a.d = b.d
+                   AND a.user_id < b.user_id
+              GROUP BY 1, 2 HAVING count(*) >= 26),
+            sym AS (
+              SELECT u AS a, v AS b FROM edges
+              UNION ALL SELECT v, u FROM edges),
+            deg AS (SELECT a, count(*) AS dg FROM sym GROUP BY 1),
+            paired AS (
+              SELECT da.dg AS x, db.dg AS y
+              FROM sym s JOIN deg da ON da.a = s.a JOIN deg db ON db.a = s.b),
+            m AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+                     CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                       AS sxy,
+                     CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                       AS sxx
+              FROM paired)
+            SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+                   CAST(n AS BIGINT) AS n_endpoints,
+                   CASE WHEN n * sxx - sx * sx > 0 THEN
+                     CAST(round(CAST(CAST(n * sxy - sx * sx AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE)
+                       AS DECIMAL(30,8)), 6) AS DOUBLE)
+                   END AS r
+            FROM m"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_graph_assortativity" -> qGraphAssortativity,
     "q_graph_modularity" -> qGraphModularity,
     "q_graph_pagerank" -> qGraphPagerank,
     "q_graph_triangles" -> qGraphTriangles,
