@@ -2733,7 +2733,66 @@ object AnalyticsOps extends QueryModule {
             FROM pairs WHERE d2 <= 0.02 * 0.02
             ORDER BY a_id, b_id"""))
 
+  // ---------------------------------------------- group-aware split + audit --
+
+  /** Group-aware train/val/test split with a leakage AUDIT: the split key is
+    * the GROUP (customer), not the row (order), so every order of a customer
+    * lands in the same partition — the discipline that prevents
+    * entity-leakage between train and eval (q_split_train's per-row hash
+    * would scatter a customer's orders across splits and leak their
+    * behaviour into eval). Emits per-split group/row counts plus an explicit
+    * `_leakage` audit row counting groups seen in >1 split — zero BY
+    * CONSTRUCTION (membership is a pure function of the group key), and the
+    * audit proves it from the data rather than trusting the code.
+    *
+    * Scale: the split column is one codegen'd hash map; the audit is a
+    * group-keyed two-level agg (distinct splits per group is bounded by 3).
+    * Hash membership is append-stable — tomorrow's orders for a known
+    * customer join the same split, so eval never silently absorbs a
+    * training entity.
+    */
+  private val qSplitGroup = GQuery(
+    (s, d) => {
+      val bucket = pmod(DedupOps.hex4(col("o_custkey").cast("string")), lit(100))
+      val o = t(s, d, "orders")
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      val per = o.groupBy("split")
+        .agg(countDistinct("o_custkey").as("n_groups"),
+          count(lit(1L)).as("n_rows"))
+      val audit = o.groupBy("o_custkey")
+        .agg(countDistinct("split").as("ns"))
+        .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("n_groups"),
+          count(lit(1L)).as("n_rows"))
+        .select(lit("_leakage").as("split"), col("n_groups"), col("n_rows"))
+      per.unionByName(audit).orderBy("split")
+    },
+    Some(s"""WITH o AS (
+              SELECT o_custkey,
+                     CASE WHEN ${DedupOps.duckHex4("md5(CAST(o_custkey AS VARCHAR))")}
+                            % 100 < 80 THEN 'train'
+                          WHEN ${DedupOps.duckHex4("md5(CAST(o_custkey AS VARCHAR))")}
+                            % 100 < 90 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM orders),
+            per AS (
+              SELECT split, CAST(count(DISTINCT o_custkey) AS BIGINT)
+                       AS n_groups,
+                     CAST(count(*) AS BIGINT) AS n_rows
+              FROM o GROUP BY split),
+            g AS (SELECT o_custkey, count(DISTINCT split) AS ns
+                  FROM o GROUP BY 1),
+            audit AS (
+              SELECT '_leakage' AS split,
+                     CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_groups,
+                     CAST(count(*) AS BIGINT) AS n_rows
+              FROM g)
+            SELECT * FROM per UNION ALL SELECT * FROM audit
+            ORDER BY split"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_split_group" -> qSplitGroup,
     "q_join_spatial" -> qJoinSpatial,
     "q_interval_coverage" -> qIntervalCoverage,
     "q_ts_ewma" -> qTsEwma,

@@ -365,7 +365,66 @@ object GovernanceOps extends QueryModule {
                     n_true * 1000 + noise_milli AS released_milli
              FROM nz ORDER BY event_type"""))
 
+  // ------------------------------------------- keyed pseudonymization --
+
+  /** Deterministic keyed pseudonymization (GDPR art. 4(5)): user ids are
+    * replaced by a 16-hex-digit surrogate derived from a peppered hash —
+    * stable (the same user always maps to the same token, so joins and
+    * longitudinal analyses still work on the pseudonymized table),
+    * non-reversible without the pepper, and collision-audited in the same
+    * pass. Emits the token mapping + per-token event counts for the
+    * user_id < 15 sample, an `__total` row, and a `__collisions` row
+    * (distinct users minus distinct tokens — 0 means the surrogate is
+    * injective on this population).
+    *
+    * Scale: the token is one codegen'd md5 per row (no dictionary, no
+    * shuffle — unlike sequence-numbered surrogates which need a global
+    * assignment); the collision audit is two distinct-sketches in one agg.
+    * 64 bits of token space holds the birthday bound past 10⁹ users; widen
+    * the substring before that.
+    */
+  private val qPrivacyTokenize = GQuery(
+    (s, d) => {
+      val tok = substring(
+        md5(concat(lit("pepper:"), col("user_id").cast("string"))), 1, 16)
+      val ev = t(s, d, "events").select(col("user_id"), tok.as("token"))
+      val sample = ev.filter(col("user_id") < 15)
+        .groupBy("user_id", "token").agg(count(lit(1L)).as("n_events"))
+      val summary = ev
+        .agg(countDistinct("user_id").as("nu"), countDistinct("token").as("nt"))
+        .select(
+          array(
+            struct(lit(-1L).as("user_id"), lit("__total").as("token"),
+              col("nu").as("n_events")),
+            struct(lit(-2L).as("user_id"), lit("__collisions").as("token"),
+              (col("nu") - col("nt")).as("n_events"))).as("rows"))
+        .select(explode(col("rows")).as("r"))
+        .select(col("r.user_id"), col("r.token"), col("r.n_events"))
+      sample.unionByName(summary).orderBy("user_id")
+    },
+    Some("""WITH ev AS (
+              SELECT user_id,
+                     substr(md5('pepper:' || CAST(user_id AS VARCHAR)), 1, 16)
+                       AS token
+              FROM events),
+            sample AS (
+              SELECT user_id, token, CAST(count(*) AS BIGINT) AS n_events
+              FROM ev WHERE user_id < 15 GROUP BY 1, 2),
+            summary AS (
+              SELECT CAST(-1 AS BIGINT) AS user_id, '__total' AS token,
+                     CAST(count(DISTINCT user_id) AS BIGINT) AS n_events
+              FROM ev
+              UNION ALL
+              SELECT CAST(-2 AS BIGINT), '__collisions',
+                     CAST(count(DISTINCT user_id) - count(DISTINCT token)
+                       AS BIGINT)
+              FROM ev)
+            SELECT user_id, token, n_events FROM sample
+            UNION ALL SELECT user_id, token, n_events FROM summary
+            ORDER BY user_id"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_privacy_tokenize" -> qPrivacyTokenize,
     "q_privacy_dp" -> qPrivacyDp,
     "q_quality_expectations" -> qQualityExpectations,
     "q_privacy_ldiv" -> qPrivacyLdiv,
