@@ -2791,7 +2791,138 @@ object AnalyticsOps extends QueryModule {
             SELECT * FROM per UNION ALL SELECT * FROM audit
             ORDER BY split"""))
 
+  // ------------------------------------------------- Cramér's V effect size --
+
+  /** Cramér's V for the priority × status contingency table — the EFFECT
+    * SIZE companion to q_stats_chisq's significance machinery (a 10⁹-row
+    * table makes any dependence "significant"; V says whether it is LARGE):
+    * V = √(χ²/n / min(r−1, c−1)). The χ² numerator reuses the exact
+    * integer-micro contributions (nn·n − r·cc)²/(nn·r·cc); fp enters only in
+    * the final dround-snapped root. Degenerate single-row/column tables
+    * (min df = 0) null out V instead of dividing by zero.
+    *
+    * Scale: identical to chisq — one cell agg (category-cardinality rows)
+    * plus window sums over the cell table; everything downstream of the
+    * first agg is contingency-sized, not corpus-sized.
+    */
+  private val qStatsCramersV = GQuery(
+    (s, d) => {
+      val cells = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("n"))
+      val withTot = cells
+        .withColumn("r", sum("n").over(Window.partitionBy("pri")))
+        .withColumn("cc", sum("n").over(Window.partitionBy("st")))
+        .withColumn("nn", sum("n").over(Window.partitionBy()))
+      val dev = (col("nn") * col("n") - col("r") * col("cc")).cast("double")
+      val scored = withTot.select(col("nn"),
+        round(dev * dev
+          / (col("nn") * col("r") * col("cc")).cast("double") * 1000000.0)
+          .cast("long").as("contrib_micro"),
+        col("pri"), col("st"))
+      scored.agg(max("nn").as("n"),
+          countDistinct("pri").as("nr"), countDistinct("st").as("nc"),
+          sum("contrib_micro").as("chi2_micro"))
+        .select(col("n"), col("nr").cast("int").as("nr"),
+          col("nc").cast("int").as("nc"), col("chi2_micro"),
+          when(least(col("nr") - 1, col("nc") - 1) > 0,
+            dround(sqrt(col("chi2_micro").cast("double") / 1e6
+              / col("n").cast("double")
+              / least(col("nr") - 1, col("nc") - 1).cast("double")), 6))
+            .as("cramers_v"))
+    },
+    Some("""WITH cells AS (
+              SELECT o_orderpriority AS pri, o_orderstatus AS st,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM orders GROUP BY 1, 2),
+            wt AS (SELECT pri, st, n,
+                          CAST(sum(n) OVER (PARTITION BY pri) AS BIGINT) AS r,
+                          CAST(sum(n) OVER (PARTITION BY st) AS BIGINT) AS cc,
+                          CAST(sum(n) OVER () AS BIGINT) AS nn
+                   FROM cells),
+            sc AS (SELECT pri, st, nn,
+                          CAST(round(CAST(nn * n - r * cc AS DOUBLE)
+                            * CAST(nn * n - r * cc AS DOUBLE)
+                            / CAST(nn * r * cc AS DOUBLE) * 1000000.0)
+                            AS BIGINT) AS contrib_micro
+                   FROM wt),
+            agg AS (
+              SELECT CAST(max(nn) AS BIGINT) AS n,
+                     CAST(count(DISTINCT pri) AS INT) AS nr,
+                     CAST(count(DISTINCT st) AS INT) AS nc,
+                     CAST(sum(contrib_micro) AS BIGINT) AS chi2_micro
+              FROM sc)
+            SELECT n, nr, nc, chi2_micro,
+                   CASE WHEN least(nr - 1, nc - 1) > 0 THEN
+                     CAST(round(CAST(sqrt(CAST(chi2_micro AS DOUBLE) / 1e6
+                       / CAST(n AS DOUBLE)
+                       / CAST(least(nr - 1, nc - 1) AS DOUBLE))
+                       AS DECIMAL(30,8)), 6) AS DOUBLE)
+                   END AS cramers_v
+            FROM agg"""))
+
+  // ------------------------------------------------------ burst detection --
+
+  /** Hourly burst detection per event type: an hour is a BURST when its
+    * count exceeds the trailing-24h mean by 3 standard deviations — with the
+    * z-test done ENTIRELY in integers: with k trailing hours of sum S and
+    * sum-of-squares Q, c > μ + 3σ ⇔ k·c > S ∧ (k·c − S)² > 9·(k·Q − S²)
+    * (both sides × k²). No fp, no rounding grid — the flag is hash-exact.
+    * Warm-up hours (fewer than 12 trailing observations) don't alarm.
+    *
+    * Scale: one (type, hour) agg collapses the corpus to the hour grid;
+    * the trailing window is a RANGE frame over the integer hour index
+    * (missing hours excluded by range, not miscounted by rows), partitioned
+    * by type — bounded state, no self-join. The squared terms reach
+    * k²·c² ≈ 10⁶·c²; past c ≈ 3·10⁶ events/hour/type widen to DECIMAL(38)
+    * (the corrmatrix rule).
+    */
+  private val qEventsBurst = GQuery(
+    (s, d) => {
+      val hourly = t(s, d, "events")
+        .select(col("event_type"),
+          expr("unix_timestamp(ts) div 3600").as("hi"))
+        .groupBy("event_type", "hi").agg(count(lit(1L)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("hi")
+        .rangeBetween(-24, -1)
+      val scored = hourly
+        .withColumn("k", count(lit(1L)).over(w))
+        .withColumn("s", sum("c").over(w))
+        .withColumn("q", sum(col("c") * col("c")).over(w))
+        .filter(col("k") >= 12)
+        .withColumn("excess", col("k") * col("c") - col("s"))
+        .filter(col("excess") > 0 &&
+          col("excess") * col("excess") >
+            lit(9L) * (col("k") * col("q") - col("s") * col("s")))
+      scored.select(col("event_type"),
+          timestamp_seconds(col("hi") * 3600L).cast("timestamp_ntz").as("hour"),
+          col("c"), col("k"), col("s").as("trail_sum"))
+        .orderBy("event_type", "hour")
+    },
+    Some("""WITH hourly AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hi,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1, 2),
+            scored AS (
+              SELECT event_type, hi, c,
+                     CAST(count(*) OVER win AS BIGINT) AS k,
+                     CAST(sum(c) OVER win AS BIGINT) AS s,
+                     CAST(sum(c * c) OVER win AS BIGINT) AS q
+              FROM hourly
+              WINDOW win AS (PARTITION BY event_type ORDER BY hi
+                RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+            SELECT event_type,
+                   CAST(to_timestamp(hi * 3600) AS TIMESTAMP) AS hour,
+                   c, k, s AS trail_sum
+            FROM scored
+            WHERE k >= 12 AND k * c > s
+              AND (k * c - s) * (k * c - s) > 9 * (k * q - s * s)
+            ORDER BY event_type, hour"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_stats_cramersv" -> qStatsCramersV,
+    "q_events_burst" -> qEventsBurst,
     "q_split_group" -> qSplitGroup,
     "q_join_spatial" -> qJoinSpatial,
     "q_interval_coverage" -> qIntervalCoverage,
