@@ -2920,7 +2920,168 @@ object AnalyticsOps extends QueryModule {
               AND (k * c - s) * (k * c - s) > 9 * (k * q - s * s)
             ORDER BY event_type, hour"""))
 
+  // ------------------------------------------------ Wald–Wolfowitz runs --
+
+  /** Runs test for randomness of the daily revenue series around its
+    * median: days above/below the (lower) median form a ±1 sign sequence;
+    * too FEW runs means trend/clustering, too MANY means oscillation. The
+    * sign sequence, run count R, and class counts n₁/n₂ are exact integers
+    * (median = element (n+1) div 2 of the sorted day values — an integer
+    * ORDER STATISTIC, not an averaged midpoint, so both engines pick the
+    * same cents value; median-equal days are excluded); fp enters only in
+    * the final z = (R − μ)/σ with μ, σ² rational in n₁, n₂ —
+    * dround-snapped. Degenerate one-class series null z.
+    *
+    * Scale: the corpus collapses to the day grid first (snaive economics);
+    * the sort/fold is calendar-bounded. The test is the drift-monitor
+    * member between benford (digits) and ks (distributions): it sees
+    * ORDER, which both ignore.
+    */
+  private val qStatsRuns = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val daily = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), cents.as("v"))
+        .groupBy("day").agg(sum("v").as("x"))
+      val med = daily
+        .agg(sort_array(collect_list("x")).as("xs"))
+        .select(element_at(col("xs"), ((size(col("xs")) + 1) / 2)
+          .cast("int")).as("med"))
+      val signed = daily.crossJoin(broadcast(med))
+        .filter(col("x") =!= col("med"))
+        .select(col("day"), when(col("x") > col("med"), 1).otherwise(-1).as("sg"))
+      val w = Window.orderBy("day")
+      val runs = signed
+        .withColumn("chg",
+          when(lag("sg", 1).over(w).isNull ||
+            col("sg") =!= lag("sg", 1).over(w), 1L).otherwise(0L))
+        .agg(sum(when(col("sg") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("sg") === -1, 1L).otherwise(0L)).as("n2"),
+          sum("chg").as("r"))
+      runs
+        .withColumn("n", col("n1") + col("n2"))
+        .withColumn("two", lit(2L) * col("n1") * col("n2"))
+        .select(col("n"), col("n1"), col("n2"), col("r"),
+          when(col("two") > 0 && col("two") =!= col("n") && col("n") > 1,
+            dround((col("r").cast("double") -
+              (lit(1.0) + col("two").cast("double") / col("n").cast("double"))) /
+              sqrt((col("two").cast("double") *
+                (col("two") - col("n")).cast("double")) /
+                ((col("n") * col("n")).cast("double") *
+                  (col("n") - 1).cast("double"))), 6)).as("z"))
+    },
+    Some("""WITH daily AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS x
+              FROM events GROUP BY 1),
+            med AS (
+              SELECT x AS med FROM (
+                SELECT x, row_number() OVER (ORDER BY x) AS rn,
+                       count(*) OVER () AS cnt
+                FROM daily)
+              WHERE rn = (cnt + 1) // 2),
+            signed AS (
+              SELECT day, CASE WHEN x > med THEN 1 ELSE -1 END AS sg
+              FROM daily, med WHERE x <> med),
+            marked AS (
+              SELECT sg, CASE WHEN lag(sg, 1) OVER (ORDER BY day) IS NULL
+                     OR sg <> lag(sg, 1) OVER (ORDER BY day)
+                     THEN 1 ELSE 0 END AS chg
+              FROM signed),
+            agg AS (
+              SELECT CAST(sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n1,
+                     CAST(sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n2,
+                     CAST(sum(chg) AS BIGINT) AS r
+              FROM marked)
+            SELECT CAST(n1 + n2 AS BIGINT) AS n, n1, n2, r,
+                   CASE WHEN 2 * n1 * n2 > 0 AND 2 * n1 * n2 <> n1 + n2
+                          AND n1 + n2 > 1 THEN
+                     CAST(round(CAST(
+                       (CAST(r AS DOUBLE) - (1.0 + CAST(2 * n1 * n2 AS DOUBLE)
+                         / CAST(n1 + n2 AS DOUBLE)))
+                       / sqrt((CAST(2 * n1 * n2 AS DOUBLE)
+                           * CAST(2 * n1 * n2 - (n1 + n2) AS DOUBLE))
+                         / (CAST((n1 + n2) * (n1 + n2) AS DOUBLE)
+                           * CAST(n1 + n2 - 1 AS DOUBLE)))
+                       AS DECIMAL(30,8)), 6) AS DOUBLE)
+                   END AS z
+            FROM agg"""))
+
+  // ------------------------------------------- funnel conversion latency --
+
+  /** Click→purchase conversion-latency distribution: for every user whose
+    * first purchase follows their first click, the delay in whole seconds —
+    * summarized as exact lower-rank quantiles (p25/p50/p75/p90) computed on
+    * the value DOMAIN: per-delay counts → running total over distinct delays
+    * → smallest delay whose cumulative count reaches ⌈n·p/100⌉. No
+    * percentile_approx (engine-specific sketch) and no corpus-wide sort —
+    * the q_stats_auc prefix-sum economics applied to latencies.
+    *
+    * Scale: the converted cohort is per-user-bounded (one delta per user)
+    * and the quantile machinery runs on DISTINCT delay values; at 100 TB
+    * bucket delays to a grid first (second→minute) to bound the domain, as
+    * the auc/spearman rows do.
+    */
+  private val qFunnelLatency = GQuery(
+    (s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_sec"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min("ts_sec").as("c_sec"))
+      val deltas = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_sec"))
+        .join(clicks, "user_id")
+        .filter(col("ts_sec") >= col("c_sec"))
+        .groupBy("user_id").agg(min(col("ts_sec") - col("c_sec")).as("dsec"))
+      val n = deltas.agg(count(lit(1L)).as("n"))
+      val wCum = Window.orderBy("dsec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val vals = deltas.groupBy("dsec").agg(count(lit(1L)).as("c"))
+        .withColumn("cum", sum("c").over(wCum))
+      val probes = Seq(25, 50, 75, 90)
+      val targets = n.select(col("n"),
+          explode(array(probes.map(lit): _*)).as("p"))
+        .withColumn("rk", expr("(n * p + 99) div 100"))
+      vals.crossJoin(broadcast(targets))
+        .filter(col("cum") >= col("rk"))
+        .groupBy("p", "rk", "n").agg(min("dsec").as("delta_s"))
+        .select(col("p"), col("n"), col("rk"), col("delta_s"))
+        .orderBy("p")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+              FROM events),
+            c AS (SELECT user_id, min(ts_sec) AS c_sec
+                  FROM e WHERE event_type = 'click' GROUP BY user_id),
+            deltas AS (
+              SELECT e.user_id, min(e.ts_sec - c.c_sec) AS dsec
+              FROM e JOIN c ON c.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts_sec >= c.c_sec
+              GROUP BY e.user_id),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deltas),
+            vals AS (
+              SELECT dsec, count(*) AS c,
+                     CAST(sum(count(*)) OVER (ORDER BY dsec
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum
+              FROM deltas GROUP BY dsec),
+            targets AS (
+              SELECT p, n, CAST((n * p + 99) // 100 AS BIGINT) AS rk
+              FROM nn, (VALUES (25), (50), (75), (90)) AS t(p))
+            SELECT CAST(t.p AS INT) AS p, t.n, t.rk,
+                   CAST(min(v.dsec) AS BIGINT) AS delta_s
+            FROM vals v CROSS JOIN targets t
+            WHERE v.cum >= t.rk
+            GROUP BY t.p, t.rk, t.n
+            ORDER BY p"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_stats_runs" -> qStatsRuns,
+    "q_funnel_latency" -> qFunnelLatency,
     "q_stats_cramersv" -> qStatsCramersV,
     "q_events_burst" -> qEventsBurst,
     "q_split_group" -> qSplitGroup,
