@@ -181,7 +181,74 @@ object MultimodalOps extends QueryModule {
             FROM grouped WHERE doc_id <> keeper_id
             ORDER BY dup_id"""))
 
+  /** One patch of the fixed 16×16 pseudo-image grid (ViT preprocessing). */
+  final case class PatchFeatures(
+      doc_id: Long,
+      pr: Int,     // patch row on the 4×4 patch grid
+      pc: Int,     // patch column
+      psum: Long)  // sum of the patch's 4×4 byte values (absent bytes = 0)
+
+  /** ViT-style patch extraction — the 2D companion to sampleFrames' 1D
+    * chunking: the payload's first 256 bytes are treated as a 16×16
+    * single-channel "image", cut into a 4×4 grid of 4×4-byte patches, each
+    * emitted with its (row, col) POSITION — the typed metadata a patch
+    * embedding consumes. Bytes past the payload end read as 0 (the codec
+    * pad), so short payloads still yield the full grid. Same stub-codec
+    * contract as decodeStub: a real vision pipeline replaces the byte
+    * arithmetic with pixel decode; the 1→16 typed mapPartitions expansion,
+    * the position schema, and the partition-amortized init point are the
+    * real plumbing under test.
+    */
+  def extractPatches(docs: DataFrame): Dataset[PatchFeatures] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder/model init would go here (once)
+        it.flatMap { case (id, payload) =>
+          (0 until 16).iterator.map { p =>
+            val (pr, pc) = (p / 4, p % 4)
+            var sum = 0L
+            var i = 0
+            while (i < 16) {
+              val k = (pr * 4 + i / 4) * 16 + pc * 4 + i % 4
+              if (k < payload.length) sum += (payload(k) & 0xff)
+              i += 1
+            }
+            PatchFeatures(id, pr, pc, sum)
+          }
+        }
+      }
+  }
+
+  /** Oracled patch-grid query (ASCII corpus ⇒ byte == char arithmetic in
+    * the DuckDB twin, the q_multimodal_decode precedent).
+    */
+  private val qMultimodalPatches = GQuery(
+    (s, d) => extractPatches(Tables(s, d, "documents")).toDF()
+      .orderBy("doc_id", "pr", "pc"),
+    Some("""WITH g AS (
+              SELECT doc_id, text, length(text) AS n,
+                     unnest(generate_series(0, 15)) AS p
+              FROM documents),
+            patch AS (
+              SELECT doc_id, CAST(p // 4 AS INT) AS pr,
+                     CAST(p % 4 AS INT) AS pc,
+                     CAST(coalesce(list_sum(list_transform(
+                       generate_series(0, 15),
+                       t -> CASE WHEN ((p // 4) * 4 + t // 4) * 16
+                                      + (p % 4) * 4 + t % 4 < n
+                         THEN ascii(substr(text,
+                           CAST(((p // 4) * 4 + t // 4) * 16
+                             + (p % 4) * 4 + t % 4 + 1 AS INT), 1))
+                         ELSE 0 END)), 0) AS BIGINT) AS psum
+              FROM g)
+            SELECT doc_id, pr, pc, psum FROM patch
+            ORDER BY doc_id, pr, pc"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_multimodal_patches" -> qMultimodalPatches,
     "q_multimodal_decode" -> qMultimodalDecode,
     "q_multimodal_frames" -> qMultimodalFrames,
     "q_multimodal_dedup" -> qMultimodalDedup)

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GQuery, QueryModule, Tables}
 import graft.Exact.dround
@@ -840,7 +841,86 @@ object TextOps extends QueryModule {
              FROM pertok GROUP BY 1
              ORDER BY n_hits DESC, bucket LIMIT 20"""))
 
+  // ----------------------------------------------------- Zipf-law fit --
+
+  /** Zipf's-law fit of the corpus vocabulary: least-squares slope of
+    * log-frequency against log-rank (natural Zipf ≈ −1; a much flatter
+    * slope flags synthetic/templated text — a corpus-level quality signal
+    * next to the per-doc Gopher rules). Each point's ln is quantized ONCE
+    * to integer micro-nats (the q_text_lm_score milli-nat precedent —
+    * quantize-then-sum, never sum-then-round), the regression moment sums
+    * accumulate exactly in BIGINT, and fp appears only in the final
+    * slope/intercept divisions, dround-snapped. Rank ties break on the
+    * token so both engines rank identically.
+    *
+    * Scale: one token count agg (vocab-sized) + one rank window over the
+    * VOCAB (never the corpus) + one scalar moment agg. At web scale the
+    * vocab rank window swaps for the bucketed top-k shape (q_text_bm25's
+    * salted two-level pattern) and the tail truncates at rank K — the
+    * slope is rank-weighted, so the head dominates anyway.
+    */
+  private val qVocabZipf = GQuery(
+    (s, d) => {
+      val wRank = Window.orderBy(col("c").desc, col("token").asc)
+      val pts = t(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(wRank).cast("long"))
+        .select(
+          round(log(col("rk").cast("double")) * 1e6).cast("long").as("lx"),
+          round(log(col("c").cast("double")) * 1e6).cast("long").as("ly"))
+      pts.agg(count(lit(1L)).as("n"),
+          sum("lx").as("sx"), sum("ly").as("sy"),
+          sum(col("lx") * col("ly")).as("sxy"),
+          sum(col("lx") * col("lx")).as("sxx"))
+        .select(col("n"),
+          when(col("n") * col("sxx") - col("sx") * col("sx") > 0,
+            dround((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
+            .as("slope"),
+          when(col("n") * col("sxx") - col("sx") * col("sx") > 0,
+            dround(((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double")
+              / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+              * col("sx")) / col("n").cast("double")) / 1e6, 6))
+            .as("intercept_nats"))
+    },
+    Some("""WITH t AS (
+              SELECT unnest(string_split(lower(text), ' ')) AS token
+              FROM documents),
+            v AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+                  FROM t GROUP BY token),
+            pts AS (
+              SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY c DESC,
+                       token ASC) AS DOUBLE)) * 1e6) AS BIGINT) AS lx,
+                     CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS ly
+              FROM v),
+            m AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(lx) AS BIGINT) AS sx,
+                     CAST(sum(ly) AS BIGINT) AS sy,
+                     CAST(sum(lx * ly) AS BIGINT) AS sxy,
+                     CAST(sum(lx * lx) AS BIGINT) AS sxx
+              FROM pts)
+            SELECT n,
+                   CASE WHEN n * sxx - sx * sx > 0 THEN
+                     CAST(round(CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE)
+                       AS DECIMAL(30,8)), 6) AS DOUBLE)
+                   END AS slope,
+                   CASE WHEN n * sxx - sx * sx > 0 THEN
+                     CAST(round(CAST(
+                       ((CAST(sy AS DOUBLE)
+                         - CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE)
+                           * CAST(sx AS DOUBLE))
+                        / CAST(n AS DOUBLE)) / 1e6
+                       AS DECIMAL(30,8)), 6) AS DOUBLE)
+                   END AS intercept_nats
+            FROM m"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_vocab_zipf" -> qVocabZipf,
     "q_text_hashing" -> qTextHashing,
     "q_quality_gopher" -> qQualityGopher,
     "q_text_lm_score" -> qTextLmScore,
