@@ -754,4 +754,44 @@ class PlanShapeSpec extends SparkSpec {
     val hll = plan("q_agg_hll_intersect")
     assert("Scan parquet".r.findAllIn(hll).length <= 1, hll.take(3000))
   }
+
+  test("round-7c operators: domain windows, grid joins, no quadratic shapes") {
+    // skyline: dominance thresholds come from the x-DOMAIN window +
+    // broadcast back — never the quadratic NOT-EXISTS (which would plan a
+    // nested-loop product over customers)
+    val sky = plan("q_skyline_pareto")
+    assert(!sky.contains("CartesianProduct") &&
+      !sky.contains("BroadcastNestedLoopJoin"),
+      "skyline degenerated to an all-pairs product:\n" + sky.take(3000))
+    assert(sky.contains("BroadcastHashJoin"), sky.take(3000))
+
+    // spatial eps-join: candidates meet in a KEYED join on the cell id —
+    // the brute-force oracle is the test, the grid is the engine
+    val sp = plan("q_join_spatial")
+    assert(!sp.contains("CartesianProduct") &&
+      !sp.contains("BroadcastNestedLoopJoin"),
+      "spatial join degenerated to all-pairs:\n" + sp.take(3000))
+    assert(sp.contains("HashJoin"), sp.take(3000))
+
+    // target encoding: category stats + global mean broadcast onto one
+    // corpus pass; the corpus-side join must not sort-merge
+    val te = plan("q_feature_target_encode")
+    assert(te.contains("BroadcastHashJoin"), te.take(3000))
+    assert(!te.contains("SortMergeJoin"), te.take(3000))
+
+    // interval coverage: one window pass + aggs, no join at all
+    val ic = plan("q_interval_coverage")
+    assert(!ic.contains("Join"), "coverage should be join-free:\n" + ic.take(3000))
+
+    // burst detection: corpus collapses to the hour grid through a partial
+    // agg BEFORE the trailing window — one scan
+    val bu = plan("q_events_burst")
+    assert("Scan parquet".r.findAllIn(bu).length <= 1, bu.take(3000))
+    assert(bu.contains("HashAggregate"), bu.take(3000))
+
+    // journey paths: the per-user prefix bound applies before the path
+    // agg; final top-20 short-circuits
+    val ep = plan("q_events_paths")
+    assert(ep.contains("TakeOrderedAndProject"), ep.take(3000))
+  }
 }
