@@ -919,7 +919,139 @@ object TextOps extends QueryModule {
                    END AS intercept_nats
             FROM m"""))
 
+  // ------------------------------------- Naive-Bayes quality classifier --
+
+  /** Model-based corpus classifier — the CCNet/GPT-3-style "quality filter"
+    * shape: train a multinomial Naive Bayes on the hash-split 80% (label:
+    * lang = 'en' vs rest), score the held-out 20%, and emit the confusion
+    * matrix + accuracy. Token log-odds are Laplace-smoothed rationals of
+    * exact training counts, quantized ONCE per token to integer milli-nats
+    * (the q_text_lm_score rule — quantize-then-sum); a doc's score is the
+    * prior plus an exact BIGINT sum over its token occurrences (vocabulary
+    * misses score the smoothing floor ln((T₀+V)/(T₁+V)), one quantized
+    * constant). The decision threshold compares integers — no fp in any
+    * per-doc path.
+    *
+    * Scale: lm_score economics — the model is a token-keyed TABLE joined
+    * (not broadcast: a web-scale vocab isn't small) against the exploded
+    * token stream, then one per-doc re-agg and a 4-cell confusion agg.
+    * Training is one grouped count over the same stream; the 80/20 split is
+    * the hash rule, so train/test membership is append-stable.
+    */
+  private val qTextClassifierNb = GQuery(
+    (s, d) => {
+      import graft.operators.DedupOps.hex4
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          split(lower(col("text")), " ").as("toks"))
+        .withColumn("y", when(col("lang") === "en", 1L).otherwise(0L))
+        .withColumn("train", pmod(hex4(col("doc_id").cast("string")), lit(100)) < 80)
+      val toks = docs.select(col("doc_id"), col("y"), col("train"),
+        explode(col("toks")).as("token"))
+      val counts = toks.filter(col("train"))
+        .groupBy("token")
+        .agg(sum("y").as("c1"), sum(lit(1L) - col("y")).as("c0"))
+      val tot = counts.agg(sum("c1").as("t1"), sum("c0").as("t0"),
+        count(lit(1L)).as("vv"))
+      // per-token log-odds and the shared out-of-vocabulary floor, each
+      // quantized once to milli-nats
+      val model = counts.crossJoin(broadcast(tot))
+        .select(col("token"),
+          round((log((col("c1") + 1).cast("double") / (col("t1") + col("vv"))
+            .cast("double")) -
+            log((col("c0") + 1).cast("double") / (col("t0") + col("vv"))
+              .cast("double"))) * 1000).cast("long").as("lo_milli"))
+      val oov = tot.select(
+        round((log(lit(1.0) / (col("t1") + col("vv")).cast("double")) -
+          log(lit(1.0) / (col("t0") + col("vv")).cast("double"))) * 1000)
+          .cast("long").as("oov_milli"))
+      val prior = docs.filter(col("train"))
+        .agg(sum("y").as("d1"), sum(lit(1L) - col("y")).as("d0"))
+        .select(round((log(col("d1").cast("double")) -
+          log(col("d0").cast("double"))) * 1000).cast("long").as("prior_milli"))
+      val scored = toks.filter(!col("train"))
+        .join(model, Seq("token"), "left")
+        .crossJoin(broadcast(oov))
+        .groupBy("doc_id", "y")
+        .agg(sum(coalesce(col("lo_milli"), col("oov_milli"))).as("tok_milli"))
+        .crossJoin(broadcast(prior))
+        .select(col("y").as("actual"),
+          when(col("prior_milli") + col("tok_milli") > 0, 1L).otherwise(0L)
+            .as("pred"))
+      val cells = scored.groupBy("pred", "actual").agg(count(lit(1L)).as("n"))
+      val summary = cells
+        .agg(sum("n").as("nt"),
+          sum(when(col("pred") === col("actual"), col("n")).otherwise(0L))
+            .as("nc"))
+        .select(lit(-1L).as("pred"), lit(-1L).as("actual"),
+          expr("nc * 1000000 div nt").as("n"))
+      cells.unionByName(summary).orderBy("pred", "actual")
+    },
+    Some("""WITH docs AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS toks,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                     ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS
+                       VARCHAR)), 1, 1))-1)*4096
+                      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS
+                       VARCHAR)), 2, 1))-1)*256
+                      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS
+                       VARCHAR)), 3, 1))-1)*16
+                      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS
+                       VARCHAR)), 4, 1))-1)) % 100 < 80 AS train
+              FROM documents),
+            toks AS (
+              SELECT doc_id, y, train, unnest(toks) AS token FROM docs),
+            counts AS (
+              SELECT token, CAST(sum(y) AS BIGINT) AS c1,
+                     CAST(sum(1 - y) AS BIGINT) AS c0
+              FROM toks WHERE train GROUP BY token),
+            tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t1,
+                           CAST(sum(c0) AS BIGINT) AS t0,
+                           CAST(count(*) AS BIGINT) AS vv
+                    FROM counts),
+            model AS (
+              SELECT token,
+                     CAST(round((ln(CAST(c1 + 1 AS DOUBLE)
+                         / CAST(t1 + vv AS DOUBLE))
+                       - ln(CAST(c0 + 1 AS DOUBLE)
+                         / CAST(t0 + vv AS DOUBLE))) * 1000) AS BIGINT)
+                       AS lo_milli
+              FROM counts, tot),
+            oov AS (
+              SELECT CAST(round((ln(1.0 / CAST(t1 + vv AS DOUBLE))
+                - ln(1.0 / CAST(t0 + vv AS DOUBLE))) * 1000) AS BIGINT)
+                  AS oov_milli
+              FROM tot),
+            prior AS (
+              SELECT CAST(round((ln(CAST(sum(y) AS DOUBLE))
+                - ln(CAST(sum(1 - y) AS DOUBLE))) * 1000) AS BIGINT)
+                  AS prior_milli
+              FROM docs WHERE train),
+            scored AS (
+              SELECT t.doc_id, t.y AS actual,
+                     CASE WHEN p.prior_milli
+                       + sum(coalesce(m.lo_milli, o.oov_milli)) > 0
+                       THEN 1 ELSE 0 END AS pred
+              FROM toks t LEFT JOIN model m ON m.token = t.token
+              CROSS JOIN oov o CROSS JOIN prior p
+              WHERE NOT t.train
+              GROUP BY t.doc_id, t.y, p.prior_milli),
+            cells AS (
+              SELECT CAST(pred AS BIGINT) AS pred,
+                     CAST(actual AS BIGINT) AS actual,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM scored GROUP BY 1, 2),
+            summary AS (
+              SELECT CAST(-1 AS BIGINT) AS pred, CAST(-1 AS BIGINT) AS actual,
+                     CAST(sum(CASE WHEN pred = actual THEN n ELSE 0 END)
+                       * 1000000 // sum(n) AS BIGINT) AS n
+              FROM cells)
+            SELECT pred, actual, n FROM cells
+            UNION ALL SELECT pred, actual, n FROM summary
+            ORDER BY pred, actual"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_text_classifier_nb" -> qTextClassifierNb,
     "q_vocab_zipf" -> qVocabZipf,
     "q_text_hashing" -> qTextHashing,
     "q_quality_gopher" -> qQualityGopher,

@@ -3079,7 +3079,94 @@ object AnalyticsOps extends QueryModule {
             GROUP BY t.p, t.rk, t.n
             ORDER BY p"""))
 
+  // --------------------------------------------- Mann–Whitney U test --
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) comparing weekend vs weekday
+    * purchase values — the nonparametric two-sample test next to the
+    * parametric q_stats_abtest and the distribution-shape q_stats_ks.
+    * Rank sums come from the value GRID exactly as q_stats_auc (per-cent
+    * counts → cumulative offsets; doubled mid-ranks keep ties integral):
+    * 2·R₁ = Σ c₁(v)·(2·cum(v) + t(v) + 1), so 2·U₁ = 2·R₁ − n₁(n₁+1) is an
+    * exact BIGINT. The tie-corrected z uses Σ(t³−t) over grid cells —
+    * also exact — with fp only in the final dround'd division. The weekend
+    * flag is pure integer calendar arithmetic ((epoch-day + 4) mod 7), no
+    * engine-specific dow().
+    *
+    * Scale: auc economics — one value-grid agg bounded by the score
+    * domain, one prefix-sum window over the grid, one scalar agg; the
+    * corpus is touched once.
+    */
+  private val qStatsMannwhitney = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val grid = t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(cents.as("v"),
+          when(expr("(unix_timestamp(ts) div 86400) % 7").isin(2, 3), 1L)
+            .otherwise(0L).as("g"))
+        .groupBy("v")
+        .agg(sum(when(col("g") === 1, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("g") === 0, 1L).otherwise(0L)).as("c0"))
+        .withColumn("t", col("c1") + col("c0"))
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = grid
+        .withColumn("cum", coalesce(sum("t").over(w), lit(0L)))
+      val agg = ranked.agg(
+        sum("c1").as("n1"), sum("c0").as("n0"),
+        sum(col("c1") * (col("cum") * 2 + col("t") + 1)).as("r2"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+      agg
+        .withColumn("n", col("n1") + col("n0"))
+        .withColumn("u2", col("r2") - col("n1") * (col("n1") + 1))
+        .select(col("n1"), col("n0"), expr("u2 div 2").as("u1"),
+          when(col("n1") > 0 && col("n0") > 0 && col("n") > 1,
+            dround((col("u2") - col("n1") * col("n0")).cast("double") /
+              (lit(2.0) * sqrt(
+                (col("n1") * col("n0")).cast("double") / 12.0 *
+                  ((col("n") + 1).cast("double") -
+                    col("ties").cast("double") /
+                      (col("n") * (col("n") - 1)).cast("double")))), 6))
+            .as("z"))
+    },
+    Some("""WITH grid AS (
+              SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+                     CAST(sum(CASE WHEN ((CAST(floor(epoch(ts)) AS BIGINT)
+                       // 86400) % 7) IN (2, 3) THEN 1 ELSE 0 END) AS BIGINT)
+                       AS c1,
+                     CAST(sum(CASE WHEN ((CAST(floor(epoch(ts)) AS BIGINT)
+                       // 86400) % 7) IN (2, 3) THEN 0 ELSE 1 END) AS BIGINT)
+                       AS c0
+              FROM events WHERE event_type = 'purchase' GROUP BY 1),
+            ranked AS (
+              SELECT v, c1, c0, c1 + c0 AS t,
+                     CAST(coalesce(sum(c1 + c0) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS cum
+              FROM grid),
+            agg AS (
+              SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                     CAST(sum(c0) AS BIGINT) AS n0,
+                     CAST(sum(c1 * (cum * 2 + t + 1)) AS BIGINT) AS r2,
+                     CAST(sum(t * t * t - t) AS BIGINT) AS ties
+              FROM ranked),
+            fin AS (
+              SELECT n1, n0, n1 + n0 AS n,
+                     r2 - n1 * (n1 + 1) AS u2, ties
+              FROM agg)
+            SELECT n1, n0, CAST(u2 // 2 AS BIGINT) AS u1,
+                   CASE WHEN n1 > 0 AND n0 > 0 AND n > 1 THEN
+                     CAST(round(CAST(
+                       CAST(u2 - n1 * n0 AS DOUBLE) /
+                       (2.0 * sqrt(CAST(n1 * n0 AS DOUBLE) / 12.0 *
+                         (CAST(n + 1 AS DOUBLE)
+                          - CAST(ties AS DOUBLE)
+                            / CAST(n * (n - 1) AS DOUBLE))))
+                       AS DECIMAL(30,8)), 6) AS DOUBLE)
+                   END AS z
+            FROM fin"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_stats_mannwhitney" -> qStatsMannwhitney,
     "q_stats_runs" -> qStatsRuns,
     "q_funnel_latency" -> qFunnelLatency,
     "q_stats_cramersv" -> qStatsCramersV,
