@@ -3165,7 +3165,70 @@ object AnalyticsOps extends QueryModule {
                    END AS z
             FROM fin"""))
 
+  // ----------------------------------------------- feature standardization --
+
+  /** Z-score + min-max standardization of the account-balance feature —
+    * the scaler step next to q_feature_bucketize/q_feature_target_encode,
+    * exact across engines even on NEGATIVE values: on INTEGER operands both
+    * Spark `div` and DuckDB `//` truncate toward zero (the floor-vs-truncate
+    * trap is DuckDB's DOUBLE `//`, which floors — keep the operands
+    * integral and the engines agree on the whole domain). σ is quantized
+    * ONCE to whole cents from the exact n·Q−S² integer moments; the per-row
+    * outputs are then pure integer arithmetic.
+    *
+    * Scale: one scalar moment agg broadcast onto one codegen'd row pass —
+    * the target-encode economics; stats at 100 TB come from the same
+    * partial-agg tree, and quantizing σ once means no per-row fp anywhere.
+    */
+  private val qFeatureScale = GQuery(
+    (s, d) => {
+      val cents = col("c_acctbal").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val c = t(s, d, "customer").select(col("c_custkey"), cents.as("bal"))
+      val stats = c.agg(count(lit(1L)).as("n"), sum("bal").as("sb"),
+          sum(col("bal") * col("bal")).as("qb"),
+          min("bal").as("mn"), max("bal").as("mx"))
+        .select(col("n"), col("mn"), col("mx"),
+          expr("sb div n").as("mean_c"),
+          greatest(lit(1L),
+            round(sqrt((col("n") * col("qb") - col("sb") * col("sb"))
+              .cast("double")) / col("n").cast("double")).cast("long"))
+            .as("sig_c"))
+      c.filter(col("c_custkey") < 100)
+        .crossJoin(broadcast(stats))
+        .select(col("c_custkey"), col("bal").as("bal_cents"),
+          expr("(bal - mean_c) * 1000 div sig_c").as("z_milli"),
+          when(col("mx") > col("mn"),
+            expr("(bal - mn) * 1000000 div (mx - mn)"))
+            .otherwise(0L).as("mm_ppm"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH c AS (
+              SELECT c_custkey,
+                     CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS bal
+              FROM customer),
+            stats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(min(bal) AS BIGINT) AS mn,
+                     CAST(max(bal) AS BIGINT) AS mx,
+                     CAST(sum(bal) // count(*) AS BIGINT) AS mean_c,
+                     CAST(greatest(1, round(
+                       sqrt(CAST(count(*) * sum(bal * bal)
+                         - sum(bal) * sum(bal) AS DOUBLE))
+                       / CAST(count(*) AS DOUBLE))) AS BIGINT) AS sig_c
+              FROM c)
+            SELECT c.c_custkey, c.bal AS bal_cents,
+                   CAST((c.bal - s.mean_c) * 1000 // s.sig_c AS BIGINT)
+                     AS z_milli,
+                   CASE WHEN s.mx > s.mn THEN
+                     CAST((c.bal - s.mn) * 1000000 // (s.mx - s.mn) AS BIGINT)
+                   ELSE 0 END AS mm_ppm
+            FROM c CROSS JOIN stats s
+            WHERE c.c_custkey < 100
+            ORDER BY c.c_custkey"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_feature_scale" -> qFeatureScale,
     "q_stats_mannwhitney" -> qStatsMannwhitney,
     "q_stats_runs" -> qStatsRuns,
     "q_funnel_latency" -> qFunnelLatency,

@@ -1060,7 +1060,126 @@ object DedupOps extends QueryModule {
           ORDER BY tr.doc_a, tr.doc_b"""
     })
 
+  // ------------------------------------------------- LSH banding sweep --
+
+  /** LSH design sweep — the b×r S-curve measured on the corpus: the SAME
+    * four MinHash values banded three ways (4 bands × 1 row, 2 × 2, 1 × 4)
+    * against ground truth (Jaccard ≥ 0.8 pairs), emitting candidate count,
+    * recall, and precision per configuration. More/shorter bands ⇒ the
+    * collision probability 1−(1−s^r)^b shifts left ⇒ more candidates,
+    * higher recall, lower precision — this query is how the production
+    * banding (q_dedup_minhash's 2×2) gets CHOSEN rather than guessed.
+    * Individual hash minima are recovered as the 8-hex slices of the fused
+    * MinHashBands kernel output, so the sweep re-hashes nothing; the band
+    * INDEX is part of the join key (h0 colliding with another doc's h1 is
+    * not a candidate).
+    *
+    * Scale: candidates come from keyed band joins (stop-block caps apply as
+    * in production dedup); ground truth is the all-pairs AUDIT — at 100 TB
+    * it runs on a sampled stratum, the sweep itself stays keyed.
+    */
+  private val qDedupLshTune = GQuery(
+    (s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), tokens.as("toks"))
+        .select(col("doc_id"), array_distinct(shingles(col("toks"))).as("sh"),
+          graft.functions.VectorExpressions.minhashBands(col("toks")).as("bd"))
+        .select(col("doc_id"), col("sh"),
+          substring(col("bd").getItem(0), 1, 8).as("h0"),
+          substring(col("bd").getItem(0), 9, 8).as("h1"),
+          substring(col("bd").getItem(1), 1, 8).as("h2"),
+          substring(col("bd").getItem(1), 9, 8).as("h3"))
+        .localCheckpoint(true)
+      val keys = base.select(col("doc_id"), explode(array(
+          struct(lit("b4r1").as("cfg"), lit(0).as("b"), col("h0").as("k")),
+          struct(lit("b4r1").as("cfg"), lit(1).as("b"), col("h1").as("k")),
+          struct(lit("b4r1").as("cfg"), lit(2).as("b"), col("h2").as("k")),
+          struct(lit("b4r1").as("cfg"), lit(3).as("b"), col("h3").as("k")),
+          struct(lit("b2r2").as("cfg"), lit(0).as("b"),
+            concat(col("h0"), col("h1")).as("k")),
+          struct(lit("b2r2").as("cfg"), lit(1).as("b"),
+            concat(col("h2"), col("h3")).as("k")),
+          struct(lit("b1r4").as("cfg"), lit(0).as("b"),
+            concat(col("h0"), col("h1"), col("h2"), col("h3")).as("k"))))
+          .as("s"))
+        .select(col("doc_id"), col("s.cfg").as("cfg"), col("s.b").as("b"),
+          col("s.k").as("k"))
+      val cand = keys.select(col("cfg"), col("b"), col("k"),
+          col("doc_id").as("doc_a"))
+        .join(keys.select(col("cfg"), col("b"), col("k"),
+          col("doc_id").as("doc_b")), Seq("cfg", "b", "k"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("cfg"), col("doc_a"), col("doc_b")).distinct()
+      val aSide = base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val bSide = base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      val truth = aSide.crossJoin(broadcast(bSide))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("sh_a"), col("sh_b"))).as("ni"),
+          (size(col("sh_a")) + size(col("sh_b"))).as("nb"))
+        .filter(expr("ni * 1000000L div (nb - ni)") >= 800000L)
+        .select(col("doc_a"), col("doc_b"))
+      val nTruth = truth.agg(count(lit(1L)).as("n_truth"))
+      val perCfg = cand.groupBy("cfg").agg(count(lit(1L)).as("n_cand"))
+      val found = cand.join(truth, Seq("doc_a", "doc_b"))
+        .groupBy("cfg").agg(count(lit(1L)).as("n_found"))
+      perCfg.join(found, Seq("cfg"), "left")
+        .crossJoin(broadcast(nTruth))
+        .select(col("cfg"), col("n_cand"), col("n_truth"),
+          coalesce(col("n_found"), lit(0L)).as("n_found"),
+          expr("coalesce(n_found, 0) * 1000000 div n_truth").as("recall_ppm"),
+          expr("coalesce(n_found, 0) * 1000000 div n_cand").as("prec_ppm"))
+        .orderBy("cfg")
+    },
+    Some {
+      val mh = (0 until 4).map(k =>
+        s"list_min(list_transform(hs, h -> substr(h, ${k * 8 + 1}, 8)))")
+      s"""WITH t0 AS (
+            SELECT doc_id, list_distinct($duckShingles) AS sh,
+                   list_transform($duckShingles, x -> md5(x)) AS hs
+            FROM documents),
+          m AS (
+            SELECT doc_id, sh, ${mh(0)} AS h0, ${mh(1)} AS h1,
+                   ${mh(2)} AS h2, ${mh(3)} AS h3
+            FROM t0),
+          keys AS (
+            SELECT doc_id, 'b4r1' AS cfg, 0 AS b, h0 AS k FROM m
+            UNION ALL SELECT doc_id, 'b4r1', 1, h1 FROM m
+            UNION ALL SELECT doc_id, 'b4r1', 2, h2 FROM m
+            UNION ALL SELECT doc_id, 'b4r1', 3, h3 FROM m
+            UNION ALL SELECT doc_id, 'b2r2', 0, h0 || h1 FROM m
+            UNION ALL SELECT doc_id, 'b2r2', 1, h2 || h3 FROM m
+            UNION ALL SELECT doc_id, 'b1r4', 0, h0 || h1 || h2 || h3 FROM m),
+          cand AS (
+            SELECT DISTINCT x.cfg, x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM keys x JOIN keys y
+              ON x.cfg = y.cfg AND x.b = y.b AND x.k = y.k
+                 AND x.doc_id < y.doc_id),
+          truth AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM m a JOIN m b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh)) * 1000000
+                    // (len(a.sh) + len(b.sh)
+                        - len(list_intersect(a.sh, b.sh))) >= 800000),
+          nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+          pc AS (SELECT cfg, CAST(count(*) AS BIGINT) AS n_cand
+                 FROM cand GROUP BY cfg),
+          fd AS (SELECT c.cfg, CAST(count(*) AS BIGINT) AS n_found
+                 FROM cand c JOIN truth t
+                   ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+                 GROUP BY c.cfg)
+          SELECT pc.cfg, pc.n_cand, nt.n_truth,
+                 CAST(coalesce(fd.n_found, 0) AS BIGINT) AS n_found,
+                 CAST(coalesce(fd.n_found, 0) * 1000000 // nt.n_truth
+                   AS BIGINT) AS recall_ppm,
+                 CAST(coalesce(fd.n_found, 0) * 1000000 // pc.n_cand
+                   AS BIGINT) AS prec_ppm
+          FROM pc LEFT JOIN fd ON fd.cfg = pc.cfg CROSS JOIN nt
+          ORDER BY pc.cfg"""
+    })
+
   override val queries: Map[String, GQuery] = Map(
+    "q_dedup_lsh_tune" -> qDedupLshTune,
     "q_dedup_minhash_recall" -> qDedupMinhashRecall,
     "q_dedup_setjoin" -> qDedupSetjoin,
     "q_dedup_semantic" -> qDedupSemantic,
