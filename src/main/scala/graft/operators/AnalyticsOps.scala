@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataTypes
 import graft.{GQuery, QueryModule, Tables}
 import graft.Exact.dround
 
@@ -3184,13 +3185,17 @@ object AnalyticsOps extends QueryModule {
     (s, d) => {
       val cents = col("c_acctbal").cast("decimal(18,2)").*(lit(100)).cast("long")
       val c = t(s, d, "customer").select(col("c_custkey"), cents.as("bal"))
+      // n·Q − S² overflows BIGINT past ~10⁴ rows of 10⁶-cent balances —
+      // widen the moment arithmetic to DECIMAL(38,0) (the corrmatrix rule)
+      val dec = DataTypes.createDecimalType(38, 0)
       val stats = c.agg(count(lit(1L)).as("n"), sum("bal").as("sb"),
-          sum(col("bal") * col("bal")).as("qb"),
+          sum(col("bal").cast(dec) * col("bal").cast(dec)).as("qb"),
           min("bal").as("mn"), max("bal").as("mx"))
         .select(col("n"), col("mn"), col("mx"),
           expr("sb div n").as("mean_c"),
           greatest(lit(1L),
-            round(sqrt((col("n") * col("qb") - col("sb") * col("sb"))
+            round(sqrt((col("n").cast(dec) * col("qb") -
+              col("sb").cast(dec) * col("sb").cast(dec))
               .cast("double")) / col("n").cast("double")).cast("long"))
             .as("sig_c"))
       c.filter(col("c_custkey") < 100)
