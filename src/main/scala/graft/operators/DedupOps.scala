@@ -1178,7 +1178,121 @@ object DedupOps extends QueryModule {
           ORDER BY pc.cfg"""
     })
 
+  // ------------------------------------------ n-gram overlap (BLEU-ish) --
+
+  /** Modified n-gram precision between LSH candidate pairs — the BLEU
+    * numerator machinery pointed at dedup: for every b0-band collision
+    * (hypothesis = the higher doc_id, reference = the lower), the clipped
+    * unigram and bigram precisions Σ_g min(c_hyp(g), c_ref(g)) / |hyp| and
+    * the length ratio, all exact ppm rationals. Near-1 p2 with near-1
+    * length ratio ⇒ verbatim duplicate; high p1 with low p2 ⇒ shared
+    * vocabulary but reordered text (template spam) — evidence the Jaccard
+    * family can't see because sets forget multiplicity AND order.
+    *
+    * Scale: candidate pairs come from the production band join (never
+    * all-pairs); the clipped-count join explodes only the CANDIDATES'
+    * tokens (pairs × per-doc vocab), and n-gram count tables are
+    * map-side-combined. The sequence(1, size-1) bigram generator is
+    * guarded for 1-token docs (Spark sequence counts DOWN when a > b).
+    */
+  private val qEvalNgramOverlap = GQuery(
+    (s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), tokens.as("toks"))
+        .select(col("doc_id"), col("toks"),
+          graft.functions.VectorExpressions.minhashBands(col("toks")).as("bd"))
+        .select(col("doc_id"), col("toks"), col("bd").getItem(0).as("b0"))
+        .localCheckpoint(true)
+      val pairs = base.select(col("doc_id").as("doc_a"), col("b0"))
+        .join(base.select(col("doc_id").as("doc_b"), col("b0")), "b0")
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+        .localCheckpoint(true)
+      val bigrams = when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1))))
+        .otherwise(array().cast("array<string>"))
+      def counts(g: org.apache.spark.sql.Column) = base
+        .select(col("doc_id"), explode(g).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1L)).as("c"))
+      def clipped(cnt: DataFrame, name: String) = pairs
+        .join(cnt.select(col("doc_id").as("doc_b"), col("g"),
+          col("c").as("ch")), "doc_b")
+        .join(cnt.select(col("doc_id").as("doc_a"), col("g"),
+          col("c").as("cr")), Seq("doc_a", "g"))
+        .groupBy("doc_a", "doc_b")
+        .agg(sum(least(col("ch"), col("cr"))).as(name))
+      val lens = base.select(col("doc_id"), size(col("toks")).cast("long").as("len"))
+      val uni = clipped(counts(col("toks")), "ov1")
+      val bi = clipped(counts(bigrams), "ov2")
+      pairs
+        .join(uni, Seq("doc_a", "doc_b"), "left")
+        .join(bi, Seq("doc_a", "doc_b"), "left")
+        .join(lens.select(col("doc_id").as("doc_a"), col("len").as("len_r")),
+          "doc_a")
+        .join(lens.select(col("doc_id").as("doc_b"), col("len").as("len_h")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          expr("coalesce(ov1, 0) * 1000000 div len_h").as("p1_ppm"),
+          when(col("len_h") > 1,
+            expr("coalesce(ov2, 0) * 1000000 div (len_h - 1)")).otherwise(0L)
+            .as("p2_ppm"),
+          expr("len_h * 1000000 div len_r").as("len_ratio_ppm"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some {
+      val mh = (0 until 2).map(k =>
+        s"list_min(list_transform(hs, h -> substr(h, ${k * 8 + 1}, 8)))")
+      s"""WITH t0 AS (
+            SELECT doc_id, $duckTokens AS tk,
+                   list_transform($duckShingles, x -> md5(x)) AS hs
+            FROM documents),
+          m AS (SELECT doc_id, tk, ${mh(0)} || ${mh(1)} AS b0 FROM t0),
+          pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM m a JOIN m b ON a.b0 = b.b0 AND a.doc_id < b.doc_id),
+          uni AS (
+            SELECT doc_id, unnest(tk) AS g FROM m),
+          uc AS (SELECT doc_id, g, count(*) AS c FROM uni GROUP BY 1, 2),
+          big AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(tk) >= 2 THEN
+                     list_transform(generate_series(1, len(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i + 1])
+                     ELSE [] END) AS g
+            FROM m),
+          bc AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2),
+          ov1 AS (
+            SELECT p.doc_a, p.doc_b, sum(least(h.c, r.c)) AS ov
+            FROM pairs p
+            JOIN uc h ON h.doc_id = p.doc_b
+            JOIN uc r ON r.doc_id = p.doc_a AND r.g = h.g
+            GROUP BY 1, 2),
+          ov2 AS (
+            SELECT p.doc_a, p.doc_b, sum(least(h.c, r.c)) AS ov
+            FROM pairs p
+            JOIN bc h ON h.doc_id = p.doc_b
+            JOIN bc r ON r.doc_id = p.doc_a AND r.g = h.g
+            GROUP BY 1, 2),
+          lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len FROM m)
+          SELECT p.doc_a, p.doc_b,
+                 CAST(coalesce(o1.ov, 0) * 1000000 // lh.len AS BIGINT)
+                   AS p1_ppm,
+                 CAST(CASE WHEN lh.len > 1 THEN
+                     coalesce(o2.ov, 0) * 1000000 // (lh.len - 1)
+                   ELSE 0 END AS BIGINT) AS p2_ppm,
+                 CAST(lh.len * 1000000 // lr.len AS BIGINT) AS len_ratio_ppm
+          FROM pairs p
+          LEFT JOIN ov1 o1 ON o1.doc_a = p.doc_a AND o1.doc_b = p.doc_b
+          LEFT JOIN ov2 o2 ON o2.doc_a = p.doc_a AND o2.doc_b = p.doc_b
+          JOIN lens lr ON lr.doc_id = p.doc_a
+          JOIN lens lh ON lh.doc_id = p.doc_b
+          ORDER BY p.doc_a, p.doc_b"""
+    })
+
   override val queries: Map[String, GQuery] = Map(
+    "q_eval_ngram_overlap" -> qEvalNgramOverlap,
     "q_dedup_lsh_tune" -> qDedupLshTune,
     "q_dedup_minhash_recall" -> qDedupMinhashRecall,
     "q_dedup_setjoin" -> qDedupSetjoin,

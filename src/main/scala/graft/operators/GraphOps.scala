@@ -626,7 +626,86 @@ object GraphOps extends QueryModule {
                    END AS r
             FROM m"""))
 
+  // --------------------------------------------- eigenvector centrality --
+
+  /** Eigenvector centrality by 3 fixed power-iteration rounds over the
+    * co-engagement graph, in FIXED-POINT integers (the PageRank
+    * determinism rule): v₀ = 10⁶ everywhere; each round sums neighbour
+    * scores along edges and rescales to max = 10⁶ via integer div — the
+    * max-normalized power iteration, whose fixpoint ranks nodes by the
+    * principal eigenvector. Differs from PageRank in exactly the ways that
+    * matter for intuition: no damping teleport, no out-degree division — a
+    * node is central because its NEIGHBOURS are central, degree alone
+    * doesn't win. Top-30 emitted with rank (score desc, user asc).
+    *
+    * Scale: per round one edges⋈scores join on the node key + one node agg
+    * + a broadcast max — the BFS/PageRank round economics, O(rounds)
+    * shuffles; scores stay ≤ deg_max·10⁶ so the arithmetic holds in BIGINT
+    * to ~10¹²-degree graphs.
+    */
+  private val qGraphEigencentrality = GQuery(
+    (s, d) => {
+      val edges = CoGraph.pairCounts(s, d)
+        .filter(col("c") >= 26)
+        .select("u", "v")
+      val sym = edges.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
+        .localCheckpoint(true)
+      val nodes = sym.select(col("a")).distinct()
+      var v = nodes.select(col("a"), lit(1000000L).as("score"))
+        .localCheckpoint(true)
+      for (_ <- 1 to 3) {
+        val raw = sym
+          .join(v.select(col("a").as("b"), col("score").as("nb")), "b")
+          .groupBy("a").agg(sum("nb").as("raw"))
+        val mx = raw.agg(max("raw").as("mx"))
+        v = raw.crossJoin(broadcast(mx))
+          .select(col("a"), expr("raw * 1000000 div mx").as("score"))
+          .localCheckpoint(true)
+      }
+      val w = Window.orderBy(col("score").desc, col("a").asc)
+      v.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 30)
+        .select(col("rank"), col("a").as("user_id"), col("score"))
+        .orderBy("rank")
+    },
+    Some {
+      def rnd(k: Int, prev: String): String =
+        s"""r$k AS (
+              SELECT s.a, sum(v.score) AS raw
+              FROM sym s JOIN $prev v ON v.a = s.b
+              GROUP BY s.a),
+            v$k AS (
+              SELECT a, CAST(raw * 1000000 // (SELECT max(raw) FROM r$k)
+                AS BIGINT) AS score
+              FROM r$k)"""
+      s"""WITH ev AS (
+            SELECT DISTINCT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+            FROM events),
+          edges AS (
+            SELECT a.user_id AS u, b.user_id AS v
+            FROM ev a JOIN ev b
+              ON a.event_type = b.event_type AND a.d = b.d
+                 AND a.user_id < b.user_id
+            GROUP BY 1, 2 HAVING count(*) >= 26),
+          sym AS (
+            SELECT u AS a, v AS b FROM edges
+            UNION ALL SELECT v, u FROM edges),
+          v0 AS (SELECT DISTINCT a, CAST(1000000 AS BIGINT) AS score FROM sym),
+          ${rnd(1, "v0")},
+          ${rnd(2, "v1")},
+          ${rnd(3, "v2")},
+          ranked AS (
+            SELECT CAST(row_number() OVER (ORDER BY score DESC, a ASC)
+              AS INT) AS rank, a AS user_id, score
+            FROM v3)
+          SELECT rank, user_id, score FROM ranked
+          WHERE rank <= 30 ORDER BY rank"""
+    })
+
   override val queries: Map[String, GQuery] = Map(
+    "q_graph_eigencentrality" -> qGraphEigencentrality,
     "q_graph_assortativity" -> qGraphAssortativity,
     "q_graph_modularity" -> qGraphModularity,
     "q_graph_pagerank" -> qGraphPagerank,
