@@ -129,4 +129,21 @@ class DedupGuardSpec extends SparkSpec {
     assert(nCaught >= (nTruth * 0.7).toLong,
       s"LSH recall below 0.7 on J>=0.5 truth: $nCaught/$nTruth")
   }
+
+  test("q_dedup_lsh_tune: the b×r S-curve is monotone — more/shorter bands " +
+      "never lose candidates or recall") {
+    // theory: collision prob 1−(1−s^r)^b is pointwise ≥ for b4r1 vs b2r2 vs
+    // b1r4 (any b1r4 collision is a b2r2 collision is a b4r1 collision,
+    // because equal concatenations force equal slices). The sweep must
+    // reproduce that dominance on real data, not just in the formula.
+    val rows = SparkEntry.queries("q_dedup_lsh_tune")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    val (c4, f4, r4) = rows("b4r1")
+    val (c2, f2, r2) = rows("b2r2")
+    val (c1, f1, r1) = rows("b1r4")
+    assert(c4 >= c2 && c2 >= c1, s"candidate counts not monotone: $c4/$c2/$c1")
+    assert(f4 >= f2 && f2 >= f1, s"found counts not monotone: $f4/$f2/$f1")
+    assert(r4 >= r2 && r2 >= r1, s"recall not monotone: $r4/$r2/$r1")
+  }
 }
