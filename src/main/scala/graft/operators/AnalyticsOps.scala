@@ -3232,7 +3232,208 @@ object AnalyticsOps extends QueryModule {
             WHERE c.c_custkey < 100
             ORDER BY c.c_custkey"""))
 
+  // ------------------------------------------------- Cohen's d effect size --
+
+  /** Cohen's d for the hash-split A/B arms per event type — the effect-size
+    * companion to q_stats_abtest's Welch t, the same pairing as
+    * chisq↔cramersv: at 10⁹ rows every t is "significant", d says whether
+    * the difference MATTERS. Pooled σ from the exact DECIMAL(38) moment
+    * sums; fp only in the final dround'd division; the magnitude class
+    * (negligible/small/medium/large at the 0.2/0.5/0.8 cuts) is derived
+    * from the ROUNDED d so both engines classify identically.
+    *
+    * Scale: one map-side-combined agg (both arms in one pass, the abtest
+    * shape); everything downstream is event-type-cardinality rows.
+    */
+  private val qStatsCohend = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      def arm(a: Int, c: org.apache.spark.sql.Column) =
+        sum(when(pmod(col("user_id"), lit(2)) === a, c).otherwise(lit(0L))
+          .cast("decimal(38,0)"))
+      val g = t(s, d, "events")
+        .groupBy("event_type")
+        .agg(
+          sum(when(pmod(col("user_id"), lit(2)) === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(pmod(col("user_id"), lit(2)) === 1, 1L).otherwise(0L)).as("n_b"),
+          arm(0, cents).as("s_a"), arm(1, cents).as("s_b"),
+          arm(0, cents * cents).as("ss_a"), arm(1, cents * cents).as("ss_b"))
+      // sample variances via n·SS − S² (exact), pooled over both arms
+      val va = (col("n_a") * col("ss_a") - col("s_a") * col("s_a")).cast("double") /
+        (col("n_a") * (col("n_a") - 1)).cast("double")
+      val vb = (col("n_b") * col("ss_b") - col("s_b") * col("s_b")).cast("double") /
+        (col("n_b") * (col("n_b") - 1)).cast("double")
+      val pooled = sqrt(((col("n_a") - 1).cast("double") * va +
+        (col("n_b") - 1).cast("double") * vb) /
+        (col("n_a") + col("n_b") - 2).cast("double"))
+      val dEff = (col("s_a").cast("double") / col("n_a").cast("double") -
+        col("s_b").cast("double") / col("n_b").cast("double")) / pooled
+      g.filter(col("n_a") > 1 && col("n_b") > 1)
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          dround(dEff, 4).as("cohen_d"))
+        .withColumn("magnitude",
+          when(abs(col("cohen_d")) < 0.2, "negligible")
+            .when(abs(col("cohen_d")) < 0.5, "small")
+            .when(abs(col("cohen_d")) < 0.8, "medium").otherwise("large"))
+        .orderBy("event_type")
+    },
+    Some("""WITH g AS (
+              SELECT event_type,
+                     CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_a,
+                     CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_b,
+                     sum(CASE WHEN user_id % 2 = 0 THEN
+                       CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS s_a,
+                     sum(CASE WHEN user_id % 2 = 1 THEN
+                       CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS s_b,
+                     sum(CASE WHEN user_id % 2 = 0 THEN
+                       CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS ss_a,
+                     sum(CASE WHEN user_id % 2 = 1 THEN
+                       CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS ss_b
+              FROM events GROUP BY event_type),
+            fin AS (
+              SELECT event_type, n_a, n_b,
+                     CAST(round(CAST(
+                       (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                        - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                       / sqrt((CAST(n_a - 1 AS DOUBLE)
+                           * (CAST(n_a * ss_a - s_a * s_a AS DOUBLE)
+                             / CAST(n_a * (n_a - 1) AS DOUBLE))
+                         + CAST(n_b - 1 AS DOUBLE)
+                           * (CAST(n_b * ss_b - s_b * s_b AS DOUBLE)
+                             / CAST(n_b * (n_b - 1) AS DOUBLE)))
+                         / CAST(n_a + n_b - 2 AS DOUBLE))
+                       AS DECIMAL(30,8)), 4) AS DOUBLE) AS cohen_d
+              FROM g WHERE n_a > 1 AND n_b > 1)
+            SELECT event_type, n_a, n_b, cohen_d,
+                   CASE WHEN abs(cohen_d) < 0.2 THEN 'negligible'
+                        WHEN abs(cohen_d) < 0.5 THEN 'small'
+                        WHEN abs(cohen_d) < 0.8 THEN 'medium'
+                        ELSE 'large' END AS magnitude
+            FROM fin ORDER BY event_type"""))
+
+  // ------------------------------------------- ClickHouse-style windowFunnel --
+
+  /** windowFunnel(1h)(view → click → purchase) per user: the deepest prefix
+    * of the step sequence completed IN ORDER within one hour of the anchor
+    * view — ClickHouse's windowFunnel, built from two merge-asof window
+    * passes instead of per-row state: pass 1 unions views+clicks sorted per
+    * user and reads each view's NEXT click via a forward-min window; pass 2
+    * repositions each satisfied view at its click time among purchases and
+    * reads the next purchase the same way. "Next" is strict in the total
+    * (ts, tag, event_id) order, so ties are deterministic cross-engine.
+    * Emits the user count per max-completed level (0 = active user with no
+    * view).
+    *
+    * Scale: the as-of economics twice — two user-partitioned sort windows,
+    * zero self-joins, zero per-anchor probes; state per row is O(1) and
+    * anchors never fan out (a user with 10³ views costs 10³ rows, not
+    * 10³ × clicks candidates).
+    */
+  private val qEventsWindowFunnel = GQuery(
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("sec"), col("event_type"))
+      val vc = ev.filter(col("event_type").isin("view", "click"))
+        .withColumn("tag", when(col("event_type") === "view", 0).otherwise(1))
+      val w1 = Window.partitionBy("user_id")
+        .orderBy("sec", "tag", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+      val step2 = vc
+        .withColumn("next_click",
+          min(when(col("event_type") === "click", col("sec"))).over(w1))
+        .filter(col("event_type") === "view")
+        .withColumn("t2",
+          when(col("next_click") <= col("sec") + 21600L, col("next_click")))
+      // pass 2: satisfied views reposition at their click time (tag 0)
+      // among purchases (tag 1); strict successor via the same frame
+      val probes = step2.filter(col("t2").isNotNull)
+        .select(col("user_id"), col("event_id"), col("sec").as("anchor"),
+          col("t2").as("pos"), lit(0).as("tag"), lit(null).cast("long").as("psec"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), lit(null).cast("long").as("anchor"),
+          col("sec").as("pos"), lit(1).as("tag"), col("sec").as("psec"))
+      val w2 = Window.partitionBy("user_id")
+        .orderBy("pos", "tag", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+      val step3 = probes.unionByName(purch)
+        .withColumn("next_purch", min(col("psec")).over(w2))
+        .filter(col("tag") === 0)
+        .withColumn("done3",
+          col("next_purch") <= col("anchor") + 21600L)
+      val lvl3users = step3.filter(col("done3"))
+        .select(col("user_id")).distinct().withColumn("lvl", lit(3))
+      val lvl2users = step2.filter(col("t2").isNotNull)
+        .select(col("user_id")).distinct().withColumn("lvl", lit(2))
+      val lvl1users = ev.filter(col("event_type") === "view")
+        .select(col("user_id")).distinct().withColumn("lvl", lit(1))
+      val lvl0users = ev.select(col("user_id")).distinct().withColumn("lvl", lit(0))
+      lvl0users.unionByName(lvl1users).unionByName(lvl2users)
+        .unionByName(lvl3users)
+        .groupBy("user_id").agg(max("lvl").as("level"))
+        .groupBy("level").agg(count(lit(1L)).as("n_users"))
+        .orderBy("level")
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, event_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type
+              FROM events),
+            vc AS (
+              SELECT user_id, event_id, sec, event_type,
+                     CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS tag
+              FROM ev WHERE event_type IN ('view', 'click')),
+            s2 AS (
+              SELECT user_id, event_id, sec, event_type,
+                     min(CASE WHEN event_type = 'click' THEN sec END)
+                       OVER (PARTITION BY user_id
+                         ORDER BY sec, tag, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                       AS next_click
+              FROM vc),
+            views AS (
+              SELECT user_id, event_id, sec,
+                     CASE WHEN next_click <= sec + 21600 THEN next_click END
+                       AS t2
+              FROM s2 WHERE event_type = 'view'),
+            merged AS (
+              SELECT user_id, event_id, sec AS anchor, t2 AS pos, 0 AS tag,
+                     CAST(NULL AS BIGINT) AS psec
+              FROM views WHERE t2 IS NOT NULL
+              UNION ALL
+              SELECT user_id, event_id, CAST(NULL AS BIGINT), sec, 1, sec
+              FROM ev WHERE event_type = 'purchase'),
+            s3 AS (
+              SELECT user_id, anchor, tag,
+                     min(psec) OVER (PARTITION BY user_id
+                       ORDER BY pos, tag, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                       AS next_purch
+              FROM merged),
+            levels AS (
+              SELECT user_id, 0 AS lvl FROM ev GROUP BY 1
+              UNION ALL
+              SELECT DISTINCT user_id, 1 FROM ev WHERE event_type = 'view'
+              UNION ALL
+              SELECT DISTINCT user_id, 2 FROM views WHERE t2 IS NOT NULL
+              UNION ALL
+              SELECT DISTINCT user_id, 3 FROM s3
+              WHERE tag = 0 AND next_purch <= anchor + 21600),
+            ul AS (SELECT user_id, max(lvl) AS level FROM levels GROUP BY 1)
+            SELECT CAST(level AS INT) AS level,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM ul GROUP BY level ORDER BY level"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_stats_cohend" -> qStatsCohend,
+    "q_events_window_funnel" -> qEventsWindowFunnel,
     "q_feature_scale" -> qFeatureScale,
     "q_stats_mannwhitney" -> qStatsMannwhitney,
     "q_stats_runs" -> qStatsRuns,
