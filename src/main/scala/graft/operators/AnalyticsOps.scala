@@ -3431,7 +3431,125 @@ object AnalyticsOps extends QueryModule {
                    CAST(count(*) AS BIGINT) AS n_users
             FROM ul GROUP BY level ORDER BY level"""))
 
+  // --------------------------------------- point-in-time feature join --
+
+  /** Feature-store point-in-time join: each order (the training spine) is
+    * enriched with three user features AS OF its timestamp — events seen,
+    * purchase cents accumulated, last event type — with zero future
+    * leakage. All three features ride ONE merge-asof pass: probes union
+    * into the event stream, one user-partitioned sort window computes the
+    * running count/sum/last, and probe rows read them off. The per-row
+    * leakage guard is the frame bound itself (UNBOUNDED PRECEDING → current
+    * row, probes tagged to sort AFTER same-second events — "as of" means
+    * inclusive).
+    *
+    * Scale: THE feature-store join done right — N feature columns cost one
+    * sorted pass, not N as-of joins (the q_join_asof_nearest economics
+    * widened); running aggregates are O(1) state; spine and stream
+    * partition on the same user key so the union needs no extra shuffle.
+    */
+  private val qFeaturePit = GQuery(
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id").as("uid"), col("event_id").as("oid"),
+          unix_timestamp(col("ts")).as("sec"), lit(0).as("tag"),
+          lit(1L).as("cnt"),
+          when(col("event_type") === "purchase",
+            col("value").cast("decimal(18,2)").*(lit(100)).cast("long"))
+            .otherwise(0L).as("cents"),
+          col("event_type").as("etype"))
+      val spine = t(s, d, "orders")
+        .filter(col("o_custkey") < 150)
+        .select(col("o_custkey").as("uid"), col("o_orderkey").as("oid"),
+          unix_timestamp(col("o_orderdate")).as("sec"), lit(1).as("tag"),
+          lit(0L).as("cnt"), lit(0L).as("cents"),
+          lit(null).cast("string").as("etype"))
+      val w = Window.partitionBy("uid").orderBy("sec", "tag", "oid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.unionByName(spine)
+        .withColumn("n_events", sum("cnt").over(w))
+        .withColumn("spend_cents", sum("cents").over(w))
+        .withColumn("last_etype", last(col("etype"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("oid").as("o_orderkey"), col("uid").as("o_custkey"),
+          col("n_events"), col("spend_cents"),
+          coalesce(col("last_etype"), lit("none")).as("last_etype"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH ev AS (
+              SELECT user_id AS uid, event_id AS oid,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec, 0 AS tag,
+                     CAST(1 AS BIGINT) AS cnt,
+                     CASE WHEN event_type = 'purchase' THEN
+                       CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ELSE 0 END AS cents,
+                     event_type AS etype
+              FROM events),
+            spine AS (
+              SELECT o_custkey AS uid, o_orderkey AS oid,
+                     CAST(floor(epoch(o_orderdate)) AS BIGINT) AS sec, 1 AS tag,
+                     CAST(0 AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS cents,
+                     CAST(NULL AS VARCHAR) AS etype
+              FROM orders WHERE o_custkey < 150),
+            merged AS (
+              SELECT * FROM ev UNION ALL SELECT * FROM spine),
+            scored AS (
+              SELECT uid, oid, tag,
+                     sum(cnt) OVER win AS n_events,
+                     sum(cents) OVER win AS spend_cents,
+                     last_value(etype IGNORE NULLS) OVER win AS last_etype
+              FROM merged
+              WINDOW win AS (PARTITION BY uid ORDER BY sec, tag, oid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            SELECT oid AS o_orderkey, uid AS o_custkey,
+                   CAST(n_events AS BIGINT) AS n_events,
+                   CAST(spend_cents AS BIGINT) AS spend_cents,
+                   coalesce(last_etype, 'none') AS last_etype
+            FROM scored WHERE tag = 1
+            ORDER BY o_orderkey"""))
+
+  // -------------------------------------------------------- modal value --
+
+  /** Mode (most frequent value) of purchase cents per event type with a
+    * DETERMINISTIC tie-break (highest count, then smallest value) — the
+    * categorical central-tendency member next to median
+    * (q_agg_wquantile) and mean (q_agg_stats). Built as value-count agg →
+    * per-type rank window over the value GRID; engines tie-break
+    * identically because the order is total.
+    *
+    * Scale: the rank window runs over DISTINCT (type, value) cells, never
+    * rows — the auc grid economics; a true streaming mode would keep a
+    * count-min + heap, but the exact grid form is what the gate can hash.
+    */
+  private val qAggMode = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val grid = t(s, d, "events")
+        .groupBy(col("event_type"), cents.as("v"))
+        .agg(count(lit(1L)).as("c"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("c").desc, col("v").asc)
+      grid.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("v").as("mode_cents"), col("c").as("n"))
+        .orderBy("event_type")
+    },
+    Some("""WITH grid AS (
+              SELECT event_type,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1, 2),
+            ranked AS (
+              SELECT event_type, v, c,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY c DESC, v ASC) AS rk
+              FROM grid)
+            SELECT event_type, v AS mode_cents, c AS n
+            FROM ranked WHERE rk = 1 ORDER BY event_type"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_feature_pit" -> qFeaturePit,
+    "q_agg_mode" -> qAggMode,
     "q_stats_cohend" -> qStatsCohend,
     "q_events_window_funnel" -> qEventsWindowFunnel,
     "q_feature_scale" -> qFeatureScale,
