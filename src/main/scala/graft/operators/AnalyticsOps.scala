@@ -3547,7 +3547,97 @@ object AnalyticsOps extends QueryModule {
             SELECT event_type, v AS mode_cents, c AS n
             FROM ranked WHERE rk = 1 ORDER BY event_type"""))
 
+  // ----------------------------------------------- Theil–Sen robust trend --
+
+  /** Theil–Sen robust trend of the daily revenue series: the LOWER-MEDIAN of
+    * all pairwise slopes (exact micro-cents/day integers — slope quantized
+    * at the division, both engines truncate identically), plus the matching
+    * intercept as the lower-median residual at that slope. Robust to ~29%
+    * outlier days where the OLS line (q_stats_linreg) bends; the
+    * slope/intercept pair is hash-exact because medians are ORDER
+    * STATISTICS of integer columns, never averages.
+    *
+    * Scale: pairwise slopes live on the DAY GRID (d² pairs of a
+    * calendar-bounded series — 435 at 30 days), not on rows; the corpus is
+    * touched once by the day agg. Years of data: d² ~ 10⁵ pairs, still
+    * trivial; the residual pass is d rows.
+    */
+  private val qTsTheilsen = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      // di is REBASED to the series start: with absolute epoch days a
+      // one-day revenue jump makes slope_micro·di overflow BIGINT
+      // (~10¹⁵ · 2·10⁴); rebased di ≤ series length keeps it exact
+      val daily = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), cents.as("v"))
+        .groupBy("day").agg(sum("v").as("x"))
+        .select(datediff(col("day"), lit("1970-01-01").cast("date"))
+          .cast("long").as("de"), col("x"))
+        .withColumn("di", col("de") - min("de").over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .select(col("di"), col("x"))
+        .localCheckpoint(true)
+      val pairs = daily.select(col("di").as("da"), col("x").as("xa"))
+        .join(daily.select(col("di").as("db"), col("x").as("xb")),
+          col("da") < col("db"))
+        .select(col("da"), col("db"),
+          expr("(xb - xa) * 1000000 div (db - da)").as("sl"))
+      val wSl = Window.orderBy(col("sl").asc, col("da").asc, col("db").asc)
+      val slope = pairs
+        .withColumn("rn", row_number().over(wSl))
+        .withColumn("cnt", count(lit(1L)).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("sl").as("slope_micro"), col("cnt").as("n_pairs"))
+      val wR = Window.orderBy(col("r").asc, col("di").asc)
+      daily.crossJoin(broadcast(slope))
+        .select(col("di"), col("x"), col("slope_micro"), col("n_pairs"),
+          (col("x") * 1000000L - col("slope_micro") * col("di")).as("r"))
+        .withColumn("rn", row_number().over(wR))
+        .withColumn("nd", count(lit(1L)).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .filter(col("rn") === expr("(nd + 1) div 2"))
+        .select(col("nd").as("n_days"), col("n_pairs"), col("slope_micro"),
+          expr("r div 1000000").as("intercept_cents"))
+    },
+    Some("""WITH daily0 AS (
+              SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT)
+                       // 86400 AS de,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS x
+              FROM events GROUP BY 1),
+            daily AS (
+              SELECT de - min(de) OVER () AS di, x FROM daily0),
+            pairs AS (
+              SELECT a.di AS da, b.di AS db,
+                     CAST((b.x - a.x) * 1000000 // (b.di - a.di) AS BIGINT)
+                       AS sl
+              FROM daily a JOIN daily b ON a.di < b.di),
+            slr AS (
+              SELECT sl, row_number() OVER (ORDER BY sl, da, db) AS rn,
+                     count(*) OVER () AS cnt
+              FROM pairs),
+            slope AS (
+              SELECT sl AS slope_micro, CAST(cnt AS BIGINT) AS n_pairs
+              FROM slr WHERE rn = (cnt + 1) // 2),
+            resid AS (
+              SELECT d.di, d.x * 1000000 - s.slope_micro * d.di AS r,
+                     s.slope_micro, s.n_pairs
+              FROM daily d CROSS JOIN slope s),
+            rr AS (
+              SELECT *, row_number() OVER (ORDER BY r, di) AS rn,
+                     count(*) OVER () AS nd
+              FROM resid)
+            SELECT CAST(nd AS BIGINT) AS n_days, n_pairs,
+                   CAST(slope_micro AS BIGINT) AS slope_micro,
+                   CAST(r // 1000000 AS BIGINT) AS intercept_cents
+            FROM rr WHERE rn = (nd + 1) // 2"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_ts_theilsen" -> qTsTheilsen,
     "q_feature_pit" -> qFeaturePit,
     "q_agg_mode" -> qAggMode,
     "q_stats_cohend" -> qStatsCohend,

@@ -423,7 +423,96 @@ object GovernanceOps extends QueryModule {
             UNION ALL SELECT user_id, token, n_events FROM summary
             ORDER BY user_id"""))
 
+  // ------------------------------------------------------- t-closeness --
+
+  /** t-closeness audit (Li et al., ICDE'07) — the third rung of the privacy
+    * ladder after k-anonymity (group size) and l-diversity (distinct
+    * sensitive values): how far each QI class's SENSITIVE-VALUE DISTRIBUTION
+    * sits from the global one, as total-variation distance in exact ppm
+    * integers. A class can be large (k-anon ✓) and diverse (l-div ✓) yet
+    * still leak — e.g. 90% of its purchases in the top value band vs 10%
+    * globally; TV distance is what catches that. Absent bands contribute
+    * their full global mass (Σ_absent p = tp − Σ_present p — no per-band
+    * outer join needed). Classes band into close (t ≤ 0.1) / drifted
+    * (≤ 0.25) / leaky.
+    *
+    * Scale: the corpus collapses to (QI, band) cells in one partial agg;
+    * every window below runs on the cell table (chisq economics). The ppm
+    * quantization makes the audit hash-exact — no fp anywhere.
+    */
+  private val qPrivacyTclose = GQuery(
+    (s, d) => {
+      val cells = t(s, d, "events")
+        .select(col("event_type"), hour(col("ts")).as("hod"),
+          least(expr("cast(cast(value as decimal(18,2)) * 100 as bigint) div 20000"),
+            lit(9L)).as("sband"))
+        .groupBy("event_type", "hod", "sband")
+        .agg(count(lit(1L)).as("n_gs"))
+      val wG = Window.partitionBy("event_type", "hod")
+      val wS = Window.partitionBy("sband")
+      val wAll = Window.partitionBy()
+      val scored = cells
+        .withColumn("n_g", sum("n_gs").over(wG))
+        .withColumn("n_s", sum("n_gs").over(wS))
+        .withColumn("nn", sum("n_gs").over(wAll))
+        .withColumn("pg", expr("n_gs * 1000000 div n_g"))
+        .withColumn("p", expr("n_s * 1000000 div nn"))
+      // tp = Σ over bands of the global ppm (≈ 10⁶ up to div rounding):
+      // derived on the distinct band table, broadcast back
+      val tp = scored.select(col("sband"), col("p")).distinct()
+        .agg(sum("p").as("tp"))
+      scored.groupBy("event_type", "hod")
+        .agg(max("n_g").as("n_rows"),
+          sum(abs(col("pg") - col("p"))).as("dev_present"),
+          sum("p").as("p_present"))
+        .crossJoin(broadcast(tp))
+        .select(col("event_type"), col("hod"), col("n_rows"),
+          expr("(dev_present + (tp - p_present)) div 2").as("tv_ppm"))
+        .withColumn("closeness",
+          when(col("tv_ppm") <= 100000L, "close")
+            .when(col("tv_ppm") <= 250000L, "drifted").otherwise("leaky"))
+        .orderBy("event_type", "hod")
+    },
+    Some("""WITH cells AS (
+              SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+                     least(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       // 20000, 9) AS sband,
+                     CAST(count(*) AS BIGINT) AS n_gs
+              FROM events GROUP BY 1, 2, 3),
+            scored AS (
+              SELECT event_type, hod, sband, n_gs,
+                     CAST(sum(n_gs) OVER (PARTITION BY event_type, hod)
+                       AS BIGINT) AS n_g,
+                     CAST(sum(n_gs) OVER (PARTITION BY sband) AS BIGINT)
+                       AS n_s,
+                     CAST(sum(n_gs) OVER () AS BIGINT) AS nn
+              FROM cells),
+            ppm AS (
+              SELECT event_type, hod, n_g,
+                     n_gs * 1000000 // n_g AS pg,
+                     n_s * 1000000 // nn AS p, sband
+              FROM scored),
+            tp AS (
+              SELECT CAST(sum(p) AS BIGINT) AS tp
+              FROM (SELECT DISTINCT sband, p FROM ppm)),
+            grp AS (
+              SELECT event_type, hod, max(n_g) AS n_rows,
+                     sum(abs(pg - p)) AS dev_present,
+                     sum(p) AS p_present
+              FROM ppm GROUP BY 1, 2)
+            SELECT g.event_type, g.hod, CAST(g.n_rows AS BIGINT) AS n_rows,
+                   CAST((g.dev_present + (t.tp - g.p_present)) // 2
+                     AS BIGINT) AS tv_ppm,
+                   CASE WHEN (g.dev_present + (t.tp - g.p_present)) // 2
+                          <= 100000 THEN 'close'
+                        WHEN (g.dev_present + (t.tp - g.p_present)) // 2
+                          <= 250000 THEN 'drifted'
+                        ELSE 'leaky' END AS closeness
+            FROM grp g CROSS JOIN tp t
+            ORDER BY g.event_type, g.hod"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_privacy_tclose" -> qPrivacyTclose,
     "q_privacy_tokenize" -> qPrivacyTokenize,
     "q_privacy_dp" -> qPrivacyDp,
     "q_quality_expectations" -> qQualityExpectations,
