@@ -3636,7 +3636,121 @@ object AnalyticsOps extends QueryModule {
                    CAST(r // 1000000 AS BIGINT) AS intercept_cents
             FROM rr WHERE rn = (nd + 1) // 2"""))
 
+  // ------------------------------------------------- Kruskal–Wallis H --
+
+  /** Kruskal–Wallis H across all five event types' value distributions —
+    * the k-sample completion of the rank-test family (Mann–Whitney is its
+    * k = 2 case): doubled mid-rank sums per type from the value GRID (the
+    * auc machinery — no row-level sort), the tie term Σ(t³−t) from the same
+    * grid, and H' = (12/(N(N+1)) Σ Rᵢ²/nᵢ − 3(N+1)) / (1 − ties/(N³−N))
+    * computed once in fp from exact BIGINTs, dround-snapped. Per-type rows
+    * carry the exact integer mean-rank in milli (Rᵢ·1000 div nᵢ with
+    * doubled ranks folded back); the TOTAL row carries H.
+    *
+    * Scale: auc economics — one value-grid agg, one grid prefix window,
+    * one scalar agg; all five types ride the same pass. N³ forces the
+    * DECIMAL(38) widening around 10⁶ grid-total rows — done here
+    * unconditionally (the corrmatrix rule).
+    */
+  private val qStatsKruskal = GQuery(
+    (s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val dec = DataTypes.createDecimalType(38, 0)
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val perV = t(s, d, "events")
+        .select(cents.as("v"), col("event_type"))
+        .groupBy("v")
+        .agg(count(lit(1L)).as("cnt"), types.map(tp =>
+          sum(when(col("event_type") === tp, 1L).otherwise(0L)).as(s"c_$tp")): _*)
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = perV
+        .withColumn("cum", coalesce(sum("cnt").over(w), lit(0L)))
+      val aggCols =
+        types.map(tp => sum(col(s"c_$tp") * (col("cum") * 2 + col("cnt") + 1))
+          .as(s"s2_$tp")) ++
+          types.map(tp => sum(col(s"c_$tp")).as(s"n_$tp")) :+
+          sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ties")
+      val agg = ranked.agg(aggCols.head, aggCols.tail: _*)
+      val nTot = types.map(tp => col(s"n_$tp")).reduce(_ + _)
+      // Σ Rᵢ²/nᵢ with doubled ranks: Σ (s2ᵢ)²/(4nᵢ) — exact DECIMAL inputs
+      val sumR2 = types.map(tp =>
+        (col(s"s2_$tp").cast(dec) * col(s"s2_$tp").cast(dec))
+          .cast("double") / (col(s"n_$tp") * 4L).cast("double")).reduce(_ + _)
+      val hRaw = lit(12.0) / (nTot.cast("double") * (nTot + 1L).cast("double")) *
+        sumR2 - lit(3.0) * (nTot + 1L).cast("double")
+      val tieCorr = lit(1.0) - col("ties").cast("double") /
+        (nTot.cast(dec) * nTot.cast(dec) * nTot.cast(dec) - nTot.cast(dec))
+          .cast("double")
+      val perType = types.map(tp =>
+        agg.select(lit(tp).as("event_type"), col(s"n_$tp").as("n"),
+          expr(s"s2_$tp * 500 div n_$tp").as("mean_rank_milli"),
+          lit(null).cast("double").as("h")))
+      val total = agg.select(lit("TOTAL").as("event_type"), nTot.as("n"),
+        lit(null).cast("long").as("mean_rank_milli"),
+        when(tieCorr > 0, dround(hRaw / tieCorr, 6)).as("h"))
+      perType.reduce(_ unionByName _).unionByName(total)
+        .orderBy("event_type")
+    },
+    Some {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cSums = types.map(tp =>
+        s"""CAST(sum(CASE WHEN event_type = '$tp' THEN 1 ELSE 0 END)
+             AS BIGINT) AS c_$tp""").mkString(",\n")
+      val s2Sums = types.map(tp =>
+        s"CAST(sum(c_$tp * (cum * 2 + cnt + 1)) AS BIGINT) AS s2_$tp," +
+          s" CAST(sum(c_$tp) AS BIGINT) AS n_$tp").mkString(",\n")
+      val nTot = types.map(tp => s"n_$tp").mkString(" + ")
+      val sumR2 = types.map(tp =>
+        s"""CAST(CAST(s2_$tp AS DECIMAL(38,0)) * CAST(s2_$tp AS DECIMAL(38,0))
+             AS DOUBLE) / CAST(n_$tp * 4 AS DOUBLE)""").mkString(" + ")
+      val perType = types.map(tp =>
+        s"""SELECT '$tp' AS event_type, n_$tp AS n,
+              CAST(s2_$tp * 500 // n_$tp AS BIGINT) AS mean_rank_milli,
+              CAST(NULL AS DOUBLE) AS h FROM agg""").mkString("\nUNION ALL\n")
+      s"""WITH perv AS (
+            SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   $cSums
+            FROM events GROUP BY 1),
+          ranked AS (
+            SELECT *, CAST(coalesce(sum(cnt) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum
+            FROM perv),
+          agg AS (
+            SELECT $s2Sums,
+                   CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+            FROM ranked),
+          total AS (
+            SELECT 'TOTAL' AS event_type, CAST($nTot AS BIGINT) AS n,
+                   CAST(NULL AS BIGINT) AS mean_rank_milli,
+                   CASE WHEN 1.0 - CAST(ties AS DOUBLE)
+                       / CAST(CAST($nTot AS DECIMAL(38,0))
+                           * CAST($nTot AS DECIMAL(38,0))
+                           * CAST($nTot AS DECIMAL(38,0))
+                           - CAST($nTot AS DECIMAL(38,0)) AS DOUBLE) > 0
+                   THEN
+                     CAST(round(CAST(
+                       (12.0 / (CAST($nTot AS DOUBLE)
+                          * CAST($nTot + 1 AS DOUBLE))
+                         * ($sumR2)
+                         - 3.0 * CAST($nTot + 1 AS DOUBLE))
+                       / (1.0 - CAST(ties AS DOUBLE)
+                          / CAST(CAST($nTot AS DECIMAL(38,0))
+                              * CAST($nTot AS DECIMAL(38,0))
+                              * CAST($nTot AS DECIMAL(38,0))
+                              - CAST($nTot AS DECIMAL(38,0)) AS DOUBLE))
+                       AS DECIMAL(30,8)), 6) AS DOUBLE)
+                   END AS h
+            FROM agg)
+          SELECT event_type, n, mean_rank_milli, h FROM (
+            $perType
+            UNION ALL SELECT * FROM total)
+          ORDER BY event_type"""
+    })
+
   val queries: Map[String, GQuery] = Map(
+    "q_stats_kruskal" -> qStatsKruskal,
     "q_ts_theilsen" -> qTsTheilsen,
     "q_feature_pit" -> qFeaturePit,
     "q_agg_mode" -> qAggMode,

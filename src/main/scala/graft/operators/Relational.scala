@@ -977,7 +977,58 @@ object Relational extends QueryModule {
             GROUP BY n.n_name
             ORDER BY revenue_cc DESC, n_name"""))
 
+  // -------------------------------------------------- recursive CTE (SQL) --
+
+  /** Multi-hop reachability in PURE SQL text through Spark 4's recursive
+    * CTE support — the iterative-closure surface (components/BFS/PageRank
+    * here do it with checkpointed DataFrame loops) exposed through the SQL
+    * API: parts reachable from part 0 in ≤ 2 hops of the bought-together
+    * graph, with min-hop distance and path multiplicity. Both engines run
+    * the SAME query text (Spark resolves the self-referencing CTE via
+    * ResolveWithCTE's UnionLoop; DuckDB natively) — the API-surface pin
+    * that the engine's SQL dialect covers modern recursion, not just the
+    * DataFrame loops.
+    *
+    * Scale: recursion depth is CAPPED in the query (hops < 2) — an
+    * unbounded closure over a dense co-purchase graph multiplies paths
+    * combinatorially; production walks either cap depth (this shape) or
+    * dedup per level (the label-propagation loop). Edge derivation is the
+    * usual keyed self-join on the order key.
+    */
+  private val qSqlRecursive = GQuery(
+    (s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("graft_lineitem")
+      s.sql("""
+        WITH RECURSIVE edges AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM graft_lineitem a JOIN graft_lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        reach AS (
+          SELECT CAST(0 AS BIGINT) AS part, 0 AS hops
+          UNION ALL
+          SELECT e.v, r.hops + 1
+          FROM reach r JOIN edges e ON e.u = r.part
+          WHERE r.hops < 2)
+        SELECT part, CAST(min(hops) AS INT) AS hops,
+               CAST(count(*) AS BIGINT) AS n_paths
+        FROM reach GROUP BY part ORDER BY part""")
+    },
+    Some("""WITH RECURSIVE edges AS (
+              SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+            reach AS (
+              SELECT CAST(0 AS BIGINT) AS part, 0 AS hops
+              UNION ALL
+              SELECT e.v, r.hops + 1
+              FROM reach r JOIN edges e ON e.u = r.part
+              WHERE r.hops < 2)
+            SELECT part, CAST(min(hops) AS INT) AS hops,
+                   CAST(count(*) AS BIGINT) AS n_paths
+            FROM reach GROUP BY part ORDER BY part"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_sql_recursive" -> qSqlRecursive,
     "q_sql_star" -> qSqlStar,
     "q_join_asof_nearest" -> qJoinAsofNearest,
     "q_join_asof" -> qJoinAsof,
