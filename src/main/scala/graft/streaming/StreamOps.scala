@@ -113,6 +113,49 @@ object StreamOps {
           })
   }
 
+  /** A per-user feature snapshot after a micro-batch (streaming PIT twin). */
+  final case class FeatureSnapshot(
+      uid: Int, n_events: Long, spend_cents: Long, last_etype: String)
+
+  /** Streaming running features per user — the ONLINE twin of the batch
+    * point-in-time join (q_feature_pit): the same three features (events
+    * seen, purchase cents, last event type) maintained as mapGroups state
+    * and emitted as a fresh snapshot whenever a user's group receives rows.
+    * A feature store serves these snapshots for inference while
+    * q_feature_pit back-fills training sets from history — SAME semantics,
+    * two freshness paths. Cents are accumulated via the HALF_UP
+    * decimal(18,2) rule so the online value matches the batch twin's exact
+    * arithmetic (never a raw double sum). Rows fold in offset order, so
+    * last_etype is deterministic within a batch.
+    *
+    * Scale: state is three scalars per ACTIVE user; pair with a timeout
+    * (the dedupStreamExpiring pattern) when the key space is unbounded.
+    */
+  def runningFeatures(shaped: DataFrame): Dataset[FeatureSnapshot] = {
+    val spark = shaped.sparkSession
+    import spark.implicits._
+    shaped
+      .select(col("value.uid").as("uid"), col("value.etype").as("etype"),
+        col("value.dval").as("dval"), col("offset"))
+      .as[(Int, String, Double, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Int, rows: Iterator[(Int, String, Double, Long)],
+            state: GroupState[(Long, Long, String)]) => {
+          var (n, cents, last) = state.getOption.getOrElse((0L, 0L, "none"))
+          rows.toSeq.sortBy(_._4).foreach { case (_, etype, dval, _) =>
+            n += 1
+            if (etype == "purchase")
+              cents += new java.math.BigDecimal(dval)
+                .setScale(2, java.math.RoundingMode.HALF_UP)
+                .movePointRight(2).longValueExact()
+            last = etype
+          }
+          state.update((n, cents, last))
+          Iterator.single(FeatureSnapshot(uid, n, cents, last))
+        })
+  }
+
   /** Stream-stream interval join: purchases matched to same-user clicks in
     * the preceding 30 minutes (the streaming twin of the batch q_join_range).
     * Both sides carry watermarks so Spark can bound the join state: click

@@ -259,6 +259,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("running features: snapshots accumulate across micro-batches like the batch PIT") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Int, Long, Int, Double, String)]
+    val stream = shapedStream(mem)
+    val q = StreamOps.runningFeatures(stream)
+      .writeStream.format("memory").queryName("feat_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 sees a view then a 10.50 purchase; user 2 a view
+      mem.addData((1, 0L, 0, 1.0, "view"), (1, 1L, 1, 10.50, "purchase"),
+        (2, 2L, 2, 1.0, "view"))
+      q.processAllAvailable()
+      // batch 2: user 1 purchases again (2.25); user 2 idle (no snapshot)
+      mem.addData((1, 3L, 3, 2.25, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("feat_test").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      // user 1: batch-1 snapshot (2 events, 1050 cents, purchase) then
+      // batch-2 snapshot (3 events, 1275 cents); user 2: one snapshot
+      assert(rows.toSet == Set(
+        (1, 2L, 1050L, "purchase"), (2, 1L, 0L, "view"),
+        (1, 3L, 1275L, "purchase")), rows.mkString(", "))
+    } finally q.stop()
+  }
+
   test("streaming corpus dedup: each micro-batch checks, then feeds, the band index") {
     // The incremental-dedup loop on the STREAMING surface: history index →
     // per-batch near-dup check via the bucketed band index → bucketed
