@@ -1678,7 +1678,109 @@ object SimilarityOps extends QueryModule {
             FROM s5 ORDER BY rank"""
     })
 
+  /** Binary (1-bit sign) quantized ANN — the no-training rung of the
+    * quantization ladder (int8 = 64 B, PQ = 8 B with a trained codebook;
+    * sign bits = 16 B with NO codebook): each 64-dim vector packs to two
+    * 32-bit words (`lo` dims 1-32, `hi` dims 33-64; 32-bit halves keep every
+    * partial sum far from BIGINT edges), the coarse pass ranks the WHOLE
+    * corpus by Hamming distance — two XOR+popcount per candidate, pure
+    * integers, hash-exact cross-engine by construction — and only the
+    * top-50 shortlist fetches float vectors for the exact cosine re-rank
+    * (q_knn_rerank's fetch-for-re-rank shape). This is the "binary
+    * quantization" mode modern vector stores ship when even PQ training is
+    * too much ceremony; sign(x) is exactly SRP with the identity projection,
+    * so recall tracks q_knn_ivf's geometry with zero index build.
+    *
+    * Scale: 16 bytes/vector coarse scan (32× below float64), no index to
+    * train or rebuild on append — the pack is a map-only ingest column.
+    * Emits per probe the top-3 with both the Hamming evidence and the exact
+    * score.
+    */
+  private val qKnnBinary = GQuery(
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .withColumn("nrm", norm(col("emb")))
+        .withColumn("lo", expr("aggregate(transform(sequence(0, 31), " +
+          "i -> IF(element_at(emb, i + 1) > CAST(0 AS DOUBLE), shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
+          "CAST(0 AS BIGINT), (a, v) -> a + v)"))
+        .withColumn("hi", expr("aggregate(transform(sequence(0, 31), " +
+          "i -> IF(element_at(emb, i + 33) > CAST(0 AS DOUBLE), shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
+          "CAST(0 AS BIGINT), (a, v) -> a + v)"))
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("p_id"), col("emb").as("p_emb"),
+          col("nrm").as("p_nrm"), col("lo").as("p_lo"), col("hi").as("p_hi"))
+      val wCoarse = Window.partitionBy("p_id")
+        .orderBy(col("ham").asc, col("n_id").asc)
+      val shortlist = emb
+        .join(broadcast(probes), col("vec_id") =!= col("p_id"))
+        .select(col("p_id"), col("vec_id").as("n_id"),
+          (bit_count(col("lo").bitwiseXOR(col("p_lo"))) +
+            bit_count(col("hi").bitwiseXOR(col("p_hi")))).cast("int").as("ham"))
+        .withColumn("crk", row_number().over(wCoarse))
+        .filter(col("crk") <= 50)
+        .select("p_id", "n_id", "ham")
+      val wExact = Window.partitionBy("p_id").orderBy(col("cos").desc, col("n_id").asc)
+      emb.select(col("vec_id").as("n_id"), col("emb").as("n_emb"),
+          col("nrm").as("n_nrm"))
+        .join(broadcast(shortlist), "n_id")
+        .join(broadcast(probes), "p_id")
+        .select(col("p_id"), col("n_id"), col("ham"),
+          dround(dot(col("p_emb"), col("n_emb")) / (col("p_nrm") * col("n_nrm")), 6)
+            .as("cos"))
+        .withColumn("rk", row_number().over(wExact).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("p_id"), col("n_id"), col("rk"), col("ham"),
+          dround(col("cos"), 2).as("score"))
+        .orderBy("p_id", "rk")
+    },
+    Some("""WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                     sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> x * x))) AS nrm
+              FROM embeddings),
+            b AS (
+              SELECT vec_id, emb, nrm,
+                     CAST(list_sum(list_transform(range(32),
+                       i -> CASE WHEN emb[i + 1] > 0 THEN (1::BIGINT << i)
+                            ELSE 0 END)) AS BIGINT) AS lo,
+                     CAST(list_sum(list_transform(range(32),
+                       i -> CASE WHEN emb[i + 33] > 0 THEN (1::BIGINT << i)
+                            ELSE 0 END)) AS BIGINT) AS hi
+              FROM e),
+            probes AS (
+              SELECT vec_id AS p_id, emb AS p_emb, nrm AS p_nrm,
+                     lo AS p_lo, hi AS p_hi
+              FROM b WHERE vec_id < 5),
+            coarse AS (
+              SELECT p.p_id, e.vec_id AS n_id,
+                     CAST(bit_count(xor(e.lo, p.p_lo))
+                          + bit_count(xor(e.hi, p.p_hi)) AS INT) AS ham
+              FROM b e, probes p WHERE e.vec_id <> p.p_id),
+            short AS (
+              SELECT p_id, n_id, ham FROM (
+                SELECT p_id, n_id, ham, row_number() OVER (PARTITION BY p_id
+                         ORDER BY ham, n_id) AS crk
+                FROM coarse) WHERE crk <= 50),
+            exact AS (
+              SELECT s.p_id, s.n_id, s.ham,
+                     CAST(round(CAST(list_dot_product(pe.emb, ne.emb)
+                       / (pe.nrm * ne.nrm) AS DECIMAL(30,8)), 6) AS DOUBLE)
+                       AS cos
+              FROM short s
+              JOIN b pe ON pe.vec_id = s.p_id
+              JOIN b ne ON ne.vec_id = s.n_id),
+            ranked AS (
+              SELECT p_id, n_id, ham, cos,
+                     row_number() OVER (PARTITION BY p_id
+                       ORDER BY cos DESC, n_id) AS rn
+              FROM exact)
+            SELECT p_id, n_id, CAST(rn AS INT) AS rk, ham,
+                   CAST(round(CAST(cos AS DECIMAL(30,8)), 2) AS DOUBLE) AS score
+            FROM ranked WHERE rn <= 3 ORDER BY p_id, rk"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_knn_binary" -> qKnnBinary,
     "q_embed_mmr" -> qEmbedMmr,
     "q_knn_ivfpq" -> qKnnIvfPq,
     "q_sample_coreset" -> qSampleCoreset,

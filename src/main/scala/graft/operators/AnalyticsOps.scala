@@ -3749,7 +3749,88 @@ object AnalyticsOps extends QueryModule {
           ORDER BY event_type"""
     })
 
+  // --------------------------------------- integer Holt trend smoothing --
+
+  /** Holt's double exponential smoothing (level + trend) of the daily
+    * revenue series, α = β = 1/4, in EXACT integer arithmetic — the
+    * trend-aware upgrade of q_ts_ewma (which assumes a level-only series and
+    * lags any drift): l₁ = x₁, b₁ = 0; lₜ = (xₜ + 3(lₜ₋₁+bₜ₋₁)) div 4,
+    * bₜ = ((lₜ − lₜ₋₁) + 3bₜ₋₁) div 4. Trend goes NEGATIVE on declining
+    * days, so the recurrence uses `div` (truncation toward zero — identical
+    * to DuckDB `//` on INTEGER operands, the q_feature_scale parity rule),
+    * never shiftright (floor). Emits per day the level/trend state, the
+    * one-step-ahead forecast fcₜ = lₜ₋₁ + bₜ₋₁ each state was scored
+    * against, and its error — the residual stream a monitoring pipeline
+    * alerts on.
+    *
+    * Scale: q_ts_ewma economics exactly — the corpus collapses to ≤ #days
+    * rows before the fold; the sequential part is calendar-bounded, and
+    * per-key Holt at scale runs the same fold per group key.
+    */
+  private val qTsHolt = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val daily = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), cents.as("v"))
+        .groupBy("day").agg(sum("v").as("x"))
+      val series = daily
+        .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("s"))
+        .select(transform(col("s"), r => r.getField("day")).as("days"),
+          transform(col("s"), r => r.getField("x")).as("xs"))
+      val folded = series.withColumn("st", expr(
+        """aggregate(xs,
+             CAST(array() AS ARRAY<STRUCT<l: BIGINT, b: BIGINT>>),
+             (acc, x) -> CASE WHEN size(acc) = 0
+               THEN array(named_struct('l', x, 'b', CAST(0 AS BIGINT)))
+               ELSE concat(acc, array(named_struct(
+                 'l', (x + 3 * (element_at(acc, -1).l + element_at(acc, -1).b))
+                        div 4,
+                 'b', (((x + 3 * (element_at(acc, -1).l
+                          + element_at(acc, -1).b)) div 4)
+                       - element_at(acc, -1).l + 3 * element_at(acc, -1).b)
+                        div 4)))
+             END)"""))
+      val wLag = Window.orderBy("day")
+      folded
+        .select(posexplode(arrays_zip(col("days"), col("xs"), col("st"))))
+        .select(col("col.days").as("day"), col("col.xs").as("x"),
+          col("col.st.l").as("level_cents"), col("col.st.b").as("trend_cents"))
+        .withColumn("fc_cents",
+          lag(col("level_cents") + col("trend_cents"), 1).over(wLag))
+        .select(col("day"), col("x"), col("level_cents"), col("trend_cents"),
+          coalesce(col("fc_cents"), lit(0L)).as("fc_cents"),
+          coalesce(col("x") - col("fc_cents"), lit(0L)).as("err_cents"))
+        .orderBy("day")
+    },
+    Some("""WITH RECURSIVE daily AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS x
+              FROM events GROUP BY 1),
+            seq AS (
+              SELECT day, x, CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+                       AS rn
+              FROM daily),
+            holt AS (
+              SELECT day, x, rn, x AS l, CAST(0 AS BIGINT) AS b
+              FROM seq WHERE rn = 1
+              UNION ALL
+              SELECT s.day, s.x, s.rn,
+                     CAST((s.x + 3 * (h.l + h.b)) // 4 AS BIGINT),
+                     CAST((((s.x + 3 * (h.l + h.b)) // 4) - h.l + 3 * h.b)
+                       // 4 AS BIGINT)
+              FROM seq s JOIN holt h ON s.rn = h.rn + 1),
+            fc AS (
+              SELECT day, x, l AS level_cents, b AS trend_cents,
+                     lag(l + b, 1) OVER (ORDER BY day) AS fc0
+              FROM holt)
+            SELECT day, x, level_cents, trend_cents,
+                   CAST(coalesce(fc0, 0) AS BIGINT) AS fc_cents,
+                   CAST(coalesce(x - fc0, 0) AS BIGINT) AS err_cents
+            FROM fc ORDER BY day"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_ts_holt" -> qTsHolt,
     "q_stats_kruskal" -> qStatsKruskal,
     "q_ts_theilsen" -> qTsTheilsen,
     "q_feature_pit" -> qFeaturePit,

@@ -1191,7 +1191,122 @@ object ScoringOps extends QueryModule {
                      AS bias_dollars
             FROM agg ORDER BY seg"""))
 
+  // ------------------------------------------- retrieval eval (MRR/MAP) --
+
+  /** MRR and MAP@10 for the embedding retriever — the rank-position members
+    * of the eval family (q_eval_ndcg scores graded order, q_stats_auc
+    * scores separability; MRR/MAP score WHERE the relevant items land).
+    * Probes are vec_id < 5; a neighbour is relevant iff it shares the
+    * probe's label; the ranking is the exact-cosine top-10 on the portable
+    * 1e-6 integer cosine grid (q_text_rrf's snap — rank order is
+    * engine-identical by construction). Per probe: first-relevant rank,
+    * reciprocal rank in micros (10⁶ div rank), and average precision in
+    * micros (Σ over relevant positions of hits@k·10⁶ div k, div #relevant
+    * in the window — the standard AP@k with integer division both engines
+    * share). A p_id = −1 summary row carries the corpus-level MRR/MAP
+    * (micro means over the probe set).
+    *
+    * Scale: ranking cost is the brute-force probe kNN (or any ANN rung —
+    * the eval only needs the top-10 lists); everything after the top-10
+    * filter is 10 rows per probe, and the final summary is a 5-row agg.
+    * A million-query eval run keeps the same two-window shape with qid as
+    * the partition key.
+    */
+  private val qEvalMrr = GQuery(
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("emb"))
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("p_id"), col("label").as("p_label"),
+          col("emb").as("p_emb"))
+      val dotc = aggregate(zip_with(col("emb"), col("p_emb"), _ * _),
+        lit(0.0), _ + _)
+      val nrm = sqrt(aggregate(transform(col("emb"), x => x * x), lit(0.0), _ + _))
+      val pnrm = sqrt(aggregate(transform(col("p_emb"), x => x * x), lit(0.0), _ + _))
+      val wRank = Window.partitionBy("p_id")
+        .orderBy(col("cos_micro").desc, col("n_id").asc)
+      val ranked = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("p_id"))
+        .select(col("p_id"), col("p_label"), col("vec_id").as("n_id"),
+          col("label"),
+          floor(dround(dotc / (nrm * pnrm), 6) * 1e6 + 0.5).cast("long")
+            .as("cos_micro"))
+        .withColumn("rk", row_number().over(wRank).cast("long"))
+        .filter(col("rk") <= 10)
+        .withColumn("rel", when(col("label") === col("p_label"), 1L)
+          .otherwise(0L))
+      val wHits = Window.partitionBy("p_id").orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val per = ranked.withColumn("hits", sum("rel").over(wHits))
+        .groupBy("p_id", "p_label")
+        .agg(sum("rel").as("n_rel"),
+          min(when(col("rel") === 1L, col("rk"))).as("fr"),
+          sum(when(col("rel") === 1L, expr("hits * 1000000 div rk"))
+            .otherwise(lit(0L))).as("sprec"))
+        .select(col("p_id"), col("p_label").as("label"), col("n_rel"),
+          coalesce(col("fr"), lit(0L)).cast("int").as("first_rank"),
+          coalesce(expr("1000000 div fr"), lit(0L)).as("rr_micro"),
+          when(col("n_rel") > 0, expr("sprec div n_rel")).otherwise(lit(0L))
+            .as("ap_micro"))
+      val summary = per
+        .agg(sum("n_rel").as("n_rel"), count(lit(1L)).as("np"),
+          sum("rr_micro").as("srr"), sum("ap_micro").as("sap"))
+        .select(lit(-1L).as("p_id"), lit(-1).as("label"), col("n_rel"),
+          lit(0).as("first_rank"), expr("srr div np").as("rr_micro"),
+          expr("sap div np").as("ap_micro"))
+      per.unionByName(summary).orderBy("p_id")
+    },
+    Some("""WITH e AS (
+              SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings),
+            p AS (SELECT vec_id AS p_id, label AS p_label, emb AS p_emb
+                  FROM e WHERE vec_id < 5),
+            scored AS (
+              SELECT p.p_id, p.p_label, e.vec_id AS n_id, e.label,
+                     CAST(floor(CAST(round(CAST(list_dot_product(e.emb, p.p_emb)
+                       / (sqrt(list_dot_product(e.emb, e.emb))
+                          * sqrt(list_dot_product(p.p_emb, p.p_emb)))
+                       AS DECIMAL(30,8)), 6) AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                       AS cos_micro
+              FROM e CROSS JOIN p WHERE e.vec_id <> p.p_id),
+            ranked AS (
+              SELECT p_id, p_label, n_id, label, cos_micro,
+                     CAST(row_number() OVER (PARTITION BY p_id
+                       ORDER BY cos_micro DESC, n_id ASC) AS BIGINT) AS rk
+              FROM scored QUALIFY rk <= 10),
+            flagged AS (
+              SELECT *, CASE WHEN label = p_label THEN 1 ELSE 0 END AS rel,
+                     CAST(sum(CASE WHEN label = p_label THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY p_id ORDER BY rk
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS hits
+              FROM ranked),
+            per AS (
+              SELECT p_id, p_label AS label,
+                     CAST(sum(rel) AS BIGINT) AS n_rel,
+                     CAST(coalesce(min(CASE WHEN rel = 1 THEN rk END), 0)
+                       AS INT) AS first_rank,
+                     CAST(coalesce(1000000 // min(CASE WHEN rel = 1 THEN rk END),
+                       0) AS BIGINT) AS rr_micro,
+                     CAST(CASE WHEN sum(rel) > 0
+                       THEN sum(CASE WHEN rel = 1
+                                THEN (hits * 1000000) // rk ELSE 0 END)
+                            // sum(rel)
+                       ELSE 0 END AS BIGINT) AS ap_micro
+              FROM flagged GROUP BY p_id, p_label),
+            summary AS (
+              SELECT CAST(-1 AS BIGINT) AS p_id, CAST(-1 AS INT) AS label,
+                     CAST(sum(n_rel) AS BIGINT) AS n_rel, CAST(0 AS INT)
+                       AS first_rank,
+                     CAST(sum(rr_micro) // count(*) AS BIGINT) AS rr_micro,
+                     CAST(sum(ap_micro) // count(*) AS BIGINT) AS ap_micro
+              FROM per)
+            SELECT * FROM per UNION ALL SELECT * FROM summary
+            ORDER BY p_id"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_eval_mrr" -> qEvalMrr,
     "q_stats_mi" -> qStatsMi,
     "q_eval_regression" -> qEvalRegression,
     "q_eval_ndcg" -> qEvalNdcg,
