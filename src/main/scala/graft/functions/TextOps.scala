@@ -1050,7 +1050,107 @@ object TextOps extends QueryModule {
             UNION ALL SELECT pred, actual, n FROM summary
             ORDER BY pred, actual"""))
 
+  // ------------------------------------------- RAKE keyword extraction --
+
+  /** RAKE (Rapid Automatic Keyword Extraction, Rose et al. 2010) over the
+    * corpus: candidate phrases are maximal stopword-free token runs (the
+    * corpus stop set {a, the}), capped at 4 tokens (longer runs are
+    * boilerplate, not keywords — the cap standard implementations apply);
+    * per word, freq = #phrase slots and degree = Σ length of the phrases it
+    * appears in; word score = degree·10⁶ div freq (micro ints — the
+    * degree/freq ratio favors words that travel in long phrases); phrase
+    * score = Σ member word scores. Emits the top-20 distinct phrases by
+    * (score, phrase) with occurrence counts — the no-model keyword surface
+    * next to tf-idf (corpus-statistical) and bm25 (query-relative).
+    *
+    * Scale: phrase extraction is one per-doc-partitioned window (sum of
+    * stop flags numbers the islands — bounded by doc length, never
+    * corpus-wide); word stats and phrase scores are map-side-combinable
+    * string-key aggs; top-20 is TakeOrdered. No step is super-linear.
+    */
+  private val qTextRake = GQuery(
+    (s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(lower(col("text")), " ")))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
+        .withColumn("stop", col("tok").isin("a", "the").cast("long"))
+      val wGrp = Window.partitionBy("doc_id").orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val phrases = toks.withColumn("grp", sum("stop").over(wGrp))
+        .filter(col("stop") === 0L)
+        .groupBy("doc_id", "grp")
+        .agg(array_join(transform(sort_array(collect_list(
+            struct(col("p"), col("tok")))), r => r.getField("tok")), " ")
+          .as("phrase"),
+          count(lit(1L)).as("plen"))
+        .filter(col("plen") <= 4)
+        .select(col("phrase"), col("plen"))
+      val words = phrases
+        .select(col("plen"), explode(split(col("phrase"), " ")).as("w"))
+        .groupBy("w")
+        .agg(count(lit(1L)).as("freq"), sum("plen").as("deg"))
+        .select(col("w"), expr("deg * 1000000 div freq").as("wscore"))
+      val scored = phrases.groupBy("phrase")
+        .agg(count(lit(1L)).as("n"), min("plen").as("plen"))
+        .select(col("phrase"), col("n"), col("plen"),
+          explode(split(col("phrase"), " ")).as("w"))
+        .join(words, "w")
+        .groupBy("phrase", "n", "plen")
+        .agg(sum("wscore").as("score_micro"))
+      scored.orderBy(col("score_micro").desc, col("phrase").asc).limit(20)
+        .select(col("phrase"), col("n"), col("plen"), col("score_micro"))
+        .orderBy(col("score_micro").desc, col("phrase").asc)
+    },
+    Some("""WITH docs AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM documents),
+            toks AS (
+              SELECT doc_id,
+                     CAST(unnest(generate_series(1, len(toks))) AS INT) AS p,
+                     unnest(toks) AS tok
+              FROM docs),
+            flags AS (
+              SELECT doc_id, p, tok,
+                     CASE WHEN tok IN ('a', 'the') THEN 1 ELSE 0 END AS stop
+              FROM toks),
+            grps AS (
+              SELECT doc_id, tok, p, stop,
+                     sum(stop) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS grp
+              FROM flags),
+            phrases AS (
+              SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY p) AS phrase,
+                     CAST(count(*) AS BIGINT) AS plen
+              FROM grps WHERE stop = 0
+              GROUP BY doc_id, grp
+              HAVING count(*) <= 4),
+            pw AS (
+              SELECT plen, unnest(string_split(phrase, ' ')) AS w
+              FROM phrases),
+            words AS (
+              SELECT w, CAST((sum(plen) * 1000000) // count(*) AS BIGINT)
+                       AS wscore
+              FROM pw GROUP BY w),
+            dist AS (
+              SELECT phrase, CAST(count(*) AS BIGINT) AS n,
+                     CAST(min(plen) AS BIGINT) AS plen
+              FROM phrases GROUP BY phrase),
+            dw AS (
+              SELECT phrase, n, plen,
+                     unnest(string_split(phrase, ' ')) AS w
+              FROM dist),
+            scored AS (
+              SELECT dw.phrase, dw.n, dw.plen,
+                     CAST(sum(words.wscore) AS BIGINT) AS score_micro
+              FROM dw JOIN words ON words.w = dw.w
+              GROUP BY dw.phrase, dw.n, dw.plen)
+            SELECT phrase, n, plen, score_micro
+            FROM scored
+            ORDER BY score_micro DESC, phrase ASC LIMIT 20"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_text_rake" -> qTextRake,
     "q_text_classifier_nb" -> qTextClassifierNb,
     "q_vocab_zipf" -> qVocabZipf,
     "q_text_hashing" -> qTextHashing,

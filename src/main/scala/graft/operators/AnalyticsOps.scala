@@ -3829,7 +3829,98 @@ object AnalyticsOps extends QueryModule {
                    CAST(coalesce(x - fc0, 0) AS BIGINT) AS err_cents
             FROM fc ORDER BY day"""))
 
+  // ------------------------------------------ Kaplan-Meier survival curve --
+
+  /** Kaplan–Meier survival estimate of user lifetime (days between first and
+    * last event): a user whose last event precedes the stream end by more
+    * than 7 days churned (event observed); later users are right-CENSORED —
+    * the distinction naive retention curves ignore and the KM product-limit
+    * estimator exists to handle. Per distinct lifetime d: risk set
+    * n(d) = users surviving ≥ d (a suffix-sum window over the ≤ #days
+    * lifetime grid — no per-user scan), events e(d), and the survival
+    * product S(d) = Π_{d'≤d} (n−e)·/n folded in exact ppm integers
+    * (S·(n−e) div n per step — the EWMA/Holt recursion discipline, DuckDB
+    * recursive-CTE oracle), so the curve is hash-exact cross-engine.
+    *
+    * Scale: the corpus collapses to one row per user (map-side-combinable
+    * min/max agg), then to the ≤ #days lifetime grid before any window or
+    * fold; the sequential product is calendar-bounded. Cohort-split curves
+    * run the same fold per cohort key.
+    */
+  private val qSurvivalKm = GQuery(
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val users = ev.groupBy("user_id")
+        .agg(min("day").as("fd"), max("day").as("ld"))
+      val gmax = ev.agg(max("day").as("gd"))
+      val lam = users.crossJoin(broadcast(gmax))
+        .select(datediff(col("ld"), col("fd")).cast("long").as("dur"),
+          (col("ld") < date_sub(col("gd"), 7)).cast("long").as("evt"))
+      val km = lam.groupBy("dur")
+        .agg(count(lit(1L)).as("n_at"), sum("evt").as("n_event"))
+      val wRisk = Window.orderBy("dur")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val risky = km
+        .withColumn("n_risk", sum("n_at").over(wRisk))
+        .select(col("dur"), col("n_risk"), col("n_event"),
+          (col("n_at") - col("n_event")).as("n_cens"))
+      val series = risky
+        .agg(sort_array(collect_list(struct(col("dur"), col("n_risk"),
+          col("n_event"), col("n_cens")))).as("s"))
+      val folded = series.withColumn("sp", expr(
+        """aggregate(s, CAST(array() AS ARRAY<BIGINT>),
+             (acc, r) -> concat(acc, array(
+               (IF(size(acc) = 0, CAST(1000000 AS BIGINT),
+                   element_at(acc, -1))
+                 * (r.n_risk - r.n_event)) div r.n_risk)))"""))
+      folded
+        .select(posexplode(arrays_zip(col("s"), col("sp"))))
+        .select(col("col.s.dur").as("dur_days"),
+          col("col.s.n_risk").as("n_risk"),
+          col("col.s.n_event").as("n_events"),
+          col("col.s.n_cens").as("n_censored"),
+          col("col.sp").as("surv_ppm"))
+        .orderBy("dur_days")
+    },
+    Some("""WITH RECURSIVE ev AS (
+              SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+              FROM events),
+            users AS (
+              SELECT user_id, min(day) AS fd, max(day) AS ld
+              FROM ev GROUP BY 1),
+            g AS (SELECT max(day) AS gd FROM ev),
+            lam AS (
+              SELECT CAST(date_diff('day', fd, ld) AS BIGINT) AS dur,
+                     CASE WHEN ld < gd - 7 THEN 1 ELSE 0 END AS evt
+              FROM users, g),
+            km AS (
+              SELECT dur, CAST(count(*) AS BIGINT) AS n_at,
+                     CAST(sum(evt) AS BIGINT) AS n_event
+              FROM lam GROUP BY 1),
+            risky AS (
+              SELECT dur, n_event, n_at - n_event AS n_cens,
+                     CAST(sum(n_at) OVER (ORDER BY dur
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS BIGINT) AS n_risk,
+                     CAST(row_number() OVER (ORDER BY dur) AS BIGINT) AS rn
+              FROM km),
+            rec AS (
+              SELECT dur, n_risk, n_event, n_cens, rn,
+                     CAST((1000000 * (n_risk - n_event)) // n_risk AS BIGINT)
+                       AS sp
+              FROM risky WHERE rn = 1
+              UNION ALL
+              SELECT r.dur, r.n_risk, r.n_event, r.n_cens, r.rn,
+                     CAST((rec.sp * (r.n_risk - r.n_event)) // r.n_risk
+                       AS BIGINT)
+              FROM risky r JOIN rec ON r.rn = rec.rn + 1)
+            SELECT dur AS dur_days, n_risk, n_event AS n_events,
+                   n_cens AS n_censored, sp AS surv_ppm
+            FROM rec ORDER BY dur_days"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_survival_km" -> qSurvivalKm,
     "q_ts_holt" -> qTsHolt,
     "q_stats_kruskal" -> qStatsKruskal,
     "q_ts_theilsen" -> qTsTheilsen,
