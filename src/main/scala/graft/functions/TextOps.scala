@@ -1149,7 +1149,104 @@ object TextOps extends QueryModule {
             FROM scored
             ORDER BY score_micro DESC, phrase ASC LIMIT 20"""))
 
+  // ---------------------------------- positional phrase / proximity search --
+
+  /** Positional-index phrase search — the search-engine operator BM25 (bag
+    * of words) cannot express: the corpus's top-3 trigram phrases (count
+    * desc, phrase asc — data-derived probes, no magic strings) are matched
+    * EXACTLY via the positional token index (adjacent-position equi-joins),
+    * and contrasted with proximity semantics (first+last phrase words
+    * co-occurring within ±4 positions in any order) — the phrase/NEAR gap
+    * every query-DSL exposes. Emits per phrase: exact occurrences, exact
+    * matching docs, and proximity-matching docs (⊇ phrase docs by
+    * construction).
+    *
+    * Scale: trigram extraction is one linear pass over materialized token
+    * arrays (HOF-capture rule; sequence guarded for <3-token docs — Spark
+    * sequence counts DOWN); the probe joins key on (word, doc) so per-doc
+    * candidate lists are bounded by doc length; phrase table tiny (3 rows,
+    * broadcast). A real index would partition postings by term — same
+    * shape.
+    */
+  private val qTextPhrase = GQuery(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      val tris = docs
+        .select(col("doc_id"),
+          explode(when(size(col("toks")) >= 3,
+            expr("""transform(sequence(1, size(toks) - 2),
+                      i -> concat_ws(' ', element_at(toks, i),
+                             element_at(toks, i + 1),
+                             element_at(toks, i + 2)))"""))
+            .otherwise(array().cast("array<string>"))).as("tri"))
+      val top3 = tris.groupBy("tri").agg(count(lit(1L)).as("n_occur"),
+          countDistinct("doc_id").as("n_docs"))
+        .orderBy(col("n_occur").desc, col("tri").asc).limit(3)
+        .select(col("tri").as("phrase"), col("n_occur"), col("n_docs"),
+          element_at(split(col("tri"), " "), 1).as("w1"),
+          element_at(split(col("tri"), " "), 3).as("w3"))
+      val toks = docs
+        .select(col("doc_id"), posexplode(col("toks")))
+        .select(col("doc_id"), col("pos").as("p"), col("col").as("tok"))
+      val a = toks.join(broadcast(top3.select("phrase", "w1")),
+        col("tok") === col("w1"))
+        .select(col("phrase"), col("doc_id"), col("p").as("pa"))
+      val b = toks.join(broadcast(top3.select(col("phrase").as("phrase2"),
+          col("w3"))), col("tok") === col("w3"))
+        .select(col("phrase2"), col("doc_id").as("doc_b"), col("p").as("pb"))
+      val prox = a.join(b,
+          col("phrase") === col("phrase2") && col("doc_id") === col("doc_b") &&
+            abs(col("pa") - col("pb")) <= 4)
+        .groupBy("phrase").agg(countDistinct("doc_id").as("n_prox_docs"))
+      top3.join(prox, "phrase")
+        .select(col("phrase"), col("n_occur"), col("n_docs"),
+          col("n_prox_docs"))
+        .orderBy("phrase")
+    },
+    Some("""WITH docs AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM documents),
+            tri0 AS (
+              SELECT doc_id, toks,
+                     CAST(unnest(generate_series(1, len(toks) - 2)) AS INT)
+                       AS i
+              FROM docs WHERE len(toks) >= 3),
+            tris AS (
+              SELECT doc_id,
+                     toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                       AS tri
+              FROM tri0),
+            top3 AS (
+              SELECT tri AS phrase, CAST(count(*) AS BIGINT) AS n_occur,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                     string_split(tri, ' ')[1] AS w1,
+                     string_split(tri, ' ')[3] AS w3
+              FROM tris GROUP BY tri
+              ORDER BY n_occur DESC, tri ASC LIMIT 3),
+            toks AS (
+              SELECT doc_id,
+                     CAST(unnest(generate_series(1, len(toks))) AS INT) AS p,
+                     unnest(toks) AS tok
+              FROM docs),
+            a AS (
+              SELECT t3.phrase, tk.doc_id, tk.p AS pa
+              FROM toks tk JOIN top3 t3 ON tk.tok = t3.w1),
+            b AS (
+              SELECT t3.phrase AS phrase2, tk.doc_id AS doc_b, tk.p AS pb
+              FROM toks tk JOIN top3 t3 ON tk.tok = t3.w3),
+            prox AS (
+              SELECT a.phrase,
+                     CAST(count(DISTINCT a.doc_id) AS BIGINT) AS n_prox_docs
+              FROM a JOIN b ON a.phrase = b.phrase2 AND a.doc_id = b.doc_b
+                AND abs(a.pa - b.pb) <= 4
+              GROUP BY a.phrase)
+            SELECT t.phrase, t.n_occur, t.n_docs, p.n_prox_docs
+            FROM top3 t JOIN prox p ON p.phrase = t.phrase
+            ORDER BY t.phrase"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_text_phrase" -> qTextPhrase,
     "q_text_rake" -> qTextRake,
     "q_text_classifier_nb" -> qTextClassifierNb,
     "q_vocab_zipf" -> qVocabZipf,

@@ -3831,9 +3831,10 @@ object AnalyticsOps extends QueryModule {
 
   // ------------------------------------------ Kaplan-Meier survival curve --
 
-  /** Kaplan–Meier survival estimate of user lifetime (days between first and
-    * last event): a user whose last event precedes the stream end by more
-    * than 7 days churned (event observed); later users are right-CENSORED —
+  /** Kaplan–Meier survival estimate of user purchase lifetime (days between
+    * first event and last purchase): a user whose last purchase precedes the
+    * stream end by more than 3 days churned (event observed — recency-based
+    * churn, the standard proxy); later users are right-CENSORED —
     * the distinction naive retention curves ignore and the KM product-limit
     * estimator exists to handle. Per distinct lifetime d: risk set
     * n(d) = users surviving ≥ d (a suffix-sum window over the ≤ #days
@@ -3850,13 +3851,15 @@ object AnalyticsOps extends QueryModule {
   private val qSurvivalKm = GQuery(
     (s, d) => {
       val ev = t(s, d, "events")
-        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
       val users = ev.groupBy("user_id")
-        .agg(min("day").as("fd"), max("day").as("ld"))
+        .agg(min("day").as("fd"),
+          max(when(col("event_type") === "purchase", col("day"))).as("lp"))
+        .filter(col("lp").isNotNull)
       val gmax = ev.agg(max("day").as("gd"))
       val lam = users.crossJoin(broadcast(gmax))
-        .select(datediff(col("ld"), col("fd")).cast("long").as("dur"),
-          (col("ld") < date_sub(col("gd"), 7)).cast("long").as("evt"))
+        .select(datediff(col("lp"), col("fd")).cast("long").as("dur"),
+          (col("lp") < date_sub(col("gd"), 3)).cast("long").as("evt"))
       val km = lam.groupBy("dur")
         .agg(count(lit(1L)).as("n_at"), sum("evt").as("n_event"))
       val wRisk = Window.orderBy("dur")
@@ -3884,15 +3887,19 @@ object AnalyticsOps extends QueryModule {
         .orderBy("dur_days")
     },
     Some("""WITH RECURSIVE ev AS (
-              SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+              SELECT user_id, event_type,
+                     CAST(date_trunc('day', ts) AS DATE) AS day
               FROM events),
             users AS (
-              SELECT user_id, min(day) AS fd, max(day) AS ld
-              FROM ev GROUP BY 1),
+              SELECT user_id, min(day) AS fd,
+                     max(CASE WHEN event_type = 'purchase' THEN day END) AS lp
+              FROM ev GROUP BY 1
+              HAVING max(CASE WHEN event_type = 'purchase' THEN day END)
+                IS NOT NULL),
             g AS (SELECT max(day) AS gd FROM ev),
             lam AS (
-              SELECT CAST(date_diff('day', fd, ld) AS BIGINT) AS dur,
-                     CASE WHEN ld < gd - 7 THEN 1 ELSE 0 END AS evt
+              SELECT CAST(date_diff('day', fd, lp) AS BIGINT) AS dur,
+                     CASE WHEN lp < gd - 3 THEN 1 ELSE 0 END AS evt
               FROM users, g),
             km AS (
               SELECT dur, CAST(count(*) AS BIGINT) AS n_at,
@@ -3919,7 +3926,131 @@ object AnalyticsOps extends QueryModule {
                    n_cens AS n_censored, sp AS surv_ppm
             FROM rec ORDER BY dur_days"""))
 
+  // ------------------------------------------------ CUPED A/B adjustment --
+
+  /** CUPED variance reduction (Deng et al., WSDM'13) for the pmod-2 A/B
+    * arms: pre-period covariate X = user's first-half cents, post-period
+    * metric Y = second-half cents; θ = cov(X,Y)/var(X) fitted POOLED (the
+    * unbiasedness condition), then Y′ = Y − θ(X − X̄) per user and the
+    * per-arm variance-reduction ratio — the readout that tells an
+    * experimenter how much smaller their confidence intervals just got.
+    * Exactness discipline: θ in integer micros with the sign handled OUTSIDE
+    * the division (|num|·10⁶ div den, den = n·Σxx − (Σx)² ≥ 0 — negative
+    * integer division never happens, so trunc-vs-floor parity is moot);
+    * the adjusted metric rides the n-scaled micro grid m′ = y·n·10⁶ −
+    * θ_micro·(x·n − Σx) (remainder-free mean centering); variance moments of
+    * m′ sum in DECIMAL(38) (they square a ~10¹⁵ value — the corrmatrix
+    * widening rule); the final ratio divides non-negative decimals only.
+    *
+    * Scale: two map-side-combinable aggs (per-user rollup, then pooled +
+    * per-arm moments) and a broadcast of 5 scalars back onto the per-user
+    * pass — no shuffle beyond the user rollup; the same shape runs at any
+    * user count with the DECIMAL(38) widening already in place.
+    */
+  private val qStatsCuped = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val half = to_date(col("ts")) < lit("2024-01-16").cast("date")
+      val users = t(s, d, "events")
+        .select(col("user_id"), when(half, cents).otherwise(lit(0L)).as("xc"),
+          when(!half, cents).otherwise(lit(0L)).as("yc"))
+        .groupBy("user_id")
+        .agg(sum("xc").as("ux"), sum("yc").as("uy"))
+      val pooled = users.agg(count(lit(1L)).as("n"),
+          sum("ux").as("sx"), sum("uy").as("sy"),
+          sum((col("ux") * col("ux")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("ux") * col("uy")).cast("decimal(38,0)")).as("sxy"))
+        .select(col("n"), col("sx"),
+          (col("n").cast("decimal(38,0)") * col("sxy") -
+            col("sx").cast("decimal(38,0)") * col("sy")).as("num"),
+          (col("n").cast("decimal(38,0)") * col("sxx") -
+            col("sx").cast("decimal(38,0)") * col("sx")).as("den"))
+        .select(col("n"), col("sx"),
+          when(col("den") === 0L, lit(0L))
+            .when(col("num") < 0L,
+              -expr("((-num) * 1000000) div den"))
+            .otherwise(expr("(num * 1000000) div den")).as("theta_micro"))
+      // adjusted metric on the n-scaled cents grid: m' = y·n − θμ(x·n − Σx)/10⁶
+      // (remainder-free centering; the θ product divides back down so the
+      // per-user value stays ~1e9 and its square sums inside DECIMAL(38))
+      val adj = users.crossJoin(broadcast(pooled))
+        .select(pmod(col("user_id"), lit(2)).cast("int").as("arm"),
+          col("uy"), col("theta_micro"),
+          (col("uy") * col("n") -
+            expr("(theta_micro * (ux * n - sx)) div 1000000")).as("madj"),
+          (col("uy") * col("n")).as("my"))
+      adj.groupBy("arm", "theta_micro")
+        .agg(count(lit(1L)).as("n_users"), sum("uy").as("suy"),
+          sum(col("my").cast("decimal(38,0)")).as("smy"),
+          sum((col("my").cast("decimal(38,0)") * col("my")).cast("decimal(38,0)"))
+            .as("smyy"),
+          sum(col("madj").cast("decimal(38,0)")).as("sma"),
+          sum((col("madj").cast("decimal(38,0)") * col("madj")).cast("decimal(38,0)"))
+            .as("smaa"))
+        .select(col("arm"), col("n_users"),
+          expr("suy div n_users").as("mean_y_cents"), col("theta_micro"),
+          expr("""CASE WHEN n_users * smyy - smy * smy > 0
+                  THEN 1000000 - CAST((n_users * smaa - sma * sma) * 1000000
+                       div (n_users * smyy - smy * smy) AS BIGINT)
+                  ELSE 0 END""").as("vr_ppm"))
+        .orderBy("arm")
+    },
+    Some("""WITH users AS (
+              SELECT user_id,
+                     CAST(sum(CASE WHEN CAST(date_trunc('day', ts) AS DATE)
+                         < DATE '2024-01-16'
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS ux,
+                     CAST(sum(CASE WHEN CAST(date_trunc('day', ts) AS DATE)
+                         >= DATE '2024-01-16'
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS uy
+              FROM events GROUP BY 1),
+            pooled0 AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(ux) AS BIGINT) AS sx,
+                     CAST(sum(uy) AS BIGINT) AS sy,
+                     sum(CAST(ux AS HUGEINT) * ux) AS sxx,
+                     sum(CAST(ux AS HUGEINT) * uy) AS sxy
+              FROM users),
+            pooled AS (
+              SELECT n, sx,
+                     CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN 0
+                          WHEN n * sxy - CAST(sx AS HUGEINT) * sy < 0
+                          THEN -CAST(((-(n * sxy - CAST(sx AS HUGEINT) * sy))
+                               * 1000000)
+                               // (n * sxx - CAST(sx AS HUGEINT) * sx)
+                               AS BIGINT)
+                          ELSE CAST(((n * sxy - CAST(sx AS HUGEINT) * sy)
+                               * 1000000)
+                               // (n * sxx - CAST(sx AS HUGEINT) * sx)
+                               AS BIGINT)
+                     END AS theta_micro
+              FROM pooled0),
+            adj AS (
+              SELECT CAST(user_id % 2 AS INT) AS arm, uy, theta_micro,
+                     CAST(uy * n AS HUGEINT) AS my,
+                     CAST(uy * n
+                       - (theta_micro * (ux * n - sx)) // 1000000
+                       AS HUGEINT) AS madj
+              FROM users, pooled),
+            g AS (
+              SELECT arm, theta_micro,
+                     CAST(count(*) AS BIGINT) AS n_users,
+                     CAST(sum(uy) AS BIGINT) AS suy,
+                     sum(my) AS smy, sum(my * my) AS smyy,
+                     sum(madj) AS sma, sum(madj * madj) AS smaa
+              FROM adj GROUP BY 1, 2)
+            SELECT arm, n_users,
+                   CAST(suy // n_users AS BIGINT) AS mean_y_cents, theta_micro,
+                   CASE WHEN n_users * smyy - smy * smy > 0
+                     THEN CAST(1000000 - ((n_users * smaa - sma * sma) * 1000000)
+                          // (n_users * smyy - smy * smy) AS BIGINT)
+                     ELSE 0 END AS vr_ppm
+            FROM g ORDER BY arm"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_stats_cuped" -> qStatsCuped,
     "q_survival_km" -> qSurvivalKm,
     "q_ts_holt" -> qTsHolt,
     "q_stats_kruskal" -> qStatsKruskal,
