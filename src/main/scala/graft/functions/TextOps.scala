@@ -1245,7 +1245,79 @@ object TextOps extends QueryModule {
             FROM top3 t JOIN prox p ON p.phrase = t.phrase
             ORDER BY t.phrase"""))
 
+  // --------------------------------------------- PMI collocation mining --
+
+  /** Pointwise mutual information of adjacent token pairs — the collocation
+    * detector (Church & Hanks 1990) next to raw bigram counts
+    * (q_vocab_bigrams ranks by frequency; PMI ranks by ASSOCIATION, surfacing
+    * pairs that co-occur far above chance even when rare): over the joint
+    * bigram table, pmi = ln(c_ab·N / (c_a·c_b)) with marginals re-aggregated
+    * FROM the joint (the q_stats_mi discipline — one corpus pass, self-
+    * consistent probabilities), quantized once per pair to milli-nats from
+    * identical exact integers; support floor c_ab ≥ 20 kills the
+    * rare-pair PMI explosion (the classic failure mode). Top-20 by
+    * (pmi, w1, w2).
+    *
+    * Scale: one pair agg (linear in tokens, map-side-combined) + two
+    * marginal re-aggs of the VOCAB²-bounded joint table + a 1-row broadcast;
+    * the double products inside ln stay exact below 2⁵³ (corpus ≪ 9·10¹⁵
+    * bigrams — widen to two-step ln arithmetic past that).
+    */
+  private val qVocabPmi = GQuery(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(split(lower(col("text")), " ").as("toks"))
+      val pairs = docs
+        .select(explode(when(size(col("toks")) >= 2,
+          expr("""transform(sequence(1, size(toks) - 1),
+                    i -> named_struct('w1', element_at(toks, i),
+                                      'w2', element_at(toks, i + 1)))"""))
+          .otherwise(expr("CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)")))
+          .as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val joint = pairs.groupBy("w1", "w2").agg(count(lit(1L)).as("cab"))
+      val left = joint.groupBy("w1").agg(sum("cab").as("ca"))
+      val right = joint.groupBy("w2").agg(sum("cab").as("cb"))
+      val tot = joint.agg(sum("cab").as("n"))
+      joint.join(left, "w1").join(right, "w2").crossJoin(broadcast(tot))
+        .filter(col("cab") >= 20)
+        .select(col("w1"), col("w2"), col("cab"), col("ca"), col("cb"),
+          round(log(col("cab").cast("double") * col("n").cast("double") /
+            (col("ca").cast("double") * col("cb").cast("double"))) * 1000)
+            .cast("long").as("pmi_mnat"))
+        .orderBy(col("pmi_mnat").desc, col("w1").asc, col("w2").asc)
+        .limit(20)
+        .orderBy(col("pmi_mnat").desc, col("w1").asc, col("w2").asc)
+    },
+    Some("""WITH docs AS (
+              SELECT string_split(lower(text), ' ') AS toks FROM documents),
+            pairs AS (
+              SELECT toks[i] AS w1, toks[i + 1] AS w2
+              FROM (SELECT toks,
+                      CAST(unnest(generate_series(1, len(toks) - 1)) AS INT)
+                        AS i
+                    FROM docs WHERE len(toks) >= 2)),
+            joint AS (
+              SELECT w1, w2, CAST(count(*) AS BIGINT) AS cab
+              FROM pairs GROUP BY 1, 2),
+            lft AS (SELECT w1, CAST(sum(cab) AS BIGINT) AS ca
+                    FROM joint GROUP BY 1),
+            rgt AS (SELECT w2, CAST(sum(cab) AS BIGINT) AS cb
+                    FROM joint GROUP BY 1),
+            tot AS (SELECT CAST(sum(cab) AS BIGINT) AS n FROM joint)
+            SELECT j.w1, j.w2, j.cab, l.ca, r.cb,
+                   CAST(round(ln(CAST(j.cab AS DOUBLE) * CAST(t.n AS DOUBLE)
+                     / (CAST(l.ca AS DOUBLE) * CAST(r.cb AS DOUBLE))) * 1000)
+                     AS BIGINT) AS pmi_mnat
+            FROM joint j
+            JOIN lft l ON l.w1 = j.w1
+            JOIN rgt r ON r.w2 = j.w2
+            CROSS JOIN tot t
+            WHERE j.cab >= 20
+            ORDER BY pmi_mnat DESC, j.w1 ASC, j.w2 ASC LIMIT 20"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_vocab_pmi" -> qVocabPmi,
     "q_text_phrase" -> qTextPhrase,
     "q_text_rake" -> qTextRake,
     "q_text_classifier_nb" -> qTextClassifierNb,

@@ -4049,7 +4049,84 @@ object AnalyticsOps extends QueryModule {
                      ELSE 0 END AS vr_ppm
             FROM g ORDER BY arm"""))
 
+  // ------------------------------------- weight of evidence / info value --
+
+  /** Weight-of-Evidence encoding + Information Value of hour-of-day for the
+    * purchase event — the credit-scorecard feature-relevance standard (the
+    * supervised sibling of q_stats_mi's symmetric MI): per bin,
+    * WoE = ln(P(bin|good)/P(bin|bad)) with Laplace smoothing, quantized ONCE
+    * per bin to milli-nats from the same exact integers both engines hold
+    * (the PSI rule: quantize-then-sum, never sum-then-quantize), and
+    * IV = Σ (pg − pb)·WoE in clamped micro units with the q_stats_psi
+    * zero-floor absorbing ppm-rounding sign flips near WoE = 0. IV bands
+    * (<0.02 useless, >0.3 strong) are the classic feature-triage readout.
+    *
+    * Scale: one map-side-combinable 24-cell conditional agg + a 2-scalar
+    * broadcast back over the cell table — everything past the first shuffle
+    * is bin-cardinality-sized (chisq economics). High-cardinality features
+    * pre-bucket (q_feature_bucketize) into the same shape.
+    */
+  private val qFeatureWoe = GQuery(
+    (s, d) => {
+      val nb = 24
+      val bins = t(s, d, "events")
+        .select(hour(col("ts")).cast("int").as("hod"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("isg"))
+        .groupBy("hod")
+        .agg(sum("isg").as("g"), sum(lit(1L) - col("isg")).as("b"))
+      val tot = bins.agg(sum("g").as("tg"), sum("b").as("tb"))
+      val scored = bins.crossJoin(broadcast(tot))
+        .select(col("hod"), col("g"), col("b"),
+          expr(s"(g + 1) * 1000000 div (tg + $nb)").as("pg_ppm"),
+          expr(s"(b + 1) * 1000000 div (tb + $nb)").as("pb_ppm"),
+          round(log((col("g") + 1.0) * (col("tb") + nb.toDouble) /
+            ((col("b") + 1.0) * (col("tg") + nb.toDouble))) * 1000)
+            .cast("long").as("woe_mnat"))
+        .withColumn("iv_micro",
+          expr("greatest((pg_ppm - pb_ppm) * woe_mnat, 0) div 1000"))
+      val total = scored.agg(sum("g").as("g"), sum("b").as("b"),
+          sum("iv_micro").as("iv"))
+        .select(lit(-1).cast("int").as("hod"), col("g"), col("b"),
+          lit(0L).as("pg_ppm"), lit(0L).as("pb_ppm"), lit(0L).as("woe_mnat"),
+          col("iv").as("iv_micro"))
+      scored.unionByName(total).orderBy("hod")
+    },
+    Some("""WITH bins AS (
+              SELECT CAST(hour(ts) AS INT) AS hod,
+                     CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                       ELSE 0 END) AS BIGINT) AS g,
+                     CAST(sum(CASE WHEN event_type = 'purchase' THEN 0
+                       ELSE 1 END) AS BIGINT) AS b
+              FROM events GROUP BY 1),
+            tot AS (
+              SELECT CAST(sum(g) AS BIGINT) AS tg,
+                     CAST(sum(b) AS BIGINT) AS tb
+              FROM bins),
+            scored AS (
+              SELECT hod, g, b,
+                     CAST((g + 1) * 1000000 // (tg + 24) AS BIGINT) AS pg_ppm,
+                     CAST((b + 1) * 1000000 // (tb + 24) AS BIGINT) AS pb_ppm,
+                     CAST(round(ln((g + 1.0) * (tb + 24.0)
+                       / ((b + 1.0) * (tg + 24.0))) * 1000) AS BIGINT)
+                       AS woe_mnat
+              FROM bins, tot),
+            scored2 AS (
+              SELECT *, CAST(greatest((pg_ppm - pb_ppm) * woe_mnat, 0) // 1000
+                       AS BIGINT) AS iv_micro
+              FROM scored),
+            total AS (
+              SELECT CAST(-1 AS INT) AS hod, CAST(sum(g) AS BIGINT) AS g,
+                     CAST(sum(b) AS BIGINT) AS b,
+                     CAST(0 AS BIGINT) AS pg_ppm, CAST(0 AS BIGINT) AS pb_ppm,
+                     CAST(0 AS BIGINT) AS woe_mnat,
+                     CAST(sum(iv_micro) AS BIGINT) AS iv_micro
+              FROM scored2)
+            SELECT hod, g, b, pg_ppm, pb_ppm, woe_mnat, iv_micro FROM scored2
+            UNION ALL SELECT * FROM total
+            ORDER BY hod"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_feature_woe" -> qFeatureWoe,
     "q_stats_cuped" -> qStatsCuped,
     "q_survival_km" -> qSurvivalKm,
     "q_ts_holt" -> qTsHolt,

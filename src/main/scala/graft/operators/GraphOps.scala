@@ -704,7 +704,104 @@ object GraphOps extends QueryModule {
           WHERE rank <= 30 ORDER BY rank"""
     })
 
+  /** Local clustering coefficient per node + the network average — the
+    * "how clique-ish is each user's neighbourhood" metric next to the
+    * GLOBAL triangle count (q_graph_triangles counts; LCC normalizes per
+    * node): lcc(v) = 2·T(v)·10⁶ div (deg(v)·(deg(v)−1)) in exact ppm,
+    * deg ≥ 2 only (the coefficient is undefined below — and that guard is
+    * also the ANSI divide-by-zero guard). Triangles come from the same
+    * degree-oriented wedge join as q_graph_triangles (out-degrees
+    * O(√E)-capped, never all-wedges-at-hubs); nodes with edges but no
+    * triangles surface with lcc 0 via the left join. A user_id = −1 summary
+    * row carries the average LCC over qualifying nodes — the
+    * small-world-ness scalar.
+    *
+    * Scale: the triangle core's economics exactly (shared memoized CoGraph
+    * + orientation checkpoint); the LCC arithmetic is one left join of two
+    * node-keyed tables, and the summary is a scalar agg.
+    */
+  private val qGraphClusterLocal = GQuery(
+    (s, d) => {
+      val edges = CoGraph.pairCounts(s, d)
+        .filter(col("c") >= 28)
+        .select("u", "v")
+      val deg = edges.select(col("u").as("x"))
+        .union(edges.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("deg"))
+      val withDeg = edges
+        .join(deg.select(col("x").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("x").as("v"), col("deg").as("dv")), "v")
+      val uFirst = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val oriented = withDeg.select(
+        when(uFirst, col("u")).otherwise(col("v")).as("src"),
+        when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+        when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
+        .localCheckpoint(true)
+      val wedges = oriented.select(col("src"), col("dst").as("a"), col("ddst").as("da"))
+        .join(oriented.select(col("src"), col("dst").as("b"), col("ddst").as("db")),
+          "src")
+        .filter(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")))
+      val tris = wedges.join(
+        oriented.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"))
+        .select(explode(array(col("src"), col("a"), col("b"))).as("x"))
+        .groupBy("x").agg(count(lit(1)).as("n_tri"))
+      val per = deg.filter(col("deg") >= 2)
+        .join(tris, Seq("x"), "left")
+        .select(col("x").as("user_id"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+        .withColumn("lcc_ppm",
+          expr("(2 * n_tri * 1000000) div (deg * (deg - 1))"))
+      val summary = per.agg(count(lit(1L)).as("nq"),
+          sum("lcc_ppm").as("slcc"), sum("n_tri").as("stri"))
+        .select(lit(-1L).as("user_id"), col("nq").cast("long").as("deg"),
+          expr("stri div 3").as("n_tri"),
+          expr("slcc div nq").as("lcc_ppm"))
+      per.unionByName(summary).orderBy("user_id")
+    },
+    Some("""WITH ev AS (
+              SELECT DISTINCT event_type,
+                     CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+              FROM events),
+            edges AS (
+              SELECT a.user_id AS u, b.user_id AS v
+              FROM ev a JOIN ev b
+                ON a.event_type = b.event_type AND a.d = b.d
+                   AND a.user_id < b.user_id
+              GROUP BY 1, 2 HAVING count(*) >= 28),
+            deg AS (
+              SELECT x, CAST(count(*) AS BIGINT) AS deg FROM (
+                SELECT u AS x FROM edges UNION ALL SELECT v FROM edges)
+              GROUP BY 1),
+            tri AS (
+              SELECT e1.u AS x, e1.v AS y, e2.v AS z
+              FROM edges e1
+              JOIN edges e2 ON e2.u = e1.v
+              JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+            tcnt AS (
+              SELECT x, CAST(count(*) AS BIGINT) AS n_tri
+              FROM (SELECT x FROM tri
+                    UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+              GROUP BY 1),
+            per AS (
+              SELECT deg.x AS user_id, deg.deg,
+                     CAST(coalesce(tcnt.n_tri, 0) AS BIGINT) AS n_tri,
+                     CAST((2 * coalesce(tcnt.n_tri, 0) * 1000000)
+                       // (deg.deg * (deg.deg - 1)) AS BIGINT) AS lcc_ppm
+              FROM deg LEFT JOIN tcnt ON tcnt.x = deg.x
+              WHERE deg.deg >= 2),
+            summary AS (
+              SELECT CAST(-1 AS BIGINT) AS user_id,
+                     CAST(count(*) AS BIGINT) AS deg,
+                     CAST(sum(n_tri) // 3 AS BIGINT) AS n_tri,
+                     CAST(sum(lcc_ppm) // count(*) AS BIGINT) AS lcc_ppm
+              FROM per)
+            SELECT * FROM per UNION ALL SELECT * FROM summary
+            ORDER BY user_id"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_graph_cluster_local" -> qGraphClusterLocal,
     "q_graph_eigencentrality" -> qGraphEigencentrality,
     "q_graph_assortativity" -> qGraphAssortativity,
     "q_graph_modularity" -> qGraphModularity,
