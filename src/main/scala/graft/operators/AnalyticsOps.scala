@@ -4125,7 +4125,131 @@ object AnalyticsOps extends QueryModule {
             UNION ALL SELECT * FROM total
             ORDER BY hod"""))
 
+  // -------------------------------------- temperature-scaled corpus mix --
+
+  /** Temperature-scaled multilingual sampling weights (the mC4/XLM-R
+    * α-sampling rule, α = 1/2): w_lang ∝ p_lang^α flattens the language
+    * distribution so low-resource languages aren't drowned — the
+    * POWER-law companion to q_corpus_mix's target-distribution capping.
+    * α = 1/2 is chosen because p^½ is computable EXACTLY: s = ⌊√tokens⌋
+    * (IEEE sqrt is correctly rounded and tokens ≪ 2⁵², so floor(sqrt) is
+    * bit-identical cross-engine — no fp drift enters the weights), then
+    * w_ppm = s·10⁶ div Σs and the per-language boost factor
+    * w·10⁶ div p in exact ppm. boost > 10⁶ marks upsampled languages.
+    *
+    * Scale: one map-side-combinable per-lang agg + two 1-row broadcasts
+    * back over the lang-cardinality table — corpus touched once, everything
+    * after is |langs| rows (corpus_mix economics). Other α values quantize
+    * the power via the milli-nat exp/ln grid (PSI rule) at the cost of the
+    * exactness this α keeps for free.
+    */
+  private val qCorpusTemperature = GQuery(
+    (s, d) => {
+      val langs = t(s, d, "documents")
+        .select(col("lang"), size(split(col("text"), " ")).cast("long")
+          .as("ntok"))
+        .groupBy("lang")
+        .agg(count(lit(1L)).as("n_docs"), sum("ntok").as("n_tokens"))
+      val tot = langs.agg(sum("n_tokens").as("tt"))
+      val base = langs.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          expr("n_tokens * 1000000 div tt").as("p_ppm"),
+          floor(sqrt(col("n_tokens").cast("double"))).cast("long").as("sq"))
+      val st = base.agg(sum("sq").as("st"))
+      base.crossJoin(broadcast(st))
+        .select(col("lang"), col("n_docs"), col("n_tokens"), col("p_ppm"),
+          expr("sq * 1000000 div st").as("w_ppm"))
+        .withColumn("boost_ppm", expr("w_ppm * 1000000 div p_ppm"))
+        .orderBy("lang")
+    },
+    Some("""WITH langs AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+              FROM documents GROUP BY 1),
+            tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM langs),
+            base AS (
+              SELECT lang, n_docs, n_tokens,
+                     CAST(n_tokens * 1000000 // tt AS BIGINT) AS p_ppm,
+                     CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                       AS sq
+              FROM langs, tot),
+            st AS (SELECT CAST(sum(sq) AS BIGINT) AS st FROM base)
+            SELECT lang, n_docs, n_tokens, p_ppm,
+                   CAST(sq * 1000000 // st.st AS BIGINT) AS w_ppm,
+                   CAST((sq * 1000000 // st.st) * 1000000 // p_ppm AS BIGINT)
+                     AS boost_ppm
+            FROM base, st ORDER BY lang"""))
+
+  // ---------------------------------------------- MAD robust outlier days --
+
+  /** Median-absolute-deviation outlier detection on the daily revenue
+    * series — the ROBUST sibling of the σ-based detectors (q_events_burst's
+    * 3σ z-test breaks down when the outliers themselves inflate σ; the
+    * median/MAD breakdown point is 50%): med = exact lower-median order
+    * statistic of the day grid, MAD = lower-median of |x − med|, and a day
+    * flags when 10⁴·|x − med| > 44478·MAD — 44478 = ⌊3·1.4826·10⁴⌋, the
+    * normal-consistency-scaled 3σ equivalent kept integral so the flag is
+    * hash-exact. Emits the full day table with signed deviations, the
+    * shared mad_cents, and the flag.
+    *
+    * Scale: the corpus collapses to the ≤ #days grid before any window
+    * (changepoint economics); both medians are rank-k selections on that
+    * grid, never corpus sorts; per-key MAD partitions the same shape by
+    * key.
+    */
+  private val qTsMad = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val daily = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), cents.as("v"))
+        .groupBy("day").agg(sum("v").as("x"))
+      val n = daily.agg(count(lit(1L)).as("n"))
+      val wMed = Window.orderBy(col("x").asc, col("day").asc)
+      val med = daily.withColumn("rn", row_number().over(wMed))
+        .crossJoin(broadcast(n))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("x").as("med"))
+      val devs = daily.crossJoin(broadcast(med))
+        .withColumn("adev", abs(col("x") - col("med")))
+      val wMad = Window.orderBy(col("adev").asc, col("day").asc)
+      val mad = devs.withColumn("rn", row_number().over(wMad))
+        .crossJoin(broadcast(n))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("adev").as("mad"))
+      devs.crossJoin(broadcast(mad))
+        .select(col("day"), col("x"), (col("x") - col("med")).as("dev_cents"),
+          col("mad").as("mad_cents"),
+          (col("adev") * 10000L > col("mad") * 44478L).as("is_outlier"))
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS x
+              FROM events GROUP BY 1),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+            med AS (
+              SELECT x AS med FROM (
+                SELECT x, row_number() OVER (ORDER BY x, day) AS rn
+                FROM daily), n
+              WHERE rn = (n + 1) // 2),
+            devs AS (
+              SELECT day, x, x - med.med AS dev, abs(x - med.med) AS adev
+              FROM daily, med),
+            mad AS (
+              SELECT adev AS mad FROM (
+                SELECT adev, row_number() OVER (ORDER BY adev, day) AS rn
+                FROM devs), n
+              WHERE rn = (n + 1) // 2)
+            SELECT day, x, CAST(dev AS BIGINT) AS dev_cents,
+                   CAST(mad.mad AS BIGINT) AS mad_cents,
+                   adev * 10000 > mad.mad * 44478 AS is_outlier
+            FROM devs, mad ORDER BY day"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_corpus_temperature" -> qCorpusTemperature,
+    "q_ts_mad" -> qTsMad,
     "q_feature_woe" -> qFeatureWoe,
     "q_stats_cuped" -> qStatsCuped,
     "q_survival_km" -> qSurvivalKm,

@@ -511,7 +511,66 @@ object GovernanceOps extends QueryModule {
             FROM grp g CROSS JOIN tp t
             ORDER BY g.event_type, g.hod"""))
 
+  // ------------------------------------------ randomized response (LDP) --
+
+  /** Warner randomized response — the LOCAL-DP mechanism completing the
+    * privacy ladder (kanon/ldiv/tclose audit at rest, q_privacy_dp releases
+    * centrally; RR perturbs at the SOURCE, before any collector sees truth):
+    * each event reports "was this a purchase?" truthfully with p = 3/4 and
+    * flipped otherwise (ε = ln 3 — choosing ε so p is exactly rational keeps
+    * the whole mechanism integer-exact), the coin being the replayable
+    * md5-mod-4 draw (the q_privacy_dp / q_stats_bootstrap seeded-randomness
+    * idiom — same data + same seed ⇒ same release, and both engines draw
+    * identical coins). Per day: true rate (audit twin), observed noisy rate,
+    * and the debiased estimate π̂ = 2p̂ − 1/2 in exact ppm — the
+    * utility-vs-privacy readout an LDP deployment monitors.
+    *
+    * Scale: one codegen'd md5 + compare per row folding into a
+    * map-side-combinable per-day conditional agg — map-only data path,
+    * chisq-sized result. The estimator's error shrinks as 1/√n per cell;
+    * cells too small to debias are visibly noisy in the err column, which
+    * is the honest LDP tradeoff.
+    */
+  private val qPrivacyRr = GQuery(
+    (s, d) => {
+      val coin = conv(substring(md5(concat(col("event_id").cast("string"),
+        lit(":rr1"))), 1, 4), 16, 10).cast("long") % 4
+      val truth = (col("event_type") === "purchase").cast("long")
+      val daily = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), truth.as("tr"),
+          when(coin === 0L, lit(1L) - truth).otherwise(truth).as("obs"))
+        .groupBy("day")
+        .agg(count(lit(1L)).as("n"), sum("tr").as("true_cnt"),
+          sum("obs").as("obs_cnt"))
+      daily.select(col("day"), col("n"), col("true_cnt"), col("obs_cnt"),
+          expr("true_cnt * 1000000 div n").as("true_ppm"),
+          expr("2 * (obs_cnt * 1000000 div n) - 500000").as("est_ppm"))
+        .withColumn("err_ppm", col("est_ppm") - col("true_ppm"))
+        .orderBy("day")
+    },
+    Some(s"""WITH rows_ AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS tr,
+                     ${DedupOps.duckHex4("md5(CAST(event_id AS VARCHAR) || ':rr1')")}
+                       % 4 AS coin
+              FROM events),
+            daily AS (
+              SELECT day, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(tr) AS BIGINT) AS true_cnt,
+                     CAST(sum(CASE WHEN coin = 0 THEN 1 - tr ELSE tr END)
+                       AS BIGINT) AS obs_cnt
+              FROM rows_ GROUP BY 1)
+            SELECT day, n, true_cnt, obs_cnt,
+                   CAST(true_cnt * 1000000 // n AS BIGINT) AS true_ppm,
+                   CAST(2 * (obs_cnt * 1000000 // n) - 500000 AS BIGINT)
+                     AS est_ppm,
+                   CAST(2 * (obs_cnt * 1000000 // n) - 500000
+                     - true_cnt * 1000000 // n AS BIGINT) AS err_ppm
+            FROM daily ORDER BY day"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_privacy_rr" -> qPrivacyRr,
     "q_privacy_tclose" -> qPrivacyTclose,
     "q_privacy_tokenize" -> qPrivacyTokenize,
     "q_privacy_dp" -> qPrivacyDp,
