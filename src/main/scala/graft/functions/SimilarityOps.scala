@@ -1779,7 +1779,87 @@ object SimilarityOps extends QueryModule {
                    CAST(round(CAST(cos AS DECIMAL(30,8)), 2) AS DOUBLE) AS score
             FROM ranked WHERE rn <= 3 ORDER BY p_id, rk"""))
 
+  /** Embedding-space label-outlier detection — the data-quality face of the
+    * centroid family (q_embed_centroid reports the centroids; this flags
+    * the vectors that don't BELONG to theirs): per label, the 3 vectors
+    * least cosine-similar to their own label centroid are suspected
+    * mislabels/outliers — the standard curation pass before contrastive
+    * training. Centroid coordinates snap to the 1e-6 grid (dround — the
+    * q_embed_centroid rule: a raw double mean accumulates in partition
+    * order) so every downstream cosine is computed from identical inputs,
+    * and the score snaps again to integer micros for an engine-portable
+    * rank.
+    *
+    * Scale: one (label, dim) partial-avg agg (labels×dims rows at any
+    * corpus size), centroids broadcast back onto a map-only score pass, and
+    * the bottom-k window partitions on label. The flag threshold (rank ≤ 3)
+    * generalizes to a percentile of the per-label score distribution via
+    * q_dist_histogram's machinery.
+    */
+  private val qEmbedOutlier = GQuery(
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("emb"))
+        .withColumn("nrm", norm(col("emb")))
+      val cent = e
+        .select(col("label"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(dround(avg("v"), 6).as("m"))
+        .groupBy("label")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          r => r.getField("m")).as("c_emb"))
+        .withColumn("c_nrm", norm(col("c_emb")))
+      val w = Window.partitionBy("label")
+        .orderBy(col("cos_micro").asc, col("vec_id").asc)
+      e.join(broadcast(cent), "label")
+        .select(col("label"), col("vec_id"),
+          floor(dround(dot(col("emb"), col("c_emb")) /
+            (col("nrm") * col("c_nrm")), 6) * 1e6 + 0.5).cast("long")
+            .as("cos_micro"))
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 3)
+        .orderBy("label", "rk")
+    },
+    Some("""WITH e AS (
+              SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+                     sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> x * x))) AS nrm
+              FROM embeddings),
+            dims AS (
+              SELECT label, unnest(emb) AS v,
+                     unnest(generate_series(1, len(emb))) AS dim
+              FROM e),
+            cm AS (
+              SELECT label, dim,
+                     CAST(round(CAST(avg(v) AS DECIMAL(30,8)), 6) AS DOUBLE)
+                       AS m
+              FROM dims GROUP BY 1, 2),
+            cent AS (
+              SELECT label, list(m ORDER BY dim) AS c_emb
+              FROM cm GROUP BY 1),
+            cent2 AS (
+              SELECT label, c_emb,
+                     sqrt(list_sum(list_transform(c_emb, x -> x * x)))
+                       AS c_nrm
+              FROM cent),
+            scored AS (
+              SELECT e.label, e.vec_id,
+                     CAST(floor(CAST(round(CAST(
+                       list_dot_product(e.emb, c.c_emb) / (e.nrm * c.c_nrm)
+                       AS DECIMAL(30,8)), 6) AS DOUBLE) * 1e6 + 0.5)
+                       AS BIGINT) AS cos_micro
+              FROM e JOIN cent2 c ON c.label = e.label),
+            ranked AS (
+              SELECT label, vec_id, cos_micro,
+                     CAST(row_number() OVER (PARTITION BY label
+                       ORDER BY cos_micro ASC, vec_id ASC) AS INT) AS rk
+              FROM scored)
+            SELECT label, vec_id, cos_micro, rk
+            FROM ranked WHERE rk <= 3 ORDER BY label, rk"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_embed_outlier" -> qEmbedOutlier,
     "q_knn_binary" -> qKnnBinary,
     "q_embed_mmr" -> qEmbedMmr,
     "q_knn_ivfpq" -> qKnnIvfPq,

@@ -4247,7 +4247,173 @@ object AnalyticsOps extends QueryModule {
                    adev * 10000 > mad.mad * 44478 AS is_outlier
             FROM devs, mad ORDER BY day"""))
 
+  // -------------------------------------------- direct standardization --
+
+  /** Direct standardization of the purchase rate between the pmod-2 A/B
+    * arms — the stratification-based confounder adjustment (the
+    * non-parametric cousin of CUPED: CUPED regresses a covariate out,
+    * standardization REWEIGHTS strata to a common reference distribution):
+    * strata are 6-hour buckets; each arm's standardized rate is
+    * Σ_s w_s·rate_{arm,s} with w_s the POOLED stratum share, so arms are
+    * compared as if they had identical time-of-day mix. All rates/weights
+    * are exact ppm integers; products sum BEFORE the single div (quantize
+    * once). An arm = −1 row carries the standardized difference — the
+    * effect estimate the crude difference would confound.
+    *
+    * Scale: one map-side-combinable (arm, stratum) agg, a stratum-share
+    * re-agg of that 8-row table, and ppm arithmetic on it — chisq
+    * economics; finer strata only grow the cell table.
+    */
+  private val qStatsStandardize = GQuery(
+    (s, d) => {
+      val cells = t(s, d, "events")
+        .select(pmod(col("user_id"), lit(2)).cast("int").as("arm"),
+          expr("hour(ts) div 6").cast("int").as("stratum"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+        .groupBy("arm", "stratum")
+        .agg(count(lit(1L)).as("n"), sum("pos").as("pos"))
+      val strata = cells.groupBy("stratum")
+        .agg(sum("n").as("ns"))
+      val tot = strata.agg(sum("ns").as("nt"))
+      val weighted = cells
+        .join(broadcast(strata), "stratum")
+        .crossJoin(broadcast(tot))
+        .select(col("arm"), col("n"), col("pos"),
+          expr("(ns * 1000000 div nt) * (pos * 1000000 div n)").as("wr"))
+      val arms = weighted.groupBy("arm")
+        .agg(sum("n").as("n"), sum("pos").as("pos"),
+          expr("sum(wr) div 1000000").as("std_ppm"))
+        .select(col("arm"), col("n"),
+          expr("pos * 1000000 div n").as("crude_ppm"), col("std_ppm"))
+      val diff = arms.agg(
+          sum(when(col("arm") === 0, col("std_ppm")).otherwise(-col("std_ppm")))
+            .as("dstd"),
+          sum(when(col("arm") === 0, col("crude_ppm"))
+            .otherwise(-col("crude_ppm"))).as("dcrude"),
+          sum("n").as("n"))
+        .select(lit(-1).cast("int").as("arm"), col("n"),
+          col("dcrude").as("crude_ppm"), col("dstd").as("std_ppm"))
+      arms.unionByName(diff).orderBy("arm")
+    },
+    Some("""WITH cells AS (
+              SELECT CAST(user_id % 2 AS INT) AS arm,
+                     CAST(hour(ts) // 6 AS INT) AS stratum,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                       ELSE 0 END) AS BIGINT) AS pos
+              FROM events GROUP BY 1, 2),
+            strata AS (
+              SELECT stratum, CAST(sum(n) AS BIGINT) AS ns
+              FROM cells GROUP BY 1),
+            tot AS (SELECT CAST(sum(ns) AS BIGINT) AS nt FROM strata),
+            weighted AS (
+              SELECT c.arm, c.n, c.pos,
+                     (s.ns * 1000000 // t.nt) * (c.pos * 1000000 // c.n)
+                       AS wr
+              FROM cells c JOIN strata s ON s.stratum = c.stratum
+              CROSS JOIN tot t),
+            arms AS (
+              SELECT arm, CAST(sum(n) AS BIGINT) AS n,
+                     CAST(sum(pos) * 1000000 // sum(n) AS BIGINT) AS crude_ppm,
+                     CAST(sum(wr) // 1000000 AS BIGINT) AS std_ppm
+              FROM weighted GROUP BY 1),
+            diff AS (
+              SELECT CAST(-1 AS INT) AS arm, CAST(sum(n) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN arm = 0 THEN crude_ppm
+                       ELSE -crude_ppm END) AS BIGINT) AS crude_ppm,
+                     CAST(sum(CASE WHEN arm = 0 THEN std_ppm
+                       ELSE -std_ppm END) AS BIGINT) AS std_ppm
+              FROM arms)
+            SELECT arm, n, crude_ppm, std_ppm FROM arms
+            UNION ALL SELECT * FROM diff
+            ORDER BY arm"""))
+
+  // ------------------------------------------- decision-stump split scan --
+
+  /** Decision-stump split finder on the value domain — the Gini-impurity
+    * scan every tree learner runs per feature, done the engine way: the
+    * corpus collapses to the $50 bin grid (calibration bins), prefix sums
+    * give every candidate threshold's (nL, posL) in ONE window pass over
+    * the grid (the auc/ks two-level discipline applies when the grid
+    * grows), and the weighted Gini 2·(nL·pL·qL + nR·pR·qR)/N is evaluated
+    * in exact integer micros: per-side gini_micro = 2·pos·neg·10⁶ div n²,
+    * weighted = (nL·gL + nR·gR) div N — quantized per candidate, argmin
+    * tie-broken to the lowest cut. The best row is the stump; the full
+    * table is the split-quality curve a feature-importance report plots.
+    *
+    * Scale: one partial agg to the bin grid; everything after is
+    * grid-sized. pos·neg·10⁶ crosses BIGINT around 3·10⁹ rows per side —
+    * the corrmatrix DECIMAL(38) widening applies there.
+    */
+  private val qFeatureSplit = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val bins = t(s, d, "events")
+        .select(cents.as("c"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+        .select(expr("c div 5000").cast("int").as("bin"), col("pos"))
+        .groupBy("bin").agg(count(lit(1L)).as("n"), sum("pos").as("pos"))
+      val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+      val tot = bins.agg(sum("n").as("nt"), sum("pos").as("pt"))
+      val cand = bins
+        .select(col("bin"),
+          coalesce(sum("n").over(w), lit(0L)).as("nl"),
+          coalesce(sum("pos").over(w), lit(0L)).as("pl"))
+        .crossJoin(broadcast(tot))
+        .filter(col("nl") > 0L && col("nl") < col("nt"))
+        .select(col("bin"), (col("bin") * 5000L).as("cut_cents"),
+          col("nl"), col("pl"),
+          expr("""((nl * (2 * pl * (nl - pl) * 1000000 div (nl * nl)))
+                  + ((nt - nl) * (2 * (pt - pl) * ((nt - nl) - (pt - pl))
+                     * 1000000 div ((nt - nl) * (nt - nl)))))
+                 div nt""").as("wgini_micro"))
+      val wBest = Window.orderBy(col("wgini_micro").asc, col("bin").asc)
+      cand.withColumn("rk", row_number().over(wBest))
+        .select(col("bin"), col("cut_cents"), col("nl"), col("pl"),
+          col("wgini_micro"), (col("rk") === 1).as("is_best"))
+        .orderBy("bin")
+    },
+    Some("""WITH rows_ AS (
+              SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS c,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS pos
+              FROM events),
+            bins AS (
+              SELECT CAST(c // 5000 AS INT) AS bin,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(pos) AS BIGINT) AS pos
+              FROM rows_ GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+                           CAST(sum(pos) AS BIGINT) AS pt FROM bins),
+            cand AS (
+              SELECT bin,
+                     CAST(coalesce(sum(n) OVER (ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS nl,
+                     CAST(coalesce(sum(pos) OVER (ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS pl
+              FROM bins),
+            scored AS (
+              SELECT c.bin, CAST(c.bin * 5000 AS BIGINT) AS cut_cents,
+                     c.nl, c.pl,
+                     CAST(((c.nl * (2 * c.pl * (c.nl - c.pl) * 1000000
+                             // (c.nl * c.nl)))
+                       + ((t.nt - c.nl) * (2 * (t.pt - c.pl)
+                             * ((t.nt - c.nl) - (t.pt - c.pl)) * 1000000
+                             // ((t.nt - c.nl) * (t.nt - c.nl)))))
+                       // t.nt AS BIGINT) AS wgini_micro
+              FROM cand c, tot t
+              WHERE c.nl > 0 AND c.nl < t.nt)
+            SELECT bin, cut_cents, nl, pl, wgini_micro,
+                   row_number() OVER (ORDER BY wgini_micro ASC, bin ASC) = 1
+                     AS is_best
+            FROM scored ORDER BY bin"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_stats_standardize" -> qStatsStandardize,
+    "q_feature_split" -> qFeatureSplit,
     "q_corpus_temperature" -> qCorpusTemperature,
     "q_ts_mad" -> qTsMad,
     "q_feature_woe" -> qFeatureWoe,
