@@ -3853,11 +3853,14 @@ object AnalyticsOps extends QueryModule {
       val ev = t(s, d, "events")
         .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
       val users = ev.groupBy("user_id")
-        .agg(min("day").as("fd"),
+        .agg(min("day").as("fd"), max("day").as("ld"),
           max(when(col("event_type") === "purchase", col("day"))).as("lp"))
-        .filter(col("lp").isNotNull)
-      val gmax = ev.agg(max("day").as("gd"))
-      val lam = users.crossJoin(broadcast(gmax))
+        // user rollup also carries ld so the stream end derives from it —
+        // one events scan total; materialized once for gmax + lam
+        .localCheckpoint(true)
+      val gmax = users.agg(max("ld").as("gd"))
+      val usersP = users.filter(col("lp").isNotNull)
+      val lam = usersP.crossJoin(broadcast(gmax))
         .select(datediff(col("lp"), col("fd")).cast("long").as("dur"),
           (col("lp") < date_sub(col("gd"), 3)).cast("long").as("evt"))
       val km = lam.groupBy("dur")
@@ -3956,6 +3959,8 @@ object AnalyticsOps extends QueryModule {
           when(!half, cents).otherwise(lit(0L)).as("yc"))
         .groupBy("user_id")
         .agg(sum("xc").as("ux"), sum("yc").as("uy"))
+        // user-cardinality rollup feeding pooled + adj — materialize once
+        .localCheckpoint(true)
       val pooled = users.agg(count(lit(1L)).as("n"),
           sum("ux").as("sx"), sum("uy").as("sy"),
           sum((col("ux") * col("ux")).cast("decimal(38,0)")).as("sxx"),
@@ -4074,6 +4079,10 @@ object AnalyticsOps extends QueryModule {
           when(col("event_type") === "purchase", 1L).otherwise(0L).as("isg"))
         .groupBy("hod")
         .agg(sum("isg").as("g"), sum(lit(1L) - col("isg")).as("b"))
+        // 24 rows, consumed by tot + scored + the total row: materialize
+        // once (the wquantile quadruple-scan lesson — Spark shares no
+        // subplans across union branches)
+        .localCheckpoint(true)
       val tot = bins.agg(sum("g").as("tg"), sum("b").as("tb"))
       val scored = bins.crossJoin(broadcast(tot))
         .select(col("hod"), col("g"), col("b"),
@@ -4204,6 +4213,8 @@ object AnalyticsOps extends QueryModule {
       val daily = t(s, d, "events")
         .select(to_date(col("ts")).as("day"), cents.as("v"))
         .groupBy("day").agg(sum("v").as("x"))
+        // ≤ #days rows feeding n/med/devs/mad — materialize once
+        .localCheckpoint(true)
       val n = daily.agg(count(lit(1L)).as("n"))
       val wMed = Window.orderBy(col("x").asc, col("day").asc)
       val med = daily.withColumn("rn", row_number().over(wMed))
@@ -4272,6 +4283,8 @@ object AnalyticsOps extends QueryModule {
           when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
         .groupBy("arm", "stratum")
         .agg(count(lit(1L)).as("n"), sum("pos").as("pos"))
+        // 8-row cell table feeding strata + weighted — materialize once
+        .localCheckpoint(true)
       val strata = cells.groupBy("stratum")
         .agg(sum("n").as("ns"))
       val tot = strata.agg(sum("ns").as("nt"))
@@ -4353,6 +4366,8 @@ object AnalyticsOps extends QueryModule {
           when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
         .select(expr("c div 5000").cast("int").as("bin"), col("pos"))
         .groupBy("bin").agg(count(lit(1L)).as("n"), sum("pos").as("pos"))
+        // grid-sized, feeds tot + the prefix window — materialize once
+        .localCheckpoint(true)
       val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
       val tot = bins.agg(sum("n").as("nt"), sum("pos").as("pt"))
       val cand = bins

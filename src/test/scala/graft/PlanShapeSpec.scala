@@ -794,4 +794,67 @@ class PlanShapeSpec extends SparkSpec {
     val ep = plan("q_events_paths")
     assert(ep.contains("TakeOrderedAndProject"), ep.take(3000))
   }
+
+  test("round-7d operators: broadcast probes, grid collapses, no corpus products") {
+    // binary ANN: the coarse Hamming pass joins the 5-row probe set via a
+    // broadcast (non-equi ⇒ BroadcastNLJ against a constant-size side is
+    // the sanctioned shape); the corpus side must never sort-merge or
+    // cartesian for it
+    val kb = plan("q_knn_binary")
+    assert(!kb.contains("CartesianProduct"), kb.take(3000))
+    assert(kb.contains("Broadcast"), kb.take(3000))
+
+    // MRR/MAP eval: probe fan-out broadcasts; everything after the top-10
+    // filter is window+agg (no further joins of corpus size)
+    val mrr = plan("q_eval_mrr")
+    assert(!mrr.contains("CartesianProduct"), mrr.take(3000))
+    assert(mrr.contains("Broadcast"), mrr.take(3000))
+
+    // RAKE: phrase islands ride a doc-partitioned window; word/phrase
+    // scores are keyed hash joins — no products anywhere
+    val rake = plan("q_text_rake")
+    assert(!rake.contains("CartesianProduct") &&
+      !rake.contains("BroadcastNestedLoopJoin"), rake.take(3000))
+    assert(rake.contains("HashAggregate"), rake.take(3000))
+
+    // phrase search: postings meet the 3-row probe set in KEYED hash joins
+    val ph = plan("q_text_phrase")
+    assert(!ph.contains("CartesianProduct"), ph.take(3000))
+    assert(ph.contains("HashJoin"), ph.take(3000))
+
+    // PMI: marginals re-aggregate the joint (one corpus pair scan), top-20
+    // short-circuits
+    val pmi = plan("q_vocab_pmi")
+    assert(pmi.contains("TakeOrderedAndProject"), pmi.take(3000))
+    assert(!pmi.contains("CartesianProduct"), pmi.take(3000))
+
+    // WoE/IV, RR, MAD, Holt, split scan: the corpus collapses through ONE
+    // scan + partial agg before any window arithmetic
+    for (q <- Seq("q_feature_woe", "q_privacy_rr", "q_ts_mad", "q_ts_holt",
+        "q_feature_split")) {
+      val p = plan(q)
+      assert("Scan parquet".r.findAllIn(p).length <= 1,
+        s"$q rescans events:\n" + p.take(3000))
+      assert(p.contains("HashAggregate"), s"$q: " + p.take(3000))
+    }
+
+    // CUPED + standardization: per-user/cell rollups meet scalar pools via
+    // broadcasts — the corpus-side join must never sort-merge
+    val cu = plan("q_stats_cuped")
+    assert(cu.contains("Broadcast") && !cu.contains("SortMergeJoin"),
+      cu.take(3000))
+    val st = plan("q_stats_standardize")
+    assert(st.contains("Broadcast") && !st.contains("SortMergeJoin"),
+      st.take(3000))
+
+    // embedding outliers: centroids broadcast onto the map-only score pass
+    val eo = plan("q_embed_outlier")
+    assert(eo.contains("BroadcastHashJoin"), eo.take(3000))
+    assert(!eo.contains("SortMergeJoin"), eo.take(3000))
+
+    // local clustering: wedge join stays keyed (broadcast or hash), never
+    // an unkeyed product
+    val lc = plan("q_graph_cluster_local")
+    assert(!lc.contains("CartesianProduct"), lc.take(3000))
+  }
 }
