@@ -247,7 +247,59 @@ object MultimodalOps extends QueryModule {
             SELECT doc_id, pr, pc, psum FROM patch
             ORDER BY doc_id, pr, pc"""))
 
+  /** WebDataset-style shard planner: assign binary assets to fixed-size
+    * training shards (next-fit-decreasing within each source stream —
+    * biggest assets place first, a shard closes when the running total
+    * crosses the 64 KB target) and report per-shard count/bytes/fill. The
+    * assignment is pure arithmetic on an EXCLUSIVE running sum (shard id =
+    * cum_before div target), so it is deterministic, engine-portable, and
+    * needs no sequential packer; the tar-writing itself would be the sink's
+    * job (OffsetNamedOrcSink's chunk machinery is exactly this shape with
+    * offsets for sizes).
+    *
+    * Scale: the window partitions by SOURCE — a real corpus plans shards
+    * within (source, date) buckets, so no global sort ever happens; the
+    * per-bucket window is the only sequential part and its width is the
+    * bucket's asset count. fill_ppm ≈ 10⁶ shows healthy packing; a long
+    * tail of tiny final shards flags bucket keys chosen too fine.
+    */
+  private val qMultimodalShard = GQuery(
+    (s, d) => {
+      val target = 64000L
+      val assets = Tables(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          octet_length(col("text").cast("binary")).cast("long").as("bytes"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        .orderBy(col("bytes").desc, col("doc_id").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      assets
+        .withColumn("cb", coalesce(sum("bytes").over(w), lit(0L)))
+        .withColumn("shard", expr(s"cb div $target"))
+        .groupBy("source", "shard")
+        .agg(count(lit(1L)).as("n_assets"), sum("bytes").as("bytes"))
+        .withColumn("fill_ppm", expr(s"bytes * 1000000 div $target"))
+        .orderBy("source", "shard")
+    },
+    Some("""WITH assets AS (
+              SELECT source, doc_id,
+                     CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)
+                       AS bytes
+              FROM documents),
+            placed AS (
+              SELECT source, doc_id, bytes,
+                     CAST(coalesce(sum(bytes) OVER (PARTITION BY source
+                       ORDER BY bytes DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       // 64000 AS BIGINT) AS shard
+              FROM assets)
+            SELECT source, shard, CAST(count(*) AS BIGINT) AS n_assets,
+                   CAST(sum(bytes) AS BIGINT) AS bytes,
+                   CAST(sum(bytes) * 1000000 // 64000 AS BIGINT) AS fill_ppm
+            FROM placed GROUP BY 1, 2
+            ORDER BY source, shard"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_multimodal_shard" -> qMultimodalShard,
     "q_multimodal_patches" -> qMultimodalPatches,
     "q_multimodal_decode" -> qMultimodalDecode,
     "q_multimodal_frames" -> qMultimodalFrames,

@@ -4426,7 +4426,221 @@ object AnalyticsOps extends QueryModule {
                      AS is_best
             FROM scored ORDER BY bin"""))
 
+  // ---------------------------------------- STL-style decomposition --
+
+  /** Additive seasonal-trend decomposition of the daily revenue series
+    * (the STL shape with exact integer arithmetic): trend = centered 7-day
+    * moving average (full windows only — edges stay NULL rather than
+    * fabricating a half-window trend), seasonal = day-of-week mean of the
+    * detrended series (dow from the pure-integer epoch-day mod 7, the
+    * q_stats_mannwhitney rule — no engine dow()), residual = x − trend −
+    * seasonal. Every component is integer `div` cents, so the decomposition
+    * re-adds exactly and hashes cross-engine. This is the diagnostic
+    * decomposition next to snaive (forecast), autocorr (cycle detection),
+    * and changepoint (level shifts): it SHOWS the cycle the others test
+    * for.
+    *
+    * Scale: the corpus collapses to the day grid before the RANGE window
+    * (changepoint economics); the dow table is 7 rows broadcast back;
+    * years of data keep the sequential part calendar-bounded.
+    */
+  private val qTsStl = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val daily = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), cents.as("v"))
+        .groupBy("day").agg(sum("v").as("x"))
+        .withColumn("dnum",
+          datediff(col("day"), lit("2024-01-01").cast("date")).cast("long"))
+        .localCheckpoint(true)
+      val w7 = Window.orderBy("dnum").rangeBetween(-3, 3)
+      val trended = daily
+        .withColumn("wcnt", count(lit(1L)).over(w7))
+        .withColumn("trend_cents",
+          when(col("wcnt") === 7L, expr("sum(x) OVER (ORDER BY dnum RANGE " +
+            "BETWEEN 3 PRECEDING AND 3 FOLLOWING) div 7")))
+        .withColumn("dow", pmod(col("dnum"), lit(7L)).cast("int"))
+        .withColumn("detr", col("x") - col("trend_cents"))
+      val dowMeans = trended.filter(col("trend_cents").isNotNull)
+        .groupBy("dow")
+        .agg(expr("sum(detr) div count(1)").as("seas_cents"))
+      trended.join(broadcast(dowMeans), "dow")
+        .select(col("day"), col("x"), col("trend_cents"), col("seas_cents"),
+          (col("x") - col("trend_cents") - col("seas_cents")).as("resid_cents"))
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS x
+              FROM events GROUP BY 1),
+            dn AS (
+              SELECT day, x,
+                     CAST(date_diff('day', DATE '2024-01-01', day) AS BIGINT)
+                       AS dnum
+              FROM daily),
+            tr AS (
+              SELECT day, x, dnum,
+                     CASE WHEN count(*) OVER w = 7
+                       THEN CAST(sum(x) OVER w // 7 AS BIGINT) END
+                       AS trend_cents,
+                     CAST(dnum % 7 AS INT) AS dow
+              FROM dn
+              WINDOW w AS (ORDER BY dnum
+                RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+            dm AS (
+              SELECT dow,
+                     CAST(sum(x - trend_cents) // count(*) AS BIGINT)
+                       AS seas_cents
+              FROM tr WHERE trend_cents IS NOT NULL GROUP BY 1)
+            SELECT t.day, t.x, t.trend_cents, m.seas_cents,
+                   CAST(t.x - t.trend_cents - m.seas_cents AS BIGINT)
+                     AS resid_cents
+            FROM tr t JOIN dm m ON m.dow = t.dow
+            ORDER BY t.day"""))
+
+  // ---------------------------------------- sliding distinct (DAU/WAU) --
+
+  /** Sliding distinct users — DAU, trailing-7-day WAU, and the DAU/WAU
+    * stickiness ratio per day: the engagement dashboard's headline numbers,
+    * and SQL's classic hard case (COUNT(DISTINCT) doesn't compose over
+    * sliding windows — yesterday's WAU can't be updated, only re-derived).
+    * The engine way: collapse to distinct (user, day) pairs once, then each
+    * pair COVERS the 7 window anchors it contributes to (a bounded ×7
+    * map-only explode — the inverted form that turns a windowed distinct
+    * into a plain per-anchor distinct agg), count distinct per anchor day,
+    * and clamp anchors past the stream end.
+    *
+    * Scale: the cover explode is 7× the user-day table (already collapsed,
+    * ≪ events); the per-anchor distinct is a two-level agg Spark
+    * partial-aggregates. At 100 TB with big windows (MAU: ×30), swap the
+    * exact distinct for an HLL per anchor (q_agg_sketch_merge's shape) and
+    * keep this exact form for audit days.
+    */
+  private val qEventsSlidingDistinct = GQuery(
+    (s, d) => {
+      val ud = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .localCheckpoint(true)
+      val bounds = ud.agg(max("day").as("gd"))
+      val dau = ud.groupBy("day").agg(countDistinct("user_id").as("dau"))
+      val wau = ud
+        .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("i"),
+          col("day"))
+        .select(col("user_id"), expr("date_add(day, CAST(i AS INT))").as("day"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("day") <= col("gd"))
+        .groupBy("day").agg(countDistinct("user_id").as("wau7"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau7"),
+          expr("dau * 1000000 div wau7").as("stickiness_ppm"))
+        .orderBy("day")
+    },
+    Some("""WITH ud AS (
+              SELECT DISTINCT user_id,
+                     CAST(date_trunc('day', ts) AS DATE) AS day
+              FROM events),
+            bounds AS (SELECT max(day) AS gd FROM ud),
+            dau AS (
+              SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+              FROM ud GROUP BY 1),
+            cover AS (
+              SELECT ud.user_id, ud.day + CAST(i.i AS INT) AS day
+              FROM ud, (SELECT unnest(range(7)) AS i) i, bounds
+              WHERE ud.day + CAST(i.i AS INT) <= bounds.gd),
+            wau AS (
+              SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau7
+              FROM cover GROUP BY 1)
+            SELECT d.day, d.dau, w.wau7,
+                   CAST(d.dau * 1000000 // w.wau7 AS BIGINT)
+                     AS stickiness_ppm
+            FROM dau d JOIN wau w ON w.day = d.day
+            ORDER BY d.day"""))
+
+  // ----------------------------------------------------- QQ comparison --
+
+  /** Decile QQ table of weekend vs weekday purchase values — the
+    * distribution-comparison READOUT next to the ks/mannwhitney TESTS (a
+    * test says "different"; the QQ table says WHERE — tails, shift, or
+    * spread): per side, the nine decile values as exact lower order
+    * statistics selected from the value grid (per-delay counts → running
+    * total → first value reaching ⌈n·p/10⌉, the funnel_latency machinery —
+    * no percentile_approx, no row sort), weekend from the pure-integer
+    * epoch-day mod 7 (q_stats_mannwhitney rule). Emits per decile both
+    * sides and the signed gap.
+    *
+    * Scale: two value-grid aggs + grid-partitioned running sums + a 9-row
+    * broadcast probe per side — auc economics; the decile probe
+    * generalizes to any quantile set without replanning.
+    */
+  private val qStatsQq = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val dnum = datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+      val grid = t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(when(pmod(dnum, lit(7)) >= 5, lit("weekend"))
+          .otherwise(lit("weekday")).as("grp"), cents.as("v"))
+        .groupBy("grp", "v").agg(count(lit(1L)).as("cnt"))
+        .localCheckpoint(true)
+      val wCum = Window.partitionBy("grp").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = grid.withColumn("cum", sum("cnt").over(wCum))
+      val sizes = grid.groupBy("grp").agg(sum("cnt").as("n"))
+      val deciles = (1 to 9).map(p => s"($p)").mkString(", ")
+      val probes = cum.sparkSession.sql(
+        s"SELECT * FROM VALUES $deciles AS t(p)")
+      val qs = cum.join(broadcast(sizes), "grp")
+        .crossJoin(broadcast(probes))
+        .filter(col("cum") * 10 >= col("n") * col("p"))
+        .groupBy("grp", "p").agg(min("v").as("q"))
+      qs.filter(col("grp") === "weekday")
+        .select(col("p"), col("q").as("weekday_cents"))
+        .join(qs.filter(col("grp") === "weekend")
+          .select(col("p").as("p2"), col("q").as("weekend_cents")),
+          col("p") === col("p2"))
+        .select(col("p").cast("int").as("decile"), col("weekday_cents"),
+          col("weekend_cents"),
+          (col("weekend_cents") - col("weekday_cents")).as("gap_cents"))
+        .orderBy("decile")
+    },
+    Some("""WITH rows_ AS (
+              SELECT CASE WHEN CAST(date_diff('day', DATE '2024-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) % 7
+                       >= 5
+                     THEN 'weekend' ELSE 'weekday' END AS grp,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+              FROM events WHERE event_type = 'purchase'),
+            grid AS (
+              SELECT grp, v, CAST(count(*) AS BIGINT) AS cnt
+              FROM rows_ GROUP BY 1, 2),
+            cum AS (
+              SELECT grp, v, cnt,
+                     CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum
+              FROM grid),
+            sizes AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n
+                      FROM grid GROUP BY 1),
+            probes AS (SELECT unnest(range(1, 10)) AS p),
+            qs AS (
+              SELECT c.grp, p.p, min(c.v) AS q
+              FROM cum c JOIN sizes s ON s.grp = c.grp
+              CROSS JOIN probes p
+              WHERE c.cum * 10 >= s.n * p.p
+              GROUP BY 1, 2)
+            SELECT CAST(wd.p AS INT) AS decile,
+                   wd.q AS weekday_cents, we.q AS weekend_cents,
+                   CAST(we.q - wd.q AS BIGINT) AS gap_cents
+            FROM qs wd JOIN qs we ON we.p = wd.p
+              AND wd.grp = 'weekday' AND we.grp = 'weekend'
+            ORDER BY decile"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_stats_qq" -> qStatsQq,
+    "q_ts_stl" -> qTsStl,
+    "q_events_sliding_distinct" -> qEventsSlidingDistinct,
     "q_stats_standardize" -> qStatsStandardize,
     "q_feature_split" -> qFeatureSplit,
     "q_corpus_temperature" -> qCorpusTemperature,
