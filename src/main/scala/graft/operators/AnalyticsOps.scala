@@ -4637,7 +4637,162 @@ object AnalyticsOps extends QueryModule {
               AND wd.grp = 'weekday' AND we.grp = 'weekend'
             ORDER BY decile"""))
 
+  // -------------------------------------------- bitmap exact distinct --
+
+  /** Roaring-bitmap-style EXACT distinct counting — the mergeable exact
+    * alternative to HLL (q_agg_sketch_merge re-aggregates approximate
+    * sketches; bitmaps re-aggregate EXACTLY when the id space is dense):
+    * users pack into 32-bit words (word = id div 32, bit = id mod 32 — 32
+    * not 64 because a set bit 63 overflows DuckDB's left shift; 32-bit
+    * words also never touch the BIGINT sign bit), built as DAILY partials
+    * and OR-merged across days — proving the re-aggregation property the
+    * whole pattern exists for (yesterday's bitmap never rebuilds) — then
+    * popcounted. The exact COUNT(DISTINCT) twin rides the same scan and
+    * pins bitmap ≡ exact per type.
+    *
+    * Scale: state per (group, word) is 8 bytes for 32 ids — dense id
+    * spaces beat HLL on both size and exactness; sparse/huge id spaces are
+    * HLL's territory (or dictionary-encode ids first). bit_or partials
+    * combine map-side in any order.
+    */
+  private val qAggBitmap = GQuery(
+    (s, d) => {
+      val daily = t(s, d, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          expr("user_id div 32").as("word"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+            .as("bit"))
+        .groupBy("event_type", "day", "word")
+        .agg(expr("bit_or(bit)").as("bm"))
+      val merged = daily.groupBy("event_type", "word")
+        .agg(expr("bit_or(bm)").as("bm"))
+        .groupBy("event_type")
+        .agg(count(lit(1L)).as("n_words"),
+          sum(expr("bit_count(bm)")).cast("long").as("distinct_bitmap"))
+      val exact = t(s, d, "events")
+        .groupBy("event_type")
+        .agg(countDistinct("user_id").as("distinct_exact"))
+      merged.join(exact, "event_type")
+        .select(col("event_type"), col("n_words"), col("distinct_bitmap"),
+          col("distinct_exact"),
+          (col("distinct_bitmap") === col("distinct_exact")).as("agree"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                     user_id // 32 AS word,
+                     bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS bm
+              FROM events GROUP BY 1, 2, 3),
+            merged AS (
+              SELECT event_type, word, bit_or(bm) AS bm
+              FROM daily GROUP BY 1, 2),
+            agg AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n_words,
+                     CAST(sum(bit_count(bm)) AS BIGINT) AS distinct_bitmap
+              FROM merged GROUP BY 1),
+            exact AS (
+              SELECT event_type,
+                     CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_exact
+              FROM events GROUP BY 1)
+            SELECT a.event_type, a.n_words, a.distinct_bitmap,
+                   e.distinct_exact,
+                   a.distinct_bitmap = e.distinct_exact AS agree
+            FROM agg a JOIN exact e ON e.event_type = a.event_type
+            ORDER BY a.event_type"""))
+
+  // ----------------------------------------- SCD2 incremental maintenance --
+
+  /** CDC → SCD2 apply: maintain a type-2 "current segment" dimension (each
+    * user's event_type runs, versioned by change points) INCREMENTALLY — a
+    * delta batch (days 21+) is applied against only the dimension's OPEN
+    * rows: history-internal versions are untouched, open rows close at the
+    * user's first delta change, and delta-internal versions append. The
+    * oracle rebuilds the dimension from the full stream — pinning
+    * apply(history, delta) ≡ rebuild(all), the lakehouse MERGE-into-SCD2
+    * correctness property (the companion of q_join_incremental /
+    * q_agg_incremental: this is the SLOWLY-CHANGING state it maintains).
+    *
+    * The boundary case is the whole op: a delta row only opens a version if
+    * its type differs from the user's OPEN status (join against open rows,
+    * never history), and a brand-new user's first row always does.
+    *
+    * Scale: the delta path touches delta rows + |users-in-delta| open rows
+    * — history versions are never rescanned or rewritten (dynamic
+    * overwrite of the open partition in a real table); windows partition
+    * by user.
+    */
+  private val qScd2Apply = GQuery(
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type").as("st"), col("event_id"),
+          unix_timestamp(col("ts")).as("sec"),
+          to_date(col("ts")).as("day"))
+      val cut = lit("2024-01-21").cast("date")
+      val wAll = Window.partitionBy("user_id").orderBy("sec", "event_id")
+      // history side: versions from change detection within days <= 20
+      val histCh = ev.filter(col("day") < cut)
+        .withColumn("prev", lag("st", 1).over(wAll))
+        .filter(col("prev").isNull || col("prev") =!= col("st"))
+        .localCheckpoint(true)
+      val wCh = Window.partitionBy("user_id").orderBy("sec", "event_id")
+      val histIv = histCh
+        .select(col("user_id"), col("st"), col("event_id"),
+          col("sec").as("valid_from"),
+          lead("sec", 1).over(wCh).as("valid_to"))
+      val closedHist = histIv.filter(col("valid_to").isNotNull)
+      val open = histIv.filter(col("valid_to").isNull)
+        .select(col("user_id"), col("st").as("open_st"),
+          col("event_id").as("open_eid"), col("valid_from").as("open_from"))
+        .localCheckpoint(true)
+      // delta side: change detection against the OPEN status at the seam
+      val deltaCh = ev.filter(col("day") >= cut)
+        .withColumn("prev", lag("st", 1).over(wAll))
+        .join(broadcast(open.select(col("user_id"), col("open_st"))),
+          Seq("user_id"), "left")
+        .filter(when(col("prev").isNotNull, col("prev") =!= col("st"))
+          .otherwise(col("open_st").isNull || col("open_st") =!= col("st")))
+        .localCheckpoint(true)
+      val deltaIv = deltaCh
+        .select(col("user_id"), col("st"), col("event_id"),
+          col("sec").as("valid_from"),
+          lead("sec", 1).over(wCh).as("valid_to"))
+      val firstCh = deltaCh.groupBy("user_id")
+        .agg(min(struct(col("sec"), col("event_id"))).as("f"))
+        .select(col("user_id"), col("f.sec").as("close_at"))
+      val openApplied = open.join(broadcast(firstCh), Seq("user_id"), "left")
+        .select(col("user_id"), col("open_st").as("st"),
+          col("open_eid").as("event_id"), col("open_from").as("valid_from"),
+          col("close_at").as("valid_to"))
+      closedHist.unionByName(openApplied).unionByName(deltaIv)
+        .select(col("user_id"), col("st").as("status"), col("event_id"),
+          col("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from", "event_id")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_type AS st, event_id,
+                     CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+              FROM events),
+            ch AS (
+              SELECT * FROM (
+                SELECT user_id, st, event_id, sec,
+                       lag(st) OVER (PARTITION BY user_id
+                         ORDER BY sec, event_id) AS prev
+                FROM e)
+              WHERE prev IS NULL OR prev <> st),
+            iv AS (
+              SELECT user_id, st AS status, event_id, sec AS valid_from,
+                     lead(sec) OVER (PARTITION BY user_id
+                       ORDER BY sec, event_id) AS valid_to
+              FROM ch)
+            SELECT user_id, status, event_id, valid_from, valid_to,
+                   valid_to IS NULL AS is_current
+            FROM iv
+            ORDER BY user_id, valid_from, event_id"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_agg_bitmap" -> qAggBitmap,
+    "q_scd2_apply" -> qScd2Apply,
     "q_stats_qq" -> qStatsQq,
     "q_ts_stl" -> qTsStl,
     "q_events_sliding_distinct" -> qEventsSlidingDistinct,
