@@ -1316,7 +1316,116 @@ object TextOps extends QueryModule {
             WHERE j.cab >= 20
             ORDER BY pmi_mnat DESC, j.w1 ASC, j.w2 ASC LIMIT 20"""))
 
+  // ------------------------------------- Kneser-Ney smoothed bigram LM --
+
+  /** Interpolated Kneser–Ney smoothing — the n-gram LM standard (Kneser &
+    * Ney 1995; the upgrade over q_text_lm_score's raw conditionals and
+    * q_text_rarity's unigram fit): P(w2|w1) = max(c−d,0)/c(w1) +
+    * λ(w1)·P_cont(w2), with the CONTINUATION probability (how many
+    * contexts a word follows — why "francisco" scores low despite high
+    * frequency) instead of raw unigram backoff. d = 3/4 keeps every term an
+    * exact rational in quarter-units: term1 = max(4c−3,0)·10⁶ div 4c(w1),
+    * λ·P_cont = 3·N1+(w1•)·N1+(•w2)·10⁶ div (4·c(w1)·N1+(••)) — pure
+    * integer ppm, no fp anywhere. Emits the full smoothed distribution
+    * evidence for the corpus's top context word: top-10 continuations with
+    * the ML/discounted/backoff decomposition, plus a '__total' mass row
+    * (Σ over the continuation vocab ≈ 10⁶ − truncation dust — the
+    * normalization audit).
+    *
+    * Scale: pair counts are the lm_score economics (linear explode, two
+    * partial aggs); the continuation/context tables are vocab-sized; the
+    * scored table is |vocab| rows per probed context — a full model
+    * materializes O(distinct bigrams) rows and joins (never broadcasts) at
+    * 100 TB, exactly like lm_score's model table.
+    */
+  private val qTextLmKn = GQuery(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(split(lower(col("text")), " ").as("toks"))
+      val pairs = docs
+        .select(explode(when(size(col("toks")) >= 2,
+          expr("""transform(sequence(1, size(toks) - 1),
+                    i -> named_struct('w1', element_at(toks, i),
+                                      'w2', element_at(toks, i + 1)))"""))
+          .otherwise(expr("CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)")))
+          .as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val joint = pairs.groupBy("w1", "w2").agg(count(lit(1L)).as("cab"))
+        .localCheckpoint(true)
+      val left = joint.groupBy("w1")
+        .agg(sum("cab").as("ca"), count(lit(1L)).as("t1"))
+      val right = joint.groupBy("w2").agg(count(lit(1L)).as("r"))
+      val bTot = joint.agg(count(lit(1L)).as("b"))
+      val w1s = left
+        .orderBy(col("ca").desc, col("w1").asc).limit(1)
+        .select(col("w1").as("pw1"), col("ca"), col("t1"))
+      val scored = right.crossJoin(broadcast(w1s))
+        .crossJoin(broadcast(bTot))
+        .join(joint.select(col("w1").as("pw1"), col("w2"), col("cab")),
+          Seq("pw1", "w2"), "left")
+        .select(col("w2"), coalesce(col("cab"), lit(0L)).as("cab"),
+          expr("coalesce(cab, 0) * 1000000 div ca").as("ml_ppm"),
+          expr("greatest(4 * coalesce(cab, 0) - 3, 0) * 1000000 div (4 * ca)")
+            .as("disc_ppm"),
+          expr("3 * t1 * r * 1000000 div (4 * ca * b)").as("back_ppm"))
+        .withColumn("kn_ppm", col("disc_ppm") + col("back_ppm"))
+      val top = scored
+        .orderBy(col("kn_ppm").desc, col("w2").asc).limit(10)
+      val total = scored.agg(sum("cab").as("cab"), sum("ml_ppm").as("ml_ppm"),
+          sum("disc_ppm").as("disc_ppm"), sum("back_ppm").as("back_ppm"),
+          sum("kn_ppm").as("kn_ppm"))
+        .select(lit("__total").as("w2"), col("cab"), col("ml_ppm"),
+          col("disc_ppm"), col("back_ppm"), col("kn_ppm"))
+      top.unionByName(total)
+        .orderBy(col("kn_ppm").desc, col("w2").asc)
+    },
+    Some("""WITH docs AS (
+              SELECT string_split(lower(text), ' ') AS toks FROM documents),
+            pairs AS (
+              SELECT toks[i] AS w1, toks[i + 1] AS w2
+              FROM (SELECT toks,
+                      CAST(unnest(generate_series(1, len(toks) - 1)) AS INT)
+                        AS i
+                    FROM docs WHERE len(toks) >= 2)),
+            joint AS (
+              SELECT w1, w2, CAST(count(*) AS BIGINT) AS cab
+              FROM pairs GROUP BY 1, 2),
+            lft AS (SELECT w1, CAST(sum(cab) AS BIGINT) AS ca,
+                           CAST(count(*) AS BIGINT) AS t1
+                    FROM joint GROUP BY 1),
+            rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS r
+                    FROM joint GROUP BY 1),
+            btot AS (SELECT CAST(count(*) AS BIGINT) AS b FROM joint),
+            w1s AS (SELECT w1 AS pw1, ca, t1 FROM lft
+                    ORDER BY ca DESC, w1 ASC LIMIT 1),
+            scored AS (
+              SELECT rgt.w2, CAST(coalesce(j.cab, 0) AS BIGINT) AS cab,
+                     CAST(coalesce(j.cab, 0) * 1000000 // w.ca AS BIGINT)
+                       AS ml_ppm,
+                     CAST(greatest(4 * coalesce(j.cab, 0) - 3, 0) * 1000000
+                       // (4 * w.ca) AS BIGINT) AS disc_ppm,
+                     CAST(3 * w.t1 * rgt.r * 1000000 // (4 * w.ca * b.b)
+                       AS BIGINT) AS back_ppm
+              FROM rgt CROSS JOIN w1s w CROSS JOIN btot b
+              LEFT JOIN joint j ON j.w1 = w.pw1 AND j.w2 = rgt.w2),
+            sc2 AS (
+              SELECT *, CAST(disc_ppm + back_ppm AS BIGINT) AS kn_ppm
+              FROM scored),
+            top AS (
+              SELECT w2, cab, ml_ppm, disc_ppm, back_ppm, kn_ppm
+              FROM sc2 ORDER BY kn_ppm DESC, w2 ASC LIMIT 10),
+            tot AS (
+              SELECT '__total' AS w2, CAST(sum(cab) AS BIGINT) AS cab,
+                     CAST(sum(ml_ppm) AS BIGINT) AS ml_ppm,
+                     CAST(sum(disc_ppm) AS BIGINT) AS disc_ppm,
+                     CAST(sum(back_ppm) AS BIGINT) AS back_ppm,
+                     CAST(sum(kn_ppm) AS BIGINT) AS kn_ppm
+              FROM sc2)
+            SELECT * FROM top UNION ALL SELECT * FROM tot
+            ORDER BY kn_ppm DESC, w2 ASC"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_text_lm_kn" -> qTextLmKn,
     "q_vocab_pmi" -> qVocabPmi,
     "q_text_phrase" -> qTextPhrase,
     "q_text_rake" -> qTextRake,

@@ -4790,7 +4790,73 @@ object AnalyticsOps extends QueryModule {
             FROM iv
             ORDER BY user_id, valid_from, event_id"""))
 
+  // ------------------------------------------- timezone day boundaries --
+
+  /** Timezone-aware daily rollup — the calendar-boundary correctness check
+    * every "daily revenue" dashboard silently depends on: the same stream
+    * aggregated by UTC day vs America/New_York day (UTC−5; January has no
+    * DST transition, so the static offset IS the zone rule for this window
+    * — production swaps in full zone rules, the arithmetic shape is
+    * identical, and this is the q_partition_time sink partitioner's tz
+    * option surfaced as a query). Late-evening UTC events belong to the
+    * PREVIOUS New York day; the per-day deltas quantify how much revenue
+    * "moves" across midnight — nonzero deltas are exactly why mixing zones
+    * across pipeline stages corrupts daily metrics.
+    *
+    * Scale: two map-side-combinable day aggs over one scan + a full-outer
+    * join on the ≤ #days grid.
+    */
+  private val qEventsTimezone = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val base = t(s, d, "events")
+        .select(col("ts"), cents.as("v"))
+        .select(to_date(col("ts")).as("day_utc"),
+          to_date(col("ts") - expr("INTERVAL 5 HOURS")).as("day_ny"),
+          col("v"))
+        .localCheckpoint(true)
+      val utc = base.groupBy(col("day_utc").as("day"))
+        .agg(sum("v").as("rev_utc_cents"), count(lit(1L)).as("n_utc"))
+      val ny = base.groupBy(col("day_ny").as("day"))
+        .agg(sum("v").as("rev_ny_cents"), count(lit(1L)).as("n_ny"))
+      utc.join(ny, Seq("day"), "full_outer")
+        .select(col("day"),
+          coalesce(col("rev_utc_cents"), lit(0L)).as("rev_utc_cents"),
+          coalesce(col("rev_ny_cents"), lit(0L)).as("rev_ny_cents"),
+          (coalesce(col("rev_ny_cents"), lit(0L)) -
+            coalesce(col("rev_utc_cents"), lit(0L))).as("moved_cents"),
+          coalesce(col("n_utc"), lit(0L)).as("n_utc"),
+          coalesce(col("n_ny"), lit(0L)).as("n_ny"))
+        .orderBy("day")
+    },
+    Some("""WITH base AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day_utc,
+                     CAST(date_trunc('day', ts - INTERVAL 5 HOUR) AS DATE)
+                       AS day_ny,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+              FROM events),
+            utc AS (
+              SELECT day_utc AS day, CAST(sum(v) AS BIGINT) AS rev_utc_cents,
+                     CAST(count(*) AS BIGINT) AS n_utc
+              FROM base GROUP BY 1),
+            ny AS (
+              SELECT day_ny AS day, CAST(sum(v) AS BIGINT) AS rev_ny_cents,
+                     CAST(count(*) AS BIGINT) AS n_ny
+              FROM base GROUP BY 1)
+            SELECT coalesce(u.day, n.day) AS day,
+                   CAST(coalesce(u.rev_utc_cents, 0) AS BIGINT)
+                     AS rev_utc_cents,
+                   CAST(coalesce(n.rev_ny_cents, 0) AS BIGINT)
+                     AS rev_ny_cents,
+                   CAST(coalesce(n.rev_ny_cents, 0)
+                     - coalesce(u.rev_utc_cents, 0) AS BIGINT) AS moved_cents,
+                   CAST(coalesce(u.n_utc, 0) AS BIGINT) AS n_utc,
+                   CAST(coalesce(n.n_ny, 0) AS BIGINT) AS n_ny
+            FROM utc u FULL OUTER JOIN ny n ON n.day = u.day
+            ORDER BY day"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_events_timezone" -> qEventsTimezone,
     "q_agg_bitmap" -> qAggBitmap,
     "q_scd2_apply" -> qScd2Apply,
     "q_stats_qq" -> qStatsQq,
