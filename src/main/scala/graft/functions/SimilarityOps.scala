@@ -1858,7 +1858,83 @@ object SimilarityOps extends QueryModule {
             SELECT label, vec_id, cos_micro, rk
             FROM ranked WHERE rk <= 3 ORDER BY label, rk"""))
 
+  /** Hard-negative mining — the contrastive-training companion of
+    * q_sample_negatives (which draws RANDOM negatives; hard negatives are
+    * the ones the model currently confuses, and they dominate the
+    * gradient): per probe, the top-5 most-similar vectors bearing a
+    * DIFFERENT label, ranked on the exact-cosine integer micro grid, with
+    * the hardest positive's similarity alongside so the emitted margin
+    * (hard-pos − hard-neg) is the triplet-loss readout. Any ANN rung can
+    * feed the candidate list; exact scoring here keeps the oracle exact.
+    *
+    * Scale: the probe pass is the brute-force kNN economics (or IVF/PQ for
+    * the corpus-sized variant); the label filter rides the same scan —
+    * no second pass; per-probe windows partition on p_id.
+    */
+  private val qSampleHardneg = GQuery(
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("emb"))
+        .withColumn("nrm", norm(col("emb")))
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("p_id"), col("label").as("p_label"),
+          col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+      val scored = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("p_id"))
+        .select(col("p_id"), col("p_label"), col("vec_id").as("n_id"),
+          col("label").as("n_label"),
+          floor(dround(dot(col("emb"), col("p_emb")) /
+            (col("nrm") * col("p_nrm")), 6) * 1e6 + 0.5).cast("long")
+            .as("cos_micro"))
+        .localCheckpoint(true)
+      val wNeg = Window.partitionBy("p_id")
+        .orderBy(col("cos_micro").desc, col("n_id").asc)
+      val negs = scored.filter(col("n_label") =!= col("p_label"))
+        .withColumn("rk", row_number().over(wNeg).cast("int"))
+        .filter(col("rk") <= 5)
+      val hardPos = scored.filter(col("n_label") === col("p_label"))
+        .groupBy("p_id")
+        .agg(max("cos_micro").as("hardpos_micro"))
+      negs.join(broadcast(hardPos), Seq("p_id"), "left")
+        .select(col("p_id"), col("rk"), col("n_id"), col("n_label"),
+          col("cos_micro"),
+          (coalesce(col("hardpos_micro"), lit(0L)) - col("cos_micro"))
+            .as("margin_micro"))
+        .orderBy("p_id", "rk")
+    },
+    Some("""WITH e AS (
+              SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+                     sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> x * x))) AS nrm
+              FROM embeddings),
+            p AS (SELECT vec_id AS p_id, label AS p_label, emb AS p_emb,
+                         nrm AS p_nrm
+                  FROM e WHERE vec_id < 5),
+            scored AS (
+              SELECT p.p_id, p.p_label, e.vec_id AS n_id, e.label AS n_label,
+                     CAST(floor(CAST(round(CAST(
+                       list_dot_product(e.emb, p.p_emb) / (e.nrm * p.p_nrm)
+                       AS DECIMAL(30,8)), 6) AS DOUBLE) * 1e6 + 0.5)
+                       AS BIGINT) AS cos_micro
+              FROM e CROSS JOIN p WHERE e.vec_id <> p.p_id),
+            negs AS (
+              SELECT p_id, n_id, n_label, cos_micro,
+                     CAST(row_number() OVER (PARTITION BY p_id
+                       ORDER BY cos_micro DESC, n_id ASC) AS INT) AS rk
+              FROM scored WHERE n_label <> p_label
+              QUALIFY rk <= 5),
+            hp AS (
+              SELECT p_id, CAST(max(cos_micro) AS BIGINT) AS hardpos_micro
+              FROM scored WHERE n_label = p_label GROUP BY 1)
+            SELECT n.p_id, n.rk, n.n_id, n.n_label, n.cos_micro,
+                   CAST(coalesce(h.hardpos_micro, 0) - n.cos_micro AS BIGINT)
+                     AS margin_micro
+            FROM negs n LEFT JOIN hp h ON h.p_id = n.p_id
+            ORDER BY n.p_id, n.rk"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_sample_hardneg" -> qSampleHardneg,
     "q_embed_outlier" -> qEmbedOutlier,
     "q_knn_binary" -> qKnnBinary,
     "q_embed_mmr" -> qEmbedMmr,

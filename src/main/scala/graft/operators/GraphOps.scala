@@ -800,7 +800,109 @@ object GraphOps extends QueryModule {
             SELECT * FROM per UNION ALL SELECT * FROM summary
             ORDER BY user_id"""))
 
+  /** GraphSAGE-style k-hop neighborhood sampling — the minibatch sampler
+    * GNN training runs over a graph store: from 3 seed users, expand 2
+    * hops over the co-engagement graph with a PER-VERTEX FAN-OUT CAP of 4
+    * (the whole point — uncapped expansion is degree-exponential), the
+    * sample drawn by deterministic md5 rank over the edge key (the
+    * seeded-randomness idiom: same graph + same seed ⇒ same minibatch,
+    * replayable across engines and epochs via the salt). Hop-2 candidates
+    * already seen at hop ≤ 1 are anti-joined out (standard frontier
+    * semantics). Emits (seed, hop, node, via) — the sampled computation
+    * graph, deduped.
+    *
+    * Scale: each hop is one edges⋈frontier join + a frontier-partitioned
+    * rank window ≤ cap — O(hops) shuffles, frontier size ≤ seeds·capʰᵒᵖ by
+    * construction (never degree-shaped); the BFS/k-core round economics
+    * with the cap making cost provably geometric, not data-dependent.
+    */
+  private val qGraphSampleKhop = GQuery(
+    (s, d) => {
+      val edges0 = CoGraph.pairCounts(s, d)
+        .filter(col("c") >= 28).select("u", "v")
+      // symmetric adjacency: each undirected edge usable from both ends
+      val adj = edges0.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(edges0.select(col("v").as("a"), col("u").as("b")))
+        .withColumn("rkey",
+          md5(concat_ws(":", col("a"), col("b"), lit("khop1"))))
+        .localCheckpoint(true)
+      val seeds = adj.select(col("a")).distinct()
+        .orderBy("a").limit(3)
+        .select(col("a").as("seed"))
+      val wFan = Window.partitionBy("seed", "a")
+        .orderBy(col("rkey").asc, col("b").asc)
+      val hop1 = adj.join(broadcast(seeds), col("a") === col("seed"))
+        .withColumn("rk", row_number().over(wFan))
+        .filter(col("rk") <= 4)
+        .select(col("seed"), col("b").as("node"), col("a").as("via"))
+        .localCheckpoint(true)
+      val seen = hop1.select(col("seed").as("seed2"), col("node").as("seen"))
+        .unionByName(seeds.select(col("seed").as("seed2"),
+          col("seed").as("seen")))
+      val hop2 = adj.join(broadcast(hop1.select(col("seed"),
+          col("node").as("a2"))), col("a") === col("a2"))
+        .withColumn("rk", row_number().over(wFan))
+        .filter(col("rk") <= 4)
+        .select(col("seed"), col("b").as("node"), col("a").as("via"))
+        // frontier semantics: drop nodes already present at hop <= 1
+        .join(seen, col("seed") === col("seed2") && col("node") === col("seen"),
+          "left_anti")
+        .groupBy("seed", "node").agg(min("via").as("via"))
+      hop1.select(col("seed"), lit(1).as("hop"), col("node"), col("via"))
+        .unionByName(hop2.select(col("seed"), lit(2).as("hop"), col("node"),
+          col("via")))
+        .orderBy("seed", "hop", "node")
+    },
+    Some("""WITH ev AS (
+              SELECT DISTINCT event_type,
+                     CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+              FROM events),
+            edges AS (
+              SELECT a.user_id AS u, b.user_id AS v
+              FROM ev a JOIN ev b
+                ON a.event_type = b.event_type AND a.d = b.d
+                   AND a.user_id < b.user_id
+              GROUP BY 1, 2 HAVING count(*) >= 28),
+            adj AS (
+              SELECT u AS a, v AS b,
+                     md5(CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)
+                         || ':khop1') AS rkey
+              FROM edges
+              UNION ALL
+              SELECT v AS a, u AS b,
+                     md5(CAST(v AS VARCHAR) || ':' || CAST(u AS VARCHAR)
+                         || ':khop1') AS rkey
+              FROM edges),
+            seeds AS (
+              SELECT a AS seed FROM (SELECT DISTINCT a FROM adj)
+              ORDER BY a LIMIT 3),
+            hop1 AS (
+              SELECT seed, b AS node, a AS via FROM (
+                SELECT s.seed, adj.a, adj.b, adj.rkey,
+                       row_number() OVER (PARTITION BY s.seed, adj.a
+                         ORDER BY adj.rkey ASC, adj.b ASC) AS rk
+                FROM adj JOIN seeds s ON adj.a = s.seed)
+              WHERE rk <= 4),
+            hop2raw AS (
+              SELECT h1.seed, adj.a, adj.b, adj.rkey,
+                     row_number() OVER (PARTITION BY h1.seed, adj.a
+                       ORDER BY adj.rkey ASC, adj.b ASC) AS rk
+              FROM adj JOIN hop1 h1 ON adj.a = h1.node),
+            hop2 AS (
+              SELECT seed, node, min(via) AS via FROM (
+                SELECT seed, b AS node, a AS via
+                FROM hop2raw WHERE rk <= 4) x
+              WHERE NOT EXISTS (SELECT 1 FROM hop1 h1
+                                WHERE h1.seed = x.seed AND h1.node = x.node)
+                AND x.node <> x.seed
+              GROUP BY 1, 2)
+            SELECT seed, CAST(1 AS INT) AS hop, node, via FROM hop1
+            UNION ALL
+            SELECT seed, CAST(2 AS INT) AS hop, node, via FROM hop2
+            ORDER BY seed, hop, node"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_graph_sample_khop" -> qGraphSampleKhop,
     "q_graph_cluster_local" -> qGraphClusterLocal,
     "q_graph_eigencentrality" -> qGraphEigencentrality,
     "q_graph_assortativity" -> qGraphAssortativity,
