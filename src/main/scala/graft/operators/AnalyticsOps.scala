@@ -4855,7 +4855,169 @@ object AnalyticsOps extends QueryModule {
             FROM utc u FULL OUTER JOIN ny n ON n.day = u.day
             ORDER BY day"""))
 
+  // ----------------------------------------------- TOST equivalence test --
+
+  /** TOST equivalence testing (two one-sided Welch t's against a ±$2
+    * margin) — the launch-review decision q_stats_abtest CANNOT make: a
+    * non-significant difference is not evidence of equivalence; TOST
+    * positively demonstrates "no worse/better than δ" by rejecting both
+    * one-sided nulls. Per event type: t_lo = (Δ+δ)/se must exceed +1.645
+    * AND t_hi = (Δ−δ)/se must fall below −1.645 (α = 0.05 one-sided). The
+    * equivalence flag derives from the ROUNDED t's (the q_stats_cohend
+    * rule) so both engines classify identically; moments are exact
+    * DECIMAL(38) sums, fp only in the final chain.
+    *
+    * Scale: abtest economics exactly — one map-side-combined conditional
+    * agg carrying both arms.
+    */
+  private val qStatsTost = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      def arm(a: Int, c: org.apache.spark.sql.Column) =
+        sum(when(pmod(col("user_id"), lit(2)) === a, c).otherwise(lit(0L))
+          .cast("decimal(38,0)"))
+      val g = t(s, d, "events")
+        .groupBy("event_type")
+        .agg(
+          sum(when(pmod(col("user_id"), lit(2)) === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(pmod(col("user_id"), lit(2)) === 1, 1L).otherwise(0L)).as("n_b"),
+          arm(0, cents).as("s_a"), arm(1, cents).as("s_b"),
+          arm(0, cents * cents).as("ss_a"), arm(1, cents * cents).as("ss_b"))
+      val va = (col("n_a") * col("ss_a") - col("s_a") * col("s_a")).cast("double") /
+        (col("n_a") * col("n_a") * (col("n_a") - 1)).cast("double")
+      val vb = (col("n_b") * col("ss_b") - col("s_b") * col("s_b")).cast("double") /
+        (col("n_b") * col("n_b") * (col("n_b") - 1)).cast("double")
+      val deltaD = col("s_a").cast("double") / col("n_a") -
+        col("s_b").cast("double") / col("n_b")
+      val se = sqrt(va + vb)
+      val margin = lit(200.0) // $2 in cents
+      g.select(col("event_type"), col("n_a"), col("n_b"),
+          dround(deltaD / 100.0, 4).as("diff_dollars"),
+          dround((deltaD + margin) / se, 4).as("t_lo"),
+          dround((deltaD - margin) / se, 4).as("t_hi"))
+        .withColumn("equivalent",
+          col("t_lo") > 1.645 && col("t_hi") < -1.645)
+        .orderBy("event_type")
+    },
+    Some("""WITH g AS (
+              SELECT event_type,
+                     CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_a,
+                     CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_b,
+                     sum(CASE WHEN user_id % 2 = 0
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS s_a,
+                     sum(CASE WHEN user_id % 2 = 1
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS s_b,
+                     sum(CASE WHEN user_id % 2 = 0
+                       THEN CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                         AS BIGINT) AS HUGEINT)
+                         * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS ss_a,
+                     sum(CASE WHEN user_id % 2 = 1
+                       THEN CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                         AS BIGINT) AS HUGEINT)
+                         * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS ss_b
+              FROM events GROUP BY 1),
+            f AS (
+              SELECT event_type, n_a, n_b,
+                     CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b
+                       AS delta,
+                     sqrt(CAST(n_a * ss_a - s_a * s_a AS DOUBLE)
+                            / CAST(n_a * n_a * (n_a - 1) AS DOUBLE)
+                          + CAST(n_b * ss_b - s_b * s_b AS DOUBLE)
+                            / CAST(n_b * n_b * (n_b - 1) AS DOUBLE)) AS se
+              FROM g),
+            r AS (
+              SELECT event_type, n_a, n_b,
+                     CAST(round(CAST(delta / 100.0 AS DECIMAL(30,8)), 4)
+                       AS DOUBLE) AS diff_dollars,
+                     CAST(round(CAST((delta + 200.0) / se AS DECIMAL(30,8)),
+                       4) AS DOUBLE) AS t_lo,
+                     CAST(round(CAST((delta - 200.0) / se AS DECIMAL(30,8)),
+                       4) AS DOUBLE) AS t_hi
+              FROM f)
+            SELECT event_type, n_a, n_b, diff_dollars, t_lo, t_hi,
+                   t_lo > 1.645 AND t_hi < -1.645 AS equivalent
+            FROM r ORDER BY event_type"""))
+
+  // ------------------------------------------------------ one-way ANOVA --
+
+  /** One-way ANOVA F across the five event types — the parametric
+    * completion of the k-sample family (q_stats_kruskal is its rank-based
+    * sibling; ANOVA answers the same "do the group means differ" with the
+    * variance decomposition every experiment platform reports): SSB and
+    * SSW from exact per-group DECIMAL(38) moment sums, F = (SSB/(k−1)) /
+    * (SSW/(N−k)); fp enters only in the final casts with mirrored
+    * parenthesization (corrmatrix rule), and significance derives from the
+    * ROUNDED F (cohend rule).
+    *
+    * Scale: one map-side-combined per-type agg + a k-row rollup — the
+    * entire decomposition is six exact sums per group.
+    */
+  private val qStatsAnova = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val g = t(s, d, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1L)).as("n"),
+          sum(cents.cast("decimal(38,0)")).as("sx"),
+          sum((cents * cents).cast("decimal(38,0)")).as("sxx"))
+      val roll = g.agg(count(lit(1L)).as("k"), sum("n").as("nt"),
+        sum("sx").as("st"),
+        sum(col("sxx").cast("double")).as("ssq"),
+        sum((col("sx") * col("sx")).cast("double") /
+          col("n").cast("double")).as("sgrp"))
+      roll.select(col("k").cast("int").as("k"), col("nt").as("n"),
+          dround((col("sgrp") - col("st").cast("double") *
+            col("st").cast("double") / col("nt").cast("double")) / 1e4, 2)
+            .as("ssb_dollars2"),
+          dround((col("ssq") - col("sgrp")) / 1e4, 2).as("ssw_dollars2"))
+        .withColumn("f_stat", dround(
+          (col("ssb_dollars2") / (col("k") - lit(1))) /
+            (col("ssw_dollars2") / (col("n").cast("double") - col("k"))), 4))
+        .withColumn("significant", col("f_stat") > 2.37)
+        .orderBy("k")
+    },
+    Some("""WITH g AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                       AS sx,
+                     sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS HUGEINT)
+                       * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                       AS sxx
+              FROM events GROUP BY 1),
+            roll AS (
+              SELECT CAST(count(*) AS BIGINT) AS k,
+                     CAST(sum(n) AS BIGINT) AS nt,
+                     CAST(sum(sx) AS HUGEINT) AS st,
+                     sum(CAST(sxx AS DOUBLE)) AS ssq,
+                     sum(CAST(sx * sx AS DOUBLE) / CAST(n AS DOUBLE)) AS sgrp
+              FROM g),
+            r AS (
+              SELECT CAST(k AS INT) AS k, nt AS n,
+                     CAST(round(CAST((sgrp - CAST(st AS DOUBLE)
+                       * CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)) / 1e4
+                       AS DECIMAL(30,8)), 2) AS DOUBLE) AS ssb_dollars2,
+                     CAST(round(CAST((ssq - sgrp) / 1e4 AS DECIMAL(30,8)), 2)
+                       AS DOUBLE) AS ssw_dollars2
+              FROM roll)
+            SELECT k, n, ssb_dollars2, ssw_dollars2,
+                   CAST(round(CAST((ssb_dollars2 / (k - 1))
+                     / (ssw_dollars2 / (CAST(n AS DOUBLE) - k))
+                     AS DECIMAL(30,8)), 4) AS DOUBLE) AS f_stat,
+                   CAST(round(CAST((ssb_dollars2 / (k - 1))
+                     / (ssw_dollars2 / (CAST(n AS DOUBLE) - k))
+                     AS DECIMAL(30,8)), 4) AS DOUBLE) > 2.37 AS significant
+            FROM r ORDER BY k"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_stats_tost" -> qStatsTost,
+    "q_stats_anova" -> qStatsAnova,
     "q_events_timezone" -> qEventsTimezone,
     "q_agg_bitmap" -> qAggBitmap,
     "q_scd2_apply" -> qScd2Apply,
