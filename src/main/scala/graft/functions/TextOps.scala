@@ -1424,7 +1424,170 @@ object TextOps extends QueryModule {
             SELECT * FROM top UNION ALL SELECT * FROM tot
             ORDER BY kn_ppm DESC, w2 ASC"""))
 
+  // --------------------------------------- compressibility / entropy --
+
+  /** Per-document token-bigram entropy — the compressibility proxy quality
+    * filter (templated/boilerplate text compresses well ⇔ low transition
+    * entropy; Gopher's repetition rules catch exact repeats, entropy
+    * catches STATISTICAL repetitiveness they miss): H(doc) = −Σ (c/T)·
+    * ln(c/T) over the doc's bigram distribution, computed with the PSI
+    * quantize-then-sum rule — each distinct (doc, bigram) cell contributes
+    * c·round(ln(c/T)·1000) milli-nats from identical exact integers, so
+    * the per-doc sum is an exact integer sum, order-proof. Emits the 15
+    * LOWEST-entropy docs (the removal candidates) with their bigram/token
+    * counts, plus a corpus '__mean' row.
+    *
+    * Scale: linear pair explode + (doc, bigram) combine agg + per-doc
+    * re-agg — lm_score economics; the bottom-k is TakeOrdered. The mnat
+    * grid bounds cross-engine drift to the quantization step exactly.
+    */
+  private val qTextCompressibility = GQuery(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      val pairs = docs
+        .select(col("doc_id"), explode(when(size(col("toks")) >= 2,
+          expr("""transform(sequence(1, size(toks) - 1),
+                    i -> concat(element_at(toks, i), ' ',
+                                element_at(toks, i + 1)))"""))
+          .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))).as("bg"))
+      val cells = pairs.groupBy("doc_id", "bg").agg(count(lit(1L)).as("c"))
+      val docT = cells.groupBy("doc_id")
+        .agg(sum("c").as("tt"), count(lit(1L)).as("n_bigrams"))
+      val scored = cells.join(docT, "doc_id")
+        .select(col("doc_id"), col("tt"), col("n_bigrams"),
+          (col("c") * round(log(col("c").cast("double") /
+            col("tt").cast("double")) * 1000).cast("long")).as("cell_mnat"))
+        .groupBy("doc_id", "tt", "n_bigrams")
+        .agg((-sum("cell_mnat")).as("hsum_mnat"))
+        .select(col("doc_id"), col("tt"), col("n_bigrams"),
+          expr("hsum_mnat div tt").as("entropy_mnat"))
+        .localCheckpoint(true)
+      val bottom = scored
+        .orderBy(col("entropy_mnat").asc, col("doc_id").asc).limit(15)
+      val mean = scored.agg(sum("tt").as("tt"), sum("n_bigrams").as("n_bigrams"),
+          expr("sum(entropy_mnat) div count(1)").as("entropy_mnat"))
+        .select(lit(-1L).as("doc_id"), col("tt"), col("n_bigrams"),
+          col("entropy_mnat"))
+      bottom.unionByName(mean)
+        .orderBy(col("doc_id").asc)
+    },
+    Some("""WITH docs AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM documents),
+            pairs AS (
+              SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+              FROM (SELECT doc_id, toks,
+                      CAST(unnest(generate_series(1, len(toks) - 1)) AS INT)
+                        AS i
+                    FROM docs WHERE len(toks) >= 2)),
+            cells AS (
+              SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c
+              FROM pairs GROUP BY 1, 2),
+            doct AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS tt,
+                     CAST(count(*) AS BIGINT) AS n_bigrams
+              FROM cells GROUP BY 1),
+            scored AS (
+              SELECT c.doc_id, d.tt, d.n_bigrams,
+                     CAST((-sum(c.c * CAST(round(ln(CAST(c.c AS DOUBLE)
+                       / CAST(d.tt AS DOUBLE)) * 1000) AS BIGINT)))
+                       // d.tt AS BIGINT) AS entropy_mnat
+              FROM cells c JOIN doct d ON d.doc_id = c.doc_id
+              GROUP BY c.doc_id, d.tt, d.n_bigrams),
+            bottom AS (
+              SELECT doc_id, tt, n_bigrams, entropy_mnat
+              FROM scored ORDER BY entropy_mnat ASC, doc_id ASC LIMIT 15),
+            mn AS (
+              SELECT CAST(-1 AS BIGINT) AS doc_id,
+                     CAST(sum(tt) AS BIGINT) AS tt,
+                     CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+                     CAST(sum(entropy_mnat) // count(*) AS BIGINT)
+                       AS entropy_mnat
+              FROM scored)
+            SELECT * FROM bottom UNION ALL SELECT * FROM mn
+            ORDER BY doc_id ASC"""))
+
+  // ------------------------------------------------ vocab OOV coverage --
+
+  /** Tokenizer vocabulary coverage — the OOV-rate audit run before
+    * committing a vocab (the deployment question behind q_vocab_topk/bpe:
+    * "what fraction of UNSEEN text does this vocab cover, per language?"):
+    * the top-25 tokens of the 80% hash-split TRAIN corpus become the vocab;
+    * the held-out 20% is scored per language for token coverage, with OOV
+    * rate in exact ppm and a '__total' row. Languages whose OOV rate is an
+    * outlier are under-served by the vocab — the fairness number
+    * multilingual tokenizer papers report.
+    *
+    * Scale: one train token agg → TakeOrdered-k vocab (broadcast — a vocab
+    * is small by definition); test tokens explode linearly and the
+    * coverage flag is a broadcast hash-join probe; per-lang rollup
+    * combines map-side. The md5 split is append-stable (classifier_nb
+    * rule).
+    */
+  private val qVocabOov = GQuery(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          split(lower(col("text")), " ").as("toks"))
+        .withColumn("istrain",
+          conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit(":oov"))), 1, 4), 16, 10).cast("long") % 5 =!= 0L)
+      val vocab = docs.filter(col("istrain"))
+        .select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1L)).as("c"))
+        .orderBy(col("c").desc, col("tok").asc).limit(25)
+        .select(col("tok").as("vtok"))
+      val test = docs.filter(!col("istrain"))
+        .select(col("lang"), explode(col("toks")).as("tok"))
+        .join(broadcast(vocab), col("tok") === col("vtok"), "left")
+        .select(col("lang"),
+          when(col("vtok").isNull, 1L).otherwise(0L).as("oov"))
+        .localCheckpoint(true)
+      val per = test.groupBy("lang")
+        .agg(count(lit(1L)).as("n_tokens"), sum("oov").as("n_oov"))
+        .select(col("lang"), col("n_tokens"), col("n_oov"),
+          expr("n_oov * 1000000 div n_tokens").as("oov_ppm"))
+      val total = test.agg(count(lit(1L)).as("n_tokens"),
+          sum("oov").as("n_oov"))
+        .select(lit("__total").as("lang"), col("n_tokens"), col("n_oov"),
+          expr("n_oov * 1000000 div n_tokens").as("oov_ppm"))
+      per.unionByName(total).orderBy("lang")
+    },
+    Some(s"""WITH docs AS (
+              SELECT doc_id, lang, string_split(lower(text), ' ') AS toks,
+                     ${graft.operators.DedupOps.duckHex4("md5(CAST(doc_id AS VARCHAR) || ':oov')")}
+                       % 5 <> 0 AS istrain
+              FROM documents),
+            vocab AS (
+              SELECT tok AS vtok FROM (
+                SELECT unnest(toks) AS tok FROM docs WHERE istrain) u
+              GROUP BY tok
+              ORDER BY CAST(count(*) AS BIGINT) DESC, tok ASC LIMIT 25),
+            flags AS (
+              SELECT t.lang,
+                     CASE WHEN v.vtok IS NULL THEN 1 ELSE 0 END AS oov
+              FROM (SELECT lang, unnest(toks) AS tok FROM docs
+                    WHERE NOT istrain) t
+              LEFT JOIN vocab v ON v.vtok = t.tok),
+            per AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(oov) AS BIGINT) AS n_oov,
+                     CAST(sum(oov) * 1000000 // count(*) AS BIGINT)
+                       AS oov_ppm
+              FROM flags GROUP BY 1),
+            tot AS (
+              SELECT '__total' AS lang, CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(oov) AS BIGINT) AS n_oov,
+                     CAST(sum(oov) * 1000000 // count(*) AS BIGINT)
+                       AS oov_ppm
+              FROM flags)
+            SELECT * FROM per UNION ALL SELECT * FROM tot
+            ORDER BY lang"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_vocab_oov" -> qVocabOov,
+    "q_text_compressibility" -> qTextCompressibility,
     "q_text_lm_kn" -> qTextLmKn,
     "q_vocab_pmi" -> qVocabPmi,
     "q_text_phrase" -> qTextPhrase,

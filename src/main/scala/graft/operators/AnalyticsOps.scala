@@ -5015,7 +5015,81 @@ object AnalyticsOps extends QueryModule {
                      AS DECIMAL(30,8)), 4) AS DOUBLE) > 2.37 AS significant
             FROM r ORDER BY k"""))
 
+  // ------------------------------------------- SLO burn-rate alerting --
+
+  /** Multi-window SLO burn-rate alerting (the Google SRE workbook's
+    * error-budget policy) over the event stream — the OPS face of the
+    * anomaly family (burst detects spikes vs history; burn rate detects
+    * budget exhaustion vs an SLO): with a 99% non-error SLO (budget =
+    * 10⁴ ppm), burn = error_ppm / budget computed per trailing 1 h / 6 h /
+    * 24 h RANGE window on the integer hour grid (missing hours can't
+    * miscount — the q_events_burst rule), all in centi-multiples (exact
+    * integer: burn_centi = err·10⁶ div n div 100). Fast-burn PAGE when
+    * both 1 h and 6 h ≥ 14.4×; slow-burn TICKET when both 6 h and 24 h ≥
+    * 6× — the two-window AND is what kills flappy alerts.
+    *
+    * Scale: one (hour) partial agg + three RANGE frames over ONE hour-grid
+    * sort — the grid is calendar-bounded at any corpus size.
+    */
+  private val qEventsBurnrate = GQuery(
+    (s, d) => {
+      val hourly = t(s, d, "events")
+        .select(expr("unix_timestamp(ts) div 3600").as("hnum"),
+          when(col("event_type") === "error", 1L).otherwise(0L).as("e"))
+        .groupBy("hnum")
+        .agg(count(lit(1L)).as("n"), sum("e").as("err"))
+      def wr(h: Int) = Window.orderBy("hnum").rangeBetween(-(h - 1), 0)
+      def burn(h: Int) = {
+        val n = sum("n").over(wr(h)); val e = sum("err").over(wr(h))
+        when(n > 0L, expr(s"(sum(err) OVER (ORDER BY hnum RANGE BETWEEN " +
+          s"${h - 1} PRECEDING AND CURRENT ROW) * 1000000 div " +
+          s"sum(n) OVER (ORDER BY hnum RANGE BETWEEN ${h - 1} PRECEDING " +
+          s"AND CURRENT ROW)) div 100")).otherwise(0L)
+      }
+      hourly
+        .withColumn("burn1_centi", burn(1))
+        .withColumn("burn6_centi", burn(6))
+        .withColumn("burn24_centi", burn(24))
+        .select(col("hnum"), col("n"), col("err"), col("burn1_centi"),
+          col("burn6_centi"), col("burn24_centi"),
+          (col("burn1_centi") >= 1440L && col("burn6_centi") >= 1440L)
+            .as("page_fast"),
+          (col("burn6_centi") >= 600L && col("burn24_centi") >= 600L)
+            .as("ticket_slow"))
+        .orderBy("hnum")
+    },
+    Some("""WITH hourly AS (
+              SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600
+                       AS hnum,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                       END) AS BIGINT) AS err
+              FROM events GROUP BY 1),
+            b AS (
+              SELECT hnum, n, err,
+                     (sum(err) OVER w1 * 1000000 // sum(n) OVER w1) // 100
+                       AS burn1_centi,
+                     (sum(err) OVER w6 * 1000000 // sum(n) OVER w6) // 100
+                       AS burn6_centi,
+                     (sum(err) OVER w24 * 1000000 // sum(n) OVER w24) // 100
+                       AS burn24_centi
+              FROM hourly
+              WINDOW w1 AS (ORDER BY hnum RANGE BETWEEN 0 PRECEDING
+                            AND CURRENT ROW),
+                     w6 AS (ORDER BY hnum RANGE BETWEEN 5 PRECEDING
+                            AND CURRENT ROW),
+                     w24 AS (ORDER BY hnum RANGE BETWEEN 23 PRECEDING
+                            AND CURRENT ROW))
+            SELECT hnum, n, err,
+                   CAST(burn1_centi AS BIGINT) AS burn1_centi,
+                   CAST(burn6_centi AS BIGINT) AS burn6_centi,
+                   CAST(burn24_centi AS BIGINT) AS burn24_centi,
+                   burn1_centi >= 1440 AND burn6_centi >= 1440 AS page_fast,
+                   burn6_centi >= 600 AND burn24_centi >= 600 AS ticket_slow
+            FROM b ORDER BY hnum"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_events_burnrate" -> qEventsBurnrate,
     "q_stats_tost" -> qStatsTost,
     "q_stats_anova" -> qStatsAnova,
     "q_events_timezone" -> qEventsTimezone,
