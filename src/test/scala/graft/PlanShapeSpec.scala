@@ -857,4 +857,57 @@ class PlanShapeSpec extends SparkSpec {
     val lc = plan("q_graph_cluster_local")
     assert(!lc.contains("CartesianProduct"), lc.take(3000))
   }
+
+  test("round-7e operators: grid frames, broadcast vocabs, capped expansions") {
+    // single-scan grid collapses: the corpus reaches the calendar/hour/bin
+    // grid through ONE scan + partial agg before any window
+    for (q <- Seq("q_ts_stl", "q_events_burnrate", "q_stats_tost",
+        "q_stats_anova", "q_agg_bitmap")) {
+      val p = plan(q)
+      assert("Scan parquet".r.findAllIn(p).length <= 2, // bitmap: exact twin
+        s"$q rescans beyond its twin:\n" + p.take(3000))
+      assert(p.contains("HashAggregate"), s"$q: " + p.take(3000))
+    }
+
+    // sliding distinct: the ×7 cover explode runs on the COLLAPSED
+    // (user, day) table (checkpointed), never on raw events
+    val sd = plan("q_events_sliding_distinct")
+    assert(!sd.contains("CartesianProduct"), sd.take(3000))
+
+    // QQ: order statistics come from grid windows + a broadcast probe —
+    // no global row sort
+    val qq = plan("q_stats_qq")
+    assert(!qq.contains("CartesianProduct"), qq.take(3000))
+    assert(qq.contains("Broadcast"), qq.take(3000))
+
+    // shard planner: the packing window partitions by source
+    val sh = plan("q_multimodal_shard")
+    assert(sh.contains("Window"), sh.take(3000))
+    assert(!sh.contains("CartesianProduct"), sh.take(3000))
+
+    // SCD2 apply: the delta meets the dimension via BROADCAST open rows —
+    // history is never sort-merged against the delta
+    val sa = plan("q_scd2_apply")
+    assert(sa.contains("Broadcast"), sa.take(3000))
+
+    // KN LM: vocab-sized sides broadcast
+    val kn = plan("q_text_lm_kn")
+    assert(kn.contains("Broadcast"), kn.take(3000))
+    // OOV: the coverage probe (broadcast vocab join) lives behind the
+    // flagged-token checkpoint — the visible plan is pure aggregation
+    val oov = plan("q_vocab_oov")
+    assert(!oov.contains("CartesianProduct") && !oov.contains("SortMergeJoin"),
+      oov.take(3000))
+
+    // k-hop sampling: per-hop joins are keyed; the fan-out cap rides a
+    // frontier-partitioned window (no degree-shaped products)
+    val kh = plan("q_graph_sample_khop")
+    assert(!kh.contains("CartesianProduct"), kh.take(3000))
+    assert(kh.contains("Window"), kh.take(3000))
+
+    // hard negatives: one scored pass feeds both the window and the
+    // hard-positive agg (checkpointed — no rescan of the pair loop)
+    val hn = plan("q_sample_hardneg")
+    assert("Scan parquet".r.findAllIn(hn).length <= 1, hn.take(3000))
+  }
 }
