@@ -5088,7 +5088,269 @@ object AnalyticsOps extends QueryModule {
                    burn6_centi >= 600 AND burn24_centi >= 600 AS ticket_slow
             FROM b ORDER BY hnum"""))
 
+  // ------------------------------------------------- winsorized means --
+
+  /** Winsorized mean per event type — metric robustness as an OPERATOR
+    * (the question every metrics review asks: "is that lift real or three
+    * whales?"): clamp values at the exact [p5, p95] order statistics
+    * (lower order stats from the value grid — funnel_latency machinery)
+    * and recompute the mean EXACTLY on the grid: winsorized sum =
+    * Σ_mid v·cnt + p5·n_below + p95·n_above, all BIGINT cents. Emits raw
+    * vs winsorized means and the whale effect (their signed gap) — a big
+    * gap means the raw metric is tail-driven.
+    *
+    * Scale: auc economics — one value-grid agg per type, grid-partitioned
+    * running sums, threshold selection and the clamped re-agg on the grid;
+    * rows are never sorted.
+    */
+  private val qStatsWinsorize = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val grid = t(s, d, "events")
+        .select(col("event_type").as("et"), cents.as("v"))
+        .groupBy("et", "v").agg(count(lit(1L)).as("cnt"))
+        .localCheckpoint(true)
+      val wCum = Window.partitionBy("et").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = grid.withColumn("cum", sum("cnt").over(wCum))
+        .localCheckpoint(true)
+      val sizes = grid.groupBy("et")
+        .agg(sum("cnt").as("n"), sum(col("v") * col("cnt")).as("sv"))
+      def thresh(p: Int, nm: String) = cum.join(sizes, "et")
+        .filter(col("cum") * 100 >= col("n") * p)
+        .groupBy("et").agg(min("v").as(nm))
+      val th = thresh(5, "p5").join(thresh(95, "p95"), "et")
+      grid.join(broadcast(th), "et").join(sizes, "et")
+        .select(col("et"), col("n"), col("sv"), col("p5"), col("p95"),
+          (when(col("v") < col("p5"), col("p5"))
+            .when(col("v") > col("p95"), col("p95"))
+            .otherwise(col("v")) * col("cnt")).as("wv"))
+        .groupBy("et", "n", "sv", "p5", "p95")
+        .agg(sum("wv").as("swv"))
+        .select(col("et").as("event_type"), col("n"),
+          col("p5").as("p5_cents"), col("p95").as("p95_cents"),
+          expr("sv div n").as("mean_cents"),
+          expr("swv div n").as("wmean_cents"),
+          expr("swv div n - sv div n").as("whale_cents"))
+        .orderBy("event_type")
+    },
+    Some("""WITH grid AS (
+              SELECT event_type AS et,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1, 2),
+            cum AS (
+              SELECT et, v, cnt,
+                     CAST(sum(cnt) OVER (PARTITION BY et ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum
+              FROM grid),
+            sizes AS (
+              SELECT et, CAST(sum(cnt) AS BIGINT) AS n,
+                     CAST(sum(v * cnt) AS BIGINT) AS sv
+              FROM grid GROUP BY 1),
+            p5 AS (
+              SELECT c.et, min(c.v) AS p5 FROM cum c JOIN sizes s USING (et)
+              WHERE c.cum * 100 >= s.n * 5 GROUP BY 1),
+            p95 AS (
+              SELECT c.et, min(c.v) AS p95 FROM cum c JOIN sizes s USING (et)
+              WHERE c.cum * 100 >= s.n * 95 GROUP BY 1),
+            w AS (
+              SELECT g.et, s.n, s.sv, p5.p5, p95.p95,
+                     CAST(sum((CASE WHEN g.v < p5.p5 THEN p5.p5
+                               WHEN g.v > p95.p95 THEN p95.p95
+                               ELSE g.v END) * g.cnt) AS BIGINT) AS swv
+              FROM grid g JOIN sizes s USING (et)
+              JOIN p5 USING (et) JOIN p95 USING (et)
+              GROUP BY 1, 2, 3, 4, 5)
+            SELECT et AS event_type, n, p5 AS p5_cents, p95 AS p95_cents,
+                   CAST(sv // n AS BIGINT) AS mean_cents,
+                   CAST(swv // n AS BIGINT) AS wmean_cents,
+                   CAST(swv // n - sv // n AS BIGINT) AS whale_cents
+            FROM w ORDER BY event_type"""))
+
+  // ------------------------------------------- time-decayed aggregates --
+
+  /** Half-life-decayed engagement score (the "trending" counter every
+    * recommender/feature store keeps: yesterday counts half as much as ...
+    * 7 days ago counts half as much as today): score = Σ events·2^(−age/7)
+    * with the irrational decay handled the q_eval_ndcg way — a SHARED
+    * 31-row integer micro-weight literal (w(age) = round(2^(−age/7)·10⁶),
+    * identical constants in both engines), so the decayed score is an
+    * EXACT integer dot product of the (type, age) count grid with the
+    * weight table, order-proof and hash-stable. Emits per type the decayed
+    * score, the raw count, and the effective-age readout (score/count
+    * ratio in ppm — how "fresh" each type's activity is).
+    *
+    * Scale: one (type, age) partial agg (grid-sized) + a broadcast weight
+    * join — the decayed counter maintains incrementally at scale: today's
+    * grid row appends, the score re-weights by shifting ages (one
+    * metadata-sized re-agg per day), raw events are never rescanned.
+    */
+  private val qAggDecay = GQuery(
+    (s, d) => {
+      val ws = (0 to 30).map(a => math.round(math.pow(2.0, -a / 7.0) * 1e6))
+      val wCol = array(ws.map(lit): _*)
+      val ev = t(s, d, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+      val gmax = ev.agg(max("day").as("gd"))
+      val grid = ev.crossJoin(broadcast(gmax))
+        .select(col("event_type"),
+          datediff(col("gd"), col("day")).cast("int").as("age"))
+        .groupBy("event_type", "age").agg(count(lit(1L)).as("cnt"))
+      grid
+        .withColumn("w_micro", element_at(wCol, col("age") + 1).cast("long"))
+        .groupBy("event_type")
+        .agg(sum("cnt").as("n_raw"),
+          sum(col("cnt") * col("w_micro")).as("score_micro"))
+        .select(col("event_type"), col("n_raw"), col("score_micro"),
+          expr("score_micro div n_raw").as("freshness_ppm"))
+        .orderBy("event_type")
+    },
+    Some {
+      val ws = (0 to 30).map(a => math.round(math.pow(2.0, -a / 7.0) * 1e6))
+      val wRows = ws.zipWithIndex.map { case (w, a) => s"($a, $w)" }
+        .mkString(", ")
+      s"""WITH w(age, w_micro) AS (VALUES $wRows),
+            ev AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day
+              FROM events),
+            g AS (SELECT max(day) AS gd FROM ev),
+            grid AS (
+              SELECT event_type,
+                     CAST(date_diff('day', day, g.gd) AS INT) AS age,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM ev, g GROUP BY 1, 2),
+            sc AS (
+              SELECT grid.event_type,
+                     CAST(sum(grid.cnt) AS BIGINT) AS n_raw,
+                     CAST(sum(grid.cnt * w.w_micro) AS BIGINT) AS score_micro
+              FROM grid JOIN w ON w.age = grid.age
+              GROUP BY 1)
+            SELECT event_type, n_raw, score_micro,
+                   CAST(score_micro // n_raw AS BIGINT) AS freshness_ppm
+            FROM sc ORDER BY event_type"""
+    })
+
+  // --------------------------------------------- partial correlation --
+
+  /** Partial correlation r(price, qty | discount) on lineitem — the
+    * confounder-aware member of the correlation family (q_stats_corrmatrix
+    * reports raw r; the partial r asks what remains after the control
+    * variable is regressed out — CUPED's cousin on the measurement side):
+    * the three pairwise r's come from ONE scan of exact DECIMAL(38) moment
+    * sums (cents/hundredths grids), each dround-snapped BEFORE composing
+    * r_xy.z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) — quantize the
+    * inputs once, then the final value drounds again (double-snap keeps
+    * the composition engine-stable). Emits the three raw r's and the
+    * partial.
+    *
+    * Scale: corrmatrix economics — one partial agg of 9 exact moments, a
+    * single-row final chain.
+    */
+  private val qStatsPartialcorr = GQuery(
+    (s, d) => {
+      val x = col("l_extendedprice").cast("decimal(18,2)").*(lit(100))
+        .cast("long")
+      val y = col("l_quantity").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val z = col("l_discount").cast("decimal(18,2)").*(lit(100)).cast("long")
+      def dsum(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,0)"))
+      val m = t(s, d, "lineitem")
+        .select(x.as("x"), y.as("y"), z.as("z"))
+        .agg(count(lit(1L)).as("n"), dsum(col("x")).as("sx"),
+          dsum(col("y")).as("sy"), dsum(col("z")).as("sz"),
+          dsum(col("x") * col("x")).as("sxx"),
+          dsum(col("y") * col("y")).as("syy"),
+          dsum(col("z") * col("z")).as("szz"),
+          dsum(col("x") * col("y")).as("sxy"),
+          dsum(col("x") * col("z")).as("sxz"),
+          dsum(col("y") * col("z")).as("syz"))
+      def r(sab: String, sa: String, sb: String, saa: String, sbb: String) =
+        dround(
+          (col("n").cast("double") * col(sab).cast("double") -
+            col(sa).cast("double") * col(sb).cast("double")) /
+          (sqrt(col("n").cast("double") * col(saa).cast("double") -
+            col(sa).cast("double") * col(sa).cast("double")) *
+           sqrt(col("n").cast("double") * col(sbb).cast("double") -
+            col(sb).cast("double") * col(sb).cast("double"))), 6)
+      m.select(col("n"),
+          r("sxy", "sx", "sy", "sxx", "syy").as("r_xy"),
+          r("sxz", "sx", "sz", "sxx", "szz").as("r_xz"),
+          r("syz", "sy", "sz", "syy", "szz").as("r_yz"))
+        .select(col("n"), col("r_xy"), col("r_xz"), col("r_yz"),
+          dround((col("r_xy") - col("r_xz") * col("r_yz")) /
+            sqrt((lit(1.0) - col("r_xz") * col("r_xz")) *
+              (lit(1.0) - col("r_yz") * col("r_yz"))), 6)
+            .as("r_partial"))
+        .orderBy("n")
+    },
+    Some("""WITH m AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS sx,
+                     sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS sy,
+                     sum(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS sz,
+                     sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * 100 AS BIGINT) AS HUGEINT)
+                       * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS sxx,
+                     sum(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS HUGEINT)
+                       * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS syy,
+                     sum(CAST(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS HUGEINT)
+                       * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS szz,
+                     sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * 100 AS BIGINT) AS HUGEINT)
+                       * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS sxy,
+                     sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * 100 AS BIGINT) AS HUGEINT)
+                       * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS sxz,
+                     sum(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS HUGEINT)
+                       * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS syz
+              FROM lineitem),
+            r AS (
+              SELECT n,
+                     CAST(round(CAST((n * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                            * CAST(sx AS DOUBLE))
+                          * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                            * CAST(sy AS DOUBLE)))
+                       AS DECIMAL(30,8)), 6) AS DOUBLE) AS r_xy,
+                     CAST(round(CAST((n * CAST(sxz AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+                       / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                            * CAST(sx AS DOUBLE))
+                          * sqrt(n * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE)
+                            * CAST(sz AS DOUBLE)))
+                       AS DECIMAL(30,8)), 6) AS DOUBLE) AS r_xz,
+                     CAST(round(CAST((n * CAST(syz AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+                       / (sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                            * CAST(sy AS DOUBLE))
+                          * sqrt(n * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE)
+                            * CAST(sz AS DOUBLE)))
+                       AS DECIMAL(30,8)), 6) AS DOUBLE) AS r_yz
+              FROM m)
+            SELECT n, r_xy, r_xz, r_yz,
+                   CAST(round(CAST((r_xy - r_xz * r_yz)
+                     / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz))
+                     AS DECIMAL(30,8)), 6) AS DOUBLE) AS r_partial
+            FROM r ORDER BY n"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_agg_decay" -> qAggDecay,
+    "q_stats_partialcorr" -> qStatsPartialcorr,
+    "q_stats_winsorize" -> qStatsWinsorize,
     "q_events_burnrate" -> qEventsBurnrate,
     "q_stats_tost" -> qStatsTost,
     "q_stats_anova" -> qStatsAnova,

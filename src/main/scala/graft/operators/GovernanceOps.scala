@@ -569,7 +569,72 @@ object GovernanceOps extends QueryModule {
                      - true_cnt * 1000000 // n AS BIGINT) AS err_ppm
             FROM daily ORDER BY day"""))
 
+  // ------------------------------------------------ DP top-k release --
+
+  /** Differentially-private heavy-hitter release — the DP publication of a
+    * vocabulary/query-log top-k (the mechanism behind every "most searched
+    * terms" release): per-token counts get the q_privacy_dp deterministic
+    * Laplace noise (ε = 0.5, md5-seeded inverse-CDF — replayable release),
+    * then only tokens whose NOISY count clears a release threshold
+    * τ = 50 000 milli-counts are published (the thresholding is what
+    * protects the tail: rare tokens — potentially identifying — never
+    * appear, with or without noise luck, because τ sits many noise scales
+    * above 1). Unit-count sensitivity is the documents-contribute-once
+    * model: counts are per-DOC token presence (distinct per doc), bounding
+    * each document's influence at 1 per token.
+    *
+    * Scale: one distinct-(doc, token) collapse + a token agg + map-only
+    * noise/threshold — released rows ≪ vocab; the audit column (true
+    * count) rides the same agg and exists because a DP release pipeline
+    * always keeps a private-side audit twin.
+    */
+  private val qPrivacyDpTopk = GQuery(
+    (s, d) => {
+      val counts = t(s, d, "documents")
+        .select(col("doc_id"), explode(array_distinct(
+          split(lower(col("text")), " "))).as("tok"))
+        .groupBy("tok").agg(count(lit(1L)).as("n_true"))
+      val u16 = conv(substring(md5(concat(col("tok"), lit(":dptk1"))),
+        1, 4), 16, 10).cast("long")
+      val dev = abs(u16 * 2 + 1 - 65536L)
+      val mag = lit(-2.0) * log((lit(131072L) - dev * 2).cast("double") / 131072.0)
+      val noise = when(u16 * 2 + 1 >= 65536L, mag).otherwise(-mag)
+      counts
+        .withColumn("noise_milli", round(noise * 1000).cast("long"))
+        .withColumn("released_milli",
+          col("n_true") * 1000 + col("noise_milli"))
+        .filter(col("released_milli") >= 50000L)
+        .select(col("tok"), col("released_milli"), col("noise_milli"),
+          col("n_true"))
+        .orderBy("tok")
+    },
+    Some(s"""WITH c AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS n_true FROM (
+                SELECT doc_id, unnest(list_distinct(
+                  string_split(lower(text), ' '))) AS tok
+                FROM documents)
+              GROUP BY 1),
+            u AS (
+              SELECT tok, n_true,
+                     ${DedupOps.duckHex4("md5(tok || ':dptk1')")} AS u16
+              FROM c),
+            nz AS (
+              SELECT tok, n_true,
+                     CAST(round((CASE WHEN u16 * 2 + 1 >= 65536
+                         THEN -2.0 * ln(CAST(131072 - abs(u16 * 2 + 1 - 65536)
+                           * 2 AS DOUBLE) / 131072.0)
+                         ELSE 2.0 * ln(CAST(131072 - abs(u16 * 2 + 1 - 65536)
+                           * 2 AS DOUBLE) / 131072.0) END) * 1000) AS BIGINT)
+                       AS noise_milli
+              FROM u)
+            SELECT tok, n_true * 1000 + noise_milli AS released_milli,
+                   noise_milli, n_true
+            FROM nz
+            WHERE n_true * 1000 + noise_milli >= 50000
+            ORDER BY tok"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_privacy_dp_topk" -> qPrivacyDpTopk,
     "q_privacy_rr" -> qPrivacyRr,
     "q_privacy_tclose" -> qPrivacyTclose,
     "q_privacy_tokenize" -> qPrivacyTokenize,
