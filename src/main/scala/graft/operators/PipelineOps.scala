@@ -892,7 +892,103 @@ object PipelineOps extends QueryModule {
             FROM s0 WHERE n < 14 HAVING count(*) > 0
             ORDER BY lvl, nat, seg"""))
 
+  // ------------------------------------------------ write-audit-publish --
+
+  /** Write–Audit–Publish through the ORC sink — the lakehouse quality gate
+    * composed from the engine's own pieces (sink commit + expectations +
+    * continuity audit): two half-stream batches stage into a quarantine
+    * dir via OffsetNamedOrcSink; the audit re-reads ONLY the staged
+    * files and checks offset continuity (count == span — the
+    * q_events_gaps "did we lose data" rule, run at the gate instead of
+    * after the damage); a batch publishes to the final dir only if its
+    * audit is clean. Batch A is the intact first half (publishes); batch B
+    * is the second half with ~5% of offsets dropped by a replayable md5
+    * coin (a simulated bad extract — REAL rows, synthetically lost) and is
+    * blocked. Emits per batch the staged/violation/published evidence; the
+    * oracle recomputes every number from the source stream, pinning that
+    * staging+audit loses nothing and the gate fires exactly when it
+    * should.
+    *
+    * Scale: audits read the staged batch only (never the published
+    * history); the publish is a second sink commit (idempotent, offset
+    * named) — at scale it's the same data move a real WAP does, and the
+    * audit scalars are the only driver crossings (control-plane rule).
+    */
+  private def wapBase(s: SparkSession, d: String): String =
+    writtenDirs.computeIfAbsent(s"wap|$d", _ => {
+      val base = Files.createTempDirectory("graft-wap-").toString
+      val src = graft.sources.KafkaShaped.fromEvents(s, d)
+      val mid = (src.agg(max("offset")).head().getLong(0) + 1L) / 2L
+      val coin = conv(substring(md5(concat(col("offset").cast("string"),
+        lit(":wap"))), 1, 4), 16, 10).cast("long") % 20
+      val batches = Seq(
+        "wap_a" -> src.filter(col("offset") < mid),
+        "wap_b" -> src.filter(col("offset") >= mid && coin =!= 0L))
+      batches.foreach { case (tp, b) =>
+        graft.streaming.OffsetNamedOrcSink.write(b, s"$base/staging", 5000,
+          topic = tp)
+        val row = graft.streaming.OffsetNamedOrcSink
+          .read(s, s"$base/staging/topics/$tp")
+          .agg(count(lit(1L)), min("offset"), max("offset")).head()
+        if (row.getLong(2) - row.getLong(1) + 1 == row.getLong(0))
+          graft.streaming.OffsetNamedOrcSink.write(b, s"$base/final", 5000,
+            topic = tp)
+      }
+      base
+    })
+
+  private val qPipelineWap = GQuery(
+    (s, d) => {
+      val base = wapBase(s, d)
+      val rows = Seq("wap_a", "wap_b").map { tp =>
+        val st = graft.streaming.OffsetNamedOrcSink
+          .read(s, s"$base/staging/topics/$tp")
+          .agg(count(lit(1L)).as("staged_rows"), min("offset").as("lo"),
+            max("offset").as("hi"))
+          .head()
+        val (cnt, lo, hi) = (st.getLong(0), st.getLong(1), st.getLong(2))
+        val finDir = s"$base/final/topics/$tp"
+        val pub = new java.io.File(finDir).exists
+        val pubRows = if (pub)
+          graft.streaming.OffsetNamedOrcSink.read(s, finDir).count()
+        else 0L
+        (tp, cnt, lo, hi, hi - lo + 1 - cnt, pub, pubRows)
+      }
+      val spark = s
+      import spark.implicits._
+      rows.toDF("batch", "staged_rows", "lo", "hi", "gap_rows", "published",
+        "published_rows")
+        .orderBy("batch")
+    },
+    Some(s"""WITH m AS (SELECT (max(event_id) + 1) // 2 AS mid FROM events),
+            a AS (
+              SELECT CAST(count(*) AS BIGINT) AS cnt,
+                     min(event_id) AS lo, max(event_id) AS hi
+              FROM events, m WHERE event_id < mid),
+            b AS (
+              SELECT CAST(count(*) AS BIGINT) AS cnt,
+                     min(event_id) AS lo, max(event_id) AS hi
+              FROM events, m
+              WHERE event_id >= mid
+                AND ${graft.operators.DedupOps.duckHex4(
+                  "md5(CAST(event_id AS VARCHAR) || ':wap')")} % 20 <> 0)
+            SELECT 'wap_a' AS batch, cnt AS staged_rows, lo, hi,
+                   CAST(hi - lo + 1 - cnt AS BIGINT) AS gap_rows,
+                   hi - lo + 1 = cnt AS published,
+                   CAST(CASE WHEN hi - lo + 1 = cnt THEN cnt ELSE 0 END
+                     AS BIGINT) AS published_rows
+            FROM a
+            UNION ALL
+            SELECT 'wap_b', cnt, lo, hi,
+                   CAST(hi - lo + 1 - cnt AS BIGINT),
+                   hi - lo + 1 = cnt,
+                   CAST(CASE WHEN hi - lo + 1 = cnt THEN cnt ELSE 0 END
+                     AS BIGINT)
+            FROM b
+            ORDER BY batch"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_pipeline_wap" -> qPipelineWap,
     "q_privacy_kanon" -> qPrivacyKanon,
     "q_table_diff" -> qTableDiff,
     "q_layout_skipping" -> qLayoutSkipping,
