@@ -5347,7 +5347,100 @@ object AnalyticsOps extends QueryModule {
                      AS DECIMAL(30,8)), 6) AS DOUBLE) AS r_partial
             FROM r ORDER BY n"""))
 
+  // ---------------------------------------------- isotonic calibration --
+
+  /** Isotonic (PAV) calibration of the purchase rate over $50 value bins —
+    * the non-parametric monotone fit q_stats_calibration reports gaps
+    * against (calibration TABLES show miscalibration; the isotonic fit is
+    * the standard REPAIR — Zadrozny & Elkan 2002): instead of the
+    * sequential pool-adjacent-violators loop, the fit uses the exact
+    * minimax identity ŷᵢ = max_{j≤i} min_{k≥i} mean(y_j..y_k) — every
+    * interval mean comes from bin-grid prefix sums, quantized ONCE to
+    * integer micro rates (both engines share the grid, so the nested
+    * max/min over ints is hash-exact and the fit stays monotone by
+    * construction). Emits per bin the raw rate next to the isotonic rate —
+    * where they differ, PAV pooled adjacent violators.
+    *
+    * Scale: the corpus collapses to B bins (one partial agg); the B²·B
+    * minimax is metadata-sized (B ~ tens for any real calibration grid —
+    * the identity's cubic cost buys full distribution-freeness; past B ~
+    * 10³ swap in the linear PAV fold, which the EWMA/Holt recursion
+    * pattern covers).
+    */
+  private val qStatsIsotonic = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val bins = t(s, d, "events")
+        .select(cents.as("c"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+        .select(expr("c div 5000").cast("int").as("bin"), col("pos"))
+        .groupBy("bin").agg(count(lit(1L)).as("n"), sum("pos").as("pos"))
+        .localCheckpoint(true)
+      // prefix sums over the tiny ordered grid
+      val wCum = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pre = bins
+        .withColumn("cn", sum("n").over(wCum))
+        .withColumn("cp", sum("pos").over(wCum))
+        .select(col("bin"), col("n"), col("pos"), col("cn"), col("cp"))
+        .localCheckpoint(true)
+      // all interval means avg(j..k), j <= k, quantized to micro ints
+      val j = pre.select(col("bin").as("j"), (col("cn") - col("n")).as("cnj"),
+        (col("cp") - col("pos")).as("cpj"))
+      val k = pre.select(col("bin").as("k"), col("cn").as("cnk"),
+        col("cp").as("cpk"))
+      val ivals = j.crossJoin(k).filter(col("j") <= col("k"))
+        .select(col("j"), col("k"),
+          expr("(cpk - cpj) * 1000000 div (cnk - cnj)").as("m_micro"))
+      // fit_i = max over j<=i of (min over k>=i of m(j,k))
+      val binsIdx = pre.select(col("bin").as("i"))
+      val inner = binsIdx.join(ivals, col("j") <= col("i") && col("k") >= col("i"))
+        .groupBy("i", "j").agg(min("m_micro").as("inner_min"))
+      val fit = inner.groupBy("i")
+        .agg(max("inner_min").as("iso_micro"))
+      pre.join(fit, col("bin") === col("i"))
+        .select(col("bin"), col("n"), col("pos"),
+          expr("pos * 1000000 div n").as("raw_micro"), col("iso_micro"))
+        .orderBy("bin")
+    },
+    Some("""WITH rows_ AS (
+              SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS pos
+              FROM events),
+            bins AS (
+              SELECT CAST(c // 5000 AS INT) AS bin,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(pos) AS BIGINT) AS pos
+              FROM rows_ GROUP BY 1),
+            pre AS (
+              SELECT bin, n, pos,
+                     CAST(sum(n) OVER w AS BIGINT) AS cn,
+                     CAST(sum(pos) OVER w AS BIGINT) AS cp
+              FROM bins
+              WINDOW w AS (ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            ivals AS (
+              SELECT j.bin AS j, k.bin AS k,
+                     CAST((k.cp - (j.cp - j.pos)) * 1000000
+                       // (k.cn - (j.cn - j.n)) AS BIGINT) AS m_micro
+              FROM pre j CROSS JOIN pre k WHERE j.bin <= k.bin),
+            inner_ AS (
+              SELECT i.bin AS i, v.j, CAST(min(v.m_micro) AS BIGINT)
+                       AS inner_min
+              FROM pre i JOIN ivals v ON v.j <= i.bin AND v.k >= i.bin
+              GROUP BY 1, 2),
+            fit AS (
+              SELECT i, CAST(max(inner_min) AS BIGINT) AS iso_micro
+              FROM inner_ GROUP BY 1)
+            SELECT p.bin, p.n, p.pos,
+                   CAST(p.pos * 1000000 // p.n AS BIGINT) AS raw_micro,
+                   f.iso_micro
+            FROM pre p JOIN fit f ON f.i = p.bin
+            ORDER BY p.bin"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_stats_isotonic" -> qStatsIsotonic,
     "q_agg_decay" -> qAggDecay,
     "q_stats_partialcorr" -> qStatsPartialcorr,
     "q_stats_winsorize" -> qStatsWinsorize,
