@@ -5439,7 +5439,141 @@ object AnalyticsOps extends QueryModule {
             FROM pre p JOIN fit f ON f.i = p.bin
             ORDER BY p.bin"""))
 
+  // ------------------------------------------------- McNemar's test --
+
+  /** McNemar's paired test — did users CHANGE behavior between the first
+    * and second half of the window? The unpaired tests (abtest, chisq)
+    * can't answer this: pairing each user with themself removes
+    * between-user variance entirely, and only the DISCORDANT pairs carry
+    * information. Per user: purchased-in-H1 / purchased-in-H2 flags; the
+    * 2×2 paired table's b (yes→no) and c (no→yes) cells give
+    * χ² = (b−c)²/(b+c), computed as exact integers with a dround-final
+    * statistic and the continuity-corrected variant ((|b−c|−1)²/(b+c))
+    * alongside; significance derives from the ROUNDED χ² (cohend rule)
+    * vs the df=1 critical value 3.841.
+    *
+    * Scale: one per-user conditional rollup + a 4-cell agg — everything
+    * after the user collapse is constant-sized.
+    */
+  private val qStatsMcnemar = GQuery(
+    (s, d) => {
+      val half = to_date(col("ts")) < lit("2024-01-16").cast("date")
+      val users = t(s, d, "events")
+        .select(col("user_id"),
+          when(half && col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("p1"),
+          when(!half && col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("p2"))
+        .groupBy("user_id")
+        .agg((sum("p1") > 0L).cast("long").as("h1"),
+          (sum("p2") > 0L).cast("long").as("h2"))
+      val cells = users.agg(
+        sum(when(col("h1") === 1L && col("h2") === 1L, 1L).otherwise(0L))
+          .as("n11"),
+        sum(when(col("h1") === 1L && col("h2") === 0L, 1L).otherwise(0L))
+          .as("b"),
+        sum(when(col("h1") === 0L && col("h2") === 1L, 1L).otherwise(0L))
+          .as("c"),
+        sum(when(col("h1") === 0L && col("h2") === 0L, 1L).otherwise(0L))
+          .as("n00"))
+      cells.select(col("n11"), col("b"), col("c"), col("n00"),
+          when(col("b") + col("c") > 0L,
+            dround((col("b") - col("c")).cast("double") *
+              (col("b") - col("c")).cast("double") /
+              (col("b") + col("c")).cast("double"), 4)).as("chi2"),
+          when(col("b") + col("c") > 0L,
+            dround((abs(col("b") - col("c")) - lit(1L)).cast("double") *
+              (abs(col("b") - col("c")) - lit(1L)).cast("double") /
+              (col("b") + col("c")).cast("double"), 4)).as("chi2_cc"))
+        .withColumn("significant", coalesce(col("chi2_cc") > 3.841, lit(false)))
+        .orderBy("n11")
+    },
+    Some("""WITH u AS (
+              SELECT user_id,
+                     CAST(max(CASE WHEN CAST(date_trunc('day', ts) AS DATE)
+                         < DATE '2024-01-16' AND event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+                     CAST(max(CASE WHEN CAST(date_trunc('day', ts) AS DATE)
+                         >= DATE '2024-01-16' AND event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS h2
+              FROM events GROUP BY 1),
+            cells AS (
+              SELECT CAST(sum(CASE WHEN h1 = 1 AND h2 = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n11,
+                     CAST(sum(CASE WHEN h1 = 1 AND h2 = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS b,
+                     CAST(sum(CASE WHEN h1 = 0 AND h2 = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS c,
+                     CAST(sum(CASE WHEN h1 = 0 AND h2 = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n00
+              FROM u)
+            SELECT n11, b, c, n00,
+                   CASE WHEN b + c > 0 THEN
+                     CAST(round(CAST(CAST((b - c) AS DOUBLE) * (b - c)
+                       / (b + c) AS DECIMAL(30,8)), 4) AS DOUBLE) END
+                     AS chi2,
+                   CASE WHEN b + c > 0 THEN
+                     CAST(round(CAST(CAST((abs(b - c) - 1) AS DOUBLE)
+                       * (abs(b - c) - 1) / (b + c) AS DECIMAL(30,8)), 4)
+                       AS DOUBLE) END AS chi2_cc,
+                   coalesce(CASE WHEN b + c > 0 THEN
+                     CAST(round(CAST(CAST((abs(b - c) - 1) AS DOUBLE)
+                       * (abs(b - c) - 1) / (b + c) AS DECIMAL(30,8)), 4)
+                       AS DOUBLE) END > 3.841, false) AS significant
+            FROM cells ORDER BY n11"""))
+
+  // ------------------------------------------------ audience overlap --
+
+  /** Audience-overlap matrix — exact Jaccard between every pair of event
+    * types' USER sets (the "do my segments overlap" question behind every
+    * audience planner; q_agg_hll_intersect answers it with sketches, this
+    * is the exact twin at segment-pair granularity): distinct (type, user)
+    * collapse, a type-pair co-membership join counting |A∩B|, sizes
+    * broadcast back, |A∪B| by inclusion–exclusion, Jaccard in exact ppm.
+    * Each unordered pair emitted once.
+    *
+    * Scale: the join keys on user_id over the COLLAPSED membership table —
+    * co-membership is |users|·(types-per-user choose 2), never
+    * |users|²; the type-pair result is k² cells.
+    */
+  private val qEventsAudience = GQuery(
+    (s, d) => {
+      val m = t(s, d, "events")
+        .select(col("event_type").as("t"), col("user_id")).distinct()
+        .localCheckpoint(true)
+      val sizes = m.groupBy("t").agg(count(lit(1L)).as("n"))
+      val pairs = m.select(col("t").as("ta"), col("user_id"))
+        .join(m.select(col("t").as("tb"), col("user_id")), "user_id")
+        .filter(col("ta") < col("tb"))
+        .groupBy("ta", "tb").agg(count(lit(1L)).as("n_both"))
+      pairs
+        .join(broadcast(sizes.select(col("t").as("ta"), col("n").as("na"))),
+          "ta")
+        .join(broadcast(sizes.select(col("t").as("tb"), col("n").as("nb"))),
+          "tb")
+        .select(col("ta"), col("tb"), col("na"), col("nb"), col("n_both"),
+          expr("n_both * 1000000 div (na + nb - n_both)").as("jaccard_ppm"))
+        .orderBy("ta", "tb")
+    },
+    Some("""WITH m AS (
+              SELECT DISTINCT event_type AS t, user_id FROM events),
+            sizes AS (SELECT t, CAST(count(*) AS BIGINT) AS n
+                      FROM m GROUP BY 1),
+            pairs AS (
+              SELECT a.t AS ta, b.t AS tb, CAST(count(*) AS BIGINT) AS n_both
+              FROM m a JOIN m b ON a.user_id = b.user_id AND a.t < b.t
+              GROUP BY 1, 2)
+            SELECT p.ta, p.tb, sa.n AS na, sb.n AS nb, p.n_both,
+                   CAST(p.n_both * 1000000 // (sa.n + sb.n - p.n_both)
+                     AS BIGINT) AS jaccard_ppm
+            FROM pairs p
+            JOIN sizes sa ON sa.t = p.ta
+            JOIN sizes sb ON sb.t = p.tb
+            ORDER BY p.ta, p.tb"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_stats_mcnemar" -> qStatsMcnemar,
+    "q_events_audience" -> qEventsAudience,
     "q_stats_isotonic" -> qStatsIsotonic,
     "q_agg_decay" -> qAggDecay,
     "q_stats_partialcorr" -> qStatsPartialcorr,
