@@ -229,6 +229,41 @@ object StreamOps {
     * the batch operators' job (q_dedup_minhash) and a pre-step if needed.
     * `BandIndex.ensure` must have been called for `indexKey`.
     */
+  /** Streaming Write–Audit–Publish — q_pipeline_wap's quality gate at
+    * micro-batch granularity: every micro-batch stages through the
+    * offset-named sink under its own per-batch topic, is audited on the
+    * STAGED read-back (offset continuity: count == span — the
+    * q_events_gaps "did we lose data" rule, enforced BEFORE anything
+    * becomes visible), and then commits to the FINAL dir (clean) or the
+    * QUARANTINE dir (violations) — bad extracts never reach consumers and
+    * are preserved for forensics instead of dropped. Both commits are the
+    * sink's idempotent offset-named writes, so a crash-replayed batch
+    * re-stages, re-audits, and re-lands byte-identically (exactly-once
+    * composes with the gate). The audit reads only the batch's own staged
+    * topic — published history is never rescanned.
+    *
+    * `onBatch(batchId, stagedRows, gapRows, published)` receives the audit
+    * evidence per batch.
+    */
+  def wapPipeline(shaped: DataFrame, stagingDir: String, finalDir: String,
+      quarantineDir: String, flushSize: Long = 250)(
+      onBatch: (Long, Long, Long, Boolean) => Unit): StreamingQuery =
+    shaped.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val b = batch.localCheckpoint(true)
+      if (!b.isEmpty) {
+        val tp = f"wap$batchId%05d"
+        OffsetNamedOrcSink.write(b, stagingDir, flushSize, topic = tp)
+        val row = OffsetNamedOrcSink
+          .read(b.sparkSession, s"$stagingDir/topics/$tp")
+          .agg(count(lit(1L)), min("offset"), max("offset")).head()
+        val (cnt, lo, hi) = (row.getLong(0), row.getLong(1), row.getLong(2))
+        val clean = hi - lo + 1 == cnt
+        OffsetNamedOrcSink.write(b,
+          if (clean) finalDir else quarantineDir, flushSize, topic = tp)
+        onBatch(batchId, cnt, hi - lo + 1 - cnt, clean)
+      }
+    }.start()
+
   def corpusAdmit(docs: DataFrame, indexKey: String, minToks: Int)(
       onBatch: DataFrame => Unit): StreamingQuery = {
     val B = graft.operators.DedupOps.BandIndex

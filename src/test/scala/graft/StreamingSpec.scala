@@ -105,6 +105,49 @@ class StreamingSpec extends SparkSpec {
     assert(result2.count() == 1000)
   }
 
+  test("streaming WAP gates each micro-batch: clean publishes, poisoned quarantines") {
+    val srcDir = tmp("graft-wapstream-src-")
+    val base = Tables(spark, sf, "events")
+      .withColumn("ts", expr("unix_micros(ts) * 1000")) // back to ns longs
+    // file 1: intact first half; file 2: second half with ids dropped — a
+    // simulated bad extract. maxFilesPerTrigger=1 makes each file a batch.
+    base.filter(col("event_id") < 500)
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b1")
+    base.filter(col("event_id") >= 500 && col("event_id") % 20 =!= 7)
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b2")
+    val staging = tmp("graft-wap-stage-")
+    val fin = tmp("graft-wap-final-")
+    val quar = tmp("graft-wap-quar-")
+    val shaped = KafkaShaped.shape(
+      spark.readStream.schema(KafkaShaped.eventsSchema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/b*")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))), 4)
+    val audits = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Boolean)]
+    val q = StreamOps.wapPipeline(shaped, staging, fin, quar) {
+      (id, n, gaps, pub) => audits.synchronized { audits += ((id, n, gaps, pub)) }
+    }
+    // static source: both files arrive; wait until both batches audited
+    val deadline = System.currentTimeMillis() + 60000
+    while (audits.synchronized(audits.size) < 2 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+    q.stop(); q.awaitTermination()
+    val byPub = audits.synchronized(audits.toList).sortBy(_._1)
+    assert(byPub.size == 2, s"expected 2 audited batches, got $byPub")
+    val clean = byPub.filter(_._4)
+    val dirty = byPub.filterNot(_._4)
+    assert(clean.size == 1 && clean.head._3 == 0L, s"clean batch: $byPub")
+    assert(dirty.size == 1 && dirty.head._3 > 0L, s"dirty batch: $byPub")
+    // the final dir holds exactly the clean batch's rows; quarantine holds
+    // the poisoned batch (preserved, not dropped)
+    val finRows = new java.io.File(s"$fin/topics").listFiles().toSeq
+      .map(t => OffsetNamedOrcSink.read(spark, t.toString).count()).sum
+    assert(finRows == clean.head._2, s"final rows $finRows vs $byPub")
+    val quarRows = new java.io.File(s"$quar/topics").listFiles().toSeq
+      .map(t => OffsetNamedOrcSink.read(spark, t.toString).count()).sum
+    assert(quarRows == dirty.head._2, s"quarantine rows $quarRows vs $byPub")
+  }
+
   test("streaming pipeline with TimeDaily layout lands dt-partitioned offset files") {
     import graft.streaming.OffsetNamedOrcSink.Layout
     val srcDir = tmp("graft-timestream-src-")
