@@ -5571,7 +5571,72 @@ object AnalyticsOps extends QueryModule {
             JOIN sizes sb ON sb.t = p.tb
             ORDER BY p.ta, p.tb"""))
 
+  // ---------------------------------------------------- cohort LTV curve --
+
+  /** Cumulative LTV curve by signup cohort — the revenue companion of
+    * q_retention_cohort (retention counts who comes back; LTV accumulates
+    * what they're worth, and the curve shape — fast plateau vs steady
+    * climb — is what a payback-period decision reads): cohort = ISO week
+    * of first event (integer epoch-day div 7 — no engine week()), age =
+    * weeks since cohort; per (cohort, age): cohort size, period revenue,
+    * and the running cumulative revenue per member in exact cents
+    * (cum_cents div size).
+    *
+    * Scale: one per-user first-seen rollup (broadcast back), one
+    * (cohort, age) partial agg, and a cumulative window over the
+    * weeks-bounded cohort grid — corpus touched twice, windows
+    * metadata-sized.
+    */
+  private val qEventsLtv = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val ev = t(s, d, "events")
+        .select(col("user_id"), cents.as("v"),
+          expr("datediff(to_date(ts), DATE '2024-01-01') div 7").as("wk"))
+        .localCheckpoint(true)
+      val firstWk = ev.groupBy("user_id").agg(min("wk").as("cohort"))
+      val sizes = firstWk.groupBy("cohort").agg(count(lit(1L)).as("n_users"))
+      val cells = ev.join(firstWk, "user_id")
+        .select(col("cohort"), (col("wk") - col("cohort")).as("age"), col("v"))
+        .groupBy("cohort", "age").agg(sum("v").as("rev_cents"))
+      val wCum = Window.partitionBy("cohort").orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.join(broadcast(sizes), "cohort")
+        .withColumn("cum_cents", sum("rev_cents").over(wCum))
+        .select(col("cohort").cast("int").as("cohort"),
+          col("age").cast("int").as("age"), col("n_users"), col("rev_cents"),
+          col("cum_cents"),
+          expr("cum_cents div n_users").as("ltv_cents"))
+        .orderBy("cohort", "age")
+    },
+    Some("""WITH ev AS (
+              SELECT user_id,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+                     CAST(date_diff('day', DATE '2024-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) // 7
+                       AS wk
+              FROM events),
+            fw AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY 1),
+            sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+                      FROM fw GROUP BY 1),
+            cells AS (
+              SELECT fw.cohort, e.wk - fw.cohort AS age,
+                     CAST(sum(e.v) AS BIGINT) AS rev_cents
+              FROM ev e JOIN fw ON fw.user_id = e.user_id
+              GROUP BY 1, 2),
+            cum AS (
+              SELECT c.cohort, c.age, s.n_users, c.rev_cents,
+                     CAST(sum(c.rev_cents) OVER (PARTITION BY c.cohort
+                       ORDER BY c.age ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS cum_cents
+              FROM cells c JOIN sizes s ON s.cohort = c.cohort)
+            SELECT CAST(cohort AS INT) AS cohort, CAST(age AS INT) AS age,
+                   n_users, rev_cents, cum_cents,
+                   CAST(cum_cents // n_users AS BIGINT) AS ltv_cents
+            FROM cum ORDER BY cohort, age"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_events_ltv" -> qEventsLtv,
     "q_stats_mcnemar" -> qStatsMcnemar,
     "q_events_audience" -> qEventsAudience,
     "q_stats_isotonic" -> qStatsIsotonic,
