@@ -5635,7 +5635,140 @@ object AnalyticsOps extends QueryModule {
                    CAST(cum_cents // n_users AS BIGINT) AS ltv_cents
             FROM cum ORDER BY cohort, age"""))
 
+  // ------------------------------------------------- temporal dim join --
+
+  /** Temporal (point-in-time) join against the SCD2 dimension — the query
+    * side of q_scd2_apply's maintenance: every purchase is attributed to
+    * the user's status version VALID AT the purchase instant
+    * (valid_from ≤ t < valid_to, open interval = current) via a user-keyed
+    * equi join + interval predicate, then rolled up per status — "what
+    * state were customers in when they bought", the question bitemporal
+    * tables exist to answer. The dim is the change-point interval build
+    * over the user's BROWSING states (non-purchase runs — versioning on
+    * all types would trivially self-attribute); a purchase lands in AT
+    * MOST one version (intervals partition the timeline; purchases before
+    * a user's first browsing event drop on the inner join).
+    *
+    * Scale: the join keys on user_id (versions-per-user bounded, purchases
+    * spread) — never a range self-join; the interval predicate is a
+    * residual filter on the keyed join, and at warehouse scale the dim side
+    * is the maintained SCD2 table read, not a rebuild.
+    */
+  private val qJoinTemporal = GQuery(
+    (s, d) => {
+      // the status dimension tracks the user's BROWSING state (non-purchase
+      // event runs) — versioning on all types would trivially attribute
+      // every purchase to the 'purchase' version it itself opens
+      val ev = t(s, d, "events")
+        .filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_type").as("st"), col("event_id"),
+          unix_timestamp(col("ts")).as("sec"))
+        .localCheckpoint(true)
+      val wAll = Window.partitionBy("user_id").orderBy("sec", "event_id")
+      val dim = ev
+        .withColumn("prev", lag("st", 1).over(wAll))
+        .filter(col("prev").isNull || col("prev") =!= col("st"))
+        .select(col("user_id"), col("st").as("status"),
+          col("sec").as("valid_from"),
+          lead("sec", 1).over(wAll).as("valid_to"))
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val purchases = t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("psec"),
+          cents.as("v"))
+      purchases.join(dim, Seq("user_id"))
+        .filter(col("psec") >= col("valid_from") &&
+          (col("valid_to").isNull || col("psec") < col("valid_to")))
+        .groupBy("status")
+        .agg(count(lit(1L)).as("n_purchases"),
+          sum("v").as("rev_cents"),
+          countDistinct("user_id").as("n_users"))
+        .orderBy("status")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_type AS st, event_id,
+                     CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+              FROM events WHERE event_type <> 'purchase'),
+            dim AS (
+              SELECT user_id, st AS status, sec AS valid_from,
+                     lead(sec) OVER (PARTITION BY user_id
+                       ORDER BY sec, event_id) AS valid_to
+              FROM (
+                SELECT *, lag(st) OVER (PARTITION BY user_id
+                         ORDER BY sec, event_id) AS prev
+                FROM e)
+              WHERE prev IS NULL OR prev <> st),
+            p AS (
+              SELECT user_id,
+                     CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS psec,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+              FROM events WHERE event_type = 'purchase')
+            SELECT dim.status, CAST(count(*) AS BIGINT) AS n_purchases,
+                   CAST(sum(p.v) AS BIGINT) AS rev_cents,
+                   CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users
+            FROM p JOIN dim ON dim.user_id = p.user_id
+              AND p.psec >= dim.valid_from
+              AND (dim.valid_to IS NULL OR p.psec < dim.valid_to)
+            GROUP BY 1 ORDER BY dim.status"""))
+
+  // ----------------------------------------------- rolling features --
+
+  /** Trailing-window feature extraction — the feature-engineering staple
+    * q_feature_pit's as-of join doesn't cover (PIT fetches the LATEST
+    * snapshot; rolling features aggregate a sliding horizon): for each
+    * purchase, the user's trailing-7-day activity (event count, purchase
+    * count, purchase cents) from ONE user-partitioned RANGE window over
+    * epoch seconds — O(1) running state per row, no self-join, no
+    * per-anchor fan-out. Emitted for the first 40 users (bounded output;
+    * the computation runs corpus-wide).
+    *
+    * Scale: the window partitions on user_id and sorts each user's stream
+    * once (sessionize economics); a second horizon is one more frame over
+    * the SAME sort, never a second shuffle.
+    */
+  private val qFeatureRolling = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("sec"),
+          col("event_type"), cents.as("v"))
+      val w7 = Window.partitionBy("user_id").orderBy("sec")
+        .rangeBetween(-7L * 86400L + 1L, 0L)
+      val feat = ev
+        .withColumn("n_7d", count(lit(1L)).over(w7))
+        .withColumn("np_7d", sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).over(w7))
+        .withColumn("spend_7d", sum(when(col("event_type") === "purchase",
+          col("v")).otherwise(0L)).over(w7))
+      feat.filter(col("event_type") === "purchase" && col("user_id") < 40)
+        .select(col("user_id"), col("event_id"), col("n_7d"), col("np_7d"),
+          col("spend_7d"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_id,
+                     CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+                     event_type,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+              FROM events),
+            f AS (
+              SELECT user_id, event_id, event_type,
+                     CAST(count(*) OVER w AS BIGINT) AS n_7d,
+                     CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                       ELSE 0 END) OVER w AS BIGINT) AS np_7d,
+                     CAST(sum(CASE WHEN event_type = 'purchase' THEN v
+                       ELSE 0 END) OVER w AS BIGINT) AS spend_7d
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW))
+            SELECT user_id, event_id, n_7d, np_7d, spend_7d
+            FROM f WHERE event_type = 'purchase' AND user_id < 40
+            ORDER BY user_id, event_id"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_join_temporal" -> qJoinTemporal,
+    "q_feature_rolling" -> qFeatureRolling,
     "q_events_ltv" -> qEventsLtv,
     "q_stats_mcnemar" -> qStatsMcnemar,
     "q_events_audience" -> qEventsAudience,
