@@ -1585,7 +1585,90 @@ object TextOps extends QueryModule {
             SELECT * FROM per UNION ALL SELECT * FROM tot
             ORDER BY lang"""))
 
+  // ---------------------------------------- LLM-watermark detection --
+
+  /** LLM-watermark detection (Kirchenbauer et al. 2023's greenlist z-test)
+    * — the synthetic-text screen a training-data pipeline runs so model
+    * output doesn't feed back into training corpora: the soft watermark
+    * seeds a pseudorandom "greenlist" from each previous token and biases
+    * generation toward it; the DETECTOR recomputes membership
+    * (md5(prev:tok) mod 4 = 0, γ = 1/4 — exactly the verifier's
+    * recomputation, no model needed) and z-tests each doc's green fraction:
+    * z = (4g − T)/√(3T), exact integers in the numerator, dround final.
+    * Organic text sits near z = 0; watermarked text shows z ≫ 4. Emits the
+    * top-10 most-suspicious docs and a doc_id = −1 summary row carrying
+    * (n_docs, n_flagged) — ≈ (N, 0) on this organic corpus, which IS the
+    * negative-control evidence a deployed screen needs.
+    *
+    * Scale: one linear bigram explode + a per-doc combine agg — lm_score
+    * economics; the hash is codegen'd md5, and γ/thresholds are the only
+    * knobs.
+    */
+  private val qTextWatermark = GQuery(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      val pairs = docs
+        .select(col("doc_id"), explode(when(size(col("toks")) >= 2,
+          expr("""transform(sequence(1, size(toks) - 1),
+                    i -> concat(element_at(toks, i), ':',
+                                element_at(toks, i + 1)))"""))
+          .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))).as("bg"))
+      val green = conv(substring(md5(concat(col("bg"), lit(":wm1"))), 1, 4),
+        16, 10).cast("long") % 4 === 0L
+      val per = pairs
+        .select(col("doc_id"), green.cast("long").as("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1L)).as("t_bigrams"), sum("g").as("g_hits"))
+        .withColumn("z", dround((lit(4.0) * col("g_hits") - col("t_bigrams")) /
+          sqrt(lit(3.0) * col("t_bigrams")), 4))
+        .withColumn("flagged", col("z") > 4.0)
+        .localCheckpoint(true)
+      val top = per.orderBy(col("z").desc, col("doc_id").asc).limit(10)
+      val summary = per.agg(count(lit(1L)).as("t_bigrams"),
+          sum(col("flagged").cast("long")).as("g_hits"))
+        .select(lit(-1L).as("doc_id"), col("t_bigrams"), col("g_hits"),
+          lit(null).cast("double").as("z"), (col("g_hits") > 0L).as("flagged"))
+      top.unionByName(summary).orderBy(col("doc_id").asc)
+    },
+    Some(s"""WITH docs AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM documents),
+            pairs AS (
+              SELECT doc_id, toks[i] || ':' || toks[i + 1] AS bg
+              FROM (SELECT doc_id, toks,
+                      CAST(unnest(generate_series(1, len(toks) - 1)) AS INT)
+                        AS i
+                    FROM docs WHERE len(toks) >= 2)),
+            per AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS t_bigrams,
+                     CAST(sum(CASE WHEN
+                       ${graft.operators.DedupOps.duckHex4("md5(bg || ':wm1')")}
+                         % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS g_hits
+              FROM pairs GROUP BY 1),
+            z AS (
+              SELECT doc_id, t_bigrams, g_hits,
+                     CAST(round(CAST((4.0 * g_hits - t_bigrams)
+                       / sqrt(3.0 * t_bigrams) AS DECIMAL(30,8)), 4)
+                       AS DOUBLE) AS z
+              FROM per),
+            zf AS (SELECT *, z > 4.0 AS flagged FROM z),
+            top AS (
+              SELECT doc_id, t_bigrams, g_hits, z, flagged
+              FROM zf ORDER BY z DESC, doc_id ASC LIMIT 10),
+            summary AS (
+              SELECT CAST(-1 AS BIGINT) AS doc_id,
+                     CAST(count(*) AS BIGINT) AS t_bigrams,
+                     CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+                       AS g_hits,
+                     CAST(NULL AS DOUBLE) AS z,
+                     sum(CASE WHEN flagged THEN 1 ELSE 0 END) > 0 AS flagged
+              FROM zf)
+            SELECT * FROM top UNION ALL SELECT * FROM summary
+            ORDER BY doc_id ASC"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_text_watermark" -> qTextWatermark,
     "q_vocab_oov" -> qVocabOov,
     "q_text_compressibility" -> qTextCompressibility,
     "q_text_lm_kn" -> qTextLmKn,

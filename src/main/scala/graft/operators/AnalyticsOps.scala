@@ -5766,7 +5766,102 @@ object AnalyticsOps extends QueryModule {
             FROM f WHERE event_type = 'purchase' AND user_id < 40
             ORDER BY user_id, event_id"""))
 
+  // ------------------------------------------- conformal intervals --
+
+  /** Split-conformal prediction intervals for the seasonal-naive forecast —
+    * the distribution-free upgrade of a plain point forecast (q_ts_snaive
+    * scores accuracy; conformal wraps ANY forecaster in an interval with a
+    * finite-sample coverage guarantee, no normality assumed): calibration
+    * = days 8..21 scored by the lag-7 forecast, q̂ = the ⌈(n+1)(1−α)⌉-th
+    * smallest absolute residual (α = 0.2, exact order statistic on the
+    * residual grid), holdout = days 22+ wrapped in ±q̂; emits per holdout
+    * day the forecast, interval, truth, and covered flag plus a '__rate'
+    * summary row whose flag asserts coverage ≥ 60% — a loose floor under
+    * the ~80% expectation, so one unlucky holdout day cannot flip the
+    * gate. All exact cents integers.
+    *
+    * Scale: snaive economics — everything lives on the ≤ #days grid after
+    * one partial agg; per-series conformal at scale folds the same shape
+    * per key.
+    */
+  private val qTsConformal = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val daily = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), cents.as("v"))
+        .groupBy("day").agg(sum("v").as("x"))
+        .withColumn("dnum",
+          datediff(col("day"), lit("2024-01-01").cast("date")).cast("long"))
+        .localCheckpoint(true)
+      val wLag = Window.orderBy("dnum")
+      val scored = daily
+        .withColumn("fc", lag("x", 7).over(wLag))
+        .filter(col("fc").isNotNull)
+        .withColumn("ar", abs(col("x") - col("fc")))
+        .localCheckpoint(true)
+      val calib = scored.filter(col("dnum") < 21L)
+      val nCal = calib.agg(count(lit(1L)).as("n"))
+      val wR = Window.orderBy(col("ar").asc, col("dnum").asc)
+      val qhat = calib.withColumn("rk", row_number().over(wR))
+        .crossJoin(broadcast(nCal))
+        // ⌈(n+1)(1−α)⌉ with α=1/5: rank = ceil(4(n+1)/5) = (4n+8) div 5
+        .filter(col("rk") === expr("(4 * n + 8) div 5"))
+        .select(col("ar").as("qhat"))
+      val hold = scored.filter(col("dnum") >= 21L)
+        .crossJoin(broadcast(qhat))
+        .select(col("day").cast("string").as("day"), col("fc"),
+          (col("fc") - col("qhat")).as("lo_cents"),
+          (col("fc") + col("qhat")).as("hi_cents"), col("x"),
+          (col("x") >= col("fc") - col("qhat") &&
+            col("x") <= col("fc") + col("qhat")).as("covered"))
+      val rate = hold.agg(count(lit(1L)).as("n"),
+          sum(col("covered").cast("long")).as("nc"))
+        .select(lit("__rate").as("day"), lit(0L).as("fc"),
+          col("n").as("lo_cents"), col("nc").as("hi_cents"), lit(0L).as("x"),
+          (col("nc") * 5L >= col("n") * 3L).as("covered"))
+      hold.unionByName(rate).orderBy("day")
+    },
+    Some("""WITH daily AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS x
+              FROM events GROUP BY 1),
+            dn AS (
+              SELECT day, x,
+                     CAST(date_diff('day', DATE '2024-01-01', day) AS BIGINT)
+                       AS dnum
+              FROM daily),
+            scored AS (
+              SELECT day, x, dnum, fc, abs(x - fc) AS ar FROM (
+                SELECT *, lag(x, 7) OVER (ORDER BY dnum) AS fc FROM dn)
+              WHERE fc IS NOT NULL),
+            calib AS (SELECT * FROM scored WHERE dnum < 21),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM calib),
+            qh AS (
+              SELECT ar AS qhat FROM (
+                SELECT ar, row_number() OVER (ORDER BY ar, dnum) AS rk
+                FROM calib), n
+              WHERE rk = (4 * n + 8) // 5),
+            hold AS (
+              SELECT CAST(s.day AS VARCHAR) AS day, s.fc,
+                     s.fc - q.qhat AS lo_cents, s.fc + q.qhat AS hi_cents,
+                     s.x,
+                     s.x >= s.fc - q.qhat AND s.x <= s.fc + q.qhat AS covered
+              FROM scored s, qh q WHERE s.dnum >= 21),
+            rate AS (
+              SELECT '__rate' AS day, CAST(0 AS BIGINT) AS fc,
+                     CAST(count(*) AS BIGINT) AS lo_cents,
+                     CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+                       AS hi_cents,
+                     CAST(0 AS BIGINT) AS x,
+                     sum(CASE WHEN covered THEN 1 ELSE 0 END) * 5
+                       >= count(*) * 3 AS covered
+              FROM hold)
+            SELECT * FROM hold UNION ALL SELECT * FROM rate
+            ORDER BY day"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_ts_conformal" -> qTsConformal,
     "q_join_temporal" -> qJoinTemporal,
     "q_feature_rolling" -> qFeatureRolling,
     "q_events_ltv" -> qEventsLtv,
