@@ -5860,7 +5860,127 @@ object AnalyticsOps extends QueryModule {
             SELECT * FROM hold UNION ALL SELECT * FROM rate
             ORDER BY day"""))
 
+  // ------------------------------------------------- power analysis --
+
+  /** A/B sample-size calculator (power analysis) from observed variance —
+    * the BEFORE-the-experiment arithmetic every platform bakes into its
+    * setup flow: n per arm = 2σ²(z_{α/2}+z_β)²/δ² for 80% power at
+    * α = 0.05, with the z constants as shared micro-integer literals
+    * (1.96 + 0.8416 → 2 801 600 micro — the ndcg literal rule, no normal
+    * quantiles computed in-engine) and σ² from exact DECIMAL(38) moments.
+    * Emitted per event type for MDE δ = $1 and $2, next to the type's
+    * actual per-arm n — the `powered` flag says whether the running
+    * experiment COULD even detect that effect, the question
+    * q_stats_abtest's t-test silently presumes away.
+    *
+    * Scale: one map-side-combined per-type moment agg; everything after is
+    * k rows.
+    */
+  private val qStatsPower = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val g = t(s, d, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1L)).as("n"),
+          sum(cents.cast("decimal(38,0)")).as("sx"),
+          sum((cents * cents).cast("decimal(38,0)")).as("sxx"))
+      // (z_{0.025} + z_{0.2})² in micro² = (1.96 + 0.8416)²·10¹² →
+      // integer micro² literal both engines share
+      val zsq = 2801600L * 2801600L
+      val varD = (col("n").cast("double") * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")) /
+        (col("n").cast("double") * col("n").cast("double"))
+      val req = (delta: Double) =>
+        ceil(lit(2.0) * varD * (zsq.toDouble / 1e12) / (delta * delta))
+          .cast("long")
+      g.select(col("event_type"), col("n"),
+          dround(sqrt(varD) / 100.0, 2).as("sigma_dollars"),
+          req(100.0).as("n_req_mde1"), req(200.0).as("n_req_mde2"))
+        .withColumn("powered_mde2",
+          expr("n div 2") >= col("n_req_mde2"))
+        .orderBy("event_type")
+    },
+    Some("""WITH g AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                       AS sx,
+                     sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS HUGEINT)
+                       * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                       AS sxx
+              FROM events GROUP BY 1),
+            v AS (
+              SELECT event_type, n,
+                     (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                       * CAST(sx AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS vr
+              FROM g)
+            SELECT event_type, n,
+                   CAST(round(CAST(sqrt(vr) / 100.0 AS DECIMAL(30,8)), 2)
+                     AS DOUBLE) AS sigma_dollars,
+                   CAST(ceil(2.0 * vr * (2801600.0 * 2801600.0 / 1e12)
+                     / (100.0 * 100.0)) AS BIGINT) AS n_req_mde1,
+                   CAST(ceil(2.0 * vr * (2801600.0 * 2801600.0 / 1e12)
+                     / (200.0 * 200.0)) AS BIGINT) AS n_req_mde2,
+                   n // 2 >= CAST(ceil(2.0 * vr * (2801600.0 * 2801600.0 / 1e12)
+                     / (200.0 * 200.0)) AS BIGINT) AS powered_mde2
+            FROM v ORDER BY event_type"""))
+
+  // --------------------------------------------- sample-ratio mismatch --
+
+  /** Sample-ratio mismatch (SRM) check — the A/B sanity gate run BEFORE
+    * reading any metric (a biased assignment invalidates everything
+    * downstream; Kohavi ranks it the #1 trustworthiness check): per event
+    * type, the pmod-2 arm counts χ²-tested against the designed 50/50,
+    * χ² = (na−nb)²/(na+nb) exact in the numerator, dround final,
+    * mismatch = rounded χ² > 3.841 (df 1, α = 0.05); an '__all' row tests
+    * the whole assignment. On the hash-split arms this stays false — the
+    * negative control a healthy splitter shows.
+    *
+    * Scale: one conditional count agg; constant rows after.
+    */
+  private val qStatsSrm = GQuery(
+    (s, d) => {
+      val per = t(s, d, "events")
+        .groupBy("event_type")
+        .agg(sum(when(pmod(col("user_id"), lit(2)) === 0, 1L).otherwise(0L))
+          .as("na"),
+          sum(when(pmod(col("user_id"), lit(2)) === 1, 1L).otherwise(0L))
+          .as("nb"))
+        .localCheckpoint(true)
+      val all = per.agg(sum("na").as("na"), sum("nb").as("nb"))
+        .select(lit("__all").as("event_type"), col("na"), col("nb"))
+      per.unionByName(all)
+        .select(col("event_type"), col("na"), col("nb"),
+          dround((col("na") - col("nb")).cast("double") *
+            (col("na") - col("nb")).cast("double") /
+            (col("na") + col("nb")).cast("double"), 4).as("chi2"))
+        .withColumn("mismatch", col("chi2") > 3.841)
+        .orderBy("event_type")
+    },
+    Some("""WITH per AS (
+              SELECT event_type,
+                     CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS na,
+                     CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS nb
+              FROM events GROUP BY 1),
+            al AS (
+              SELECT '__all' AS event_type, CAST(sum(na) AS BIGINT) AS na,
+                     CAST(sum(nb) AS BIGINT) AS nb
+              FROM per),
+            u AS (SELECT * FROM per UNION ALL SELECT * FROM al)
+            SELECT event_type, na, nb,
+                   CAST(round(CAST(CAST(na - nb AS DOUBLE) * (na - nb)
+                     / (na + nb) AS DECIMAL(30,8)), 4) AS DOUBLE) AS chi2,
+                   CAST(round(CAST(CAST(na - nb AS DOUBLE) * (na - nb)
+                     / (na + nb) AS DECIMAL(30,8)), 4) AS DOUBLE) > 3.841
+                     AS mismatch
+            FROM u ORDER BY event_type"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_stats_power" -> qStatsPower,
+    "q_stats_srm" -> qStatsSrm,
     "q_ts_conformal" -> qTsConformal,
     "q_join_temporal" -> qJoinTemporal,
     "q_feature_rolling" -> qFeatureRolling,
