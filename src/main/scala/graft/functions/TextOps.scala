@@ -1195,9 +1195,13 @@ object TextOps extends QueryModule {
       val b = toks.join(broadcast(top3.select(col("phrase").as("phrase2"),
           col("w3"))), col("tok") === col("w3"))
         .select(col("phrase2"), col("doc_id").as("doc_b"), col("p").as("pb"))
+      // pa =!= pb: NEAR requires two DISTINCT token positions — a probe
+      // trigram whose first and last words coincide ("x y x") would
+      // otherwise count every doc containing that one word as a proximity
+      // match, inflating n_prox_docs
       val prox = a.join(b,
           col("phrase") === col("phrase2") && col("doc_id") === col("doc_b") &&
-            abs(col("pa") - col("pb")) <= 4)
+            col("pa") =!= col("pb") && abs(col("pa") - col("pb")) <= 4)
         .groupBy("phrase").agg(countDistinct("doc_id").as("n_prox_docs"))
       top3.join(prox, "phrase")
         .select(col("phrase"), col("n_occur"), col("n_docs"),
@@ -1239,7 +1243,7 @@ object TextOps extends QueryModule {
               SELECT a.phrase,
                      CAST(count(DISTINCT a.doc_id) AS BIGINT) AS n_prox_docs
               FROM a JOIN b ON a.phrase = b.phrase2 AND a.doc_id = b.doc_b
-                AND abs(a.pa - b.pb) <= 4
+                AND a.pa <> b.pb AND abs(a.pa - b.pb) <= 4
               GROUP BY a.phrase)
             SELECT t.phrase, t.n_occur, t.n_docs, p.n_prox_docs
             FROM top3 t JOIN prox p ON p.phrase = t.phrase

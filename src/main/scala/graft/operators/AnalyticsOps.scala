@@ -3976,14 +3976,19 @@ object AnalyticsOps extends QueryModule {
               -expr("((-num) * 1000000) div den"))
             .otherwise(expr("(num * 1000000) div den")).as("theta_micro"))
       // adjusted metric on the n-scaled cents grid: m' = y·n − θμ(x·n − Σx)/10⁶
-      // (remainder-free centering; the θ product divides back down so the
-      // per-user value stays ~1e9 and its square sums inside DECIMAL(38))
+      // (remainder-free centering). The θ product multiplies ~1e6 × ~1e13 at
+      // 10⁶ users, so BOTH the product and the n-scaled values compute in
+      // DECIMAL(38,0)/HUGEINT from the start — plain BIGINT overflows (ANSI
+      // aborts) at roughly 10⁶+ users. `div` accepts decimal operands and
+      // truncates toward zero, matching HUGEINT `//`.
       val adj = users.crossJoin(broadcast(pooled))
         .select(pmod(col("user_id"), lit(2)).cast("int").as("arm"),
           col("uy"), col("theta_micro"),
-          (col("uy") * col("n") -
-            expr("(theta_micro * (ux * n - sx)) div 1000000")).as("madj"),
-          (col("uy") * col("n")).as("my"))
+          (col("uy").cast("decimal(38,0)") * col("n") -
+            expr("""(cast(theta_micro as decimal(38,0))
+                     * (cast(ux as decimal(38,0)) * n - sx)) div 1000000"""))
+            .as("madj"),
+          (col("uy").cast("decimal(38,0)") * col("n")).as("my"))
       adj.groupBy("arm", "theta_micro")
         .agg(count(lit(1L)).as("n_users"), sum("uy").as("suy"),
           sum(col("my").cast("decimal(38,0)")).as("smy"),
@@ -4034,9 +4039,10 @@ object AnalyticsOps extends QueryModule {
               FROM pooled0),
             adj AS (
               SELECT CAST(user_id % 2 AS INT) AS arm, uy, theta_micro,
-                     CAST(uy * n AS HUGEINT) AS my,
-                     CAST(uy * n
-                       - (theta_micro * (ux * n - sx)) // 1000000
+                     CAST(CAST(uy AS HUGEINT) * n AS HUGEINT) AS my,
+                     CAST(CAST(uy AS HUGEINT) * n
+                       - (CAST(theta_micro AS HUGEINT)
+                          * (CAST(ux AS HUGEINT) * n - sx)) // 1000000
                        AS HUGEINT) AS madj
               FROM users, pooled),
             g AS (
@@ -4168,7 +4174,11 @@ object AnalyticsOps extends QueryModule {
       base.crossJoin(broadcast(st))
         .select(col("lang"), col("n_docs"), col("n_tokens"), col("p_ppm"),
           expr("sq * 1000000 div st").as("w_ppm"))
-        .withColumn("boost_ppm", expr("w_ppm * 1000000 div p_ppm"))
+        // a language under 1 ppm of total tokens truncates p_ppm to 0 —
+        // boost is undefined there (null), never a div-by-zero ANSI abort
+        .withColumn("boost_ppm",
+          when(col("p_ppm") === 0, lit(null).cast("long"))
+            .otherwise(expr("w_ppm * 1000000 div p_ppm")))
         .orderBy("lang")
     },
     Some("""WITH langs AS (
@@ -4186,8 +4196,9 @@ object AnalyticsOps extends QueryModule {
             st AS (SELECT CAST(sum(sq) AS BIGINT) AS st FROM base)
             SELECT lang, n_docs, n_tokens, p_ppm,
                    CAST(sq * 1000000 // st.st AS BIGINT) AS w_ppm,
-                   CAST((sq * 1000000 // st.st) * 1000000 // p_ppm AS BIGINT)
-                     AS boost_ppm
+                   CAST(CASE WHEN p_ppm = 0 THEN NULL
+                        ELSE (sq * 1000000 // st.st) * 1000000 // p_ppm END
+                     AS BIGINT) AS boost_ppm
             FROM base, st ORDER BY lang"""))
 
   // ---------------------------------------------- MAD robust outlier days --
@@ -5197,6 +5208,11 @@ object AnalyticsOps extends QueryModule {
       val grid = ev.crossJoin(broadcast(gmax))
         .select(col("event_type"),
           datediff(col("gd"), col("day")).cast("int").as("age"))
+        // 31-day decay horizon: ages past the weight table are weight-0 and
+        // dropped EXPLICITLY (the oracle's inner join on w.age does the same)
+        // — without this filter a >31-day span over-indexes the array and
+        // ANSI throws while DuckDB silently drops, a divergent failure.
+        .where(col("age") <= 30)
         .groupBy("event_type", "age").agg(count(lit(1L)).as("cnt"))
       grid
         .withColumn("w_micro", element_at(wCol, col("age") + 1).cast("long"))

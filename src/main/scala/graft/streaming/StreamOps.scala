@@ -250,7 +250,13 @@ object StreamOps {
       onBatch: (Long, Long, Long, Boolean) => Unit): StreamingQuery =
     shaped.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val b = batch.localCheckpoint(true)
-      if (!b.isEmpty) {
+      if (b.isEmpty) {
+        // empty micro-batches still report: a caller polling for N audited
+        // batches (the StreamingSpec pattern) must not stall to its deadline
+        // because a trigger produced no rows — 0 staged, 0 gaps, published
+        // vacuously true, and nothing touches the sink dirs.
+        onBatch(batchId, 0L, 0L, true)
+      } else {
         val tp = f"wap$batchId%05d"
         OffsetNamedOrcSink.write(b, stagingDir, flushSize, topic = tp)
         val row = OffsetNamedOrcSink
