@@ -74,6 +74,18 @@ object Bench {
     // under 200 bytes survives any tail window and parses on its own.
     println(s"""{"metric":"detail","runs":$nRuns,"queries":$qjson,"errors":$errs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$nRuns,"nqueries":${qs.size},"nerrors":${results.count(!_._3)},"sf":"$sfDir"}""")
+    // The round artifact (BENCH_r0N.json) keeps only a truncated stdout tail
+    // — most per-query timings were lost to it every round. Persist the FULL
+    // name→min-seconds map as a committed file so round-over-round regression
+    // diffing never depends on prose capture. Full runs only: a
+    // SPARK_GRAFT_BENCH_ONLY subset must not clobber the complete artifact.
+    if (only.isEmpty) {
+      val full = s"""{"runs":$nRuns,"sf":"$sfDir","total_sec":${fmt(total)},"queries":$qjson,"errors":$errs}"""
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_latest.json"), full + "\n")
+      catch { case t: Throwable =>
+        System.err.println(s"[bench] bench_latest.json not written: $t") }
+    }
     spark.stop()
     if (results.exists(!_._3)) sys.exit(1)
   }

@@ -1775,21 +1775,32 @@ object AnalyticsOps extends QueryModule {
     * re-partitioning, and appends that don't change the minimum. Emits the
     * per-label audit row (original count, kept count, exact id checksum).
     *
-    * Scale: one class-count agg (broadcast, label-cardinality rows), one
-    * per-label rank window. The window sorts within label partitions; a
-    * label holding half the corpus makes that partition's sort the straggler
-    * — the salted two-level top-k in q_text_bm25 is the documented remedy
-    * once per-label cardinality outgrows a task.
+    * Scale: one class-count agg (broadcast, label-cardinality rows), then
+    * the per-label top-cap in the SALTED TWO-LEVEL shape (the q_text_bm25
+    * pattern): a local rank window per (label, vec_id%16 salt) prunes each
+    * salt bucket to its own top cap — sound because any row in the global
+    * top cap has local rank ≤ its global rank ≤ cap — and only then does
+    * the per-label window rank the ≤16·cap survivors. A dominant label
+    * holding half the corpus therefore sorts as 16 parallel bucket sorts
+    * plus one 16·cap-row sort, never one label-sized single-task sort (the
+    * straggler SCALE.md named); the salt fan widens with the executor count
+    * at scale.
     */
   private val qSampleBalanced = GQuery(
     (s, d) => {
       val e = t(s, d, "embeddings").select(col("vec_id"), col("label"))
       val cnt = e.groupBy("label").agg(count(lit(1)).as("n_orig"))
       val cap = cnt.agg(min("n_orig").as("cap"))
-      val ranked = e.withColumn("rk", row_number().over(
-        Window.partitionBy("label")
-          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
-      ranked.crossJoin(broadcast(cap)).filter(col("rk") <= col("cap"))
+      val wLocal = Window
+        .partitionBy(col("label"), pmod(col("vec_id"), lit(16)))
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      val wGlobal = Window.partitionBy("label")
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      e.crossJoin(broadcast(cap))
+        .withColumn("lrk", row_number().over(wLocal))
+        .filter(col("lrk") <= col("cap"))
+        .withColumn("rk", row_number().over(wGlobal))
+        .filter(col("rk") <= col("cap"))
         .groupBy("label")
         .agg(count(lit(1)).as("n_kept"), sum("vec_id").as("id_sum"))
         .join(broadcast(cnt), "label")

@@ -518,11 +518,18 @@ class PlanShapeSpec extends SparkSpec {
     val ks = plan("q_stats_ks")
     assert(ks.matches("(?s).*Window \\[[^\\]]*\\], \\[bkt#\\d+L\\].*"), ks.take(3000))
     assert(ks.contains("BroadcastExchange"), ks.take(3000))
-    // q_sample_balanced: rank window partitions on label; class counts and
-    // the cap join back as broadcasts.
+    // q_sample_balanced: the per-label limit runs TWO-LEVEL (the q_text_bm25
+    // salted pattern) — a local rank window partitioned (label, salt) prunes
+    // before the per-label window, so no dominant-label single-task sort
+    // remains; class counts and the cap join back as broadcasts.
     val sb = plan("q_sample_balanced")
+    assert(sb.matches(
+      "(?s).*Window \\[row_number\\(\\)[^\\]]*\\], \\[label#\\d+, _w\\d+#\\d+L?\\].*"),
+      sb.take(3000))
     assert(sb.matches("(?s).*Window \\[row_number\\(\\)[^\\]]*\\], \\[label#\\d+\\].*"),
       sb.take(3000))
+    val sbWindows = sb.linesIterator.count(_.contains("Window ["))
+    assert(sbWindows == 2, s"expected 2 Window nodes, got $sbWindows\n" + sb.take(3000))
     assert(sb.contains("BroadcastExchange"), sb.take(3000))
     // q_events_markov: the lag window partitions on user_id — the journey
     // stage never sorts globally.
