@@ -4580,6 +4580,68 @@ object AnalyticsOps extends QueryModule {
             FROM dau d JOIN wau w ON w.day = d.day
             ORDER BY d.day"""))
 
+  /** Sliding approx-distinct — the MAU path q_events_sliding_distinct's
+    * scaladoc commits to: a 30-day trailing window would ×30 the exact
+    * cover explode of the user-day table, so the sketch form builds ONE
+    * DataSketches HLL per calendar day (lgK=14, rsd ≈ 0.81%) and the ×30
+    * expansion happens on the DAY-GRID SKETCH TABLE (≤ #days rows of
+    * ~16 KB sketches), whose per-anchor union re-derives any window for
+    * free — the sketch-merge property that makes windowed distinct
+    * maintainable at 100 TB (yesterday's daily sketches never rebuild;
+    * a new day appends one sketch and re-unions 30 grid rows per anchor).
+    * Validated the q_agg_approx way: sketch internals can't hash
+    * cross-engine, so the emitted columns are the EXACT MAU (the audit
+    * twin — here the ×30 explode is the sanctioned truth side, sampled
+    * at production scale) and a 5σ bounds flag on the estimate
+    * (5·0.81% ≈ 4%, margined to 5% + 5 absolute for sparse early days
+    * where the sketch is exact anyway).
+    */
+  private val qEventsSlidingDistinctApprox = GQuery(
+    (s, d) => {
+      val ud = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .localCheckpoint(true)
+      val bounds = ud.agg(max("day").as("gd"))
+      // production path: one HLL per day, ×30 cover on the SKETCH table
+      val daySk = ud.groupBy("day")
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      val approx = daySk
+        .select(col("sk"), explode(sequence(lit(0), lit(29))).as("i"),
+          col("day"))
+        .select(col("sk"), expr("date_add(day, CAST(i AS INT))").as("day"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("day") <= col("gd"))
+        .groupBy("day")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("mau_approx"))
+      // audit twin: exact 30-day cover (the recall-gauge economics — at
+      // scale this side runs on sampled audit days, the sketch side ships)
+      val exact = ud
+        .select(col("user_id"), explode(sequence(lit(0), lit(29))).as("i"),
+          col("day"))
+        .select(col("user_id"), expr("date_add(day, CAST(i AS INT))").as("day"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("day") <= col("gd"))
+        .groupBy("day").agg(countDistinct("user_id").as("mau30"))
+      exact.join(approx, "day")
+        .select(col("day"), col("mau30"),
+          (abs(col("mau_approx") - col("mau30"))
+            <= col("mau30") * 0.05 + 5).as("mau_ok"))
+        .orderBy("day")
+    },
+    Some("""WITH ud AS (
+              SELECT DISTINCT user_id,
+                     CAST(date_trunc('day', ts) AS DATE) AS day
+              FROM events),
+            bounds AS (SELECT max(day) AS gd FROM ud),
+            cover AS (
+              SELECT ud.user_id, ud.day + CAST(i.i AS INT) AS day
+              FROM ud, (SELECT unnest(range(30)) AS i) i, bounds
+              WHERE ud.day + CAST(i.i AS INT) <= bounds.gd)
+            SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS mau30,
+                   true AS mau_ok
+            FROM cover GROUP BY 1 ORDER BY day"""))
+
   // ----------------------------------------------------- QQ comparison --
 
   /** Decile QQ table of weekend vs weekday purchase values — the
@@ -6027,6 +6089,7 @@ object AnalyticsOps extends QueryModule {
     "q_stats_qq" -> qStatsQq,
     "q_ts_stl" -> qTsStl,
     "q_events_sliding_distinct" -> qEventsSlidingDistinct,
+    "q_events_sliding_distinct_approx" -> qEventsSlidingDistinctApprox,
     "q_stats_standardize" -> qStatsStandardize,
     "q_feature_split" -> qFeatureSplit,
     "q_corpus_temperature" -> qCorpusTemperature,
