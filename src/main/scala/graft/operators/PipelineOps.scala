@@ -226,7 +226,8 @@ object PipelineOps extends QueryModule {
   /** As-of (event-time window) sink read — the time-travel counterpart of
     * q_read_offset_range's offset pruning: the memoized asof artifact
     * writes events (ts-ordered offsets, 4 routed partitions, flush 1000)
-    * with `statsColumn = tsu` (event-time micros carried in the value), so
+    * with `statsColumns = (tsu, id)` (event-time micros + the value-carried
+    * id), so
     * every commit records per-cell min/max event-time in the sink's
     * `_graft_stats` marker. `readAsOf` then serves a mid-January window by
     * probing ONLY the cells whose recorded range intersects it (exact
@@ -255,7 +256,7 @@ object PipelineOps extends QueryModule {
         col("ts").as("timestamp"))
       graft.streaming.OffsetNamedOrcSink.write(shaped,
         Files.createTempDirectory("graft-asof-").toString,
-        flushSize = 1000, topic = "asof", statsColumn = Some("tsu"))
+        flushSize = 1000, topic = "asof", statsColumns = Seq("tsu", "id"))
     })
 
   private val qReadAsof = GQuery(
@@ -277,26 +278,62 @@ object PipelineOps extends QueryModule {
               AND epoch_us(ts) < 1706000000000000
             GROUP BY 1 ORDER BY etype"""))
 
+  /** readAsOf on the SECOND tracked stats column — the composability the
+    * multi-column `_graft_stats` marker buys (verdict r7 item 3): the same
+    * memoized topic serves an event-time window (q_read_asof, column 1)
+    * AND a value-id window through the identical pruning path, each
+    * predicate qualifying cells by its OWN |mn|mx pair in the per-cell
+    * stats line. The oracle is the id window straight off the source,
+    * pinning second-column as-of ≡ id-filtered scan.
+    */
+  private val qReadAsofMulticol = GQuery(
+    (s, d) => {
+      val dir = asofSinkDir(s, d)
+      graft.streaming.OffsetNamedOrcSink
+        .readAsOf(s, dir, "id", 2500L, 4500L)
+        .groupBy(col("etype"))
+        .agg(count(lit(1)).as("n"), min("id").as("id_lo"),
+          max("id").as("id_hi"), min("tsu").as("ts_lo"),
+          max("tsu").as("ts_hi"))
+        .orderBy("etype")
+    },
+    Some("""SELECT event_type AS etype, CAST(count(*) AS BIGINT) AS n,
+                   min(event_id) AS id_lo, max(event_id) AS id_hi,
+                   min(epoch_us(ts)) AS ts_lo, max(epoch_us(ts)) AS ts_hi
+            FROM events
+            WHERE event_id >= 2500 AND event_id < 4500
+            GROUP BY 1 ORDER BY etype"""))
+
   /** The sink's catalog surface oracled: `OffsetNamedOrcSink.manifest`
     * parses the `_graft_stats` marker into the (partition, chunk,
-    * stats_lo, stats_hi) metadata table — ONE small-file read, no listing
-    * of committed files — and the oracle re-derives every cell's range
-    * from the SOURCE with the same chunking arithmetic (partition =
-    * user_id mod 4, chunk = offset − offset mod flushSize, min/max
-    * epoch-µs). Hash equality proves the commit-time stats describe the
-    * data exactly — the invariant every marker-pruned read (readAsOf /
-    * readRange) silently leans on, now owned by the t2 gate.
+    * stats_col, stats_lo, stats_hi) metadata table — ONE small-file read,
+    * no listing of committed files, one row per (cell, tracked column) —
+    * and the oracle re-derives every cell's BOTH ranges from the SOURCE
+    * with the same chunking arithmetic (partition = user_id mod 4, chunk =
+    * offset − offset mod flushSize, min/max epoch-µs for `tsu` and min/max
+    * event_id for `id`). Hash equality proves the commit-time stats
+    * describe the data exactly for every tracked column — the invariant
+    * every marker-pruned read (readAsOf on either column, readRange)
+    * silently leans on, owned by the t2 gate.
     */
   private val qPipelineManifest = GQuery(
     (s, d) => graft.streaming.OffsetNamedOrcSink
       .manifest(s, asofSinkDir(s, d))
-      .select(col("partition"), col("chunk"), col("stats_lo"), col("stats_hi"))
-      .orderBy("partition", "chunk"),
-    Some("""SELECT CAST(user_id % 4 AS INT) AS partition,
-                   event_id - event_id % 1000 AS chunk,
-                   min(epoch_us(ts)) AS stats_lo,
-                   max(epoch_us(ts)) AS stats_hi
-            FROM events GROUP BY 1, 2 ORDER BY partition, chunk"""))
+      .select(col("partition"), col("chunk"), col("stats_col"),
+        col("stats_lo"), col("stats_hi"))
+      .orderBy("partition", "chunk", "stats_col"),
+    Some("""WITH cells AS (
+              SELECT CAST(user_id % 4 AS INT) AS partition,
+                     event_id - event_id % 1000 AS chunk,
+                     min(epoch_us(ts)) AS tsu_lo, max(epoch_us(ts)) AS tsu_hi,
+                     min(event_id) AS id_lo, max(event_id) AS id_hi
+              FROM events GROUP BY 1, 2)
+            SELECT partition, chunk, 'tsu' AS stats_col,
+                   tsu_lo AS stats_lo, tsu_hi AS stats_hi
+            FROM cells
+            UNION ALL
+            SELECT partition, chunk, 'id', id_lo, id_hi FROM cells
+            ORDER BY partition, chunk, stats_col"""))
 
   /** Schema evolution on READ: two parquet batches of the same logical
     * table written under one root with different physical schemas — the
@@ -998,6 +1035,7 @@ object PipelineOps extends QueryModule {
     "q_fmt_roundtrip" -> qFmtRoundtrip,
     "q_read_offset_range" -> qReadOffsetRange,
     "q_read_asof" -> qReadAsof,
+    "q_read_asof_multicol" -> qReadAsofMulticol,
     "q_pipeline_manifest" -> qPipelineManifest,
     "q_schema_evolution" -> qSchemaEvolution,
     "q_compact_roundtrip" -> qCompactRoundtrip,

@@ -399,8 +399,10 @@ object OffsetNamedOrcSink {
       s3a: Option[S3AConf] = None,
       rotateMs: Option[Long] = None,
       orcOptions: Map[String, String] = Map.empty,
-      statsColumn: Option[String] = None): String = {
+      statsColumns: Seq[String] = Nil): String = {
     require(flushSize > 0, "flush.size must be positive")
+    require(statsColumns.distinct == statsColumns,
+      s"duplicate stats columns: ${statsColumns.mkString(", ")}")
     require(rotateMs.forall(_ > 0), "rotate interval must be positive")
     // Topic values become filesystem path components. Kafka-legal names
     // ([a-zA-Z0-9._-]) can never escape the topics dir, but writeMulti feeds
@@ -421,7 +423,7 @@ object OffsetNamedOrcSink {
       spark.sparkContext.hadoopConfiguration)
 
     validateLayout(layout)
-    ensureConfig(fs, root, flushSize, layout, rotateMs, statsColumn)
+    ensureConfig(fs, root, flushSize, layout, rotateMs, statsColumns)
     val conformed = conformValueSchema(fs, root, df, drift)
 
     val prefixCols: Seq[String] = prefixColsOf(layoutIdOf(layout))
@@ -553,8 +555,8 @@ object OffsetNamedOrcSink {
     // recorded BEFORE the commit so a crash mid-commit leaves stats that
     // describe the post-recovery content — `merged` IS the full new content
     // of every touched cell, so replacing those cells' lines is exact
-    statsColumn.foreach(c =>
-      updateStats(fs, root, merged, partCols, touched, c))
+    if (statsColumns.nonEmpty)
+      updateStats(fs, root, merged, partCols, touched, statsColumns)
     commitOverwrite(spark, fs, root, topicDir, topic, merged, partCols, touched,
       orcOptions)
     topicDir
@@ -627,18 +629,18 @@ object OffsetNamedOrcSink {
       s3a: Option[S3AConf] = None,
       rotateMs: Option[Long] = None,
       orcOptions: Map[String, String] = Map.empty,
-      statsColumn: Option[String] = None): Seq[String] = {
+      statsColumns: Seq[String] = Nil): Seq[String] = {
     val topics = df.select("topic").distinct().collect()
       .map(_.getString(0)).sorted.toSeq
     if (topics.lengthCompare(1) <= 0)
       topics.map(t =>
         write(df, outDir, flushSize, t, layout, drift, s3a, rotateMs,
-          orcOptions, statsColumn))
+          orcOptions, statsColumns))
     else {
       val cached = df.persist()
       try topics.map(t =>
         write(cached.filter(col("topic") === t), outDir, flushSize, t,
-          layout, drift, s3a, rotateMs, orcOptions, statsColumn))
+          layout, drift, s3a, rotateMs, orcOptions, statsColumns))
       finally { cached.unpersist(); () }
     }
   }
@@ -649,13 +651,16 @@ object OffsetNamedOrcSink {
     */
   private def ensureConfig(fs: FileSystem, root: Path, flushSize: Long,
       layout: Layout, rotateMs: Option[Long] = None,
-      statsColumn: Option[String] = None): Unit = {
+      statsColumns: Seq[String] = Nil): Unit = {
     val desc = s"flushSize=$flushSize\nlayout=${layoutIdOf(layout)}" +
       rotateMs.fold("")(ms => s"\nrotate=$ms") +
       // stats coverage is all-or-nothing per topic: a cell missing from the
       // stats marker would be silently excluded by readAsOf, so mixing
-      // stats and no-stats writes must fail fast like a flush.size mismatch
-      statsColumn.fold("")(c => s"\nstats=$c")
+      // stats and no-stats writes must fail fast like a flush.size mismatch.
+      // The comma-joined ORDER is part of the contract — it fixes which
+      // |mn|mx pair in a stats line belongs to which column.
+      (if (statsColumns.isEmpty) ""
+       else s"\nstats=${statsColumns.mkString(",")}")
     val p = new Path(root, ConfigMarker)
     readMarker(fs, p) match {
       case Some(existing) => require(existing == desc,
@@ -997,43 +1002,56 @@ object OffsetNamedOrcSink {
       case None => spark.read // pre-protocol dir: sampled-schema read
     }
 
-  /** Per-cell min/max stats of `statsCol` (an integer-typed emitted
-    * column), merged into the `_graft_stats` marker: one line per committed
-    * cell, `<enc prefix values>|partition|cell|min|max`. Touched cells'
-    * lines are REPLACED (merged is their full new content); an all-null
-    * cell records the always-qualifying sentinel range. One driver collect,
-    * bounded by files-in-this-batch like touchedLeaves.
+  /** Per-cell min/max stats of `statsCols` (integer-typed emitted columns),
+    * merged into the `_graft_stats` marker: one line per committed cell,
+    * `<enc prefix values>|partition|cell|mn1|mx1|mn2|mx2|…` — one |mn|mx
+    * pair per stats column, in the CONFIG-MARKER ORDER (the multi-column
+    * generalization a Delta/Iceberg log keeps, so readAsOf pruning composes
+    * across predicates on different columns). Touched cells' lines are
+    * REPLACED (merged is their full new content); an all-null cell column
+    * records the always-qualifying sentinel range. One driver collect,
+    * bounded by files-in-this-batch like touchedLeaves; adding a column
+    * adds two agg buffers, never a second pass.
     */
   private def updateStats(fs: FileSystem, root: Path, merged: DataFrame,
-      partCols: Seq[String], touched: Seq[Touched], statsCol: String): Unit = {
-    require(merged.columns.contains(statsCol),
-      s"stats column '$statsCol' is not an emitted column " +
-        s"(${merged.columns.mkString(", ")})")
+      partCols: Seq[String], touched: Seq[Touched],
+      statsCols: Seq[String]): Unit = {
+    statsCols.foreach(c => require(merged.columns.contains(c),
+      s"stats column '$c' is not an emitted column " +
+        s"(${merged.columns.mkString(", ")})"))
     val prefixNames = partCols.dropRight(2)
     val keyCols = prefixNames.map(n => col(n).cast("string").as(n)) ++
       Seq(col("partition").cast("int").as("partition"),
         col(ChunkCol).cast("string").as(ChunkCol))
+    val aggCols = statsCols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c).cast("long")).as(s"mn$i"),
+        max(col(c).cast("long")).as(s"mx$i"))
+    }
     val rows = merged
-      .select(keyCols :+ col(statsCol).cast("long").as("_v"): _*)
+      .select(keyCols ++ statsCols.map(col): _*)
       .groupBy((prefixNames :+ "partition" :+ ChunkCol).map(col): _*)
-      .agg(min("_v").as("mn"), max("_v").as("mx"))
+      .agg(aggCols.head, aggCols.tail: _*)
       .collect()
     def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
     val fresh = rows.map { r =>
       val key = (prefixNames.map(n => enc(r.getAs[String](n))) ++
         Seq(r.getAs[Int]("partition").toString,
           r.getAs[String](ChunkCol))).mkString("|")
-      val mn = if (r.isNullAt(r.fieldIndex("mn"))) Long.MinValue
-        else r.getLong(r.fieldIndex("mn"))
-      val mx = if (r.isNullAt(r.fieldIndex("mx"))) Long.MaxValue
-        else r.getLong(r.fieldIndex("mx"))
-      key -> s"$key|$mn|$mx"
+      val ranges = statsCols.indices.flatMap { i =>
+        val mn = if (r.isNullAt(r.fieldIndex(s"mn$i"))) Long.MinValue
+          else r.getLong(r.fieldIndex(s"mn$i"))
+        val mx = if (r.isNullAt(r.fieldIndex(s"mx$i"))) Long.MaxValue
+          else r.getLong(r.fieldIndex(s"mx$i"))
+        Seq(mn.toString, mx.toString)
+      }
+      key -> (key +: ranges).mkString("|")
     }.toMap
+    val nKey = prefixNames.size + 2
     val statsPath = new Path(root, StatsMarker)
     val kept = readMarker(fs, statsPath)
       .map(_.linesIterator.filter(_.nonEmpty).toSeq).getOrElse(Nil)
       .filterNot { l =>
-        fresh.contains(l.split("\\|", -1).dropRight(2).mkString("|"))
+        fresh.contains(l.split("\\|", -1).take(nKey).mkString("|"))
       }
     writeMarker(fs, statsPath,
       (kept ++ fresh.values.toSeq).sorted.mkString("\n"))
@@ -1053,8 +1071,9 @@ object OffsetNamedOrcSink {
       val goneKeys = gone.map(t =>
         (t.prefix.map(p => enc(p._2)) ++
           Seq(t.partition.toString, t.cell)).mkString("|")).toSet
+      val nKey = gone.head.prefix.size + 2
       val kept = text.linesIterator.filter(_.nonEmpty).filterNot { l =>
-        goneKeys(l.split("\\|", -1).dropRight(2).mkString("|"))
+        goneKeys(l.split("\\|", -1).take(nKey).mkString("|"))
       }.toSeq
       writeMarker(fs, statsPath, kept.mkString("\n"))
     }
@@ -1063,13 +1082,13 @@ object OffsetNamedOrcSink {
   /** Time-travel / as-of read by a stats column: rows with
     * `column ∈ [lo, hi)`, touching ONLY the committed files whose recorded
     * min/max range intersects the window. The commit-time `_graft_stats`
-    * marker (written by every `write(statsColumn = ...)` batch) plays the
+    * marker (written by every `write(statsColumns = ...)` batch) plays the
     * role of a Delta log's per-file stats: qualifying cells are probed by
     * their exact committed names — no directory listing of non-qualifying
     * partitions, no footer reads of non-qualifying files. Equals
     * `read().filter(lo <= column < hi)` by construction; falls back to
     * exactly that when the topic has no stats for `column` (legacy dir, or
-    * written without statsColumn — the config marker records which).
+    * written without statsColumns — the config marker records which).
     */
   /** The topic's committed-cell CATALOG as a DataFrame — the queryable face
     * of the `_graft_stats` marker (one row per committed (prefix, partition,
@@ -1090,17 +1109,35 @@ object OffsetNamedOrcSink {
     if (fs.exists(inflight))
       recoverFromMarker(fs, root, root.getName, inflight)
     import spark.implicits._
+    // the config marker names the tracked columns (in line order); a topic
+    // written before the multi-column format has exactly one unnamed pair —
+    // surface it under the recorded single name, or "" for pre-config dirs
+    val statsNames = readMarker(fs, new Path(root, ConfigMarker))
+      .flatMap(statsColsOf).getOrElse(Nil)
     val rows = readMarker(fs, new Path(root, StatsMarker))
-      .map(_.linesIterator.filter(_.nonEmpty).map { l =>
+      .map(_.linesIterator.filter(_.nonEmpty).flatMap { l =>
         val f = l.split("\\|", -1)
-        val nPrefix = f.length - 4
+        val names = if (statsNames.nonEmpty) statsNames else Seq("")
+        val nPrefix = f.length - 2 - 2 * names.size
         val prefix = f.take(nPrefix)
           .map(v => java.net.URLDecoder.decode(v, "UTF-8")).mkString("/")
-        (prefix, f(nPrefix).toInt, f(nPrefix + 1).toLong,
-          f(nPrefix + 2).toLong, f(nPrefix + 3).toLong)
+        names.zipWithIndex.map { case (name, i) =>
+          (prefix, f(nPrefix).toInt, f(nPrefix + 1).toLong, name,
+            f(nPrefix + 2 + 2 * i).toLong, f(nPrefix + 3 + 2 * i).toLong)
+        }
       }.toSeq).getOrElse(Nil)
-    rows.toDF("prefix", "partition", "chunk", "stats_lo", "stats_hi")
+    rows.toDF("prefix", "partition", "chunk", "stats_col",
+      "stats_lo", "stats_hi")
   }
+
+  /** The stats columns recorded in a `_graft_sink.conf` payload (config
+    * order = per-line |mn|mx pair order), empty when the topic tracks none.
+    */
+  private def statsColsOf(desc: String): Option[Seq[String]] =
+    desc.linesIterator.collectFirst {
+      case l if l.startsWith("stats=") =>
+        l.stripPrefix("stats=").split(",", -1).toSeq
+    }
 
   def readAsOf(spark: SparkSession, topicDir: String, column: String,
       lo: Long, hi: Long): DataFrame = {
@@ -1118,14 +1155,19 @@ object OffsetNamedOrcSink {
         readMarker(fs, new Path(root, ConfigMarker))) match {
       case (Some(statsText), Some(desc)) =>
         val (flushSize, layoutId, _) = parseConfig(desc)
-        if (!desc.linesIterator.contains(s"stats=$column")) return fullScan
+        // prune on ANY tracked column — the pair offset inside each line
+        // comes from the column's position in the config list
+        val statsNames = statsColsOf(desc).getOrElse(Nil)
+        val colIdx = statsNames.indexOf(column)
+        if (colIdx < 0) return fullScan
         val prefixNames = prefixColsOf(layoutId)
-        val nFields = prefixNames.size + 4
+        val nFields = prefixNames.size + 2 + 2 * statsNames.size
+        val mnAt = prefixNames.size + 2 + 2 * colIdx
         val lines = statsText.linesIterator.filter(_.nonEmpty)
           .map(_.split("\\|", -1)).toSeq
         if (lines.exists(_.length != nFields)) return fullScan // corrupt: correctness first
         val qual = lines.filter(f =>
-          f(nFields - 1).toLong >= lo && f(nFields - 2).toLong < hi)
+          f(mnAt + 1).toLong >= lo && f(mnAt).toLong < hi)
         val files = qual.flatMap { f =>
           val prefix = prefixNames.zip(f).map { case (n, v) =>
             n -> java.net.URLDecoder.decode(v, "UTF-8") }
@@ -1303,11 +1345,9 @@ object OffsetNamedOrcSink {
       spark.sparkContext.hadoopConfiguration)
     // carry the stats contract: the compacted topic keeps file-skipping
     // metadata if the source tracked it (recomputed below on the new grid)
-    val statsCol = desc.linesIterator.collectFirst {
-      case l if l.startsWith("stats=") => l.stripPrefix("stats=")
-    }
+    val statsCols = statsColsOf(desc).getOrElse(Nil)
     val newDesc = s"flushSize=$targetFlushSize\nlayout=$layoutId" +
-      statsCol.fold("")(c => s"\nstats=$c")
+      (if (statsCols.isEmpty) "" else s"\nstats=${statsCols.mkString(",")}")
     readMarker(newFs, new Path(newRoot, ConfigMarker)) match {
       case Some(existing) => require(existing == newDesc,
         s"compaction target $newTopicDir already committed a different config")
@@ -1324,8 +1364,8 @@ object OffsetNamedOrcSink {
     // content, so a crashed compaction recovers with consistent metadata.
     // orcOptions ride the same path as write() — compaction must not strip
     // the topic's bloom filters.
-    statsCol.filter(flat.columns.contains).foreach(c =>
-      updateStats(newFs, newRoot, flat, partCols, touched, c))
+    if (statsCols.nonEmpty && statsCols.forall(flat.columns.contains))
+      updateStats(newFs, newRoot, flat, partCols, touched, statsCols)
     commitOverwrite(spark, newFs, newRoot, newTopicDir, topic, flat, partCols,
       touched, orcOptions)
     newTopicDir
@@ -1481,10 +1521,8 @@ object OffsetNamedOrcSink {
     // by the skipping metadata (a stale min/max is only a safe
     // over-approximation until then), and the post-commit order means a
     // crash can never leave stats NARROWER than the surviving data
-    desc.linesIterator.collectFirst {
-      case l if l.startsWith("stats=") => l.stripPrefix("stats=")
-    }.foreach { sc =>
-      if (survivors.columns.contains(sc) && liveTouched.nonEmpty)
+    statsColsOf(desc).foreach { sc =>
+      if (sc.forall(survivors.columns.contains) && liveTouched.nonEmpty)
         updateStats(fs, root, survivors, partCols, liveTouched, sc)
       removeStatsLines(fs, root, emptyTouched)
     }

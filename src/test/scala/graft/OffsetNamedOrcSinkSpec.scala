@@ -1104,7 +1104,7 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
       col("ts").as("timestamp"))
     val out = freshOut()
     val topicDir = OffsetNamedOrcSink.write(shaped, out, flushSize = 100,
-      topic = "asof", statsColumn = Some("tsu"))
+      topic = "asof", statsColumns = Seq("tsu"))
     // stats marker exists, one line per committed cell
     assert(new java.io.File(topicDir, "_graft_stats").exists)
     val Array(lo, hi) = ev
@@ -1128,7 +1128,7 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
       hi + 1000000L, hi + 2000000L).count() == 0)
     // rewriting a touched chunk updates its stats line (replay idempotence)
     OffsetNamedOrcSink.write(shaped.filter(col("offset") < 150), out,
-      flushSize = 100, topic = "asof", statsColumn = Some("tsu"))
+      flushSize = 100, topic = "asof", statsColumns = Seq("tsu"))
     val asOf2 = OffsetNamedOrcSink.readAsOf(spark, topicDir, "tsu", mid1, mid2)
     assert(asOf2.count() == full.count())
     // stats coverage is all-or-nothing per topic: a stats-less write to the
@@ -1150,7 +1150,7 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
       col("event_id").as("offset"),
       col("ts").as("timestamp"))
     val topicDir = OffsetNamedOrcSink.write(shaped, freshOut(), flushSize = 100,
-      topic = "man", statsColumn = Some("tsu"))
+      topic = "man", statsColumns = Seq("tsu"))
     val man = OffsetNamedOrcSink.manifest(spark, topicDir)
     // one row per committed (partition, chunk) cell; ranges match the data
     val truth = OffsetNamedOrcSink.read(spark, topicDir)
@@ -1181,7 +1181,7 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
       col("ts").as("timestamp"))
     val out = freshOut()
     val topicDir = OffsetNamedOrcSink.write(shaped, out, flushSize = 100,
-      topic = "asof", statsColumn = Some("tsu"))
+      topic = "asof", statsColumns = Seq("tsu"))
     val Array(lo, hi) = ev
       .agg(unix_micros(min("ts")), unix_micros(max("ts"))).collect()(0) match {
         case r => Array(r.getLong(0), r.getLong(1))
@@ -1205,6 +1205,78 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
       .count() == OffsetNamedOrcSink.read(spark, topicDir).count())
   }
 
+  test("multi-column stats: readAsOf prunes on the second column too") {
+    // the Delta/Iceberg property: per-cell min/max for SEVERAL columns in
+    // one marker line, so window reads prune whichever predicate column the
+    // caller brings — here event-time (tsu) AND the value-carried id.
+    val ev = Tables(spark, sf, "events")
+    val shaped = ev.select(
+      col("user_id").cast("string").cast("binary").as("key"),
+      struct(col("event_id").as("id"), unix_micros(col("ts")).as("tsu"),
+        col("event_type").as("etype")).as("value"),
+      lit("asof").as("topic"),
+      pmod(col("user_id"), lit(4)).cast("int").as("partition"),
+      col("event_id").as("offset"),
+      col("ts").as("timestamp"))
+    val out = freshOut()
+    val topicDir = OffsetNamedOrcSink.write(shaped, out, flushSize = 100,
+      topic = "asof", statsColumns = Seq("tsu", "id"))
+    val allFiles = OffsetNamedOrcSink.read(spark, topicDir).inputFiles.length
+
+    // column 2 (id): a mid-range window must prune files AND equal the
+    // filtered full read
+    val byId = OffsetNamedOrcSink.readAsOf(spark, topicDir, "id", 300L, 500L)
+    val idFull = OffsetNamedOrcSink.read(spark, topicDir)
+      .filter(col("id") >= 300L && col("id") < 500L)
+    assert(byId.count() == idFull.count() && idFull.count() > 0)
+    assert(byId.exceptAll(idFull).count() == 0)
+    assert(byId.inputFiles.length > 0 && byId.inputFiles.length * 2 <= allFiles,
+      s"id-window read ${byId.inputFiles.length} of $allFiles files")
+
+    // column 1 (tsu) still prunes — composing columns costs nothing
+    val Array(lo, hi) = ev
+      .agg(unix_micros(min("ts")), unix_micros(max("ts"))).collect()(0) match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+    val mid1 = lo + (hi - lo) / 3
+    val mid2 = lo + 2 * (hi - lo) / 3
+    val byTs = OffsetNamedOrcSink.readAsOf(spark, topicDir, "tsu", mid1, mid2)
+    val tsFull = OffsetNamedOrcSink.read(spark, topicDir)
+      .filter(col("tsu") >= mid1 && col("tsu") < mid2)
+    assert(byTs.count() == tsFull.count() && tsFull.count() > 0)
+    assert(byTs.inputFiles.length * 2 <= allFiles)
+
+    // an untracked column falls back to the full filtered scan (correctness
+    // first — never a guess from someone else's ranges)
+    val byEtype = OffsetNamedOrcSink.readAsOf(spark, topicDir, "offset",
+      300L, 500L)
+    assert(byEtype.count() ==
+      OffsetNamedOrcSink.read(spark, topicDir)
+        .filter(col("offset") >= 300L && col("offset") < 500L).count())
+
+    // the manifest surfaces one row per (cell, column), tagged by name
+    val man = OffsetNamedOrcSink.manifest(spark, topicDir)
+    val cells = man.select("partition", "chunk").distinct().count()
+    assert(man.count() == cells * 2, "expected one manifest row per column")
+    assert(man.filter(col("stats_col") === "id").count() == cells)
+    // and the id rows carry id ranges, not tsu ranges
+    val idRow = man.filter(col("stats_col") === "id"
+      && col("partition") === 0 && col("chunk") === 0L).collect()(0)
+    assert(idRow.getAs[Long]("stats_lo") >= 0L
+      && idRow.getAs[Long]("stats_hi") < 1000L)
+
+    // replay a touched chunk: both columns' ranges refresh in place
+    OffsetNamedOrcSink.write(shaped.filter(col("offset") < 150), out,
+      flushSize = 100, topic = "asof", statsColumns = Seq("tsu", "id"))
+    assert(OffsetNamedOrcSink.readAsOf(spark, topicDir, "id", 300L, 500L)
+      .count() == idFull.count())
+    // a DIFFERENT column list is a config mismatch, like flush.size
+    intercept[IllegalArgumentException] {
+      OffsetNamedOrcSink.write(shaped, out, flushSize = 100,
+        topic = "asof", statsColumns = Seq("tsu"))
+    }
+  }
+
   test("compactTo carries the stats contract onto the coarser grid") {
     val ev = Tables(spark, sf, "events")
     val shaped = ev.select(
@@ -1216,7 +1288,7 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
       col("event_id").as("offset"),
       col("ts").as("timestamp"))
     val topicDir = OffsetNamedOrcSink.write(shaped, freshOut(), flushSize = 100,
-      topic = "asof", statsColumn = Some("tsu"))
+      topic = "asof", statsColumns = Seq("tsu"))
     val compacted = OffsetNamedOrcSink.compactTo(spark, topicDir,
       freshOut(), 500)
     assert(new java.io.File(compacted, "_graft_stats").exists)
