@@ -2187,6 +2187,155 @@ object AnalyticsOps extends QueryModule {
                         ELSE 'regular' END AS segment
             FROM ranked ORDER BY user_id"""))
 
+  /** Quantile-boundary RFM — the at-scale production path SCALE.md names
+    * for q_events_rfm: past millions of users the three user-cardinality
+    * ntile windows become corpus sorts, so this twin derives each
+    * dimension's QUINTILE BOUNDARIES from the value GRID instead (per-value
+    * counts → two-level prefix sums → b_j = smallest value whose cumulative
+    * count reaches ⌈n·j/5⌉, the exact integer c·5 ≥ n·j comparison — the
+    * funnel_latency order-statistic machinery) and scores every user
+    * against the 12 broadcast boundaries in one codegen'd row pass:
+    * bucket(v) = 1 + Σ_j [v > b_j]. Boundary semantics differ from ntile
+    * BY DESIGN (ties share a bucket instead of splitting on a tie-break) —
+    * the oracle implements the same boundary rule, so the t2 hash pins the
+    * declared semantics, and the exact-ntile twin stays next door for the
+    * small-n audit. Same lifecycle labels as q_events_rfm.
+    *
+    * Scale: one user partial agg + three value-grid aggs with
+    * bucket-partitioned windows (ks economics — no user-corpus sort
+    * anywhere, plan-pinned ntile-free) + three 1-row broadcasts onto a
+    * map-only scoring pass.
+    */
+  private val qEventsRfmBoundaries = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val p = t(s, d, "events").filter(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("day"), cents.as("v"))
+      val anchor = p.agg(max("day").as("anchor"))
+      val perUser = p.groupBy("user_id")
+        .agg(max("day").as("last_day"), count(lit(1L)).as("f_n"),
+          sum("v").as("m_cents"))
+        .crossJoin(broadcast(anchor))
+        .withColumn("r_days",
+          datediff(col("anchor"), col("last_day")).cast("long"))
+        .select("user_id", "r_days", "f_n", "m_cents")
+        // feeds three grid aggs plus the scoring pass — materialize once
+        .localCheckpoint(true)
+      val nRow = perUser.agg(count(lit(1L)).as("n"))
+      // per dimension: value grid → two-level cumulative (bucket offsets
+      // window is bucket-count-sized; in-bucket windows parallelize) →
+      // four conditional-min boundaries in ONE agg → 1-row broadcast
+      def bounds(cn: String, div: Long) = {
+        val grid = perUser.groupBy(cn).agg(count(lit(1L)).as("cnt"))
+          .withColumn("bkt", expr(s"$cn div $div"))
+        val wb = Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val off = grid.groupBy("bkt").agg(sum("cnt").as("t"))
+          .select(col("bkt"), coalesce(sum("t").over(wb), lit(0L)).as("off"))
+        val wv = Window.partitionBy("bkt").orderBy(cn)
+        val cum = grid.join(broadcast(off), "bkt")
+          .select(col(cn).as("v"), (col("off") + sum("cnt").over(wv)).as("c"))
+        val aggs = (1 to 4).map(j =>
+          min(when(col("c") * 5 >= col("n") * j, col("v"))).as(s"${cn}_b$j"))
+        cum.crossJoin(broadcast(nRow)).agg(aggs.head, aggs.tail: _*)
+      }
+      val rb = bounds("r_days", 10L)
+      val fb = bounds("f_n", 10L)
+      val mb = bounds("m_cents", 100000L)
+      def bucket(cn: String) = (1 to 4).map(j =>
+        when(col(cn) > col(s"${cn}_b$j"), 1).otherwise(0)).reduce(_ + _) + 1
+      perUser.crossJoin(broadcast(rb)).crossJoin(broadcast(fb))
+        .crossJoin(broadcast(mb))
+        .withColumn("r_score", (lit(6) - bucket("r_days")).cast("int"))
+        .withColumn("f_score", bucket("f_n").cast("int"))
+        .withColumn("m_score", bucket("m_cents").cast("int"))
+        .select(col("user_id"), col("r_days"), col("f_n"), col("m_cents"),
+          col("r_score"), col("f_score"), col("m_score"),
+          when(col("r_score") >= 4 && col("f_score") >= 4
+              && col("m_score") >= 4, "champion")
+            .when(col("f_score") >= 4, "loyal")
+            .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+            .when(col("r_score") <= 2, "hibernating")
+            .otherwise("regular").as("segment"))
+        .orderBy("user_id")
+    },
+    Some("""WITH p AS (
+              SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+              FROM events WHERE event_type = 'purchase'),
+            a AS (SELECT max(day) AS anchor FROM p),
+            pu AS (
+              SELECT user_id, max(day) AS last_day,
+                     CAST(count(*) AS BIGINT) AS f_n,
+                     CAST(sum(v) AS BIGINT) AS m_cents
+              FROM p GROUP BY 1),
+            su AS (
+              SELECT user_id,
+                     CAST(datediff('day', last_day, anchor) AS BIGINT)
+                       AS r_days,
+                     f_n, m_cents
+              FROM pu CROSS JOIN a),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM su),
+            rcum AS (
+              SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS c
+              FROM (SELECT r_days AS v, CAST(count(*) AS BIGINT) AS cnt
+                    FROM su GROUP BY 1)),
+            rb AS (
+              SELECT min(CASE WHEN c * 5 >= n * 1 THEN v END) AS b1,
+                     min(CASE WHEN c * 5 >= n * 2 THEN v END) AS b2,
+                     min(CASE WHEN c * 5 >= n * 3 THEN v END) AS b3,
+                     min(CASE WHEN c * 5 >= n * 4 THEN v END) AS b4
+              FROM rcum, n),
+            fcum AS (
+              SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS c
+              FROM (SELECT f_n AS v, CAST(count(*) AS BIGINT) AS cnt
+                    FROM su GROUP BY 1)),
+            fb AS (
+              SELECT min(CASE WHEN c * 5 >= n * 1 THEN v END) AS b1,
+                     min(CASE WHEN c * 5 >= n * 2 THEN v END) AS b2,
+                     min(CASE WHEN c * 5 >= n * 3 THEN v END) AS b3,
+                     min(CASE WHEN c * 5 >= n * 4 THEN v END) AS b4
+              FROM fcum, n),
+            mcum AS (
+              SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS c
+              FROM (SELECT m_cents AS v, CAST(count(*) AS BIGINT) AS cnt
+                    FROM su GROUP BY 1)),
+            mb AS (
+              SELECT min(CASE WHEN c * 5 >= n * 1 THEN v END) AS b1,
+                     min(CASE WHEN c * 5 >= n * 2 THEN v END) AS b2,
+                     min(CASE WHEN c * 5 >= n * 3 THEN v END) AS b3,
+                     min(CASE WHEN c * 5 >= n * 4 THEN v END) AS b4
+              FROM mcum, n),
+            sc AS (
+              SELECT su.user_id, su.r_days, su.f_n, su.m_cents,
+                     CAST(6 - (1
+                       + CASE WHEN r_days > rb.b1 THEN 1 ELSE 0 END
+                       + CASE WHEN r_days > rb.b2 THEN 1 ELSE 0 END
+                       + CASE WHEN r_days > rb.b3 THEN 1 ELSE 0 END
+                       + CASE WHEN r_days > rb.b4 THEN 1 ELSE 0 END)
+                       AS INT) AS r_score,
+                     CAST(1
+                       + CASE WHEN f_n > fb.b1 THEN 1 ELSE 0 END
+                       + CASE WHEN f_n > fb.b2 THEN 1 ELSE 0 END
+                       + CASE WHEN f_n > fb.b3 THEN 1 ELSE 0 END
+                       + CASE WHEN f_n > fb.b4 THEN 1 ELSE 0 END
+                       AS INT) AS f_score,
+                     CAST(1
+                       + CASE WHEN m_cents > mb.b1 THEN 1 ELSE 0 END
+                       + CASE WHEN m_cents > mb.b2 THEN 1 ELSE 0 END
+                       + CASE WHEN m_cents > mb.b3 THEN 1 ELSE 0 END
+                       + CASE WHEN m_cents > mb.b4 THEN 1 ELSE 0 END
+                       AS INT) AS m_score
+              FROM su, rb, fb, mb)
+            SELECT user_id, r_days, f_n, m_cents, r_score, f_score, m_score,
+                   CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                          THEN 'champion'
+                        WHEN f_score >= 4 THEN 'loyal'
+                        WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                        WHEN r_score <= 2 THEN 'hibernating'
+                        ELSE 'regular' END AS segment
+            FROM sc ORDER BY user_id"""))
+
   /** Spearman rank correlation between l_quantity and l_extendedprice —
     * the robust (outlier-immune, monotonicity-sensing) companion to the
     * Pearson corrmatrix. ρ = Pearson over the two columns' mid-ranks; the
@@ -6121,6 +6270,7 @@ object AnalyticsOps extends QueryModule {
     "q_ts_snaive" -> qTsSnaive,
     "q_stats_spearman" -> qStatsSpearman,
     "q_events_rfm" -> qEventsRfm,
+    "q_events_rfm_boundaries" -> qEventsRfmBoundaries,
     "q_ts_changepoint" -> qTsChangepoint,
     "q_ts_autocorr" -> qTsAutocorr,
     "q_sample_negatives" -> qSampleNegatives,

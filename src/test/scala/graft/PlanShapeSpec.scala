@@ -531,6 +531,15 @@ class PlanShapeSpec extends SparkSpec {
     val sbWindows = sb.linesIterator.count(_.contains("Window ["))
     assert(sbWindows == 2, s"expected 2 Window nodes, got $sbWindows\n" + sb.take(3000))
     assert(sb.contains("BroadcastExchange"), sb.take(3000))
+    // q_events_rfm_boundaries: the at-scale RFM twin must be ntile-free —
+    // scores come from broadcast grid-derived boundaries, and the only
+    // unpartitioned windows are the bucket-offset prefix sums (bkt-sized);
+    // the in-grid cumulative windows partition on bkt.
+    val rfmb = plan("q_events_rfm_boundaries")
+    assert(!rfmb.contains("ntile"), rfmb.take(3000))
+    assert(rfmb.matches("(?s).*Window \\[[^\\]]*\\], \\[bkt#\\d+L\\].*"),
+      rfmb.take(3000))
+    assert(rfmb.contains("BroadcastExchange"), rfmb.take(3000))
     // q_events_markov: the lag window partitions on user_id — the journey
     // stage never sorts globally.
     val mk = plan("q_events_markov")
