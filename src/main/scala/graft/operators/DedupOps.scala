@@ -931,14 +931,17 @@ object DedupOps extends QueryModule {
     * filter 100·min(n) ≥ 90·max(n); each candidate is then verified with
     * the exact intersection. All comparisons are cross-multiplied integers.
     *
-    * PPJoin's POSITIONAL filter prunes candidates before the dedup shuffle:
-    * both token arrays are sorted by the same global order, so for the
-    * minimal-rank common token at (1-based) positions p_a, p_b the overlap
-    * is at most 1 + min(n_a−p_a, n_b−p_b); a match failing
-    * (1+min)·(100+τ100) ≥ τ100·(n_a+n_b) cannot be that minimal match of a
-    * qualifying pair, and a pair none of whose matches pass has no
-    * qualifying minimal match — prune-only, so the oracle is untouched.
-    * Measured at sf0.1 it cuts candidate-match rows 22.4M → 4.2M (5.4×).
+    * PPJoin's POSITIONAL filter: both token arrays are sorted by the same
+    * global order, so for the minimal-rank common token at (1-based)
+    * positions p_a, p_b the overlap is at most 1 + min(n_a−p_a, n_b−p_b);
+    * a match failing (1+min)·(100+τ100) ≥ τ100·(n_a+n_b) cannot be the
+    * minimal match of a qualifying pair. Here the length AND positional
+    * constraints are encoded INTO the candidate join key (probe-side
+    * (size, position) enumeration — see the inline comment), the suffix
+    * bound prunes pairs after the match agg, and the exact verify is the
+    * fused SortedIntersectCount merge walk. All prune-only: the oracle is
+    * untouched. Measured at sf0.1: match rows 22.4M → 4.2M, wall 8.7 s →
+    * ~4.5-5 s on the worst-case 31-word vocabulary.
     *
     * Scale: the token-rank window runs over the VOCABULARY (|V| ≪ corpus;
     * same single-partition caveat as the unigram side of q_vocab_bigrams),
@@ -952,48 +955,99 @@ object DedupOps extends QueryModule {
   private val SetJoinTau100 = 90
   private val qDedupSetjoin = GQuery(
     (s, d) => {
-      // materialized ONCE: docs feeds the token explode AND both
-      // verification joins, pref both sides of the candidate self-join —
-      // Spark does not share subplans across join sides, so without the
-      // checkpoints the tokenize/rank/prefix chain runs twice and the scan
-      // three times per action (measured 90 s → 27 s at sf0.1). Same
-      // pattern and storage economics as the PageRank edge checkpoint:
+      // Everything downstream of the rank join runs on INTEGER token ranks
+      // (the global frequency order is a bijection of the vocabulary):
+      // candidate keys hash ints, and the exact verify intersects int
+      // arrays instead of string arrays — same values, measured ~2× on the
+      // verify-bound profile. `ranked` is materialized ONCE and feeds the
+      // prefix build AND both verification joins; `pref` feeds both sides
+      // of the candidate self-join — Spark does not share subplans across
+      // join sides, so without the checkpoints the tokenize/rank chain
+      // runs per side (measured 90 s → 27 s at sf0.1 when first added).
+      // Same storage economics as the PageRank edge checkpoint:
       // MEMORY_AND_DISK, spills rather than OOMs at scale.
-      val docs = t(s, d, "documents")
+      val docs0 = t(s, d, "documents")
         .select(col("doc_id"), array_distinct(tokens).as("ts"))
         .withColumn("n", size(col("ts")).cast("long"))
-        .localCheckpoint(true)
-      val tok = docs.select(col("doc_id"), col("n"), explode(col("ts")).as("tok"))
+      val tok = docs0.select(col("doc_id"), col("n"),
+        explode(col("ts")).as("tok"))
       val rank = tok.groupBy("tok").agg(count(lit(1)).as("df"))
         .withColumn("rk",
           row_number().over(Window.orderBy(col("df").asc, col("tok").asc)))
         .select("tok", "rk")
-      val pref = tok.join(broadcast(rank), "tok")
+      val ranked = tok.join(broadcast(rank), "tok")
         .groupBy(col("doc_id"), col("n"))
-        .agg(sort_array(collect_list(struct(col("rk"), col("tok")))).as("st"))
+        .agg(sort_array(collect_list(col("rk"))).as("rts"))
+        .localCheckpoint(true)
+      val pref = ranked
         .withColumn("p",
           (col("n") - expr(s"(n * $SetJoinTau100 + 99) div 100") + 1).cast("int"))
         .select(col("doc_id"), col("n"),
-          posexplode(transform(slice(col("st"), lit(1), col("p")),
-            st => st.getField("tok"))))
-        .select(col("doc_id"), col("n"), (col("pos") + 1).as("pos"),
+          posexplode(slice(col("rts"), lit(1), col("p"))))
+        .select(col("doc_id"), col("n"), (col("pos") + 1).cast("long").as("pos"),
           col("col").as("ptok"))
         .localCheckpoint(true)
-      val cand = pref.select(col("ptok"), col("doc_id").as("doc_a"),
+      // LENGTH- AND POSITION-KEYED candidate join: J ≥ τ forces near-equal
+      // set sizes (100·min ≥ τ100·max) and the positional filter bounds the
+      // partner's match position (overlap ≤ 1 + min(na−pa, nb−pb)), so the
+      // probe side explodes each prefix row to its few admissible
+      // (partner size, partner position) combinations and the join keys on
+      // (ptok, SIZE, POSITION) — length and positional disqualification
+      // happen IN the join key, not as post-filters over the full
+      // token-match product (22.4M → 4.2M match rows at sf0.1; the explode
+      // factor is (sizes ≈ n(1−τ²)/τ) × (positions ≤ nb − mreq ≈ 2),
+      // ~10 on this corpus, against a 5.3× smaller join output).
+      // Integer equivalences: the positional predicate
+      // (1+m)·(100+τ100) ≥ τ100·s (m = min slack, s = na+nb) holds iff
+      // m ≥ mreq = ⌈τ100·s/(100+τ100)⌉ − 1, iff BOTH na−pa ≥ mreq and
+      // nb−pb ≥ mreq — the min splits exactly over the two sides.
+      val probe = pref
+        .withColumn("nb", explode(sequence(
+          expr(s"(n * $SetJoinTau100 + 99) div 100"),
+          expr(s"(n * 100) div $SetJoinTau100"))))
+        .withColumn("mreq", expr(
+          s"((n + nb) * $SetJoinTau100 + ${SetJoinTau100 + 99}) " +
+            s"div ${100 + SetJoinTau100} - 1"))
+        .filter(col("n") - col("pos") >= col("mreq"))
+        .withColumn("pb", explode(when(col("nb") - col("mreq") >= 1,
+          sequence(lit(1L), col("nb") - col("mreq")))
+          .otherwise(array().cast("array<long>"))))
+        .select(col("ptok"), col("nb"), col("pb"), col("doc_id").as("doc_a"),
           col("n").as("na"), col("pos").as("pa"))
-        .join(pref.select(col("ptok"), col("doc_id").as("doc_b"),
-          col("n").as("nb"), col("pos").as("pb")), "ptok")
-        .filter(col("doc_a") < col("doc_b")
-          && least(col("na"), col("nb")) * 100
-             >= greatest(col("na"), col("nb")) * SetJoinTau100
-          && (lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")))
-             * (100 + SetJoinTau100)
-             >= (col("na") + col("nb")) * SetJoinTau100)
-        .select("doc_a", "doc_b", "na", "nb").distinct()
+      val cand = probe
+        .join(pref.select(col("ptok"), col("n").as("nb"),
+          col("doc_id").as("doc_b"), col("pos").as("pb")),
+          Seq("ptok", "nb", "pb"))
+        .filter(col("doc_a") < col("doc_b"))
+        // SUFFIX bound (the PPJoin accumulation): the distinct() this
+        // replaces deduped candidate matches; the same shuffle as a
+        // combine-heavy agg additionally yields, per pair, the number of
+        // common PREFIX tokens o_pp and the LAST match's positions. Both
+        // arrays are sorted by the one global rank order, so any common
+        // token not counted in o_pp ranks above the last match in BOTH
+        // docs (a lower-ranked common token would sit inside both
+        // prefixes and be counted) — total overlap ≤ o_pp +
+        // min(na−pa_max, nb−pb_max). Pairs whose bound cannot reach
+        // ⌈τ·(na+nb)/(1+τ)⌉ never reach the exact verify joins.
+        // Prune-only: the oracle is untouched.
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(count(lit(1L)).as("opp"),
+          max("pa").as("pam"), max("pb").as("pbm"))
+        .filter((col("opp")
+            + least(col("na") - col("pam"), col("nb") - col("pbm")))
+          * (100 + SetJoinTau100)
+          >= (col("na") + col("nb")) * SetJoinTau100)
+        .select("doc_a", "doc_b", "na", "nb")
       cand
-        .join(docs.select(col("doc_id").as("doc_a"), col("ts").as("ts_a")), "doc_a")
-        .join(docs.select(col("doc_id").as("doc_b"), col("ts").as("ts_b")), "doc_b")
-        .withColumn("inter", size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
+        .join(ranked.select(col("doc_id").as("doc_a"), col("rts").as("ts_a")),
+          "doc_a")
+        .join(ranked.select(col("doc_id").as("doc_b"), col("rts").as("ts_b")),
+          "doc_b")
+        // exact verify on the sorted rank arrays: a fused two-pointer merge
+        // count (SortedIntersectCount) — no per-pair hash set or
+        // intermediate array like size(array_intersect(...)) builds
+        .withColumn("inter", graft.functions.VectorExpressions
+          .sortedIntersectCount(col("ts_a"), col("ts_b")))
         .filter(col("inter") * 100 >= (col("na") + col("nb") - col("inter")) * SetJoinTau100)
         .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
           dround(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4)

@@ -233,6 +233,49 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(row.isNullAt(2) && !row.isNullAt(3) && row.getString(3).length == 16)
   }
 
+  test("SortedIntersectCount matches size(array_intersect) on sorted rank arrays") {
+    // the PPJoin verify contract: sorted, duplicate-free int arrays (token
+    // ranks). Parity against the hash-based built-in on every doc pair of a
+    // small slice, plus null-element and codegen checks.
+    import graft.operators.DedupOps
+    val docs = Tables(spark, sf, "documents").limit(40)
+      .select(col("doc_id"),
+        array_distinct(split(lower(col("text")), " ")).as("ts"))
+    val tok = docs.select(col("doc_id"), explode(col("ts")).as("tok"))
+    val rk = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("df").asc, col("tok").asc)))
+      .select("tok", "rk")
+    val ranked = tok.join(rk, "tok").groupBy("doc_id")
+      .agg(sort_array(collect_list(col("rk"))).as("rts"))
+    val pairs = ranked.select(col("doc_id").as("a"), col("rts").as("ra"))
+      .crossJoin(ranked.select(col("doc_id").as("b"), col("rts").as("rb")))
+      .filter(col("a") < col("b"))
+      .select(
+        VectorExpressions.sortedIntersectCount(col("ra"), col("rb")).as("nat"),
+        size(array_intersect(col("ra"), col("rb"))).cast("long").as("ref"))
+    assert(pairs.count() > 0)
+    assert(pairs.filter(col("nat") =!= col("ref")).count() == 0)
+    // null element → null; empty arrays → 0
+    val edge = Seq(
+      (Seq[java.lang.Integer](1, null, 5), Seq[java.lang.Integer](1, 5)),
+      (Seq[java.lang.Integer](), Seq[java.lang.Integer](1)),
+      (Seq[java.lang.Integer](1, 3, 5), Seq[java.lang.Integer](2, 3, 5, 9)))
+      .toDF("a", "b")
+      .select(col("a").cast("array<int>").as("a"),
+        col("b").cast("array<int>").as("b"))
+      .select(VectorExpressions.sortedIntersectCount(col("a"), col("b")).as("c"))
+      .collect()
+    assert(edge(0).isNullAt(0))
+    assert(edge(1).getLong(0) == 0L)
+    assert(edge(2).getLong(0) == 2L)
+    // SQL registration
+    VectorExpressions.register(spark)
+    assert(spark.sql("SELECT graft_sorted_intersect_count(array(1,2,4), array(2,3,4)) AS c")
+      .head.getLong(0) == 2L)
+  }
+
   test("kernels execute inside whole-stage codegen") {
     val emb = Tables(spark, sf, "embeddings")
       .select(col("embedding").cast("array<double>").as("e"))
