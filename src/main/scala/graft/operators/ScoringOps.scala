@@ -478,6 +478,160 @@ object ScoringOps extends QueryModule {
             FROM toks JOIN enc USING (tok)
             GROUP BY doc_id ORDER BY doc_id"""))
 
+  // ------------------------------ unigram-LM (SentencePiece) tokenizer --
+
+  /** Unigram-LM tokenizer training (Kudo 2018, the SentencePiece algorithm
+    * next to BPE — the other mainstream subword trainer): seed a piece
+    * vocabulary from word substrings, Viterbi-segment every distinct word
+    * under the seed log-probabilities (hard-EM E-step), and re-estimate the
+    * piece distribution from the Viterbi counts (M-step) — emitting the
+    * trained (piece, count, log-prob) table.
+    *
+    * Exactness: piece log-probs quantize ONCE to integer milli-nats
+    * (round(ln(cnt/tot)·1000) on identical exact integers — the lm_score /
+    * KN rule), so the Viterbi DP adds integers and the argmax is
+    * hash-stable. The DP encodes (score, piece-length) into one BIGINT
+    * (enc = s·8 + (l−1): Δs ≥ 1 dominates the 0–7 length field), so ties
+    * break to the LONGEST piece identically in both engines (Spark:
+    * array_max over encodings; DuckDB: ORDER BY s DESC, l DESC).
+    * Missing-piece lookups score a −10⁹ sentinel; single characters are
+    * always in the vocabulary, so every word segments.
+    *
+    * Scale (the q_vocab_bpe_apply segment-table economics): EVERYTHING
+    * after the one corpus word-count agg runs on the |distinct words|
+    * table — substring seeding, the 12-step DP fold, the backtrack walk —
+    * never on the corpus; the model rides along as a broadcast map column
+    * (exactly how production tokenizers ship their vocab to workers).
+    * Piece length caps at 4 and words at 12 chars (longer words are
+    * excluded from training, mirrored in the oracle — the SentencePiece
+    * max-sentencepiece-length discipline).
+    */
+  private val qVocabUnigram = GQuery(
+    (s, d) => {
+      val words = t(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "" && length(col("w")) <= 12)
+        .groupBy("w").agg(count(lit(1L)).as("wcnt"))
+        .localCheckpoint(true) // feeds seeding AND the segmentation pass
+      // seed vocabulary: every substring of length 1..4, weighted by word
+      // frequency; all single chars + the top-30 multi-char substrings
+      val subs = words
+        .select(col("w"), col("wcnt"), explode(expr(
+          """flatten(transform(sequence(1, length(w)),
+               i -> transform(sequence(i, least(length(w), i + 3)),
+                 j -> substring(w, i, j - i + 1))))""")).as("piece"))
+        .groupBy("piece").agg(sum("wcnt").as("cnt"))
+      val seed = subs.filter(length(col("piece")) === 1)
+        .unionByName(subs.filter(length(col("piece")) > 1)
+          .orderBy(col("cnt").desc, col("piece").asc).limit(30))
+      val stot = seed.agg(sum("cnt").as("tot"))
+      val model0 = seed.crossJoin(broadcast(stot))
+        .select(col("piece"),
+          round(log(col("cnt").cast("double") / col("tot").cast("double"))
+            * 1000).cast("long").as("lp"))
+      val modelMap = model0.agg(map_from_entries(
+        collect_list(struct(col("piece"), col("lp")))).as("m"))
+      // Viterbi DP as one fold over char positions: es[p+1] encodes
+      // (best score to char p)·8 + (chosen piece length − 1)
+      def ds(x: String) = s"(($x - pmod($x, 8L)) div 8)"
+      def term(l: Int) =
+        s"""IF($l <= i,
+              ${ds(s"element_at(acc, i - $l + 1)")}
+                + coalesce(try_element_at(m, substring(w, i - $l + 1, $l)),
+                    -1000000000L),
+              -1000000000000000L)"""
+      val dpExpr =
+        s"""aggregate(sequence(1, length(w)), array(0L),
+              (acc, i) -> concat(acc, array(array_max(array(
+                ${(1 to 4).map(l => s"${term(l)} * 8 + ${l - 1}").mkString(", ")}
+              )))))"""
+      val btExpr =
+        """aggregate(sequence(1, 12),
+             named_struct('pos', cast(length(w) as bigint),
+                          'ps', cast(array() as array<string>)),
+             (acc, k) -> IF(acc.pos > 0L,
+               named_struct(
+                 'pos', acc.pos - (pmod(element_at(es, cast(acc.pos as int) + 1), 8L) + 1L),
+                 'ps', concat(acc.ps, array(substring(w,
+                   cast(acc.pos - pmod(element_at(es, cast(acc.pos as int) + 1), 8L) as int),
+                   cast(pmod(element_at(es, cast(acc.pos as int) + 1), 8L) + 1L as int))))),
+               acc),
+             acc -> acc.ps)"""
+      val pieces = words.crossJoin(broadcast(modelMap))
+        .withColumn("es", expr(dpExpr))
+        .select(col("w"), col("wcnt"), explode(expr(btExpr)).as("piece"))
+      val pc = pieces.groupBy("piece").agg(sum("wcnt").as("n_viterbi"))
+      val ptot = pc.agg(sum("n_viterbi").as("tot"))
+      pc.crossJoin(broadcast(ptot))
+        .select(col("piece"), col("n_viterbi"),
+          round(log(col("n_viterbi").cast("double") / col("tot").cast("double"))
+            * 1000).cast("long").as("lp_mnat"))
+        .orderBy("piece")
+    },
+    Some("""WITH RECURSIVE words AS (
+              SELECT wd AS w, CAST(count(*) AS BIGINT) AS wcnt
+              FROM (SELECT unnest(string_split(lower(text), ' ')) AS wd
+                    FROM documents)
+              WHERE wd <> '' AND len(wd) <= 12
+              GROUP BY 1),
+            subs AS (
+              SELECT substr(w, i, l) AS piece, CAST(sum(wcnt) AS BIGINT) AS cnt
+              FROM words,
+                   LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) ii,
+                   LATERAL (SELECT unnest([1, 2, 3, 4]) AS l) ll
+              WHERE i + l - 1 <= len(w)
+              GROUP BY 1),
+            seed AS (
+              SELECT piece, cnt FROM subs WHERE len(piece) = 1
+              UNION ALL
+              SELECT piece, cnt FROM (
+                SELECT piece, cnt FROM subs WHERE len(piece) > 1
+                ORDER BY cnt DESC, piece ASC LIMIT 30)),
+            stot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM seed),
+            model AS (
+              SELECT piece,
+                     CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+                       * 1000) AS BIGINT) AS lp
+              FROM seed, stot),
+            wsc AS (
+              SELECT g.w, g.i AS p, g.l, g.i + g.l - 1 AS e,
+                     coalesce(m.lp, -1000000000) AS sc
+              FROM (SELECT w, i, l
+                    FROM words,
+                         LATERAL (SELECT unnest(generate_series(1, len(w)))
+                                    AS i) ii,
+                         LATERAL (SELECT unnest([1, 2, 3, 4]) AS l) ll
+                    WHERE i + l - 1 <= len(w)) g
+              LEFT JOIN model m ON m.piece = substr(g.w, g.i, g.l)),
+            dp AS (
+              SELECT w, wcnt, 0 AS i, [CAST(0 AS BIGINT)] AS dps,
+                     CAST([] AS INT[]) AS ls
+              FROM words
+              UNION ALL
+              SELECT dp.w, dp.wcnt, dp.i + 1,
+                     list_append(dp.dps, best.s), list_append(dp.ls, best.l)
+              FROM dp, LATERAL (
+                SELECT dp.dps[dp.i - x.l + 2] + x.sc AS s, x.l AS l
+                FROM wsc x
+                WHERE x.w = dp.w AND x.e = dp.i + 1
+                ORDER BY s DESC, l DESC LIMIT 1) best
+              WHERE dp.i < len(dp.w)),
+            bt AS (
+              SELECT w, wcnt, CAST(len(w) AS INT) AS pos, ls
+              FROM dp WHERE i = len(w)
+              UNION ALL
+              SELECT w, wcnt, pos - ls[pos], ls FROM bt WHERE pos > 0),
+            pieces AS (
+              SELECT w, wcnt, substr(w, pos - ls[pos] + 1, ls[pos]) AS piece
+              FROM bt WHERE pos > 0),
+            pc AS (SELECT piece, CAST(sum(wcnt) AS BIGINT) AS n_viterbi
+                   FROM pieces GROUP BY 1),
+            ptot AS (SELECT CAST(sum(n_viterbi) AS BIGINT) AS tot FROM pc)
+            SELECT piece, n_viterbi,
+                   CAST(round(ln(CAST(n_viterbi AS DOUBLE)
+                     / CAST(tot AS DOUBLE)) * 1000) AS BIGINT) AS lp_mnat
+            FROM pc, ptot ORDER BY piece"""))
+
   // --------------------------------- DSIR-style importance weighting --
 
   /** Hashed n-gram importance weights for targeted corpus selection (DSIR,
@@ -1318,6 +1472,7 @@ object ScoringOps extends QueryModule {
     "q_vocab_bpe" -> qVocabBpe,
     "q_vocab_bpe_k" -> qVocabBpeK,
     "q_vocab_bpe_apply" -> qVocabBpeApply,
+    "q_vocab_unigram" -> qVocabUnigram,
     "q_sample_importance" -> qSampleImportance,
     "q_events_attribution" -> qEventsAttribution,
     "q_profile_gini" -> qProfileGini)
