@@ -698,6 +698,83 @@ class StreamingSpec extends SparkSpec {
       files.take(3).map(_.getName).mkString(","))
   }
 
+  test("stream-stream join state survives a checkpoint restart (clicks match across the kill)") {
+    // the join-state analogue of the sink's commit-recovery pins: kill the
+    // stream between micro-batches, restart from the SAME checkpoint, and a
+    // purchase arriving AFTER the restart must still match a click buffered
+    // BEFORE it — the watermarked join's state store is part of the
+    // exactly-once contract, not just the source offsets. Final sink
+    // content must equal an uninterrupted run over the same data.
+    import spark.implicits._
+    val srcDir = tmp("graft-ssjrestart-src-")
+    val outA = tmp("graft-ssjrestart-outA-")
+    val outB = tmp("graft-ssjrestart-outB-")
+    val ck = tmp("graft-ssjrestart-ck-")
+    val baseNs = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime * 1000000L
+    def ev(id: Long, minute: Int, uid: Long, etype: String) =
+      (id, baseNs + minute * 60000000000L, uid, etype, 1.0, "{}")
+    // slice A (before the kill): three buffered clicks + one matched pair
+    val sliceA = Seq(
+      ev(0L, 0, 1L, "click"), ev(1L, 5, 2L, "click"), ev(2L, 8, 3L, "click"),
+      ev(3L, 20, 1L, "purchase"))
+    // slice B (after the restart): user 2's purchase must match click 1
+    // from RUN 1's state; user 3's purchase is outside the 30-min window
+    // (no row); user 4 matches entirely within run 2
+    val sliceB = Seq(
+      ev(4L, 25, 2L, "purchase"), ev(5L, 50, 3L, "purchase"),
+      ev(6L, 30, 4L, "click"), ev(7L, 40, 4L, "purchase"))
+    def writeSlice(rows: Seq[(Long, Long, Long, String, Double, String)],
+        mode: String): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(1).write.mode(mode).parquet(srcDir)
+    // joined pairs land through the offset-named sink; offset is a pure
+    // function of the matched records, so a replayed batch re-lands
+    // byte-identically (the sink's idempotence composes with the join)
+    def run(out: String, ckDir: String): Unit = {
+      val shaped = KafkaShaped.streamFromDir(spark, srcDir)
+      val pairs = StreamOps.clickPurchaseJoin(shaped)
+        .select(
+          col("p_uid").cast("string").cast("binary").as("key"),
+          struct(col("p_id").as("id"), col("c_id").as("cid"),
+            col("p_uid").cast("long").as("uid")).as("value"),
+          lit("ssjoin").as("topic"),
+          pmod(col("p_uid"), lit(2)).cast("int").as("partition"),
+          (col("p_id") * 100 + col("c_id")).as("offset"),
+          col("p_ts").as("timestamp"))
+      val q = pairs.writeStream
+        .option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!b.isEmpty) { OffsetNamedOrcSink.write(b, out, 250, topic = "ssjoin") }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    writeSlice(sliceA, "overwrite")
+    run(outA, ck) // run 1, then the "kill" (AvailableNow terminates)
+    val topicA = s"$outA/topics/ssjoin"
+    def pairsIn(topicDir: String): Set[(Long, Long)] =
+      OffsetNamedOrcSink.read(spark, topicDir)
+        .select("id", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+    assert(pairsIn(topicA) == Set((3L, 0L)), pairsIn(topicA).toString)
+    writeSlice(sliceB, "append")
+    run(outA, ck) // restart from the SAME checkpoint
+    // (4, 1) is the recovery pin: the click was buffered before the kill
+    val expected = Set((3L, 0L), (4L, 1L), (7L, 6L))
+    assert(pairsIn(topicA) == expected, pairsIn(topicA).toString)
+    // uninterrupted twin over the same data: identical committed content
+    run(outB, tmp("graft-ssjrestart-ck2-"))
+    val topicB = s"$outB/topics/ssjoin"
+    assert(pairsIn(topicB) == expected, pairsIn(topicB).toString)
+    val a = OffsetNamedOrcSink.read(spark, topicA)
+      .select("offset", "partition", "id", "cid", "uid")
+    val b = OffsetNamedOrcSink.read(spark, topicB)
+      .select("offset", "partition", "id", "cid", "uid")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("stream-static enrichment broadcasts the dimension into each batch") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Int, Long, Int, Double, String)]
