@@ -181,6 +181,143 @@ object MultimodalOps extends QueryModule {
             FROM grouped WHERE doc_id <> keeper_id
             ORDER BY dup_id"""))
 
+  /** Perceptual-hash NEAR-dup of binary payloads — the rung ABOVE exact
+    * (size, md5) dedup (q_multimodal_dedup): a re-encoded / lightly edited
+    * asset changes every byte of a real file but barely moves a perceptual
+    * signature, so near-dup detection hashes CONTENT STRUCTURE. The stub
+    * signature is average-hash (aHash) over the decodeStub pseudo-image:
+    * the first 256 payload bytes as a 16×16 grid, 8×8 blocks of 2×2, bit b
+    * = 1 iff block b's byte sum beats the global mean (exact
+    * cross-multiplied ints: bs·64 > total — no division). A real pipeline
+    * swaps the byte arithmetic for DCT-pHash over decoded pixels; the
+    * banding, candidate join, and Hamming verify are the real plumbing.
+    *
+    * Near-dups are PLANTED: docs with id < 30 re-enter under id+20000 with
+    * the first character uppercased — every md5 differs (exact dedup is
+    * blind) but only one 2×2 block's sum moves, so the aHash Hamming
+    * distance stays ≤ 6 and the pair surfaces.
+    *
+    * Scale (the SimHash/MinHash banding economics): the 64-bit signature
+    * splits into 4×16-bit bands; candidates share a (band-index, value,
+    * size-bucket) key — never all-pairs — and only candidates pay the
+    * 4-popcount Hamming verify. The size bucket rides the key for the same
+    * reason q_multimodal_dedup groups on (md5, size): blobs that differ
+    * grossly in length need no signature comparison at all.
+    */
+  private val qMultimodalPhash = GQuery(
+    (s, d) => {
+      val base = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+      val corpus = base.unionByName(
+        base.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 20000L).as("doc_id"),
+            concat(upper(substring(col("text"), 1, 1)),
+              expr("substring(text, 2)")).as("text")))
+      def byteat(p: String) =
+        s"IF($p <= length(text), ascii(substring(text, $p, 1)), 0L)"
+      val bsExpr =
+        s"""transform(sequence(0, 63), b ->
+              ${byteat("(2 * (b div 8)) * 16 + 2 * pmod(b, 8) + 1")} +
+              ${byteat("(2 * (b div 8)) * 16 + 2 * pmod(b, 8) + 2")} +
+              ${byteat("(2 * (b div 8) + 1) * 16 + 2 * pmod(b, 8) + 1")} +
+              ${byteat("(2 * (b div 8) + 1) * 16 + 2 * pmod(b, 8) + 2")})"""
+      // bs/ts materialize as columns BEFORE the band lambdas reference them
+      // (HOF-capture rule)
+      val sig = corpus
+        .withColumn("bs", expr(bsExpr))
+        .withColumn("ts", expr("aggregate(bs, 0L, (a, x) -> a + x)"))
+        .withColumn("szb", expr("octet_length(text) div 64").cast("long"))
+        .select(col("doc_id") +: col("szb") +: (0 to 3).map(k =>
+          expr(s"""aggregate(sequence(0, 15), 0L, (a, m) ->
+                     a + IF(element_at(bs, ${16 * k} + m + 1) * 64 > ts,
+                           shiftleft(1L, m), 0L))""").as(s"b$k")): _*)
+        .localCheckpoint(true) // feeds the band explode AND both verify sides
+      val bands = sig.select(col("doc_id"), col("szb"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+        .select(col("doc_id"), col("szb"), col("pos").as("k"),
+          col("col").as("band"))
+      val cand = bands.select(col("k"), col("band"), col("szb"),
+          col("doc_id").as("doc_a"))
+        .join(bands.select(col("k"), col("band"), col("szb"),
+          col("doc_id").as("doc_b")), Seq("k", "band", "szb"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      cand
+        .join(sig.select(col("doc_id").as("doc_a"), col("b0").as("a0"),
+          col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("b0").as("c0"),
+          col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3")), "doc_b")
+        .withColumn("hamming",
+          expr("""bit_count(a0 ^ c0) + bit_count(a1 ^ c1)
+                  + bit_count(a2 ^ c2) + bit_count(a3 ^ c3)""").cast("long"))
+        .filter(col("hamming") <= 6)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 20000,
+                     upper(substr(text, 1, 1)) || substr(text, 2)
+              FROM documents WHERE doc_id < 30),
+            blocks AS (
+              SELECT doc_id, b,
+                     CAST(
+                       (CASE WHEN (2*(b//8))*16 + 2*(b%8) + 1 <= len(text)
+                         THEN ord(substr(text, (2*(b//8))*16 + 2*(b%8) + 1, 1))
+                         ELSE 0 END) +
+                       (CASE WHEN (2*(b//8))*16 + 2*(b%8) + 2 <= len(text)
+                         THEN ord(substr(text, (2*(b//8))*16 + 2*(b%8) + 2, 1))
+                         ELSE 0 END) +
+                       (CASE WHEN (2*(b//8)+1)*16 + 2*(b%8) + 1 <= len(text)
+                         THEN ord(substr(text, (2*(b//8)+1)*16 + 2*(b%8) + 1, 1))
+                         ELSE 0 END) +
+                       (CASE WHEN (2*(b//8)+1)*16 + 2*(b%8) + 2 <= len(text)
+                         THEN ord(substr(text, (2*(b//8)+1)*16 + 2*(b%8) + 2, 1))
+                         ELSE 0 END) AS BIGINT) AS bs
+              FROM corpus,
+                   LATERAL (SELECT unnest(generate_series(0, 63)) AS b) bb),
+            tsum AS (
+              SELECT doc_id, CAST(sum(bs) AS BIGINT) AS ts
+              FROM blocks GROUP BY 1),
+            bands AS (
+              SELECT bl.doc_id, CAST(bl.b // 16 AS INT) AS k,
+                     CAST(sum(CASE WHEN bl.bs * 64 > t.ts
+                       THEN 1 << (bl.b % 16) ELSE 0 END) AS BIGINT) AS band
+              FROM blocks bl JOIN tsum t USING (doc_id)
+              GROUP BY 1, 2),
+            sz AS (
+              SELECT doc_id, CAST(octet_length(encode(text)) // 64 AS BIGINT)
+                       AS szb
+              FROM corpus),
+            wide AS (
+              SELECT b.doc_id, s.szb,
+                     max(CASE WHEN k = 0 THEN band END) AS b0,
+                     max(CASE WHEN k = 1 THEN band END) AS b1,
+                     max(CASE WHEN k = 2 THEN band END) AS b2,
+                     max(CASE WHEN k = 3 THEN band END) AS b3
+              FROM bands b JOIN sz s USING (doc_id)
+              GROUP BY 1, 2),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM (SELECT ba.doc_id, ba.k, ba.band, s.szb
+                    FROM bands ba JOIN sz s USING (doc_id)) a
+              JOIN (SELECT ba.doc_id, ba.k, ba.band, s.szb
+                    FROM bands ba JOIN sz s USING (doc_id)) b
+                ON a.k = b.k AND a.band = b.band AND a.szb = b.szb
+                   AND a.doc_id < b.doc_id)
+            SELECT c.doc_a, c.doc_b,
+                   CAST(bit_count(xor(wa.b0, wb.b0))
+                     + bit_count(xor(wa.b1, wb.b1))
+                     + bit_count(xor(wa.b2, wb.b2))
+                     + bit_count(xor(wa.b3, wb.b3)) AS BIGINT) AS hamming
+            FROM cand c
+            JOIN wide wa ON wa.doc_id = c.doc_a
+            JOIN wide wb ON wb.doc_id = c.doc_b
+            WHERE bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+                + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
+                <= 6
+            ORDER BY doc_a, doc_b"""))
+
   /** One patch of the fixed 16×16 pseudo-image grid (ViT preprocessing). */
   final case class PatchFeatures(
       doc_id: Long,
@@ -303,5 +440,6 @@ object MultimodalOps extends QueryModule {
     "q_multimodal_patches" -> qMultimodalPatches,
     "q_multimodal_decode" -> qMultimodalDecode,
     "q_multimodal_frames" -> qMultimodalFrames,
-    "q_multimodal_dedup" -> qMultimodalDedup)
+    "q_multimodal_dedup" -> qMultimodalDedup,
+    "q_multimodal_phash" -> qMultimodalPhash)
 }

@@ -1411,6 +1411,298 @@ object AnalyticsOps extends QueryModule {
                    abs(t_welch) > 1.96 AS significant
             FROM r ORDER BY event_type"""))
 
+  // ---------------------------------------- Wilson proportion interval --
+
+  /** Wilson score interval (95%) for per-type conversion proportions — the
+    * CORRECT small-n/extreme-p binomial CI (the Wald interval ± z√(p̂q̂/n)
+    * collapses to zero width at p̂ ∈ {0,1} and escapes [0,1]; Wilson
+    * inverts the score test instead, Wilson 1927 — what proportion
+    * dashboards should ship): conversion = high-value events (> $100)
+    * within each type. Counts and p̂_ppm are exact integers; the interval
+    * touches fp only in the shared-literal chain (z = 1.96, z² = 3.8416 —
+    * the ndcg shared-constant rule) built with the identical association
+    * tree in both engines, then drounds.
+    *
+    * Scale: one map-side-combinable conditional agg — expectations
+    * economics; everything after is #types rows.
+    */
+  private val qStatsProportionCi = GQuery(
+    (s, d) => {
+      val g = t(s, d, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1L)).as("n"),
+          sum(when(col("value") > 100.0, 1L).otherwise(0L)).as("k"))
+      val nD = col("n").cast("double")
+      val p = col("k").cast("double") / nD
+      val den = lit(1.0) + lit(3.8416) / nD
+      val ctr = p + lit(3.8416) / (lit(2.0) * nD)
+      val half = lit(1.96) * sqrt(p * (lit(1.0) - p) / nD
+        + lit(3.8416) / (lit(4.0) * nD * nD))
+      g.select(col("event_type"), col("n"), col("k"),
+          expr("k * 1000000 div n").as("p_ppm"),
+          dround((ctr - half) / den, 6).as("wilson_lo"),
+          dround((ctr + half) / den, 6).as("wilson_hi"))
+        .orderBy("event_type")
+    },
+    Some("""WITH g AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS k
+              FROM events GROUP BY 1)
+            SELECT event_type, n, k,
+                   CAST(k * 1000000 // n AS BIGINT) AS p_ppm,
+                   CAST(round(CAST(
+                     ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                       + 3.8416 / (2.0 * CAST(n AS DOUBLE)))
+                      - 1.96 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                          / CAST(n AS DOUBLE)
+                        + 3.8416 / (4.0 * CAST(n AS DOUBLE)
+                                        * CAST(n AS DOUBLE))))
+                     / (1.0 + 3.8416 / CAST(n AS DOUBLE))
+                     AS DECIMAL(30,8)), 6) AS DOUBLE) AS wilson_lo,
+                   CAST(round(CAST(
+                     ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                       + 3.8416 / (2.0 * CAST(n AS DOUBLE)))
+                      + 1.96 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                          / CAST(n AS DOUBLE)
+                        + 3.8416 / (4.0 * CAST(n AS DOUBLE)
+                                        * CAST(n AS DOUBLE))))
+                     / (1.0 + 3.8416 / CAST(n AS DOUBLE))
+                     AS DECIMAL(30,8)), 6) AS DOUBLE) AS wilson_hi
+            FROM g ORDER BY event_type"""))
+
+  // ------------------------------------- delta-method ratio metric A/B --
+
+  /** Ratio-metric experiment readout via the DELTA METHOD (Deng/Knight/
+    * Walker, KDD'18 — the experimentation-platform standard): the metric is
+    * revenue per event R = Σx/Σy, a ratio of USER-LEVEL sums, so the naive
+    * per-row variance is wrong (users, not events, are the randomization
+    * unit and numerator/denominator covary). Var(R̂) ≈
+    * (Σ̃x − 2R·Σ̃xy + R²·Σ̃y) / (n·Σy²) with Σ̃ the centered second moments
+    * — the first-order Taylor expansion the method is named for. Completes
+    * the A/B family: abtest (mean metric) → cuped (variance reduction) →
+    * deltamethod (ratio metric).
+    *
+    * Exactness: user rollups are exact cents/counts; all second moments
+    * sum in DECIMAL(38)/HUGEINT (corrmatrix rule); per-arm ratio also
+    * emitted as EXACT integer ppm (decimal `div`), and the summary row's
+    * diff_ppm is an exact integer difference. fp enters only the
+    * se/z chain, built with the identical association tree in both
+    * engines, then drounds — the abtest discipline.
+    *
+    * Scale: one user partial agg + one 2-row arm agg; everything after is
+    * 2 rows. The same shape at any corpus size.
+    */
+  private val qStatsDeltamethod = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val users = t(s, d, "events")
+        .select(col("user_id"),
+          when(col("event_type") === "purchase", cents).otherwise(lit(0L))
+            .as("x"))
+        .groupBy("user_id")
+        .agg(sum("x").as("x"), count(lit(1L)).as("y"))
+      val g = users
+        .withColumn("arm", pmod(col("user_id"), lit(2)).cast("int"))
+        .groupBy("arm")
+        .agg(count(lit(1L)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum((col("x").cast("decimal(38,0)") * col("x"))
+            .cast("decimal(38,0)")).as("sxx"),
+          sum((col("y").cast("decimal(38,0)") * col("y"))
+            .cast("decimal(38,0)")).as("syy"),
+          sum((col("x").cast("decimal(38,0)") * col("y"))
+            .cast("decimal(38,0)")).as("sxy"))
+      def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+      val bigR = dbl(col("sx")) / dbl(col("sy"))
+      val dx = dbl(col("n") * col("sxx")
+        - col("sx").cast("decimal(38,0)") * col("sx"))
+      val dy = dbl(col("n") * col("syy")
+        - col("sy").cast("decimal(38,0)") * col("sy"))
+      val dxy = dbl(col("n") * col("sxy")
+        - col("sx").cast("decimal(38,0)") * col("sy"))
+      val varR = (dx - lit(2.0) * bigR * dxy + bigR * bigR * dy) /
+        dbl(col("n").cast("decimal(38,0)")
+          * col("sy").cast("decimal(38,0)") * col("sy"))
+      val perArm = g.select(col("arm"), col("n"), col("sx"), col("sy"),
+          expr("cast(sx as decimal(38,0)) * 1000000 div sy").as("r_ppm"),
+          dround(sqrt(varR), 6).as("se"), varR.as("_v"))
+        .localCheckpoint(true) // feeds the output AND the 1-row z assembly
+      val za = perArm.filter(col("arm") === 0)
+        .select(col("n").as("n0"), col("sx").as("sx0"), col("sy").as("sy0"),
+          col("r_ppm").as("r0"), col("_v").as("v0"))
+      val zb = perArm.filter(col("arm") === 1)
+        .select(col("n").as("n1"), col("sx").as("sx1"), col("sy").as("sy1"),
+          col("r_ppm").as("r1"), col("_v").as("v1"))
+      val summary = za.crossJoin(zb).select(
+        lit(-1).cast("int").as("arm"), (col("n0") + col("n1")).as("n"),
+        (col("sx0") + col("sx1")).as("sx"), (col("sy0") + col("sy1")).as("sy"),
+        (col("r0") - col("r1")).as("r_ppm"),
+        lit(null).cast("double").as("se"),
+        dround((dbl(col("sx0")) / dbl(col("sy0"))
+          - dbl(col("sx1")) / dbl(col("sy1")))
+          / sqrt(col("v0") + col("v1")), 4).as("z"))
+      perArm.select(col("arm"), col("n"), col("sx"), col("sy"), col("r_ppm"),
+          col("se"), lit(null).cast("double").as("z"))
+        .unionByName(summary)
+        .orderBy("arm")
+    },
+    Some("""WITH users AS (
+              SELECT user_id,
+                     CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+                     CAST(count(*) AS BIGINT) AS y
+              FROM events GROUP BY 1),
+            g AS (
+              SELECT CAST(user_id % 2 AS INT) AS arm,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     sum(CAST(x AS HUGEINT) * x) AS sxx,
+                     sum(CAST(y AS HUGEINT) * y) AS syy,
+                     sum(CAST(x AS HUGEINT) * y) AS sxy
+              FROM users GROUP BY 1),
+            r AS (
+              SELECT arm, n, sx, sy,
+                     CAST(CAST(sx AS HUGEINT) * 1000000 // sy AS BIGINT)
+                       AS r_ppm,
+                     (CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                      - 2 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                          * CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                      + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                          * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                          * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+                     / CAST(CAST(n AS HUGEINT) * CAST(sy AS HUGEINT) * sy
+                            AS DOUBLE) AS v
+              FROM g)
+            SELECT arm, n, sx, sy, r_ppm,
+                   CAST(round(CAST(sqrt(v) AS DECIMAL(30,8)), 6) AS DOUBLE)
+                     AS se,
+                   CAST(NULL AS DOUBLE) AS z
+            FROM r
+            UNION ALL
+            SELECT CAST(-1 AS INT), a.n + b.n, a.sx + b.sx, a.sy + b.sy,
+                   a.r_ppm - b.r_ppm, CAST(NULL AS DOUBLE),
+                   CAST(round(CAST(
+                     (CAST(a.sx AS DOUBLE) / CAST(a.sy AS DOUBLE)
+                      - CAST(b.sx AS DOUBLE) / CAST(b.sy AS DOUBLE))
+                     / sqrt(a.v + b.v) AS DECIMAL(30,8)), 4) AS DOUBLE)
+            FROM r a, r b WHERE a.arm = 0 AND b.arm = 1
+            ORDER BY arm"""))
+
+  // --------------------------------- Benjamini–Hochberg FDR correction --
+
+  /** Benjamini–Hochberg FDR control over the five per-type Welch tests —
+    * the multiple-testing discipline q_stats_abtest's per-type
+    * `significant` bit ignores (five 1.96 cutoffs inflate the family-wise
+    * false-positive rate; BH'95 holds the FALSE DISCOVERY RATE at α
+    * instead): rank the (dround-exact) |t| statistics descending; the
+    * k-th most significant is compared against the z-quantile of
+    * α·k/m two-sided — a SHARED 5-row integer-micro literal table
+    * (2.5758, 2.3263, 2.1701, 2.0537, 1.96 for α=.05, m=5 — the ndcg
+    * shared-constant rule, so no quantile function enters either engine);
+    * reject ranks 1..k* where k* is the LARGEST rank passing its
+    * threshold (the BH step-up, NOT a per-rank test — rank 2 can rescue
+    * rank 3).
+    *
+    * Determinism: ranking keys are the already-drounded t values with
+    * event_type tiebreak; thresholds compare as integer micros. Scale:
+    * abtest's one conditional agg; everything after is m rows.
+    */
+  private val qStatsFdrBh = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      def arm(a: Int, c: org.apache.spark.sql.Column) =
+        sum(when(pmod(col("user_id"), lit(2)) === a, c).otherwise(lit(0L))
+          .cast("decimal(38,0)"))
+      val g = t(s, d, "events")
+        .groupBy("event_type")
+        .agg(
+          sum(when(pmod(col("user_id"), lit(2)) === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(pmod(col("user_id"), lit(2)) === 1, 1L).otherwise(0L)).as("n_b"),
+          arm(0, cents).as("s_a"), arm(1, cents).as("s_b"),
+          arm(0, cents * cents).as("ss_a"), arm(1, cents * cents).as("ss_b"))
+      val va = (col("n_a") * col("ss_a") - col("s_a") * col("s_a")).cast("double") /
+        (col("n_a") * col("n_a") * (col("n_a") - 1)).cast("double")
+      val vb = (col("n_b") * col("ss_b") - col("s_b") * col("s_b")).cast("double") /
+        (col("n_b") * col("n_b") * (col("n_b") - 1)).cast("double")
+      val tstat = (col("s_a").cast("double") / col("n_a")
+        - col("s_b").cast("double") / col("n_b")) / sqrt(va + vb)
+      // explicit round BEFORE the long cast: Spark's double→long cast
+      // truncates while DuckDB's rounds — round() agrees in both
+      val scored = g.select(col("event_type"), dround(tstat, 4).as("t_welch"))
+        .withColumn("abs_t_micro",
+          round(abs(col("t_welch")) * 1000000).cast("long"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("abs_t_micro").desc, col("event_type").asc)))
+      // α·k/m two-sided z-quantiles as integer micros (α=.05, m=5)
+      val thr = Seq(2575800L, 2326300L, 2170100L, 2053700L, 1960000L)
+      val thrCol = array(thr.map(lit): _*)
+      val withThr = scored
+        .withColumn("thr_micro", element_at(thrCol, col("rk")).cast("long"))
+        .withColumn("passes", col("abs_t_micro") >= col("thr_micro"))
+      val kstar = withThr.agg(
+        coalesce(max(when(col("passes"), col("rk"))), lit(0)).as("kstar"))
+      withThr.crossJoin(broadcast(kstar))
+        .select(col("event_type"), col("t_welch"), col("rk").cast("int").as("rk"),
+          col("thr_micro"), col("passes"),
+          (col("rk") <= col("kstar")).as("bh_reject"))
+        .orderBy("rk")
+    },
+    Some("""WITH g AS (
+              SELECT event_type,
+                     CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                     CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                     sum(CASE WHEN user_id % 2 = 0
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS s_a,
+                     sum(CASE WHEN user_id % 2 = 1
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS s_b,
+                     sum(CASE WHEN user_id % 2 = 0
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                            * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS ss_a,
+                     sum(CASE WHEN user_id % 2 = 1
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                            * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS ss_b
+              FROM events GROUP BY 1),
+            sc AS (
+              SELECT event_type,
+                     CAST(round(CAST(
+                       (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+                       / sqrt(CAST(n_a * ss_a - s_a * s_a AS DOUBLE)
+                                / CAST(n_a * n_a * (n_a - 1) AS DOUBLE)
+                              + CAST(n_b * ss_b - s_b * s_b AS DOUBLE)
+                                / CAST(n_b * n_b * (n_b - 1) AS DOUBLE))
+                       AS DECIMAL(30,8)), 4) AS DOUBLE) AS t_welch
+              FROM g),
+            rk AS (
+              SELECT event_type, t_welch,
+                     CAST(round(abs(t_welch) * 1000000) AS BIGINT)
+                       AS abs_t_micro,
+                     row_number() OVER (
+                       ORDER BY CAST(round(abs(t_welch) * 1000000) AS BIGINT)
+                         DESC, event_type ASC) AS rk
+              FROM sc),
+            thr(rk, thr_micro) AS (VALUES
+              (1, 2575800), (2, 2326300), (3, 2170100), (4, 2053700),
+              (5, 1960000)),
+            wt AS (
+              SELECT r.event_type, r.t_welch, CAST(r.rk AS INT) AS rk,
+                     CAST(t.thr_micro AS BIGINT) AS thr_micro,
+                     r.abs_t_micro >= t.thr_micro AS passes
+              FROM rk r JOIN thr t ON t.rk = r.rk),
+            ks AS (
+              SELECT coalesce(max(CASE WHEN passes THEN rk END), 0) AS kstar
+              FROM wt)
+            SELECT event_type, t_welch, rk, thr_micro, passes,
+                   rk <= kstar AS bh_reject
+            FROM wt, ks ORDER BY rk"""))
+
   // ----------------------------------------------- association rules --
 
   /** Market-basket association rules over order baskets (Agrawal's
@@ -6283,6 +6575,9 @@ object AnalyticsOps extends QueryModule {
     "q_stats_ks" -> qStatsKs,
     "q_basket_rules" -> qBasketRules,
     "q_stats_abtest" -> qStatsAbtest,
+    "q_stats_deltamethod" -> qStatsDeltamethod,
+    "q_stats_proportion_ci" -> qStatsProportionCi,
+    "q_stats_fdr_bh" -> qStatsFdrBh,
     "q_profile_entropy" -> qProfileEntropy,
     "q_curriculum" -> qCurriculum,
     "q_events_cdc" -> qEventsCdc,

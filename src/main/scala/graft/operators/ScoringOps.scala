@@ -506,60 +506,68 @@ object ScoringOps extends QueryModule {
     * excluded from training, mirrored in the oracle — the SentencePiece
     * max-sentencepiece-length discipline).
     */
+  /** Word-level Viterbi segmentation under the substring-seeded unigram
+    * model — shared by q_vocab_unigram (train) and q_vocab_unigram_apply
+    * (encode): returns one row per (distinct word, chosen piece).
+    */
+  private def unigramPieces(s: SparkSession, d: String): DataFrame = {
+    val words = t(s, d, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "" && length(col("w")) <= 12)
+      .groupBy("w").agg(count(lit(1L)).as("wcnt"))
+      .localCheckpoint(true) // feeds seeding AND the segmentation pass
+    // seed vocabulary: every substring of length 1..4, weighted by word
+    // frequency; all single chars + the top-30 multi-char substrings
+    val subs = words
+      .select(col("w"), col("wcnt"), explode(expr(
+        """flatten(transform(sequence(1, length(w)),
+             i -> transform(sequence(i, least(length(w), i + 3)),
+               j -> substring(w, i, j - i + 1))))""")).as("piece"))
+      .groupBy("piece").agg(sum("wcnt").as("cnt"))
+    val seed = subs.filter(length(col("piece")) === 1)
+      .unionByName(subs.filter(length(col("piece")) > 1)
+        .orderBy(col("cnt").desc, col("piece").asc).limit(30))
+    val stot = seed.agg(sum("cnt").as("tot"))
+    val model0 = seed.crossJoin(broadcast(stot))
+      .select(col("piece"),
+        round(log(col("cnt").cast("double") / col("tot").cast("double"))
+          * 1000).cast("long").as("lp"))
+    val modelMap = model0.agg(map_from_entries(
+      collect_list(struct(col("piece"), col("lp")))).as("m"))
+    // Viterbi DP as one fold over char positions: es[p+1] encodes
+    // (best score to char p)·8 + (chosen piece length − 1)
+    def ds(x: String) = s"(($x - pmod($x, 8L)) div 8)"
+    def term(l: Int) =
+      s"""IF($l <= i,
+            ${ds(s"element_at(acc, i - $l + 1)")}
+              + coalesce(try_element_at(m, substring(w, i - $l + 1, $l)),
+                  -1000000000L),
+            -1000000000000000L)"""
+    val dpExpr =
+      s"""aggregate(sequence(1, length(w)), array(0L),
+            (acc, i) -> concat(acc, array(array_max(array(
+              ${(1 to 4).map(l => s"${term(l)} * 8 + ${l - 1}").mkString(", ")}
+            )))))"""
+    val btExpr =
+      """aggregate(sequence(1, 12),
+           named_struct('pos', cast(length(w) as bigint),
+                        'ps', cast(array() as array<string>)),
+           (acc, k) -> IF(acc.pos > 0L,
+             named_struct(
+               'pos', acc.pos - (pmod(element_at(es, cast(acc.pos as int) + 1), 8L) + 1L),
+               'ps', concat(acc.ps, array(substring(w,
+                 cast(acc.pos - pmod(element_at(es, cast(acc.pos as int) + 1), 8L) as int),
+                 cast(pmod(element_at(es, cast(acc.pos as int) + 1), 8L) + 1L as int))))),
+             acc),
+           acc -> acc.ps)"""
+    words.crossJoin(broadcast(modelMap))
+      .withColumn("es", expr(dpExpr))
+      .select(col("w"), col("wcnt"), explode(expr(btExpr)).as("piece"))
+  }
+
   private val qVocabUnigram = GQuery(
     (s, d) => {
-      val words = t(s, d, "documents")
-        .select(explode(split(lower(col("text")), " ")).as("w"))
-        .filter(col("w") =!= "" && length(col("w")) <= 12)
-        .groupBy("w").agg(count(lit(1L)).as("wcnt"))
-        .localCheckpoint(true) // feeds seeding AND the segmentation pass
-      // seed vocabulary: every substring of length 1..4, weighted by word
-      // frequency; all single chars + the top-30 multi-char substrings
-      val subs = words
-        .select(col("w"), col("wcnt"), explode(expr(
-          """flatten(transform(sequence(1, length(w)),
-               i -> transform(sequence(i, least(length(w), i + 3)),
-                 j -> substring(w, i, j - i + 1))))""")).as("piece"))
-        .groupBy("piece").agg(sum("wcnt").as("cnt"))
-      val seed = subs.filter(length(col("piece")) === 1)
-        .unionByName(subs.filter(length(col("piece")) > 1)
-          .orderBy(col("cnt").desc, col("piece").asc).limit(30))
-      val stot = seed.agg(sum("cnt").as("tot"))
-      val model0 = seed.crossJoin(broadcast(stot))
-        .select(col("piece"),
-          round(log(col("cnt").cast("double") / col("tot").cast("double"))
-            * 1000).cast("long").as("lp"))
-      val modelMap = model0.agg(map_from_entries(
-        collect_list(struct(col("piece"), col("lp")))).as("m"))
-      // Viterbi DP as one fold over char positions: es[p+1] encodes
-      // (best score to char p)·8 + (chosen piece length − 1)
-      def ds(x: String) = s"(($x - pmod($x, 8L)) div 8)"
-      def term(l: Int) =
-        s"""IF($l <= i,
-              ${ds(s"element_at(acc, i - $l + 1)")}
-                + coalesce(try_element_at(m, substring(w, i - $l + 1, $l)),
-                    -1000000000L),
-              -1000000000000000L)"""
-      val dpExpr =
-        s"""aggregate(sequence(1, length(w)), array(0L),
-              (acc, i) -> concat(acc, array(array_max(array(
-                ${(1 to 4).map(l => s"${term(l)} * 8 + ${l - 1}").mkString(", ")}
-              )))))"""
-      val btExpr =
-        """aggregate(sequence(1, 12),
-             named_struct('pos', cast(length(w) as bigint),
-                          'ps', cast(array() as array<string>)),
-             (acc, k) -> IF(acc.pos > 0L,
-               named_struct(
-                 'pos', acc.pos - (pmod(element_at(es, cast(acc.pos as int) + 1), 8L) + 1L),
-                 'ps', concat(acc.ps, array(substring(w,
-                   cast(acc.pos - pmod(element_at(es, cast(acc.pos as int) + 1), 8L) as int),
-                   cast(pmod(element_at(es, cast(acc.pos as int) + 1), 8L) + 1L as int))))),
-               acc),
-             acc -> acc.ps)"""
-      val pieces = words.crossJoin(broadcast(modelMap))
-        .withColumn("es", expr(dpExpr))
-        .select(col("w"), col("wcnt"), explode(expr(btExpr)).as("piece"))
+      val pieces = unigramPieces(s, d)
       val pc = pieces.groupBy("piece").agg(sum("wcnt").as("n_viterbi"))
       val ptot = pc.agg(sum("n_viterbi").as("tot"))
       pc.crossJoin(broadcast(ptot))
@@ -568,7 +576,54 @@ object ScoringOps extends QueryModule {
             * 1000).cast("long").as("lp_mnat"))
         .orderBy("piece")
     },
-    Some("""WITH RECURSIVE words AS (
+    Some(s"""WITH RECURSIVE $DuckUnigramCtes,
+            pc AS (SELECT piece, CAST(sum(wcnt) AS BIGINT) AS n_viterbi
+                   FROM pieces GROUP BY 1),
+            ptot AS (SELECT CAST(sum(n_viterbi) AS BIGINT) AS tot FROM pc)
+            SELECT piece, n_viterbi,
+                   CAST(round(ln(CAST(n_viterbi AS DOUBLE)
+                     / CAST(tot AS DOUBLE)) * 1000) AS BIGINT) AS lp_mnat
+            FROM pc, ptot ORDER BY piece"""))
+
+  /** ENCODE with the trained unigram tokenizer — the q_vocab_bpe_apply
+    * counterpart for the SentencePiece side: the per-distinct-word Viterbi
+    * segmentation (segment once per word, never per occurrence) collapses
+    * to a (word → piece count) table joined onto the corpus token stream;
+    * per doc: matched word count, unigram symbol count, and symbols per
+    * 100 words. Words over the 12-char training cap are excluded (inner
+    * join — the same discipline as training, mirrored in the oracle).
+    */
+  private val qVocabUnigramApply = GQuery(
+    (s, d) => {
+      val wn = unigramPieces(s, d)
+        .groupBy("w").agg(count(lit(1L)).as("n_sym"))
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .join(wn, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1L)).as("n_words"), sum("n_sym").as("n_uni"))
+        .withColumn("sym_per_100w", expr("n_uni * 100 div n_words"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $DuckUnigramCtes,
+            wn AS (SELECT w, CAST(count(*) AS BIGINT) AS n_sym
+                   FROM pieces GROUP BY 1),
+            toks AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(n_sym) AS BIGINT) AS n_uni,
+                   CAST(sum(n_sym) * 100 // count(*) AS BIGINT) AS sym_per_100w
+            FROM toks JOIN wn USING (w)
+            GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** The DuckDB twin of `unigramPieces`, as a shared CTE chain (everything
+    * from the word counts through the backtracked per-word pieces) —
+    * prefix with `WITH RECURSIVE`.
+    */
+  // lazy: referenced by query vals declared ABOVE this definition —
+  // object-init order would otherwise read it as null
+  private lazy val DuckUnigramCtes = """words AS (
               SELECT wd AS w, CAST(count(*) AS BIGINT) AS wcnt
               FROM (SELECT unnest(string_split(lower(text), ' ')) AS wd
                     FROM documents)
@@ -623,14 +678,7 @@ object ScoringOps extends QueryModule {
               SELECT w, wcnt, pos - ls[pos], ls FROM bt WHERE pos > 0),
             pieces AS (
               SELECT w, wcnt, substr(w, pos - ls[pos] + 1, ls[pos]) AS piece
-              FROM bt WHERE pos > 0),
-            pc AS (SELECT piece, CAST(sum(wcnt) AS BIGINT) AS n_viterbi
-                   FROM pieces GROUP BY 1),
-            ptot AS (SELECT CAST(sum(n_viterbi) AS BIGINT) AS tot FROM pc)
-            SELECT piece, n_viterbi,
-                   CAST(round(ln(CAST(n_viterbi AS DOUBLE)
-                     / CAST(tot AS DOUBLE)) * 1000) AS BIGINT) AS lp_mnat
-            FROM pc, ptot ORDER BY piece"""))
+              FROM bt WHERE pos > 0)"""
 
   // --------------------------------- DSIR-style importance weighting --
 
@@ -1473,6 +1521,7 @@ object ScoringOps extends QueryModule {
     "q_vocab_bpe_k" -> qVocabBpeK,
     "q_vocab_bpe_apply" -> qVocabBpeApply,
     "q_vocab_unigram" -> qVocabUnigram,
+    "q_vocab_unigram_apply" -> qVocabUnigramApply,
     "q_sample_importance" -> qSampleImportance,
     "q_events_attribution" -> qEventsAttribution,
     "q_profile_gini" -> qProfileGini)
