@@ -4281,6 +4281,112 @@ object AnalyticsOps extends QueryModule {
                    CAST(coalesce(x - fc0, 0) AS BIGINT) AS err_cents
             FROM fc ORDER BY day"""))
 
+  // ------------------------------- additive Holt–Winters (triple smoothing) --
+
+  /** Additive Holt–Winters (level + trend + weekly seasonal, α=β=γ=1/4) of
+    * the daily revenue series — the seasonal completion of the smoothing
+    * ladder (ewma: level; holt: +trend; here: +the dow cycle q_ts_stl
+    * showed is real, so holt's forecasts stop lagging the weekend dip).
+    * Init (t ≤ 7): l = m₇ (mean of the first week, integer div), b = 0,
+    * sₜ = xₜ − m₇. Smoothing (t ≥ 8):
+    * lₜ = (xₜ − sₜ₋₇ + 3(lₜ₋₁+bₜ₋₁)) div 4,
+    * bₜ = ((lₜ − lₜ₋₁) + 3bₜ₋₁) div 4,
+    * sₜ = ((xₜ − lₜ) + 3sₜ₋₇) div 4,
+    * fcₜ = lₜ₋₁ + bₜ₋₁ + sₜ₋₇ — all exact BIGINT `div` recurrences
+    * (trend and seasonal go negative, so div ≡ DuckDB `//` truncation, the
+    * holt rule). Emits per day the full state, the one-step forecast, and
+    * its error.
+    *
+    * Scale: ewma/holt economics — one day partial agg, then a
+    * calendar-bounded array fold whose state is (l, b, last-7 seasonal);
+    * per-key Holt–Winters folds each key's bounded series inside
+    * groupBy(key).
+    */
+  private val qTsHoltwinters = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val daily = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), cents.as("v"))
+        .groupBy("day").agg(sum("v").as("x"))
+      val series = daily
+        .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("s"))
+        .select(transform(col("s"), r => r.getField("day")).as("days"),
+          transform(col("s"), r => r.getField("x")).as("xs"))
+        // m7 materializes BEFORE the fold references it (HOF-capture rule)
+        .withColumn("m7", expr(
+          """aggregate(slice(xs, 1, least(7, size(xs))), 0L, (a, x) -> a + x)
+             div least(7, size(xs))"""))
+      def prev(f: String) = s"element_at(acc, -1).$f"
+      val sprev = "element_at(acc, size(acc) - 6).s"
+      val lNew = s"(x - $sprev + 3 * (${prev("l")} + ${prev("b")})) div 4"
+      val folded = series.withColumn("st", expr(
+        s"""aggregate(xs,
+             CAST(array() AS ARRAY<STRUCT<l: BIGINT, b: BIGINT, s: BIGINT,
+                                          fc: BIGINT>>),
+             (acc, x) -> CASE WHEN size(acc) < 7
+               THEN concat(acc, array(named_struct(
+                 'l', m7, 'b', CAST(0 AS BIGINT), 's', x - m7,
+                 'fc', CAST(NULL AS BIGINT))))
+               ELSE concat(acc, array(named_struct(
+                 'l', $lNew,
+                 'b', (($lNew) - ${prev("l")} + 3 * ${prev("b")}) div 4,
+                 's', ((x - ($lNew)) + 3 * $sprev) div 4,
+                 'fc', ${prev("l")} + ${prev("b")} + $sprev)))
+             END)"""))
+      val wLag = Window.orderBy("day")
+      folded
+        .select(posexplode(arrays_zip(col("days"), col("xs"), col("st"))))
+        .select(col("col.days").as("day"), col("col.xs").as("x"),
+          col("col.st.l").as("level_cents"), col("col.st.b").as("trend_cents"),
+          col("col.st.s").as("seas_cents"), col("col.st.fc").as("fc0"))
+        .select(col("day"), col("x"), col("level_cents"), col("trend_cents"),
+          col("seas_cents"), coalesce(col("fc0"), lit(0L)).as("fc_cents"),
+          coalesce(col("x") - col("fc0"), lit(0L)).as("err_cents"))
+        .orderBy("day")
+    },
+    Some("""WITH RECURSIVE daily AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS x
+              FROM events GROUP BY 1),
+            seq AS (
+              SELECT day, x, CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+                       AS rn
+              FROM daily),
+            m AS (
+              SELECT CAST(sum(x) // count(*) AS BIGINT) AS m7
+              FROM seq WHERE rn <= 7),
+            hw AS (
+              SELECT day, x, rn, m7 AS l, CAST(0 AS BIGINT) AS b,
+                     CAST(x - m7 AS BIGINT) AS s, CAST(NULL AS BIGINT) AS fc,
+                     [CAST(x - m7 AS BIGINT)] AS ss
+              FROM seq, m WHERE rn = 1
+              UNION ALL
+              SELECT q.day, q.x, q.rn,
+                     CASE WHEN q.rn <= 7 THEN m.m7
+                       ELSE CAST((q.x - h.ss[q.rn - 7]
+                         + 3 * (h.l + h.b)) // 4 AS BIGINT) END,
+                     CASE WHEN q.rn <= 7 THEN CAST(0 AS BIGINT)
+                       ELSE CAST((((q.x - h.ss[q.rn - 7] + 3 * (h.l + h.b))
+                         // 4) - h.l + 3 * h.b) // 4 AS BIGINT) END,
+                     CASE WHEN q.rn <= 7 THEN CAST(q.x - m.m7 AS BIGINT)
+                       ELSE CAST(((q.x - ((q.x - h.ss[q.rn - 7]
+                         + 3 * (h.l + h.b)) // 4)) + 3 * h.ss[q.rn - 7])
+                         // 4 AS BIGINT) END,
+                     CASE WHEN q.rn <= 7 THEN CAST(NULL AS BIGINT)
+                       ELSE CAST(h.l + h.b + h.ss[q.rn - 7] AS BIGINT) END,
+                     list_append(h.ss,
+                       CASE WHEN q.rn <= 7 THEN CAST(q.x - m.m7 AS BIGINT)
+                         ELSE CAST(((q.x - ((q.x - h.ss[q.rn - 7]
+                           + 3 * (h.l + h.b)) // 4)) + 3 * h.ss[q.rn - 7])
+                           // 4 AS BIGINT) END)
+              FROM seq q JOIN hw h ON q.rn = h.rn + 1, m)
+            SELECT day, x, l AS level_cents, b AS trend_cents,
+                   s AS seas_cents,
+                   CAST(coalesce(fc, 0) AS BIGINT) AS fc_cents,
+                   CAST(coalesce(x - fc, 0) AS BIGINT) AS err_cents
+            FROM hw ORDER BY day"""))
+
   // ------------------------------------------ Kaplan-Meier survival curve --
 
   /** Kaplan–Meier survival estimate of user purchase lifetime (days between
@@ -6539,6 +6645,7 @@ object AnalyticsOps extends QueryModule {
     "q_stats_cuped" -> qStatsCuped,
     "q_survival_km" -> qSurvivalKm,
     "q_ts_holt" -> qTsHolt,
+    "q_ts_holtwinters" -> qTsHoltwinters,
     "q_stats_kruskal" -> qStatsKruskal,
     "q_ts_theilsen" -> qTsTheilsen,
     "q_feature_pit" -> qFeaturePit,
