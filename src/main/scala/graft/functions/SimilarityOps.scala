@@ -90,6 +90,48 @@ object SimilarityOps extends QueryModule {
             SELECT p_id, n_id, CAST(rn AS INT) AS rk, CAST(round(CAST(cos AS DECIMAL(30,8)), 2) AS DOUBLE) AS score
             FROM ranked WHERE rn <= 3 ORDER BY p_id, rk"""))
 
+  /** RADIUS (threshold) similarity search — the other retrieval contract
+    * next to top-k (q_embed_knn): ALL corpus vectors with cosine ≥ θ (= 0.25) of
+    * each probe, the shape dedup thresholding and recall-oriented retrieval
+    * actually ask ("everything this similar", not "the 3 most similar" —
+    * top-k silently truncates dense neighborhoods and pads sparse ones).
+    * θ compares on the dround 1e-6 cosine grid so membership is
+    * engine-exact at the boundary.
+    *
+    * Scale: probes broadcast; the corpus pass is map-only with norms
+    * computed once per side (the q_embed_knn rule); no top-k window at all
+    * — output is bounded by the matches, and at 100 TB the IVF rungs prune
+    * the same query by visiting only buckets whose centroid bound admits θ
+    * (triangle inequality on the coarse quantizer), the q_knn_ivf shape.
+    */
+  private val qKnnRadius = GQuery(
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .withColumn("nrm", norm(col("emb")))
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("p_id"), col("emb").as("p_emb"),
+          col("nrm").as("p_nrm"))
+      emb.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("p_id"))
+        .select(col("p_id"), col("vec_id").as("n_id"),
+          dround(dot(col("p_emb"), col("emb")) / (col("p_nrm") * col("nrm")), 6)
+            .as("cos"))
+        .filter(col("cos") >= 0.25)
+        .orderBy("p_id", "n_id")
+    },
+    Some("""WITH probes AS (
+              SELECT vec_id AS p_id, CAST(embedding AS DOUBLE[]) AS p_emb
+              FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT p_id, e.vec_id AS n_id,
+                     CAST(round(CAST(list_cosine_similarity(p_emb,
+                       CAST(e.embedding AS DOUBLE[])) AS DECIMAL(30,8)), 6)
+                       AS DOUBLE) AS cos
+              FROM probes, embeddings e WHERE e.vec_id <> p_id)
+            SELECT p_id, n_id, cos FROM scored
+            WHERE cos >= 0.25 ORDER BY p_id, n_id"""))
+
   /** Multimodal join: scalar document metadata × embedding vectors, arrays
     * summarized as (dims, rounded L2 norm) to stay hash-comparable.
     */
@@ -1949,6 +1991,7 @@ object SimilarityOps extends QueryModule {
     "q_knn_join" -> qKnnJoin,
     "q_knn_join_recall" -> qKnnJoinRecall,
     "q_embed_knn" -> qEmbedKnn,
+    "q_knn_radius" -> qKnnRadius,
     "q_multimodal_join" -> qMultimodalJoin,
     "q_knn_ivf" -> qKnnIvf,
     "q_knn_ivf_multiprobe" -> qKnnIvfMultiprobe,

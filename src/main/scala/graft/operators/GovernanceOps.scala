@@ -365,6 +365,84 @@ object GovernanceOps extends QueryModule {
                     n_true * 1000 + noise_milli AS released_milli
              FROM nz ORDER BY event_type"""))
 
+  /** ε-DP MEAN release with bounded user contribution — the mechanism rung
+    * above q_privacy_dp's count: a mean's sensitivity is unbounded until
+    * each USER's total contribution is CLAMPED (here to C = 10000 cents),
+    * the step naive "add noise to the average" implementations skip and
+    * the reason DP-SQL engines make contribution bounding explicit. Per
+    * event type: per-user cents totals clamp to [0, C], the clamped SUM
+    * gets Laplace(b = C/ε) noise (ε = 0.5 → b = 20000 cents) via the
+    * engine's hash-seeded replayable draw (the q_privacy_dp idiom —
+    * md5-derived exact rational, mirrored inverse-CDF chain, milli-cent
+    * quantization), and the released mean divides the noisy sum by the
+    * user count. The clamp-hit count is emitted as the utility audit
+    * (how much signal the bound cost); true values ride along ONLY for
+    * the t2 gate.
+    *
+    * Scale: one (type, user) partial agg + one per-type agg; the mechanism
+    * is per-GROUP arithmetic on the ≤ |keys| aggregate — free at any
+    * corpus size, and the per-user rollup is the same pass a contribution-
+    * bounded DP-SQL engine runs.
+    */
+  private val qPrivacyDpMean = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val users = t(s, d, "events")
+        .select(col("event_type"), col("user_id"), cents.as("v"))
+        .groupBy("event_type", "user_id").agg(sum("v").as("uv"))
+      val g = users.groupBy("event_type")
+        .agg(count(lit(1L)).as("n_users"),
+          sum(least(col("uv"), lit(10000L))).as("sum_clamped"),
+          sum(when(col("uv") > 10000L, 1L).otherwise(0L)).as("n_clamped"))
+      val u16 = conv(substring(md5(concat(col("event_type"), lit(":dpm"))),
+        1, 4), 16, 10).cast("long")
+      val dev = abs(u16 * 2 + 1 - 65536L)
+      val mag = lit(-20000.0) *
+        log((lit(131072L) - dev * 2).cast("double") / 131072.0)
+      val noise = when(u16 * 2 + 1 >= 65536L, mag).otherwise(-mag)
+      g.withColumn("noise_milli", round(noise * 1000).cast("long"))
+        .select(col("event_type"), col("n_users"), col("n_clamped"),
+          col("sum_clamped"),
+          expr("sum_clamped * 1000 div n_users").as("mean_true_milli"),
+          col("noise_milli"),
+          expr("(sum_clamped * 1000 + noise_milli) div n_users")
+            .as("mean_released_milli"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH users AS (
+               SELECT event_type, user_id,
+                      CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS BIGINT) AS uv
+               FROM events GROUP BY 1, 2),
+             g AS (
+               SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+                      CAST(sum(least(uv, 10000)) AS BIGINT) AS sum_clamped,
+                      CAST(sum(CASE WHEN uv > 10000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_clamped
+               FROM users GROUP BY 1),
+             u AS (
+               SELECT *, ${DedupOps.duckHex4("md5(event_type || ':dpm')")}
+                        AS u16
+               FROM g),
+             nz AS (
+               SELECT event_type, n_users, n_clamped, sum_clamped,
+                      CAST(round((CASE WHEN u16 * 2 + 1 >= 65536
+                          THEN -20000.0 * ln(CAST(131072
+                            - abs(u16 * 2 + 1 - 65536) * 2
+                            AS DOUBLE) / 131072.0)
+                          ELSE 20000.0 * ln(CAST(131072
+                            - abs(u16 * 2 + 1 - 65536) * 2
+                            AS DOUBLE) / 131072.0) END) * 1000) AS BIGINT)
+                        AS noise_milli
+               FROM u)
+             SELECT event_type, n_users, n_clamped, sum_clamped,
+                    CAST(sum_clamped * 1000 // n_users AS BIGINT)
+                      AS mean_true_milli,
+                    noise_milli,
+                    CAST((sum_clamped * 1000 + noise_milli) // n_users
+                      AS BIGINT) AS mean_released_milli
+             FROM nz ORDER BY event_type"""))
+
   // ------------------------------------------- keyed pseudonymization --
 
   /** Deterministic keyed pseudonymization (GDPR art. 4(5)): user ids are
@@ -639,6 +717,7 @@ object GovernanceOps extends QueryModule {
     "q_privacy_tclose" -> qPrivacyTclose,
     "q_privacy_tokenize" -> qPrivacyTokenize,
     "q_privacy_dp" -> qPrivacyDp,
+    "q_privacy_dp_mean" -> qPrivacyDpMean,
     "q_quality_expectations" -> qQualityExpectations,
     "q_privacy_ldiv" -> qPrivacyLdiv,
     "q_stats_calibration" -> qStatsCalibration,
