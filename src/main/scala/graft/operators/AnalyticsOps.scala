@@ -698,6 +698,55 @@ object AnalyticsOps extends QueryModule {
           FROM documents GROUP BY lang ORDER BY lang"""
     })
 
+  /** PPSWOR — weighted sampling WITHOUT replacement via the exponential
+    * race (Efraimidis–Spirakis 2006), the distributed form of "pick k docs
+    * with probability proportional to size": each doc draws
+    * key = −ln(u)/w (u from its own md5, w = token count) and the k
+    * SMALLEST keys are exactly a PPS sample without replacement — no
+    * sequential urn, no global state, any worker computes its own keys.
+    * Complements q_sample_weighted (independent Bernoulli coins, no size
+    * cap) with the fixed-k, inclusion-∝-weight contract a token-budgeted
+    * corpus draw needs.
+    *
+    * Determinism: u is the engine's hash-seeded exact rational
+    * (2·u16+1)/131072 (the q_privacy_dp idiom — never 0 or 1), the key
+    * quantizes once to nano units through the mirrored ln chain, and
+    * doc_id breaks ties — the sample is replayable and append-stable
+    * (a new doc never changes old keys, only the cut).
+    *
+    * Scale: map-only key computation + TakeOrdered(k) — no shuffle beyond
+    * the per-partition heaps; the same plan at any corpus size.
+    */
+  private val qSamplePpswor = GQuery(
+    (s, d) => {
+      import graft.operators.DedupOps.hex4
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(lower(col("text")), " ")).cast("long").as("w"))
+      val u16 = hex4(concat(col("doc_id").cast("string"), lit(":pps")))
+      val keyNano = round(
+        -log((u16 * 2 + 1).cast("double") / 131072.0)
+          / col("w").cast("double") * 1e9).cast("long")
+      docs.select(col("doc_id"), col("lang"), col("w"),
+          keyNano.as("key_nano"))
+        .orderBy(col("key_nano").asc, col("doc_id").asc)
+        .limit(20)
+    },
+    Some {
+      val h = graft.operators.DedupOps
+        .duckHex4("md5(CAST(doc_id AS VARCHAR) || ':pps')")
+      s"""WITH k AS (
+            SELECT doc_id, lang,
+                   CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS w,
+                   CAST(round(
+                     -ln(CAST(($h) * 2 + 1 AS DOUBLE) / 131072.0)
+                     / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)
+                     * 1e9) AS BIGINT) AS key_nano
+            FROM documents)
+          SELECT doc_id, lang, w, key_nano FROM k
+          ORDER BY key_nano ASC, doc_id ASC LIMIT 20"""
+    })
+
   /** Time-series resampling + forward fill — regularize an irregular event
     * stream onto a per-user hourly grid, carrying the last observation
     * forward into empty cells (LOCF): the feature-pipeline primitive behind
@@ -6695,6 +6744,7 @@ object AnalyticsOps extends QueryModule {
     "q_sample_reservoir" -> qSampleReservoir,
     "q_corpus_budget" -> qCorpusBudget,
     "q_sample_weighted" -> qSampleWeighted,
+    "q_sample_ppswor" -> qSamplePpswor,
     "q_events_resample" -> qEventsResample,
     "q_events_outliers" -> qEventsOutliers,
     "q_series_similarity" -> qSeriesSimilarity,

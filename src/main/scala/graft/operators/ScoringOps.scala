@@ -680,6 +680,145 @@ object ScoringOps extends QueryModule {
               SELECT w, wcnt, substr(w, pos - ls[pos] + 1, ls[pos]) AS piece
               FROM bt WHERE pos > 0)"""
 
+  // ----------------------------------------------- corpus BLEU-4 eval --
+
+  /** Corpus-level BLEU-4 (Papineni et al. 2002) per language — the
+    * machine-generation eval next to the retrieval metrics (MRR/NDCG) and
+    * n-gram overlap: candidate texts are a DETERMINISTIC perturbation of
+    * the references (first token dropped → brevity penalty < 1; every
+    * 7th position replaced by 'xx' → clipped precisions < 1), so the
+    * metric exercises both halves of BLEU without any generated data.
+    * Per (lang, n ≤ 4): clipped matches Σ_g min(c_cand(g), c_ref(g)) and
+    * candidate totals — EXACT integers; the summary row (n = −1) carries
+    * the reference/candidate length sums (the BP inputs) and
+    * BLEU = exp((1 − r/c) + ¼Σ ln pₙ), computed through one mirrored fp
+    * chain and drounded; a zero precision short-circuits to 0.0 (DuckDB
+    * ln(0) errors; real BLEU is 0 there).
+    *
+    * Scale: n-gram counting is the lm_score explode economics (linear ×4
+    * n-orders); the clip join keys on (doc, n, gram) — per-doc bounded;
+    * everything after the (lang, n) agg is 4·|langs| rows.
+    */
+  private val qEvalBleu = GQuery(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          split(lower(col("text")), " ").as("toks"))
+        .filter(size(col("toks")) >= 5)
+        .withColumn("cand", expr(
+          """transform(sequence(2, size(toks)),
+               i -> IF(pmod(i, 7) = 0, 'xx', element_at(toks, i)))"""))
+        .localCheckpoint(true) // feeds both n-gram sides AND the len agg
+      val lens = docs.groupBy("lang")
+        .agg(sum(size(col("toks"))).cast("long").as("r"),
+          sum(size(col("cand"))).cast("long").as("c"))
+      def gramCounts(c: String, cnt: String) = docs
+        .select(col("lang"), col("doc_id"), explode(expr(
+          s"""flatten(transform(array(1, 2, 3, 4),
+                n -> transform(sequence(1, size($c) - n + 1),
+                  i -> named_struct('n', n,
+                    'g', concat_ws(' ', slice($c, i, n))))))""")).as("x"))
+        .select(col("lang"), col("doc_id"), col("x.n").as("n"),
+          col("x.g").as("g"))
+        .groupBy("lang", "doc_id", "n", "g").agg(count(lit(1L)).as(cnt))
+      val refG = gramCounts("toks", "cref")
+      val candG = gramCounts("cand", "ccand")
+      val perN = candG
+        .join(refG, Seq("lang", "doc_id", "n", "g"), "left")
+        .groupBy("lang", "n")
+        .agg(sum(least(col("ccand"), coalesce(col("cref"), lit(0L))))
+          .as("match_n"),
+          sum("ccand").as("total_n"))
+      val wideAggs = (1 to 4).map(k =>
+        sum(when(col("n") === k, col("match_n"))).as(s"m$k")) ++
+        (1 to 4).map(k =>
+          sum(when(col("n") === k, col("total_n"))).as(s"t$k"))
+      val wide = perN.groupBy("lang").agg(wideAggs.head, wideAggs.tail: _*)
+      val bleu = wide.join(lens, "lang").select(col("lang"),
+        lit(-1).cast("int").as("n"), col("r").as("match_n"),
+        col("c").as("total_n"),
+        when((1 to 4).map(k => col(s"m$k") === 0L).reduce(_ || _), lit(0.0))
+          .otherwise(dround(exp(
+            (lit(1.0) - col("r").cast("double") / col("c").cast("double"))
+              + lit(0.25) * ((1 to 4).map(k =>
+                  log(col(s"m$k").cast("double") / col(s"t$k").cast("double")))
+                .reduce(_ + _))), 6)).as("bleu"))
+      perN.select(col("lang"), col("n").cast("int").as("n"), col("match_n"),
+          col("total_n"), lit(null).cast("double").as("bleu"))
+        .unionByName(bleu)
+        .orderBy("lang", "n")
+    },
+    Some("""WITH docs AS (
+              SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+              FROM documents
+              WHERE len(string_split(lower(text), ' ')) >= 5),
+            cd AS (
+              SELECT doc_id, lang, toks,
+                     list_transform(generate_series(2, len(toks)),
+                       i -> CASE WHEN i % 7 = 0 THEN 'xx' ELSE toks[i] END)
+                       AS cand
+              FROM docs),
+            lens AS (
+              SELECT lang, CAST(sum(len(toks)) AS BIGINT) AS r,
+                     CAST(sum(len(cand)) AS BIGINT) AS c
+              FROM cd GROUP BY 1),
+            cdn AS (
+              SELECT cd.*, nn.n
+              FROM cd, (SELECT unnest([1, 2, 3, 4]) AS n) nn),
+            refg AS (
+              SELECT lang, doc_id, n,
+                     array_to_string(toks[i:i+n-1], ' ') AS g,
+                     CAST(count(*) AS BIGINT) AS cref
+              FROM cdn,
+                   LATERAL (SELECT unnest(generate_series(1,
+                     len(cdn.toks) - cdn.n + 1)) AS i) ii
+              GROUP BY 1, 2, 3, 4),
+            candg AS (
+              SELECT lang, doc_id, n,
+                     array_to_string(cand[i:i+n-1], ' ') AS g,
+                     CAST(count(*) AS BIGINT) AS ccand
+              FROM cdn,
+                   LATERAL (SELECT unnest(generate_series(1,
+                     len(cdn.cand) - cdn.n + 1)) AS i) ii
+              GROUP BY 1, 2, 3, 4),
+            pern AS (
+              SELECT c.lang, c.n,
+                     CAST(sum(least(c.ccand, coalesce(r.cref, 0)))
+                       AS BIGINT) AS match_n,
+                     CAST(sum(c.ccand) AS BIGINT) AS total_n
+              FROM candg c LEFT JOIN refg r
+                ON r.lang = c.lang AND r.doc_id = c.doc_id
+                   AND r.n = c.n AND r.g = c.g
+              GROUP BY 1, 2),
+            wide AS (
+              SELECT lang,
+                     max(CASE WHEN n = 1 THEN match_n END) AS m1,
+                     max(CASE WHEN n = 2 THEN match_n END) AS m2,
+                     max(CASE WHEN n = 3 THEN match_n END) AS m3,
+                     max(CASE WHEN n = 4 THEN match_n END) AS m4,
+                     max(CASE WHEN n = 1 THEN total_n END) AS t1,
+                     max(CASE WHEN n = 2 THEN total_n END) AS t2,
+                     max(CASE WHEN n = 3 THEN total_n END) AS t3,
+                     max(CASE WHEN n = 4 THEN total_n END) AS t4
+              FROM pern GROUP BY 1)
+            SELECT lang, CAST(n AS INT) AS n, match_n, total_n,
+                   CAST(NULL AS DOUBLE) AS bleu
+            FROM pern
+            UNION ALL
+            SELECT w.lang, CAST(-1 AS INT), l.r, l.c,
+                   CASE WHEN w.m1 = 0 OR w.m2 = 0 OR w.m3 = 0 OR w.m4 = 0
+                     THEN 0.0
+                     ELSE CAST(round(CAST(exp(
+                       (1.0 - CAST(l.r AS DOUBLE) / CAST(l.c AS DOUBLE))
+                       + 0.25 * (ln(CAST(w.m1 AS DOUBLE)
+                                    / CAST(w.t1 AS DOUBLE))
+                           + ln(CAST(w.m2 AS DOUBLE) / CAST(w.t2 AS DOUBLE))
+                           + ln(CAST(w.m3 AS DOUBLE) / CAST(w.t3 AS DOUBLE))
+                           + ln(CAST(w.m4 AS DOUBLE) / CAST(w.t4 AS DOUBLE))))
+                       AS DECIMAL(30,8)), 6) AS DOUBLE) END
+            FROM wide w JOIN lens l ON l.lang = w.lang
+            ORDER BY lang, n"""))
+
   // --------------------------------- DSIR-style importance weighting --
 
   /** Hashed n-gram importance weights for targeted corpus selection (DSIR,
@@ -1522,6 +1661,7 @@ object ScoringOps extends QueryModule {
     "q_vocab_bpe_apply" -> qVocabBpeApply,
     "q_vocab_unigram" -> qVocabUnigram,
     "q_vocab_unigram_apply" -> qVocabUnigramApply,
+    "q_eval_bleu" -> qEvalBleu,
     "q_sample_importance" -> qSampleImportance,
     "q_events_attribution" -> qEventsAttribution,
     "q_profile_gini" -> qProfileGini)
