@@ -1641,6 +1641,97 @@ object AnalyticsOps extends QueryModule {
             FROM r a, r b WHERE a.arm = 0 AND b.arm = 1
             ORDER BY arm"""))
 
+  // ------------------------------------ mSPRT always-valid sequential test --
+
+  /** Mixture SPRT always-valid p-value (Johari/Pekelis/Walsh — the "peeking
+    * problem" fix modern experimentation platforms ship): a fixed-horizon t
+    * test read daily inflates false positives to ~30%; the mSPRT likelihood
+    * ratio Λ = √(V/(V+τ))·exp(τΔ̂²/(2V(V+τ))) against a N(0, τ) mixture
+    * over effect sizes yields p = min(1, 1/Λ) that is valid at EVERY
+    * interim look. Per event type: Δ̂ = mean_a − mean_b, V = Welch variance
+    * of Δ̂ (the abtest moments), τ = 2500 cents² (a 50-cent prior effect
+    * sd, a shared literal). Emitted as ln Λ (finite always — Λ itself
+    * overflows exp at strong effects; DECIMAL casts of inf throw under
+    * ANSI) plus p = min(1, exp(−ln Λ)), both through one mirrored chain,
+    * and the decision bit on the rounded p.
+    *
+    * Scale: abtest economics — one conditional agg, m rows after.
+    */
+  private val qStatsSequential = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      def arm(a: Int, c: org.apache.spark.sql.Column) =
+        sum(when(pmod(col("user_id"), lit(2)) === a, c).otherwise(lit(0L))
+          .cast("decimal(38,0)"))
+      val g = t(s, d, "events")
+        .groupBy("event_type")
+        .agg(
+          sum(when(pmod(col("user_id"), lit(2)) === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(pmod(col("user_id"), lit(2)) === 1, 1L).otherwise(0L)).as("n_b"),
+          arm(0, cents).as("s_a"), arm(1, cents).as("s_b"),
+          arm(0, cents * cents).as("ss_a"), arm(1, cents * cents).as("ss_b"))
+      val va = (col("n_a") * col("ss_a") - col("s_a") * col("s_a")).cast("double") /
+        (col("n_a") * col("n_a") * (col("n_a") - 1)).cast("double")
+      val vb = (col("n_b") * col("ss_b") - col("s_b") * col("s_b")).cast("double") /
+        (col("n_b") * col("n_b") * (col("n_b") - 1)).cast("double")
+      val delta = col("s_a").cast("double") / col("n_a") -
+        col("s_b").cast("double") / col("n_b")
+      val v = va + vb
+      val tau = lit(2500.0)
+      val lnLambda = lit(0.5) * log(v / (v + tau)) +
+        tau * delta * delta / (lit(2.0) * v * (v + tau))
+      g.select(col("event_type"), col("n_a"), col("n_b"),
+          dround(delta, 4).as("delta_cents"),
+          dround(lnLambda, 4).as("ln_lambda"),
+          dround(least(lit(1.0), exp(-lnLambda)), 6).as("p_always_valid"))
+        .withColumn("reject", col("p_always_valid") < 0.05)
+        .orderBy("event_type")
+    },
+    Some("""WITH g AS (
+              SELECT event_type,
+                     CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                     CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                     sum(CASE WHEN user_id % 2 = 0
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS s_a,
+                     sum(CASE WHEN user_id % 2 = 1
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS s_b,
+                     sum(CASE WHEN user_id % 2 = 0
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                            * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS ss_a,
+                     sum(CASE WHEN user_id % 2 = 1
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                            * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS ss_b
+              FROM events GROUP BY 1),
+            c AS (
+              SELECT event_type, n_a, n_b,
+                     CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b
+                       AS delta,
+                     CAST(n_a * ss_a - s_a * s_a AS DOUBLE)
+                       / CAST(n_a * n_a * (n_a - 1) AS DOUBLE)
+                     + CAST(n_b * ss_b - s_b * s_b AS DOUBLE)
+                       / CAST(n_b * n_b * (n_b - 1) AS DOUBLE) AS v
+              FROM g),
+            l AS (
+              SELECT event_type, n_a, n_b, delta,
+                     0.5 * ln(v / (v + 2500.0))
+                     + 2500.0 * delta * delta / (2.0 * v * (v + 2500.0))
+                       AS lnl
+              FROM c)
+            SELECT event_type, n_a, n_b,
+                   CAST(round(CAST(delta AS DECIMAL(30,8)), 4) AS DOUBLE)
+                     AS delta_cents,
+                   CAST(round(CAST(lnl AS DECIMAL(30,8)), 4) AS DOUBLE)
+                     AS ln_lambda,
+                   CAST(round(CAST(least(1.0, exp(-lnl)) AS DECIMAL(30,8)), 6)
+                     AS DOUBLE) AS p_always_valid,
+                   CAST(round(CAST(least(1.0, exp(-lnl)) AS DECIMAL(30,8)), 6)
+                     AS DOUBLE) < 0.05 AS reject
+            FROM l ORDER BY event_type"""))
+
   // --------------------------------- Benjamini–Hochberg FDR correction --
 
   /** Benjamini–Hochberg FDR control over the five per-type Welch tests —
@@ -6734,6 +6825,7 @@ object AnalyticsOps extends QueryModule {
     "q_stats_deltamethod" -> qStatsDeltamethod,
     "q_stats_proportion_ci" -> qStatsProportionCi,
     "q_stats_fdr_bh" -> qStatsFdrBh,
+    "q_stats_sequential" -> qStatsSequential,
     "q_profile_entropy" -> qProfileEntropy,
     "q_curriculum" -> qCurriculum,
     "q_events_cdc" -> qEventsCdc,
