@@ -208,6 +208,89 @@ object GraphOps extends QueryModule {
                   UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
             GROUP BY 1 ORDER BY user_id"""))
 
+  /** Degree distribution + power-law fit of the co-engagement graph — the
+    * structural readout that tells you WHICH graph algorithms are safe
+    * (heavy-tailed degrees are why triangle counting needs orientation,
+    * k-hop needs caps, and joins on node keys need skew handling; the
+    * fitted log-log slope quantifies the tail before you pay for it).
+    * Over the same c ≥ 28 edge set as the triangle/k-core family: per
+    * degree value, the node count; the summary row fits ln n(deg) against
+    * ln deg with the q_vocab_zipf discipline — each point's ln quantized
+    * ONCE to integer micro-nats, exact BIGINT moment sums, fp only in the
+    * final drounded slope.
+    *
+    * Scale: one degree agg + one degree-GRID histogram agg (≤ max-degree
+    * rows) + a scalar moment agg — the corpus is touched once through the
+    * shared memoized CoGraph build.
+    */
+  private val qGraphDegreeDist = GQuery(
+    (s, d) => {
+      val edges = CoGraph.pairCounts(s, d)
+        .filter(col("c") >= 28)
+        .select("u", "v")
+      val deg = edges.select(col("u").as("x"))
+        .union(edges.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("deg"))
+      val hist = deg.groupBy("deg").agg(count(lit(1L)).as("n_nodes"))
+        .localCheckpoint(true) // feeds the output AND the fit agg
+      val pts = hist.select(
+        round(log(col("deg").cast("double")) * 1e6).cast("long").as("lx"),
+        round(log(col("n_nodes").cast("double")) * 1e6).cast("long").as("ly"))
+      val fit = pts.agg(count(lit(1L)).as("n"),
+          sum("lx").as("sx"), sum("ly").as("sy"),
+          sum(col("lx") * col("ly")).as("sxy"),
+          sum(col("lx") * col("lx")).as("sxx"))
+        .select(lit(-1L).as("deg"), col("n").as("n_nodes"),
+          when(col("n") * col("sxx") - col("sx") * col("sx") > 0,
+            dround((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+              6)).as("slope"))
+      hist.select(col("deg"), col("n_nodes"),
+          lit(null).cast("double").as("slope"))
+        .unionByName(fit)
+        .orderBy("deg")
+    },
+    Some("""WITH ev AS (
+              SELECT DISTINCT event_type,
+                     CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+              FROM events),
+            edges AS (
+              SELECT a.user_id AS u, b.user_id AS v
+              FROM ev a JOIN ev b
+                ON a.event_type = b.event_type AND a.d = b.d
+                   AND a.user_id < b.user_id
+              GROUP BY 1, 2 HAVING count(*) >= 28),
+            deg AS (
+              SELECT x, CAST(count(*) AS BIGINT) AS deg
+              FROM (SELECT u AS x FROM edges UNION ALL SELECT v FROM edges)
+              GROUP BY 1),
+            hist AS (
+              SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+              FROM deg GROUP BY 1),
+            pts AS (
+              SELECT CAST(round(ln(CAST(deg AS DOUBLE)) * 1e6) AS BIGINT)
+                       AS lx,
+                     CAST(round(ln(CAST(n_nodes AS DOUBLE)) * 1e6) AS BIGINT)
+                       AS ly
+              FROM hist),
+            m AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(lx) AS BIGINT) AS sx,
+                     CAST(sum(ly) AS BIGINT) AS sy,
+                     CAST(sum(lx * ly) AS BIGINT) AS sxy,
+                     CAST(sum(lx * lx) AS BIGINT) AS sxx
+              FROM pts)
+            SELECT deg, n_nodes, CAST(NULL AS DOUBLE) AS slope FROM hist
+            UNION ALL
+            SELECT -1, n,
+                   CASE WHEN n * sxx - sx * sx > 0 THEN
+                     CAST(round(CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE)
+                       AS DECIMAL(30,8)), 6) AS DOUBLE)
+                   END
+            FROM m
+            ORDER BY deg"""))
+
   /** k-core decomposition by iterative peel over the same co-engagement
     * graph as the triangle counter (users co-occurring in ≥26
     * (event_type, day) cells): repeatedly drop vertices of degree < 7 and
@@ -909,6 +992,7 @@ object GraphOps extends QueryModule {
     "q_graph_modularity" -> qGraphModularity,
     "q_graph_pagerank" -> qGraphPagerank,
     "q_graph_triangles" -> qGraphTriangles,
+    "q_graph_degree_dist" -> qGraphDegreeDist,
     "q_graph_kcore" -> qGraphKcore,
     "q_graph_bfs" -> qGraphBfs,
     "q_graph_linkpred" -> qGraphLinkpred)
