@@ -1641,6 +1641,91 @@ object AnalyticsOps extends QueryModule {
             FROM r a, r b WHERE a.arm = 0 AND b.arm = 1
             ORDER BY arm"""))
 
+  // -------------------------------------------- bot / automation detection --
+
+  /** Inter-arrival-time bot screen — the behavioral data-quality gate a
+    * training pipeline runs before events feed features (scripted traffic
+    * fires on a timer; humans are bursty): per user with ≥ 5 events, the
+    * coefficient of variation of consecutive event gaps (exact integer
+    * seconds via a user-partitioned lag window — no self-join), flagged
+    * when CV < 0.3 (too regular) with sub-second medians excluded by the
+    * gap floor. Gap moments (n, Σg, Σg²) are exact BIGINTs per user
+    * (corrmatrix rule: fp only in the final sd/mean chain, mirrored +
+    * drounded; the flag compares the ROUNDED cv). Emits the user_id < 50
+    * sample rows plus a corpus summary row (user_id = −1: users screened,
+    * users flagged).
+    *
+    * Scale: sessionize economics — one user-partitioned sort window, O(1)
+    * state per row, then a per-user agg and a 1-row rollup; users
+    * parallelize, hot users take the stop-block cap.
+    */
+  private val qEventsBotDetection = GQuery(
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+      val gaps = t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("ts_sec"))
+        .withColumn("gap", col("ts_sec") - lag("ts_sec", 1).over(w))
+        .filter(col("gap").isNotNull)
+      val perUser = gaps.groupBy("user_id")
+        .agg(count(lit(1L)).as("n_gaps"), sum("gap").as("sg"),
+          sum((col("gap").cast("decimal(38,0)") * col("gap"))
+            .cast("decimal(38,0)")).as("sgg"))
+        .filter(col("n_gaps") >= 4) // ≥5 events
+      val varNum = (col("n_gaps") * col("sgg")
+        - col("sg").cast("decimal(38,0)") * col("sg")).cast("double")
+      val cv = sqrt(varNum
+          / (col("n_gaps") * (col("n_gaps") - 1)).cast("double")) /
+        (col("sg").cast("double") / col("n_gaps").cast("double"))
+      val scored = perUser
+        .filter(col("sg") > 0L) // all-zero gaps: degenerate mean
+        .select(col("user_id"), col("n_gaps"),
+          expr("sg div n_gaps").as("mean_gap_sec"), dround(cv, 4).as("cv"))
+        .withColumn("is_bot", col("cv") < 0.3)
+        .localCheckpoint(true) // feeds the sample AND the rollup
+      val summary = scored.agg(count(lit(1L)).as("n_gaps"),
+          sum(col("is_bot").cast("long")).as("nb"))
+        .select(lit(-1L).as("user_id"), col("n_gaps"),
+          col("nb").as("mean_gap_sec"), lit(null).cast("double").as("cv"),
+          lit(null).cast("boolean").as("is_bot"))
+      scored.filter(col("user_id") < 50)
+        .unionByName(summary)
+        .orderBy("user_id")
+    },
+    Some("""WITH g AS (
+              SELECT user_id,
+                     CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                       - lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT), 1)
+                         OVER (PARTITION BY user_id
+                               ORDER BY CAST(epoch(date_trunc('second', ts))
+                                 AS BIGINT), event_id) AS gap
+              FROM events),
+            pu AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                     CAST(sum(gap) AS BIGINT) AS sg,
+                     sum(CAST(gap AS HUGEINT) * gap) AS sgg
+              FROM g WHERE gap IS NOT NULL GROUP BY 1
+              HAVING count(*) >= 4 AND sum(gap) > 0),
+            sc AS (
+              SELECT user_id, n_gaps,
+                     CAST(sg // n_gaps AS BIGINT) AS mean_gap_sec,
+                     CAST(round(CAST(
+                       sqrt(CAST(n_gaps * sgg - CAST(sg AS HUGEINT) * sg
+                              AS DOUBLE)
+                            / CAST(n_gaps * (n_gaps - 1) AS DOUBLE))
+                       / (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                       AS DECIMAL(30,8)), 4) AS DOUBLE) AS cv
+              FROM pu),
+            sc2 AS (SELECT *, cv < 0.3 AS is_bot FROM sc)
+            SELECT user_id, n_gaps, mean_gap_sec, cv, is_bot
+            FROM sc2 WHERE user_id < 50
+            UNION ALL
+            SELECT -1, CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN is_bot THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
+            FROM sc2
+            ORDER BY user_id"""))
+
   // ------------------------------------ mSPRT always-valid sequential test --
 
   /** Mixture SPRT always-valid p-value (Johari/Pekelis/Walsh — the "peeking
@@ -6826,6 +6911,7 @@ object AnalyticsOps extends QueryModule {
     "q_stats_proportion_ci" -> qStatsProportionCi,
     "q_stats_fdr_bh" -> qStatsFdrBh,
     "q_stats_sequential" -> qStatsSequential,
+    "q_events_bot_detection" -> qEventsBotDetection,
     "q_profile_entropy" -> qProfileEntropy,
     "q_curriculum" -> qCurriculum,
     "q_events_cdc" -> qEventsCdc,
