@@ -656,6 +656,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("round-8 ops: TakeOrdered sampling, keyed near-dup joins, no cartesians") {
+    // q_sample_ppswor: fixed-k weighted sampling must short-circuit via
+    // per-partition heaps — a global sort of the corpus defeats the point
+    val pps = plan("q_sample_ppswor")
+    assert(pps.contains("TakeOrderedAndProject"), pps.take(3000))
+    // q_multimodal_phash: candidates come from an EQUI join on the
+    // (band, size-bucket) key — any cartesian/BNLJ pairing is the
+    // all-pairs blowup the banding exists to avoid
+    val ph = plan("q_multimodal_phash")
+    assert(!ph.contains("CartesianProduct")
+      && !ph.contains("BroadcastNestedLoopJoin"), ph.take(3000))
+    assert(ph.contains("Join"), ph.take(2000))
+    // q_dedup_setjoin: same property after the (ptok, size, pos)-keyed
+    // rewrite — candidate generation stays an equi join
+    val sj = plan("q_dedup_setjoin")
+    assert(!sj.contains("CartesianProduct"), sj.take(3000))
+    // q_vocab_unigram: the corpus-sized stage is ONE exchange (word agg);
+    // the DP fold must not introduce extra corpus shuffles
+    val ug = plan("q_vocab_unigram")
+    assert(ug.contains("HashAggregate"), ug.take(2000))
+  }
+
   test("AQE skew join splits the hot partition (skew=true SMJ)") {
     // q_join_salted proves MANUAL salting; real 100-TB deployments lean on
     // AQE's runtime re-plan first and salt only what it can't fix. Pin that
