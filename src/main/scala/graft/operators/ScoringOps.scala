@@ -680,6 +680,122 @@ object ScoringOps extends QueryModule {
               SELECT w, wcnt, substr(w, pos - ls[pos] + 1, ls[pos]) AS piece
               FROM bt WHERE pos > 0)"""
 
+  // ------------------------------------------ k-fold cross-validation --
+
+  /** 5-fold cross-validated OLS — the model-selection discipline the
+    * single-fit evaluators (q_stats_linreg, q_eval_regression) don't give:
+    * per fold, fit daily-trend OLS (y = event cents, x = epoch-day) on the
+    * OTHER four folds and score RMSE on the held-out fold. Fold membership
+    * is the hash rule (md5 of the unique event_id — append-stable,
+    * engine-portable), and the per-fold TRAIN moments come from ONE pass:
+    * total moments minus the fold's own moments (exact DECIMAL(38)
+    * subtraction — never 5 scans, never a join). fp enters only in the
+    * mirrored (slope, intercept, rmse) chain per fold row; the fold
+    * variance of slope/rmse across rows IS the stability readout.
+    *
+    * Scale: one map-side-combinable 5-row fold agg + a 1-row total
+    * broadcast; everything after is 5 rows. The subtract-the-fold trick is
+    * what makes k-fold free at 100 TB — k passes would cost k scans.
+    */
+  private val qEvalCrossval = GQuery(
+    (s, d) => {
+      import graft.operators.DedupOps.hex4
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val rows = t(s, d, "events").select(
+        pmod(hex4(col("event_id").cast("string")), lit(5)).cast("int")
+          .as("fold"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long").as("x"),
+        cents.as("y"))
+      val byFold = rows.groupBy("fold").agg(
+        count(lit(1L)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("x").cast("decimal(38,0)") * col("y"))
+          .cast("decimal(38,0)")).as("sxy"),
+        sum((col("y").cast("decimal(38,0)") * col("y"))
+          .cast("decimal(38,0)")).as("syy"))
+      val tot = byFold.agg(sum("n").as("tn"), sum("sx").as("tsx"),
+        sum("sy").as("tsy"), sum("sxx").as("tsxx"), sum("sxy").as("tsxy"),
+        sum("syy").as("tsyy"))
+      // train moments = total − fold (exact decimals)
+      val j = byFold.crossJoin(broadcast(tot)).select(col("fold"),
+        col("n").as("n_test"), col("sx"), col("sy"), col("sxx"),
+        col("sxy"), col("syy"),
+        (col("tn") - col("n")).as("m"),
+        (col("tsx") - col("sx")).as("mx"), (col("tsy") - col("sy")).as("my"),
+        (col("tsxx") - col("sxx")).as("mxx"),
+        (col("tsxy") - col("sxy")).as("mxy"))
+      def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+      val b = dbl(col("m") * col("mxy")
+          - col("mx").cast("decimal(38,0)") * col("my")) /
+        dbl(col("m") * col("mxx")
+          - col("mx").cast("decimal(38,0)") * col("mx"))
+      val a = (dbl(col("my")) - b * dbl(col("mx"))) / dbl(col("m"))
+      // test RMSE² = (Σy² − 2aΣy − 2bΣxy + 2abΣx + a²n + b²Σx²)/n
+      val sse = dbl(col("syy")) - lit(2.0) * a * dbl(col("sy")) -
+        lit(2.0) * b * dbl(col("sxy")) + lit(2.0) * a * b * dbl(col("sx")) +
+        a * a * dbl(col("n_test")) + b * b * dbl(col("sxx"))
+      j.select(col("fold"), col("m").cast("long").as("n_train"),
+          col("n_test"), dround(b, 6).as("slope"),
+          dround(a, 4).as("intercept_cents"),
+          dround(sqrt(sse / dbl(col("n_test"))), 4).as("rmse_cents"))
+        .orderBy("fold")
+    },
+    Some {
+      val h = graft.operators.DedupOps
+        .duckHex4("md5(CAST(event_id AS VARCHAR))")
+      s"""WITH rows_ AS (
+            SELECT CAST(($h) % 5 AS INT) AS fold,
+                   CAST(date_diff('day', DATE '2024-01-01',
+                     CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+            FROM events),
+          bf AS (
+            SELECT fold, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx,
+                   sum(CAST(x AS HUGEINT) * y) AS sxy,
+                   sum(CAST(y AS HUGEINT) * y) AS syy
+            FROM rows_ GROUP BY 1),
+          tot AS (
+            SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(sx) AS BIGINT)
+                     AS tsx,
+                   CAST(sum(sy) AS BIGINT) AS tsy, sum(sxx) AS tsxx,
+                   sum(sxy) AS tsxy, sum(syy) AS tsyy
+            FROM bf),
+          j AS (
+            SELECT fold, n AS n_test, sx, sy, sxx, sxy, syy,
+                   tn - n AS m, tsx - sx AS mx, tsy - sy AS my,
+                   tsxx - sxx AS mxx, tsxy - sxy AS mxy
+            FROM bf, tot),
+          f AS (
+            SELECT fold, m, n_test, sx, sy, sxx, sxy, syy,
+                   CAST(m * mxy - CAST(mx AS HUGEINT) * my AS DOUBLE)
+                     / CAST(m * mxx - CAST(mx AS HUGEINT) * mx AS DOUBLE)
+                     AS b,
+                   mx, my
+            FROM j),
+          f2 AS (
+            SELECT fold, m, n_test, sx, sy, sxx, sxy, syy, b,
+                   (CAST(my AS DOUBLE) - b * CAST(mx AS DOUBLE))
+                     / CAST(m AS DOUBLE) AS a
+            FROM f)
+          SELECT fold, CAST(m AS BIGINT) AS n_train, n_test,
+                 CAST(round(CAST(b AS DECIMAL(30,8)), 6) AS DOUBLE) AS slope,
+                 CAST(round(CAST(a AS DECIMAL(30,8)), 4) AS DOUBLE)
+                   AS intercept_cents,
+                 CAST(round(CAST(sqrt(
+                   (CAST(syy AS DOUBLE) - 2.0 * a * CAST(sy AS DOUBLE)
+                    - 2.0 * b * CAST(sxy AS DOUBLE)
+                    + 2.0 * a * b * CAST(sx AS DOUBLE)
+                    + a * a * CAST(n_test AS DOUBLE)
+                    + b * b * CAST(sxx AS DOUBLE))
+                   / CAST(n_test AS DOUBLE)) AS DECIMAL(30,8)), 4)
+                   AS DOUBLE) AS rmse_cents
+          FROM f2 ORDER BY fold"""
+    })
+
   // ----------------------------------------------- corpus BLEU-4 eval --
 
   /** Corpus-level BLEU-4 (Papineni et al. 2002) per language — the
@@ -1662,6 +1778,7 @@ object ScoringOps extends QueryModule {
     "q_vocab_unigram" -> qVocabUnigram,
     "q_vocab_unigram_apply" -> qVocabUnigramApply,
     "q_eval_bleu" -> qEvalBleu,
+    "q_eval_crossval" -> qEvalCrossval,
     "q_sample_importance" -> qSampleImportance,
     "q_events_attribution" -> qEventsAttribution,
     "q_profile_gini" -> qProfileGini)
