@@ -935,6 +935,71 @@ object ScoringOps extends QueryModule {
             FROM wide w JOIN lens l ON l.lang = w.lang
             ORDER BY lang, n"""))
 
+  // -------------------------------------------------- ROUGE-L LCS eval --
+
+  /** ROUGE-L (Lin 2004) per language over the same perturbed candidates as
+    * q_eval_bleu — the LONGEST-COMMON-SUBSEQUENCE eval that rewards
+    * in-order coverage where BLEU rewards local n-gram precision. The
+    * Spark side runs the REAL row-DP (a nested fold: outer over candidate
+    * tokens, inner building each row with the prev-row/left-cell
+    * recurrence — the general operator, usable on any pair set); the
+    * oracle pins it through the PLANTED perturbation's provable closed
+    * form: substituted 'xx' tokens match nothing in this corpus, and the
+    * surviving candidate tokens are already an in-order subsequence of
+    * the reference, so LCS = (m−1) − ⌊m/7⌋ exactly — the gate checks the
+    * DP against independent arithmetic, not a mirror of itself (the
+    * q_stats_ks oracle rule). ROUGE-L F1 collapses to the EXACT rational
+    * 2·LCS/(m+n), so the whole readout is integer ppm — no fp anywhere.
+    *
+    * Scale: per-doc DP is O(m·n) on doc-bounded lengths, map-only;
+    * everything after the per-lang agg is |langs| rows.
+    */
+  private val qEvalRouge = GQuery(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          split(lower(col("text")), " ").as("toks"))
+        .filter(size(col("toks")) >= 5)
+        .withColumn("cand", expr(
+          """transform(sequence(2, size(toks)),
+               i -> IF(pmod(i, 7) = 0, 'xx', element_at(toks, i)))"""))
+      val lcs = docs.withColumn("lcs", expr(
+        """aggregate(cand,
+             transform(sequence(0, size(toks)), x -> 0),
+             (prev, ct) -> aggregate(sequence(1, size(toks)), array(0),
+               (row, j) -> concat(row, array(
+                 IF(element_at(toks, j) = ct, element_at(prev, j) + 1,
+                    greatest(element_at(prev, j + 1),
+                             element_at(row, -1)))))),
+             acc -> element_at(acc, -1))""").cast("long"))
+      lcs.groupBy("lang")
+        .agg(count(lit(1L)).as("n_pairs"),
+          sum("lcs").as("sum_lcs"),
+          sum(size(col("toks"))).cast("long").as("sum_ref"),
+          sum(size(col("cand"))).cast("long").as("sum_cand"))
+        .withColumn("rouge_f_ppm",
+          expr("sum_lcs * 2 * 1000000 div (sum_ref + sum_cand)"))
+        .orderBy("lang")
+    },
+    Some("""WITH docs AS (
+              SELECT doc_id, lang,
+                     CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS m
+              FROM documents
+              WHERE len(string_split(lower(text), ' ')) >= 5),
+            -- closed form of the planted perturbation: 'xx' matches nothing,
+            -- surviving candidate tokens are an in-order ref subsequence
+            per AS (
+              SELECT lang, m, (m - 1) AS n,
+                     (m - 1) - (m // 7) AS lcs
+              FROM docs)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(lcs) AS BIGINT) AS sum_lcs,
+                   CAST(sum(m) AS BIGINT) AS sum_ref,
+                   CAST(sum(n) AS BIGINT) AS sum_cand,
+                   CAST(sum(lcs) * 2 * 1000000 // (sum(m) + sum(n))
+                     AS BIGINT) AS rouge_f_ppm
+            FROM per GROUP BY 1 ORDER BY lang"""))
+
   // --------------------------------- DSIR-style importance weighting --
 
   /** Hashed n-gram importance weights for targeted corpus selection (DSIR,
@@ -1779,6 +1844,7 @@ object ScoringOps extends QueryModule {
     "q_vocab_unigram_apply" -> qVocabUnigramApply,
     "q_eval_bleu" -> qEvalBleu,
     "q_eval_crossval" -> qEvalCrossval,
+    "q_eval_rouge" -> qEvalRouge,
     "q_sample_importance" -> qSampleImportance,
     "q_events_attribution" -> qEventsAttribution,
     "q_profile_gini" -> qProfileGini)
