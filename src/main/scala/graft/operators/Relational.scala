@@ -107,6 +107,54 @@ object Relational extends QueryModule {
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
             ORDER BY c_custkey, tag"""))
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM) vs plain `=` —
+    * the join-semantics surface every dimensional model with nullable keys
+    * hits: under `=`, NULL keys match NOTHING (SQL three-valued logic
+    * silently drops those rows from an inner join); under `<=>`, NULL
+    * pairs with NULL — the "unknown bucket joins the unknown dimension
+    * row" behavior warehouse loads usually want. Both sides derive a
+    * nullable bucket (orderkey mod 7 = 0 → NULL, else mod 5) and join a
+    * 6-row dimension (buckets 0–4 + a NULL row); the per-bucket counts
+    * under each operator — identical except the NULL row, present only
+    * under `<=>` — pin the semantic difference in one hashed table.
+    *
+    * Scale: the dimension broadcasts; both joins are one map-side pass.
+    * A real engine treats `<=>` as an equi-join key (hashable), which is
+    * exactly what Spark plans — never a theta join.
+    */
+  private val qJoinNullsafe = GQuery(
+    (s, d) => {
+      val fact = t(s, d, "orders").select(
+        when(pmod(col("o_orderkey"), lit(7)) === 0, lit(null).cast("long"))
+          .otherwise(pmod(col("o_orderkey"), lit(5))).as("k"))
+      val dim = s.sql(
+        """SELECT * FROM VALUES (0L, 'b0'), (1L, 'b1'), (2L, 'b2'),
+           (3L, 'b3'), (4L, 'b4'), (CAST(NULL AS BIGINT), 'b_null')
+           AS t(dk, label)""")
+      val eq = fact.join(broadcast(dim), col("k") === col("dk"))
+        .groupBy("label").agg(count(lit(1L)).as("n"))
+        .select(lit("eq").as("op"), col("label"), col("n"))
+      val ns = fact.join(broadcast(dim), col("k") <=> col("dk"))
+        .groupBy("label").agg(count(lit(1L)).as("n"))
+        .select(lit("nullsafe").as("op"), col("label"), col("n"))
+      eq.unionByName(ns).orderBy("op", "label")
+    },
+    Some("""WITH fact AS (
+              SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                     ELSE o_orderkey % 5 END AS k
+              FROM orders),
+            dim(dk, label) AS (VALUES
+              (0, 'b0'), (1, 'b1'), (2, 'b2'), (3, 'b3'), (4, 'b4'),
+              (NULL, 'b_null'))
+            SELECT 'eq' AS op, label, CAST(count(*) AS BIGINT) AS n
+            FROM fact JOIN dim ON fact.k = dim.dk
+            GROUP BY 2
+            UNION ALL
+            SELECT 'nullsafe', label, CAST(count(*) AS BIGINT)
+            FROM fact JOIN dim ON fact.k IS NOT DISTINCT FROM dim.dk
+            GROUP BY 2
+            ORDER BY op, label"""))
+
   /** Full outer join: per-custkey order totals ⟗ customer balances — rows
     * survive from either side (customers with no orders AND orders whose
     * custkey is absent from customer, if any), keys coalesced.
@@ -1069,6 +1117,7 @@ object Relational extends QueryModule {
     "q_join_inner" -> qJoinInner,
     "q_join_left" -> qJoinLeft,
     "q_join_semi_anti" -> qJoinSemiAnti,
+    "q_join_nullsafe" -> qJoinNullsafe,
     "q_join_full" -> qJoinFull,
     "q_set_ops_all" -> qSetOpsAll,
     "q_join_multiway" -> qJoinMultiway,
