@@ -492,6 +492,83 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Longest-common-subsequence LENGTH of two string arrays in the classic
+  * one-row DP — the ROUGE-L kernel (q_eval_rouge): the pure-HOF nested fold
+  * allocates a fresh row array per DP CELL (O(n·m²) allocations — measured
+  * 32 s at sf0.1), where this evaluates the identical recurrence over one
+  * reused int row (0.6 s). Bit-identical to the fold (same max/equality
+  * semantics, parity pinned in VectorExpressionsSpec); null elements yield
+  * null like the other kernels.
+  */
+case class LcsLength(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lcs_length"
+  override def nullable: Boolean = true // null ELEMENTS yield null
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"both children must be array<string>, got $l, $r")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    LcsLength.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("lcs")
+      s"""
+        Long $r = graft.functions.LcsLength.compute($a, $b);
+        if ($r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $r.longValue(); }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LcsLength =
+    copy(left = newLeft, right = newRight)
+}
+
+object LcsLength {
+  /** Boxed Long so codegen can signal null-element inputs with null. */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val m = a.numElements()
+    val n = b.numElements()
+    var j = 0
+    val ra = new Array[org.apache.spark.unsafe.types.UTF8String](m)
+    while (j < m) {
+      if (a.isNullAt(j)) return null
+      ra(j) = a.getUTF8String(j)
+      j += 1
+    }
+    val dp = new Array[Int](m + 1)
+    var i = 0
+    while (i < n) {
+      if (b.isNullAt(i)) return null
+      val c = b.getUTF8String(i)
+      var prevDiag = 0
+      j = 1
+      while (j <= m) {
+        val tmp = dp(j)
+        if (ra(j - 1).equals(c)) dp(j) = prevDiag + 1
+        else if (dp(j - 1) > dp(j)) dp(j) = dp(j - 1)
+        prevDiag = tmp
+        j += 1
+      }
+      i += 1
+    }
+    java.lang.Long.valueOf(dp(m).toLong)
+  }
+}
+
 object VectorExpressions {
 
   import org.apache.spark.sql.GraftColumnShim
@@ -509,6 +586,8 @@ object VectorExpressions {
     GraftColumnShim.column(MinHashBands(expr(tokens)))
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftColumnShim.column(SortedIntersectCount(expr(a), expr(b)))
+  def lcsLength(a: Column, b: Column): Column =
+    GraftColumnShim.column(LcsLength(expr(a), expr(b)))
 
   private def expr(c: Column): Expression = GraftColumnShim.expression(c)
 
@@ -544,6 +623,10 @@ object VectorExpressions {
         "graft_sorted_intersect_count"),
       (children: Seq[Expression]) =>
         SortedIntersectCount(children.head, children(1)))
+    reg.registerFunction(
+      FunctionIdentifier("graft_lcs_length"),
+      new ExpressionInfo(classOf[LcsLength].getName, "graft_lcs_length"),
+      (children: Seq[Expression]) => LcsLength(children.head, children(1)))
   }
 }
 
@@ -579,5 +662,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_sorted_intersect_count"),
       (children: Seq[Expression]) =>
         SortedIntersectCount(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lcs_length"),
+      new ExpressionInfo(classOf[LcsLength].getName, "graft_lcs_length"),
+      (children: Seq[Expression]) => LcsLength(children.head, children(1))))
   }
 }

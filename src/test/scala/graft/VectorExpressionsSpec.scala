@@ -276,6 +276,41 @@ class VectorExpressionsSpec extends SparkSpec {
       .head.getLong(0) == 2L)
   }
 
+  test("LcsLength matches the HOF row-DP fold (the q_eval_rouge kernel)") {
+    // parity on a real corpus slice: the kernel and the pure-HOF nested
+    // fold evaluate the identical recurrence
+    val docs = Tables(spark, sf, "documents").limit(60)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .withColumn("cand", expr(
+        """transform(sequence(2, size(toks)),
+             i -> IF(pmod(i, 7) = 0, 'xx', element_at(toks, i)))"""))
+    val both = docs.select(
+      VectorExpressions.lcsLength(col("toks"), col("cand")).as("nat"),
+      expr("""aggregate(cand,
+                transform(sequence(0, size(toks)), x -> 0),
+                (prev, ct) -> aggregate(sequence(1, size(toks)), array(0),
+                  (row, j) -> concat(row, array(
+                    IF(element_at(toks, j) = ct, element_at(prev, j) + 1,
+                       greatest(element_at(prev, j + 1),
+                                element_at(row, -1)))))),
+                acc -> element_at(acc, -1))""").cast("long").as("hof"))
+    assert(both.count() > 0)
+    assert(both.filter(col("nat") =!= col("hof")).count() == 0)
+    // edges: null element → null; empty candidate → 0; textbook case
+    val edge = Seq(
+      (Seq[String]("a", "b"), Seq[String]("a", null)),
+      (Seq[String]("a", "b"), Seq[String]()),
+      (Seq[String]("a", "b", "c", "b", "d", "a", "b"),
+        Seq[String]("b", "d", "c", "a", "b", "a")))
+      .toDF("a", "b")
+      .select(VectorExpressions.lcsLength(col("a"), col("b")).as("l"))
+      .collect()
+    assert(edge(0).isNullAt(0))
+    assert(edge(1).getLong(0) == 0L)
+    assert(edge(2).getLong(0) == 4L) // LCS("abcbdab","bdcaba") = 4
+  }
+
   test("kernels execute inside whole-stage codegen") {
     val emb = Tables(spark, sf, "embeddings")
       .select(col("embedding").cast("array<double>").as("e"))
