@@ -569,6 +569,115 @@ object LcsLength {
   }
 }
 
+/** Clipped n-gram match counts for BLEU (Papineni et al. 2002), n = 1..4 in
+  * ONE pass: for each order n, counts Σ_g min(count_cand(g), count_ref(g))
+  * over the candidate's n-grams, where g joins n consecutive tokens with a
+  * single space — byte-identical to `concat_ws(' ', slice(toks, i, n))`, so
+  * the result equals the explode → groupBy(doc, n, gram) → least(ccand,
+  * cref) plan the pure-DataFrame form runs (parity pinned in
+  * VectorExpressionsSpec). Returns array<long>[4] = [m1, m2, m3, m4].
+  *
+  * The DataFrame form shuffles every n-gram of every doc twice (two
+  * gram-count aggs) and joins them back — measured 5.8 s at sf0.1 where this
+  * per-row hash-count runs the whole corpus map-only (clipping is per-doc
+  * state, so it IS per-row work). Null elements yield null.
+  */
+case class NgramClippedMatches(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ngram_clipped_matches"
+  override def nullable: Boolean = true // null ELEMENTS yield null
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"both children must be array<string>, got $l, $r")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NgramClippedMatches.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("clipped")
+      s"""
+        org.apache.spark.sql.catalyst.util.ArrayData $r =
+          graft.functions.NgramClippedMatches.compute($a, $b);
+        if ($r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $r; }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NgramClippedMatches =
+    copy(left = newLeft, right = newRight)
+}
+
+object NgramClippedMatches {
+
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Joined n-gram starting at token i — the concat_ws(' ', slice) twin. */
+  private def gram(
+      toks: Array[UTF8String], i: Int, n: Int): UTF8String =
+    if (n == 1) toks(i)
+    else UTF8String.concatWs(SPACE, java.util.Arrays.copyOfRange(toks, i, i + n): _*)
+
+  /** Null (boxed) on null-element input so codegen can branch. */
+  def compute(ref: ArrayData, cand: ArrayData)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val nr = ref.numElements()
+    val nc = cand.numElements()
+    val rt = new Array[UTF8String](nr)
+    var i = 0
+    while (i < nr) {
+      if (ref.isNullAt(i)) return null
+      rt(i) = ref.getUTF8String(i)
+      i += 1
+    }
+    val ct = new Array[UTF8String](nc)
+    i = 0
+    while (i < nc) {
+      if (cand.isNullAt(i)) return null
+      ct(i) = cand.getUTF8String(i)
+      i += 1
+    }
+    val out = new Array[Long](4)
+    var n = 1
+    while (n <= 4) {
+      val counts = new java.util.HashMap[UTF8String, Integer]()
+      i = 0
+      while (i + n <= nr) {
+        val g = gram(rt, i, n)
+        val c = counts.get(g)
+        counts.put(g, if (c == null) 1 else c + 1)
+        i += 1
+      }
+      var m = 0L
+      i = 0
+      while (i + n <= nc) {
+        val g = gram(ct, i, n)
+        val c = counts.get(g)
+        if (c != null && c > 0) { m += 1L; counts.put(g, c - 1) }
+        i += 1
+      }
+      out(n - 1) = m
+      n += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorExpressions {
 
   import org.apache.spark.sql.GraftColumnShim
@@ -588,6 +697,8 @@ object VectorExpressions {
     GraftColumnShim.column(SortedIntersectCount(expr(a), expr(b)))
   def lcsLength(a: Column, b: Column): Column =
     GraftColumnShim.column(LcsLength(expr(a), expr(b)))
+  def ngramClippedMatches(ref: Column, cand: Column): Column =
+    GraftColumnShim.column(NgramClippedMatches(expr(ref), expr(cand)))
 
   private def expr(c: Column): Expression = GraftColumnShim.expression(c)
 
@@ -627,6 +738,12 @@ object VectorExpressions {
       FunctionIdentifier("graft_lcs_length"),
       new ExpressionInfo(classOf[LcsLength].getName, "graft_lcs_length"),
       (children: Seq[Expression]) => LcsLength(children.head, children(1)))
+    reg.registerFunction(
+      FunctionIdentifier("graft_ngram_clipped_matches"),
+      new ExpressionInfo(classOf[NgramClippedMatches].getName,
+        "graft_ngram_clipped_matches"),
+      (children: Seq[Expression]) =>
+        NgramClippedMatches(children.head, children(1)))
   }
 }
 
@@ -666,5 +783,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_lcs_length"),
       new ExpressionInfo(classOf[LcsLength].getName, "graft_lcs_length"),
       (children: Seq[Expression]) => LcsLength(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ngram_clipped_matches"),
+      new ExpressionInfo(classOf[NgramClippedMatches].getName,
+        "graft_ngram_clipped_matches"),
+      (children: Seq[Expression]) =>
+        NgramClippedMatches(children.head, children(1))))
   }
 }

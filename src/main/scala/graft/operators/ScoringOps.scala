@@ -811,9 +811,11 @@ object ScoringOps extends QueryModule {
     * chain and drounded; a zero precision short-circuits to 0.0 (DuckDB
     * ln(0) errors; real BLEU is 0 there).
     *
-    * Scale: n-gram counting is the lm_score explode economics (linear ×4
-    * n-orders); the clip join keys on (doc, n, gram) — per-doc bounded;
-    * everything after the (lang, n) agg is 4·|langs| rows.
+    * Scale: clipping is PER-DOC state, so the whole count runs in the
+    * native NgramClippedMatches kernel (per-row hash-count of all four
+    * orders at once — measured 5.8 s → map-only at sf0.1 vs the explode →
+    * two gram aggs → clip-join plan, which the kernel's parity spec pins
+    * bit-identical); the only shuffle left is the |langs|-row agg.
     */
   private val qEvalBleu = GQuery(
     (s, d) => {
@@ -824,33 +826,23 @@ object ScoringOps extends QueryModule {
         .withColumn("cand", expr(
           """transform(sequence(2, size(toks)),
                i -> IF(pmod(i, 7) = 0, 'xx', element_at(toks, i)))"""))
-        .localCheckpoint(true) // feeds both n-gram sides AND the len agg
-      val lens = docs.groupBy("lang")
-        .agg(sum(size(col("toks"))).cast("long").as("r"),
-          sum(size(col("cand"))).cast("long").as("c"))
-      def gramCounts(c: String, cnt: String) = docs
-        .select(col("lang"), col("doc_id"), explode(expr(
-          s"""flatten(transform(array(1, 2, 3, 4),
-                n -> transform(sequence(1, size($c) - n + 1),
-                  i -> named_struct('n', n,
-                    'g', concat_ws(' ', slice($c, i, n))))))""")).as("x"))
-        .select(col("lang"), col("doc_id"), col("x.n").as("n"),
-          col("x.g").as("g"))
-        .groupBy("lang", "doc_id", "n", "g").agg(count(lit(1L)).as(cnt))
-      val refG = gramCounts("toks", "cref")
-      val candG = gramCounts("cand", "ccand")
-      val perN = candG
-        .join(refG, Seq("lang", "doc_id", "n", "g"), "left")
-        .groupBy("lang", "n")
-        .agg(sum(least(col("ccand"), coalesce(col("cref"), lit(0L))))
-          .as("match_n"),
-          sum("ccand").as("total_n"))
-      val wideAggs = (1 to 4).map(k =>
-        sum(when(col("n") === k, col("match_n"))).as(s"m$k")) ++
-        (1 to 4).map(k =>
-          sum(when(col("n") === k, col("total_n"))).as(s"t$k"))
-      val wide = perN.groupBy("lang").agg(wideAggs.head, wideAggs.tail: _*)
-      val bleu = wide.join(lens, "lang").select(col("lang"),
+      val perDoc = docs.select(col("lang"),
+        size(col("toks")).cast("long").as("mr"),
+        size(col("cand")).cast("long").as("mc"),
+        graft.functions.VectorExpressions
+          .ngramClippedMatches(col("toks"), col("cand")).as("mm"))
+      val aggs = Seq(sum("mr").as("r"), sum("mc").as("c")) ++
+        (1 to 4).map(k => sum(element_at(col("mm"), k)).as(s"m$k")) ++
+        // candidate n-gram totals: size - n + 1, positive since size >= 4
+        (1 to 4).map(k => sum(col("mc") - lit(k - 1)).as(s"t$k"))
+      val wide = perDoc.groupBy("lang").agg(aggs.head, aggs.tail: _*)
+      val perN = wide.select(col("lang"), explode(array((1 to 4).map(k =>
+          struct(lit(k).cast("int").as("n"), col(s"m$k").as("match_n"),
+            col(s"t$k").as("total_n"))): _*)).as("x"))
+        .select(col("lang"), col("x.n").as("n"), col("x.match_n").as("match_n"),
+          col("x.total_n").as("total_n"),
+          lit(null).cast("double").as("bleu"))
+      val bleu = wide.select(col("lang"),
         lit(-1).cast("int").as("n"), col("r").as("match_n"),
         col("c").as("total_n"),
         when((1 to 4).map(k => col(s"m$k") === 0L).reduce(_ || _), lit(0.0))
@@ -859,9 +851,7 @@ object ScoringOps extends QueryModule {
               + lit(0.25) * ((1 to 4).map(k =>
                   log(col(s"m$k").cast("double") / col(s"t$k").cast("double")))
                 .reduce(_ + _))), 6)).as("bleu"))
-      perN.select(col("lang"), col("n").cast("int").as("n"), col("match_n"),
-          col("total_n"), lit(null).cast("double").as("bleu"))
-        .unionByName(bleu)
+      perN.unionByName(bleu)
         .orderBy("lang", "n")
     },
     Some("""WITH docs AS (
@@ -997,6 +987,159 @@ object ScoringOps extends QueryModule {
                    CAST(sum(lcs) * 2 * 1000000 // (sum(m) + sum(n))
                      AS BIGINT) AS rouge_f_ppm
             FROM per GROUP BY 1 ORDER BY lang"""))
+
+  // ------------------------------------------------ chrF char-n-gram --
+
+  /** chrF (Popović 2015) per language over the same deterministic
+    * perturbed candidates as q_eval_bleu, completing the MT-eval family
+    * (BLEU = token precision, ROUGE-L = in-order coverage, chrF =
+    * character-level F-score, the one that degrades gracefully on
+    * morphology/typos where token metrics fall off a cliff). Whitespace
+    * is stripped (standard chrF), n = 1..4 char n-grams (the kernel's
+    * orders; reference chrF uses 1..6 — same structure), β = 2
+    * (recall-weighted). Per (lang, n): clipped matches Σ_g min(c_cand(g),
+    * c_ref(g)) — symmetric, so ONE kernel pass serves precision AND
+    * recall — plus both totals, all EXACT integers; the summary row
+    * (n = −1) carries chrP/chrR macro-averaged over n and
+    * chrF2 = 5·P·R/(4P + R) through one mirrored drounded fp chain
+    * (0 when both precisions and recalls are 0).
+    *
+    * Scale: map-only per-doc char hash-count (NgramClippedMatches on
+    * single-char tokens — clipping is per-doc state) + a |langs|-row agg;
+    * the BLEU kernel economics on a ~6× longer token stream.
+    */
+  private val qEvalChrf = GQuery(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          split(lower(col("text")), " ").as("toks"))
+        .filter(size(col("toks")) >= 5)
+        .withColumn("cand", expr(
+          """transform(sequence(2, size(toks)),
+               i -> IF(pmod(i, 7) = 0, 'xx', element_at(toks, i)))"""))
+      val perDoc = docs
+        .select(col("lang"),
+          split(concat_ws("", col("toks")), "").as("rc"),
+          split(concat_ws("", col("cand")), "").as("cc"))
+        .select(col("lang"),
+          size(col("rc")).cast("long").as("nr"),
+          size(col("cc")).cast("long").as("nc"),
+          graft.functions.VectorExpressions
+            .ngramClippedMatches(col("rc"), col("cc")).as("mm"))
+      val aggs = (1 to 4).map(k =>
+        sum(element_at(col("mm"), k)).as(s"m$k")) ++
+        (1 to 4).map(k => sum(col("nc") - lit(k - 1)).as(s"tc$k")) ++
+        (1 to 4).map(k => sum(col("nr") - lit(k - 1)).as(s"tr$k"))
+      val wide = perDoc.groupBy("lang").agg(aggs.head, aggs.tail: _*)
+      val perN = wide.select(col("lang"), explode(array((1 to 4).map(k =>
+          struct(lit(k).cast("int").as("n"), col(s"m$k").as("match_n"),
+            col(s"tc$k").as("cand_n"), col(s"tr$k").as("ref_n"))): _*)).as("x"))
+        .select(col("lang"), col("x.n").as("n"), col("x.match_n").as("match_n"),
+          col("x.cand_n").as("cand_n"), col("x.ref_n").as("ref_n"),
+          lit(null).cast("double").as("chrf2"))
+      def dbl(c: Column) = c.cast("double")
+      val p = (1 to 4).map(k =>
+        dbl(col(s"m$k")) / dbl(col(s"tc$k"))).reduce(_ + _) / lit(4.0)
+      val r = (1 to 4).map(k =>
+        dbl(col(s"m$k")) / dbl(col(s"tr$k"))).reduce(_ + _) / lit(4.0)
+      val summary = wide.select(col("lang"),
+        lit(-1).cast("int").as("n"),
+        (1 to 4).map(k => col(s"m$k")).reduce(_ + _).as("match_n"),
+        (1 to 4).map(k => col(s"tc$k")).reduce(_ + _).as("cand_n"),
+        (1 to 4).map(k => col(s"tr$k")).reduce(_ + _).as("ref_n"),
+        when(lit(4.0) * p + r === 0.0, lit(0.0))
+          .otherwise(dround(lit(5.0) * p * r / (lit(4.0) * p + r), 6))
+          .as("chrf2"))
+      perN.unionByName(summary).orderBy("lang", "n")
+    },
+    Some("""WITH docs AS (
+              SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+              FROM documents
+              WHERE len(string_split(lower(text), ' ')) >= 5),
+            cd AS (
+              SELECT doc_id, lang,
+                     array_to_string(toks, '') AS rs,
+                     array_to_string(list_transform(
+                       generate_series(2, len(toks)),
+                       i -> CASE WHEN i % 7 = 0 THEN 'xx' ELSE toks[i] END),
+                       '') AS cs
+              FROM docs),
+            cdn AS (
+              SELECT cd.*, nn.n
+              FROM cd, (SELECT unnest([1, 2, 3, 4]) AS n) nn),
+            refg AS (
+              SELECT lang, doc_id, n, substr(rs, i, n) AS g,
+                     CAST(count(*) AS BIGINT) AS cref
+              FROM cdn,
+                   LATERAL (SELECT unnest(generate_series(1,
+                     len(cdn.rs) - cdn.n + 1)) AS i) ii
+              GROUP BY 1, 2, 3, 4),
+            candg AS (
+              SELECT lang, doc_id, n, substr(cs, i, n) AS g,
+                     CAST(count(*) AS BIGINT) AS ccand
+              FROM cdn,
+                   LATERAL (SELECT unnest(generate_series(1,
+                     len(cdn.cs) - cdn.n + 1)) AS i) ii
+              GROUP BY 1, 2, 3, 4),
+            pern AS (
+              SELECT c.lang, c.n,
+                     CAST(sum(least(c.ccand, coalesce(r.cref, 0)))
+                       AS BIGINT) AS match_n
+              FROM candg c LEFT JOIN refg r
+                ON r.lang = c.lang AND r.doc_id = c.doc_id
+                   AND r.n = c.n AND r.g = c.g
+              GROUP BY 1, 2),
+            tots AS (
+              SELECT lang, n,
+                     CAST(sum(len(cs) - n + 1) AS BIGINT) AS cand_n,
+                     CAST(sum(len(rs) - n + 1) AS BIGINT) AS ref_n
+              FROM cdn GROUP BY 1, 2),
+            pn AS (
+              SELECT t.lang, t.n, p.match_n, t.cand_n, t.ref_n
+              FROM tots t JOIN pern p ON p.lang = t.lang AND p.n = t.n),
+            -- pivot first so the P/R macro-averages add in the SAME
+            -- left-to-right n-order as the Spark reduce (sum() row order
+            -- is engine-defined; fp addition is not associative)
+            piv AS (
+              SELECT lang,
+                     max(CASE WHEN n = 1 THEN match_n END) AS m1,
+                     max(CASE WHEN n = 2 THEN match_n END) AS m2,
+                     max(CASE WHEN n = 3 THEN match_n END) AS m3,
+                     max(CASE WHEN n = 4 THEN match_n END) AS m4,
+                     max(CASE WHEN n = 1 THEN cand_n END) AS tc1,
+                     max(CASE WHEN n = 2 THEN cand_n END) AS tc2,
+                     max(CASE WHEN n = 3 THEN cand_n END) AS tc3,
+                     max(CASE WHEN n = 4 THEN cand_n END) AS tc4,
+                     max(CASE WHEN n = 1 THEN ref_n END) AS tr1,
+                     max(CASE WHEN n = 2 THEN ref_n END) AS tr2,
+                     max(CASE WHEN n = 3 THEN ref_n END) AS tr3,
+                     max(CASE WHEN n = 4 THEN ref_n END) AS tr4
+              FROM pn GROUP BY 1),
+            wide AS (
+              SELECT lang,
+                     m1 + m2 + m3 + m4 AS sm,
+                     tc1 + tc2 + tc3 + tc4 AS sc,
+                     tr1 + tr2 + tr3 + tr4 AS sr,
+                     (((CAST(m1 AS DOUBLE) / CAST(tc1 AS DOUBLE)
+                        + CAST(m2 AS DOUBLE) / CAST(tc2 AS DOUBLE))
+                       + CAST(m3 AS DOUBLE) / CAST(tc3 AS DOUBLE))
+                      + CAST(m4 AS DOUBLE) / CAST(tc4 AS DOUBLE)) / 4.0 AS p,
+                     (((CAST(m1 AS DOUBLE) / CAST(tr1 AS DOUBLE)
+                        + CAST(m2 AS DOUBLE) / CAST(tr2 AS DOUBLE))
+                       + CAST(m3 AS DOUBLE) / CAST(tr3 AS DOUBLE))
+                      + CAST(m4 AS DOUBLE) / CAST(tr4 AS DOUBLE)) / 4.0 AS r
+              FROM piv)
+            SELECT lang, CAST(n AS INT) AS n, match_n, cand_n, ref_n,
+                   CAST(NULL AS DOUBLE) AS chrf2
+            FROM pn
+            UNION ALL
+            SELECT lang, CAST(-1 AS INT), CAST(sm AS BIGINT),
+                   CAST(sc AS BIGINT), CAST(sr AS BIGINT),
+                   CASE WHEN 4.0 * p + r = 0.0 THEN 0.0
+                     ELSE CAST(round(CAST(5.0 * p * r / (4.0 * p + r)
+                       AS DECIMAL(30,8)), 6) AS DOUBLE) END
+            FROM wide
+            ORDER BY lang, n"""))
 
   // --------------------------------- DSIR-style importance weighting --
 
@@ -1843,6 +1986,7 @@ object ScoringOps extends QueryModule {
     "q_eval_bleu" -> qEvalBleu,
     "q_eval_crossval" -> qEvalCrossval,
     "q_eval_rouge" -> qEvalRouge,
+    "q_eval_chrf" -> qEvalChrf,
     "q_sample_importance" -> qSampleImportance,
     "q_events_attribution" -> qEventsAttribution,
     "q_profile_gini" -> qProfileGini)

@@ -311,6 +311,52 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(edge(2).getLong(0) == 4L) // LCS("abcbdab","bdcaba") = 4
   }
 
+  test("NgramClippedMatches matches the explode+clip-join plan (q_eval_bleu)") {
+    // parity on a real corpus slice: kernel vs the pure-DataFrame
+    // explode -> per-(doc,n,gram) counts -> least(ccand, cref) clip
+    val docs = Tables(spark, sf, "documents").limit(60)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .withColumn("cand", expr(
+        """transform(sequence(2, size(toks)),
+             i -> IF(pmod(i, 7) = 0, 'xx', element_at(toks, i)))"""))
+      .localCheckpoint(true)
+    def gramCounts(c: String, cnt: String) = docs
+      .select(col("doc_id"), explode(expr(
+        s"""flatten(transform(array(1, 2, 3, 4),
+              n -> transform(sequence(1, size($c) - n + 1),
+                i -> named_struct('n', n,
+                  'g', concat_ws(' ', slice($c, i, n))))))""")).as("x"))
+      .select(col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
+      .groupBy("doc_id", "n", "g").agg(count(lit(1L)).as(cnt))
+    val ref = gramCounts("cand", "ccand")
+      .join(gramCounts("toks", "cref"), Seq("doc_id", "n", "g"), "left")
+      .groupBy("doc_id", "n")
+      .agg(sum(least(col("ccand"), coalesce(col("cref"), lit(0L)))).as("m"))
+    val nat = docs.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, 4), k -> named_struct('n', k, 'm', " +
+        "element_at(graft_ngram_clipped_matches(toks, cand), k)))")).as("x"))
+      .select(col("doc_id"), col("x.n").as("n"), col("x.m").as("m_nat"))
+    VectorExpressions.register(spark)
+    val cmp = nat.join(ref, Seq("doc_id", "n"), "left")
+      .select(col("m_nat"), coalesce(col("m"), lit(0L)).as("m_ref"))
+    assert(cmp.count() > 0)
+    assert(cmp.filter(col("m_nat") =!= col("m_ref")).count() == 0)
+    // edges: clipping caps repeats at the ref count; null element → null
+    val edge = Seq(
+      // ref has 2×'a'; cand has 4×'a' → unigram matches clip to 2
+      (Seq("a", "b", "a"), Seq("a", "a", "a", "a")),
+      (Seq("a", "b"), Seq("a", null)),
+      // identical → m_n = len - n + 1
+      (Seq("x", "y", "z", "w", "v"), Seq("x", "y", "z", "w", "v")))
+      .toDF("a", "b")
+      .select(VectorExpressions.ngramClippedMatches(col("a"), col("b")).as("m"))
+      .collect()
+    assert(edge(0).getSeq[Long](0) == Seq(2L, 0L, 0L, 0L))
+    assert(edge(1).isNullAt(0))
+    assert(edge(2).getSeq[Long](0) == Seq(5L, 4L, 3L, 2L))
+  }
+
   test("kernels execute inside whole-stage codegen") {
     val emb = Tables(spark, sf, "embeddings")
       .select(col("embedding").cast("array<double>").as("e"))
