@@ -4506,6 +4506,126 @@ object AnalyticsOps extends QueryModule {
                    CAST(coalesce(x - fc0, 0) AS BIGINT) AS err_cents
             FROM fc ORDER BY day"""))
 
+  // ------------------------------------- Croston intermittent demand --
+
+  /** Croston's method (1972) per event type — the intermittent-demand
+    * member of the smoothing ladder (ewma/holt/holtwinters assume a dense
+    * series and collapse toward zero between sparse spikes; Croston
+    * smooths demand SIZE z and inter-demand INTERVAL p separately and
+    * forecasts z/p per period). Demand = daily cents of value ≥ 250
+    * events (the tail threshold that leaves most days empty at sf0.01 —
+    * intermittency is the point; on denser slices the intervals converge
+    * to 1 and Croston degrades gracefully to the ewma). α = 1/4, EXACT
+    * integers: at the first demand z = x, p = 1000·(interval from series
+    * start); at later demands z = (x + 3z) div 4,
+    * p = (1000·gap + 3p) div 4 (p in milli-days); zero days carry state.
+    * Per-day forecast fc = z·10⁶ div p — milli-cents/day; state columns
+    * are null before the first demand. All operands non-negative, so div
+    * truncation ≡ DuckDB `//` (the holt rule); z·10⁶ holds to ~10¹¹
+    * daily cents (≈ sf10⁴).
+    *
+    * Scale: ewma/holt economics — one (type, day) partial agg, a
+    * |types|×|days| grid, and a calendar-bounded per-type array fold.
+    */
+  private val qTsCroston = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val ev = t(s, d, "events")
+      val daily = ev.filter(col("value") >= 250)
+        .select(col("event_type"), to_date(col("ts")).as("day"), cents.as("v"))
+        .groupBy("event_type", "day").agg(sum("v").as("x"))
+      val span = ev.agg(min(to_date(col("ts"))).as("d0"),
+        max(to_date(col("ts"))).as("d1"))
+      val grid = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(span))
+        .select(col("event_type"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val series = grid.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("x"), lit(0L)).as("x"))
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("s"))
+        .select(col("event_type"),
+          transform(col("s"), r => r.getField("day")).as("days"),
+          transform(col("s"), r => r.getField("x")).as("xs"))
+      val folded = series.withColumn("st", expr(
+        """slice(aggregate(xs,
+             array(named_struct('z', CAST(0 AS BIGINT),
+               'p', CAST(0 AS BIGINT), 'q', CAST(0 AS BIGINT), 'has', false)),
+             (acc, x) -> concat(acc, array(CASE
+               WHEN x = 0 THEN named_struct(
+                 'z', element_at(acc, -1).z, 'p', element_at(acc, -1).p,
+                 'q', element_at(acc, -1).q + 1, 'has', element_at(acc, -1).has)
+               WHEN NOT element_at(acc, -1).has THEN named_struct(
+                 'z', x, 'p', (element_at(acc, -1).q + 1) * 1000,
+                 'q', CAST(0 AS BIGINT), 'has', true)
+               ELSE named_struct(
+                 'z', (x + 3 * element_at(acc, -1).z) div 4,
+                 'p', ((element_at(acc, -1).q + 1) * 1000
+                       + 3 * element_at(acc, -1).p) div 4,
+                 'q', CAST(0 AS BIGINT), 'has', true) END))),
+           2, size(xs))"""))
+      folded
+        .select(col("event_type"),
+          posexplode(arrays_zip(col("days"), col("xs"), col("st"))))
+        .select(col("event_type"), col("col.days").as("day"),
+          col("col.xs").as("x_cents"),
+          when(col("col.st.has"), col("col.st.z")).as("z_cents"),
+          when(col("col.st.has"), col("col.st.p")).as("p_milli"),
+          when(col("col.st.has"),
+            expr("col.st.z * 1000000 div col.st.p")).as("fc_milli"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH RECURSIVE ev AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                     value
+              FROM events),
+            daily AS (
+              SELECT event_type, day,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS x
+              FROM ev WHERE value >= 250 GROUP BY 1, 2),
+            span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+            grid AS (
+              SELECT t.event_type, CAST(gs.g AS DATE) AS day
+              FROM (SELECT DISTINCT event_type FROM ev) t, span,
+                   LATERAL (SELECT unnest(generate_series(span.d0, span.d1,
+                     INTERVAL 1 DAY)) AS g) gs),
+            seq AS (
+              SELECT g.event_type, g.day, coalesce(d.x, 0) AS x,
+                     CAST(row_number() OVER (PARTITION BY g.event_type
+                       ORDER BY g.day) AS BIGINT) AS rn
+              FROM grid g LEFT JOIN daily d
+                ON d.event_type = g.event_type AND d.day = g.day),
+            cro AS (
+              SELECT event_type, day, x, rn,
+                     CASE WHEN x > 0 THEN x ELSE CAST(0 AS BIGINT) END AS z,
+                     CASE WHEN x > 0 THEN CAST(1000 AS BIGINT)
+                       ELSE CAST(0 AS BIGINT) END AS p,
+                     CASE WHEN x > 0 THEN CAST(0 AS BIGINT)
+                       ELSE CAST(1 AS BIGINT) END AS q,
+                     x > 0 AS has
+              FROM seq WHERE rn = 1
+              UNION ALL
+              SELECT s.event_type, s.day, s.x, s.rn,
+                     CASE WHEN s.x = 0 THEN c.z
+                          WHEN NOT c.has THEN s.x
+                          ELSE CAST((s.x + 3 * c.z) // 4 AS BIGINT) END,
+                     CASE WHEN s.x = 0 THEN c.p
+                          WHEN NOT c.has THEN (c.q + 1) * 1000
+                          ELSE CAST(((c.q + 1) * 1000 + 3 * c.p) // 4
+                            AS BIGINT) END,
+                     CASE WHEN s.x = 0 THEN c.q + 1
+                       ELSE CAST(0 AS BIGINT) END,
+                     c.has OR s.x > 0
+              FROM seq s JOIN cro c
+                ON s.event_type = c.event_type AND s.rn = c.rn + 1)
+            SELECT event_type, day, x AS x_cents,
+                   CASE WHEN has THEN z END AS z_cents,
+                   CASE WHEN has THEN p END AS p_milli,
+                   CASE WHEN has THEN z * 1000000 // p END AS fc_milli
+            FROM cro ORDER BY event_type, day"""))
+
   // ------------------------------- additive Holt–Winters (triple smoothing) --
 
   /** Additive Holt–Winters (level + trend + weekly seasonal, α=β=γ=1/4) of
@@ -6871,6 +6991,7 @@ object AnalyticsOps extends QueryModule {
     "q_survival_km" -> qSurvivalKm,
     "q_ts_holt" -> qTsHolt,
     "q_ts_holtwinters" -> qTsHoltwinters,
+    "q_ts_croston" -> qTsCroston,
     "q_stats_kruskal" -> qStatsKruskal,
     "q_ts_theilsen" -> qTsTheilsen,
     "q_feature_pit" -> qFeaturePit,
