@@ -988,6 +988,111 @@ object ScoringOps extends QueryModule {
                      AS BIGINT) AS rouge_f_ppm
             FROM per GROUP BY 1 ORDER BY lang"""))
 
+  // ------------------------------------- Chatterjee ξ rank correlation --
+
+  /** Chatterjee's ξ (JASA 2021) of quantity → UNIT price (milli-cents
+    * per unit, an exact integer div) per return flag — the modern
+    * nonlinear-dependence companion to Spearman's ρ (which only sees
+    * MONOTONE association; ξ consistently estimates a measure that is 0
+    * iff independent and 1 iff y is a measurable function of x, catching
+    * V-shapes and oscillations ρ scores ~0). In this corpus quantity ⊥
+    * extendedprice (ξ ≈ 0 within the ~√(0.4/n) null band) but quantity →
+    * unit price is genuinely dependent (corr ≈ −0.48) — the readout
+    * separates the two.
+    * Tie-aware estimator: rows ordered by x, r_i = #{y_j ≤ y_i},
+    * l_i = #{y_j ≥ y_i};  ξ = 1 − n·Σ|r_{i+1} − r_i| / (2·Σ l_i(n−l_i)).
+    * x-ties are broken by the md5 of the full row payload (deterministic
+    * stand-in for the estimator's uniform tie-break; hash-equal rows are
+    * value-identical, so their relative order can't move any |Δr|). All
+    * EXACT integers: ppm readout through one DECIMAL(38) `div` (Spark
+    * IntegralDivide ≡ DuckDB HUGEINT `//` on positive operands).
+    *
+    * Scale (the q_stats_spearman playbook, plus adjacency): r/l come from
+    * the y-value-grid cumulative counts, never a row-level rank window;
+    * Σ|Δr| decomposes into within-x-group adjacent diffs (bounded window
+    * partitions: the x grid is 50 quantities) + an x-grid-sized boundary
+    * stitch — no full-corpus single-task sort anywhere. Σ l(n−l) is
+    * DECIMAL(38) from the start (overflows BIGINT near 10⁸ rows/group).
+    */
+  private val qStatsXi = GQuery(
+    (s, d) => {
+      val cents = col("l_extendedprice").cast("decimal(18,2)")
+        .*(lit(100)).cast("long")
+      val li = t(s, d, "lineitem").select(
+        col("l_returnflag").as("grp"),
+        col("l_quantity").cast("long").as("x"),
+        expr(s"CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100000 AS BIGINT)"
+          + " div CAST(l_quantity AS BIGINT)").as("y"),
+        md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("long"), cents)).as("h"))
+      val nG = li.groupBy("grp").agg(count(lit(1L)).as("n"))
+      val wY = Window.partitionBy("grp").orderBy("y")
+      val rmap = li.groupBy("grp", "y").agg(count(lit(1L)).as("c"))
+        .withColumn("r", sum("c").over(wY))
+      val rows = li.join(rmap, Seq("grp", "y"))
+        .join(broadcast(nG), "grp")
+        .withColumn("l", col("n") - col("r") + col("c"))
+      val den = rows.groupBy("grp").agg(
+        sum(col("l").cast("decimal(38,0)")
+          .*(col("n") - col("l"))).as("sl"))
+      val wIn = Window.partitionBy("grp", "x").orderBy("h")
+      val sIn = rows
+        .withColumn("pr", lag("r", 1).over(wIn))
+        .filter(col("pr").isNotNull)
+        .groupBy("grp").agg(sum(abs(col("r") - col("pr"))).as("si"))
+      val wX = Window.partitionBy("grp").orderBy("x")
+      val sB = rows.groupBy("grp", "x")
+        .agg(min_by(col("r"), col("h")).as("fr"),
+          max_by(col("r"), col("h")).as("lr"))
+        .withColumn("plr", lag("lr", 1).over(wX))
+        .filter(col("plr").isNotNull)
+        .groupBy("grp").agg(sum(abs(col("fr") - col("plr"))).as("sb"))
+      broadcast(nG).join(sIn, "grp").join(sB, "grp").join(den, "grp")
+        .select(col("grp"), col("n"),
+          (col("si") + col("sb")).as("sum_abs_dr"),
+          col("sl").cast("decimal(38,0)").as("denom_half"),
+          (lit(1000000L) - expr(
+            """CAST((CAST(1000000 AS DECIMAL(38,0)) * n * (si + sb))
+               div (CAST(2 AS DECIMAL(38,0)) * sl) AS BIGINT)"""))
+            .as("xi_ppm"))
+        .orderBy("grp")
+    },
+    Some("""WITH li AS (
+              SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS x,
+                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100000
+                       AS BIGINT) // CAST(l_quantity AS BIGINT) AS y,
+                     md5(concat_ws('|', l_orderkey, l_linenumber, l_partkey,
+                       l_suppkey, CAST(l_quantity AS BIGINT),
+                       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT))) AS h
+              FROM lineitem),
+            seq AS (
+              SELECT grp, x, y, h,
+                     CAST(count(*) OVER (PARTITION BY grp ORDER BY y
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS r,
+                     CAST(count(*) OVER (PARTITION BY grp ORDER BY y DESC
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS l,
+                     CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+              FROM li),
+            dd AS (
+              SELECT grp, n, l, r,
+                     abs(r - lag(r) OVER (PARTITION BY grp ORDER BY x, h))
+                       AS dr
+              FROM seq),
+            agg AS (
+              SELECT grp, max(n) AS n,
+                     CAST(sum(dr) AS BIGINT) AS sum_abs_dr,
+                     sum(CAST(l AS HUGEINT) * (n - l)) AS sl
+              FROM dd GROUP BY 1)
+            SELECT grp, n, sum_abs_dr,
+                   CAST(sl AS DECIMAL(38,0)) AS denom_half,
+                   CAST(1000000 - (CAST(1000000 AS HUGEINT) * n * sum_abs_dr)
+                     // (CAST(2 AS HUGEINT) * sl) AS BIGINT) AS xi_ppm
+            FROM agg ORDER BY grp"""))
+
   // ------------------------------------------------ chrF char-n-gram --
 
   /** chrF (Popović 2015) per language over the same deterministic
@@ -1987,6 +2092,7 @@ object ScoringOps extends QueryModule {
     "q_eval_crossval" -> qEvalCrossval,
     "q_eval_rouge" -> qEvalRouge,
     "q_eval_chrf" -> qEvalChrf,
+    "q_stats_xi" -> qStatsXi,
     "q_sample_importance" -> qSampleImportance,
     "q_events_attribution" -> qEventsAttribution,
     "q_profile_gini" -> qProfileGini)

@@ -252,6 +252,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count"), p.take(3000)) // map-side combine
   }
 
+  test("q_stats_xi windows are all partitioned; adjacency runs per (grp, x)") {
+    val df = SparkEntry.queries("q_stats_xi")(spark, sf)
+    val p = df.queryExecution.optimizedPlan.toString
+    val wins = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(wins.nonEmpty, p.take(3000))
+    // every window partitions at least by grp — no global orderBy anywhere
+    assert(wins.forall(_.contains("grp")), wins.mkString("\n"))
+    // the row-level adjacent-diff window partitions by (grp, x) and orders
+    // by the tie-break hash — the bounded-partition decomposition the scale
+    // story depends on (never a corpus-wide sort)
+    assert(wins.exists(l => l.contains("grp") && l.contains("x#") &&
+      l.contains("h#")), wins.mkString("\n"))
+  }
+
   test("q_profile_approx avoids the multi-distinct Expand rewrite") {
     val p = plan("q_profile_approx")
     assert(!p.contains("Expand"), p.take(3000))
