@@ -4506,6 +4506,97 @@ object AnalyticsOps extends QueryModule {
                    CAST(coalesce(x - fc0, 0) AS BIGINT) AS err_cents
             FROM fc ORDER BY day"""))
 
+  // --------------------------------------- Neyman optimal allocation --
+
+  /** Neyman (1934) optimal allocation for stratified sampling — the
+    * design step the proportional q_sample_stratified skips: a fixed
+    * budget n = 2000 is split n_h ∝ N_h·S_h, so high-variance strata get
+    * MORE than their population share (minimizing the stratified mean's
+    * variance). Strata = quantity buckets (⌊q/10⌋), variable = exact
+    * integer unit price (milli-cents, the q_stats_xi column) — its spread
+    * falls ~35× from bucket 0 to 5 in this corpus, so Neyman visibly
+    * diverges from proportional. S_h enters as a DETERMINISTIC micro-int:
+    * variance from exact DECIMAL(38) moments, one mirrored
+    * CAST-to-double / sqrt / floor(·10⁶ + 0.5) chain (IEEE sqrt is
+    * correctly rounded in both engines, so the int is hash-stable).
+    * Integer largest-remainder apportionment hits exactly n: floors of
+    * n·w_h div W, then +1 to the (n − Σfloor) largest remainders
+    * (remainder desc, stratum asc — total order).
+    *
+    * Scale: one map-combinable moment agg over the corpus; everything
+    * after is |strata| rows (bounded grid) — windows over 6 rows.
+    */
+  private val qSampleNeyman = GQuery(
+    (s, d) => {
+      val nTarget = 2000L
+      val y = expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100000"
+        + " AS BIGINT) div CAST(l_quantity AS BIGINT)")
+      val strata = t(s, d, "lineitem")
+        .select(expr("CAST(l_quantity AS BIGINT) div 10").as("stratum"),
+          y.as("y"))
+        .groupBy("stratum").agg(
+          count(lit(1L)).as("nh"),
+          sum(col("y").cast("decimal(38,0)")).as("s1"),
+          sum(col("y").cast("decimal(38,0)").*(col("y"))).as("s2"))
+        .withColumn("vnum",
+          col("nh") * col("s2") - col("s1") * col("s1"))
+        .withColumn("s_micro", expr(
+          """CAST(floor(sqrt(CAST(vnum AS DOUBLE) / CAST(nh AS DOUBLE)
+               / CAST(nh AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"""))
+        .withColumn("w", col("nh").cast("decimal(38,0)") * col("s_micro"))
+      val tot = strata.agg(sum("w").as("bigW"),
+        sum("nh").as("bigN")).withColumn("j", lit(1))
+      val alloc = strata.withColumn("j", lit(1))
+        .join(broadcast(tot), "j").drop("j")
+        .withColumn("num", lit(nTarget) * col("w"))
+        .withColumn("fl", expr("num div bigW"))
+        .withColumn("rem", col("num") - col("fl") * col("bigW"))
+        .withColumn("n_prop", expr(s"($nTarget * nh) div bigN"))
+      val deficit = alloc.agg((lit(nTarget) - sum("fl")).as("def0"))
+        .withColumn("j", lit(1))
+      val wR = Window.orderBy(col("rem").desc, col("stratum").asc)
+      alloc.withColumn("j", lit(1)).join(broadcast(deficit), "j")
+        .withColumn("rk", row_number().over(wR))
+        .select(col("stratum"), col("nh"), col("s_micro"), col("n_prop"),
+          (col("fl") + when(col("rk") <= col("def0"), 1L).otherwise(0L))
+            .cast("long").as("n_neyman"))
+        .orderBy("stratum")
+    },
+    Some("""WITH li AS (
+              SELECT CAST(l_quantity AS BIGINT) // 10 AS stratum,
+                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100000
+                       AS BIGINT) // CAST(l_quantity AS BIGINT) AS y
+              FROM lineitem),
+            strata AS (
+              SELECT stratum, CAST(count(*) AS BIGINT) AS nh,
+                     sum(CAST(y AS HUGEINT)) AS s1,
+                     sum(CAST(y AS HUGEINT) * y) AS s2
+              FROM li GROUP BY 1),
+            sm AS (
+              SELECT stratum, nh,
+                     CAST(floor(sqrt(CAST(nh * s2 - s1 * s1 AS DOUBLE)
+                       / CAST(nh AS DOUBLE) / CAST(nh AS DOUBLE))
+                       * 1000000.0 + 0.5) AS BIGINT) AS s_micro
+              FROM strata),
+            w AS (
+              SELECT stratum, nh, s_micro,
+                     CAST(nh AS HUGEINT) * s_micro AS w
+              FROM sm),
+            tot AS (SELECT sum(w) AS bigW, sum(nh) AS bigN FROM w),
+            alloc AS (
+              SELECT stratum, nh, s_micro,
+                     (2000 * w) // bigW AS fl,
+                     (2000 * w) - ((2000 * w) // bigW) * bigW AS rem,
+                     (2000 * CAST(nh AS HUGEINT)) // bigN AS n_prop
+              FROM w, tot),
+            def AS (SELECT 2000 - sum(fl) AS def0 FROM alloc)
+            SELECT stratum, nh, s_micro, CAST(n_prop AS BIGINT) AS n_prop,
+                   CAST(fl + CASE WHEN row_number() OVER
+                       (ORDER BY rem DESC, stratum ASC) <= def.def0
+                     THEN 1 ELSE 0 END AS BIGINT) AS n_neyman
+            FROM alloc, def
+            ORDER BY stratum"""))
+
   // ------------------------------------- Croston intermittent demand --
 
   /** Croston's method (1972) per event type — the intermittent-demand
@@ -6992,6 +7083,7 @@ object AnalyticsOps extends QueryModule {
     "q_ts_holt" -> qTsHolt,
     "q_ts_holtwinters" -> qTsHoltwinters,
     "q_ts_croston" -> qTsCroston,
+    "q_sample_neyman" -> qSampleNeyman,
     "q_stats_kruskal" -> qStatsKruskal,
     "q_ts_theilsen" -> qTsTheilsen,
     "q_feature_pit" -> qFeaturePit,
