@@ -129,6 +129,77 @@ object GraphOps extends QueryModule {
                    FROM ed JOIN r2 ON ed.src = r2.node GROUP BY ed.dst)
             SELECT node, mass FROM r3 ORDER BY node"""))
 
+  /** HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
+    * supplier→part graph — the dual-score companion to PageRank (which
+    * collapses both roles into one mass): a supplier is a good HUB when
+    * it points at high-authority parts, a part a good AUTHORITY when
+    * high-hub suppliers point at it. Two full mutual-reinforcement
+    * rounds in fixed-point integers, L∞-normalized each half-step
+    * (score·10⁶ div max — the max is an exact integer, so normalization
+    * is hash-stable where the classical L2 norm's sqrt would drift):
+    * a ← Σ_in h then renorm; h ← Σ_out a then renorm. The oracle unrolls
+    * the same four half-steps as chained CTEs with `//`.
+    *
+    * Scale: pagerank economics — the (src, dst) edge list materializes
+    * once and each half-step is one edge⋈score shuffle + a map-side
+    * combinable sum; the renorm is a 1-row broadcast. Iteration cost is
+    * independent of round count; scores stay ≤ 10⁶·max-degree « 2⁶³.
+    */
+  private val qGraphHits = GQuery(
+    (s, d) => {
+      val edges = t(s, d, "lineitem")
+        .select(col("l_suppkey").cast("long").as("src"),
+          col("l_partkey").cast("long").as("dst"))
+        .distinct()
+        .localCheckpoint(true) // four half-steps reuse the edge list
+      def renorm(df: DataFrame, c: String): DataFrame = {
+        val mx = df.agg(max(col(c)).as("mx")).withColumn("j", lit(1))
+        df.withColumn("j", lit(1)).join(broadcast(mx), "j")
+          .select(col("id"), expr(s"($c * 1000000) div mx").as(c))
+      }
+      var hub = edges.select(col("src").as("id")).distinct()
+        .withColumn("h", lit(1000000L))
+      var auth: DataFrame = null
+      for (_ <- 1 to 2) {
+        auth = renorm(edges.join(hub, col("src") === col("id"))
+          .groupBy("dst").agg(sum("h").as("a"))
+          .select(col("dst").as("id"), col("a")), "a")
+        hub = renorm(edges.join(auth, col("dst") === col("id"))
+          .groupBy("src").agg(sum("a").as("h"))
+          .select(col("src").as("id"), col("h")), "h")
+      }
+      hub.select(lit("hub").as("kind"), col("id"), col("h").as("score"))
+        .unionByName(auth.select(lit("authority").as("kind"), col("id"),
+          col("a").as("score")))
+        .orderBy("kind", "id")
+    },
+    Some("""WITH edges AS (
+              SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                              CAST(l_partkey AS BIGINT) AS dst
+              FROM lineitem),
+            h0 AS (SELECT DISTINCT src AS id,
+                     CAST(1000000 AS BIGINT) AS h FROM edges),
+            a1r AS (SELECT e.dst AS id, CAST(sum(h.h) AS BIGINT) AS a
+                    FROM edges e JOIN h0 h ON e.src = h.id GROUP BY 1),
+            a1 AS (SELECT id, (a * 1000000) // (SELECT max(a) FROM a1r) AS a
+                   FROM a1r),
+            h1r AS (SELECT e.src AS id, CAST(sum(a.a) AS BIGINT) AS h
+                    FROM edges e JOIN a1 a ON e.dst = a.id GROUP BY 1),
+            h1 AS (SELECT id, (h * 1000000) // (SELECT max(h) FROM h1r) AS h
+                   FROM h1r),
+            a2r AS (SELECT e.dst AS id, CAST(sum(h.h) AS BIGINT) AS a
+                    FROM edges e JOIN h1 h ON e.src = h.id GROUP BY 1),
+            a2 AS (SELECT id, (a * 1000000) // (SELECT max(a) FROM a2r) AS a
+                   FROM a2r),
+            h2r AS (SELECT e.src AS id, CAST(sum(a.a) AS BIGINT) AS h
+                    FROM edges e JOIN a2 a ON e.dst = a.id GROUP BY 1),
+            h2 AS (SELECT id, (h * 1000000) // (SELECT max(h) FROM h2r) AS h
+                   FROM h2r)
+            SELECT 'hub' AS kind, id, CAST(h AS BIGINT) AS score FROM h2
+            UNION ALL
+            SELECT 'authority', id, CAST(a AS BIGINT) FROM a2
+            ORDER BY kind, id"""))
+
   /** Triangle counting by DEGREE ORIENTATION (the Suri–Vassilvitskii /
     * Schank MR-triangle algorithm): orient every edge from its
     * lexicographically-smaller (degree, id) endpoint to the larger, join
@@ -991,6 +1062,7 @@ object GraphOps extends QueryModule {
     "q_graph_assortativity" -> qGraphAssortativity,
     "q_graph_modularity" -> qGraphModularity,
     "q_graph_pagerank" -> qGraphPagerank,
+    "q_graph_hits" -> qGraphHits,
     "q_graph_triangles" -> qGraphTriangles,
     "q_graph_degree_dist" -> qGraphDegreeDist,
     "q_graph_kcore" -> qGraphKcore,
