@@ -617,6 +617,114 @@ object ScoringOps extends QueryModule {
             FROM toks JOIN wn USING (w)
             GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** WordPiece tokenization (Schuster & Nakajima 2012 / BERT) — the
+    * third member of the subword family next to BPE (merge-driven) and
+    * unigram-LM (Viterbi): GREEDY LONGEST-MATCH-FIRST segmentation with
+    * '##'-prefixed continuation pieces, the maximal-munch semantics the
+    * other two don't have. Vocab is data-derived and deterministic: every
+    * single character (word-initial and '##'-continuation — guarantees
+    * total segmentability, no [UNK] path), plus the top-30 word-initial
+    * and top-30 continuation multi-char substrings (length ≤ 4, weighted
+    * by word frequency; cnt desc, piece asc tie-break). The greedy walk
+    * itself is precomputed RELATIONALLY — per (word, pos) the longest
+    * in-vocab piece via one join + max agg, so the per-word fold only
+    * walks an lbs array (segment-once-per-DISTINCT-word economics, as
+    * bpe_apply/unigram_apply); the oracle replays the identical walk as
+    * a recursive CTE over the same lbest table. Emits the piece-frequency
+    * table (occurrence-weighted), exact integers.
+    *
+    * Scale: distinct-word working set (bounded by vocab, not corpus);
+    * substring stats are a ≤ 4·maxlen explode over distinct words; the
+    * vocab join broadcasts; corpus cost is one token-stream groupBy.
+    */
+  private val qVocabWordpiece = GQuery(
+    (s, d) => {
+      val words = t(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "" && length(col("w")) <= lit(12))
+        .groupBy("w").agg(count(lit(1L)).as("wcnt"))
+      val subs = words
+        .select(col("w"), col("wcnt"),
+          explode(expr("""flatten(transform(sequence(1, length(w)),
+            i -> transform(sequence(1, 4), l -> named_struct('i', i, 'l', l))))"""))
+            .as("x"))
+        .select(col("w"), col("wcnt"), col("x.i").as("i"), col("x.l").as("l"))
+        .filter(col("i") + col("l") - 1 <= length(col("w")))
+        .withColumn("key", expr(
+          "IF(i = 1, substr(w, i, l), concat('##', substr(w, i, l)))"))
+      val kc = subs.groupBy("key")
+        .agg(sum("wcnt").as("cnt"), max("l").as("l"))
+      val vocab = kc.filter(col("l") === 1).select("key")
+        .unionByName(kc.filter(col("l") > 1 && !col("key").startsWith("##"))
+          .orderBy(col("cnt").desc, col("key").asc).limit(30).select("key"))
+        .unionByName(kc.filter(col("l") > 1 && col("key").startsWith("##"))
+          .orderBy(col("cnt").desc, col("key").asc).limit(30).select("key"))
+      val lbest = subs.join(broadcast(vocab), "key")
+        .groupBy("w", "i").agg(max("l").as("lb"))
+      val lbs = lbest
+        .groupBy("w")
+        .agg(sort_array(collect_list(struct(col("i"), col("lb")))).as("s"))
+        .select(col("w"), transform(col("s"), r => r.getField("lb")).as("lbs"))
+      val pieces = words.join(lbs, "w")
+        .select(col("w"), col("wcnt"), explode(expr(
+          """aggregate(sequence(1, length(w)),
+               named_struct('pos', 1, 'ps', CAST(array() AS ARRAY<STRING>)),
+               (acc, i) -> IF(i != acc.pos, acc, named_struct(
+                 'pos', acc.pos + element_at(lbs, acc.pos),
+                 'ps', concat(acc.ps, array(IF(acc.pos = 1,
+                   substr(w, 1, element_at(lbs, 1)),
+                   concat('##', substr(w, acc.pos,
+                     element_at(lbs, acc.pos)))))))),
+               acc -> acc.ps)""")).as("piece"))
+      pieces.groupBy("piece").agg(sum("wcnt").as("n_uses"))
+        .orderBy("piece")
+    },
+    Some("""WITH RECURSIVE words AS (
+              SELECT wd AS w, CAST(count(*) AS BIGINT) AS wcnt
+              FROM (SELECT unnest(string_split(lower(text), ' ')) AS wd
+                    FROM documents)
+              WHERE wd <> '' AND len(wd) <= 12
+              GROUP BY 1),
+            subs AS (
+              SELECT w, wcnt, i, l,
+                     CASE WHEN i = 1 THEN substr(w, i, l)
+                       ELSE '##' || substr(w, i, l) END AS key
+              FROM words,
+                   LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) ii,
+                   LATERAL (SELECT unnest([1, 2, 3, 4]) AS l) ll
+              WHERE i + l - 1 <= len(w)),
+            kc AS (SELECT key, CAST(sum(wcnt) AS BIGINT) AS cnt,
+                          max(l) AS l
+                   FROM subs GROUP BY 1),
+            vocab AS (
+              SELECT key FROM kc WHERE l = 1
+              UNION ALL
+              SELECT key FROM (SELECT key FROM kc
+                WHERE l > 1 AND key NOT LIKE '##%'
+                ORDER BY cnt DESC, key ASC LIMIT 30)
+              UNION ALL
+              SELECT key FROM (SELECT key FROM kc
+                WHERE l > 1 AND key LIKE '##%'
+                ORDER BY cnt DESC, key ASC LIMIT 30)),
+            lbest AS (
+              SELECT s.w, s.i, max(s.l) AS lb
+              FROM subs s JOIN vocab v ON v.key = s.key
+              GROUP BY 1, 2),
+            seg AS (
+              SELECT w, wcnt, 1 AS pos FROM words
+              UNION ALL
+              SELECT g.w, g.wcnt, g.pos + b.lb
+              FROM seg g JOIN lbest b ON b.w = g.w AND b.i = g.pos
+              WHERE g.pos <= len(g.w)),
+            pieces AS (
+              SELECT s.w, s.wcnt,
+                     CASE WHEN s.pos = 1 THEN substr(s.w, 1, b.lb)
+                       ELSE '##' || substr(s.w, s.pos, b.lb) END AS piece
+              FROM seg s JOIN lbest b ON b.w = s.w AND b.i = s.pos
+              WHERE s.pos <= len(s.w))
+            SELECT piece, CAST(sum(wcnt) AS BIGINT) AS n_uses
+            FROM pieces GROUP BY 1 ORDER BY piece"""))
+
   /** The DuckDB twin of `unigramPieces`, as a shared CTE chain (everything
     * from the word counts through the backtracked per-word pieces) —
     * prefix with `WITH RECURSIVE`.
@@ -2093,6 +2201,7 @@ object ScoringOps extends QueryModule {
     "q_eval_rouge" -> qEvalRouge,
     "q_eval_chrf" -> qEvalChrf,
     "q_stats_xi" -> qStatsXi,
+    "q_vocab_wordpiece" -> qVocabWordpiece,
     "q_sample_importance" -> qSampleImportance,
     "q_events_attribution" -> qEventsAttribution,
     "q_profile_gini" -> qProfileGini)
