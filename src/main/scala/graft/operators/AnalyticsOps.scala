@@ -3774,6 +3774,93 @@ object AnalyticsOps extends QueryModule {
     * domain, one prefix-sum window over the grid, one scalar agg; the
     * corpus is touched once.
     */
+  /** Wilcoxon signed-rank test (1945) — the PAIRED companion to
+    * q_stats_mannwhitney (which compares two independent samples; here
+    * each user is their own control): per-user spend delta between the
+    * month's second and first half, zero deltas dropped (Wilcoxon's
+    * rule), |d| midranks from the value-grid cumulative counts in DOUBLED
+    * integers (rank2 = 2·cum_before + t + 1 — midranks are half-integers,
+    * ×2 keeps the whole rank sum exact), W⁺ = Σ ranks of positive deltas,
+    * normal approximation with the tie-corrected variance
+    * n(n+1)(2n+1)/24 − Σ(t³−t)/48; z through one mirrored drounded
+    * chain. Output: n (nonzero pairs), n_pos, w2_plus (doubled W⁺),
+    * ties, z.
+    *
+    * Scale: one user agg (map-combinable) + the mannwhitney grid
+    * economics — ranks from |d|-grid cumulative counts, never a row-level
+    * rank window; at extreme grids the running sum swaps to the ks
+    * two-level prefix sum.
+    */
+  private val qStatsWilcoxon = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val diffs = t(s, d, "events")
+        .select(col("user_id"),
+          when(dayofmonth(col("ts")) <= 15, cents).otherwise(0L).as("a"),
+          when(dayofmonth(col("ts")) > 15, cents).otherwise(0L).as("b"))
+        .groupBy("user_id")
+        .agg((sum("b") - sum("a")).as("dd"))
+        .filter(col("dd") =!= 0L)
+        .select(abs(col("dd")).as("ad"),
+          when(col("dd") > 0, 1L).otherwise(0L).as("pos"))
+      val grid = diffs.groupBy("ad")
+        .agg(count(lit(1L)).as("t"), sum("pos").as("tp"))
+      val w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = grid
+        .withColumn("cum", coalesce(sum("t").over(w), lit(0L)))
+        .withColumn("rank2", col("cum") * 2 + col("t") + 1)
+      val agg = ranked.agg(
+        sum("t").as("n"), sum("tp").as("npos"),
+        sum(col("tp") * col("rank2")).as("w2p"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+      agg.select(col("n"), col("npos"), col("w2p"), col("ties"),
+        when(col("n") > 1, dround(
+          (col("w2p").cast("double") / 2.0 -
+            (col("n") * (col("n") + 1)).cast("double") / 4.0) /
+            sqrt((col("n") * (col("n") + 1) * (col("n") * 2 + 1))
+              .cast("double") / 24.0 -
+              col("ties").cast("double") / 48.0), 6)).as("z"))
+    },
+    Some("""WITH diffs AS (
+              SELECT user_id,
+                     CAST(sum(CASE WHEN extract(day FROM ts) > 15
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ELSE 0 END)
+                     - sum(CASE WHEN extract(day FROM ts) <= 15
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS dd
+              FROM events GROUP BY 1),
+            nz AS (
+              SELECT abs(dd) AS ad,
+                     CASE WHEN dd > 0 THEN 1 ELSE 0 END AS pos
+              FROM diffs WHERE dd <> 0),
+            grid AS (
+              SELECT ad, CAST(count(*) AS BIGINT) AS t,
+                     CAST(sum(pos) AS BIGINT) AS tp
+              FROM nz GROUP BY 1),
+            ranked AS (
+              SELECT ad, t, tp,
+                     coalesce(sum(t) OVER (ORDER BY ad
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cum
+              FROM grid),
+            agg AS (
+              SELECT CAST(sum(t) AS BIGINT) AS n,
+                     CAST(sum(tp) AS BIGINT) AS npos,
+                     CAST(sum(tp * (cum * 2 + t + 1)) AS BIGINT) AS w2p,
+                     CAST(sum(t * t * t - t) AS BIGINT) AS ties
+              FROM ranked)
+            SELECT n, npos, w2p, ties,
+                   CASE WHEN n > 1 THEN
+                     CAST(round(CAST(
+                       (CAST(w2p AS DOUBLE) / 2.0
+                        - CAST(n * (n + 1) AS DOUBLE) / 4.0)
+                       / sqrt(CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE) / 24.0
+                              - CAST(ties AS DOUBLE) / 48.0)
+                       AS DECIMAL(30,8)), 6) AS DOUBLE)
+                   END AS z
+            FROM agg"""))
+
   private val qStatsMannwhitney = GQuery(
     (s, d) => {
       val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
@@ -7092,6 +7179,7 @@ object AnalyticsOps extends QueryModule {
     "q_events_window_funnel" -> qEventsWindowFunnel,
     "q_feature_scale" -> qFeatureScale,
     "q_stats_mannwhitney" -> qStatsMannwhitney,
+    "q_stats_wilcoxon" -> qStatsWilcoxon,
     "q_stats_runs" -> qStatsRuns,
     "q_funnel_latency" -> qFunnelLatency,
     "q_stats_cramersv" -> qStatsCramersV,
