@@ -200,6 +200,82 @@ object GraphOps extends QueryModule {
             SELECT 'authority', id, CAST(a AS BIGINT) FROM a2
             ORDER BY kind, id"""))
 
+  /** Landmark closeness centrality — the tractable form of the all-pairs
+    * metric (exact closeness is an APSP, quadratic in nodes; the standard
+    * production approximation anchors distances at K pivots instead —
+    * Potamias et al., CIKM 2009): 8 landmarks (smallest supplier keys —
+    * deterministic), one MULTI-SOURCE bounded-depth BFS carrying
+    * (landmark, node, min-dist) rows, closeness_micro = reached·10⁶ div
+    * Σdist over the landmark set. Frontier-only expansion (rows at
+    * dist = round−1) keeps each round one edges⋈frontier join; the
+    * oracle replays it as a UNION-distinct recursive CTE (its global
+    * dedup IS visited-set semantics) + min-dist agg.
+    *
+    * Scale: the q_graph_bfs loop ×K landmarks in ONE pass — state is
+    * K·|nodes| rows max, each round an edge-keyed shuffle + min agg;
+    * depth 4 covers the bipartite diameter here and is the standard
+    * landmark-closeness truncation elsewhere.
+    */
+  private val qGraphCloseness = GQuery(
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_suppkey"), col("l_partkey")).distinct()
+      val edges = li.select(
+          concat(lit("s:"), col("l_suppkey")).as("src"),
+          concat(lit("p:"), col("l_partkey")).as("dst"))
+        .union(li.select(
+          concat(lit("p:"), col("l_partkey")).as("src"),
+          concat(lit("s:"), col("l_suppkey")).as("dst")))
+        .localCheckpoint(true) // four frontier joins reuse the edge list
+      val lms = li.select(col("l_suppkey")).distinct()
+        .orderBy("l_suppkey").limit(8)
+        .select(concat(lit("s:"), col("l_suppkey")).as("lm"))
+      var vis = lms.select(col("lm"), col("lm").as("node"),
+        lit(0L).as("dist"))
+      for (it <- 1 to 4) {
+        val next = vis.filter(col("dist") === (it - 1).toLong)
+          .join(edges, col("node") === col("src"))
+          .select(col("lm"), col("dst").as("node"),
+            lit(it.toLong).as("dist"))
+        vis = vis.unionByName(next)
+          .groupBy("lm", "node").agg(min("dist").as("dist"))
+          .localCheckpoint(true)
+      }
+      vis.groupBy("node")
+        .agg(count(lit(1L)).as("n_reached"), sum("dist").as("sum_dist"))
+        .select(col("node"), col("n_reached"), col("sum_dist"),
+          when(col("sum_dist") > 0,
+            expr("n_reached * 1000000 div sum_dist")).as("c_micro"))
+        .orderBy("node")
+    },
+    Some("""WITH RECURSIVE li AS (
+              SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+            edges AS (
+              SELECT 's:' || CAST(l_suppkey AS VARCHAR) AS src,
+                     'p:' || CAST(l_partkey AS VARCHAR) AS dst FROM li
+              UNION ALL
+              SELECT 'p:' || CAST(l_partkey AS VARCHAR),
+                     's:' || CAST(l_suppkey AS VARCHAR) FROM li),
+            lms AS (
+              SELECT 's:' || CAST(k AS VARCHAR) AS lm
+              FROM (SELECT DISTINCT l_suppkey AS k FROM li
+                    ORDER BY 1 LIMIT 8)),
+            bfs AS (
+              SELECT lm, lm AS node, 0 AS dist FROM lms
+              UNION
+              SELECT b.lm, e.dst, b.dist + 1
+              FROM bfs b JOIN edges e ON e.src = b.node
+              WHERE b.dist < 4),
+            md AS (
+              SELECT lm, node, CAST(min(dist) AS BIGINT) AS dist
+              FROM bfs GROUP BY 1, 2)
+            SELECT node, CAST(count(*) AS BIGINT) AS n_reached,
+                   CAST(sum(dist) AS BIGINT) AS sum_dist,
+                   CASE WHEN sum(dist) > 0
+                     THEN CAST(count(*) * 1000000 // sum(dist) AS BIGINT)
+                   END AS c_micro
+            FROM md GROUP BY 1 ORDER BY node"""))
+
   /** Triangle counting by DEGREE ORIENTATION (the Suri–Vassilvitskii /
     * Schank MR-triangle algorithm): orient every edge from its
     * lexicographically-smaller (degree, id) endpoint to the larger, join
@@ -1063,6 +1139,7 @@ object GraphOps extends QueryModule {
     "q_graph_modularity" -> qGraphModularity,
     "q_graph_pagerank" -> qGraphPagerank,
     "q_graph_hits" -> qGraphHits,
+    "q_graph_closeness" -> qGraphCloseness,
     "q_graph_triangles" -> qGraphTriangles,
     "q_graph_degree_dist" -> qGraphDegreeDist,
     "q_graph_kcore" -> qGraphKcore,
