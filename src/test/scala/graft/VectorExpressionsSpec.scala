@@ -357,6 +357,39 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(edge(2).getSeq[Long](0) == Seq(5L, 4L, 3L, 2L))
   }
 
+  test("AHash64 matches the HOF block-sum/threshold form (q_multimodal_phash)") {
+    // parity on the real corpus INCLUDING the planted uppercase edits
+    val base = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val corpus = base.unionByName(
+      base.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 20000L).as("doc_id"),
+          concat(upper(substring(col("text"), 1, 1)),
+            expr("substring(text, 2)")).as("text")))
+    def byteat(p: String) =
+      s"IF($p <= length(text), ascii(substring(text, $p, 1)), 0L)"
+    val bsExpr =
+      s"""transform(sequence(0, 63), b ->
+            ${byteat("(2 * (b div 8)) * 16 + 2 * pmod(b, 8) + 1")} +
+            ${byteat("(2 * (b div 8)) * 16 + 2 * pmod(b, 8) + 2")} +
+            ${byteat("(2 * (b div 8) + 1) * 16 + 2 * pmod(b, 8) + 1")} +
+            ${byteat("(2 * (b div 8) + 1) * 16 + 2 * pmod(b, 8) + 2")})"""
+    val hof = corpus
+      .withColumn("bs", expr(bsExpr))
+      .withColumn("ts", expr("aggregate(bs, 0L, (a, x) -> a + x)"))
+      .select(col("doc_id") +: (0 to 3).map(k =>
+        expr(s"""aggregate(sequence(0, 15), 0L, (a, m) ->
+                   a + IF(element_at(bs, ${16 * k} + m + 1) * 64 > ts,
+                         shiftleft(1L, m), 0L))""").as(s"h$k")): _*)
+    val nat = corpus
+      .withColumn("ah", VectorExpressions.ahash64(col("text")))
+      .select(col("doc_id") +: (0 to 3).map(k =>
+        expr(s"shiftright(ah, ${16 * k}) & 65535").as(s"n$k")): _*)
+    val cmp = nat.join(hof, "doc_id")
+    assert(cmp.count() > 0)
+    assert(cmp.filter((0 to 3).map(k =>
+      col(s"n$k") =!= col(s"h$k")).reduce(_ || _)).count() == 0)
+  }
+
   test("kernels execute inside whole-stage codegen") {
     val emb = Tables(spark, sf, "embeddings")
       .select(col("embedding").cast("array<double>").as("e"))
