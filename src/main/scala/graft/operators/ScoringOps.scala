@@ -637,8 +637,11 @@ object ScoringOps extends QueryModule {
     * substring stats are a ≤ 4·maxlen explode over distinct words; the
     * vocab join broadcasts; corpus cost is one token-stream groupBy.
     */
-  private val qVocabWordpiece = GQuery(
-    (s, d) => {
+  /** Greedy WordPiece segmentation of every distinct word — shared by
+    * q_vocab_wordpiece (piece table) and q_vocab_fertility (tokenizer
+    * comparison): one row per (distinct word, emitted piece).
+    */
+  private def wordpiecePieces(s: SparkSession, d: String): DataFrame = {
       val words = t(s, d, "documents")
         .select(explode(split(lower(col("text")), " ")).as("w"))
         .filter(col("w") =!= "" && length(col("w")) <= lit(12))
@@ -676,54 +679,133 @@ object ScoringOps extends QueryModule {
                    concat('##', substr(w, acc.pos,
                      element_at(lbs, acc.pos)))))))),
                acc -> acc.ps)""")).as("piece"))
-      pieces.groupBy("piece").agg(sum("wcnt").as("n_uses"))
-        .orderBy("piece")
-    },
-    Some("""WITH RECURSIVE words AS (
+      pieces
+  }
+
+  private val qVocabWordpiece = GQuery(
+    (s, d) => wordpiecePieces(s, d)
+      .groupBy("piece").agg(sum("wcnt").as("n_uses"))
+      .orderBy("piece"),
+    Some(s"""WITH RECURSIVE $DuckWordpieceCtes
+            SELECT piece, CAST(sum(wcnt) AS BIGINT) AS n_uses
+            FROM wppieces GROUP BY 1 ORDER BY piece"""))
+
+  /** The DuckDB twin of `wordpiecePieces` as a shared CTE chain (wp-prefixed
+    * names so it composes with the BPE/unigram chains in one WITH RECURSIVE).
+    */
+  private lazy val DuckWordpieceCtes = """wpw AS (
               SELECT wd AS w, CAST(count(*) AS BIGINT) AS wcnt
               FROM (SELECT unnest(string_split(lower(text), ' ')) AS wd
                     FROM documents)
               WHERE wd <> '' AND len(wd) <= 12
               GROUP BY 1),
-            subs AS (
+            wps AS (
               SELECT w, wcnt, i, l,
                      CASE WHEN i = 1 THEN substr(w, i, l)
                        ELSE '##' || substr(w, i, l) END AS key
-              FROM words,
+              FROM wpw,
                    LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) ii,
                    LATERAL (SELECT unnest([1, 2, 3, 4]) AS l) ll
               WHERE i + l - 1 <= len(w)),
-            kc AS (SELECT key, CAST(sum(wcnt) AS BIGINT) AS cnt,
+            wpkc AS (SELECT key, CAST(sum(wcnt) AS BIGINT) AS cnt,
                           max(l) AS l
-                   FROM subs GROUP BY 1),
-            vocab AS (
-              SELECT key FROM kc WHERE l = 1
+                   FROM wps GROUP BY 1),
+            wpv AS (
+              SELECT key FROM wpkc WHERE l = 1
               UNION ALL
-              SELECT key FROM (SELECT key FROM kc
+              SELECT key FROM (SELECT key FROM wpkc
                 WHERE l > 1 AND key NOT LIKE '##%'
                 ORDER BY cnt DESC, key ASC LIMIT 30)
               UNION ALL
-              SELECT key FROM (SELECT key FROM kc
+              SELECT key FROM (SELECT key FROM wpkc
                 WHERE l > 1 AND key LIKE '##%'
                 ORDER BY cnt DESC, key ASC LIMIT 30)),
-            lbest AS (
+            wplb AS (
               SELECT s.w, s.i, max(s.l) AS lb
-              FROM subs s JOIN vocab v ON v.key = s.key
+              FROM wps s JOIN wpv v ON v.key = s.key
               GROUP BY 1, 2),
-            seg AS (
-              SELECT w, wcnt, 1 AS pos FROM words
+            wpseg AS (
+              SELECT w, wcnt, 1 AS pos FROM wpw
               UNION ALL
               SELECT g.w, g.wcnt, g.pos + b.lb
-              FROM seg g JOIN lbest b ON b.w = g.w AND b.i = g.pos
+              FROM wpseg g JOIN wplb b ON b.w = g.w AND b.i = g.pos
               WHERE g.pos <= len(g.w)),
-            pieces AS (
+            wppieces AS (
               SELECT s.w, s.wcnt,
                      CASE WHEN s.pos = 1 THEN substr(s.w, 1, b.lb)
                        ELSE '##' || substr(s.w, s.pos, b.lb) END AS piece
-              FROM seg s JOIN lbest b ON b.w = s.w AND b.i = s.pos
-              WHERE s.pos <= len(s.w))
-            SELECT piece, CAST(sum(wcnt) AS BIGINT) AS n_uses
-            FROM pieces GROUP BY 1 ORDER BY piece"""))
+              FROM wpseg s JOIN wplb b ON b.w = s.w AND b.i = s.pos
+              WHERE s.pos <= len(s.w))"""
+
+  // --------------------------------------- tokenizer fertility panel --
+
+  /** Tokenizer FERTILITY comparison (pieces per 100 words, per language)
+    * across all three trained subword families — BPE (8 merges), the
+    * unigram-LM Viterbi model, and greedy WordPiece — in one readout: the
+    * model-selection table a tokenizer bake-off produces (fertility is
+    * the standard cross-tokenizer efficiency metric; lower = fewer
+    * pieces per word = cheaper sequences). One corpus token stream joins
+    * the three distinct-word segment tables (inner on all three, so the
+    * denominator is the shared segmentable-word set); per language:
+    * word count, per-tokenizer piece sums, and ×100 integer fertilities.
+    * The oracle composes the three families' CTE chains (BPE unrolled
+    * merges, unigram Viterbi DP, wp-prefixed WordPiece walk) in ONE
+    * WITH RECURSIVE — each side's segmentation already pinned by its own
+    * query; this row pins their JOINT join/denominator semantics.
+    *
+    * Scale: the apply-side economics of all three (distinct-word segment
+    * tables broadcast onto one corpus-linear token stream) + a |langs|
+    * agg.
+    */
+  private val qVocabFertility = GQuery(
+    (s, d) => {
+      val (vocab, _) = bpeTrain(s, d, 8)
+      val bseg = vocab.select(col("tok"),
+        size(filter(split(trim(col("s")), " "), c => c =!= ""))
+          .cast("long").as("n_bpe"))
+      val useg = unigramPieces(s, d)
+        .groupBy("w").agg(count(lit(1L)).as("n_uni"))
+      val wseg = wordpiecePieces(s, d)
+        .groupBy("w").agg(count(lit(1L)).as("n_wp"))
+      t(s, d, "documents")
+        .select(col("lang"), explode(split(lower(col("text")), " ")).as("tok"))
+        .join(bseg, "tok")
+        .join(useg, col("tok") === useg("w")).drop("w")
+        .join(wseg, col("tok") === wseg("w")).drop("w")
+        .groupBy("lang")
+        .agg(count(lit(1L)).as("n_words"),
+          sum("n_bpe").as("p_bpe"), sum("n_uni").as("p_uni"),
+          sum("n_wp").as("p_wp"))
+        .select(col("lang"), col("n_words"),
+          expr("p_bpe * 100 div n_words").as("f_bpe_100w"),
+          expr("p_uni * 100 div n_words").as("f_uni_100w"),
+          expr("p_wp * 100 div n_words").as("f_wp_100w"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH RECURSIVE $duckBpeV0,
+            ${duckBpeChain(8)},
+            $DuckUnigramCtes,
+            $DuckWordpieceCtes,
+            bseg AS (
+              SELECT tok, CAST(len(string_split(trim(s), ' ')) AS BIGINT)
+                       AS n_bpe
+              FROM v8),
+            useg AS (SELECT w, CAST(count(*) AS BIGINT) AS n_uni
+                     FROM pieces GROUP BY 1),
+            wseg AS (SELECT w, CAST(count(*) AS BIGINT) AS n_wp
+                     FROM wppieces GROUP BY 1),
+            toks AS (
+              SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(n_bpe) * 100 // count(*) AS BIGINT) AS f_bpe_100w,
+                   CAST(sum(n_uni) * 100 // count(*) AS BIGINT) AS f_uni_100w,
+                   CAST(sum(n_wp) * 100 // count(*) AS BIGINT) AS f_wp_100w
+            FROM toks
+            JOIN bseg USING (tok)
+            JOIN useg ON useg.w = toks.tok
+            JOIN wseg ON wseg.w = toks.tok
+            GROUP BY lang ORDER BY lang"""))
 
   /** The DuckDB twin of `unigramPieces`, as a shared CTE chain (everything
     * from the word counts through the backtracked per-word pieces) —
@@ -2202,6 +2284,7 @@ object ScoringOps extends QueryModule {
     "q_eval_chrf" -> qEvalChrf,
     "q_stats_xi" -> qStatsXi,
     "q_vocab_wordpiece" -> qVocabWordpiece,
+    "q_vocab_fertility" -> qVocabFertility,
     "q_sample_importance" -> qSampleImportance,
     "q_events_attribution" -> qEventsAttribution,
     "q_profile_gini" -> qProfileGini)
