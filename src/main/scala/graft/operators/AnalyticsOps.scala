@@ -3861,6 +3861,81 @@ object AnalyticsOps extends QueryModule {
                    END AS z
             FROM agg"""))
 
+  /** Exact sign-flip permutation test — the RESAMPLING member of the
+    * testing ladder (z/t assume normality, the rank tests assume only
+    * exchangeability of ranks; the permutation test assumes nothing but
+    * exchangeability of the signs themselves and is exact at any n): the
+    * same per-user paired spend deltas as q_stats_wilcoxon, observed
+    * statistic Σd, and B = 200 DETERMINISTIC sign assignments
+    * (parity of md5(user:b) — the hash-rule stand-in for random flips,
+    * append-stable and engine-portable); two-sided
+    * p_milli = (1 + #{b: |Σ±d| ≥ |Σd|})·1000 div (B+1) with the
+    * add-one correction. EVERYTHING is exact integers — no normal
+    * approximation anywhere, the only test in the family whose p-value
+    * is hash-exact by construction.
+    *
+    * Scale: one user agg, then a users×B explode (bounded: B fixed, the
+    * per-b partial sums map-side combine) + a B-row agg — permutations
+    * parallelize across the shuffle, never a driver loop.
+    */
+  private val qStatsPermutation = GQuery(
+    (s, d) => {
+      import graft.operators.DedupOps.hex4
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val diffs = t(s, d, "events")
+        .select(col("user_id"),
+          when(dayofmonth(col("ts")) <= 15, cents).otherwise(0L).as("a"),
+          when(dayofmonth(col("ts")) > 15, cents).otherwise(0L).as("b"))
+        .groupBy("user_id")
+        .agg((sum("b") - sum("a")).as("dd"))
+        .localCheckpoint(true) // feeds the observed agg AND the B explode
+      val obs = diffs.agg(count(lit(1L)).as("n"),
+        abs(sum("dd")).as("obs_abs")).withColumn("j", lit(1))
+      val perms = diffs
+        .select(col("user_id"), col("dd"),
+          explode(sequence(lit(0), lit(199))).as("bperm"))
+        .withColumn("sgn",
+          when(pmod(hex4(concat_ws(":", col("user_id"), col("bperm"))),
+            lit(2)) === 0, 1L).otherwise(-1L))
+        .groupBy("bperm").agg(sum(col("sgn") * col("dd")).as("sb"))
+      perms.withColumn("j", lit(1)).join(broadcast(obs), "j")
+        .groupBy("n", "obs_abs")
+        .agg(count(lit(1L)).as("b"),
+          sum(when(abs(col("sb")) >= col("obs_abs"), 1L).otherwise(0L))
+            .as("n_extreme"))
+        .select(col("n"), col("obs_abs"), col("b"), col("n_extreme"),
+          expr("(1 + n_extreme) * 1000 div (b + 1)").as("p_milli"))
+    },
+    Some(s"""WITH diffs AS (
+              SELECT user_id,
+                     CAST(sum(CASE WHEN extract(day FROM ts) > 15
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ELSE 0 END)
+                     - sum(CASE WHEN extract(day FROM ts) <= 15
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS dd
+              FROM events GROUP BY 1),
+            obs AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                           abs(CAST(sum(dd) AS BIGINT)) AS obs_abs
+                    FROM diffs),
+            perms AS (
+              SELECT b.bperm,
+                     CAST(sum(CASE WHEN
+                       (${graft.operators.DedupOps.duckHex4(
+                         "md5(CAST(user_id AS VARCHAR) || ':' || CAST(b.bperm AS VARCHAR))")}) % 2 = 0
+                       THEN dd ELSE -dd END) AS BIGINT) AS sb
+              FROM diffs,
+                   LATERAL (SELECT unnest(generate_series(0, 199)) AS bperm) b
+              GROUP BY 1)
+            SELECT o.n, o.obs_abs, CAST(count(*) AS BIGINT) AS b,
+                   CAST(sum(CASE WHEN abs(p.sb) >= o.obs_abs
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+                   CAST((1 + sum(CASE WHEN abs(p.sb) >= o.obs_abs
+                     THEN 1 ELSE 0 END)) * 1000 // (count(*) + 1) AS BIGINT)
+                     AS p_milli
+            FROM perms p, obs o
+            GROUP BY o.n, o.obs_abs"""))
+
   private val qStatsMannwhitney = GQuery(
     (s, d) => {
       val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
@@ -7180,6 +7255,7 @@ object AnalyticsOps extends QueryModule {
     "q_feature_scale" -> qFeatureScale,
     "q_stats_mannwhitney" -> qStatsMannwhitney,
     "q_stats_wilcoxon" -> qStatsWilcoxon,
+    "q_stats_permutation" -> qStatsPermutation,
     "q_stats_runs" -> qStatsRuns,
     "q_funnel_latency" -> qFunnelLatency,
     "q_stats_cramersv" -> qStatsCramersV,
