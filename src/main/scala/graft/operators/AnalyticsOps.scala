@@ -6187,6 +6187,114 @@ object AnalyticsOps extends QueryModule {
     * Scale: one map-side-combined per-type agg + a k-row rollup — the
     * entire decomposition is six exact sums per group.
     */
+  /** Tukey HSD post-hoc pairwise comparisons — the step AFTER q_stats_anova's
+    * omnibus F (which only says "some group differs", never which): all 10
+    * event-type pairs against the studentized-range critical value
+    * q₀.₀₅(k=5, df→∞) = 3.858 (table literal, the Benford-table rule),
+    * with the pooled within-group MSW from exact DECIMAL(38) moments.
+    * The five per-group SSW terms add in a FIXED pivot order in both
+    * engines (fp addition is not associative; group-sum order is
+    * engine-defined — the chrf pivot rule), so q and the significance
+    * flag are hash-stable. Emits per pair: means, diff, SE, q (drounded),
+    * significant.
+    *
+    * Scale: one map-combinable moment agg; everything after is k rows →
+    * k(k−1)/2 pair rows (bounded by the type grid).
+    */
+  private val qStatsTukey = GQuery(
+    (s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val g = t(s, d, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1L)).as("n"),
+          sum(cents.cast("decimal(38,0)")).as("sx"),
+          sum((cents * cents).cast("decimal(38,0)")).as("sxx"))
+        .localCheckpoint(true) // feeds the MSW pivot AND both pair sides
+      val wideAggs = types.flatMap(ty => Seq(
+        sum(when(col("event_type") === ty, col("n"))).as(s"n_$ty"),
+        sum(when(col("event_type") === ty, col("sx"))).as(s"sx_$ty"),
+        sum(when(col("event_type") === ty, col("sxx"))).as(s"sxx_$ty")))
+      def term(ty: String) =
+        s"""(CAST(sxx_$ty AS DOUBLE)
+             - CAST(sx_$ty AS DOUBLE) * CAST(sx_$ty AS DOUBLE)
+               / CAST(n_$ty AS DOUBLE))"""
+      val msw = g.agg(wideAggs.head, wideAggs.tail: _*)
+        .select(expr(
+          s"""(${types.map(term).reduce((a, b) => s"($a + $b)")})
+              / CAST(${types.map(ty => s"n_$ty").mkString(" + ")}
+                     - 5 AS DOUBLE)""").as("msw"))
+        .withColumn("j", lit(1))
+      val a = g.select(col("event_type").as("g_a"), col("n").as("na"),
+        col("sx").as("sxa")).withColumn("j", lit(1))
+      val b = g.select(col("event_type").as("g_b"), col("n").as("nb"),
+        col("sx").as("sxb")).withColumn("j", lit(1))
+      a.join(b, "j").filter(col("g_a") < col("g_b"))
+        .join(broadcast(msw), "j")
+        .withColumn("ma", expr("CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)"))
+        .withColumn("mb", expr("CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE)"))
+        .withColumn("se", expr(
+          """sqrt(msw / 2.0 * (1.0 / CAST(na AS DOUBLE)
+             + 1.0 / CAST(nb AS DOUBLE)))"""))
+        .withColumn("q", dround(abs(col("ma") - col("mb")) / col("se"), 4))
+        .select(col("g_a"), col("g_b"),
+          dround(col("ma") - col("mb"), 2).as("diff_cents"),
+          dround(col("se"), 2).as("se_cents"),
+          col("q"), (col("q") > 3.858).as("significant"))
+        .orderBy("g_a", "g_b")
+    },
+    Some {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      def term(ty: String) =
+        s"""(CAST(sxx_$ty AS DOUBLE)
+             - CAST(sx_$ty AS DOUBLE) * CAST(sx_$ty AS DOUBLE)
+               / CAST(n_$ty AS DOUBLE))"""
+      s"""WITH g AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS HUGEINT)) AS sx,
+                     sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS HUGEINT)
+                       * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                       AS sxx
+              FROM events GROUP BY 1),
+            wide AS (
+              SELECT ${types.map(ty =>
+                s"""max(CASE WHEN event_type = '$ty' THEN n END) AS n_$ty,
+                    max(CASE WHEN event_type = '$ty' THEN sx END) AS sx_$ty,
+                    max(CASE WHEN event_type = '$ty' THEN sxx END) AS sxx_$ty""")
+                .mkString(",\n                     ")}
+              FROM g),
+            msw AS (
+              SELECT (${types.map(term).reduce((x, y) => s"($x + $y)")})
+                     / CAST(${types.map(ty => s"n_$ty").mkString(" + ")}
+                            - 5 AS DOUBLE) AS msw
+              FROM wide),
+            pairs AS (
+              SELECT a.event_type AS g_a, b.event_type AS g_b,
+                     a.n AS na, a.sx AS sxa, b.n AS nb, b.sx AS sxb
+              FROM g a JOIN g b ON a.event_type < b.event_type),
+            sc AS (
+              SELECT g_a, g_b,
+                     CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+                     CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+                     sqrt(m.msw / 2.0 * (1.0 / CAST(na AS DOUBLE)
+                       + 1.0 / CAST(nb AS DOUBLE))) AS se
+              FROM pairs, msw m),
+            qd AS (
+              SELECT g_a, g_b, ma, mb, se,
+                     CAST(round(CAST(abs(ma - mb) / se AS DECIMAL(30,8)), 4)
+                       AS DOUBLE) AS q
+              FROM sc)
+            SELECT g_a, g_b,
+                   CAST(round(CAST(ma - mb AS DECIMAL(30,8)), 2) AS DOUBLE)
+                     AS diff_cents,
+                   CAST(round(CAST(se AS DECIMAL(30,8)), 2) AS DOUBLE)
+                     AS se_cents,
+                   q, q > 3.858 AS significant
+            FROM qd ORDER BY g_a, g_b"""
+    })
+
   private val qStatsAnova = GQuery(
     (s, d) => {
       val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
@@ -7256,6 +7364,7 @@ object AnalyticsOps extends QueryModule {
     "q_stats_mannwhitney" -> qStatsMannwhitney,
     "q_stats_wilcoxon" -> qStatsWilcoxon,
     "q_stats_permutation" -> qStatsPermutation,
+    "q_stats_tukey" -> qStatsTukey,
     "q_stats_runs" -> qStatsRuns,
     "q_funnel_latency" -> qFunnelLatency,
     "q_stats_cramersv" -> qStatsCramersV,
