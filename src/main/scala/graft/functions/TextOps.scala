@@ -1324,6 +1324,94 @@ object TextOps extends QueryModule {
     * the double products inside ln stay exact below 2⁵³ (corpus ≪ 9·10¹⁵
     * bigrams — widen to two-step ln arithmetic past that).
     */
+  /** Dunning log-likelihood-ratio collocations (Dunning 1993) — the
+    * statistically sound upgrade of q_vocab_pmi (PMI explodes on rare
+    * pairs and needs an arbitrary count floor; LLR's G² weights evidence
+    * by VOLUME, so it needs no floor and its ranking is comparable across
+    * frequencies): per adjacent bigram the full 2×2 contingency
+    * (k11 = pair, k12/k21 = marginals minus pair, k22 = rest),
+    * G² = 2·Σ kᵢⱼ·ln(kᵢⱼN/RᵢCⱼ) over nonzero cells, summed in a FIXED
+    * parenthesized order and rounded once to milli (identical doubles →
+    * identical longs → hash-stable top-20).
+    *
+    * Scale: q_vocab_pmi economics exactly — one pair agg (linear in
+    * tokens), two vocab-sized marginal aggs joined back, a 1-row total
+    * broadcast, TakeOrdered top-20.
+    */
+  private val qTextCollocations = GQuery(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(split(lower(col("text")), " ").as("toks"))
+      val pairs = docs
+        .select(explode(when(size(col("toks")) >= 2,
+          expr("""transform(sequence(1, size(toks) - 1),
+                    i -> named_struct('w1', element_at(toks, i),
+                                      'w2', element_at(toks, i + 1)))"""))
+          .otherwise(expr(
+            "CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)")))
+          .as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val joint = pairs.groupBy("w1", "w2").agg(count(lit(1L)).as("cab"))
+      val left = joint.groupBy("w1").agg(sum("cab").as("ca"))
+      val right = joint.groupBy("w2").agg(sum("cab").as("cb"))
+      val tot = joint.agg(sum("cab").as("n"))
+      def xlx(k: String, r: String, c: String) =
+        s"""IF($k > 0, CAST($k AS DOUBLE) * ln(CAST($k AS DOUBLE)
+            * CAST(n AS DOUBLE) / (CAST($r AS DOUBLE) * CAST($c AS DOUBLE))),
+            0.0D)"""
+      joint.join(left, "w1").join(right, "w2").crossJoin(broadcast(tot))
+        .withColumn("k12", col("ca") - col("cab"))
+        .withColumn("k21", col("cb") - col("cab"))
+        .withColumn("k22", col("n") - col("ca") - col("cb") + col("cab"))
+        .select(col("w1"), col("w2"), col("cab"), col("ca"), col("cb"),
+          round(expr(
+            s"""2.0D * (((${xlx("cab", "ca", "cb")}
+                 + ${xlx("k12", "ca", "n - cb")})
+                 + ${xlx("k21", "n - ca", "cb")})
+                 + ${xlx("k22", "n - ca", "n - cb")})""") * 1000)
+            .cast("long").as("llr_milli"))
+        .orderBy(col("llr_milli").desc, col("w1").asc, col("w2").asc)
+        .limit(20)
+        .orderBy(col("llr_milli").desc, col("w1").asc, col("w2").asc)
+    },
+    Some {
+      def xlx(k: String, r: String, c: String) =
+        s"""CASE WHEN $k > 0 THEN CAST($k AS DOUBLE)
+            * ln(CAST($k AS DOUBLE) * CAST(n AS DOUBLE)
+                 / (CAST($r AS DOUBLE) * CAST($c AS DOUBLE)))
+            ELSE 0.0 END"""
+      s"""WITH docs AS (
+              SELECT string_split(lower(text), ' ') AS toks FROM documents),
+            pairs AS (
+              SELECT toks[i] AS w1, toks[i + 1] AS w2
+              FROM (SELECT toks,
+                      CAST(unnest(generate_series(1, len(toks) - 1)) AS INT)
+                        AS i
+                    FROM docs WHERE len(toks) >= 2)),
+            joint AS (
+              SELECT w1, w2, CAST(count(*) AS BIGINT) AS cab
+              FROM pairs GROUP BY 1, 2),
+            lft AS (SELECT w1, CAST(sum(cab) AS BIGINT) AS ca
+                    FROM joint GROUP BY 1),
+            rgt AS (SELECT w2, CAST(sum(cab) AS BIGINT) AS cb
+                    FROM joint GROUP BY 1),
+            tot AS (SELECT CAST(sum(cab) AS BIGINT) AS n FROM joint),
+            cells AS (
+              SELECT j.w1, j.w2, j.cab, l.ca, r.cb, t.n,
+                     l.ca - j.cab AS k12, r.cb - j.cab AS k21,
+                     t.n - l.ca - r.cb + j.cab AS k22
+              FROM joint j JOIN lft l USING (w1) JOIN rgt r USING (w2),
+                   tot t)
+            SELECT w1, w2, cab, ca, cb,
+                   CAST(round(2.0 * (((${xlx("cab", "ca", "cb")}
+                     + ${xlx("k12", "ca", "n - cb")})
+                     + ${xlx("k21", "n - ca", "cb")})
+                     + ${xlx("k22", "n - ca", "n - cb")}) * 1000)
+                     AS BIGINT) AS llr_milli
+            FROM cells
+            ORDER BY llr_milli DESC, w1 ASC, w2 ASC LIMIT 20"""
+    })
+
   private val qVocabPmi = GQuery(
     (s, d) => {
       val docs = t(s, d, "documents")
@@ -1734,6 +1822,7 @@ object TextOps extends QueryModule {
     "q_text_compressibility" -> qTextCompressibility,
     "q_text_lm_kn" -> qTextLmKn,
     "q_vocab_pmi" -> qVocabPmi,
+    "q_text_collocations" -> qTextCollocations,
     "q_text_phrase" -> qTextPhrase,
     "q_text_rake" -> qTextRake,
     "q_text_classifier_nb" -> qTextClassifierNb,
