@@ -6187,6 +6187,92 @@ object AnalyticsOps extends QueryModule {
     * Scale: one map-side-combined per-type agg + a k-row rollup — the
     * entire decomposition is six exact sums per group.
     */
+  /** Distribution-free median confidence interval per event type — the
+    * ORDER-STATISTIC CI (binomial argument: rank bounds
+    * l = ⌊(n − z√n)/2⌋, u = n + 1 − l at z = 1.96) that needs no
+    * normality and no bootstrap resampling: the interval endpoints are
+    * actual data values selected by rank from the value-grid cumulative
+    * counts. √n is the only fp (IEEE sqrt, identical both engines →
+    * identical integer ranks); everything else — ranks, the median
+    * (lower-median rank ⌈n/2⌉), both endpoints — is exact integer
+    * selection. The bootstrap twin (q_stats_bootstrap) estimates the
+    * same uncertainty by resampling; this is the closed-form check.
+    *
+    * Scale: one (type, value) grid agg + grid-sized cumulative windows
+    * partitioned by type (the spearman rank-map economics) + a k-row
+    * selection join — never a row-level sort.
+    */
+  private val qStatsMedianci = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val grid = t(s, d, "events")
+        .groupBy(col("event_type"), cents.as("v"))
+        .agg(count(lit(1L)).as("c"))
+      val wV = Window.partitionBy("event_type").orderBy("v")
+      val ranked = grid
+        .withColumn("cum", sum("c").over(wV))
+        .localCheckpoint(true) // three rank-selection probes reuse it
+      val bounds = ranked.groupBy("event_type")
+        .agg(sum("c").as("n"))
+        .withColumn("lo_rk", expr(
+          """CAST(floor((CAST(n AS DOUBLE) - 1.96 * sqrt(CAST(n AS DOUBLE)))
+             / 2.0) AS BIGINT)"""))
+        .withColumn("lo_rk", greatest(col("lo_rk"), lit(1L)))
+        .withColumn("hi_rk", col("n") + 1 - col("lo_rk"))
+        .withColumn("med_rk", expr("(n + 1) div 2"))
+      def pick(rk: String, out: String) = ranked
+        .join(bounds.select(col("event_type"), col(rk).as("rk")),
+          "event_type")
+        .filter(col("cum") >= col("rk"))
+        .groupBy("event_type").agg(min("v").as(out))
+      bounds
+        .join(pick("med_rk", "median_cents"), "event_type")
+        .join(pick("lo_rk", "ci_lo_cents"), "event_type")
+        .join(pick("hi_rk", "ci_hi_cents"), "event_type")
+        .select(col("event_type"), col("n"), col("median_cents"),
+          col("ci_lo_cents"), col("ci_hi_cents"))
+        .orderBy("event_type")
+    },
+    Some("""WITH grid AS (
+              SELECT event_type,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1, 2),
+            ranked AS (
+              SELECT event_type, v, c,
+                     sum(c) OVER (PARTITION BY event_type ORDER BY v
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+              FROM grid),
+            bounds AS (
+              SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+                     greatest(CAST(floor((CAST(sum(c) AS DOUBLE)
+                       - 1.96 * sqrt(CAST(sum(c) AS DOUBLE))) / 2.0)
+                       AS BIGINT), 1) AS lo_rk,
+                     CAST(sum(c) + 1 AS BIGINT)
+                       - greatest(CAST(floor((CAST(sum(c) AS DOUBLE)
+                         - 1.96 * sqrt(CAST(sum(c) AS DOUBLE))) / 2.0)
+                         AS BIGINT), 1) AS hi_rk,
+                     (sum(c) + 1) // 2 AS med_rk
+              FROM grid GROUP BY 1),
+            med AS (
+              SELECT r.event_type, min(r.v) AS median_cents
+              FROM ranked r JOIN bounds b USING (event_type)
+              WHERE r.cum >= b.med_rk GROUP BY 1),
+            lo AS (
+              SELECT r.event_type, min(r.v) AS ci_lo_cents
+              FROM ranked r JOIN bounds b USING (event_type)
+              WHERE r.cum >= b.lo_rk GROUP BY 1),
+            hi AS (
+              SELECT r.event_type, min(r.v) AS ci_hi_cents
+              FROM ranked r JOIN bounds b USING (event_type)
+              WHERE r.cum >= b.hi_rk GROUP BY 1)
+            SELECT b.event_type, b.n, m.median_cents,
+                   l.ci_lo_cents, h.ci_hi_cents
+            FROM bounds b JOIN med m USING (event_type)
+            JOIN lo l USING (event_type) JOIN hi h USING (event_type)
+            ORDER BY event_type"""))
+
   /** Tukey HSD post-hoc pairwise comparisons — the step AFTER q_stats_anova's
     * omnibus F (which only says "some group differs", never which): all 10
     * event-type pairs against the studentized-range critical value
@@ -7365,6 +7451,7 @@ object AnalyticsOps extends QueryModule {
     "q_stats_wilcoxon" -> qStatsWilcoxon,
     "q_stats_permutation" -> qStatsPermutation,
     "q_stats_tukey" -> qStatsTukey,
+    "q_stats_medianci" -> qStatsMedianci,
     "q_stats_runs" -> qStatsRuns,
     "q_funnel_latency" -> qFunnelLatency,
     "q_stats_cramersv" -> qStatsCramersV,
