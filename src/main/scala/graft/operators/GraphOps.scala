@@ -200,6 +200,105 @@ object GraphOps extends QueryModule {
             SELECT 'authority', id, CAST(a AS BIGINT) FROM a2
             ORDER BY kind, id"""))
 
+  /** Hash-driven random walks (the DeepWalk/node2vec sampling primitive
+    * next to q_graph_sample_khop's GNN minibatch sampler): 2 walks of
+    * length 3 from every supplier node over the symmetric supplier↔part
+    * graph, each step choosing neighbor index
+    * hex4(start:walk:step:cur) mod degree — the hash rule as the
+    * deterministic stand-in for the walker's RNG (append-stable,
+    * engine-portable, and UNIQUE per (walk, step), so walks don't
+    * correlate). Neighbor indexing is a per-source row_number over the
+    * sorted adjacency (degree-bounded window partitions). Emits the
+    * visit-count table (the skip-gram corpus a DeepWalk embedding trains
+    * on), exact integers.
+    *
+    * Scale: each step is one (cur = src, pick = idx) equi-join against
+    * the indexed adjacency — walks stay as rows, never driver state;
+    * L·W·|starts| rows total. The adjacency index builds once (the
+    * degree-bounded window), and the hash step selection needs no
+    * neighbor-list materialization per walker.
+    */
+  private val qGraphWalks = GQuery(
+    (s, d) => {
+      import graft.operators.DedupOps.hex4
+      val li = t(s, d, "lineitem")
+        .select(col("l_suppkey"), col("l_partkey")).distinct()
+      val edges = li.select(
+          concat(lit("s:"), col("l_suppkey")).as("src"),
+          concat(lit("p:"), col("l_partkey")).as("dst"))
+        .union(li.select(
+          concat(lit("p:"), col("l_partkey")).as("src"),
+          concat(lit("s:"), col("l_suppkey")).as("dst")))
+        .localCheckpoint(true) // indexed adjacency + degrees reuse it
+      val nbrs = edges
+        .select(col("src").as("nsrc"), col("dst").as("ndst"))
+        .withColumn("idx",
+          row_number().over(Window.partitionBy("nsrc").orderBy("ndst"))
+            .cast("long"))
+      val degs = edges.groupBy("src").agg(count(lit(1L)).as("deg"))
+        .select(col("src").as("dsrc"), col("deg"))
+      var st = li.select(concat(lit("s:"), col("l_suppkey")).as("start"))
+        .distinct()
+        .select(col("start"), explode(sequence(lit(0), lit(1))).as("wk"),
+          col("start").as("cur"))
+      val visited = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      for (step <- 1 to 3) {
+        // localCheckpoint: the walk frontier re-joins the SAME adjacency
+        // every round — truncating lineage sidesteps the self-join
+        // ambiguity and keeps the loop plan flat
+        st = st.join(degs, col("cur") === col("dsrc")).drop("dsrc")
+          .withColumn("pick",
+            pmod(hex4(concat_ws(":", col("start"), col("wk"),
+              lit(step), col("cur"))), col("deg")) + 1L)
+          .join(nbrs, col("cur") === col("nsrc") && col("pick") === col("idx"))
+          .select(col("start"), col("wk"), col("ndst").as("cur"))
+          .localCheckpoint(true)
+        visited += st
+      }
+      visited.reduce(_ unionAll _)
+        .groupBy(col("cur").as("node")).agg(count(lit(1L)).as("n_visits"))
+        .orderBy("node")
+    },
+    Some {
+      def hx(stepExpr: String) = graft.operators.DedupOps.duckHex4(
+        s"md5(start || ':' || CAST(wk AS VARCHAR) || ':' || $stepExpr"
+          + " || ':' || cur)")
+      def stepCte(prev: String, cur: String, step: Int) =
+        s"""$cur AS (
+              SELECT s.start, s.wk, n.dst AS cur
+              FROM $prev s
+              JOIN degs d ON d.src = s.cur
+              JOIN nbrs n ON n.src = s.cur
+                AND n.idx = ((${hx(s"'$step'")}) % d.deg) + 1)"""
+      s"""WITH li AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+            edges AS (
+              SELECT 's:' || CAST(l_suppkey AS VARCHAR) AS src,
+                     'p:' || CAST(l_partkey AS VARCHAR) AS dst FROM li
+              UNION ALL
+              SELECT 'p:' || CAST(l_partkey AS VARCHAR),
+                     's:' || CAST(l_suppkey AS VARCHAR) FROM li),
+            nbrs AS (
+              SELECT src, dst,
+                     CAST(row_number() OVER (PARTITION BY src ORDER BY dst)
+                       AS BIGINT) AS idx
+              FROM edges),
+            degs AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                     FROM edges GROUP BY 1),
+            s0 AS (
+              SELECT lm.node AS start, w.wk, lm.node AS cur
+              FROM (SELECT DISTINCT 's:' || CAST(l_suppkey AS VARCHAR)
+                      AS node FROM li) lm,
+                   (SELECT unnest([0, 1]) AS wk) w),
+            ${stepCte("s0", "s1", 1)},
+            ${stepCte("s1", "s2", 2)},
+            ${stepCte("s2", "s3", 3)}
+            SELECT cur AS node, CAST(count(*) AS BIGINT) AS n_visits
+            FROM (SELECT cur FROM s1 UNION ALL
+                  SELECT cur FROM s2 UNION ALL
+                  SELECT cur FROM s3)
+            GROUP BY 1 ORDER BY node"""
+    })
+
   /** Landmark closeness centrality — the tractable form of the all-pairs
     * metric (exact closeness is an APSP, quadratic in nodes; the standard
     * production approximation anchors distances at K pivots instead —
@@ -1140,6 +1239,7 @@ object GraphOps extends QueryModule {
     "q_graph_pagerank" -> qGraphPagerank,
     "q_graph_hits" -> qGraphHits,
     "q_graph_closeness" -> qGraphCloseness,
+    "q_graph_walks" -> qGraphWalks,
     "q_graph_triangles" -> qGraphTriangles,
     "q_graph_degree_dist" -> qGraphDegreeDist,
     "q_graph_kcore" -> qGraphKcore,
