@@ -4759,6 +4759,88 @@ object AnalyticsOps extends QueryModule {
             FROM alloc, def
             ORDER BY stratum"""))
 
+  // ----------------------------------------------- CUSUM drift pages --
+
+  /** Two-sided CUSUM control chart (Page 1954) on the daily revenue
+    * series — the ONLINE drift detector next to q_ts_changepoint's
+    * retrospective split: S⁺ₜ = max(0, S⁺ₜ₋₁ + (xₜ − μ₀ − k)),
+    * S⁻ₜ = max(0, S⁻ₜ₋₁ + (μ₀ − k − xₜ)), alarm when either exceeds h —
+    * CUSUM accumulates SMALL persistent shifts that per-day threshold
+    * rules (q_events_outliers) never see. Calibration is data-derived
+    * and exact: μ₀ = first-week mean (integer div), slack k = μ₀ div 20
+    * (2·k ≈ the smallest shift worth detecting), h = μ₀ div 2 — all
+    * BIGINT, so the whole chart is hash-exact. Emits per day the
+    * statistic pair, the alarm flags, and the reset-aware recurrence
+    * replayed by the oracle's recursive CTE.
+    *
+    * Scale: ewma/holt economics — one day partial agg, calendar-bounded
+    * fold; per-key CUSUM runs the same fold per group.
+    */
+  private val qTsCusum = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val daily = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), cents.as("v"))
+        .groupBy("day").agg(sum("v").as("x"))
+      val series = daily
+        .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("s"))
+        .select(transform(col("s"), r => r.getField("day")).as("days"),
+          transform(col("s"), r => r.getField("x")).as("xs"))
+        .withColumn("mu0", expr(
+          """aggregate(slice(xs, 1, 7), 0L, (a, x) -> a + x)
+             div least(size(xs), 7)"""))
+        .withColumn("k", expr("mu0 div 20"))
+        .withColumn("h", expr("mu0 div 2"))
+      val folded = series.withColumn("st", expr(
+        """slice(aggregate(xs,
+             array(named_struct('sh', CAST(0 AS BIGINT),
+                                'sl', CAST(0 AS BIGINT))),
+             (acc, x) -> concat(acc, array(named_struct(
+               'sh', greatest(CAST(0 AS BIGINT),
+                 element_at(acc, -1).sh + (x - mu0 - k)),
+               'sl', greatest(CAST(0 AS BIGINT),
+                 element_at(acc, -1).sl + (mu0 - k - x)))))),
+           2, size(xs))"""))
+      folded
+        .select(col("h"),
+          posexplode(arrays_zip(col("days"), col("xs"), col("st"))))
+        .select(col("col.days").as("day"), col("col.xs").as("x_cents"),
+          col("col.st.sh").as("s_hi"), col("col.st.sl").as("s_lo"),
+          (col("col.st.sh") > col("h")).as("alarm_hi"),
+          (col("col.st.sl") > col("h")).as("alarm_lo"))
+        .orderBy("day")
+    },
+    Some("""WITH RECURSIVE daily AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS x
+              FROM events GROUP BY 1),
+            seq AS (
+              SELECT day, x,
+                     CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+              FROM daily),
+            cal AS (
+              SELECT CAST(sum(x) FILTER (rn <= 7)
+                       // least((SELECT count(*) FROM seq), 7) AS BIGINT)
+                       AS mu0
+              FROM seq),
+            prm AS (SELECT mu0, mu0 // 20 AS k, mu0 // 2 AS h FROM cal),
+            cus AS (
+              SELECT s.day, s.x, s.rn,
+                     greatest(CAST(0 AS BIGINT), s.x - p.mu0 - p.k) AS sh,
+                     greatest(CAST(0 AS BIGINT), p.mu0 - p.k - s.x) AS sl
+              FROM seq s, prm p WHERE s.rn = 1
+              UNION ALL
+              SELECT s.day, s.x, s.rn,
+                     greatest(CAST(0 AS BIGINT),
+                       c.sh + (s.x - p.mu0 - p.k)),
+                     greatest(CAST(0 AS BIGINT),
+                       c.sl + (p.mu0 - p.k - s.x))
+              FROM seq s JOIN cus c ON s.rn = c.rn + 1, prm p)
+            SELECT c.day, c.x AS x_cents, c.sh AS s_hi, c.sl AS s_lo,
+                   c.sh > p.h AS alarm_hi, c.sl > p.h AS alarm_lo
+            FROM cus c, prm p ORDER BY day"""))
+
   // ------------------------------------- Croston intermittent demand --
 
   /** Croston's method (1972) per event type — the intermittent-demand
@@ -7440,6 +7522,7 @@ object AnalyticsOps extends QueryModule {
     "q_ts_holtwinters" -> qTsHoltwinters,
     "q_ts_croston" -> qTsCroston,
     "q_sample_neyman" -> qSampleNeyman,
+    "q_ts_cusum" -> qTsCusum,
     "q_stats_kruskal" -> qStatsKruskal,
     "q_ts_theilsen" -> qTsTheilsen,
     "q_feature_pit" -> qFeaturePit,
