@@ -1367,7 +1367,69 @@ object DedupOps extends QueryModule {
           ORDER BY p.doc_a, p.doc_b"""
     })
 
+  /** Batch NOVELTY rate — the data-valuation readout an acquisition
+    * pipeline runs BEFORE paying to ingest a crawl (q_dedup_incremental
+    * answers "which docs are dups"; this answers "how much NEW information
+    * does each source bring"): per incoming source (src10+, the "new
+    * batch"), the fraction of its distinct 5-gram shingles absent from
+    * the base corpus (src0–9), in exact ppm, plus distinct/total shingle
+    * volumes. A source full of unseen shingles is worth ingesting; one
+    * near 0 is a re-crawl. Left-anti semantics via a left join + null
+    * count so a single pass carries both numerator and denominator.
+    *
+    * Scale: shingles collapse to per-(source, shingle) DISTINCT grids
+    * map-side; the base side is a distinct-shingle table (bounded by
+    * content, not corpus size — the dedup family's shingle economics);
+    * the join keys on the shingle string. At 100 TB the base table is the
+    * same persisted artifact q_dedup_incremental indexes.
+    */
+  private val qCorpusNovelty = GQuery(
+    (s, d) => {
+      def shingles(df: DataFrame) = df
+        .select(col("source"), split(lower(col("text")), " ").as("toks"))
+        .filter(size(col("toks")) >= 5)
+        .select(col("source"), explode(expr(
+          """transform(sequence(1, size(toks) - 4),
+               i -> concat_ws(' ', slice(toks, i, 5)))""")).as("sh"))
+      val docs = t(s, d, "documents")
+      // src0..src9 have 4-char names (base corpus); src10.. are the batch
+      val base = shingles(docs.filter(length(col("source")) === 4))
+        .select(col("sh")).distinct()
+      val batch = shingles(docs.filter(length(col("source")) === 5))
+        .groupBy("source", "sh").agg(count(lit(1L)).as("c"))
+      batch.join(base.withColumn("seen", lit(1)), Seq("sh"), "left")
+        .groupBy("source")
+        .agg(count(lit(1L)).as("n_distinct"),
+          sum("c").as("n_total"),
+          sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty_ppm",
+          expr("n_novel * 1000000 div n_distinct"))
+        .orderBy("source")
+    },
+    Some("""WITH sh AS (
+              SELECT source, array_to_string(toks[i:i+4], ' ') AS sh
+              FROM (SELECT source, string_split(lower(text), ' ') AS toks
+                    FROM documents WHERE
+                      len(string_split(lower(text), ' ')) >= 5) t,
+                   LATERAL (SELECT unnest(generate_series(1, len(toks) - 4))
+                     AS i) ii),
+            base AS (
+              SELECT DISTINCT sh FROM sh WHERE len(source) = 4),
+            batch AS (
+              SELECT source, sh, CAST(count(*) AS BIGINT) AS c
+              FROM sh WHERE len(source) = 5 GROUP BY 1, 2)
+            SELECT b.source,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(sum(b.c) AS BIGINT) AS n_total,
+                   CAST(sum(CASE WHEN ba.sh IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_novel,
+                   CAST(sum(CASE WHEN ba.sh IS NULL THEN 1 ELSE 0 END)
+                     * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+            FROM batch b LEFT JOIN base ba ON ba.sh = b.sh
+            GROUP BY 1 ORDER BY b.source"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_corpus_novelty" -> qCorpusNovelty,
     "q_eval_ngram_overlap" -> qEvalNgramOverlap,
     "q_dedup_lsh_tune" -> qDedupLshTune,
     "q_dedup_minhash_recall" -> qDedupMinhashRecall,
