@@ -4711,9 +4711,14 @@ object AnalyticsOps extends QueryModule {
       val alloc = strata.withColumn("j", lit(1))
         .join(broadcast(tot), "j").drop("j")
         .withColumn("num", lit(nTarget) * col("w"))
-        .withColumn("fl", expr("num div bigW"))
-        .withColumn("rem", col("num") - col("fl") * col("bigW"))
+        // bigW = 0 ⟺ zero variance everywhere — Neyman degenerates to
+        // proportional (guard the ANSI divide; mirrored in the oracle)
         .withColumn("n_prop", expr(s"($nTarget * nh) div bigN"))
+        .withColumn("fl", when(col("bigW") > 0, expr("num div bigW"))
+          .otherwise(col("n_prop")))
+        .withColumn("rem",
+          when(col("bigW") > 0, col("num") - col("fl") * col("bigW"))
+            .otherwise(lit(0L).cast("decimal(38,0)")))
       val deficit = alloc.agg((lit(nTarget) - sum("fl")).as("def0"))
         .withColumn("j", lit(1))
       val wR = Window.orderBy(col("rem").desc, col("stratum").asc)
@@ -4747,8 +4752,11 @@ object AnalyticsOps extends QueryModule {
             tot AS (SELECT sum(w) AS bigW, sum(nh) AS bigN FROM w),
             alloc AS (
               SELECT stratum, nh, s_micro,
-                     (2000 * w) // bigW AS fl,
-                     (2000 * w) - ((2000 * w) // bigW) * bigW AS rem,
+                     CASE WHEN bigW > 0 THEN (2000 * w) // bigW
+                       ELSE (2000 * CAST(nh AS HUGEINT)) // bigN END AS fl,
+                     CASE WHEN bigW > 0
+                       THEN (2000 * w) - ((2000 * w) // bigW) * bigW
+                       ELSE CAST(0 AS HUGEINT) END AS rem,
                      (2000 * CAST(nh AS HUGEINT)) // bigN AS n_prop
               FROM w, tot),
             def AS (SELECT 2000 - sum(fl) AS def0 FROM alloc)

@@ -1242,7 +1242,9 @@ object ScoringOps extends QueryModule {
         .select(col("grp"), col("n"),
           (col("si") + col("sb")).as("sum_abs_dr"),
           col("sl").cast("decimal(38,0)").as("denom_half"),
-          (lit(1000000L) - expr(
+          // sl = 0 ⟺ every y in the group is identical (ξ undefined, 0/0);
+          // null instead of an ANSI divide error on degenerate groups
+          when(col("sl") > 0, lit(1000000L) - expr(
             """CAST((CAST(1000000 AS DECIMAL(38,0)) * n * (si + sb))
                div (CAST(2 AS DECIMAL(38,0)) * sl) AS BIGINT)"""))
             .as("xi_ppm"))
@@ -1279,8 +1281,10 @@ object ScoringOps extends QueryModule {
               FROM dd GROUP BY 1)
             SELECT grp, n, sum_abs_dr,
                    CAST(sl AS DECIMAL(38,0)) AS denom_half,
-                   CAST(1000000 - (CAST(1000000 AS HUGEINT) * n * sum_abs_dr)
-                     // (CAST(2 AS HUGEINT) * sl) AS BIGINT) AS xi_ppm
+                   CASE WHEN sl > 0 THEN
+                     CAST(1000000 - (CAST(1000000 AS HUGEINT) * n * sum_abs_dr)
+                       // (CAST(2 AS HUGEINT) * sl) AS BIGINT)
+                   END AS xi_ppm
             FROM agg ORDER BY grp"""))
 
   // ------------------------------------------------ chrF char-n-gram --
