@@ -194,6 +194,101 @@ object GovernanceOps extends QueryModule {
             UNION ALL SELECT * FROM ece
             ORDER BY bin"""))
 
+  // ------------------------------------------ Brier decomposition --
+
+  /** Brier score with the Murphy (1973) decomposition — the single-number
+    * summary q_stats_calibration's reliability TABLE rolls up to, split
+    * into its three causes: BS = REL − RES + UNC (reliability: how far
+    * bin forecasts sit from bin outcomes; resolution: how much the bins
+    * separate from the base rate; uncertainty: the irreducible ȳ(1−ȳ)).
+    * Same score (p̂ = value/500) and $50 bins as the calibration twin.
+    * EVERYTHING is exact integer ppm² arithmetic: the direct Brier sums
+    * (c·20 − y·10⁶)² per row (p̂ in ppm is EXACTLY c·20 — no division),
+    * the decomposition uses the truncated integer-div bin means (p̄, ȳ_b,
+    * ȳ in ppm), and the emitted `decomp_gap_ppm2` carries the exact
+    * integer residual the binning + truncation leaves between BS and
+    * REL−RES+UNC (zero only for perfectly bin-constant forecasts — the
+    * within-bin-variance term, a diagnostic in itself). DECIMAL(38) sums
+    * (squares reach 10¹² per row).
+    *
+    * Scale: one map-combinable bin agg carrying the row-level square sum;
+    * everything after is ≤10 bin rows + a 1-row broadcast.
+    */
+  private val qStatsBrier = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val bins = t(s, d, "events")
+        .select(cents.as("c"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+        .withColumn("bin", expr("c div 5000").cast("int"))
+        .groupBy("bin")
+        .agg(count(lit(1L)).as("n"), sum("pos").as("n_pos"),
+          sum("c").as("sc"),
+          sum(expr("""CAST(c * 20 - pos * 1000000 AS DECIMAL(38,0))
+                      * (c * 20 - pos * 1000000)""")).as("sbs"))
+        .withColumn("pbar", expr("sc * 20 div n"))
+        .withColumn("ybar_b", expr("n_pos * 1000000 div n"))
+      val glob = bins.agg(sum("n").as("nt"), sum("n_pos").as("npt"))
+        .withColumn("ybar", expr("npt * 1000000 div nt"))
+        .withColumn("j", lit(1))
+      bins.withColumn("j", lit(1)).join(broadcast(glob), "j")
+        .groupBy("nt", "npt", "ybar")
+        .agg(sum("sbs").as("bsn"),
+          sum(expr("""CAST(n AS DECIMAL(38,0)) * (pbar - ybar_b)
+                      * (pbar - ybar_b)""")).as("reln"),
+          sum(expr("""CAST(n AS DECIMAL(38,0)) * (ybar_b - ybar)
+                      * (ybar_b - ybar)""")).as("resn"))
+        .select(col("nt").as("n"),
+          expr("CAST(bsn div nt AS BIGINT)").as("brier_ppm2"),
+          expr("CAST(reln div nt AS BIGINT)").as("rel_ppm2"),
+          expr("CAST(resn div nt AS BIGINT)").as("res_ppm2"),
+          expr("ybar * (1000000 - ybar)").as("unc_ppm2"))
+        .withColumn("decomp_gap_ppm2",
+          col("brier_ppm2") -
+            (col("rel_ppm2") - col("res_ppm2") + col("unc_ppm2")))
+    },
+    Some("""WITH ev AS (
+              SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS pos
+              FROM events),
+            bins AS (
+              SELECT CAST(c // 5000 AS INT) AS bin,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(pos) AS BIGINT) AS n_pos,
+                     CAST(sum(c) AS BIGINT) AS sc,
+                     sum(CAST(c * 20 - pos * 1000000 AS HUGEINT)
+                         * (c * 20 - pos * 1000000)) AS sbs
+              FROM ev GROUP BY 1),
+            b2 AS (
+              SELECT bin, n, n_pos, sc, sbs,
+                     sc * 20 // n AS pbar,
+                     n_pos * 1000000 // n AS ybar_b
+              FROM bins),
+            gtot AS (
+              SELECT CAST(sum(n) AS BIGINT) AS nt,
+                     CAST(sum(n_pos) AS BIGINT) AS npt,
+                     sum(n_pos) * 1000000 // sum(n) AS ybar
+              FROM bins),
+            agg AS (
+              SELECT g.nt, g.npt, g.ybar,
+                     sum(b.sbs) AS bsn,
+                     sum(CAST(b.n AS HUGEINT) * (b.pbar - b.ybar_b)
+                         * (b.pbar - b.ybar_b)) AS reln,
+                     sum(CAST(b.n AS HUGEINT) * (b.ybar_b - g.ybar)
+                         * (b.ybar_b - g.ybar)) AS resn
+              FROM b2 b, gtot g GROUP BY 1, 2, 3)
+            SELECT nt AS n,
+                   CAST(bsn // nt AS BIGINT) AS brier_ppm2,
+                   CAST(reln // nt AS BIGINT) AS rel_ppm2,
+                   CAST(resn // nt AS BIGINT) AS res_ppm2,
+                   CAST(ybar * (1000000 - ybar) AS BIGINT) AS unc_ppm2,
+                   CAST((bsn // nt)
+                     - ((reln // nt) - (resn // nt)
+                        + ybar * (1000000 - ybar)) AS BIGINT)
+                     AS decomp_gap_ppm2
+            FROM agg"""))
+
   // ------------------------------------------------ continuity audit --
 
   /** Gaps-and-islands continuity audit over per-user event_id sequences —
@@ -712,6 +807,7 @@ object GovernanceOps extends QueryModule {
             ORDER BY tok"""))
 
   val queries: Map[String, GQuery] = Map(
+    "q_stats_brier" -> qStatsBrier,
     "q_privacy_dp_topk" -> qPrivacyDpTopk,
     "q_privacy_rr" -> qPrivacyRr,
     "q_privacy_tclose" -> qPrivacyTclose,

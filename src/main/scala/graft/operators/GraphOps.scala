@@ -230,13 +230,17 @@ object GraphOps extends QueryModule {
           concat(lit("p:"), col("l_partkey")).as("src"),
           concat(lit("s:"), col("l_suppkey")).as("dst")))
         .localCheckpoint(true) // indexed adjacency + degrees reuse it
+      // materialize the indexed adjacency + degrees ONCE — each of the 3
+      // step joins would otherwise rerun the 1M-row row_number window
       val nbrs = edges
         .select(col("src").as("nsrc"), col("dst").as("ndst"))
         .withColumn("idx",
           row_number().over(Window.partitionBy("nsrc").orderBy("ndst"))
             .cast("long"))
+        .localCheckpoint(true)
       val degs = edges.groupBy("src").agg(count(lit(1L)).as("deg"))
         .select(col("src").as("dsrc"), col("deg"))
+        .localCheckpoint(true)
       var st = li.select(concat(lit("s:"), col("l_suppkey")).as("start"))
         .distinct()
         .select(col("start"), explode(sequence(lit(0), lit(1))).as("wk"),
@@ -302,7 +306,7 @@ object GraphOps extends QueryModule {
   /** Landmark closeness centrality — the tractable form of the all-pairs
     * metric (exact closeness is an APSP, quadratic in nodes; the standard
     * production approximation anchors distances at K pivots instead —
-    * Potamias et al., CIKM 2009): 8 landmarks (smallest supplier keys —
+    * Potamias et al., CIKM 2009): 4 landmarks (smallest supplier keys —
     * deterministic), one MULTI-SOURCE bounded-depth BFS carrying
     * (landmark, node, min-dist) rows, closeness_micro = reached·10⁶ div
     * Σdist over the landmark set. Frontier-only expansion (rows at
@@ -327,7 +331,7 @@ object GraphOps extends QueryModule {
           concat(lit("s:"), col("l_suppkey")).as("dst")))
         .localCheckpoint(true) // four frontier joins reuse the edge list
       val lms = li.select(col("l_suppkey")).distinct()
-        .orderBy("l_suppkey").limit(8)
+        .orderBy("l_suppkey").limit(4)
         .select(concat(lit("s:"), col("l_suppkey")).as("lm"))
       var vis = lms.select(col("lm"), col("lm").as("node"),
         lit(0L).as("dist"))
@@ -358,7 +362,7 @@ object GraphOps extends QueryModule {
             lms AS (
               SELECT 's:' || CAST(k AS VARCHAR) AS lm
               FROM (SELECT DISTINCT l_suppkey AS k FROM li
-                    ORDER BY 1 LIMIT 8)),
+                    ORDER BY 1 LIMIT 4)),
             bfs AS (
               SELECT lm, lm AS node, 0 AS dist FROM lms
               UNION

@@ -1223,6 +1223,7 @@ object ScoringOps extends QueryModule {
       val rows = li.join(rmap, Seq("grp", "y"))
         .join(broadcast(nG), "grp")
         .withColumn("l", col("n") - col("r") + col("c"))
+        .localCheckpoint(true) // feeds den + both adjacency consumers
       val den = rows.groupBy("grp").agg(
         sum(col("l").cast("decimal(38,0)")
           .*(col("n") - col("l"))).as("sl"))
