@@ -1324,6 +1324,60 @@ object TextOps extends QueryModule {
     * the double products inside ln stay exact below 2⁵³ (corpus ≪ 9·10¹⁵
     * bigrams — widen to two-step ln arithmetic past that).
     */
+  /** Word BURSTINESS (Church & Gale 1995): the Fano factor
+    * (variance-to-mean ratio of per-document counts, zero-docs included)
+    * of each frequent word — the dispersion signal frequency alone hides:
+    * function words spread evenly (Fano ≈ 1, Poisson-like) while topical
+    * and template words BURST (a few documents contain most occurrences
+    * — Fano ≫ 1), which is both a keyword signal and a template-spam
+    * smell q_text_repetition sees only within one document. EXACT
+    * integers end-to-end: fano_ppm = (N·Σc² − S²)·10⁶ div (N·S) over
+    * per-doc counts c (S = Σc, N = |docs| — absent docs contribute c = 0
+    * to both moments for free). Top-20 among words with S ≥ 50, ranked
+    * (fano desc, word asc).
+    *
+    * Scale: one (word, doc) count agg (map-combinable off the token
+    * explode) → one per-word moment agg; N is a 1-row broadcast; ranking
+    * is TakeOrdered over the vocab-sized table.
+    */
+  private val qTextBurstiness = GQuery(
+    (s, d) => {
+      val perDoc = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w", "doc_id").agg(count(lit(1L)).as("c"))
+      val nDocs = t(s, d, "documents")
+        .agg(count(lit(1L)).as("nd")).withColumn("j", lit(1))
+      perDoc.groupBy("w")
+        .agg(sum("c").as("s1"), sum(col("c") * col("c")).as("s2"),
+          count(lit(1L)).as("n_docs_with"))
+        .filter(col("s1") >= 50)
+        .withColumn("j", lit(1)).join(broadcast(nDocs), "j")
+        .select(col("w"), col("s1").as("n_occ"), col("n_docs_with"),
+          expr("(nd * s2 - s1 * s1) * 1000000 div (nd * s1)").as("fano_ppm"))
+        .orderBy(col("fano_ppm").desc, col("w").asc)
+        .limit(20)
+        .orderBy(col("fano_ppm").desc, col("w").asc)
+    },
+    Some("""WITH perdoc AS (
+              SELECT w, doc_id, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT doc_id,
+                      unnest(string_split(lower(text), ' ')) AS w
+                    FROM documents)
+              WHERE w <> '' GROUP BY 1, 2),
+            nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+            mom AS (
+              SELECT w, CAST(sum(c) AS BIGINT) AS s1,
+                     CAST(sum(c * c) AS BIGINT) AS s2,
+                     CAST(count(*) AS BIGINT) AS n_docs_with
+              FROM perdoc GROUP BY 1)
+            SELECT w, s1 AS n_occ, n_docs_with,
+                   CAST((nd.nd * s2 - s1 * s1) * 1000000 // (nd.nd * s1)
+                     AS BIGINT) AS fano_ppm
+            FROM mom, nd
+            WHERE s1 >= 50
+            ORDER BY fano_ppm DESC, w ASC LIMIT 20"""))
+
   /** Dunning log-likelihood-ratio collocations (Dunning 1993) — the
     * statistically sound upgrade of q_vocab_pmi (PMI explodes on rare
     * pairs and needs an arbitrary count floor; LLR's G² weights evidence
@@ -1823,6 +1877,7 @@ object TextOps extends QueryModule {
     "q_text_lm_kn" -> qTextLmKn,
     "q_vocab_pmi" -> qVocabPmi,
     "q_text_collocations" -> qTextCollocations,
+    "q_text_burstiness" -> qTextBurstiness,
     "q_text_phrase" -> qTextPhrase,
     "q_text_rake" -> qTextRake,
     "q_text_classifier_nb" -> qTextClassifierNb,
