@@ -1324,6 +1324,116 @@ object TextOps extends QueryModule {
     * the double products inside ln stay exact below 2⁵³ (corpus ≪ 9·10¹⁵
     * bigrams — widen to two-step ln arithmetic past that).
     */
+  /** Heaps'-law vocabulary growth (V(n) ≈ K·n^β) — the scaling twin of
+    * q_vocab_zipf (Zipf: rank-frequency within a snapshot; Heaps: how the
+    * TYPE inventory grows as the corpus does — the estimate that sizes a
+    * tokenizer vocab or a dictionary shard for 100× more data). Types are
+    * word TRIGRAMS (this synthetic corpus's unigram vocabulary is closed
+    * at 31 words and saturates in the first decile — the 3-gram inventory
+    * is the one still growing, exactly the n-gram-LM / shingle-index
+    * sizing question): a 10-point growth ladder at doc-count deciles,
+    * where V(t) comes from each trigram's FIRST document (one min-agg —
+    * never a running distinct) and n(t) from cumulative trigram-instance
+    * counts; β is fit by log-log OLS with
+    * logs quantized ONCE to integer milli-nats and the OLS run entirely
+    * in integer arithmetic (β_micro = (10Σxy − ΣxΣy)·10⁶ div
+    * (10Σx² − (Σx)²)) — hash-exact, no fp summation order anywhere.
+    * Ladder rows carry (n_tokens, vocab); the summary row (k = −1)
+    * carries β_micro and the ln-intercept in milli-nats.
+    *
+    * Scale: one word→min(doc) agg + one doc→token-count agg; the ladder
+    * is 10 broadcast thresholds against the vocab-sized first-doc table.
+    */
+  private val qTextHeaps = GQuery(
+    (s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+        .filter(size(col("ts")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(ts) - 2),
+               i -> concat_ws(' ', slice(ts, i, 3)))""")).as("w"))
+      val firstDoc = toks.groupBy("w").agg(min("doc_id").as("fd"))
+      val docTok = toks.groupBy("doc_id").agg(count(lit(1L)).as("nt"))
+      val mx = t(s, d, "documents")
+        .agg(max("doc_id").as("mid")).withColumn("j", lit(1))
+      val ladder = mx.select(explode(sequence(lit(1), lit(10))).as("k"),
+          col("mid"))
+        .withColumn("thr", expr("(mid + 1) * k div 10"))
+        .withColumn("j", lit(1))
+      val pts = ladder
+        .join(firstDoc.withColumn("j", lit(1)), "j")
+        .groupBy("k", "thr")
+        .agg(sum(when(col("fd") < col("thr"), 1L).otherwise(0L)).as("vocab"))
+        .join(ladder.join(docTok.withColumn("j", lit(1)), "j")
+          .groupBy("k").agg(sum(when(col("doc_id") < col("thr"), col("nt"))
+            .otherwise(0L)).as("n_tokens")), "k")
+        .withColumn("x", round(log(col("n_tokens").cast("double")) * 1000)
+          .cast("long"))
+        .withColumn("y", round(log(col("vocab").cast("double")) * 1000)
+          .cast("long"))
+        .localCheckpoint(true) // feeds the ladder rows AND the OLS agg
+      val fit = pts.agg(count(lit(1L)).as("m"), sum("x").as("sx"),
+          sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("beta_micro", expr(
+          "(m * sxy - sx * sy) * 1000000 div (m * sxx - sx * sx)"))
+        .select(lit(-1).cast("int").as("k"), lit(null).cast("long")
+            .as("n_tokens"), lit(null).cast("long").as("vocab"),
+          col("beta_micro"),
+          expr("(sy - (beta_micro * sx div 1000000)) div m").as("lna_milli"))
+      pts.select(col("k").cast("int").as("k"), col("n_tokens"), col("vocab"),
+          lit(null).cast("long").as("beta_micro"),
+          lit(null).cast("long").as("lna_milli"))
+        .unionByName(fit)
+        .orderBy("k")
+    },
+    Some("""WITH tk AS (
+              SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS w
+              FROM (SELECT doc_id, string_split(lower(text), ' ') AS ts
+                    FROM documents
+                    WHERE len(string_split(lower(text), ' ')) >= 3) t,
+                   LATERAL (SELECT unnest(generate_series(1, len(ts) - 2))
+                     AS i) ii),
+            firstdoc AS (SELECT w, min(doc_id) AS fd FROM tk GROUP BY 1),
+            doctok AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt
+                       FROM tk GROUP BY 1),
+            mx AS (SELECT max(doc_id) AS mid FROM documents),
+            ladder AS (
+              SELECT k, (mid + 1) * k // 10 AS thr
+              FROM mx, (SELECT unnest(generate_series(1, 10)) AS k) kk),
+            pts AS (
+              SELECT l.k, l.thr,
+                     (SELECT CAST(sum(CASE WHEN f.fd < l.thr THEN 1 ELSE 0
+                        END) AS BIGINT) FROM firstdoc f) AS vocab,
+                     (SELECT CAST(sum(CASE WHEN dt.doc_id < l.thr THEN dt.nt
+                        ELSE 0 END) AS BIGINT) FROM doctok dt) AS n_tokens
+              FROM ladder l),
+            pxy AS (
+              SELECT k, thr, vocab, n_tokens,
+                     CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000)
+                       AS BIGINT) AS x,
+                     CAST(round(ln(CAST(vocab AS DOUBLE)) * 1000)
+                       AS BIGINT) AS y
+              FROM pts),
+            fit AS (
+              SELECT CAST(count(*) AS BIGINT) AS m,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx
+              FROM pxy)
+            SELECT CAST(k AS INT) AS k, n_tokens, vocab,
+                   CAST(NULL AS BIGINT) AS beta_micro,
+                   CAST(NULL AS BIGINT) AS lna_milli
+            FROM pxy
+            UNION ALL
+            SELECT CAST(-1 AS INT), NULL, NULL,
+                   (m * sxy - sx * sy) * 1000000 // (m * sxx - sx * sx),
+                   (sy - (((m * sxy - sx * sy) * 1000000
+                           // (m * sxx - sx * sx)) * sx // 1000000)) // m
+            FROM fit
+            ORDER BY k"""))
+
   /** Word BURSTINESS (Church & Gale 1995): the Fano factor
     * (variance-to-mean ratio of per-document counts, zero-docs included)
     * of each frequent word — the dispersion signal frequency alone hides:
@@ -1878,6 +1988,7 @@ object TextOps extends QueryModule {
     "q_vocab_pmi" -> qVocabPmi,
     "q_text_collocations" -> qTextCollocations,
     "q_text_burstiness" -> qTextBurstiness,
+    "q_text_heaps" -> qTextHeaps,
     "q_text_phrase" -> qTextPhrase,
     "q_text_rake" -> qTextRake,
     "q_text_classifier_nb" -> qTextClassifierNb,
