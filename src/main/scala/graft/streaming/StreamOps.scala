@@ -156,6 +156,51 @@ object StreamOps {
         })
   }
 
+  /** Per-type CUSUM state after a micro-batch (streaming q_ts_cusum twin). */
+  final case class CusumSnapshot(
+      etype: String, n_seen: Long, s_hi: Long, s_lo: Long, alarm: Boolean)
+
+  /** Streaming two-sided CUSUM monitor — the ONLINE twin of the batch
+    * q_ts_cusum chart and the stateful complement to [[driftMonitor]]
+    * (PSI compares each batch's distribution in isolation and forgets it;
+    * CUSUM carries S⁺/S⁻ ACROSS micro-batches, so a small persistent
+    * shift that never trips a per-batch test accumulates until it pages).
+    * Same exact-integer recurrence as the batch twin
+    * (S⁺ = max(0, S⁺ + (x − μ₀ − k)), mirrored low side), folded in
+    * offset order per event type via mapGroupsWithState; emits one
+    * snapshot per (type, batch) with the alarm flag.
+    *
+    * Scale: state is two longs + a counter per event type (bounded key
+    * space); values go through the HALF_UP decimal(18,2) cents rule so
+    * the online statistic equals the batch chart's exact arithmetic.
+    */
+  def cusumMonitor(shaped: DataFrame, mu0Cents: Long, slackCents: Long,
+      hCents: Long): Dataset[CusumSnapshot] = {
+    val spark = shaped.sparkSession
+    import spark.implicits._
+    shaped
+      .select(col("value.etype").as("etype"), col("value.dval").as("dval"),
+        col("offset"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (etype: String, rows: Iterator[(String, Double, Long)],
+            state: GroupState[(Long, Long, Long)]) => {
+          var (sh, sl, n) = state.getOption.getOrElse((0L, 0L, 0L))
+          rows.toSeq.sortBy(_._3).foreach { case (_, dval, _) =>
+            val cents = new java.math.BigDecimal(dval)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .movePointRight(2).longValueExact()
+            sh = math.max(0L, sh + (cents - mu0Cents - slackCents))
+            sl = math.max(0L, sl + (mu0Cents - slackCents - cents))
+            n += 1
+          }
+          state.update((sh, sl, n))
+          Iterator.single(CusumSnapshot(etype, n, sh, sl,
+            sh > hCents || sl > hCents))
+        })
+  }
+
   /** Stream-stream interval join: purchases matched to same-user clicks in
     * the preceding 30 minutes (the streaming twin of the batch q_join_range).
     * Both sides carry watermarks so Spark can bound the join state: click

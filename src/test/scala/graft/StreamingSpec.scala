@@ -302,6 +302,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CUSUM monitor accumulates a persistent shift across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Int, Long, Int, Double, String)]
+    val stream = shapedStream(mem)
+    // mu0 = 1000 cents, slack 100, page at 500 accumulated cents
+    val q = StreamOps.cusumMonitor(stream, 1000L, 100L, 500L)
+      .writeStream.format("memory").queryName("cusum_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: in-control values (10.00 ~ mu0) — no alarm
+      mem.addData((1, 0L, 0, 10.00, "a"), (2, 1L, 1, 10.50, "a"))
+      q.processAllAvailable()
+      // batches 2-3: small persistent +3.00 shift; each batch alone adds
+      // (1300-1000-100)*2 = 400 < h, but the SECOND one crosses 500 —
+      // only possible because state carries across batches
+      mem.addData((1, 2L, 2, 13.00, "a"), (2, 3L, 3, 13.00, "a"))
+      q.processAllAvailable()
+      mem.addData((1, 4L, 4, 13.00, "a"), (2, 5L, 5, 13.00, "a"))
+      q.processAllAvailable()
+      val snaps = spark.table("cusum_test")
+        .filter(col("etype") === "a").orderBy("n_seen").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(4)))
+      // batch1: s_hi settles near 0; batch2: +400 (no page); batch3: +400
+      // more -> 800 > 500 pages
+      assert(snaps.length == 3, snaps.mkString(","))
+      assert(!snaps(0)._3 && !snaps(1)._3 && snaps(2)._3, snaps.mkString(","))
+      assert(snaps(2)._2 > 500L, snaps.mkString(","))
+    } finally q.stop()
+  }
+
   test("running features: snapshots accumulate across micro-batches like the batch PIT") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Int, Long, Int, Double, String)]
