@@ -3861,6 +3861,137 @@ object AnalyticsOps extends QueryModule {
                    END AS z
             FROM agg"""))
 
+  /** Difference-in-differences — the quasi-experimental member of the
+    * experimentation family (abtest/cuped/srm compare randomized arms at
+    * one time; DiD identifies a treatment effect WITHOUT randomization by
+    * differencing out both the group gap and the time trend, assuming
+    * parallel trends): treated = odd user_id (the hash-rule arm stand-in),
+    * periods = month halves, outcome = per-user-period spend cents on a
+    * BALANCED panel (user × period grid, absent cells = 0 — dropping them
+    * would bias the panel toward active users). Cell means in exact
+    * milli-cents (Σx·1000 div n), so the DiD point estimate is an exact
+    * integer; the clustered SE (√Σ s²_gp/n_gp over the four cells, user-
+    * level variance from DECIMAL(38) moments) and t go through one
+    * pivot-ordered drounded fp chain. Emits the four cell rows + a
+    * summary row (did_milli, se_milli, t).
+    *
+    * Scale: one user×period agg (map-combinable) → 4 cell rows; the
+    * panel grid is users×2 (the q_stats_cuped covariate-grid economics).
+    */
+  private val qStatsDid = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val ev = t(s, d, "events")
+      val users = ev.select(col("user_id")).distinct()
+        .withColumn("grp", pmod(col("user_id"), lit(2)).cast("int"))
+      val panel = users
+        .select(col("user_id"), col("grp"),
+          explode(array(lit(0), lit(1))).as("period"))
+        .join(ev.select(col("user_id"),
+            when(dayofmonth(col("ts")) <= 15, 0).otherwise(1).as("period"),
+            cents.as("v"))
+          .groupBy("user_id", "period").agg(sum("v").as("x")),
+          Seq("user_id", "period"), "left")
+        .select(col("grp"), col("period"), coalesce(col("x"), lit(0L)).as("x"))
+      val cells = panel.groupBy("grp", "period")
+        .agg(count(lit(1L)).as("n"),
+          sum("x").as("sx"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+        .withColumn("mean_milli", expr("sx * 1000 div n"))
+        .localCheckpoint(true) // feeds the cell rows AND the pivot
+      def cell(g: Int, p: Int, c: String) =
+        max(when(col("grp") === g && col("period") === p, col(c)))
+      val pivotCols = (for { g <- 0 to 1; p <- 0 to 1 } yield Seq(
+        cell(g, p, "mean_milli").as(s"m$g$p"),
+        cell(g, p, "n").as(s"n$g$p"),
+        cell(g, p, "sx").as(s"x$g$p"),
+        cell(g, p, "sxx").as(s"q$g$p"))).flatten
+      val wide = cells.agg(pivotCols.head, pivotCols.tail: _*)
+      // per-cell user-level variance s² = (n·Σx² − (Σx)²)/(n·(n−1)),
+      // clustered SE = √(((s²₁₁/n₁₁ + s²₁₀/n₁₀) + s²₀₁/n₀₁) + s²₀₀/n₀₀)
+      def s2over(g: Int, p: Int) =
+        s"""((CAST(n$g$p AS DOUBLE) * CAST(q$g$p AS DOUBLE)
+             - CAST(x$g$p AS DOUBLE) * CAST(x$g$p AS DOUBLE))
+            / CAST(n$g$p AS DOUBLE) / CAST(n$g$p - 1 AS DOUBLE)
+            / CAST(n$g$p AS DOUBLE))"""
+      val summary = wide
+        .withColumn("did_milli",
+          (col("m11") - col("m10")) - (col("m01") - col("m00")))
+        .withColumn("se_raw", expr(
+          s"""sqrt(((${s2over(1, 1)} + ${s2over(1, 0)})
+               + ${s2over(0, 1)}) + ${s2over(0, 0)})"""))
+        .select(lit(-1).cast("int").as("grp"), lit(-1).cast("int").as("period"),
+          (col("n00") + col("n01") + col("n10") + col("n11")).as("n"),
+          col("did_milli").as("mean_milli"),
+          dround(col("se_raw") * 1000.0, 4).as("se_milli"),
+          dround(col("did_milli").cast("double") / 1000.0 / col("se_raw"), 4)
+            .as("t"))
+      cells.select(col("grp"), col("period"), col("n"), col("mean_milli"),
+          lit(null).cast("double").as("se_milli"),
+          lit(null).cast("double").as("t"))
+        .unionByName(summary)
+        .orderBy("grp", "period")
+    },
+    Some {
+      def s2over(g: Int, p: Int) =
+        s"""((CAST(n$g$p AS DOUBLE) * CAST(q$g$p AS DOUBLE)
+             - CAST(x$g$p AS DOUBLE) * CAST(x$g$p AS DOUBLE))
+            / CAST(n$g$p AS DOUBLE) / CAST(n$g$p - 1 AS DOUBLE)
+            / CAST(n$g$p AS DOUBLE))"""
+      val pivotCols = (for { g <- 0 to 1; p <- 0 to 1 } yield
+        s"""max(CASE WHEN grp = $g AND period = $p THEN mean_milli END)
+              AS m$g$p,
+            max(CASE WHEN grp = $g AND period = $p THEN n END) AS n$g$p,
+            max(CASE WHEN grp = $g AND period = $p THEN sx END) AS x$g$p,
+            max(CASE WHEN grp = $g AND period = $p THEN sxx END) AS q$g$p""")
+        .mkString(",\n                     ")
+      s"""WITH users AS (
+              SELECT DISTINCT user_id, CAST(user_id % 2 AS INT) AS grp
+              FROM events),
+            obs AS (
+              SELECT user_id,
+                     CASE WHEN extract(day FROM ts) <= 15 THEN 0 ELSE 1 END
+                       AS period,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS x
+              FROM events GROUP BY 1, 2),
+            panel AS (
+              SELECT g.grp, g.period, coalesce(o.x, 0) AS x
+              FROM (SELECT u.user_id, u.grp, pp.period
+                    FROM users u,
+                         (SELECT unnest([0, 1]) AS period) pp) g
+              LEFT JOIN obs o
+                ON o.user_id = g.user_id AND o.period = g.period),
+            cells AS (
+              SELECT grp, CAST(period AS INT) AS period,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     sum(CAST(x AS HUGEINT) * x) AS sxx,
+                     CAST(sum(x) * 1000 // count(*) AS BIGINT) AS mean_milli
+              FROM panel GROUP BY 1, 2),
+            wide AS (
+              SELECT $pivotCols
+              FROM cells),
+            summary AS (
+              SELECT CAST(-1 AS INT) AS grp, CAST(-1 AS INT) AS period,
+                     CAST(n00 + n01 + n10 + n11 AS BIGINT) AS n,
+                     CAST((m11 - m10) - (m01 - m00) AS BIGINT) AS mean_milli,
+                     CAST(round(CAST(sqrt(((${s2over(1, 1)} + ${s2over(1, 0)})
+                         + ${s2over(0, 1)}) + ${s2over(0, 0)}) * 1000.0
+                       AS DECIMAL(30,8)), 4) AS DOUBLE) AS se_milli,
+                     CAST(round(CAST(
+                       CAST((m11 - m10) - (m01 - m00) AS DOUBLE) / 1000.0
+                       / sqrt(((${s2over(1, 1)} + ${s2over(1, 0)})
+                          + ${s2over(0, 1)}) + ${s2over(0, 0)})
+                       AS DECIMAL(30,8)), 4) AS DOUBLE) AS t
+              FROM wide)
+            SELECT grp, period, n, mean_milli,
+                   CAST(NULL AS DOUBLE) AS se_milli, CAST(NULL AS DOUBLE) AS t
+            FROM cells
+            UNION ALL SELECT * FROM summary
+            ORDER BY grp, period"""
+    })
+
   /** Exact sign-flip permutation test — the RESAMPLING member of the
     * testing ladder (z/t assume normality, the rank tests assume only
     * exchangeability of ranks; the permutation test assumes nothing but
@@ -7543,6 +7674,7 @@ object AnalyticsOps extends QueryModule {
     "q_stats_permutation" -> qStatsPermutation,
     "q_stats_tukey" -> qStatsTukey,
     "q_stats_medianci" -> qStatsMedianci,
+    "q_stats_did" -> qStatsDid,
     "q_stats_runs" -> qStatsRuns,
     "q_funnel_latency" -> qFunnelLatency,
     "q_stats_cramersv" -> qStatsCramersV,
