@@ -3992,6 +3992,194 @@ object AnalyticsOps extends QueryModule {
             ORDER BY grp, period"""
     })
 
+  /** Sharp regression-discontinuity design — the third causal-inference
+    * member (DiD differences trends; RDD exploits a CUTOFF rule: units
+    * just above/below a threshold are as-good-as-randomized, so the jump
+    * in the outcome at the cutoff is the local treatment effect): running
+    * variable = event value (cutoff $250), outcome = purchase indicator,
+    * local-linear fit on each side within a $100 bandwidth from exact
+    * integer moments (y ∈ {0,1}, x = cents − cutoff), jump = intercept_R
+    * − intercept_L at the cutoff. Per-side rows carry n/slope/intercept
+    * (drounded mirrored OLS chains, the q_stats_linreg rule); the summary
+    * row carries the jump in ppm. This synthetic corpus plants no
+    * discontinuity, so the jump reads ≈ 0 — the placebo behaving is the
+    * check (same role as q_stats_did's parity arm).
+    *
+    * Scale: one conditional moment agg (two sides in ONE pass) → 2 rows.
+    */
+  private val qStatsRdd = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cut = 25000L
+      val bw = 10000L
+      val rows = t(s, d, "events")
+        .select((cents - lit(cut)).as("x"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        .filter(abs(col("x")) <= bw && col("x") =!= 0L)
+        .withColumn("side", when(col("x") < 0, lit("L")).otherwise(lit("R")))
+      val m = rows.groupBy("side").agg(
+        count(lit(1L)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+        .withColumn("b", expr(
+          """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"""))
+        .withColumn("a", expr(
+          "(CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)"))
+        .localCheckpoint(true) // feeds the side rows AND the jump pivot
+      val jump = m.agg(
+          max(when(col("side") === "R", col("a"))).as("aR"),
+          max(when(col("side") === "L", col("a"))).as("aL"),
+          sum("n").as("n"))
+        .select(lit("JUMP").as("side"), col("n"),
+          lit(null).cast("double").as("slope_per_kcent"),
+          lit(null).cast("double").as("intercept_ppm"),
+          dround((col("aR") - col("aL")) * 1e6, 1).as("jump_ppm"))
+      m.select(col("side"), col("n"),
+          dround(col("b") * 1e3, 6).as("slope_per_kcent"),
+          dround(col("a") * 1e6, 1).as("intercept_ppm"),
+          lit(null).cast("double").as("jump_ppm"))
+        .unionByName(jump)
+        .orderBy("side")
+    },
+    Some("""WITH rows_ AS (
+              SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       - 25000 AS x,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+              FROM events),
+            nz AS (
+              SELECT x, y, CASE WHEN x < 0 THEN 'L' ELSE 'R' END AS side
+              FROM rows_ WHERE abs(x) <= 10000 AND x <> 0),
+            m AS (
+              SELECT side, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     sum(CAST(x AS HUGEINT) * x) AS sxx
+              FROM nz GROUP BY 1),
+            f AS (
+              SELECT side, n, sx, sy, sxy, sxx,
+                     (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b
+              FROM m),
+            f2 AS (
+              SELECT side, n, b,
+                     (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
+                       / CAST(n AS DOUBLE) AS a
+              FROM f),
+            jump AS (
+              SELECT 'JUMP' AS side, CAST(sum(n) AS BIGINT) AS n,
+                     CAST(NULL AS DOUBLE) AS slope_per_kcent,
+                     CAST(NULL AS DOUBLE) AS intercept_ppm,
+                     CAST(round(CAST(
+                       (max(CASE WHEN side = 'R' THEN a END)
+                        - max(CASE WHEN side = 'L' THEN a END)) * 1e6
+                       AS DECIMAL(30,8)), 1) AS DOUBLE) AS jump_ppm
+              FROM f2)
+            SELECT side, n,
+                   CAST(round(CAST(b * 1e3 AS DECIMAL(30,8)), 6) AS DOUBLE)
+                     AS slope_per_kcent,
+                   CAST(round(CAST(a * 1e6 AS DECIMAL(30,8)), 1) AS DOUBLE)
+                     AS intercept_ppm,
+                   CAST(NULL AS DOUBLE) AS jump_ppm
+            FROM f2
+            UNION ALL SELECT * FROM jump
+            ORDER BY side"""))
+
+  /** Wald instrumental-variable estimator — the fourth causal member
+    * (when treatment is self-selected, an INSTRUMENT that shifts
+    * treatment but touches the outcome only through it identifies the
+    * effect: Wald = Δȳ / Δx̄ across instrument arms): instrument = user
+    * parity (the hash-rule as-if-random assignment), treatment = the
+    * user's click count, outcome = the user's purchase cents. Per-arm
+    * means in exact fixed-point (milli via ·1000 div n), the first-stage
+    * strength (Δx̄) and reduced form (Δȳ) as exact integers, the Wald
+    * ratio through one drounded divide. A near-zero first stage flags a
+    * WEAK instrument — emitted explicitly so the ratio is never read
+    * blind (parity moves nothing here; the readout demonstrates the
+    * weak-instrument failure mode on purpose).
+    *
+    * Scale: one user agg + a 2-row arm agg.
+    */
+  private val qStatsIv = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val users = t(s, d, "events")
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("xk"),
+          sum(when(col("event_type") === "purchase", cents).otherwise(0L))
+            .as("yc"))
+        .withColumn("z", pmod(col("user_id"), lit(2)).cast("int"))
+      val arms = users.groupBy("z").agg(count(lit(1L)).as("n"),
+        sum("xk").as("sx"), sum("yc").as("sy"))
+        .withColumn("xbar_milli", expr("sx * 1000 div n"))
+        .withColumn("ybar_milli", expr("sy * 1000 div n"))
+        .localCheckpoint(true) // feeds the arm rows AND the Wald pivot
+      val wald = arms.agg(
+          max(when(col("z") === 1, col("xbar_milli"))).as("x1"),
+          max(when(col("z") === 0, col("xbar_milli"))).as("x0"),
+          max(when(col("z") === 1, col("ybar_milli"))).as("y1"),
+          max(when(col("z") === 0, col("ybar_milli"))).as("y0"),
+          sum("n").as("n"))
+        .select(lit(-1).cast("int").as("z"), col("n"),
+          (col("x1") - col("x0")).as("xbar_milli"),
+          (col("y1") - col("y0")).as("ybar_milli"),
+          when(col("x1") =!= col("x0"),
+            dround((col("y1") - col("y0")).cast("double") /
+              (col("x1") - col("x0")).cast("double"), 4)).as("wald"))
+      arms.select(col("z"), col("n"), col("xbar_milli"), col("ybar_milli"),
+          lit(null).cast("double").as("wald"))
+        .unionByName(wald)
+        .orderBy("z")
+    },
+    Some("""WITH users AS (
+              SELECT user_id,
+                     CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                       END) AS BIGINT) AS xk,
+                     CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS yc,
+                     CAST(user_id % 2 AS INT) AS z
+              FROM events GROUP BY 1),
+            arms AS (
+              SELECT z, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(xk) AS BIGINT) AS sx,
+                     CAST(sum(yc) AS BIGINT) AS sy,
+                     sum(xk) * 1000 // count(*) AS xbar_milli,
+                     sum(yc) * 1000 // count(*) AS ybar_milli
+              FROM users GROUP BY 1),
+            wald AS (
+              SELECT CAST(-1 AS INT) AS z, CAST(sum(n) AS BIGINT) AS n,
+                     CAST(max(CASE WHEN z = 1 THEN xbar_milli END)
+                       - max(CASE WHEN z = 0 THEN xbar_milli END)
+                       AS BIGINT) AS xbar_milli,
+                     CAST(max(CASE WHEN z = 1 THEN ybar_milli END)
+                       - max(CASE WHEN z = 0 THEN ybar_milli END)
+                       AS BIGINT) AS ybar_milli,
+                     CASE WHEN max(CASE WHEN z = 1 THEN xbar_milli END)
+                            <> max(CASE WHEN z = 0 THEN xbar_milli END)
+                       THEN CAST(round(CAST(
+                         CAST(max(CASE WHEN z = 1 THEN ybar_milli END)
+                           - max(CASE WHEN z = 0 THEN ybar_milli END)
+                           AS DOUBLE)
+                         / CAST(max(CASE WHEN z = 1 THEN xbar_milli END)
+                           - max(CASE WHEN z = 0 THEN xbar_milli END)
+                           AS DOUBLE) AS DECIMAL(30,8)), 4) AS DOUBLE)
+                     END AS wald
+              FROM arms)
+            SELECT z, n, CAST(xbar_milli AS BIGINT) AS xbar_milli,
+                   CAST(ybar_milli AS BIGINT) AS ybar_milli,
+                   CAST(NULL AS DOUBLE) AS wald
+            FROM arms
+            UNION ALL SELECT * FROM wald
+            ORDER BY z"""))
+
   /** Exact sign-flip permutation test — the RESAMPLING member of the
     * testing ladder (z/t assume normality, the rank tests assume only
     * exchangeability of ranks; the permutation test assumes nothing but
@@ -7675,6 +7863,8 @@ object AnalyticsOps extends QueryModule {
     "q_stats_tukey" -> qStatsTukey,
     "q_stats_medianci" -> qStatsMedianci,
     "q_stats_did" -> qStatsDid,
+    "q_stats_rdd" -> qStatsRdd,
+    "q_stats_iv" -> qStatsIv,
     "q_stats_runs" -> qStatsRuns,
     "q_funnel_latency" -> qFunnelLatency,
     "q_stats_cramersv" -> qStatsCramersV,
