@@ -1367,6 +1367,82 @@ object DedupOps extends QueryModule {
           ORDER BY p.doc_a, p.doc_b"""
     })
 
+  /** Asymmetric shingle CONTAINMENT (Broder's resemblance/containment
+    * split): C(s, d) = |sh(s) ∩ sh(d)| / |sh(s)| — the quote/subset
+    * detector the SYMMETRIC Jaccard family structurally misses (a 30-token
+    * snippet fully contained in a 300-token doc has Jaccard ≈ 0.1 but
+    * containment 1.0). Probes are planted: the first 30 tokens of docs
+    * id < 40 re-enter as snippets (id + 30000); each must surface against
+    * its source at containment 10⁶ ppm, plus any other doc sharing enough
+    * of the opening. Same 2-token-prefix blocking + stop-block cap as
+    * q_dedup_ngram_jaccard (mirrored in the oracle); the readout is
+    * EXACT integer ppm (count div count — no fp anywhere).
+    *
+    * Scale: snippet-side probes against the capped block index — the
+    * candidate count is probe-bounded, never corpus²; at 100 TB the doc
+    * side is the same persisted shingle index the dedup family shares.
+    */
+  private val qDedupContainment = GQuery(
+    (s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), tokens.as("toks"))
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("toks"), 1, 2)).as("pre"),
+          shingleHashes.as("sh"))
+        .withColumn("nb", count(lit(1)).over(Window.partitionBy("pre")))
+        .filter(col("nb") <= NgramMaxBlock)
+        .drop("nb")
+      val snips = t(s, d, "documents")
+        .filter(col("doc_id") < 40)
+        .select((col("doc_id") + 30000L).as("sid"), tokens.as("toks"))
+        .select(col("sid"), slice(col("toks"), 1, 30).as("toks"))
+        .select(col("sid"),
+          concat_ws(" ", slice(col("toks"), 1, 2)).as("pre_s"),
+          shingleHashes.as("sh_s"))
+      snips.join(base, col("pre_s") === col("pre"))
+        .select(col("sid"), col("doc_id"),
+          size(array_intersect(col("sh_s"), col("sh"))).cast("long")
+            .as("n_inter"),
+          size(col("sh_s")).cast("long").as("n_snip"))
+        .withColumn("containment_ppm",
+          expr("n_inter * 1000000 div n_snip"))
+        .filter(col("containment_ppm") >= 800000L)
+        .orderBy("sid", "doc_id")
+    },
+    Some(
+      s"""WITH t0 AS (
+            SELECT doc_id,
+                   array_to_string(list_slice($duckTokens, 1, 2), ' ') AS pre,
+                   list_distinct($duckShingles) AS sh
+            FROM documents),
+          t AS (
+            SELECT doc_id, pre, sh FROM (
+              SELECT *, count(*) OVER (PARTITION BY pre) AS nb FROM t0)
+            WHERE nb <= $NgramMaxBlock),
+          s0 AS (
+            SELECT doc_id + 30000 AS sid,
+                   list_slice($duckTokens, 1, 30) AS ts
+            FROM documents WHERE doc_id < 40),
+          s1 AS (
+            SELECT sid,
+                   array_to_string(list_slice(ts, 1, 2), ' ') AS pre,
+                   list_distinct(list_transform(
+                     generate_series(1, greatest(len(ts) - 2, 1)),
+                     i -> array_to_string(list_slice(ts, i, i + 2), ' ')))
+                     AS sh_s
+            FROM s0),
+          p AS (
+            SELECT s.sid, t.doc_id,
+                   CAST(len(list_filter(s.sh_s,
+                     x -> list_contains(t.sh, x))) AS BIGINT) AS n_inter,
+                   CAST(len(s.sh_s) AS BIGINT) AS n_snip
+            FROM s1 s JOIN t ON s.pre = t.pre)
+          SELECT sid, doc_id, n_inter, n_snip,
+                 CAST(n_inter * 1000000 // n_snip AS BIGINT)
+                   AS containment_ppm
+          FROM p WHERE n_inter * 1000000 // n_snip >= 800000
+          ORDER BY sid, doc_id"""))
+
   /** Batch NOVELTY rate — the data-valuation readout an acquisition
     * pipeline runs BEFORE paying to ingest a crawl (q_dedup_incremental
     * answers "which docs are dups"; this answers "how much NEW information
@@ -1430,6 +1506,7 @@ object DedupOps extends QueryModule {
 
   override val queries: Map[String, GQuery] = Map(
     "q_corpus_novelty" -> qCorpusNovelty,
+    "q_dedup_containment" -> qDedupContainment,
     "q_eval_ngram_overlap" -> qEvalNgramOverlap,
     "q_dedup_lsh_tune" -> qDedupLshTune,
     "q_dedup_minhash_recall" -> qDedupMinhashRecall,
