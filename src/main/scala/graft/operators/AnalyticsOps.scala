@@ -5086,6 +5086,115 @@ object AnalyticsOps extends QueryModule {
             FROM alloc, def
             ORDER BY stratum"""))
 
+  // ------------------------------------------- forecast backtesting --
+
+  /** Rolling-origin one-step backtest — the model-selection readout the
+    * individual smoothers (q_ts_snaive / q_ts_ewma / q_ts_holt) each emit
+    * residuals for but never COMPARE: all three forecast the same daily
+    * revenue series in one pass (seasonal-naive x_{t−7}; EWMA level;
+    * Holt level+trend — the exact integer `div` recurrences of their
+    * standalone twins), scored on the common evaluable window (t ≥ 8)
+    * with MAE in exact cents and a per-day-integer sMAPE
+    * (Σ |e|·2000 div (x+fc), then div n — every term exact, so the
+    * whole scoreboard hashes). One winner row is derivable by the reader;
+    * the table IS the backtest artifact a forecasting pipeline persists.
+    *
+    * Scale: ewma/holt economics — one day partial agg, calendar-bounded
+    * folds, |models|·|days| rows max; the lag windows run over the
+    * bounded day grid (the q_ts_holt wLag precedent).
+    */
+  private val qTsBacktest = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val daily = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), cents.as("v"))
+        .groupBy("day").agg(sum("v").as("x"))
+      val series = daily
+        .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("s"))
+        .select(transform(col("s"), r => r.getField("day")).as("days"),
+          transform(col("s"), r => r.getField("x")).as("xs"))
+      val folded = series
+        .withColumn("ew", expr(
+          """aggregate(xs, CAST(array() AS ARRAY<BIGINT>),
+               (acc, x) -> CASE WHEN size(acc) = 0 THEN array(x)
+                 ELSE concat(acc, array((x + 3 * element_at(acc, -1)) div 4))
+               END)"""))
+        .withColumn("ho", expr(
+          """aggregate(xs,
+               CAST(array() AS ARRAY<STRUCT<l: BIGINT, b: BIGINT>>),
+               (acc, x) -> CASE WHEN size(acc) = 0
+                 THEN array(named_struct('l', x, 'b', CAST(0 AS BIGINT)))
+                 ELSE concat(acc, array(named_struct(
+                   'l', (x + 3 * (element_at(acc, -1).l
+                          + element_at(acc, -1).b)) div 4,
+                   'b', (((x + 3 * (element_at(acc, -1).l
+                            + element_at(acc, -1).b)) div 4)
+                         - element_at(acc, -1).l + 3 * element_at(acc, -1).b)
+                          div 4)))
+               END)"""))
+      val wLag = Window.orderBy("day")
+      val perDay = folded
+        .select(posexplode(arrays_zip(col("days"), col("xs"),
+          col("ew"), col("ho"))))
+        .select((col("pos") + 1).as("rn"), col("col.days").as("day"),
+          col("col.xs").as("x"), col("col.ew").as("le"),
+          (col("col.ho.l") + col("col.ho.b")).as("lhb"))
+        .withColumn("fc_snaive", lag("x", 7).over(wLag))
+        .withColumn("fc_ewma", lag("le", 1).over(wLag))
+        .withColumn("fc_holt", lag("lhb", 1).over(wLag))
+        .filter(col("rn") >= 8)
+      val long = perDay.selectExpr("x", """stack(3,
+          'ewma',   fc_ewma,
+          'holt',   fc_holt,
+          'snaive', fc_snaive) AS (model, fc)""")
+      long.groupBy("model")
+        .agg(count(lit(1L)).as("n_days"),
+          expr("sum(abs(x - fc)) div count(1)").as("mae_cents"),
+          expr("sum(abs(x - fc) * 2000 div (x + fc)) div count(1)")
+            .as("smape_milli"))
+        .orderBy("model")
+    },
+    Some("""WITH RECURSIVE daily AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS x
+              FROM events GROUP BY 1),
+            seq AS (
+              SELECT day, x, CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+                       AS rn
+              FROM daily),
+            ew AS (
+              SELECT day, x, rn, x AS l FROM seq WHERE rn = 1
+              UNION ALL
+              SELECT s.day, s.x, s.rn,
+                     CAST((s.x + 3 * e.l) // 4 AS BIGINT)
+              FROM seq s JOIN ew e ON s.rn = e.rn + 1),
+            ho AS (
+              SELECT day, x, rn, x AS l, CAST(0 AS BIGINT) AS b
+              FROM seq WHERE rn = 1
+              UNION ALL
+              SELECT s.day, s.x, s.rn,
+                     CAST((s.x + 3 * (h.l + h.b)) // 4 AS BIGINT),
+                     CAST((((s.x + 3 * (h.l + h.b)) // 4) - h.l + 3 * h.b)
+                       // 4 AS BIGINT)
+              FROM seq s JOIN ho h ON s.rn = h.rn + 1),
+            perday AS (
+              SELECT s.rn, s.day, s.x,
+                     lag(s.x, 7) OVER (ORDER BY s.day) AS fc_snaive,
+                     lag(e.l, 1) OVER (ORDER BY s.day) AS fc_ewma,
+                     lag(h.l + h.b, 1) OVER (ORDER BY s.day) AS fc_holt
+              FROM seq s JOIN ew e ON e.rn = s.rn JOIN ho h ON h.rn = s.rn),
+            ev AS (SELECT * FROM perday WHERE rn >= 8),
+            lng AS (
+              SELECT x, 'ewma' AS model, fc_ewma AS fc FROM ev
+              UNION ALL SELECT x, 'holt', fc_holt FROM ev
+              UNION ALL SELECT x, 'snaive', fc_snaive FROM ev)
+            SELECT model, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(abs(x - fc)) // count(*) AS BIGINT) AS mae_cents,
+                   CAST(sum(abs(x - fc) * 2000 // (x + fc)) // count(*)
+                     AS BIGINT) AS smape_milli
+            FROM lng GROUP BY 1 ORDER BY model"""))
+
   // ----------------------------------------------- CUSUM drift pages --
 
   /** Two-sided CUSUM control chart (Page 1954) on the daily revenue
@@ -7850,6 +7959,7 @@ object AnalyticsOps extends QueryModule {
     "q_ts_croston" -> qTsCroston,
     "q_sample_neyman" -> qSampleNeyman,
     "q_ts_cusum" -> qTsCusum,
+    "q_ts_backtest" -> qTsBacktest,
     "q_stats_kruskal" -> qStatsKruskal,
     "q_ts_theilsen" -> qTsTheilsen,
     "q_feature_pit" -> qFeaturePit,
