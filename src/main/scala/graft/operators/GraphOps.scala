@@ -230,31 +230,29 @@ object GraphOps extends QueryModule {
           concat(lit("p:"), col("l_partkey")).as("src"),
           concat(lit("s:"), col("l_suppkey")).as("dst")))
         .localCheckpoint(true) // indexed adjacency + degrees reuse it
-      // materialize the indexed adjacency + degrees ONCE — each of the 3
-      // step joins would otherwise rerun the 1M-row row_number window
-      val nbrs = edges
-        .select(col("src").as("nsrc"), col("dst").as("ndst"))
-        .withColumn("idx",
-          row_number().over(Window.partitionBy("nsrc").orderBy("ndst"))
-            .cast("long"))
-        .localCheckpoint(true)
-      val degs = edges.groupBy("src").agg(count(lit(1L)).as("deg"))
-        .select(col("src").as("dsrc"), col("deg"))
-        .localCheckpoint(true)
       var st = li.select(concat(lit("s:"), col("l_suppkey")).as("start"))
         .distinct()
         .select(col("start"), explode(sequence(lit(0), lit(1))).as("wk"),
           col("start").as("cur"))
       val visited = scala.collection.mutable.ArrayBuffer[DataFrame]()
       for (step <- 1 to 3) {
-        // localCheckpoint: the walk frontier re-joins the SAME adjacency
-        // every round — truncating lineage sidesteps the self-join
-        // ambiguity and keeps the loop plan flat
-        st = st.join(degs, col("cur") === col("dsrc")).drop("dsrc")
-          .withColumn("pick",
+        // index the adjacency ONLY for this step's frontier sources — the
+        // row_number/deg window then runs over frontier-degree rows, not
+        // the whole edge list (ranking within a src is unchanged because
+        // every edge of a kept src is kept); localCheckpoint truncates
+        // lineage (same-adjacency self-join across rounds) and keeps the
+        // loop plan flat
+        val fsrc = st.select(col("cur").as("nsrc")).distinct()
+        val wSrc = Window.partitionBy("nsrc")
+        val nb = edges.select(col("src").as("nsrc"), col("dst").as("ndst"))
+          .join(broadcast(fsrc), "nsrc")
+          .withColumn("idx",
+            row_number().over(wSrc.orderBy("ndst")).cast("long"))
+          .withColumn("deg", count(lit(1L)).over(wSrc))
+        st = st
+          .join(nb, col("cur") === col("nsrc") &&
             pmod(hex4(concat_ws(":", col("start"), col("wk"),
-              lit(step), col("cur"))), col("deg")) + 1L)
-          .join(nbrs, col("cur") === col("nsrc") && col("pick") === col("idx"))
+              lit(step), col("cur"))), col("deg")) + 1L === col("idx"))
           .select(col("start"), col("wk"), col("ndst").as("cur"))
           .localCheckpoint(true)
         visited += st
