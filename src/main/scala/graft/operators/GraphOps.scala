@@ -321,16 +321,19 @@ object GraphOps extends QueryModule {
     (s, d) => {
       val li = t(s, d, "lineitem")
         .select(col("l_suppkey"), col("l_partkey")).distinct()
+      // BIGINT node ids (suppliers raw, parts offset by 10⁹): the K·E
+      // expansion rows are hashed/compared every round — long keys cut
+      // that constant vs "s:"/"p:" strings
       val edges = li.select(
-          concat(lit("s:"), col("l_suppkey")).as("src"),
-          concat(lit("p:"), col("l_partkey")).as("dst"))
+          col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey") + lit(1000000000L)).as("dst"))
         .union(li.select(
-          concat(lit("p:"), col("l_partkey")).as("src"),
-          concat(lit("s:"), col("l_suppkey")).as("dst")))
+          (col("l_partkey") + lit(1000000000L)).as("src"),
+          col("l_suppkey").cast("long").as("dst")))
         .localCheckpoint(true) // four frontier joins reuse the edge list
       val lms = li.select(col("l_suppkey")).distinct()
         .orderBy("l_suppkey").limit(4)
-        .select(concat(lit("s:"), col("l_suppkey")).as("lm"))
+        .select(col("l_suppkey").cast("long").as("lm"))
       var vis = lms.select(col("lm"), col("lm").as("node"),
         lit(0L).as("dist"))
       for (it <- 1 to 4) {
@@ -352,13 +355,13 @@ object GraphOps extends QueryModule {
     Some("""WITH RECURSIVE li AS (
               SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
             edges AS (
-              SELECT 's:' || CAST(l_suppkey AS VARCHAR) AS src,
-                     'p:' || CAST(l_partkey AS VARCHAR) AS dst FROM li
+              SELECT CAST(l_suppkey AS BIGINT) AS src,
+                     CAST(l_partkey + 1000000000 AS BIGINT) AS dst FROM li
               UNION ALL
-              SELECT 'p:' || CAST(l_partkey AS VARCHAR),
-                     's:' || CAST(l_suppkey AS VARCHAR) FROM li),
+              SELECT CAST(l_partkey + 1000000000 AS BIGINT),
+                     CAST(l_suppkey AS BIGINT) FROM li),
             lms AS (
-              SELECT 's:' || CAST(k AS VARCHAR) AS lm
+              SELECT CAST(k AS BIGINT) AS lm
               FROM (SELECT DISTINCT l_suppkey AS k FROM li
                     ORDER BY 1 LIMIT 4)),
             bfs AS (
