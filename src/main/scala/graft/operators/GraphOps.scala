@@ -71,12 +71,15 @@ object GraphOps extends QueryModule {
     (s, d) => {
       val li = t(s, d, "lineitem")
         .select(col("l_suppkey"), col("l_partkey")).distinct()
+      // BIGINT node ids (suppliers raw, parts offset by 10⁹) — the
+      // closeness lesson: string keys cost ~2× on every iteration's
+      // join/agg hash
       val edges = li.select(
-          concat(lit("s:"), col("l_suppkey")).as("src"),
-          concat(lit("p:"), col("l_partkey")).as("dst"))
+          col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey") + lit(1000000000L)).as("dst"))
         .union(li.select(
-          concat(lit("p:"), col("l_partkey")).as("src"),
-          concat(lit("s:"), col("l_suppkey")).as("dst")))
+          (col("l_partkey") + lit(1000000000L)).as("src"),
+          col("l_suppkey").cast("long").as("dst")))
       // degree as a window over the one edge shuffle (not groupBy + join —
       // that costs a second full-edge shuffle), then materialize ONCE:
       // every iteration reuses the checkpointed (src, dst, deg) edge list
@@ -105,11 +108,11 @@ object GraphOps extends QueryModule {
     },
     Some("""WITH li AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
             edges AS (
-              SELECT 's:' || CAST(l_suppkey AS VARCHAR) AS src,
-                     'p:' || CAST(l_partkey AS VARCHAR) AS dst FROM li
+              SELECT CAST(l_suppkey AS BIGINT) AS src,
+                     CAST(l_partkey + 1000000000 AS BIGINT) AS dst FROM li
               UNION ALL
-              SELECT 'p:' || CAST(l_partkey AS VARCHAR),
-                     's:' || CAST(l_suppkey AS VARCHAR) FROM li),
+              SELECT CAST(l_partkey + 1000000000 AS BIGINT),
+                     CAST(l_suppkey AS BIGINT) FROM li),
             deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
                     FROM edges GROUP BY src),
             ed AS (SELECT e.src, e.dst, d.deg
