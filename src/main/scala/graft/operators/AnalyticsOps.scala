@@ -3992,6 +3992,95 @@ object AnalyticsOps extends QueryModule {
             ORDER BY grp, period"""
     })
 
+  /** Bayesian A/B with Beta-Binomial posteriors — the decision-oriented
+    * member of the experimentation family (the frequentist tests answer
+    * "is there an effect?"; the posterior answers "how probable is B
+    * better, and by how much?"): arms = user parity, conversions = users
+    * with ≥1 premium purchase (value ≥ $150 — the tail event; plain
+    * purchase converts everyone here), Beta(1,1) prior. Posterior means are EXACT
+    * rationals in ppm ((1+s)·10⁶ div (2+n)); P(B>A) uses the
+    * normal approximation of the posterior-difference (the standard
+    * large-n shortcut; both posteriors are n≈75 here) through one
+    * mirrored drounded Φ chain — erf is NOT portable across engines, so
+    * the chain stops at the z-score and a monotone logistic surrogate
+    * Φ̃(z) = 1/(1+e^{−1.702z}) (max |Φ̃−Φ| < 0.01, a documented
+    * approximation — the decision readout, not a calibrated tail).
+    *
+    * Scale: one user agg → 2 arm rows.
+    */
+  private val qStatsBayesAb = GQuery(
+    (s, d) => {
+      val users = t(s, d, "events")
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase" &&
+            col("value") >= 150, 1L).otherwise(0L)).as("conv"))
+        .withColumn("z", pmod(col("user_id"), lit(2)).cast("int"))
+      val arms = users.groupBy("z")
+        .agg(count(lit(1L)).as("n"), sum("conv").as("s"))
+        .withColumn("post_mean_ppm", expr("(1 + s) * 1000000 div (2 + n)"))
+        .localCheckpoint(true) // feeds the arm rows AND the summary pivot
+      def g(zv: Int, c: String) = max(when(col("z") === zv, col(c)))
+      val wide = arms.agg(
+        g(0, "n").as("n0"), g(0, "s").as("s0"),
+        g(1, "n").as("n1"), g(1, "s").as("s1"))
+      // posterior moments: m = (1+s)/(2+n), v = m(1−m)/(3+n)
+      def m(i: Int) =
+        s"(CAST(1 + s$i AS DOUBLE) / CAST(2 + n$i AS DOUBLE))"
+      def v(i: Int) =
+        s"(${m(i)} * (1.0 - ${m(i)}) / CAST(3 + n$i AS DOUBLE))"
+      val summary = wide.select(
+        lit(-1).cast("int").as("z"),
+        (col("n0") + col("n1")).as("n"),
+        (col("s0") + col("s1")).as("s"),
+        lit(null).cast("long").as("post_mean_ppm"),
+        dround(expr(
+          s"""1.0 / (1.0 + exp(-1.702 * ((${m(1)} - ${m(0)})
+              / sqrt(${v(1)} + ${v(0)}))))"""), 4).as("p_b_beats_a"))
+      arms.select(col("z"), col("n"), col("s"), col("post_mean_ppm"),
+          lit(null).cast("double").as("p_b_beats_a"))
+        .unionByName(summary)
+        .orderBy("z")
+    },
+    Some {
+      def m(i: Int) =
+        s"(CAST(1 + s$i AS DOUBLE) / CAST(2 + n$i AS DOUBLE))"
+      def v(i: Int) =
+        s"(${m(i)} * (1.0 - ${m(i)}) / CAST(3 + n$i AS DOUBLE))"
+      s"""WITH users AS (
+              SELECT user_id,
+                     CAST(max(CASE WHEN event_type = 'purchase'
+                       AND value >= 150 THEN 1 ELSE 0 END) AS BIGINT) AS conv,
+                     CAST(user_id % 2 AS INT) AS z
+              FROM events GROUP BY 1),
+            arms AS (
+              SELECT z, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(conv) AS BIGINT) AS s,
+                     CAST((1 + sum(conv)) * 1000000 // (2 + count(*))
+                       AS BIGINT) AS post_mean_ppm
+              FROM users GROUP BY 1),
+            wide AS (
+              SELECT max(CASE WHEN z = 0 THEN n END) AS n0,
+                     max(CASE WHEN z = 0 THEN s END) AS s0,
+                     max(CASE WHEN z = 1 THEN n END) AS n1,
+                     max(CASE WHEN z = 1 THEN s END) AS s1
+              FROM arms),
+            summary AS (
+              SELECT CAST(-1 AS INT) AS z,
+                     CAST(n0 + n1 AS BIGINT) AS n,
+                     CAST(s0 + s1 AS BIGINT) AS s,
+                     CAST(NULL AS BIGINT) AS post_mean_ppm,
+                     CAST(round(CAST(
+                       1.0 / (1.0 + exp(-1.702 * ((${m(1)} - ${m(0)})
+                         / sqrt(${v(1)} + ${v(0)}))))
+                       AS DECIMAL(30,8)), 4) AS DOUBLE) AS p_b_beats_a
+              FROM wide)
+            SELECT z, n, s, post_mean_ppm, CAST(NULL AS DOUBLE)
+                     AS p_b_beats_a
+            FROM arms
+            UNION ALL SELECT * FROM summary
+            ORDER BY z"""
+    })
+
   /** Sharp regression-discontinuity design — the third causal-inference
     * member (DiD differences trends; RDD exploits a CUTOFF rule: units
     * just above/below a threshold are as-good-as-randomized, so the jump
@@ -7974,6 +8063,7 @@ object AnalyticsOps extends QueryModule {
     "q_stats_medianci" -> qStatsMedianci,
     "q_stats_did" -> qStatsDid,
     "q_stats_rdd" -> qStatsRdd,
+    "q_stats_bayes_ab" -> qStatsBayesAb,
     "q_stats_iv" -> qStatsIv,
     "q_stats_runs" -> qStatsRuns,
     "q_funnel_latency" -> qFunnelLatency,
