@@ -812,6 +812,96 @@ object AnalyticsOps extends QueryModule {
     * (the trick that turns an ε-sensitive predicate into a t2-gateable
     * one). Data path is map-only against the broadcast 5-row stats.
     */
+  /** Mahalanobis-distance multivariate outliers over (value cents,
+    * hour-of-day) — the CORRELATION-AWARE screen the univariate z-rules
+    * (q_events_outliers) can't be: a $40 purchase at 3am may be normal on
+    * both marginals yet far from the joint cloud. The 2×2 covariance
+    * comes from exact DECIMAL(38) moments; its inverse is the closed-form
+    * adjugate (no iteration), and d² = Δᵀ Σ⁻¹ Δ runs through ONE mirrored
+    * fp chain quantized to micro BEFORE ranking (drounded doubles →
+    * integer ordering key, (d², event_id) total order — the hash-stable
+    * top-20 rule). Top 20 most anomalous events with their coordinates.
+    *
+    * Scale: one moment agg (1-row broadcast) + a corpus-linear scoring
+    * pass + TakeOrdered — the covariance never materializes per row, and
+    * at p > 2 dimensions the same plan inverts the p×p matrix driver-side
+    * (p is a schema constant, not data).
+    */
+  private val qStatsMahalanobis = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("event_type"), cents.as("x"),
+          hour(col("ts")).cast("long").as("y"))
+        .localCheckpoint(true) // feeds the moment agg AND the scoring pass
+      val mom = ev.agg(count(lit(1L)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+        .withColumn("j", lit(1))
+      // means and central covariance entries, then the adjugate inverse:
+      // inv = 1/det * [ cyy  -cxy; -cxy  cxx ]
+      def m(sc: String) = s"(CAST($sc AS DOUBLE) / CAST(n AS DOUBLE))"
+      def c(spq: String, sa: String, sb: String) =
+        s"(CAST($spq AS DOUBLE) / CAST(n AS DOUBLE) - ${m(sa)} * ${m(sb)})"
+      val scored = ev.withColumn("j", lit(1)).join(broadcast(mom), "j")
+        .withColumn("md2", expr(
+          s"""((CAST(x AS DOUBLE) - ${m("sx")}) * (CAST(x AS DOUBLE) - ${m("sx")})
+                 * ${c("syy", "sy", "sy")}
+               - 2.0 * (CAST(x AS DOUBLE) - ${m("sx")})
+                 * (CAST(y AS DOUBLE) - ${m("sy")}) * ${c("sxy", "sx", "sy")}
+               + (CAST(y AS DOUBLE) - ${m("sy")}) * (CAST(y AS DOUBLE) - ${m("sy")})
+                 * ${c("sxx", "sx", "sx")})
+              / (${c("sxx", "sx", "sx")} * ${c("syy", "sy", "sy")}
+                 - ${c("sxy", "sx", "sy")} * ${c("sxy", "sx", "sy")})"""))
+        .withColumn("md2_micro",
+          floor(dround(col("md2"), 8) * 1e6 + 0.5).cast("long"))
+      scored.select(col("event_id"), col("event_type"), col("x").as("cents"),
+          col("y").as("hod"), col("md2_micro"))
+        .orderBy(col("md2_micro").desc, col("event_id").asc)
+        .limit(20)
+        .orderBy(col("md2_micro").desc, col("event_id").asc)
+    },
+    Some {
+      def m(sc: String) = s"(CAST($sc AS DOUBLE) / CAST(n AS DOUBLE))"
+      def c(spq: String, sa: String, sb: String) =
+        s"(CAST($spq AS DOUBLE) / CAST(n AS DOUBLE) - ${m(sa)} * ${m(sb)})"
+      s"""WITH ev AS (
+              SELECT event_id, event_type,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+                     CAST(hour(ts) AS BIGINT) AS y
+              FROM events),
+            mom AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     sum(CAST(x AS HUGEINT) * x) AS sxx,
+                     sum(CAST(x AS HUGEINT) * y) AS sxy,
+                     sum(CAST(y AS HUGEINT) * y) AS syy
+              FROM ev),
+            scored AS (
+              SELECT e.event_id, e.event_type, e.x, e.y,
+                     ((CAST(e.x AS DOUBLE) - ${m("sx")})
+                        * (CAST(e.x AS DOUBLE) - ${m("sx")})
+                        * ${c("syy", "sy", "sy")}
+                      - 2.0 * (CAST(e.x AS DOUBLE) - ${m("sx")})
+                        * (CAST(e.y AS DOUBLE) - ${m("sy")})
+                        * ${c("sxy", "sx", "sy")}
+                      + (CAST(e.y AS DOUBLE) - ${m("sy")})
+                        * (CAST(e.y AS DOUBLE) - ${m("sy")})
+                        * ${c("sxx", "sx", "sx")})
+                     / (${c("sxx", "sx", "sx")} * ${c("syy", "sy", "sy")}
+                        - ${c("sxy", "sx", "sy")} * ${c("sxy", "sx", "sy")})
+                       AS md2
+              FROM ev e, mom)
+            SELECT event_id, event_type, x AS cents, y AS hod,
+                   CAST(floor(CAST(round(CAST(md2 AS DECIMAL(30,8)), 8)
+                     AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS md2_micro
+            FROM scored
+            ORDER BY md2_micro DESC, event_id ASC LIMIT 20"""
+    })
+
   private val qEventsOutliers = GQuery(
     (s, d) => {
       val e = t(s, d, "events").select(col("event_type"), col("value"))
@@ -8064,6 +8154,7 @@ object AnalyticsOps extends QueryModule {
     "q_stats_did" -> qStatsDid,
     "q_stats_rdd" -> qStatsRdd,
     "q_stats_bayes_ab" -> qStatsBayesAb,
+    "q_stats_mahalanobis" -> qStatsMahalanobis,
     "q_stats_iv" -> qStatsIv,
     "q_stats_runs" -> qStatsRuns,
     "q_funnel_latency" -> qFunnelLatency,
