@@ -895,6 +895,75 @@ object PipelineOps extends QueryModule {
     * the first aggregate, and the first is map-side combined on a
     * low-cardinality key, so the whole ladder is one real shuffle.
     */
+  /** k-anonymity GENERALIZATION ladder — the remediation step after
+    * q_privacy_kanon's audit (the audit says which classes are risky;
+    * this says how much the quasi-identifier must coarsen to fix them):
+    * the time dimension of the (event_type, time) QI climbs a 4-level
+    * lattice — hour (24) → 4-hour block (6) → half-day (2) →
+    * suppressed (1) — and each level reports class count, minimum class
+    * size k_min, and rows in classes below k = 50; `chosen` marks the
+    * FIRST level whose k_min clears 50 (the minimal-information-loss
+    * release). All exact integer counts.
+    *
+    * Scale: one explode ×4 levels (a constant fan-out, map-side) +
+    * (level, QI)-keyed count agg + a levels-sized rollup — the lattice
+    * search that is NP-hard in general stays linear when one dimension
+    * climbs a fixed chain.
+    */
+  private val qPrivacyGeneralize = GQuery(
+    (s, d) => {
+      val lv = t(s, d, "events")
+        .select(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+        .select(col("event_type"), explode(expr(
+          """array(named_struct('level', 0, 'bucket', hod),
+                   named_struct('level', 1, 'bucket', hod div 4),
+                   named_struct('level', 2, 'bucket', hod div 12),
+                   named_struct('level', 3, 'bucket', CAST(0 AS BIGINT)))"""))
+          .as("x"))
+        .select(col("event_type"), col("x.level").as("level"),
+          col("x.bucket").as("bucket"))
+      val classes = lv.groupBy("level", "event_type", "bucket")
+        .agg(count(lit(1L)).as("cnt"))
+      val perLevel = classes.groupBy("level")
+        .agg(count(lit(1L)).as("n_classes"),
+          min("cnt").as("k_min"),
+          sum(when(col("cnt") < 50, col("cnt")).otherwise(0L))
+            .as("rows_at_risk"))
+      val best = perLevel.filter(col("k_min") >= 50)
+        .agg(min("level").as("lv_ok")).withColumn("j", lit(1))
+      perLevel.withColumn("j", lit(1)).join(broadcast(best), "j")
+        .select(col("level").cast("int").as("level"), col("n_classes"),
+          col("k_min"), col("rows_at_risk"),
+          (col("level") === col("lv_ok")).as("chosen"))
+        .orderBy("level")
+    },
+    Some("""WITH ev AS (
+              SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod
+              FROM events),
+            lv AS (
+              SELECT event_type, l.level,
+                     CASE l.level WHEN 0 THEN hod
+                                  WHEN 1 THEN hod // 4
+                                  WHEN 2 THEN hod // 12
+                                  ELSE 0 END AS bucket
+              FROM ev, (SELECT unnest([0, 1, 2, 3]) AS level) l),
+            classes AS (
+              SELECT level, event_type, bucket,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM lv GROUP BY 1, 2, 3),
+            perlevel AS (
+              SELECT level, CAST(count(*) AS BIGINT) AS n_classes,
+                     CAST(min(cnt) AS BIGINT) AS k_min,
+                     CAST(sum(CASE WHEN cnt < 50 THEN cnt ELSE 0 END)
+                       AS BIGINT) AS rows_at_risk
+              FROM classes GROUP BY 1),
+            best AS (SELECT min(level) AS lv_ok FROM perlevel
+                     WHERE k_min >= 50)
+            SELECT CAST(p.level AS INT) AS level, p.n_classes, p.k_min,
+                   p.rows_at_risk, p.level = b.lv_ok AS chosen
+            FROM perlevel p, best b
+            ORDER BY p.level"""))
+
   private val qPrivacyKanon = GQuery(
     (s, d) => {
       val K = 14
@@ -1027,6 +1096,7 @@ object PipelineOps extends QueryModule {
   override val queries: Map[String, GQuery] = Map(
     "q_pipeline_wap" -> qPipelineWap,
     "q_privacy_kanon" -> qPrivacyKanon,
+    "q_privacy_generalize" -> qPrivacyGeneralize,
     "q_table_diff" -> qTableDiff,
     "q_layout_skipping" -> qLayoutSkipping,
     "q_layout_bloom" -> qLayoutBloom,
