@@ -971,6 +971,99 @@ object SimilarityOps extends QueryModule {
     * scale this runs on a sampled probe set: cost = brute truth over the
     * sample, not the corpus pairing.
     */
+  /** Matryoshka-style dimension-truncation ablation (MRL, Kusupati 2022):
+    * recall@3 of top-3 retrieval using only the FIRST 16 of 64 dimensions
+    * against full-dimension exact truth — the measurement behind the
+    * "truncate the embedding, keep most of the recall" deployment trick
+    * (prefix dims carry most similarity mass when the encoder was trained
+    * matryoshka-style; here the gauge quantifies exactly how much a naive
+    * truncation loses). Same deterministic harness as q_knn_recall
+    * (dround-snapped cosines, id tiebreaks, per-probe hits/n_truth).
+    *
+    * Scale: both sides are the probe-sampled brute-force audit pass
+    * (recall gauges never scan the corpus per probe at 100 TB — the probe
+    * set is the sample); the truncated side reads 4× fewer bytes per
+    * comparison, which IS the trick's production payoff.
+    */
+  private val qKnnMatryoshka = GQuery(
+    (s, d) => {
+      val truth = qEmbedKnn.fn(s, d).select("p_id", "n_id")
+        .localCheckpoint(true) // three ablation levels each join the truth
+      def recallAt(k: Int): DataFrame = {
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id"),
+            slice(col("embedding").cast("array<double>"), 1, k).as("emb"))
+          .withColumn("nrm", norm(col("emb")))
+        val probes = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("p_id"), col("emb").as("p_emb"),
+            col("nrm").as("p_nrm"))
+        val w = Window.partitionBy("p_id")
+          .orderBy(col("cos").desc, col("n_id").asc)
+        val trunc = emb.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("p_id"))
+          .select(col("p_id"), col("vec_id").as("n_id"),
+            dround(dot(col("p_emb"), col("emb"))
+              / (col("p_nrm") * col("nrm")), 6).as("cos"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("p_id"), col("n_id")).withColumn("hit", lit(1))
+        truth.join(trunc, Seq("p_id", "n_id"), "left")
+          .agg(count(col("hit")).as("hits"), count(lit(1L)).as("n_truth"))
+          .select(lit(k).cast("int").as("dims"), col("hits"), col("n_truth"),
+            expr("hits * 1000000 div n_truth").as("recall_ppm"))
+      }
+      Seq(16, 32, 48).map(recallAt).reduce(_ unionAll _).orderBy("dims")
+    },
+    Some {
+      def side(k: Int) =
+        s"""tp$k AS (
+              SELECT vec_id AS p_id,
+                     CAST(embedding[1:$k] AS DOUBLE[]) AS p_emb
+              FROM embeddings WHERE vec_id < 5),
+            ts$k AS (
+              SELECT p_id, e.vec_id AS n_id,
+                     CAST(round(CAST(list_cosine_similarity(p_emb,
+                       CAST(e.embedding[1:$k] AS DOUBLE[]))
+                       AS DECIMAL(30,8)), 6) AS DOUBLE) AS cos
+              FROM tp$k, embeddings e WHERE e.vec_id <> p_id),
+            tr$k AS (
+              SELECT p_id, n_id FROM (
+                SELECT p_id, n_id,
+                       row_number() OVER (PARTITION BY p_id
+                         ORDER BY cos DESC, n_id) AS rn
+                FROM ts$k) WHERE rn <= 3),
+            r$k AS (
+              SELECT CAST($k AS INT) AS dims,
+                     CAST(count(a.n_id) AS BIGINT) AS hits,
+                     CAST(count(*) AS BIGINT) AS n_truth,
+                     CAST(count(a.n_id) * 1000000 // count(*) AS BIGINT)
+                       AS recall_ppm
+              FROM truth t LEFT JOIN tr$k a
+                ON a.p_id = t.p_id AND a.n_id = t.n_id)"""
+      s"""WITH probes AS (
+              SELECT vec_id AS p_id, CAST(embedding AS DOUBLE[]) AS p_emb
+              FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT p_id, e.vec_id AS n_id,
+                     CAST(round(CAST(list_cosine_similarity(p_emb,
+                       CAST(e.embedding AS DOUBLE[])) AS DECIMAL(30,8)), 6)
+                       AS DOUBLE) AS cos
+              FROM probes, embeddings e WHERE e.vec_id <> p_id),
+            truth AS (
+              SELECT p_id, n_id FROM (
+                SELECT p_id, n_id,
+                       row_number() OVER (PARTITION BY p_id
+                         ORDER BY cos DESC, n_id) AS rn
+                FROM scored) WHERE rn <= 3),
+            ${side(16)},
+            ${side(32)},
+            ${side(48)}
+            SELECT * FROM r16
+            UNION ALL SELECT * FROM r32
+            UNION ALL SELECT * FROM r48
+            ORDER BY dims"""
+    })
+
   private val qKnnRecall = GQuery(
     (s, d) => {
       val truth = qEmbedKnn.fn(s, d).select("p_id", "n_id")
@@ -1999,5 +2092,6 @@ object SimilarityOps extends QueryModule {
     "q_knn_quantized" -> qKnnQuantized,
     "q_knn_pq" -> qKnnPq,
     "q_knn_recall" -> qKnnRecall,
+    "q_knn_matryoshka" -> qKnnMatryoshka,
     "q_knn_recall_pq" -> qKnnRecallPq)
 }
