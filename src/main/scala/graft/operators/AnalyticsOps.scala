@@ -4082,6 +4082,68 @@ object AnalyticsOps extends QueryModule {
             ORDER BY grp, period"""
     })
 
+  /** Log-log price elasticity of demand per return flag — the econometric
+    * readout on the one real dependence this corpus carries (quantity ↔
+    * unit price, corr ≈ −0.48; quantity ⊥ total price, the q_stats_xi
+    * separation): elasticity β = d ln(qty) / d ln(unit price) by OLS on
+    * logs QUANTIZED ONCE to integer milli-nats (the q_text_heaps rule),
+    * so the whole regression runs in exact integer/DECIMAL(38) arithmetic
+    * — no fp summation order anywhere, hash-exact to the last digit.
+    * Emits per flag: n, β in micro-units (expect ≈ −1: the synthetic
+    * unit price compensates quantity), and the ln-intercept.
+    *
+    * Scale: one map-combinable moment agg over the corpus → |flags| rows.
+    */
+  private val qStatsElasticity = GQuery(
+    (s, d) => {
+      val rows = t(s, d, "lineitem").select(
+        col("l_returnflag").as("grp"),
+        expr("""CAST(round(ln(CAST(CAST(CAST(l_extendedprice
+             AS DECIMAL(18,2)) * 100000 AS BIGINT)
+             div CAST(l_quantity AS BIGINT) AS DOUBLE)) * 1000)
+             AS BIGINT)""").as("x"),
+        expr("CAST(round(ln(CAST(l_quantity AS DOUBLE)) * 1000) AS BIGINT)")
+          .as("y"))
+      rows.groupBy("grp").agg(
+          count(lit(1L)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+        .select(col("grp"), col("n"),
+          expr("""CAST((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000
+                  div (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+                  AS BIGINT)""").as("beta_micro"),
+          expr("""CAST((sy - ((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
+                    * 1000000
+                    div (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx))
+                    * sx div 1000000) div n AS BIGINT)""").as("lna_milli"))
+        .orderBy("grp")
+    },
+    Some("""WITH rows_ AS (
+              SELECT l_returnflag AS grp,
+                     CAST(round(ln(CAST(CAST(CAST(l_extendedprice
+                       AS DECIMAL(18,2)) * 100000 AS BIGINT)
+                       // CAST(l_quantity AS BIGINT) AS DOUBLE)) * 1000)
+                       AS BIGINT) AS x,
+                     CAST(round(ln(CAST(l_quantity AS DOUBLE)) * 1000)
+                       AS BIGINT) AS y
+              FROM lineitem),
+            mom AS (
+              SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     sum(CAST(x AS HUGEINT) * y) AS sxy,
+                     sum(CAST(x AS HUGEINT) * x) AS sxx
+              FROM rows_ GROUP BY 1)
+            SELECT grp, n,
+                   CAST((n * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+                     // (n * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+                     AS beta_micro,
+                   CAST((sy - ((n * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+                     // (n * sxx - CAST(sx AS HUGEINT) * sx))
+                     * sx // 1000000) // n AS BIGINT) AS lna_milli
+            FROM mom ORDER BY grp"""))
+
   /** Bayesian A/B with Beta-Binomial posteriors — the decision-oriented
     * member of the experimentation family (the frequentist tests answer
     * "is there an effect?"; the posterior answers "how probable is B
@@ -8155,6 +8217,7 @@ object AnalyticsOps extends QueryModule {
     "q_stats_rdd" -> qStatsRdd,
     "q_stats_bayes_ab" -> qStatsBayesAb,
     "q_stats_mahalanobis" -> qStatsMahalanobis,
+    "q_stats_elasticity" -> qStatsElasticity,
     "q_stats_iv" -> qStatsIv,
     "q_stats_runs" -> qStatsRuns,
     "q_funnel_latency" -> qFunnelLatency,
