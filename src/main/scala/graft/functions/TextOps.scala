@@ -1434,6 +1434,95 @@ object TextOps extends QueryModule {
             FROM fit
             ORDER BY k"""))
 
+  /** Burrows' Delta stylometry (Burrows 2002) — source-attribution by
+    * FUNCTION-WORD profile: each source's per-word relative frequency
+    * (exact ppm) is standardized against the cross-source distribution of
+    * that word, and Delta(a, b) = mean |z_a − z_b| over the shared
+    * vocabulary — the classic authorship distance (content words vary by
+    * topic; function-word RATES are a stylistic fingerprint). z-scores
+    * are drounded and quantized ONCE to integer milli (the elasticity
+    * rule), so every pairwise sum is exact integer arithmetic — no fp
+    * summation order in the pair agg. Emits the 10 most similar source
+    * pairs (delta_milli asc, pair tie-break): the re-crawl / same-origin
+    * candidates a provenance audit reviews.
+    *
+    * Scale: one (source, word) count agg; the z table is
+    * |sources|×|vocab| (metadata-sized — vocab is the top function
+    * words, a constant); the pair join is |sources|² on that grid.
+    */
+  private val qTextStylometry = GQuery(
+    (s, d) => {
+      val tf = t(s, d, "documents")
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("source", "w").agg(count(lit(1L)).as("c"))
+      val tot = tf.groupBy("source").agg(sum("c").as("tot"))
+      val freq = tf.join(tot, "source")
+        .select(col("source"), col("w"),
+          expr("c * 1000000 div tot").as("f"))
+      val stats = freq.groupBy("w").agg(
+          count(lit(1L)).as("k"),
+          sum("f").as("sf"),
+          sum(col("f").cast("decimal(38,0)") * col("f")).as("sff"))
+        .withColumn("sig", expr(
+          """sqrt(CAST(k * sff - CAST(sf AS DECIMAL(38,0)) * sf AS DOUBLE))
+             / CAST(k AS DOUBLE)"""))
+        .filter(col("sig") > 0.0)
+      val z = freq.join(broadcast(stats), "w")
+        .select(col("source"), col("w"),
+          floor(dround((col("f").cast("double") -
+            expr("CAST(sf AS DOUBLE) / CAST(k AS DOUBLE)")) / col("sig"), 6)
+            * 1000 + 0.5).cast("long").as("z_milli"))
+      val a = z.select(col("source").as("src_a"), col("w"),
+        col("z_milli").as("za"))
+      val b = z.select(col("source").as("src_b"), col("w"),
+        col("z_milli").as("zb"))
+      a.join(b, Seq("w")).filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1L)).as("n_words"),
+          expr("sum(abs(za - zb)) div count(1)").as("delta_milli"))
+        .orderBy(col("delta_milli").asc, col("src_a").asc, col("src_b").asc)
+        .limit(10)
+        .orderBy(col("delta_milli").asc, col("src_a").asc, col("src_b").asc)
+    },
+    Some("""WITH tf AS (
+              SELECT source, w, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT source,
+                      unnest(string_split(lower(text), ' ')) AS w
+                    FROM documents)
+              WHERE w <> '' GROUP BY 1, 2),
+            tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot
+                    FROM tf GROUP BY 1),
+            freq AS (
+              SELECT tf.source, tf.w,
+                     CAST(tf.c * 1000000 // t.tot AS BIGINT) AS f
+              FROM tf JOIN tot t USING (source)),
+            stats AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS k,
+                     CAST(sum(f) AS BIGINT) AS sf,
+                     sum(CAST(f AS HUGEINT) * f) AS sff
+              FROM freq GROUP BY 1),
+            st2 AS (
+              SELECT w, k, sf,
+                     sqrt(CAST(k * sff - CAST(sf AS HUGEINT) * sf AS DOUBLE))
+                       / CAST(k AS DOUBLE) AS sig
+              FROM stats),
+            z AS (
+              SELECT f.source, f.w,
+                     CAST(floor(CAST(round(CAST(
+                       (CAST(f.f AS DOUBLE)
+                        - CAST(s.sf AS DOUBLE) / CAST(s.k AS DOUBLE)) / s.sig
+                       AS DECIMAL(30,8)), 6) AS DOUBLE) * 1000 + 0.5)
+                       AS BIGINT) AS z_milli
+              FROM freq f JOIN st2 s USING (w) WHERE s.sig > 0.0)
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(abs(a.z_milli - b.z_milli)) // count(*)
+                     AS BIGINT) AS delta_milli
+            FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+            GROUP BY 1, 2
+            ORDER BY delta_milli ASC, src_a ASC, src_b ASC LIMIT 10"""))
+
   /** Word BURSTINESS (Church & Gale 1995): the Fano factor
     * (variance-to-mean ratio of per-document counts, zero-docs included)
     * of each frequent word — the dispersion signal frequency alone hides:
@@ -1989,6 +2078,7 @@ object TextOps extends QueryModule {
     "q_text_collocations" -> qTextCollocations,
     "q_text_burstiness" -> qTextBurstiness,
     "q_text_heaps" -> qTextHeaps,
+    "q_text_stylometry" -> qTextStylometry,
     "q_text_phrase" -> qTextPhrase,
     "q_text_rake" -> qTextRake,
     "q_text_classifier_nb" -> qTextClassifierNb,
