@@ -5327,6 +5327,78 @@ object AnalyticsOps extends QueryModule {
             FROM alloc, def
             ORDER BY stratum"""))
 
+  // ------------------------------------------------- periodogram --
+
+  /** Schuster periodogram at candidate periods {3, 5, 7, 10, 15} days —
+    * the frequency-domain seasonality detector next to q_ts_autocorr
+    * (time-domain) and q_ts_stl (decomposition): per period p, the DFT
+    * power (Σ xₜcos(2πt/p))² + (Σ xₜsin(2πt/p))² over the centered
+    * daily series. Each cos/sin term is quantized to integer CENTS
+    * before summing (a 1-ulp libm difference scales to ~10⁻¹⁰ cents —
+    * far below the rounding step), so the sums are order-free integers
+    * and the power is exact BIGINT arithmetic. Emits
+    * (period, sc, ss, power_c2) — on this corpus the short p = 3 cycle
+    * dominates (the spectrum reads the data, not the prior; q_ts_stl's
+    * additive dow component is a different, smaller effect).
+    *
+    * Scale: one day partial agg + a |periods|×|days| grid of integer
+    * terms (map-combinable) — the classic O(n·k) periodogram, never an
+    * FFT dependency.
+    */
+  private val qTsPeriodogram = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val daily = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), cents.as("v"))
+        .groupBy("day").agg(sum("v").as("x"))
+      val withT = daily
+        .withColumn("t", row_number()
+          .over(Window.orderBy("day")).cast("long"))
+      val mean = withT.agg(expr("sum(x) div count(1)").as("mu"))
+        .withColumn("j", lit(1))
+      val terms = withT.withColumn("j", lit(1)).join(broadcast(mean), "j")
+        .select(col("t"), (col("x") - col("mu")).as("xc"),
+          explode(expr("array(3L, 5L, 7L, 10L, 15L)")).as("p"))
+        .select(col("p"),
+          expr("""CAST(round(CAST(xc AS DOUBLE)
+               * cos(2.0 * pi() * CAST(t AS DOUBLE) / CAST(p AS DOUBLE)))
+               AS BIGINT)""").as("tc"),
+          expr("""CAST(round(CAST(xc AS DOUBLE)
+               * sin(2.0 * pi() * CAST(t AS DOUBLE) / CAST(p AS DOUBLE)))
+               AS BIGINT)""").as("ts"))
+      terms.groupBy("p")
+        .agg(sum("tc").as("sc"), sum("ts").as("ss"))
+        .select(col("p").as("period"), col("sc"), col("ss"),
+          (col("sc") * col("sc") + col("ss") * col("ss")).as("power_c2"))
+        .orderBy("period")
+    },
+    Some("""WITH daily AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS x
+              FROM events GROUP BY 1),
+            wt AS (
+              SELECT day, x,
+                     CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+              FROM daily),
+            mu AS (SELECT sum(x) // count(*) AS mu FROM wt),
+            terms AS (
+              SELECT pp.p,
+                     CAST(round(CAST(w.x - m.mu AS DOUBLE)
+                       * cos(2.0 * pi() * CAST(w.t AS DOUBLE)
+                             / CAST(pp.p AS DOUBLE))) AS BIGINT) AS tc,
+                     CAST(round(CAST(w.x - m.mu AS DOUBLE)
+                       * sin(2.0 * pi() * CAST(w.t AS DOUBLE)
+                             / CAST(pp.p AS DOUBLE))) AS BIGINT) AS ts
+              FROM wt w, mu m,
+                   (SELECT unnest([3, 5, 7, 10, 15]) AS p) pp)
+            SELECT CAST(p AS BIGINT) AS period,
+                   CAST(sum(tc) AS BIGINT) AS sc,
+                   CAST(sum(ts) AS BIGINT) AS ss,
+                   CAST(sum(tc) * sum(tc) + sum(ts) * sum(ts) AS BIGINT)
+                     AS power_c2
+            FROM terms GROUP BY 1 ORDER BY period"""))
+
   // ------------------------------------------- forecast backtesting --
 
   /** Rolling-origin one-step backtest — the model-selection readout the
@@ -8201,6 +8273,7 @@ object AnalyticsOps extends QueryModule {
     "q_sample_neyman" -> qSampleNeyman,
     "q_ts_cusum" -> qTsCusum,
     "q_ts_backtest" -> qTsBacktest,
+    "q_ts_periodogram" -> qTsPeriodogram,
     "q_stats_kruskal" -> qStatsKruskal,
     "q_ts_theilsen" -> qTsTheilsen,
     "q_feature_pit" -> qFeaturePit,
