@@ -5916,6 +5916,154 @@ object AnalyticsOps extends QueryModule {
                    n_cens AS n_censored, sp AS surv_ppm
             FROM rec ORDER BY dur_days"""))
 
+  // ---------------------------------------------------- log-rank test --
+
+  /** Two-group log-rank test (Mantel 1966) over the q_survival_km
+    * lifetimes — the DECISION statistic the KM curve only suggests: does
+    * the pmod-2 user cohort split (the A/B arm convention of
+    * q_stats_cuped) have different churn hazards? At each distinct event
+    * time the observed group-0 events e₀ are compared with their
+    * hypergeometric expectation e·n₀/n and variance
+    * e·n₀·n₁·(n−e)/(n²(n−1)) given the risk sets; χ² = (ΣO−ΣE)²/ΣV.
+    * Exactness discipline: expectations and variances in micro-ints via
+    * integral `div` (variance numerator widened DECIMAL(38)/HUGEINT —
+    * n₀·n₁ alone is ~10⁹ at scale), the χ² square in DECIMAL(38), and a
+    * guard on the n=1 tail time (variance contribution 0, mirrored).
+    * Emits one row per group carrying its own O/E_micro and the shared
+    * ΣV_micro and χ²_milli readout (≈ 0.07 here — the arms are exchangeable
+    * by construction, so the test correctly finds nothing).
+    *
+    * Scale: the corpus collapses to one row per user, then to the ≤ #days
+    * lifetime grid before the suffix-sum windows (bounded rows); the
+    * grid-sized contribution agg is map-combinable. Same shape at any
+    * user count — the KM economics with one extra 5-scalar broadcast.
+    */
+  private val qSurvivalLogrank = GQuery(
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+      val users = ev.groupBy("user_id")
+        .agg(min("day").as("fd"), max("day").as("ld"),
+          max(when(col("event_type") === "purchase", col("day"))).as("lp"))
+        .localCheckpoint(true)
+      val gmax = users.agg(max("ld").as("gd"))
+      val lam = users.filter(col("lp").isNotNull).crossJoin(broadcast(gmax))
+        .select(expr("user_id % 2").cast("long").as("grp"),
+          datediff(col("lp"), col("fd")).cast("long").as("dur"),
+          (col("lp") < date_sub(col("gd"), 3)).cast("long").as("evt"))
+      val grid = lam.groupBy("dur").agg(
+        sum(when(col("grp") === 0, 1L).otherwise(0L)).as("a0"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("a1"),
+        sum(when(col("grp") === 0, col("evt")).otherwise(0L)).as("e0"),
+        sum(when(col("grp") === 1, col("evt")).otherwise(0L)).as("e1"))
+      val wRisk = Window.orderBy("dur")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val contrib = grid
+        .withColumn("n0", sum("a0").over(wRisk))
+        .withColumn("n1", sum("a1").over(wRisk))
+        .filter(col("e0") + col("e1") > 0)
+        .withColumn("n", col("n0") + col("n1"))
+        .withColumn("e", col("e0") + col("e1"))
+        .select(col("e0"), col("e1"),
+          expr("(e * n0 * 1000000L) div n").as("x0"),
+          expr("(e * n1 * 1000000L) div n").as("x1"),
+          when(col("n") > 1, expr(
+            """(CAST(e AS DECIMAL(38,0)) * n0 * n1 * (n - e) * 1000000)
+               div (CAST(n AS DECIMAL(38,0)) * n * (n - 1))"""))
+            .otherwise(lit(0L)).as("v"))
+      val tot = contrib.agg(
+        sum("e0").as("o0"), sum("e1").as("o1"),
+        sum("x0").as("x0"), sum("x1").as("x1"), sum("v").as("vm"))
+        .withColumn("j", lit(1))
+      lam.groupBy("grp").agg(count(lit(1L)).as("n_users"))
+        .withColumn("j", lit(1)).join(broadcast(tot), "j")
+        .withColumn("observed",
+          when(col("grp") === 0, col("o0")).otherwise(col("o1")))
+        .withColumn("expected_micro",
+          when(col("grp") === 0, col("x0")).otherwise(col("x1")))
+        .withColumn("diff",
+          col("observed") * lit(1000000L) - col("expected_micro"))
+        .select(col("grp").cast("int").as("grp"), col("n_users"),
+          col("observed"), col("expected_micro"),
+          col("vm").as("var_micro"),
+          when(col("vm") > 0, expr(
+            """(CAST(diff AS DECIMAL(38,0)) * diff * 1000)
+               div (CAST(vm AS DECIMAL(38,0)) * 1000000)"""))
+            .otherwise(lit(0L)).as("chi2_milli"))
+        .orderBy("grp")
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, event_type,
+                     CAST(date_trunc('day', ts) AS DATE) AS day
+              FROM events),
+            users AS (
+              SELECT user_id, min(day) AS fd,
+                     max(CASE WHEN event_type = 'purchase' THEN day END) AS lp
+              FROM ev GROUP BY 1
+              HAVING max(CASE WHEN event_type = 'purchase' THEN day END)
+                IS NOT NULL),
+            g AS (SELECT max(day) AS gd FROM ev),
+            lam AS (
+              SELECT user_id % 2 AS grp,
+                     CAST(date_diff('day', fd, lp) AS BIGINT) AS dur,
+                     CASE WHEN lp < gd - 3 THEN 1 ELSE 0 END AS evt
+              FROM users, g),
+            grid AS (
+              SELECT dur,
+                     CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS a0,
+                     CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS a1,
+                     CAST(sum(CASE WHEN grp = 0 THEN evt ELSE 0 END)
+                       AS BIGINT) AS e0,
+                     CAST(sum(CASE WHEN grp = 1 THEN evt ELSE 0 END)
+                       AS BIGINT) AS e1
+              FROM lam GROUP BY 1),
+            risky AS (
+              SELECT e0, e1,
+                     CAST(sum(a0) OVER (ORDER BY dur ROWS BETWEEN CURRENT
+                       ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n0,
+                     CAST(sum(a1) OVER (ORDER BY dur ROWS BETWEEN CURRENT
+                       ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n1
+              FROM grid),
+            c2 AS (
+              SELECT e0, e1,
+                     (e * n0 * 1000000) // n AS x0,
+                     (e * n1 * 1000000) // n AS x1,
+                     CASE WHEN n > 1 THEN CAST(
+                         (CAST(e AS HUGEINT) * n0 * n1 * (n - e) * 1000000)
+                         // (CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT)
+                       ELSE 0 END AS v
+              FROM (SELECT e0, e1, n0, n1, n0 + n1 AS n, e0 + e1 AS e
+                    FROM risky WHERE e0 + e1 > 0)),
+            tot AS (
+              SELECT CAST(sum(e0) AS BIGINT) AS o0,
+                     CAST(sum(e1) AS BIGINT) AS o1,
+                     CAST(sum(x0) AS BIGINT) AS x0,
+                     CAST(sum(x1) AS BIGINT) AS x1,
+                     CAST(sum(v) AS BIGINT) AS vm
+              FROM c2),
+            base AS (
+              SELECT grp, CAST(count(*) AS BIGINT) AS n_users
+              FROM lam GROUP BY 1)
+            SELECT CAST(b.grp AS INT) AS grp, b.n_users,
+                   CASE WHEN b.grp = 0 THEN t.o0 ELSE t.o1 END AS observed,
+                   CASE WHEN b.grp = 0 THEN t.x0 ELSE t.x1 END
+                     AS expected_micro,
+                   t.vm AS var_micro,
+                   CASE WHEN t.vm > 0 THEN CAST(
+                       (CAST(CASE WHEN b.grp = 0 THEN t.o0 ELSE t.o1 END
+                          * 1000000
+                          - CASE WHEN b.grp = 0 THEN t.x0 ELSE t.x1 END
+                          AS HUGEINT)
+                        * (CASE WHEN b.grp = 0 THEN t.o0 ELSE t.o1 END
+                          * 1000000
+                          - CASE WHEN b.grp = 0 THEN t.x0 ELSE t.x1 END)
+                        * 1000)
+                       // (CAST(t.vm AS HUGEINT) * 1000000) AS BIGINT)
+                     ELSE 0 END AS chi2_milli
+            FROM base b, tot t ORDER BY grp"""))
+
   // ------------------------------------------------ CUPED A/B adjustment --
 
   /** CUPED variance reduction (Deng et al., WSDM'13) for the pmod-2 A/B
@@ -8267,6 +8415,7 @@ object AnalyticsOps extends QueryModule {
     "q_feature_woe" -> qFeatureWoe,
     "q_stats_cuped" -> qStatsCuped,
     "q_survival_km" -> qSurvivalKm,
+    "q_survival_logrank" -> qSurvivalLogrank,
     "q_ts_holt" -> qTsHolt,
     "q_ts_holtwinters" -> qTsHoltwinters,
     "q_ts_croston" -> qTsCroston,
