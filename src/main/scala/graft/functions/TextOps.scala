@@ -2069,7 +2069,139 @@ object TextOps extends QueryModule {
             SELECT * FROM top UNION ALL SELECT * FROM summary
             ORDER BY doc_id ASC"""))
 
+  // --------------------------------------------- TextRank summarization --
+
+  /** TextRank extractive summarization (Mihalcea & Tarau, EMNLP'04) — the
+    * sentence-RANKING op next to q_text_rake's keyword extraction: docs
+    * split into 10-token pseudo-sentences (the q_text_chunk window
+    * convention — the synthetic corpus carries no punctuation), a
+    * sentence-similarity graph from shared-distinct-token counts via the
+    * inverted token index (self-join on (doc, tok), never sentence×sentence
+    * — the q_dedup_* blocking discipline), edges kept at overlap ≥ 3
+    * (measured: ~7 edges/doc at this vocab), and 3 rounds of weighted
+    * PageRank in exact ppm integers over each doc's graph
+    * (mass' = 0.15 + 0.85·Σ mass·w div wsum — the q_graph_pagerank
+    * fixed-point recipe, oracle unrolled as chained CTEs). Emits the top-2
+    * sentences per doc (score desc, position asc — the deterministic
+    * tie-break) = the extractive summary as (doc, pos, score, rank).
+    *
+    * Scale: everything is keyed by doc_id — the graph never crosses
+    * documents, so the whole op co-partitions on doc and the iteration
+    * joins shuffle (doc, pos)-sized frames; the token self-join is
+    * bounded by in-doc token frequency, not corpus size. Edge list
+    * materialized once (localCheckpoint) and reused by all rounds.
+    */
+  private val qTextTextrank = GQuery(
+    (s, d) => {
+      val sent = t(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .select(col("doc_id"),
+          explode(sequence(lit(1), size(col("toks")), lit(10))).as("pos"),
+          col("toks"))
+        .localCheckpoint(true) // reused: token index + final left-join
+      val stok = sent
+        .select(col("doc_id"), col("pos"),
+          explode(slice(col("toks"), col("pos"), lit(10))).as("tok"))
+        .distinct()
+      val ed0 = stok.as("a").join(stok.as("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+            col("a.tok") === col("b.tok") && col("a.pos") < col("b.pos"))
+        .groupBy(col("a.doc_id").as("doc_id"), col("a.pos").as("pa"),
+          col("b.pos").as("pb"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 3)
+      val ew = ed0
+        .unionByName(ed0.select(col("doc_id"), col("pb").as("pa"),
+          col("pa").as("pb"), col("w")))
+        .withColumn("wsum",
+          sum("w").over(Window.partitionBy("doc_id", "pa")))
+        .localCheckpoint(true) // 3 rounds reuse the weighted edge list
+      var rank = ew
+        .select(col("doc_id"), col("pb"),
+          expr("(1000000 * 85 * w) div (100 * wsum)").as("c"))
+        .groupBy("doc_id", "pb")
+        .agg((lit(150000L) + sum("c")).as("mass"))
+      for (_ <- 2 to 3) {
+        rank = ew.join(
+            rank.select(col("doc_id"), col("pb").as("pa"), col("mass")),
+            Seq("doc_id", "pa"))
+          .select(col("doc_id"), col("pb"),
+            expr("(mass * 85 * w) div (100 * wsum)").as("c"))
+          .groupBy("doc_id", "pb")
+          .agg((lit(150000L) + sum("c")).as("mass"))
+      }
+      val fin = sent.select(col("doc_id"), col("pos"))
+        .join(rank.select(col("doc_id"), col("pb").as("pos"), col("mass")),
+          Seq("doc_id", "pos"), "left")
+        .select(col("doc_id"), col("pos"),
+          coalesce(col("mass"), lit(150000L)).as("score_ppm"))
+      val wTop = Window.partitionBy("doc_id")
+        .orderBy(col("score_ppm").desc, col("pos").asc)
+      fin.withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 2)
+        .select(col("doc_id"), col("pos").cast("int").as("pos"),
+          col("score_ppm"), col("rk").cast("int").as("rk"))
+        .orderBy("doc_id", "rk")
+    },
+    Some("""WITH tk AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM documents),
+            sent AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(toks), 10)) AS pos, toks
+              FROM tk),
+            stok AS (
+              SELECT DISTINCT doc_id, pos, tok
+              FROM (SELECT doc_id, pos,
+                           unnest(list_slice(toks, pos, pos + 9)) AS tok
+                    FROM sent)),
+            ed0 AS (
+              SELECT a.doc_id, a.pos AS pa, b.pos AS pb,
+                     CAST(count(*) AS BIGINT) AS w
+              FROM stok a JOIN stok b
+                ON a.doc_id = b.doc_id AND a.tok = b.tok AND a.pos < b.pos
+              GROUP BY 1, 2, 3 HAVING count(*) >= 3),
+            edges AS (
+              SELECT doc_id, pa, pb, w FROM ed0
+              UNION ALL
+              SELECT doc_id, pb, pa, w FROM ed0),
+            ew AS (
+              SELECT doc_id, pa, pb, w,
+                     CAST(sum(w) OVER (PARTITION BY doc_id, pa) AS BIGINT)
+                       AS wsum
+              FROM edges),
+            r1 AS (
+              SELECT doc_id, pb,
+                     CAST(150000 + sum((1000000 * 85 * w) // (100 * wsum))
+                       AS BIGINT) AS mass
+              FROM ew GROUP BY 1, 2),
+            r2 AS (
+              SELECT ew.doc_id, ew.pb,
+                     CAST(150000 + sum((r1.mass * 85 * ew.w)
+                       // (100 * ew.wsum)) AS BIGINT) AS mass
+              FROM ew JOIN r1 ON ew.doc_id = r1.doc_id AND ew.pa = r1.pb
+              GROUP BY 1, 2),
+            r3 AS (
+              SELECT ew.doc_id, ew.pb,
+                     CAST(150000 + sum((r2.mass * 85 * ew.w)
+                       // (100 * ew.wsum)) AS BIGINT) AS mass
+              FROM ew JOIN r2 ON ew.doc_id = r2.doc_id AND ew.pa = r2.pb
+              GROUP BY 1, 2),
+            fin AS (
+              SELECT s.doc_id, s.pos,
+                     coalesce(r3.mass, 150000) AS score_ppm
+              FROM sent s LEFT JOIN r3
+                ON s.doc_id = r3.doc_id AND s.pos = r3.pb)
+            SELECT doc_id, CAST(pos AS INT) AS pos,
+                   CAST(score_ppm AS BIGINT) AS score_ppm,
+                   CAST(rk AS INT) AS rk
+            FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score_ppm DESC, pos ASC) AS rk
+                  FROM fin)
+            WHERE rk <= 2 ORDER BY doc_id, rk"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_text_textrank" -> qTextTextrank,
     "q_text_watermark" -> qTextWatermark,
     "q_vocab_oov" -> qVocabOov,
     "q_text_compressibility" -> qTextCompressibility,
