@@ -6572,6 +6572,124 @@ object AnalyticsOps extends QueryModule {
                      AS is_best
             FROM scored ORDER BY bin"""))
 
+  // ------------------------------------------- dynamic time warping --
+
+  /** Banded dynamic time warping (Sakoe–Chiba r = 10) between every pair
+    * of event-type daily-revenue series — the ALIGNMENT-invariant
+    * distance q_series_similarity's lock-step Euclidean can't express
+    * (a 2-day phase shift costs lock-step the full amplitude but DTW
+    * almost nothing). Series share one global day grid (missing days
+    * filled 0, integer cents, mean-centered via `div`), so the classic
+    * O(L²) DP runs banded as a nested exact-BIGINT fold: outer
+    * `aggregate` over rows i carries the previous DP row, inner fold
+    * over j builds the new row left-to-right with
+    * dp = |aᵢ−bⱼ| + min(dp↖, dp↑, dp←) and out-of-band cells pinned to a
+    * 10¹⁵ sentinel (any in-band path ≪ sentinel, so min() is exact —
+    * never a float ∞). The DuckDB twin replays the identical fold via
+    * list_reduce with the list-of-lists accumulator trick (list_reduce
+    * has no init parameter — the seed row rides as element 0). Emits the
+    * lock-step L1 distance beside dtw_c per pair: dtw ≤ lockstep on
+    * every row is the self-evident sanity invariant.
+    *
+    * Scale: the corpus collapses to the |types|×|days| grid in one
+    * map-combinable agg; the DP is |pairs|·L·(2r+1) integer ops on
+    * grid-sized arrays — independent of event count, the same
+    * calendar-bounded-fold economics as q_ts_holt. More series → more
+    * PAIRS (rows, distributed), never bigger cells.
+    */
+  private val qTsDtw = GQuery(
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_type").as("et"), to_date(col("ts")).as("day"),
+          col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+            .as("c"))
+      val daily = ev.groupBy("et", "day").agg(sum("c").as("c"))
+      val days = ev.select("day").distinct()
+      val grid = ev.select("et").distinct().crossJoin(days)
+      val filled = grid.join(daily, Seq("et", "day"), "left")
+        .select(col("et"), col("day"), coalesce(col("c"), lit(0L)).as("c"))
+      val series = filled.groupBy("et")
+        .agg(sort_array(collect_list(struct(col("day"), col("c"))))
+          .as("dc"))
+        .select(col("et"), expr("transform(dc, x -> x.c)").as("raw"))
+        .withColumn("mu", expr("aggregate(raw, CAST(0 AS BIGINT),"
+          + " (a, v) -> a + v) div size(raw)"))
+        .select(col("et"),
+          expr("transform(raw, v -> v - mu)").as("arr"))
+      val pairs = series.select(col("et").as("et_a"), col("arr").as("aa"))
+        .crossJoin(series.select(col("et").as("et_b"), col("arr").as("bb")))
+        .filter(col("et_a") < col("et_b"))
+        .withColumn("l", size(col("aa")).cast("int"))
+      pairs.select(col("et_a"), col("et_b"),
+          col("l").cast("long").as("n_days"),
+          expr("""aggregate(zip_with(aa, bb, (x, y) -> abs(x - y)),
+                   CAST(0 AS BIGINT), (a, v) -> a + v)""").as("lockstep_c"),
+          expr("""element_at(
+              aggregate(sequence(1, l),
+                concat(array(CAST(0 AS BIGINT)),
+                       transform(sequence(1, l),
+                         j -> CAST(1000000000000000 AS BIGINT))),
+                (prev, i) -> aggregate(sequence(1, l),
+                  array(CAST(1000000000000000 AS BIGINT)),
+                  (acc, j) -> concat(acc, array(
+                    IF(abs(i - j) > 10,
+                       CAST(1000000000000000 AS BIGINT),
+                       abs(element_at(aa, i) - element_at(bb, j))
+                         + least(element_at(prev, j),
+                                 element_at(prev, j + 1),
+                                 element_at(acc, -1))))))),
+              l + 1)""").as("dtw_c"))
+        .orderBy("et_a", "et_b")
+    },
+    Some("""WITH ev AS (
+              SELECT event_type AS et,
+                     CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+              FROM events),
+            daily AS (SELECT et, day, CAST(sum(c) AS BIGINT) AS c
+                      FROM ev GROUP BY 1, 2),
+            grid AS (
+              SELECT t.et, dd.day
+              FROM (SELECT DISTINCT et FROM ev) t,
+                   (SELECT DISTINCT day FROM ev) dd),
+            filled AS (
+              SELECT g.et, g.day, coalesce(d.c, 0) AS c
+              FROM grid g LEFT JOIN daily d
+                ON g.et = d.et AND g.day = d.day),
+            raw AS (
+              SELECT et, list(c ORDER BY day) AS raw
+              FROM filled GROUP BY 1),
+            series AS (
+              SELECT et,
+                     list_transform(raw,
+                       v -> v - list_sum(raw) // len(raw)) AS arr
+              FROM raw),
+            pairs AS (
+              SELECT a.et AS et_a, b.et AS et_b, a.arr AS aa, b.arr AS bb,
+                     len(a.arr) AS l
+              FROM series a, series b WHERE a.et < b.et)
+            SELECT et_a, et_b, CAST(l AS BIGINT) AS n_days,
+                   CAST(list_sum(list_transform(generate_series(1, l),
+                     k -> abs(aa[k] - bb[k]))) AS BIGINT) AS lockstep_c,
+                   CAST(list_reduce(
+                     list_prepend(
+                       list_prepend(CAST(0 AS BIGINT),
+                         list_transform(generate_series(1, l),
+                           j -> CAST(1000000000000000 AS BIGINT))),
+                       list_transform(generate_series(1, l), i -> [i])),
+                     (prev, x) -> list_reduce(
+                       list_prepend([CAST(1000000000000000 AS BIGINT)],
+                         list_transform(generate_series(1, l),
+                           j -> [j])),
+                       (acc, y) -> list_append(acc,
+                         CASE WHEN abs(x[1] - y[1]) > 10
+                           THEN CAST(1000000000000000 AS BIGINT)
+                           ELSE abs(aa[x[1]] - bb[y[1]])
+                             + least(prev[y[1]], prev[y[1] + 1],
+                                     acc[-1]) END)))[l + 1]
+                     AS BIGINT) AS dtw_c
+            FROM pairs ORDER BY et_a, et_b"""))
+
   // ---------------------------------------- STL-style decomposition --
 
   /** Additive seasonal-trend decomposition of the daily revenue series
@@ -8406,6 +8524,7 @@ object AnalyticsOps extends QueryModule {
     "q_scd2_apply" -> qScd2Apply,
     "q_stats_qq" -> qStatsQq,
     "q_ts_stl" -> qTsStl,
+    "q_ts_dtw" -> qTsDtw,
     "q_events_sliding_distinct" -> qEventsSlidingDistinct,
     "q_events_sliding_distinct_approx" -> qEventsSlidingDistinctApprox,
     "q_stats_standardize" -> qStatsStandardize,
