@@ -6064,6 +6064,126 @@ object AnalyticsOps extends QueryModule {
                      ELSE 0 END AS chi2_milli
             FROM base b, tot t ORDER BY grp"""))
 
+  // --------------------------------------- propensity stratification --
+
+  /** Propensity-score subclassification (Rosenbaum & Rubin 1984) — the
+    * OBSERVATIONAL causal estimator next to the randomized-arm family
+    * (abtest/cuped) and the quasi-experimental one (did/rdd/iv):
+    * treatment here is self-selected (a HEAVY first-half purchaser,
+    * ≥ 8 purchases — 54 of 150 users), so the naive second-half revenue
+    * gap is confounded by overall activity.
+    * Users are stratified into first-half activity buckets (⌊events/5⌋
+    * capped at 8 — the coarse-exact stand-in for a fitted propensity
+    * model: within a bucket the empirical treatment rate IS the
+    * propensity estimate, emitted as e_ppm), the treated-vs-control gap
+    * is taken WITHIN buckets in micro-cents (per-side `div` means,
+    * guarded to common-support buckets), and ATT = Σ n₁·Δ div Σ n₁ over
+    * the support lands in the bucket = −1 summary row beside the
+    * confounded naive gap — the adjustment the reader can see (naive
+    * overstates the effect when activity drives both).
+    *
+    * Scale: one user rollup (map-combinable), then a ≤ 9-row bucket
+    * grid — every downstream op is grid-sized. CUPED economics without
+    * the broadcast-back pass.
+    */
+  private val qStatsPropensity = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val half = to_date(col("ts")) < lit("2024-01-16").cast("date")
+      val users = t(s, d, "events")
+        .select(col("user_id"),
+          when(half, 1L).otherwise(0L).as("xe"),
+          when(half && col("event_type") === "purchase", 1L)
+            .otherwise(0L).as("tp"),
+          when(!half, cents).otherwise(lit(0L)).as("yc"))
+        .groupBy("user_id")
+        .agg(sum("xe").as("x"), (sum("tp") >= 8).cast("long").as("t"),
+          sum("yc").as("y"))
+        .withColumn("b", least(expr("x div 5"), lit(8L)))
+      val buckets = users.groupBy("b").agg(
+          sum("t").as("n1"),
+          sum(lit(1L) - col("t")).as("n0"),
+          sum(when(col("t") === 1, col("y")).otherwise(0L)).as("s1"),
+          sum(when(col("t") === 0, col("y")).otherwise(0L)).as("s0"))
+        .withColumn("e_ppm",
+          expr("(n1 * 1000000) div (n1 + n0)"))
+        .withColumn("diff_micro", when(col("n1") > 0 && col("n0") > 0,
+          expr("(s1 * 1000000) div n1 - (s0 * 1000000) div n0")))
+        .localCheckpoint(true) // grid feeds cells + both summary aggs
+      val att = buckets.filter(col("diff_micro").isNotNull)
+        .agg(sum("n1").as("a1"), sum("n0").as("a0"),
+          sum(col("n1") * col("diff_micro")).as("num"))
+        .select(lit(-1L).as("b"), col("a1").as("n1"), col("a0").as("n0"),
+          expr("(a1 * 1000000) div (a1 + a0)").as("e_ppm"),
+          expr("num div a1").as("diff_micro"))
+      val naive = buckets.agg(sum("n1").as("a1"), sum("n0").as("a0"),
+          sum("s1").as("t1"), sum("s0").as("t0"))
+        .select(lit(-2L).as("b"), col("a1").as("n1"), col("a0").as("n0"),
+          expr("(a1 * 1000000) div (a1 + a0)").as("e_ppm"),
+          expr("(t1 * 1000000) div a1 - (t0 * 1000000) div a0")
+            .as("diff_micro"))
+      buckets.select("b", "n1", "n0", "e_ppm", "diff_micro")
+        .unionByName(att).unionByName(naive)
+        .orderBy("b")
+    },
+    Some("""WITH ev AS (
+              SELECT user_id,
+                     CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1
+                          ELSE 0 END AS h1,
+                     CASE WHEN ts < TIMESTAMP '2024-01-16'
+                               AND event_type = 'purchase' THEN 1
+                          ELSE 0 END AS tp,
+                     CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                         AS BIGINT) ELSE 0 END AS yc
+              FROM events),
+            users AS (
+              SELECT user_id, CAST(sum(h1) AS BIGINT) AS x,
+                     CASE WHEN sum(tp) >= 8 THEN 1 ELSE 0 END AS t,
+                     CAST(sum(yc) AS BIGINT) AS y
+              FROM ev GROUP BY 1),
+            ub AS (SELECT *, least(x // 5, 8) AS b FROM users),
+            buckets AS (
+              SELECT b, CAST(sum(t) AS BIGINT) AS n1,
+                     CAST(sum(1 - t) AS BIGINT) AS n0,
+                     CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END)
+                       AS BIGINT) AS s1,
+                     CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END)
+                       AS BIGINT) AS s0
+              FROM ub GROUP BY 1),
+            cells AS (
+              SELECT b, n1, n0,
+                     (n1 * 1000000) // (n1 + n0) AS e_ppm,
+                     CASE WHEN n1 > 0 AND n0 > 0
+                       THEN (s1 * 1000000) // n1 - (s0 * 1000000) // n0
+                     END AS diff_micro
+              FROM buckets),
+            att AS (
+              SELECT CAST(-1 AS BIGINT) AS b,
+                     CAST(sum(n1) AS BIGINT) AS n1,
+                     CAST(sum(n0) AS BIGINT) AS n0,
+                     CAST((sum(n1) * 1000000) // (sum(n1) + sum(n0))
+                       AS BIGINT) AS e_ppm,
+                     CAST(sum(n1 * diff_micro) // sum(n1) AS BIGINT)
+                       AS diff_micro
+              FROM cells WHERE diff_micro IS NOT NULL),
+            naive AS (
+              SELECT CAST(-2 AS BIGINT) AS b,
+                     CAST(sum(n1) AS BIGINT) AS n1,
+                     CAST(sum(n0) AS BIGINT) AS n0,
+                     CAST((sum(n1) * 1000000) // (sum(n1) + sum(n0))
+                       AS BIGINT) AS e_ppm,
+                     CAST((sum(s1) * 1000000) // sum(n1)
+                       - (sum(s0) * 1000000) // sum(n0) AS BIGINT)
+                       AS diff_micro
+              FROM buckets)
+            SELECT b, n1, n0, CAST(e_ppm AS BIGINT) AS e_ppm,
+                   CAST(diff_micro AS BIGINT) AS diff_micro
+            FROM (SELECT * FROM cells UNION ALL
+                  SELECT * FROM att UNION ALL
+                  SELECT * FROM naive)
+            ORDER BY b"""))
+
   // ------------------------------------------------ CUPED A/B adjustment --
 
   /** CUPED variance reduction (Deng et al., WSDM'13) for the pmod-2 A/B
@@ -8533,6 +8653,7 @@ object AnalyticsOps extends QueryModule {
     "q_ts_mad" -> qTsMad,
     "q_feature_woe" -> qFeatureWoe,
     "q_stats_cuped" -> qStatsCuped,
+    "q_stats_propensity" -> qStatsPropensity,
     "q_survival_km" -> qSurvivalKm,
     "q_survival_logrank" -> qSurvivalLogrank,
     "q_ts_holt" -> qTsHolt,
