@@ -6883,6 +6883,141 @@ object AnalyticsOps extends QueryModule {
             FROM tr t JOIN dm m ON m.dow = t.dow
             ORDER BY t.day"""))
 
+  // ---------------------------------------- residual anomaly detection --
+
+  /** Robust anomaly days over the q_ts_stl decomposition — the DETECT
+    * step the decompose family stops short of: residuals r = x − trend −
+    * seasonal (the exact STL integers, interior days only), centered on
+    * their exact MEDIAN and scored against the median absolute deviation
+    * — the robust scale that one genuine outlier can't inflate the way
+    * it inflates a σ (the q_ts_mad rationale, here applied to
+    * deseasonalized residuals so weekday structure doesn't mask a
+    * mid-week spike). All order statistics stay integral via the
+    * doubled/quadrupled-grid trick (Wilcoxon midrank precedent):
+    * med2 = r₍ₖ₎ + r₍ₖ₊₁₎, dev2ᵢ = |2rᵢ − med2|, mad4 = dev2₍ₖ₎ +
+    * dev2₍ₖ₊₁₎, flag ⟺ 4·dev2 > 5·mad4 (i.e. |r − med| > 2.5·MAD) and
+    * score_milli = 2000·dev2 div mad4 — every comparison exact BIGINT.
+    *
+    * Scale: q_ts_stl economics (one daily partial agg, calendar-bounded
+    * grid) — the rank windows order ≤ #days rows. Per-series detection
+    * at scale partitions the same windows by series key.
+    */
+  private val qTsAnomaly = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val daily = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), cents.as("v"))
+        .groupBy("day").agg(sum("v").as("x"))
+        .withColumn("dnum",
+          datediff(col("day"), lit("2024-01-01").cast("date")).cast("long"))
+        .localCheckpoint(true)
+      val trended = daily
+        .withColumn("wcnt", count(lit(1L)).over(
+          Window.orderBy("dnum").rangeBetween(-3, 3)))
+        .withColumn("trend_cents",
+          when(col("wcnt") === 7L, expr("sum(x) OVER (ORDER BY dnum RANGE " +
+            "BETWEEN 3 PRECEDING AND 3 FOLLOWING) div 7")))
+        .withColumn("dow", pmod(col("dnum"), lit(7L)).cast("int"))
+        .withColumn("detr", col("x") - col("trend_cents"))
+      val dowMeans = trended.filter(col("trend_cents").isNotNull)
+        .groupBy("dow")
+        .agg(expr("sum(detr) div count(1)").as("seas_cents"))
+      val resid = trended.join(broadcast(dowMeans), "dow")
+        .filter(col("trend_cents").isNotNull)
+        .select(col("day"), col("x"),
+          (col("x") - col("trend_cents") - col("seas_cents"))
+            .as("resid_cents"))
+        .localCheckpoint(true) // grid feeds two rank passes + output
+      val withN = resid
+        .withColumn("rk", row_number().over(Window.orderBy("resid_cents",
+          "day")).cast("long"))
+        .withColumn("n", count(lit(1L)).over(
+          Window.partitionBy(lit(1))).cast("long"))
+      val med = withN.agg(
+        (sum(when(col("rk") === expr("(n + 1) div 2"), col("resid_cents"))) +
+          sum(when(col("rk") === expr("n div 2 + 1"), col("resid_cents"))))
+          .as("med2")).withColumn("j", lit(1))
+      val devs = resid.withColumn("j", lit(1)).join(broadcast(med), "j")
+        .withColumn("dev2", abs(col("resid_cents") * 2 - col("med2")))
+      val dr = devs
+        .withColumn("rk", row_number().over(Window.orderBy("dev2", "day"))
+          .cast("long"))
+        .withColumn("n", count(lit(1L)).over(
+          Window.partitionBy(lit(1))).cast("long"))
+      val mad = dr.agg(
+        (sum(when(col("rk") === expr("(n + 1) div 2"), col("dev2"))) +
+          sum(when(col("rk") === expr("n div 2 + 1"), col("dev2"))))
+          .as("mad4")).withColumn("j", lit(1))
+      devs.drop("j").withColumn("j", lit(1)).join(broadcast(mad), "j")
+        .select(col("day"), col("x"), col("resid_cents"),
+          when(col("mad4") > 0, expr("(2000 * dev2) div mad4"))
+            .otherwise(lit(0L)).as("score_milli"),
+          (col("mad4") > 0 && col("dev2") * 4 > col("mad4") * 5)
+            .as("is_anomaly"))
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS x
+              FROM events GROUP BY 1),
+            dn AS (
+              SELECT day, x,
+                     CAST(date_diff('day', DATE '2024-01-01', day) AS BIGINT)
+                       AS dnum
+              FROM daily),
+            tr AS (
+              SELECT day, x, dnum,
+                     CASE WHEN count(*) OVER w = 7
+                       THEN CAST(sum(x) OVER w // 7 AS BIGINT) END
+                       AS trend_cents,
+                     CAST(dnum % 7 AS INT) AS dow
+              FROM dn
+              WINDOW w AS (ORDER BY dnum
+                RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+            dm AS (
+              SELECT dow,
+                     CAST(sum(x - trend_cents) // count(*) AS BIGINT)
+                       AS seas_cents
+              FROM tr WHERE trend_cents IS NOT NULL GROUP BY 1),
+            resid AS (
+              SELECT t.day, t.x,
+                     CAST(t.x - t.trend_cents - m.seas_cents AS BIGINT)
+                       AS resid_cents
+              FROM tr t JOIN dm m ON m.dow = t.dow
+              WHERE t.trend_cents IS NOT NULL),
+            rr AS (
+              SELECT *, CAST(row_number() OVER (ORDER BY resid_cents, day)
+                       AS BIGINT) AS rk,
+                     CAST(count(*) OVER () AS BIGINT) AS n
+              FROM resid),
+            med AS (
+              SELECT CAST(sum(CASE WHEN rk = (n + 1) // 2
+                         THEN resid_cents END)
+                     + sum(CASE WHEN rk = n // 2 + 1
+                         THEN resid_cents END) AS BIGINT) AS med2
+              FROM rr),
+            devs AS (
+              SELECT r.day, r.x, r.resid_cents,
+                     abs(r.resid_cents * 2 - m.med2) AS dev2
+              FROM resid r, med m),
+            dr AS (
+              SELECT *, CAST(row_number() OVER (ORDER BY dev2, day)
+                       AS BIGINT) AS rk,
+                     CAST(count(*) OVER () AS BIGINT) AS n
+              FROM devs),
+            mad AS (
+              SELECT CAST(sum(CASE WHEN rk = (n + 1) // 2 THEN dev2 END)
+                     + sum(CASE WHEN rk = n // 2 + 1 THEN dev2 END)
+                       AS BIGINT) AS mad4
+              FROM dr)
+            SELECT d.day, d.x, d.resid_cents,
+                   CAST(CASE WHEN m.mad4 > 0
+                     THEN (2000 * d.dev2) // m.mad4 ELSE 0 END AS BIGINT)
+                     AS score_milli,
+                   (m.mad4 > 0 AND d.dev2 * 4 > m.mad4 * 5) AS is_anomaly
+            FROM devs d, mad m ORDER BY d.day"""))
+
   // ---------------------------------------- sliding distinct (DAU/WAU) --
 
   /** Sliding distinct users — DAU, trailing-7-day WAU, and the DAU/WAU
@@ -8645,6 +8780,7 @@ object AnalyticsOps extends QueryModule {
     "q_stats_qq" -> qStatsQq,
     "q_ts_stl" -> qTsStl,
     "q_ts_dtw" -> qTsDtw,
+    "q_ts_anomaly" -> qTsAnomaly,
     "q_events_sliding_distinct" -> qEventsSlidingDistinct,
     "q_events_sliding_distinct_approx" -> qEventsSlidingDistinctApprox,
     "q_stats_standardize" -> qStatsStandardize,
