@@ -427,7 +427,102 @@ object MultimodalOps extends QueryModule {
             FROM placed GROUP BY 1, 2
             ORDER BY source, shard"""))
 
+  /** One fixed-grid audio frame with its short-time energy. */
+  final case class AudioFrame(
+      doc_id: Long,
+      frame_idx: Int, // index on the fixed 32-byte frame grid
+      energy: Long)   // Σ (sample − 96)² over the frame's bytes
+
+  /** Short-time energy per 32-byte frame — the VAD front-end shape: the
+    * payload read as 8-bit PCM (the stub convention: documents.text
+    * bytes stand in for samples; a real pipeline swaps this body for an
+    * ffmpeg/PCM decode), each frame reduced to Σ(b−96)² with 96 ≈ the
+    * corpus byte mean, so energy measures deviation like centered PCM
+    * power. Same typed 1→N mapPartitions contract as sampleFrames.
+    */
+  def frameEnergies(docs: DataFrame, frameBytes: Int = 32)
+      : Dataset[AudioFrame] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder init would go here (once, not per record)
+        it.flatMap { case (id, payload) =>
+          val nFrames = (payload.length + frameBytes - 1) / frameBytes
+          (0 until nFrames).iterator.map { f =>
+            val off = f * frameBytes
+            val end = math.min(off + frameBytes, payload.length)
+            var e = 0L
+            var i = off
+            while (i < end) {
+              val d = (payload(i) & 0xff) - 96; e += d.toLong * d; i += 1
+            }
+            AudioFrame(id, f, e)
+          }
+        }
+      }
+  }
+
+  /** Voice-activity segmentation over the frame-energy stream — the
+    * audio-specific op beside the generic frame sampler: frames with
+    * energy > 29000 (≈ the corpus median — a real VAD fits this
+    * threshold per recording) are "voiced", consecutive voiced frames
+    * merge into segments via the gaps-and-islands key
+    * (frame_idx − dense voiced rank, the q_events_session run-length
+    * idiom on a frame grid instead of a time axis), and segments
+    * shorter than 2 frames are dropped (the min-speech-duration rule).
+    * Emits per segment: start/end frame, length, exact energy sum.
+    *
+    * Scale: the energy pass is map-only 1→N; the islands window
+    * partitions BY DOC (never a global order), so segmentation
+    * co-partitions with the decode and no stage sees more than one
+    * recording's frames in order.
+    */
+  private val qMultimodalVad = GQuery(
+    (s, d) => {
+      val frames = frameEnergies(Tables(s, d, "documents")).toDF()
+      val voiced = frames.filter(col("energy") > 29000L)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy("frame_idx")))
+        .withColumn("isl", col("frame_idx") - col("rk"))
+      voiced.groupBy("doc_id", "isl")
+        .agg(min("frame_idx").as("start_frame"),
+          max("frame_idx").as("end_frame"),
+          count(lit(1L)).as("n_frames"),
+          sum("energy").as("energy_sum"))
+        .filter(col("n_frames") >= 2)
+        .select(col("doc_id"), col("start_frame"), col("end_frame"),
+          col("n_frames"), col("energy_sum"))
+        .orderBy("doc_id", "start_frame")
+    },
+    Some("""WITH f AS (
+              SELECT doc_id,
+                     CAST((off - 1) // 32 AS INT) AS frame_idx,
+                     CAST(list_sum(list_transform(
+                       generate_series(off, least(off + 31, length(text))),
+                       i -> (ascii(substr(text, CAST(i AS INT), 1)) - 96)
+                          * (ascii(substr(text, CAST(i AS INT), 1)) - 96)))
+                       AS BIGINT) AS energy
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(1, length(text), 32))
+                             AS off
+                    FROM documents)),
+            v AS (
+              SELECT doc_id, frame_idx, energy,
+                     frame_idx - row_number() OVER (PARTITION BY doc_id
+                       ORDER BY frame_idx) AS isl
+              FROM f WHERE energy > 29000)
+            SELECT doc_id, CAST(min(frame_idx) AS INT) AS start_frame,
+                   CAST(max(frame_idx) AS INT) AS end_frame,
+                   CAST(count(*) AS BIGINT) AS n_frames,
+                   CAST(sum(energy) AS BIGINT) AS energy_sum
+            FROM v GROUP BY doc_id, isl HAVING count(*) >= 2
+            ORDER BY doc_id, start_frame"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_multimodal_vad" -> qMultimodalVad,
     "q_multimodal_shard" -> qMultimodalShard,
     "q_multimodal_patches" -> qMultimodalPatches,
     "q_multimodal_decode" -> qMultimodalDecode,
