@@ -6883,6 +6883,153 @@ object AnalyticsOps extends QueryModule {
             FROM tr t JOIN dm m ON m.dow = t.dow
             ORDER BY t.day"""))
 
+  // -------------------------------------------- Granger causality --
+
+  /** Granger causality test — do daily CLICKS help predict next-day
+    * PURCHASE revenue beyond revenue's own history? Unrestricted model
+    * y_t = a + b·y_{t−1} + c·x_{t−1} vs restricted y_t = a + b·y_{t−1},
+    * F = (SSR_r − SSR_u)·(n−3) / SSR_u for the one restriction. The
+    * whole fit is exact-integer Cramer's rule on the centered 2×2
+    * normal equations (the q_stats_elasticity discipline, two
+    * regressors): series quantized to coarse integer units (revenue in
+    * $100s via div, raw click counts — granularity irrelevant to an
+    * F-statistic, decisive for keeping every moment inside
+    * DECIMAL(38): au ≈ 4·10²⁰ at sf0.1, sf-cubed growth leaves 17
+    * orders of headroom), centering n-scaled and remainder-free (ỹ = y·n − Σy,
+    * the CUPED trick), D = S_bb·S_cc − S_bc², coefficient numerators
+    * and SSR identities all integer products: SSR_u·D = S_aa·D −
+    * num_b·S_ab − num_c·S_ac and SSR_r·S_bb = S_aa·S_bb − S_ab².
+    * Cross-grid comparison runs on deterministic reduced grids
+    * (Au div (D div 1000) — both engines truncate identically), so
+    * F_milli hashes exactly. Emits coefficients (micro), both SSRs
+    * (milli, n-scaled grid), and F_milli.
+    *
+    * Scale: one daily partial agg; everything after is the ≤ #days
+    * grid — lag windows and moment sums over ≤ 30 rows. q_ts_holt
+    * economics with a causal readout.
+    */
+  private val qTsGranger = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val daily = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("event_type"),
+          cents.as("c"))
+        .groupBy("day").agg(
+          expr("sum(CASE WHEN event_type = 'purchase' THEN c ELSE 0 END)"
+            + " div 10000").as("y"),
+          expr("sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)")
+            .as("x"))
+      val wd = Window.orderBy("day")
+      val rows = daily
+        .withColumn("b0", lag("y", 1).over(wd))
+        .withColumn("c0", lag("x", 1).over(wd))
+        .filter(col("b0").isNotNull)
+        .select(col("y").as("a"), col("b0").as("b"), col("c0").as("c"))
+      val sums = rows.agg(count(lit(1L)).as("m"), sum("a").as("ta"),
+        sum("b").as("tb"), sum("c").as("tc")).withColumn("j", lit(1))
+      val cent = rows.withColumn("j", lit(1)).join(broadcast(sums), "j")
+        .select(col("m"),
+          (col("a") * col("m") - col("ta")).as("ca"),
+          (col("b") * col("m") - col("tb")).as("cb"),
+          (col("c") * col("m") - col("tc")).as("cc"))
+      val mom = cent.groupBy("m").agg(
+        sum((col("ca").cast("decimal(38,0)") * col("ca"))).as("saa"),
+        sum((col("cb").cast("decimal(38,0)") * col("cb"))).as("sbb"),
+        sum((col("cc").cast("decimal(38,0)") * col("cc"))).as("scc"),
+        sum((col("ca").cast("decimal(38,0)") * col("cb"))).as("sab"),
+        sum((col("ca").cast("decimal(38,0)") * col("cc"))).as("sac"),
+        sum((col("cb").cast("decimal(38,0)") * col("cc"))).as("sbc"))
+      mom
+        .withColumn("dd", expr("sbb * scc - sbc * sbc"))
+        .withColumn("numb", expr("sab * scc - sac * sbc"))
+        .withColumn("numc", expr("sac * sbb - sab * sbc"))
+        .withColumn("au",
+          expr("saa * dd - numb * sab - numc * sac"))
+        .withColumn("ssr_u_milli",
+          when(col("dd") >= 1000, expr("au div (dd div 1000)"))
+            .when(col("dd") > 0, expr("(au * 1000) div dd"))
+            .otherwise(lit(0L)))
+        .withColumn("ssr_r_milli", when(col("sbb") > 0,
+          expr("((saa * sbb - sab * sab) * 1000) div sbb"))
+          .otherwise(lit(0L)))
+        .select(col("m").as("n"),
+          when(col("dd") > 0,
+            expr("CAST((numb * 1000000) div dd AS BIGINT)"))
+            .otherwise(lit(0L)).as("beta_y_micro"),
+          when(col("dd") > 0,
+            expr("CAST((numc * 1000000) div dd AS BIGINT)"))
+            .otherwise(lit(0L)).as("beta_x_micro"),
+          expr("CAST(ssr_r_milli AS BIGINT)").as("ssr_r_milli"),
+          expr("CAST(ssr_u_milli AS BIGINT)").as("ssr_u_milli"),
+          when(col("ssr_u_milli") > 0, expr(
+            """CAST(((ssr_r_milli - ssr_u_milli) * (m - 3) * 1000)
+               div ssr_u_milli AS BIGINT)"""))
+            .otherwise(lit(0L)).as("f_milli"))
+    },
+    Some("""WITH daily AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                     sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                         AS BIGINT) ELSE 0 END) // 10000 AS y,
+                     CAST(sum(CASE WHEN event_type = 'click' THEN 1
+                       ELSE 0 END) AS BIGINT) AS x
+              FROM events GROUP BY 1),
+            lagd AS (
+              SELECT y AS a,
+                     lag(y) OVER (ORDER BY day) AS b,
+                     lag(x) OVER (ORDER BY day) AS c
+              FROM daily),
+            rows_ AS (SELECT a, b, c FROM lagd WHERE b IS NOT NULL),
+            sums AS (
+              SELECT CAST(count(*) AS BIGINT) AS m,
+                     CAST(sum(a) AS BIGINT) AS ta,
+                     CAST(sum(b) AS BIGINT) AS tb,
+                     CAST(sum(c) AS BIGINT) AS tc
+              FROM rows_),
+            cent AS (
+              SELECT m, a * m - ta AS ca, b * m - tb AS cb,
+                     c * m - tc AS cc
+              FROM rows_, sums),
+            mom AS (
+              SELECT m,
+                     sum(CAST(ca AS HUGEINT) * ca) AS saa,
+                     sum(CAST(cb AS HUGEINT) * cb) AS sbb,
+                     sum(CAST(cc AS HUGEINT) * cc) AS scc,
+                     sum(CAST(ca AS HUGEINT) * cb) AS sab,
+                     sum(CAST(ca AS HUGEINT) * cc) AS sac,
+                     sum(CAST(cb AS HUGEINT) * cc) AS sbc
+              FROM cent GROUP BY 1),
+            der AS (
+              SELECT m, saa, sbb, sab,
+                     sbb * scc - sbc * sbc AS dd,
+                     sab * scc - sac * sbc AS numb,
+                     sac * sbb - sab * sbc AS numc,
+                     sac, sbc
+              FROM mom),
+            fin AS (
+              SELECT m, dd, numb, numc,
+                     CASE WHEN dd >= 1000 THEN
+                         (saa * dd - numb * sab - numc * sac) // (dd // 1000)
+                       WHEN dd > 0 THEN
+                         ((saa * dd - numb * sab - numc * sac) * 1000) // dd
+                       ELSE 0 END AS ssr_u_milli,
+                     CASE WHEN sbb > 0 THEN
+                         ((saa * sbb - sab * sab) * 1000) // sbb
+                       ELSE 0 END AS ssr_r_milli
+              FROM der)
+            SELECT m AS n,
+                   CAST(CASE WHEN dd > 0 THEN (numb * 1000000) // dd
+                     ELSE 0 END AS BIGINT) AS beta_y_micro,
+                   CAST(CASE WHEN dd > 0 THEN (numc * 1000000) // dd
+                     ELSE 0 END AS BIGINT) AS beta_x_micro,
+                   CAST(ssr_r_milli AS BIGINT) AS ssr_r_milli,
+                   CAST(ssr_u_milli AS BIGINT) AS ssr_u_milli,
+                   CAST(CASE WHEN ssr_u_milli > 0
+                     THEN ((ssr_r_milli - ssr_u_milli) * (m - 3) * 1000)
+                       // ssr_u_milli
+                     ELSE 0 END AS BIGINT) AS f_milli
+            FROM fin"""))
+
   // ---------------------------------------- residual anomaly detection --
 
   /** Robust anomaly days over the q_ts_stl decomposition — the DETECT
@@ -8781,6 +8928,7 @@ object AnalyticsOps extends QueryModule {
     "q_ts_stl" -> qTsStl,
     "q_ts_dtw" -> qTsDtw,
     "q_ts_anomaly" -> qTsAnomaly,
+    "q_ts_granger" -> qTsGranger,
     "q_events_sliding_distinct" -> qEventsSlidingDistinct,
     "q_events_sliding_distinct_approx" -> qEventsSlidingDistinctApprox,
     "q_stats_standardize" -> qStatsStandardize,
