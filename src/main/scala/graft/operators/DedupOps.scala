@@ -1504,7 +1504,124 @@ object DedupOps extends QueryModule {
             FROM batch b LEFT JOIN base ba ON ba.sh = b.sh
             GROUP BY 1 ORDER BY b.source"""))
 
+  // -------------------------------------- content-defined chunking --
+
+  /** Content-defined chunking dedup (the Rabin/FastCDC idea on a token
+    * stream) — the INSERTION-RESILIENT rung of the dedup ladder: fixed
+    * shingles shift under one inserted token, but CDC cut points derive
+    * from local content (a rolling 8-token polynomial hash, cut where
+    * h ≡ 0 mod 16 → ~16-token expected chunks), so an edit only
+    * re-chunks its neighborhood and every chunk elsewhere still matches
+    * byte-for-byte. Chunk hash = md5 of the token span; a chunk of ≥ 4
+    * tokens seen in ≥ 2 distinct docs is duplicate evidence (shorter
+    * chunks collide trivially on this 31-type vocabulary), and per doc the
+    * duplicated-token fraction (ppm) is the CDC analogue of
+    * q_dedup_substring's span coverage. The rolling hash is exact
+    * integer (hex4 token hashes × a literal 31-power table, % 2²⁰ —
+    * no pow(), no fp), guards: docs under 9 tokens get no interior
+    * cuts (the descending-sequence trap), boundary set always contains
+    * {1, L+1}.
+    *
+    * Scale: chunking is map-only per doc; the only shuffle groups by
+    * chunk md5 — high-entropy 128-bit keys, perfectly balanced, and the
+    * storage-dedup economics apply (chunk index ≈ tokens/16 entries,
+    * appendable exactly like the minhash band index for incremental
+    * runs).
+    */
+  private val qDedupCdc = GQuery(
+    (s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .withColumn("l", size(col("toks")))
+        .withColumn("th", transform(col("toks"), tk => hex4(tk)))
+        .withColumn("cuts", expr("""
+          filter(IF(l >= 9, sequence(2, l - 7), CAST(array() AS ARRAY<INT>)),
+            i -> aggregate(sequence(0, 7), CAST(0 AS BIGINT),
+                   (acc, k) -> acc + element_at(th, i + k)
+                     * element_at(array(1L, 31L, 961L, 29791L, 923521L,
+                         28629151L, 887503681L, 27512614111L), k + 1))
+                 % 1048576 % 16 = 0)"""))
+        .withColumn("b", expr(
+          "array_sort(array_union(array(1, l + 1), cuts))"))
+        .withColumn("chunks", expr("""
+          transform(sequence(1, size(b) - 1),
+            j -> named_struct('start', element_at(b, j),
+                   'len', element_at(b, j + 1) - element_at(b, j)))"""))
+      val chunkRows = base
+        .select(col("doc_id"), col("l"), col("toks"),
+          explode(col("chunks")).as("ch"))
+        .select(col("doc_id"), col("l"), col("ch.start").as("start"),
+          col("ch.len").as("len"),
+          md5(expr("concat_ws(' ', slice(toks, ch.start, ch.len))"))
+            .as("h"))
+      val freq = chunkRows.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      chunkRows.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1L)).as("n_chunks"),
+          sum(when(col("nd") >= 2 && col("len") >= 4, 1L).otherwise(0L))
+            .as("n_dup_chunks"),
+          sum(when(col("nd") >= 2 && col("len") >= 4,
+            col("len").cast("long")).otherwise(0L)).as("dup_tokens"),
+          max(col("l").cast("long")).as("tot_tokens"))
+        .withColumn("dup_ppm", expr("(dup_tokens * 1000000) div tot_tokens"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH base AS (
+              SELECT doc_id, $duckTokens AS toks,
+                     len($duckTokens) AS l,
+                     list_transform($duckTokens,
+                       t -> ${duckHex4("md5(t)")}) AS th
+              FROM documents),
+            cutd AS (
+              SELECT doc_id, toks, l,
+                     list_filter(
+                       CASE WHEN l >= 9
+                         THEN generate_series(2, CAST(l - 7 AS BIGINT))
+                         ELSE CAST([] AS BIGINT[]) END,
+                       i -> list_sum(list_transform(generate_series(0, 7),
+                              k -> th[CAST(i + k AS INT)]
+                                * [1, 31, 961, 29791, 923521, 28629151,
+                                   887503681, 27512614111][CAST(k + 1
+                                     AS INT)]))
+                            % 1048576 % 16 = 0) AS cuts
+              FROM base),
+            bnd AS (
+              SELECT doc_id, toks, l,
+                     list_sort(list_distinct(
+                       list_concat([CAST(1 AS BIGINT),
+                                    CAST(l + 1 AS BIGINT)], cuts))) AS b
+              FROM cutd),
+            chunks AS (
+              SELECT doc_id, l,
+                     CAST(b[CAST(j AS INT)] AS BIGINT) AS start,
+                     CAST(b[CAST(j + 1 AS INT)] - b[CAST(j AS INT)]
+                       AS BIGINT) AS clen,
+                     md5(array_to_string(list_slice(toks,
+                       CAST(b[CAST(j AS INT)] AS INT),
+                       CAST(b[CAST(j + 1 AS INT)] - 1 AS INT)), ' ')) AS h
+              FROM (SELECT doc_id, toks, l, b,
+                           unnest(generate_series(1,
+                             CAST(len(b) - 1 AS BIGINT))) AS j
+                    FROM bnd)),
+            freq AS (
+              SELECT h, count(DISTINCT doc_id) AS nd
+              FROM chunks GROUP BY 1)
+            SELECT c.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(CASE WHEN f.nd >= 2 AND c.clen >= 4
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+                   CAST(sum(CASE WHEN f.nd >= 2 AND c.clen >= 4
+                     THEN c.clen ELSE 0 END) AS BIGINT) AS dup_tokens,
+                   CAST(max(c.l) AS BIGINT) AS tot_tokens,
+                   CAST((sum(CASE WHEN f.nd >= 2 AND c.clen >= 4
+                     THEN c.clen ELSE 0 END)
+                     * 1000000) // max(c.l) AS BIGINT) AS dup_ppm
+            FROM chunks c JOIN freq f USING (h)
+            GROUP BY 1 ORDER BY c.doc_id"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_dedup_cdc" -> qDedupCdc,
     "q_corpus_novelty" -> qCorpusNovelty,
     "q_dedup_containment" -> qDedupContainment,
     "q_eval_ngram_overlap" -> qEvalNgramOverlap,
