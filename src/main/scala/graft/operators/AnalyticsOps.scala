@@ -6883,6 +6883,77 @@ object AnalyticsOps extends QueryModule {
             FROM tr t JOIN dm m ON m.dow = t.dow
             ORDER BY t.day"""))
 
+  // ------------------------------------------ overdispersion test --
+
+  /** Poisson overdispersion test per event type — the modeling-decision
+    * gate before any count model (rates, funnels, burst detection): are
+    * daily event counts Poisson (variance ≈ mean) or overdispersed
+    * (variance ≫ mean → negative-binomial territory)? The dispersion
+    * statistic χ² = Σ(xᵢ−x̄)²/x̄ runs on the n-scaled integer grid
+    * (Σ(x·n−S)² div (n·S) — remainder-free centering, the CUPED trick),
+    * the index D = χ²/(n−1) in milli, and the decision flag uses the
+    * normal approximation χ² > (n−1) + 5·√(2(n−1)) ⟺ z > 5σ with the
+    * √ term as a mirrored IEEE-sqrt integer (Neyman floor(·+0.5)
+    * discipline) — all comparisons exact BIGINT.
+    *
+    * Scale: one daily partial agg, then a ≤ |types|×|days| grid agg —
+    * map-combinable end to end; Σ(x·n−S)² at 100-TB counts takes the
+    * DECIMAL(38) widening already in place.
+    */
+  private val qStatsDispersion = GQuery(
+    (s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1L)).as("x"))
+      val mom = daily.groupBy("event_type").agg(
+        count(lit(1L)).as("n"), sum("x").as("sx"),
+        sum((col("x").cast("decimal(38,0)") * col("x"))).as("sxx"))
+      mom
+        // Σ(x·n−S)² = n²Σx² − nS² = n(nΣx² − S²)
+        .withColumn("css", expr(
+          "n * (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)"))
+        .withColumn("chi2_milli",
+          when(col("sx") > 0, expr("(css * 1000) div (n * sx)"))
+            .otherwise(lit(0L)))
+        .withColumn("crit_milli", expr(
+          """(n - 1) * 1000 + CAST(floor(sqrt(CAST(2 * (n - 1) AS DOUBLE))
+             * 5000.0 + 0.5) AS BIGINT)"""))
+        .select(col("event_type"), col("n"), col("sx").as("total"),
+          expr("CAST(chi2_milli AS BIGINT)").as("chi2_milli"),
+          when(col("n") > 1, expr("CAST(chi2_milli div (n - 1) AS BIGINT)"))
+            .otherwise(lit(0L)).as("dispersion_milli"),
+          (col("chi2_milli") > col("crit_milli")).as("overdispersed"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type,
+                     CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(count(*) AS BIGINT) AS x
+              FROM events GROUP BY 1, 2),
+            mom AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     sum(CAST(x AS HUGEINT) * x) AS sxx
+              FROM daily GROUP BY 1),
+            der AS (
+              SELECT event_type, n, sx,
+                     n * (n * sxx - CAST(sx AS HUGEINT) * sx) AS css
+              FROM mom),
+            fin AS (
+              SELECT event_type, n, sx,
+                     CASE WHEN sx > 0 THEN (css * 1000) // (n * sx)
+                       ELSE 0 END AS chi2_milli,
+                     (n - 1) * 1000
+                       + CAST(floor(sqrt(CAST(2 * (n - 1) AS DOUBLE))
+                           * 5000.0 + 0.5) AS BIGINT) AS crit_milli
+              FROM der)
+            SELECT event_type, n, sx AS total,
+                   CAST(chi2_milli AS BIGINT) AS chi2_milli,
+                   CAST(CASE WHEN n > 1 THEN chi2_milli // (n - 1)
+                     ELSE 0 END AS BIGINT) AS dispersion_milli,
+                   chi2_milli > crit_milli AS overdispersed
+            FROM fin ORDER BY event_type"""))
+
   // -------------------------------------------- Granger causality --
 
   /** Granger causality test — do daily CLICKS help predict next-day
@@ -8929,6 +9000,7 @@ object AnalyticsOps extends QueryModule {
     "q_ts_dtw" -> qTsDtw,
     "q_ts_anomaly" -> qTsAnomaly,
     "q_ts_granger" -> qTsGranger,
+    "q_stats_dispersion" -> qStatsDispersion,
     "q_events_sliding_distinct" -> qEventsSlidingDistinct,
     "q_events_sliding_distinct_approx" -> qEventsSlidingDistinctApprox,
     "q_stats_standardize" -> qStatsStandardize,
