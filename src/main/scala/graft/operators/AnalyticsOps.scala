@@ -6883,6 +6883,106 @@ object AnalyticsOps extends QueryModule {
             FROM tr t JOIN dm m ON m.dow = t.dow
             ORDER BY t.day"""))
 
+  // --------------------------------------------- growth accounting --
+
+  /** Weekly growth accounting (the Social-Capital ledger) — the
+    * flow decomposition the stock metrics (DAU/WAU, retention cohorts)
+    * can't show: every week's active users split EXACTLY into
+    * new (first-ever week), retained (also active last week), and
+    * resurrected (active before, dark last week), while churned counts
+    * last week's actives who went dark — so Δactive ≡ new + resurrected
+    * − churned, an accounting identity the emitted table satisfies
+    * row-by-row (the reader can audit it). Weeks are day-number div 7
+    * grid cells; presence joins are (user, week)-keyed equi-joins on
+    * the distinct user-week table (never event rows); the final-week
+    * churn is clamped (stream end is not churn evidence). Quick ratio
+    * (new+resurrected)·milli div churned rides each row, div-guarded.
+    *
+    * Scale: events collapse to distinct (user, week) once
+    * (map-combinable); the three presence joins are self-joins of that
+    * collapsed table on high-cardinality user keys — DAU-table
+    * economics, no window over users anywhere.
+    */
+  private val qEventsGrowthAccounting = GQuery(
+    (s, d) => {
+      val uw = t(s, d, "events")
+        .select(col("user_id"),
+          expr("CAST(datediff(to_date(ts), DATE '2024-01-01') AS BIGINT)"
+            + " div 7").as("wk"))
+        .distinct()
+        .localCheckpoint(true) // 4 self-join sides below
+      val fw = uw.groupBy("user_id").agg(min("wk").as("fw"))
+      val maxw = uw.agg(max("wk").as("mw"))
+      val prev = uw.select(col("user_id"), (col("wk") + 1).as("wk"),
+        lit(1L).as("was"))
+      val cur = uw.join(broadcast(fw), "user_id")
+        .join(prev, Seq("user_id", "wk"), "left")
+        .select(col("wk"),
+          when(col("fw") === col("wk"), 1L).otherwise(0L).as("is_new"),
+          when(col("was").isNotNull && col("fw") < col("wk"), 1L)
+            .otherwise(0L).as("is_ret"),
+          when(col("was").isNull && col("fw") < col("wk"), 1L)
+            .otherwise(0L).as("is_res"))
+        .groupBy("wk").agg(count(lit(1L)).as("n_active"),
+          sum("is_new").as("n_new"), sum("is_ret").as("n_retained"),
+          sum("is_res").as("n_resurrected"))
+      val churned = prev
+        .join(uw.withColumn("still", lit(1L)), Seq("user_id", "wk"), "left")
+        .filter(col("still").isNull)
+        .crossJoin(broadcast(maxw)).filter(col("wk") <= col("mw"))
+        .groupBy("wk").agg(count(lit(1L)).as("n_churned"))
+      cur.join(churned, Seq("wk"), "left")
+        .select(col("wk"), col("n_active"), col("n_new"),
+          col("n_retained"), col("n_resurrected"),
+          coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+        .withColumn("quick_ratio_milli",
+          when(col("n_churned") > 0, expr(
+            "((n_new + n_resurrected) * 1000) div n_churned"))
+            .otherwise(lit(0L)))
+        .orderBy("wk")
+    },
+    Some("""WITH uw AS (
+              SELECT DISTINCT user_id,
+                     CAST(date_diff('day', DATE '2024-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) // 7
+                       AS BIGINT) AS wk
+              FROM events),
+            fw AS (SELECT user_id, min(wk) AS fw FROM uw GROUP BY 1),
+            mw AS (SELECT max(wk) AS mw FROM uw),
+            cur AS (
+              SELECT u.wk,
+                     CAST(count(*) AS BIGINT) AS n_active,
+                     CAST(sum(CASE WHEN f.fw = u.wk THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_new,
+                     CAST(sum(CASE WHEN p.user_id IS NOT NULL
+                         AND f.fw < u.wk THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_retained,
+                     CAST(sum(CASE WHEN p.user_id IS NULL
+                         AND f.fw < u.wk THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_resurrected
+              FROM uw u
+              JOIN fw f ON f.user_id = u.user_id
+              LEFT JOIN uw p ON p.user_id = u.user_id
+                AND p.wk = u.wk - 1
+              GROUP BY 1),
+            churned AS (
+              SELECT p.wk + 1 AS wk, CAST(count(*) AS BIGINT) AS n_churned
+              FROM uw p
+              LEFT JOIN uw c ON c.user_id = p.user_id
+                AND c.wk = p.wk + 1
+              CROSS JOIN mw
+              WHERE c.user_id IS NULL AND p.wk + 1 <= mw.mw
+              GROUP BY 1)
+            SELECT c.wk, c.n_active, c.n_new, c.n_retained,
+                   c.n_resurrected,
+                   coalesce(h.n_churned, 0) AS n_churned,
+                   CAST(CASE WHEN coalesce(h.n_churned, 0) > 0
+                     THEN ((c.n_new + c.n_resurrected) * 1000)
+                       // h.n_churned
+                     ELSE 0 END AS BIGINT) AS quick_ratio_milli
+            FROM cur c LEFT JOIN churned h ON h.wk = c.wk
+            ORDER BY c.wk"""))
+
   // ------------------------------------------ overdispersion test --
 
   /** Poisson overdispersion test per event type — the modeling-decision
@@ -9001,6 +9101,7 @@ object AnalyticsOps extends QueryModule {
     "q_ts_anomaly" -> qTsAnomaly,
     "q_ts_granger" -> qTsGranger,
     "q_stats_dispersion" -> qStatsDispersion,
+    "q_events_growth_accounting" -> qEventsGrowthAccounting,
     "q_events_sliding_distinct" -> qEventsSlidingDistinct,
     "q_events_sliding_distinct_approx" -> qEventsSlidingDistinctApprox,
     "q_stats_standardize" -> qStatsStandardize,
