@@ -6883,6 +6883,95 @@ object AnalyticsOps extends QueryModule {
             FROM tr t JOIN dm m ON m.dow = t.dow
             ORDER BY t.day"""))
 
+  // ------------------------------------------- permutation entropy --
+
+  /** Permutation entropy (Bandt & Pompe 2002), order 3 — the
+    * complexity/randomness readout for the per-type daily series that
+    * the variance-based members (dispersion, autocorr) can't give: each
+    * 3-day window maps to its ORDINAL pattern (rank order of the three
+    * values, ties broken toward ≤ — a deterministic 3-bit code of the
+    * pairwise comparisons, 6 of 8 codes realizable), and the Shannon
+    * entropy of the pattern distribution measures how predictable the
+    * series' local shapes are (trend-following ≈ low, white noise ≈
+    * ln 6). Entropy rides the q_profile_entropy discipline exactly:
+    * micro-nat quantized ln terms summed as integers, one dround at the
+    * emission edge, plus the ln(6)-normalized ratio.
+    *
+    * Scale: one daily partial agg; lag windows and the pattern
+    * histogram live on the ≤ |types|×|days| grid — map-combinable,
+    * calendar-bounded (q_ts_autocorr economics).
+    */
+  private val qTsPermentropy = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(cents).as("x"))
+      val wLag = Window.partitionBy("event_type").orderBy("day")
+      val pats = daily
+        .withColumn("b", lead("x", 1).over(wLag))
+        .withColumn("c", lead("x", 2).over(wLag))
+        .filter(col("c").isNotNull)
+        .select(col("event_type"),
+          (when(col("x") <= col("b"), 4).otherwise(0)
+            + when(col("b") <= col("c"), 2).otherwise(0)
+            + when(col("x") <= col("c"), 1).otherwise(0)).as("pat"))
+      val hist = pats.groupBy("event_type", "pat")
+        .agg(count(lit(1L)).as("c"))
+      val n = hist.groupBy("event_type")
+        .agg(sum("c").as("n"), count(lit(1L)).as("n_patterns"))
+      hist.join(broadcast(n), "event_type")
+        .select(col("event_type"), col("c"), col("n"), col("n_patterns"),
+          round(log(col("c").cast("double") / col("n")) * 1e6)
+            .cast("long").as("q"))
+        .groupBy("event_type", "n", "n_patterns")
+        .agg(sum(col("c") * col("q")).as("sq"))
+        .select(col("event_type"), col("n").as("n_windows"),
+          col("n_patterns"),
+          dround(-col("sq").cast("double") / col("n") / 1e6, 4)
+            .as("entropy_nats"),
+          dround(-col("sq").cast("double") / col("n") / 1e6
+            / math.log(6.0), 4).as("pe_norm"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type,
+                     CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS x
+              FROM events GROUP BY 1, 2),
+            lagd AS (
+              SELECT event_type, x AS a,
+                     lead(x, 1) OVER w AS b,
+                     lead(x, 2) OVER w AS c
+              FROM daily
+              WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+            pats AS (
+              SELECT event_type,
+                     (CASE WHEN a <= b THEN 4 ELSE 0 END
+                      + CASE WHEN b <= c THEN 2 ELSE 0 END
+                      + CASE WHEN a <= c THEN 1 ELSE 0 END) AS pat
+              FROM lagd WHERE c IS NOT NULL),
+            hist AS (
+              SELECT event_type, pat, CAST(count(*) AS BIGINT) AS c
+              FROM pats GROUP BY 1, 2),
+            tot AS (
+              SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS n_patterns
+              FROM hist GROUP BY 1),
+            q AS (
+              SELECT h.event_type, t.n, t.n_patterns,
+                     sum(h.c * CAST(round(ln(CAST(h.c AS DOUBLE) / t.n)
+                       * 1e6) AS BIGINT)) AS sq
+              FROM hist h JOIN tot t USING (event_type)
+              GROUP BY 1, 2, 3)
+            SELECT event_type, n AS n_windows, n_patterns,
+                   CAST(round(CAST(-CAST(sq AS DOUBLE) / n / 1e6
+                     AS DECIMAL(30,8)), 4) AS DOUBLE) AS entropy_nats,
+                   CAST(round(CAST(-CAST(sq AS DOUBLE) / n / 1e6 / ln(6.0)
+                     AS DECIMAL(30,8)), 4) AS DOUBLE) AS pe_norm
+            FROM q ORDER BY event_type"""))
+
   // --------------------------------------------- growth accounting --
 
   /** Weekly growth accounting (the Social-Capital ledger) — the
@@ -9102,6 +9191,7 @@ object AnalyticsOps extends QueryModule {
     "q_ts_granger" -> qTsGranger,
     "q_stats_dispersion" -> qStatsDispersion,
     "q_events_growth_accounting" -> qEventsGrowthAccounting,
+    "q_ts_permentropy" -> qTsPermentropy,
     "q_events_sliding_distinct" -> qEventsSlidingDistinct,
     "q_events_sliding_distinct_approx" -> qEventsSlidingDistinctApprox,
     "q_stats_standardize" -> qStatsStandardize,

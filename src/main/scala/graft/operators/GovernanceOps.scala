@@ -806,7 +806,115 @@ object GovernanceOps extends QueryModule {
             WHERE n_true * 1000 + noise_milli >= 50000
             ORDER BY tok"""))
 
+  // ------------------------------------------ DP quantile release --
+
+  /** ε-DP median release via the EXPONENTIAL MECHANISM (McSherry & Talwar
+    * 2007) — the third DP primitive beside additive Laplace
+    * (q_privacy_dp/_mean) and local randomized response (q_privacy_rr):
+    * quantiles have unbounded sensitivity for additive noise, so the
+    * mechanism instead SCORES every candidate value v by utility
+    * u(v) = −|rank(v) − n/2| and samples ∝ exp(ε·u/2). Sampling runs as
+    * the Gumbel-max trick — argmax(ε·u/2 + Gumbel) ≡ the exponential
+    * draw — with the Gumbel g = −ln(−ln(u01)) seeded from
+    * md5(type:value) (the q_privacy_dp replayable-release discipline)
+    * and quantized to milli (round-milli ln: 1-ulp libm drift ≪ the
+    * rounding step — the elasticity sanction). Utilities stay integral
+    * on the doubled grid (u2 = −|2·cle − n|, score = ε_milli·u2 div 4);
+    * per event type the released DP median rides beside the exact
+    * median and the dollar error — the privacy/utility readout.
+    *
+    * Scale: per-user rollup (map-combinable) → per-type value GRID;
+    * rank = grid cumsum (wquantile economics), score/argmax are
+    * grid-sized windows partitioned by type. The mechanism never sees
+    * row-level data after the rollup.
+    */
+  private val qPrivacyDpQuantile = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val us = Tables(s, d, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(cents).as("c"))
+        .select(col("event_type"), expr("c div 100").as("v"))
+      val grid = us.groupBy("event_type", "v").agg(count(lit(1L)).as("cnt"))
+      val wCum = Window.partitionBy("event_type").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wN = Window.partitionBy("event_type")
+      val scored = grid
+        .withColumn("cle", sum("cnt").over(wCum))
+        .withColumn("n", sum("cnt").over(wN))
+        .withColumn("u2", -abs(col("cle") * 2 - col("n")))
+        .withColumn("s_milli", expr("(1000 * u2) div 4"))
+        .withColumn("g_milli", expr(
+          """CAST(round(-ln(-ln((CAST(conv(substring(md5(concat(
+               event_type, ':', CAST(v AS STRING), ':dpq1')), 1, 4),
+               16, 10) AS DOUBLE) + 0.5) / 65536.0)) * 1000)
+             AS BIGINT)"""))
+        .withColumn("t_milli", col("s_milli") + col("g_milli"))
+        .localCheckpoint(true) // feeds the DP argmax AND the exact median
+      val wPick = Window.partitionBy("event_type")
+        .orderBy(col("t_milli").desc, col("v").asc)
+      val dp = scored.withColumn("rk", row_number().over(wPick))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("n").as("n_users"),
+          col("v").as("dp_med_d"), col("t_milli").as("win_score_milli"))
+      val wMed = Window.partitionBy("event_type")
+        .orderBy(col("v").asc)
+      val exact = scored.filter(col("cle") * 2 >= col("n"))
+        .withColumn("rk", row_number().over(wMed))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("v").as("true_med_d"))
+      dp.join(exact, "event_type")
+        .select(col("event_type"), col("n_users"), col("true_med_d"),
+          col("dp_med_d"),
+          (col("dp_med_d") - col("true_med_d")).as("err_d"),
+          lit(1000L).as("eps_milli"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH us AS (
+              SELECT event_type,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) // 100 AS BIGINT) AS v
+              FROM events GROUP BY event_type, user_id),
+            grid AS (
+              SELECT event_type, v, CAST(count(*) AS BIGINT) AS cnt
+              FROM us GROUP BY 1, 2),
+            cum AS (
+              SELECT event_type, v, cnt,
+                     CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cle,
+                     CAST(sum(cnt) OVER (PARTITION BY event_type)
+                       AS BIGINT) AS n
+              FROM grid),
+            scored AS (
+              SELECT event_type, v, cle, n,
+                     (1000 * (-abs(cle * 2 - n))) // 4 AS s_milli,
+                     CAST(round(-ln(-ln((CAST(
+                       ${DedupOps.duckHex4(
+                         "md5(event_type || ':' || CAST(v AS VARCHAR) || ':dpq1')")}
+                       AS DOUBLE) + 0.5) / 65536.0)) * 1000) AS BIGINT)
+                       AS g_milli
+              FROM cum),
+            dp AS (
+              SELECT event_type, n AS n_users, v AS dp_med_d,
+                     s_milli + g_milli AS win_score_milli
+              FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                      ORDER BY s_milli + g_milli DESC, v ASC) AS rk
+                    FROM scored)
+              WHERE rk = 1),
+            exact AS (
+              SELECT event_type, v AS true_med_d
+              FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                      ORDER BY v ASC) AS rk
+                    FROM scored WHERE cle * 2 >= n)
+              WHERE rk = 1)
+            SELECT d.event_type, d.n_users, e.true_med_d, d.dp_med_d,
+                   CAST(d.dp_med_d - e.true_med_d AS BIGINT) AS err_d,
+                   CAST(1000 AS BIGINT) AS eps_milli
+            FROM dp d JOIN exact e USING (event_type)
+            ORDER BY d.event_type"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_privacy_dp_quantile" -> qPrivacyDpQuantile,
     "q_stats_brier" -> qStatsBrier,
     "q_privacy_dp_topk" -> qPrivacyDpTopk,
     "q_privacy_rr" -> qPrivacyRr,

@@ -692,6 +692,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(ug.contains("HashAggregate"), ug.take(2000))
   }
 
+  test("round-8b ops: keyed candidate joins, grid aggs, no cartesians") {
+    // q_text_textrank: the sentence-similarity graph comes from an EQUI
+    // self-join on (doc_id, tok) — the inverted-index blocking; a
+    // cartesian sentence×sentence pairing is exactly what it avoids
+    val tr = plan("q_text_textrank")
+    assert(!tr.contains("CartesianProduct"), tr.take(3000))
+    assert(tr.contains("Join"), tr.take(2000))
+    // q_dedup_cdc: chunking is map-only — the only data shuffle keys on
+    // the chunk md5 (hash agg), never a doc-pair join
+    val cdc = plan("q_dedup_cdc")
+    assert(!cdc.contains("CartesianProduct")
+      && !cdc.contains("BroadcastNestedLoopJoin"), cdc.take(3000))
+    assert(cdc.contains("HashAggregate"), cdc.take(2000))
+    // q_graph_louvain: both gain rounds join adj⋈labels on node keys —
+    // no all-pairs shape anywhere
+    val lv = plan("q_graph_louvain")
+    assert(!lv.contains("CartesianProduct"), lv.take(3000))
+    // q_events_growth_accounting: presence checks are (user, week)-keyed
+    // equi self-joins of the collapsed DAU table (the 1-row max-week
+    // broadcast is the only nested-loop, by design)
+    val ga = plan("q_events_growth_accounting")
+    assert(!ga.contains("CartesianProduct"), ga.take(3000))
+  }
+
   test("AQE skew join splits the hot partition (skew=true SMJ)") {
     // q_join_salted proves MANUAL salting; real 100-TB deployments lean on
     // AQE's runtime re-plan first and salt only what it can't fix. Pin that
