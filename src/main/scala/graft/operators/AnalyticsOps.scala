@@ -6883,6 +6883,66 @@ object AnalyticsOps extends QueryModule {
             FROM tr t JOIN dm m ON m.dow = t.dow
             ORDER BY t.day"""))
 
+  // ------------------------------------------ audience overlap matrix --
+
+  /** Exact audience-overlap matrix between event types — the pairwise
+    * Jaccard/containment readout q_agg_hll_intersect approximates with
+    * sketches (there: two time-halves of one type; here: every type
+    * PAIR, exact): distinct (type, user) once, pair intersections from
+    * one self-join on user, unions by inclusion–exclusion — never a
+    * user×user product, never a second corpus scan. Jaccard and both
+    * containments ship in ppm (integer div), so marketing's "view
+    * reaches 97% of purchasers" reads directly off the row.
+    *
+    * Scale: the self-join keys on user_id (high-cardinality, balanced)
+    * over the COLLAPSED audience table; |types|² output rows. At sketch
+    * scale the same matrix falls out of q_agg_hll_intersect's
+    * inclusion–exclusion per pair — this exact form is its audit twin.
+    */
+  private val qEventsOverlapMatrix = GQuery(
+    (s, d) => {
+      val tu = t(s, d, "events")
+        .select(col("event_type").as("et"), col("user_id")).distinct()
+        .localCheckpoint(true) // sizes agg + both join sides
+      val sizes = tu.groupBy("et").agg(count(lit(1L)).as("n"))
+      val inter = tu.select(col("et").as("et_a"), col("user_id"))
+        .join(tu.select(col("et").as("et_b"), col("user_id")), "user_id")
+        .filter(col("et_a") < col("et_b"))
+        .groupBy("et_a", "et_b").agg(count(lit(1L)).as("n_inter"))
+      inter
+        .join(sizes.select(col("et").as("et_a"), col("n").as("n_a")), "et_a")
+        .join(sizes.select(col("et").as("et_b"), col("n").as("n_b")), "et_b")
+        .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+        .select(col("et_a"), col("et_b"), col("n_a"), col("n_b"),
+          col("n_inter"), col("n_union"),
+          expr("(n_inter * 1000000) div n_union").as("jaccard_ppm"),
+          expr("(n_inter * 1000000) div n_a").as("contain_a_ppm"),
+          expr("(n_inter * 1000000) div n_b").as("contain_b_ppm"))
+        .orderBy("et_a", "et_b")
+    },
+    Some("""WITH tu AS (
+              SELECT DISTINCT event_type AS et, user_id FROM events),
+            sizes AS (
+              SELECT et, CAST(count(*) AS BIGINT) AS n FROM tu GROUP BY 1),
+            inter AS (
+              SELECT a.et AS et_a, b.et AS et_b,
+                     CAST(count(*) AS BIGINT) AS n_inter
+              FROM tu a JOIN tu b
+                ON a.user_id = b.user_id AND a.et < b.et
+              GROUP BY 1, 2)
+            SELECT i.et_a, i.et_b, sa.n AS n_a, sb.n AS n_b, i.n_inter,
+                   sa.n + sb.n - i.n_inter AS n_union,
+                   CAST((i.n_inter * 1000000)
+                     // (sa.n + sb.n - i.n_inter) AS BIGINT) AS jaccard_ppm,
+                   CAST((i.n_inter * 1000000) // sa.n AS BIGINT)
+                     AS contain_a_ppm,
+                   CAST((i.n_inter * 1000000) // sb.n AS BIGINT)
+                     AS contain_b_ppm
+            FROM inter i
+            JOIN sizes sa ON sa.et = i.et_a
+            JOIN sizes sb ON sb.et = i.et_b
+            ORDER BY i.et_a, i.et_b"""))
+
   // ------------------------------------------- permutation entropy --
 
   /** Permutation entropy (Bandt & Pompe 2002), order 3 — the
@@ -9192,6 +9252,7 @@ object AnalyticsOps extends QueryModule {
     "q_stats_dispersion" -> qStatsDispersion,
     "q_events_growth_accounting" -> qEventsGrowthAccounting,
     "q_ts_permentropy" -> qTsPermentropy,
+    "q_events_overlap_matrix" -> qEventsOverlapMatrix,
     "q_events_sliding_distinct" -> qEventsSlidingDistinct,
     "q_events_sliding_distinct_approx" -> qEventsSlidingDistinctApprox,
     "q_stats_standardize" -> qStatsStandardize,
