@@ -2068,7 +2068,145 @@ object SimilarityOps extends QueryModule {
             FROM negs n LEFT JOIN hp h ON h.p_id = n.p_id
             ORDER BY n.p_id, n.rk"""))
 
+  // ---------------------------------------------- NN-descent round --
+
+  /** One NN-descent refinement round (Dong et al., WWW'11) — the
+    * kNN-graph construction that needs NO index at all, exactly as the
+    * paper runs it: start from a RANDOM graph (3 hash-seeded links per
+    * node, md5-replayable — an intra-cell start would leave 2-hops
+    * trapped inside the cell with nothing to discover), then apply the
+    * NN-descent step "my neighbor's neighbors are my candidates" (one
+    * graph⋈graph hop), re-rank the ≤ K+K² candidates by exact cosine,
+    * keep top-3. The emitted histogram counts per node how many of the
+    * final top-3 arrived through the hop (0..3) with the dround'd mean
+    * cosine gain per bucket — after one round from random init most
+    * nodes adopt 2–3 discovered neighbors (gain ≈ +0.4..0.6 cosine);
+    * iterating drives the adoption count to zero, which is the
+    * convergence criterion. Cosines ride the VectorDot kernel on the
+    * dround(·,6) grid of the whole knn family.
+    *
+    * Scale: the hop is a self-join of the K-SPARSE graph (nodes×K
+    * rows), never of the corpus — candidates per node ≤ K + K², exactly
+    * NN-descent's bounded-candidate property; re-ranking is map-only
+    * dot products plus a per-node top-k window. This is the
+    * index-free complement to the IVF family: same graph product as
+    * q_knn_join, no centroid training required.
+    */
+  private val qKnnNndescent = GQuery(
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("emb"))
+        .withColumn("nrm", norm(col("emb")))
+        .localCheckpoint(true) // centroid probe + 2 scoring sides
+      val n = emb.count() // control-plane scalar (bigrams-n precedent)
+      val wTop = Window.partitionBy("p_id")
+        .orderBy(col("cos").desc, col("n_id").asc)
+      // random-init graph: 3 hash-seeded links per node (the paper's
+      // random initialization, replayable via md5)
+      val g = emb.select(col("vec_id").as("p_id"),
+          explode(expr("sequence(1, 3)")).as("j"))
+        .select(col("p_id"), expr(
+          s"""CAST(conv(substring(md5(concat(CAST(p_id AS STRING), ':',
+              CAST(j AS STRING), ':nnd')), 1, 4), 16, 10) AS BIGINT)
+              % $n""").as("n_id"))
+        .filter(col("p_id") =!= col("n_id")).distinct()
+        .join(emb.select(col("vec_id").as("p_id"), col("emb").as("p_emb"),
+          col("nrm").as("p_nrm")), "p_id")
+        .join(emb.select(col("vec_id").as("n_id"), col("emb").as("n_emb"),
+          col("nrm").as("n_nrm")), "n_id")
+        .select(col("p_id"), col("n_id"),
+          dround(dot(col("p_emb"), col("n_emb"))
+            / (col("p_nrm") * col("n_nrm")), 6).as("cos"))
+        .localCheckpoint(true) // hop self-join + membership + base score
+      val hop = g.select(col("p_id"), col("n_id").as("mid"))
+        .join(g.select(col("p_id").as("mid"), col("n_id")), "mid")
+        .filter(col("p_id") =!= col("n_id"))
+        .select("p_id", "n_id").distinct()
+      val cands = g.select("p_id", "n_id").unionByName(hop).distinct()
+      val scored = cands
+        .join(emb.select(col("vec_id").as("p_id"), col("emb").as("p_emb"),
+          col("nrm").as("p_nrm")), "p_id")
+        .join(emb.select(col("vec_id").as("n_id"), col("emb").as("n_emb"),
+          col("nrm").as("n_nrm")), "n_id")
+        .select(col("p_id"), col("n_id"),
+          dround(dot(col("p_emb"), col("n_emb"))
+            / (col("p_nrm") * col("n_nrm")), 6).as("cos"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 3)
+      val flagged = scored
+        .join(g.select(col("p_id"), col("n_id"), lit(1L).as("in_base")),
+          Seq("p_id", "n_id"), "left")
+        .groupBy("p_id")
+        .agg(sum(when(col("in_base").isNull, 1L).otherwise(0L))
+          .as("n_new"), sum("cos").as("new_sum"))
+      val base = g.groupBy("p_id").agg(sum("cos").as("old_sum"))
+      flagged.join(base, "p_id")
+        .groupBy(col("n_new"))
+        .agg(count(lit(1L)).as("n_vectors"),
+          dround(avg(col("new_sum") - col("old_sum")), 4).as("avg_gain"))
+        .orderBy("n_new")
+    },
+    Some(s"""WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                     sqrt(list_sum(list_transform(
+                       CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+              FROM embeddings),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+            links AS (
+              SELECT DISTINCT p_id, n_id FROM (
+                SELECT e.vec_id AS p_id,
+                       ${graft.operators.DedupOps.duckHex4("md5(CAST(e.vec_id AS VARCHAR) || ':' || CAST(js.j AS VARCHAR) || ':nnd')")} % nn.n AS n_id
+                FROM e, nn, (SELECT unnest([1, 2, 3]) AS j) js)
+              WHERE p_id <> n_id),
+            g AS (
+              SELECT l.p_id, l.n_id,
+                     CAST(round(CAST(list_dot_product(pe.emb, ne.emb)
+                       / (pe.nrm * ne.nrm) AS DECIMAL(30,8)), 6) AS DOUBLE)
+                       AS cos
+              FROM links l
+              JOIN e pe ON pe.vec_id = l.p_id
+              JOIN e ne ON ne.vec_id = l.n_id),
+            hop AS (
+              SELECT DISTINCT a.p_id, b.n_id
+              FROM g a JOIN g b ON a.n_id = b.p_id
+              WHERE a.p_id <> b.n_id),
+            cands AS (
+              SELECT p_id, n_id FROM g
+              UNION
+              SELECT p_id, n_id FROM hop),
+            scored AS (
+              SELECT p_id, n_id, cos FROM (
+                SELECT c.p_id, c.n_id,
+                       CAST(round(CAST(list_dot_product(pe.emb, ne.emb)
+                         / (pe.nrm * ne.nrm) AS DECIMAL(30,8)), 6)
+                         AS DOUBLE) AS cos,
+                       row_number() OVER (PARTITION BY c.p_id
+                         ORDER BY CAST(round(CAST(list_dot_product(pe.emb,
+                           ne.emb) / (pe.nrm * ne.nrm) AS DECIMAL(30,8)),
+                           6) AS DOUBLE) DESC, c.n_id) AS rk
+                FROM cands c
+                JOIN e pe ON pe.vec_id = c.p_id
+                JOIN e ne ON ne.vec_id = c.n_id)
+              WHERE rk <= 3),
+            flagged AS (
+              SELECT s.p_id,
+                     CAST(sum(CASE WHEN gb.p_id IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_new,
+                     sum(s.cos) AS new_sum
+              FROM scored s LEFT JOIN g gb
+                ON gb.p_id = s.p_id AND gb.n_id = s.n_id
+              GROUP BY 1),
+            base AS (
+              SELECT p_id, sum(cos) AS old_sum FROM g GROUP BY 1)
+            SELECT f.n_new, CAST(count(*) AS BIGINT) AS n_vectors,
+                   CAST(round(CAST(avg(f.new_sum - b.old_sum)
+                     AS DECIMAL(30,8)), 4) AS DOUBLE) AS avg_gain
+            FROM flagged f JOIN base b USING (p_id)
+            GROUP BY 1 ORDER BY f.n_new"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_knn_nndescent" -> qKnnNndescent,
     "q_sample_hardneg" -> qSampleHardneg,
     "q_embed_outlier" -> qEmbedOutlier,
     "q_knn_binary" -> qKnnBinary,
