@@ -2205,7 +2205,127 @@ object SimilarityOps extends QueryModule {
             FROM flagged f JOIN base b USING (p_id)
             GROUP BY 1 ORDER BY f.n_new"""))
 
+  // ----------------------------------------------- cluster silhouette --
+
+  /** Simplified silhouette (centroid silhouette, Hruschka 2004 — public)
+    * for the kmeans partition: per point, a = distance to its ASSIGNED
+    * centroid, b = distance to the nearest OTHER centroid, s = (b−a)/
+    * max(a,b) — the clustering-quality gate that tells a curation
+    * pipeline whether its embedding clusters are real before it samples
+    * or dedups by them. The assignment is the seed-round one (a1) but
+    * distances are against the UPDATED centroids (c1), so s < 0 flags
+    * exactly the points the next kmeans round would move — measured
+    * against the assigning centroids a ≤ b holds by construction and
+    * the negative count is vacuously zero. Shares q_embed_kmeans'
+    * exact integer economics:
+    * milli-grid quantized vectors, one update round from the vec_id<4
+    * seeds, integer centroids (sum div count). Distances leave the
+    * squared grid through the mirrored IEEE-sqrt integer
+    * (floor(√·+0.5) — bit-identical cross-engine on BIGINT inputs), and
+    * s lands in exact milli via ((b−a)·1000) div max(1, max(a,b));
+    * truncation toward zero matches DuckDB // on the possibly-negative
+    * numerator (CLAUDE.md integer-div rule). Emitted per cluster: size,
+    * mean silhouette milli, and the negative-silhouette count (points
+    * nearer a foreign centroid — the misassignment audit).
+    *
+    * Scale: one broadcast crossJoin against K centroids (K=4 here; K
+    * rows per point regardless of corpus) + one vec_id-keyed equi-join
+    * to the assignment, folded to a/b by a K-row-per-key conditional
+    * agg, then one cluster-keyed agg. No pairwise distances anywhere —
+    * the full silhouette's O(n²) is exactly what this variant avoids.
+    */
+  private val qEmbedSilhouette = GQuery(
+    (s, d) => {
+      val qv = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => floor(x * lit(1000d) + lit(0.5d)).cast("long") + lit(1000L))
+            .as("qarr"))
+      val c0 = qv.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("qarr").as("carr"))
+      val sq = aggregate(
+        zip_with(col("qarr"), col("carr"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      val a1 = qv.crossJoin(broadcast(c0))
+        .withColumn("dist", sq)
+        .groupBy("vec_id")
+        .agg(min(col("dist") * lit(8L) + col("cid")).as("m"))
+        .select(col("vec_id"), pmod(col("m"), lit(8L)).as("cid"))
+      val c1 = qv.join(broadcast(a1), "vec_id")
+        .select(col("cid"), posexplode(col("qarr")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(expr("sum(v) div count(1)").as("cv"))
+        .groupBy("cid")
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("carr"))
+      // silhouette of the a1 ASSIGNMENT against the UPDATED centroids:
+      // a = dist to the assigned (stale) centroid, b = nearest OTHER
+      // updated centroid. s < 0 ⟺ the point would switch clusters on the
+      // next kmeans round — measuring against the assigning centroids
+      // instead would make a ≤ b by construction and the audit vacuous.
+      val per = qv.crossJoin(broadcast(c1))
+        .withColumn("eu", floor(sqrt(sq.cast("double")) + 0.5).cast("long"))
+        .join(a1.withColumnRenamed("cid", "own"), "vec_id")
+        .groupBy("vec_id")
+        .agg(max(when(col("cid") === col("own"), col("own"))).as("cid"),
+          max(when(col("cid") === col("own"), col("eu"))).as("a"),
+          min(when(col("cid") =!= col("own"), col("eu"))).as("b"))
+        .withColumn("s_milli",
+          expr("((b - a) * 1000) div greatest(1, greatest(a, b))"))
+      per.groupBy("cid")
+        .agg(count(lit(1L)).as("n"),
+          expr("sum(s_milli) div count(1)").as("mean_sil_milli"),
+          sum(when(col("s_milli") < 0, 1L).otherwise(0L)).as("n_negative"))
+        .orderBy("cid")
+    },
+    Some("""WITH q AS (
+              SELECT vec_id,
+                     unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x*1000 + 0.5) AS BIGINT) + 1000)) AS v,
+                     unnest(generate_series(1, len(embedding))) AS dim
+              FROM embeddings),
+            c0 AS (SELECT vec_id AS cid, dim, v AS c FROM q
+                   WHERE vec_id < 4),
+            d1 AS (
+              SELECT q.vec_id, c0.cid,
+                     CAST(sum((q.v - c0.c)*(q.v - c0.c)) AS BIGINT) AS dist
+              FROM q JOIN c0 USING (dim) GROUP BY 1, 2),
+            a1 AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dist, cid) AS rn
+                FROM d1) WHERE rn = 1),
+            c1 AS (
+              SELECT a1.cid, q.dim,
+                     CAST(sum(q.v) // count(*) AS BIGINT) AS c
+              FROM q JOIN a1 USING (vec_id) GROUP BY 1, 2),
+            d2 AS (
+              SELECT q.vec_id, c1.cid,
+                     CAST(floor(sqrt(CAST(sum((q.v - c1.c)*(q.v - c1.c))
+                       AS DOUBLE)) + 0.5) AS BIGINT) AS eu
+              FROM q JOIN c1 USING (dim) GROUP BY 1, 2),
+            per AS (
+              SELECT d2.vec_id,
+                     max(CASE WHEN d2.cid = a1.cid THEN a1.cid END) AS cid,
+                     max(CASE WHEN d2.cid = a1.cid THEN eu END) AS a,
+                     min(CASE WHEN d2.cid <> a1.cid THEN eu END) AS b
+              FROM d2 JOIN a1 ON a1.vec_id = d2.vec_id
+              GROUP BY 1),
+            scored AS (
+              SELECT cid,
+                     ((b - a) * 1000) // greatest(1, greatest(a, b))
+                       AS s_milli
+              FROM per)
+            SELECT cid, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(s_milli) // count(*) AS BIGINT)
+                     AS mean_sil_milli,
+                   CAST(sum(CASE WHEN s_milli < 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_negative
+            FROM scored GROUP BY 1 ORDER BY 1"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_embed_silhouette" -> qEmbedSilhouette,
     "q_knn_nndescent" -> qKnnNndescent,
     "q_sample_hardneg" -> qSampleHardneg,
     "q_embed_outlier" -> qEmbedOutlier,

@@ -9225,7 +9225,125 @@ object AnalyticsOps extends QueryModule {
                      AS mismatch
             FROM u ORDER BY event_type"""))
 
+  // ------------------------------------------------ peak concurrency --
+
+  /** Peak concurrent sessions per day — the capacity-planning sweep-line
+    * (max concurrent viewers/connections) the coverage and sessionize
+    * operators can't answer: how many sessions are OPEN at the busiest
+    * instant of each day? Sessions are the 30-minute-gap sessionization
+    * (q_events_session's exact rule); each contributes +1 at its start
+    * second and −1 at its end second, ends INCLUSIVE (+1 sorts before −1
+    * at the same second, so touching sessions count as concurrent and a
+    * single-event session registers). The sweep is day-partitioned: a
+    * session spanning midnight feeds a carry-in count to every interior
+    * day (sd+1..ed), and peak(d) = carry(d) + max(0, best prefix sum of
+    * d's own deltas) — the prefix max is invariant to tie order inside an
+    * equal-(sec, delta) group, and the window's (sec, delta desc, user,
+    * sid) ordering is total anyway. Emitted: sessions started, carry-in,
+    * peak concurrency per epoch day.
+    *
+    * Scale: sessionization is the user-partitioned lag window (as-of
+    * economics); the sweep window partitions by DAY so no global sort
+    * ever forms — at 100 TB the hot day is the skew unit, and a day's
+    * deltas are 2 rows/session, orders of magnitude below its events.
+    * Carry-in explodes only midnight-spanning sessions × their interior
+    * days (bounded by the retention window), never event rows.
+    */
+  private val qEventsConcurrency = GQuery(
+    (s, d) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+      val sess = t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("ts_sec"))
+        .withColumn("is_new",
+          when(col("ts_sec") - lag("ts_sec", 1).over(wOrd) > 1800, 1)
+            .otherwise(0))
+        .withColumn("sid",
+          sum("is_new").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(min("ts_sec").as("st"), max("ts_sec").as("en"))
+        .withColumn("sd", expr("st div 86400"))
+        .withColumn("ed", expr("en div 86400"))
+        .localCheckpoint(true) // feeds the delta union AND the carry explode
+      val deltas = sess.select(col("user_id"), col("sid"),
+          col("sd").as("day"), col("st").as("sec"), lit(1L).as("delta"))
+        .unionByName(sess.select(col("user_id"), col("sid"),
+          col("ed").as("day"), col("en").as("sec"), lit(-1L).as("delta")))
+      val wSweep = Window.partitionBy("day")
+        .orderBy(col("sec").asc, col("delta").desc, col("user_id").asc,
+          col("sid").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sweep = deltas
+        .withColumn("run", sum("delta").over(wSweep))
+        .groupBy("day")
+        .agg(max("run").as("sweep_peak"),
+          sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_start"))
+      val carry = sess.filter(col("ed") > col("sd"))
+        .select(explode(expr("sequence(sd + 1, ed)")).as("day"))
+        .groupBy("day").agg(count(lit(1L)).as("carry_in"))
+      sweep.join(carry, Seq("day"), "full")
+        .select(col("day"),
+          coalesce(col("n_start"), lit(0L)).as("n_start"),
+          coalesce(col("carry_in"), lit(0L)).as("carry_in"),
+          (coalesce(col("carry_in"), lit(0L))
+            + greatest(lit(0L), coalesce(col("sweep_peak"), lit(0L))))
+            .as("peak_conc"))
+        .orderBy("day")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_id,
+                     CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+              FROM events),
+            flagged AS (
+              SELECT *, CASE WHEN ts_sec - lag(ts_sec) OVER w > 1800
+                             THEN 1 ELSE 0 END AS is_new
+              FROM e WINDOW w AS (PARTITION BY user_id
+                ORDER BY ts_sec, event_id)),
+            sessrows AS (
+              SELECT user_id, ts_sec,
+                     CAST(sum(is_new) OVER (PARTITION BY user_id
+                       ORDER BY ts_sec, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS sid
+              FROM flagged),
+            spans AS (
+              SELECT user_id, sid, min(ts_sec) AS st, max(ts_sec) AS en,
+                     min(ts_sec) // 86400 AS sd, max(ts_sec) // 86400 AS ed
+              FROM sessrows GROUP BY 1, 2),
+            deltas AS (
+              SELECT user_id, sid, sd AS day, st AS sec,
+                     CAST(1 AS BIGINT) AS delta FROM spans
+              UNION ALL
+              SELECT user_id, sid, ed AS day, en AS sec,
+                     CAST(-1 AS BIGINT) AS delta FROM spans),
+            sweep AS (
+              SELECT day, CAST(max(run) AS BIGINT) AS sweep_peak,
+                     CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_start
+              FROM (SELECT day, delta,
+                      sum(delta) OVER (PARTITION BY day
+                        ORDER BY sec ASC, delta DESC, user_id, sid
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS run
+                    FROM deltas) GROUP BY 1),
+            carry AS (
+              SELECT CAST(i.day AS BIGINT) AS day,
+                     CAST(count(*) AS BIGINT) AS carry_in
+              FROM spans,
+                   LATERAL (SELECT unnest(generate_series(sd + 1, ed))
+                     AS day) i
+              WHERE ed > sd GROUP BY 1)
+            SELECT coalesce(s.day, c.day) AS day,
+                   coalesce(s.n_start, 0) AS n_start,
+                   coalesce(c.carry_in, 0) AS carry_in,
+                   CAST(coalesce(c.carry_in, 0)
+                     + greatest(0, coalesce(s.sweep_peak, 0)) AS BIGINT)
+                     AS peak_conc
+            FROM sweep s FULL JOIN carry c ON s.day = c.day
+            ORDER BY 1"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_events_concurrency" -> qEventsConcurrency,
     "q_stats_power" -> qStatsPower,
     "q_stats_srm" -> qStatsSrm,
     "q_ts_conformal" -> qTsConformal,

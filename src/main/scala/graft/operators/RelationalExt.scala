@@ -900,7 +900,104 @@ object RelationalExt extends QueryModule {
                    true AS inter_ok
             FROM events GROUP BY 1 ORDER BY event_type"""))
 
+  // --------------------------------------------------- KMV distinct --
+
+  /** KMV (K-Minimum-Values) distinct-count sketch, k = 64 — the one
+    * cardinality sketch whose ESTIMATE is hash-identical cross-engine:
+    * unlike HLL (engine-private register layouts, so q_agg_approx can
+    * only be bounds-checked), KMV is a pure function of the k smallest
+    * md5 values, and md5 is the repo's portable hash anchor. h is the
+    * first 12 md5 hex digits as a 48-bit BIGINT (Spark conv ≡ DuckDB
+    * '0x'-prefix cast), D̂ = (k−1)·2⁴⁸ div h₍ₖ₎, exact integer; sketches
+    * smaller than k are exact by definition (est = n_sketch). The build
+    * is deliberately TWO-LEVEL to pin the sketch's mergeability — per
+    * (key, salt=user%8) k-smallest survivors union + re-rank to the
+    * global k-smallest, the same partial-sketch merge a 1000-executor
+    * run performs — since ∪ of per-partition k-minima ⊇ global k-minima.
+    * Emitted per event_type (+ '__all'): exact distinct, sketch size,
+    * KMV estimate, signed milli error.
+    *
+    * Scale: level 1 windows partition by (key, salt) and level 2 sees
+    * ≤ salts·k rows per key — no global distinct anywhere near the
+    * estimate path (the exact twin column is the sf-sized audit, itself
+    * a map-combinable distinct agg). The estimate is within ~1/√k of
+    * truth; widening k or the salt fan-out is config, not plan surgery.
+    */
+  private val qAggKmv = GQuery(
+    (s, d) => {
+      val base = t(s, d, "events").select(col("event_type"), col("user_id"))
+      val both = base.unionByName(
+        base.select(lit("__all").as("event_type"), col("user_id")))
+        .localCheckpoint(true) // feeds the sketch AND the exact audit
+      val hashed = both.select(col("event_type"),
+          pmod(col("user_id"), lit(8L)).as("salt"),
+          conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+            .cast("long").as("h"))
+        .distinct()
+      val w1 = Window.partitionBy("event_type", "salt").orderBy("h")
+      val lvl1 = hashed.withColumn("rn", row_number().over(w1))
+        .filter(col("rn") <= 64)
+        .select("event_type", "h").distinct()
+      val w2 = Window.partitionBy("event_type").orderBy("h")
+      val sk = lvl1.withColumn("rn", row_number().over(w2))
+        .filter(col("rn") <= 64)
+        .groupBy("event_type")
+        .agg(count(lit(1L)).as("n_sketch"),
+          max(when(col("rn") === 64, col("h"))).as("h64"))
+      val exact = both.groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_exact"))
+      exact.join(sk, Seq("event_type"))
+        .withColumn("kmv_est",
+          when(col("n_sketch") < 64, col("n_sketch"))
+            .otherwise(expr(
+              "(63 * 281474976710656) div greatest(1, h64)")))
+        .withColumn("err_milli",
+          expr("((kmv_est - n_exact) * 1000) div n_exact"))
+        .select("event_type", "n_exact", "n_sketch", "kmv_est", "err_milli")
+        .orderBy("event_type")
+    },
+    Some("""WITH b AS (
+              SELECT event_type, user_id FROM events
+              UNION ALL
+              SELECT '__all' AS event_type, user_id FROM events),
+            hashed AS (
+              SELECT DISTINCT event_type, user_id % 8 AS salt,
+                     CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                       AS BIGINT) AS h
+              FROM b),
+            lvl1 AS (
+              SELECT DISTINCT event_type, h FROM (
+                SELECT event_type, h,
+                       row_number() OVER (PARTITION BY event_type, salt
+                         ORDER BY h) AS rn
+                FROM hashed) WHERE rn <= 64),
+            lvl2 AS (
+              SELECT event_type, h,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY h) AS rn
+              FROM lvl1 QUALIFY rn <= 64),
+            sk AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n_sketch,
+                     max(CASE WHEN rn = 64 THEN h END) AS h64
+              FROM lvl2 GROUP BY 1),
+            ex AS (
+              SELECT event_type,
+                     CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+              FROM b GROUP BY 1),
+            est AS (
+              SELECT e.event_type, e.n_exact, s.n_sketch,
+                     CAST(CASE WHEN s.n_sketch < 64 THEN s.n_sketch
+                          ELSE (63 * 281474976710656)
+                               // greatest(1, s.h64) END AS BIGINT)
+                       AS kmv_est
+              FROM ex e JOIN sk s USING (event_type))
+            SELECT event_type, n_exact, n_sketch, kmv_est,
+                   CAST(((kmv_est - n_exact) * 1000) // n_exact AS BIGINT)
+                     AS err_milli
+            FROM est ORDER BY 1"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_agg_kmv" -> qAggKmv,
     "q_agg_hll_intersect" -> qAggHllIntersect,
     "q_agg_wquantile" -> qAggWquantile,
     "q_events_variant" -> qEventsVariant,

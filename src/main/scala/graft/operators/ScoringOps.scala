@@ -2268,7 +2268,226 @@ object ScoringOps extends QueryModule {
             SELECT * FROM per UNION ALL SELECT * FROM summary
             ORDER BY p_id"""))
 
+  // ----------------------------------------------------------- pass@k --
+
+  /** Unbiased pass@k — the HumanEval/Codex estimator (Chen et al. 2021,
+    * public): given n sampled attempts per problem of which c succeed,
+    * pass@k = 1 − C(n−c,k)/C(n,k), the probability that a random size-k
+    * subset contains a success. Problems are (event_type, user) pairs,
+    * attempts their first ≤20 events on the (ts, event_id) total order,
+    * success = value ≥ 35 (the corpus median); problems need n ≥ 10 so
+    * k = 10 is always defined. The binomial ratio collapses to falling
+    * factorials, ∏ᵢ(n−c−i)/∏ᵢ(n−i), evaluated as two exact BIGINT
+    * products (≤ 20·19·…·11 ≈ 6.7·10¹¹, ×10⁶ still inside Long) so
+    * pass@k in ppm is ((den−num)·10⁶) div den — hash-exact, no floats.
+    * Emitted per event_type: problem count and the mean pass@{1,5,10}
+    * ppm (integer micro-mean, the eval_mrr summary discipline).
+    *
+    * Scale: the only window is row_number per (type, user) problem key —
+    * partition-parallel, never global; after the ≤20-attempt cap the
+    * corpus collapses to one row per problem (map-combinable agg), and
+    * the estimator is plain per-row arithmetic + a |types|-row final agg.
+    * A 10⁹-problem eval run keeps the same shape; the attempt cap bounds
+    * the falling factorials regardless of how many samples land per
+    * problem.
+    */
+  private val qEvalPassAtK = GQuery(
+    (s, d) => {
+      val wAtt = Window.partitionBy("event_type", "user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val per = t(s, d, "events")
+        .select(col("event_type"), col("user_id"), col("ts"), col("event_id"),
+          when(col("value") >= 35.0, 1L).otherwise(0L).as("ok"))
+        .withColumn("rn", row_number().over(wAtt))
+        .filter(col("rn") <= 20)
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1L)).as("n"), sum("ok").as("c"))
+        .filter(col("n") >= 10)
+        .withColumn("nc", col("n") - col("c"))
+      def fall(base: Column, k: Int): Column =
+        (0 until k).map(i => base - lit(i.toLong)).reduce(_ * _)
+      val scored = Seq(1, 5, 10).foldLeft(per) { (df, k) =>
+        df.withColumn(s"den$k", fall(col("n"), k))
+          .withColumn(s"num$k",
+            when(col("nc") >= k, fall(col("nc"), k)).otherwise(lit(0L)))
+          .withColumn(s"p$k", expr(s"((den$k - num$k) * 1000000) div den$k"))
+      }
+      scored.groupBy("event_type")
+        .agg(count(lit(1L)).as("n_problems"),
+          expr("sum(p1) div count(1)").as("pass1_ppm"),
+          expr("sum(p5) div count(1)").as("pass5_ppm"),
+          expr("sum(p10) div count(1)").as("pass10_ppm"))
+        .orderBy("event_type")
+    },
+    Some("""WITH att AS (
+              SELECT event_type, user_id,
+                     CASE WHEN value >= 35.0 THEN 1 ELSE 0 END AS ok,
+                     row_number() OVER (PARTITION BY event_type, user_id
+                       ORDER BY ts, event_id) AS rn
+              FROM events),
+            per AS (
+              SELECT event_type, user_id,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(ok) AS BIGINT) AS c
+              FROM att WHERE rn <= 20
+              GROUP BY 1, 2 HAVING count(*) >= 10),
+            sc AS (
+              SELECT event_type, n, n - c AS nc FROM per),
+            p AS (
+              SELECT event_type,
+                     ((n - CASE WHEN nc >= 1 THEN nc ELSE 0 END) * 1000000)
+                       // n AS p1,
+                     ((n*(n-1)*(n-2)*(n-3)*(n-4)
+                       - CASE WHEN nc >= 5
+                           THEN nc*(nc-1)*(nc-2)*(nc-3)*(nc-4)
+                           ELSE 0 END) * 1000000)
+                       // (n*(n-1)*(n-2)*(n-3)*(n-4)) AS p5,
+                     ((n*(n-1)*(n-2)*(n-3)*(n-4)*(n-5)*(n-6)*(n-7)*(n-8)*(n-9)
+                       - CASE WHEN nc >= 10
+                           THEN nc*(nc-1)*(nc-2)*(nc-3)*(nc-4)
+                                *(nc-5)*(nc-6)*(nc-7)*(nc-8)*(nc-9)
+                           ELSE 0 END) * 1000000)
+                       // (n*(n-1)*(n-2)*(n-3)*(n-4)
+                          *(n-5)*(n-6)*(n-7)*(n-8)*(n-9)) AS p10
+              FROM sc)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_problems,
+                   CAST(sum(p1) // count(*) AS BIGINT) AS pass1_ppm,
+                   CAST(sum(p5) // count(*) AS BIGINT) AS pass5_ppm,
+                   CAST(sum(p10) // count(*) AS BIGINT) AS pass10_ppm
+            FROM p GROUP BY 1 ORDER BY 1"""))
+
+  // ------------------------------------------------ Bradley-Terry MM --
+
+  /** Bradley–Terry strength ranking from pairwise preferences — the
+    * LLM-arena / side-by-side-eval aggregator (Hunter 2004's MM
+    * algorithm, public): matches are (user, day) cells where the user's
+    * most-frequent event type (count desc, name asc — deterministic)
+    * beats the runner-up; two MM rounds refine uniform strengths via
+    * rᵢ ← Wᵢ / Σⱼ nᵢⱼ/(rᵢ+rⱼ). Fixed-point economics: r in milli,
+    * the pair term (nᵢⱼ·10⁹) div (rᵢ+rⱼ) carries 10⁶× the true
+    * denominator, so rᵢ' = (Wᵢ·10⁹) div dᵢ lands back in milli — every
+    * division is BIGINT div on positive operands, hash-exact. Round one
+    * from uniform init is analytically Wᵢ·2000·|pairs|-weighted win
+    * rate; round two is where the opponent-strength adjustment shows.
+    * No normalization (BT is scale-invariant; milli anchor documented).
+    *
+    * Scale: the corpus collapses to (user, day, type) counts (one
+    * map-combinable agg), the ranking window partitions by (user, day),
+    * and everything after the match extraction is |types|²-sized — the
+    * MM rounds iterate on a broadcast-scale table exactly like the
+    * kmeans/pagerank fixed-iteration precedent, never rescanning events.
+    */
+  private val qRankBtl = GQuery(
+    (s, d) => {
+      val wRk = Window.partitionBy("user_id", "day")
+        .orderBy(col("cnt").desc, col("event_type").asc)
+      val cell = t(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("unix_timestamp(ts) div 86400").as("day"))
+        .groupBy("user_id", "day", "event_type")
+        .agg(count(lit(1L)).as("cnt"))
+        .withColumn("rk", row_number().over(wRk))
+        .filter(col("rk") <= 2)
+      val matches = cell.groupBy("user_id", "day")
+        .agg(max(when(col("rk") === 1, col("event_type"))).as("w"),
+          max(when(col("rk") === 2, col("event_type"))).as("l"))
+        .filter(col("l").isNotNull)
+        .groupBy("w", "l").agg(count(lit(1L)).as("cnt"))
+        .localCheckpoint(true) // tiny |types|² table feeding wins + pairs
+      val pairs = matches.select(col("w").as("a"), col("l").as("b"), col("cnt"))
+        .unionByName(matches.select(col("l").as("a"), col("w").as("b"),
+          col("cnt")))
+        .groupBy("a", "b").agg(sum("cnt").as("n_ab"))
+      val wins = matches.groupBy("w").agg(sum("cnt").as("wins"))
+        .select(col("w").as("a"), col("wins"))
+      val base = pairs.groupBy("a").agg(sum("n_ab").as("n_matches"))
+        .join(wins, Seq("a"), "left")
+        .select(col("a"), col("n_matches"),
+          coalesce(col("wins"), lit(0L)).as("wins"))
+      def mmRound(r: DataFrame): DataFrame = {
+        val d = pairs
+          .join(r.select(col("a"), col("r").as("ra")), Seq("a"))
+          .join(r.select(col("a").as("b"), col("r").as("rb")), Seq("b"))
+          .groupBy("a")
+          .agg(greatest(lit(1L),
+            sum(expr("(n_ab * 1000000000) div (ra + rb)"))).as("denom"))
+        // greatest(1, ·) guards: a zero-win type gets r = 0 which could
+        // zero a later pair denominator (ra + rb) — clamp r and denom to
+        // 1 milli / 1 unit (mirrored in the oracle) so ANSI never divides
+        // by zero on degenerate win matrices.
+        base.join(d, Seq("a"))
+          .select(col("a"),
+            greatest(lit(1L), expr("(wins * 1000000000) div denom")).as("r"))
+      }
+      val r0 = base.select(col("a"), lit(1000L).as("r"))
+      val r1 = mmRound(r0).localCheckpoint(true)
+      val r2 = mmRound(r1)
+      base.join(r1.select(col("a"), col("r").as("r1_milli")), Seq("a"))
+        .join(r2.select(col("a"), col("r").as("r2_milli")), Seq("a"))
+        .select(col("a").as("event_type"), col("n_matches"), col("wins"),
+          col("r1_milli"), col("r2_milli"))
+        .orderBy("event_type")
+    },
+    Some("""WITH cell AS (
+              SELECT user_id,
+                     CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400
+                       AS day,
+                     event_type, CAST(count(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1, 2, 3),
+            rk AS (
+              SELECT *, row_number() OVER (PARTITION BY user_id, day
+                ORDER BY cnt DESC, event_type ASC) AS rk
+              FROM cell QUALIFY rk <= 2),
+            m AS (
+              SELECT user_id, day,
+                     max(CASE WHEN rk = 1 THEN event_type END) AS w,
+                     max(CASE WHEN rk = 2 THEN event_type END) AS l
+              FROM rk GROUP BY 1, 2),
+            matches AS (
+              SELECT w, l, CAST(count(*) AS BIGINT) AS cnt
+              FROM m WHERE l IS NOT NULL GROUP BY 1, 2),
+            pairs AS (
+              SELECT a, b, CAST(sum(cnt) AS BIGINT) AS n_ab
+              FROM (SELECT w AS a, l AS b, cnt FROM matches
+                    UNION ALL
+                    SELECT l AS a, w AS b, cnt FROM matches)
+              GROUP BY 1, 2),
+            wins AS (SELECT w AS a, CAST(sum(cnt) AS BIGINT) AS wins
+                     FROM matches GROUP BY 1),
+            base AS (
+              SELECT p.a, CAST(sum(p.n_ab) AS BIGINT) AS n_matches,
+                     coalesce(any_value(w.wins), 0) AS wins
+              FROM pairs p LEFT JOIN wins w ON w.a = p.a
+              GROUP BY 1),
+            r1 AS (
+              SELECT b.a,
+                     greatest(1, (b.wins * 1000000000) // d.denom) AS r
+              FROM base b JOIN (
+                SELECT a, greatest(1,
+                  CAST(sum((n_ab * 1000000000) // (1000 + 1000))
+                    AS BIGINT)) AS denom
+                FROM pairs GROUP BY 1) d ON d.a = b.a),
+            r2 AS (
+              SELECT b.a,
+                     greatest(1, (b.wins * 1000000000) // d.denom) AS r
+              FROM base b JOIN (
+                SELECT p.a, greatest(1, CAST(sum((p.n_ab * 1000000000)
+                  // (ra.r + rb.r)) AS BIGINT)) AS denom
+                FROM pairs p
+                JOIN r1 ra ON ra.a = p.a
+                JOIN r1 rb ON rb.a = p.b
+                GROUP BY 1) d ON d.a = b.a)
+            SELECT b.a AS event_type, b.n_matches, b.wins,
+                   CAST(r1.r AS BIGINT) AS r1_milli,
+                   CAST(r2.r AS BIGINT) AS r2_milli
+            FROM base b
+            JOIN r1 ON r1.a = b.a
+            JOIN r2 ON r2.a = b.a
+            ORDER BY 1"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_rank_btl" -> qRankBtl,
+    "q_eval_pass_at_k" -> qEvalPassAtK,
     "q_eval_mrr" -> qEvalMrr,
     "q_stats_mi" -> qStatsMi,
     "q_eval_regression" -> qEvalRegression,
