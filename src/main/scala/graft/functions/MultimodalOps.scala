@@ -521,7 +521,83 @@ object MultimodalOps extends QueryModule {
             FROM v GROUP BY doc_id, isl HAVING count(*) >= 2
             ORDER BY doc_id, start_frame"""))
 
+  // ------------------------------------------------- aspect bucketing --
+
+  /** Aspect-ratio bucketing — the image-training batcher (NovelAI/SDXL
+    * bucketing, public): variable-aspect images can't share a batch, so
+    * each asset is routed to the nearest of a FIXED aspect-bucket ladder
+    * and batches form within a bucket. Aspect = w·1000 div h in exact
+    * milli (stub dims clamped to ≥1 — the decoder stub's %64/%48 can
+    * yield 0); buckets are the 7-step ladder {250, 500, 750, 1000, 1333,
+    * 2000, 4000} milli (1:4 … 4:1); assignment is argmin |aspect−bucket|
+    * via the kmeans packed-long min (dist·8 + idx — map-combinable, no
+    * sort agg), ties to the smaller bucket. Emitted per bucket: asset
+    * count, mean payload bytes (batch-memory planning) and mean absolute
+    * aspect deviation in milli (the crop/resize distortion this ladder
+    * inflicts — the tuning signal for adding rungs).
+    *
+    * Scale: decode is the map-only typed mapPartitions pass; the ladder
+    * is a 7-row broadcast crossJoin (K rows per asset, K fixed), and the
+    * result is a ≤K-row agg — no shuffle larger than the bucket key ever
+    * forms. Exactly the shard-planner economics (q_multimodal_shard)
+    * with aspect instead of size as the routing key.
+    */
+  private val qMultimodalAspect = GQuery(
+    (s, d) => {
+      val buckets = Seq(250L, 500L, 750L, 1000L, 1333L, 2000L, 4000L)
+      val bdf = s.createDataFrame(
+        buckets.zipWithIndex.map { case (b, i) => (i.toLong, b) })
+        .toDF("bidx", "bucket_milli")
+      val feats = decodeAll(Tables(s, d, "documents")).toDF()
+        .select(col("doc_id"), col("n_bytes"),
+          expr("(greatest(1, fake_w) * 1000) div greatest(1, fake_h)")
+            .as("aspect_milli"))
+      val assigned = feats.crossJoin(broadcast(bdf))
+        .withColumn("dist", abs(col("aspect_milli") - col("bucket_milli")))
+        .groupBy("doc_id")
+        .agg(min(col("dist") * lit(8L) + col("bidx")).as("m"),
+          max(col("n_bytes")).as("n_bytes"),
+          max(col("aspect_milli")).as("aspect_milli"))
+        .select(col("doc_id"), col("n_bytes"), col("aspect_milli"),
+          pmod(col("m"), lit(8L)).as("bidx"),
+          expr("m div 8").as("absdev_milli"))
+      assigned.join(broadcast(bdf), "bidx")
+        .groupBy("bucket_milli")
+        .agg(count(lit(1L)).as("n_assets"),
+          expr("sum(n_bytes) div count(1)").as("mean_bytes"),
+          expr("sum(absdev_milli) div count(1)").as("mean_absdev_milli"))
+        .orderBy("bucket_milli")
+    },
+    Some("""WITH f AS (
+              SELECT doc_id,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                     (greatest(1, octet_length(encode(text)) % 64) * 1000)
+                       // greatest(1, octet_length(encode(text)) % 48)
+                       AS aspect_milli
+              FROM documents),
+            b AS (
+              SELECT * FROM (VALUES (0, 250), (1, 500), (2, 750),
+                (3, 1000), (4, 1333), (5, 2000), (6, 4000))
+                AS t(bidx, bucket_milli)),
+            assigned AS (
+              SELECT doc_id, n_bytes, aspect_milli,
+                     CAST(min(abs(aspect_milli - bucket_milli) * 8 + bidx)
+                       AS BIGINT) AS m
+              FROM f CROSS JOIN b
+              GROUP BY 1, 2, 3)
+            SELECT bk.bucket_milli,
+                   CAST(count(*) AS BIGINT) AS n_assets,
+                   CAST(sum(a.n_bytes) // count(*) AS BIGINT) AS mean_bytes,
+                   CAST(sum(a.m // 8) // count(*) AS BIGINT)
+                     AS mean_absdev_milli
+            FROM assigned a
+            JOIN (SELECT bidx, CAST(bucket_milli AS BIGINT) AS bucket_milli
+                  FROM b) bk
+              ON bk.bidx = a.m % 8
+            GROUP BY 1 ORDER BY 1"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_multimodal_aspect" -> qMultimodalAspect,
     "q_multimodal_vad" -> qMultimodalVad,
     "q_multimodal_shard" -> qMultimodalShard,
     "q_multimodal_patches" -> qMultimodalPatches,

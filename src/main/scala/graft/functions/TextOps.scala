@@ -2200,7 +2200,102 @@ object TextOps extends QueryModule {
                   FROM fin)
             WHERE rk <= 2 ORDER BY doc_id, rk"""))
 
+  // ----------------------------------------------------- G² keyness --
+
+  /** Log-likelihood keyness (Dunning 1993 G², the corpus-linguistics
+    * "what words define this source vs the rest" test — the per-source
+    * vocabulary fingerprint a mixing pipeline reads before weighting
+    * sources): for word w in source s with a = count in s, b = count
+    * elsewhere, G² = 2·(a·ln(a/Eₐ) + b·ln(b/E_b)) against the
+    * proportional-split expectation Eₐ = (a+b)·nₛ/N. Overused words only
+    * (ln-ratio > 0), corpus frequency floor a+b ≥ 10, top-3 per source
+    * by G². Fixed-point economics: the ln ratios enter as mirrored
+    * micro-nat integers round(ln((a·N)/(Tw·nₛ))·10⁶) — BIGINT products
+    * inside the cast-to-double division so both engines feed ln the
+    * bit-identical quotient — and G² assembles as exact integer
+    * a·lra + b·lrb (b = 0 short-circuits to 0, the x·ln x → 0 limit,
+    * BEFORE ln sees a zero).
+    *
+    * Scale: one (source, word) agg + a word-keyed join to word totals +
+    * broadcast source totals; the per-source top-3 window partitions on
+    * source over vocab-sized (not corpus-sized) rows — the bm25 salted
+    * two-level top-k is the drop-in if one source's vocab outgrows a
+    * task. a·N products cross 2⁶³ around 10¹⁸ token-pairs — DECIMAL(38)
+    * widening applies (corrmatrix rule).
+    */
+  private val qTextKeyness = GQuery(
+    (s, d) => {
+      val sw = t(s, d, "documents")
+        .select(col("source"),
+          explode(split(lower(col("text")), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1L)).as("a"))
+        .localCheckpoint(true) // feeds word totals, source totals, and scoring
+      val wt = sw.groupBy("w").agg(sum("a").as("tw"))
+      val st = sw.groupBy("source").agg(sum("a").as("ns"))
+      val nTot = st.agg(sum("ns").as("n"))
+      val scored = sw.join(wt, "w")
+        .filter(col("tw") >= 10)
+        .join(broadcast(st), "source")
+        .crossJoin(broadcast(nTot))
+        .withColumn("b", col("tw") - col("a"))
+        .withColumn("rest", col("n") - col("ns"))
+        .withColumn("lra",
+          round(log((col("a") * col("n")) / (col("tw") * col("ns"))) * 1e6)
+            .cast("long"))
+        .withColumn("lrb",
+          when(col("b") > 0,
+            round(log((col("b") * col("n")) / (col("tw") * col("rest")))
+              * 1e6).cast("long")).otherwise(lit(0L)))
+        .filter(col("lra") > 0)
+        .withColumn("g2_micro",
+          (col("a") * col("lra") + col("b") * col("lrb")) * 2)
+      val wTop = Window.partitionBy("source")
+        .orderBy(col("g2_micro").desc, col("w").asc)
+      scored.withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 3)
+        .select(col("source"), col("w").as("word"), col("a"), col("b"),
+          col("g2_micro"), col("rk").cast("long").as("rk"))
+        .orderBy("source", "rk")
+    },
+    Some("""WITH toks AS (
+              SELECT source, unnest(string_split(lower(text), ' ')) AS w
+              FROM documents),
+            sw AS (
+              SELECT source, w, CAST(count(*) AS BIGINT) AS a
+              FROM toks GROUP BY 1, 2),
+            wt AS (SELECT w, CAST(sum(a) AS BIGINT) AS tw
+                   FROM sw GROUP BY 1),
+            st AS (SELECT source, CAST(sum(a) AS BIGINT) AS ns
+                   FROM sw GROUP BY 1),
+            n AS (SELECT CAST(sum(ns) AS BIGINT) AS n FROM st),
+            scored AS (
+              SELECT sw.source, sw.w, sw.a, wt.tw - sw.a AS b,
+                     CAST(round(ln((sw.a * n.n)
+                       / (wt.tw * st.ns)) * 1e6) AS BIGINT) AS lra,
+                     CASE WHEN wt.tw - sw.a > 0
+                       THEN CAST(round(ln(((wt.tw - sw.a) * n.n)
+                         / (wt.tw * (n.n - st.ns))) * 1e6) AS BIGINT)
+                       ELSE 0 END AS lrb
+              FROM sw
+              JOIN wt USING (w)
+              JOIN st USING (source)
+              CROSS JOIN n
+              WHERE wt.tw >= 10),
+            g AS (
+              SELECT source, w, a, b,
+                     (a * lra + b * lrb) * 2 AS g2_micro
+              FROM scored WHERE lra > 0),
+            rk AS (
+              SELECT source, w AS word, a, b, g2_micro,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY g2_micro DESC, w ASC) AS rk
+              FROM g QUALIFY rk <= 3)
+            SELECT source, word, a, b, CAST(g2_micro AS BIGINT) AS g2_micro,
+                   CAST(rk AS BIGINT) AS rk
+            FROM rk ORDER BY source, rk"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_text_keyness" -> qTextKeyness,
     "q_text_textrank" -> qTextTextrank,
     "q_text_watermark" -> qTextWatermark,
     "q_vocab_oov" -> qVocabOov,
