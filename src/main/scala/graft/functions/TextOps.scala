@@ -2294,7 +2294,67 @@ object TextOps extends QueryModule {
                    CAST(rk AS BIGINT) AS rk
             FROM rk ORDER BY source, rk"""))
 
+  // ------------------------------------------------- vocab coverage --
+
+  /** Vocabulary coverage curve — the tokenizer-sizing readout: what share
+    * of corpus tokens does a size-K vocabulary cover, for K ∈ {16, 64,
+    * 256, 1024}? (The OOV-rate complement as a function of vocab budget —
+    * q_vocab_oov measures one fixed vocab, this sweeps the knob; the
+    * curve's knee is where a tokenizer stops buying coverage with size.)
+    * Exact integers: coverage_ppm = (Σ top-K counts)·10⁶ div N, ranks on
+    * the (count desc, token asc) total order.
+    *
+    * Scale: the global sort is TakeOrderedAndProject(1024) — top-K heaps
+    * per partition merged on the driver, never a full vocab sort — and
+    * the rank window runs AFTER the limit, over exactly 1024 rows in one
+    * task by design (not a corpus-sized single partition). The K-sweep is
+    * a 4-row broadcast crossJoin against those 1024. Total tokens is one
+    * map-combinable agg off the same vocab table.
+    */
+  private val qVocabCoverage = GQuery(
+    (s, d) => {
+      val vocab = t(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1L)).as("c"))
+        .localCheckpoint(true) // feeds the top-1024 AND the total
+      val total = vocab.agg(sum("c").as("n"))
+      val ranked = vocab.orderBy(col("c").desc, col("token").asc).limit(1024)
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("c").desc, col("token").asc)))
+      val ks = s.createDataFrame(Seq(Tuple1(16L), Tuple1(64L), Tuple1(256L),
+        Tuple1(1024L))).toDF("vocab_k")
+      ranked.crossJoin(broadcast(ks))
+        .filter(col("rn") <= col("vocab_k"))
+        .groupBy("vocab_k")
+        .agg(sum("c").as("cover_tokens"))
+        .crossJoin(broadcast(total))
+        .select(col("vocab_k"), col("cover_tokens"), col("n").as("total_tokens"),
+          expr("(cover_tokens * 1000000) div n").as("coverage_ppm"))
+        .orderBy("vocab_k")
+    },
+    Some("""WITH toks AS (
+              SELECT unnest(string_split(lower(text), ' ')) AS token
+              FROM documents),
+            vocab AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS c
+              FROM toks GROUP BY 1),
+            total AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vocab),
+            ranked AS (
+              SELECT c, row_number() OVER (ORDER BY c DESC, token ASC) AS rn
+              FROM vocab QUALIFY rn <= 1024),
+            ks AS (SELECT * FROM (VALUES (16), (64), (256), (1024))
+                   AS t(vocab_k))
+            SELECT CAST(k.vocab_k AS BIGINT) AS vocab_k,
+                   CAST(sum(r.c) AS BIGINT) AS cover_tokens,
+                   CAST(any_value(t.n) AS BIGINT) AS total_tokens,
+                   CAST(sum(r.c) * 1000000 // any_value(t.n) AS BIGINT)
+                     AS coverage_ppm
+            FROM ranked r CROSS JOIN ks k CROSS JOIN total t
+            WHERE r.rn <= k.vocab_k
+            GROUP BY 1 ORDER BY 1"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_vocab_coverage" -> qVocabCoverage,
     "q_text_keyness" -> qTextKeyness,
     "q_text_textrank" -> qTextTextrank,
     "q_text_watermark" -> qTextWatermark,

@@ -9342,7 +9342,147 @@ object AnalyticsOps extends QueryModule {
             FROM sweep s FULL JOIN carry c ON s.day = c.day
             ORDER BY 1"""))
 
+  // -------------------------------------------------- Hurst exponent --
+
+  /** Hurst exponent via rescaled-range (R/S) analysis (Hurst 1951,
+    * Mandelbrot–Wallis — public) of the daily value series per event
+    * type: the long-memory gate (H ≈ 0.5 random walk, H > 0.5 trending/
+    * persistent, H < 0.5 mean-reverting) that decides whether yesterday
+    * predicts tomorrow — run BEFORE trusting any extrapolating forecast
+    * (Holt, snaive). Per window size w ∈ {5, 10, 15}: full blocks of w
+    * days, cumulative deviations kept integral by the w-scaling trick
+    * (cd_k = w·prefix_k − k·S₁ = w× the true deviation, remainder-free
+    * centering — the CUPED/dispersion discipline), R = max cd − min cd,
+    * S = √(w·S₂ − S₁²) via the mirrored IEEE-sqrt integer (the w×√w
+    * scale factors cancel in R/S exactly), rs_milli = R·1000 div S.
+    * H = the OLS slope of milli-nat ln(mean R/S) on ln(w) over the three
+    * window sizes — (n·Σxy − ΣxΣy)·10⁶ div (n·Σx² − (Σx)²), exact
+    * BIGINT. Zero-variance blocks drop before any division; ln sees
+    * greatest(1, ·).
+    *
+    * Scale: the corpus collapses to the (type, day) grid first (one
+    * map-combinable agg); every window after that partitions by
+    * (type, w, block) — day-grid-sized, snaive economics. w·S₂ crosses
+    * 2⁶³ when daily cent-sums pass ~3·10⁸ — DECIMAL(38) widening rule.
+    */
+  private val qStatsHurst = GQuery(
+    (s, d) => {
+      val daily = t(s, d, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        .groupBy("event_type", "day").agg(sum("cents").as("x"))
+      val dmin = daily.agg(min("day").as("d0"))
+      val idxd = daily.crossJoin(broadcast(dmin))
+        .select(col("event_type"),
+          datediff(col("day"), col("d0")).cast("long").as("i"), col("x"))
+        .localCheckpoint(true) // swept once per window size below
+      val wsDf = s.createDataFrame(
+        Seq(Tuple1(5L), Tuple1(10L), Tuple1(15L))).toDF("w")
+      val wCum = Window.partitionBy("event_type", "w", "blk").orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val withPref = idxd.crossJoin(broadcast(wsDf))
+        .withColumn("blk", expr("i div w"))
+        .withColumn("k", expr("i % w + 1"))
+        .withColumn("pref", sum("x").over(wCum))
+      val bsum = withPref.groupBy("event_type", "w", "blk")
+        .agg(count(lit(1L)).as("n"), sum("x").as("s1"),
+          sum(col("x") * col("x")).as("s2"))
+        .filter(col("n") === col("w")) // full blocks only
+      val rs = withPref.join(bsum, Seq("event_type", "w", "blk"))
+        .withColumn("cd", col("w") * col("pref") - col("k") * col("s1"))
+        .groupBy("event_type", "w", "blk")
+        .agg(max("cd").as("cmax"), min("cd").as("cmin"),
+          max("s1").as("bs1"), max("s2").as("bs2"))
+        .withColumn("std_scaled",
+          floor(sqrt((col("w") * col("bs2") - col("bs1") * col("bs1"))
+            .cast("double")) + 0.5).cast("long"))
+        .filter(col("std_scaled") > 0)
+        .withColumn("rs_milli", expr("((cmax - cmin) * 1000) div std_scaled"))
+      val perW = rs.groupBy("event_type", "w")
+        .agg(expr("sum(rs_milli) div count(1)").as("mean_rs"))
+        .withColumn("xm",
+          round(log(col("w").cast("double")) * 1000).cast("long"))
+        .withColumn("ym",
+          round(log(greatest(lit(1L), col("mean_rs")).cast("double") / 1000)
+            * 1000).cast("long"))
+      perW.groupBy("event_type")
+        .agg(count(lit(1L)).as("nw"),
+          sum("xm").as("sx"), sum("ym").as("sy"),
+          sum(col("xm") * col("ym")).as("sxy"),
+          sum(col("xm") * col("xm")).as("sxx"),
+          max(when(col("w") === 5, col("mean_rs"))).as("rs5_milli"),
+          max(when(col("w") === 10, col("mean_rs"))).as("rs10_milli"),
+          max(when(col("w") === 15, col("mean_rs"))).as("rs15_milli"))
+        .withColumn("hurst_micro",
+          expr("((nw * sxy - sx * sy) * 1000000)"
+            + " div (nw * sxx - sx * sx)"))
+        .select(col("event_type"), col("rs5_milli"), col("rs10_milli"),
+          col("rs15_milli"), col("hurst_micro"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS x
+              FROM events GROUP BY 1, 2),
+            d0 AS (SELECT min(day) AS d0 FROM daily),
+            idxd AS (
+              SELECT event_type,
+                     CAST(date_diff('day', d0.d0, day) AS BIGINT) AS i, x
+              FROM daily CROSS JOIN d0),
+            ws AS (SELECT CAST(w AS BIGINT) AS w
+                   FROM (VALUES (5), (10), (15)) AS t(w)),
+            pref AS (
+              SELECT event_type, w, i // w AS blk, i % w + 1 AS k, x,
+                     CAST(sum(x) OVER (PARTITION BY event_type, w, i // w
+                       ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS pref
+              FROM idxd CROSS JOIN ws),
+            bsum AS (
+              SELECT event_type, w, blk, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS s1,
+                     CAST(sum(x * x) AS BIGINT) AS s2
+              FROM pref GROUP BY 1, 2, 3
+              HAVING CAST(count(*) AS BIGINT) = w),
+            rsb AS (
+              SELECT p.event_type, p.w, p.blk,
+                     max(p.w * p.pref - p.k * b.s1)
+                       - min(p.w * p.pref - p.k * b.s1) AS r_scaled,
+                     CAST(floor(sqrt(CAST(p.w * max(b.s2)
+                       - max(b.s1) * max(b.s1) AS DOUBLE)) + 0.5) AS BIGINT)
+                       AS std_scaled
+              FROM pref p
+              JOIN bsum b ON b.event_type = p.event_type AND b.w = p.w
+                AND b.blk = p.blk
+              GROUP BY 1, 2, 3),
+            rs AS (
+              SELECT event_type, w,
+                     (r_scaled * 1000) // std_scaled AS rs_milli
+              FROM rsb WHERE std_scaled > 0),
+            perw AS (
+              SELECT event_type, w,
+                     CAST(sum(rs_milli) // count(*) AS BIGINT) AS mean_rs
+              FROM rs GROUP BY 1, 2),
+            pts AS (
+              SELECT event_type, w, mean_rs,
+                     CAST(round(ln(CAST(w AS DOUBLE)) * 1000) AS BIGINT)
+                       AS xm,
+                     CAST(round(ln(CAST(greatest(1, mean_rs) AS DOUBLE)
+                       / 1000) * 1000) AS BIGINT) AS ym
+              FROM perw)
+            SELECT event_type,
+                   max(CASE WHEN w = 5 THEN mean_rs END) AS rs5_milli,
+                   max(CASE WHEN w = 10 THEN mean_rs END) AS rs10_milli,
+                   max(CASE WHEN w = 15 THEN mean_rs END) AS rs15_milli,
+                   CAST(((count(*) * sum(xm * ym) - sum(xm) * sum(ym))
+                     * 1000000)
+                     // (count(*) * sum(xm * xm) - sum(xm) * sum(xm))
+                     AS BIGINT) AS hurst_micro
+            FROM pts GROUP BY 1 ORDER BY 1"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_stats_hurst" -> qStatsHurst,
     "q_events_concurrency" -> qEventsConcurrency,
     "q_stats_power" -> qStatsPower,
     "q_stats_srm" -> qStatsSrm,

@@ -1620,7 +1620,84 @@ object DedupOps extends QueryModule {
             FROM chunks c JOIN freq f USING (h)
             GROUP BY 1 ORDER BY c.doc_id"""))
 
+  // ------------------------------------------------ dedup-rate curve --
+
+  /** Shingle-size dedup-rate curve — the knob-tuning diagnostic BEFORE
+    * any dedup run: sweeping n ∈ {2, 3, 5}, what fraction of the
+    * corpus's n-shingle mass is repeated (dup_ppm = (total−distinct)/
+    * total) and how much of it repeats ACROSS documents (crossdoc_ppm =
+    * mass of shingles with df ≥ 2)? Small n saturates (every bigram
+    * repeats → over-aggressive dedup), large n under-triggers; the
+    * crossdoc column is the actual near-dup signal the minhash family
+    * keys on, separated from within-doc repetition (q_text_repetition's
+    * axis). Same shingle grammar as the minhash block (short docs clip
+    * to one shingle); all ratios exact ppm ints.
+    *
+    * Scale: three shingle explodes (linear in tokens, map-only) + one
+    * (n, shingle) hash-agg carrying both the occurrence count and the
+    * distinct-doc count, then a 3-row final agg — no joins, no windows;
+    * the shingle agg is the same key distribution the dedup family
+    * already shuffles, so the curve costs one pass of what the dedup it
+    * tunes would cost.
+    */
+  private val qCorpusDedupCurve = GQuery(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), tokens.as("toks"))
+      def sh(n: Int): DataFrame = docs.select(lit(n.toLong).as("shingle_n"),
+        col("doc_id"),
+        explode(transform(
+          sequence(lit(1), greatest(size(col("toks")) - (n - 1), lit(1))),
+          i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as("sgl"))
+      val g = sh(2).unionByName(sh(3)).unionByName(sh(5))
+        .groupBy("shingle_n", "sgl")
+        .agg(count(lit(1L)).as("cnt"), countDistinct("doc_id").as("ndocs"))
+      g.groupBy("shingle_n")
+        .agg(sum("cnt").as("total_shingles"),
+          count(lit(1L)).as("n_distinct"),
+          sum(when(col("ndocs") >= 2, col("cnt")).otherwise(0L)).as("xmass"))
+        .select(col("shingle_n"), col("total_shingles"), col("n_distinct"),
+          expr("((total_shingles - n_distinct) * 1000000)"
+            + " div total_shingles").as("dup_ppm"),
+          expr("(xmass * 1000000) div total_shingles").as("crossdoc_ppm"))
+        .orderBy("shingle_n")
+    },
+    Some(s"""WITH docs AS (
+              SELECT doc_id, $duckTokens AS toks FROM documents),
+            sh AS (
+              SELECT 2 AS shingle_n, doc_id,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(toks)-1, 1)),
+                       i -> array_to_string(list_slice(toks, i, i+1), ' ')))
+                       AS sgl
+              FROM docs
+              UNION ALL
+              SELECT 3, doc_id,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(toks)-2, 1)),
+                       i -> array_to_string(list_slice(toks, i, i+2), ' ')))
+              FROM docs
+              UNION ALL
+              SELECT 5, doc_id,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(toks)-4, 1)),
+                       i -> array_to_string(list_slice(toks, i, i+4), ' ')))
+              FROM docs),
+            g AS (
+              SELECT shingle_n, sgl, CAST(count(*) AS BIGINT) AS cnt,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS ndocs
+              FROM sh GROUP BY 1, 2)
+            SELECT CAST(shingle_n AS BIGINT) AS shingle_n,
+                   CAST(sum(cnt) AS BIGINT) AS total_shingles,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST((sum(cnt) - count(*)) * 1000000 // sum(cnt)
+                     AS BIGINT) AS dup_ppm,
+                   CAST(sum(CASE WHEN ndocs >= 2 THEN cnt ELSE 0 END)
+                     * 1000000 // sum(cnt) AS BIGINT) AS crossdoc_ppm
+            FROM g GROUP BY 1 ORDER BY 1"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_corpus_dedup_curve" -> qCorpusDedupCurve,
     "q_dedup_cdc" -> qDedupCdc,
     "q_corpus_novelty" -> qCorpusNovelty,
     "q_dedup_containment" -> qDedupContainment,
