@@ -986,4 +986,37 @@ class PlanShapeSpec extends SparkSpec {
     val hn = plan("q_sample_hardneg")
     assert("Scan parquet".r.findAllIn(hn).length <= 1, hn.take(3000))
   }
+
+  test("round-8c shapes: partitioned sweeps/sketch windows, TakeOrdered " +
+    "coverage, K-broadcast bucketing") {
+    // peak concurrency: the ±1 sweep window partitions by DAY — the whole
+    // scale story is that no global (unpartitioned) sort ever forms
+    val pc = plan("q_events_concurrency")
+    assert(pc.contains("windowspecdefinition(day#"), pc.take(3000))
+
+    // KMV: both k-minima windows are keyed — level 1 on (key, salt),
+    // level 2 on key; an unpartitioned rank here would serialize the vocab
+    val kmv = plan("q_agg_kmv")
+    assert(kmv.contains("windowspecdefinition(event_type#"), kmv.take(3000))
+    assert(kmv.contains("salt#"), kmv.take(3000))
+
+    // vocab coverage: the global order is TakeOrderedAndProject(1024) —
+    // per-partition heaps, never a full vocab sort
+    val vc = plan("q_vocab_coverage")
+    assert(vc.contains("TakeOrderedAndProject"), vc.take(3000))
+
+    // pass@k: the only window is the per-problem attempt cap; everything
+    // else is hash aggregation (no joins at all)
+    val pk = plan("q_eval_pass_at_k")
+    assert(pk.contains("windowspecdefinition(event_type#"), pk.take(3000))
+    assert(!pk.contains("SortMergeJoin") && !pk.contains("CartesianProduct"),
+      pk.take(3000))
+
+    // aspect bucketing: the 7-rung ladder joins as a broadcast on the
+    // asset stream — a shuffled ladder join would be a scale bug
+    val ma = plan("q_multimodal_aspect")
+    assert(ma.contains("BroadcastNestedLoopJoin")
+      || ma.contains("BroadcastHashJoin"), ma.take(3000))
+    assert(!ma.contains("SortMergeJoin"), ma.take(3000))
+  }
 }
