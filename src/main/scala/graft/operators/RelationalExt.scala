@@ -996,7 +996,147 @@ object RelationalExt extends QueryModule {
                      AS err_milli
             FROM est ORDER BY 1"""))
 
+  // ------------------------------------------------ theta set algebra --
+
+  /** Theta-sketch set algebra (the Datasketches theta calculus, public) —
+    * the sketch operation HLL fundamentally can't do: ESTIMATE set
+    * intersection and difference, not just union. For every unordered
+    * event-type pair, both audiences' 48-bit md5 hashes merge; θ = the
+    * 64th-smallest union hash, the k−1 survivors below θ are a uniform
+    * sample of the union, and any derived set X estimates as
+    * |sample ∩ X|·2⁴⁸ div θ — exact integers on the md5 anchor, so the
+    * ESTIMATES hash-match cross-engine (q_agg_kmv's property, extended
+    * from cardinality to set algebra). Unions smaller than k degrade to
+    * exact counts (θ undefined ⇒ sketch IS the set). Exact inter/diff/
+    * union ride along as the audit columns (q_events_overlap_matrix's
+    * truth side).
+    *
+    * Scale: the membership fan-out is a broadcast join of the 10-row
+    * pair table against the per-type distinct-hash table (≤ 2×|pairs
+    * touching a type| rows per hash); the θ windows partition per PAIR
+    * over union-sized rows, and at real scale each side arrives as an
+    * ALREADY-k-sized sketch (q_agg_kmv's two-level merge), making the
+    * window input ≤ 2k rows per pair — the exact audit columns are the
+    * only full-cardinality cost, and they exist to grade the sketch.
+    */
+  private val qAggThetaSketch = GQuery(
+    (s, d) => {
+      // audiences = HEAVY users (≥14 events of the type) — raw presence is
+      // degenerate on this corpus (every user touches every type), heavy
+      // audiences genuinely differ so inter/diff estimates are non-trivial
+      val tu = t(s, d, "events").select(col("event_type"), col("user_id"))
+        .groupBy("event_type", "user_id").agg(count(lit(1L)).as("cnt"))
+        .filter(col("cnt") >= 14)
+        .select("event_type", "user_id")
+        .localCheckpoint(true) // feeds hashes, pairs, and the exact audit
+      val th = tu.select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+          .cast("long").as("h"))
+      val types = tu.select("event_type").distinct()
+      val prs = types.select(col("event_type").as("ta"))
+        .crossJoin(types.select(col("event_type").as("tb")))
+        .filter(col("ta") < col("tb"))
+      def sides(src: DataFrame, vcol: String): DataFrame =
+        broadcast(prs).join(src, col("ta") === col("event_type"))
+          .select(col("ta"), col("tb"), col(vcol).as("v"),
+            lit(1L).as("ina"), lit(0L).as("inb"))
+          .unionByName(
+            broadcast(prs).join(src, col("tb") === col("event_type"))
+              .select(col("ta"), col("tb"), col(vcol).as("v"),
+                lit(0L).as("ina"), lit(1L).as("inb")))
+          .groupBy("ta", "tb", "v")
+          .agg(max("ina").as("ina"), max("inb").as("inb"))
+      val exact = sides(tu, "user_id").groupBy("ta", "tb")
+        .agg(sum(expr("ina * inb")).as("exact_inter"),
+          sum(expr("ina * (1 - inb)")).as("exact_aonly"),
+          count(lit(1L)).as("exact_union"))
+      val wTheta = Window.partitionBy("ta", "tb").orderBy("h")
+      val ranked = sides(th, "h")
+        .withColumnRenamed("v", "h")
+        .withColumn("rn", row_number().over(wTheta))
+        .filter(col("rn") <= 64)
+      val sk = ranked.groupBy("ta", "tb")
+        .agg(max(when(col("rn") === 64, col("h"))).as("theta"),
+          sum(when(col("rn") < 64, expr("ina * inb"))).as("s_inter"),
+          sum(when(col("rn") < 64, expr("ina * (1 - inb)"))).as("s_aonly"),
+          sum(when(col("rn") < 64, lit(1L))).as("s_union"))
+      exact.join(sk, Seq("ta", "tb"))
+        .select(col("ta"), col("tb"),
+          col("exact_union"), col("exact_inter"), col("exact_aonly"),
+          when(col("theta").isNull, col("exact_union"))
+            .otherwise(expr("(s_union * 281474976710656) div theta"))
+            .as("est_union"),
+          when(col("theta").isNull, col("exact_inter"))
+            .otherwise(expr("(s_inter * 281474976710656) div theta"))
+            .as("est_inter"),
+          when(col("theta").isNull, col("exact_aonly"))
+            .otherwise(expr("(s_aonly * 281474976710656) div theta"))
+            .as("est_aonly"))
+        .orderBy("ta", "tb")
+    },
+    Some("""WITH tu AS (
+              SELECT event_type, user_id FROM events
+              GROUP BY 1, 2 HAVING count(*) >= 14),
+            th AS (
+              SELECT event_type,
+                     CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                       AS BIGINT) AS h
+              FROM tu),
+            ty AS (SELECT DISTINCT event_type FROM tu),
+            prs AS (
+              SELECT a.event_type AS ta, b.event_type AS tb
+              FROM ty a CROSS JOIN ty b WHERE a.event_type < b.event_type),
+            fu AS (
+              SELECT ta, tb, v, max(ina) AS ina, max(inb) AS inb
+              FROM (SELECT p.ta, p.tb, s.user_id AS v, 1 AS ina, 0 AS inb
+                    FROM prs p JOIN tu s ON s.event_type = p.ta
+                    UNION ALL
+                    SELECT p.ta, p.tb, s.user_id, 0, 1
+                    FROM prs p JOIN tu s ON s.event_type = p.tb)
+              GROUP BY 1, 2, 3),
+            exact AS (
+              SELECT ta, tb,
+                     CAST(sum(ina * inb) AS BIGINT) AS exact_inter,
+                     CAST(sum(ina * (1 - inb)) AS BIGINT) AS exact_aonly,
+                     CAST(count(*) AS BIGINT) AS exact_union
+              FROM fu GROUP BY 1, 2),
+            fh AS (
+              SELECT ta, tb, v AS h, max(ina) AS ina, max(inb) AS inb
+              FROM (SELECT p.ta, p.tb, s.h AS v, 1 AS ina, 0 AS inb
+                    FROM prs p JOIN th s ON s.event_type = p.ta
+                    UNION ALL
+                    SELECT p.ta, p.tb, s.h, 0, 1
+                    FROM prs p JOIN th s ON s.event_type = p.tb)
+              GROUP BY 1, 2, 3),
+            ranked AS (
+              SELECT ta, tb, h, ina, inb,
+                     row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+              FROM fh QUALIFY rn <= 64),
+            sk AS (
+              SELECT ta, tb,
+                     max(CASE WHEN rn = 64 THEN h END) AS theta,
+                     CAST(sum(CASE WHEN rn < 64 THEN ina * inb
+                       ELSE 0 END) AS BIGINT) AS s_inter,
+                     CAST(sum(CASE WHEN rn < 64 THEN ina * (1 - inb)
+                       ELSE 0 END) AS BIGINT) AS s_aonly,
+                     CAST(sum(CASE WHEN rn < 64 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS s_union
+              FROM ranked GROUP BY 1, 2)
+            SELECT e.ta, e.tb, e.exact_union, e.exact_inter, e.exact_aonly,
+                   CAST(CASE WHEN s.theta IS NULL THEN e.exact_union
+                     ELSE (s.s_union * 281474976710656) // s.theta END
+                     AS BIGINT) AS est_union,
+                   CAST(CASE WHEN s.theta IS NULL THEN e.exact_inter
+                     ELSE (s.s_inter * 281474976710656) // s.theta END
+                     AS BIGINT) AS est_inter,
+                   CAST(CASE WHEN s.theta IS NULL THEN e.exact_aonly
+                     ELSE (s.s_aonly * 281474976710656) // s.theta END
+                     AS BIGINT) AS est_aonly
+            FROM exact e JOIN sk s USING (ta, tb)
+            ORDER BY 1, 2"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_agg_theta_sketch" -> qAggThetaSketch,
     "q_agg_kmv" -> qAggKmv,
     "q_agg_hll_intersect" -> qAggHllIntersect,
     "q_agg_wquantile" -> qAggWquantile,
