@@ -9481,7 +9481,81 @@ object AnalyticsOps extends QueryModule {
                      AS BIGINT) AS hurst_micro
             FROM pts GROUP BY 1 ORDER BY 1"""))
 
+  // --------------------------------------------------- FD profiling --
+
+  /** Functional-dependency profiling (the TANE/g₃ framework, Huhtala
+    * 1999 — public) over declared candidate column pairs of lineitem:
+    * does lhs → rhs hold, and if not, HOW broken is it? Three exact
+    * measures per candidate: violating-group count (lhs values with > 1
+    * distinct rhs), and the g₃ error — the minimum row fraction to
+    * delete for the FD to hold, (N − Σ per-lhs max rhs-group size)·10⁶
+    * div N — the measure that separates "dirty but fixable" (small g₃)
+    * from "not a dependency" (large g₃). The schema-rule discovery a
+    * profiler runs before trusting joins/dedup keys on an unfamiliar
+    * extract.
+    *
+    * Scale: per candidate, one (lhs, rhs) count agg → one lhs-keyed agg
+    * → one scalar agg, all map-combinable hash aggregations; candidates
+    * evaluate independently (a real profiler fans the lattice out the
+    * same way). No windows, no joins; the (lhs, rhs) key is at worst
+    * row-cardinality (the key-like candidates), exactly what a
+    * groupBy shuffles anyway.
+    */
+  private val qProfileFuncdep = GQuery(
+    (s, d) => {
+      val li = t(s, d, "lineitem").localCheckpoint(true) // 4 candidate scans
+      def candOver(src: DataFrame, lhs: String, rhs: String): DataFrame = {
+        val pc = src.groupBy(col(lhs).cast("string").as("lv"),
+            col(rhs).cast("string").as("rv"))
+          .agg(count(lit(1L)).as("c"))
+        pc.groupBy("lv")
+          .agg(count(lit(1L)).as("n_rhs"), max("c").as("mx"),
+            sum("c").as("n"))
+          .agg(lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+            count(lit(1L)).as("n_lhs_groups"),
+            sum(when(col("n_rhs") > 1, 1L).otherwise(0L))
+              .as("n_violating"),
+            expr("((sum(n) - sum(mx)) * 1000000) div sum(n)").as("g3_ppm"))
+          .withColumn("holds", col("n_violating") === 0)
+      }
+      def cand(lhs: String, rhs: String): DataFrame = candOver(li, lhs, rhs)
+      cand("l_orderkey", "l_returnflag")
+        .unionByName(cand("l_orderkey", "l_linestatus"))
+        .unionByName(cand("l_partkey", "l_suppkey"))
+        .unionByName(cand("l_returnflag", "l_linestatus"))
+        // a key-lhs control candidate that DOES hold (g3 = 0)
+        .unionByName(candOver(t(s, d, "orders"),
+          "o_orderkey", "o_orderstatus"))
+        .orderBy("lhs", "rhs")
+    },
+    Some {
+      def cand(tbl: String, lhs: String, rhs: String): String =
+        s"""SELECT '$lhs' AS lhs, '$rhs' AS rhs,
+                   CAST(count(*) AS BIGINT) AS n_lhs_groups,
+                   CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_violating,
+                   CAST((sum(n) - sum(mx)) * 1000000 // sum(n) AS BIGINT)
+                     AS g3_ppm,
+                   sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS holds
+            FROM (
+              SELECT lv, CAST(count(*) AS BIGINT) AS n_rhs,
+                     CAST(max(c) AS BIGINT) AS mx,
+                     CAST(sum(c) AS BIGINT) AS n
+              FROM (SELECT CAST($lhs AS VARCHAR) AS lv,
+                           CAST($rhs AS VARCHAR) AS rv,
+                           CAST(count(*) AS BIGINT) AS c
+                    FROM $tbl GROUP BY 1, 2)
+              GROUP BY 1)"""
+      Seq(cand("lineitem", "l_orderkey", "l_returnflag"),
+        cand("lineitem", "l_orderkey", "l_linestatus"),
+        cand("lineitem", "l_partkey", "l_suppkey"),
+        cand("lineitem", "l_returnflag", "l_linestatus"),
+        cand("orders", "o_orderkey", "o_orderstatus"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY lhs, rhs")
+    })
+
   val queries: Map[String, GQuery] = Map(
+    "q_profile_funcdep" -> qProfileFuncdep,
     "q_stats_hurst" -> qStatsHurst,
     "q_events_concurrency" -> qEventsConcurrency,
     "q_stats_power" -> qStatsPower,
