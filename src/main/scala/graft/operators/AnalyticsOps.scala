@@ -9554,7 +9554,131 @@ object AnalyticsOps extends QueryModule {
         .mkString("", "\nUNION ALL\n", "\nORDER BY lhs, rhs")
     })
 
+  // --------------------------------------------- spectral entropy --
+
+  /** Spectral entropy forecastability score per event type — the
+    * "should we even forecast this?" gate (Goerg 2013 / tsfeatures'
+    * spectral entropy, public): a series whose periodogram power
+    * concentrates in few frequencies is predictable (low entropy), a
+    * flat spectrum is noise. Reuses q_ts_periodogram's exact integer
+    * DFT (mean-centered daily cents, per-term rounded cos/sin products,
+    * power = sc² + ss² exact BIGINT) over the same 5-period grid, per
+    * event type. Probabilities quantize to ppm (qᵢ = powerᵢ·10⁶ div
+    * Σpower — the documented grid that keeps H engine-exact),
+    * H_micro = −Σ qᵢ·round(ln(qᵢ/10⁶)·10⁶) div 10⁶, and
+    * forecastability_milli = 1000 − H·1000/ln(K) (1000 = pure tone,
+    * 0 = white noise). Dominant period rides along via the packed-long
+    * argmax (kmeans discipline). Zero-power periods contribute the
+    * x·ln x → 0 limit explicitly.
+    *
+    * Scale: day-grid economics end-to-end — the only window is the
+    * per-type day index, every agg is map-combinable, and the spectrum
+    * table is |types|×5 rows. power·32 packing overflows past ~5·10¹⁷
+    * c² (≈ 7·10⁸-cent daily swings) — DECIMAL widening rule.
+    */
+  private val qTsSpectralEntropy = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val daily = t(s, d, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          cents.as("v"))
+        .groupBy("event_type", "day").agg(sum("v").as("x"))
+      val withT = daily.withColumn("t",
+        row_number().over(Window.partitionBy("event_type").orderBy("day"))
+          .cast("long"))
+      val mean = withT.groupBy("event_type")
+        .agg(expr("sum(x) div count(1)").as("mu"))
+      val terms = withT.join(broadcast(mean), "event_type")
+        .select(col("event_type"), col("t"), (col("x") - col("mu")).as("xc"),
+          explode(expr(
+            "array(struct(0L AS pidx, 3L AS p), struct(1L AS pidx, 5L AS p),"
+              + " struct(2L AS pidx, 7L AS p), struct(3L AS pidx, 10L AS p),"
+              + " struct(4L AS pidx, 15L AS p))"))
+            .as("pp"))
+        .select(col("event_type"), col("pp.pidx"), col("pp.p"),
+          expr("""CAST(round(CAST(xc AS DOUBLE)
+               * cos(2.0 * pi() * CAST(t AS DOUBLE) / CAST(p AS DOUBLE)))
+               AS BIGINT)""").as("tc"),
+          expr("""CAST(round(CAST(xc AS DOUBLE)
+               * sin(2.0 * pi() * CAST(t AS DOUBLE) / CAST(p AS DOUBLE)))
+               AS BIGINT)""").as("tsn"))
+      val spec = terms.groupBy("event_type", "pidx", "p")
+        .agg(sum("tc").as("sc"), sum("tsn").as("ss"))
+        .select(col("event_type"), col("pidx"), col("p"),
+          (col("sc") * col("sc") + col("ss") * col("ss")).as("pw"))
+      val tot = spec.groupBy("event_type").agg(sum("pw").as("tp"))
+      spec.join(broadcast(tot), "event_type")
+        .withColumn("q", expr("(pw * 1000000) div greatest(1, tp)"))
+        .withColumn("term",
+          when(col("q") > 0,
+            round(log(col("q").cast("double") / 1e6) * 1e6).cast("long"))
+            .otherwise(lit(0L)))
+        .groupBy("event_type")
+        .agg(expr("-(sum(q * term) div 1000000)").as("h_micro"),
+          max(col("pw") * lit(32L) + col("pidx")).as("mx"))
+        .select(col("event_type"), col("h_micro"),
+          (lit(1000L) - expr(
+            "(h_micro * 1000) div CAST(round(ln(5.0) * 1e6) AS BIGINT)"))
+            .as("forecastability_milli"),
+          expr("""CASE pmod(mx, 32) WHEN 0 THEN 3L WHEN 1 THEN 5L
+               WHEN 2 THEN 7L WHEN 3 THEN 10L ELSE 15L END""")
+            .as("dom_period"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS x
+              FROM events GROUP BY 1, 2),
+            wt AS (
+              SELECT event_type, x,
+                     CAST(row_number() OVER (PARTITION BY event_type
+                       ORDER BY day) AS BIGINT) AS t
+              FROM daily),
+            mu AS (SELECT event_type, sum(x) // count(*) AS mu
+                   FROM wt GROUP BY 1),
+            terms AS (
+              SELECT w.event_type, pp.pidx, pp.p,
+                     CAST(round(CAST(w.x - m.mu AS DOUBLE)
+                       * cos(2.0 * pi() * CAST(w.t AS DOUBLE)
+                             / CAST(pp.p AS DOUBLE))) AS BIGINT) AS tc,
+                     CAST(round(CAST(w.x - m.mu AS DOUBLE)
+                       * sin(2.0 * pi() * CAST(w.t AS DOUBLE)
+                             / CAST(pp.p AS DOUBLE))) AS BIGINT) AS tsn
+              FROM wt w
+              JOIN mu m USING (event_type)
+              CROSS JOIN (SELECT * FROM (VALUES (0, 3), (1, 5), (2, 7),
+                (3, 10), (4, 15)) AS v(pidx, p)) pp),
+            spec AS (
+              SELECT event_type, pidx, p,
+                     CAST(sum(tc) * sum(tc) + sum(tsn) * sum(tsn)
+                       AS BIGINT) AS pw
+              FROM terms GROUP BY 1, 2, 3),
+            tot AS (SELECT event_type, CAST(sum(pw) AS BIGINT) AS tp
+                    FROM spec GROUP BY 1),
+            qq AS (
+              SELECT s.event_type, s.pidx, s.pw,
+                     (s.pw * 1000000) // greatest(1, t.tp) AS q
+              FROM spec s JOIN tot t USING (event_type)),
+            sc AS (
+              SELECT event_type,
+                     CAST(-(sum(q * CASE WHEN q > 0
+                       THEN CAST(round(ln(CAST(q AS DOUBLE) / 1e6) * 1e6)
+                         AS BIGINT) ELSE 0 END) // 1000000) AS BIGINT)
+                       AS h_micro,
+                     CAST(max(pw * 32 + pidx) AS BIGINT) AS mx
+              FROM qq GROUP BY 1)
+            SELECT event_type, h_micro,
+                   CAST(1000 - (h_micro * 1000)
+                     // CAST(round(ln(5.0) * 1e6) AS BIGINT) AS BIGINT)
+                     AS forecastability_milli,
+                   CAST(CASE mx % 32 WHEN 0 THEN 3 WHEN 1 THEN 5
+                     WHEN 2 THEN 7 WHEN 3 THEN 10 ELSE 15 END AS BIGINT)
+                     AS dom_period
+            FROM sc ORDER BY event_type"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_ts_spectral_entropy" -> qTsSpectralEntropy,
     "q_profile_funcdep" -> qProfileFuncdep,
     "q_stats_hurst" -> qStatsHurst,
     "q_events_concurrency" -> qEventsConcurrency,
