@@ -9677,7 +9677,90 @@ object AnalyticsOps extends QueryModule {
                      AS dom_period
             FROM sc ORDER BY event_type"""))
 
+  // --------------------------------------------- Markov entropy rate --
+
+  /** Markov entropy rate — the behavioral-predictability number the raw
+    * transition matrix (q_events_markov) doesn't surface: the
+    * conditional entropy H(next | prev) = −Σ (c_st/N)·ln(c_st/c_s·),
+    * i.e. how many nats of surprise the NEXT event carries once you
+    * know the current one (0 = deterministic sessions, ln K = uniform
+    * chaos — the gate for whether next-event prediction, prefetching,
+    * or funnel modeling can work at all). Per-state rows carry each
+    * state's outgoing entropy; the '__rate' row is the
+    * occupancy-weighted total. Integer economics: the log-ratio enters
+    * as the mirrored micro-nat int round(ln(c_st/c_s)·10⁶) on a
+    * bit-identical double quotient, the weighted sums stay BIGINT
+    * (c·|lnterm| ≤ N·14·10⁶ — DECIMAL widening past ~6·10¹¹
+    * transitions), and predictability_milli = 1000 − H·1000/ln(5).
+    *
+    * Scale: one user-partitioned lag window (sessionize economics) +
+    * one (prev, next) agg; everything after is |types|²-sized. The
+    * same shape streams: StreamOps' stateful ops own the online twin.
+    */
+  private val qEventsEntropyRate = GQuery(
+    (s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val pairs = ev.withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("cur"))
+        .agg(count(lit(1L)).as("c"))
+      val perState = pairs.groupBy("prev")
+        .agg(sum("c").as("cs")).join(pairs, "prev")
+        .withColumn("lnterm",
+          round(log(col("c").cast("double") / col("cs")) * 1e6).cast("long"))
+        .groupBy("prev")
+        .agg(max("cs").as("n_out"),
+          expr("-(sum(c * lnterm) div max(cs))").as("h_micro"))
+      val rate = perState
+        .agg(sum("n_out").as("n_out"),
+          expr("sum(h_micro * n_out) div sum(n_out)").as("h_micro"))
+        .select(lit("__rate").as("prev"), col("n_out"), col("h_micro"))
+      perState.unionByName(rate)
+        .withColumn("predictability_milli",
+          lit(1000L) - expr(
+            "(h_micro * 1000) div CAST(round(ln(5.0) * 1e6) AS BIGINT)"))
+        .orderBy("prev")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+              FROM events),
+            pr AS (SELECT user_id, event_type AS cur,
+                          lag(event_type) OVER (PARTITION BY user_id
+                                                ORDER BY us, event_id) AS prev
+                   FROM e),
+            pc AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c
+                   FROM pr WHERE prev IS NOT NULL GROUP BY 1, 2),
+            cs AS (SELECT prev, CAST(sum(c) AS BIGINT) AS cs
+                   FROM pc GROUP BY 1),
+            terms AS (
+              SELECT pc.prev, pc.c, cs.cs,
+                     CAST(round(ln(CAST(pc.c AS DOUBLE) / cs.cs) * 1e6)
+                       AS BIGINT) AS lnterm
+              FROM pc JOIN cs USING (prev)),
+            per AS (
+              SELECT prev, max(cs) AS n_out,
+                     CAST(-(sum(c * lnterm) // max(cs)) AS BIGINT)
+                       AS h_micro
+              FROM terms GROUP BY 1),
+            rate AS (
+              SELECT '__rate' AS prev,
+                     CAST(sum(n_out) AS BIGINT) AS n_out,
+                     CAST(sum(h_micro * n_out) // sum(n_out) AS BIGINT)
+                       AS h_micro
+              FROM per),
+            u AS (SELECT prev, CAST(n_out AS BIGINT) AS n_out, h_micro
+                  FROM per
+                  UNION ALL SELECT * FROM rate)
+            SELECT prev, n_out, h_micro,
+                   CAST(1000 - (h_micro * 1000)
+                     // CAST(round(ln(5.0) * 1e6) AS BIGINT) AS BIGINT)
+                     AS predictability_milli
+            FROM u ORDER BY prev"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_events_entropy_rate" -> qEventsEntropyRate,
     "q_ts_spectral_entropy" -> qTsSpectralEntropy,
     "q_profile_funcdep" -> qProfileFuncdep,
     "q_stats_hurst" -> qStatsHurst,
