@@ -596,7 +596,79 @@ object MultimodalOps extends QueryModule {
               ON bk.bidx = a.m % 8
             GROUP BY 1 ORDER BY 1"""))
 
+  // --------------------------------------------------- shard index --
+
+  /** WebDataset shard INDEX — the .idx sidecar a sequential-tar loader
+    * needs to seek records without scanning: for every asset under
+    * q_multimodal_shard's exact placement rule (per-source size-desc
+    * next-fit on the 64 kB grid), emit its shard, record ordinal, and
+    * byte offset within the shard (running sum of preceding record
+    * sizes on the same total order). Offset + size is the (seek, read)
+    * pair; the planner says WHERE records go, the index says WHERE IN
+    * THE FILE they landed — together they are the writer's and the
+    * reader's halves of the same contract.
+    *
+    * Scale: the placement window is the planner's (per-source, already
+    * shipped); the offset window partitions by (source, shard) — 64 kB
+    * of records per partition BY CONSTRUCTION, the scale-proof kind of
+    * window. Output is record-sized, as an index must be; it writes
+    * alongside the shards it describes (map-only afterwards).
+    */
+  private val qMultimodalIndex = GQuery(
+    (s, d) => {
+      val target = 64000L
+      val assets = Tables(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          octet_length(col("text").cast("binary")).cast("long").as("bytes"))
+      val wPlace = org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+        .orderBy(col("bytes").desc, col("doc_id").asc)
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val placed = assets
+        .withColumn("cb", coalesce(sum("bytes").over(wPlace), lit(0L)))
+        .withColumn("shard", expr(s"cb div $target"))
+      val wIdx = org.apache.spark.sql.expressions.Window
+        .partitionBy("source", "shard")
+        .orderBy(col("bytes").desc, col("doc_id").asc)
+      placed
+        .withColumn("rec_idx",
+          (row_number().over(wIdx) - 1).cast("long"))
+        .withColumn("offset",
+          coalesce(sum("bytes").over(wIdx.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select(col("source"), col("shard"), col("rec_idx"), col("doc_id"),
+          col("offset"), col("bytes"))
+        .orderBy("source", "shard", "rec_idx")
+    },
+    Some("""WITH assets AS (
+              SELECT source, doc_id,
+                     CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)
+                       AS bytes
+              FROM documents),
+            placed AS (
+              SELECT source, doc_id, bytes,
+                     CAST(coalesce(sum(bytes) OVER (PARTITION BY source
+                       ORDER BY bytes DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       // 64000 AS BIGINT) AS shard
+              FROM assets)
+            SELECT source, shard,
+                   CAST(row_number() OVER w - 1 AS BIGINT) AS rec_idx,
+                   doc_id,
+                   CAST(coalesce(sum(bytes) OVER (PARTITION BY source, shard
+                     ORDER BY bytes DESC, doc_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS offset,
+                   bytes
+            FROM placed
+            WINDOW w AS (PARTITION BY source, shard
+              ORDER BY bytes DESC, doc_id ASC)
+            ORDER BY source, shard, rec_idx"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_multimodal_index" -> qMultimodalIndex,
     "q_multimodal_aspect" -> qMultimodalAspect,
     "q_multimodal_vad" -> qMultimodalVad,
     "q_multimodal_shard" -> qMultimodalShard,
