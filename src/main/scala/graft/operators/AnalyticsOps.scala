@@ -9759,7 +9759,189 @@ object AnalyticsOps extends QueryModule {
                      AS predictability_milli
             FROM u ORDER BY prev"""))
 
+  // ------------------------------------------------ Hill tail index --
+
+  /** Hill tail-index estimator (Hill 1975 — public) per event type: is
+    * the value distribution heavy-tailed, and how heavy? α̂ = k /
+    * Σᵢ₌₁ᵏ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top k+1 order statistics — the skew
+    * gate that QUANTIFIES the planning rules this repo applies
+    * qualitatively (α ≤ 2 ⇒ infinite variance ⇒ salting/AQE mandatory;
+    * α > 4 ⇒ moments behave). k = 64; values snap to cents, ln ratios
+    * enter as mirrored micro-nat ints on bit-identical double quotients,
+    * α lands as alpha_milli = k·10⁹ div Σ lnterms (div-guarded: a
+    * degenerate all-equal tail has zero log-sum → alpha null). Top-(k+1)
+    * per type via a type-partitioned rank window; ties broken by
+    * event_id so the order statistics are a total order.
+    *
+    * Scale: per-type top-65 is the bm25 TakeOrdered economics (heap per
+    * partition, never a sort of the type's rows — the window partitions
+    * by type but ranks only AFTER a per-type top-65 pushdown would
+    * apply; at 10⁹ rows/type swap in the salted two-level top-k). The
+    * estimator itself is 65 rows per type.
+    */
+  private val qStatsParetoTail = GQuery(
+    (s, d) => {
+      val wTop = Window.partitionBy("event_type")
+        .orderBy(col("cents").desc, col("event_id").asc)
+      val top = t(s, d, "events")
+        .select(col("event_type"), col("event_id"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 65)
+        .localCheckpoint(true) // feeds the pivot x_(k+1) and the ln terms
+      val xk = top.filter(col("rn") === 65)
+        .select(col("event_type"), col("cents").as("xk"))
+      top.filter(col("rn") <= 64)
+        .join(broadcast(xk), "event_type")
+        .withColumn("lnterm",
+          round(log(col("cents").cast("double") / col("xk")) * 1e6)
+            .cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1L)).as("k"), max("xk").as("xk_cents"),
+          sum("lnterm").as("slog"))
+        .select(col("event_type"), col("k"), col("xk_cents"),
+          when(col("slog") > 0, expr("(k * 1000000000) div slog"))
+            .as("alpha_milli"))
+        .orderBy("event_type")
+    },
+    Some("""WITH v AS (
+              SELECT event_type, event_id,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cents,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY CAST(CAST(value AS DECIMAL(18,2)) * 100
+                         AS BIGINT) DESC, event_id ASC) AS rn
+              FROM events QUALIFY rn <= 65),
+            xk AS (SELECT event_type, cents AS xk FROM v WHERE rn = 65),
+            terms AS (
+              SELECT v.event_type, xk.xk,
+                     CAST(round(ln(CAST(v.cents AS DOUBLE) / xk.xk) * 1e6)
+                       AS BIGINT) AS lnterm
+              FROM v JOIN xk USING (event_type) WHERE v.rn <= 64)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+                   CAST(max(xk) AS BIGINT) AS xk_cents,
+                   CAST(CASE WHEN sum(lnterm) > 0
+                     THEN (count(*) * 1000000000) // sum(lnterm)
+                     END AS BIGINT) AS alpha_milli
+            FROM terms GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------- Ljung–Box --
+
+  /** Ljung–Box portmanteau test (1978 — public) per event type: are the
+    * daily-sum autocorrelations JOINTLY zero (white noise), or is there
+    * real serial structure? Q = n(n+2)·Σₖ₌₁⁵ ρₖ²/(n−k) vs the χ²₅ 95%
+    * critical value 11.0705 — the one-number decision q_ts_autocorr's
+    * per-lag curve leaves to the reader, and the residual-diagnostic
+    * every forecast in the ts family should pass before shipping.
+    * Integer economics: each ρₖ snaps to the portable 10⁻⁶ grid
+    * (eval_mrr's floor(dround·10⁶+0.5) — so ρ² is an exact 10⁻¹²-scaled
+    * BIGINT), per-lag terms divide by (n−k) in integer div, and
+    * Q_milli = n(n+2)·Σterms div 10⁹. Degenerate lags (zero variance)
+    * contribute ρ = 0.
+    *
+    * Scale: day-grid economics per type — the lag windows partition by
+    * event_type over ≤ |days| rows; moments ride DECIMAL(38) (autocorr
+    * precedent); the decision row set is |types|.
+    */
+  private val qStatsLjungbox = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val daily = t(s, d, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          cents.as("v"))
+        .groupBy("event_type", "day").agg(sum("v").as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val lags = (1 to 5).map(k => lag("x", k).over(w).as(s"x_$k"))
+      val lagged = daily.select(
+        col("event_type") +: col("day") +: col("x") +: lags: _*)
+      val nPer = daily.groupBy("event_type").agg(count(lit(1L)).as("n"))
+      val stacked = lagged.selectExpr("event_type", "x",
+        s"stack(5, ${(1 to 5).map(k => s"${k}L, x_$k").mkString(", ")})"
+          + " AS (k, xl)")
+        .filter(col("xl").isNotNull)
+      val st = stacked.groupBy("event_type", "k").agg(
+        count(lit(1L)).as("np"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("xl").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("xl") * col("xl")).cast("decimal(38,0)")).as("syy"),
+        sum((col("x") * col("xl")).cast("decimal(38,0)")).as("sxy"))
+      val dxx = (col("np") * col("sxx") - col("sx") * col("sx"))
+        .cast("double")
+      val dyy = (col("np") * col("syy") - col("sy") * col("sy"))
+        .cast("double")
+      val dxy = (col("np") * col("sxy") - col("sx") * col("sy"))
+        .cast("double")
+      val rho = st.select(col("event_type"), col("k"),
+        when(dxx > 0 && dyy > 0,
+          floor(dround(dxy / sqrt(dxx * dyy), 6) * 1e6 + 0.5).cast("long"))
+          .otherwise(lit(0L)).as("rho_micro"))
+      rho.join(broadcast(nPer), "event_type")
+        .filter(col("k") < col("n")) // n ≤ 5-day series: drop k = n lags
+        .withColumn("term",
+          expr("(rho_micro * rho_micro) div (n - k)"))
+        .groupBy("event_type")
+        .agg(max("n").as("n"), sum("term").as("sterm"))
+        .select(col("event_type"), col("n"),
+          expr("(n * (n + 2) * sterm) div 1000000000").as("q_milli"))
+        .withColumn("white_noise_rejected", col("q_milli") > 11071)
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS x
+              FROM events GROUP BY 1, 2),
+            np AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                   FROM daily GROUP BY 1),
+            lagged AS (
+              SELECT event_type, x,
+                     lag(x, 1) OVER w AS x_1, lag(x, 2) OVER w AS x_2,
+                     lag(x, 3) OVER w AS x_3, lag(x, 4) OVER w AS x_4,
+                     lag(x, 5) OVER w AS x_5
+              FROM daily
+              WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+            stacked AS (
+              SELECT event_type, x, t.k, t.xl
+              FROM lagged, LATERAL (VALUES (1, x_1), (2, x_2), (3, x_3),
+                (4, x_4), (5, x_5)) AS t(k, xl)
+              WHERE t.xl IS NOT NULL),
+            st AS (
+              SELECT event_type, CAST(k AS BIGINT) AS k,
+                     CAST(count(*) AS BIGINT) AS np,
+                     sum(CAST(x AS HUGEINT)) AS sx,
+                     sum(CAST(xl AS HUGEINT)) AS sy,
+                     sum(CAST(x AS HUGEINT) * x) AS sxx,
+                     sum(CAST(xl AS HUGEINT) * xl) AS syy,
+                     sum(CAST(x AS HUGEINT) * xl) AS sxy
+              FROM stacked GROUP BY 1, 2),
+            rho AS (
+              SELECT event_type, k,
+                     CASE WHEN (np*sxx - sx*sx) > 0 AND (np*syy - sy*sy) > 0
+                       THEN CAST(floor(CAST(round(CAST(
+                         CAST(np*sxy - sx*sy AS DOUBLE)
+                         / sqrt(CAST(np*sxx - sx*sx AS DOUBLE)
+                                * CAST(np*syy - sy*sy AS DOUBLE))
+                         AS DECIMAL(30,8)), 6) AS DOUBLE) * 1e6 + 0.5)
+                         AS BIGINT)
+                       ELSE 0 END AS rho_micro
+              FROM st)
+            SELECT r.event_type, n.n,
+                   CAST((n.n * (n.n + 2)
+                     * sum((r.rho_micro * r.rho_micro) // (n.n - r.k)))
+                     // 1000000000 AS BIGINT) AS q_milli,
+                   CAST((n.n * (n.n + 2)
+                     * sum((r.rho_micro * r.rho_micro) // (n.n - r.k)))
+                     // 1000000000 AS BIGINT) > 11071
+                     AS white_noise_rejected
+            FROM rho r JOIN np n USING (event_type)
+            WHERE r.k < n.n
+            GROUP BY 1, 2 ORDER BY 1"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_stats_ljungbox" -> qStatsLjungbox,
+    "q_stats_pareto_tail" -> qStatsParetoTail,
     "q_events_entropy_rate" -> qEventsEntropyRate,
     "q_ts_spectral_entropy" -> qTsSpectralEntropy,
     "q_profile_funcdep" -> qProfileFuncdep,
