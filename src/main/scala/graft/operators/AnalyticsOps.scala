@@ -9939,7 +9939,112 @@ object AnalyticsOps extends QueryModule {
             WHERE r.k < n.n
             GROUP BY 1, 2 ORDER BY 1"""))
 
+  // ---------------------------------------------- Brown–Forsythe --
+
+  /** Brown–Forsythe variance-equality test (Levene with medians, 1974 —
+    * public): the ASSUMPTION CHECK q_stats_anova silently makes —
+    * one-way F on the absolute deviations zᵢⱼ = |xᵢⱼ − medⱼ| from each
+    * group's EXACT order-statistic median (robust to the non-normality
+    * the mean-centered Levene trips on). F > F₀.₉₅(k−1, N−k) ≈ 2.37 ⇒
+    * heteroscedastic ⇒ Welch/Kruskal territory, not pooled-variance
+    * ANOVA. Medians come off the value-grid cumulative counts (never a
+    * row-level rank window — the spearman/runs discipline): first grid
+    * cent where the running count reaches (n+1) div 2. Deviations stay
+    * exact BIGINT cents; the F assembles through the ANOVA twin's
+    * DECIMAL(38) moment + dround chain, bit-mirrored.
+    *
+    * Scale: one (type, cent) grid agg (bounded by the value domain),
+    * grid-sized cumulative windows, one broadcast median join back to
+    * the stream, then scalar moments — spearman economics end to end;
+    * no sort ever sees row cardinality.
+    */
+  private val qStatsLevene = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val ev = t(s, d, "events").select(col("event_type"), cents.as("c"))
+        .localCheckpoint(true) // feeds the grid AND the deviation pass
+      val grid = ev.groupBy("event_type", "c").agg(count(lit(1L)).as("cnt"))
+      val tot = grid.groupBy("event_type").agg(sum("cnt").as("n"))
+      val wCum = Window.partitionBy("event_type").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = grid.join(broadcast(tot), "event_type")
+        .withColumn("cum", sum("cnt").over(wCum))
+        .filter(col("cum") >= expr("(n + 1) div 2"))
+        .groupBy("event_type").agg(min("c").as("med"))
+      val z = ev.join(broadcast(med), "event_type")
+        .select(col("event_type"), abs(col("c") - col("med")).as("z"))
+      val g = z.groupBy("event_type")
+        .agg(count(lit(1L)).as("n"),
+          sum(col("z").cast("decimal(38,0)")).as("sx"),
+          sum((col("z") * col("z")).cast("decimal(38,0)")).as("sxx"))
+      g.agg(count(lit(1L)).as("k"), sum("n").as("nt"),
+          sum("sx").as("st"),
+          sum(col("sxx").cast("double")).as("ssq"),
+          sum((col("sx") * col("sx")).cast("double") /
+            col("n").cast("double")).as("sgrp"))
+        .select(col("k").cast("int").as("k"), col("nt").as("n"),
+          dround((col("sgrp") - col("st").cast("double") *
+            col("st").cast("double") / col("nt").cast("double")) / 1e4, 2)
+            .as("ssb_dollars2"),
+          dround((col("ssq") - col("sgrp")) / 1e4, 2).as("ssw_dollars2"))
+        .withColumn("f_stat", dround(
+          (col("ssb_dollars2") / (col("k") - lit(1))) /
+            (col("ssw_dollars2") / (col("n").cast("double") - col("k"))), 4))
+        .withColumn("equal_variances", col("f_stat") <= 2.37)
+        .orderBy("k")
+    },
+    Some("""WITH ev AS (
+              SELECT event_type,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+              FROM events),
+            grid AS (
+              SELECT event_type, c, CAST(count(*) AS BIGINT) AS cnt
+              FROM ev GROUP BY 1, 2),
+            tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+                    FROM grid GROUP BY 1),
+            med AS (
+              SELECT event_type, min(c) AS med FROM (
+                SELECT g.event_type, g.c, t.n,
+                       CAST(sum(g.cnt) OVER (PARTITION BY g.event_type
+                         ORDER BY g.c ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS BIGINT) AS cum
+                FROM grid g JOIN tot t USING (event_type))
+              WHERE cum >= (n + 1) // 2 GROUP BY 1),
+            z AS (
+              SELECT ev.event_type, abs(ev.c - med.med) AS z
+              FROM ev JOIN med USING (event_type)),
+            g AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     sum(CAST(z AS HUGEINT)) AS sx,
+                     sum(CAST(z AS HUGEINT) * z) AS sxx
+              FROM z GROUP BY 1),
+            roll AS (
+              SELECT CAST(count(*) AS BIGINT) AS k,
+                     CAST(sum(n) AS BIGINT) AS nt,
+                     CAST(sum(sx) AS HUGEINT) AS st,
+                     sum(CAST(sxx AS DOUBLE)) AS ssq,
+                     sum(CAST(sx * sx AS DOUBLE) / CAST(n AS DOUBLE)) AS sgrp
+              FROM g),
+            r AS (
+              SELECT CAST(k AS INT) AS k, nt AS n,
+                     CAST(round(CAST((sgrp - CAST(st AS DOUBLE)
+                       * CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)) / 1e4
+                       AS DECIMAL(30,8)), 2) AS DOUBLE) AS ssb_dollars2,
+                     CAST(round(CAST((ssq - sgrp) / 1e4
+                       AS DECIMAL(30,8)), 2) AS DOUBLE) AS ssw_dollars2
+              FROM roll)
+            SELECT k, n, ssb_dollars2, ssw_dollars2,
+                   CAST(round(CAST((ssb_dollars2 / (k - 1))
+                     / (ssw_dollars2 / (CAST(n AS DOUBLE) - k))
+                     AS DECIMAL(30,8)), 4) AS DOUBLE) AS f_stat,
+                   CAST(round(CAST((ssb_dollars2 / (k - 1))
+                     / (ssw_dollars2 / (CAST(n AS DOUBLE) - k))
+                     AS DECIMAL(30,8)), 4) AS DOUBLE) <= 2.37
+                     AS equal_variances
+            FROM r ORDER BY k"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_stats_levene" -> qStatsLevene,
     "q_stats_ljungbox" -> qStatsLjungbox,
     "q_stats_pareto_tail" -> qStatsParetoTail,
     "q_events_entropy_rate" -> qEventsEntropyRate,
