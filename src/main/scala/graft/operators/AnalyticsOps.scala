@@ -10043,7 +10043,191 @@ object AnalyticsOps extends QueryModule {
                      AS equal_variances
             FROM r ORDER BY k"""))
 
+  // ------------------------------------------------- Kendall's tau-b --
+
+  /** Kendall's τ-b rank correlation (Kendall 1938; τ-b tie correction,
+    * Kendall 1945 — public) between quantity and discount: the third
+    * rank-correlation rung next to Spearman's ρ (q_stats_spearman) and
+    * Chatterjee's ξ (q_stats_xi), and the one whose value IS a pair
+    * probability (P(concordant) − P(discordant)), so it survives heavy
+    * ties — exactly this corpus: 50 quantity × 11 discount-cent levels.
+    * Naive τ is O(n²) row pairs; here both variables are DOMAIN-bounded,
+    * so the corpus collapses to the ≤ 550-cell (quantity, cents) grid and
+    * every pair count comes from grid dominance sums: C = Σ n(x,y)·#(x'>x
+    * ∧ y'>y), D = Σ n(x,y)·#(x'>x ∧ y'<y) — each discordant/concordant
+    * pair counted once from its lower-x cell; x-ties contribute to
+    * neither (the τ-b convention) and land in the n₁/n₂ marginal tie
+    * terms instead. All pair counts exact BIGINT (C ≤ n²/2 ≈ 1.8×10¹¹ at
+    * sf0.1); only the final denominator √((n₀−n₁)(n₀−n₂)) leaves
+    * integers, with the two factors cast DOUBLE before multiplying (their
+    * product passes BIGINT at ~10⁶ rows, mirrored in the oracle).
+    *
+    * Scale: one grid agg (map-combinable, bounded by the 550-cell value
+    * domain) + a grid² broadcast dominance join that is DOMAIN-sized, not
+    * data-sized — the |types|²-economics family. No row-level sort or
+    * window ever forms.
+    */
+  private val qStatsKendall = GQuery(
+    (s, d) => {
+      val ev = t(s, d, "lineitem").select(
+        col("l_quantity").cast("long").as("x"),
+        (col("l_discount").cast("decimal(4,2)") * 100).cast("long").as("y"))
+      val grid = ev.groupBy("x", "y").agg(count(lit(1L)).as("cnt"))
+        .localCheckpoint(true) // feeds dominance join, marginals, n
+      val g2 = grid.select(col("x").as("x2"), col("y").as("y2"),
+        col("cnt").as("cnt2"))
+      val dom = grid.join(broadcast(g2), col("x2") > col("x"), "left")
+        .groupBy("x", "y", "cnt")
+        .agg(coalesce(sum(when(col("y2") > col("y"), col("cnt2"))), lit(0L))
+            .as("gtgt"),
+          coalesce(sum(when(col("y2") < col("y"), col("cnt2"))), lit(0L))
+            .as("gtlt"))
+      val pairs = dom.agg(
+        sum(col("cnt") * col("gtgt")).as("c_pairs"),
+        sum(col("cnt") * col("gtlt")).as("d_pairs"))
+      val n1 = grid.groupBy("x").agg(sum("cnt").as("m"))
+        .agg(sum(expr("m * (m - 1) div 2")).as("n1"))
+      val n2 = grid.groupBy("y").agg(sum("cnt").as("m"))
+        .agg(sum(expr("m * (m - 1) div 2")).as("n2"))
+      val nn = grid.agg(sum("cnt").as("n"))
+      pairs.crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+        .crossJoin(broadcast(nn))
+        .withColumn("n0", expr("n * (n - 1) div 2"))
+        .select(col("n"), col("c_pairs"), col("d_pairs"), col("n1"), col("n2"),
+          dround((col("c_pairs") - col("d_pairs")).cast("double") /
+            sqrt((col("n0") - col("n1")).cast("double") *
+              (col("n0") - col("n2")).cast("double")), 6).as("tau_b"))
+    },
+    Some("""WITH ev AS (
+              SELECT CAST(l_quantity AS BIGINT) AS x,
+                     CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)
+                       AS y
+              FROM lineitem),
+            grid AS (
+              SELECT x, y, CAST(count(*) AS BIGINT) AS cnt
+              FROM ev GROUP BY 1, 2),
+            dom AS (
+              SELECT g1.x, g1.y, g1.cnt,
+                     CAST(coalesce(sum(CASE WHEN g2.y > g1.y
+                       THEN g2.cnt END), 0) AS BIGINT) AS gtgt,
+                     CAST(coalesce(sum(CASE WHEN g2.y < g1.y
+                       THEN g2.cnt END), 0) AS BIGINT) AS gtlt
+              FROM grid g1 LEFT JOIN grid g2 ON g2.x > g1.x
+              GROUP BY 1, 2, 3),
+            pairs AS (
+              SELECT CAST(sum(cnt * gtgt) AS BIGINT) AS c_pairs,
+                     CAST(sum(cnt * gtlt) AS BIGINT) AS d_pairs
+              FROM dom),
+            m1 AS (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS n1
+                   FROM (SELECT CAST(sum(cnt) AS BIGINT) AS m
+                         FROM grid GROUP BY x)),
+            m2 AS (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS n2
+                   FROM (SELECT CAST(sum(cnt) AS BIGINT) AS m
+                         FROM grid GROUP BY y)),
+            nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                          CAST(sum(cnt) * (sum(cnt) - 1) // 2 AS BIGINT)
+                            AS n0
+                   FROM grid)
+            SELECT n, c_pairs, d_pairs, n1, n2,
+                   CAST(round(CAST(CAST(c_pairs - d_pairs AS DOUBLE)
+                     / sqrt(CAST(n0 - n1 AS DOUBLE)
+                            * CAST(n0 - n2 AS DOUBLE))
+                     AS DECIMAL(30,8)), 6) AS DOUBLE) AS tau_b
+            FROM pairs, m1, m2, nn"""))
+
+  // ------------------------------------------- skewness and kurtosis --
+
+  /** Higher-moment distribution profile per event type — skewness and
+    * excess kurtosis from exact integer power sums (the one-pass
+    * moment-sketch discipline of q_stats_anova extended to S₃/S₄): cents
+    * c ≤ ~5.6×10⁴, so c² fits BIGINT but c⁴ ≈ 10¹⁹ does NOT — each power
+    * widens to DECIMAL(38,0)/HUGEINT BEFORE the multiply (ANSI throws on
+    * the long overflow otherwise; DuckDB's BIGINT product would too).
+    * Central moments then assemble in DOUBLE from the exact sums with the
+    * expression tree bit-mirrored in the oracle: m₂ = S₂/n − μ²,
+    * m₃ = S₃/n − 3μS₂/n + 2μ³, m₄ = S₄/n − 4μS₃/n + 6μ²S₂/n − 3μ⁴,
+    * skew = m₃/m₂^1.5, kurt = m₄/m₂² − 3. The verdict column flags the
+    * heavy-tailed types a mean±σ monitor silently mis-summarizes.
+    *
+    * Scale: one map-combinable 5-sum agg over the stream — the cheapest
+    * shape Spark has; DECIMAL(38) holds S₄ to ~10¹⁸ rows of 10⁵-cent
+    * values. |types| output rows.
+    */
+  private val qStatsMoments = GQuery(
+    (s, d) => {
+      val c = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val g = t(s, d, "events")
+        .select(col("event_type"), c.as("c"),
+          (c * c).as("c2"))
+        .groupBy("event_type")
+        .agg(count(lit(1L)).as("n"),
+          sum(col("c").cast("decimal(38,0)")).as("s1"),
+          sum(col("c2").cast("decimal(38,0)")).as("s2"),
+          sum(col("c2").cast("decimal(38,0)") * col("c")).as("s3"),
+          sum(col("c2").cast("decimal(38,0)") * col("c2")).as("s4"))
+      g.select(col("event_type"), col("n"),
+          (col("s1").cast("double") / col("n")).as("mu"),
+          col("s2").cast("double").as("s2"),
+          col("s3").cast("double").as("s3"),
+          col("s4").cast("double").as("s4"))
+        .withColumn("m2",
+          col("s2") / col("n") - col("mu") * col("mu"))
+        .withColumn("m3",
+          col("s3") / col("n") - lit(3) * col("mu") * col("s2") / col("n")
+            + lit(2) * col("mu") * col("mu") * col("mu"))
+        .withColumn("m4",
+          col("s4") / col("n") - lit(4) * col("mu") * col("s3") / col("n")
+            + lit(6) * col("mu") * col("mu") * col("s2") / col("n")
+            - lit(3) * col("mu") * col("mu") * col("mu") * col("mu"))
+        .select(col("event_type"), col("n"),
+          dround(col("mu") / 100, 4).as("mean_dollars"),
+          dround(col("m3") / pow(col("m2"), 1.5), 4).as("skewness"),
+          dround(col("m4") / (col("m2") * col("m2")) - 3, 4)
+            .as("excess_kurtosis"))
+        .withColumn("heavy_tailed", col("excess_kurtosis") > 1.0)
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (
+              SELECT event_type,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+              FROM events),
+            g AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     sum(CAST(c AS HUGEINT)) AS s1,
+                     sum(CAST(c * c AS HUGEINT)) AS s2,
+                     sum(CAST(c * c AS HUGEINT) * c) AS s3,
+                     sum(CAST(c * c AS HUGEINT) * (c * c)) AS s4
+              FROM ev GROUP BY 1),
+            m AS (
+              SELECT event_type, n,
+                     CAST(s1 AS DOUBLE) / n AS mu,
+                     CAST(s2 AS DOUBLE) AS s2,
+                     CAST(s3 AS DOUBLE) AS s3,
+                     CAST(s4 AS DOUBLE) AS s4
+              FROM g),
+            cm AS (
+              SELECT event_type, n, mu,
+                     s2 / n - mu * mu AS m2,
+                     s3 / n - 3 * mu * s2 / n + 2 * mu * mu * mu AS m3,
+                     s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n
+                       - 3 * mu * mu * mu * mu AS m4
+              FROM m),
+            r AS (
+              SELECT event_type, n,
+                     CAST(round(CAST(mu / 100 AS DECIMAL(30,8)), 4)
+                       AS DOUBLE) AS mean_dollars,
+                     CAST(round(CAST(m3 / pow(m2, 1.5) AS DECIMAL(30,8)), 4)
+                       AS DOUBLE) AS skewness,
+                     CAST(round(CAST(m4 / (m2 * m2) - 3 AS DECIMAL(30,8)), 4)
+                       AS DOUBLE) AS excess_kurtosis
+              FROM cm)
+            SELECT event_type, n, mean_dollars, skewness, excess_kurtosis,
+                   excess_kurtosis > 1.0 AS heavy_tailed
+            FROM r ORDER BY event_type"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_stats_kendall" -> qStatsKendall,
+    "q_stats_moments" -> qStatsMoments,
     "q_stats_levene" -> qStatsLevene,
     "q_stats_ljungbox" -> qStatsLjungbox,
     "q_stats_pareto_tail" -> qStatsParetoTail,
