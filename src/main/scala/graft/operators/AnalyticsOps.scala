@@ -10225,7 +10225,269 @@ object AnalyticsOps extends QueryModule {
                    excess_kurtosis > 1.0 AS heavy_tailed
             FROM r ORDER BY event_type"""))
 
+  // ------------------------------------------- 1-Wasserstein distance --
+
+  /** Pairwise 1-Wasserstein (earth-mover's) distance between the five
+    * event types' value distributions (Monge 1781 / Kantorovich 1942;
+    * W₁ = ∫|F_a − F_b| for 1-D — public): the drift metric with UNITS
+    * (dollars moved per unit mass) that the sup-statistic q_stats_ks and
+    * the binned q_stats_psi both lack. Exactness: on the cent grid W₁ is
+    * a finite sum of rectangle areas Σ |F_a(c) − F_b(c)|·Δc; ECDFs stay
+    * cross-multiplied integers (|cumA·n_b − cumB·n_a|·gap ≤ 2×10¹⁶ per
+    * cell at sf0.1 — BIGINT-safe) and accumulate in DECIMAL(38,0)/
+    * HUGEINT (the cell SUM passes BIGINT); one division by n_a·n_b·100
+    * exits to DOUBLE at the end, dround'd.
+    *
+    * Scale: one (type, cent) grid agg (value-domain-bounded), a 10-row
+    * broadcast pair table fanning the grid ≤ (k−1)× , per-pair cumsum
+    * windows PARTITIONED BY PAIR over grid-sized input, one final agg.
+    * No row-level window; k types cost k²/2 grid passes of bounded size.
+    */
+  private val qStatsWasserstein = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val grid = t(s, d, "events")
+        .select(col("event_type"), cents.as("c"))
+        .groupBy("event_type", "c").agg(count(lit(1L)).as("cnt"))
+        .localCheckpoint(true) // feeds totals AND the pair fan-out
+      val tot = grid.groupBy("event_type").agg(sum("cnt").as("n"))
+      val pairs = tot.select(col("event_type").as("ta"), col("n").as("na"))
+        .crossJoin(tot.select(col("event_type").as("tb"), col("n").as("nb")))
+        .filter(col("ta") < col("tb"))
+      val cells = broadcast(pairs)
+        .join(grid, col("event_type") === col("ta") ||
+          col("event_type") === col("tb"))
+        .groupBy("ta", "tb", "na", "nb", "c")
+        .agg(sum(when(col("event_type") === col("ta"), col("cnt"))
+            .otherwise(0L)).as("ca"),
+          sum(when(col("event_type") === col("tb"), col("cnt"))
+            .otherwise(0L)).as("cb"))
+      val wCum = Window.partitionBy("ta", "tb").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wLead = Window.partitionBy("ta", "tb").orderBy("c")
+      cells
+        .withColumn("cuma", sum("ca").over(wCum))
+        .withColumn("cumb", sum("cb").over(wCum))
+        .withColumn("gap", coalesce(lead(col("c"), 1).over(wLead) - col("c"),
+          lit(0L)))
+        .groupBy("ta", "tb", "na", "nb")
+        .agg(sum((abs(col("cuma") * col("nb") - col("cumb") * col("na"))
+          * col("gap")).cast("decimal(38,0)")).as("area"))
+        .select(col("ta").as("type_a"), col("tb").as("type_b"),
+          dround(col("area").cast("double") /
+            (col("na").cast("double") * col("nb").cast("double")) / 100, 4)
+            .as("w1_dollars"))
+        .orderBy("type_a", "type_b")
+    },
+    Some("""WITH ev AS (
+              SELECT event_type,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+              FROM events),
+            grid AS (
+              SELECT event_type, c, CAST(count(*) AS BIGINT) AS cnt
+              FROM ev GROUP BY 1, 2),
+            tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+                    FROM grid GROUP BY 1),
+            pairs AS (
+              SELECT a.event_type AS ta, a.n AS na,
+                     b.event_type AS tb, b.n AS nb
+              FROM tot a, tot b WHERE a.event_type < b.event_type),
+            cells AS (
+              SELECT p.ta, p.tb, p.na, p.nb, g.c,
+                     CAST(sum(CASE WHEN g.event_type = p.ta THEN g.cnt
+                       ELSE 0 END) AS BIGINT) AS ca,
+                     CAST(sum(CASE WHEN g.event_type = p.tb THEN g.cnt
+                       ELSE 0 END) AS BIGINT) AS cb
+              FROM pairs p JOIN grid g
+                ON g.event_type = p.ta OR g.event_type = p.tb
+              GROUP BY 1, 2, 3, 4, 5),
+            cum AS (
+              SELECT ta, tb, na, nb,
+                     CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+                     CAST(sum(cb) OVER w AS BIGINT) AS cumb,
+                     CAST(coalesce(lead(c, 1) OVER (PARTITION BY ta, tb
+                       ORDER BY c) - c, 0) AS BIGINT) AS gap
+              FROM cells
+              WINDOW w AS (PARTITION BY ta, tb ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            area AS (
+              SELECT ta, tb, na, nb,
+                     sum(CAST(abs(cuma * nb - cumb * na) * gap AS HUGEINT))
+                       AS area
+              FROM cum GROUP BY 1, 2, 3, 4)
+            SELECT ta AS type_a, tb AS type_b,
+                   CAST(round(CAST(CAST(area AS DOUBLE)
+                     / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / 100
+                     AS DECIMAL(30,8)), 4) AS DOUBLE) AS w1_dollars
+            FROM area ORDER BY type_a, type_b"""))
+
+  // ---------------------------------------------------- Cochran's Q --
+
+  /** Cochran's Q test (Cochran 1950 — public) for k correlated binary
+    * outcomes: blocks = users, treatments = the five event types, and the
+    * binary outcome x_uj = "user u ever produced a type-j event worth
+    * ≥ $400" — does whale-grade spending occur equally often across event
+    * types for the SAME users? (The paired completion of q_stats_mcnemar
+    * beyond k=2, as q_stats_kruskal completes Mann–Whitney.) Q =
+    * (k−1)·(k·ΣC_j² − N²)/(k·N − ΣR_u²) with column totals C_j, row
+    * totals R_u, N = ΣR_u — every term an exact integer up to the one
+    * final division (dround'd), so the verdict row hashes cross-engine.
+    * All-0/all-1 blocks contribute nothing to either side — kept, with a
+    * zero-denominator null guard mirrored in the oracle.
+    *
+    * Scale: one (user, type) max-agg (map-combinable), one per-user k-row
+    * rollup, one scalar assembly. ΣC_j² passes BIGINT only past ~3×10⁹
+    * users — widen to DECIMAL(38) there. No windows, no joins.
+    */
+  private val qStatsCochranq = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val x = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), cents.as("c"))
+        .groupBy("user_id", "event_type")
+        .agg(max((col("c") >= 40000L).cast("long")).as("x"))
+      val rows = x.groupBy("user_id").agg(sum("x").as("r"))
+        .agg(count(lit(1L)).as("n_blocks"), sum("r").as("nsum"),
+          sum(col("r") * col("r")).as("sum_r2"))
+      val cols = x.groupBy("event_type").agg(sum("x").as("cj"))
+        .agg(count(lit(1L)).as("k"), sum(col("cj") * col("cj")).as("sum_c2"))
+      rows.crossJoin(broadcast(cols))
+        .select(col("k").cast("int").as("k"), col("n_blocks"), col("nsum"),
+          col("sum_c2"), col("sum_r2"),
+          dround(when(col("k") * col("nsum") - col("sum_r2") === 0L,
+            lit(null).cast("double"))
+            .otherwise(((col("k") - 1) * (col("k") * col("sum_c2") -
+              col("nsum") * col("nsum"))).cast("double") /
+              (col("k") * col("nsum") - col("sum_r2")).cast("double")), 4)
+            .as("q_stat"))
+        .withColumn("uneven_across_types", col("q_stat") > 9.488)
+    },
+    Some("""WITH x AS (
+              SELECT user_id, event_type,
+                     CAST(max(CASE WHEN CAST(CAST(value AS DECIMAL(18,2))
+                       * 100 AS BIGINT) >= 40000 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS x
+              FROM events GROUP BY 1, 2),
+            r AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+                     CAST(sum(rr) AS BIGINT) AS nsum,
+                     CAST(sum(rr * rr) AS BIGINT) AS sum_r2
+              FROM (SELECT CAST(sum(x) AS BIGINT) AS rr
+                    FROM x GROUP BY user_id)),
+            c AS (
+              SELECT CAST(count(*) AS BIGINT) AS k,
+                     CAST(sum(cj * cj) AS BIGINT) AS sum_c2
+              FROM (SELECT CAST(sum(x) AS BIGINT) AS cj
+                    FROM x GROUP BY event_type)),
+            q AS (
+              SELECT CAST(k AS INT) AS k, n_blocks, nsum, sum_c2, sum_r2,
+                     CAST(round(CAST(CASE
+                       WHEN k * nsum - sum_r2 = 0 THEN NULL
+                       ELSE CAST((k - 1) * (k * sum_c2 - nsum * nsum)
+                              AS DOUBLE)
+                            / CAST(k * nsum - sum_r2 AS DOUBLE) END
+                       AS DECIMAL(30,8)), 4) AS DOUBLE) AS q_stat
+              FROM r, c)
+            SELECT k, n_blocks, nsum, sum_c2, sum_r2, q_stat,
+                   q_stat > 9.488 AS uneven_across_types
+            FROM q"""))
+
+  // -------------------------------------------------- Friedman test --
+
+  /** Friedman rank test (Friedman 1937; tie correction per Conover —
+    * public): the repeated-measures counterpart of q_stats_kruskal —
+    * blocks = days, treatments = the five event types, observation = the
+    * day's total value in cents, ranked WITHIN each day so day-level
+    * volume shifts cancel. Does any event type systematically out-earn
+    * the others day after day? Doubled mid-ranks (2·rank + t_eq − 1, the
+    * kruskal tie discipline) keep ties exact-integer; χ²_F assembles as
+    * 3·ΣR₂ⱼ²/(n·k·(k+1)) − 3n(k+1), then divides by the tie factor
+    * C = 1 − ΣT_b/(n·(k³−k)), T_b = Σ(t³−t) — all integer numerators, one
+    * dround'd exit, a C=0 (all-tied) null guard mirrored cross-engine.
+    *
+    * Scale: the corpus collapses to the n×k day-grid before any window;
+    * the rank window partitions by day over k rows. Grid economics at any
+    * corpus size; the decision is one row.
+    */
+  private val qStatsFriedman = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val daily = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("event_type"),
+          cents.as("c"))
+        .groupBy("day", "event_type").agg(sum("c").as("v"))
+      val wR = Window.partitionBy("day").orderBy("v")
+      val wEq = Window.partitionBy("day", "v")
+      val ranked = daily
+        .withColumn("r2", lit(2) * rank().over(wR) +
+          count(lit(1L)).over(wEq) - 1)
+        .withColumn("teq", count(lit(1L)).over(wEq))
+      val rj = ranked.groupBy("event_type").agg(sum("r2").as("r2j"))
+        .agg(count(lit(1L)).as("k"), sum(col("r2j") * col("r2j")).as("sr2"))
+      val ties = ranked
+        .groupBy("day", "v").agg(max("teq").as("tq"))
+        .agg(sum(col("tq") * col("tq") * col("tq") - col("tq")).as("tsum"),
+          countDistinct(col("day")).as("n"))
+      rj.crossJoin(broadcast(ties))
+        .select(col("k").cast("int").as("k"), col("n"), col("sr2"),
+          col("tsum"),
+          // doubled ranks: ΣR₂² = 4·ΣR² ⇒ the 12/... constant becomes 3/...
+          (lit(3.0) * col("sr2").cast("double") /
+            (col("n") * col("k") * (col("k") + 1)).cast("double") -
+            lit(3.0) * (col("n") * (col("k") + 1)).cast("double"))
+            .as("chi2_raw"),
+          (lit(1.0) - col("tsum").cast("double") /
+            (col("n") * (col("k") * col("k") * col("k") - col("k")))
+              .cast("double")).as("cfac"))
+        .select(col("k"), col("n"), col("sr2"), col("tsum"),
+          dround(when(col("cfac") === 0.0, lit(null).cast("double"))
+            .otherwise(col("chi2_raw") / col("cfac")), 4).as("chi2_f"))
+        .withColumn("types_differ", col("chi2_f") > 9.488)
+    },
+    Some("""WITH daily AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS v
+              FROM events GROUP BY 1, 2),
+            ranked AS (
+              SELECT day, event_type, v,
+                     CAST(2 * rank() OVER (PARTITION BY day ORDER BY v)
+                       + count(*) OVER (PARTITION BY day, v) - 1
+                       AS BIGINT) AS r2,
+                     CAST(count(*) OVER (PARTITION BY day, v) AS BIGINT)
+                       AS teq
+              FROM daily),
+            rj AS (
+              SELECT CAST(count(*) AS BIGINT) AS k,
+                     CAST(sum(r2j * r2j) AS BIGINT) AS sr2
+              FROM (SELECT CAST(sum(r2) AS BIGINT) AS r2j
+                    FROM ranked GROUP BY event_type)),
+            ties AS (
+              SELECT CAST(sum(tq * tq * tq - tq) AS BIGINT) AS tsum,
+                     CAST(count(DISTINCT day) AS BIGINT) AS n
+              FROM (SELECT day, v, CAST(max(teq) AS BIGINT) AS tq
+                    FROM ranked GROUP BY 1, 2)),
+            a AS (
+              SELECT CAST(k AS INT) AS k, n, sr2, tsum,
+                     3.0 * CAST(sr2 AS DOUBLE)
+                       / CAST(n * k * (k + 1) AS DOUBLE)
+                       - 3.0 * CAST(n * (k + 1) AS DOUBLE) AS chi2_raw,
+                     1.0 - CAST(tsum AS DOUBLE)
+                       / CAST(n * (k * k * k - k) AS DOUBLE) AS cfac
+              FROM rj, ties)
+            SELECT k, n, sr2, tsum,
+                   CAST(round(CAST(CASE WHEN cfac = 0.0 THEN NULL
+                     ELSE chi2_raw / cfac END AS DECIMAL(30,8)), 4)
+                     AS DOUBLE) AS chi2_f,
+                   CAST(round(CAST(CASE WHEN cfac = 0.0 THEN NULL
+                     ELSE chi2_raw / cfac END AS DECIMAL(30,8)), 4)
+                     AS DOUBLE) > 9.488 AS types_differ
+            FROM a"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_stats_wasserstein" -> qStatsWasserstein,
+    "q_stats_cochranq" -> qStatsCochranq,
+    "q_stats_friedman" -> qStatsFriedman,
     "q_stats_kendall" -> qStatsKendall,
     "q_stats_moments" -> qStatsMoments,
     "q_stats_levene" -> qStatsLevene,
