@@ -10484,7 +10484,189 @@ object AnalyticsOps extends QueryModule {
                      AS DOUBLE) > 9.488 AS types_differ
             FROM a"""))
 
+  // -------------------------------------- Nelson–Aalen cumulative hazard --
+
+  /** Nelson–Aalen cumulative-hazard estimator (Nelson 1972 / Aalen 1978 —
+    * public) over the q_survival_km lifetimes: Ĥ(t) = Σ_{d≤t} e(d)/n(d),
+    * the additive dual of KM's product limit — hazard INCREMENTS add, so
+    * Ĥ curves subtract cleanly across cohorts where KM curves don't, and
+    * Ĥ's slope reads as the raw churn hazard per lifetime-day. Where KM
+    * needed a sequential ppm fold (recursive-CTE oracle), the NA sum is
+    * just a cumulative-sum window: each increment quantizes to ppm by
+    * integral div ((10⁶·e) div n — exact, mirrored by DuckDB //), then
+    * accumulates as BIGINT. The Aalen variance Σ e/n² rides the same
+    * window in ppb. No recursion, no floats, hash-exact.
+    *
+    * Scale: the KM economics verbatim — per-user min/max rollup, ≤ #days
+    * lifetime grid, grid-sized suffix/prefix windows. The fold-free shape
+    * makes it the CHEAPER estimator at scale (pure window, restartable).
+    */
+  private val qSurvivalNelsonAalen = GQuery(
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+      val users = ev.groupBy("user_id")
+        .agg(min("day").as("fd"), max("day").as("ld"),
+          max(when(col("event_type") === "purchase", col("day"))).as("lp"))
+        .localCheckpoint(true)
+      val gmax = users.agg(max("ld").as("gd"))
+      val lam = users.filter(col("lp").isNotNull).crossJoin(broadcast(gmax))
+        .select(datediff(col("lp"), col("fd")).cast("long").as("dur"),
+          (col("lp") < date_sub(col("gd"), 3)).cast("long").as("evt"))
+      val km = lam.groupBy("dur")
+        .agg(count(lit(1L)).as("n_at"), sum("evt").as("n_event"))
+      val wRisk = Window.orderBy("dur")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val wCum = Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      km.withColumn("n_risk", sum("n_at").over(wRisk))
+        .withColumn("inc_ppm", expr("(1000000 * n_event) div n_risk"))
+        .withColumn("inc_var_ppb",
+          expr("(1000000000 * n_event) div (n_risk * n_risk)"))
+        .select(col("dur").as("dur_days"), col("n_risk"),
+          col("n_event").as("n_events"),
+          sum("inc_ppm").over(wCum).as("cumhaz_ppm"),
+          sum("inc_var_ppb").over(wCum).as("cumhaz_var_ppb"))
+        .orderBy("dur_days")
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, event_type,
+                     CAST(date_trunc('day', ts) AS DATE) AS day
+              FROM events),
+            users AS (
+              SELECT user_id, min(day) AS fd, max(day) AS ld,
+                     max(CASE WHEN event_type = 'purchase' THEN day END)
+                       AS lp
+              FROM ev GROUP BY 1),
+            g AS (SELECT max(ld) AS gd FROM users),
+            lam AS (
+              SELECT CAST(date_diff('day', fd, lp) AS BIGINT) AS dur,
+                     CASE WHEN lp < gd - 3 THEN 1 ELSE 0 END AS evt
+              FROM users, g WHERE lp IS NOT NULL),
+            km AS (
+              SELECT dur, CAST(count(*) AS BIGINT) AS n_at,
+                     CAST(sum(evt) AS BIGINT) AS n_event
+              FROM lam GROUP BY 1),
+            risky AS (
+              SELECT dur, n_event,
+                     CAST(sum(n_at) OVER (ORDER BY dur
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS BIGINT) AS n_risk
+              FROM km)
+            SELECT dur AS dur_days, n_risk, n_event AS n_events,
+                   CAST(sum((1000000 * n_event) // n_risk)
+                     OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS cumhaz_ppm,
+                   CAST(sum((1000000000 * n_event) // (n_risk * n_risk))
+                     OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS cumhaz_var_ppb
+            FROM risky ORDER BY dur_days"""))
+
+  // ------------------------------------------- Harrell's concordance --
+
+  /** Harrell's C-index (Harrell 1982 — public) for the activity→survival
+    * hypothesis on the q_survival_km lifetimes: does a user's breadth of
+    * engagement (score = distinct active days) predict who churns later?
+    * A pair (i, j) is comparable iff the shorter lifetime belongs to an
+    * OBSERVED churn (t_i < t_j, i uncensored — censored-short pairs are
+    * unknowable and must be excluded, the mistake a naive correlation
+    * makes); concordant iff the longer-lived user also scores higher,
+    * score-ties count half (doubled-integer convention). Both lifetime
+    * and score are calendar-bounded (≤ #days each), so the corpus
+    * collapses to a ≤ days² cell grid and every pair class is a
+    * grid-dominance sum weighted by the cell's UNCENSORED count — the
+    * q_stats_kendall machinery with a censoring mask. C = (2·conc +
+    * tied)/(2·comparable), exact integers to the final dround'd division.
+    *
+    * Scale: per-user rollup (map-combinable), days²-bounded grid, grid²
+    * broadcast dominance join — domain-sized, never data-sized. Pair
+    * counts pass BIGINT at ~3×10⁹ users; widen to DECIMAL there.
+    */
+  private val qSurvivalCindex = GQuery(
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+      val users = ev.groupBy("user_id")
+        .agg(min("day").as("fd"), max("day").as("ld"),
+          max(when(col("event_type") === "purchase", col("day"))).as("lp"),
+          countDistinct(col("day")).as("score"))
+        .localCheckpoint(true)
+      val gmax = users.agg(max("ld").as("gd"))
+      val lam = users.filter(col("lp").isNotNull).crossJoin(broadcast(gmax))
+        .select(datediff(col("lp"), col("fd")).cast("long").as("dur"),
+          (col("lp") < date_sub(col("gd"), 3)).cast("long").as("evt"),
+          col("score"))
+      val grid = lam.groupBy("dur", "score")
+        .agg(count(lit(1L)).as("cnt"), sum("evt").as("cnt_evt"))
+        .localCheckpoint(true)
+      val g2 = grid.select(col("dur").as("dur2"), col("score").as("score2"),
+        col("cnt").as("cnt2"))
+      val dom = grid.join(broadcast(g2), col("dur2") > col("dur"), "left")
+        .groupBy("dur", "score", "cnt_evt")
+        .agg(coalesce(sum(col("cnt2")), lit(0L)).as("later"),
+          coalesce(sum(when(col("score2") > col("score"), col("cnt2"))),
+            lit(0L)).as("conc"),
+          coalesce(sum(when(col("score2") === col("score"), col("cnt2"))),
+            lit(0L)).as("tied"))
+      val tot = dom.agg(
+        sum(col("cnt_evt") * col("later")).as("comparable_pairs"),
+        sum(col("cnt_evt") * col("conc")).as("concordant_pairs"),
+        sum(col("cnt_evt") * col("tied")).as("tied_pairs"))
+      val nu = lam.agg(count(lit(1L)).as("n_users"))
+      tot.crossJoin(broadcast(nu))
+        .select(col("n_users"), col("comparable_pairs"),
+          col("concordant_pairs"), col("tied_pairs"),
+          dround((lit(2) * col("concordant_pairs") + col("tied_pairs"))
+            .cast("double") /
+            (lit(2) * col("comparable_pairs")).cast("double"), 6)
+            .as("c_index"))
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, event_type,
+                     CAST(date_trunc('day', ts) AS DATE) AS day
+              FROM events),
+            users AS (
+              SELECT user_id, min(day) AS fd, max(day) AS ld,
+                     max(CASE WHEN event_type = 'purchase' THEN day END)
+                       AS lp,
+                     CAST(count(DISTINCT day) AS BIGINT) AS score
+              FROM ev GROUP BY 1),
+            g AS (SELECT max(ld) AS gd FROM users),
+            lam AS (
+              SELECT CAST(date_diff('day', fd, lp) AS BIGINT) AS dur,
+                     CASE WHEN lp < gd - 3 THEN 1 ELSE 0 END AS evt,
+                     score
+              FROM users, g WHERE lp IS NOT NULL),
+            grid AS (
+              SELECT dur, score, CAST(count(*) AS BIGINT) AS cnt,
+                     CAST(sum(evt) AS BIGINT) AS cnt_evt
+              FROM lam GROUP BY 1, 2),
+            dom AS (
+              SELECT g1.dur, g1.score, g1.cnt_evt,
+                     CAST(coalesce(sum(g2.cnt), 0) AS BIGINT) AS later,
+                     CAST(coalesce(sum(CASE WHEN g2.score > g1.score
+                       THEN g2.cnt END), 0) AS BIGINT) AS conc,
+                     CAST(coalesce(sum(CASE WHEN g2.score = g1.score
+                       THEN g2.cnt END), 0) AS BIGINT) AS tied
+              FROM grid g1 LEFT JOIN grid g2 ON g2.dur > g1.dur
+              GROUP BY 1, 2, 3),
+            tot AS (
+              SELECT CAST(sum(cnt_evt * later) AS BIGINT)
+                       AS comparable_pairs,
+                     CAST(sum(cnt_evt * conc) AS BIGINT)
+                       AS concordant_pairs,
+                     CAST(sum(cnt_evt * tied) AS BIGINT) AS tied_pairs
+              FROM dom),
+            nu AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM lam)
+            SELECT n_users, comparable_pairs, concordant_pairs, tied_pairs,
+                   CAST(round(CAST(CAST(2 * concordant_pairs + tied_pairs
+                     AS DOUBLE) / CAST(2 * comparable_pairs AS DOUBLE)
+                     AS DECIMAL(30,8)), 6) AS DOUBLE) AS c_index
+            FROM tot, nu"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_survival_nelson_aalen" -> qSurvivalNelsonAalen,
+    "q_survival_cindex" -> qSurvivalCindex,
     "q_stats_wasserstein" -> qStatsWasserstein,
     "q_stats_cochranq" -> qStatsCochranq,
     "q_stats_friedman" -> qStatsFriedman,
