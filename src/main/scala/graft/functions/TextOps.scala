@@ -458,6 +458,88 @@ object TextOps extends QueryModule {
                      / len(bg) AS DECIMAL(30,8)), 4) AS DOUBLE) AS dup_bigram_frac
             FROM m ORDER BY doc_id"""))
 
+  // ------------------------------------------------ blocklist filter --
+
+  /** Multi-term blocklist filter — the safety/compliance scan every
+    * training-data pipeline runs before anything else: per document, hit
+    * counts against a term list, how many DISTINCT blocked terms appear,
+    * the earliest hit position (reviewers read from the first hit), and a
+    * hits-per-1k-token density; the verdict combines breadth (≥ 3 distinct
+    * terms) and density (≥ 80/1k). Implementation is term-at-a-time over
+    * the materialized token array (tokens as a COLUMN first — the HOF
+    * lambda re-evaluation invariant): `filter` + `array_position` per
+    * term, codegen'd, no join and no explode, so cost is O(tokens·|list|)
+    * map-side. Position semantics bridged cross-engine: Spark's absent →
+    * 0 vs DuckDB's absent → NULL both normalize through a sentinel before
+    * the min.
+    *
+    * Scale: embarrassingly parallel map over documents; a 10⁴-term list
+    * swaps the per-term columns for ONE explode + broadcast terms join
+    * (the q_decontaminate shape) — same outputs, documented here as the
+    * big-list path.
+    */
+  private val qTextBlocklist = GQuery(
+    (s, d) => {
+      val terms = Seq("spark", "vector", "window", "merge")
+      val toked = t(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      val hit = terms.map(tm =>
+        size(expr(s"filter(toks, x -> x = '$tm')")).cast("long"))
+      val pos = terms.map(tm =>
+        coalesce(nullif(array_position(col("toks"), tm), lit(0L)),
+          lit(999999999L)))
+      toked
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+          hit.reduce(_ + _).as("n_hits"),
+          hit.map(h => (h > 0L).cast("long")).reduce(_ + _)
+            .as("n_terms_hit"),
+          least(pos: _*).as("p0"))
+        .select(col("doc_id"), col("n_tokens"), col("n_hits"),
+          col("n_terms_hit"),
+          nullif(col("p0"), lit(999999999L)).as("first_hit_pos"),
+          dround(col("n_hits").cast("double") * 1000 / col("n_tokens"), 2)
+            .as("density_per_1k"))
+        .withColumn("blocked",
+          col("n_terms_hit") >= 3 || col("density_per_1k") >= 80.0)
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM documents),
+            m AS (
+              SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                     CAST(len(list_filter(toks, x -> x = 'spark'))
+                       + len(list_filter(toks, x -> x = 'vector'))
+                       + len(list_filter(toks, x -> x = 'window'))
+                       + len(list_filter(toks, x -> x = 'merge'))
+                       AS BIGINT) AS n_hits,
+                     CAST((CASE WHEN len(list_filter(toks, x -> x = 'spark'))
+                         > 0 THEN 1 ELSE 0 END)
+                       + (CASE WHEN len(list_filter(toks, x -> x = 'vector'))
+                         > 0 THEN 1 ELSE 0 END)
+                       + (CASE WHEN len(list_filter(toks, x -> x = 'window'))
+                         > 0 THEN 1 ELSE 0 END)
+                       + (CASE WHEN len(list_filter(toks, x -> x = 'merge'))
+                         > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_hit,
+                     least(coalesce(nullif(CAST(list_position(toks, 'spark')
+                         AS BIGINT), 0), 999999999),
+                       coalesce(nullif(CAST(list_position(toks, 'vector')
+                         AS BIGINT), 0), 999999999),
+                       coalesce(nullif(CAST(list_position(toks, 'window')
+                         AS BIGINT), 0), 999999999),
+                       coalesce(nullif(CAST(list_position(toks, 'merge')
+                         AS BIGINT), 0), 999999999)) AS p0
+              FROM t)
+            SELECT doc_id, n_tokens, n_hits, n_terms_hit,
+                   nullif(p0, 999999999) AS first_hit_pos,
+                   CAST(round(CAST(CAST(n_hits AS DOUBLE) * 1000 / n_tokens
+                     AS DECIMAL(30,8)), 2) AS DOUBLE) AS density_per_1k,
+                   n_terms_hit >= 3
+                     OR CAST(round(CAST(CAST(n_hits AS DOUBLE) * 1000
+                       / n_tokens AS DECIMAL(30,8)), 2) AS DOUBLE) >= 80.0
+                     AS blocked
+            FROM m ORDER BY doc_id"""))
+
   // ------------------------------------------------------ PII scrub --
 
   /** Pattern-scrub pass (the PII-masking stage of a training-data pipeline,
@@ -2357,6 +2439,7 @@ object TextOps extends QueryModule {
     "q_vocab_coverage" -> qVocabCoverage,
     "q_text_keyness" -> qTextKeyness,
     "q_text_textrank" -> qTextTextrank,
+    "q_text_blocklist" -> qTextBlocklist,
     "q_text_watermark" -> qTextWatermark,
     "q_vocab_oov" -> qVocabOov,
     "q_text_compressibility" -> qTextCompressibility,

@@ -10664,7 +10664,72 @@ object AnalyticsOps extends QueryModule {
                      AS DECIMAL(30,8)), 6) AS DOUBLE) AS c_index
             FROM tot, nu"""))
 
+  // ------------------------------------------------ bot/automation gate --
+
+  /** Automation (bot) detection by inter-arrival regularity — the
+    * training-data hygiene gate that drops machine-generated interaction
+    * streams before they poison engagement statistics: humans arrive with
+    * high-variance gaps (CV² ≈ 1 for Poisson, > 1 bursty), schedulers and
+    * retry loops arrive metronomically (CV² → 0). Per user, consecutive
+    * event gaps in exact µs (unix_micros/epoch_us, (ts, event_id)-ordered
+    * for a total order under duplicate timestamps); CV² = (n·S₂ − S₁²)/S₁²
+    * from integer power sums — gap² passes BIGINT (gap ≤ 2.6×10¹² µs over
+    * the 30-day window), so each square widens to DECIMAL(38)/HUGEINT
+    * BEFORE multiplying. Users with ≥ 20 gaps rank by regularity; the 50
+    * most metronomic emit with the bot verdict (CV² ≤ 0.5).
+    *
+    * Scale: one user-partitioned lag window (the sessionize shuffle) +
+    * map-combinable 3-sum agg; TakeOrderedAndProject top-50, never a
+    * global sort. DECIMAL(38) holds n·S₂ to ~10⁴-event users at month
+    * gaps.
+    */
+  private val qEventsBotDetect = GQuery(
+    (s, d) => {
+      val wU = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gaps = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("gap", col("us") - lag("us", 1).over(wU))
+        .filter(col("gap").isNotNull)
+      val g = gaps.groupBy("user_id")
+        .agg(count(lit(1L)).as("n_gaps"),
+          sum(col("gap").cast("decimal(38,0)")).as("s1"),
+          sum(col("gap").cast("decimal(38,0)") * col("gap")).as("s2"))
+        .filter(col("n_gaps") >= 20)
+      g.select(col("user_id"), col("n_gaps"),
+          dround(col("s1").cast("double") /
+            (col("n_gaps").cast("double") * 1e6), 3).as("mean_gap_s"),
+          dround((col("n_gaps") * col("s2") - col("s1") * col("s1"))
+            .cast("double") / (col("s1") * col("s1")).cast("double"), 6)
+            .as("cv2"))
+        .withColumn("is_bot", col("cv2") <= 0.5)
+        .orderBy(col("cv2"), col("user_id")).limit(50)
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us,
+                     epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events),
+            g AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                     sum(CAST(gap AS HUGEINT)) AS s1,
+                     sum(CAST(gap AS HUGEINT) * gap) AS s2
+              FROM ev WHERE gap IS NOT NULL
+              GROUP BY 1 HAVING count(*) >= 20),
+            r AS (
+              SELECT user_id, n_gaps,
+                     CAST(round(CAST(CAST(s1 AS DOUBLE)
+                       / (CAST(n_gaps AS DOUBLE) * 1e6)
+                       AS DECIMAL(30,8)), 3) AS DOUBLE) AS mean_gap_s,
+                     CAST(round(CAST(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)
+                       / CAST(s1 * s1 AS DOUBLE)
+                       AS DECIMAL(30,8)), 6) AS DOUBLE) AS cv2
+              FROM g)
+            SELECT user_id, n_gaps, mean_gap_s, cv2, cv2 <= 0.5 AS is_bot
+            FROM r ORDER BY cv2, user_id LIMIT 50"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_events_bot_detect" -> qEventsBotDetect,
     "q_survival_nelson_aalen" -> qSurvivalNelsonAalen,
     "q_survival_cindex" -> qSurvivalCindex,
     "q_stats_wasserstein" -> qStatsWasserstein,
