@@ -1419,7 +1419,229 @@ object GraphOps extends QueryModule {
             FROM (SELECT * FROM cells UNION ALL SELECT * FROM total) u, m
             ORDER BY community"""))
 
+  // ------------------------------------------- label propagation (LPA) --
+
+  /** Two synchronous label-propagation rounds (Raghavan 2007 — public)
+    * over the c ≥ 28 co-engagement edge set — the near-linear community
+    * pass that needs no modularity arithmetic (the louvain counterpoint):
+    * every node adopts the label most frequent among its neighbors, ties
+    * to the smallest label so the fixed point is deterministic (plain LPA
+    * breaks ties randomly and doesn't hash). Round 1 from identity labels
+    * degenerates to least(self, min neighbor) — every neighbor label
+    * counts once — so it's computed as exactly that (no wasted mode agg);
+    * round 2 is the real frequency vote over round-1 labels. Emits the
+    * surviving communities with sizes plus per-round convergence counts
+    * (n_labels, n_moved) — the readout that says whether more rounds are
+    * worth paying for.
+    *
+    * Scale: each round is one adj⋈labels hash join + one (node, label)
+    * count agg + one per-node argmax window — all partitioned on node id;
+    * the window partitions are degree-sized. Rounds are data-independent
+    * in cost; the synchronous variant is the only one that's
+    * deterministic under distribution (async LPA is order-dependent).
+    */
+  private val qGraphLabelprop = GQuery(
+    (s, d) => {
+      val edges = CoGraph.pairCounts(s, d)
+        .filter(col("c") >= 28)
+        .select("u", "v")
+        .localCheckpoint(true)
+      val adj = edges.select(col("u").as("x"), col("v").as("n"))
+        .union(edges.select(col("v").as("x"), col("u").as("n")))
+      // round 1 from identity labels: every neighbor label distinct ⇒ the
+      // mode IS the min — least(self, min neighbor), no mode agg needed
+      val l1 = adj.groupBy("x").agg(min("n").as("mn"))
+        .select(col("x"), least(col("mn"), col("x")).as("l"))
+        .localCheckpoint(true)
+      // round 2: frequency vote over round-1 labels, ties to smallest
+      val votes = adj
+        .join(l1.select(col("x").as("n"), col("l").as("nl")), "n")
+        .groupBy("x", "nl").agg(count(lit(1L)).as("cnt"))
+      val wPick = Window.partitionBy("x")
+        .orderBy(col("cnt").desc, col("nl").asc)
+      val l2 = votes.withColumn("rk", row_number().over(wPick))
+        .filter(col("rk") === 1)
+        .select(col("x"), col("nl").as("l2"))
+        .localCheckpoint(true) // sizes + moved count + label count
+      val comms = l2.groupBy(col("l2").as("community"))
+        .agg(count(lit(1L)).as("n_nodes"), min("x").as("min_node"),
+          max("x").as("max_node"))
+      val moved = l2.join(l1, "x")
+        .agg(sum((col("l2") =!= col("l")).cast("long")).as("n_moved"),
+          countDistinct(col("l2")).as("n_labels"))
+      comms.crossJoin(broadcast(moved))
+        .select(col("community"), col("n_nodes"), col("min_node"),
+          col("max_node"), col("n_moved"), col("n_labels"))
+        .orderBy("community")
+    },
+    Some("""WITH ev AS (
+              SELECT DISTINCT event_type,
+                     CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+              FROM events),
+            edges AS (
+              SELECT a.user_id AS u, b.user_id AS v
+              FROM ev a JOIN ev b
+                ON a.event_type = b.event_type AND a.d = b.d
+                   AND a.user_id < b.user_id
+              GROUP BY 1, 2 HAVING count(*) >= 28),
+            adj AS (
+              SELECT u AS x, v AS n FROM edges
+              UNION ALL SELECT v, u FROM edges),
+            l1 AS (
+              SELECT x, least(min(n), x) AS l FROM adj GROUP BY x),
+            votes AS (
+              SELECT a.x, b.l AS nl, CAST(count(*) AS BIGINT) AS cnt
+              FROM adj a JOIN l1 b ON a.n = b.x GROUP BY 1, 2),
+            l2 AS (
+              SELECT x, nl AS l2 FROM (
+                SELECT x, nl, row_number() OVER (PARTITION BY x
+                  ORDER BY cnt DESC, nl ASC) AS rk
+                FROM votes) WHERE rk = 1),
+            comms AS (
+              SELECT l2 AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+                     min(x) AS min_node, max(x) AS max_node
+              FROM l2 GROUP BY 1),
+            moved AS (
+              SELECT CAST(sum(CASE WHEN a.l2 <> b.l THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_moved,
+                     CAST(count(DISTINCT a.l2) AS BIGINT) AS n_labels
+              FROM l2 a JOIN l1 b USING (x))
+            SELECT community, n_nodes, min_node, max_node, n_moved, n_labels
+            FROM comms, moved ORDER BY community"""))
+
+  // ---------------------------------------------------------- k-truss --
+
+  /** k-truss peel (Cohen 2008 — public) at k = 4 over the co-engagement
+    * edge set: every surviving edge must sit in ≥ k−2 = 2 triangles OF THE
+    * SURVIVING SUBGRAPH — the cohesion filter that kills the bridge/spam
+    * edges k-core keeps (k-core bounds degree; k-truss bounds shared
+    * neighborhoods). Two explicit peel rounds, support RECOMPUTED from
+    * scratch on the survivors each round (deleting an edge retroactively
+    * destroys triangles — the part a single support filter gets wrong),
+    * with per-round (n_edges, n_tris, n_dropped) convergence evidence;
+    * round-over-round deltas shrinking toward 0 is the fixed-point
+    * readout. Triangle support per round via the q_graph_triangles
+    * orientation (out-degrees O(√E)-capped), each triangle crediting its
+    * three canonical edges.
+    *
+    * Scale: each round = one degree agg + oriented wedge join + closure
+    * join — the triangles economics on a shrinking edge set; rounds to
+    * convergence are bounded by the peel depth (small in co-engagement
+    * graphs), and each round's plan is identical, so AQE statistics
+    * carry over.
+    */
+  private val qGraphKtruss = GQuery(
+    (s, d) => {
+      def support(edges: DataFrame): DataFrame = {
+        val deg = edges.select(col("u").as("x"))
+          .union(edges.select(col("v").as("x")))
+          .groupBy("x").agg(count(lit(1)).as("deg"))
+        val withDeg = edges
+          .join(deg.select(col("x").as("u"), col("deg").as("du")), "u")
+          .join(deg.select(col("x").as("v"), col("deg").as("dv")), "v")
+        val uFirst = col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v"))
+        val oriented = withDeg.select(
+          when(uFirst, col("u")).otherwise(col("v")).as("src"),
+          when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+          when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
+          .localCheckpoint(true)
+        val wedges = oriented
+          .select(col("src"), col("dst").as("a"), col("ddst").as("da"))
+          .join(oriented
+            .select(col("src"), col("dst").as("b"), col("ddst").as("db")),
+            "src")
+          .filter(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")))
+        val tris = wedges.join(
+          oriented.select(col("src").as("a"), col("dst").as("b")),
+          Seq("a", "b"))
+        tris.select(explode(array(
+            struct(least(col("src"), col("a")).as("u"),
+              greatest(col("src"), col("a")).as("v")),
+            struct(least(col("src"), col("b")).as("u"),
+              greatest(col("src"), col("b")).as("v")),
+            struct(least(col("a"), col("b")).as("u"),
+              greatest(col("a"), col("b")).as("v")))).as("e"))
+          .select(col("e.u").as("u"), col("e.v").as("v"))
+          .groupBy("u", "v").agg(count(lit(1L)).as("sup"))
+      }
+      var edges = CoGraph.pairCounts(s, d)
+        .filter(col("c") >= 28)
+        .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+        .localCheckpoint(true)
+      val rounds = new scala.collection.mutable.ArrayBuffer[DataFrame]
+      for (r <- 1 to 2) {
+        val sup = support(edges)
+        val kept = edges.join(sup, Seq("u", "v"), "left")
+          .filter(coalesce(col("sup"), lit(0L)) >= 2)
+          .select("u", "v")
+          .localCheckpoint(true)
+        val stat = edges.agg(count(lit(1L)).as("n_edges_in"))
+          .crossJoin(sup.agg(
+            coalesce(sum("sup"), lit(0L)).as("sup_sum")))
+          .crossJoin(kept.agg(count(lit(1L)).as("n_edges_kept")))
+          .select(lit(r).as("round"), col("n_edges_in"),
+            expr("sup_sum div 3").as("n_tris"), col("n_edges_kept"),
+            (col("n_edges_in") - col("n_edges_kept")).as("n_dropped"))
+        rounds += stat
+        edges = kept
+      }
+      rounds.reduce(_ unionByName _).orderBy("round")
+    },
+    Some("""WITH ev AS (
+              SELECT DISTINCT event_type,
+                     CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+              FROM events),
+            e0 AS (
+              SELECT CAST(a.user_id AS BIGINT) AS u,
+                     CAST(b.user_id AS BIGINT) AS v
+              FROM ev a JOIN ev b
+                ON a.event_type = b.event_type AND a.d = b.d
+                   AND a.user_id < b.user_id
+              GROUP BY 1, 2 HAVING count(*) >= 28),
+            ad0 AS (SELECT u AS a, v AS b FROM e0
+                    UNION ALL SELECT v, u FROM e0),
+            s1 AS (
+              SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS sup FROM e0 e
+              JOIN ad0 n1 ON n1.a = e.u
+              JOIN ad0 n2 ON n2.a = e.v AND n2.b = n1.b
+              GROUP BY 1, 2),
+            e1 AS (
+              SELECT e.u, e.v FROM e0 e JOIN s1
+                ON s1.u = e.u AND s1.v = e.v AND s1.sup >= 2),
+            ad1 AS (SELECT u AS a, v AS b FROM e1
+                    UNION ALL SELECT v, u FROM e1),
+            s2 AS (
+              SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS sup FROM e1 e
+              JOIN ad1 n1 ON n1.a = e.u
+              JOIN ad1 n2 ON n2.a = e.v AND n2.b = n1.b
+              GROUP BY 1, 2),
+            e2 AS (
+              SELECT e.u, e.v FROM e1 e JOIN s2
+                ON s2.u = e.u AND s2.v = e.v AND s2.sup >= 2),
+            r1 AS (
+              SELECT 1 AS round,
+                     (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges_in,
+                     (SELECT CAST(coalesce(sum(sup), 0) // 3 AS BIGINT)
+                      FROM s1) AS n_tris,
+                     (SELECT CAST(count(*) AS BIGINT) FROM e1)
+                       AS n_edges_kept),
+            r2 AS (
+              SELECT 2 AS round,
+                     (SELECT CAST(count(*) AS BIGINT) FROM e1) AS n_edges_in,
+                     (SELECT CAST(coalesce(sum(sup), 0) // 3 AS BIGINT)
+                      FROM s2) AS n_tris,
+                     (SELECT CAST(count(*) AS BIGINT) FROM e2)
+                       AS n_edges_kept)
+            SELECT round, n_edges_in, n_tris, n_edges_kept,
+                   n_edges_in - n_edges_kept AS n_dropped
+            FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+            ORDER BY round"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_graph_labelprop" -> qGraphLabelprop,
+    "q_graph_ktruss" -> qGraphKtruss,
     "q_graph_louvain" -> qGraphLouvain,
     "q_graph_sample_khop" -> qGraphSampleKhop,
     "q_graph_cluster_local" -> qGraphClusterLocal,
