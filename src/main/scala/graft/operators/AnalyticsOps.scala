@@ -10728,7 +10728,115 @@ object AnalyticsOps extends QueryModule {
             SELECT user_id, n_gaps, mean_gap_s, cv2, cv2 <= 0.5 AS is_bot
             FROM r ORDER BY cv2, user_id LIMIT 50"""))
 
+  // ------------------------------------------------ SAX symbolization --
+
+  /** SAX symbolic aggregate approximation (Lin/Keogh 2003 — public) of
+    * the five per-type daily revenue series: PAA segment means over
+    * 5-day windows, then a 4-letter alphabet cut at the GLOBAL quartiles
+    * of the (type, day) cent grid — the symbolization that turns raw
+    * series into joinable words (motif mining, series indexing, and the
+    * cheap first pass before q_ts_dtw pays its DP). Exactness discipline:
+    * segment means are integral `div` cents; quartile breakpoints are
+    * grid order statistics (min c with 4·cum ≥ k·n — never a row-level
+    * rank), so symbols and words hash cross-engine. (Classic SAX cuts at
+    * Gaussian quantiles of z-normalized values; empirical quartiles keep
+    * the arithmetic exact and adapt to the actual distribution — the
+    * substitution is the point, not a shortcut.) Emits per-segment
+    * evidence rows with the per-type word joined back on.
+    *
+    * Scale: corpus collapses to the days×types grid before anything
+    * else; PAA, breakpoints, and words are all grid-sized aggs +
+    * broadcast joins. Word join is |types| rows.
+    */
+  private val qTsSax = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val daily = t(s, d, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          cents.as("c"))
+        .groupBy("event_type", "day").agg(sum("c").as("v"))
+        .localCheckpoint(true) // feeds rebase, breakpoints, PAA
+      val d0 = daily.agg(min("day").as("d0"))
+      val bp = {
+        val grid = daily.groupBy("v").agg(count(lit(1L)).as("cnt"))
+        val n = daily.agg(count(lit(1L)).as("n"))
+        val wCum = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.withColumn("cum", sum("cnt").over(wCum))
+          .crossJoin(broadcast(n))
+          .agg(min(when(lit(4) * col("cum") >= col("n"), col("v")))
+              .as("q1"),
+            min(when(lit(4) * col("cum") >= lit(2) * col("n"), col("v")))
+              .as("q2"),
+            min(when(lit(4) * col("cum") >= lit(3) * col("n"), col("v")))
+              .as("q3"))
+      }
+      val segs = daily.crossJoin(broadcast(d0))
+        .withColumn("seg", expr("datediff(day, d0) div 5"))
+        .groupBy("event_type", "seg")
+        .agg(count(lit(1L)).as("n_days"),
+          expr("sum(v) div count(1)").as("mean_cents"))
+        .crossJoin(broadcast(bp))
+        .withColumn("symbol",
+          when(col("mean_cents") <= col("q1"), "a")
+            .when(col("mean_cents") <= col("q2"), "b")
+            .when(col("mean_cents") <= col("q3"), "c")
+            .otherwise("d"))
+      val words = segs.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("seg"), col("symbol"))))
+          .as("ss"))
+        .select(col("event_type"),
+          array_join(expr("transform(ss, x -> x.symbol)"), "")
+            .as("sax_word"))
+      segs.join(broadcast(words), "event_type")
+        .select(col("event_type"), col("seg"), col("n_days"),
+          col("mean_cents"), col("symbol"), col("sax_word"))
+        .orderBy("event_type", "seg")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS v
+              FROM events GROUP BY 1, 2),
+            d0 AS (SELECT min(day) AS d0 FROM daily),
+            grid AS (
+              SELECT v, CAST(count(*) AS BIGINT) AS cnt
+              FROM daily GROUP BY 1),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+            cum AS (
+              SELECT v, CAST(sum(cnt) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+              FROM grid),
+            bp AS (
+              SELECT min(CASE WHEN 4 * cum >= n THEN v END) AS q1,
+                     min(CASE WHEN 4 * cum >= 2 * n THEN v END) AS q2,
+                     min(CASE WHEN 4 * cum >= 3 * n THEN v END) AS q3
+              FROM cum, n),
+            segs AS (
+              SELECT event_type,
+                     CAST(date_diff('day', d0, day) // 5 AS BIGINT) AS seg,
+                     CAST(count(*) AS BIGINT) AS n_days,
+                     CAST(sum(v) // count(*) AS BIGINT) AS mean_cents
+              FROM daily, d0 GROUP BY 1, 2),
+            sym AS (
+              SELECT s.event_type, s.seg, s.n_days, s.mean_cents,
+                     CASE WHEN s.mean_cents <= b.q1 THEN 'a'
+                          WHEN s.mean_cents <= b.q2 THEN 'b'
+                          WHEN s.mean_cents <= b.q3 THEN 'c'
+                          ELSE 'd' END AS symbol
+              FROM segs s, bp b),
+            words AS (
+              SELECT event_type,
+                     string_agg(symbol, '' ORDER BY seg) AS sax_word
+              FROM sym GROUP BY 1)
+            SELECT s.event_type, s.seg, s.n_days, s.mean_cents, s.symbol,
+                   w.sax_word
+            FROM sym s JOIN words w USING (event_type)
+            ORDER BY s.event_type, s.seg"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_ts_sax" -> qTsSax,
     "q_events_bot_detect" -> qEventsBotDetect,
     "q_survival_nelson_aalen" -> qSurvivalNelsonAalen,
     "q_survival_cindex" -> qSurvivalCindex,
