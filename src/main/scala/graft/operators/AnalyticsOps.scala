@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DataTypes
@@ -10835,7 +10835,341 @@ object AnalyticsOps extends QueryModule {
             FROM sym s JOIN words w USING (event_type)
             ORDER BY s.event_type, s.seg"""))
 
+  // ------------------------------------------ intraclass correlation --
+
+  /** ICC(1) — one-way random-effects intraclass correlation (Fisher
+    * 1925 / Shrout–Fleiss 1979 — public): how much of event-value
+    * variance is BETWEEN users vs within them — the "is user a real
+    * grouping variable?" number that decides whether mixed models /
+    * clustered standard errors are needed before any per-user feature
+    * engineering. Unequal group sizes use the standard k₀ = (N −
+    * Σnᵢ²/N)/(g−1) correction. Exactness: per-user (nᵢ, Σy) rollup in
+    * BIGINT, Σy² in DECIMAL(38); SSB/SSW assemble in DOUBLE from the
+    * exact sums with the expression tree bit-mirrored; one dround exit.
+    *
+    * Scale: one map-combinable per-user agg + one scalar rollup —
+    * the cochranq economics. Σ(Σyᵢ)²/nᵢ is per-group-bounded; the
+    * DECIMAL widening trigger is ~10⁹-event users.
+    */
+  private val qStatsIcc = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val g = t(s, d, "events")
+        .select(col("user_id"), cents.as("c"))
+        .groupBy("user_id")
+        .agg(count(lit(1L)).as("ni"), sum("c").as("si"),
+          sum((col("c") * col("c")).cast("decimal(38,0)")).as("sqi"))
+      val r = g.agg(count(lit(1L)).as("grp"), sum("ni").as("n"),
+        sum("si").as("gt"),
+        sum(col("si").cast("double") * col("si").cast("double") /
+          col("ni").cast("double")).as("sgrp"),
+        sum(col("ni") * col("ni")).as("sn2"),
+        sum(col("sqi")).cast("double").as("ssq"))
+      r.select(col("grp"), col("n"),
+          (col("sgrp") - col("gt").cast("double") * col("gt").cast("double")
+            / col("n").cast("double")).as("ssb"),
+          (col("ssq") - col("sgrp")).as("ssw"),
+          ((col("n").cast("double") - col("sn2").cast("double") /
+            col("n").cast("double")) /
+            (col("grp").cast("double") - 1)).as("k0"))
+        .select(col("grp").as("n_groups"), col("n").as("n_obs"),
+          (col("ssb") / (col("grp").cast("double") - 1)).as("msb"),
+          (col("ssw") / (col("n") - col("grp")).cast("double")).as("msw"),
+          col("k0"))
+        .select(col("n_groups"), col("n_obs"),
+          dround(col("msb") / 1e4, 2).as("msb_dollars2"),
+          dround(col("msw") / 1e4, 2).as("msw_dollars2"),
+          dround(col("k0"), 4).as("k0"),
+          dround((col("msb") - col("msw")) /
+            (col("msb") + (col("k0") - 1) * col("msw")), 6).as("icc1"))
+    },
+    Some("""WITH ev AS (
+              SELECT user_id,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+              FROM events),
+            g AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS ni,
+                     CAST(sum(c) AS BIGINT) AS si,
+                     sum(CAST(c AS HUGEINT) * c) AS sqi
+              FROM ev GROUP BY 1),
+            r AS (
+              SELECT CAST(count(*) AS BIGINT) AS grp,
+                     CAST(sum(ni) AS BIGINT) AS n,
+                     CAST(sum(si) AS BIGINT) AS gt,
+                     sum(CAST(si AS DOUBLE) * CAST(si AS DOUBLE)
+                       / CAST(ni AS DOUBLE)) AS sgrp,
+                     CAST(sum(ni * ni) AS BIGINT) AS sn2,
+                     CAST(sum(sqi) AS DOUBLE) AS ssq
+              FROM g),
+            a AS (
+              SELECT grp, n,
+                     sgrp - CAST(gt AS DOUBLE) * CAST(gt AS DOUBLE)
+                       / CAST(n AS DOUBLE) AS ssb,
+                     ssq - sgrp AS ssw,
+                     (CAST(n AS DOUBLE) - CAST(sn2 AS DOUBLE)
+                       / CAST(n AS DOUBLE)) / (CAST(grp AS DOUBLE) - 1)
+                       AS k0
+              FROM r),
+            b AS (
+              SELECT grp AS n_groups, n AS n_obs,
+                     ssb / (CAST(grp AS DOUBLE) - 1) AS msb,
+                     ssw / CAST(n - grp AS DOUBLE) AS msw, k0
+              FROM a)
+            SELECT n_groups, n_obs,
+                   CAST(round(CAST(msb / 1e4 AS DECIMAL(30,8)), 2) AS DOUBLE)
+                     AS msb_dollars2,
+                   CAST(round(CAST(msw / 1e4 AS DECIMAL(30,8)), 2) AS DOUBLE)
+                     AS msw_dollars2,
+                   CAST(round(CAST(k0 AS DECIMAL(30,8)), 4) AS DOUBLE) AS k0,
+                   CAST(round(CAST((msb - msw) / (msb + (k0 - 1) * msw)
+                     AS DECIMAL(30,8)), 6) AS DOUBLE) AS icc1
+            FROM b"""))
+
+  // --------------------------------------- variance inflation factors --
+
+  /** VIF multicollinearity screen (public regression diagnostics) for
+    * the three lineitem pricing regressors (quantity, discount cents,
+    * tax cents) — the check q_stats_linreg/q_stats_elasticity assume
+    * away: VIFⱼ = 1/(1−R²ⱼ) where R²ⱼ regresses xⱼ on the other two.
+    * For three regressors R²ⱼ has the closed pairwise-correlation form
+    * (r₁₂² + r₁₃² − 2r₁₂r₁₃r₂₃)/(1−r₂₃²) (permuted per j), so the whole
+    * screen needs only the 3×3 correlation matrix — which comes from ONE
+    * map-combinable 9-sum agg over exact integer products (domains ≤ 50
+    * / 10 / 8, so every cross-moment fits BIGINT to ~10¹⁴ rows).
+    * Correlations and VIFs assemble in bit-mirrored DOUBLE; dround exit.
+    * VIF > 5 flags the regressor whose coefficient ANSI arithmetic can't
+    * save.
+    *
+    * Scale: one scan, one 9-sum agg, 3 output rows — corrmatrix
+    * economics with a closed-form solve instead of a matrix inversion.
+    */
+  private val qStatsVif = GQuery(
+    (s, d) => {
+      val m = t(s, d, "lineitem").select(
+          col("l_quantity").cast("long").as("x1"),
+          (col("l_discount").cast("decimal(4,2)") * 100).cast("long")
+            .as("x2"),
+          (col("l_tax").cast("decimal(4,2)") * 100).cast("long").as("x3"))
+        .agg(count(lit(1L)).as("n"),
+          sum("x1").as("s1"), sum("x2").as("s2"), sum("x3").as("s3"),
+          sum(col("x1") * col("x1")).as("s11"),
+          sum(col("x2") * col("x2")).as("s22"),
+          sum(col("x3") * col("x3")).as("s33"),
+          sum(col("x1") * col("x2")).as("s12"),
+          sum(col("x1") * col("x3")).as("s13"),
+          sum(col("x2") * col("x3")).as("s23"))
+      def corr(n: Column, sx: Column, sy: Column, sxx: Column, syy: Column,
+               sxy: Column): Column =
+        (n.cast("double") * sxy.cast("double") -
+          sx.cast("double") * sy.cast("double")) /
+          sqrt((n.cast("double") * sxx.cast("double") -
+            sx.cast("double") * sx.cast("double")) *
+            (n.cast("double") * syy.cast("double") -
+              sy.cast("double") * sy.cast("double")))
+      val withR = m.select(col("n"),
+        corr(col("n"), col("s1"), col("s2"), col("s11"), col("s22"),
+          col("s12")).as("r12"),
+        corr(col("n"), col("s1"), col("s3"), col("s11"), col("s33"),
+          col("s13")).as("r13"),
+        corr(col("n"), col("s2"), col("s3"), col("s22"), col("s33"),
+          col("s23")).as("r23"))
+      def r2(a: Column, b: Column, c: Column): Column =
+        (a * a + b * b - lit(2) * a * b * c) / (lit(1) - c * c)
+      val rows = withR.select(col("n"), explode(array(
+        struct(lit("l_quantity").as("variable"),
+          r2(col("r12"), col("r13"), col("r23")).as("r2")),
+        struct(lit("l_discount").as("variable"),
+          r2(col("r12"), col("r23"), col("r13")).as("r2")),
+        struct(lit("l_tax").as("variable"),
+          r2(col("r13"), col("r23"), col("r12")).as("r2")))).as("e"))
+      rows.select(col("e.variable").as("variable"), col("n"),
+          dround(col("e.r2"), 6).as("r2_on_others"),
+          dround(lit(1.0) / (lit(1.0) - col("e.r2")), 4).as("vif"))
+        .withColumn("collinear", col("vif") > 5.0)
+        .orderBy("variable")
+    },
+    Some("""WITH m AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x1) AS BIGINT) AS s1,
+                     CAST(sum(x2) AS BIGINT) AS s2,
+                     CAST(sum(x3) AS BIGINT) AS s3,
+                     CAST(sum(x1 * x1) AS BIGINT) AS s11,
+                     CAST(sum(x2 * x2) AS BIGINT) AS s22,
+                     CAST(sum(x3 * x3) AS BIGINT) AS s33,
+                     CAST(sum(x1 * x2) AS BIGINT) AS s12,
+                     CAST(sum(x1 * x3) AS BIGINT) AS s13,
+                     CAST(sum(x2 * x3) AS BIGINT) AS s23
+              FROM (SELECT CAST(l_quantity AS BIGINT) AS x1,
+                           CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+                             AS BIGINT) AS x2,
+                           CAST(CAST(l_tax AS DECIMAL(4,2)) * 100 AS BIGINT)
+                             AS x3
+                    FROM lineitem)),
+            r AS (
+              SELECT n,
+                     (CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+                       - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))) AS r12,
+                     (CAST(n AS DOUBLE) * CAST(s13 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(s33 AS DOUBLE)
+                       - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))) AS r13,
+                     (CAST(n AS DOUBLE) * CAST(s23 AS DOUBLE)
+                       - CAST(s2 AS DOUBLE) * CAST(s3 AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+                       - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(s33 AS DOUBLE)
+                       - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))) AS r23
+              FROM m),
+            rows_ AS (
+              SELECT n, 'l_quantity' AS variable,
+                     (r12 * r12 + r13 * r13 - 2 * r12 * r13 * r23)
+                       / (1 - r23 * r23) AS r2 FROM r
+              UNION ALL
+              SELECT n, 'l_discount',
+                     (r12 * r12 + r23 * r23 - 2 * r12 * r23 * r13)
+                       / (1 - r13 * r13) FROM r
+              UNION ALL
+              SELECT n, 'l_tax',
+                     (r13 * r13 + r23 * r23 - 2 * r13 * r23 * r12)
+                       / (1 - r12 * r12) FROM r)
+            SELECT variable, n,
+                   CAST(round(CAST(r2 AS DECIMAL(30,8)), 6) AS DOUBLE)
+                     AS r2_on_others,
+                   CAST(round(CAST(1.0 / (1.0 - r2) AS DECIMAL(30,8)), 4)
+                     AS DOUBLE) AS vif,
+                   CAST(round(CAST(1.0 / (1.0 - r2) AS DECIMAL(30,8)), 4)
+                     AS DOUBLE) > 5.0 AS collinear
+            FROM rows_ ORDER BY variable"""))
+
+  // ------------------------------------------------- Cook's distance --
+
+  /** Cook's distance influence screen (Cook 1977 — public) on the daily
+    * revenue trend regression: which single days, if dropped, would bend
+    * the fitted revenue-vs-time line most? Dᵢ = eᵢ²·hᵢ/(p·s²·(1−hᵢ)²)
+    * with leverage hᵢ = 1/n + (xᵢ−x̄)²/Sxx — the closed form that needs
+    * NO refitting per point (the naive leave-one-out loop is n
+    * regressions; the hat-matrix identity is one). Slope/intercept/SSE
+    * come from the exact day-grid integer sums (linreg discipline: x
+    * rebased to day index so Σx² stays tiny); e, h, D assemble in
+    * bit-mirrored DOUBLE; flag Dᵢ > 4/n. Emitted per day with the
+    * residual evidence.
+    *
+    * Scale: corpus → day grid (map-combinable), 5-sum scalar broadcast
+    * back over the grid — two grid passes, no window, no join beyond the
+    * 1-row broadcast. Influence at 100 TB is a grid property, not a row
+    * property.
+    */
+  private val qStatsCooks = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val daily = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), cents.as("c"))
+        .groupBy("day").agg(sum("c").as("y"))
+        .localCheckpoint(true)
+      val d0 = daily.agg(min("day").as("d0"))
+      val xy = daily.crossJoin(broadcast(d0))
+        .select(col("day"), datediff(col("day"), col("d0")).cast("long")
+          .as("x"), col("y"))
+        .localCheckpoint(true)
+      val sums = xy.agg(count(lit(1L)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"), sum("y").as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("y").cast("decimal(38,0)") * col("y"))).as("syy"))
+      val fit = sums.select(col("n"),
+        ((col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")))
+          .as("beta"),
+        (col("sx").cast("double") / col("n")).as("xbar"),
+        (col("sy").cast("double") / col("n")).as("ybar"),
+        ((col("sxx").cast("double") - col("sx").cast("double") *
+          col("sx").cast("double") / col("n").cast("double")))
+          .as("sxx_c"))
+      val scored = xy.crossJoin(broadcast(fit))
+        .withColumn("e", col("y").cast("double") - (col("ybar") +
+          col("beta") * (col("x").cast("double") - col("xbar"))))
+        .withColumn("h", lit(1.0) / col("n") +
+          (col("x").cast("double") - col("xbar")) *
+          (col("x").cast("double") - col("xbar")) / col("sxx_c"))
+        .localCheckpoint(true) // feeds SSE and the per-day emit
+      val s2 = scored.agg((sum(col("e") * col("e")) /
+        (max(col("n")).cast("double") - 2)).as("s2"))
+      scored.crossJoin(broadcast(s2))
+        .select(col("day"),
+          dround(col("y").cast("double") / 100, 2).as("revenue_dollars"),
+          dround(col("e") / 100, 2).as("residual_dollars"),
+          dround(col("h"), 6).as("leverage"),
+          dround(col("e") * col("e") * col("h") /
+            (lit(2.0) * col("s2") * (lit(1.0) - col("h")) *
+              (lit(1.0) - col("h"))), 6).as("cooks_d"),
+          (col("e") * col("e") * col("h") /
+            (lit(2.0) * col("s2") * (lit(1.0) - col("h")) *
+              (lit(1.0) - col("h"))) > lit(4.0) / col("n"))
+            .as("influential"))
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS y
+              FROM events GROUP BY 1),
+            d0 AS (SELECT min(day) AS d0 FROM daily),
+            xy AS (
+              SELECT day, CAST(date_diff('day', d0, day) AS BIGINT) AS x, y
+              FROM daily, d0),
+            sums AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     sum(CAST(x * y AS HUGEINT)) AS sxy
+              FROM xy),
+            fit AS (
+              SELECT n,
+                     (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta,
+                     CAST(sx AS DOUBLE) / n AS xbar,
+                     CAST(sy AS DOUBLE) / n AS ybar,
+                     CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                       * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS sxx_c
+              FROM sums),
+            scored AS (
+              SELECT xy.day, xy.y, f.n,
+                     CAST(xy.y AS DOUBLE) - (f.ybar + f.beta
+                       * (CAST(xy.x AS DOUBLE) - f.xbar)) AS e,
+                     1.0 / f.n + (CAST(xy.x AS DOUBLE) - f.xbar)
+                       * (CAST(xy.x AS DOUBLE) - f.xbar) / f.sxx_c AS h
+              FROM xy, fit f),
+            s2 AS (
+              SELECT sum(e * e) / (CAST(max(n) AS DOUBLE) - 2) AS s2
+              FROM scored)
+            SELECT day,
+                   CAST(round(CAST(CAST(y AS DOUBLE) / 100
+                     AS DECIMAL(30,8)), 2) AS DOUBLE) AS revenue_dollars,
+                   CAST(round(CAST(e / 100 AS DECIMAL(30,8)), 2) AS DOUBLE)
+                     AS residual_dollars,
+                   CAST(round(CAST(h AS DECIMAL(30,8)), 6) AS DOUBLE)
+                     AS leverage,
+                   CAST(round(CAST(e * e * h / (2.0 * s2.s2 * (1.0 - h)
+                     * (1.0 - h)) AS DECIMAL(30,8)), 6) AS DOUBLE)
+                     AS cooks_d,
+                   e * e * h / (2.0 * s2.s2 * (1.0 - h) * (1.0 - h))
+                     > 4.0 / n AS influential
+            FROM scored, s2 ORDER BY day"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_stats_icc" -> qStatsIcc,
+    "q_stats_vif" -> qStatsVif,
+    "q_stats_cooks" -> qStatsCooks,
     "q_ts_sax" -> qTsSax,
     "q_events_bot_detect" -> qEventsBotDetect,
     "q_survival_nelson_aalen" -> qSurvivalNelsonAalen,
