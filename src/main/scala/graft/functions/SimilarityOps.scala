@@ -1914,6 +1914,139 @@ object SimilarityOps extends QueryModule {
                    CAST(round(CAST(cos AS DECIMAL(30,8)), 2) AS DOUBLE) AS score
             FROM ranked WHERE rn <= 3 ORDER BY p_id, rk"""))
 
+  /** Signed-random-projection LSH (Charikar 2002 — public): the
+    * EQUI-JOIN rung of the ANN ladder. q_knn_binary signs the raw
+    * dimensions and still SCANS the whole corpus per probe (Hamming
+    * rank); SRP-LSH signs 8 RANDOM ±1 projections and turns candidate
+    * generation into a hash-partition bucket join — the shape that
+    * shards: at 100 TB the corpus partitions by code, a probe touches
+    * exactly one partition, and no per-probe scan exists at all. The
+    * projection matrix is data-independent, so it is PRECOMPUTED
+    * deterministically (xorshift-folded LCG per (plane, dim)) and inlined
+    * as ±1 literals in BOTH twins — no per-row hashing; projections snap
+    * to the 1e-6 grid before the sign test so a borderline plane can't
+    * flip between engines. In-bucket exact cosine re-ranks top-3, and
+    * each emitted neighbor carries the brute-force-truth membership flag
+    * (the recall evidence an ANN claim owes), the probe's code and its
+    * candidate count — the bucket-balance readout that says whether 8
+    * bits is enough structure.
+    *
+    * Scale: code assignment is map-only (8 fixed 64-dim dots/vector);
+    * candidates come from a code-keyed hash join (broadcast probes here,
+    * shuffle-hash at corpus scale); truth is 5×N gauge-only. Bucket skew
+    * is the known LSH failure mode — n_cand IS the monitor, and more
+    * planes/multiprobe (q_knn_ivf_multiprobe's pattern) is the remedy.
+    */
+  private val qKnnLsh = GQuery(
+    (s, d) => {
+      // deterministic ±1 matrix: 8 planes × 64 dims, same literals in SQL
+      val signs = Array.tabulate(8, 64) { (k, i) =>
+        val x = (k * 1000003L + i * 7919L) * 2654435761L
+        if (((x >>> 16) & 1L) == 0L) -1.0 else 1.0
+      }
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .withColumn("nrm", norm(col("emb")))
+      val code = (0 until 8).map { k =>
+        val hk = array(signs(k).map(v => lit(v)): _*)
+        when(dround(dot(col("emb"), hk), 6) > 0d,
+          lit(1L << k)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val coded = emb.withColumn("code", code)
+        .localCheckpoint(true) // feeds probes, candidates, truth
+      val probes = coded.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("p_id"), col("emb").as("p_emb"),
+          col("nrm").as("p_nrm"), col("code").as("p_code"))
+      val wExact = Window.partitionBy("p_id")
+        .orderBy(col("cos").desc, col("n_id").asc)
+      val wCand = Window.partitionBy("p_id")
+      val approx = coded
+        .join(broadcast(probes), col("code") === col("p_code") &&
+          col("vec_id") =!= col("p_id"))
+        .select(col("p_id"), col("vec_id").as("n_id"), col("p_code"),
+          dround(dot(col("p_emb"), col("emb")) /
+            (col("p_nrm") * col("nrm")), 6).as("cos"))
+        .withColumn("n_cand", count(lit(1L)).over(wCand))
+        .withColumn("rk", row_number().over(wExact).cast("int"))
+        .filter(col("rk") <= 3)
+      val wTruth = Window.partitionBy("p_id")
+        .orderBy(col("cos").desc, col("n_id").asc)
+      val truth = coded
+        .join(broadcast(probes.select(col("p_id"), col("p_emb").as("t_emb"),
+          col("p_nrm").as("t_nrm"))), col("vec_id") =!= col("p_id"))
+        .select(col("p_id"), col("vec_id").as("n_id"),
+          dround(dot(col("t_emb"), col("emb")) /
+            (col("t_nrm") * col("nrm")), 6).as("cos"))
+        .withColumn("trk", row_number().over(wTruth))
+        .filter(col("trk") <= 3)
+        .select(col("p_id"), col("n_id"), lit(1).as("t_hit"))
+      approx.join(truth, Seq("p_id", "n_id"), "left")
+        .select(col("p_id"), col("rk"), col("n_id"),
+          dround(col("cos"), 2).as("score"),
+          col("p_code").as("bucket"), col("n_cand"),
+          col("t_hit").isNotNull.as("in_truth_top3"))
+        .orderBy("p_id", "rk")
+    },
+    Some {
+      val signs = Array.tabulate(8, 64) { (k, i) =>
+        val x = (k * 1000003L + i * 7919L) * 2654435761L
+        if (((x >>> 16) & 1L) == 0L) -1.0 else 1.0
+      }
+      val codeSql = (0 until 8).map { k =>
+        val lst = signs(k).map(v => if (v < 0) "-1.0" else "1.0")
+          .mkString("[", ", ", "]")
+        s"""CASE WHEN CAST(round(CAST(list_dot_product(emb,
+            CAST($lst AS DOUBLE[])) AS DECIMAL(30,8)), 6) AS DOUBLE) > 0
+            THEN ${1L << k} ELSE 0 END"""
+      }.mkString(" + ")
+      s"""WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                   sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                     x -> x * x))) AS nrm
+            FROM embeddings),
+          coded AS (
+            SELECT vec_id, emb, nrm, CAST($codeSql AS BIGINT) AS code
+            FROM e),
+          probes AS (
+            SELECT vec_id AS p_id, emb AS p_emb, nrm AS p_nrm,
+                   code AS p_code
+            FROM coded WHERE vec_id < 5),
+          cand AS (
+            SELECT p.p_id, c.vec_id AS n_id, p.p_code,
+                   CAST(round(CAST(list_dot_product(p.p_emb, c.emb)
+                     / (p.p_nrm * c.nrm) AS DECIMAL(30,8)), 6) AS DOUBLE)
+                     AS cos
+            FROM coded c JOIN probes p
+              ON c.code = p.p_code AND c.vec_id <> p.p_id),
+          approx AS (
+            SELECT p_id, n_id, p_code, cos,
+                   CAST(count(*) OVER (PARTITION BY p_id) AS BIGINT)
+                     AS n_cand,
+                   row_number() OVER (PARTITION BY p_id
+                     ORDER BY cos DESC, n_id) AS rk
+            FROM cand),
+          tcand AS (
+            SELECT p.p_id, c.vec_id AS n_id,
+                   CAST(round(CAST(list_dot_product(p.p_emb, c.emb)
+                     / (p.p_nrm * c.nrm) AS DECIMAL(30,8)), 6) AS DOUBLE)
+                     AS cos
+            FROM coded c JOIN probes p ON c.vec_id <> p.p_id),
+          truth AS (
+            SELECT p_id, n_id FROM (
+              SELECT p_id, n_id, row_number() OVER (PARTITION BY p_id
+                       ORDER BY cos DESC, n_id) AS trk
+              FROM tcand) WHERE trk <= 3)
+          SELECT a.p_id, CAST(a.rk AS INT) AS rk, a.n_id,
+                 CAST(round(CAST(a.cos AS DECIMAL(30,8)), 2) AS DOUBLE)
+                   AS score,
+                 a.p_code AS bucket, a.n_cand,
+                 t.n_id IS NOT NULL AS in_truth_top3
+          FROM approx a LEFT JOIN truth t
+            ON t.p_id = a.p_id AND t.n_id = a.n_id
+          WHERE a.rk <= 3
+          ORDER BY a.p_id, a.rk"""
+    })
+
   /** Embedding-space label-outlier detection — the data-quality face of the
     * centroid family (q_embed_centroid reports the centroids; this flags
     * the vectors that don't BELONG to theirs): per label, the 3 vectors
@@ -2330,6 +2463,7 @@ object SimilarityOps extends QueryModule {
     "q_sample_hardneg" -> qSampleHardneg,
     "q_embed_outlier" -> qEmbedOutlier,
     "q_knn_binary" -> qKnnBinary,
+    "q_knn_lsh" -> qKnnLsh,
     "q_embed_mmr" -> qEmbedMmr,
     "q_knn_ivfpq" -> qKnnIvfPq,
     "q_sample_coreset" -> qSampleCoreset,

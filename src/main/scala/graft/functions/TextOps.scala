@@ -458,6 +458,103 @@ object TextOps extends QueryModule {
                      / len(bg) AS DECIMAL(30,8)), 4) AS DOUBLE) AS dup_bigram_frac
             FROM m ORDER BY doc_id"""))
 
+  // ---------------------------------------------------- Cohen's kappa --
+
+  /** Cohen's κ (Cohen 1960 — public) between the q_text_langid n-gram
+    * rater and the gold `lang` label — the chance-corrected agreement
+    * number that q_eval_confusion's raw accuracy overstates whenever the
+    * label distribution is skewed (here 'en' is 44% of docs, so a rater
+    * that always says 'en' already "agrees" 44% of the time; κ subtracts
+    * exactly that). Multi-class: κ = (N·Σnᵢᵢ − Σrᵢcᵢ)/(N² − Σrᵢcᵢ) with
+    * row/column marginals over the confusion grid — every term an exact
+    * BIGINT (the grid is |labels|²-bounded), one dround'd division, and
+    * the label sets need not match ('zh' has no profile and 'und'
+    * backstops — both simply never land on the diagonal). Emits observed
+    * and expected agreement next to κ with the Landis–Koch band verdict.
+    * (On THIS corpus the demonstration lands exactly: the word-salad text
+    * defeats the stopword profiles, the rater collapses to a constant,
+    * and κ reads exactly 0 where raw accuracy reads 0.436 — the
+    * skew-blindness the statistic exists to expose.)
+    *
+    * Scale: the langid map + one |labels|²-bounded confusion agg
+    * (map-combinable) + marginal rollups of that grid — label-domain
+    * economics regardless of corpus size.
+    */
+  private val qEvalKappa = GQuery(
+    (s, d) => {
+      val encoded = langProfiles.map { case (_, rank, words) =>
+        size(filter(col("toks"), tk => tk.isin(words.map(lit): _*))) * 8 +
+          lit(rank)
+      }
+      val m = greatest(encoded: _*)
+      val pred = langProfiles.foldLeft(lit("und")) { case (acc, (l, rank, _)) =>
+        when(pmod(m, lit(8)) === rank, l).otherwise(acc)
+      }
+      val conf = t(s, d, "documents")
+        .select(col("lang"), split(lower(col("text")), " ").as("toks"))
+        .select(col("lang"), pred.as("pred_lang"))
+        .groupBy("lang", "pred_lang").agg(count(lit(1L)).as("n"))
+        .localCheckpoint(true) // grid feeds diagonal + both marginals
+      val diag = conf.agg(sum(when(col("lang") === col("pred_lang"),
+        col("n")).otherwise(0L)).as("n_agree"), sum("n").as("n_total"))
+      val rows = conf.groupBy("lang").agg(sum("n").as("r"))
+      val cols = conf.groupBy("pred_lang").agg(sum("n").as("c"))
+      val exp = rows.join(cols, col("lang") === col("pred_lang"))
+        .agg(coalesce(sum(col("r") * col("c")), lit(0L)).as("sum_rc"))
+      diag.crossJoin(broadcast(exp))
+        .select(col("n_total"), col("n_agree"), col("sum_rc"),
+          dround(col("n_agree").cast("double") /
+            col("n_total").cast("double"), 6).as("p_observed"),
+          dround(col("sum_rc").cast("double") /
+            (col("n_total") * col("n_total")).cast("double"), 6)
+            .as("p_expected"),
+          dround((col("n_total") * col("n_agree") - col("sum_rc"))
+            .cast("double") /
+            (col("n_total") * col("n_total") - col("sum_rc"))
+              .cast("double"), 6).as("kappa"))
+        .withColumn("at_least_moderate", col("kappa") > 0.4)
+    },
+    Some {
+      val enc = langProfiles.map { case (_, rank, words) =>
+        val inList = words.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split(lower(text), ' '), t -> t IN ($inList))) * 8 + $rank"
+      }.mkString("greatest(", ", ", ")")
+      val pred = langProfiles.foldLeft("'und'") { case (acc, (l, rank, _)) =>
+        s"CASE WHEN m % 8 = $rank THEN '$l' ELSE $acc END"
+      }
+      s"""WITH sc AS (SELECT lang, $enc AS m FROM documents),
+          conf AS (
+            SELECT lang, $pred AS pred_lang, CAST(count(*) AS BIGINT) AS n
+            FROM sc GROUP BY 1, 2),
+          diag AS (
+            SELECT CAST(sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END)
+                     AS BIGINT) AS n_agree,
+                   CAST(sum(n) AS BIGINT) AS n_total
+            FROM conf),
+          r AS (SELECT lang, CAST(sum(n) AS BIGINT) AS r FROM conf
+                GROUP BY 1),
+          c AS (SELECT pred_lang, CAST(sum(n) AS BIGINT) AS c FROM conf
+                GROUP BY 1),
+          e AS (
+            SELECT CAST(coalesce(sum(r.r * c.c), 0) AS BIGINT) AS sum_rc
+            FROM r JOIN c ON r.lang = c.pred_lang),
+          k AS (
+            SELECT n_total, n_agree, sum_rc,
+                   CAST(round(CAST(CAST(n_agree AS DOUBLE)
+                     / CAST(n_total AS DOUBLE) AS DECIMAL(30,8)), 6)
+                     AS DOUBLE) AS p_observed,
+                   CAST(round(CAST(CAST(sum_rc AS DOUBLE)
+                     / CAST(n_total * n_total AS DOUBLE)
+                     AS DECIMAL(30,8)), 6) AS DOUBLE) AS p_expected,
+                   CAST(round(CAST(CAST(n_total * n_agree - sum_rc
+                     AS DOUBLE) / CAST(n_total * n_total - sum_rc
+                     AS DOUBLE) AS DECIMAL(30,8)), 6) AS DOUBLE) AS kappa
+            FROM diag, e)
+          SELECT n_total, n_agree, sum_rc, p_observed, p_expected, kappa,
+                 kappa > 0.4 AS at_least_moderate
+          FROM k"""
+    })
+
   // ------------------------------------------------ blocklist filter --
 
   /** Multi-term blocklist filter — the safety/compliance scan every
@@ -2440,6 +2537,7 @@ object TextOps extends QueryModule {
     "q_text_keyness" -> qTextKeyness,
     "q_text_textrank" -> qTextTextrank,
     "q_text_blocklist" -> qTextBlocklist,
+    "q_eval_kappa" -> qEvalKappa,
     "q_text_watermark" -> qTextWatermark,
     "q_vocab_oov" -> qVocabOov,
     "q_text_compressibility" -> qTextCompressibility,
