@@ -1019,4 +1019,38 @@ class PlanShapeSpec extends SparkSpec {
       || ma.contains("BroadcastHashJoin"), ma.take(3000))
     assert(!ma.contains("SortMergeJoin"), ma.take(3000))
   }
+
+  test("round-8d shapes: domain-sized dominance joins, map-only scans, " +
+    "code equi-join ANN, top-k heaps") {
+    // kendall: the grid² dominance join must be a BROADCAST NLJ over the
+    // domain-bounded grid — a SortMergeJoin here would mean Catalyst saw
+    // a data-sized relation on the build side
+    val kd = plan("q_stats_kendall")
+    assert(kd.contains("BroadcastNestedLoopJoin"), kd.take(3000))
+    assert(!kd.contains("SortMergeJoin"), kd.take(3000))
+
+    // c-index rides the same machinery with the censoring mask
+    val ci = plan("q_survival_cindex")
+    assert(ci.contains("BroadcastNestedLoopJoin"), ci.take(3000))
+    assert(!ci.contains("SortMergeJoin"), ci.take(3000))
+
+    // bot gate: the regularity rank is a top-50 heap, never a global sort
+    val bd = plan("q_events_bot_detect")
+    assert(bd.contains("TakeOrderedAndProject"), bd.take(3000))
+
+    // blocklist: map-only — one documents scan, no join anywhere
+    val bl = plan("q_text_blocklist")
+    assert(!bl.contains("Join"), bl.take(3000))
+    assert("Scan parquet".r.findAllIn(bl).length == 1, bl.take(3000))
+
+    // SRP-LSH: the whole point vs q_knn_binary is candidate generation by
+    // CODE EQUI-JOIN — the probe join must hash on the code, not loop
+    val lsh = plan("q_knn_lsh")
+    assert(lsh.contains("BroadcastHashJoin"), lsh.take(3000))
+
+    // Cochran/Friedman/ICC collapse before any window: no join of
+    // data-sized relations, aggregation all the way down
+    val cq = plan("q_stats_cochranq")
+    assert(!cq.contains("SortMergeJoin"), cq.take(3000))
+  }
 }
