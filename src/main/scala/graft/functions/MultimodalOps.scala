@@ -667,7 +667,92 @@ object MultimodalOps extends QueryModule {
               ORDER BY bytes DESC, doc_id ASC)
             ORDER BY source, shard, rec_idx"""))
 
+  /** A stub "text-tower" embedding: 64-bin byte histogram of the payload.
+    * Replace the body with a real text encoder; the schema, encoder, and
+    * partition-amortized init hook are the production shape.
+    */
+  final case class AlignEmbed(doc_id: Long, n_bytes: Long,
+      thist: Array[Double])
+
+  /** CLIP-score-style cross-modal alignment filter (Radford 2021 /
+    * LAION's CLIP-score curation — public): every (asset, caption) pair
+    * scores as the cosine between the stored "image" embedding and a
+    * caption embedding computed by a text tower; pairs under threshold
+    * are dropped before training. Here the asset embedding is the
+    * `embeddings` row keyed to the document (vec_id = doc_id — the
+    * pairing a webdataset shard carries), and the text tower is the
+    * STUB-NOTICE fake: a 64-bin byte histogram of the payload computed in
+    * a typed `mapPartitions` pass (per-partition init hook = where a real
+    * tower loads weights; the decodeAll plumbing). Histogram counts are
+    * exact integers, so the cosine is deterministic cross-engine; the
+    * score snaps to the 1e-6 grid, and the keep verdicts sweep two fixed
+    * thresholds — the keep-rate-vs-threshold evidence a curation run
+    * reports.
+    *
+    * Scale: text tower is map-only; the pairing is a doc_id-keyed hash
+    * join of two co-partitionable tables (at 100 TB both sides bucket by
+    * the id, so the join is shuffle-free); scoring is one 64-dim dot per
+    * pair. Threshold sweep costs nothing extra — it's two codegen'd
+    * comparisons on the same score column.
+    */
+  private val qMultimodalAlignment = GQuery(
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val towered = Tables(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          // per-partition text-tower init would go here (once)
+          it.map { case (id, payload) =>
+            val h = new Array[Double](64)
+            var i = 0
+            while (i < payload.length) {
+              h((payload(i) & 0xff) % 64) += 1.0; i += 1
+            }
+            AlignEmbed(id, payload.length.toLong, h)
+          }
+        }.toDF()
+      val emb = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("iemb"))
+      towered.join(emb, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("n_bytes"),
+          graft.Exact.dround(
+            SimilarityOps.dot(col("thist"), col("iemb")) /
+              (SimilarityOps.norm(col("thist")) *
+                SimilarityOps.norm(col("iemb"))), 6).as("clip_score"))
+        .withColumn("keep_loose", col("clip_score") > -0.1)
+        .withColumn("keep_strict", col("clip_score") > 0.1)
+        .orderBy("doc_id")
+    },
+    Some("""WITH hist AS (
+              SELECT doc_id,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                     list_transform(range(64), b -> CAST(coalesce(len(
+                       list_filter(list_transform(
+                         generate_series(1, length(text)),
+                         i -> ascii(substr(text, CAST(i AS INT), 1)) % 64),
+                         x -> x = b)), 0) AS DOUBLE)) AS thist
+              FROM documents),
+            j AS (
+              SELECT h.doc_id, h.n_bytes,
+                     CAST(round(CAST(list_dot_product(h.thist,
+                         CAST(e.embedding AS DOUBLE[]))
+                       / (sqrt(list_sum(list_transform(h.thist,
+                           x -> x * x)))
+                         * sqrt(list_sum(list_transform(
+                             CAST(e.embedding AS DOUBLE[]), x -> x * x))))
+                       AS DECIMAL(30,8)), 6) AS DOUBLE) AS clip_score
+              FROM hist h JOIN embeddings e
+                ON e.vec_id = h.doc_id)
+            SELECT doc_id, n_bytes, clip_score,
+                   clip_score > -0.1 AS keep_loose,
+                   clip_score > 0.1 AS keep_strict
+            FROM j ORDER BY doc_id"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_multimodal_alignment" -> qMultimodalAlignment,
     "q_multimodal_index" -> qMultimodalIndex,
     "q_multimodal_aspect" -> qMultimodalAspect,
     "q_multimodal_vad" -> qMultimodalVad,
