@@ -1914,6 +1914,64 @@ object SimilarityOps extends QueryModule {
                    CAST(round(CAST(cos AS DECIMAL(30,8)), 2) AS DOUBLE) AS score
             FROM ranked WHERE rn <= 3 ORDER BY p_id, rk"""))
 
+  /** Per-dimension whitening statistics (feature standardization for
+    * embedding spaces — public; the diagonal first step of ZCA/PCA
+    * whitening): per dimension the corpus mean and sd on the 1e-6 grid
+    * (the q_embed_centroid dround rule — a raw double mean accumulates in
+    * partition order), then a second pass counts |x−μ| > 3σ outliers per
+    * dimension AGAINST THE ROUNDED μ/σ so the comparison is exact. Dead
+    * dimensions (σ ≈ 0) and outlier-heavy dimensions are the two findings
+    * that matter before cosine retrieval: a dead dim wastes index bytes,
+    * a heavy-tailed dim dominates unnormalized distances. Both get
+    * verdict flags.
+    *
+    * Scale: one (dim)-keyed partial agg (dims × partitions rows), a
+    * 64-row broadcast back, one map-only count pass — centroid economics;
+    * nothing grows with corpus size except the two scans.
+    */
+  private val qEmbedWhitening = GQuery(
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("dim", "v")))
+        .localCheckpoint(true) // feeds the moment agg AND the outlier pass
+      val stats = e.groupBy("dim")
+        .agg(count(lit(1L)).as("n"),
+          dround(avg("v"), 6).as("mean_v"),
+          dround(sqrt(avg(col("v") * col("v")) -
+            avg(col("v")) * avg(col("v"))), 6).as("sd_v"))
+      e.join(broadcast(stats), "dim")
+        .groupBy("dim", "n", "mean_v", "sd_v")
+        .agg(sum((abs(col("v") - col("mean_v")) >
+          lit(3.0) * col("sd_v")).cast("long")).as("n_outliers"))
+        .select(col("dim").cast("long").as("dim"), col("n"), col("mean_v"),
+          col("sd_v"), col("n_outliers"),
+          (col("sd_v") < 0.01).as("dead_dim"),
+          (col("n_outliers") * 100L > col("n")).as("heavy_tailed"))
+        .orderBy("dim")
+    },
+    Some("""WITH e AS (
+              SELECT vec_id, unnest(range(64)) AS dim,
+                     unnest(CAST(embedding AS DOUBLE[])) AS v
+              FROM embeddings),
+            stats AS (
+              SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                     CAST(round(CAST(avg(v) AS DECIMAL(30,8)), 6) AS DOUBLE)
+                       AS mean_v,
+                     CAST(round(CAST(sqrt(avg(v * v) - avg(v) * avg(v))
+                       AS DECIMAL(30,8)), 6) AS DOUBLE) AS sd_v
+              FROM e GROUP BY 1)
+            SELECT s.dim, s.n, s.mean_v, s.sd_v,
+                   CAST(sum(CASE WHEN abs(e.v - s.mean_v) > 3.0 * s.sd_v
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                   s.sd_v < 0.01 AS dead_dim,
+                   CAST(sum(CASE WHEN abs(e.v - s.mean_v) > 3.0 * s.sd_v
+                     THEN 1 ELSE 0 END) AS BIGINT) * 100 > s.n
+                     AS heavy_tailed
+            FROM e JOIN stats s ON e.dim = s.dim
+            GROUP BY s.dim, s.n, s.mean_v, s.sd_v ORDER BY s.dim"""))
+
   /** Signed-random-projection LSH (Charikar 2002 — public): the
     * EQUI-JOIN rung of the ANN ladder. q_knn_binary signs the raw
     * dimensions and still SCANS the whole corpus per probe (Hamming
@@ -2464,6 +2522,7 @@ object SimilarityOps extends QueryModule {
     "q_embed_outlier" -> qEmbedOutlier,
     "q_knn_binary" -> qKnnBinary,
     "q_knn_lsh" -> qKnnLsh,
+    "q_embed_whitening" -> qEmbedWhitening,
     "q_embed_mmr" -> qEmbedMmr,
     "q_knn_ivfpq" -> qKnnIvfPq,
     "q_sample_coreset" -> qSampleCoreset,

@@ -11166,7 +11166,122 @@ object AnalyticsOps extends QueryModule {
                      > 4.0 / n AS influential
             FROM scored, s2 ORDER BY day"""))
 
+  // ---------------------------------------------- forecast ensembling --
+
+  /** Equal-weight forecast combination (Bates–Granger 1969; every M-series
+    * competition since — public): the median of three cheap forecasters
+    * (seasonal-naive y_{t−7}, drift line, train mean) backtested on the
+    * last 7 days per event type — combinations beat their average member
+    * so reliably that "comb" is the standard M4 baseline, and the median
+    * variant is robust to one forecaster going wild. Exactness: all three
+    * forecasts are integral-cent arithmetic (drift slope via `div`), the
+    * 3-median is the branch-free a+b+c−max−min identity, and the MAE
+    * ledger is exact-integer `div` — the whole backtest hashes. Emits per
+    * (type, method) MAE with a within-type rank; the ensemble row sitting
+    * at or near rank 1 across types IS the combination lesson.
+    *
+    * Scale: corpus → day grid; forecasters are grid aggs + one (type,
+    * rn−7) self-join of the grid (broadcast-sized); the backtest window
+    * is calendar-bounded. Adding forecasters adds grid passes, never
+    * corpus passes.
+    */
+  private val qTsEnsemble = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val daily0 = t(s, d, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          cents.as("c"))
+        .groupBy("event_type", "day").agg(sum("c").as("v"))
+      val d0 = daily0.agg(min("day").as("d0"))
+      val daily = daily0.crossJoin(broadcast(d0))
+        .select(col("event_type"), datediff(col("day"), col("d0"))
+          .cast("long").as("rn"), col("v"))
+        .localCheckpoint(true) // feeds train aggs, snaive lags, test rows
+      val train = daily.filter(col("rn") <= 22)
+        .groupBy("event_type")
+        .agg(expr("sum(v) div count(1)").as("f_mean"),
+          max(when(col("rn") === 0, col("v"))).as("v0"),
+          max(when(col("rn") === 22, col("v"))).as("v22"))
+      val lag7 = daily.select(col("event_type"), (col("rn") + 7).as("rn"),
+        col("v").as("f_snaive"))
+      val test = daily.filter(col("rn") >= 23)
+        .join(broadcast(lag7), Seq("event_type", "rn"))
+        .join(broadcast(train), "event_type")
+        .withColumn("f_drift", col("v22") +
+          expr("((rn - 22) * (v22 - v0)) div 22"))
+        .withColumn("f_ens", col("f_snaive") + col("f_drift") +
+          col("f_mean") -
+          greatest(col("f_snaive"), col("f_drift"), col("f_mean")) -
+          least(col("f_snaive"), col("f_drift"), col("f_mean")))
+      val mae = test.groupBy("event_type")
+        .agg(expr("sum(abs(v - f_snaive)) div count(1)").as("snaive"),
+          expr("sum(abs(v - f_drift)) div count(1)").as("drift"),
+          expr("sum(abs(v - f_mean)) div count(1)").as("mean"),
+          expr("sum(abs(v - f_ens)) div count(1)").as("ensemble"))
+        .select(col("event_type"), explode(array(
+          struct(lit("1_snaive").as("method"), col("snaive").as("mae_cents")),
+          struct(lit("2_drift").as("method"), col("drift").as("mae_cents")),
+          struct(lit("3_mean").as("method"), col("mean").as("mae_cents")),
+          struct(lit("4_ensemble").as("method"),
+            col("ensemble").as("mae_cents")))).as("e"))
+        .select(col("event_type"), col("e.method").as("method"),
+          col("e.mae_cents").as("mae_cents"))
+      val wRk = Window.partitionBy("event_type")
+        .orderBy(col("mae_cents"), col("method"))
+      mae.withColumn("rank_in_type", row_number().over(wRk).cast("int"))
+        .orderBy("event_type", "method")
+    },
+    Some("""WITH daily0 AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS v
+              FROM events GROUP BY 1, 2),
+            d0 AS (SELECT min(day) AS d0 FROM daily0),
+            daily AS (
+              SELECT event_type,
+                     CAST(date_diff('day', d0, day) AS BIGINT) AS rn, v
+              FROM daily0, d0),
+            train AS (
+              SELECT event_type, CAST(sum(v) // count(*) AS BIGINT) AS f_mean,
+                     CAST(max(CASE WHEN rn = 0 THEN v END) AS BIGINT) AS v0,
+                     CAST(max(CASE WHEN rn = 22 THEN v END) AS BIGINT) AS v22
+              FROM daily WHERE rn <= 22 GROUP BY 1),
+            test AS (
+              SELECT t.event_type, t.rn, t.v, l.v AS f_snaive,
+                     tr.v22 + ((t.rn - 22) * (tr.v22 - tr.v0)) // 22
+                       AS f_drift,
+                     tr.f_mean
+              FROM daily t
+              JOIN daily l ON l.event_type = t.event_type
+                AND l.rn = t.rn - 7
+              JOIN train tr ON tr.event_type = t.event_type
+              WHERE t.rn >= 23),
+            withe AS (
+              SELECT *, f_snaive + f_drift + f_mean
+                     - greatest(f_snaive, f_drift, f_mean)
+                     - least(f_snaive, f_drift, f_mean) AS f_ens
+              FROM test),
+            mae AS (
+              SELECT event_type,
+                     CAST(sum(abs(v - f_snaive)) // count(*) AS BIGINT)
+                       AS m1,
+                     CAST(sum(abs(v - f_drift)) // count(*) AS BIGINT) AS m2,
+                     CAST(sum(abs(v - f_mean)) // count(*) AS BIGINT) AS m3,
+                     CAST(sum(abs(v - f_ens)) // count(*) AS BIGINT) AS m4
+              FROM withe GROUP BY 1),
+            rows_ AS (
+              SELECT event_type, '1_snaive' AS method, m1 AS mae_cents
+              FROM mae
+              UNION ALL SELECT event_type, '2_drift', m2 FROM mae
+              UNION ALL SELECT event_type, '3_mean', m3 FROM mae
+              UNION ALL SELECT event_type, '4_ensemble', m4 FROM mae)
+            SELECT event_type, method, mae_cents,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                     ORDER BY mae_cents, method) AS INT) AS rank_in_type
+            FROM rows_ ORDER BY event_type, method"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_ts_ensemble" -> qTsEnsemble,
     "q_stats_icc" -> qStatsIcc,
     "q_stats_vif" -> qStatsVif,
     "q_stats_cooks" -> qStatsCooks,

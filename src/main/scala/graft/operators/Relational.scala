@@ -850,6 +850,51 @@ object Relational extends QueryModule {
                      AS DECIMAL(30,8)), 2) AS DOUBLE) AS big_spend
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** Explicit GROUPING SETS (ANSI SQL:1999 — public; Spark 4's
+    * Dataset.groupingSets API surface): the one-pass multi-report shape
+    * CUBE/ROLLUP can't express — here {(returnflag, linestatus),
+    * (ship month), ()} produces the status breakdown, the monthly trend,
+    * AND the grand total from a SINGLE scan+expand, where three separate
+    * GROUP BYs would scan three times. Per-column grouping() flags (not
+    * grouping_id) keep the set-membership encoding engine-portable.
+    *
+    * Scale: one Expand (×|sets|) + one hash agg — the cube economics
+    * with a user-chosen set list; at 100 TB the win IS the single scan,
+    * and the expand factor is |sets|, not 2^k.
+    */
+  private val qAggGroupingSets = GQuery(
+    (s, d) => t(s, d, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+        col("l_extendedprice"))
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("ship_month")), Seq()),
+        col("l_returnflag"), col("l_linestatus"), col("ship_month"))
+      .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        grouping(col("ship_month")).cast("int").as("g_mon"),
+        count(lit(1)).as("n"),
+        dround(sum("l_extendedprice")).as("sum_price"))
+      .orderBy(col("g_rf"), col("g_ls"), col("g_mon"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first,
+        col("ship_month").asc_nulls_first),
+    Some("""SELECT l_returnflag, l_linestatus,
+                   strftime(l_shipdate, '%Y-%m') AS ship_month,
+                   CAST(grouping(l_returnflag) AS INT) AS g_rf,
+                   CAST(grouping(l_linestatus) AS INT) AS g_ls,
+                   CAST(grouping(strftime(l_shipdate, '%Y-%m')) AS INT)
+                     AS g_mon,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(round(CAST(sum(l_extendedprice) AS DECIMAL(30,8)), 2)
+                     AS DOUBLE) AS sum_price
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+              (strftime(l_shipdate, '%Y-%m')), ())
+            ORDER BY g_rf, g_ls, g_mon, l_returnflag NULLS FIRST,
+              l_linestatus NULLS FIRST, ship_month NULLS FIRST"""))
+
   /** CUBE grouping sets (all four combinations of the two keys). */
   private val qAggCube = GQuery(
     (s, d) => t(s, d, "lineitem")
@@ -1103,6 +1148,7 @@ object Relational extends QueryModule {
     "q_join_asof" -> qJoinAsof,
     "q_join_range" -> qJoinRange,
     "q_agg_cube" -> qAggCube,
+    "q_agg_grouping_sets" -> qAggGroupingSets,
     "q_agg_stats" -> qAggStats,
     "q_agg_filter" -> qAggFilter,
     "q_pivot" -> qPivot,
