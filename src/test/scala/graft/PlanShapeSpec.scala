@@ -1053,4 +1053,12 @@ class PlanShapeSpec extends SparkSpec {
     val cq = plan("q_stats_cochranq")
     assert(!cq.contains("SortMergeJoin"), cq.take(3000))
   }
+
+  test("q_join_dpp plants a dynamic pruning filter in the partitioned scan") {
+    // the whole point: the runtime dim result must reach the fact scan as
+    // PartitionFilters: [... dynamicpruningexpression(...)] — without it
+    // the query silently reads all 83 month partitions
+    val p = plan("q_join_dpp")
+    assert(p.contains("dynamicpruning"), p.take(4000))
+  }
 }
