@@ -282,4 +282,80 @@ class PropertySpec extends SparkSpec {
       assert(credit > n * 1000000L - clicks, r.toString)
     }
   }
+
+  test("round-8d statistics respect their mathematical invariants") {
+    // Kendall: |τ_b| ≤ 1 and the pair classes can't exceed the pair total
+    val kd = SparkEntry.queries("q_stats_kendall")(spark, sf).collect().head
+    val (n, c, dd) = (kd.getLong(0), kd.getLong(1), kd.getLong(2))
+    val n0 = n * (n - 1) / 2
+    assert(math.abs(kd.getDouble(5)) <= 1.0, kd.toString)
+    assert(c + dd <= n0, kd.toString)
+
+    // 1-Wasserstein is a metric: nonnegative and triangle inequality
+    // across every type triple
+    val w = SparkEntry.queries("q_stats_wasserstein")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(w.values.forall(_ >= 0.0))
+    def d12(a: String, b: String): Double =
+      if (a < b) w((a, b)) else w((b, a))
+    val types = w.keySet.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    for (a <- types; b <- types; cc <- types
+         if a != b && b != cc && a != cc)
+      assert(d12(a, cc) <= d12(a, b) + d12(b, cc) + 1e-6,
+        s"triangle violated: $a $b $cc")
+
+    // Harrell's C: class counts nest and the index is a probability
+    val ci = SparkEntry.queries("q_survival_cindex")(spark, sf)
+      .collect().head
+    assert(ci.getLong(2) + ci.getLong(3) <= ci.getLong(1), ci.toString)
+    val cidx = ci.getDouble(4)
+    assert(cidx >= 0.0 && cidx <= 1.0, ci.toString)
+
+    // Nelson–Aalen: cumulative hazard is nondecreasing, risk sets shrink
+    val na = SparkEntry.queries("q_survival_nelson_aalen")(spark, sf)
+      .collect()
+    assert(na.sliding(2).forall(p => p.length < 2 ||
+      (p(0).getLong(3) <= p(1).getLong(3) &&
+        p(0).getLong(1) >= p(1).getLong(1))))
+
+    // k-truss peel only removes: edges kept are monotone nonincreasing
+    val kt = SparkEntry.queries("q_graph_ktruss")(spark, sf).collect()
+    assert(kt.sliding(2).forall(p => p.length < 2 ||
+      p(0).getLong(3) >= p(1).getLong(3)))
+
+    // label propagation: community sizes partition the node set
+    val lp = SparkEntry.queries("q_graph_labelprop")(spark, sf).collect()
+    if (lp.nonEmpty) {
+      val nNodes = lp.map(_.getLong(1)).sum
+      assert(lp.head.getLong(5) == lp.length.toLong, "n_labels == #rows")
+      assert(nNodes > 0)
+    }
+
+    // ensemble: the 3-median's MAE can never exceed the worst member's
+    val en = SparkEntry.queries("q_ts_ensemble")(spark, sf).collect()
+      .groupBy(_.getString(0))
+    en.values.foreach { rows =>
+      val byM = rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+      if (byM.values.forall(_ >= 0))
+        assert(byM("4_ensemble") <= byM.filterKeys(_ != "4_ensemble")
+          .values.max, byM.toString)
+    }
+
+    // SAX: words are |segments| letters drawn from the 4-letter alphabet
+    val sax = SparkEntry.queries("q_ts_sax")(spark, sf).collect()
+    sax.groupBy(_.getString(0)).values.foreach { rows =>
+      val word = rows.head.getString(5)
+      assert(word.length == rows.length, word)
+      assert(word.forall("abcd".contains(_)), word)
+    }
+
+    // whitening: sd ≥ 0 (or NaN on a dead dim), outliers bounded by n
+    val wh = SparkEntry.queries("q_embed_whitening")(spark, sf).collect()
+    assert(wh.length == 64)
+    wh.foreach { r =>
+      val sd = r.getDouble(3)
+      assert(sd.isNaN || sd >= 0.0, r.toString)
+      assert(r.getLong(4) <= r.getLong(1), r.toString)
+    }
+  }
 }
