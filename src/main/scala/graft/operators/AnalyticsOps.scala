@@ -11280,7 +11280,199 @@ object AnalyticsOps extends QueryModule {
                      ORDER BY mae_cents, method) AS INT) AS rank_in_type
             FROM rows_ ORDER BY event_type, method"""))
 
+  // ------------------------------------------------- Mann–Kendall trend --
+
+  /** Mann–Kendall trend test (Mann 1945 / Kendall 1975 — public) per
+    * event type: IS there a monotone revenue trend, nonparametrically —
+    * the significance TEST q_ts_theilsen's slope estimate doesn't carry
+    * (a slope without a test invites reading noise as drift). S =
+    * Σ_{i<j} sign(yⱼ − yᵢ) over the day grid — exact integers from a
+    * calendar²-bounded pair join; Var(S) = [n(n−1)(2n+5) −
+    * Σt(t−1)(2t+5)]/18 with the tie term from the value-grid counts; the
+    * normal approximation applies the ±1 continuity correction and
+    * flags |Z| > 1.96. All integer numerators; Z exits through one
+    * dround.
+    *
+    * Scale: corpus → days×types grid; the pair join is days²-sized per
+    * type (never data-sized) and the tie agg is grid-sized. The theilsen
+    * economics with a verdict attached.
+    */
+  private val qStatsMannkendall = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val daily = t(s, d, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          cents.as("c"))
+        .groupBy("event_type", "day").agg(sum("c").as("v"))
+        .localCheckpoint(true) // pair join both sides + tie grid
+      val p2 = daily.select(col("event_type"), col("day").as("day2"),
+        col("v").as("v2"))
+      val sAgg = daily.join(broadcast(p2),
+          Seq("event_type")).filter(col("day2") > col("day"))
+        .groupBy("event_type")
+        .agg(count(lit(1L)).as("n_pairs"),
+          sum(signum(col("v2") - col("v")).cast("long")).as("s"))
+      val ties = daily.groupBy("event_type", "v")
+        .agg(count(lit(1L)).as("tcnt"))
+        .groupBy("event_type")
+        .agg(count(lit(1L)).as("n_values"), sum("tcnt").as("n"),
+          sum(col("tcnt") * (col("tcnt") - 1) *
+            (lit(2) * col("tcnt") + 5)).as("tie_term"))
+      sAgg.join(broadcast(ties), "event_type")
+        .select(col("event_type"), col("n"), col("s"),
+          ((col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) -
+            col("tie_term")).cast("double") / 18.0).as("var_s"))
+        .select(col("event_type"), col("n"), col("s"),
+          dround(col("var_s"), 4).as("var_s"),
+          dround(when(col("s") > 0,
+              (col("s") - 1).cast("double") / sqrt(col("var_s")))
+            .when(col("s") < 0,
+              (col("s") + 1).cast("double") / sqrt(col("var_s")))
+            .otherwise(0.0), 4).as("z"))
+        .withColumn("has_trend", abs(col("z")) > 1.96)
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS v
+              FROM events GROUP BY 1, 2),
+            sagg AS (
+              SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+                     CAST(sum(CASE WHEN b.v > a.v THEN 1
+                       WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s
+              FROM daily a JOIN daily b
+                ON b.event_type = a.event_type AND b.day > a.day
+              GROUP BY 1),
+            ties AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n_values,
+                     CAST(sum(tcnt) AS BIGINT) AS n,
+                     CAST(sum(tcnt * (tcnt - 1) * (2 * tcnt + 5))
+                       AS BIGINT) AS tie_term
+              FROM (SELECT event_type, v, CAST(count(*) AS BIGINT) AS tcnt
+                    FROM daily GROUP BY 1, 2)
+              GROUP BY 1),
+            a AS (
+              SELECT s.event_type, t.n, s.s,
+                     CAST(t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_term
+                       AS DOUBLE) / 18.0 AS var_s
+              FROM sagg s JOIN ties t USING (event_type)),
+            z AS (
+              SELECT event_type, n, s,
+                     CAST(round(CAST(var_s AS DECIMAL(30,8)), 4) AS DOUBLE)
+                       AS var_s,
+                     CAST(round(CAST(CASE
+                       WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+                       WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+                       ELSE 0.0 END AS DECIMAL(30,8)), 4) AS DOUBLE) AS z
+              FROM a)
+            SELECT event_type, n, s, var_s, z, abs(z) > 1.96 AS has_trend
+            FROM z ORDER BY event_type"""))
+
+  // --------------------------------------- Cramér–von Mises two-sample --
+
+  /** Cramér–von Mises two-sample distance (Cramér 1928 / Anderson 1962 —
+    * public), pairwise across the five event types: the INTEGRATED-square
+    * member of the ECDF family — q_stats_ks reads the worst single gap
+    * (sensitive to one sharp deviation), q_stats_wasserstein integrates
+    * |ΔF| over the VALUE axis (units: dollars), CvM integrates ΔF² over
+    * the pooled PROBABILITY axis (unit-free, tail-insensitive) —
+    * Anderson's form T = (n_a·n_b/N²)·Σ_pooled cnt·(F_a−F_b)². Exact to
+    * the last step: cross-multiplied integer ECDF gaps (cumA·n_b −
+    * cumB·n_a) square into DECIMAL(38)/HUGEINT weighted by pooled cell
+    * counts (Σ bounded by ~10³² at sf0.1 — inside DECIMAL(38)), one
+    * DOUBLE exit dround'd, flag at the 5% critical value 0.461.
+    *
+    * Scale: the wasserstein pipeline verbatim (grid agg, 10-row pair
+    * fan, pair-partitioned cumsums) with a squared-gap accumulator —
+    * value-domain-bounded end to end.
+    */
+  private val qStatsCvm = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val grid = t(s, d, "events")
+        .select(col("event_type"), cents.as("c"))
+        .groupBy("event_type", "c").agg(count(lit(1L)).as("cnt"))
+        .localCheckpoint(true)
+      val tot = grid.groupBy("event_type").agg(sum("cnt").as("n"))
+      val pairs = tot.select(col("event_type").as("ta"), col("n").as("na"))
+        .crossJoin(tot.select(col("event_type").as("tb"), col("n").as("nb")))
+        .filter(col("ta") < col("tb"))
+      val cells = broadcast(pairs)
+        .join(grid, col("event_type") === col("ta") ||
+          col("event_type") === col("tb"))
+        .groupBy("ta", "tb", "na", "nb", "c")
+        .agg(sum(when(col("event_type") === col("ta"), col("cnt"))
+            .otherwise(0L)).as("ca"),
+          sum(when(col("event_type") === col("tb"), col("cnt"))
+            .otherwise(0L)).as("cb"))
+      val wCum = Window.partitionBy("ta", "tb").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells
+        .withColumn("cuma", sum("ca").over(wCum))
+        .withColumn("cumb", sum("cb").over(wCum))
+        .withColumn("gap", col("cuma") * col("nb") - col("cumb") * col("na"))
+        .groupBy("ta", "tb", "na", "nb")
+        .agg(sum((col("ca") + col("cb")).cast("decimal(38,0)") *
+          col("gap") * col("gap")).as("num"))
+        .select(col("ta").as("type_a"), col("tb").as("type_b"),
+          dround(col("num").cast("double") /
+            (col("na").cast("double") * col("nb").cast("double") *
+              (col("na") + col("nb")).cast("double") *
+              (col("na") + col("nb")).cast("double")), 6).as("cvm_t"))
+        .withColumn("distributions_differ", col("cvm_t") > 0.461)
+        .orderBy("type_a", "type_b")
+    },
+    Some("""WITH ev AS (
+              SELECT event_type,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+              FROM events),
+            grid AS (
+              SELECT event_type, c, CAST(count(*) AS BIGINT) AS cnt
+              FROM ev GROUP BY 1, 2),
+            tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+                    FROM grid GROUP BY 1),
+            pairs AS (
+              SELECT a.event_type AS ta, a.n AS na,
+                     b.event_type AS tb, b.n AS nb
+              FROM tot a, tot b WHERE a.event_type < b.event_type),
+            cells AS (
+              SELECT p.ta, p.tb, p.na, p.nb, g.c,
+                     CAST(sum(CASE WHEN g.event_type = p.ta THEN g.cnt
+                       ELSE 0 END) AS BIGINT) AS ca,
+                     CAST(sum(CASE WHEN g.event_type = p.tb THEN g.cnt
+                       ELSE 0 END) AS BIGINT) AS cb
+              FROM pairs p JOIN grid g
+                ON g.event_type = p.ta OR g.event_type = p.tb
+              GROUP BY 1, 2, 3, 4, 5),
+            cum AS (
+              SELECT ta, tb, na, nb, ca, cb,
+                     CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+                     CAST(sum(cb) OVER w AS BIGINT) AS cumb
+              FROM cells
+              WINDOW w AS (PARTITION BY ta, tb ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            num AS (
+              SELECT ta, tb, na, nb,
+                     sum(CAST(ca + cb AS HUGEINT)
+                       * (cuma * nb - cumb * na) * (cuma * nb - cumb * na))
+                       AS num
+              FROM cum GROUP BY 1, 2, 3, 4)
+            SELECT ta AS type_a, tb AS type_b,
+                   CAST(round(CAST(CAST(num AS DOUBLE)
+                     / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                       * CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE))
+                     AS DECIMAL(30,8)), 6) AS DOUBLE) AS cvm_t,
+                   CAST(round(CAST(CAST(num AS DOUBLE)
+                     / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                       * CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE))
+                     AS DECIMAL(30,8)), 6) AS DOUBLE) > 0.461
+                     AS distributions_differ
+            FROM num ORDER BY type_a, type_b"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_stats_mannkendall" -> qStatsMannkendall,
+    "q_stats_cvm" -> qStatsCvm,
     "q_ts_ensemble" -> qTsEnsemble,
     "q_stats_icc" -> qStatsIcc,
     "q_stats_vif" -> qStatsVif,
