@@ -335,6 +335,101 @@ object PipelineOps extends QueryModule {
             SELECT partition, chunk, 'id', id_lo, id_hi FROM cells
             ORDER BY partition, chunk, stats_col"""))
 
+  /** Manifest DIFF between two commits of the asof topic — the
+    * incremental-consumer planner (the Delta-log `table_changes` question
+    * asked of the sink's own catalog): state A is the topic at the
+    * half-history watermark (offset < max/2 — a memoized second sink
+    * artifact with the identical config), state B is the full topic; the
+    * chunk-grid diff classifies every (partition, chunk, stats_col) cell
+    * as `unchanged` (identical stats — a consumer skips it), `extended`
+    * (same chunk, stats moved — the append landed inside an open chunk;
+    * re-read it), or `new`. Because chunk assignment is a pure function
+    * of offset (offset − offset%grid), appends can only extend the
+    * frontier chunk or add chunks — `removed` cannot occur, and the diff
+    * is exactly the consumer's re-read set. Summarized per (stats_col,
+    * status) with chunk-range evidence.
+    *
+    * Scale: two StatsMarker reads (catalog-sized, no data scan at all —
+    * the whole point of a manifest) + a chunk-grid join. The diff costs
+    * O(chunks), never O(rows).
+    */
+  private val qPipelineManifestDiff = GQuery(
+    (s, d) => {
+      val dirB = asofSinkDir(s, d)
+      val dirA = writtenDirs.computeIfAbsent(s"asofsinkA|$d", _ => {
+        // control-plane scalar (bigrams-n precedent): the half-history mark
+        val kmax = t(s, d, "events").agg(max("event_id")).head.getLong(0)
+        val shaped = t(s, d, "events")
+          .filter(col("event_id") < lit(kmax / 2))
+          .select(
+            col("user_id").cast("string").cast("binary").as("key"),
+            struct(col("event_id").as("id"), unix_micros(col("ts")).as("tsu"),
+              col("event_type").as("etype")).as("value"),
+            lit("asof").as("topic"),
+            pmod(col("user_id"), lit(4)).cast("int").as("partition"),
+            col("event_id").as("offset"),
+            col("ts").as("timestamp"))
+        graft.streaming.OffsetNamedOrcSink.write(shaped,
+          Files.createTempDirectory("graft-asofA-").toString,
+          flushSize = 1000, topic = "asof", statsColumns = Seq("tsu", "id"))
+      })
+      val a = graft.streaming.OffsetNamedOrcSink.manifest(s, dirA)
+        .select(col("partition"), col("chunk"), col("stats_col"),
+          col("stats_lo").as("lo_a"), col("stats_hi").as("hi_a"))
+      val b = graft.streaming.OffsetNamedOrcSink.manifest(s, dirB)
+        .select(col("partition"), col("chunk"), col("stats_col"),
+          col("stats_lo").as("lo_b"), col("stats_hi").as("hi_b"))
+      a.join(b, Seq("partition", "chunk", "stats_col"), "full_outer")
+        .withColumn("status",
+          when(col("lo_a").isNull, "new")
+            .when(col("lo_b").isNull, "removed")
+            .when(col("lo_a") === col("lo_b") &&
+              col("hi_a") === col("hi_b"), "unchanged")
+            .otherwise("extended"))
+        .groupBy("stats_col", "status")
+        .agg(count(lit(1L)).as("n_chunks"),
+          min("chunk").as("min_chunk"), max("chunk").as("max_chunk"))
+        .orderBy("stats_col", "status")
+    },
+    Some("""WITH k AS (SELECT max(event_id) // 2 AS k FROM events),
+            cellsB AS (
+              SELECT CAST(user_id % 4 AS INT) AS partition,
+                     event_id - event_id % 1000 AS chunk,
+                     min(epoch_us(ts)) AS tsu_lo, max(epoch_us(ts)) AS tsu_hi,
+                     min(event_id) AS id_lo, max(event_id) AS id_hi
+              FROM events GROUP BY 1, 2),
+            cellsA AS (
+              SELECT CAST(user_id % 4 AS INT) AS partition,
+                     event_id - event_id % 1000 AS chunk,
+                     min(epoch_us(ts)) AS tsu_lo, max(epoch_us(ts)) AS tsu_hi,
+                     min(event_id) AS id_lo, max(event_id) AS id_hi
+              FROM events, k WHERE event_id < k.k GROUP BY 1, 2),
+            longB AS (
+              SELECT partition, chunk, 'tsu' AS stats_col,
+                     tsu_lo AS lo_b, tsu_hi AS hi_b FROM cellsB
+              UNION ALL
+              SELECT partition, chunk, 'id', id_lo, id_hi FROM cellsB),
+            longA AS (
+              SELECT partition, chunk, 'tsu' AS stats_col,
+                     tsu_lo AS lo_a, tsu_hi AS hi_a FROM cellsA
+              UNION ALL
+              SELECT partition, chunk, 'id', id_lo, id_hi FROM cellsA),
+            diff AS (
+              SELECT coalesce(a.partition, b.partition) AS partition,
+                     coalesce(a.chunk, b.chunk) AS chunk,
+                     coalesce(a.stats_col, b.stats_col) AS stats_col,
+                     CASE WHEN a.lo_a IS NULL THEN 'new'
+                          WHEN b.lo_b IS NULL THEN 'removed'
+                          WHEN a.lo_a = b.lo_b AND a.hi_a = b.hi_b
+                            THEN 'unchanged'
+                          ELSE 'extended' END AS status
+              FROM longA a FULL OUTER JOIN longB b
+                ON a.partition = b.partition AND a.chunk = b.chunk
+                   AND a.stats_col = b.stats_col)
+            SELECT stats_col, status, CAST(count(*) AS BIGINT) AS n_chunks,
+                   min(chunk) AS min_chunk, max(chunk) AS max_chunk
+            FROM diff GROUP BY 1, 2 ORDER BY stats_col, status"""))
+
   /** Schema evolution on READ: two parquet batches of the same logical
     * table written under one root with different physical schemas — the
     * second batch adds a `priority` column — read back through Spark's
@@ -1107,6 +1202,7 @@ object PipelineOps extends QueryModule {
     "q_read_asof" -> qReadAsof,
     "q_read_asof_multicol" -> qReadAsofMulticol,
     "q_pipeline_manifest" -> qPipelineManifest,
+    "q_pipeline_manifest_diff" -> qPipelineManifestDiff,
     "q_schema_evolution" -> qSchemaEvolution,
     "q_compact_roundtrip" -> qCompactRoundtrip,
     "q_delete_keyed" -> qDeleteKeyed,
