@@ -751,8 +751,84 @@ object MultimodalOps extends QueryModule {
                    clip_score > 0.1 AS keep_strict
             FROM j ORDER BY doc_id"""))
 
+  /** Constellation-hash audio fingerprinting (Wang 2003, the Shazam
+    * paper — public) over the stub PCM stream: per asset the top-5
+    * energy frames become PEAKS (the spectrogram-constellation stand-in;
+    * a real pipeline peaks the STFT), each (anchor, target) peak pair
+    * within 8 frames hashes as (bucket₁, bucket₂, Δt) — the landmark —
+    * and assets sharing ≥ 2 landmarks surface as duplicate/derived audio
+    * (re-encodes, trims, and overlays preserve landmark subsets; raw
+    * hashes don't survive any of those). The hash packs exact integers
+    * ((b₁·1024 + b₂)·16 + Δt), so the whole index hashes cross-engine.
+    * Emits the top-20 matched asset pairs with landmark evidence.
+    *
+    * Scale: peaks are a per-asset top-k window (degree-bounded),
+    * landmarks O(peaks²·Δt-cap) per asset = O(10) rows; the match join
+    * keys on the landmark hash — high-entropy, no hot key — and the
+    * final ranking is a TakeOrdered heap. The landmark table IS the
+    * deployable index (joinable, appendable, mergeable).
+    */
+  private val qMultimodalFingerprint = GQuery(
+    (s, d) => {
+      val frames = frameEnergies(Tables(s, d, "documents")).toDF()
+      val wPeak = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("energy").desc, col("frame_idx"))
+      val peaks = frames
+        .withColumn("rk", row_number().over(wPeak))
+        .filter(col("rk") <= 5)
+        .select(col("doc_id"), col("frame_idx"),
+          pmod(col("energy"), lit(1024L)).as("b"))
+        .localCheckpoint(true) // self-joined for landmarks
+      val lm = peaks.as("a")
+        .join(peaks.as("t"), col("a.doc_id") === col("t.doc_id") &&
+          col("t.frame_idx") > col("a.frame_idx") &&
+          col("t.frame_idx") - col("a.frame_idx") <= 8)
+        .select(col("a.doc_id").as("doc_id"),
+          ((col("a.b") * 1024 + col("t.b")) * 16 +
+            (col("t.frame_idx") - col("a.frame_idx"))).as("h"))
+      val matches = lm.select(col("doc_id").as("d1"), col("h"))
+        .join(lm.select(col("doc_id").as("d2"), col("h")), "h")
+        .filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1L)).as("n_landmarks"))
+        .filter(col("n_landmarks") >= 2)
+      matches
+        .orderBy(col("n_landmarks").desc, col("d1"), col("d2"))
+        .limit(20)
+    },
+    Some("""WITH f AS (
+              SELECT doc_id,
+                     CAST((off - 1) // 32 AS INT) AS frame_idx,
+                     CAST(list_sum(list_transform(
+                       generate_series(off, least(off + 31, length(text))),
+                       i -> (ascii(substr(text, CAST(i AS INT), 1)) - 96)
+                          * (ascii(substr(text, CAST(i AS INT), 1)) - 96)))
+                       AS BIGINT) AS energy
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(1, length(text), 32))
+                             AS off
+                    FROM documents)),
+            peaks AS (
+              SELECT doc_id, frame_idx, energy % 1024 AS b FROM (
+                SELECT doc_id, frame_idx, energy,
+                       row_number() OVER (PARTITION BY doc_id
+                         ORDER BY energy DESC, frame_idx) AS rk
+                FROM f) WHERE rk <= 5),
+            lm AS (
+              SELECT a.doc_id,
+                     (a.b * 1024 + t.b) * 16 + (t.frame_idx - a.frame_idx)
+                       AS h
+              FROM peaks a JOIN peaks t
+                ON t.doc_id = a.doc_id AND t.frame_idx > a.frame_idx
+                   AND t.frame_idx - a.frame_idx <= 8)
+            SELECT l1.doc_id AS d1, l2.doc_id AS d2,
+                   CAST(count(*) AS BIGINT) AS n_landmarks
+            FROM lm l1 JOIN lm l2 ON l1.h = l2.h AND l1.doc_id < l2.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
+            ORDER BY n_landmarks DESC, d1, d2 LIMIT 20"""))
+
   override val queries: Map[String, GQuery] = Map(
     "q_multimodal_alignment" -> qMultimodalAlignment,
+    "q_multimodal_fingerprint" -> qMultimodalFingerprint,
     "q_multimodal_index" -> qMultimodalIndex,
     "q_multimodal_aspect" -> qMultimodalAspect,
     "q_multimodal_vad" -> qMultimodalVad,

@@ -11470,7 +11470,153 @@ object AnalyticsOps extends QueryModule {
                      AS distributions_differ
             FROM num ORDER BY type_a, type_b"""))
 
+  // ------------------------------------- hierarchical reconciliation --
+
+  /** Hierarchical forecast reconciliation (Hyndman's coherence problem —
+    * public): the per-type snaive forecasts and an INDEPENDENT total-level
+    * snaive forecast disagree (forecasts don't add up — the defining
+    * failure of hierarchical forecasting), and the two classical repairs
+    * are computed side by side: bottom-up (total := Σ type forecasts) and
+    * top-down (each type := its trailing-7-day revenue share of the
+    * direct total forecast, ppm-quantized with the remainder assigned to
+    * the lexicographically last type so the allocation adds up EXACTLY —
+    * the integer-coherence discipline). Per (day, type): base vs
+    * top-down with the gap; per day a `__total__` row carries direct vs
+    * bottom-up and THEIR gap. All integral-cent arithmetic; the row set
+    * hashes.
+    *
+    * Scale: day-grid aggs + a (type, rn−7) grid self-join + a 5-row
+    * share broadcast — ensemble economics; hierarchy depth adds grid
+    * passes, not corpus passes.
+    */
+  private val qTsReconcile = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val daily0 = t(s, d, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          cents.as("c"))
+        .groupBy("event_type", "day").agg(sum("c").as("v"))
+      val d0 = daily0.agg(min("day").as("d0"))
+      val daily = daily0.crossJoin(broadcast(d0))
+        .select(col("event_type"), datediff(col("day"), col("d0"))
+          .cast("long").as("rn"), col("v"))
+        .localCheckpoint(true)
+      // per-type snaive forecasts for the last 7 days
+      val base = daily.filter(col("rn") >= 23)
+        .select(col("event_type"), col("rn"))
+        .join(broadcast(daily.select(col("event_type"),
+          (col("rn") + 7).as("rn"), col("v").as("f_base"))),
+          Seq("event_type", "rn"))
+      // direct total-level snaive: total series lagged 7
+      val totalDirect = daily.groupBy("rn")
+        .agg(sum("v").as("tv"))
+        .select((col("rn") + 7).as("rn"), col("tv").as("f_total_direct"))
+        .filter(col("rn") >= 23 && col("rn") <= 29)
+      // trailing shares from the train tail (rn 16..22), ppm
+      val shares = daily.filter(col("rn") >= 16 && col("rn") <= 22)
+        .groupBy("event_type").agg(sum("v").as("sv"))
+      val tot = shares.agg(sum("sv").as("st"))
+      val wLast = Window.orderBy(col("event_type").desc)
+      val shareP = shares.crossJoin(broadcast(tot))
+        .withColumn("ppm", expr("(1000000 * sv) div st"))
+        // integer coherence: the remainder ppm lands on the LAST type
+        .withColumn("is_last", row_number().over(wLast) === 1)
+      val ppmSum = shareP.agg(sum("ppm").as("ps"))
+      val sharesFixed = shareP.crossJoin(broadcast(ppmSum))
+        .select(col("event_type"),
+          when(col("is_last"), col("ppm") + (lit(1000000L) - col("ps")))
+            .otherwise(col("ppm")).as("ppm"))
+      val wLastRn = Window.partitionBy("rn")
+        .orderBy(col("event_type").desc)
+      val td0 = totalDirect.crossJoin(broadcast(sharesFixed))
+        .withColumn("f_td_raw", expr("(f_total_direct * ppm) div 1000000"))
+      val tdSum = td0.groupBy("rn")
+        .agg(sum("f_td_raw").as("tds"), max("f_total_direct").as("ftd"))
+      val td = td0.join(broadcast(tdSum), "rn")
+        .withColumn("f_td",
+          when(row_number().over(wLastRn) === 1,
+            col("f_td_raw") + (col("ftd") - col("tds")))
+            .otherwise(col("f_td_raw")))
+        .select(col("event_type"), col("rn"), col("f_td"))
+      val typeRows = base.join(td, Seq("event_type", "rn"))
+        .select(col("rn"), col("event_type"), col("f_base"),
+          col("f_td"), (col("f_base") - col("f_td")).as("gap_cents"))
+      val bu = base.groupBy("rn").agg(sum("f_base").as("f_bu"))
+      val totalRows = bu.join(totalDirect, "rn")
+        .select(col("rn"), lit("__total__").as("event_type"),
+          col("f_bu").as("f_base"), col("f_total_direct").as("f_td"),
+          (col("f_bu") - col("f_total_direct")).as("gap_cents"))
+      typeRows.unionByName(totalRows).orderBy("rn", "event_type")
+    },
+    Some("""WITH daily0 AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS v
+              FROM events GROUP BY 1, 2),
+            d0 AS (SELECT min(day) AS d0 FROM daily0),
+            daily AS (
+              SELECT event_type,
+                     CAST(date_diff('day', d0, day) AS BIGINT) AS rn, v
+              FROM daily0, d0),
+            base AS (
+              SELECT t.event_type, t.rn, l.v AS f_base
+              FROM daily t JOIN daily l
+                ON l.event_type = t.event_type AND l.rn = t.rn - 7
+              WHERE t.rn >= 23),
+            total_direct AS (
+              SELECT rn + 7 AS rn, CAST(sum(v) AS BIGINT) AS f_total_direct
+              FROM daily GROUP BY rn
+              HAVING rn + 7 BETWEEN 23 AND 29),
+            shares AS (
+              SELECT event_type, CAST(sum(v) AS BIGINT) AS sv
+              FROM daily WHERE rn BETWEEN 16 AND 22 GROUP BY 1),
+            tot AS (SELECT CAST(sum(sv) AS BIGINT) AS st FROM shares),
+            sharep AS (
+              SELECT event_type, (1000000 * sv) // st AS ppm,
+                     row_number() OVER (ORDER BY event_type DESC) = 1
+                       AS is_last
+              FROM shares, tot),
+            ppmsum AS (SELECT CAST(sum(ppm) AS BIGINT) AS ps FROM sharep),
+            sharesfixed AS (
+              SELECT event_type,
+                     CASE WHEN is_last THEN ppm + (1000000 - ps)
+                          ELSE ppm END AS ppm
+              FROM sharep, ppmsum),
+            td0 AS (
+              SELECT s.event_type, t.rn,
+                     (t.f_total_direct * s.ppm) // 1000000 AS f_td_raw,
+                     t.f_total_direct
+              FROM sharesfixed s, total_direct t),
+            tdsum AS (
+              SELECT rn, CAST(sum(f_td_raw) AS BIGINT) AS tds,
+                     CAST(max(f_total_direct) AS BIGINT) AS ftd
+              FROM td0 GROUP BY 1),
+            td AS (
+              SELECT t.event_type, t.rn,
+                     CASE WHEN row_number() OVER (PARTITION BY t.rn
+                         ORDER BY t.event_type DESC) = 1
+                       THEN t.f_td_raw + (u.ftd - u.tds)
+                       ELSE t.f_td_raw END AS f_td
+              FROM td0 t JOIN tdsum u USING (rn)),
+            typerows AS (
+              SELECT b.rn, b.event_type, b.f_base, td.f_td,
+                     b.f_base - td.f_td AS gap_cents
+              FROM base b JOIN td
+                ON td.event_type = b.event_type AND td.rn = b.rn),
+            totalrows AS (
+              SELECT b.rn, '__total__' AS event_type,
+                     CAST(sum(b.f_base) AS BIGINT) AS f_base,
+                     max(t.f_total_direct) AS f_td,
+                     CAST(sum(b.f_base) AS BIGINT) - max(t.f_total_direct)
+                       AS gap_cents
+              FROM base b JOIN total_direct t USING (rn)
+              GROUP BY b.rn)
+            SELECT rn, event_type, f_base, f_td, gap_cents
+            FROM (SELECT * FROM typerows UNION ALL SELECT * FROM totalrows)
+            ORDER BY rn, event_type"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_ts_reconcile" -> qTsReconcile,
     "q_stats_mannkendall" -> qStatsMannkendall,
     "q_stats_cvm" -> qStatsCvm,
     "q_ts_ensemble" -> qTsEnsemble,
