@@ -913,7 +913,128 @@ object GovernanceOps extends QueryModule {
             FROM dp d JOIN exact e USING (event_type)
             ORDER BY d.event_type"""))
 
+  // --------------------------------------------- cell suppression --
+
+  /** Statistical-disclosure cell suppression (census/Eurostat practice —
+    * public): the (type, day) count table is released only where cells
+    * clear a threshold, and — the part naive implementations skip —
+    * PRIMARY suppression alone is reversible: a row with exactly one
+    * hidden cell re-derives from its margin, so a COMPLEMENTARY partner
+    * (the smallest surviving cell in that row, then the same sweep down
+    * columns) must hide too. The threshold is the 20th-percentile cell
+    * count from the grid order statistic (5·cum ≥ n_cells — scale-
+    * invariant where a fixed k would stop suppressing at 10× the data);
+    * one row sweep + one column sweep of the greedy, statuses
+    * ok/primary/comp_row/comp_col, released n nulled when hidden. All
+    * counts exact; ties break on calendar/type order so the partner
+    * choice hashes.
+    *
+    * Scale: the corpus collapses to the types×days grid before anything;
+    * sweeps are grid-partitioned windows (row partitions = |days| cells).
+    * Full cascading suppression iterates the same two sweeps to a fixed
+    * point — bounded by grid diameter, never corpus size.
+    */
+  private val qPrivacySuppression = GQuery(
+    (s, d) => {
+      val cells = t(s, d, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1L)).as("n"))
+        .localCheckpoint(true) // threshold grid + both sweeps
+      val wCum = Window.orderBy("n")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val thr = cells.groupBy("n").agg(count(lit(1L)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(wCum))
+        .crossJoin(broadcast(cells.agg(count(lit(1L)).as("nc"))))
+        .agg(min(when(lit(5) * col("cum") >= col("nc"), col("n"))).as("t"))
+      val p1 = cells.crossJoin(broadcast(thr))
+        .withColumn("primary", col("n") < col("t"))
+      // rank partitions include the suppression flag so hidden cells
+      // never occupy a pick rank (the partner must be a SURVIVING cell)
+      val wRowPick = Window.partitionBy("event_type", "primary")
+        .orderBy(col("n"), col("day"))
+      val rowCnt = p1.groupBy("event_type")
+        .agg(sum(col("primary").cast("long")).as("np_row"))
+      val p2 = p1.join(broadcast(rowCnt), "event_type")
+        .withColumn("rrk", row_number().over(wRowPick))
+        .withColumn("comp_row",
+          !col("primary") && col("np_row") === 1L && col("rrk") === 1)
+      val p2c = p2.withColumn("supp1", col("primary") || col("comp_row"))
+      val wColPick = Window.partitionBy("day", "supp1")
+        .orderBy(col("n"), col("event_type"))
+      val colCnt = p2c.groupBy("day")
+        .agg(sum(col("supp1").cast("long")).as("np_col"))
+      val p3 = p2c.join(broadcast(colCnt), "day")
+        .withColumn("crk", row_number().over(wColPick))
+        .withColumn("comp_col",
+          !col("supp1") && col("np_col") === 1L && col("crk") === 1)
+      p3.select(col("event_type"), col("day"),
+          when(col("primary"), "primary")
+            .when(col("comp_row"), "comp_row")
+            .when(col("comp_col"), "comp_col")
+            .otherwise("ok").as("status"),
+          when(col("primary") || col("comp_row") || col("comp_col"),
+            lit(null).cast("long")).otherwise(col("n")).as("n_released"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH cells AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            grid AS (
+              SELECT n, CAST(count(*) AS BIGINT) AS cnt
+              FROM cells GROUP BY 1),
+            cum AS (
+              SELECT n, CAST(sum(cnt) OVER (ORDER BY n
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+              FROM grid),
+            nc AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM cells),
+            thr AS (
+              SELECT min(CASE WHEN 5 * cum >= nc THEN n END) AS t
+              FROM cum, nc),
+            p1 AS (
+              SELECT c.event_type, c.day, c.n, c.n < t.t AS prim
+              FROM cells c, thr t),
+            rowcnt AS (
+              SELECT event_type,
+                     CAST(sum(CASE WHEN prim THEN 1 ELSE 0 END) AS BIGINT)
+                       AS np_row
+              FROM p1 GROUP BY 1),
+            p2 AS (
+              SELECT p1.*, r.np_row,
+                     row_number() OVER (
+                       PARTITION BY p1.event_type, prim
+                       ORDER BY p1.n, p1.day) AS rrk
+              FROM p1 JOIN rowcnt r USING (event_type)),
+            p2b AS (
+              SELECT *, NOT prim AND np_row = 1 AND rrk = 1 AS comp_row
+              FROM p2),
+            colcnt AS (
+              SELECT day,
+                     CAST(sum(CASE WHEN prim OR comp_row THEN 1 ELSE 0 END)
+                       AS BIGINT) AS np_col
+              FROM p2b GROUP BY 1),
+            p3 AS (
+              SELECT p2b.*, c.np_col,
+                     row_number() OVER (
+                       PARTITION BY p2b.day, prim OR comp_row
+                       ORDER BY p2b.n, p2b.event_type) AS crk
+              FROM p2b JOIN colcnt c USING (day)),
+            p3b AS (
+              SELECT *, NOT (prim OR comp_row) AND np_col = 1 AND crk = 1
+                       AS comp_col
+              FROM p3)
+            SELECT event_type, day,
+                   CASE WHEN prim THEN 'primary'
+                        WHEN comp_row THEN 'comp_row'
+                        WHEN comp_col THEN 'comp_col'
+                        ELSE 'ok' END AS status,
+                   CASE WHEN prim OR comp_row OR comp_col
+                     THEN NULL ELSE n END AS n_released
+            FROM p3b ORDER BY event_type, day"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_privacy_suppression" -> qPrivacySuppression,
     "q_privacy_dp_quantile" -> qPrivacyDpQuantile,
     "q_stats_brier" -> qStatsBrier,
     "q_privacy_dp_topk" -> qPrivacyDpTopk,
