@@ -11615,7 +11615,112 @@ object AnalyticsOps extends QueryModule {
             FROM (SELECT * FROM typerows UNION ALL SELECT * FROM totalrows)
             ORDER BY rn, event_type"""))
 
+  // ------------------------------------- inclusion-dependency discovery --
+
+  /** Inclusion-dependency (foreign-key) discovery (De Marchi 2002; the
+    * SPIDER/profiling literature — public): which column's value set is
+    * contained in another's — the structural complement of
+    * q_profile_funcdep (FDs find keys WITHIN a table; INDs find the
+    * joins BETWEEN tables a lakehouse catalog forgot to declare). Five
+    * candidate directed pairs — the four true star-schema FKs, the
+    * reverse customer→orders (holds HERE because every synthetic
+    * customer ordered; on sparse data it breaks, which is why direction
+    * is measured, not assumed), and supplier→customer, the classic
+    * SPURIOUS IND (suppkey 1..100 numerically ⊆ custkey 1..1500 with no
+    * semantic relationship — the false positive IND discovery is famous
+    * for, and why a discovery pipeline post-filters by name/type
+    * affinity). Each candidate measures: distinct child values, how many
+    * are ABSENT from the parent (left-anti on the distincts), coverage
+    * in exact ppm, and the IND verdict.
+    *
+    * Scale: per pair one distinct-agg per side + one anti-join on the
+    * key — all shuffle-keyed on high-entropy ids; candidate generation at
+    * 100 TB prunes by type/cardinality metadata first (the profiling
+    * pipeline's q_profile_columns pass), so the pair list stays small.
+    */
+  private val qProfileInclusion = GQuery(
+    (s, d) => {
+      def ind(child: DataFrame, ck: String, parent: DataFrame, pk: String,
+              name: String): DataFrame = {
+        val cd = child.select(col(ck).as("k")).distinct()
+          .localCheckpoint(true) // counted AND anti-joined
+        val pd = parent.select(col(pk).as("k")).distinct()
+        val nC = cd.agg(count(lit(1L)).as("n_child"))
+        val miss = cd.join(pd, Seq("k"), "left_anti")
+          .agg(count(lit(1L)).as("n_missing"))
+        nC.crossJoin(miss).select(lit(name).as("candidate"),
+          col("n_child"), col("n_missing"),
+          expr("((n_child - n_missing) * 1000000) div n_child")
+            .as("coverage_ppm"),
+          (col("n_missing") === 0L).as("is_ind"))
+      }
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      Seq(
+        ind(li, "l_orderkey", o, "o_orderkey", "lineitem.orderkey->orders"),
+        ind(li, "l_partkey", t(s, d, "part"), "p_partkey",
+          "lineitem.partkey->part"),
+        ind(li, "l_suppkey", t(s, d, "supplier"), "s_suppkey",
+          "lineitem.suppkey->supplier"),
+        ind(o, "o_custkey", t(s, d, "customer"), "c_custkey",
+          "orders.custkey->customer"),
+        ind(t(s, d, "customer"), "c_custkey", o, "o_custkey",
+          "customer.custkey->orders"),
+        ind(t(s, d, "supplier"), "s_suppkey", t(s, d, "customer"),
+          "c_custkey", "supplier.suppkey->customer(spurious)"))
+        .reduce(_ unionByName _)
+        .orderBy("candidate")
+    },
+    Some("""WITH c1 AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+            c2 AS (SELECT DISTINCT l_partkey AS k FROM lineitem),
+            c3 AS (SELECT DISTINCT l_suppkey AS k FROM lineitem),
+            c4 AS (SELECT DISTINCT o_custkey AS k FROM orders),
+            c5 AS (SELECT DISTINCT c_custkey AS k FROM customer),
+            p1 AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+            p2 AS (SELECT DISTINCT p_partkey AS k FROM part),
+            p3 AS (SELECT DISTINCT s_suppkey AS k FROM supplier),
+            p4 AS (SELECT DISTINCT c_custkey AS k FROM customer),
+            p5 AS (SELECT DISTINCT o_custkey AS k FROM orders),
+            c6 AS (SELECT DISTINCT s_suppkey AS k FROM supplier),
+            p6 AS (SELECT DISTINCT c_custkey AS k FROM customer),
+            rows_ AS (
+              SELECT 'lineitem.orderkey->orders' AS candidate,
+                     (SELECT CAST(count(*) AS BIGINT) FROM c1) AS n_child,
+                     (SELECT CAST(count(*) AS BIGINT) FROM c1
+                      WHERE k NOT IN (SELECT k FROM p1)) AS n_missing
+              UNION ALL
+              SELECT 'lineitem.partkey->part',
+                     (SELECT count(*) FROM c2),
+                     (SELECT count(*) FROM c2
+                      WHERE k NOT IN (SELECT k FROM p2))
+              UNION ALL
+              SELECT 'lineitem.suppkey->supplier',
+                     (SELECT count(*) FROM c3),
+                     (SELECT count(*) FROM c3
+                      WHERE k NOT IN (SELECT k FROM p3))
+              UNION ALL
+              SELECT 'orders.custkey->customer',
+                     (SELECT count(*) FROM c4),
+                     (SELECT count(*) FROM c4
+                      WHERE k NOT IN (SELECT k FROM p4))
+              UNION ALL
+              SELECT 'customer.custkey->orders',
+                     (SELECT count(*) FROM c5),
+                     (SELECT count(*) FROM c5
+                      WHERE k NOT IN (SELECT k FROM p5))
+              UNION ALL
+              SELECT 'supplier.suppkey->customer(spurious)',
+                     (SELECT count(*) FROM c6),
+                     (SELECT count(*) FROM c6
+                      WHERE k NOT IN (SELECT k FROM p6)))
+            SELECT candidate, CAST(n_child AS BIGINT) AS n_child,
+                   CAST(n_missing AS BIGINT) AS n_missing,
+                   CAST(((n_child - n_missing) * 1000000) // n_child
+                     AS BIGINT) AS coverage_ppm,
+                   n_missing = 0 AS is_ind
+            FROM rows_ ORDER BY candidate"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_profile_inclusion" -> qProfileInclusion,
     "q_ts_reconcile" -> qTsReconcile,
     "q_stats_mannkendall" -> qStatsMannkendall,
     "q_stats_cvm" -> qStatsCvm,
