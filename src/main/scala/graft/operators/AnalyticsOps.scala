@@ -10664,69 +10664,77 @@ object AnalyticsOps extends QueryModule {
                      AS DECIMAL(30,8)), 6) AS DOUBLE) AS c_index
             FROM tot, nu"""))
 
-  // ------------------------------------------------ bot/automation gate --
+  // ---------------------------------------------- schedule periodicity --
 
-  /** Automation (bot) detection by inter-arrival regularity — the
-    * training-data hygiene gate that drops machine-generated interaction
-    * streams before they poison engagement statistics: humans arrive with
-    * high-variance gaps (CV² ≈ 1 for Poisson, > 1 bursty), schedulers and
-    * retry loops arrive metronomically (CV² → 0). Per user, consecutive
-    * event gaps in exact µs (unix_micros/epoch_us, (ts, event_id)-ordered
-    * for a total order under duplicate timestamps); CV² = (n·S₂ − S₁²)/S₁²
-    * from integer power sums — gap² passes BIGINT (gap ≤ 2.6×10¹² µs over
-    * the 30-day window), so each square widens to DECIMAL(38)/HUGEINT
-    * BEFORE multiplying. Users with ≥ 20 gaps rank by regularity; the 50
-    * most metronomic emit with the bot verdict (CV² ≤ 0.5).
+  /** Scheduled-automation detection by MODAL-gap concentration — the
+    * periodicity signal q_events_bot_detection's dispersion screen (gap
+    * CV) cannot see: a cron-like client whose every interval is exactly
+    * 300 s has CV ≈ 0, but so does smooth human browsing at a steady
+    * pace; what separates the SCHEDULE is that one specific gap value
+    * dominates. Per user, consecutive gaps quantized to whole seconds
+    * ((ts, event_id)-ordered, integral µs→s `div`), the modal gap by
+    * count with smallest-gap ties, and its concentration share in exact
+    * ppm (10⁶·modal div n_gaps). Users with ≥ 20 gaps rank by
+    * concentration; flag periodic at ≥ 30% — pure integers end to end,
+    * no moments, no doubles.
     *
     * Scale: one user-partitioned lag window (the sessionize shuffle) +
-    * map-combinable 3-sum agg; TakeOrderedAndProject top-50, never a
-    * global sort. DECIMAL(38) holds n·S₂ to ~10⁴-event users at month
-    * gaps.
+    * a (user, gap_s) count agg + per-user argmax windows over
+    * gap-cardinality partitions; TakeOrderedAndProject top-50, never a
+    * global sort. The (user, gap) table is the per-user gap HISTOGRAM —
+    * bounded by distinct gap values, not events.
     */
-  private val qEventsBotDetect = GQuery(
+  private val qEventsPeriodicity = GQuery(
     (s, d) => {
       val wU = Window.partitionBy("user_id").orderBy("ts", "event_id")
       val gaps = t(s, d, "events")
         .select(col("user_id"), col("event_id"), col("ts"),
           unix_micros(col("ts")).as("us"))
-        .withColumn("gap", col("us") - lag("us", 1).over(wU))
-        .filter(col("gap").isNotNull)
-      val g = gaps.groupBy("user_id")
-        .agg(count(lit(1L)).as("n_gaps"),
-          sum(col("gap").cast("decimal(38,0)")).as("s1"),
-          sum(col("gap").cast("decimal(38,0)") * col("gap")).as("s2"))
+        .withColumn("gap_s",
+          expr("(us - lag(us, 1) OVER (PARTITION BY user_id "
+            + "ORDER BY ts, event_id)) div 1000000"))
+        .filter(col("gap_s").isNotNull)
+      val hist = gaps.groupBy("user_id", "gap_s")
+        .agg(count(lit(1L)).as("cnt"))
+      val wPick = Window.partitionBy("user_id")
+        .orderBy(col("cnt").desc, col("gap_s").asc)
+      val tot = hist.groupBy("user_id")
+        .agg(sum("cnt").as("n_gaps"))
         .filter(col("n_gaps") >= 20)
-      g.select(col("user_id"), col("n_gaps"),
-          dround(col("s1").cast("double") /
-            (col("n_gaps").cast("double") * 1e6), 3).as("mean_gap_s"),
-          dround((col("n_gaps") * col("s2") - col("s1") * col("s1"))
-            .cast("double") / (col("s1") * col("s1")).cast("double"), 6)
-            .as("cv2"))
-        .withColumn("is_bot", col("cv2") <= 0.5)
-        .orderBy(col("cv2"), col("user_id")).limit(50)
+      hist.withColumn("rk", row_number().over(wPick))
+        .filter(col("rk") === 1)
+        .join(tot, "user_id")
+        .select(col("user_id"), col("n_gaps"),
+          col("gap_s").as("modal_gap_s"), col("cnt").as("modal_cnt"),
+          expr("(1000000 * cnt) div n_gaps").as("share_ppm"))
+        .withColumn("periodic", col("share_ppm") >= 300000L)
+        .orderBy(col("share_ppm").desc, col("user_id")).limit(50)
     },
     Some("""WITH ev AS (
-              SELECT user_id, event_id, epoch_us(ts) AS us,
-                     epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              SELECT user_id,
+                     (epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id))
+                       // 1000000 AS gap_s
               FROM events),
-            g AS (
-              SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
-                     sum(CAST(gap AS HUGEINT)) AS s1,
-                     sum(CAST(gap AS HUGEINT) * gap) AS s2
-              FROM ev WHERE gap IS NOT NULL
-              GROUP BY 1 HAVING count(*) >= 20),
-            r AS (
-              SELECT user_id, n_gaps,
-                     CAST(round(CAST(CAST(s1 AS DOUBLE)
-                       / (CAST(n_gaps AS DOUBLE) * 1e6)
-                       AS DECIMAL(30,8)), 3) AS DOUBLE) AS mean_gap_s,
-                     CAST(round(CAST(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)
-                       / CAST(s1 * s1 AS DOUBLE)
-                       AS DECIMAL(30,8)), 6) AS DOUBLE) AS cv2
-              FROM g)
-            SELECT user_id, n_gaps, mean_gap_s, cv2, cv2 <= 0.5 AS is_bot
-            FROM r ORDER BY cv2, user_id LIMIT 50"""))
+            hist AS (
+              SELECT user_id, gap_s, CAST(count(*) AS BIGINT) AS cnt
+              FROM ev WHERE gap_s IS NOT NULL GROUP BY 1, 2),
+            tot AS (
+              SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_gaps
+              FROM hist GROUP BY 1 HAVING sum(cnt) >= 20),
+            pick AS (
+              SELECT user_id, gap_s, cnt FROM (
+                SELECT user_id, gap_s, cnt,
+                       row_number() OVER (PARTITION BY user_id
+                         ORDER BY cnt DESC, gap_s ASC) AS rk
+                FROM hist) WHERE rk = 1)
+            SELECT p.user_id, t.n_gaps, p.gap_s AS modal_gap_s,
+                   p.cnt AS modal_cnt,
+                   CAST((1000000 * p.cnt) // t.n_gaps AS BIGINT)
+                     AS share_ppm,
+                   (1000000 * p.cnt) // t.n_gaps >= 300000 AS periodic
+            FROM pick p JOIN tot t USING (user_id)
+            ORDER BY share_ppm DESC, p.user_id LIMIT 50"""))
 
   // ------------------------------------------------ SAX symbolization --
 
@@ -11729,7 +11737,7 @@ object AnalyticsOps extends QueryModule {
     "q_stats_vif" -> qStatsVif,
     "q_stats_cooks" -> qStatsCooks,
     "q_ts_sax" -> qTsSax,
-    "q_events_bot_detect" -> qEventsBotDetect,
+    "q_events_periodicity" -> qEventsPeriodicity,
     "q_survival_nelson_aalen" -> qSurvivalNelsonAalen,
     "q_survival_cindex" -> qSurvivalCindex,
     "q_stats_wasserstein" -> qStatsWasserstein,

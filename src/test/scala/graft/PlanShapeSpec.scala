@@ -1034,8 +1034,9 @@ class PlanShapeSpec extends SparkSpec {
     assert(ci.contains("BroadcastNestedLoopJoin"), ci.take(3000))
     assert(!ci.contains("SortMergeJoin"), ci.take(3000))
 
-    // bot gate: the regularity rank is a top-50 heap, never a global sort
-    val bd = plan("q_events_bot_detect")
+    // periodicity gate: the concentration rank is a top-50 heap, never a
+    // global sort
+    val bd = plan("q_events_periodicity")
     assert(bd.contains("TakeOrderedAndProject"), bd.take(3000))
 
     // blocklist: map-only — one documents scan, no join anywhere
