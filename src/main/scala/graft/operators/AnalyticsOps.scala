@@ -11234,8 +11234,11 @@ object AnalyticsOps extends QueryModule {
             col("ensemble").as("mae_cents")))).as("e"))
         .select(col("event_type"), col("e.method").as("method"),
           col("e.mae_cents").as("mae_cents"))
+      // explicit NULLS LAST: a missing day-0/22 anchor nulls a member's
+      // MAE, and Spark (nulls first) and DuckDB (nulls last) disagree on
+      // default null order — pin it so the rank hashes regardless
       val wRk = Window.partitionBy("event_type")
-        .orderBy(col("mae_cents"), col("method"))
+        .orderBy(col("mae_cents").asc_nulls_last, col("method"))
       mae.withColumn("rank_in_type", row_number().over(wRk).cast("int"))
         .orderBy("event_type", "method")
     },
@@ -11285,7 +11288,8 @@ object AnalyticsOps extends QueryModule {
               UNION ALL SELECT event_type, '4_ensemble', m4 FROM mae)
             SELECT event_type, method, mae_cents,
                    CAST(row_number() OVER (PARTITION BY event_type
-                     ORDER BY mae_cents, method) AS INT) AS rank_in_type
+                     ORDER BY mae_cents NULLS LAST, method) AS INT)
+                     AS rank_in_type
             FROM rows_ ORDER BY event_type, method"""))
 
   // ------------------------------------------------- Mann–Kendall trend --
