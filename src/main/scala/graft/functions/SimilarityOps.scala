@@ -2515,7 +2515,97 @@ object SimilarityOps extends QueryModule {
                      AS BIGINT) AS n_negative
             FROM scored GROUP BY 1 ORDER BY 1"""))
 
+  // ------------------------------------------------ space isotropy --
+
+  /** Embedding-space isotropy diagnostics — the geometry health check run
+    * before trusting cosine retrieval (Ethayarajh 2019's anisotropy
+    * finding: contextual embeddings concentrate in a narrow cone, making
+    * raw cosines saturate; q_embed_whitening is the REPAIR, this is the
+    * MEASUREMENT deciding whether to pay for it). Per label and TOTAL,
+    * from coordinates quantized to an exact milli grid (v_milli =
+    * round(v·10³) — floats are exact in binary, the product rounds
+    * identically under IEEE in both engines, so every downstream sum is
+    * exact BIGINT):
+    *   mean_norm2   = Σ‖v‖² div n          (mean squared length, milli²)
+    *   center_norm2 = ‖Σv‖² div n²         (squared centroid length)
+    *   anis_ppm     = (‖Σv‖² div n)·10⁶ div Σ‖v‖² — the share of total
+    *     energy lying along the mean direction (→ 0 for a centered
+    *     isotropic cloud, → 10⁶ when all vectors point one way)
+    *   pairdot      = (‖Σv‖² − Σ‖v‖²) div (n(n−1)) — the EXACT mean
+    *     pairwise dot product via the Gram identity ‖Σv‖² = Σ‖v‖² +
+    *     Σᵢ≠ⱼ⟨vᵢ,vⱼ⟩, signed (div truncates toward zero in both engines,
+    *     the fixed-point invariant)
+    *
+    * Scale: one explode → (label, dim) partial agg (map-side combinable;
+    * 64·|labels| cells), label and TOTAL rows both derive from that one
+    * checkpointed cell grid — the corpus is scanned once and nothing
+    * user-sized is sorted. BIGINT headroom: sd² ≤ (n·max|v|·10³)² —
+    * crosses 2⁶³ around n ≈ 10⁸ vectors per label; DECIMAL(38) widening
+    * (corrmatrix rule) applies past that.
+    */
+  private val qEmbedIsotropy = GQuery(
+    (s, d) => {
+      val cells = t(s, d, "embeddings")
+        .select(col("label").cast("string").as("label"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("pos", "v")))
+        .withColumn("vm", round(col("v") * 1000).cast("long"))
+        .groupBy("label", "pos")
+        .agg(count(lit(1L)).as("nv"), sum("vm").as("sd"),
+          sum(col("vm") * col("vm")).as("sq"))
+        .localCheckpoint(true) // feeds the label rows AND the TOTAL row
+      val perLabel = cells.groupBy("label")
+        .agg(max("nv").as("n"), sum("sq").as("s2"),
+          sum(col("sd") * col("sd")).as("m2"))
+      val total = cells.groupBy("pos")
+        .agg(sum("nv").as("nv"), sum("sd").as("sd"), sum("sq").as("sq"))
+        .groupBy()
+        .agg(max("nv").as("n"), sum("sq").as("s2"),
+          sum(col("sd") * col("sd")).as("m2"))
+        .withColumn("label", lit("TOTAL"))
+        .select("label", "n", "s2", "m2")
+      perLabel.unionByName(total)
+        .select(col("label"), col("n"),
+          expr("s2 div n").as("mean_norm2"),
+          expr("m2 div (n * n)").as("center_norm2"),
+          expr("(m2 div n) * 1000000 div s2").as("anis_ppm"),
+          expr("(m2 - s2) div (n * (n - 1))").as("pairdot"))
+        .orderBy("label")
+    },
+    Some("""WITH x AS (
+              SELECT CAST(label AS VARCHAR) AS label, vec_id,
+                     unnest(CAST(embedding AS DOUBLE[])) AS v,
+                     unnest(generate_series(1, len(embedding))) AS pos
+              FROM embeddings),
+            q AS (
+              SELECT label, pos,
+                     CAST(round(v * 1000) AS BIGINT) AS vm
+              FROM x),
+            cells AS (
+              SELECT label, pos, CAST(count(*) AS BIGINT) AS nv,
+                     CAST(sum(vm) AS BIGINT) AS sd,
+                     CAST(sum(vm * vm) AS BIGINT) AS sq
+              FROM q GROUP BY 1, 2),
+            lab AS (
+              SELECT label, max(nv) AS n, CAST(sum(sq) AS BIGINT) AS s2,
+                     CAST(sum(sd * sd) AS BIGINT) AS m2
+              FROM cells GROUP BY 1
+              UNION ALL
+              SELECT 'TOTAL', max(nv), CAST(sum(sq) AS BIGINT),
+                     CAST(sum(sd * sd) AS BIGINT)
+              FROM (SELECT pos, CAST(sum(nv) AS BIGINT) AS nv,
+                           CAST(sum(sd) AS BIGINT) AS sd,
+                           CAST(sum(sq) AS BIGINT) AS sq
+                    FROM cells GROUP BY 1))
+            SELECT label, n,
+                   CAST(s2 // n AS BIGINT) AS mean_norm2,
+                   CAST(m2 // (n * n) AS BIGINT) AS center_norm2,
+                   CAST((m2 // n) * 1000000 // s2 AS BIGINT) AS anis_ppm,
+                   CAST((m2 - s2) // (n * (n - 1)) AS BIGINT) AS pairdot
+            FROM lab ORDER BY label"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_embed_isotropy" -> qEmbedIsotropy,
     "q_embed_silhouette" -> qEmbedSilhouette,
     "q_knn_nndescent" -> qKnnNndescent,
     "q_sample_hardneg" -> qSampleHardneg,

@@ -2532,7 +2532,98 @@ object TextOps extends QueryModule {
             WHERE r.rn <= k.vocab_k
             GROUP BY 1 ORDER BY 1"""))
 
+  // ------------------------------------------------ Chao1 richness --
+
+  /** Chao1 species-richness estimation over 3-gram "species" — the
+    * unseen-diversity readout corpus curation reads next to the Heaps fit
+    * (q_text_heaps extrapolates the OBSERVED growth curve; Chao1 estimates
+    * the asymptote from the abundance spectrum alone): for each source,
+    * D observed distinct 3-grams, f₁ singletons, f₂ doubletons, and the
+    * bias-corrected estimator Ĉ = D + f₁(f₁−1) div (2(f₂+1)) — defined
+    * even at f₂ = 0, exact integer throughout. Alongside: Good–Turing
+    * sample coverage C = 1 − f₁/n as coverage_ppm = (n−f₁)·10⁶ div n
+    * (the probability the NEXT 3-gram drawn is already known — the "is
+    * more of this source worth crawling" gate), and the corpus-wide D as
+    * d_global so each per-source asymptote reads against what the whole
+    * corpus actually realized. TOTAL row via the same aggregation over
+    * the undivided corpus.
+    *
+    * Scale: one (source, gram) count agg (map-side combinable, shuffle on
+    * the high-entropy gram key), then per-source rows collapse to the
+    * f₁/f₂/D spectrum — output is |sources| rows. The TOTAL spectrum is a
+    * second gram-keyed agg, not a re-scan (both branches read the one
+    * localCheckpointed gram count). No sort anywhere; the f-spectrum is a
+    * conditional sum, not a rank.
+    */
+  private val qVocabChao1 = GQuery(
+    (s, d) => {
+      val sh = t(s, d, "documents")
+        .select(col("source"), split(col("text"), " ").as("toks"))
+        .select(col("source"),
+          explode(expr("""transform(
+            sequence(1, greatest(size(toks) - 2, 1)),
+            i -> concat_ws(' ', slice(toks, i, 3)))""")).as("g"))
+      val counts = sh.groupBy("source", "g")
+        .agg(count(lit(1L)).as("c"))
+        .localCheckpoint(true) // feeds per-source spectrum + global D
+      def spectrum(g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+        g.agg(sum("c").as("n"), count(lit(1L)).as("d_obs"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      val perSrc = spectrum(counts.groupBy("source"))
+      val total = spectrum(
+        counts.groupBy("g").agg(sum("c").as("c")).groupBy())
+        .withColumn("source", lit("TOTAL"))
+        .select("source", "n", "d_obs", "f1", "f2")
+      val dGlobal = counts.select(countDistinct("g").as("d_global"))
+      perSrc.unionByName(total)
+        .crossJoin(broadcast(dGlobal))
+        .select(col("source"), col("n"), col("d_obs"), col("f1"), col("f2"),
+          (col("d_obs") +
+            expr("(f1 * (f1 - 1)) div (2 * (f2 + 1))")).as("chao1_est"),
+          expr("(n - f1) * 1000000 div n").as("coverage_ppm"),
+          col("d_global"))
+        .orderBy("source")
+    },
+    Some("""WITH d AS (
+              SELECT source, string_split(text, ' ') AS toks
+              FROM documents),
+            sh AS (
+              SELECT source,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                       AS g
+              FROM d),
+            c AS (
+              SELECT source, g, CAST(count(*) AS BIGINT) AS c
+              FROM sh GROUP BY 1, 2),
+            spec AS (
+              SELECT source, CAST(sum(c) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS d_obs,
+                     CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS f1,
+                     CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS f2
+              FROM c GROUP BY 1
+              UNION ALL
+              SELECT 'TOTAL', CAST(sum(c) AS BIGINT),
+                     CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+              FROM (SELECT g, CAST(sum(c) AS BIGINT) AS c
+                    FROM c GROUP BY 1)),
+            gd AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS d_global
+                   FROM c)
+            SELECT source, n, d_obs, f1, f2,
+                   CAST(d_obs + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS BIGINT)
+                     AS chao1_est,
+                   CAST((n - f1) * 1000000 // n AS BIGINT) AS coverage_ppm,
+                   gd.d_global
+            FROM spec CROSS JOIN gd ORDER BY source"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_vocab_chao1" -> qVocabChao1,
     "q_vocab_coverage" -> qVocabCoverage,
     "q_text_keyness" -> qTextKeyness,
     "q_text_textrank" -> qTextTextrank,

@@ -11731,7 +11731,104 @@ object AnalyticsOps extends QueryModule {
                    n_missing = 0 AS is_ind
             FROM rows_ ORDER BY candidate"""))
 
+  // ------------------------------------------- integer Kalman filter --
+
+  /** 1-D local-level Kalman filter over the daily revenue series — the
+    * principled upgrade of q_ts_ewma/q_ts_holt: the SAME exponential
+    * smoothing family, but the gain is LEARNED from the noise model
+    * instead of fixed, time-varying while uncertainty converges (day 1
+    * records the fully-data-trusting init gain 10⁶; K₂ ≈ ½ under
+    * P₁ = R, then K decays toward the steady state ≈ 9·10⁴ ppm within a
+    * week — the warm-up is visible in the k_ppm column, which no fixed-α
+    * smoother exhibits). Exact
+    * integer recurrence (Q = 10⁶, R = 10⁸ cents², gain in ppm):
+    *   Pₘ = P + Q;  K = Pₘ·10⁶ div (Pₘ + R)
+    *   x′ = x + K·(z − x) div 10⁶;  P′ = (10⁶ − K)·Pₘ div 10⁶
+    * init x₁ = z₁, P₁ = R. z − x is SIGNED — div truncates toward zero
+    * identically in both engines (the fixed-point invariant). Emits per
+    * day the filtered level, posterior variance, gain, and innovation
+    * z − x_pred (x_pred = yesterday's level; the identity transition) —
+    * the residual stream an alerting pipeline whitens against.
+    *
+    * Scale: q_ts_holt economics exactly — the corpus collapses to ≤ #days
+    * rows before the fold; the sequential part is calendar-bounded and
+    * the oracle unrolls it as a recursive CTE. BIGINT headroom: K·(z−x)
+    * ≤ 10⁶·|z| — overflows past |z| ≈ 9·10¹² cents/day.
+    */
+  private val qTsKalman = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val daily = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), cents.as("v"))
+        .groupBy("day").agg(sum("v").as("z"))
+      val series = daily
+        .agg(sort_array(collect_list(struct(col("day"), col("z")))).as("s"))
+        .select(transform(col("s"), r => r.getField("day")).as("days"),
+          transform(col("s"), r => r.getField("z")).as("zs"))
+      val folded = series.withColumn("st", expr(
+        """aggregate(zs,
+             CAST(array() AS ARRAY<STRUCT<x: BIGINT, p: BIGINT,
+                                          k: BIGINT>>),
+             (acc, z) -> CASE WHEN size(acc) = 0
+               THEN array(named_struct('x', z,
+                 'p', CAST(100000000 AS BIGINT),
+                 'k', CAST(1000000 AS BIGINT)))
+               ELSE concat(acc, array(named_struct(
+                 'x', element_at(acc, -1).x
+                   + (((element_at(acc, -1).p + 1000000) * 1000000
+                        div (element_at(acc, -1).p + 1000000 + 100000000))
+                      * (z - element_at(acc, -1).x)) div 1000000,
+                 'p', ((1000000
+                     - (element_at(acc, -1).p + 1000000) * 1000000
+                        div (element_at(acc, -1).p + 1000000 + 100000000))
+                    * (element_at(acc, -1).p + 1000000)) div 1000000,
+                 'k', (element_at(acc, -1).p + 1000000) * 1000000
+                        div (element_at(acc, -1).p + 1000000 + 100000000))))
+             END)"""))
+      val wLag = Window.orderBy("day")
+      folded
+        .select(posexplode(arrays_zip(col("days"), col("zs"), col("st"))))
+        .select(col("col.days").as("day"), col("col.zs").as("z_cents"),
+          col("col.st.x").as("level_cents"), col("col.st.p").as("p_var"),
+          col("col.st.k").as("k_ppm"))
+        .withColumn("innov_cents",
+          coalesce(col("z_cents") - lag("level_cents", 1).over(wLag),
+            lit(0L)))
+        .orderBy("day")
+    },
+    Some("""WITH RECURSIVE daily AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS z
+              FROM events GROUP BY 1),
+            seq AS (
+              SELECT day, z,
+                     CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+              FROM daily),
+            kal AS (
+              SELECT day, z, rn, z AS x,
+                     CAST(100000000 AS BIGINT) AS p,
+                     CAST(1000000 AS BIGINT) AS k
+              FROM seq WHERE rn = 1
+              UNION ALL
+              SELECT s.day, s.z, s.rn,
+                     CAST(h.x + (((h.p + 1000000) * 1000000
+                         // (h.p + 1000000 + 100000000))
+                       * (s.z - h.x)) // 1000000 AS BIGINT),
+                     CAST(((1000000 - (h.p + 1000000) * 1000000
+                         // (h.p + 1000000 + 100000000))
+                       * (h.p + 1000000)) // 1000000 AS BIGINT),
+                     CAST((h.p + 1000000) * 1000000
+                         // (h.p + 1000000 + 100000000) AS BIGINT)
+              FROM seq s JOIN kal h ON s.rn = h.rn + 1)
+            SELECT day, z AS z_cents, x AS level_cents, p AS p_var,
+                   k AS k_ppm,
+                   CAST(coalesce(z - lag(x, 1) OVER (ORDER BY day), 0)
+                     AS BIGINT) AS innov_cents
+            FROM kal ORDER BY day"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_ts_kalman" -> qTsKalman,
     "q_profile_inclusion" -> qProfileInclusion,
     "q_ts_reconcile" -> qTsReconcile,
     "q_stats_mannkendall" -> qStatsMannkendall,

@@ -2485,7 +2485,96 @@ object ScoringOps extends QueryModule {
             JOIN r2 ON r2.a = b.a
             ORDER BY 1"""))
 
+  // ------------------------------------------------- Qini / uplift --
+
+  /** Qini (uplift) curve — the targeting-policy evaluation the plain AUC
+    * family can't express: does treating the HIGH-scoring users buy more
+    * conversions than treating at random? Arms reuse q_stats_abtest's
+    * randomization (pmod(user_id, 2): 0 = control, 1 = treated); outcome
+    * is any 'purchase' event; the targeting score is the user's total
+    * activity. The curve accumulates over the SCORE GRID from the top:
+    * per distinct activity level, cumulative treated/control exposures
+    * and conversions, the incremental-uplift gap uplift_ppm =
+    * cum_ct·10⁶ div cum_nt − cum_cc·10⁶ div cum_nc, and the Qini excess
+    * qini_excess = cum_ct − cum_cc·cum_nt div cum_nc (conversions gained
+    * vs scaling the control rate onto the treated exposure). Rows where
+    * either arm is still unexposed emit NULL (no rate exists yet) — the
+    * CASE twins mirror exactly.
+    *
+    * Scale: one user-level agg (map-side combinable), one score-grid agg;
+    * the running sums are a window over the GRID (distinct activity
+    * levels — bounded, q_stats_ks's two-level prefix-sum economics apply
+    * if a score column ever goes continuous), never over users. No
+    * user-cardinality sort anywhere — the exact trap q_events_rfm's ntile
+    * variant documents.
+    */
+  private val qEvalQini = GQuery(
+    (s, d) => {
+      val users = t(s, d, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1L)).as("score"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+        .withColumn("treated", pmod(col("user_id"), lit(2)).cast("long"))
+      val grid = users.groupBy("score")
+        .agg(sum(when(col("treated") === 1, 1L).otherwise(0L)).as("nt"),
+          sum(when(col("treated") === 1, col("conv")).otherwise(0L)).as("ct"),
+          sum(when(col("treated") === 0, 1L).otherwise(0L)).as("nc"),
+          sum(when(col("treated") === 0, col("conv")).otherwise(0L)).as("cc"))
+      val w = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid
+        .withColumn("cum_nt", sum("nt").over(w))
+        .withColumn("cum_ct", sum("ct").over(w))
+        .withColumn("cum_nc", sum("nc").over(w))
+        .withColumn("cum_cc", sum("cc").over(w))
+        .select(col("score"), col("nt"), col("ct"), col("nc"), col("cc"),
+          col("cum_nt"), col("cum_ct"), col("cum_nc"), col("cum_cc"),
+          when(col("cum_nt") > 0 && col("cum_nc") > 0,
+            expr("cum_ct * 1000000 div cum_nt - cum_cc * 1000000 div cum_nc"))
+            .as("uplift_ppm"),
+          when(col("cum_nc") > 0,
+            expr("cum_ct - cum_cc * cum_nt div cum_nc")).as("qini_excess"))
+        .orderBy(col("score").desc)
+    },
+    Some("""WITH users AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS score,
+                     CAST(max(CASE WHEN event_type = 'purchase' THEN 1
+                              ELSE 0 END) AS BIGINT) AS conv,
+                     CAST(user_id % 2 AS BIGINT) AS treated
+              FROM events GROUP BY user_id),
+            grid AS (
+              SELECT score,
+                     CAST(sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS nt,
+                     CAST(sum(CASE WHEN treated = 1 THEN conv ELSE 0 END)
+                       AS BIGINT) AS ct,
+                     CAST(sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS nc,
+                     CAST(sum(CASE WHEN treated = 0 THEN conv ELSE 0 END)
+                       AS BIGINT) AS cc
+              FROM users GROUP BY 1),
+            cum AS (
+              SELECT *,
+                     CAST(sum(nt) OVER w AS BIGINT) AS cum_nt,
+                     CAST(sum(ct) OVER w AS BIGINT) AS cum_ct,
+                     CAST(sum(nc) OVER w AS BIGINT) AS cum_nc,
+                     CAST(sum(cc) OVER w AS BIGINT) AS cum_cc
+              FROM grid
+              WINDOW w AS (ORDER BY score DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            SELECT score, nt, ct, nc, cc, cum_nt, cum_ct, cum_nc, cum_cc,
+                   CASE WHEN cum_nt > 0 AND cum_nc > 0
+                     THEN CAST(cum_ct * 1000000 // cum_nt
+                          - cum_cc * 1000000 // cum_nc AS BIGINT) END
+                     AS uplift_ppm,
+                   CASE WHEN cum_nc > 0
+                     THEN CAST(cum_ct - cum_cc * cum_nt // cum_nc AS BIGINT)
+                     END AS qini_excess
+            FROM cum ORDER BY score DESC"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_eval_qini" -> qEvalQini,
     "q_rank_btl" -> qRankBtl,
     "q_eval_pass_at_k" -> qEvalPassAtK,
     "q_eval_mrr" -> qEvalMrr,
