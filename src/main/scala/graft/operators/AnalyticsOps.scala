@@ -11827,7 +11827,356 @@ object AnalyticsOps extends QueryModule {
                      AS BIGINT) AS innov_cents
             FROM kal ORDER BY day"""))
 
+  // ----------------------------------------- kernel two-sample MMD --
+
+  /** Maximum Mean Discrepancy two-sample test with a quadratic polynomial
+    * kernel k(x,y) = (c + ⟨x,y⟩)², c = 100 — the MULTIVARIATE
+    * distribution-shift detector the 1-D ECDF family (ks/cvm/wasserstein)
+    * can't express: arms are compared on the JOINT (dollars, hour-of-day)
+    * feature, so a shift in the value×time correlation pages even when
+    * both marginals match. The kernel trick stays EXACT: for a quadratic
+    * kernel every pairwise sum collapses to moment sums —
+    * Σₐᵦ k = c²·nₚn_q + 2c·⟨S_P,S_Q⟩ + Σᵢⱼ Tᵢⱼ(P)·Tᵢⱼ(Q) with S the
+    * feature sums and T the second-moment matrix, and the unbiased
+    * within-arm mean subtracts the diagonal Σₐ(c + ‖xₐ‖²)² via the
+    * fourth-moment sum — so the O(n²) statistic is computed from ONE
+    * map-side-combinable pass, no pair materialization at any scale.
+    * DECIMAL(38) products (HUGEINT twin) since Tᵢⱼ² crosses 2⁶³ past
+    * ~10⁶ rows per cell; means in milli-kernel units via integral div.
+    *
+    * Scale: one (event_type, arm) agg carrying 7 moment sums; everything
+    * after is a 5-row broadcastable grid. The classic MMD would shuffle
+    * n² pairs; this formulation shuffles 10 rows.
+    */
+  private val qStatsMmd = GQuery(
+    (s, d) => {
+      val x1 = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        + " div 100")
+      val cells = t(s, d, "events")
+        .select(col("event_type"),
+          pmod(col("user_id"), lit(2)).cast("long").as("arm"),
+          x1.as("x1"), hour(col("ts")).cast("long").as("x2"))
+        .groupBy("event_type", "arm")
+        .agg(count(lit(1L)).as("n"),
+          sum("x1").as("s1"), sum("x2").as("s2"),
+          sum(col("x1") * col("x1")).as("t11"),
+          sum(col("x1") * col("x2")).as("t12"),
+          sum(col("x2") * col("x2")).as("t22"),
+          sum(expr("""CAST((x1 * x1 + x2 * x2) AS DECIMAL(38,0))
+                      * (x1 * x1 + x2 * x2)""")).as("q4"))
+      val a = cells.filter(col("arm") === 0).drop("arm")
+        .select(col("event_type"), col("n").as("na"), col("s1").as("s1a"),
+          col("s2").as("s2a"), col("t11").as("t11a"), col("t12").as("t12a"),
+          col("t22").as("t22a"), col("q4").as("q4a"))
+      val b = cells.filter(col("arm") === 1).drop("arm")
+        .select(col("event_type"), col("n").as("nb"), col("s1").as("s1b"),
+          col("s2").as("s2b"), col("t11").as("t11b"), col("t12").as("t12b"),
+          col("t22").as("t22b"), col("q4").as("q4b"))
+      def gram(n1: String, s11: String, s21: String, t111: String,
+          t121: String, t221: String, n2: String, s12: String, s22: String,
+          t112: String, t122: String, t222: String) =
+        s"""(CAST(10000 AS DECIMAL(38,0)) * $n1 * $n2
+             + 200 * (CAST($s11 AS DECIMAL(38,0)) * $s12
+                      + CAST($s21 AS DECIMAL(38,0)) * $s22)
+             + CAST($t111 AS DECIMAL(38,0)) * $t112
+             + 2 * CAST($t121 AS DECIMAL(38,0)) * $t122
+             + CAST($t221 AS DECIMAL(38,0)) * $t222)"""
+      def diag(n: String, t11: String, t22: String, q4: String) =
+        s"""(CAST(10000 AS DECIMAL(38,0)) * $n
+             + 200 * (CAST($t11 AS DECIMAL(38,0)) + CAST($t22 AS DECIMAL(38,0)))
+             + $q4)"""
+      val gaa = gram("na", "s1a", "s2a", "t11a", "t12a", "t22a",
+        "na", "s1a", "s2a", "t11a", "t12a", "t22a")
+      val gbb = gram("nb", "s1b", "s2b", "t11b", "t12b", "t22b",
+        "nb", "s1b", "s2b", "t11b", "t12b", "t22b")
+      val gab = gram("na", "s1a", "s2a", "t11a", "t12a", "t22a",
+        "nb", "s1b", "s2b", "t11b", "t12b", "t22b")
+      a.join(b, "event_type")
+        .withColumn("kaa_milli", expr(
+          s"""CAST(($gaa - ${diag("na", "t11a", "t22a", "q4a")}) * 1000
+              div (CAST(na AS DECIMAL(38,0)) * (na - 1)) AS BIGINT)"""))
+        .withColumn("kbb_milli", expr(
+          s"""CAST(($gbb - ${diag("nb", "t11b", "t22b", "q4b")}) * 1000
+              div (CAST(nb AS DECIMAL(38,0)) * (nb - 1)) AS BIGINT)"""))
+        .withColumn("kab_milli", expr(
+          s"""CAST($gab * 1000
+              div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"""))
+        .select(col("event_type"), col("na"), col("nb"),
+          col("kaa_milli"), col("kbb_milli"), col("kab_milli"),
+          (col("kaa_milli") + col("kbb_milli") - lit(2) * col("kab_milli"))
+            .as("mmd2_milli"))
+        .orderBy("event_type")
+    },
+    Some {
+      def gram(p: String, q: String) =
+        s"""(CAST(10000 AS HUGEINT) * n$p * n$q
+             + 200 * (CAST(s1$p AS HUGEINT) * s1$q
+                      + CAST(s2$p AS HUGEINT) * s2$q)
+             + CAST(t11$p AS HUGEINT) * t11$q
+             + 2 * CAST(t12$p AS HUGEINT) * t12$q
+             + CAST(t22$p AS HUGEINT) * t22$q)"""
+      def diag(p: String) =
+        s"""(CAST(10000 AS HUGEINT) * n$p
+             + 200 * (CAST(t11$p AS HUGEINT) + CAST(t22$p AS HUGEINT))
+             + q4$p)"""
+      s"""WITH f AS (
+            SELECT event_type, CAST(user_id % 2 AS BIGINT) AS arm,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 100
+                     AS x1,
+                   CAST(hour(ts) AS BIGINT) AS x2
+            FROM events),
+          cells AS (
+            SELECT event_type, arm, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x1) AS BIGINT) AS s1,
+                   CAST(sum(x2) AS BIGINT) AS s2,
+                   CAST(sum(x1 * x1) AS BIGINT) AS t11,
+                   CAST(sum(x1 * x2) AS BIGINT) AS t12,
+                   CAST(sum(x2 * x2) AS BIGINT) AS t22,
+                   CAST(sum(CAST(x1 * x1 + x2 * x2 AS HUGEINT)
+                     * (x1 * x1 + x2 * x2)) AS HUGEINT) AS q4
+            FROM f GROUP BY 1, 2),
+          j AS (
+            SELECT a.event_type,
+                   a.n AS na, a.s1 AS s1a, a.s2 AS s2a, a.t11 AS t11a,
+                   a.t12 AS t12a, a.t22 AS t22a, a.q4 AS q4a,
+                   b.n AS nb, b.s1 AS s1b, b.s2 AS s2b, b.t11 AS t11b,
+                   b.t12 AS t12b, b.t22 AS t22b, b.q4 AS q4b
+            FROM cells a JOIN cells b USING (event_type)
+            WHERE a.arm = 0 AND b.arm = 1),
+          k AS (
+            SELECT event_type, na, nb,
+                   CAST((${gram("a", "a")} - ${diag("a")}) * 1000
+                     // (CAST(na AS HUGEINT) * (na - 1)) AS BIGINT)
+                     AS kaa_milli,
+                   CAST((${gram("b", "b")} - ${diag("b")}) * 1000
+                     // (CAST(nb AS HUGEINT) * (nb - 1)) AS BIGINT)
+                     AS kbb_milli,
+                   CAST(${gram("a", "b")} * 1000
+                     // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS kab_milli
+            FROM j)
+          SELECT event_type, na, nb, kaa_milli, kbb_milli, kab_milli,
+                 CAST(kaa_milli + kbb_milli - 2 * kab_milli AS BIGINT)
+                   AS mmd2_milli
+          FROM k ORDER BY event_type"""
+    })
+
+  // ------------------------------------------ Weibull MRR lifetime fit --
+
+  /** Weibull median-rank regression — the PARAMETRIC member of the
+    * survival family (q_survival_km/nelson_aalen estimate the curve
+    * nonparametrically; this compresses it to (shape, scale) so capacity
+    * planning can extrapolate beyond the observed horizon): complete
+    * purchase lifetimes (q_survival_km's dur with evt = 1, dur ≥ 1), on
+    * the Weibull plot ln(−ln(1−F)) vs ln t a Weibull sample is a line
+    * with slope = shape k. F is Bernard's median rank (10r̄−3)/(10n+4)
+    * with r̄ the mid-rank of a tied duration — kept RATIONAL
+    * (5·r2−3)/(10n+4) with r2 = 2·cum_prev + cnt + 1 twice the mid-rank,
+    * so both engines feed ln the bit-identical double quotient (keyness
+    * rule); coordinates land as micro-nat ints, the count-weighted OLS
+    * runs in DECIMAL(38) exact integers, and the line is emitted as
+    * shape_ppm = slope, intercept_micro, and lnlam_micro = −c·10⁶ div
+    * slope (ln of the scale parameter in micro-nats — exp deliberately
+    * NOT taken: it is the one non-mirrorable step).
+    *
+    * Scale: q_survival_km economics (one events scan → user rollup) into
+    * a DURATION-GRID cumulative (ks two-level rule applies if durations
+    * ever go continuous) — ranks come from grid cumulative counts, never
+    * a row-level sort; the OLS is one map-combinable agg over grid rows.
+    */
+  private val qSurvivalWeibull = GQuery(
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+      val users = ev.groupBy("user_id")
+        .agg(min("day").as("fd"), max("day").as("ld"),
+          max(when(col("event_type") === "purchase", col("day"))).as("lp"))
+      val gmax = users.agg(max("ld").as("gd"))
+      val durs = users.filter(col("lp").isNotNull)
+        .crossJoin(broadcast(gmax))
+        .filter(col("lp") < date_sub(col("gd"), 3)) // complete lifetimes only
+        .select(datediff(col("lp"), col("fd")).cast("long").as("dur"))
+        .filter(col("dur") >= 1)
+      val grid = durs.groupBy("dur").agg(count(lit(1L)).as("cnt"))
+      val wCum = Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val nTot = grid.agg(sum("cnt").as("n"))
+      val pts = grid
+        .withColumn("cum_prev", coalesce(sum("cnt").over(wCum), lit(0L)))
+        .crossJoin(broadcast(nTot))
+        .withColumn("r2", lit(2) * col("cum_prev") + col("cnt") + 1)
+        .withColumn("x", round(log(col("dur").cast("double")) * 1e6)
+          .cast("long"))
+        .withColumn("y", expr(
+          """CAST(round(ln(-ln(1.0 - CAST(5 * r2 - 3 AS DOUBLE)
+               / CAST(10 * n + 4 AS DOUBLE))) * 1e6) AS BIGINT)"""))
+      val ols = pts.agg(
+        sum("cnt").cast("decimal(38,0)").as("w"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * x")).as("sx"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * y")).as("sy"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * x * x")).as("sxx"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * x * y")).as("sxy"),
+        count(lit(1L)).as("n_grid"), max("dur").as("max_dur"))
+      ols
+        .withColumn("shape_ppm", expr(
+          "CAST((w * sxy - sx * sy) * 1000000 div (w * sxx - sx * sx)"
+            + " AS BIGINT)"))
+        .withColumn("intercept_micro", expr(
+          "CAST((sy - CAST(shape_ppm AS DECIMAL(38,0)) * sx div 1000000)"
+            + " div w AS BIGINT)"))
+        .select(col("w").cast("long").as("n_complete"), col("n_grid"),
+          col("max_dur"), col("shape_ppm"), col("intercept_micro"),
+          expr("-intercept_micro * 1000000 div shape_ppm")
+            .as("lnlam_micro"))
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, event_type, CAST(date_trunc('day', ts) AS DATE)
+                       AS day
+              FROM events),
+            users AS (
+              SELECT user_id, min(day) AS fd, max(day) AS ld,
+                     max(CASE WHEN event_type = 'purchase' THEN day END) AS lp
+              FROM ev GROUP BY 1),
+            gmax AS (SELECT max(ld) AS gd FROM users),
+            durs AS (
+              SELECT CAST(lp - fd AS BIGINT) AS dur
+              FROM users CROSS JOIN gmax
+              WHERE lp IS NOT NULL AND lp < gd - 3 AND lp - fd >= 1),
+            grid AS (
+              SELECT dur, CAST(count(*) AS BIGINT) AS cnt
+              FROM durs GROUP BY 1),
+            n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM grid),
+            pts AS (
+              SELECT dur, cnt,
+                     CAST(2 * coalesce(sum(cnt) OVER (ORDER BY dur
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) + cnt + 1 AS BIGINT) AS r2,
+                     CAST(round(ln(CAST(dur AS DOUBLE)) * 1e6) AS BIGINT)
+                       AS x,
+                     n.n
+              FROM grid CROSS JOIN n),
+            pts2 AS (
+              SELECT dur, cnt, x,
+                     CAST(round(ln(-ln(1.0 - CAST(5 * r2 - 3 AS DOUBLE)
+                       / CAST(10 * n + 4 AS DOUBLE))) * 1e6) AS BIGINT) AS y
+              FROM pts),
+            ols AS (
+              SELECT CAST(sum(cnt) AS HUGEINT) AS w,
+                     CAST(sum(CAST(cnt AS HUGEINT) * x) AS HUGEINT) AS sx,
+                     CAST(sum(CAST(cnt AS HUGEINT) * y) AS HUGEINT) AS sy,
+                     CAST(sum(CAST(cnt AS HUGEINT) * x * x) AS HUGEINT)
+                       AS sxx,
+                     CAST(sum(CAST(cnt AS HUGEINT) * x * y) AS HUGEINT)
+                       AS sxy,
+                     CAST(count(*) AS BIGINT) AS n_grid,
+                     CAST(max(dur) AS BIGINT) AS max_dur
+              FROM pts2),
+            fit AS (
+              SELECT CAST(w AS BIGINT) AS n_complete, n_grid, max_dur,
+                     CAST((w * sxy - sx * sy) * 1000000
+                       // (w * sxx - sx * sx) AS BIGINT) AS shape_ppm,
+                     w, sx, sy
+              FROM ols),
+            fit2 AS (
+              SELECT n_complete, n_grid, max_dur, shape_ppm,
+                     CAST((sy - CAST(shape_ppm AS HUGEINT) * sx // 1000000)
+                       // w AS BIGINT) AS intercept_micro
+              FROM fit)
+            SELECT n_complete, n_grid, max_dur, shape_ppm, intercept_micro,
+                   CAST(-intercept_micro * 1000000 // shape_ppm AS BIGINT)
+                     AS lnlam_micro
+            FROM fit2"""))
+
+  // -------------------------------------- Gumbel extreme-value fit --
+
+  /** Extreme-value (Gumbel) capacity planning over weekly block maxima of
+    * the daily event count — the tail question the mean-based monitors
+    * (burnrate/outliers) can't answer: what peak should we provision for
+    * over the next YEAR, having observed ~12 weeks? Blocks are epoch-week
+    * buckets (days-since-1970 div 7 — NEVER weekofyear, whose ISO
+    * semantics differ cross-engine); per event_type the Gumbel
+    * method-of-moments fit σ̂ = s·√6/π, μ̂ = x̄ − γσ̂ (γ = Euler–
+    * Mascheroni, mirrored literal), and the T = 52-block return level
+    * z₅₂ = μ̂ − σ̂·ln(−ln(51/52)) ≈ μ̂ + 3.94σ̂. Moments are EXACT BIGINT
+    * sums; the one double chain (÷, sqrt, ln of exact-integer quotients —
+    * IEEE-identical cross-engine, the Neyman sqrt rule) lands in dround'd
+    * outputs, with mean_milli kept as the exact-integer anchor.
+    *
+    * Scale: one (type, day) agg → one (type, week) max agg → one 5-row
+    * moment agg — all map-side combinable, nothing block-count-sized ever
+    * sorts. 52-block return levels from 12 observed blocks is the POINT
+    * of the parametric fit (extrapolation), stated plainly.
+    */
+  private val qStatsExtreme = GQuery(
+    (s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1L)).as("cnt"))
+      val blocks = daily
+        .withColumn("wk",
+          expr("datediff(day, DATE '1970-01-01') div 7"))
+        .groupBy("event_type", "wk").agg(max("cnt").as("mx"))
+      val mom = blocks.groupBy("event_type")
+        .agg(count(lit(1L)).as("n"), sum("mx").as("sx"),
+          sum(col("mx") * col("mx")).as("sxx"), max("mx").as("max_obs"))
+      mom
+        .withColumn("sigma_raw", expr(
+          """sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+               / CAST(n * (n - 1) AS DOUBLE)) * sqrt(6.0) / pi()"""))
+        .withColumn("mu_raw", expr(
+          "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - 0.5772156649 * sigma_raw"))
+        .select(col("event_type"), col("n").as("n_blocks"), col("max_obs"),
+          expr("sx * 1000 div n").as("mean_milli"),
+          dround(col("mu_raw"), 4).as("mu"),
+          dround(col("sigma_raw"), 4).as("sigma"))
+        // z52 derives from the ROUNDED μ/σ grid values + a mirrored
+        // literal (−ln(−ln(51/52))): the raw-double form hit a dround
+        // boundary through a 1-ulp cross-engine ln drift
+        .withColumn("z52", dround(expr("mu + sigma * 3.9415503865"), 4))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1, 2),
+            blocks AS (
+              SELECT event_type,
+                     CAST(day - DATE '1970-01-01' AS BIGINT) // 7 AS wk,
+                     max(cnt) AS mx
+              FROM daily GROUP BY 1, 2),
+            mom AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(mx) AS BIGINT) AS sx,
+                     CAST(sum(mx * mx) AS BIGINT) AS sxx,
+                     CAST(max(mx) AS BIGINT) AS max_obs
+              FROM blocks GROUP BY 1),
+            fit AS (
+              SELECT event_type, n, max_obs, sx,
+                     sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                       / CAST(n * (n - 1) AS DOUBLE)) * sqrt(6.0) / pi()
+                       AS sigma_raw
+              FROM mom),
+            fit2 AS (
+              SELECT event_type, n, max_obs, sx, sigma_raw,
+                     CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                       - 0.5772156649 * sigma_raw AS mu_raw
+              FROM fit),
+            rounded AS (
+              SELECT event_type, n AS n_blocks, max_obs,
+                     CAST(sx * 1000 // n AS BIGINT) AS mean_milli,
+                     CAST(round(CAST(mu_raw AS DECIMAL(30,8)), 4) AS DOUBLE)
+                       AS mu,
+                     CAST(round(CAST(sigma_raw AS DECIMAL(30,8)), 4)
+                       AS DOUBLE) AS sigma
+              FROM fit2)
+            SELECT event_type, n_blocks, max_obs, mean_milli, mu, sigma,
+                   CAST(round(CAST(mu + sigma * 3.9415503865
+                     AS DECIMAL(30,8)), 4) AS DOUBLE) AS z52
+            FROM rounded ORDER BY event_type"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_stats_extreme" -> qStatsExtreme,
+    "q_survival_weibull" -> qSurvivalWeibull,
+    "q_stats_mmd" -> qStatsMmd,
     "q_ts_kalman" -> qTsKalman,
     "q_profile_inclusion" -> qProfileInclusion,
     "q_ts_reconcile" -> qTsReconcile,
