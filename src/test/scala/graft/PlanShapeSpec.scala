@@ -1062,4 +1062,37 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q_join_dpp")
     assert(p.contains("dynamicpruning"), p.take(4000))
   }
+
+  test("round-8e shapes: moment-collapsed MMD, grid windows, no user sorts") {
+    // q_stats_mmd: the O(n²) pairwise statistic must collapse to ONE
+    // corpus agg + a 5-row arm join — any cartesian/BNLJ means the kernel
+    // trick regressed to pair materialization
+    val mmd = plan("q_stats_mmd")
+    assert(!mmd.contains("CartesianProduct")
+      && !mmd.contains("BroadcastNestedLoopJoin"), mmd.take(3000))
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(mmd).size == 1, mmd.take(3000))
+    // q_eval_qini: running sums over the SCORE GRID — the plan must not
+    // rank user-cardinality rows (no ntile/row_number over users; the
+    // only Sort feeds the grid window after both aggs)
+    val qini = plan("q_eval_qini")
+    assert(qini.contains("Window"), qini.take(2000))
+    assert("HashAggregate".r.findAllIn(qini).size >= 4, // 2 aggs × partial+final
+      qini.take(3000))
+    assert(!qini.contains("ntile"), qini.take(2000))
+    // q_vocab_chao1 / q_embed_isotropy: label + TOTAL rows re-aggregate
+    // the ONE checkpointed cell grid — the base table is scanned once at
+    // checkpoint time, so the query plan itself has no parquet scan of it
+    for (q <- Seq("q_vocab_chao1", "q_embed_isotropy")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n" + p.take(3000))
+      assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+        s"$q should read the checkpointed grid:\n" + p.take(3000))
+    }
+    // q_survival_weibull: ranks come from a duration-GRID cumulative
+    // window + one OLS agg — never a TakeOrdered/global row sort of users
+    val wb = plan("q_survival_weibull")
+    assert(wb.contains("Window") && !wb.contains("TakeOrdered"),
+      wb.take(3000))
+  }
 }
