@@ -201,6 +201,67 @@ object StreamOps {
         })
   }
 
+  /** A closed session summary emitted by [[sessionize]]. */
+  final case class SessionOut(uid: Int, start_ms: Long, end_ms: Long,
+      n_events: Long, first_etype: String, last_etype: String,
+      sealed_by: String)
+
+  /** Custom sessionization via flatMapGroupsWithState + EVENT-TIME timeout —
+    * the session shape the built-in session_window (sessionAgg above) can't
+    * express: a session OBJECT carrying first/last event types, closed
+    * either by an in-batch gap ("gap") or by the WATERMARK passing
+    * last_event + gap ("timeout"). EventTimeTimeout is the correct seal for
+    * event-time sessions: a quiet stream still seals once later data
+    * advances the watermark, and a replayed batch re-seals identically
+    * (ProcessingTimeTimeout would couple session ends to wall-clock —
+    * nondeterministic under the sink's replay contract O11). State is one
+    * (start, last, n, first, last) tuple per OPEN session per user —
+    * bounded by active users, reclaimed on seal.
+    */
+  def sessionize(shaped: DataFrame, gapMs: Long): Dataset[SessionOut] = {
+    val spark = shaped.sparkSession
+    import spark.implicits._
+    shaped
+      .withWatermark("timestamp", "30 minutes")
+      .select(col("value.uid").as("uid"), col("timestamp"),
+        col("value.etype").as("etype"))
+      .as[(Int, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (uid: Int, rows: Iterator[(Int, java.sql.Timestamp, String)],
+            state: GroupState[(Long, Long, Long, String, String)]) => {
+          if (state.hasTimedOut) {
+            val (st, en, n, fe, le) = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, st, en, n, fe, le, "timeout"))
+          } else {
+            var out = List.empty[SessionOut]
+            var cur = state.getOption
+            rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, et) =>
+              val ms = ts.getTime
+              cur = cur match {
+                case Some((st, en, n, fe, _)) if ms - en <= gapMs =>
+                  Some((st, math.max(en, ms), n + 1, fe, et))
+                case Some((st, en, n, fe, le)) =>
+                  out ::= SessionOut(uid, st, en, n, fe, le, "gap")
+                  Some((ms, ms, 1L, et, et))
+                case None => Some((ms, ms, 1L, et, et))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              // the seal time must sit past the current watermark or Spark
+              // rejects it; a session already older than the watermark
+              // seals at the very next trigger
+              state.setTimeoutTimestamp(
+                math.max(c._2 + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.reverse.iterator
+          }
+        })
+  }
+
   /** Stream-stream interval join: purchases matched to same-user clicks in
     * the preceding 30 minutes (the streaming twin of the batch q_join_range).
     * Both sides carry watermarks so Spark can bound the join state: click

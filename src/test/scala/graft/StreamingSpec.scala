@@ -357,6 +357,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("custom sessionization seals by in-batch gap AND by event-time watermark") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Int, Long, Int, Double, String)]
+    val stream = shapedStream(mem)
+    val q = StreamOps.sessionize(stream, gapMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("sess_custom")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 has two close events (one open session) and then a
+      // 50-min gap to a third — the FIRST session must seal as "gap"
+      // within the batch; the second stays open
+      mem.addData((1, 0L, 0, 1.0, "view"), (1, 1L, 10, 2.0, "click"),
+        (1, 2L, 60, 3.0, "purchase"))
+      q.processAllAvailable()
+      // batch 2: user 2 far in the future advances the watermark
+      // (t=300min → wm=270min) past user 1's open session end (60) + gap
+      // (30) — the open session must seal as "timeout" at this trigger
+      mem.addData((2, 3L, 300, 1.0, "view"))
+      q.processAllAvailable()
+      // one more empty-ish trigger so the timeout fires if the engine
+      // processes it on the following batch
+      mem.addData((2, 4L, 301, 1.0, "click"))
+      q.processAllAvailable()
+      val rows = spark.table("sess_custom").collect()
+        .map(r => (r.getInt(0), r.getLong(3), r.getString(4), r.getString(5),
+          r.getString(6)))
+      val gapSeal = rows.filter(t => t._1 == 1 && t._5 == "gap")
+      val toSeal = rows.filter(t => t._1 == 1 && t._5 == "timeout")
+      assert(gapSeal.toSeq == Seq((1, 2L, "view", "click", "gap")),
+        rows.mkString(", "))
+      assert(toSeal.toSeq == Seq((1, 1L, "purchase", "purchase", "timeout")),
+        rows.mkString(", "))
+    } finally q.stop()
+  }
+
   test("streaming corpus dedup: each micro-batch checks, then feeds, the band index") {
     // The incremental-dedup loop on the STREAMING surface: history index →
     // per-batch near-dup check via the bucketed band index → bucketed
