@@ -12173,7 +12173,210 @@ object AnalyticsOps extends QueryModule {
                      AS DECIMAL(30,8)), 4) AS DOUBLE) AS z52
             FROM rounded ORDER BY event_type"""))
 
+  // --------------------------------------- Hotelling T² two-sample --
+
+  /** Hotelling's T² two-sample test on the joint (dollars, hour) feature —
+    * the PARAMETRIC twin of q_stats_mmd (same cells, same arms): where MMD
+    * detects ANY moment difference nonparametrically, T² asks only "did
+    * the mean VECTOR move, accounting for covariance?" — the multivariate
+    * Welch upgrade of q_stats_abtest's scalar t. The 2×2 pooled
+    * covariance inverts in closed form (adjugate/det), so the whole
+    * statistic is a few arithmetic ops on exact BIGINT moment sums —
+    * computed in doubles with only +,−,×,÷ (no libm — IEEE-identical
+    * cross-engine), landed via dround: T² and its exact F-transform
+    * F = T²·(n−3)/(2(n−2)), df₂ = n−3.
+    *
+    * Scale: q_stats_mmd economics — one (type, arm) moment agg, then a
+    * 5-row grid. The 2×2 closed form is the point: no iterative solver,
+    * no matrix library, nothing row-sized after the first agg.
+    */
+  private val qStatsHotelling = GQuery(
+    (s, d) => {
+      val x1 = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        + " div 100")
+      val cells = t(s, d, "events")
+        .select(col("event_type"),
+          pmod(col("user_id"), lit(2)).cast("long").as("arm"),
+          x1.as("x1"), hour(col("ts")).cast("long").as("x2"))
+        .groupBy("event_type", "arm")
+        .agg(count(lit(1L)).as("n"),
+          sum("x1").as("s1"), sum("x2").as("s2"),
+          sum(col("x1") * col("x1")).as("t11"),
+          sum(col("x1") * col("x2")).as("t12"),
+          sum(col("x2") * col("x2")).as("t22"))
+      val a = cells.filter(col("arm") === 0)
+        .select(col("event_type"), col("n").as("na"), col("s1").as("s1a"),
+          col("s2").as("s2a"), col("t11").as("t11a"), col("t12").as("t12a"),
+          col("t22").as("t22a"))
+      val b = cells.filter(col("arm") === 1)
+        .select(col("event_type"), col("n").as("nb"), col("s1").as("s1b"),
+          col("s2").as("s2b"), col("t11").as("t11b"), col("t12").as("t12b"),
+          col("t22").as("t22b"))
+      a.join(b, "event_type")
+        .withColumn("t2_raw", expr(
+          """CASE WHEN (CAST(t11a AS DOUBLE) - CAST(s1a AS DOUBLE) * s1a / na
+                  + t11b - CAST(s1b AS DOUBLE) * s1b / nb)
+                * (CAST(t22a AS DOUBLE) - CAST(s2a AS DOUBLE) * s2a / na
+                  + t22b - CAST(s2b AS DOUBLE) * s2b / nb)
+                - (CAST(t12a AS DOUBLE) - CAST(s1a AS DOUBLE) * s2a / na
+                  + t12b - CAST(s1b AS DOUBLE) * s2b / nb)
+                * (CAST(t12a AS DOUBLE) - CAST(s1a AS DOUBLE) * s2a / na
+                  + t12b - CAST(s1b AS DOUBLE) * s2b / nb) > 0
+             THEN
+               (CAST(na AS DOUBLE) * nb / (na + nb))
+               * (CAST(na AS DOUBLE) + nb - 2)
+               * ((CAST(s1a AS DOUBLE) / na - CAST(s1b AS DOUBLE) / nb)
+                   * (CAST(s1a AS DOUBLE) / na - CAST(s1b AS DOUBLE) / nb)
+                   * (CAST(t22a AS DOUBLE) - CAST(s2a AS DOUBLE) * s2a / na
+                      + t22b - CAST(s2b AS DOUBLE) * s2b / nb)
+                 - 2 * (CAST(s1a AS DOUBLE) / na - CAST(s1b AS DOUBLE) / nb)
+                   * (CAST(s2a AS DOUBLE) / na - CAST(s2b AS DOUBLE) / nb)
+                   * (CAST(t12a AS DOUBLE) - CAST(s1a AS DOUBLE) * s2a / na
+                      + t12b - CAST(s1b AS DOUBLE) * s2b / nb)
+                 + (CAST(s2a AS DOUBLE) / na - CAST(s2b AS DOUBLE) / nb)
+                   * (CAST(s2a AS DOUBLE) / na - CAST(s2b AS DOUBLE) / nb)
+                   * (CAST(t11a AS DOUBLE) - CAST(s1a AS DOUBLE) * s1a / na
+                      + t11b - CAST(s1b AS DOUBLE) * s1b / nb))
+               / ((CAST(t11a AS DOUBLE) - CAST(s1a AS DOUBLE) * s1a / na
+                    + t11b - CAST(s1b AS DOUBLE) * s1b / nb)
+                  * (CAST(t22a AS DOUBLE) - CAST(s2a AS DOUBLE) * s2a / na
+                    + t22b - CAST(s2b AS DOUBLE) * s2b / nb)
+                  - (CAST(t12a AS DOUBLE) - CAST(s1a AS DOUBLE) * s2a / na
+                     + t12b - CAST(s1b AS DOUBLE) * s2b / nb)
+                  * (CAST(t12a AS DOUBLE) - CAST(s1a AS DOUBLE) * s2a / na
+                     + t12b - CAST(s1b AS DOUBLE) * s2b / nb))
+             END"""))
+        .select(col("event_type"), col("na"), col("nb"),
+          dround(col("t2_raw"), 4).as("t2"),
+          dround(expr("t2_raw * (na + nb - 3) / (2.0 * (na + nb - 2))"), 4)
+            .as("f_stat"),
+          expr("na + nb - 3").as("df2"))
+        .orderBy("event_type")
+    },
+    Some {
+      val ss11 = """(CAST(t11a AS DOUBLE) - CAST(s1a AS DOUBLE) * s1a / na
+                  + t11b - CAST(s1b AS DOUBLE) * s1b / nb)"""
+      val ss22 = """(CAST(t22a AS DOUBLE) - CAST(s2a AS DOUBLE) * s2a / na
+                  + t22b - CAST(s2b AS DOUBLE) * s2b / nb)"""
+      val ss12 = """(CAST(t12a AS DOUBLE) - CAST(s1a AS DOUBLE) * s2a / na
+                  + t12b - CAST(s1b AS DOUBLE) * s2b / nb)"""
+      val d1 = "(CAST(s1a AS DOUBLE) / na - CAST(s1b AS DOUBLE) / nb)"
+      val d2 = "(CAST(s2a AS DOUBLE) / na - CAST(s2b AS DOUBLE) / nb)"
+      s"""WITH f AS (
+            SELECT event_type, CAST(user_id % 2 AS BIGINT) AS arm,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 100
+                     AS x1,
+                   CAST(hour(ts) AS BIGINT) AS x2
+            FROM events),
+          cells AS (
+            SELECT event_type, arm, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x1) AS BIGINT) AS s1,
+                   CAST(sum(x2) AS BIGINT) AS s2,
+                   CAST(sum(x1 * x1) AS BIGINT) AS t11,
+                   CAST(sum(x1 * x2) AS BIGINT) AS t12,
+                   CAST(sum(x2 * x2) AS BIGINT) AS t22
+            FROM f GROUP BY 1, 2),
+          j AS (
+            SELECT a.event_type,
+                   a.n AS na, a.s1 AS s1a, a.s2 AS s2a, a.t11 AS t11a,
+                   a.t12 AS t12a, a.t22 AS t22a,
+                   b.n AS nb, b.s1 AS s1b, b.s2 AS s2b, b.t11 AS t11b,
+                   b.t12 AS t12b, b.t22 AS t22b
+            FROM cells a JOIN cells b USING (event_type)
+            WHERE a.arm = 0 AND b.arm = 1),
+          t2c AS (
+            SELECT event_type, na, nb,
+                   CASE WHEN $ss11 * $ss22 - $ss12 * $ss12 > 0 THEN
+                     (CAST(na AS DOUBLE) * nb / (na + nb))
+                     * (CAST(na AS DOUBLE) + nb - 2)
+                     * ($d1 * $d1 * $ss22 - 2 * $d1 * $d2 * $ss12
+                        + $d2 * $d2 * $ss11)
+                     / ($ss11 * $ss22 - $ss12 * $ss12)
+                   END AS t2_raw
+            FROM j)
+          SELECT event_type, na, nb,
+                 CAST(round(CAST(t2_raw AS DECIMAL(30,8)), 4) AS DOUBLE)
+                   AS t2,
+                 CAST(round(CAST(t2_raw * (na + nb - 3)
+                     / (2.0 * (na + nb - 2)) AS DECIMAL(30,8)), 4) AS DOUBLE)
+                   AS f_stat,
+                 CAST(na + nb - 3 AS BIGINT) AS df2
+          FROM t2c ORDER BY event_type"""
+    })
+
+  // --------------------------------------- consistent hash sampling --
+
+  /** Consistent (coordinated) sampling — the re-sampling stability
+    * property production pipelines need when a sample rate CHANGES: the
+    * md5-bucket rule u(id) < r makes every r₁ < r₂ sample NESTED
+    * (sample(1%) ⊂ sample(5%) ⊂ … by construction — rerunning at a higher
+    * rate only ADDS rows, so downstream caches/labels stay valid), unlike
+    * rand()-based sampling which reshuffles membership every run. The
+    * uniform coordinate is the first 8 md5 hex chars compared against the
+    * rate's hex threshold (hex digits sort correctly in ASCII — the
+    * cross-engine anchor, no numeric conversion needed). Emits per rate
+    * ∈ {1, 5, 10, 20, 50}%: sampled count, observed ppm, target ppm, and
+    * the deviation — the binomial-noise readout that validates the hash
+    * as a uniform coordinate.
+    *
+    * Scale: one scan → ≤6-row tier histogram (map-combinable; the CASE
+    * ladder is codegen'd) → 5×6 broadcast grid agg. Membership at ANY
+    * rate is a stateless per-row predicate — the property that lets 1000
+    * executors sample without coordination.
+    */
+  private val qSampleConsistent = GQuery(
+    (s, d) => {
+      val h = substring(md5(col("event_id").cast("string")), 1, 8)
+      val tiers = t(s, d, "events")
+        .select(when(h < "028f5c28", 1L).when(h < "0ccccccc", 5L)
+          .when(h < "19999999", 10L).when(h < "33333333", 20L)
+          .when(h < "80000000", 50L).otherwise(100L).as("tier"))
+        .groupBy("tier").agg(count(lit(1L)).as("cnt"))
+      val nTot = tiers.agg(sum("cnt").as("n_total"))
+      val rates = s.range(1).select(
+        explode(array(lit(1L), lit(5L), lit(10L), lit(20L), lit(50L)))
+          .as("rate_pct"))
+      tiers.crossJoin(broadcast(rates))
+        .groupBy("rate_pct")
+        .agg(sum(when(col("tier") <= col("rate_pct"), col("cnt"))
+          .otherwise(0L)).as("n_sampled"))
+        .crossJoin(broadcast(nTot))
+        .select(col("rate_pct"), col("n_sampled"), col("n_total"),
+          expr("n_sampled * 1000000 div n_total").as("obs_ppm"),
+          (col("rate_pct") * 10000L).as("target_ppm"))
+        .withColumn("err_ppm", col("obs_ppm") - col("target_ppm"))
+        .orderBy("rate_pct")
+    },
+    Some("""WITH h AS (
+              SELECT substring(md5(CAST(event_id AS VARCHAR)), 1, 8) AS hx
+              FROM events),
+            tiers AS (
+              SELECT CASE WHEN hx < '028f5c28' THEN 1
+                          WHEN hx < '0ccccccc' THEN 5
+                          WHEN hx < '19999999' THEN 10
+                          WHEN hx < '33333333' THEN 20
+                          WHEN hx < '80000000' THEN 50
+                          ELSE 100 END AS tier,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM h GROUP BY 1),
+            n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM tiers),
+            rates AS (SELECT CAST(unnest([1, 5, 10, 20, 50]) AS BIGINT)
+                        AS rate_pct),
+            g AS (
+              SELECT rate_pct,
+                     CAST(sum(CASE WHEN tier <= rate_pct THEN cnt ELSE 0 END)
+                       AS BIGINT) AS n_sampled
+              FROM tiers CROSS JOIN rates GROUP BY 1)
+            SELECT rate_pct, n_sampled, n.n_total,
+                   CAST(n_sampled * 1000000 // n_total AS BIGINT) AS obs_ppm,
+                   CAST(rate_pct * 10000 AS BIGINT) AS target_ppm,
+                   CAST(n_sampled * 1000000 // n_total
+                     - rate_pct * 10000 AS BIGINT) AS err_ppm
+            FROM g CROSS JOIN n ORDER BY rate_pct"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_stats_hotelling" -> qStatsHotelling,
+    "q_sample_consistent" -> qSampleConsistent,
     "q_stats_extreme" -> qStatsExtreme,
     "q_survival_weibull" -> qSurvivalWeibull,
     "q_stats_mmd" -> qStatsMmd,

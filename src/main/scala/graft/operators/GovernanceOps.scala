@@ -1033,7 +1033,75 @@ object GovernanceOps extends QueryModule {
                      THEN NULL ELSE n END AS n_released
             FROM p3b ORDER BY event_type, day"""))
 
+  // ------------------------------------------- re-identification risk --
+
+  /** Re-identification risk metrics (the ARX prosecutor model) over
+    * q_privacy_kanon's quasi-identifier classes — kanon REMEDIATES by
+    * generalizing; this MEASURES the raw table so the release decision has
+    * a number: per k-threshold t ∈ {2, 5, 11, 14}, how many equivalence
+    * classes and records sit below t, plus the global prosecutor risks —
+    * avg_risk_ppm = |classes|·10⁶ div n (the mean of 1/k over records,
+    * exactly Σ_classes 1 over n) and max_risk_ppm = 10⁶ div min k. All
+    * exact integers; thresholds include kanon's K = 14 so the two
+    * queries' verdicts compose (records_lt at t = 14 is exactly the mass
+    * kanon's level-0 pass suppresses into coarser levels).
+    *
+    * Scale: one QI-class agg (map-combinable) → |classes| rows crossed
+    * with a 4-row broadcast threshold grid + a 1-row broadcast global —
+    * nothing record-sized past the first agg.
+    */
+  private val qPrivacyReidRisk = GQuery(
+    (s, d) => {
+      val classes = Tables(s, d, "customer")
+        .groupBy(col("c_nationkey").cast("string").as("nat"),
+          col("c_mktsegment").as("seg"))
+        .agg(count(lit(1L)).as("k"))
+        .localCheckpoint(true) // feeds the threshold grid AND the global row
+      val glob = classes.agg(count(lit(1L)).as("n_classes"),
+        sum("k").as("n"), min("k").as("min_k"))
+      val ts = s.range(1).select(
+        explode(array(lit(2L), lit(5L), lit(11L), lit(14L))).as("t"))
+      classes.crossJoin(broadcast(ts))
+        .groupBy("t")
+        .agg(sum(when(col("k") < col("t"), 1L).otherwise(0L))
+            .as("classes_lt"),
+          sum(when(col("k") < col("t"), col("k")).otherwise(0L))
+            .as("records_lt"))
+        .crossJoin(broadcast(glob))
+        .select(col("t").as("threshold"), col("n_classes"), col("n"),
+          col("classes_lt"), col("records_lt"),
+          expr("records_lt * 1000000 div n").as("records_lt_ppm"),
+          expr("n_classes * 1000000 div n").as("avg_risk_ppm"),
+          expr("1000000 div min_k").as("max_risk_ppm"))
+        .orderBy("threshold")
+    },
+    Some("""WITH classes AS (
+              SELECT CAST(c_nationkey AS VARCHAR) AS nat,
+                     c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS k
+              FROM customer GROUP BY 1, 2),
+            tot AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_classes,
+                     CAST(sum(k) AS BIGINT) AS n,
+                     CAST(min(k) AS BIGINT) AS min_k
+              FROM classes),
+            ts AS (SELECT unnest([2, 5, 11, 14]) AS t),
+            per AS (
+              SELECT t,
+                     CAST(sum(CASE WHEN k < t THEN 1 ELSE 0 END) AS BIGINT)
+                       AS classes_lt,
+                     CAST(sum(CASE WHEN k < t THEN k ELSE 0 END) AS BIGINT)
+                       AS records_lt
+              FROM classes CROSS JOIN ts GROUP BY 1)
+            SELECT CAST(t AS BIGINT) AS threshold, n_classes, n,
+                   classes_lt, records_lt,
+                   CAST(records_lt * 1000000 // n AS BIGINT)
+                     AS records_lt_ppm,
+                   CAST(n_classes * 1000000 // n AS BIGINT) AS avg_risk_ppm,
+                   CAST(1000000 // min_k AS BIGINT) AS max_risk_ppm
+            FROM per CROSS JOIN tot ORDER BY threshold"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_privacy_reid_risk" -> qPrivacyReidRisk,
     "q_privacy_suppression" -> qPrivacySuppression,
     "q_privacy_dp_quantile" -> qPrivacyDpQuantile,
     "q_stats_brier" -> qStatsBrier,

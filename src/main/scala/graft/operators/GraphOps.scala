@@ -1639,7 +1639,91 @@ object GraphOps extends QueryModule {
             FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
             ORDER BY round"""))
 
+  // ------------------------------------------------ rich-club effect --
+
+  /** Rich-club coefficient sweep (Zhou & Mondragón 2004) over the
+    * co-engagement graph — do the high-degree users preferentially link to
+    * EACH OTHER? For k ∈ {2, 4, 8, 16}: the >k-degree subgraph's density
+    * φ(k) = 2·E_k·10⁶ div (N_k(N_k−1)), NULL once fewer than two nodes
+    * qualify. Complements q_graph_assortativity (one global correlation)
+    * with the size-resolved curve — a rising φ(k) is the hub-oligarchy
+    * signature assortativity's single r can hide.
+    *
+    * Scale: degrees from one edge agg; each edge picks up its endpoint
+    * degrees via two degree-keyed joins (degree table ≪ edges,
+    * broadcastable); the k-sweep is a 4-row broadcast crossJoin on the
+    * EDGE list (×4 expansion, not ×N) feeding one grid agg. Never an
+    * all-pairs form: E_k counts existing edges only.
+    */
+  private val qGraphRichclub = GQuery(
+    (s, d) => {
+      val edges = CoGraph.pairCounts(s, d)
+        .filter(col("c") >= 26)
+        .select("u", "v")
+      val sym = edges.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
+      val deg = sym.groupBy("a").agg(count(lit(1L)).as("dg"))
+      val ks = s.range(1).select(
+        explode(array(lit(2L), lit(4L), lit(8L), lit(16L))).as("k"))
+      val nodes = deg.crossJoin(broadcast(ks))
+        .filter(col("dg") > col("k"))
+        .groupBy("k").agg(count(lit(1L)).as("n_nodes"))
+      val ed = edges
+        .join(deg.select(col("a").as("u"), col("dg").as("du")), "u")
+        .join(deg.select(col("a").as("v"), col("dg").as("dv")), "v")
+      val rcEdges = ed.crossJoin(broadcast(ks))
+        .filter(col("du") > col("k") && col("dv") > col("k"))
+        .groupBy("k").agg(count(lit(1L)).as("n_edges"))
+      ks.join(nodes, Seq("k"), "left")
+        .join(rcEdges, Seq("k"), "left")
+        .select(col("k"),
+          coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+          coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+        .withColumn("phi_ppm",
+          when(col("n_nodes") >= 2,
+            expr("2 * n_edges * 1000000 div (n_nodes * (n_nodes - 1))")))
+        .orderBy("k")
+    },
+    Some("""WITH ev AS (
+              SELECT DISTINCT event_type,
+                     CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+              FROM events),
+            edges AS (
+              SELECT a.user_id AS u, b.user_id AS v
+              FROM ev a JOIN ev b
+                ON a.event_type = b.event_type AND a.d = b.d
+                   AND a.user_id < b.user_id
+              GROUP BY 1, 2 HAVING count(*) >= 26),
+            sym AS (
+              SELECT u AS a, v AS b FROM edges
+              UNION ALL SELECT v, u FROM edges),
+            deg AS (SELECT a, CAST(count(*) AS BIGINT) AS dg
+                    FROM sym GROUP BY 1),
+            ks AS (SELECT CAST(unnest([2, 4, 8, 16]) AS BIGINT) AS k),
+            nodes AS (
+              SELECT k, CAST(count(*) AS BIGINT) AS n_nodes
+              FROM deg CROSS JOIN ks WHERE dg > k GROUP BY 1),
+            rc AS (
+              SELECT k, CAST(count(*) AS BIGINT) AS n_edges
+              FROM edges e
+              JOIN deg du ON du.a = e.u
+              JOIN deg dv ON dv.a = e.v
+              CROSS JOIN ks
+              WHERE du.dg > k AND dv.dg > k GROUP BY 1)
+            SELECT ks.k,
+                   coalesce(n_nodes, 0) AS n_nodes,
+                   coalesce(n_edges, 0) AS n_edges,
+                   CASE WHEN coalesce(n_nodes, 0) >= 2 THEN
+                     CAST(2 * coalesce(n_edges, 0) * 1000000
+                       // (n_nodes * (n_nodes - 1)) AS BIGINT)
+                   END AS phi_ppm
+            FROM ks
+            LEFT JOIN nodes ON nodes.k = ks.k
+            LEFT JOIN rc ON rc.k = ks.k
+            ORDER BY ks.k"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_graph_richclub" -> qGraphRichclub,
     "q_graph_labelprop" -> qGraphLabelprop,
     "q_graph_ktruss" -> qGraphKtruss,
     "q_graph_louvain" -> qGraphLouvain,
