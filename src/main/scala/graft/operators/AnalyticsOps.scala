@@ -12374,7 +12374,358 @@ object AnalyticsOps extends QueryModule {
                      - rate_pct * 10000 AS BIGINT) AS err_ppm
             FROM g CROSS JOIN n ORDER BY rate_pct"""))
 
+  // ------------------------------------------- circular statistics --
+
+  /** Circular (directional) statistics of the hour-of-day distribution per
+    * event type — the family linear stats get WRONG on a clock (23:00 and
+    * 01:00 average to midnight, not noon): mean resultant length R̄ (the
+    * circular concentration), the Rayleigh uniformity statistic
+    * z = n·R̄² (EXACT integer milli — z = (C²+S²)/(n·10⁹) needs no sqrt),
+    * and the peak direction as the grid hour maximizing the projection
+    * C·cos(θ_h) + S·sin(θ_h). The trig table is the determinism trick: 24
+    * cos/sin values at micro precision are generated ONCE in Scala and
+    * embedded as the SAME literal table in both engines — no libm sin/cos
+    * ever runs in either engine, so every sum is exact BIGINT.
+    *
+    * Scale: one (type, hour) agg → ×24-cell broadcast table join → 5-row
+    * resultants; the peak-hour argmax is a 24-row max_by per type. C² + S²
+    * is DECIMAL(38) (micro²·n² crosses 2⁶³ near 10⁷ rows/type).
+    */
+  private val qStatsCircular = GQuery(
+    (s, d) => {
+      val table = (0 until 24).map { h =>
+        val th = 2.0 * math.Pi * h / 24.0
+        (h, math.round(math.cos(th) * 1e6), math.round(math.sin(th) * 1e6))
+      }
+      val sparkTab = table.map { case (h, c, sn) => s"($h, ${c}L, ${sn}L)" }
+        .mkString("VALUES ", ", ", " AS trig(h, cs, sn)")
+      val hrs = t(s, d, "events")
+        .groupBy(col("event_type"), hour(col("ts")).cast("int").as("h"))
+        .agg(count(lit(1L)).as("cnt"))
+      val trig = s.sql(s"SELECT * FROM $sparkTab")
+      val cells = hrs.join(broadcast(trig), "h")
+        .localCheckpoint(true) // feeds the resultant agg AND the peak argmax
+      val res = cells.groupBy("event_type")
+        .agg(sum("cnt").as("n"),
+          sum(col("cnt") * col("cs")).as("c_sum"),
+          sum(col("cnt") * col("sn")).as("s_sum"))
+      val peak = cells.join(res.select("event_type", "c_sum", "s_sum"),
+          "event_type")
+        .groupBy("event_type")
+        // ties on the projection break to the SMALLER hour: the +（23−h)
+        // term orders within a projection (distinct projections differ by
+        // ≥100 after the ×100, so the tie-break never crosses them); the
+        // scalar key (not a struct) because DuckDB's max_by has no struct
+        // comparator — DECIMAL(38)/HUGEINT since proj·100 exceeds BIGINT
+        // past ~10⁴ rows/type
+        .agg(max_by(col("h"), expr(
+          """(CAST(c_sum AS DECIMAL(38,0)) * cs + CAST(s_sum AS DECIMAL(38,0))
+             * sn) * 100 + (23 - h)""")).as("peak_hour"))
+      res.join(peak, "event_type")
+        .select(col("event_type"), col("n"), col("c_sum"), col("s_sum"),
+          expr("""CAST((CAST(c_sum AS DECIMAL(38,0)) * c_sum
+                  + CAST(s_sum AS DECIMAL(38,0)) * s_sum)
+                 div (CAST(n AS DECIMAL(38,0)) * 1000000000) AS BIGINT)""")
+            .as("rayleigh_z_milli"),
+          dround(expr("""sqrt(CAST(CAST(c_sum AS DECIMAL(38,0)) * c_sum
+                    + CAST(s_sum AS DECIMAL(38,0)) * s_sum AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * 1000000)"""), 6).as("rbar"),
+          col("peak_hour").cast("long").as("peak_hour"))
+        .orderBy("event_type")
+    },
+    Some {
+      val table = (0 until 24).map { h =>
+        val th = 2.0 * math.Pi * h / 24.0
+        (h, math.round(math.cos(th) * 1e6), math.round(math.sin(th) * 1e6))
+      }
+      val duckTab = table.map { case (h, c, sn) => s"($h, $c, $sn)" }
+        .mkString(", ")
+      s"""WITH trig(h, cs, sn) AS (VALUES $duckTab),
+          hrs AS (
+            SELECT event_type, CAST(hour(ts) AS INT) AS h,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2),
+          cells AS (
+            SELECT event_type, hrs.h,
+                   cnt, CAST(cs AS BIGINT) AS cs, CAST(sn AS BIGINT) AS sn
+            FROM hrs JOIN trig ON trig.h = hrs.h),
+          res AS (
+            SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n,
+                   CAST(sum(cnt * cs) AS BIGINT) AS c_sum,
+                   CAST(sum(cnt * sn) AS BIGINT) AS s_sum
+            FROM cells GROUP BY 1),
+          peak AS (
+            SELECT c.event_type,
+                   CAST(max_by(c.h,
+                     (CAST(r.c_sum AS HUGEINT) * c.cs
+                      + CAST(r.s_sum AS HUGEINT) * c.sn) * 100
+                     + (23 - c.h)) AS BIGINT) AS peak_hour
+            FROM cells c JOIN res r USING (event_type)
+            GROUP BY 1)
+          SELECT res.event_type, n, c_sum, s_sum,
+                 CAST((CAST(c_sum AS HUGEINT) * c_sum
+                   + CAST(s_sum AS HUGEINT) * s_sum)
+                   // (CAST(n AS HUGEINT) * 1000000000) AS BIGINT)
+                   AS rayleigh_z_milli,
+                 CAST(round(CAST(sqrt(CAST(CAST(c_sum AS HUGEINT) * c_sum
+                     + CAST(s_sum AS HUGEINT) * s_sum AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * 1000000) AS DECIMAL(30,8)), 6)
+                   AS DOUBLE) AS rbar,
+                 peak_hour
+          FROM res JOIN peak USING (event_type)
+          ORDER BY event_type"""
+    })
+
+  // --------------------------------------- Engle–Granger cointegration --
+
+  /** Engle–Granger two-step cointegration between each activity series and
+    * purchase revenue — the "do these trend TOGETHER long-run" question
+    * q_ts_granger (short-run lead/lag) can't answer: step 1 regresses
+    * daily purchase cents on the type's daily count (exact integer OLS →
+    * b_ppm, a_micro); step 2 runs the Dickey–Fuller regression
+    * Δe_t = φ·e_{t−1} on the residual series — a stationary residual
+    * (φ decidedly negative) means the pair shares a long-run equilibrium.
+    * Residuals are EXACT milli-cent integers ((y·10⁶ − a − b·x) div 10³
+    * with the fit's own integral-div coefficients), so every DF moment is
+    * exact DECIMAL(38); the one double chain (÷, sqrt for the t-stat)
+    * lands via dround against the EG 5% critical value −2.86 (T ≈ 80,
+    * intercept estimated — stated, not interpolated).
+    *
+    * Scale: two (type, day) aggs + a day-keyed join (calendar-bounded
+    * rows from there on); the residual lag is a window over ≤ #days rows
+    * per type. The corpus is scanned once; everything else is grid-sized.
+    */
+  private val qTsCointegration = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val ev = t(s, d, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"), cents.as("c"))
+        .localCheckpoint(true) // feeds both daily aggs from one scan
+      val dailyY = ev.filter(col("event_type") === "purchase")
+        .groupBy("day").agg(sum("c").as("y"))
+      val dailyX = ev.filter(col("event_type") =!= "purchase")
+        .groupBy("event_type", "day").agg(count(lit(1L)).as("x"))
+      val j = dailyX.join(dailyY, "day")
+      val fit = j.groupBy("event_type").agg(
+          count(lit(1L)).as("t_days"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+        .withColumn("b_ppm", expr(
+          """CAST((t_days * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000
+             div (t_days * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+             AS BIGINT)"""))
+        .withColumn("a_micro", expr(
+          """CAST((CAST(sy AS DECIMAL(38,0)) * 1000000
+             - CAST(b_ppm AS DECIMAL(38,0)) * sx) div t_days AS BIGINT)"""))
+      val resid = j
+        .join(broadcast(fit.select("event_type", "b_ppm", "a_micro")),
+          "event_type")
+        .select(col("event_type"), col("day"),
+          // residuals in MILLI-cents (micro div 10³): keeps Σe²·10¹² inside
+          // DECIMAL(38) through sf10 (micro residuals graze 10³⁸ at sf0.1
+          // if the fit is poor)
+          expr("(y * 1000000 - a_micro - b_ppm * x) div 1000").as("e"))
+      val wD = Window.partitionBy("event_type").orderBy("day")
+      val df = resid
+        .withColumn("ep", lag("e", 1).over(wD))
+        .filter(col("ep").isNotNull)
+        .select(col("event_type"), col("ep"), (col("e") - col("ep")).as("de"))
+        .groupBy("event_type").agg(
+          count(lit(1L)).as("t2"),
+          sum(expr("CAST(ep AS DECIMAL(38,0)) * ep")).as("see"),
+          sum(expr("CAST(ep AS DECIMAL(38,0)) * de")).as("sed"),
+          sum(expr("CAST(de AS DECIMAL(38,0)) * de")).as("sdd"))
+        .withColumn("phi_ppm",
+          expr("CAST(sed * 1000000 div see AS BIGINT)"))
+        .withColumn("ssr", expr(
+          """sdd * 1000000000000 - 2 * CAST(phi_ppm AS DECIMAL(38,0))
+             * sed * 1000000
+             + CAST(phi_ppm AS DECIMAL(38,0)) * phi_ppm * see"""))
+        .withColumn("df_t_raw", expr(
+          """(CAST(phi_ppm AS DOUBLE) / 1e6)
+             / sqrt(CAST(ssr AS DOUBLE)
+                    / ((t2 - 2) * CAST(see AS DOUBLE) * 1e12))"""))
+      fit.select("event_type", "t_days", "b_ppm")
+        .join(df.select(col("event_type"), col("phi_ppm"),
+          dround(col("df_t_raw"), 4).as("df_t")), "event_type")
+        .withColumn("cointegrated", col("df_t") < -2.86)
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+              FROM events),
+            daily_y AS (
+              SELECT day, CAST(sum(c) AS BIGINT) AS y
+              FROM ev WHERE event_type = 'purchase' GROUP BY 1),
+            daily_x AS (
+              SELECT event_type, day, CAST(count(*) AS BIGINT) AS x
+              FROM ev WHERE event_type <> 'purchase' GROUP BY 1, 2),
+            j AS (
+              SELECT event_type, daily_x.day, x, y
+              FROM daily_x JOIN daily_y ON daily_x.day = daily_y.day),
+            fit AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS t_days,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                     CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+              FROM j GROUP BY 1),
+            fit2 AS (
+              SELECT event_type, t_days,
+                     CAST((t_days * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+                       // (t_days * sxx - CAST(sx AS HUGEINT) * sx)
+                       AS BIGINT) AS b_ppm
+              FROM fit),
+            fit3 AS (
+              SELECT f2.event_type, f2.t_days, b_ppm,
+                     CAST((CAST(sy AS HUGEINT) * 1000000
+                       - CAST(b_ppm AS HUGEINT) * sx) // f2.t_days
+                       AS BIGINT) AS a_micro
+              FROM fit2 f2 JOIN fit USING (event_type)),
+            resid AS (
+              SELECT j.event_type, j.day,
+                     CAST((y * 1000000 - a_micro - b_ppm * x) // 1000
+                       AS BIGINT) AS e
+              FROM j JOIN fit3 ON fit3.event_type = j.event_type),
+            lagged AS (
+              SELECT event_type, e,
+                     lag(e, 1) OVER (PARTITION BY event_type ORDER BY day)
+                       AS ep
+              FROM resid),
+            dfm AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS t2,
+                     CAST(sum(CAST(ep AS HUGEINT) * ep) AS HUGEINT) AS see,
+                     CAST(sum(CAST(ep AS HUGEINT) * (e - ep)) AS HUGEINT)
+                       AS sed,
+                     CAST(sum(CAST(e - ep AS HUGEINT) * (e - ep)) AS HUGEINT)
+                       AS sdd
+              FROM lagged WHERE ep IS NOT NULL GROUP BY 1),
+            dfs AS (
+              SELECT event_type, t2, see, sed, sdd,
+                     CAST(sed * 1000000 // see AS BIGINT) AS phi_ppm
+              FROM dfm),
+            dft AS (
+              SELECT event_type, phi_ppm,
+                     (CAST(phi_ppm AS DOUBLE) / 1e6)
+                     / sqrt(CAST(sdd * 1000000000000
+                         - 2 * CAST(phi_ppm AS HUGEINT) * sed * 1000000
+                         + CAST(phi_ppm AS HUGEINT) * phi_ppm * see
+                         AS DOUBLE)
+                       / ((t2 - 2) * CAST(see AS DOUBLE) * 1e12)) AS df_t_raw
+              FROM dfs)
+            SELECT f.event_type, f.t_days, f.b_ppm, d.phi_ppm,
+                   CAST(round(CAST(df_t_raw AS DECIMAL(30,8)), 4) AS DOUBLE)
+                     AS df_t,
+                   CAST(round(CAST(df_t_raw AS DECIMAL(30,8)), 4) AS DOUBLE)
+                     < -2.86 AS cointegrated
+            FROM fit3 f JOIN dft d USING (event_type)
+            ORDER BY f.event_type"""))
+
+  // --------------------------------------- systematic PPS sampling --
+
+  /** Systematic probability-proportional-to-size sampling (the survey-
+    * statistics workhorse q_sample_ppswor's order-sampling sibling): walk
+    * the corpus in md5-hash order, select every row whose weight span
+    * [cum, cum+w) crosses a multiple of step = W div 400 — exactly-∝-size
+    * inclusion with a FIXED expected take, zero rejection, and any unit
+    * with w ≥ step certainly included. The global cumulative is the
+    * two-level prefix sum (q_stats_ks rule): 256 hash-prefix buckets get
+    * offsets from a 256-row window; within-bucket cumsums run parallel
+    * partitions — no corpus-sized single-task sort. The hash covers every
+    * output-relevant column ((okey, line, part, supp, qty, flag)), so
+    * hash-equal rows are (w, flag)-identical and the aggregated output is
+    * invariant to their relative order (the xi tie-break argument).
+    *
+    * Scale: one scan → bucket window (256 rows) + bucket-partitioned
+    * cumsum → flag agg. Selection is a pure function of (cum_before, w,
+    * step): replaying the sample is free, and changing the target count
+    * re-walks the SAME order (coordinated with itself across budgets).
+    */
+  private val qSampleSystematic = GQuery(
+    (s, d) => {
+      val rows = t(s, d, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("w"),
+          md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"),
+            col("l_quantity").cast("long"), col("l_returnflag"))).as("h"))
+        .withColumn("bkt", substring(col("h"), 1, 2))
+      val bktTot = rows.groupBy("bkt").agg(sum("w").as("bw"))
+        .withColumn("off",
+          coalesce(sum("bw").over(Window.orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val wTot = bktTot.agg(sum("bw").as("tw"))
+        .select(expr("tw div 400").as("step"))
+      val wIn = Window.partitionBy("bkt").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      rows
+        .join(broadcast(bktTot.select("bkt", "off")), "bkt")
+        .withColumn("cum_before",
+          col("off") + coalesce(sum("w").over(wIn), lit(0L)))
+        .crossJoin(broadcast(wTot))
+        .withColumn("sel",
+          expr("(cum_before + w) div step > cum_before div step"))
+        .groupBy("flag")
+        .agg(count(lit(1L)).as("n_pop"), sum("w").as("w_pop"),
+          sum(when(col("sel"), 1L).otherwise(0L)).as("n_sel"),
+          sum(when(col("sel"), col("w")).otherwise(0L)).as("w_sel"))
+        .select(col("flag"), col("n_pop"), col("w_pop"), col("n_sel"),
+          col("w_sel"),
+          expr("w_sel * 1000000 div w_pop").as("w_sel_ppm"),
+          expr("w_sel * 1000 div n_sel").as("avg_w_sel_milli"),
+          expr("w_pop * 1000 div n_pop").as("avg_w_pop_milli"))
+        .orderBy("flag")
+    },
+    Some("""WITH rows_ AS (
+              SELECT l_returnflag AS flag,
+                     CAST(l_quantity AS BIGINT) AS w,
+                     md5(concat_ws('|', l_orderkey, l_linenumber, l_partkey,
+                       l_suppkey, CAST(l_quantity AS BIGINT),
+                       l_returnflag)) AS h
+              FROM lineitem),
+            b AS (
+              SELECT flag, w, h, substring(h, 1, 2) AS bkt FROM rows_),
+            bkt_tot AS (
+              SELECT bkt, CAST(sum(w) AS BIGINT) AS bw
+              FROM b GROUP BY 1),
+            bkt_off AS (
+              SELECT bkt, CAST(coalesce(sum(bw) OVER (ORDER BY bkt
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS off
+              FROM bkt_tot),
+            st AS (SELECT CAST(sum(bw) // 400 AS BIGINT) AS step
+                   FROM bkt_tot),
+            cum AS (
+              SELECT b.flag, b.w,
+                     bkt_off.off + CAST(coalesce(sum(b.w) OVER (
+                         PARTITION BY b.bkt ORDER BY b.h
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS cum_before
+              FROM b JOIN bkt_off USING (bkt)),
+            sel AS (
+              SELECT flag, w,
+                     (cum_before + w) // step > cum_before // step AS sel
+              FROM cum CROSS JOIN st)
+            SELECT flag, CAST(count(*) AS BIGINT) AS n_pop,
+                   CAST(sum(w) AS BIGINT) AS w_pop,
+                   CAST(sum(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_sel,
+                   CAST(sum(CASE WHEN sel THEN w ELSE 0 END) AS BIGINT)
+                     AS w_sel,
+                   CAST(sum(CASE WHEN sel THEN w ELSE 0 END) * 1000000
+                     // sum(w) AS BIGINT) AS w_sel_ppm,
+                   CAST(sum(CASE WHEN sel THEN w ELSE 0 END) * 1000
+                     // sum(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT)
+                     AS avg_w_sel_milli,
+                   CAST(sum(w) * 1000 // count(*) AS BIGINT)
+                     AS avg_w_pop_milli
+            FROM sel GROUP BY 1 ORDER BY flag"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_sample_systematic" -> qSampleSystematic,
+    "q_ts_cointegration" -> qTsCointegration,
+    "q_stats_circular" -> qStatsCircular,
     "q_stats_hotelling" -> qStatsHotelling,
     "q_sample_consistent" -> qSampleConsistent,
     "q_stats_extreme" -> qStatsExtreme,

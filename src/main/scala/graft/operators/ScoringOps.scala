@@ -2573,7 +2573,88 @@ object ScoringOps extends QueryModule {
                      END AS qini_excess
             FROM cum ORDER BY score DESC"""))
 
+  // ------------------------------------------------------ PR-AUC / AP --
+
+  /** Average precision (PR-AUC) one-vs-rest per event type — the
+    * imbalanced-class companion to q_stats_auc: ROC-AUC stays near ½ no
+    * matter how rare the positive class; average precision collapses to
+    * the prevalence under a useless scorer, so it is the metric that
+    * actually moves when a rare-class ranker improves. Score = value
+    * cents; ties share a grid row (all tied rows enter together and the
+    * precision is evaluated at the group's cumulative — the standard
+    * tie-grouped AP). AP = Σ_groups pos_g · P(cum_g), computed as exact
+    * per-row integral divisions (posc·(cum_pos·10⁹ div cum_n), summed,
+    * div (P·10³) → ap_ppm) — deterministic in both engines. The
+    * baseline_ppm column is the prevalence (a random ranker's AP), so
+    * ap_ppm/baseline reads as lift.
+    *
+    * Scale: q_stats_auc economics — ONE corpus agg to the value grid
+    * carrying all five per-type positive counts as columns, stacked to
+    * long form (grid×5 rows), grid-partitioned cumulative windows. No
+    * row-level rank anywhere.
+    */
+  private val qEvalAuprc = GQuery(
+    (s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val aggCols = count(lit(1L)).as("cnt") +: types.map(tp =>
+        sum(when(col("event_type") === tp, 1L).otherwise(0L)).as(s"p_$tp"))
+      val grid = t(s, d, "events")
+        .select(cents.as("c"), col("event_type"))
+        .groupBy("c")
+        .agg(aggCols.head, aggCols.tail: _*)
+      val long = grid.selectExpr(
+        s"""stack(${types.size}, ${types.map(tp =>
+          s"'$tp', p_$tp").mkString(", ")}) AS (event_type, posc)""",
+        "c", "cnt")
+      val w = Window.partitionBy("event_type").orderBy(col("c").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      long
+        .withColumn("cum_n", sum("cnt").over(w))
+        .withColumn("cum_pos", sum("posc").over(w))
+        .withColumn("term",
+          col("posc") * expr("cum_pos * 1000000000 div cum_n"))
+        .groupBy("event_type")
+        .agg(max("cum_n").as("n"), sum("posc").as("p_total"),
+          sum("term").as("tsum"))
+        .select(col("event_type"), col("n"), col("p_total"),
+          expr("p_total * 1000000 div n").as("baseline_ppm"),
+          expr("tsum div (p_total * 1000)").as("ap_ppm"))
+        .orderBy("event_type")
+    },
+    Some {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pcols = types.map(tp =>
+        s"""CAST(sum(CASE WHEN event_type = '$tp' THEN 1 ELSE 0 END)
+            AS BIGINT) AS p_$tp""").mkString(",\n")
+      val stacked = types.map(tp =>
+        s"SELECT '$tp' AS event_type, c, cnt, p_$tp AS posc FROM grid")
+        .mkString("\nUNION ALL\n")
+      s"""WITH grid AS (
+            SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   $pcols
+            FROM events GROUP BY 1),
+          longf AS (
+            $stacked),
+          cum AS (
+            SELECT event_type, posc,
+                   CAST(sum(cnt) OVER w AS BIGINT) AS cum_n,
+                   CAST(sum(posc) OVER w AS BIGINT) AS cum_pos
+            FROM longf
+            WINDOW w AS (PARTITION BY event_type ORDER BY c DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          SELECT event_type, CAST(max(cum_n) AS BIGINT) AS n,
+                 CAST(sum(posc) AS BIGINT) AS p_total,
+                 CAST(sum(posc) * 1000000 // max(cum_n) AS BIGINT)
+                   AS baseline_ppm,
+                 CAST(sum(posc * (cum_pos * 1000000000 // cum_n))
+                   // (sum(posc) * 1000) AS BIGINT) AS ap_ppm
+          FROM cum GROUP BY 1 ORDER BY event_type"""
+    })
+
   val queries: Map[String, GQuery] = Map(
+    "q_eval_auprc" -> qEvalAuprc,
     "q_eval_qini" -> qEvalQini,
     "q_rank_btl" -> qRankBtl,
     "q_eval_pass_at_k" -> qEvalPassAtK,
