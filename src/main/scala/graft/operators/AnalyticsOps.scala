@@ -12722,7 +12722,250 @@ object AnalyticsOps extends QueryModule {
                      AS avg_w_pop_milli
             FROM sel GROUP BY 1 ORDER BY flag"""))
 
+  // --------------------------------------- absorbing-Markov conversion --
+
+  /** Absorbing-Markov conversion probability — the forward-looking readout
+    * q_events_markov's one-step matrix can't give: treating 'purchase' as
+    * ABSORBING, what is P(convert within k ≤ 8 steps | current state)?
+    * Computed by 8 unrolled fixed-point iterations aₖ(s) = Σ_t p(s,t)·
+    * aₖ₋₁(t) div 10⁶ over the 5-state transition matrix (the pagerank
+    * determinism rule: every iterate is an exact ppm integer, the oracle
+    * unrolls the same 8 CTEs with `//`). Emits per transient state the
+    * one-step p₁ and the 8-step absorption ppm — the gap between them is
+    * how much conversion arrives through multi-step paths, the number a
+    * nurture-sequence design reads.
+    *
+    * Scale: transitions from ONE corpus window pass (user-partitioned
+    * lag); everything after lives on the ≤|states|² matrix — the 8
+    * iterations are joins over ≤25-row broadcastable tables, independent
+    * of corpus size.
+    */
+  private val qEventsAbsorption = GQuery(
+    (s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val trans = ev.withColumn("nxt", lead("event_type", 1).over(w))
+        .filter(col("nxt").isNotNull && col("event_type") =!= "purchase")
+        .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+        .agg(count(lit(1L)).as("c"))
+      val p = trans
+        .withColumn("tot", sum("c").over(Window.partitionBy("src")))
+        .select(col("src"), col("dst"), col("c"), col("tot"),
+          expr("c * 1000000 div tot").as("p_ppm"))
+        .localCheckpoint(true) // 8 iterations + the p1/n_out readout reuse it
+      val absorbed = s.range(1)
+        .select(lit("purchase").as("state"), lit(1000000L).as("a"))
+      var a = p.select(col("src").as("state")).distinct()
+        .withColumn("a", lit(0L))
+        .unionByName(absorbed)
+      for (_ <- 1 to 8) {
+        a = p.join(a.select(col("state").as("dst"), col("a").as("at")), "dst")
+          .groupBy("src")
+          .agg(expr("sum(p_ppm * at) div 1000000").as("a"))
+          .select(col("src").as("state"), col("a"))
+          .unionByName(absorbed)
+      }
+      val p1 = p.filter(col("dst") === "purchase")
+        .select(col("src").as("state"), col("p_ppm").as("p1_ppm"),
+          col("tot").as("n_out"))
+      a.join(p1, Seq("state"), "left")
+        .select(col("state"), coalesce(col("n_out"), lit(0L)).as("n_out"),
+          coalesce(col("p1_ppm"), lit(0L)).as("p1_ppm"),
+          col("a").as("p8_ppm"))
+        .orderBy("state")
+    },
+    Some {
+      val iters = (1 to 8).map { k =>
+        s"""a$k AS (
+              SELECT p.src AS state,
+                     CAST(sum(p_ppm * a) // 1000000 AS BIGINT) AS a
+              FROM p JOIN a${k - 1} ON a${k - 1}.state = p.dst
+              GROUP BY 1
+              UNION ALL SELECT 'purchase', 1000000)"""
+      }.mkString(",\n")
+      s"""WITH e AS (
+            SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+            FROM events),
+          tr AS (
+            SELECT user_id, event_type AS src,
+                   lead(event_type) OVER (PARTITION BY user_id
+                     ORDER BY us, event_id) AS dst
+            FROM e),
+          tc AS (
+            SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+            FROM tr WHERE dst IS NOT NULL AND src <> 'purchase'
+            GROUP BY 1, 2),
+          p AS (
+            SELECT src, dst, c,
+                   CAST(sum(c) OVER (PARTITION BY src) AS BIGINT) AS tot,
+                   CAST(c * 1000000 // sum(c) OVER (PARTITION BY src)
+                     AS BIGINT) AS p_ppm
+            FROM tc),
+          a0 AS (
+            SELECT DISTINCT src AS state, CAST(0 AS BIGINT) AS a FROM p
+            UNION ALL SELECT 'purchase', 1000000),
+          $iters,
+          p1 AS (
+            SELECT src AS state, p_ppm AS p1_ppm, tot AS n_out
+            FROM p WHERE dst = 'purchase')
+          SELECT a8.state, CAST(coalesce(n_out, 0) AS BIGINT) AS n_out,
+                 CAST(coalesce(p1_ppm, 0) AS BIGINT) AS p1_ppm,
+                 a8.a AS p8_ppm
+          FROM a8 LEFT JOIN p1 ON p1.state = a8.state
+          ORDER BY a8.state"""
+    })
+
+  // --------------------------------------------- mediation analysis --
+
+  /** Baron–Kenny mediation with the Sobel test: does activity (X = total
+    * events) drive purchase spend (Y, cents) THROUGH browsing (M = view
+    * count), or directly? Three exact-integer OLS fits per user-level
+    * triple — a: M~X, (b, c′): Y~M+X by partialling (two-regressor closed
+    * form, the q_ts_granger pattern), c: Y~X — coefficients as ppm
+    * integral divs of DECIMAL(38) S-terms (Sᵤᵥ = nΣuv − ΣuΣv), the Sobel
+    * z = ab / √(b²·se²_a + a²·se²_b) assembled in doubles (×, ÷, sqrt
+    * only — IEEE-identical) and dround'd. indirect_micro = a·b div 10⁶
+    * and c_total vs c′ read as the effect decomposition.
+    *
+    * Scale: one user-level agg (map-combinable) → one 1-row moment agg →
+    * closed forms. Nothing iterative, nothing user-sized after the
+    * rollup.
+    */
+  private val qStatsMediation = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val users = t(s, d, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1L)).as("x"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("m"),
+          sum(when(col("event_type") === "purchase", cents).otherwise(0L))
+            .as("y"))
+      val dec = "DECIMAL(38,0)"
+      val mom = users.agg(count(lit(1L)).as("n"),
+        sum("x").as("sx"), sum("m").as("sm"), sum("y").as("sy"),
+        sum(expr(s"CAST(x AS $dec) * x")).as("sxx"),
+        sum(expr(s"CAST(x AS $dec) * m")).as("sxm"),
+        sum(expr(s"CAST(x AS $dec) * y")).as("sxy"),
+        sum(expr(s"CAST(m AS $dec) * m")).as("smm"),
+        sum(expr(s"CAST(m AS $dec) * y")).as("smy"),
+        sum(expr(s"CAST(y AS $dec) * y")).as("syy"))
+      val S = Seq(
+        "cxx" -> "(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)",
+        "cxm" -> "(n * sxm - CAST(sx AS DECIMAL(38,0)) * sm)",
+        "cxy" -> "(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy)",
+        "cmm" -> "(n * smm - CAST(sm AS DECIMAL(38,0)) * sm)",
+        "cmy" -> "(n * smy - CAST(sm AS DECIMAL(38,0)) * sy)",
+        "cyy" -> "(n * syy - CAST(sy AS DECIMAL(38,0)) * sy)")
+      val withS = S.foldLeft(mom) { case (df, (nm, ex)) =>
+        df.withColumn(nm, expr(ex)) }
+      withS
+        .withColumn("a_ppm", expr("CAST(cxm * 1000000 div cxx AS BIGINT)"))
+        .withColumn("b_ppm", expr(
+          "CAST((cxx * cmy - cxm * cxy) * 1000000"
+            + " div (cxx * cmm - cxm * cxm) AS BIGINT)"))
+        .withColumn("cprime_ppm", expr(
+          "CAST((cmm * cxy - cxm * cmy) * 1000000"
+            + " div (cxx * cmm - cxm * cxm) AS BIGINT)"))
+        .withColumn("c_total_ppm", expr("CAST(cxy * 1000000 div cxx AS BIGINT)"))
+        .withColumn("se2_a", expr(
+          """(CAST(cmm AS DOUBLE) * CAST(cxx AS DOUBLE)
+              - CAST(cxm AS DOUBLE) * CAST(cxm AS DOUBLE))
+             / ((n - 2) * CAST(cxx AS DOUBLE) * CAST(cxx AS DOUBLE))"""))
+        .withColumn("se2_b", expr(
+          """(CAST(cyy AS DOUBLE)
+              - (CAST(b_ppm AS DOUBLE) / 1e6 * CAST(cmy AS DOUBLE)
+                 + CAST(cprime_ppm AS DOUBLE) / 1e6 * CAST(cxy AS DOUBLE)))
+             * CAST(cxx AS DOUBLE)
+             / ((n - 3) * (CAST(cxx AS DOUBLE) * CAST(cmm AS DOUBLE)
+                - CAST(cxm AS DOUBLE) * CAST(cxm AS DOUBLE)))"""))
+        .withColumn("sobel_raw", expr(
+          """(CAST(a_ppm AS DOUBLE) / 1e6) * (CAST(b_ppm AS DOUBLE) / 1e6)
+             / sqrt((CAST(b_ppm AS DOUBLE) / 1e6)
+                    * (CAST(b_ppm AS DOUBLE) / 1e6) * se2_a
+                  + (CAST(a_ppm AS DOUBLE) / 1e6)
+                    * (CAST(a_ppm AS DOUBLE) / 1e6) * se2_b)"""))
+        .select(col("n"), col("a_ppm"), col("b_ppm"), col("cprime_ppm"),
+          col("c_total_ppm"),
+          expr("a_ppm * b_ppm div 1000000").as("indirect_micro"),
+          dround(col("sobel_raw"), 4).as("sobel_z"))
+        .withColumn("mediated", abs(col("sobel_z")) > 1.96)
+    },
+    Some("""WITH users AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS x,
+                     CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                       END) AS BIGINT) AS m,
+                     CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                         AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+              FROM events GROUP BY 1),
+            mom AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(m) AS BIGINT) AS sm,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                     CAST(sum(CAST(x AS HUGEINT) * m) AS HUGEINT) AS sxm,
+                     CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                     CAST(sum(CAST(m AS HUGEINT) * m) AS HUGEINT) AS smm,
+                     CAST(sum(CAST(m AS HUGEINT) * y) AS HUGEINT) AS smy,
+                     CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+              FROM users),
+            cs AS (
+              SELECT n,
+                     (n * sxx - CAST(sx AS HUGEINT) * sx) AS cxx,
+                     (n * sxm - CAST(sx AS HUGEINT) * sm) AS cxm,
+                     (n * sxy - CAST(sx AS HUGEINT) * sy) AS cxy,
+                     (n * smm - CAST(sm AS HUGEINT) * sm) AS cmm,
+                     (n * smy - CAST(sm AS HUGEINT) * sy) AS cmy,
+                     (n * syy - CAST(sy AS HUGEINT) * sy) AS cyy
+              FROM mom),
+            co AS (
+              SELECT n, cxx, cxm, cxy, cmm, cmy, cyy,
+                     CAST(cxm * 1000000 // cxx AS BIGINT) AS a_ppm,
+                     CAST((cxx * cmy - cxm * cxy) * 1000000
+                       // (cxx * cmm - cxm * cxm) AS BIGINT) AS b_ppm,
+                     CAST((cmm * cxy - cxm * cmy) * 1000000
+                       // (cxx * cmm - cxm * cxm) AS BIGINT) AS cprime_ppm,
+                     CAST(cxy * 1000000 // cxx AS BIGINT) AS c_total_ppm
+              FROM cs),
+            se AS (
+              SELECT *,
+                     (CAST(cmm AS DOUBLE) * CAST(cxx AS DOUBLE)
+                       - CAST(cxm AS DOUBLE) * CAST(cxm AS DOUBLE))
+                     / ((n - 2) * CAST(cxx AS DOUBLE) * CAST(cxx AS DOUBLE))
+                       AS se2_a,
+                     (CAST(cyy AS DOUBLE)
+                       - (CAST(b_ppm AS DOUBLE) / 1e6 * CAST(cmy AS DOUBLE)
+                          + CAST(cprime_ppm AS DOUBLE) / 1e6
+                            * CAST(cxy AS DOUBLE)))
+                     * CAST(cxx AS DOUBLE)
+                     / ((n - 3) * (CAST(cxx AS DOUBLE) * CAST(cmm AS DOUBLE)
+                        - CAST(cxm AS DOUBLE) * CAST(cxm AS DOUBLE)))
+                       AS se2_b
+              FROM co),
+            z AS (
+              SELECT *,
+                     (CAST(a_ppm AS DOUBLE) / 1e6)
+                     * (CAST(b_ppm AS DOUBLE) / 1e6)
+                     / sqrt((CAST(b_ppm AS DOUBLE) / 1e6)
+                            * (CAST(b_ppm AS DOUBLE) / 1e6) * se2_a
+                          + (CAST(a_ppm AS DOUBLE) / 1e6)
+                            * (CAST(a_ppm AS DOUBLE) / 1e6) * se2_b)
+                       AS sobel_raw
+              FROM se)
+            SELECT n, a_ppm, b_ppm, cprime_ppm, c_total_ppm,
+                   CAST(a_ppm * b_ppm // 1000000 AS BIGINT)
+                     AS indirect_micro,
+                   CAST(round(CAST(sobel_raw AS DECIMAL(30,8)), 4) AS DOUBLE)
+                     AS sobel_z,
+                   abs(CAST(round(CAST(sobel_raw AS DECIMAL(30,8)), 4)
+                     AS DOUBLE)) > 1.96 AS mediated
+            FROM z"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_events_absorption" -> qEventsAbsorption,
+    "q_stats_mediation" -> qStatsMediation,
     "q_sample_systematic" -> qSampleSystematic,
     "q_ts_cointegration" -> qTsCointegration,
     "q_stats_circular" -> qStatsCircular,
