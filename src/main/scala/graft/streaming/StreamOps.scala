@@ -201,6 +201,59 @@ object StreamOps {
         })
   }
 
+  /** One heavy-hitter row emitted by [[heavyHitters]] after each batch. */
+  final case class HeavyHitter(etype: String, rank: Int, uid: Int,
+      est: Long, err: Long)
+
+  /** Streaming heavy-hitters via SpaceSaving (Metwally 2005) in
+    * flatMapGroupsWithState — the BOUNDED-state answer to "top spenders so
+    * far" that an exact streaming groupBy can't give (its state grows with
+    * distinct keys; SpaceSaving holds exactly `capacity` counters per
+    * group forever): an unseen uid evicts the minimum counter and inherits
+    * its count as the overestimation bound `err`, preserving the invariant
+    * true ≤ est ≤ true + err. Eviction ties break to the SMALLEST uid —
+    * deterministic under replay (the sink's O11 contract). After each
+    * micro-batch the current top-3 per event type is emitted as ranked
+    * rows.
+    *
+    * At scale this is the per-key mergeable sketch: state is
+    * O(groups × capacity) regardless of user cardinality, and two
+    * SpaceSaving summaries merge by counter addition + re-truncation —
+    * the same economics as the batch q_agg_countmin family, but live.
+    */
+  def heavyHitters(shaped: DataFrame, capacity: Int): Dataset[HeavyHitter] = {
+    val spark = shaped.sparkSession
+    import spark.implicits._
+    shaped
+      .select(col("value.etype").as("etype"), col("value.uid").as("uid"),
+        col("offset"))
+      .as[(String, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (etype: String, rows: Iterator[(String, Int, Long)],
+            state: GroupState[Map[Int, (Long, Long)]]) => {
+          var ctr = state.getOption.getOrElse(Map.empty[Int, (Long, Long)])
+          rows.toSeq.sortBy(_._3).foreach { case (_, uid, _) =>
+            ctr.get(uid) match {
+              case Some((c, e)) => ctr = ctr.updated(uid, (c + 1, e))
+              case None if ctr.size < capacity =>
+                ctr = ctr.updated(uid, (1L, 0L))
+              case None =>
+                val (evictUid, (minC, _)) =
+                  ctr.minBy { case (u, (c, _)) => (c, u) }
+                ctr = (ctr - evictUid).updated(uid, (minC + 1, minC))
+            }
+          }
+          state.update(ctr)
+          ctr.toSeq
+            .sortBy { case (u, (c, _)) => (-c, u) }
+            .take(3).zipWithIndex
+            .map { case ((u, (c, e)), i) =>
+              HeavyHitter(etype, i + 1, u, c, e) }
+            .iterator
+        })
+  }
+
   /** A closed session summary emitted by [[sessionize]]. */
   final case class SessionOut(uid: Int, start_ms: Long, end_ms: Long,
       n_events: Long, first_etype: String, last_etype: String,

@@ -357,6 +357,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("SpaceSaving heavy hitters: bounded counters, eviction bound holds across batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Int, Long, Int, Double, String)]
+    val stream = shapedStream(mem)
+    val q = StreamOps.heavyHitters(stream, capacity = 2)
+      .writeStream.format("memory").queryName("hh_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: uid 1 ×3, uid 2 ×1 — both fit in the 2 counters exactly
+      mem.addData((1, 0L, 0, 1.0, "a"), (1, 1L, 1, 1.0, "a"),
+        (1, 2L, 2, 1.0, "a"), (2, 3L, 3, 1.0, "a"))
+      q.processAllAvailable()
+      // batch 2: uid 3 ×2 must EVICT the min counter (uid 2, c=1),
+      // inheriting err=1: est=3, true=2 — the overestimation bound;
+      // uid 1 gains one more (true count 4, err 0)
+      mem.addData((3, 4L, 4, 1.0, "a"), (3, 5L, 5, 1.0, "a"),
+        (1, 6L, 6, 1.0, "a"))
+      q.processAllAvailable()
+      val rows = spark.table("hh_test").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3),
+          r.getLong(4)))
+      assert(rows.contains(("a", 1, 1, 3L, 0L)), rows.mkString(", "))
+      assert(rows.contains(("a", 2, 2, 1L, 0L)), rows.mkString(", "))
+      // after batch 2: uid 1 est 4 err 0; uid 3 est 3 err 1 (true 2 ≤ 3 ≤ 2+1)
+      assert(rows.contains(("a", 1, 1, 4L, 0L)), rows.mkString(", "))
+      assert(rows.contains(("a", 2, 3, 3L, 1L)), rows.mkString(", "))
+      // state stayed at capacity: no snapshot ever lists 3 distinct uids
+      assert(rows.map(_._2).max <= 2, rows.mkString(", "))
+    } finally q.stop()
+  }
+
   test("custom sessionization seals by in-batch gap AND by event-time watermark") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Int, Long, Int, Double, String)]
