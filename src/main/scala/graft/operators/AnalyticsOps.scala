@@ -12963,7 +12963,93 @@ object AnalyticsOps extends QueryModule {
                      AS DOUBLE)) > 1.96 AS mediated
             FROM z"""))
 
+  // ------------------------------------- minhash audience overlap --
+
+  /** Approximate audience overlap via 64-permutation MinHash signatures —
+    * the SCALE PATH twin of q_events_overlap_matrix (whose exact
+    * intersection join shuffles the full (type, user) table against
+    * itself; this shrinks each audience to a 64-value signature FIRST, so
+    * the pairwise stage touches |types|×64 rows no matter how many users
+    * exist — the q_events_sliding_distinct_approx pairing rule: exact
+    * twin for correctness, sketch twin for scale). Permutation i's hash
+    * is md5(i ∥ uid) (independent uniform hashes; lexicographic hex min
+    * is a valid min-hash, the DedupOps rule); Ĵ = matches·10⁶ div 64,
+    * emitted NEXT TO the exact Jaccard so the row itself is the error
+    * gauge — expected |err| ≈ √(J(1−J)/64) ≈ 60k ppm at J ≈ ½.
+    *
+    * Scale: distinct (type, user) → ×64 explode → (type, i) min agg
+    * (map-combinable, 64·|types| cells); the exact side is the one
+    * user-keyed self-join and exists as the truth anchor — drop it at
+    * 100 TB and keep the sketch side, which never shuffles users.
+    */
+  private val qEventsOverlapApprox = GQuery(
+    (s, d) => {
+      val tu = t(s, d, "events")
+        .select(col("event_type").as("et"), col("user_id")).distinct()
+        .localCheckpoint(true) // sizes + exact join sides + signature build
+      val sizes = tu.groupBy("et").agg(count(lit(1L)).as("n"))
+      val sig = tu
+        .select(col("et"), col("user_id"),
+          explode(expr("sequence(0, 63)")).as("i"))
+        .groupBy("et", "i")
+        .agg(min(md5(concat_ws("|", col("i"), col("user_id")))).as("mh"))
+      val m = sig.select(col("et").as("et_a"), col("i"), col("mh"))
+        .join(sig.select(col("et").as("et_b"), col("i"), col("mh")
+          .as("mh_b")), "i")
+        .filter(col("et_a") < col("et_b"))
+        .groupBy("et_a", "et_b")
+        .agg(sum(when(col("mh") === col("mh_b"), 1L).otherwise(0L))
+          .as("matches"))
+      val exact = tu.select(col("et").as("et_a"), col("user_id"))
+        .join(tu.select(col("et").as("et_b"), col("user_id")), "user_id")
+        .filter(col("et_a") < col("et_b"))
+        .groupBy("et_a", "et_b").agg(count(lit(1L)).as("n_inter"))
+      m.join(exact, Seq("et_a", "et_b"))
+        .join(sizes.select(col("et").as("et_a"), col("n").as("n_a")), "et_a")
+        .join(sizes.select(col("et").as("et_b"), col("n").as("n_b")), "et_b")
+        .select(col("et_a"), col("et_b"), col("matches"),
+          expr("matches * 1000000 div 64").as("jac_est_ppm"),
+          expr("n_inter * 1000000 div (n_a + n_b - n_inter)")
+            .as("jac_exact_ppm"))
+        .withColumn("err_ppm", col("jac_est_ppm") - col("jac_exact_ppm"))
+        .orderBy("et_a", "et_b")
+    },
+    Some("""WITH tu AS (
+              SELECT DISTINCT event_type AS et, user_id FROM events),
+            sizes AS (SELECT et, CAST(count(*) AS BIGINT) AS n
+                      FROM tu GROUP BY 1),
+            sig AS (
+              SELECT et, i,
+                     min(md5(concat_ws('|', i, user_id))) AS mh
+              FROM tu, unnest(generate_series(0, 63)) AS t(i)
+              GROUP BY 1, 2),
+            m AS (
+              SELECT a.et AS et_a, b.et AS et_b,
+                     CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+                       AS BIGINT) AS matches
+              FROM sig a JOIN sig b ON a.i = b.i AND a.et < b.et
+              GROUP BY 1, 2),
+            ex AS (
+              SELECT a.et AS et_a, b.et AS et_b,
+                     CAST(count(*) AS BIGINT) AS n_inter
+              FROM tu a JOIN tu b
+                ON a.user_id = b.user_id AND a.et < b.et
+              GROUP BY 1, 2)
+            SELECT m.et_a, m.et_b, matches,
+                   CAST(matches * 1000000 // 64 AS BIGINT) AS jac_est_ppm,
+                   CAST(n_inter * 1000000 // (sa.n + sb.n - n_inter)
+                     AS BIGINT) AS jac_exact_ppm,
+                   CAST(matches * 1000000 // 64
+                     - n_inter * 1000000 // (sa.n + sb.n - n_inter)
+                     AS BIGINT) AS err_ppm
+            FROM m
+            JOIN ex ON ex.et_a = m.et_a AND ex.et_b = m.et_b
+            JOIN sizes sa ON sa.et = m.et_a
+            JOIN sizes sb ON sb.et = m.et_b
+            ORDER BY m.et_a, m.et_b"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_events_overlap_approx" -> qEventsOverlapApprox,
     "q_events_absorption" -> qEventsAbsorption,
     "q_stats_mediation" -> qStatsMediation,
     "q_sample_systematic" -> qSampleSystematic,
