@@ -2622,7 +2622,76 @@ object TextOps extends QueryModule {
                    gd.d_global
             FROM spec CROSS JOIN gd ORDER BY source"""))
 
+  // --------------------------------------------- boilerplate stripping --
+
+  /** Within-source boilerplate detection — the CCNet/RefinedWeb curation
+    * step that strips navigation chrome, legal footers, and template spans
+    * repeated across one site's pages: a bigram span is boilerplate when it
+    * recurs in ≥ 5 documents OF THE SAME SOURCE (cross-source repetition is
+    * natural language, within-source repetition is template). Emits the
+    * per-doc strip gauge — total bigram positions, boilerplate positions,
+    * and boiler_ppm (exact integer div) — the keep/strip input a curation
+    * pass thresholds on.
+    *
+    * Scale: bigrams explode map-side; the document-frequency agg keys on
+    * (source, bigram) whose Zipf-bounded blocks shuffle balanced; the
+    * boiler set per source is tiny (high-df tail) so the position-marking
+    * join back is a bigram-keyed hash join with a broadcastable build side
+    * at any corpus size; the per-doc rollup co-partitions with the explode.
+    * The corpus is touched twice (df pass + mark pass), never joined to
+    * itself row-by-row.
+    */
+  private val qTextBoilerplate = GQuery(
+    (s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          split(lower(col("text")), " ").as("tk"))
+        // size-1 guard: sequence(1, 0) counts DOWN (phantom index under ANSI)
+        .withColumn("bgs", when(size(col("tk")) >= 2,
+          expr("""transform(sequence(1, size(tk) - 1),
+                    i -> concat(element_at(tk, i), ' ',
+                                element_at(tk, i + 1)))"""))
+          .otherwise(array().cast("array<string>")))
+      val pos = base.select(col("doc_id"), col("source"),
+        explode(col("bgs")).as("bg"))
+        .localCheckpoint(true) // feeds the df agg AND the mark-back join
+      val boiler = pos.groupBy("source", "bg")
+        .agg(countDistinct("doc_id").as("df"))
+        .filter(col("df") >= 5)
+        .select(col("source"), col("bg"), lit(1L).as("bo"))
+      pos.join(boiler, Seq("source", "bg"), "left")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1L)).as("n_sh"),
+          sum(coalesce(col("bo"), lit(0L))).as("n_boiler"))
+        .withColumn("boiler_ppm", expr("n_boiler * 1000000 div n_sh"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, source, string_split(lower(text), ' ') AS tk
+              FROM documents),
+            pos AS (
+              SELECT doc_id, source,
+                     unnest(list_transform(generate_series(1, len(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i + 1])) AS bg
+              FROM toks),
+            boiler AS (
+              SELECT source, bg
+              FROM pos GROUP BY 1, 2
+              HAVING count(DISTINCT doc_id) >= 5),
+            per AS (
+              SELECT p.doc_id, p.source,
+                     CAST(count(*) AS BIGINT) AS n_sh,
+                     CAST(sum(CASE WHEN b.bg IS NOT NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_boiler
+              FROM pos p
+              LEFT JOIN boiler b ON b.source = p.source AND b.bg = p.bg
+              GROUP BY 1, 2)
+            SELECT doc_id, source, n_sh, n_boiler,
+                   CAST(n_boiler * 1000000 // n_sh AS BIGINT) AS boiler_ppm
+            FROM per ORDER BY doc_id"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_text_boilerplate" -> qTextBoilerplate,
     "q_vocab_chao1" -> qVocabChao1,
     "q_vocab_coverage" -> qVocabCoverage,
     "q_text_keyness" -> qTextKeyness,

@@ -1696,7 +1696,110 @@ object DedupOps extends QueryModule {
                      * 1000000 // sum(cnt) AS BIGINT) AS crossdoc_ppm
             FROM g GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------- Bloom membership --
+
+  /** Bloom-filter incremental exact-dedup — the constant-memory membership
+    * rung UNDER the band-index (q_dedup_incremental keys history by LSH
+    * band; when the question is only "seen this exact payload before?", a
+    * Bloom bitmap of the history keys answers it in m bits with a
+    * measurable false-positive rate and zero misses). k = 4 positions per
+    * key from the 4 disjoint 4-hex-char slices of one md5 (the one-digest
+    * multi-hash trick, q_dedup_minhash precedent), bitmap held as a
+    * DISTINCT (m, position) table. Probes docs ≥ 400 against history
+    * < 400 and sweeps m ∈ {1024, 4096, 16384}, emitting per m the maybe
+    * count, the exact-dup truth, the false positives, and fp_ppm among
+    * true negatives — the sizing curve (fp ≈ (1−e^(−kn/m))^k) read off
+    * real data, next to bits_set as the fill gauge.
+    *
+    * Scale: history collapses to ≤ m distinct positions (map-combinable
+    * distinct), broadcastable at any history size — the probe join never
+    * shuffles the corpus; appends union new positions in without
+    * rescanning history (band-index economics). The exact-truth side is
+    * the audit anchor that drops at 100 TB, leaving filter + probe.
+    */
+  private val qDedupBloom = GQuery(
+    (s, d) => {
+      val ms = s.createDataFrame(Seq(Tuple1(1024L), Tuple1(4096L),
+        Tuple1(16384L))).toDF("m")
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .localCheckpoint(true) // feeds history bitmap, probes, and exact truth
+      val posArr = array((0 to 3).map(j =>
+        conv(substring(col("h"), j * 4 + 1, 4), 16, 10).cast("long")): _*)
+      val hist = docs.filter(col("doc_id") < 400)
+      val bits = hist.crossJoin(broadcast(ms))
+        .select(col("m"), explode(posArr).as("raw"))
+        .select(col("m"), pmod(col("raw"), col("m")).as("p"))
+        .distinct()
+        .localCheckpoint(true) // feeds the probe join AND the fill gauge
+      val fill = bits.groupBy("m").agg(count(lit(1L)).as("bits_set"))
+      val probes = docs.filter(col("doc_id") >= 400)
+        .crossJoin(broadcast(ms))
+        .select(col("doc_id"), col("h"), col("m"), explode(posArr).as("raw"))
+        .select(col("doc_id"), col("h"), col("m"),
+          pmod(col("raw"), col("m")).as("p"))
+      val perDoc = probes
+        .join(bits.withColumn("hit", lit(1L)), Seq("m", "p"), "left")
+        .groupBy("doc_id", "h", "m")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      val exact = hist.select(col("h")).distinct()
+        .withColumn("isdup", lit(1L))
+      perDoc.join(exact, Seq("h"), "left")
+        .select(col("m"), (col("hits") === 4).cast("long").as("maybe"),
+          coalesce(col("isdup"), lit(0L)).as("isdup"))
+        .groupBy("m")
+        .agg(count(lit(1L)).as("n_incoming"),
+          sum("maybe").as("n_maybe"),
+          sum("isdup").as("n_exact"),
+          sum(col("maybe") * (lit(1L) - col("isdup"))).as("n_fp"))
+        .join(fill, Seq("m"))
+        .withColumn("fp_ppm",
+          expr("n_fp * 1000000 div (n_incoming - n_exact)"))
+        .select(col("m"), col("n_incoming"), col("n_maybe"), col("n_exact"),
+          col("n_fp"), col("fp_ppm"), col("bits_set"))
+        .orderBy("m")
+    },
+    Some {
+      val pos = duckHex4("substr(h, off, 4)")
+      s"""WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+            js AS (SELECT unnest([1, 5, 9, 13]) AS off),
+            ms AS (SELECT CAST(unnest([1024, 4096, 16384]) AS BIGINT) AS m),
+            hist AS (SELECT * FROM d WHERE doc_id < 400),
+            bits AS (
+              SELECT DISTINCT ms.m, $pos % ms.m AS p
+              FROM hist, js, ms),
+            fill AS (SELECT m, CAST(count(*) AS BIGINT) AS bits_set
+                     FROM bits GROUP BY 1),
+            probes AS (
+              SELECT doc_id, h, ms.m, $pos % ms.m AS p
+              FROM d, js, ms WHERE doc_id >= 400),
+            perdoc AS (
+              SELECT pr.doc_id, pr.h, pr.m,
+                     sum(CASE WHEN b.p IS NOT NULL THEN 1 ELSE 0 END) AS hits
+              FROM probes pr
+              LEFT JOIN bits b ON b.m = pr.m AND b.p = pr.p
+              GROUP BY 1, 2, 3),
+            ex AS (SELECT DISTINCT h FROM hist),
+            flagged AS (
+              SELECT pd.m,
+                     CASE WHEN pd.hits = 4 THEN 1 ELSE 0 END AS maybe,
+                     CASE WHEN ex.h IS NOT NULL THEN 1 ELSE 0 END AS isdup
+              FROM perdoc pd LEFT JOIN ex ON ex.h = pd.h),
+            agg AS (
+              SELECT m, CAST(count(*) AS BIGINT) AS n_incoming,
+                     CAST(sum(maybe) AS BIGINT) AS n_maybe,
+                     CAST(sum(isdup) AS BIGINT) AS n_exact,
+                     CAST(sum(maybe * (1 - isdup)) AS BIGINT) AS n_fp
+              FROM flagged GROUP BY 1)
+            SELECT agg.m, n_incoming, n_maybe, n_exact, n_fp,
+                   CAST(n_fp * 1000000 // (n_incoming - n_exact) AS BIGINT)
+                     AS fp_ppm,
+                   bits_set
+            FROM agg JOIN fill ON fill.m = agg.m ORDER BY agg.m"""
+    })
+
   override val queries: Map[String, GQuery] = Map(
+    "q_dedup_bloom" -> qDedupBloom,
     "q_corpus_dedup_curve" -> qCorpusDedupCurve,
     "q_dedup_cdc" -> qDedupCdc,
     "q_corpus_novelty" -> qCorpusNovelty,
