@@ -13048,7 +13048,130 @@ object AnalyticsOps extends QueryModule {
             JOIN sizes sb ON sb.et = m.et_b
             ORDER BY m.et_a, m.et_b"""))
 
+  // ------------------------------------------------- median imputation --
+
+  /** Median imputation with a missingness audit — the feature-prep step
+    * every training table needs before a model that can't take NULLs:
+    * rows with pmod(event_id, 7) = 0 play the deterministic missing set
+    * (the synthetic table carries no real NULLs; the MECHANISM is what's
+    * under test), the fill value is the per-type EXACT lower-median of
+    * observed values (cents grid, never an fp percentile), and the output
+    * is the per-type audit row — n, n_missing, the imputation value, and
+    * the observed vs post-impute means — the drift check that catches an
+    * imputation silently moving a feature's distribution.
+    *
+    * Scale: observed values collapse to a (type, cents) grid before any
+    * window; the cumulative-count window and the min-v-past-threshold
+    * selection run on grid rows (wquantile economics — value-domain-sized,
+    * not corpus-sized); means are exact BIGINT dot products of the same
+    * grid. One corpus pass total.
+    */
+  private val qFeatureImpute = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val ev = t(s, d, "events")
+        .select(col("event_type").as("et"), cents.as("v"),
+          (pmod(col("event_id"), lit(7)) === 0).as("miss"))
+        .localCheckpoint(true) // feeds the grid AND the missing counts
+      val grid = ev.filter(!col("miss"))
+        .groupBy("et", "v").agg(count(lit(1L)).as("cnt"))
+      val wCum = Window.partitionBy("et").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val obs = grid.groupBy("et")
+        .agg(sum("cnt").as("n_obs"), sum(col("v") * col("cnt")).as("sv"))
+      val med = grid.withColumn("cum", sum("cnt").over(wCum))
+        .join(obs, "et")
+        .filter(col("cum") >= expr("(n_obs + 1) div 2"))
+        .groupBy("et").agg(min("v").as("med_cents"))
+      val miss = ev.groupBy("et")
+        .agg(count(lit(1L)).as("n"),
+          sum(col("miss").cast("long")).as("n_missing"))
+      miss.join(obs, "et").join(med, "et")
+        .select(col("et").as("event_type"), col("n"), col("n_missing"),
+          col("med_cents"),
+          expr("sv div n_obs").as("mean_obs_cents"),
+          expr("(sv + n_missing * med_cents) div n").as("mean_imputed_cents"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (
+              SELECT event_type AS et,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+                     event_id % 7 = 0 AS miss
+              FROM events),
+            grid AS (
+              SELECT et, v, CAST(count(*) AS BIGINT) AS cnt
+              FROM ev WHERE NOT miss GROUP BY 1, 2),
+            obs AS (
+              SELECT et, CAST(sum(cnt) AS BIGINT) AS n_obs,
+                     CAST(sum(v * cnt) AS BIGINT) AS sv
+              FROM grid GROUP BY 1),
+            med AS (
+              SELECT g.et, CAST(min(g.v) AS BIGINT) AS med_cents
+              FROM (SELECT et, v, sum(cnt) OVER (PARTITION BY et ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum
+                    FROM grid) g
+              JOIN obs ON obs.et = g.et
+              WHERE g.cum >= (obs.n_obs + 1) // 2
+              GROUP BY 1),
+            miss AS (
+              SELECT et, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN miss THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_missing
+              FROM ev GROUP BY 1)
+            SELECT miss.et AS event_type, n, n_missing, med_cents,
+                   CAST(sv // n_obs AS BIGINT) AS mean_obs_cents,
+                   CAST((sv + n_missing * med_cents) // n AS BIGINT)
+                     AS mean_imputed_cents
+            FROM miss
+            JOIN obs ON obs.et = miss.et
+            JOIN med ON med.et = miss.et
+            ORDER BY event_type"""))
+
+  // ------------------------------------------------ hashed feature cross --
+
+  /** Hashing-trick feature cross — the recommender staple that folds the
+    * cartesian (event_type × user-bucket) categorical product into a fixed
+    * 64-dim feature space (the dimensionality a model can take stays
+    * BOUNDED no matter how many raw categories appear): bucket =
+    * hex4(md5(cross key)) mod 64, the portable hash. Emits the per-bucket
+    * load table — rows landing in the bucket, DISTINCT raw pairs sharing
+    * it, and the collision flag — the sizing readout that tells you when
+    * m is too small for the cross's cardinality (here 500 pairs over 64
+    * buckets: every bucket collides by design, the gauge shows how hard).
+    *
+    * Scale: one map-side-combinable agg keyed on the 64-value bucket —
+    * perfectly balanced by construction (that's what the hash is for);
+    * countDistinct partials are bounded by pairs-per-bucket. The raw
+    * cross NEVER materializes as a join — the hash composes per row.
+    */
+  private val qFeatureHashedCross = GQuery(
+    (s, d) => {
+      import graft.operators.DedupOps.hex4
+      val ck = concat_ws("|", col("event_type"), pmod(col("user_id"), lit(100)))
+      t(s, d, "events")
+        .select(ck.as("ck"))
+        .withColumn("bucket", pmod(hex4(col("ck")), lit(64)))
+        .groupBy("bucket")
+        .agg(count(lit(1L)).as("n_rows"),
+          countDistinct("ck").as("n_pairs"))
+        .withColumn("collides", col("n_pairs") > 1)
+        .orderBy("bucket")
+    },
+    Some {
+      val h4 = graft.operators.DedupOps.duckHex4("md5(ck)")
+      s"""WITH base AS (
+              SELECT event_type || '|' || CAST(user_id % 100 AS VARCHAR) AS ck
+              FROM events)
+            SELECT CAST($h4 % 64 AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT ck) AS BIGINT) AS n_pairs,
+                   count(DISTINCT ck) > 1 AS collides
+            FROM base GROUP BY 1 ORDER BY 1"""
+    })
+
   val queries: Map[String, GQuery] = Map(
+    "q_feature_impute" -> qFeatureImpute,
+    "q_feature_hashed_cross" -> qFeatureHashedCross,
     "q_events_overlap_approx" -> qEventsOverlapApprox,
     "q_events_absorption" -> qEventsAbsorption,
     "q_stats_mediation" -> qStatsMediation,
