@@ -1095,4 +1095,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(wb.contains("Window") && !wb.contains("TakeOrdered"),
       wb.take(3000))
   }
+
+  test("round-8f shapes: broadcast bloom probes, keyed mark-back joins, " +
+    "grid medians, join-free hashed cross") {
+    // q_dedup_bloom: the bitmap and the m-sweep are broadcast-scale; the
+    // probe must never degenerate to a cartesian of probes × positions
+    // (the 3-row m-sweep BNLJ is the sanctioned broadcast crossJoin)
+    val bl = plan("q_dedup_bloom")
+    assert(!bl.contains("CartesianProduct"), bl.take(3000))
+    assert(bl.contains("ExistingRDD"), // checkpointed key table reused 3×
+      bl.take(3000))
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(bl).nonEmpty, bl.take(3000))
+    // q_text_boilerplate: the mark-back is a KEYED join of positions to the
+    // boiler set — no cartesian; positions come off the checkpoint, so the
+    // documents parquet is not rescanned inside the query plan
+    val bp = plan("q_text_boilerplate")
+    assert(!bp.contains("CartesianProduct")
+      && !bp.contains("BroadcastNestedLoopJoin"), bp.take(3000))
+    assert(bp.contains("ExistingRDD"), bp.take(3000))
+    // q_feature_impute: the median is a grid cumsum window + min-selection —
+    // the only Sort feeds the (type, cents) grid window, never a corpus
+    // sort, and no TakeOrdered materializes rows
+    val im = plan("q_feature_impute")
+    assert(im.contains("Window") && !im.contains("TakeOrdered"),
+      im.take(3000))
+    assert(!im.contains("CartesianProduct"), im.take(3000))
+    // q_feature_hashed_cross: one map-combinable agg chain — the raw
+    // categorical cross NEVER materializes as a join of any kind
+    val hc = plan("q_feature_hashed_cross")
+    assert(!hc.contains("Join"), hc.take(3000))
+    assert(hc.contains("HashAggregate"), hc.take(3000))
+    // q_events_overlap_approx: signature pair join + audit joins are all
+    // keyed — no cartesian anywhere despite the pairwise output
+    val ov = plan("q_events_overlap_approx")
+    assert(!ov.contains("CartesianProduct"), ov.take(3000))
+  }
 }
