@@ -13169,7 +13169,184 @@ object AnalyticsOps extends QueryModule {
             FROM base GROUP BY 1 ORDER BY 1"""
     })
 
+  // ------------------------------------------------ Yule-Walker AR(2) --
+
+  /** AR(2) fit by Yule-Walker / Levinson-Durbin on the daily revenue
+    * series — the parametric member of the forecasting family (snaive
+    * copies, holt smooths, kalman filters; AR(2) MODELS the lag structure
+    * q_ts_autocorr only reads out): r₁, r₂ are the same exact-moment
+    * pairwise ACF estimates the autocorr query emits (DECIMAL(38) sums,
+    * one dround at the edge — quantize once), and the order-2 recursion
+    * composes on the SNAPPED values (partialcorr double-snap rule):
+    * φ₂ = (r₂ − r₁²)/(1 − r₁²), φ₁ = r₁(1 − φ₂), innovation-variance
+    * ratio σ²/c₀ = (1 − φ₁r₁ − φ₂r₂). φ₂ is simultaneously PACF(2) —
+    * the "does lag 2 add anything" readout.
+    *
+    * Scale: autocorr economics — the corpus collapses to the ≤ #days
+    * grid before the lag window; moments are one grid agg; everything
+    * after is a 2-row pivot. |r₁| = 1 after snapping (constant series)
+    * nulls the fit rather than dividing by zero.
+    */
+  private val qTsAr2 = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val daily = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), cents.as("v"))
+        .groupBy("day").agg(sum("v").as("x"))
+      val w = Window.orderBy("day")
+      val lagged = daily.select(col("x"),
+        lag("x", 1).over(w).as("x_1"), lag("x", 2).over(w).as("x_2"))
+      val stacked = lagged
+        .selectExpr("x", "stack(2, 1, x_1, 2, x_2) AS (k, xl)")
+        .filter(col("xl").isNotNull)
+      val st = stacked.groupBy("k").agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("xl").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("xl") * col("xl")).cast("decimal(38,0)")).as("syy"),
+        sum((col("x") * col("xl")).cast("decimal(38,0)")).as("sxy"))
+      val dxx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      val dyy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+      val dxy = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+      val acf = st.select(col("k"), col("n"),
+        when(dxx > 0 && dyy > 0, dround(dxy / sqrt(dxx * dyy), 6)).as("r"))
+      val wide = acf.agg(
+        max(when(col("k") === 1, col("n"))).as("n1"),
+        max(when(col("k") === 1, col("r"))).as("r1"),
+        max(when(col("k") === 2, col("r"))).as("r2"))
+      wide
+        .withColumn("phi2", when(abs(col("r1")) < 1,
+          dround((col("r2") - col("r1") * col("r1")) /
+            (lit(1.0) - col("r1") * col("r1")), 6)))
+        .withColumn("phi1", dround(col("r1") * (lit(1.0) - col("phi2")), 6))
+        .withColumn("sigma_ratio", dround(lit(1.0) - col("phi1") * col("r1")
+          - col("phi2") * col("r2"), 6))
+        .select(col("n1"), col("r1"), col("r2"), col("phi1"), col("phi2"),
+          col("sigma_ratio"))
+    },
+    Some("""WITH daily AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                     sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                       AS x
+              FROM events GROUP BY 1),
+            lagged AS (
+              SELECT x, lag(x, 1) OVER (ORDER BY day) AS x_1,
+                        lag(x, 2) OVER (ORDER BY day) AS x_2
+              FROM daily),
+            stacked AS (
+              SELECT lagged.x, t.k, t.xl
+              FROM lagged, LATERAL (VALUES (1, x_1), (2, x_2)) AS t(k, xl)
+              WHERE t.xl IS NOT NULL),
+            st AS (
+              SELECT k, CAST(count(*) AS BIGINT) AS n,
+                     sum(x) AS sx, sum(xl) AS sy,
+                     sum(x * x) AS sxx, sum(xl * xl) AS syy,
+                     sum(x * xl) AS sxy
+              FROM stacked GROUP BY 1),
+            acf AS (
+              SELECT k, n,
+                     CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                           AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+                       THEN CAST(round(CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                * CAST(n * syy - sy * sy AS DOUBLE))
+                         AS DECIMAL(30,8)), 6) AS DOUBLE) END AS r
+              FROM st),
+            wide AS (
+              SELECT max(CASE WHEN k = 1 THEN n END) AS n1,
+                     max(CASE WHEN k = 1 THEN r END) AS r1,
+                     max(CASE WHEN k = 2 THEN r END) AS r2
+              FROM acf),
+            fit AS (
+              SELECT n1, r1, r2,
+                     CASE WHEN abs(r1) < 1 THEN
+                       CAST(round(CAST((r2 - r1 * r1) / (1 - r1 * r1)
+                         AS DECIMAL(30,8)), 6) AS DOUBLE) END AS phi2
+              FROM wide),
+            fit2 AS (
+              SELECT n1, r1, r2, phi2,
+                     CAST(round(CAST(r1 * (1 - phi2) AS DECIMAL(30,8)), 6)
+                       AS DOUBLE) AS phi1
+              FROM fit)
+            SELECT n1, r1, r2, phi1, phi2,
+                   CAST(round(CAST(1 - phi1 * r1 - phi2 * r2
+                     AS DECIMAL(30,8)), 6) AS DOUBLE) AS sigma_ratio
+            FROM fit2"""))
+
+  // -------------------------------------------- data-constrained epochs --
+
+  /** Repeat-epoch planning under a token budget — the data-constrained
+    * scaling step (Muennighoff et al.: repeating data beyond ~4 epochs
+    * buys almost nothing, so cap repeats and SURFACE the shortfall
+    * instead of silently over-repeating): targets follow the
+    * q_corpus_temperature √-smoothed mix over a budget of 5× total corpus
+    * tokens (big enough that low-resource languages hit the cap — both
+    * branches of the planner are live); per language epochs = ⌈target/available⌉ capped at 4,
+    * served = min(target, epochs·available), shortfall = target − served
+    * (the signal to go collect more of that language, not loop it a 9th
+    * time). All exact integer ppm/div arithmetic.
+    *
+    * Scale: corpus_mix economics — one map-combinable per-lang agg, then
+    * |langs|-row planning arithmetic on broadcast totals; the plan table
+    * is what a downstream weighted sampler (q_sample_weighted) consumes.
+    */
+  private val qCorpusEpochs = GQuery(
+    (s, d) => {
+      val langs = t(s, d, "documents")
+        .select(col("lang"), size(split(col("text"), " ")).cast("long")
+          .as("ntok"))
+        .groupBy("lang").agg(sum("ntok").as("avail"))
+      val tot = langs.agg(sum("avail").as("tt"))
+      val base = langs.crossJoin(broadcast(tot))
+        .withColumn("sq",
+          floor(sqrt(col("avail").cast("double"))).cast("long"))
+      val st = base.agg(sum("sq").as("st"))
+      base.crossJoin(broadcast(st))
+        .withColumn("w_ppm", expr("sq * 1000000 div st"))
+        .withColumn("target", expr("(5 * tt * w_ppm) div 1000000"))
+        .withColumn("epochs",
+          least(lit(4L), expr("(target + avail - 1) div avail")))
+        .withColumn("served",
+          least(col("target"), col("epochs") * col("avail")))
+        .withColumn("shortfall", col("target") - col("served"))
+        .select(col("lang"), col("avail"), col("w_ppm"), col("target"),
+          col("epochs"), col("served"), col("shortfall"))
+        .orderBy("lang")
+    },
+    Some("""WITH langs AS (
+              SELECT lang,
+                     CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS avail
+              FROM documents GROUP BY 1),
+            tot AS (SELECT CAST(sum(avail) AS BIGINT) AS tt FROM langs),
+            base AS (
+              SELECT lang, avail, tt,
+                     CAST(floor(sqrt(CAST(avail AS DOUBLE))) AS BIGINT) AS sq
+              FROM langs, tot),
+            st AS (SELECT CAST(sum(sq) AS BIGINT) AS st FROM base),
+            plan AS (
+              SELECT lang, avail,
+                     CAST(sq * 1000000 // st.st AS BIGINT) AS w_ppm,
+                     CAST((5 * tt * (sq * 1000000 // st.st)) // 1000000
+                       AS BIGINT) AS target
+              FROM base, st),
+            ep AS (
+              SELECT lang, avail, w_ppm, target,
+                     CAST(least(4, (target + avail - 1) // avail) AS BIGINT)
+                       AS epochs
+              FROM plan),
+            sv AS (
+              SELECT lang, avail, w_ppm, target, epochs,
+                     CAST(least(target, epochs * avail) AS BIGINT) AS served
+              FROM ep)
+            SELECT lang, avail, w_ppm, target, epochs, served,
+                   CAST(target - served AS BIGINT) AS shortfall
+            FROM sv ORDER BY lang"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_ts_ar2" -> qTsAr2,
+    "q_corpus_epochs" -> qCorpusEpochs,
     "q_feature_impute" -> qFeatureImpute,
     "q_feature_hashed_cross" -> qFeatureHashedCross,
     "q_events_overlap_approx" -> qEventsOverlapApprox,
