@@ -13344,7 +13344,89 @@ object AnalyticsOps extends QueryModule {
                    CAST(target - served AS BIGINT) AS shortfall
             FROM sv ORDER BY lang"""))
 
+  // -------------------------------------------- interpolated quantiles --
+
+  /** Interpolated (percentile_cont-style) quantiles, EXACT — the continuous
+    * twin of the disc/weighted family (q_agg_wquantile selects an order
+    * statistic; the linear-interpolation definition engines disagree on at
+    * the ulp level becomes hash-stable by doing the interpolation in
+    * integer micro-cents): 0-based real rank (n−1)·p/100 splits into
+    * k = centi-rank div 100 and an exact ppm fraction; the value is
+    * x_k·(10⁶−f) + x_{k+1}·f in micro-cents — no double ever enters.
+    * p ∈ {50, 90, 99} per event type.
+    *
+    * Scale: wquantile economics — values collapse to the (type, cents)
+    * grid with a grid-sized cumulative window; the rank lookups join SIX
+    * constant rows per type against the grid (min-v-past-threshold
+    * selection), never sorting corpus rows.
+    */
+  private val qAggQuantileCont = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val grid = t(s, d, "events")
+        .select(col("event_type").as("et"), cents.as("v"))
+        .groupBy("et", "v").agg(count(lit(1L)).as("cnt"))
+        .localCheckpoint(true) // feeds n, and both rank lookups
+      val wCum = Window.partitionBy("et").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = grid.withColumn("cum", sum("cnt").over(wCum))
+        .localCheckpoint(true)
+      val n = grid.groupBy("et").agg(sum("cnt").as("n"))
+      val ps = s.createDataFrame(Seq(Tuple1(50L), Tuple1(90L), Tuple1(99L)))
+        .toDF("p")
+      val ranks = n.crossJoin(broadcast(ps))
+        .withColumn("pos_centi", (col("n") - 1) * col("p"))
+        .withColumn("k", expr("pos_centi div 100"))
+        .withColumn("f_ppm", expr("(pos_centi % 100) * 10000"))
+      def at(rank: Column, as: String) =
+        cum.join(ranks.select(col("et"), col("p"), rank.as("r")), Seq("et"))
+          .filter(col("cum") >= col("r") + 1)
+          .groupBy("et", "p").agg(min("v").as(as))
+      val lo = at(col("k"), "x_lo")
+      val hi = at(least(col("k") + 1, col("n") - 1), "x_hi")
+      ranks.join(lo, Seq("et", "p")).join(hi, Seq("et", "p"))
+        .select(col("et").as("event_type"), col("p"), col("n"),
+          col("x_lo"), col("x_hi"),
+          (col("x_lo") * (lit(1000000L) - col("f_ppm"))
+            + col("x_hi") * col("f_ppm")).as("q_micro_cents"))
+        .orderBy("event_type", "p")
+    },
+    Some("""WITH grid AS (
+              SELECT event_type AS et,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1, 2),
+            cum AS (
+              SELECT et, v, sum(cnt) OVER (PARTITION BY et ORDER BY v
+                ROWS UNBOUNDED PRECEDING) AS cum
+              FROM grid),
+            n AS (SELECT et, CAST(sum(cnt) AS BIGINT) AS n
+                  FROM grid GROUP BY 1),
+            ranks AS (
+              SELECT et, n, p,
+                     (n - 1) * p AS pos_centi,
+                     (n - 1) * p // 100 AS k,
+                     ((n - 1) * p % 100) * 10000 AS f_ppm
+              FROM n, (SELECT unnest([50, 90, 99]) AS p)),
+            lo AS (
+              SELECT r.et, r.p, CAST(min(c.v) AS BIGINT) AS x_lo
+              FROM ranks r JOIN cum c ON c.et = r.et
+              WHERE c.cum >= r.k + 1 GROUP BY 1, 2),
+            hi AS (
+              SELECT r.et, r.p, CAST(min(c.v) AS BIGINT) AS x_hi
+              FROM ranks r JOIN cum c ON c.et = r.et
+              WHERE c.cum >= least(r.k + 1, r.n - 1) + 1 GROUP BY 1, 2)
+            SELECT ranks.et AS event_type, CAST(ranks.p AS BIGINT) AS p,
+                   ranks.n, x_lo, x_hi,
+                   CAST(x_lo * (1000000 - f_ppm) + x_hi * f_ppm AS BIGINT)
+                     AS q_micro_cents
+            FROM ranks
+            JOIN lo ON lo.et = ranks.et AND lo.p = ranks.p
+            JOIN hi ON hi.et = ranks.et AND hi.p = ranks.p
+            ORDER BY event_type, p"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_agg_quantile_cont" -> qAggQuantileCont,
     "q_ts_ar2" -> qTsAr2,
     "q_corpus_epochs" -> qCorpusEpochs,
     "q_feature_impute" -> qFeatureImpute,
