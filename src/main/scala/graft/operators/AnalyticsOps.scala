@@ -13425,7 +13425,81 @@ object AnalyticsOps extends QueryModule {
             JOIN hi ON hi.et = ranks.et AND hi.p = ranks.p
             ORDER BY event_type, p"""))
 
+  // ---------------------------------------------- capture-recapture --
+
+  /** Chapman capture-recapture population estimate — the coverage question
+    * every incomplete-observation pipeline asks ("how many users/entities
+    * exist, given we only see samples?"): the users PURCHASING on the
+    * first and last observed days are the two sparse captures (a daily
+    * activity table would saturate — everyone appears in any half-window;
+    * one day's purchasers is a genuine sample), and the overlap rate
+    * estimates the unseen mass: N̂ = (n₁+1)(n₂+1) div (m+1) − 1 (Chapman's
+    * bias-corrected form, exact integer div). The synthetic table lets the
+    * TRUTH ride on the same row — actual distinct users and the estimate's
+    * signed ppm error — so the estimator is gauged, not trusted.
+    *
+    * Scale: two distinct-collapse aggs + one user-keyed overlap count on
+    * the collapsed capture tables — growth-accounting economics; no
+    * event-row joins. Captures are calendar-derived, so the split is
+    * append-stable.
+    */
+  private val qStatsCaptureRecapture = GQuery(
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+        .localCheckpoint(true) // feeds both captures AND the truth
+      val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
+      val cap = ev.crossJoin(broadcast(bounds))
+        .filter(col("event_type") === "purchase" &&
+          (col("day") === col("d0") || col("day") === col("d1")))
+        .select(col("user_id"), (col("day") === col("d0")).as("first_cap"))
+        .distinct()
+        .localCheckpoint(true) // feeds n1, n2, and the overlap
+      val n1 = cap.filter(col("first_cap")).agg(
+        countDistinct("user_id").as("n1"))
+      val n2 = cap.filter(!col("first_cap")).agg(
+        countDistinct("user_id").as("n2"))
+      val m = cap.groupBy("user_id")
+        .agg(countDistinct("first_cap").as("caps"))
+        .filter(col("caps") === 2)
+        .agg(count(lit(1L)).as("m"))
+      val truth = ev.agg(countDistinct("user_id").as("n_true"))
+      n1.crossJoin(n2).crossJoin(m).crossJoin(truth)
+        .withColumn("n_hat",
+          expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1"))
+        .withColumn("err_ppm",
+          expr("(n_hat - n_true) * 1000000 div n_true"))
+        .select(col("n1"), col("n2"), col("m"), col("n_hat"),
+          col("n_true"), col("err_ppm"))
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, event_type,
+                     CAST(date_trunc('day', ts) AS DATE) AS day
+              FROM events),
+            bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+            cap AS (
+              SELECT DISTINCT user_id, day = d0 AS first_cap
+              FROM ev, bounds
+              WHERE event_type = 'purchase' AND (day = d0 OR day = d1)),
+            n1 AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n1
+                   FROM cap WHERE first_cap),
+            n2 AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n2
+                   FROM cap WHERE NOT first_cap),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM (
+                    SELECT user_id FROM cap
+                    GROUP BY 1 HAVING count(DISTINCT first_cap) = 2)),
+            truth AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_true
+                      FROM ev)
+            SELECT n1, n2, m,
+                   CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT)
+                     AS n_hat,
+                   n_true,
+                   CAST(((n1 + 1) * (n2 + 1) // (m + 1) - 1 - n_true)
+                     * 1000000 // n_true AS BIGINT) AS err_ppm
+            FROM n1, n2, m, truth"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_stats_capture_recapture" -> qStatsCaptureRecapture,
     "q_agg_quantile_cont" -> qAggQuantileCont,
     "q_ts_ar2" -> qTsAr2,
     "q_corpus_epochs" -> qCorpusEpochs,
