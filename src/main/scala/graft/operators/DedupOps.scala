@@ -1753,8 +1753,11 @@ object DedupOps extends QueryModule {
           sum("isdup").as("n_exact"),
           sum(col("maybe") * (lit(1L) - col("isdup"))).as("n_fp"))
         .join(fill, Seq("m"))
+        // all-dup incoming batch ⇒ zero true negatives — fp rate undefined
+        // (null), never a div-by-zero ANSI abort (q_corpus_temperature rule)
         .withColumn("fp_ppm",
-          expr("n_fp * 1000000 div (n_incoming - n_exact)"))
+          when(col("n_incoming") > col("n_exact"),
+            expr("n_fp * 1000000 div (n_incoming - n_exact)")))
         .select(col("m"), col("n_incoming"), col("n_maybe"), col("n_exact"),
           col("n_fp"), col("fp_ppm"), col("bits_set"))
         .orderBy("m")
@@ -1792,8 +1795,9 @@ object DedupOps extends QueryModule {
                      CAST(sum(maybe * (1 - isdup)) AS BIGINT) AS n_fp
               FROM flagged GROUP BY 1)
             SELECT agg.m, n_incoming, n_maybe, n_exact, n_fp,
-                   CAST(n_fp * 1000000 // (n_incoming - n_exact) AS BIGINT)
-                     AS fp_ppm,
+                   CAST(CASE WHEN n_incoming > n_exact
+                     THEN n_fp * 1000000 // (n_incoming - n_exact) END
+                     AS BIGINT) AS fp_ppm,
                    bits_set
             FROM agg JOIN fill ON fill.m = agg.m ORDER BY agg.m"""
     })
