@@ -1530,10 +1530,20 @@ object DedupOps extends QueryModule {
     */
   private val qDedupCdc = GQuery(
     (s, d) => {
-      val base = t(s, d, "documents")
+      // THREE materialization barriers, not a style choice: CollapseProject
+      // merges withColumn chains, so a lambda referencing `th`/`b` would
+      // otherwise capture the full EXPRESSION and re-evaluate it per element
+      // (the HOF-capture invariant) — the rolling-hash filter then recomputes
+      // every token's md5 for every window position and the chunking goes
+      // cubic in doc length (observed: one 9-minute task at sf0.1).
+      // Checkpointed, `th` and `b` are attribute reads and the pass is
+      // linear per doc.
+      val hashed = t(s, d, "documents")
         .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
         .withColumn("l", size(col("toks")))
         .withColumn("th", transform(col("toks"), tk => hex4(tk)))
+        .localCheckpoint(true) // th materialized: one md5 per token, ever
+      val bounds = hashed
         .withColumn("cuts", expr("""
           filter(IF(l >= 9, sequence(2, l - 7), CAST(array() AS ARRAY<INT>)),
             i -> aggregate(sequence(0, 7), CAST(0 AS BIGINT),
@@ -1541,8 +1551,10 @@ object DedupOps extends QueryModule {
                      * element_at(array(1L, 31L, 961L, 29791L, 923521L,
                          28629151L, 887503681L, 27512614111L), k + 1))
                  % 1048576 % 16 = 0)"""))
-        .withColumn("b", expr(
-          "array_sort(array_union(array(1, l + 1), cuts))"))
+        .select(col("doc_id"), col("toks"), col("l"),
+          expr("array_sort(array_union(array(1, l + 1), cuts))").as("b"))
+        .localCheckpoint(true) // b materialized before the chunk lambda
+      val base = bounds
         .withColumn("chunks", expr("""
           transform(sequence(1, size(b) - 1),
             j -> named_struct('start', element_at(b, j),
