@@ -2646,6 +2646,9 @@ object TextOps extends QueryModule {
       val base = t(s, d, "documents")
         .select(col("doc_id"), col("source"),
           split(lower(col("text")), " ").as("tk"))
+        // barrier: the bigram lambda references tk — unmaterialized, the
+        // split() would re-run per element (HOF-capture invariant)
+        .localCheckpoint(true)
         // size-1 guard: sequence(1, 0) counts DOWN (phantom index under ANSI)
         .withColumn("bgs", when(size(col("tk")) >= 2,
           expr("""transform(sequence(1, size(tk) - 1),
