@@ -2693,7 +2693,68 @@ object TextOps extends QueryModule {
                    CAST(n_boiler * 1000000 // n_sh AS BIGINT) AS boiler_ppm
             FROM per ORDER BY doc_id"""))
 
+  // ------------------------------------------------ prefix (autocomplete) --
+
+  /** Prefix-completion index build — the autocomplete/search-suggest
+    * artifact: for every token prefix of length 1–3, the total mass under
+    * the prefix, the branching factor (distinct completions), and the
+    * top completion (count desc, token asc — the min-of-(−count, token)
+    * struct trick makes argmax deterministic and engine-portable). This
+    * is the batch index a typeahead service loads; the same shape at
+    * character depth k is the trie level k.
+    *
+    * Scale: the corpus collapses to the vocab table first (map-combinable);
+    * the ×3 prefix explode runs on VOCAB rows, not corpus rows, and the
+    * (plen, prefix) agg keys are Zipf-bounded — vocab economics all the
+    * way; no windows, no joins.
+    */
+  private val qVocabPrefix = GQuery(
+    (s, d) => {
+      val vocab = t(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1L)).as("c"))
+      vocab
+        .select(col("token"), col("c"),
+          explode(expr("sequence(1, 3)")).as("pl"))
+        .filter(length(col("token")) >= col("pl"))
+        .select(col("pl").cast("long").as("plen"),
+          expr("substring(token, 1, pl)").as("prefix"),
+          col("token"), col("c"))
+        .groupBy("plen", "prefix")
+        .agg(countDistinct("token").as("n_completions"),
+          sum("c").as("total"),
+          min(struct((-col("c")).as("nc"), col("token").as("tok")))
+            .as("m"))
+        .select(col("plen"), col("prefix"), col("n_completions"),
+          col("total"), col("m.tok").as("top_token"),
+          (-col("m.nc")).as("top_c"))
+        .orderBy("plen", "prefix")
+    },
+    Some("""WITH vocab AS (
+              SELECT unnest(string_split(lower(text), ' ')) AS token
+              FROM documents),
+            vc AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS c
+              FROM vocab GROUP BY 1),
+            pfx AS (
+              SELECT CAST(pl AS BIGINT) AS plen,
+                     substr(token, 1, CAST(pl AS INT)) AS prefix,
+                     token, c
+              FROM vc, (SELECT unnest([1, 2, 3]) AS pl)
+              WHERE len(token) >= pl),
+            agg AS (
+              SELECT plen, prefix,
+                     CAST(count(DISTINCT token) AS BIGINT) AS n_completions,
+                     CAST(sum(c) AS BIGINT) AS total,
+                     min(struct_pack(nc := -c, tok := token)) AS m
+              FROM pfx GROUP BY 1, 2)
+            SELECT plen, prefix, n_completions, total,
+                   struct_extract(m, 'tok') AS top_token,
+                   CAST(-struct_extract(m, 'nc') AS BIGINT) AS top_c
+            FROM agg ORDER BY plen, prefix"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_vocab_prefix" -> qVocabPrefix,
     "q_text_boilerplate" -> qTextBoilerplate,
     "q_vocab_chao1" -> qVocabChao1,
     "q_vocab_coverage" -> qVocabCoverage,

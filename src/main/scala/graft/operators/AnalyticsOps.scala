@@ -13498,7 +13498,74 @@ object AnalyticsOps extends QueryModule {
                      * 1000000 // n_true AS BIGINT) AS err_ppm
             FROM n1, n2, m, truth"""))
 
+  // ---------------------------------------------- consecutive-day streaks --
+
+  /** Consecutive-day activity streaks — the retention metric gamified
+    * products anchor on ("7-day streak"): gaps-and-islands on the CALENDAR
+    * axis (q_events_gaps islands the event_id sequence space; here the
+    * island key is day − row_number·1d, constant exactly while days are
+    * consecutive). Emits per user the longest streak, the streak count,
+    * active-day total, and whether the longest streak reaches the final
+    * observed day (a "streak alive at cutoff" flag — the push-notification
+    * trigger).
+    *
+    * Scale: the corpus collapses to DISTINCT (user, day) before any window
+    * (≤ users × days rows); the row_number partitions by user over that
+    * collapsed table — sessionize economics, no event-row sorts.
+    */
+  private val qEventsStreaks = GQuery(
+    (s, d) => {
+      val ud = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .localCheckpoint(true) // feeds the window AND the global max day
+      val gmax = ud.agg(max("day").as("gd"))
+      val wU = Window.partitionBy("user_id").orderBy("day")
+      val isl = ud
+        .withColumn("rn", row_number().over(wU))
+        .withColumn("isl", expr("date_sub(day, rn)"))
+        .groupBy("user_id", "isl")
+        .agg(count(lit(1L)).as("len"), max("day").as("isl_end"))
+      isl.groupBy("user_id")
+        .agg(max("len").as("longest_streak"),
+          count(lit(1L)).as("n_streaks"),
+          sum("len").as("active_days"),
+          max(struct(col("len"), col("isl_end"))).as("top"))
+        .crossJoin(broadcast(gmax))
+        .select(col("user_id"), col("longest_streak"), col("n_streaks"),
+          col("active_days"),
+          (col("top.isl_end") === col("gd")).as("longest_alive"))
+        .orderBy("user_id")
+    },
+    Some("""WITH ud AS (
+              SELECT DISTINCT user_id,
+                     CAST(date_trunc('day', ts) AS DATE) AS day
+              FROM events),
+            g AS (SELECT max(day) AS gd FROM ud),
+            isl AS (
+              SELECT user_id,
+                     day - CAST(row_number() OVER (PARTITION BY user_id
+                       ORDER BY day) AS INT) AS isl,
+                     day
+              FROM ud),
+            runs AS (
+              SELECT user_id, isl, CAST(count(*) AS BIGINT) AS len,
+                     max(day) AS isl_end
+              FROM isl GROUP BY 1, 2),
+            per AS (
+              SELECT user_id,
+                     max(len) AS longest_streak,
+                     CAST(count(*) AS BIGINT) AS n_streaks,
+                     CAST(sum(len) AS BIGINT) AS active_days,
+                     max(struct_pack(len := len, isl_end := isl_end))
+                       AS top
+              FROM runs GROUP BY 1)
+            SELECT user_id, longest_streak, n_streaks, active_days,
+                   struct_extract(top, 'isl_end') = g.gd AS longest_alive
+            FROM per, g ORDER BY user_id"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_events_streaks" -> qEventsStreaks,
     "q_stats_capture_recapture" -> qStatsCaptureRecapture,
     "q_agg_quantile_cont" -> qAggQuantileCont,
     "q_ts_ar2" -> qTsAr2,
