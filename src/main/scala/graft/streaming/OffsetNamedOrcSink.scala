@@ -1416,6 +1416,68 @@ object OffsetNamedOrcSink {
     deleted
   }
 
+  /** Orphan-file vacuum — the object-store hygiene pass every lake table
+    * runs (Delta VACUUM / Iceberg remove_orphan_files): remove debris a
+    * crashed or interrupted writer left behind, without ever touching
+    * crash-recovery evidence. Removed:
+    *   - `.spark-staging-*` / `_temporary` dirs at any level (dynamic
+    *     overwrite's job staging; recovery never reads them — replay
+    *     rewrites the batch — so after a crash they are dead weight);
+    *   - files inside a `partition=` leaf whose name is not the committed
+    *     `<topic>+<p>+<chunk>[+t<bucket>][-N].orc` shape FOR THAT leaf
+    *     (foreign topic prefixes, `part-*` strays, tool droppings);
+    *   - non-hidden stray files at layout levels (data never lives there);
+    *   - non-protocol subdirectories inside a leaf.
+    * NEVER removed: `_graft_*` markers (`_graft_inflight` IS the crash
+    * evidence — deleting it disables recovery), `_chunk=` staging dirs
+    * (the next read/write hoists them), and any other `_`/`.`-prefixed
+    * entry (`_SUCCESS`, hidden files). Like compactTo/expire, not safe
+    * concurrent with an active writer. Returns the removed paths — one
+    * driver-side list bounded by orphan count, never data-sized.
+    */
+  def vacuumOrphans(spark: SparkSession, topicDir: String): Seq[String] = {
+    val fs = FileSystem.get(new java.net.URI(topicDir),
+      spark.sparkContext.hadoopConfiguration)
+    val root = new Path(topicDir)
+    if (!fs.exists(root)) return Nil
+    val topic = root.getName
+    val committedRe =
+      ("^" + java.util.regex.Pattern.quote(fileTopic(topic)) +
+        raw"\+(\d+)\+\d+(?:\+t-?\d+)?(?:-\d+)?\.orc$$").r
+    val removed = Seq.newBuilder[String]
+    def del(p: Path, recursive: Boolean): Unit =
+      if (fs.delete(p, recursive)) removed += p.toString
+    def isStagingDir(n: String) =
+      n.startsWith(".spark-staging") || n == "_temporary"
+    def walkLeaf(pDir: Path, p: String): Unit =
+      listDir(fs, pDir).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) {
+          if (isStagingDir(n)) del(st.getPath, recursive = true)
+          else if (n.startsWith(s"$ChunkCol=")) () // recovery evidence
+          else if (!n.startsWith(".") && !n.startsWith("_"))
+            del(st.getPath, recursive = true)
+        } else n match {
+          case committedRe(fp) if fp == p => ()
+          case _ if n.startsWith("_") || n.startsWith(".") => ()
+          case _ => del(st.getPath, recursive = false)
+        }
+      }
+    def walk(dir: Path): Unit =
+      listDir(fs, dir).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) {
+          if (isStagingDir(n)) del(st.getPath, recursive = true)
+          else if (n.startsWith("partition="))
+            walkLeaf(st.getPath, n.stripPrefix("partition="))
+          else if (!n.startsWith(".") && !n.startsWith("_")) walk(st.getPath)
+        } else if (!n.startsWith("_") && !n.startsWith("."))
+          del(st.getPath, recursive = false) // stray data file at a layout level
+      }
+    walk(root)
+    removed.result()
+  }
+
   /** Keyed erasure — the GDPR/CCPA right-to-be-forgotten delete every lake
     * table needs: drop all rows where `predicate` is TRUE, rewriting ONLY
     * the chunks that hold such rows. Untouched chunks are never read for

@@ -1306,4 +1306,47 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
     assert(asOf.inputFiles.length * 2 <=
       OffsetNamedOrcSink.read(spark, compacted).inputFiles.length)
   }
+
+  test("vacuumOrphans removes writer debris, never data or crash evidence") {
+    val out = freshOut()
+    val topicDir = OffsetNamedOrcSink.write(shaped, out, flushSize = 250)
+    val before = OffsetNamedOrcSink.read(spark, topicDir).count()
+    val root = new java.io.File(topicDir)
+    def mk(rel: String): java.io.File = {
+      val f = new java.io.File(root, rel)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, "junk".getBytes)
+      f
+    }
+    // debris a crashed writer / stray tooling leaves behind
+    val staging = mk(".spark-staging-8f2c/part-00000.orc").getParentFile
+    val tmpDir = mk("partition=0/_temporary/0/task.orc")
+      .getParentFile.getParentFile
+    val strayLeaf = mk("partition=0/part-00003-uuid.orc")
+    val foreign = mk("partition=0/other+0+0000000000.orc")
+    val wrongPart = mk("partition=0/events+3+0000000000.orc")
+    val strayRoot = mk("stray.orc")
+    // crash evidence + protocol metadata — vacuum must keep ALL of these
+    val chunkDir = new java.io.File(root, s"partition=0/_chunk=9999")
+    chunkDir.mkdirs()
+    leaveInflightMarker(out) // out/topics/events == topicDir
+    val success = mk("_SUCCESS_like") // underscore-prefixed: kept
+    val removed = OffsetNamedOrcSink.vacuumOrphans(spark, topicDir)
+    val removedNames = removed.map(p => new java.io.File(p).getName).toSet
+    assert(removedNames == Set(".spark-staging-8f2c", "_temporary",
+      strayLeaf.getName, foreign.getName, wrongPart.getName,
+      strayRoot.getName), removedNames.toString)
+    assert(!staging.exists && !tmpDir.exists && !strayLeaf.exists
+      && !foreign.exists && !wrongPart.exists && !strayRoot.exists)
+    assert(chunkDir.exists, "recovery staging dir must survive vacuum")
+    assert(new java.io.File(root, "_graft_inflight").exists,
+      "crash evidence must survive vacuum")
+    assert(success.exists)
+    assert(new java.io.File(root, "_graft_sink.conf").exists)
+    // committed data intact: same rows read back (read() also performs the
+    // marker-gated recovery for the fake marker — harmless no-op walk)
+    assert(OffsetNamedOrcSink.read(spark, topicDir).count() == before)
+    // idempotent: a second vacuum finds nothing
+    assert(OffsetNamedOrcSink.vacuumOrphans(spark, topicDir).isEmpty)
+  }
 }
