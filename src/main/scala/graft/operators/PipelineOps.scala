@@ -602,6 +602,60 @@ object PipelineOps extends QueryModule {
             FROM events WHERE NOT user_id % 5 = 2
             GROUP BY 1 ORDER BY route"""))
 
+  /** Orphan vacuum through the sink — the query twin of
+    * OffsetNamedOrcSink.vacuumOrphans (Delta VACUUM / Iceberg
+    * remove_orphan_files): the memoized artifact writes the topic, injects
+    * the three debris classes a crashed writer leaves (a `.spark-staging-*`
+    * job dir, a stray `part-*` file INSIDE a partition leaf, a
+    * `_temporary` attempt dir), vacuums, and asserts exactly those three
+    * were removed and a re-vacuum finds nothing (idempotence). The emitted
+    * rows are the read-back per-partition counts/offset spans/chunk counts
+    * — and they are the vacuum's evidence, not just a smoke read: the
+    * injected stray .orc holds junk bytes, so an UNVACUUMED dir fails the
+    * read outright (the sink reads every .orc under the tree); only a
+    * correct vacuum makes this query return the oracle's clean numbers.
+    *
+    * Scale: vacuum walks the directory tree (a declared maintenance
+    * listing, like compact/expire); removal list is driver-side, bounded
+    * by debris count, never data-sized.
+    */
+  private val qPipelineVacuum = GQuery(
+    (s, d) => {
+      val topicDir = writtenDirs.computeIfAbsent(s"vacuumsink|$d", _ => {
+        val out = Files.createTempDirectory("graft-vacuumsink-").toString
+        val dir = graft.streaming.OffsetNamedOrcSink.write(
+          graft.sources.KafkaShaped.fromEvents(s, d), out, flushSize = 1000)
+        val root = new java.io.File(dir)
+        def mk(rel: String): Unit = {
+          val f = new java.io.File(root, rel)
+          f.getParentFile.mkdirs()
+          java.nio.file.Files.write(f.toPath, "junk".getBytes)
+          ()
+        }
+        mk(".spark-staging-dead/part-00000.orc")
+        mk("partition=0/part-00000-dead.orc")
+        mk("partition=0/_temporary/0/task.orc")
+        val removed = graft.streaming.OffsetNamedOrcSink.vacuumOrphans(s, dir)
+        require(removed.size == 3,
+          s"vacuum removed ${removed.size} entries, expected the 3 injected: $removed")
+        require(graft.streaming.OffsetNamedOrcSink.vacuumOrphans(s, dir).isEmpty,
+          "vacuum is not idempotent")
+        dir
+      })
+      graft.streaming.OffsetNamedOrcSink.read(s, topicDir)
+        .groupBy(col("partition").cast("int").as("route"))
+        .agg(count(lit(1)).as("n"),
+          min("offset").as("lo"), max("offset").as("hi"),
+          countDistinct(col("_chunk")).as("n_chunks"))
+        .orderBy("route")
+    },
+    Some("""SELECT CAST(user_id % 4 AS INT) AS route,
+                   CAST(count(*) AS BIGINT) AS n,
+                   min(event_id) AS lo, max(event_id) AS hi,
+                   CAST(count(DISTINCT event_id // 1000) AS BIGINT)
+                     AS n_chunks
+            FROM events GROUP BY 1 ORDER BY route"""))
+
   private val qExpireRetention = GQuery(
     (s, d) => {
       val topicDir = writtenDirs.computeIfAbsent(s"expiresink|$d", _ => {
@@ -1206,6 +1260,7 @@ object PipelineOps extends QueryModule {
     "q_schema_evolution" -> qSchemaEvolution,
     "q_compact_roundtrip" -> qCompactRoundtrip,
     "q_delete_keyed" -> qDeleteKeyed,
+    "q_pipeline_vacuum" -> qPipelineVacuum,
     "q_expire_retention" -> qExpireRetention,
     "q_partition_time" -> qPartitionTime,
     "q_partition_field" -> qPartitionField,
