@@ -1131,4 +1131,34 @@ class PlanShapeSpec extends SparkSpec {
     val ov = plan("q_events_overlap_approx")
     assert(!ov.contains("CartesianProduct"), ov.take(3000))
   }
+
+  test("round-8g shapes: grid rank selections, vocab-row explodes, " +
+    "day-collapsed streak windows") {
+    // q_agg_quantile_cont: rank lookups are min-past-threshold selections
+    // on the CHECKPOINTED (type, cents) cum grid (the Window ran once at
+    // checkpoint time — the plan reads ExistingRDD); no TakeOrdered and no
+    // corpus-row sort materializes in the query itself
+    val qc = plan("q_agg_quantile_cont")
+    assert(qc.contains("ExistingRDD") && !qc.contains("TakeOrdered"),
+      qc.take(3000))
+    assert(!qc.contains("CartesianProduct"), qc.take(3000))
+    // q_events_streaks: the row_number partitions by user over the DISTINCT
+    // (user, day) collapse — a HashAggregate (the distinct) must sit below
+    // the Window, and no self-join exists at all
+    val st = plan("q_events_streaks")
+    assert(st.contains("Window") && st.contains("HashAggregate"),
+      st.take(3000))
+    assert(!st.contains("SortMergeJoin") || !st.contains("CartesianProduct"),
+      st.take(3000))
+    // q_vocab_prefix: pure agg pipeline — the argmax is an agg (min of a
+    // struct), never a window, and no join of any kind appears
+    val vp = plan("q_vocab_prefix")
+    assert(!vp.contains("Join") && !vp.contains("Window"), vp.take(3000))
+    // q_ts_ar2 / q_stats_capture_recapture: constant-size composition on
+    // collapsed grids — no cartesian beyond broadcast-literal crossJoins
+    for (q <- Seq("q_ts_ar2", "q_stats_capture_recapture")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n" + p.take(3000))
+    }
+  }
 }

@@ -358,4 +358,50 @@ class PropertySpec extends SparkSpec {
       assert(r.getLong(4) <= r.getLong(1), r.toString)
     }
   }
+
+  test("round-8f invariants: quantile order, streak arithmetic, " +
+    "bloom containment, prefix mass conservation") {
+    // interpolated quantiles are monotone in p and sit inside [lo, hi]
+    val qc = SparkEntry.queries("q_agg_quantile_cont")(spark, sf).collect()
+      .groupBy(_.getString(0))
+    qc.values.foreach { rows =>
+      val byP = rows.sortBy(_.getLong(1))
+      val qs = byP.map(_.getLong(5))
+      assert(qs.zip(qs.tail).forall { case (a, b) => a <= b },
+        byP.mkString(" | "))
+      byP.foreach { r =>
+        val (lo, hi, q) = (r.getLong(3), r.getLong(4), r.getLong(5))
+        assert(lo * 1000000L <= q && q <= hi * 1000000L, r.toString)
+      }
+    }
+    // streaks: longest ≤ active days; islands partition the active days
+    val st = SparkEntry.queries("q_events_streaks")(spark, sf).collect()
+    st.foreach { r =>
+      val (longest, nStreaks, active) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(longest >= 1L && longest <= active, r.toString)
+      assert(nStreaks >= 1L && longest * nStreaks >= active,
+        r.toString) // the longest bounds every island's length
+    }
+    // bloom: maybe-count dominates exact dups (no false negatives, ever);
+    // fp count shrinks (weakly) as m grows; fill ≤ m
+    val bl = SparkEntry.queries("q_dedup_bloom")(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    bl.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(3), r.toString) // n_maybe ≥ n_exact
+      assert(r.getLong(6) <= r.getLong(0), r.toString) // bits_set ≤ m
+    }
+    val fps = bl.map(_.getLong(4))
+    assert(fps.zip(fps.tail).forall { case (a, b) => a >= b },
+      fps.mkString(","))
+    // prefix index: length-1 prefixes partition the whole vocab mass —
+    // their totals sum to the corpus token count; top_c ≤ total per prefix
+    val vp = SparkEntry.queries("q_vocab_prefix")(spark, sf).collect()
+    val l1 = vp.filter(_.getLong(0) == 1L)
+    val tokens = graft.Tables(spark, sf, "documents")
+      .select(explode(split(lower(col("text")), " "))).count()
+    assert(l1.map(_.getLong(3)).sum == tokens,
+      s"${l1.map(_.getLong(3)).sum} != $tokens")
+    vp.foreach(r => assert(r.getLong(5) <= r.getLong(3), r.toString))
+  }
 }
