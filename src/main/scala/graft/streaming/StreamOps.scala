@@ -113,6 +113,51 @@ object StreamOps {
           })
   }
 
+  /** Bounded-MEMORY approximate dedup — the third rung of the dedup-state
+    * ladder: [[dedupStream]] keeps a flag per key (state grows with key
+    * cardinality), [[dedupStreamExpiring]] bounds it by a TTL window, and
+    * this variant bounds it ABSOLUTELY: one m-bit Bloom bitmap per shard,
+    * so state is shards·m/8 bytes for the query's lifetime at ANY key
+    * cardinality — the streaming twin of q_dedup_bloom, with the same k=4
+    * positions from one md5's disjoint hex slices (a batch-built filter
+    * could seed the stream's state). Zero false negatives — a true
+    * duplicate never passes; a false positive silently DROPS a fresh
+    * record at the fp rate the batch twin's m-sweep measures — the trade
+    * dedup-at-ingest accepts when the key space outgrows any per-key
+    * store. Records fold in offset order within a (shard, batch), so
+    * admission is deterministic and replay-stable.
+    */
+  def bloomDedupStream(shaped: DataFrame, mBits: Int = 1 << 16,
+      shards: Int = 16): Dataset[DedupedEvent] = {
+    require(mBits > 0 && mBits % 64 == 0, s"mBits=$mBits: need a multiple of 64")
+    val spark = shaped.sparkSession
+    import spark.implicits._
+    shaped
+      .select(col("value.uid").as("uid"), col("value.etype").as("etype"),
+        col("offset"))
+      .as[DedupedEvent]
+      .groupByKey(e => math.floorMod(e.uid, shards))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Int, rows: Iterator[DedupedEvent],
+            state: GroupState[Array[Long]]) => {
+          val bits = state.getOption.getOrElse(new Array[Long](mBits / 64))
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val out = Vector.newBuilder[DedupedEvent]
+          rows.toSeq.sortBy(_.offset).foreach { e =>
+            val hex = md.digest(s"${e.uid}|${e.etype}".getBytes("UTF-8"))
+              .take(8).map(b => f"$b%02x").mkString
+            val ps = (0 until 4).map(j =>
+              Integer.parseInt(hex.substring(j * 4, j * 4 + 4), 16) % mBits)
+            if (!ps.forall(p => ((bits(p >> 6) >>> (p & 63)) & 1L) == 1L)) {
+              ps.foreach(p => bits(p >> 6) |= 1L << (p & 63))
+              out += e
+            }
+          }
+          state.update(bits)
+          out.result().iterator
+        })
+  }
+
   /** A per-user feature snapshot after a micro-batch (streaming PIT twin). */
   final case class FeatureSnapshot(
       uid: Int, n_events: Long, spend_cents: Long, last_etype: String)

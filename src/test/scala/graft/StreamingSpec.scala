@@ -74,6 +74,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloom dedup stream: constant-size state drops cross-batch dups") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Int, Long, Int, Double, String)]
+    val q = StreamOps.bloomDedupStream(shapedStream(mem))
+      .writeStream.format("memory").queryName("bloomdedup_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: (1,a) twice + (2,b) — the in-batch dup drops, offset order
+      // decides the survivor
+      mem.addData((1, 0L, 0, 1.0, "a"), (1, 1L, 1, 1.0, "a"),
+        (2, 2L, 2, 1.0, "b"))
+      q.processAllAvailable()
+      // batch 2: both old keys replayed (cross-batch dups) + one new key
+      mem.addData((1, 3L, 3, 1.0, "a"), (2, 4L, 4, 1.0, "b"),
+        (3, 5L, 5, 1.0, "c"))
+      q.processAllAvailable()
+      val out = spark.table("bloomdedup_test").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+      // first sighting of each key and nothing else (m=65536, 3 keys — the
+      // fp probability is (3·4/65536)^4 ≈ 1e-15, and the data is fixed, so
+      // this assert is deterministic)
+      assert(out == Set((1, "a", 0L), (2, "b", 2L), (3, "c", 5L)), out)
+    } finally q.stop()
+  }
+
   test("session windows split on the 30-minute gap") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Int, Long, Int, Double, String)]
