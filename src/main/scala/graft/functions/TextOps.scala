@@ -2396,11 +2396,12 @@ object TextOps extends QueryModule {
     * BEFORE ln sees a zero).
     *
     * Scale: one (source, word) agg + a word-keyed join to word totals +
-    * broadcast source totals; the per-source top-3 window partitions on
-    * source over vocab-sized (not corpus-sized) rows — the bm25 salted
-    * two-level top-k is the drop-in if one source's vocab outgrows a
-    * task. a·N products cross 2⁶³ around 10¹⁸ token-pairs — DECIMAL(38)
-    * widening applies (corrmatrix rule).
+    * broadcast source totals; the per-source top-3 runs SALTED two-level
+    * (the bm25/sample_balanced shape — local top-3 within (source, salt)
+    * cells, then the global top-3 over ≤ 24 survivors per source), so no
+    * source-sized single-task sort exists at any vocab size. a·N products
+    * cross 2⁶³ around 10¹⁸ token-pairs — DECIMAL(38) widening applies
+    * (corrmatrix rule).
     */
   private val qTextKeyness = GQuery(
     (s, d) => {
@@ -2428,9 +2429,19 @@ object TextOps extends QueryModule {
         .filter(col("lra") > 0)
         .withColumn("g2_micro",
           (col("a") * col("lra") + col("b") * col("lrb")) * 2)
+      // salted two-level top-3 (the bm25/sample_balanced shape): the local
+      // rank bounds any one task to 1/8 of a source's vocab, so a source
+      // whose vocab outgrows a task never serializes a single-task sort;
+      // the global top-3 provably survives every salt cell's top-3
+      val wLocal = Window
+        .partitionBy(col("source"), pmod(crc32(col("w")), lit(8)))
+        .orderBy(col("g2_micro").desc, col("w").asc)
       val wTop = Window.partitionBy("source")
         .orderBy(col("g2_micro").desc, col("w").asc)
-      scored.withColumn("rk", row_number().over(wTop))
+      scored
+        .withColumn("lrk", row_number().over(wLocal))
+        .filter(col("lrk") <= 3)
+        .withColumn("rk", row_number().over(wTop))
         .filter(col("rk") <= 3)
         .select(col("source"), col("w").as("word"), col("a"), col("b"),
           col("g2_micro"), col("rk").cast("long").as("rk"))

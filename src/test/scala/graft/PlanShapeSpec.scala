@@ -1160,5 +1160,11 @@ class PlanShapeSpec extends SparkSpec {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n" + p.take(3000))
     }
+    // q_text_keyness: the per-source top-3 runs salted two-level — TWO
+    // Window nodes, the first partitioned by (source, salt), so no
+    // source-sized single-task sort survives in the plan
+    val kn = plan("q_text_keyness")
+    assert("Window".r.findAllIn(kn).size >= 2, kn.take(3000))
+    assert(kn.contains("crc32"), kn.take(3000)) // the salt reaches the plan
   }
 }
