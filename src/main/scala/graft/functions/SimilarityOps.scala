@@ -132,6 +132,137 @@ object SimilarityOps extends QueryModule {
             SELECT p_id, n_id, cos FROM scored
             WHERE cos >= 0.25 ORDER BY p_id, n_id"""))
 
+  /** Radius search through the IVF rung — the scale path q_knn_radius's
+    * scaladoc names (the brute pass is the truth anchor; at 100 TB a
+    * threshold query visits BUCKETS, not the corpus): SRP 8-bit codes
+    * (q_knn_lsh's deterministic plane matrix), probes visit their own
+    * bucket plus all Hamming-≤2 neighbors (37 codes — the multiprobe
+    * dial; Hamming-1 measured 7–67% recall on this corpus, ≤2 buys the
+    * usable range while still pruning most buckets), exact cosine ≥ θ
+    * only on the candidates. Emits per probe the
+    * candidate count (the cost actually paid), matches found, the exact
+    * radius truth, and recall_ppm — the threshold-query twin of
+    * q_knn_join_recall's gauge discipline.
+    *
+    * Scale: code assignment map-only; candidates from a code-keyed hash
+    * join (broadcast probe-code table — 9 rows per probe); the brute truth
+    * side is the sanctioned sample-only gauge that drops at scale.
+    */
+  private val qKnnRadiusIvf = GQuery(
+    (s, d) => {
+      val signs = Array.tabulate(8, 64) { (k, i) =>
+        val x = (k * 1000003L + i * 7919L) * 2654435761L
+        if (((x >>> 16) & 1L) == 0L) -1.0 else 1.0
+      }
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .withColumn("nrm", norm(col("emb")))
+      val code = (0 until 8).map { k =>
+        val hk = array(signs(k).map(v => lit(v)): _*)
+        when(dround(dot(col("emb"), hk), 6) > 0d,
+          lit(1L << k)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val coded = emb.withColumn("code", code)
+        .localCheckpoint(true) // feeds probes, candidates, truth
+      val probes = coded.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("p_id"), col("emb").as("p_emb"),
+          col("nrm").as("p_nrm"), col("code").as("p_code"))
+      val masks = s.createDataFrame(
+        (Seq(0L) ++ (0 until 8).map(j => 1L << j) ++
+          (for (i <- 0 until 8; j <- i + 1 until 8)
+            yield (1L << i) | (1L << j))).map(Tuple1.apply))
+        .toDF("mask")
+      val pcodes = probes.crossJoin(broadcast(masks))
+        .select(col("p_id"), col("p_emb"), col("p_nrm"),
+          col("p_code").bitwiseXOR(col("mask")).as("v_code"))
+      val found = coded
+        .join(broadcast(pcodes),
+          col("code") === col("v_code") && col("vec_id") =!= col("p_id"))
+        .select(col("p_id"),
+          dround(dot(col("p_emb"), col("emb")) /
+            (col("p_nrm") * col("nrm")), 6).as("cos"))
+        .groupBy("p_id")
+        .agg(count(lit(1L)).as("n_cand"),
+          sum(when(col("cos") >= 0.25, 1L).otherwise(0L)).as("n_found"))
+      val truth = coded
+        .join(broadcast(probes.select(col("p_id"), col("p_emb").as("t_emb"),
+          col("p_nrm").as("t_nrm"))), col("vec_id") =!= col("p_id"))
+        .select(col("p_id"),
+          dround(dot(col("t_emb"), col("emb")) /
+            (col("t_nrm") * col("nrm")), 6).as("cos"))
+        .filter(col("cos") >= 0.25)
+        .groupBy("p_id").agg(count(lit(1L)).as("n_true"))
+      probes.select("p_id")
+        .join(found, Seq("p_id"), "left")
+        .join(truth, Seq("p_id"), "left")
+        .select(col("p_id"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("n_found"), lit(0L)).as("n_found"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"))
+        .withColumn("recall_ppm",
+          when(col("n_true") > 0, expr("n_found * 1000000 div n_true")))
+        .orderBy("p_id")
+    },
+    Some {
+      val signs = Array.tabulate(8, 64) { (k, i) =>
+        val x = (k * 1000003L + i * 7919L) * 2654435761L
+        if (((x >>> 16) & 1L) == 0L) -1.0 else 1.0
+      }
+      val codeSql = (0 until 8).map { k =>
+        val lst = signs(k).map(v => if (v < 0) "-1.0" else "1.0")
+          .mkString("[", ", ", "]")
+        s"""CASE WHEN CAST(round(CAST(list_dot_product(emb,
+            CAST($lst AS DOUBLE[])) AS DECIMAL(30,8)), 6) AS DOUBLE) > 0
+            THEN ${1L << k} ELSE 0 END"""
+      }.mkString(" + ")
+      s"""WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                   sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                     x -> x * x))) AS nrm
+            FROM embeddings),
+          coded AS (
+            SELECT vec_id, emb, nrm, CAST($codeSql AS BIGINT) AS code
+            FROM e),
+          probes AS (
+            SELECT vec_id AS p_id, emb AS p_emb, nrm AS p_nrm,
+                   code AS p_code
+            FROM coded WHERE vec_id < 5),
+          pcodes AS (
+            SELECT p_id, p_emb, p_nrm, xor(p_code, mask) AS v_code
+            FROM probes,
+              (SELECT CAST(unnest([0, 1, 2, 4, 8, 16, 32, 64, 128,
+                 3, 5, 9, 17, 33, 65, 129, 6, 10, 18, 34, 66, 130,
+                 12, 20, 36, 68, 132, 24, 40, 72, 136, 48, 80, 144,
+                 96, 160, 192]) AS BIGINT) AS mask)),
+          found AS (
+            SELECT p.p_id, CAST(count(*) AS BIGINT) AS n_cand,
+                   CAST(sum(CASE WHEN
+                     CAST(round(CAST(list_dot_product(p.p_emb, c.emb)
+                       / (p.p_nrm * c.nrm) AS DECIMAL(30,8)), 6) AS DOUBLE)
+                     >= 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_found
+            FROM coded c JOIN pcodes p
+              ON c.code = p.v_code AND c.vec_id <> p.p_id
+            GROUP BY 1),
+          truth AS (
+            SELECT p.p_id, CAST(count(*) AS BIGINT) AS n_true
+            FROM coded c JOIN probes p ON c.vec_id <> p.p_id
+            WHERE CAST(round(CAST(list_dot_product(p.p_emb, c.emb)
+                    / (p.p_nrm * c.nrm) AS DECIMAL(30,8)), 6) AS DOUBLE)
+                  >= 0.25
+            GROUP BY 1)
+          SELECT pr.p_id,
+                 coalesce(f.n_cand, 0) AS n_cand,
+                 coalesce(f.n_found, 0) AS n_found,
+                 coalesce(t.n_true, 0) AS n_true,
+                 CAST(CASE WHEN coalesce(t.n_true, 0) > 0
+                   THEN coalesce(f.n_found, 0) * 1000000 // t.n_true END
+                   AS BIGINT) AS recall_ppm
+          FROM probes pr
+          LEFT JOIN found f ON f.p_id = pr.p_id
+          LEFT JOIN truth t ON t.p_id = pr.p_id
+          ORDER BY pr.p_id"""
+    })
+
   /** Multimodal join: scalar document metadata × embedding vectors, arrays
     * summarized as (dims, rounded L2 norm) to stay hash-comparable.
     */
@@ -2626,6 +2757,7 @@ object SimilarityOps extends QueryModule {
     "q_knn_join_recall" -> qKnnJoinRecall,
     "q_embed_knn" -> qEmbedKnn,
     "q_knn_radius" -> qKnnRadius,
+    "q_knn_radius_ivf" -> qKnnRadiusIvf,
     "q_multimodal_join" -> qMultimodalJoin,
     "q_knn_ivf" -> qKnnIvf,
     "q_knn_ivf_multiprobe" -> qKnnIvfMultiprobe,
