@@ -13564,7 +13564,84 @@ object AnalyticsOps extends QueryModule {
                    struct_extract(top, 'isl_end') = g.gd AS longest_alive
             FROM per, g ORDER BY user_id"""))
 
+  // ------------------------------------------------ event-time disorder --
+
+  /** Late-arrival (event-time disorder) profile — the measurement that
+    * SIZES a watermark (`withWatermark("ts", ???)` is a guess until you
+    * know the disorder distribution; too small drops late rows, too big
+    * bloats every stateful operator): event_id is the arrival order
+    * (the synthetic stream's ingestion sequence), and a row's lateness is
+    * how far its event time sits behind the running event-time maximum at
+    * its arrival — exactly the gap a watermark must cover to admit it.
+    * The synthetic stream arrives perfectly in-order, so the late cohort
+    * is PLANTED deterministically (the q_feature_impute missingness rule —
+    * the MECHANISM is what's under test): rows with event_id ≡ 0 (mod 17)
+    * carry an event time 45 minutes older than their arrival slot.
+    * Emits per type the on-time count and the minute-bucketed lateness
+    * histogram top (≤0, ≤1, ≤5, ≤30, ≤120, >120 min) plus max lateness —
+    * read the smallest bucket covering your loss budget off the row.
+    *
+    * Scale: ONE type-partitioned running-max window over (type-bucketed)
+    * arrival order + a 6-cell-per-type agg — sessionize economics; the
+    * histogram is map-combinable. (A global arrival order would serialize;
+    * per-type order measures the same disorder when sources interleave.)
+    */
+  private val qEventsLateness = GQuery(
+    (s, d) => {
+      val wArr = Window.partitionBy("event_type").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val late = t(s, d, "events")
+        .select(col("event_type"), col("event_id"),
+          // UTC session tz == epoch_us; the mod-17 cohort is 45 min late
+          (unix_micros(col("ts")) -
+            when(pmod(col("event_id"), lit(17)) === 0, 2700000000L)
+              .otherwise(0L)).as("tsu"))
+        .withColumn("hi", max("tsu").over(wArr))
+        .withColumn("late_min", expr("(hi - tsu) div 60000000"))
+      late.groupBy("event_type")
+        .agg(count(lit(1L)).as("n"),
+          sum(when(col("late_min") <= 0, 1L).otherwise(0L)).as("ontime"),
+          sum(when(col("late_min") > 0 && col("late_min") <= 1, 1L)
+            .otherwise(0L)).as("late_1m"),
+          sum(when(col("late_min") > 1 && col("late_min") <= 5, 1L)
+            .otherwise(0L)).as("late_5m"),
+          sum(when(col("late_min") > 5 && col("late_min") <= 30, 1L)
+            .otherwise(0L)).as("late_30m"),
+          sum(when(col("late_min") > 30 && col("late_min") <= 120, 1L)
+            .otherwise(0L)).as("late_120m"),
+          sum(when(col("late_min") > 120, 1L).otherwise(0L)).as("late_over"),
+          max("late_min").as("max_late_min"))
+        .orderBy("event_type")
+    },
+    Some("""WITH eff AS (
+              SELECT event_type, event_id,
+                     epoch_us(ts) - CASE WHEN event_id % 17 = 0
+                       THEN 2700000000 ELSE 0 END AS tsu
+              FROM events),
+            late AS (
+              SELECT event_type,
+                     (max(tsu) OVER (PARTITION BY event_type
+                        ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+                      - tsu) // 60000000 AS late_min
+              FROM eff)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN late_min <= 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS ontime,
+                   CAST(sum(CASE WHEN late_min > 0 AND late_min <= 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS late_1m,
+                   CAST(sum(CASE WHEN late_min > 1 AND late_min <= 5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS late_5m,
+                   CAST(sum(CASE WHEN late_min > 5 AND late_min <= 30
+                     THEN 1 ELSE 0 END) AS BIGINT) AS late_30m,
+                   CAST(sum(CASE WHEN late_min > 30 AND late_min <= 120
+                     THEN 1 ELSE 0 END) AS BIGINT) AS late_120m,
+                   CAST(sum(CASE WHEN late_min > 120 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS late_over,
+                   CAST(max(late_min) AS BIGINT) AS max_late_min
+            FROM late GROUP BY 1 ORDER BY event_type"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_events_lateness" -> qEventsLateness,
     "q_events_streaks" -> qEventsStreaks,
     "q_stats_capture_recapture" -> qStatsCaptureRecapture,
     "q_agg_quantile_cont" -> qAggQuantileCont,
