@@ -13640,7 +13640,124 @@ object AnalyticsOps extends QueryModule {
                    CAST(max(late_min) AS BIGINT) AS max_late_min
             FROM late GROUP BY 1 ORDER BY event_type"""))
 
+  // ----------------------------------------------- padding-waste sweep --
+
+  /** Padding-waste policy sweep — the batching-efficiency readout next to
+    * q_pack_sequences' packer (packing eliminates padding by concatenation;
+    * when examples must stay intact, a batch pads to its longest member
+    * and the POLICY decides how much compute burns as pad tokens):
+    *   - `sorted`  — length-sorted batches of 32 within a language
+    *     (bucketed batching; near-equal lengths ⇒ minimal pad),
+    *   - `arrival` — md5-shuffled batches of 32 (the naive loader),
+    *   - `pow2`    — per-doc pad to the next power of two (the
+    *     shape-cache/compilation-friendly policy, batch-independent).
+    * Emits per (lang, policy) the real vs padded token totals and
+    * waste_ppm — read the sorted-vs-arrival gap as what length bucketing
+    * buys on this corpus. Exact integers throughout.
+    *
+    * Scale: both batch policies rank within LANG partitions (no global
+    * sort — the aspect-bucketing economics; a production loader shards
+    * then batches within shards, same shape); pow2 is a map-only range
+    * join vs an 11-row broadcast powers table.
+    */
+  private val qPackPadding = GQuery(
+    (s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+        .localCheckpoint(true) // feeds all three policies
+      def batched(w: org.apache.spark.sql.expressions.WindowSpec,
+          name: String) = base
+        .withColumn("rn", row_number().over(w))
+        .withColumn("batch", expr("(rn - 1) div 32"))
+        .groupBy("lang", "batch")
+        .agg(count(lit(1L)).as("bn"), sum("ntok").as("real"),
+          (max("ntok") * count(lit(1L))).as("padded"))
+        .groupBy("lang")
+        .agg(sum("bn").as("n_docs"), sum("real").as("real_tokens"),
+          sum("padded").as("padded_tokens"))
+        .withColumn("policy", lit(name))
+      val sorted = batched(Window.partitionBy("lang")
+        .orderBy(col("ntok").desc, col("doc_id")), "sorted")
+      val arrival = batched(Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id")), "arrival")
+      val powers = s.createDataFrame((0 to 11).map(i => Tuple1(1L << i)))
+        .toDF("p")
+      val pow2 = base.crossJoin(broadcast(powers))
+        .filter(col("p") >= col("ntok"))
+        .groupBy("lang", "doc_id", "ntok").agg(min("p").as("padded1"))
+        .groupBy("lang")
+        .agg(count(lit(1L)).as("n_docs"), sum("ntok").as("real_tokens"),
+          sum("padded1").as("padded_tokens"))
+        .withColumn("policy", lit("pow2"))
+      sorted.unionByName(arrival).unionByName(pow2)
+        .select(col("lang"), col("policy"), col("n_docs"),
+          col("real_tokens"), col("padded_tokens"),
+          expr("(padded_tokens - real_tokens) * 1000000 div padded_tokens")
+            .as("waste_ppm"))
+        .orderBy("lang", "policy")
+    },
+    Some("""WITH base AS (
+              SELECT lang, doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+              FROM documents),
+            srt AS (
+              SELECT lang, ntok,
+                     (row_number() OVER (PARTITION BY lang
+                        ORDER BY ntok DESC, doc_id) - 1) // 32 AS batch
+              FROM base),
+            srtb AS (
+              SELECT lang, batch, CAST(count(*) AS BIGINT) AS bn,
+                     CAST(sum(ntok) AS BIGINT) AS real,
+                     CAST(max(ntok) * count(*) AS BIGINT) AS padded
+              FROM srt GROUP BY 1, 2),
+            pol1 AS (
+              SELECT lang, 'sorted' AS policy,
+                     CAST(sum(bn) AS BIGINT) AS n_docs,
+                     CAST(sum(real) AS BIGINT) AS real_tokens,
+                     CAST(sum(padded) AS BIGINT) AS padded_tokens
+              FROM srtb GROUP BY 1),
+            arr AS (
+              SELECT lang, ntok,
+                     (row_number() OVER (PARTITION BY lang
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1)
+                       // 32 AS batch
+              FROM base),
+            arrb AS (
+              SELECT lang, batch, CAST(count(*) AS BIGINT) AS bn,
+                     CAST(sum(ntok) AS BIGINT) AS real,
+                     CAST(max(ntok) * count(*) AS BIGINT) AS padded
+              FROM arr GROUP BY 1, 2),
+            pol2 AS (
+              SELECT lang, 'arrival' AS policy,
+                     CAST(sum(bn) AS BIGINT) AS n_docs,
+                     CAST(sum(real) AS BIGINT) AS real_tokens,
+                     CAST(sum(padded) AS BIGINT) AS padded_tokens
+              FROM arrb GROUP BY 1),
+            p2 AS (
+              SELECT lang, b.doc_id, ntok,
+                     CAST(min(p) AS BIGINT) AS padded1
+              FROM base b,
+                (SELECT CAST(unnest([1, 2, 4, 8, 16, 32, 64, 128, 256, 512,
+                   1024, 2048]) AS BIGINT) AS p)
+              WHERE p >= ntok GROUP BY 1, 2, 3),
+            pol3 AS (
+              SELECT lang, 'pow2' AS policy,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(ntok) AS BIGINT) AS real_tokens,
+                     CAST(sum(padded1) AS BIGINT) AS padded_tokens
+              FROM p2 GROUP BY 1),
+            u AS (
+              SELECT * FROM pol1 UNION ALL
+              SELECT * FROM pol2 UNION ALL
+              SELECT * FROM pol3)
+            SELECT lang, policy, n_docs, real_tokens, padded_tokens,
+                   CAST((padded_tokens - real_tokens) * 1000000
+                     // padded_tokens AS BIGINT) AS waste_ppm
+            FROM u ORDER BY lang, policy"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_pack_padding" -> qPackPadding,
     "q_events_lateness" -> qEventsLateness,
     "q_events_streaks" -> qEventsStreaks,
     "q_stats_capture_recapture" -> qStatsCaptureRecapture,
