@@ -2764,7 +2764,122 @@ object TextOps extends QueryModule {
                    CAST(-struct_extract(m, 'nc') AS BIGINT) AS top_c
             FROM agg ORDER BY plen, prefix"""))
 
+  // --------------------------------------------------- Burrows' Delta --
+
+  /** Burrows' Delta — the authorship-attribution distance q_text_stylometry
+    * feeds (stylometry emits per-source features; Delta turns the
+    * most-frequent-word profile into a source×source DISTANCE): for the
+    * top-20 corpus words, each source's relative frequency (exact ppm)
+    * z-scores across sources — computed from exact integer moments
+    * (z = (n·f − S)/√(n·(n·Q − S²)), S = Σf, Q = Σf², all BIGINT — the
+    * degenerate-sd test n·Q = S² is exact, never an fp boundary), snapped
+    * once to micro units (keyness grid rule), and Delta(a,b) = Σ|z_a − z_b|
+    * over the shared word set — the exact-integer SUM orders identically
+    * to Burrows' mean because every pair shares the same surviving words.
+    * Emits the top-3 nearest neighbors per source — the "who writes like
+    * whom" readout.
+    *
+    * Scale: one (source, word) agg against a broadcast top-20 word list;
+    * the z table is |sources|×20; the pairwise stage runs on that tiny
+    * table (overlap-matrix economics — the corpus is never self-joined).
+    */
+  private val qTextBurrows = GQuery(
+    (s, d) => {
+      val sw = t(s, d, "documents")
+        .select(col("source"),
+          explode(split(lower(col("text")), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1L)).as("c"))
+        .localCheckpoint(true) // feeds totals, top words, and frequencies
+      val topW = sw.groupBy("w").agg(sum("c").as("tc"))
+        .orderBy(col("tc").desc, col("w").asc).limit(20)
+        .select(col("w"))
+      val st = sw.groupBy("source").agg(sum("c").as("ns"))
+      // relative frequency in exact ppm (integer div), 0 when absent
+      val f = st.crossJoin(broadcast(topW))
+        .join(sw, Seq("source", "w"), "left")
+        .select(col("source"), col("w"),
+          expr("coalesce(c, 0) * 1000000 div ns").as("f_ppm"))
+      val mom = f.groupBy("w").agg(count(lit(1L)).as("n"),
+        sum("f_ppm").as("sf"),
+        sum((col("f_ppm") * col("f_ppm")).cast("decimal(38,0)")).as("qf"))
+      // z in micro units off exact integer moments (keyness micro-grid
+      // rule); n·Q = S² is an EXACT degenerate-sd test, never fp
+      val z = f.join(mom, "w")
+        .filter(col("n").cast("decimal(38,0)") * col("qf") >
+          (col("sf") * col("sf")).cast("decimal(38,0)"))
+        .select(col("source"), col("w"),
+          round((col("n") * col("f_ppm") - col("sf")).cast("double") /
+            sqrt((col("n").cast("decimal(38,0)") * col("qf") -
+              (col("sf") * col("sf")).cast("decimal(38,0)"))
+              .cast("double") * col("n").cast("double")) * 1e6)
+            .cast("long").as("z_micro"))
+      // Delta as the exact SUM of |z_a − z_b| (all pairs share the same
+      // surviving word set, so the sum orders identically to the mean —
+      // no fp aggregation enters the ranking)
+      val delta = z.select(col("source").as("s_a"), col("w"), col("z_micro"))
+        .join(z.select(col("source").as("s_b"), col("w"),
+          col("z_micro").as("zb")), "w")
+        .filter(col("s_a") =!= col("s_b"))
+        .groupBy("s_a", "s_b")
+        .agg(count(lit(1L)).as("n_words"),
+          sum(abs(col("z_micro") - col("zb"))).as("delta_micro_sum"))
+      val wNear = Window.partitionBy("s_a")
+        .orderBy(col("delta_micro_sum").asc, col("s_b").asc)
+      delta.withColumn("rk", row_number().over(wNear))
+        .filter(col("rk") <= 3)
+        .select(col("s_a").as("source"), col("rk").cast("long").as("rk"),
+          col("s_b").as("neighbor"), col("n_words"),
+          col("delta_micro_sum"))
+        .orderBy("source", "rk")
+    },
+    Some("""WITH sw AS (
+              SELECT source, unnest(string_split(lower(text), ' ')) AS w
+              FROM documents),
+            swc AS (
+              SELECT source, w, CAST(count(*) AS BIGINT) AS c
+              FROM sw GROUP BY 1, 2),
+            topw AS (
+              SELECT w FROM (SELECT w, sum(c) AS tc FROM swc GROUP BY 1)
+              ORDER BY tc DESC, w LIMIT 20),
+            st AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns
+                   FROM swc GROUP BY 1),
+            f AS (
+              SELECT st.source, topw.w,
+                     CAST(coalesce(swc.c, 0) * 1000000 // st.ns AS BIGINT)
+                       AS f_ppm
+              FROM st CROSS JOIN topw
+              LEFT JOIN swc ON swc.source = st.source AND swc.w = topw.w),
+            mom AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(f_ppm) AS BIGINT) AS sf,
+                     sum(CAST(f_ppm AS HUGEINT) * f_ppm) AS qf
+              FROM f GROUP BY 1),
+            z AS (
+              SELECT source, f.w,
+                     CAST(round(CAST(n * f_ppm - sf AS DOUBLE)
+                       / sqrt(CAST(n * qf - CAST(sf AS HUGEINT) * sf
+                           AS DOUBLE) * CAST(n AS DOUBLE)) * 1e6)
+                       AS BIGINT) AS z_micro
+              FROM f JOIN mom ON mom.w = f.w
+              WHERE CAST(n AS HUGEINT) * qf > CAST(sf AS HUGEINT) * sf),
+            delta AS (
+              SELECT a.source AS s_a, b.source AS s_b,
+                     CAST(count(*) AS BIGINT) AS n_words,
+                     CAST(sum(abs(a.z_micro - b.z_micro)) AS BIGINT)
+                       AS delta_micro_sum
+              FROM z a JOIN z b ON a.w = b.w AND a.source <> b.source
+              GROUP BY 1, 2),
+            rk AS (
+              SELECT s_a, s_b, n_words, delta_micro_sum,
+                     row_number() OVER (PARTITION BY s_a
+                       ORDER BY delta_micro_sum ASC, s_b ASC) AS rk
+              FROM delta)
+            SELECT s_a AS source, CAST(rk AS BIGINT) AS rk,
+                   s_b AS neighbor, n_words, delta_micro_sum
+            FROM rk WHERE rk <= 3 ORDER BY source, rk"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_text_burrows" -> qTextBurrows,
     "q_vocab_prefix" -> qVocabPrefix,
     "q_text_boilerplate" -> qTextBoilerplate,
     "q_vocab_chao1" -> qVocabChao1,

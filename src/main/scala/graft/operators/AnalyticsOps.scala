@@ -13756,7 +13756,84 @@ object AnalyticsOps extends QueryModule {
                      // padded_tokens AS BIGINT) AS waste_ppm
             FROM u ORDER BY lang, policy"""))
 
+  // ------------------------------------------------ hysteresis alerting --
+
+  /** Two-threshold hysteresis alerting on the daily revenue series — the
+    * OPS face of the detector family (q_events_burst/q_ts_cusum detect;
+    * an alerting rule must also decide when to STOP paging, and a single
+    * threshold flaps on every noise crossing): enter the alert state when
+    * x > p75, clear only below p25, hold otherwise — the last-crossing
+    * state machine, expressed as last(flag) IGNORE NULLS over the running
+    * frame (crossings emit 1/0, quiet days null). Thresholds are exact
+    * lower-order statistics of the day grid (wquantile economics), so
+    * both engines agree at the boundary. Emits the full day table with
+    * state and the enter/exit transition flags an incident log records.
+    *
+    * Scale: day-grid windows only (changepoint economics — the corpus
+    * collapses to ≤ #days rows first); per-key alerting partitions the
+    * same shape by key.
+    */
+  private val qTsHysteresis = GQuery(
+    (s, d) => {
+      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val daily = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), cents.as("v"))
+        .groupBy("day").agg(sum("v").as("x"))
+        .localCheckpoint(true) // feeds n, both thresholds, and the walk
+      val n = daily.agg(count(lit(1L)).as("n"))
+      val wRk = Window.orderBy(col("x").asc, col("day").asc)
+      val ranked = daily.withColumn("rn", row_number().over(wRk))
+        .crossJoin(broadcast(n))
+      def orderStat(q: Int, as: String) = ranked
+        .filter(col("rn") === expr(s"greatest(1, ($q * n) div 100)"))
+        .select(col("x").as(as))
+      val lo = orderStat(25, "lo")
+      val hi = orderStat(75, "hi")
+      val wRun = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+        .withColumn("cross",
+          when(col("x") > col("hi"), 1L)
+            .when(col("x") < col("lo"), 0L))
+        .withColumn("state",
+          coalesce(last("cross", ignoreNulls = true).over(wRun), lit(0L)))
+        .withColumn("prev",
+          coalesce(lag("state", 1).over(Window.orderBy("day")), lit(0L)))
+        .select(col("day"), col("x").as("x_cents"), col("state"),
+          (col("state") === 1 && col("prev") === 0).as("entered"),
+          (col("state") === 0 && col("prev") === 1).as("exited"))
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS x
+              FROM events GROUP BY 1),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+            rk AS (SELECT x, row_number() OVER (ORDER BY x, day) AS rn
+                   FROM daily),
+            lo AS (SELECT x AS lo FROM rk, n
+                   WHERE rn = greatest(1, (25 * n) // 100)),
+            hi AS (SELECT x AS hi FROM rk, n
+                   WHERE rn = greatest(1, (75 * n) // 100)),
+            walk AS (
+              SELECT day, x,
+                     coalesce(last_value(CASE WHEN x > hi THEN 1
+                         WHEN x < lo THEN 0 END IGNORE NULLS)
+                       OVER (ORDER BY day ROWS UNBOUNDED PRECEDING),
+                       0) AS state
+              FROM daily, lo, hi),
+            st AS (
+              SELECT day, x, state,
+                     coalesce(lag(state, 1) OVER (ORDER BY day), 0) AS prev
+              FROM walk)
+            SELECT day, x AS x_cents, CAST(state AS BIGINT) AS state,
+                   state = 1 AND prev = 0 AS entered,
+                   state = 0 AND prev = 1 AS exited
+            FROM st ORDER BY day"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_ts_hysteresis" -> qTsHysteresis,
     "q_pack_padding" -> qPackPadding,
     "q_events_lateness" -> qEventsLateness,
     "q_events_streaks" -> qEventsStreaks,
