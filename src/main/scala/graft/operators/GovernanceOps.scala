@@ -425,6 +425,92 @@ object GovernanceOps extends QueryModule {
     * Scale: one partial-agg count per key; the mechanism is per-GROUP
     * arithmetic on the ≤ |keys| aggregate — free at any corpus size.
     */
+  /** DP release CONSISTENCY post-processing (Hay et al.'s boosting idea in
+    * its simplest published form): raw Laplace-noised counts can go
+    * negative and never sum to the public total, so a release pipeline
+    * clamps at zero and re-apportions to the exactly-released invariant
+    * total — here by LARGEST-REMAINDER (Hamilton) apportionment, the
+    * classic exact-integer method: quota_i = ⌊T·c_i/Σc⌋ and the T − Σquota
+    * leftover units go to the largest remainders (ties by key). Everything
+    * after the noise draw is exact BIGINT arithmetic, so consistency
+    * (Σ = T, all ≥ 0, integers) holds by construction and hashes
+    * cross-engine. Post-processing costs no extra privacy budget — the
+    * whole point of doing repair AFTER the mechanism. Noise is the
+    * replayable hash-seeded Laplace of q_privacy_dp (independent seed tag).
+    *
+    * Scale: per-key arithmetic on the ≤ |keys| aggregate + two 1-row
+    * totals + a |keys|-row remainder rank — free at any corpus size.
+    */
+  private val qPrivacyDpConsistent = GQuery(
+    (s, d) => {
+      val counts = t(s, d, "events")
+        .groupBy("event_type").agg(count(lit(1L)).as("n_true"))
+      val u16 = conv(substring(md5(concat(col("event_type"), lit(":dpc"))),
+        1, 4), 16, 10).cast("long")
+      val dev = abs(u16 * 2 + 1 - 65536L)
+      val mag = lit(-2.0) * log((lit(131072L) - dev * 2).cast("double") / 131072.0)
+      val noise = when(u16 * 2 + 1 >= 65536L, mag).otherwise(-mag)
+      val cl = counts
+        .withColumn("noisy_milli",
+          col("n_true") * 1000 + round(noise * 1000).cast("long"))
+        .withColumn("c", greatest(col("noisy_milli"), lit(0L)))
+        .localCheckpoint(true) // feeds totals, quotas, and the rank
+      val tot = cl.agg(sum("c").as("sc"), sum("n_true").as("tt"))
+      val q = cl.crossJoin(broadcast(tot))
+        .withColumn("quota", expr("(tt * c) div sc"))
+        .withColumn("rem", expr("(tt * c) % sc"))
+      val sq = q.agg(sum("quota").as("sq"), max("tt").as("t2"))
+      val wRem = Window.orderBy(col("rem").desc, col("event_type").asc)
+      q.crossJoin(broadcast(sq))
+        .withColumn("rk", row_number().over(wRem))
+        .withColumn("consistent",
+          col("quota") + (col("rk") <= col("t2") - col("sq")).cast("long"))
+        .select(col("event_type"), col("n_true"), col("noisy_milli"),
+          col("consistent"),
+          (col("consistent") - col("n_true")).as("err"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH c AS (
+               SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+               FROM events GROUP BY 1),
+             u AS (
+               SELECT event_type, n_true,
+                      ${DedupOps.duckHex4("md5(event_type || ':dpc')")} AS u16
+               FROM c),
+             nz AS (
+               SELECT event_type, n_true,
+                      n_true * 1000 + CAST(round((CASE WHEN u16 * 2 + 1 >= 65536
+                          THEN -2.0 * ln(CAST(131072 - abs(u16 * 2 + 1 - 65536)
+                            * 2 AS DOUBLE) / 131072.0)
+                          ELSE 2.0 * ln(CAST(131072 - abs(u16 * 2 + 1 - 65536)
+                            * 2 AS DOUBLE) / 131072.0) END) * 1000) AS BIGINT)
+                        AS noisy_milli
+               FROM u),
+             cl AS (
+               SELECT event_type, n_true, noisy_milli,
+                      greatest(noisy_milli, 0) AS c
+               FROM nz),
+             tot AS (SELECT CAST(sum(c) AS BIGINT) AS sc,
+                            CAST(sum(n_true) AS BIGINT) AS tt FROM cl),
+             q AS (
+               SELECT event_type, n_true, noisy_milli,
+                      CAST((tt * c) // sc AS BIGINT) AS quota,
+                      CAST((tt * c) % sc AS BIGINT) AS rem
+               FROM cl, tot),
+             sq AS (SELECT CAST(sum(quota) AS BIGINT) AS sq,
+                           max(tt) AS t2 FROM q, tot),
+             rk AS (
+               SELECT q.*, sq.sq, sq.t2,
+                      row_number() OVER (ORDER BY rem DESC, event_type ASC)
+                        AS rk
+               FROM q, sq)
+             SELECT event_type, n_true, noisy_milli,
+                    CAST(quota + CASE WHEN rk <= t2 - sq THEN 1 ELSE 0 END
+                      AS BIGINT) AS consistent,
+                    CAST(quota + CASE WHEN rk <= t2 - sq THEN 1 ELSE 0 END
+                      - n_true AS BIGINT) AS err
+             FROM rk ORDER BY event_type"""))
+
   private val qPrivacyDp = GQuery(
     (s, d) => {
       val counts = t(s, d, "events")
@@ -1110,6 +1196,7 @@ object GovernanceOps extends QueryModule {
     "q_privacy_tclose" -> qPrivacyTclose,
     "q_privacy_tokenize" -> qPrivacyTokenize,
     "q_privacy_dp" -> qPrivacyDp,
+    "q_privacy_dp_consistent" -> qPrivacyDpConsistent,
     "q_privacy_dp_mean" -> qPrivacyDpMean,
     "q_quality_expectations" -> qQualityExpectations,
     "q_privacy_ldiv" -> qPrivacyLdiv,
