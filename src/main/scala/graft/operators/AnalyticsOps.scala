@@ -13832,7 +13832,112 @@ object AnalyticsOps extends QueryModule {
                    state = 0 AND prev = 1 AS exited
             FROM st ORDER BY day"""))
 
+  // ------------------------------------------------ Shapley attribution --
+
+  /** Shapley-value channel attribution — the coalition-game gold standard
+    * next to q_events_attribution's linear credit (linear credit splits a
+    * conversion among touches; Shapley asks what each channel MARGINALLY
+    * adds over every coalition of the others, the only attribution that is
+    * efficient + symmetric + additive): channels are the 4 non-purchase
+    * event types as bits, a user's coalition is the bit-OR of the touches
+    * in their FIRST 5 events and conversion is a purchase in events 6–10
+    * (the full 30-day history saturates every user to all-channels —
+    * windowing restores the coalition variance attribution needs),
+    * v(T) = conversions among users whose touch set ⊆ T, and
+    * φ_c·24 = Σ_{T∌c} |T|!(3−|T|)!·(v(T∪c) − v(T)) — EXACT integers (the
+    * n=4 factorial weights are {6,2,2,6}; ×24 clears the 4! denominator).
+    * Efficiency Σφ = v(full) − v(∅) holds by construction; share_ppm
+    * reads each channel's slice of it.
+    *
+    * Scale: one user-partitioned rank window (sessionize economics) + a
+    * per-user agg collapse everything to a ≤16-row coalition table; the
+    * zeta transform (v from subset sums) and the 4×8 marginal sum are
+    * broadcast-size joins — chisq economics, corpus never rescanned.
+    */
+  private val qEventsShapley = GQuery(
+    (s, d) => {
+      val chbit = when(col("event_type") === "click", 1L)
+        .when(col("event_type") === "view", 2L)
+        .when(col("event_type") === "signup", 4L)
+        .when(col("event_type") === "error", 8L).otherwise(0L)
+      val wU = Window.partitionBy("user_id").orderBy("event_id")
+      val users = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          chbit.as("cb"))
+        .withColumn("rn", row_number().over(wU))
+        .groupBy("user_id")
+        .agg(expr("bit_or(IF(rn <= 5, cb, 0))").as("touch"),
+          max(when(col("rn") > 5 && col("rn") <= 10 &&
+            col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      val sets = users.groupBy("touch").agg(sum("conv").as("cn"))
+        .localCheckpoint(true) // 16-row table feeds the zeta transform
+      val coal = s.createDataFrame((0 to 15).map(i => Tuple1(i.toLong)))
+        .toDF("t")
+      val v = coal.join(sets,
+          sets("touch").bitwiseAND(coal("t")) === sets("touch"), "left")
+        .groupBy("t").agg(coalesce(sum("cn"), lit(0L)).as("v"))
+        .localCheckpoint(true) // joined twice below (T and T∪{c})
+      val chans = s.createDataFrame(Seq(("click", 1L), ("view", 2L),
+        ("signup", 4L), ("error", 8L))).toDF("channel", "cbit")
+      val w = element_at(array(lit(6L), lit(2L), lit(2L), lit(6L)),
+        (bit_count(col("t")) + 1).cast("int"))
+      val phi = chans.crossJoin(v)
+        .filter(col("t").bitwiseAND(col("cbit")) === 0)
+        .join(v.select(col("t").as("tc"), col("v").as("vc")),
+          col("tc") === col("t").bitwiseOR(col("cbit")))
+        .groupBy("channel")
+        .agg(sum(w * (col("vc") - col("v"))).as("phi_x24"))
+      val tot = phi.agg(sum("phi_x24").as("sp"))
+      phi.crossJoin(broadcast(tot))
+        .select(col("channel"), col("phi_x24"),
+          expr("phi_x24 * 1000 div 24").as("phi_milli"),
+          when(col("sp") > 0, expr("phi_x24 * 1000000 div sp"))
+            .as("share_ppm"))
+        .orderBy("channel")
+    },
+    Some("""WITH r AS (
+              SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY event_id) AS rn
+              FROM events),
+            u AS (
+              SELECT user_id,
+                     bit_or(CASE WHEN rn <= 5 THEN
+                       (CASE event_type WHEN 'click' THEN 1
+                         WHEN 'view' THEN 2 WHEN 'signup' THEN 4
+                         WHEN 'error' THEN 8 ELSE 0 END) ELSE 0 END)
+                       AS touch,
+                     max(CASE WHEN rn > 5 AND rn <= 10
+                       AND event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS conv
+              FROM r GROUP BY 1),
+            sets AS (SELECT touch, CAST(sum(conv) AS BIGINT) AS cn
+                     FROM u GROUP BY 1),
+            coal AS (SELECT CAST(unnest(generate_series(0, 15)) AS BIGINT)
+                       AS t),
+            v AS (
+              SELECT t, CAST(coalesce(sum(cn), 0) AS BIGINT) AS v
+              FROM coal LEFT JOIN sets ON (sets.touch & coal.t) = sets.touch
+              GROUP BY 1),
+            chans AS (SELECT * FROM (VALUES ('click', 1), ('view', 2),
+              ('signup', 4), ('error', 8)) AS c(channel, cbit)),
+            phi AS (
+              SELECT channel,
+                     CAST(sum(([6, 2, 2, 6][CAST(bit_count(vt.t) + 1 AS INT)])
+                       * (vc.v - vt.v)) AS BIGINT) AS phi_x24
+              FROM chans
+              JOIN v vt ON (vt.t & cbit) = 0
+              JOIN v vc ON vc.t = (vt.t | cbit)
+              GROUP BY 1),
+            tot AS (SELECT CAST(sum(phi_x24) AS BIGINT) AS sp FROM phi)
+            SELECT channel, phi_x24,
+                   CAST(phi_x24 * 1000 // 24 AS BIGINT) AS phi_milli,
+                   CAST(CASE WHEN sp > 0
+                     THEN phi_x24 * 1000000 // sp END AS BIGINT) AS share_ppm
+            FROM phi, tot ORDER BY channel"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_events_shapley" -> qEventsShapley,
     "q_ts_hysteresis" -> qTsHysteresis,
     "q_pack_padding" -> qPackPadding,
     "q_events_lateness" -> qEventsLateness,
