@@ -13936,7 +13936,104 @@ object AnalyticsOps extends QueryModule {
                      THEN phi_x24 * 1000000 // sp END AS BIGINT) AS share_ppm
             FROM phi, tot ORDER BY channel"""))
 
+  // --------------------------------------------------- meta-analysis --
+
+  /** Fixed-effect meta-analysis across the five per-type experiments —
+    * the experimentation-platform rollup (one treatment, five strata;
+    * q_stats_abtest reads each stratum alone, the meta-analysis asks what
+    * the EVIDENCE POOLS to and whether the strata even agree): per type,
+    * the pmod-2 arms' purchase-conversion rates (exact ppm ints) give the
+    * effect e_i and its binomial variance; inverse-variance weights pool
+    * ê = Σw·e/Σw; Cochran's Q = Σw(e−ê)² and I² = (Q−(k−1))/Q read the
+    * heterogeneity (I² ≈ 0 ⇒ strata agree, pooling is honest; large ⇒ a
+    * random-effects model is owed). Doubles are built ONCE from exact
+    * integer arm counts with mirrored parenthesization (partialcorr rule)
+    * and every output drounds.
+    *
+    * Scale: one (type, arm) user-collapse agg (map-combinable) → a 10-row
+    * arm table; the pooling is constant-size arithmetic — chisq economics.
+    */
+  private val qStatsMetaAnalysis = GQuery(
+    (s, d) => {
+      val users = t(s, d, "events")
+        .select(col("event_type").as("et"), col("user_id"),
+          pmod(col("user_id"), lit(2)).cast("int").as("arm"),
+          when(col("value") >= 150, 1L).otherwise(0L).as("big"))
+        .groupBy("et", "user_id", "arm").agg(max("big").as("conv"))
+      val cells = users.groupBy("et", "arm")
+        .agg(count(lit(1L)).as("n"), sum("conv").as("s"))
+      val wide = cells.groupBy("et").agg(
+        max(when(col("arm") === 0, col("n"))).as("n0"),
+        max(when(col("arm") === 0, col("s"))).as("s0"),
+        max(when(col("arm") === 1, col("n"))).as("n1"),
+        max(when(col("arm") === 1, col("s"))).as("s1"))
+      val p0 = col("s0").cast("double") / col("n0").cast("double")
+      val p1 = col("s1").cast("double") / col("n1").cast("double")
+      val e = p1 - p0
+      val v = p0 * (lit(1.0) - p0) / col("n0").cast("double") +
+        p1 * (lit(1.0) - p1) / col("n1").cast("double")
+      val ew = wide.select(col("et"), e.as("e"), (lit(1.0) / v).as("w"))
+        .localCheckpoint(true) // feeds the pooled mean AND Q
+      val pooled = ew.agg(count(lit(1L)).as("k"),
+        (sum(col("w") * col("e")) / sum("w")).as("pooled"))
+      ew.crossJoin(broadcast(pooled))
+        .select(col("k"), col("pooled"),
+          (col("w") * (col("e") - col("pooled")) *
+            (col("e") - col("pooled"))).as("qterm"))
+        .groupBy("k", "pooled").agg(sum("qterm").as("q"))
+        .select(col("k"),
+          dround(col("pooled") * 1000, 3).as("pooled_milli"),
+          dround(col("q"), 4).as("q_stat"),
+          dround(greatest(lit(0.0),
+            (col("q") - (col("k") - 1).cast("double")) / col("q")) * 1000000, 0)
+            .as("i2_ppm"))
+    },
+    Some("""WITH u AS (
+              SELECT event_type AS et, user_id, user_id % 2 AS arm,
+                     max(CASE WHEN value >= 150 THEN 1 ELSE 0 END) AS conv
+              FROM events GROUP BY 1, 2, 3),
+            cells AS (
+              SELECT et, arm, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(conv) AS BIGINT) AS s
+              FROM u GROUP BY 1, 2),
+            wide AS (
+              SELECT et,
+                     max(CASE WHEN arm = 0 THEN n END) AS n0,
+                     max(CASE WHEN arm = 0 THEN s END) AS s0,
+                     max(CASE WHEN arm = 1 THEN n END) AS n1,
+                     max(CASE WHEN arm = 1 THEN s END) AS s1
+              FROM cells GROUP BY 1),
+            ew AS (
+              SELECT et,
+                     CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                       - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS e,
+                     1.0 / ((CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                         * (1.0 - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                         / CAST(n0 AS DOUBLE)
+                       + (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                         * (1.0 - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                         / CAST(n1 AS DOUBLE)) AS w
+              FROM wide),
+            pooled AS (
+              SELECT CAST(count(*) AS BIGINT) AS k,
+                     sum(w * e) / sum(w) AS pooled
+              FROM ew),
+            q AS (
+              SELECT k, pooled,
+                     sum(w * (e - pooled) * (e - pooled)) AS q
+              FROM ew, pooled GROUP BY 1, 2)
+            SELECT k,
+                   CAST(round(CAST(pooled * 1000 AS DECIMAL(30,8)), 3)
+                     AS DOUBLE) AS pooled_milli,
+                   CAST(round(CAST(q AS DECIMAL(30,8)), 4) AS DOUBLE)
+                     AS q_stat,
+                   CAST(round(CAST(greatest(0.0, (q - CAST(k - 1 AS DOUBLE))
+                     / q) * 1000000 AS DECIMAL(30,8)), 0) AS DOUBLE)
+                     AS i2_ppm
+            FROM q"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_stats_meta_analysis" -> qStatsMetaAnalysis,
     "q_events_shapley" -> qEventsShapley,
     "q_ts_hysteresis" -> qTsHysteresis,
     "q_pack_padding" -> qPackPadding,
