@@ -1167,4 +1167,29 @@ class PlanShapeSpec extends SparkSpec {
     assert("Window".r.findAllIn(kn).size >= 2, kn.take(3000))
     assert(kn.contains("crc32"), kn.take(3000)) // the salt reaches the plan
   }
+
+  test("round-8h shapes: partitioned disorder windows, coalition-table " +
+    "games, grid state machines") {
+    // q_events_lateness: the running max partitions by event_type — the
+    // Exchange hashes on it, so no global single-partition window exists
+    val lt = plan("q_events_lateness")
+    assert(lt.contains("hashpartitioning(event_type"), lt.take(3000))
+    // q_pack_padding: both batch policies rank within lang partitions
+    val pp = plan("q_pack_padding")
+    assert("Window".r.findAllIn(pp).size >= 2, pp.take(3000))
+    assert(pp.contains("hashpartitioning(lang"), pp.take(3000))
+    assert(!pp.contains("CartesianProduct"), pp.take(3000))
+    // q_events_shapley: the game runs on the checkpointed coalition table;
+    // no cartesian (the coalition crossJoins are broadcast-literal)
+    val sh = plan("q_events_shapley")
+    assert(sh.contains("ExistingRDD") && !sh.contains("CartesianProduct"),
+      sh.take(3000))
+    // q_text_burrows / q_privacy_dp_consistent / q_ts_hysteresis: keyed
+    // joins + grid windows only
+    for (q <- Seq("q_text_burrows", "q_privacy_dp_consistent",
+        "q_ts_hysteresis")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n" + p.take(3000))
+    }
+  }
 }

@@ -404,4 +404,46 @@ class PropertySpec extends SparkSpec {
       s"${l1.map(_.getLong(3)).sum} != $tokens")
     vp.foreach(r => assert(r.getLong(5) <= r.getLong(3), r.toString))
   }
+
+  test("round-8h invariants: DP consistency sums, Shapley efficiency, " +
+    "hysteresis transitions, padding dominance") {
+    // DP consistency: Σ consistent == Σ true EXACTLY, all counts ≥ 0
+    val dp = SparkEntry.queries("q_privacy_dp_consistent")(spark, sf).collect()
+    assert(dp.map(_.getLong(3)).sum == dp.map(_.getLong(1)).sum)
+    dp.foreach(r => assert(r.getLong(3) >= 0L, r.toString))
+    // Shapley: monotone value function ⇒ every φ ≥ 0; shares sum to 10⁶
+    // within the k-unit integer-div slack
+    val sh = SparkEntry.queries("q_events_shapley")(spark, sf).collect()
+    sh.foreach(r => assert(r.getLong(1) >= 0L, r.toString))
+    val shareSum = sh.map(_.getLong(3)).sum
+    assert(shareSum <= 1000000L && shareSum >= 1000000L - sh.length,
+      shareSum.toString)
+    // hysteresis: state is 0/1; enter/exit flags reconstruct the state walk
+    val hy = SparkEntry.queries("q_ts_hysteresis")(spark, sf).collect()
+    var st = 0L
+    hy.foreach { r =>
+      val (state, entered, exited) =
+        (r.getLong(2), r.getBoolean(3), r.getBoolean(4))
+      assert(state == 0L || state == 1L, r.toString)
+      assert(entered == (st == 0L && state == 1L), r.toString)
+      assert(exited == (st == 1L && state == 0L), r.toString)
+      st = state
+    }
+    // padding: padded ≥ real everywhere; length-sorted batches never pad
+    // more than arrival-ordered ones (contiguous-sorted blocks minimize
+    // the sum of per-block maxima)
+    val pd = SparkEntry.queries("q_pack_padding")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    pd.foreach { case (_, _, real, padded) => assert(padded >= real) }
+    val byLang = pd.groupBy(_._1)
+    byLang.values.foreach { rows =>
+      val srt = rows.find(_._2 == "sorted").get._4
+      val arr = rows.find(_._2 == "arrival").get._4
+      assert(srt <= arr, rows.mkString(" | "))
+    }
+    // meta-analysis: Q ≥ 0, I² ∈ [0, 10⁶]
+    val ma = SparkEntry.queries("q_stats_meta_analysis")(spark, sf).head()
+    assert(ma.getDouble(2) >= 0.0)
+    assert(ma.getDouble(3) >= 0.0 && ma.getDouble(3) <= 1000000.0)
+  }
 }
