@@ -67,6 +67,94 @@ object GraphOps extends QueryModule {
     * no dangling-mass term. The oracle unrolls the same three iterations as
     * chained CTEs with integer `//` division.
     */
+  /** Personalized PageRank (PPR) from a seed set — the recsys/curation
+    * face of q_graph_pagerank (global PageRank asks "important to the
+    * whole graph"; PPR asks "relevant to THESE seeds" — the seed-expansion
+    * primitive behind similar-item retrieval and graph-based corpus
+    * curation): same 3 fixed-point integer iterations over the memoized
+    * supplier↔part graph, but the teleport mass (150 000 micro per round)
+    * lands ONLY on the seed suppliers (keys < 5) and the initial mass
+    * lives only there, so rank mass diffuses outward from the seeds and
+    * dies off with hop distance. Unnormalized (per-seed teleport constant)
+    * — the RANKING is the product, and integer div keeps it hash-exact
+    * (pagerank determinism rule). Emits every node reached with its mass.
+    *
+    * Scale: pagerank economics exactly — each iteration is one
+    * edges⋈ranks join + partial agg on the checkpointed degree-annotated
+    * edge list; the rank frontier is SMALLER than global pagerank's
+    * (only the seed neighborhood carries mass).
+    */
+  private val qGraphPpr = GQuery(
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_suppkey"), col("l_partkey")).distinct()
+      val edges = li.select(
+          col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey") + lit(1000000000L)).as("dst"))
+        .union(li.select(
+          (col("l_partkey") + lit(1000000000L)).as("src"),
+          col("l_suppkey").cast("long").as("dst")))
+      val withDeg = edges
+        .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+        .localCheckpoint(true)
+      val bonus = withDeg.filter(col("src") < 5)
+        .select(col("src").as("node")).distinct()
+        .withColumn("mass", lit(150000L))
+        .localCheckpoint(true) // reused every iteration
+      // iteration 1 inlined: only seed sources carry the initial mass
+      var rank = withDeg.filter(col("src") < 5)
+        .select(col("dst"), expr("(1000000 * 85) div (100 * deg)").as("c"))
+        .groupBy("dst").agg(sum("c").as("mass"))
+        .select(col("dst").as("node"), col("mass"))
+        .unionByName(bonus)
+        .groupBy("node").agg(sum("mass").as("mass"))
+      for (_ <- 2 to 3) {
+        rank = withDeg.join(rank, col("src") === col("node"))
+          .select(col("dst"), expr("(mass * 85) div (100 * deg)").as("c"))
+          .groupBy("dst").agg(sum("c").as("mass"))
+          .select(col("dst").as("node"), col("mass"))
+          .unionByName(bonus)
+          .groupBy("node").agg(sum("mass").as("mass"))
+      }
+      rank.filter(col("mass") > 0).orderBy("node")
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+            edges AS (
+              SELECT CAST(l_suppkey AS BIGINT) AS src,
+                     CAST(l_partkey + 1000000000 AS BIGINT) AS dst FROM li
+              UNION ALL
+              SELECT CAST(l_partkey + 1000000000 AS BIGINT),
+                     CAST(l_suppkey AS BIGINT) FROM li),
+            deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                    FROM edges GROUP BY src),
+            ed AS (SELECT e.src, e.dst, d.deg
+                   FROM edges e JOIN deg d ON e.src = d.src),
+            bonus AS (SELECT DISTINCT src AS node,
+                             CAST(150000 AS BIGINT) AS mass
+                      FROM ed WHERE src < 5),
+            r1 AS (
+              SELECT node, CAST(sum(mass) AS BIGINT) AS mass FROM (
+                SELECT ed.dst AS node,
+                       sum((1000000 * 85) // (100 * ed.deg)) AS mass
+                FROM ed WHERE ed.src < 5 GROUP BY ed.dst
+                UNION ALL SELECT node, mass FROM bonus)
+              GROUP BY 1),
+            r2 AS (
+              SELECT node, CAST(sum(mass) AS BIGINT) AS mass FROM (
+                SELECT ed.dst AS node,
+                       sum((r1.mass * 85) // (100 * ed.deg)) AS mass
+                FROM ed JOIN r1 ON ed.src = r1.node GROUP BY ed.dst
+                UNION ALL SELECT node, mass FROM bonus)
+              GROUP BY 1),
+            r3 AS (
+              SELECT node, CAST(sum(mass) AS BIGINT) AS mass FROM (
+                SELECT ed.dst AS node,
+                       sum((r2.mass * 85) // (100 * ed.deg)) AS mass
+                FROM ed JOIN r2 ON ed.src = r2.node GROUP BY ed.dst
+                UNION ALL SELECT node, mass FROM bonus)
+              GROUP BY 1)
+            SELECT node, mass FROM r3 WHERE mass > 0 ORDER BY node"""))
+
   private val qGraphPagerank = GQuery(
     (s, d) => {
       val li = t(s, d, "lineitem")
@@ -1733,6 +1821,7 @@ object GraphOps extends QueryModule {
     "q_graph_assortativity" -> qGraphAssortativity,
     "q_graph_modularity" -> qGraphModularity,
     "q_graph_pagerank" -> qGraphPagerank,
+    "q_graph_ppr" -> qGraphPpr,
     "q_graph_hits" -> qGraphHits,
     "q_graph_closeness" -> qGraphCloseness,
     "q_graph_walks" -> qGraphWalks,
