@@ -2878,7 +2878,132 @@ object TextOps extends QueryModule {
                    s_b AS neighbor, n_words, delta_micro_sum
             FROM rk WHERE rk <= 3 ORDER BY source, rk"""))
 
+  // ------------------------------------------------- SymSpell correction --
+
+  /** SymSpell spell-correction — DELETION-KEY blocking, the one blocking
+    * family the dedup ladder doesn't already carry (bands hash content,
+    * prefixes order tokens; SymSpell's insight is that edit-distance-1
+    * neighbors SHARE a delete-1 variant, so candidate generation is an
+    * equi-join on deletion keys — no all-pairs edit distance): the typo
+    * side is planted deterministically (docs with doc_id ≡ 0 mod 13 drop
+    * one character — position doc_id mod len — from their first token;
+    * the corpus itself is typo-free, the impute planting rule), keys are
+    * each string plus its delete-1 variants on BOTH sides (distance ≤ 2
+    * coverage), candidates verify with the native levenshtein ≤ 1, and
+    * the best correction ranks by (distance, corpus count desc, word).
+    *
+    * Scale: vocab-side keys are |vocab|·(len+1) rows built once (an index
+    * artifact, append-maintained like the band index); typo keys explode
+    * map-side; the join is hash-equi on short string keys — candidate
+    * counts bounded by key collisions, never |vocab| per typo. The
+    * verify step touches candidates only (PPJoin economics).
+    */
+  private val qTextSymspell = GQuery(
+    (s, d) => {
+      def del1(c: org.apache.spark.sql.Column) = expr(
+        s"""transform(sequence(1, length(${c.toString})),
+              i -> concat(substring(${c.toString}, 1, i - 1),
+                          substring(${c.toString}, i + 1, 100)))""")
+      val vocab = t(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1L)).as("cnt"))
+        .localCheckpoint(true) // feeds keys AND the in-vocab screen
+      val vkeys = vocab
+        .select(col("w"), col("cnt"),
+          explode(concat(array(col("w")), del1(col("w")))).as("k"))
+        .distinct()
+      val typos = t(s, d, "documents")
+        .filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select(col("doc_id"),
+          element_at(split(lower(col("text")), " "), 1).as("tok"))
+        .withColumn("pos", (pmod(col("doc_id"), length(col("tok"))) + 1)
+          .cast("int"))
+        .select(col("doc_id"), concat(
+          expr("substring(tok, 1, pos - 1)"),
+          expr("substring(tok, pos + 1, 100)")).as("typo"))
+        // a deletion can land on a real word — that's not a typo to correct;
+        // sub-2-char leftovers are uncorrectable noise AND would hand
+        // del1 an empty string (sequence(1, 0) phantom-index divergence)
+        .filter(length(col("typo")) >= 2)
+        .join(vocab.select(col("w").as("typo")), Seq("typo"), "left_anti")
+        .groupBy("typo").agg(count(lit(1L)).as("n_docs"))
+        .localCheckpoint(true) // feeds key explode AND the final join
+      val tkeys = typos
+        .select(col("typo"),
+          explode(concat(array(col("typo")), del1(col("typo")))).as("k"))
+        .distinct()
+      val cand = tkeys.join(vkeys, "k")
+        .select(col("typo"), col("w"), col("cnt")).distinct()
+        .withColumn("dist", levenshtein(col("typo"), col("w")))
+        .filter(col("dist") <= 1)
+      val wBest = Window.partitionBy("typo")
+        .orderBy(col("dist").asc, col("cnt").desc, col("w").asc)
+      typos.join(
+          cand.withColumn("rk", row_number().over(wBest))
+            .filter(col("rk") === 1)
+            .groupBy("typo").agg(max("w").as("best"),
+              max("dist").cast("long").as("dist"),
+              max("cnt").as("best_cnt")), Seq("typo"))
+        .join(cand.groupBy("typo").agg(count(lit(1L)).as("n_cand")), "typo")
+        .select(col("typo"), col("n_docs"), col("best"), col("dist"),
+          col("best_cnt"), col("n_cand"))
+        .orderBy("typo")
+    },
+    Some("""WITH vocab AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+                SELECT unnest(string_split(lower(text), ' ')) AS w
+                FROM documents) GROUP BY 1),
+            vkeys AS (
+              SELECT DISTINCT w, cnt, k
+              FROM (SELECT w, cnt,
+                      unnest(list_prepend(w,
+                        list_transform(generate_series(1, len(w)),
+                          i -> substr(w, 1, CAST(i - 1 AS INT))
+                            || substr(w, CAST(i + 1 AS INT), 100)))) AS k
+                    FROM vocab)),
+            raw_t AS (
+              SELECT doc_id, string_split(lower(text), ' ')[1] AS tok
+              FROM documents WHERE doc_id % 13 = 0),
+            typod AS (
+              SELECT doc_id,
+                     substr(tok, 1, CAST(doc_id % len(tok) AS INT))
+                       || substr(tok, CAST(doc_id % len(tok) + 2 AS INT), 100)
+                       AS typo
+              FROM raw_t),
+            typos AS (
+              SELECT typo, CAST(count(*) AS BIGINT) AS n_docs
+              FROM typod
+              WHERE len(typo) >= 2
+                AND typo NOT IN (SELECT w FROM vocab)
+              GROUP BY 1),
+            tkeys AS (
+              SELECT DISTINCT typo, k
+              FROM (SELECT typo,
+                      unnest(list_prepend(typo,
+                        list_transform(generate_series(1, len(typo)),
+                          i -> substr(typo, 1, CAST(i - 1 AS INT))
+                            || substr(typo, CAST(i + 1 AS INT), 100)))) AS k
+                    FROM typos)),
+            cand AS (
+              SELECT DISTINCT typo, w, cnt,
+                     levenshtein(typo, w) AS dist
+              FROM tkeys JOIN vkeys USING (k)
+              WHERE levenshtein(typo, w) <= 1),
+            best AS (
+              SELECT typo, w AS best, CAST(dist AS BIGINT) AS dist,
+                     cnt AS best_cnt
+              FROM (SELECT typo, w, dist, cnt,
+                      row_number() OVER (PARTITION BY typo
+                        ORDER BY dist ASC, cnt DESC, w ASC) AS rk
+                    FROM cand) WHERE rk = 1),
+            nc AS (SELECT typo, CAST(count(*) AS BIGINT) AS n_cand
+                   FROM cand GROUP BY 1)
+            SELECT t.typo, t.n_docs, b.best, b.dist, b.best_cnt, nc.n_cand
+            FROM typos t JOIN best b USING (typo) JOIN nc USING (typo)
+            ORDER BY t.typo"""))
+
   override val queries: Map[String, GQuery] = Map(
+    "q_text_symspell" -> qTextSymspell,
     "q_text_burrows" -> qTextBurrows,
     "q_vocab_prefix" -> qVocabPrefix,
     "q_text_boilerplate" -> qTextBoilerplate,
