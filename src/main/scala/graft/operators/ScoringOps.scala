@@ -1193,16 +1193,23 @@ object ScoringOps extends QueryModule {
     * l_i = #{y_j ≥ y_i};  ξ = 1 − n·Σ|r_{i+1} − r_i| / (2·Σ l_i(n−l_i)).
     * x-ties are broken by the md5 of the full row payload (deterministic
     * stand-in for the estimator's uniform tie-break; hash-equal rows are
-    * value-identical, so their relative order can't move any |Δr|). All
-    * EXACT integers: ppm readout through one DECIMAL(38) `div` (Spark
-    * IntegralDivide ≡ DuckDB HUGEINT `//` on positive operands).
+    * value-identical, so their relative order can't move any |Δr|). Every
+    * adjacency ordering/selection is keyed on (h, r) — the key then
+    * functionally determines the consumed value BY CONSTRUCTION, so the
+    * stitch is provably tie-independent even under an md5 collision
+    * between distinct payloads. All EXACT integers: ppm readout through
+    * one DECIMAL(38) `div` (Spark IntegralDivide ≡ DuckDB HUGEINT `//` on
+    * positive operands).
     *
     * Scale (the q_stats_spearman playbook, plus adjacency): r/l come from
     * the y-value-grid cumulative counts, never a row-level rank window;
     * Σ|Δr| decomposes into within-x-group adjacent diffs (bounded window
     * partitions: the x grid is 50 quantities) + an x-grid-sized boundary
     * stitch — no full-corpus single-task sort anywhere. Σ l(n−l) is
-    * DECIMAL(38) from the start (overflows BIGINT near 10⁸ rows/group).
+    * DECIMAL(38) from the start (overflows BIGINT near 10⁸ rows/group)
+    * and is derived from the GRID-sized rmap (weight l(n−l) by the tie
+    * count c) so the corpus-sized checkpoint feeds only the two adjacency
+    * consumers.
     */
   private val qStatsXi = GQuery(
     (s, d) => {
@@ -1220,22 +1227,24 @@ object ScoringOps extends QueryModule {
       val wY = Window.partitionBy("grp").orderBy("y")
       val rmap = li.groupBy("grp", "y").agg(count(lit(1L)).as("c"))
         .withColumn("r", sum("c").over(wY))
+        .localCheckpoint(true) // grid-sized; feeds den + the rows join
+      val den = rmap.join(broadcast(nG), "grp")
+        .withColumn("l", col("n") - col("r") + col("c"))
+        .groupBy("grp").agg(
+          sum(col("c").cast("decimal(38,0)")
+            .*(col("l")).*(col("n") - col("l"))).as("sl"))
       val rows = li.join(rmap, Seq("grp", "y"))
         .join(broadcast(nG), "grp")
-        .withColumn("l", col("n") - col("r") + col("c"))
-        .localCheckpoint(true) // feeds den + both adjacency consumers
-      val den = rows.groupBy("grp").agg(
-        sum(col("l").cast("decimal(38,0)")
-          .*(col("n") - col("l"))).as("sl"))
-      val wIn = Window.partitionBy("grp", "x").orderBy("h")
+        .localCheckpoint(true) // feeds both adjacency consumers
+      val wIn = Window.partitionBy("grp", "x").orderBy("h", "r")
       val sIn = rows
         .withColumn("pr", lag("r", 1).over(wIn))
         .filter(col("pr").isNotNull)
         .groupBy("grp").agg(sum(abs(col("r") - col("pr"))).as("si"))
       val wX = Window.partitionBy("grp").orderBy("x")
       val sB = rows.groupBy("grp", "x")
-        .agg(min_by(col("r"), col("h")).as("fr"),
-          max_by(col("r"), col("h")).as("lr"))
+        .agg(min_by(col("r"), struct(col("h"), col("r"))).as("fr"),
+          max_by(col("r"), struct(col("h"), col("r"))).as("lr"))
         .withColumn("plr", lag("lr", 1).over(wX))
         .filter(col("plr").isNotNull)
         .groupBy("grp").agg(sum(abs(col("fr") - col("plr"))).as("sb"))

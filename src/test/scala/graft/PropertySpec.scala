@@ -446,4 +446,23 @@ class PropertySpec extends SparkSpec {
     assert(ma.getDouble(2) >= 0.0)
     assert(ma.getDouble(3) >= 0.0 && ma.getDouble(3) <= 1000000.0)
   }
+
+  test("q_stats_xi is partitioning-deterministic (r8's one red driver row)") {
+    // The adjacency stitch orders every window/selection on (h, r) so the
+    // key functionally determines the consumed value; evaluate the query
+    // under three different shuffle-partition counts (different physical
+    // tie arrival orders) and require bit-identical output each time.
+    val q = SparkEntry.queries("q_stats_xi")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(): Seq[String] =
+      q(spark, sf).collect().map(_.mkString("|")).sorted.toSeq
+    try {
+      val outs = Seq("4", "13", "1").map { p =>
+        spark.conf.set("spark.sql.shuffle.partitions", p); run()
+      }
+      assert(outs(0).nonEmpty)
+      assert(outs(1) == outs(0), "13-partition run diverged from 4")
+      assert(outs(2) == outs(0), "1-partition run diverged from 4")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }
