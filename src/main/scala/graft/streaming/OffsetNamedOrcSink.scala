@@ -56,6 +56,11 @@ object OffsetNamedOrcSink {
 
   private val InflightMarker = "_graft_inflight"
   private val StatsMarker = "_graft_stats"
+  /** All-null sentinel for a STRING stats bound — always qualifies. A bare
+    * '!' can never come out of URLEncoder ('!' encodes to %21), so the
+    * token is collision-free against real values.
+    */
+  private val StrStatsNull = "!null"
   private val ConfigMarker = "_graft_sink.conf"
   private val SchemaMarker = "_graft_schema.json"
 
@@ -423,7 +428,8 @@ object OffsetNamedOrcSink {
       spark.sparkContext.hadoopConfiguration)
 
     validateLayout(layout)
-    ensureConfig(fs, root, flushSize, layout, rotateMs, statsColumns)
+    ensureConfig(fs, root, flushSize, layout, rotateMs,
+      statsDecl(df, statsColumns))
     val conformed = conformValueSchema(fs, root, df, drift)
 
     val prefixCols: Seq[String] = prefixColsOf(layoutIdOf(layout))
@@ -645,9 +651,32 @@ object OffsetNamedOrcSink {
     }
   }
 
+  /** Type-decorated stats declaration for the config marker: a string-typed
+    * stats column is recorded as `name:str` (its per-cell |mn|mx pair holds
+    * URL-encoded string bounds, pruned by `readAsOfStr`); every other
+    * tracked column keeps the bare `name` of the long-typed format, so
+    * topics written before string stats existed parse — and re-stamp —
+    * byte-identically. The type is resolved from the INPUT batch (a value
+    * field or a top-level column): drift widening never crosses the
+    * string/numeric boundary, so the declaration is stable across writes.
+    */
+  private def statsDecl(df: DataFrame, statsColumns: Seq[String]): Seq[String] = {
+    val valueFields: Map[String, org.apache.spark.sql.types.DataType] =
+      df.schema.fields.find(_.name == "value").map(_.dataType) match {
+        case Some(st: StructType) => st.fields.map(f => f.name -> f.dataType).toMap
+        case _ => Map.empty
+      }
+    statsColumns.map { c =>
+      val t = valueFields.get(c)
+        .orElse(df.schema.fields.find(_.name == c).map(_.dataType))
+      if (t.contains(org.apache.spark.sql.types.StringType)) s"$c:str" else c
+    }
+  }
+
   /** Persist flush.size + layout on first write; fail fast on mismatch
     * (a different flush.size would probe existing files on the wrong chunk
-    * grid and silently commit overlapping offset ranges).
+    * grid and silently commit overlapping offset ranges). `statsColumns`
+    * entries arrive type-decorated (see statsDecl).
     */
   private def ensureConfig(fs: FileSystem, root: Path, flushSize: Long,
       layout: Layout, rotateMs: Option[Long] = None,
@@ -1002,16 +1031,20 @@ object OffsetNamedOrcSink {
       case None => spark.read // pre-protocol dir: sampled-schema read
     }
 
-  /** Per-cell min/max stats of `statsCols` (integer-typed emitted columns),
-    * merged into the `_graft_stats` marker: one line per committed cell,
-    * `<enc prefix values>|partition|cell|mn1|mx1|mn2|mx2|…` — one |mn|mx
-    * pair per stats column, in the CONFIG-MARKER ORDER (the multi-column
-    * generalization a Delta/Iceberg log keeps, so readAsOf pruning composes
-    * across predicates on different columns). Touched cells' lines are
-    * REPLACED (merged is their full new content); an all-null cell column
-    * records the always-qualifying sentinel range. One driver collect,
-    * bounded by files-in-this-batch like touchedLeaves; adding a column
-    * adds two agg buffers, never a second pass.
+  /** Per-cell min/max stats of `statsCols` (integer- or string-typed
+    * emitted columns), merged into the `_graft_stats` marker: one line per
+    * committed cell, `<enc prefix values>|partition|cell|mn1|mx1|mn2|mx2|…`
+    * — one |mn|mx pair per stats column, in the CONFIG-MARKER ORDER (the
+    * multi-column generalization a Delta/Iceberg log keeps, so readAsOf
+    * pruning composes across predicates on different columns). A string
+    * column's bounds are URL-encoded (the encoding '|'/newline-escapes, so
+    * the split stays unambiguous) and its all-null sentinel is the literal
+    * token `!null` — URLEncoder never emits a bare '!', so the sentinel
+    * cannot collide with a real value. Touched cells' lines are REPLACED
+    * (merged is their full new content); an all-null cell column records
+    * the always-qualifying sentinel range. One driver collect, bounded by
+    * files-in-this-batch like touchedLeaves; adding a column adds two agg
+    * buffers, never a second pass.
     */
   private def updateStats(fs: FileSystem, root: Path, merged: DataFrame,
       partCols: Seq[String], touched: Seq[Touched],
@@ -1019,13 +1052,15 @@ object OffsetNamedOrcSink {
     statsCols.foreach(c => require(merged.columns.contains(c),
       s"stats column '$c' is not an emitted column " +
         s"(${merged.columns.mkString(", ")})"))
+    val isStr = statsCols.map(c =>
+      merged.schema(c).dataType == org.apache.spark.sql.types.StringType)
     val prefixNames = partCols.dropRight(2)
     val keyCols = prefixNames.map(n => col(n).cast("string").as(n)) ++
       Seq(col("partition").cast("int").as("partition"),
         col(ChunkCol).cast("string").as(ChunkCol))
     val aggCols = statsCols.zipWithIndex.flatMap { case (c, i) =>
-      Seq(min(col(c).cast("long")).as(s"mn$i"),
-        max(col(c).cast("long")).as(s"mx$i"))
+      val v = if (isStr(i)) col(c) else col(c).cast("long")
+      Seq(min(v).as(s"mn$i"), max(v).as(s"mx$i"))
     }
     val rows = merged
       .select(keyCols ++ statsCols.map(col): _*)
@@ -1038,11 +1073,14 @@ object OffsetNamedOrcSink {
         Seq(r.getAs[Int]("partition").toString,
           r.getAs[String](ChunkCol))).mkString("|")
       val ranges = statsCols.indices.flatMap { i =>
-        val mn = if (r.isNullAt(r.fieldIndex(s"mn$i"))) Long.MinValue
-          else r.getLong(r.fieldIndex(s"mn$i"))
-        val mx = if (r.isNullAt(r.fieldIndex(s"mx$i"))) Long.MaxValue
-          else r.getLong(r.fieldIndex(s"mx$i"))
-        Seq(mn.toString, mx.toString)
+        val (mnI, mxI) = (r.fieldIndex(s"mn$i"), r.fieldIndex(s"mx$i"))
+        if (isStr(i))
+          Seq(if (r.isNullAt(mnI)) StrStatsNull else enc(r.getString(mnI)),
+            if (r.isNullAt(mxI)) StrStatsNull else enc(r.getString(mxI)))
+        else
+          Seq(
+            (if (r.isNullAt(mnI)) Long.MinValue else r.getLong(mnI)).toString,
+            (if (r.isNullAt(mxI)) Long.MaxValue else r.getLong(mxI)).toString)
       }
       key -> (key +: ranges).mkString("|")
     }.toMap
@@ -1111,37 +1149,115 @@ object OffsetNamedOrcSink {
     import spark.implicits._
     // the config marker names the tracked columns (in line order); a topic
     // written before the multi-column format has exactly one unnamed pair —
-    // surface it under the recorded single name, or "" for pre-config dirs
-    val statsNames = readMarker(fs, new Path(root, ConfigMarker))
-      .flatMap(statsColsOf).getOrElse(Nil)
+    // surface it under the recorded single name, or "" for pre-config dirs.
+    // Long-typed pairs land in (stats_lo, stats_hi); string-typed pairs in
+    // (stats_lo_str, stats_hi_str), the other side null — one uniform
+    // catalog schema over mixed-type stats like a Delta log's minValues map.
+    val spec = readMarker(fs, new Path(root, ConfigMarker))
+      .flatMap(statsSpecOf).getOrElse(Nil)
+    def dec(v: String) = java.net.URLDecoder.decode(v, "UTF-8")
     val rows = readMarker(fs, new Path(root, StatsMarker))
       .map(_.linesIterator.filter(_.nonEmpty).flatMap { l =>
         val f = l.split("\\|", -1)
-        val names = if (statsNames.nonEmpty) statsNames else Seq("")
-        val nPrefix = f.length - 2 - 2 * names.size
-        val prefix = f.take(nPrefix)
-          .map(v => java.net.URLDecoder.decode(v, "UTF-8")).mkString("/")
-        names.zipWithIndex.map { case (name, i) =>
-          (prefix, f(nPrefix).toInt, f(nPrefix + 1).toLong, name,
-            f(nPrefix + 2 + 2 * i).toLong, f(nPrefix + 3 + 2 * i).toLong)
+        val cols = if (spec.nonEmpty) spec else Seq(("", false))
+        val nPrefix = f.length - 2 - 2 * cols.size
+        val prefix = f.take(nPrefix).map(dec).mkString("/")
+        cols.zipWithIndex.map { case ((name, isStr), i) =>
+          val (mn, mx) = (f(nPrefix + 2 + 2 * i), f(nPrefix + 3 + 2 * i))
+          if (isStr)
+            (prefix, f(nPrefix).toInt, f(nPrefix + 1).toLong, name,
+              None: Option[Long], None: Option[Long],
+              if (mn == StrStatsNull) None else Some(dec(mn)),
+              if (mx == StrStatsNull) None else Some(dec(mx)))
+          else
+            (prefix, f(nPrefix).toInt, f(nPrefix + 1).toLong, name,
+              Some(mn.toLong), Some(mx.toLong),
+              None: Option[String], None: Option[String])
         }
       }.toSeq).getOrElse(Nil)
     rows.toDF("prefix", "partition", "chunk", "stats_col",
-      "stats_lo", "stats_hi")
+      "stats_lo", "stats_hi", "stats_lo_str", "stats_hi_str")
   }
 
-  /** The stats columns recorded in a `_graft_sink.conf` payload (config
-    * order = per-line |mn|mx pair order), empty when the topic tracks none.
+  /** The raw (type-decorated) stats tokens of a `_graft_sink.conf` payload
+    * — what compactTo re-stamps verbatim so the compacted topic keeps the
+    * exact stats contract.
     */
-  private def statsColsOf(desc: String): Option[Seq[String]] =
+  private def statsDeclOf(desc: String): Option[Seq[String]] =
     desc.linesIterator.collectFirst {
       case l if l.startsWith("stats=") =>
         l.stripPrefix("stats=").split(",", -1).toSeq
     }
 
+  /** The stats columns recorded in a `_graft_sink.conf` payload as
+    * (name, isString) pairs, config order = per-line |mn|mx pair order;
+    * None when the topic tracks none. A bare token is the long-typed
+    * legacy/default form; `name:str` marks a string-bounded pair.
+    */
+  private def statsSpecOf(desc: String): Option[Seq[(String, Boolean)]] =
+    statsDeclOf(desc).map(_.map { tok =>
+      if (tok.endsWith(":str")) (tok.dropRight(4), true) else (tok, false)
+    })
+
+  /** Tracked stats column NAMES (type suffix stripped). */
+  private def statsColsOf(desc: String): Option[Seq[String]] =
+    statsSpecOf(desc).map(_.map(_._1))
+
   def readAsOf(spark: SparkSession, topicDir: String, column: String,
       lo: Long, hi: Long): DataFrame = {
     require(lo < hi, s"empty stats window [$lo, $hi)")
+    readAsOfCore(spark, topicDir, column, wantString = false,
+      window = df => df.filter(col(column) >= lo && col(column) < hi),
+      qualifies = (mn, mx) => mx.toLong >= lo && mn.toLong < hi)
+  }
+
+  /** String-column as-of read: rows with `column ∈ [lo, hi)` under Spark's
+    * string ordering (UTF-8 binary — what min/max recorded into the marker
+    * and what the row-level filter applies), touching only cells whose
+    * recorded string range intersects the window. The driver-side line
+    * filter compares UTF-8 BYTES unsigned, matching UTF8String/DuckDB
+    * collation exactly (Java String.compareTo diverges above the BMP); the
+    * `!null` all-null sentinel qualifies on both sides. The categorical
+    * counterpart of the numeric readAsOf — a Delta/Iceberg log prunes
+    * string predicates from exactly this per-file min/max.
+    */
+  def readAsOfStr(spark: SparkSession, topicDir: String, column: String,
+      lo: String, hi: String): DataFrame = {
+    require(utf8Cmp(lo, hi) < 0, s"empty stats window ['$lo', '$hi')")
+    def dec(v: String) = java.net.URLDecoder.decode(v, "UTF-8")
+    readAsOfCore(spark, topicDir, column, wantString = true,
+      window = df => df.filter(col(column) >= lo && col(column) < hi),
+      qualifies = (mn, mx) =>
+        (mx == StrStatsNull || utf8Cmp(dec(mx), lo) >= 0) &&
+        (mn == StrStatsNull || utf8Cmp(dec(mn), hi) < 0))
+  }
+
+  /** Unsigned lexicographic compare of the UTF-8 encodings — Spark's
+    * UTF8String (and DuckDB's) string ordering, which Java String.compareTo
+    * only matches inside the BMP.
+    */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(UTF_8); val y = b.getBytes(UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Shared marker-pruned as-of read: `qualifies` judges a cell's raw
+    * |mn|mx tokens for the requested column, `window` is the row-level
+    * filter that stays on top for boundary files. Falls back to the
+    * (filter-pushed-down) full scan when the topic has no stats for the
+    * column; refuses a type-mismatched probe (a numeric window against a
+    * string column would silently prune nothing meaningful).
+    */
+  private def readAsOfCore(spark: SparkSession, topicDir: String,
+      column: String, wantString: Boolean,
+      window: DataFrame => DataFrame,
+      qualifies: (String, String) => Boolean): DataFrame = {
     val fs = FileSystem.get(new java.net.URI(topicDir),
       spark.sparkContext.hadoopConfiguration)
     val root = new Path(topicDir)
@@ -1149,7 +1265,6 @@ object OffsetNamedOrcSink {
     val inflight = new Path(root, InflightMarker)
     if (fs.exists(inflight))
       recoverFromMarker(fs, root, topic, inflight)
-    def window(df: DataFrame) = df.filter(col(column) >= lo && col(column) < hi)
     def fullScan = window(read(spark, topicDir))
     (readMarker(fs, new Path(root, StatsMarker)),
         readMarker(fs, new Path(root, ConfigMarker))) match {
@@ -1157,17 +1272,20 @@ object OffsetNamedOrcSink {
         val (flushSize, layoutId, _) = parseConfig(desc)
         // prune on ANY tracked column — the pair offset inside each line
         // comes from the column's position in the config list
-        val statsNames = statsColsOf(desc).getOrElse(Nil)
-        val colIdx = statsNames.indexOf(column)
+        val spec = statsSpecOf(desc).getOrElse(Nil)
+        val colIdx = spec.indexWhere(_._1 == column)
         if (colIdx < 0) return fullScan
+        require(spec(colIdx)._2 == wantString,
+          s"stats column '$column' is ${if (spec(colIdx)._2) "string" else
+            "numeric"}-typed — use ${if (spec(colIdx)._2) "readAsOfStr"
+            else "readAsOf"}")
         val prefixNames = prefixColsOf(layoutId)
-        val nFields = prefixNames.size + 2 + 2 * statsNames.size
+        val nFields = prefixNames.size + 2 + 2 * spec.size
         val mnAt = prefixNames.size + 2 + 2 * colIdx
         val lines = statsText.linesIterator.filter(_.nonEmpty)
           .map(_.split("\\|", -1)).toSeq
         if (lines.exists(_.length != nFields)) return fullScan // corrupt: correctness first
-        val qual = lines.filter(f =>
-          f(mnAt + 1).toLong >= lo && f(mnAt).toLong < hi)
+        val qual = lines.filter(f => qualifies(f(mnAt), f(mnAt + 1)))
         val files = qual.flatMap { f =>
           val prefix = prefixNames.zip(f).map { case (n, v) =>
             n -> java.net.URLDecoder.decode(v, "UTF-8") }
@@ -1343,11 +1461,14 @@ object OffsetNamedOrcSink {
     val newRoot = new Path(newTopicDir)
     val newFs = FileSystem.get(new java.net.URI(newTopicDir),
       spark.sparkContext.hadoopConfiguration)
-    // carry the stats contract: the compacted topic keeps file-skipping
-    // metadata if the source tracked it (recomputed below on the new grid)
+    // carry the stats contract VERBATIM (incl. :str type decorations): the
+    // compacted topic keeps file-skipping metadata if the source tracked it
+    // (recomputed below on the new grid)
     val statsCols = statsColsOf(desc).getOrElse(Nil)
+    val statsDeclTok = statsDeclOf(desc).getOrElse(Nil)
     val newDesc = s"flushSize=$targetFlushSize\nlayout=$layoutId" +
-      (if (statsCols.isEmpty) "" else s"\nstats=${statsCols.mkString(",")}")
+      (if (statsDeclTok.isEmpty) ""
+       else s"\nstats=${statsDeclTok.mkString(",")}")
     readMarker(newFs, new Path(newRoot, ConfigMarker)) match {
       case Some(existing) => require(existing == newDesc,
         s"compaction target $newTopicDir already committed a different config")

@@ -1277,6 +1277,74 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
     }
   }
 
+  test("string stats: readAsOfStr prunes on a string column, mixed with a long one") {
+    // the categorical counterpart of the numeric stats: a string-typed
+    // tracked column records URL-encoded min/max per cell (config-decorated
+    // `etype:str`), and readAsOfStr prunes with a UTF-8-byte compare. The
+    // artifact orders offsets by (etype, id) per partition so chunk cells
+    // are etype-contiguous — string ranges that actually prune.
+    val ev = Tables(spark, sf, "events")
+    val part = pmod(col("user_id"), lit(2)).cast("int")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(part)
+      .orderBy(col("event_type"), col("event_id"))
+    val shaped = ev.select(
+      col("user_id").cast("string").cast("binary").as("key"),
+      struct(col("event_id").as("id"), col("event_type").as("etype"))
+        .as("value"),
+      lit("asofstr").as("topic"),
+      part.as("partition"),
+      (row_number().over(w) - lit(1)).cast("long").as("offset"),
+      col("ts").as("timestamp"))
+    val out = freshOut()
+    val topicDir = OffsetNamedOrcSink.write(shaped, out, flushSize = 100,
+      topic = "asofstr", statsColumns = Seq("etype", "id"))
+    // config marker records the type decoration
+    val conf = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(topicDir, "_graft_sink.conf")), "UTF-8")
+    assert(conf.contains("stats=etype:str,id"), conf)
+    val allFiles = OffsetNamedOrcSink.read(spark, topicDir).inputFiles.length
+
+    // a string window prunes files AND equals the filtered full read
+    val byStr = OffsetNamedOrcSink.readAsOfStr(spark, topicDir, "etype",
+      "click", "error")
+    val full = OffsetNamedOrcSink.read(spark, topicDir)
+      .filter(col("etype") >= "click" && col("etype") < "error")
+    assert(byStr.count() == full.count() && full.count() > 0)
+    assert(byStr.exceptAll(full).count() == 0)
+    assert(byStr.inputFiles.length > 0 && byStr.inputFiles.length * 2 <= allFiles,
+      s"string-window read ${byStr.inputFiles.length} of $allFiles files")
+
+    // the long column in the SAME line still prunes through readAsOf
+    val byId = OffsetNamedOrcSink.readAsOf(spark, topicDir, "id", 300L, 500L)
+    assert(byId.count() == OffsetNamedOrcSink.read(spark, topicDir)
+      .filter(col("id") >= 300L && col("id") < 500L).count())
+
+    // type-mismatched probes are refused, not silently unpruned
+    intercept[IllegalArgumentException] {
+      OffsetNamedOrcSink.readAsOf(spark, topicDir, "etype", 0L, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      OffsetNamedOrcSink.readAsOfStr(spark, topicDir, "id", "a", "b")
+    }
+
+    // manifest: string rows carry string bounds, long rows long bounds
+    val man = OffsetNamedOrcSink.manifest(spark, topicDir)
+    val etRow = man.filter(col("stats_col") === "etype"
+      && col("partition") === 0 && col("chunk") === 0L).collect()(0)
+    assert(etRow.isNullAt(etRow.fieldIndex("stats_lo")))
+    assert(etRow.getAs[String]("stats_lo_str") == "click")
+    val idRow = man.filter(col("stats_col") === "id"
+      && col("partition") === 0 && col("chunk") === 0L).collect()(0)
+    assert(!idRow.isNullAt(idRow.fieldIndex("stats_lo")))
+    assert(idRow.isNullAt(idRow.fieldIndex("stats_lo_str")))
+
+    // replay idempotence: rewriting a touched chunk refreshes the string line
+    OffsetNamedOrcSink.write(shaped.filter(col("offset") < 150), out,
+      flushSize = 100, topic = "asofstr", statsColumns = Seq("etype", "id"))
+    assert(OffsetNamedOrcSink.readAsOfStr(spark, topicDir, "etype",
+      "click", "error").count() == full.count())
+  }
+
   test("compactTo carries the stats contract onto the coarser grid") {
     val ev = Tables(spark, sf, "events")
     val shaped = ev.select(
