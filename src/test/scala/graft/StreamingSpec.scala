@@ -1012,4 +1012,67 @@ class StreamingSpec extends SparkSpec {
     assert(psi1 > 200000L, s"shifted batch under the alarm: psi=$psi1")
     assert(psi1 > psi0)
   }
+
+  test("band-index maintainer keeps the dedup index current as the topic lands") {
+    // VERDICT r8 item 5: drive BandIndex maintenance from a streamFromSink
+    // tail, so incremental dedup state is current the moment data commits.
+    // Scenario: land slice A → maintain → land slice B + REPLAY part of A
+    // → maintain again from the same checkpoint → dedup a query slice
+    // against the streamed index == the batch-built twin over A∪B.
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val idx = graft.operators.DedupOps.BandIndex
+    val docs = Tables(spark, sf, "documents")
+    def shaped(f: org.apache.spark.sql.Column) = docs.filter(f).select(
+      col("doc_id").cast("string").cast("binary").as("key"),
+      struct(col("doc_id"), col("text")).as("value"),
+      lit("docs").as("topic"),
+      pmod(col("doc_id"), lit(2)).cast("int").as("partition"),
+      col("doc_id").as("offset"),
+      lit(Timestamp.valueOf("2024-01-01 00:00:00")).as("timestamp"))
+    val out = tmp("graft-bandstream-out-")
+    val ck = tmp("graft-bandstream-ck-")
+    val streamKey = s"bandstream|$out"
+    val valueSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+
+    // run 1: slice A lands, the maintainer drains it into a fresh index
+    val topicDir = OffsetNamedOrcSink.write(shaped(col("doc_id") < 300),
+      out, flushSize = 100, topic = "docs")
+    val q1 = StreamOps.bandIndexMaintainer(spark, topicDir, valueSchema,
+      streamKey, ck)
+    q1.awaitTermination()
+    val afterA = spark.table(idx.name(streamKey)).count()
+    assert(afterA > 0, "first drain indexed nothing")
+
+    // run 2 from the SAME checkpoint: slice B is new; the replay of part of
+    // A rewrites already-committed file names, which the path-keyed file
+    // source does not re-emit — the index must grow by exactly B's bands
+    OffsetNamedOrcSink.write(
+      shaped(col("doc_id") >= 300 && col("doc_id") < 400),
+      out, flushSize = 100, topic = "docs")
+    OffsetNamedOrcSink.write(shaped(col("doc_id") < 50),
+      out, flushSize = 100, topic = "docs") // replay
+    val q2 = StreamOps.bandIndexMaintainer(spark, topicDir, valueSchema,
+      streamKey, ck)
+    q2.awaitTermination()
+
+    // the streamed index must answer incremental dedup exactly like a
+    // batch-built index over the same history (A∪B)
+    val batchKey = s"bandbatch|$out"
+    idx.ensure(spark, batchKey, docs.filter(col("doc_id") < 400))
+    val query = docs.filter(col("doc_id") >= 400)
+    def dedupAgainst(table: String) =
+      idx.bands(query).join(spark.table(table), Seq("band"), "left")
+        .groupBy("doc_id")
+        .agg(countDistinct("hist_doc").as("n_hist_docs"),
+          min("hist_doc").as("first_hit"))
+    val viaStream = dedupAgainst(idx.name(streamKey))
+    val viaBatch = dedupAgainst(idx.name(batchKey))
+    assert(viaStream.exceptAll(viaBatch).count() == 0
+      && viaBatch.exceptAll(viaStream).count() == 0,
+      "streamed index diverged from the batch twin")
+    // and the maintained index is a SET: replaying A did not re-land bands
+    assert(spark.table(idx.name(streamKey)).distinct().count()
+      == spark.table(idx.name(batchKey)).distinct().count())
+  }
 }
