@@ -9503,7 +9503,14 @@ object AnalyticsOps extends QueryModule {
     */
   private val qProfileFuncdep = GQuery(
     (s, d) => {
-      val li = t(s, d, "lineitem").localCheckpoint(true) // 4 candidate scans
+      // checkpoint ONLY the candidate columns (5 of lineitem's 16): the
+      // materialized bytes are what the 4 candidate scans re-read, and a
+      // full-width checkpoint would defeat column pruning (the r9 sweep of
+      // corpus-sized localCheckpoints — same discipline as q_stats_xi's
+      // grid-derived denominator)
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_returnflag",
+        "l_linestatus", "l_partkey", "l_suppkey")
+        .localCheckpoint(true) // 4 candidate scans
       def candOver(src: DataFrame, lhs: String, rhs: String): DataFrame = {
         val pc = src.groupBy(col(lhs).cast("string").as("lv"),
             col(rhs).cast("string").as("rv"))
