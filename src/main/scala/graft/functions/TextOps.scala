@@ -1783,7 +1783,12 @@ object TextOps extends QueryModule {
             "CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)")))
           .as("p"))
         .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      // distinct-bigram grid, materialized ONCE: four consumers (both
+      // marginals, the total, the join) — without the barrier the corpus
+      // explode+agg re-runs per consumer (r9 bench fix; the KN query below
+      // always had this barrier)
       val joint = pairs.groupBy("w1", "w2").agg(count(lit(1L)).as("cab"))
+        .localCheckpoint(true)
       val left = joint.groupBy("w1").agg(sum("cab").as("ca"))
       val right = joint.groupBy("w2").agg(sum("cab").as("cb"))
       val tot = joint.agg(sum("cab").as("n"))
@@ -1856,7 +1861,12 @@ object TextOps extends QueryModule {
           .otherwise(expr("CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)")))
           .as("p"))
         .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      // distinct-bigram grid, materialized ONCE: four consumers (both
+      // marginals, the total, the join) — without the barrier the corpus
+      // explode+agg re-runs per consumer (r9 bench fix; the KN query below
+      // always had this barrier)
       val joint = pairs.groupBy("w1", "w2").agg(count(lit(1L)).as("cab"))
+        .localCheckpoint(true)
       val left = joint.groupBy("w1").agg(sum("cab").as("ca"))
       val right = joint.groupBy("w2").agg(sum("cab").as("cb"))
       val tot = joint.agg(sum("cab").as("n"))

@@ -14039,7 +14039,362 @@ object AnalyticsOps extends QueryModule {
                      AS i2_ppm
             FROM q"""))
 
+  // ------------------------------------------ Jarque–Bera normality --
+
+  /** Jarque–Bera normality test per event type (Jarque & Bera 1980 —
+    * public): JB = n/6 · (g₁² + g₂²/4) from the SAME exact integer power
+    * sums as q_stats_moments (one map-combinable 5-sum agg; the moment-
+    * sketch discipline), with g₁/g₂ assembled in DOUBLE through the
+    * bit-mirrored expression tree. JB ~ χ²₂ under normality, so the
+    * verdict column compares against the 95% critical value 5.99 — the
+    * "is mean±σ even a meaningful summary?" gate that complements
+    * q_stats_ks (distance to a REFERENCE sample) and q_stats_cvm: JB
+    * needs no reference, only the distribution's own shape.
+    *
+    * Scale: identical to q_stats_moments — one agg pass, |types| rows;
+    * DECIMAL(38,0) holds S₄ to ~10¹⁸ rows of 10⁵-cent values.
+    */
+  private val qStatsJarqueBera = GQuery(
+    (s, d) => {
+      val c = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val g = t(s, d, "events")
+        .select(col("event_type"), c.as("c"), (c * c).as("c2"))
+        .groupBy("event_type")
+        .agg(count(lit(1L)).as("n"),
+          sum(col("c").cast("decimal(38,0)")).as("s1"),
+          sum(col("c2").cast("decimal(38,0)")).as("s2"),
+          sum(col("c2").cast("decimal(38,0)") * col("c")).as("s3"),
+          sum(col("c2").cast("decimal(38,0)") * col("c2")).as("s4"))
+      g.select(col("event_type"), col("n"),
+          (col("s1").cast("double") / col("n")).as("mu"),
+          col("s2").cast("double").as("s2"),
+          col("s3").cast("double").as("s3"),
+          col("s4").cast("double").as("s4"))
+        .withColumn("m2",
+          col("s2") / col("n") - col("mu") * col("mu"))
+        .withColumn("m3",
+          col("s3") / col("n") - lit(3) * col("mu") * col("s2") / col("n")
+            + lit(2) * col("mu") * col("mu") * col("mu"))
+        .withColumn("m4",
+          col("s4") / col("n") - lit(4) * col("mu") * col("s3") / col("n")
+            + lit(6) * col("mu") * col("mu") * col("s2") / col("n")
+            - lit(3) * col("mu") * col("mu") * col("mu") * col("mu"))
+        .withColumn("g1", col("m3") / pow(col("m2"), 1.5))
+        .withColumn("g2", col("m4") / (col("m2") * col("m2")) - 3)
+        .select(col("event_type"), col("n"),
+          dround(col("g1"), 4).as("skewness"),
+          dround(col("g2"), 4).as("excess_kurtosis"),
+          dround(col("n") / lit(6.0)
+            * (col("g1") * col("g1") + col("g2") * col("g2") / 4), 4)
+            .as("jb_stat"))
+        .withColumn("normal_rejected_95", col("jb_stat") > 5.99)
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (
+              SELECT event_type,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+              FROM events),
+            g AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     sum(CAST(c AS HUGEINT)) AS s1,
+                     sum(CAST(c * c AS HUGEINT)) AS s2,
+                     sum(CAST(c * c AS HUGEINT) * c) AS s3,
+                     sum(CAST(c * c AS HUGEINT) * (c * c)) AS s4
+              FROM ev GROUP BY 1),
+            m AS (
+              SELECT event_type, n, CAST(s1 AS DOUBLE) / n AS mu,
+                     CAST(s2 AS DOUBLE) AS s2, CAST(s3 AS DOUBLE) AS s3,
+                     CAST(s4 AS DOUBLE) AS s4
+              FROM g),
+            cm AS (
+              SELECT event_type, n, mu,
+                     s2 / n - mu * mu AS m2,
+                     s3 / n - 3 * mu * s2 / n + 2 * mu * mu * mu AS m3,
+                     s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n
+                       - 3 * mu * mu * mu * mu AS m4
+              FROM m),
+            gg AS (
+              SELECT event_type, n,
+                     m3 / pow(m2, 1.5) AS g1,
+                     m4 / (m2 * m2) - 3 AS g2
+              FROM cm),
+            r AS (
+              SELECT event_type, n,
+                     CAST(round(CAST(g1 AS DECIMAL(30,8)), 4) AS DOUBLE)
+                       AS skewness,
+                     CAST(round(CAST(g2 AS DECIMAL(30,8)), 4) AS DOUBLE)
+                       AS excess_kurtosis,
+                     CAST(round(CAST(n / 6.0 * (g1 * g1 + g2 * g2 / 4)
+                       AS DECIMAL(30,8)), 4) AS DOUBLE) AS jb_stat
+              FROM gg)
+            SELECT event_type, n, skewness, excess_kurtosis, jb_stat,
+                   jb_stat > 5.99 AS normal_rejected_95
+            FROM r ORDER BY event_type"""))
+
+  // ----------------------------------------------- Grubbs outlier test --
+
+  /** Grubbs' extreme-studentized-deviate statistic per event type
+    * (Grubbs 1950 — public): G = max|c − μ| / s with the (n−1) sample
+    * std — the single-outlier screen that reads in σ units where
+    * q_events_outliers' fence reads in quartile units. The extreme's
+    * IDENTITY ships too (the cent value and its side), because an
+    * outlier report without the offending value is unactionable.
+    * Exactness: the argmax runs on |c·n − S₁| — an EXACT integer
+    * (DECIMAL(38) cross-multiplied deviation; no fp ranking anywhere);
+    * ties break by the larger cent value via a second bounded agg over
+    * the value grid. Only the final G assembles in DOUBLE, dround'd.
+    *
+    * Scale: collapse to the (type, cent) value grid first (domain-
+    * bounded), then two grid-sized aggs — the corpus is touched once.
+    */
+  private val qStatsGrubbs = GQuery(
+    (s, d) => {
+      val c = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val grid = t(s, d, "events")
+        .select(col("event_type"), c.as("c"))
+        .groupBy("event_type", "c").agg(count(lit(1L)).as("cnt"))
+        .localCheckpoint(true) // grid-sized; feeds totals + both argmax aggs
+      val tot = grid.groupBy("event_type")
+        .agg(sum("cnt").as("n"),
+          sum(col("c").cast("decimal(38,0)") * col("cnt")).as("s1"),
+          sum(col("c").cast("decimal(38,0)") * col("c") * col("cnt"))
+            .as("s2"))
+      val dev = grid.join(tot, "event_type")
+        .withColumn("dabs",
+          abs(col("c").cast("decimal(38,0)") * col("n") - col("s1")))
+      val dm = dev.groupBy("event_type").agg(max("dabs").as("dmax"))
+      val ext = dev.join(dm, "event_type")
+        .filter(col("dabs") === col("dmax"))
+        .groupBy("event_type").agg(max("c").as("extreme_cents"))
+      tot.join(dm, "event_type").join(ext, "event_type")
+        .withColumn("var_num", // (n−1)-denominator variance × n²(n−1)
+          (col("s2") * col("n") - col("s1") * col("s1"))
+            .cast("double") / (col("n") - 1)
+            / col("n") / col("n"))
+        .select(col("event_type"), col("n"),
+          col("extreme_cents"),
+          when(col("extreme_cents").cast("decimal(38,0)") * col("n")
+            >= col("s1"), lit("high")).otherwise(lit("low")).as("side"),
+          dround(col("dmax").cast("double") / col("n")
+            / sqrt(col("var_num")), 4).as("g_stat"))
+        .orderBy("event_type")
+    },
+    Some("""WITH grid AS (
+              SELECT event_type,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1, 2),
+            tot AS (
+              SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n,
+                     sum(CAST(c AS HUGEINT) * cnt) AS s1,
+                     sum(CAST(c AS HUGEINT) * c * cnt) AS s2
+              FROM grid GROUP BY 1),
+            dev AS (
+              SELECT g.event_type, g.c,
+                     abs(CAST(g.c AS HUGEINT) * t.n - t.s1) AS dabs
+              FROM grid g JOIN tot t USING (event_type)),
+            dm AS (
+              SELECT event_type, max(dabs) AS dmax
+              FROM dev GROUP BY 1),
+            ext AS (
+              SELECT d.event_type, max(d.c) AS extreme_cents
+              FROM dev d JOIN dm USING (event_type)
+              WHERE d.dabs = dm.dmax GROUP BY 1)
+            SELECT t.event_type, t.n, e.extreme_cents,
+                   CASE WHEN CAST(e.extreme_cents AS HUGEINT) * t.n >= t.s1
+                     THEN 'high' ELSE 'low' END AS side,
+                   CAST(round(CAST(CAST(dm.dmax AS DOUBLE) / t.n
+                     / sqrt(CAST(t.s2 * t.n - t.s1 * t.s1 AS DOUBLE)
+                            / (t.n - 1) / t.n / t.n)
+                     AS DECIMAL(30,8)), 4) AS DOUBLE) AS g_stat
+            FROM tot t JOIN dm USING (event_type) JOIN ext e USING (event_type)
+            ORDER BY event_type"""))
+
+  // --------------------------------------------- odds ratio / 2×2 table --
+
+  /** Odds ratio + relative risk of purchasing given each exposure event
+    * type (the epidemiology 2×2 readout — Cornfield 1951, Wald CI via
+    * Woolf 1955, all public): per exposure type X ∈ {click, view, error,
+    * signup}, users split into the a/b/c/d cells (X∧purchase, X∧¬p,
+    * ¬X∧p, ¬X∧¬p — EXACT integers from one distinct-(user, type) rollup),
+    * then OR = ad/bc, RR = [a/(a+b)] / [c/(c+d)], and the Woolf 95% CI
+    * exp(ln OR ± 1.96·√(1/a+1/b+1/c+1/d)) — the association direction
+    * q_stats_chisq/q_stats_cramersv measure without a ratio readout.
+    *
+    * Scale: one distinct rollup to (user, has-X flags) — user-grid-sized
+    * — then a 4-cell agg per type; |types| output rows, no joins beyond
+    * a broadcast of the 1-row purchase totals.
+    */
+  private val qStatsOddsratio = GQuery(
+    (s, d) => {
+      val ut = t(s, d, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+      val up = ut.groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("p"))
+      val totals = up.agg(count(lit(1L)).as("nu"), sum("p").as("np"))
+      val cells = ut.filter(col("event_type") =!= "purchase")
+        .join(up, "user_id")
+        .groupBy(col("event_type").as("exposure"))
+        .agg(count(lit(1L)).as("n_exp"), sum("p").as("a"))
+        .crossJoin(broadcast(totals))
+        .withColumn("b", col("n_exp") - col("a"))
+        .withColumn("c", col("np") - col("a"))
+        .withColumn("d", col("nu") - col("n_exp") - col("np") + col("a"))
+      cells
+        .withColumn("or_", col("a").cast("double") * col("d")
+          / (col("b").cast("double") * col("c")))
+        .withColumn("se", sqrt(lit(1.0) / col("a") + lit(1.0) / col("b")
+          + lit(1.0) / col("c") + lit(1.0) / col("d")))
+        .select(col("exposure"), col("a"), col("b"), col("c"), col("d"),
+          dround(col("or_"), 4).as("odds_ratio"),
+          dround(exp(log(col("or_")) - lit(1.96) * col("se")), 4)
+            .as("or_ci_lo"),
+          dround(exp(log(col("or_")) + lit(1.96) * col("se")), 4)
+            .as("or_ci_hi"),
+          dround(col("a").cast("double") / (col("a") + col("b"))
+            / (col("c").cast("double") / (col("c") + col("d"))), 4)
+            .as("relative_risk"))
+        .orderBy("exposure")
+    },
+    Some("""WITH ut AS (
+              SELECT DISTINCT user_id, event_type FROM events),
+            up AS (
+              SELECT user_id,
+                     CAST(max(CASE WHEN event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS p
+              FROM ut GROUP BY 1),
+            totals AS (
+              SELECT CAST(count(*) AS BIGINT) AS nu,
+                     CAST(sum(p) AS BIGINT) AS np
+              FROM up),
+            cells AS (
+              SELECT ut.event_type AS exposure,
+                     CAST(count(*) AS BIGINT) AS n_exp,
+                     CAST(sum(up.p) AS BIGINT) AS a
+              FROM ut JOIN up USING (user_id)
+              WHERE ut.event_type <> 'purchase' GROUP BY 1),
+            abcd AS (
+              SELECT exposure, a, n_exp - a AS b, np - a AS c,
+                     nu - n_exp - np + a AS d
+              FROM cells, totals),
+            r AS (
+              SELECT exposure, a, b, c, d,
+                     CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c) AS orr,
+                     sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d) AS se
+              FROM abcd)
+            SELECT exposure, a, b, c, d,
+                   CAST(round(CAST(orr AS DECIMAL(30,8)), 4) AS DOUBLE)
+                     AS odds_ratio,
+                   CAST(round(CAST(exp(ln(orr) - 1.96 * se)
+                     AS DECIMAL(30,8)), 4) AS DOUBLE) AS or_ci_lo,
+                   CAST(round(CAST(exp(ln(orr) + 1.96 * se)
+                     AS DECIMAL(30,8)), 4) AS DOUBLE) AS or_ci_hi,
+                   CAST(round(CAST(CAST(a AS DOUBLE) / (a + b)
+                     / (CAST(c AS DOUBLE) / (c + d))
+                     AS DECIMAL(30,8)), 4) AS DOUBLE) AS relative_risk
+            FROM r ORDER BY exposure"""))
+
+  // ------------------------------------------------- jackknife SE --
+
+  /** Delete-one-GROUP jackknife standard error of the mean value per
+    * event type (Quenouille 1956 / Tukey 1958 — public), groups = days:
+    * the resampling-free uncertainty estimate that respects within-day
+    * correlation where the naive s/√n (emitted alongside) assumes iid —
+    * the honest error bar for event streams whose days are internally
+    * correlated. EXACT until the last step: each leave-one-day-out mean
+    * is the integer micro-cents (S−sᵢ)·10⁶ div (n−nᵢ) (IntegralDivide ≡
+    * DuckDB //), their mean is again an integer div, and Σ(devᵢ)²
+    * accumulates in DECIMAL(38)/HUGEINT — no order-dependent fp sums;
+    * one final sqrt exits to DOUBLE, dround'd.
+    *
+    * Scale: the corpus collapses to the (type, day) grid in one agg;
+    * the jackknife is algebra over ≤ #days rows per type (never g
+    * re-computations — the leave-one-out mean derives from totals).
+    */
+  private val qStatsJackknife = GQuery(
+    (s, d) => {
+      val c = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val days = t(s, d, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"), c.as("c"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1L)).as("ni"),
+          sum(col("c").cast("decimal(38,0)")).as("si"))
+      val tot = days.groupBy("event_type")
+        .agg(count(lit(1L)).as("g"), sum("ni").as("n"),
+          sum("si").cast("decimal(38,0)").as("s"))
+      val loo = days.join(tot, "event_type")
+        .withColumn("mi", expr(
+          "CAST((s - si) * 1000000 div (n - ni) AS DECIMAL(38,0))"))
+      val bar = loo.groupBy("event_type")
+        .agg(expr("CAST(sum(mi) div count(1) AS DECIMAL(38,0))").as("mbar"))
+      val dsum = loo.join(bar, "event_type")
+        .groupBy("event_type")
+        .agg(max("g").as("g"), max("n").as("n"), max("s").as("s"),
+          sum(expr("(mi - mbar) * (mi - mbar)")).as("sd2"))
+      // naive iid SE needs S₂ — one more exact sum over the same corpus agg
+      val s2 = t(s, d, "events")
+        .select(col("event_type"), c.as("c"))
+        .groupBy("event_type")
+        .agg(sum(col("c").cast("decimal(38,0)") * col("c")).as("s2"))
+      dsum.join(s2, "event_type")
+        .select(col("event_type"), col("g"), col("n"),
+          dround(col("s").cast("double") / col("n") / 100, 4)
+            .as("mean_dollars"),
+          dround(sqrt((col("g") - 1).cast("double") / col("g")
+            * col("sd2").cast("double")) / 1e6 / 100, 4)
+            .as("se_jack_dollars"),
+          dround(sqrt((col("s2") * col("n") - col("s") * col("s"))
+            .cast("double") / (col("n") - 1) / col("n") / col("n"))
+            / sqrt(col("n").cast("double")) / 100, 4)
+            .as("se_naive_dollars"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+              FROM events),
+            days AS (
+              SELECT event_type, day, CAST(count(*) AS BIGINT) AS ni,
+                     sum(CAST(c AS HUGEINT)) AS si
+              FROM ev GROUP BY 1, 2),
+            tot AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS g,
+                     CAST(sum(ni) AS BIGINT) AS n, sum(si) AS s
+              FROM days GROUP BY 1),
+            loo AS (
+              SELECT d.event_type, t.g, t.n, t.s,
+                     (t.s - d.si) * 1000000 // (t.n - d.ni) AS mi
+              FROM days d JOIN tot t USING (event_type)),
+            bar AS (
+              SELECT event_type, sum(mi) // count(*) AS mbar
+              FROM loo GROUP BY 1),
+            dsum AS (
+              SELECT l.event_type, max(l.g) AS g, max(l.n) AS n,
+                     max(l.s) AS s,
+                     sum((l.mi - b.mbar) * (l.mi - b.mbar)) AS sd2
+              FROM loo l JOIN bar b USING (event_type) GROUP BY 1),
+            s2 AS (
+              SELECT event_type, sum(CAST(c AS HUGEINT) * c) AS s2
+              FROM ev GROUP BY 1)
+            SELECT d.event_type, d.g, d.n,
+                   CAST(round(CAST(CAST(d.s AS DOUBLE) / d.n / 100
+                     AS DECIMAL(30,8)), 4) AS DOUBLE) AS mean_dollars,
+                   CAST(round(CAST(sqrt(CAST(d.g - 1 AS DOUBLE) / d.g
+                     * CAST(d.sd2 AS DOUBLE)) / 1e6 / 100
+                     AS DECIMAL(30,8)), 4) AS DOUBLE) AS se_jack_dollars,
+                   CAST(round(CAST(sqrt(CAST(s2.s2 * d.n - d.s * d.s
+                       AS DOUBLE) / (d.n - 1) / d.n / d.n)
+                     / sqrt(CAST(d.n AS DOUBLE)) / 100
+                     AS DECIMAL(30,8)), 4) AS DOUBLE) AS se_naive_dollars
+            FROM dsum d JOIN s2 USING (event_type)
+            ORDER BY event_type"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_stats_jarque_bera" -> qStatsJarqueBera,
+    "q_stats_grubbs" -> qStatsGrubbs,
+    "q_stats_oddsratio" -> qStatsOddsratio,
+    "q_stats_jackknife" -> qStatsJackknife,
     "q_stats_meta_analysis" -> qStatsMetaAnalysis,
     "q_events_shapley" -> qEventsShapley,
     "q_ts_hysteresis" -> qTsHysteresis,
