@@ -2643,6 +2643,83 @@ object TextOps extends QueryModule {
                    gd.d_global
             FROM spec CROSS JOIN gd ORDER BY source"""))
 
+  // ------------------------------------------- Good–Turing smoothing --
+
+  /** Good–Turing frequency smoothing over the token-trigram vocabulary
+    * (Good 1953 — public; the estimator under Katz backoff and the classic
+    * answer to "how much probability mass belongs to UNSEEN grams?" —
+    * trigrams are the gram unit q_vocab_chao1 estimates richness for, and
+    * the corpus's synthetic unigram vocabulary is a closed 31-word set
+    * with no rare classes, so the n-gram level is where GT is live):
+    * from the frequency-of-frequencies spectrum N_r, the smoothed count
+    * r* = (r+1)·N_{r+1}/N_r and the class mass N_r·r∗/N = (r+1)·N_{r+1}/N
+    * — emitted for r = 1..10 plus the r = 0 row whose mass_ppm is the
+    * leftover/unseen estimate N₁/N (the quantity q_vocab_chao1 reads as
+    * 1 − coverage, here given its probabilistic meaning). EVERYTHING is
+    * exact integer ppm/micro arithmetic ((r+1)·N_{r+1}·10⁶ div N_r —
+    * IntegralDivide ≡ DuckDB //); the empirical spectrum's raw N_r ships
+    * alongside so the discount r∗/r is readable off the row.
+    *
+    * Scale: one linear token explode → vocab-sized word counts → a
+    * spectrum agg of ≤ max-count rows; the r+1 lookup is a self-join on
+    * the TINY spectrum. Zipf guarantees N_r > 0 for small r on any real
+    * corpus; an empty class would simply drop its row (inner join), never
+    * divide by zero.
+    */
+  private val qVocabGoodturing = GQuery(
+    (s, d) => {
+      val wc = t(s, d, "documents")
+        .select(split(lower(col("text")), " ").as("toks"))
+        .select(explode(expr("""transform(
+            sequence(1, greatest(size(toks) - 2, 1)),
+            i -> concat_ws(' ', slice(toks, i, 3)))""")).as("w"))
+        .groupBy("w").agg(count(lit(1L)).as("c"))
+      val nr = wc.groupBy("c").agg(count(lit(1L)).as("n_r"))
+        .localCheckpoint(true) // spectrum-sized; feeds N, the shift join, r0
+      val totN = nr.agg(sum(col("c") * col("n_r")).as("n"))
+      val shifted = nr.select((col("c") - 1).as("c"), col("n_r").as("n_r1"))
+      val classes = nr.join(shifted, "c")
+        .filter(col("c").between(1, 10))
+        .crossJoin(broadcast(totN))
+        .select(col("c").as("r"), col("n_r"),
+          expr("(c + 1) * n_r1 * 1000000 div n_r").as("r_star_micro"),
+          expr("(c + 1) * n_r1 * 1000000 div n").as("mass_ppm"))
+      val r0 = nr.filter(col("c") === 1).crossJoin(broadcast(totN))
+        .select(lit(0L).as("r"), lit(0L).as("n_r"),
+          lit(null).cast("long").as("r_star_micro"),
+          expr("n_r * 1000000 div n").as("mass_ppm"))
+      r0.unionByName(classes).orderBy("r")
+    },
+    Some("""WITH d AS (
+              SELECT string_split(lower(text), ' ') AS toks FROM documents),
+            wc AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT unnest(list_transform(
+                      generate_series(1, greatest(len(toks) - 2, 1)),
+                      i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                      AS w
+                    FROM d)
+              GROUP BY 1),
+            nr AS (
+              SELECT c, CAST(count(*) AS BIGINT) AS n_r
+              FROM wc GROUP BY 1),
+            totn AS (SELECT CAST(sum(c * n_r) AS BIGINT) AS n FROM nr),
+            classes AS (
+              SELECT a.c AS r, a.n_r,
+                     CAST((a.c + 1) * b.n_r * 1000000 // a.n_r AS BIGINT)
+                       AS r_star_micro,
+                     CAST((a.c + 1) * b.n_r * 1000000 // t.n AS BIGINT)
+                       AS mass_ppm
+              FROM nr a JOIN nr b ON b.c = a.c + 1 CROSS JOIN totn t
+              WHERE a.c BETWEEN 1 AND 10),
+            r0 AS (
+              SELECT CAST(0 AS BIGINT) AS r, CAST(0 AS BIGINT) AS n_r,
+                     CAST(NULL AS BIGINT) AS r_star_micro,
+                     CAST(a.n_r * 1000000 // t.n AS BIGINT) AS mass_ppm
+              FROM nr a CROSS JOIN totn t WHERE a.c = 1)
+            SELECT * FROM r0 UNION ALL SELECT * FROM classes
+            ORDER BY r"""))
+
   // --------------------------------------------- boilerplate stripping --
 
   /** Within-source boilerplate detection — the CCNet/RefinedWeb curation
@@ -3018,6 +3095,7 @@ object TextOps extends QueryModule {
     "q_vocab_prefix" -> qVocabPrefix,
     "q_text_boilerplate" -> qTextBoilerplate,
     "q_vocab_chao1" -> qVocabChao1,
+    "q_vocab_goodturing" -> qVocabGoodturing,
     "q_vocab_coverage" -> qVocabCoverage,
     "q_text_keyness" -> qTextKeyness,
     "q_text_textrank" -> qTextTextrank,

@@ -14212,29 +14212,33 @@ object AnalyticsOps extends QueryModule {
 
   // --------------------------------------------- odds ratio / 2×2 table --
 
-  /** Odds ratio + relative risk of purchasing given each exposure event
-    * type (the epidemiology 2×2 readout — Cornfield 1951, Wald CI via
-    * Woolf 1955, all public): per exposure type X ∈ {click, view, error,
-    * signup}, users split into the a/b/c/d cells (X∧purchase, X∧¬p,
-    * ¬X∧p, ¬X∧¬p — EXACT integers from one distinct-(user, type) rollup),
-    * then OR = ad/bc, RR = [a/(a+b)] / [c/(c+d)], and the Woolf 95% CI
-    * exp(ln OR ± 1.96·√(1/a+1/b+1/c+1/d)) — the association direction
-    * q_stats_chisq/q_stats_cramersv measure without a ratio readout.
+  /** Odds ratio + relative risk of same-day purchasing given each
+    * exposure event type (the epidemiology 2×2 readout — Cornfield 1951,
+    * Wald CI via Woolf 1955, all public): units are (user, day) ACTIVE
+    * pairs (at any realistic horizon every user touches every event type
+    * eventually, so the lifetime 2×2 degenerates; the day grain is what a
+    * propensity analyst actually uses), split per exposure type X ∈
+    * {click, view, error, signup} into the a/b/c/d cells (X∧purchase,
+    * X∧¬p, ¬X∧p, ¬X∧¬p — EXACT integers from one distinct-(user, day,
+    * type) rollup), then OR = ad/bc, RR = [a/(a+b)] / [c/(c+d)], and the
+    * Woolf 95% CI exp(ln OR ± 1.96·√(1/a+1/b+1/c+1/d)) — the association
+    * DIRECTION and magnitude q_stats_chisq/q_stats_cramersv only test.
     *
-    * Scale: one distinct rollup to (user, has-X flags) — user-grid-sized
-    * — then a 4-cell agg per type; |types| output rows, no joins beyond
-    * a broadcast of the 1-row purchase totals.
+    * Scale: one distinct rollup to the (user, day) activity grid, one
+    * per-unit outcome flag agg, then a 4-cell agg per type; |types|
+    * output rows, no joins beyond a broadcast of the 1-row totals.
     */
   private val qStatsOddsratio = GQuery(
     (s, d) => {
       val ut = t(s, d, "events")
-        .select(col("user_id"), col("event_type")).distinct()
-      val up = ut.groupBy("user_id")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("event_type")).distinct()
+      val up = ut.groupBy("user_id", "day")
         .agg(max(when(col("event_type") === "purchase", 1L)
           .otherwise(0L)).as("p"))
       val totals = up.agg(count(lit(1L)).as("nu"), sum("p").as("np"))
       val cells = ut.filter(col("event_type") =!= "purchase")
-        .join(up, "user_id")
+        .join(up, Seq("user_id", "day"))
         .groupBy(col("event_type").as("exposure"))
         .agg(count(lit(1L)).as("n_exp"), sum("p").as("a"))
         .crossJoin(broadcast(totals))
@@ -14258,12 +14262,13 @@ object AnalyticsOps extends QueryModule {
         .orderBy("exposure")
     },
     Some("""WITH ut AS (
-              SELECT DISTINCT user_id, event_type FROM events),
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+              FROM events),
             up AS (
-              SELECT user_id,
+              SELECT user_id, day,
                      CAST(max(CASE WHEN event_type = 'purchase'
                        THEN 1 ELSE 0 END) AS BIGINT) AS p
-              FROM ut GROUP BY 1),
+              FROM ut GROUP BY 1, 2),
             totals AS (
               SELECT CAST(count(*) AS BIGINT) AS nu,
                      CAST(sum(p) AS BIGINT) AS np
@@ -14272,7 +14277,7 @@ object AnalyticsOps extends QueryModule {
               SELECT ut.event_type AS exposure,
                      CAST(count(*) AS BIGINT) AS n_exp,
                      CAST(sum(up.p) AS BIGINT) AS a
-              FROM ut JOIN up USING (user_id)
+              FROM ut JOIN up USING (user_id, day)
               WHERE ut.event_type <> 'purchase' GROUP BY 1),
             abcd AS (
               SELECT exposure, a, n_exp - a AS b, np - a AS c,
