@@ -1192,4 +1192,20 @@ class PlanShapeSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q:\n" + p.take(3000))
     }
   }
+
+  test("q_vocab_pmi / q_text_collocations: bigram grid materialized once") {
+    // the r9 bench fix: `joint` feeds four consumers (both marginals, the
+    // total, the join) — without the checkpoint barrier the corpus
+    // explode+agg re-ran per consumer (1.18 s vs 0.65 s at sf0.1). The pin:
+    // the executed plan reads the materialized grid (ExistingRDD) and holds
+    // ZERO parquet scans of documents above it.
+    for (q <- Seq("q_vocab_pmi", "q_text_collocations")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      val finalPlan = p.split("== Initial Plan ==")(0)
+      assert(finalPlan.contains("ExistingRDD"), s"$q:\n" + finalPlan.take(3000))
+      assert(!finalPlan.linesIterator.exists(_.contains("FileScan parquet")),
+        s"$q re-scans the corpus:\n" + finalPlan.take(3000))
+    }
+  }
 }
