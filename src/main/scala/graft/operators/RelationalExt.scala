@@ -838,6 +838,98 @@ object RelationalExt extends QueryModule {
             FROM cum c JOIN tot t USING (flag)
             GROUP BY 1 ORDER BY c.flag"""))
 
+  /** Join-SIZE estimation before running the join (the AMS F₂ sketch
+    * idea, Alon–Matias–Szegedy 1996 — public; what a cost-based planner
+    * does to pick shuffle vs broadcast vs skew-salt BEFORE paying for the
+    * join): per scenario the EXACT output cardinality Σ_k c_A(k)·c_B(k)
+    * from the per-key count grids, next to the bucketed estimate
+    * Σ_b S_A(b)·S_B(b) over 256 md5-derived buckets (hex4 — the portable
+    * hash anchor, so the estimate is the SAME exact integer in both
+    * engines; collisions only ever over-estimate, by Cauchy–Schwarz).
+    * Three scenarios: the lineitem self-join on partkey and the events
+    * self-join on user (self-join size IS the second frequency moment —
+    * the skew diagnostic), plus the orders⋈lineitem key join. err_ppm
+    * reads the bucketing overshoot directly.
+    *
+    * Scale: each scenario costs ONE per-key count agg (map-combinable)
+    * and a 256-row bucket rollup — the whole point: the estimate touches
+    * key grids, never the join output; DECIMAL(38) carries Σc² to ~10¹⁹
+    * pairs.
+    */
+  private val qJoinSizeEstimate = GQuery(
+    (s, d) => {
+      import graft.operators.DedupOps.hex4
+      def counts(df: DataFrame, key: String) = df
+        .groupBy(col(key).cast("long").as("k"))
+        .agg(count(lit(1L)).as("c"))
+        .withColumn("b", hex4(col("k").cast("string")) % 256)
+      def scenario(name: String, a: DataFrame, b: DataFrame): DataFrame = {
+        val joined = a.select(col("k"), col("b"), col("c").as("ca"))
+          .join(b.select(col("k"), col("c").as("cb")), Seq("k"), "inner")
+        val exact = joined.agg(
+          sum(col("ca").cast("decimal(38,0)") * col("cb")).as("exact_pairs"))
+        val sa = a.groupBy("b").agg(sum("c").as("sa"))
+        val sb = b.groupBy("b").agg(sum("c").as("sb"))
+        val est = sa.join(sb, "b").agg(
+          sum(col("sa").cast("decimal(38,0)") * col("sb")).as("est_pairs"))
+        val na = a.agg(sum("c").as("n_left"), count(lit(1L)).as("keys_left"))
+        val nb = b.agg(sum("c").as("n_right"))
+        na.crossJoin(nb).crossJoin(exact).crossJoin(est)
+          .select(lit(name).as("scenario"), col("n_left"), col("n_right"),
+            col("keys_left"), col("exact_pairs"), col("est_pairs"),
+            expr("(est_pairs - exact_pairs) * 1000000 div exact_pairs")
+              .cast("long").as("err_ppm"))
+      }
+      val lp = counts(t(s, d, "lineitem"), "l_partkey")
+        .localCheckpoint(true) // key grid feeds both sides of its scenario
+      val eu = counts(t(s, d, "events"), "user_id").localCheckpoint(true)
+      val ok = counts(t(s, d, "orders"), "o_orderkey").localCheckpoint(true)
+      val lo = counts(t(s, d, "lineitem"), "l_orderkey").localCheckpoint(true)
+      scenario("events_self_user", eu, eu)
+        .unionByName(scenario("lineitem_self_partkey", lp, lp))
+        .unionByName(scenario("orders_lineitem_orderkey", ok, lo))
+        .orderBy("scenario")
+    },
+    Some {
+      def hx(e: String) = graft.operators.DedupOps.duckHex4(e)
+      def cts(tbl: String, key: String) =
+        s"""SELECT CAST($key AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS c,
+                   ${hx(s"md5(CAST(CAST($key AS BIGINT) AS VARCHAR))")} % 256
+                     AS b
+            FROM $tbl GROUP BY 1"""
+      def scen(name: String, a: String, bq: String) =
+        s"""SELECT '$name' AS scenario,
+                   (SELECT CAST(sum(c) AS BIGINT) FROM $a) AS n_left,
+                   (SELECT CAST(sum(c) AS BIGINT) FROM $bq) AS n_right,
+                   (SELECT CAST(count(*) AS BIGINT) FROM $a) AS keys_left,
+                   (SELECT CAST(sum(CAST(x.c AS HUGEINT) * y.c)
+                      AS DECIMAL(38,0))
+                    FROM $a x JOIN $bq y USING (k)) AS exact_pairs,
+                   (SELECT CAST(sum(CAST(sa AS HUGEINT) * sb)
+                      AS DECIMAL(38,0))
+                    FROM (SELECT b, sum(c) AS sa FROM $a GROUP BY 1) p
+                    JOIN (SELECT b, sum(c) AS sb FROM $bq GROUP BY 1) q
+                    USING (b)) AS est_pairs"""
+      s"""WITH lp AS (${cts("lineitem", "l_partkey")}),
+            eu AS (${cts("events", "user_id")}),
+            ok AS (${cts("orders", "o_orderkey")}),
+            lo AS (${cts("lineitem", "l_orderkey")}),
+            rows0 AS (
+              ${scen("events_self_user", "eu", "eu")}
+              UNION ALL
+              ${scen("lineitem_self_partkey", "lp", "lp")}
+              UNION ALL
+              ${scen("orders_lineitem_orderkey", "ok", "lo")})
+            SELECT scenario, n_left, n_right, keys_left, exact_pairs,
+                   est_pairs,
+                   -- HUGEINT, not DECIMAL: DuckDB's // ROUNDS on decimals
+                   -- and truncates on integers (the CLAUDE.md invariant)
+                   CAST((CAST(est_pairs AS HUGEINT)
+                         - CAST(exact_pairs AS HUGEINT)) * 1000000
+                     // CAST(exact_pairs AS HUGEINT) AS BIGINT) AS err_ppm
+            FROM rows0 ORDER BY scenario"""
+    })
+
   /** Set algebra ON sketches — audience-overlap estimation by
     * inclusion–exclusion over HLLs: per event_type, the users active in the
     * stream's first half (A), second half (B), and their retention overlap
@@ -1144,6 +1236,7 @@ object RelationalExt extends QueryModule {
     "q_agg_incremental" -> qAggIncremental,
     "q_join_incremental" -> qJoinIncremental,
     "q_agg_countmin" -> qAggCountmin,
+    "q_join_size_estimate" -> qJoinSizeEstimate,
     "q_agg_quantile_merge" -> qAggQuantileMerge,
     "q_agg_approx" -> qAggApprox,
     "q_join_bloom" -> qJoinBloom,
