@@ -808,7 +808,10 @@ object RelationalExt extends QueryModule {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = grid.join(broadcast(off), Seq("flag", "bkt"))
         .withColumn("cw", col("off") + sum("vw").over(wIn))
-      val tot = cum.groupBy("flag").agg(max("cw").as("totw"))
+      // total weight straight off the checkpointed grid — max(cw) is the
+      // same value but re-runs the whole cum window a second time (r9: one
+      // window pass shaved)
+      val tot = grid.groupBy("flag").agg(sum("vw").as("totw"))
       cum.join(broadcast(tot), "flag")
         .groupBy("flag")
         .agg(min(when(col("cw") * 4 >= col("totw"), col("v"))).as("wq25_cents"),
