@@ -1208,8 +1208,9 @@ object ScoringOps extends QueryModule {
     * stitch — no full-corpus single-task sort anywhere. Σ l(n−l) is
     * DECIMAL(38) from the start (overflows BIGINT near 10⁸ rows/group)
     * and is derived from the GRID-sized rmap (weight l(n−l) by the tie
-    * count c) so the corpus-sized checkpoint feeds only the two adjacency
-    * consumers.
+    * count c); the corpus row set is touched exactly ONCE (the wIn lag +
+    * per-(grp, x) agg emit the within-x partials and the boundary fr/lr
+    * together) — only grid-sized frames are ever checkpointed.
     */
   private val qStatsXi = GQuery(
     (s, d) => {
@@ -1223,28 +1224,37 @@ object ScoringOps extends QueryModule {
         md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"),
           col("l_quantity").cast("long"), cents)).as("h"))
-      val nG = li.groupBy("grp").agg(count(lit(1L)).as("n"))
       val wY = Window.partitionBy("grp").orderBy("y")
       val rmap = li.groupBy("grp", "y").agg(count(lit(1L)).as("c"))
         .withColumn("r", sum("c").over(wY))
-        .localCheckpoint(true) // grid-sized; feeds den + the rows join
+        .localCheckpoint(true) // y-grid-sized; feeds den, n, the rows join
+      // group sizes off the grid (Σc), not a second corpus agg
+      val nG = rmap.groupBy("grp").agg(sum("c").as("n"))
       val den = rmap.join(broadcast(nG), "grp")
         .withColumn("l", col("n") - col("r") + col("c"))
         .groupBy("grp").agg(
           sum(col("c").cast("decimal(38,0)")
             .*(col("l")).*(col("n") - col("l"))).as("sl"))
+      // ONE corpus pass serves BOTH adjacency consumers: the wIn lag and a
+      // per-(grp, x) agg produce the within-x |Δr| partials AND the
+      // boundary fr/lr in the same job, so no corpus-sized checkpoint
+      // exists at all — only the x-grid-sized partials are materialized
+      // (r9: the two-consumer corpus checkpoint benched 6.3 s; this one
+      // passes the corpus once)
       val rows = li.join(rmap, Seq("grp", "y"))
         .join(broadcast(nG), "grp")
-        .localCheckpoint(true) // feeds both adjacency consumers
       val wIn = Window.partitionBy("grp", "x").orderBy("h", "r")
-      val sIn = rows
+      val perX = rows
         .withColumn("pr", lag("r", 1).over(wIn))
-        .filter(col("pr").isNotNull)
-        .groupBy("grp").agg(sum(abs(col("r") - col("pr"))).as("si"))
-      val wX = Window.partitionBy("grp").orderBy("x")
-      val sB = rows.groupBy("grp", "x")
-        .agg(min_by(col("r"), struct(col("h"), col("r"))).as("fr"),
+        .groupBy("grp", "x")
+        .agg(sum(when(col("pr").isNotNull, abs(col("r") - col("pr")))
+          .otherwise(lit(0L))).as("si_part"),
+          min_by(col("r"), struct(col("h"), col("r"))).as("fr"),
           max_by(col("r"), struct(col("h"), col("r"))).as("lr"))
+        .localCheckpoint(true) // x-grid-sized; feeds sIn + sB
+      val sIn = perX.groupBy("grp").agg(sum("si_part").as("si"))
+      val wX = Window.partitionBy("grp").orderBy("x")
+      val sB = perX
         .withColumn("plr", lag("lr", 1).over(wX))
         .filter(col("plr").isNotNull)
         .groupBy("grp").agg(sum(abs(col("fr") - col("plr"))).as("sb"))

@@ -252,18 +252,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count"), p.take(3000)) // map-side combine
   }
 
-  test("q_stats_xi windows are all partitioned; adjacency runs per (grp, x)") {
+  test("q_stats_xi windows are all partitioned; output derives from grids") {
     val df = SparkEntry.queries("q_stats_xi")(spark, sf)
     val p = df.queryExecution.optimizedPlan.toString
     val wins = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
     assert(wins.nonEmpty, p.take(3000))
-    // every window partitions at least by grp — no global orderBy anywhere
+    // every visible window partitions at least by grp — no global orderBy
+    // anywhere (the (grp, x, h-ordered) adjacency window lives inside the
+    // one corpus pass behind the perX checkpoint; its tie-independence is
+    // pinned behaviorally by the PropertySpec determinism test)
     assert(wins.forall(_.contains("grp")), wins.mkString("\n"))
-    // the row-level adjacent-diff window partitions by (grp, x) and orders
-    // by the tie-break hash — the bounded-partition decomposition the scale
-    // story depends on (never a corpus-wide sort)
-    assert(wins.exists(l => l.contains("grp") && l.contains("x#") &&
-      l.contains("h#")), wins.mkString("\n"))
+    // the final plan reads ONLY the checkpointed grids — zero corpus scans
+    // above the one fused pass (n, den, and both adjacency sums are all
+    // grid-derived)
+    assert(p.contains("LogicalRDD"), p.take(3000))
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!finalPlan.linesIterator.exists(_.contains("FileScan parquet")),
+      finalPlan.take(3000))
   }
 
   test("q_profile_approx avoids the multi-distinct Expand rewrite") {
