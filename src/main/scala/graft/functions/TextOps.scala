@@ -1907,6 +1907,85 @@ object TextOps extends QueryModule {
             WHERE j.cab >= 20
             ORDER BY pmi_mnat DESC, j.w1 ASC, j.w2 ASC LIMIT 20"""))
 
+  // ------------------------------------------- skip-gram window PPMI --
+
+  /** Positive PMI over a ±2 skip-gram window (Church & Hanks 1990 PMI on
+    * the word2vec-era window counts; Levy & Goldberg 2014 showed SGNS
+    * factorizes exactly this matrix — public): q_vocab_pmi scores ADJACENT
+    * bigrams (phrase detection), this scores words that merely co-occur
+    * within distance 2 (semantic association — the distributional signal
+    * an embedding trainer consumes). Forward pairs (w_i, w_j), j − i ≤ 2,
+    * counted ordered; marginals and total derive from the SAME joint grid
+    * (one corpus explode, grid checkpointed — the pmi barrier);
+    * PPMI = max(0, ln(c_ab·N / c_a·c_b)) in milli-nats, count floor 20,
+    * top-20 by (ppmi, w1, w2).
+    *
+    * Scale: the explode is 2× the token stream (window width bounds the
+    * fan-out), then vocab²-bounded grids; the same economics as pmi with
+    * one extra offset column. At trainer scale the joint grid IS the
+    * co-occurrence matrix shard — this query is its exactness gauge.
+    */
+  private val qVocabSkipgram = GQuery(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(split(lower(col("text")), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val pairs = docs
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(toks) - 1),
+               i -> transform(sequence(i + 1, least(i + 2, size(toks))),
+                 j -> named_struct('w1', element_at(toks, i),
+                                   'w2', element_at(toks, j)))))"""))
+          .as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val joint = pairs.groupBy("w1", "w2").agg(count(lit(1L)).as("cab"))
+        .localCheckpoint(true) // vocab²-grid; feeds marginals + total + join
+      val left = joint.groupBy("w1").agg(sum("cab").as("ca"))
+      val right = joint.groupBy("w2").agg(sum("cab").as("cb"))
+      val tot = joint.agg(sum("cab").as("n"))
+      joint.join(left, "w1").join(right, "w2").crossJoin(broadcast(tot))
+        .filter(col("cab") >= 20)
+        .select(col("w1"), col("w2"), col("cab"), col("ca"), col("cb"),
+          greatest(lit(0L),
+            round(log(col("cab").cast("double") * col("n").cast("double") /
+              (col("ca").cast("double") * col("cb").cast("double"))) * 1000)
+              .cast("long")).as("ppmi_mnat"))
+        .orderBy(col("ppmi_mnat").desc, col("w1").asc, col("w2").asc)
+        .limit(20)
+        .orderBy(col("ppmi_mnat").desc, col("w1").asc, col("w2").asc)
+    },
+    Some("""WITH docs AS (
+              SELECT string_split(lower(text), ' ') AS toks FROM documents
+              WHERE len(string_split(lower(text), ' ')) >= 2),
+            pos AS (
+              SELECT toks, len(toks) AS L,
+                     CAST(unnest(generate_series(1, len(toks) - 1)) AS INT)
+                       AS i
+              FROM docs),
+            pairs AS (
+              SELECT toks[i] AS w1, toks[i + o] AS w2
+              FROM pos, (SELECT unnest([1, 2]) AS o)
+              WHERE i + o <= L),
+            joint AS (
+              SELECT w1, w2, CAST(count(*) AS BIGINT) AS cab
+              FROM pairs GROUP BY 1, 2),
+            lft AS (SELECT w1, CAST(sum(cab) AS BIGINT) AS ca
+                    FROM joint GROUP BY 1),
+            rgt AS (SELECT w2, CAST(sum(cab) AS BIGINT) AS cb
+                    FROM joint GROUP BY 1),
+            tot AS (SELECT CAST(sum(cab) AS BIGINT) AS n FROM joint)
+            SELECT j.w1, j.w2, j.cab, l.ca, r.cb,
+                   greatest(0, CAST(round(ln(CAST(j.cab AS DOUBLE)
+                     * CAST(t.n AS DOUBLE)
+                     / (CAST(l.ca AS DOUBLE) * CAST(r.cb AS DOUBLE))) * 1000)
+                     AS BIGINT)) AS ppmi_mnat
+            FROM joint j
+            JOIN lft l ON l.w1 = j.w1
+            JOIN rgt r ON r.w2 = j.w2
+            CROSS JOIN tot t
+            WHERE j.cab >= 20
+            ORDER BY ppmi_mnat DESC, j.w1 ASC, j.w2 ASC LIMIT 20"""))
+
   // ------------------------------------- Kneser-Ney smoothed bigram LM --
 
   /** Interpolated Kneser–Ney smoothing — the n-gram LM standard (Kneser &
@@ -3096,6 +3175,7 @@ object TextOps extends QueryModule {
     "q_text_boilerplate" -> qTextBoilerplate,
     "q_vocab_chao1" -> qVocabChao1,
     "q_vocab_goodturing" -> qVocabGoodturing,
+    "q_vocab_skipgram" -> qVocabSkipgram,
     "q_vocab_coverage" -> qVocabCoverage,
     "q_text_keyness" -> qTextKeyness,
     "q_text_textrank" -> qTextTextrank,
