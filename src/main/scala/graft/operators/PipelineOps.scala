@@ -386,6 +386,30 @@ object PipelineOps extends QueryModule {
             SELECT partition, chunk, 'id', id_lo, id_hi FROM cells
             ORDER BY partition, chunk, stats_col"""))
 
+  /** Catalog-only row counts — the `SELECT count(*)` a lakehouse answers
+    * from its log without touching data: the manifest's per-cell `n_rows`
+    * (recorded at commit time next to the min/max pairs) summed per
+    * partition must equal the source-side counts exactly. ONE small-file
+    * read; at any topic size the answer costs O(cells) driver parse, zero
+    * data I/O — the numRecords economics this sink now shares with
+    * Delta/Iceberg logs.
+    */
+  private val qPipelineRowcounts = GQuery(
+    (s, d) => graft.streaming.OffsetNamedOrcSink
+      .manifest(s, asofSinkDir(s, d))
+      .filter(col("stats_col") === "tsu") // one row per cell per column
+      .groupBy(col("partition"))
+      .agg(count(lit(1L)).as("n_chunks"), sum("n_rows").as("n_rows"),
+        min("chunk").as("first_chunk"), max("chunk").as("last_chunk"))
+      .orderBy("partition"),
+    Some("""SELECT CAST(user_id % 4 AS INT) AS partition,
+                   CAST(count(DISTINCT event_id - event_id % 1000)
+                     AS BIGINT) AS n_chunks,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   min(event_id - event_id % 1000) AS first_chunk,
+                   max(event_id - event_id % 1000) AS last_chunk
+            FROM events GROUP BY 1 ORDER BY partition"""))
+
   /** Manifest DIFF between two commits of the asof topic — the
     * incremental-consumer planner (the Delta-log `table_changes` question
     * asked of the sink's own catalog): state A is the topic at the
@@ -1309,6 +1333,7 @@ object PipelineOps extends QueryModule {
     "q_read_asof_string" -> qReadAsofString,
     "q_pipeline_manifest" -> qPipelineManifest,
     "q_pipeline_manifest_diff" -> qPipelineManifestDiff,
+    "q_pipeline_rowcounts" -> qPipelineRowcounts,
     "q_schema_evolution" -> qSchemaEvolution,
     "q_compact_roundtrip" -> qCompactRoundtrip,
     "q_delete_keyed" -> qDeleteKeyed,

@@ -1033,8 +1033,11 @@ object OffsetNamedOrcSink {
 
   /** Per-cell min/max stats of `statsCols` (integer- or string-typed
     * emitted columns), merged into the `_graft_stats` marker: one line per
-    * committed cell, `<enc prefix values>|partition|cell|mn1|mx1|mn2|mx2|…`
-    * — one |mn|mx pair per stats column, in the CONFIG-MARKER ORDER (the
+    * committed cell,
+    * `<enc prefix values>|partition|cell|n_rows|mn1|mx1|mn2|mx2|…`
+    * — the cell ROW COUNT (a Delta log's numRecords: catalog-only
+    * `count(*)`, no data scan) then one |mn|mx pair per stats column, in
+    * the CONFIG-MARKER ORDER (the
     * multi-column generalization a Delta/Iceberg log keeps, so readAsOf
     * pruning composes across predicates on different columns). A string
     * column's bounds are URL-encoded (the encoding '|'/newline-escapes, so
@@ -1058,10 +1061,11 @@ object OffsetNamedOrcSink {
     val keyCols = prefixNames.map(n => col(n).cast("string").as(n)) ++
       Seq(col("partition").cast("int").as("partition"),
         col(ChunkCol).cast("string").as(ChunkCol))
-    val aggCols = statsCols.zipWithIndex.flatMap { case (c, i) =>
-      val v = if (isStr(i)) col(c) else col(c).cast("long")
-      Seq(min(v).as(s"mn$i"), max(v).as(s"mx$i"))
-    }
+    val aggCols = count(lit(1L)).as("nr") +:
+      statsCols.zipWithIndex.flatMap { case (c, i) =>
+        val v = if (isStr(i)) col(c) else col(c).cast("long")
+        Seq(min(v).as(s"mn$i"), max(v).as(s"mx$i"))
+      }
     val rows = merged
       .select(keyCols ++ statsCols.map(col): _*)
       .groupBy((prefixNames :+ "partition" :+ ChunkCol).map(col): _*)
@@ -1082,7 +1086,14 @@ object OffsetNamedOrcSink {
             (if (r.isNullAt(mnI)) Long.MinValue else r.getLong(mnI)).toString,
             (if (r.isNullAt(mxI)) Long.MaxValue else r.getLong(mxI)).toString)
       }
-      key -> (key +: ranges).mkString("|")
+      // line = key | n_rows | per-column |mn|mx pairs. The ROW COUNT (a
+      // Delta log's numRecords) rides between the key and the pairs; the
+      // format is self-describing by FIELD COUNT — pre-rowcount topics'
+      // lines are one field shorter and every reader dispatches per line,
+      // so mixed-era markers (old cells untouched, replayed cells fresh)
+      // parse exactly.
+      key -> ((key +: (r.getAs[Long]("nr").toString +: ranges))
+        .mkString("|"))
     }.toMap
     val nKey = prefixNames.size + 2
     val statsPath = new Path(root, StatsMarker)
@@ -1153,30 +1164,38 @@ object OffsetNamedOrcSink {
     // Long-typed pairs land in (stats_lo, stats_hi); string-typed pairs in
     // (stats_lo_str, stats_hi_str), the other side null — one uniform
     // catalog schema over mixed-type stats like a Delta log's minValues map.
-    val spec = readMarker(fs, new Path(root, ConfigMarker))
-      .flatMap(statsSpecOf).getOrElse(Nil)
+    val conf = readMarker(fs, new Path(root, ConfigMarker))
+    val spec = conf.flatMap(statsSpecOf).getOrElse(Nil)
+    val nPrefix = conf.map(c => prefixColsOf(parseConfig(c)._2).size)
+      .getOrElse(0)
     def dec(v: String) = java.net.URLDecoder.decode(v, "UTF-8")
     val rows = readMarker(fs, new Path(root, StatsMarker))
       .map(_.linesIterator.filter(_.nonEmpty).flatMap { l =>
         val f = l.split("\\|", -1)
         val cols = if (spec.nonEmpty) spec else Seq(("", false))
-        val nPrefix = f.length - 2 - 2 * cols.size
+        // rowcount-era lines carry key | n_rows | pairs; pre-rowcount
+        // lines are one field shorter — dispatch per LINE (mixed-era
+        // markers are the normal state after a partial replay)
+        val hasNr = f.length == nPrefix + 3 + 2 * cols.size
+        val nrOpt = if (hasNr) Some(f(nPrefix + 2).toLong)
+          else None: Option[Long]
+        val pairsAt = nPrefix + (if (hasNr) 3 else 2)
         val prefix = f.take(nPrefix).map(dec).mkString("/")
         cols.zipWithIndex.map { case ((name, isStr), i) =>
-          val (mn, mx) = (f(nPrefix + 2 + 2 * i), f(nPrefix + 3 + 2 * i))
+          val (mn, mx) = (f(pairsAt + 2 * i), f(pairsAt + 1 + 2 * i))
           if (isStr)
             (prefix, f(nPrefix).toInt, f(nPrefix + 1).toLong, name,
               None: Option[Long], None: Option[Long],
               if (mn == StrStatsNull) None else Some(dec(mn)),
-              if (mx == StrStatsNull) None else Some(dec(mx)))
+              if (mx == StrStatsNull) None else Some(dec(mx)), nrOpt)
           else
             (prefix, f(nPrefix).toInt, f(nPrefix + 1).toLong, name,
               Some(mn.toLong), Some(mx.toLong),
-              None: Option[String], None: Option[String])
+              None: Option[String], None: Option[String], nrOpt)
         }
       }.toSeq).getOrElse(Nil)
     rows.toDF("prefix", "partition", "chunk", "stats_col",
-      "stats_lo", "stats_hi", "stats_lo_str", "stats_hi_str")
+      "stats_lo", "stats_hi", "stats_lo_str", "stats_hi_str", "n_rows")
   }
 
   /** The raw (type-decorated) stats tokens of a `_graft_sink.conf` payload
@@ -1280,12 +1299,17 @@ object OffsetNamedOrcSink {
             "numeric"}-typed — use ${if (spec(colIdx)._2) "readAsOfStr"
             else "readAsOf"}")
         val prefixNames = prefixColsOf(layoutId)
-        val nFields = prefixNames.size + 2 + 2 * spec.size
-        val mnAt = prefixNames.size + 2 + 2 * colIdx
+        val base = prefixNames.size + 2
+        val nOld = base + 2 * spec.size // pre-rowcount line
+        val nNew = base + 1 + 2 * spec.size // key | n_rows | pairs
         val lines = statsText.linesIterator.filter(_.nonEmpty)
           .map(_.split("\\|", -1)).toSeq
-        if (lines.exists(_.length != nFields)) return fullScan // corrupt: correctness first
-        val qual = lines.filter(f => qualifies(f(mnAt), f(mnAt + 1)))
+        if (lines.exists(f => f.length != nOld && f.length != nNew))
+          return fullScan // corrupt: correctness first
+        val qual = lines.filter { f =>
+          val mnAt = (if (f.length == nNew) base + 1 else base) + 2 * colIdx
+          qualifies(f(mnAt), f(mnAt + 1))
+        }
         val files = qual.flatMap { f =>
           val prefix = prefixNames.zip(f).map { case (n, v) =>
             n -> java.net.URLDecoder.decode(v, "UTF-8") }

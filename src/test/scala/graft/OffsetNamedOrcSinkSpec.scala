@@ -1198,7 +1198,7 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
     val stats = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(topicDir, "_graft_stats")), "UTF-8")
     val mins = stats.linesIterator.filter(_.nonEmpty)
-      .map(_.split("\\|")(2).toLong).toSeq
+      .map(_.split("\\|")(3).toLong).toSeq // partition|chunk|n_rows|MN|mx
     assert(mins.forall(_ >= cutoff), s"stale stats min below cutoff: $stats")
     // untouched windows unchanged
     assert(OffsetNamedOrcSink.readAsOf(spark, topicDir, "tsu", cutoff, hi + 1)
@@ -1327,22 +1327,48 @@ class OffsetNamedOrcSinkSpec extends SparkSpec {
       OffsetNamedOrcSink.readAsOfStr(spark, topicDir, "id", "a", "b")
     }
 
-    // manifest: string rows carry string bounds, long rows long bounds
+    // manifest: string rows carry string bounds, long rows long bounds,
+    // and every cell records its commit-time row count (numRecords)
     val man = OffsetNamedOrcSink.manifest(spark, topicDir)
     val etRow = man.filter(col("stats_col") === "etype"
       && col("partition") === 0 && col("chunk") === 0L).collect()(0)
     assert(etRow.isNullAt(etRow.fieldIndex("stats_lo")))
     assert(etRow.getAs[String]("stats_lo_str") == "click")
+    assert(etRow.getAs[Long]("n_rows") == 100L) // dense offsets, full chunk
     val idRow = man.filter(col("stats_col") === "id"
       && col("partition") === 0 && col("chunk") === 0L).collect()(0)
     assert(!idRow.isNullAt(idRow.fieldIndex("stats_lo")))
     assert(idRow.isNullAt(idRow.fieldIndex("stats_lo_str")))
+    // catalog-only count(*): per-column sum over cells == committed rows
+    val catalogRows = man.filter(col("stats_col") === "id")
+      .agg(sum("n_rows")).collect()(0).getLong(0)
+    assert(catalogRows == OffsetNamedOrcSink.read(spark, topicDir).count())
 
     // replay idempotence: rewriting a touched chunk refreshes the string line
     OffsetNamedOrcSink.write(shaped.filter(col("offset") < 150), out,
       flushSize = 100, topic = "asofstr", statsColumns = Seq("etype", "id"))
     assert(OffsetNamedOrcSink.readAsOfStr(spark, topicDir, "etype",
       "click", "error").count() == full.count())
+
+    // back-compat: a pre-rowcount marker (one field shorter per line, the
+    // r8 format) must still prune and manifest with null n_rows — the
+    // format is self-describing by field count
+    val statsPath = java.nio.file.Paths.get(topicDir, "_graft_stats")
+    val stripped = new String(java.nio.file.Files.readAllBytes(statsPath),
+      "UTF-8").linesIterator.filter(_.nonEmpty).map { l =>
+        val f = l.split("\\|", -1).toBuffer
+        f.remove(2) // prefixless kafka layout: partition|chunk|NR|pairs…
+        f.mkString("|")
+      }.mkString("\n")
+    java.nio.file.Files.write(statsPath, stripped.getBytes("UTF-8"))
+    // the raw rewrite invalidates the local-FS checksum sidecar
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(topicDir, "._graft_stats.crc"))
+    assert(OffsetNamedOrcSink.readAsOfStr(spark, topicDir, "etype",
+      "click", "error").count() == full.count())
+    val manOld = OffsetNamedOrcSink.manifest(spark, topicDir)
+    assert(manOld.count() == man.count())
+    assert(manOld.filter(col("n_rows").isNotNull).count() == 0)
   }
 
   test("compactTo carries the stats contract onto the coarser grid") {
