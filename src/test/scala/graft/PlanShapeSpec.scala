@@ -1199,13 +1199,14 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("q_vocab_pmi / q_text_collocations: bigram grid materialized once") {
-    // the r9 bench fix: `joint` feeds four consumers (both marginals, the
-    // total, the join) — without the checkpoint barrier the corpus
-    // explode+agg re-ran per consumer (1.18 s vs 0.65 s at sf0.1). The pin:
-    // the executed plan reads the materialized grid (ExistingRDD) and holds
-    // ZERO parquet scans of documents above it.
-    for (q <- Seq("q_vocab_pmi", "q_text_collocations")) {
+  test("grid-checkpointed queries: corpus materialized once, zero re-scans") {
+    // the r9 bench fix: a grid feeding several consumers (marginals,
+    // totals, joins) re-runs the corpus explode+agg per consumer without a
+    // checkpoint barrier (q_vocab_pmi: 1.18 s vs 0.65 s at sf0.1). The pin:
+    // the executed plan reads the materialized grid(s) (ExistingRDD) and
+    // holds ZERO parquet scans above them.
+    for (q <- Seq("q_vocab_pmi", "q_text_collocations", "q_vocab_skipgram",
+        "q_join_size_estimate", "q_stats_grubbs", "q_vocab_goodturing")) {
       val df = SparkEntry.queries(q)(spark, sf)
       val p = df.queryExecution.executedPlan.toString
       val finalPlan = p.split("== Initial Plan ==")(0)
