@@ -2962,8 +2962,12 @@ object AnalyticsOps extends QueryModule {
     (s, d) => {
       def cents(c: String) =
         col(c).cast("decimal(18,2)").*(lit(100)).cast("long")
+      // two-long-column corpus projection, materialized ONCE for its three
+      // consumers (both rank maps + the join) — the funcdep/xi width
+      // discipline; without it the scan+cents cast ran per consumer
       val rows = t(s, d, "lineitem")
         .select(cents("l_quantity").as("x"), cents("l_extendedprice").as("y"))
+        .localCheckpoint(true)
       def rankMap(c: String) = {
         val w = Window.orderBy(c)
           .rowsBetween(Window.unboundedPreceding, -1)
