@@ -410,6 +410,75 @@ object PipelineOps extends QueryModule {
                    max(event_id - event_id % 1000) AS last_chunk
             FROM events GROUP BY 1 ORDER BY partition"""))
 
+  /** Memoized HALF-HISTORY twin of asofSinkDir (offset < max/2, identical
+    * config) — state A for the manifest-diff / incremental-consumer pair.
+    * The half-history mark is a control-plane scalar (bigrams-n precedent).
+    */
+  private def asofHalfSinkDir(s: SparkSession, d: String): String =
+    writtenDirs.computeIfAbsent(s"asofsinkA|$d", _ => {
+      val kmax = t(s, d, "events").agg(max("event_id")).head.getLong(0)
+      val shaped = t(s, d, "events")
+        .filter(col("event_id") < lit(kmax / 2))
+        .select(
+          col("user_id").cast("string").cast("binary").as("key"),
+          struct(col("event_id").as("id"), unix_micros(col("ts")).as("tsu"),
+            col("event_type").as("etype")).as("value"),
+          lit("asof").as("topic"),
+          pmod(col("user_id"), lit(4)).cast("int").as("partition"),
+          col("event_id").as("offset"),
+          col("ts").as("timestamp"))
+      graft.streaming.OffsetNamedOrcSink.write(shaped,
+        Files.createTempDirectory("graft-asofA-").toString,
+        flushSize = 1000, topic = "asof", statsColumns = Seq("tsu", "id"))
+    })
+
+  /** The incremental CONSUMER closed end-to-end (Delta's `table_changes`
+    * read, not just its planning): diff state A's and state B's manifests
+    * on the per-cell ROW COUNT — exact change detection for an
+    * append-only topic (stats RANGES can coincide across an append; row
+    * counts cannot), the readout the r9 n_rows column exists for — then
+    * re-read ONLY from the first changed chunk via the offset-pruned
+    * readRange and aggregate the delta. The oracle derives the same
+    * boundary arithmetically (the first B-only offset's chunk,
+    * (kmax div 2) − (kmax div 2) mod 1000), pinning catalog-diff ≡
+    * arithmetic truth AND the re-read's content in one hash.
+    *
+    * Scale: two catalog reads (O(cells) driver parse, zero data I/O) +
+    * one chunk-pruned read of exactly the changed suffix — the consumer
+    * never rescans the unchanged prefix, which is the whole point of
+    * keeping row counts in the commit log.
+    */
+  private val qPipelineChanges = GQuery(
+    (s, d) => {
+      val dirB = asofSinkDir(s, d)
+      val dirA = asofHalfSinkDir(s, d)
+      def cells(dir: String) = graft.streaming.OffsetNamedOrcSink
+        .manifest(s, dir)
+        .filter(col("stats_col") === "tsu") // one row per cell
+        .select(col("partition"), col("chunk"), col("n_rows"))
+      val changed = cells(dirB).as("b")
+        .join(cells(dirA).as("a"), Seq("partition", "chunk"), "left")
+        .filter(col("a.n_rows").isNull ||
+          col("a.n_rows") =!= col("b.n_rows"))
+      // control-plane scalars: the re-read window (first changed chunk →
+      // open end) — catalog-derived, no data touched yet
+      val lo = changed.agg(min("chunk")).head.getLong(0)
+      val hi = cells(dirB).agg(max("chunk")).head.getLong(0) + 1000L
+      graft.streaming.OffsetNamedOrcSink.readRange(s, dirB, lo, hi)
+        .groupBy(col("etype"))
+        .agg(count(lit(1L)).as("n"), min("id").as("id_lo"),
+          max("id").as("id_hi"))
+        .orderBy("etype")
+    },
+    Some("""WITH k AS (
+              SELECT (max(event_id) // 2) - (max(event_id) // 2) % 1000
+                AS bchunk
+              FROM events)
+            SELECT event_type AS etype, CAST(count(*) AS BIGINT) AS n,
+                   min(event_id) AS id_lo, max(event_id) AS id_hi
+            FROM events, k WHERE event_id >= k.bchunk
+            GROUP BY 1 ORDER BY etype"""))
+
   /** Manifest DIFF between two commits of the asof topic — the
     * incremental-consumer planner (the Delta-log `table_changes` question
     * asked of the sink's own catalog): state A is the topic at the
@@ -431,23 +500,7 @@ object PipelineOps extends QueryModule {
   private val qPipelineManifestDiff = GQuery(
     (s, d) => {
       val dirB = asofSinkDir(s, d)
-      val dirA = writtenDirs.computeIfAbsent(s"asofsinkA|$d", _ => {
-        // control-plane scalar (bigrams-n precedent): the half-history mark
-        val kmax = t(s, d, "events").agg(max("event_id")).head.getLong(0)
-        val shaped = t(s, d, "events")
-          .filter(col("event_id") < lit(kmax / 2))
-          .select(
-            col("user_id").cast("string").cast("binary").as("key"),
-            struct(col("event_id").as("id"), unix_micros(col("ts")).as("tsu"),
-              col("event_type").as("etype")).as("value"),
-            lit("asof").as("topic"),
-            pmod(col("user_id"), lit(4)).cast("int").as("partition"),
-            col("event_id").as("offset"),
-            col("ts").as("timestamp"))
-        graft.streaming.OffsetNamedOrcSink.write(shaped,
-          Files.createTempDirectory("graft-asofA-").toString,
-          flushSize = 1000, topic = "asof", statsColumns = Seq("tsu", "id"))
-      })
+      val dirA = asofHalfSinkDir(s, d)
       val a = graft.streaming.OffsetNamedOrcSink.manifest(s, dirA)
         .select(col("partition"), col("chunk"), col("stats_col"),
           col("stats_lo").as("lo_a"), col("stats_hi").as("hi_a"))
@@ -1334,6 +1387,7 @@ object PipelineOps extends QueryModule {
     "q_pipeline_manifest" -> qPipelineManifest,
     "q_pipeline_manifest_diff" -> qPipelineManifestDiff,
     "q_pipeline_rowcounts" -> qPipelineRowcounts,
+    "q_pipeline_changes" -> qPipelineChanges,
     "q_schema_evolution" -> qSchemaEvolution,
     "q_compact_roundtrip" -> qCompactRoundtrip,
     "q_delete_keyed" -> qDeleteKeyed,
