@@ -14403,7 +14403,104 @@ object AnalyticsOps extends QueryModule {
             FROM dsum d JOIN s2 USING (event_type)
             ORDER BY event_type"""))
 
+  // -------------------------------------------- Bartlett variance test --
+
+  /** Bartlett's test of equal variances across event types (Bartlett 1937
+    * — public): the PARAMETRIC sibling of q_stats_levene (more powerful
+    * under normality, famously brittle otherwise — run q_stats_jarque_bera
+    * first; emitting both is the textbook workflow). χ² = [(N−k)·ln s_p²
+    * − Σ(nᵢ−1)·ln sᵢ²] / C with C = 1 + (Σ1/(nᵢ−1) − 1/(N−k)) / (3(k−1)).
+    * Cross-engine exactness: per-group pieces quantize ONCE to integers —
+    * (nᵢ−1)sᵢ² = (S₂n − S₁²) div n (exact integer cents²), ln sᵢ² in
+    * micro-nats, 1/(nᵢ−1) in pico-units — so every Σ is an EXACT integer
+    * sum (no order-dependent fp accumulation); the final assembly is one
+    * mirrored double chain, dround'd (the LM milli-nat discipline).
+    *
+    * Scale: one map-combinable 3-sum agg per group, then a k-row rollup.
+    */
+  private val qStatsBartlett = GQuery(
+    (s, d) => {
+      val c = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val g = t(s, d, "events")
+        .select(col("event_type"), c.as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1L)).as("n"),
+          sum(col("c").cast("decimal(38,0)")).as("s1"),
+          sum(col("c").cast("decimal(38,0)") * col("c")).as("s2"))
+        .withColumn("num", expr("s2 * n - s1 * s1")) // n²(n−1)·sᵢ², exact
+        .withColumn("q", expr("CAST(num div n AS DECIMAL(38,0))"))
+        .withColumn("lnq", round(log(col("num").cast("double")
+          / col("n") / col("n") / (col("n") - 1)) * 1e6).cast("long"))
+        .withColumn("invq", expr("1000000000000 div (n - 1)"))
+      g.agg(count(lit(1L)).as("kk"), sum("n").as("nn"),
+          sum("q").as("sq"), sum(expr("(n - 1) * lnq")).as("sl"),
+          sum("invq").as("si"))
+        .select(col("kk").cast("int").as("k"), col("nn").as("n"),
+          (col("nn") - col("kk")).cast("long").as("df_within"),
+          dround(log(col("sq").cast("double")
+            / (col("nn") - col("kk")).cast("double")), 6)
+            .as("ln_pooled_var"),
+          col("sl"), col("si"), col("kk"))
+        .withColumn("cc", lit(1.0)
+          + (col("si").cast("double") / 1e12
+             - lit(1.0) / col("df_within").cast("double"))
+            / (lit(3.0) * (col("kk") - 1).cast("double")))
+        .select(col("k"), col("n"), col("df_within"), col("ln_pooled_var"),
+          dround((col("df_within").cast("double") * col("ln_pooled_var")
+            - col("sl").cast("double") / 1e6) / col("cc"), 4)
+            .as("bartlett_chi2"),
+          (col("kk") - 1).cast("int").as("df"))
+        .withColumn("equal_var_rejected_95", col("bartlett_chi2") > 9.488)
+    },
+    Some("""WITH ev AS (
+              SELECT event_type,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+              FROM events),
+            g AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     sum(CAST(c AS HUGEINT)) AS s1,
+                     sum(CAST(c AS HUGEINT) * c) AS s2
+              FROM ev GROUP BY 1),
+            p AS (
+              SELECT n, s2 * n - s1 * s1 AS num,
+                     (s2 * n - s1 * s1) // n AS q,
+                     CAST(round(ln(CAST(s2 * n - s1 * s1 AS DOUBLE)
+                       / n / n / (n - 1)) * 1e6) AS BIGINT) AS lnq,
+                     1000000000000 // (n - 1) AS invq
+              FROM g),
+            a AS (
+              SELECT CAST(count(*) AS INT) AS k, CAST(sum(n) AS BIGINT) AS n,
+                     sum(q) AS sq,
+                     CAST(sum((n - 1) * lnq) AS BIGINT) AS sl,
+                     CAST(sum(invq) AS BIGINT) AS si
+              FROM p),
+            b AS (
+              SELECT k, n, CAST(n - k AS BIGINT) AS df_within,
+                     CAST(round(CAST(ln(CAST(sq AS DOUBLE)
+                       / CAST(n - k AS DOUBLE)) AS DECIMAL(30,8)), 6)
+                       AS DOUBLE) AS ln_pooled_var,
+                     sl, si
+              FROM a),
+            r AS (
+              SELECT k, n, df_within, ln_pooled_var,
+                     1.0 + (CAST(si AS DOUBLE) / 1e12
+                            - 1.0 / CAST(df_within AS DOUBLE))
+                       / (3.0 * CAST(k - 1 AS DOUBLE)) AS cc,
+                     sl
+              FROM b)
+            SELECT k, n, df_within, ln_pooled_var,
+                   CAST(round(CAST((CAST(df_within AS DOUBLE) * ln_pooled_var
+                     - CAST(sl AS DOUBLE) / 1e6) / cc
+                     AS DECIMAL(30,8)), 4) AS DOUBLE) AS bartlett_chi2,
+                   CAST(k - 1 AS INT) AS df,
+                   CAST(round(CAST((CAST(df_within AS DOUBLE) * ln_pooled_var
+                     - CAST(sl AS DOUBLE) / 1e6) / cc
+                     AS DECIMAL(30,8)), 4) AS DOUBLE) > 9.488
+                     AS equal_var_rejected_95
+            FROM r"""))
+
   val queries: Map[String, GQuery] = Map(
+    "q_stats_bartlett" -> qStatsBartlett,
     "q_stats_jarque_bera" -> qStatsJarqueBera,
     "q_stats_grubbs" -> qStatsGrubbs,
     "q_stats_oddsratio" -> qStatsOddsratio,
