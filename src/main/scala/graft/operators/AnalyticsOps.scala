@@ -4104,7 +4104,7 @@ object AnalyticsOps extends QueryModule {
         col("l_returnflag").as("grp"),
         expr("""CAST(round(ln(CAST(CAST(CAST(l_extendedprice
              AS DECIMAL(18,2)) * 100000 AS BIGINT)
-             div CAST(l_quantity AS BIGINT) AS DOUBLE)) * 1000)
+             div CAST(floor(l_quantity) AS BIGINT) AS DOUBLE)) * 1000)
              AS BIGINT)""").as("x"),
         expr("CAST(round(ln(CAST(l_quantity AS DOUBLE)) * 1000) AS BIGINT)")
           .as("y"))
@@ -4127,7 +4127,7 @@ object AnalyticsOps extends QueryModule {
               SELECT l_returnflag AS grp,
                      CAST(round(ln(CAST(CAST(CAST(l_extendedprice
                        AS DECIMAL(18,2)) * 100000 AS BIGINT)
-                       // CAST(l_quantity AS BIGINT) AS DOUBLE)) * 1000)
+                       // CAST(floor(l_quantity) AS BIGINT) AS DOUBLE)) * 1000)
                        AS BIGINT) AS x,
                      CAST(round(ln(CAST(l_quantity AS DOUBLE)) * 1000)
                        AS BIGINT) AS y
@@ -5256,9 +5256,9 @@ object AnalyticsOps extends QueryModule {
     (s, d) => {
       val nTarget = 2000L
       val y = expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100000"
-        + " AS BIGINT) div CAST(l_quantity AS BIGINT)")
+        + " AS BIGINT) div CAST(floor(l_quantity) AS BIGINT)")
       val strata = t(s, d, "lineitem")
-        .select(expr("CAST(l_quantity AS BIGINT) div 10").as("stratum"),
+        .select(expr("CAST(floor(l_quantity) AS BIGINT) div 10").as("stratum"),
           y.as("y"))
         .groupBy("stratum").agg(
           count(lit(1L)).as("nh"),
@@ -5294,9 +5294,9 @@ object AnalyticsOps extends QueryModule {
         .orderBy("stratum")
     },
     Some("""WITH li AS (
-              SELECT CAST(l_quantity AS BIGINT) // 10 AS stratum,
+              SELECT CAST(floor(l_quantity) AS BIGINT) // 10 AS stratum,
                      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100000
-                       AS BIGINT) // CAST(l_quantity AS BIGINT) AS y
+                       AS BIGINT) // CAST(floor(l_quantity) AS BIGINT) AS y
               FROM lineitem),
             strata AS (
               SELECT stratum, CAST(count(*) AS BIGINT) AS nh,
@@ -10081,7 +10081,7 @@ object AnalyticsOps extends QueryModule {
   private val qStatsKendall = GQuery(
     (s, d) => {
       val ev = t(s, d, "lineitem").select(
-        col("l_quantity").cast("long").as("x"),
+        floor(col("l_quantity")).cast("long").as("x"),
         (col("l_discount").cast("decimal(4,2)") * 100).cast("long").as("y"))
       val grid = ev.groupBy("x", "y").agg(count(lit(1L)).as("cnt"))
         .localCheckpoint(true) // feeds dominance join, marginals, n
@@ -10110,7 +10110,7 @@ object AnalyticsOps extends QueryModule {
               (col("n0") - col("n2")).cast("double")), 6).as("tau_b"))
     },
     Some("""WITH ev AS (
-              SELECT CAST(l_quantity AS BIGINT) AS x,
+              SELECT CAST(floor(l_quantity) AS BIGINT) AS x,
                      CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)
                        AS y
               FROM lineitem),
@@ -10965,7 +10965,7 @@ object AnalyticsOps extends QueryModule {
   private val qStatsVif = GQuery(
     (s, d) => {
       val m = t(s, d, "lineitem").select(
-          col("l_quantity").cast("long").as("x1"),
+          floor(col("l_quantity")).cast("long").as("x1"),
           (col("l_discount").cast("decimal(4,2)") * 100).cast("long")
             .as("x2"),
           (col("l_tax").cast("decimal(4,2)") * 100).cast("long").as("x3"))
@@ -11018,7 +11018,7 @@ object AnalyticsOps extends QueryModule {
                      CAST(sum(x1 * x2) AS BIGINT) AS s12,
                      CAST(sum(x1 * x3) AS BIGINT) AS s13,
                      CAST(sum(x2 * x3) AS BIGINT) AS s23
-              FROM (SELECT CAST(l_quantity AS BIGINT) AS x1,
+              FROM (SELECT CAST(floor(l_quantity) AS BIGINT) AS x1,
                            CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
                              AS BIGINT) AS x2,
                            CAST(CAST(l_tax AS DECIMAL(4,2)) * 100 AS BIGINT)
@@ -12657,10 +12657,11 @@ object AnalyticsOps extends QueryModule {
     (s, d) => {
       val rows = t(s, d, "lineitem")
         .select(col("l_returnflag").as("flag"),
-          col("l_quantity").cast("long").as("w"),
+          floor(col("l_quantity")).cast("long").as("w"),
           md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"),
             col("l_partkey"), col("l_suppkey"),
-            col("l_quantity").cast("long"), col("l_returnflag"))).as("h"))
+            floor(col("l_quantity")).cast("long"), col("l_returnflag")))
+            .as("h"))
         .withColumn("bkt", substring(col("h"), 1, 2))
       val bktTot = rows.groupBy("bkt").agg(sum("w").as("bw"))
         .withColumn("off",
@@ -12690,9 +12691,9 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH rows_ AS (
               SELECT l_returnflag AS flag,
-                     CAST(l_quantity AS BIGINT) AS w,
+                     CAST(floor(l_quantity) AS BIGINT) AS w,
                      md5(concat_ws('|', l_orderkey, l_linenumber, l_partkey,
-                       l_suppkey, CAST(l_quantity AS BIGINT),
+                       l_suppkey, CAST(floor(l_quantity) AS BIGINT),
                        l_returnflag)) AS h
               FROM lineitem),
             b AS (
@@ -14254,18 +14255,24 @@ object AnalyticsOps extends QueryModule {
         .withColumn("c", col("np") - col("a"))
         .withColumn("d", col("nu") - col("n_exp") - col("np") + col("a"))
       cells
-        .withColumn("or_", col("a").cast("double") * col("d")
-          / (col("b").cast("double") * col("c")))
-        .withColumn("se", sqrt(lit(1.0) / col("a") + lit(1.0) / col("b")
-          + lit(1.0) / col("c") + lit(1.0) / col("d")))
+        // zero cell ⇒ OR/RR undefined (Haldane territory): emit NULL
+        // instead of Infinity (Spark) vs an ln(0) ERROR (DuckDB)
+        .withColumn("ok", col("a") > 0 && col("b") > 0 &&
+          col("c") > 0 && col("d") > 0)
+        .withColumn("or_", when(col("ok"), col("a").cast("double") * col("d")
+          / (col("b").cast("double") * col("c"))))
+        .withColumn("se", when(col("ok"),
+          sqrt(lit(1.0) / col("a") + lit(1.0) / col("b")
+            + lit(1.0) / col("c") + lit(1.0) / col("d"))))
         .select(col("exposure"), col("a"), col("b"), col("c"), col("d"),
           dround(col("or_"), 4).as("odds_ratio"),
           dround(exp(log(col("or_")) - lit(1.96) * col("se")), 4)
             .as("or_ci_lo"),
           dround(exp(log(col("or_")) + lit(1.96) * col("se")), 4)
             .as("or_ci_hi"),
-          dround(col("a").cast("double") / (col("a") + col("b"))
-            / (col("c").cast("double") / (col("c") + col("d"))), 4)
+          dround(when(col("ok"), col("a").cast("double")
+            / (col("a") + col("b"))
+            / (col("c").cast("double") / (col("c") + col("d")))), 4)
             .as("relative_risk"))
         .orderBy("exposure")
     },
@@ -14293,8 +14300,15 @@ object AnalyticsOps extends QueryModule {
               FROM cells, totals),
             r AS (
               SELECT exposure, a, b, c, d,
-                     CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c) AS orr,
-                     sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d) AS se
+                     CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+                       THEN CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)
+                       END AS orr,
+                     CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+                       THEN sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+                       END AS se,
+                     CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+                       THEN CAST(a AS DOUBLE) / (a + b)
+                         / (CAST(c AS DOUBLE) / (c + d)) END AS rr
               FROM abcd)
             SELECT exposure, a, b, c, d,
                    CAST(round(CAST(orr AS DECIMAL(30,8)), 4) AS DOUBLE)
@@ -14303,9 +14317,8 @@ object AnalyticsOps extends QueryModule {
                      AS DECIMAL(30,8)), 4) AS DOUBLE) AS or_ci_lo,
                    CAST(round(CAST(exp(ln(orr) + 1.96 * se)
                      AS DECIMAL(30,8)), 4) AS DOUBLE) AS or_ci_hi,
-                   CAST(round(CAST(CAST(a AS DOUBLE) / (a + b)
-                     / (CAST(c AS DOUBLE) / (c + d))
-                     AS DECIMAL(30,8)), 4) AS DOUBLE) AS relative_risk
+                   CAST(round(CAST(rr AS DECIMAL(30,8)), 4) AS DOUBLE)
+                     AS relative_risk
             FROM r ORDER BY exposure"""))
 
   // ------------------------------------------------- jackknife SE --
@@ -14337,8 +14350,10 @@ object AnalyticsOps extends QueryModule {
         .agg(count(lit(1L)).as("g"), sum("ni").as("n"),
           sum("si").cast("decimal(38,0)").as("s"))
       val loo = days.join(tot, "event_type")
-        .withColumn("mi", expr(
-          "CAST((s - si) * 1000000 div (n - ni) AS DECIMAL(38,0))"))
+        // single-day group (g = 1 ⇒ n = ni): leave-one-out is empty, the
+        // jackknife is undefined — NULL mi instead of an ANSI div-by-zero
+        .withColumn("mi", when(col("n") =!= col("ni"), expr(
+          "CAST((s - si) * 1000000 div (n - ni) AS DECIMAL(38,0))")))
       val bar = loo.groupBy("event_type")
         .agg(expr("CAST(sum(mi) div count(1) AS DECIMAL(38,0))").as("mbar"))
       val dsum = loo.join(bar, "event_type")
@@ -14357,9 +14372,10 @@ object AnalyticsOps extends QueryModule {
           dround(sqrt((col("g") - 1).cast("double") / col("g")
             * col("sd2").cast("double")) / 1e6 / 100, 4)
             .as("se_jack_dollars"),
-          dround(sqrt((col("s2") * col("n") - col("s") * col("s"))
-            .cast("double") / (col("n") - 1) / col("n") / col("n"))
-            / sqrt(col("n").cast("double")) / 100, 4)
+          dround(when(col("n") > 1,
+            sqrt((col("s2") * col("n") - col("s") * col("s"))
+              .cast("double") / (col("n") - 1) / col("n") / col("n"))
+              / sqrt(col("n").cast("double")) / 100), 4)
             .as("se_naive_dollars"))
         .orderBy("event_type")
     },
@@ -14377,7 +14393,8 @@ object AnalyticsOps extends QueryModule {
               FROM days GROUP BY 1),
             loo AS (
               SELECT d.event_type, t.g, t.n, t.s,
-                     (t.s - d.si) * 1000000 // (t.n - d.ni) AS mi
+                     CASE WHEN t.n <> d.ni
+                       THEN (t.s - d.si) * 1000000 // (t.n - d.ni) END AS mi
               FROM days d JOIN tot t USING (event_type)),
             bar AS (
               SELECT event_type, sum(mi) // count(*) AS mbar
@@ -14396,10 +14413,12 @@ object AnalyticsOps extends QueryModule {
                    CAST(round(CAST(sqrt(CAST(d.g - 1 AS DOUBLE) / d.g
                      * CAST(d.sd2 AS DOUBLE)) / 1e6 / 100
                      AS DECIMAL(30,8)), 4) AS DOUBLE) AS se_jack_dollars,
-                   CAST(round(CAST(sqrt(CAST(s2.s2 * d.n - d.s * d.s
-                       AS DOUBLE) / (d.n - 1) / d.n / d.n)
-                     / sqrt(CAST(d.n AS DOUBLE)) / 100
-                     AS DECIMAL(30,8)), 4) AS DOUBLE) AS se_naive_dollars
+                   CASE WHEN d.n > 1 THEN
+                     CAST(round(CAST(sqrt(CAST(s2.s2 * d.n - d.s * d.s
+                         AS DOUBLE) / (d.n - 1) / d.n / d.n)
+                       / sqrt(CAST(d.n AS DOUBLE)) / 100
+                       AS DECIMAL(30,8)), 4) AS DOUBLE) END
+                     AS se_naive_dollars
             FROM dsum d JOIN s2 USING (event_type)
             ORDER BY event_type"""))
 

@@ -461,9 +461,13 @@ object PipelineOps extends QueryModule {
         .filter(col("a.n_rows").isNull ||
           col("a.n_rows") =!= col("b.n_rows"))
       // control-plane scalars: the re-read window (first changed chunk →
-      // open end) — catalog-derived, no data touched yet
-      val lo = changed.agg(min("chunk")).head.getLong(0)
+      // open end) — catalog-derived, no data touched yet. An empty diff
+      // (identical manifests — the steady state of a general incremental
+      // consumer) means nothing to re-read: min(chunk) is NULL, so read
+      // past the frontier (an empty range) instead of NPEing on getLong.
       val hi = cells(dirB).agg(max("chunk")).head.getLong(0) + 1000L
+      val loRow = changed.agg(min("chunk")).head
+      val lo = if (loRow.isNullAt(0)) hi else loRow.getLong(0)
       graft.streaming.OffsetNamedOrcSink.readRange(s, dirB, lo, hi)
         .groupBy(col("etype"))
         .agg(count(lit(1L)).as("n"), min("id").as("id_lo"),
@@ -1105,13 +1109,15 @@ object PipelineOps extends QueryModule {
     * two scans + two tiny aggs, a groups-sized join — no row-level
     * shuffle, no sort, and the checksum never leaves the executors.
     * Hash input is integer-rendered columns only (doubles render
-    * differently across engines; l_quantity is integral by data contract).
+    * differently across engines; l_quantity goes through floor() in BOTH
+    * engines — Spark CAST(DOUBLE AS BIGINT) truncates while DuckDB's
+    * rounds half-even, so a bare cast twin diverges on non-integral data).
     */
   private val qTableDiff = GQuery(
     (s, d) => {
       val rows = t(s, d, "lineitem")
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity").cast("long").as("qty"))
+          floor(col("l_quantity")).cast("long").as("qty"))
       def side(df: DataFrame) = df
         .withColumn("h", DedupOps.hex4(concat_ws("|",
           col("l_orderkey"), col("l_linenumber"), col("qty"))))
@@ -1135,7 +1141,7 @@ object PipelineOps extends QueryModule {
         "md5(l_orderkey || '|' || l_linenumber || '|' || qty)")
       s"""WITH rows_a AS (
             SELECT l_returnflag, l_orderkey, l_linenumber,
-                   CAST(l_quantity AS BIGINT) AS qty
+                   CAST(floor(l_quantity) AS BIGINT) AS qty
             FROM lineitem),
           rows_b AS (
             SELECT l_returnflag, l_orderkey, l_linenumber,

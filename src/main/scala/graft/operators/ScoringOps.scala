@@ -1218,12 +1218,12 @@ object ScoringOps extends QueryModule {
         .*(lit(100)).cast("long")
       val li = t(s, d, "lineitem").select(
         col("l_returnflag").as("grp"),
-        col("l_quantity").cast("long").as("x"),
+        floor(col("l_quantity")).cast("long").as("x"),
         expr(s"CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100000 AS BIGINT)"
-          + " div CAST(l_quantity AS BIGINT)").as("y"),
+          + " div CAST(floor(l_quantity) AS BIGINT)").as("y"),
         md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"),
-          col("l_quantity").cast("long"), cents)).as("h"))
+          floor(col("l_quantity")).cast("long"), cents)).as("h"))
       val wY = Window.partitionBy("grp").orderBy("y")
       val rmap = li.groupBy("grp", "y").agg(count(lit(1L)).as("c"))
         .withColumn("r", sum("c").over(wY))
@@ -1271,11 +1271,12 @@ object ScoringOps extends QueryModule {
         .orderBy("grp")
     },
     Some("""WITH li AS (
-              SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS x,
+              SELECT l_returnflag AS grp,
+                     CAST(floor(l_quantity) AS BIGINT) AS x,
                      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100000
-                       AS BIGINT) // CAST(l_quantity AS BIGINT) AS y,
+                       AS BIGINT) // CAST(floor(l_quantity) AS BIGINT) AS y,
                      md5(concat_ws('|', l_orderkey, l_linenumber, l_partkey,
-                       l_suppkey, CAST(l_quantity AS BIGINT),
+                       l_suppkey, CAST(floor(l_quantity) AS BIGINT),
                        CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
                          AS BIGINT))) AS h
               FROM lineitem),
