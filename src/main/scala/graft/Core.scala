@@ -36,6 +36,22 @@ object Exact {
     */
   def dround(c: Column, scale: Int = 2): Column =
     round(c.cast(DecimalType(30, 8)), scale).cast("double")
+
+  /** Cross-engine-exact cents quantization for a monetary DOUBLE column.
+    *
+    * CAST(x AS DECIMAL(18,2)) is NOT a safe twin: Spark rounds the 17-digit
+    * shortest decimal repr (BigDecimal.valueOf) while DuckDB double-rounds
+    * through a ~15-significant-digit rendering — measured live on
+    * 16.154999999999998: Spark 16.15, DuckDB 16.16. Scale-0 round AFTER
+    * scaling is divergence-proof: both engines see the identical binary
+    * product x*100, every tie point (n + 0.5) is exactly representable, so
+    * repr-based HALF_UP (Spark) and value-based half-away (DuckDB round)
+    * agree on every double. Oracle twin: CAST(round(x * 100) AS BIGINT).
+    * For micro-style scales multiply the RESULT (cents * 1000), never
+    * round(x * 100000) — the twin must quantize once, at cents.
+    */
+  def cents(c: Column): Column =
+    round(c * org.apache.spark.sql.functions.lit(100.0)).cast("long")
 }
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md / FIXTURES.md §B).

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DataTypes
 import graft.{GQuery, QueryModule, Tables}
-import graft.Exact.dround
+import graft.Exact.{cents, dround}
 
 /** Third block: analytics + training-pipeline operators beyond the round-1/2
   * inventory — deterministic train/val/test splits, document chunking, column
@@ -829,7 +829,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsMahalanobis = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val ev = t(s, d, "events")
         .select(col("event_id"), col("event_type"), cents.as("x"),
           hour(col("ts")).cast("long").as("y"))
@@ -869,7 +869,7 @@ object AnalyticsOps extends QueryModule {
         s"(CAST($spq AS DOUBLE) / CAST(n AS DOUBLE) - ${m(sa)} * ${m(sb)})"
       s"""WITH ev AS (
               SELECT event_id, event_type,
-                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+                     CAST(round(value * 100) AS BIGINT) AS x,
                      CAST(hour(ts) AS BIGINT) AS y
               FROM events),
             mom AS (
@@ -1489,7 +1489,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsAbtest = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       def arm(a: Int, c: org.apache.spark.sql.Column) =
         sum(when(pmod(col("user_id"), lit(2)) === a, c).otherwise(lit(0L))
           .cast("decimal(38,0)"))
@@ -1500,15 +1500,24 @@ object AnalyticsOps extends QueryModule {
           sum(when(pmod(col("user_id"), lit(2)) === 1, 1L).otherwise(0L)).as("n_b"),
           arm(0, cents).as("s_a"), arm(1, cents).as("s_b"),
           arm(0, cents * cents).as("ss_a"), arm(1, cents * cents).as("ss_b"))
-      val va = (col("n_a") * col("ss_a") - col("s_a") * col("s_a")).cast("double") /
-        (col("n_a") * col("n_a") * (col("n_a") - 1)).cast("double")
-      val vb = (col("n_b") * col("ss_b") - col("s_b") * col("s_b")).cast("double") /
-        (col("n_b") * col("n_b") * (col("n_b") - 1)).cast("double")
-      val tstat = (col("s_a").cast("double") / col("n_a")
-        - col("s_b").cast("double") / col("n_b")) / sqrt(va + vb)
+      // degenerate arms (n ≤ 1): Welch variance / means are div-by-zero —
+      // NULL, matching DuckDB's quiet double-div-by-zero NULL
+      val va = when(col("n_a") > 1,
+        (col("n_a") * col("ss_a") - col("s_a") * col("s_a")).cast("double") /
+          (col("n_a") * col("n_a") * (col("n_a") - 1)).cast("double"))
+      val vb = when(col("n_b") > 1,
+        (col("n_b") * col("ss_b") - col("s_b") * col("s_b")).cast("double") /
+          (col("n_b") * col("n_b") * (col("n_b") - 1)).cast("double"))
+      val se0 = sqrt(va + vb)
+      val se = when(se0 =!= 0.0, se0)
+      val tstat = when(col("n_a") > 0 && col("n_b") > 0,
+        col("s_a").cast("double") / col("n_a")
+          - col("s_b").cast("double") / col("n_b")) / se
       g.select(col("event_type"), col("n_a"), col("n_b"),
-          dround(col("s_a").cast("double") / col("n_a") / 100.0, 4).as("mean_a"),
-          dround(col("s_b").cast("double") / col("n_b") / 100.0, 4).as("mean_b"),
+          dround(when(col("n_a") > 0,
+            col("s_a").cast("double") / col("n_a") / 100.0), 4).as("mean_a"),
+          dround(when(col("n_b") > 0,
+            col("s_b").cast("double") / col("n_b") / 100.0), 4).as("mean_b"),
           dround(tstat, 4).as("t_welch"))
         .withColumn("significant", abs(col("t_welch")) > 1.96)
         .orderBy("event_type")
@@ -1518,18 +1527,18 @@ object AnalyticsOps extends QueryModule {
                      CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
                      CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
                      sum(CASE WHEN user_id % 2 = 0
-                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       THEN CAST(round(value * 100) AS BIGINT)
                        ELSE 0 END) AS s_a,
                      sum(CASE WHEN user_id % 2 = 1
-                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       THEN CAST(round(value * 100) AS BIGINT)
                        ELSE 0 END) AS s_b,
                      sum(CASE WHEN user_id % 2 = 0
-                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-                            * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       THEN CAST(round(value * 100) AS BIGINT)
+                            * CAST(round(value * 100) AS BIGINT)
                        ELSE 0 END) AS ss_a,
                      sum(CASE WHEN user_id % 2 = 1
-                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-                            * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       THEN CAST(round(value * 100) AS BIGINT)
+                            * CAST(round(value * 100) AS BIGINT)
                        ELSE 0 END) AS ss_b
               FROM events GROUP BY 1),
             r AS (
@@ -1636,7 +1645,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsDeltamethod = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val users = t(s, d, "events")
         .select(col("user_id"),
           when(col("event_type") === "purchase", cents).otherwise(lit(0L))
@@ -1690,7 +1699,7 @@ object AnalyticsOps extends QueryModule {
     Some("""WITH users AS (
               SELECT user_id,
                      CAST(sum(CASE WHEN event_type = 'purchase'
-                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       THEN CAST(round(value * 100) AS BIGINT)
                        ELSE 0 END) AS BIGINT) AS x,
                      CAST(count(*) AS BIGINT) AS y
               FROM events GROUP BY 1),
@@ -1834,7 +1843,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsSequential = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       def arm(a: Int, c: org.apache.spark.sql.Column) =
         sum(when(pmod(col("user_id"), lit(2)) === a, c).otherwise(lit(0L))
           .cast("decimal(38,0)"))
@@ -1845,13 +1854,20 @@ object AnalyticsOps extends QueryModule {
           sum(when(pmod(col("user_id"), lit(2)) === 1, 1L).otherwise(0L)).as("n_b"),
           arm(0, cents).as("s_a"), arm(1, cents).as("s_b"),
           arm(0, cents * cents).as("ss_a"), arm(1, cents * cents).as("ss_b"))
-      val va = (col("n_a") * col("ss_a") - col("s_a") * col("s_a")).cast("double") /
-        (col("n_a") * col("n_a") * (col("n_a") - 1)).cast("double")
-      val vb = (col("n_b") * col("ss_b") - col("s_b") * col("s_b")).cast("double") /
-        (col("n_b") * col("n_b") * (col("n_b") - 1)).cast("double")
-      val delta = col("s_a").cast("double") / col("n_a") -
-        col("s_b").cast("double") / col("n_b")
-      val v = va + vb
+      // degenerate arms (n ≤ 1) are div-by-zero → NULL (DuckDB's quiet
+      // double-div-by-zero); zero-variance groups would ln(0) — guard v > 0
+      // in BOTH engines (DuckDB ln(0) ERRORS, it is not a quiet NULL)
+      val va = when(col("n_a") > 1,
+        (col("n_a") * col("ss_a") - col("s_a") * col("s_a")).cast("double") /
+          (col("n_a") * col("n_a") * (col("n_a") - 1)).cast("double"))
+      val vb = when(col("n_b") > 1,
+        (col("n_b") * col("ss_b") - col("s_b") * col("s_b")).cast("double") /
+          (col("n_b") * col("n_b") * (col("n_b") - 1)).cast("double"))
+      val delta = when(col("n_a") > 0 && col("n_b") > 0,
+        col("s_a").cast("double") / col("n_a") -
+          col("s_b").cast("double") / col("n_b"))
+      val v0 = va + vb
+      val v = when(v0 > 0.0, v0)
       val tau = lit(2500.0)
       val lnLambda = lit(0.5) * log(v / (v + tau)) +
         tau * delta * delta / (lit(2.0) * v * (v + tau))
@@ -1867,18 +1883,18 @@ object AnalyticsOps extends QueryModule {
                      CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
                      CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
                      sum(CASE WHEN user_id % 2 = 0
-                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       THEN CAST(round(value * 100) AS BIGINT)
                        ELSE 0 END) AS s_a,
                      sum(CASE WHEN user_id % 2 = 1
-                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       THEN CAST(round(value * 100) AS BIGINT)
                        ELSE 0 END) AS s_b,
                      sum(CASE WHEN user_id % 2 = 0
-                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-                            * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       THEN CAST(round(value * 100) AS BIGINT)
+                            * CAST(round(value * 100) AS BIGINT)
                        ELSE 0 END) AS ss_a,
                      sum(CASE WHEN user_id % 2 = 1
-                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-                            * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       THEN CAST(round(value * 100) AS BIGINT)
+                            * CAST(round(value * 100) AS BIGINT)
                        ELSE 0 END) AS ss_b
               FROM events GROUP BY 1),
             c AS (
@@ -1888,13 +1904,14 @@ object AnalyticsOps extends QueryModule {
                      CAST(n_a * ss_a - s_a * s_a AS DOUBLE)
                        / CAST(n_a * n_a * (n_a - 1) AS DOUBLE)
                      + CAST(n_b * ss_b - s_b * s_b AS DOUBLE)
-                       / CAST(n_b * n_b * (n_b - 1) AS DOUBLE) AS v
+                       / CAST(n_b * n_b * (n_b - 1) AS DOUBLE) AS v0
               FROM g),
             l AS (
               SELECT event_type, n_a, n_b, delta,
-                     0.5 * ln(v / (v + 2500.0))
-                     + 2500.0 * delta * delta / (2.0 * v * (v + 2500.0))
-                       AS lnl
+                     CASE WHEN v0 > 0.0 THEN
+                       0.5 * ln(v0 / (v0 + 2500.0))
+                       + 2500.0 * delta * delta / (2.0 * v0 * (v0 + 2500.0))
+                       END AS lnl
               FROM c)
             SELECT event_type, n_a, n_b,
                    CAST(round(CAST(delta AS DECIMAL(30,8)), 4) AS DOUBLE)
@@ -1928,7 +1945,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsFdrBh = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       def arm(a: Int, c: org.apache.spark.sql.Column) =
         sum(when(pmod(col("user_id"), lit(2)) === a, c).otherwise(lit(0L))
           .cast("decimal(38,0)"))
@@ -1939,24 +1956,35 @@ object AnalyticsOps extends QueryModule {
           sum(when(pmod(col("user_id"), lit(2)) === 1, 1L).otherwise(0L)).as("n_b"),
           arm(0, cents).as("s_a"), arm(1, cents).as("s_b"),
           arm(0, cents * cents).as("ss_a"), arm(1, cents * cents).as("ss_b"))
-      val va = (col("n_a") * col("ss_a") - col("s_a") * col("s_a")).cast("double") /
-        (col("n_a") * col("n_a") * (col("n_a") - 1)).cast("double")
-      val vb = (col("n_b") * col("ss_b") - col("s_b") * col("s_b")).cast("double") /
-        (col("n_b") * col("n_b") * (col("n_b") - 1)).cast("double")
-      val tstat = (col("s_a").cast("double") / col("n_a")
-        - col("s_b").cast("double") / col("n_b")) / sqrt(va + vb)
+      // degenerate arms (n ≤ 1): t is div-by-zero → NULL (the abtest
+      // guard); NULL t ranks LAST deterministically via the -1 sentinel
+      // (Spark DESC and DuckDB differ on NULL placement in window orders)
+      val va = when(col("n_a") > 1,
+        (col("n_a") * col("ss_a") - col("s_a") * col("s_a")).cast("double") /
+          (col("n_a") * col("n_a") * (col("n_a") - 1)).cast("double"))
+      val vb = when(col("n_b") > 1,
+        (col("n_b") * col("ss_b") - col("s_b") * col("s_b")).cast("double") /
+          (col("n_b") * col("n_b") * (col("n_b") - 1)).cast("double"))
+      val se0 = sqrt(va + vb)
+      val tstat = when(col("n_a") > 0 && col("n_b") > 0,
+        col("s_a").cast("double") / col("n_a")
+          - col("s_b").cast("double") / col("n_b")) /
+        when(se0 =!= 0.0, se0)
       // explicit round BEFORE the long cast: Spark's double→long cast
       // truncates while DuckDB's rounds — round() agrees in both
       val scored = g.select(col("event_type"), dround(tstat, 4).as("t_welch"))
-        .withColumn("abs_t_micro",
-          round(abs(col("t_welch")) * 1000000).cast("long"))
+        .withColumn("abs_t_micro", coalesce(
+          round(abs(col("t_welch")) * 1000000).cast("long"), lit(-1L)))
         .withColumn("rk", row_number().over(
           Window.orderBy(col("abs_t_micro").desc, col("event_type").asc)))
-      // α·k/m two-sided z-quantiles as integer micros (α=.05, m=5)
+      // α·k/m two-sided z-quantiles as integer micros (α=.05, m=5); ranks
+      // beyond the table (extra types) get NULL thr — never tested, and
+      // never an ANSI element_at past the array end
       val thr = Seq(2575800L, 2326300L, 2170100L, 2053700L, 1960000L)
       val thrCol = array(thr.map(lit): _*)
       val withThr = scored
-        .withColumn("thr_micro", element_at(thrCol, col("rk")).cast("long"))
+        .withColumn("thr_micro", when(col("rk") <= thr.size,
+          element_at(thrCol, col("rk"))).cast("long"))
         .withColumn("passes", col("abs_t_micro") >= col("thr_micro"))
       val kstar = withThr.agg(
         coalesce(max(when(col("passes"), col("rk"))), lit(0)).as("kstar"))
@@ -1971,18 +1999,18 @@ object AnalyticsOps extends QueryModule {
                      CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
                      CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
                      sum(CASE WHEN user_id % 2 = 0
-                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       THEN CAST(round(value * 100) AS BIGINT)
                        ELSE 0 END) AS s_a,
                      sum(CASE WHEN user_id % 2 = 1
-                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       THEN CAST(round(value * 100) AS BIGINT)
                        ELSE 0 END) AS s_b,
                      sum(CASE WHEN user_id % 2 = 0
-                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-                            * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       THEN CAST(round(value * 100) AS BIGINT)
+                            * CAST(round(value * 100) AS BIGINT)
                        ELSE 0 END) AS ss_a,
                      sum(CASE WHEN user_id % 2 = 1
-                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-                            * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       THEN CAST(round(value * 100) AS BIGINT)
+                            * CAST(round(value * 100) AS BIGINT)
                        ELSE 0 END) AS ss_b
               FROM events GROUP BY 1),
             sc AS (
@@ -1997,11 +2025,11 @@ object AnalyticsOps extends QueryModule {
               FROM g),
             rk AS (
               SELECT event_type, t_welch,
-                     CAST(round(abs(t_welch) * 1000000) AS BIGINT)
-                       AS abs_t_micro,
+                     coalesce(CAST(round(abs(t_welch) * 1000000) AS BIGINT),
+                       -1) AS abs_t_micro,
                      row_number() OVER (
-                       ORDER BY CAST(round(abs(t_welch) * 1000000) AS BIGINT)
-                         DESC, event_type ASC) AS rk
+                       ORDER BY coalesce(CAST(round(abs(t_welch) * 1000000)
+                         AS BIGINT), -1) DESC, event_type ASC) AS rk
               FROM sc),
             thr(rk, thr_micro) AS (VALUES
               (1, 2575800), (2, 2326300), (3, 2170100), (4, 2053700),
@@ -2010,7 +2038,7 @@ object AnalyticsOps extends QueryModule {
               SELECT r.event_type, r.t_welch, CAST(r.rk AS INT) AS rk,
                      CAST(t.thr_micro AS BIGINT) AS thr_micro,
                      r.abs_t_micro >= t.thr_micro AS passes
-              FROM rk r JOIN thr t ON t.rk = r.rk),
+              FROM rk r LEFT JOIN thr t ON t.rk = r.rk),
             ks AS (
               SELECT coalesce(max(CASE WHEN passes THEN rk END), 0) AS kstar
               FROM wt)
@@ -2079,7 +2107,8 @@ object AnalyticsOps extends QueryModule {
     * passes), then the matrix is assembled from the 1-row result.
     *
     * Hash-exactness at any scale: values are snapped to integer CENTS
-    * (DECIMAL(18,2)·100 → BIGINT, identical half-up in both engines), and
+    * (Exact.cents — scale-0 round(x·100), divergence-proof in both
+    * engines on any double), and
     * every Σx, Σx², Σxy is an EXACT DECIMAL(38)/HUGEINT sum — order-proof
     * where double sums are not. corr = (n·Σxy − ΣxΣy) / (√(n·Σx²−Σx²)·√…)
     * touches floating point only in the final cast→sqrt→divide chain
@@ -2090,13 +2119,12 @@ object AnalyticsOps extends QueryModule {
   private val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
   private val qStatsCorrmatrix = GQuery(
     (s, d) => {
-      def cents(c: String) =
-        col(c).cast("decimal(18,2)").*(lit(100)).cast("long")
+      def cc(c: String) = cents(col(c))
       val sumAggs =
-        CorrCols.map(c => sum(cents(c).cast("decimal(38,0)")).as(s"s_$c")) ++
+        CorrCols.map(c => sum(cc(c).cast("decimal(38,0)")).as(s"s_$c")) ++
         (for { i <- CorrCols.indices; j <- i until CorrCols.size } yield {
           val (a, b) = (CorrCols(i), CorrCols(j))
-          sum((cents(a) * cents(b)).cast("decimal(38,0)")).as(s"ss_${a}_$b")
+          sum((cc(a) * cc(b)).cast("decimal(38,0)")).as(s"ss_${a}_$b")
         })
       val aggCols = count(lit(1)).as("n") +: sumAggs
       val stats = t(s, d, "lineitem").agg(aggCols.head, aggCols.tail: _*)
@@ -2120,12 +2148,12 @@ object AnalyticsOps extends QueryModule {
         .orderBy("col_x", "col_y")
     },
     Some {
-      def cents(c: String) = s"CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT)"
+      def cc(c: String) = s"CAST(round($c * 100) AS BIGINT)"
       val sums =
-        CorrCols.map(c => s"sum(${cents(c)}) AS s_$c") ++
+        CorrCols.map(c => s"sum(${cc(c)}) AS s_$c") ++
         (for { i <- CorrCols.indices; j <- i until CorrCols.size } yield {
           val (a, b) = (CorrCols(i), CorrCols(j))
-          s"sum(${cents(a)} * ${cents(b)}) AS ss_${a}_$b"
+          s"sum(${cc(a)} * ${cc(b)}) AS ss_${a}_$b"
         })
       val branches = (for { i <- CorrCols.indices; j <- (i + 1) until CorrCols.size }
         yield {
@@ -2165,8 +2193,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsLinreg = GQuery(
     (s, d) => {
-      def cents(c: String) =
-        col(c).cast("decimal(18,2)").*(lit(100)).cast("long")
+      def cents(c: String) = graft.Exact.cents(col(c))
       val x = cents("l_quantity")
       val y = cents("l_extendedprice")
       val stats = t(s, d, "lineitem").groupBy("l_returnflag").agg(
@@ -2190,14 +2217,14 @@ object AnalyticsOps extends QueryModule {
               -- sums of BIGINT cents: DuckDB accumulates in HUGEINT, the
               -- order-proof exact twin of the Spark side's DECIMAL(38)
               SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-                     sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sx,
-                     sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sy,
-                     sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
-                       * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sxx,
-                     sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-                       * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS syy,
-                     sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
-                       * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sxy
+                     sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sx,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+                     sum(CAST(round(l_quantity * 100) AS BIGINT)
+                       * CAST(round(l_quantity * 100) AS BIGINT)) AS sxx,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy,
+                     sum(CAST(round(l_quantity * 100) AS BIGINT)
+                       * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy
               FROM lineitem GROUP BY 1)
             SELECT l_returnflag, n,
                    CAST(round(CAST(CAST(n * sxy - sx * sy AS DOUBLE)
@@ -2448,8 +2475,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsKs = GQuery(
     (s, d) => {
-      val cents = col("l_extendedprice").cast("decimal(18,2)")
-        .*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("l_extendedprice"))
       val li = t(s, d, "lineitem")
         .filter(col("l_returnflag").isin("R", "A"))
         .select(cents.as("v"),
@@ -2482,8 +2508,7 @@ object AnalyticsOps extends QueryModule {
           col("v_at"))
     },
     Some("""WITH li AS (
-              SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
-                       AS BIGINT) AS v,
+              SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
                      CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS isr
               FROM lineitem WHERE l_returnflag IN ('R', 'A')),
             vals AS (SELECT v, CAST(sum(isr) AS BIGINT) AS c1,
@@ -2522,7 +2547,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qTsChangepoint = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val daily = t(s, d, "events")
         .select(to_date(col("ts")).as("day"), cents.as("v"))
         .groupBy("day").agg(count(lit(1)).as("n"), sum(col("v")).as("sc"))
@@ -2546,7 +2571,7 @@ object AnalyticsOps extends QueryModule {
     Some("""WITH daily AS (
               SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
                      count(*) AS n,
-                     sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sc
+                     sum(CAST(round(value * 100) AS BIGINT)) AS sc
               FROM events GROUP BY 1),
             cum AS (
               SELECT day,
@@ -2662,7 +2687,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qTsAutocorr = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val daily = t(s, d, "events")
         .select(to_date(col("ts")).as("day"), cents.as("v"))
         .groupBy("day").agg(sum("v").as("x"))
@@ -2689,7 +2714,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some(s"""WITH daily AS (
                SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-                      sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                      sum(CAST(round(value * 100) AS BIGINT))
                         AS x
                FROM events GROUP BY 1),
              lagged AS (
@@ -2736,7 +2761,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qEventsRfm = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val p = t(s, d, "events").filter(col("event_type") === "purchase")
         .select(col("user_id"), to_date(col("ts")).as("day"), cents.as("v"))
       val perUser = p.groupBy("user_id")
@@ -2763,7 +2788,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH p AS (
               SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+                     CAST(round(value * 100) AS BIGINT) AS v
               FROM events WHERE event_type = 'purchase'),
             pu AS (
               SELECT user_id, max(day) AS last_day,
@@ -2815,7 +2840,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qEventsRfmBoundaries = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val p = t(s, d, "events").filter(col("event_type") === "purchase")
         .select(col("user_id"), to_date(col("ts")).as("day"), cents.as("v"))
       val anchor = p.agg(max("day").as("anchor"))
@@ -2868,7 +2893,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH p AS (
               SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+                     CAST(round(value * 100) AS BIGINT) AS v
               FROM events WHERE event_type = 'purchase'),
             a AS (SELECT max(day) AS anchor FROM p),
             pu AS (
@@ -2960,8 +2985,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsSpearman = GQuery(
     (s, d) => {
-      def cents(c: String) =
-        col(c).cast("decimal(18,2)").*(lit(100)).cast("long")
+      def cents(c: String) = graft.Exact.cents(col(c))
       // two-long-column corpus projection, materialized ONCE for its three
       // consumers (both rank maps + the join) — the funcdep/xi width
       // discipline; without it the scan+cents cast ran per consumer
@@ -2991,8 +3015,8 @@ object AnalyticsOps extends QueryModule {
       st.select(col("n"), dround(dxy / sqrt(dxx * dyy), 6).as("spearman_rho"))
     },
     Some("""WITH rows_ AS (
-              SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
-                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+              SELECT CAST(round(l_quantity * 100) AS BIGINT) AS x,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS y
               FROM lineitem),
             rmx AS (
               SELECT x, CAST(coalesce(sum(cnt) OVER (ORDER BY x
@@ -3037,7 +3061,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qTsSnaive = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val daily = t(s, d, "events")
         .select(to_date(col("ts")).as("day"), cents.as("v"))
         .groupBy("day").agg(sum("v").as("x"))
@@ -3066,7 +3090,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH daily AS (
               SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-                     sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
+                     sum(CAST(round(value * 100) AS BIGINT)) AS x
               FROM events GROUP BY 1),
             lagged AS (
               SELECT day, x,
@@ -3177,7 +3201,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qSkylinePareto = GQuery(
     (s, d) => {
-      val cents = col("o_totalprice").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("o_totalprice"))
       val cust = t(s, d, "orders")
         .select(col("o_custkey"), cents.as("c"))
         .groupBy("o_custkey")
@@ -3197,8 +3221,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH cust AS (
               SELECT o_custkey, CAST(count(*) AS INT) AS n_orders,
-                     CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) // count(*) AS BIGINT) AS avg_cents
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // count(*) AS BIGINT) AS avg_cents
               FROM orders GROUP BY 1),
             perx AS (
               SELECT n_orders, min(avg_cents) AS ymin
@@ -3234,7 +3257,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qFeatureTargetEncode = GQuery(
     (s, d) => {
-      val cents = col("o_totalprice").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("o_totalprice"))
       val o = t(s, d, "orders")
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_orderpriority").as("cat"), cents.as("c"))
@@ -3250,7 +3273,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH o AS (
               SELECT o_orderkey, o_custkey, o_orderpriority AS cat,
-                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     CAST(round(o_totalprice * 100) AS BIGINT)
                        AS c
               FROM orders),
             stats AS (
@@ -3284,7 +3307,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qTsEwma = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val daily = t(s, d, "events")
         .select(to_date(col("ts")).as("day"), cents.as("v"))
         .groupBy("day").agg(sum("v").as("x"))
@@ -3307,8 +3330,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH RECURSIVE daily AS (
               SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) AS BIGINT) AS x
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
               FROM events GROUP BY 1),
             seq AS (
               SELECT day, x, CAST(row_number() OVER (ORDER BY day) AS BIGINT)
@@ -3711,7 +3733,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsRuns = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val daily = t(s, d, "events")
         .select(to_date(col("ts")).as("day"), cents.as("v"))
         .groupBy("day").agg(sum("v").as("x"))
@@ -3744,8 +3766,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH daily AS (
               SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) AS BIGINT) AS x
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
               FROM events GROUP BY 1),
             med AS (
               SELECT x AS med FROM (
@@ -3887,7 +3908,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsWilcoxon = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val diffs = t(s, d, "events")
         .select(col("user_id"),
           when(dayofmonth(col("ts")) <= 15, cents).otherwise(0L).as("a"),
@@ -3918,10 +3939,10 @@ object AnalyticsOps extends QueryModule {
     Some("""WITH diffs AS (
               SELECT user_id,
                      CAST(sum(CASE WHEN extract(day FROM ts) > 15
-                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       THEN CAST(round(value * 100) AS BIGINT)
                        ELSE 0 END)
                      - sum(CASE WHEN extract(day FROM ts) <= 15
-                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       THEN CAST(round(value * 100) AS BIGINT)
                        ELSE 0 END) AS BIGINT) AS dd
               FROM events GROUP BY 1),
             nz AS (
@@ -3974,7 +3995,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsDid = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val ev = t(s, d, "events")
       val users = ev.select(col("user_id")).distinct()
         .withColumn("grp", pmod(col("user_id"), lit(2)).cast("int"))
@@ -4046,8 +4067,7 @@ object AnalyticsOps extends QueryModule {
               SELECT user_id,
                      CASE WHEN extract(day FROM ts) <= 15 THEN 0 ELSE 1 END
                        AS period,
-                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) AS BIGINT) AS x
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
               FROM events GROUP BY 1, 2),
             panel AS (
               SELECT g.grp, g.period, coalesce(o.x, 0) AS x
@@ -4102,8 +4122,7 @@ object AnalyticsOps extends QueryModule {
     (s, d) => {
       val rows = t(s, d, "lineitem").select(
         col("l_returnflag").as("grp"),
-        expr("""CAST(round(ln(CAST(CAST(CAST(l_extendedprice
-             AS DECIMAL(18,2)) * 100000 AS BIGINT)
+        expr("""CAST(round(ln(CAST(CAST(round(l_extendedprice * 100) * 1000 AS BIGINT)
              div CAST(floor(l_quantity) AS BIGINT) AS DOUBLE)) * 1000)
              AS BIGINT)""").as("x"),
         expr("CAST(round(ln(CAST(l_quantity AS DOUBLE)) * 1000) AS BIGINT)")
@@ -4125,8 +4144,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH rows_ AS (
               SELECT l_returnflag AS grp,
-                     CAST(round(ln(CAST(CAST(CAST(l_extendedprice
-                       AS DECIMAL(18,2)) * 100000 AS BIGINT)
+                     CAST(round(ln(CAST(CAST(round(l_extendedprice * 100) * 1000 AS BIGINT)
                        // CAST(floor(l_quantity) AS BIGINT) AS DOUBLE)) * 1000)
                        AS BIGINT) AS x,
                      CAST(round(ln(CAST(l_quantity AS DOUBLE)) * 1000)
@@ -4254,7 +4272,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsRdd = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val cut = 25000L
       val bw = 10000L
       val rows = t(s, d, "events")
@@ -4291,7 +4309,7 @@ object AnalyticsOps extends QueryModule {
         .orderBy("side")
     },
     Some("""WITH rows_ AS (
-              SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+              SELECT CAST(round(value * 100) AS BIGINT)
                        - 25000 AS x,
                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
               FROM events),
@@ -4353,7 +4371,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsIv = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val users = t(s, d, "events")
         .groupBy("user_id")
         .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
@@ -4388,7 +4406,7 @@ object AnalyticsOps extends QueryModule {
                      CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
                        END) AS BIGINT) AS xk,
                      CAST(sum(CASE WHEN event_type = 'purchase'
-                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       THEN CAST(round(value * 100) AS BIGINT)
                        ELSE 0 END) AS BIGINT) AS yc,
                      CAST(user_id % 2 AS INT) AS z
               FROM events GROUP BY 1),
@@ -4445,7 +4463,7 @@ object AnalyticsOps extends QueryModule {
   private val qStatsPermutation = GQuery(
     (s, d) => {
       import graft.operators.DedupOps.hex4
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val diffs = t(s, d, "events")
         .select(col("user_id"),
           when(dayofmonth(col("ts")) <= 15, cents).otherwise(0L).as("a"),
@@ -4473,10 +4491,10 @@ object AnalyticsOps extends QueryModule {
     Some(s"""WITH diffs AS (
               SELECT user_id,
                      CAST(sum(CASE WHEN extract(day FROM ts) > 15
-                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       THEN CAST(round(value * 100) AS BIGINT)
                        ELSE 0 END)
                      - sum(CASE WHEN extract(day FROM ts) <= 15
-                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       THEN CAST(round(value * 100) AS BIGINT)
                        ELSE 0 END) AS BIGINT) AS dd
               FROM events GROUP BY 1),
             obs AS (SELECT CAST(count(*) AS BIGINT) AS n,
@@ -4502,7 +4520,7 @@ object AnalyticsOps extends QueryModule {
 
   private val qStatsMannwhitney = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val grid = t(s, d, "events")
         .filter(col("event_type") === "purchase")
         .select(cents.as("v"),
@@ -4533,7 +4551,7 @@ object AnalyticsOps extends QueryModule {
             .as("z"))
     },
     Some("""WITH grid AS (
-              SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+              SELECT CAST(round(value * 100) AS BIGINT) AS v,
                      CAST(sum(CASE WHEN ((CAST(floor(epoch(ts)) AS BIGINT)
                        // 86400) % 7) IN (2, 3) THEN 1 ELSE 0 END) AS BIGINT)
                        AS c1,
@@ -4586,7 +4604,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qFeatureScale = GQuery(
     (s, d) => {
-      val cents = col("c_acctbal").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("c_acctbal"))
       val c = t(s, d, "customer").select(col("c_custkey"), cents.as("bal"))
       // n·Q − S² overflows BIGINT past ~10⁴ rows of 10⁶-cent balances —
       // widen the moment arithmetic to DECIMAL(38,0) (the corrmatrix rule)
@@ -4612,7 +4630,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH c AS (
               SELECT c_custkey,
-                     CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     CAST(round(c_acctbal * 100) AS BIGINT)
                        AS bal
               FROM customer),
             stats AS (
@@ -4650,7 +4668,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsCohend = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       def arm(a: Int, c: org.apache.spark.sql.Column) =
         sum(when(pmod(col("user_id"), lit(2)) === a, c).otherwise(lit(0L))
           .cast("decimal(38,0)"))
@@ -4687,18 +4705,18 @@ object AnalyticsOps extends QueryModule {
                      CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
                        AS BIGINT) AS n_b,
                      sum(CASE WHEN user_id % 2 = 0 THEN
-                       CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       CAST(round(value * 100) AS BIGINT)
                        ELSE 0 END) AS s_a,
                      sum(CASE WHEN user_id % 2 = 1 THEN
-                       CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       CAST(round(value * 100) AS BIGINT)
                        ELSE 0 END) AS s_b,
                      sum(CASE WHEN user_id % 2 = 0 THEN
-                       CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-                       * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       CAST(round(value * 100) AS BIGINT)
+                       * CAST(round(value * 100) AS BIGINT)
                        ELSE 0 END) AS ss_a,
                      sum(CASE WHEN user_id % 2 = 1 THEN
-                       CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-                       * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       CAST(round(value * 100) AS BIGINT)
+                       * CAST(round(value * 100) AS BIGINT)
                        ELSE 0 END) AS ss_b
               FROM events GROUP BY event_type),
             fin AS (
@@ -4858,7 +4876,7 @@ object AnalyticsOps extends QueryModule {
           unix_timestamp(col("ts")).as("sec"), lit(0).as("tag"),
           lit(1L).as("cnt"),
           when(col("event_type") === "purchase",
-            col("value").cast("decimal(18,2)").*(lit(100)).cast("long"))
+            cents(col("value")))
             .otherwise(0L).as("cents"),
           col("event_type").as("etype"))
       val spine = t(s, d, "orders")
@@ -4884,7 +4902,7 @@ object AnalyticsOps extends QueryModule {
                      CAST(floor(epoch(ts)) AS BIGINT) AS sec, 0 AS tag,
                      CAST(1 AS BIGINT) AS cnt,
                      CASE WHEN event_type = 'purchase' THEN
-                       CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       CAST(round(value * 100) AS BIGINT)
                        ELSE 0 END AS cents,
                      event_type AS etype
               FROM events),
@@ -4926,7 +4944,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qAggMode = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val grid = t(s, d, "events")
         .groupBy(col("event_type"), cents.as("v"))
         .agg(count(lit(1L)).as("c"))
@@ -4939,7 +4957,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH grid AS (
               SELECT event_type,
-                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+                     CAST(round(value * 100) AS BIGINT) AS v,
                      CAST(count(*) AS BIGINT) AS c
               FROM events GROUP BY 1, 2),
             ranked AS (
@@ -4967,7 +4985,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qTsTheilsen = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       // di is REBASED to the series start: with absolute epoch days a
       // one-day revenue jump makes slope_micro·di overflow BIGINT
       // (~10¹⁵ · 2·10⁴); rebased di ≤ series length keeps it exact
@@ -5009,8 +5027,7 @@ object AnalyticsOps extends QueryModule {
     Some("""WITH daily0 AS (
               SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT)
                        // 86400 AS de,
-                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) AS BIGINT) AS x
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
               FROM events GROUP BY 1),
             daily AS (
               SELECT de - min(de) OVER () AS di, x FROM daily0),
@@ -5059,7 +5076,7 @@ object AnalyticsOps extends QueryModule {
     (s, d) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
       val dec = DataTypes.createDecimalType(38, 0)
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val perV = t(s, d, "events")
         .select(cents.as("v"), col("event_type"))
         .groupBy("v")
@@ -5111,7 +5128,7 @@ object AnalyticsOps extends QueryModule {
               CAST(s2_$tp * 500 // n_$tp AS BIGINT) AS mean_rank_milli,
               CAST(NULL AS DOUBLE) AS h FROM agg""").mkString("\nUNION ALL\n")
       s"""WITH perv AS (
-            SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+            SELECT CAST(round(value * 100) AS BIGINT) AS v,
                    CAST(count(*) AS BIGINT) AS cnt,
                    $cSums
             FROM events GROUP BY 1),
@@ -5172,7 +5189,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qTsHolt = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val daily = t(s, d, "events")
         .select(to_date(col("ts")).as("day"), cents.as("v"))
         .groupBy("day").agg(sum("v").as("x"))
@@ -5207,8 +5224,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH RECURSIVE daily AS (
               SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) AS BIGINT) AS x
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
               FROM events GROUP BY 1),
             seq AS (
               SELECT day, x, CAST(row_number() OVER (ORDER BY day) AS BIGINT)
@@ -5255,7 +5271,7 @@ object AnalyticsOps extends QueryModule {
   private val qSampleNeyman = GQuery(
     (s, d) => {
       val nTarget = 2000L
-      val y = expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100000"
+      val y = expr("CAST(round(l_extendedprice * 100) * 1000"
         + " AS BIGINT) div CAST(floor(l_quantity) AS BIGINT)")
       val strata = t(s, d, "lineitem")
         .select(expr("CAST(floor(l_quantity) AS BIGINT) div 10").as("stratum"),
@@ -5295,8 +5311,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH li AS (
               SELECT CAST(floor(l_quantity) AS BIGINT) // 10 AS stratum,
-                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100000
-                       AS BIGINT) // CAST(floor(l_quantity) AS BIGINT) AS y
+                     CAST(round(l_extendedprice * 100) * 1000 AS BIGINT) // CAST(floor(l_quantity) AS BIGINT) AS y
               FROM lineitem),
             strata AS (
               SELECT stratum, CAST(count(*) AS BIGINT) AS nh,
@@ -5351,7 +5366,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qTsPeriodogram = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val daily = t(s, d, "events")
         .select(to_date(col("ts")).as("day"), cents.as("v"))
         .groupBy("day").agg(sum("v").as("x"))
@@ -5378,8 +5393,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH daily AS (
               SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) AS BIGINT) AS x
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
               FROM events GROUP BY 1),
             wt AS (
               SELECT day, x,
@@ -5422,7 +5436,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qTsBacktest = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val daily = t(s, d, "events")
         .select(to_date(col("ts")).as("day"), cents.as("v"))
         .groupBy("day").agg(sum("v").as("x"))
@@ -5473,8 +5487,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH RECURSIVE daily AS (
               SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) AS BIGINT) AS x
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
               FROM events GROUP BY 1),
             seq AS (
               SELECT day, x, CAST(row_number() OVER (ORDER BY day) AS BIGINT)
@@ -5531,7 +5544,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qTsCusum = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val daily = t(s, d, "events")
         .select(to_date(col("ts")).as("day"), cents.as("v"))
         .groupBy("day").agg(sum("v").as("x"))
@@ -5565,8 +5578,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH RECURSIVE daily AS (
               SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) AS BIGINT) AS x
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
               FROM events GROUP BY 1),
             seq AS (
               SELECT day, x,
@@ -5617,7 +5629,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qTsCroston = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val ev = t(s, d, "events")
       val daily = ev.filter(col("value") >= 250)
         .select(col("event_type"), to_date(col("ts")).as("day"), cents.as("v"))
@@ -5670,8 +5682,7 @@ object AnalyticsOps extends QueryModule {
               FROM events),
             daily AS (
               SELECT event_type, day,
-                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) AS BIGINT) AS x
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
               FROM ev WHERE value >= 250 GROUP BY 1, 2),
             span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
             grid AS (
@@ -5737,7 +5748,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qTsHoltwinters = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val daily = t(s, d, "events")
         .select(to_date(col("ts")).as("day"), cents.as("v"))
         .groupBy("day").agg(sum("v").as("x"))
@@ -5779,8 +5790,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH RECURSIVE daily AS (
               SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) AS BIGINT) AS x
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
               FROM events GROUP BY 1),
             seq AS (
               SELECT day, x, CAST(row_number() OVER (ORDER BY day) AS BIGINT)
@@ -6092,7 +6102,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsPropensity = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val half = to_date(col("ts")) < lit("2024-01-16").cast("date")
       val users = t(s, d, "events")
         .select(col("user_id"),
@@ -6138,8 +6148,7 @@ object AnalyticsOps extends QueryModule {
                                AND event_type = 'purchase' THEN 1
                           ELSE 0 END AS tp,
                      CASE WHEN ts >= TIMESTAMP '2024-01-16'
-                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
-                         AS BIGINT) ELSE 0 END AS yc
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS yc
               FROM events),
             users AS (
               SELECT user_id, CAST(sum(h1) AS BIGINT) AS x,
@@ -6211,7 +6220,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsCuped = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val half = to_date(col("ts")) < lit("2024-01-16").cast("date")
       val users = t(s, d, "events")
         .select(col("user_id"), when(half, cents).otherwise(lit(0L)).as("xc"),
@@ -6268,11 +6277,11 @@ object AnalyticsOps extends QueryModule {
               SELECT user_id,
                      CAST(sum(CASE WHEN CAST(date_trunc('day', ts) AS DATE)
                          < DATE '2024-01-16'
-                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       THEN CAST(round(value * 100) AS BIGINT)
                        ELSE 0 END) AS BIGINT) AS ux,
                      CAST(sum(CASE WHEN CAST(date_trunc('day', ts) AS DATE)
                          >= DATE '2024-01-16'
-                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       THEN CAST(round(value * 100) AS BIGINT)
                        ELSE 0 END) AS BIGINT) AS uy
               FROM events GROUP BY 1),
             pooled0 AS (
@@ -6479,7 +6488,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qTsMad = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val daily = t(s, d, "events")
         .select(to_date(col("ts")).as("day"), cents.as("v"))
         .groupBy("day").agg(sum("v").as("x"))
@@ -6506,8 +6515,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH daily AS (
               SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) AS BIGINT) AS x
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
               FROM events GROUP BY 1),
             n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
             med AS (
@@ -6630,7 +6638,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qFeatureSplit = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val bins = t(s, d, "events")
         .select(cents.as("c"),
           when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
@@ -6659,7 +6667,7 @@ object AnalyticsOps extends QueryModule {
         .orderBy("bin")
     },
     Some("""WITH rows_ AS (
-              SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+              SELECT CAST(round(value * 100) AS BIGINT)
                        AS c,
                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
                        AS pos
@@ -6725,7 +6733,7 @@ object AnalyticsOps extends QueryModule {
     (s, d) => {
       val ev = t(s, d, "events")
         .select(col("event_type").as("et"), to_date(col("ts")).as("day"),
-          col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+          cents(col("value"))
             .as("c"))
       val daily = ev.groupBy("et", "day").agg(sum("c").as("c"))
       val days = ev.select("day").distinct()
@@ -6768,7 +6776,7 @@ object AnalyticsOps extends QueryModule {
     Some("""WITH ev AS (
               SELECT event_type AS et,
                      CAST(date_trunc('day', ts) AS DATE) AS day,
-                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                     CAST(round(value * 100) AS BIGINT) AS c
               FROM events),
             daily AS (SELECT et, day, CAST(sum(c) AS BIGINT) AS c
                       FROM ev GROUP BY 1, 2),
@@ -6834,7 +6842,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qTsStl = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val daily = t(s, d, "events")
         .select(to_date(col("ts")).as("day"), cents.as("v"))
         .groupBy("day").agg(sum("v").as("x"))
@@ -6859,8 +6867,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH daily AS (
               SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) AS BIGINT) AS x
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
               FROM events GROUP BY 1),
             dn AS (
               SELECT day, x,
@@ -6967,7 +6974,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qTsPermentropy = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val daily = t(s, d, "events")
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(sum(cents).as("x"))
@@ -7001,8 +7008,7 @@ object AnalyticsOps extends QueryModule {
     Some("""WITH daily AS (
               SELECT event_type,
                      CAST(date_trunc('day', ts) AS DATE) AS day,
-                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) AS BIGINT) AS x
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
               FROM events GROUP BY 1, 2),
             lagd AS (
               SELECT event_type, x AS a,
@@ -7234,7 +7240,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qTsGranger = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val daily = t(s, d, "events")
         .select(to_date(col("ts")).as("day"), col("event_type"),
           cents.as("c"))
@@ -7293,8 +7299,7 @@ object AnalyticsOps extends QueryModule {
     Some("""WITH daily AS (
               SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
                      sum(CASE WHEN event_type = 'purchase'
-                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
-                         AS BIGINT) ELSE 0 END) // 10000 AS y,
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) // 10000 AS y,
                      CAST(sum(CASE WHEN event_type = 'click' THEN 1
                        ELSE 0 END) AS BIGINT) AS x
               FROM events GROUP BY 1),
@@ -7375,7 +7380,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qTsAnomaly = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val daily = t(s, d, "events")
         .select(to_date(col("ts")).as("day"), cents.as("v"))
         .groupBy("day").agg(sum("v").as("x"))
@@ -7429,8 +7434,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH daily AS (
               SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) AS BIGINT) AS x
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
               FROM events GROUP BY 1),
             dn AS (
               SELECT day, x,
@@ -7628,7 +7632,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsQq = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val dnum = datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
       val grid = t(s, d, "events")
         .filter(col("event_type") === "purchase")
@@ -7662,7 +7666,7 @@ object AnalyticsOps extends QueryModule {
                        CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) % 7
                        >= 5
                      THEN 'weekend' ELSE 'weekday' END AS grp,
-                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+                     CAST(round(value * 100) AS BIGINT) AS v
               FROM events WHERE event_type = 'purchase'),
             grid AS (
               SELECT grp, v, CAST(count(*) AS BIGINT) AS cnt
@@ -7860,7 +7864,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qEventsTimezone = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val base = t(s, d, "events")
         .select(col("ts"), cents.as("v"))
         .select(to_date(col("ts")).as("day_utc"),
@@ -7885,7 +7889,7 @@ object AnalyticsOps extends QueryModule {
               SELECT CAST(date_trunc('day', ts) AS DATE) AS day_utc,
                      CAST(date_trunc('day', ts - INTERVAL 5 HOUR) AS DATE)
                        AS day_ny,
-                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+                     CAST(round(value * 100) AS BIGINT) AS v
               FROM events),
             utc AS (
               SELECT day_utc AS day, CAST(sum(v) AS BIGINT) AS rev_utc_cents,
@@ -7924,7 +7928,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsTost = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       def arm(a: Int, c: org.apache.spark.sql.Column) =
         sum(when(pmod(col("user_id"), lit(2)) === a, c).otherwise(lit(0L))
           .cast("decimal(38,0)"))
@@ -7935,13 +7939,20 @@ object AnalyticsOps extends QueryModule {
           sum(when(pmod(col("user_id"), lit(2)) === 1, 1L).otherwise(0L)).as("n_b"),
           arm(0, cents).as("s_a"), arm(1, cents).as("s_b"),
           arm(0, cents * cents).as("ss_a"), arm(1, cents * cents).as("ss_b"))
-      val va = (col("n_a") * col("ss_a") - col("s_a") * col("s_a")).cast("double") /
-        (col("n_a") * col("n_a") * (col("n_a") - 1)).cast("double")
-      val vb = (col("n_b") * col("ss_b") - col("s_b") * col("s_b")).cast("double") /
-        (col("n_b") * col("n_b") * (col("n_b") - 1)).cast("double")
-      val deltaD = col("s_a").cast("double") / col("n_a") -
-        col("s_b").cast("double") / col("n_b")
-      val se = sqrt(va + vb)
+      // degenerate arms (n ≤ 1, e.g. a single-row group): Welch variance
+      // and the mean diff are div-by-zero — NULL, matching DuckDB's quiet
+      // double-div-by-zero NULL (Spark ANSI would throw instead)
+      val va = when(col("n_a") > 1,
+        (col("n_a") * col("ss_a") - col("s_a") * col("s_a")).cast("double") /
+          (col("n_a") * col("n_a") * (col("n_a") - 1)).cast("double"))
+      val vb = when(col("n_b") > 1,
+        (col("n_b") * col("ss_b") - col("s_b") * col("s_b")).cast("double") /
+          (col("n_b") * col("n_b") * (col("n_b") - 1)).cast("double"))
+      val deltaD = when(col("n_a") > 0 && col("n_b") > 0,
+        col("s_a").cast("double") / col("n_a") -
+          col("s_b").cast("double") / col("n_b"))
+      val se0 = sqrt(va + vb)
+      val se = when(se0 =!= 0.0, se0) // zero-variance arms: t is x/0 — NULL
       val margin = lit(200.0) // $2 in cents
       g.select(col("event_type"), col("n_a"), col("n_b"),
           dround(deltaD / 100.0, 4).as("diff_dollars"),
@@ -7958,20 +7969,18 @@ object AnalyticsOps extends QueryModule {
                      CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
                        AS BIGINT) AS n_b,
                      sum(CASE WHEN user_id % 2 = 0
-                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       THEN CAST(round(value * 100) AS BIGINT)
                        ELSE 0 END) AS s_a,
                      sum(CASE WHEN user_id % 2 = 1
-                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       THEN CAST(round(value * 100) AS BIGINT)
                        ELSE 0 END) AS s_b,
                      sum(CASE WHEN user_id % 2 = 0
-                       THEN CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                         AS BIGINT) AS HUGEINT)
-                         * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       THEN CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+                         * CAST(round(value * 100) AS BIGINT)
                        ELSE 0 END) AS ss_a,
                      sum(CASE WHEN user_id % 2 = 1
-                       THEN CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                         AS BIGINT) AS HUGEINT)
-                         * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       THEN CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+                         * CAST(round(value * 100) AS BIGINT)
                        ELSE 0 END) AS ss_b
               FROM events GROUP BY 1),
             f AS (
@@ -8027,7 +8036,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsMedianci = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val grid = t(s, d, "events")
         .groupBy(col("event_type"), cents.as("v"))
         .agg(count(lit(1L)).as("c"))
@@ -8058,7 +8067,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH grid AS (
               SELECT event_type,
-                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+                     CAST(round(value * 100) AS BIGINT) AS v,
                      CAST(count(*) AS BIGINT) AS c
               FROM events GROUP BY 1, 2),
             ranked AS (
@@ -8113,7 +8122,7 @@ object AnalyticsOps extends QueryModule {
   private val qStatsTukey = GQuery(
     (s, d) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val g = t(s, d, "events")
         .groupBy("event_type")
         .agg(count(lit(1L)).as("n"),
@@ -8160,11 +8169,9 @@ object AnalyticsOps extends QueryModule {
                / CAST(n_$ty AS DOUBLE))"""
       s"""WITH g AS (
               SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-                     sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                       AS BIGINT) AS HUGEINT)) AS sx,
-                     sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                       AS BIGINT) AS HUGEINT)
-                       * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                     sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)) AS sx,
+                     sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+                       * CAST(round(value * 100) AS BIGINT))
                        AS sxx
               FROM events GROUP BY 1),
             wide AS (
@@ -8206,7 +8213,7 @@ object AnalyticsOps extends QueryModule {
 
   private val qStatsAnova = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val g = t(s, d, "events")
         .groupBy("event_type")
         .agg(count(lit(1L)).as("n"),
@@ -8230,11 +8237,10 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH g AS (
               SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-                     sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                     sum(CAST(round(value * 100) AS BIGINT))
                        AS sx,
-                     sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                       AS BIGINT) AS HUGEINT)
-                       * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                     sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+                       * CAST(round(value * 100) AS BIGINT))
                        AS sxx
               FROM events GROUP BY 1),
             roll AS (
@@ -8351,7 +8357,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsWinsorize = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val grid = t(s, d, "events")
         .select(col("event_type").as("et"), cents.as("v"))
         .groupBy("et", "v").agg(count(lit(1L)).as("cnt"))
@@ -8382,7 +8388,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH grid AS (
               SELECT event_type AS et,
-                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+                     CAST(round(value * 100) AS BIGINT) AS v,
                      CAST(count(*) AS BIGINT) AS cnt
               FROM events GROUP BY 1, 2),
             cum AS (
@@ -8501,10 +8507,9 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsPartialcorr = GQuery(
     (s, d) => {
-      val x = col("l_extendedprice").cast("decimal(18,2)").*(lit(100))
-        .cast("long")
-      val y = col("l_quantity").cast("decimal(18,2)").*(lit(100)).cast("long")
-      val z = col("l_discount").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val x = cents(col("l_extendedprice"))
+      val y = cents(col("l_quantity"))
+      val z = cents(col("l_discount"))
       def dsum(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,0)"))
       val m = t(s, d, "lineitem")
         .select(x.as("x"), y.as("y"), z.as("z"))
@@ -8537,36 +8542,21 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH m AS (
               SELECT CAST(count(*) AS BIGINT) AS n,
-                     sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) AS sx,
-                     sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) AS sy,
-                     sum(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) AS sz,
-                     sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                       * 100 AS BIGINT) AS HUGEINT)
-                       * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
-                         AS BIGINT)) AS sxx,
-                     sum(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
-                       AS BIGINT) AS HUGEINT)
-                       * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
-                         AS BIGINT)) AS syy,
-                     sum(CAST(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
-                       AS BIGINT) AS HUGEINT)
-                       * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
-                         AS BIGINT)) AS szz,
-                     sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                       * 100 AS BIGINT) AS HUGEINT)
-                       * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
-                         AS BIGINT)) AS sxy,
-                     sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                       * 100 AS BIGINT) AS HUGEINT)
-                       * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
-                         AS BIGINT)) AS sxz,
-                     sum(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
-                       AS BIGINT) AS HUGEINT)
-                       * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
-                         AS BIGINT)) AS syz
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sx,
+                     sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sy,
+                     sum(CAST(round(l_discount * 100) AS BIGINT)) AS sz,
+                     sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
+                       * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxx,
+                     sum(CAST(CAST(round(l_quantity * 100) AS BIGINT) AS HUGEINT)
+                       * CAST(round(l_quantity * 100) AS BIGINT)) AS syy,
+                     sum(CAST(CAST(round(l_discount * 100) AS BIGINT) AS HUGEINT)
+                       * CAST(round(l_discount * 100) AS BIGINT)) AS szz,
+                     sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
+                       * CAST(round(l_quantity * 100) AS BIGINT)) AS sxy,
+                     sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
+                       * CAST(round(l_discount * 100) AS BIGINT)) AS sxz,
+                     sum(CAST(CAST(round(l_quantity * 100) AS BIGINT) AS HUGEINT)
+                       * CAST(round(l_discount * 100) AS BIGINT)) AS syz
               FROM lineitem),
             r AS (
               SELECT n,
@@ -8620,7 +8610,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsIsotonic = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val bins = t(s, d, "events")
         .select(cents.as("c"),
           when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
@@ -8655,7 +8645,7 @@ object AnalyticsOps extends QueryModule {
         .orderBy("bin")
     },
     Some("""WITH rows_ AS (
-              SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+              SELECT CAST(round(value * 100) AS BIGINT) AS c,
                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
                        AS pos
               FROM events),
@@ -8840,7 +8830,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qEventsLtv = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val ev = t(s, d, "events")
         .select(col("user_id"), cents.as("v"),
           expr("datediff(to_date(ts), DATE '2024-01-01') div 7").as("wk"))
@@ -8862,7 +8852,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH ev AS (
               SELECT user_id,
-                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+                     CAST(round(value * 100) AS BIGINT) AS v,
                      CAST(date_diff('day', DATE '2024-01-01',
                        CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) // 7
                        AS wk
@@ -8922,7 +8912,7 @@ object AnalyticsOps extends QueryModule {
         .select(col("user_id"), col("st").as("status"),
           col("sec").as("valid_from"),
           lead("sec", 1).over(wAll).as("valid_to"))
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val purchases = t(s, d, "events")
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), unix_timestamp(col("ts")).as("psec"),
@@ -8952,7 +8942,7 @@ object AnalyticsOps extends QueryModule {
             p AS (
               SELECT user_id,
                      CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS psec,
-                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+                     CAST(round(value * 100) AS BIGINT) AS v
               FROM events WHERE event_type = 'purchase')
             SELECT dim.status, CAST(count(*) AS BIGINT) AS n_purchases,
                    CAST(sum(p.v) AS BIGINT) AS rev_cents,
@@ -8979,7 +8969,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qFeatureRolling = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val ev = t(s, d, "events")
         .select(col("user_id"), col("event_id"),
           unix_timestamp(col("ts")).as("sec"),
@@ -9001,7 +8991,7 @@ object AnalyticsOps extends QueryModule {
               SELECT user_id, event_id,
                      CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
                      event_type,
-                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+                     CAST(round(value * 100) AS BIGINT) AS v
               FROM events),
             f AS (
               SELECT user_id, event_id, event_type,
@@ -9037,7 +9027,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qTsConformal = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val daily = t(s, d, "events")
         .select(to_date(col("ts")).as("day"), cents.as("v"))
         .groupBy("day").agg(sum("v").as("x"))
@@ -9074,8 +9064,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH daily AS (
               SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) AS BIGINT) AS x
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
               FROM events GROUP BY 1),
             dn AS (
               SELECT day, x,
@@ -9129,7 +9118,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsPower = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val g = t(s, d, "events")
         .groupBy("event_type")
         .agg(count(lit(1L)).as("n"),
@@ -9153,11 +9142,10 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH g AS (
               SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-                     sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                     sum(CAST(round(value * 100) AS BIGINT))
                        AS sx,
-                     sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                       AS BIGINT) AS HUGEINT)
-                       * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                     sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+                       * CAST(round(value * 100) AS BIGINT))
                        AS sxx
               FROM events GROUP BY 1),
             v AS (
@@ -9373,7 +9361,7 @@ object AnalyticsOps extends QueryModule {
     (s, d) => {
       val daily = t(s, d, "events")
         .select(col("event_type"), to_date(col("ts")).as("day"),
-          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          expr("CAST(round(value * 100) AS BIGINT)")
             .as("cents"))
         .groupBy("event_type", "day").agg(sum("cents").as("x"))
       val dmin = daily.agg(min("day").as("d0"))
@@ -9427,8 +9415,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH daily AS (
               SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) AS BIGINT) AS x
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
               FROM events GROUP BY 1, 2),
             d0 AS (SELECT min(day) AS d0 FROM daily),
             idxd AS (
@@ -9589,7 +9576,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qTsSpectralEntropy = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val daily = t(s, d, "events")
         .select(col("event_type"), to_date(col("ts")).as("day"),
           cents.as("v"))
@@ -9638,8 +9625,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH daily AS (
               SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) AS BIGINT) AS x
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
               FROM events GROUP BY 1, 2),
             wt AS (
               SELECT event_type, x,
@@ -9796,7 +9782,7 @@ object AnalyticsOps extends QueryModule {
         .orderBy(col("cents").desc, col("event_id").asc)
       val top = t(s, d, "events")
         .select(col("event_type"), col("event_id"),
-          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          expr("CAST(round(value * 100) AS BIGINT)")
             .as("cents"))
         .withColumn("rn", row_number().over(wTop))
         .filter(col("rn") <= 65)
@@ -9818,11 +9804,10 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH v AS (
               SELECT event_type, event_id,
-                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     CAST(round(value * 100) AS BIGINT)
                        AS cents,
                      row_number() OVER (PARTITION BY event_type
-                       ORDER BY CAST(CAST(value AS DECIMAL(18,2)) * 100
-                         AS BIGINT) DESC, event_id ASC) AS rn
+                       ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id ASC) AS rn
               FROM events QUALIFY rn <= 65),
             xk AS (SELECT event_type, cents AS xk FROM v WHERE rn = 65),
             terms AS (
@@ -9857,7 +9842,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsLjungbox = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val daily = t(s, d, "events")
         .select(col("event_type"), to_date(col("ts")).as("day"),
           cents.as("v"))
@@ -9901,8 +9886,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH daily AS (
               SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) AS BIGINT) AS x
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
               FROM events GROUP BY 1, 2),
             np AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
                    FROM daily GROUP BY 1),
@@ -9971,7 +9955,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsLevene = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val ev = t(s, d, "events").select(col("event_type"), cents.as("c"))
         .localCheckpoint(true) // feeds the grid AND the deviation pass
       val grid = ev.groupBy("event_type", "c").agg(count(lit(1L)).as("cnt"))
@@ -10006,7 +9990,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH ev AS (
               SELECT event_type,
-                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                     CAST(round(value * 100) AS BIGINT) AS c
               FROM events),
             grid AS (
               SELECT event_type, c, CAST(count(*) AS BIGINT) AS cnt
@@ -10082,7 +10066,7 @@ object AnalyticsOps extends QueryModule {
     (s, d) => {
       val ev = t(s, d, "lineitem").select(
         floor(col("l_quantity")).cast("long").as("x"),
-        (col("l_discount").cast("decimal(4,2)") * 100).cast("long").as("y"))
+        cents(col("l_discount")).as("y"))
       val grid = ev.groupBy("x", "y").agg(count(lit(1L)).as("cnt"))
         .localCheckpoint(true) // feeds dominance join, marginals, n
       val g2 = grid.select(col("x").as("x2"), col("y").as("y2"),
@@ -10111,7 +10095,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH ev AS (
               SELECT CAST(floor(l_quantity) AS BIGINT) AS x,
-                     CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)
+                     CAST(round(l_discount * 100) AS BIGINT)
                        AS y
               FROM lineitem),
             grid AS (
@@ -10166,7 +10150,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsMoments = GQuery(
     (s, d) => {
-      val c = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val c = cents(col("value"))
       val g = t(s, d, "events")
         .select(col("event_type"), c.as("c"),
           (c * c).as("c2"))
@@ -10192,15 +10176,19 @@ object AnalyticsOps extends QueryModule {
             - lit(3) * col("mu") * col("mu") * col("mu") * col("mu"))
         .select(col("event_type"), col("n"),
           dround(col("mu") / 100, 4).as("mean_dollars"),
-          dround(col("m3") / pow(col("m2"), 1.5), 4).as("skewness"),
-          dround(col("m4") / (col("m2") * col("m2")) - 3, 4)
+          // m2 = 0 (single-row or constant group): shape moments are 0/0 —
+          // NULL, matching DuckDB's quiet double-div-by-zero NULL
+          dround(when(col("m2") =!= 0.0,
+            col("m3") / pow(col("m2"), 1.5)), 4).as("skewness"),
+          dround(when(col("m2") =!= 0.0,
+            col("m4") / (col("m2") * col("m2")) - 3), 4)
             .as("excess_kurtosis"))
         .withColumn("heavy_tailed", col("excess_kurtosis") > 1.0)
         .orderBy("event_type")
     },
     Some("""WITH ev AS (
               SELECT event_type,
-                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                     CAST(round(value * 100) AS BIGINT) AS c
               FROM events),
             g AS (
               SELECT event_type, CAST(count(*) AS BIGINT) AS n,
@@ -10256,7 +10244,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsWasserstein = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val grid = t(s, d, "events")
         .select(col("event_type"), cents.as("c"))
         .groupBy("event_type", "c").agg(count(lit(1L)).as("cnt"))
@@ -10292,7 +10280,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH ev AS (
               SELECT event_type,
-                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                     CAST(round(value * 100) AS BIGINT) AS c
               FROM events),
             grid AS (
               SELECT event_type, c, CAST(count(*) AS BIGINT) AS cnt
@@ -10352,7 +10340,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsCochranq = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val x = t(s, d, "events")
         .select(col("user_id"), col("event_type"), cents.as("c"))
         .groupBy("user_id", "event_type")
@@ -10375,8 +10363,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH x AS (
               SELECT user_id, event_type,
-                     CAST(max(CASE WHEN CAST(CAST(value AS DECIMAL(18,2))
-                       * 100 AS BIGINT) >= 40000 THEN 1 ELSE 0 END)
+                     CAST(max(CASE WHEN CAST(round(value * 100) AS BIGINT) >= 40000 THEN 1 ELSE 0 END)
                        AS BIGINT) AS x
               FROM events GROUP BY 1, 2),
             r AS (
@@ -10422,7 +10409,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsFriedman = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val daily = t(s, d, "events")
         .select(to_date(col("ts")).as("day"), col("event_type"),
           cents.as("c"))
@@ -10457,8 +10444,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH daily AS (
               SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
-                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) AS BIGINT) AS v
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
               FROM events GROUP BY 1, 2),
             ranked AS (
               SELECT day, event_type, v,
@@ -10769,7 +10755,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qTsSax = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val daily = t(s, d, "events")
         .select(col("event_type"), to_date(col("ts")).as("day"),
           cents.as("c"))
@@ -10814,8 +10800,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH daily AS (
               SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) AS BIGINT) AS v
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
               FROM events GROUP BY 1, 2),
             d0 AS (SELECT min(day) AS d0 FROM daily),
             grid AS (
@@ -10872,7 +10857,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsIcc = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val g = t(s, d, "events")
         .select(col("user_id"), cents.as("c"))
         .groupBy("user_id")
@@ -10904,7 +10889,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH ev AS (
               SELECT user_id,
-                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                     CAST(round(value * 100) AS BIGINT) AS c
               FROM events),
             g AS (
               SELECT user_id, CAST(count(*) AS BIGINT) AS ni,
@@ -10966,9 +10951,9 @@ object AnalyticsOps extends QueryModule {
     (s, d) => {
       val m = t(s, d, "lineitem").select(
           floor(col("l_quantity")).cast("long").as("x1"),
-          (col("l_discount").cast("decimal(4,2)") * 100).cast("long")
+          cents(col("l_discount"))
             .as("x2"),
-          (col("l_tax").cast("decimal(4,2)") * 100).cast("long").as("x3"))
+          cents(col("l_tax")).as("x3"))
         .agg(count(lit(1L)).as("n"),
           sum("x1").as("s1"), sum("x2").as("s2"), sum("x3").as("s3"),
           sum(col("x1") * col("x1")).as("s11"),
@@ -11019,9 +11004,8 @@ object AnalyticsOps extends QueryModule {
                      CAST(sum(x1 * x3) AS BIGINT) AS s13,
                      CAST(sum(x2 * x3) AS BIGINT) AS s23
               FROM (SELECT CAST(floor(l_quantity) AS BIGINT) AS x1,
-                           CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
-                             AS BIGINT) AS x2,
-                           CAST(CAST(l_tax AS DECIMAL(4,2)) * 100 AS BIGINT)
+                           CAST(round(l_discount * 100) AS BIGINT) AS x2,
+                           CAST(round(l_tax * 100) AS BIGINT)
                              AS x3
                     FROM lineitem)),
             r AS (
@@ -11086,7 +11070,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsCooks = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val daily = t(s, d, "events")
         .select(to_date(col("ts")).as("day"), cents.as("c"))
         .groupBy("day").agg(sum("c").as("y"))
@@ -11136,8 +11120,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH daily AS (
               SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) AS BIGINT) AS y
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
               FROM events GROUP BY 1),
             d0 AS (SELECT min(day) AS d0 FROM daily),
             xy AS (
@@ -11206,7 +11189,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qTsEnsemble = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val daily0 = t(s, d, "events")
         .select(col("event_type"), to_date(col("ts")).as("day"),
           cents.as("c"))
@@ -11255,8 +11238,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH daily0 AS (
               SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) AS BIGINT) AS v
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
               FROM events GROUP BY 1, 2),
             d0 AS (SELECT min(day) AS d0 FROM daily0),
             daily AS (
@@ -11322,7 +11304,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsMannkendall = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val daily = t(s, d, "events")
         .select(col("event_type"), to_date(col("ts")).as("day"),
           cents.as("c"))
@@ -11357,8 +11339,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH daily AS (
               SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) AS BIGINT) AS v
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
               FROM events GROUP BY 1, 2),
             sagg AS (
               SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_pairs,
@@ -11412,7 +11393,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsCvm = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val grid = t(s, d, "events")
         .select(col("event_type"), cents.as("c"))
         .groupBy("event_type", "c").agg(count(lit(1L)).as("cnt"))
@@ -11448,7 +11429,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH ev AS (
               SELECT event_type,
-                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                     CAST(round(value * 100) AS BIGINT) AS c
               FROM events),
             grid AS (
               SELECT event_type, c, CAST(count(*) AS BIGINT) AS cnt
@@ -11514,7 +11495,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qTsReconcile = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val daily0 = t(s, d, "events")
         .select(col("event_type"), to_date(col("ts")).as("day"),
           cents.as("c"))
@@ -11573,8 +11554,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH daily0 AS (
               SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) AS BIGINT) AS v
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
               FROM events GROUP BY 1, 2),
             d0 AS (SELECT min(day) AS d0 FROM daily0),
             daily AS (
@@ -11768,7 +11748,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qTsKalman = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val daily = t(s, d, "events")
         .select(to_date(col("ts")).as("day"), cents.as("v"))
         .groupBy("day").agg(sum("v").as("z"))
@@ -11809,8 +11789,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH RECURSIVE daily AS (
               SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) AS BIGINT) AS z
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS z
               FROM events GROUP BY 1),
             seq AS (
               SELECT day, z,
@@ -11861,7 +11840,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsMmd = GQuery(
     (s, d) => {
-      val x1 = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+      val x1 = expr("CAST(round(value * 100) AS BIGINT)"
         + " div 100")
       val cells = t(s, d, "events")
         .select(col("event_type"),
@@ -11932,7 +11911,7 @@ object AnalyticsOps extends QueryModule {
              + q4$p)"""
       s"""WITH f AS (
             SELECT event_type, CAST(user_id % 2 AS BIGINT) AS arm,
-                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 100
+                   CAST(round(value * 100) AS BIGINT) // 100
                      AS x1,
                    CAST(hour(ts) AS BIGINT) AS x2
             FROM events),
@@ -12130,9 +12109,11 @@ object AnalyticsOps extends QueryModule {
         .agg(count(lit(1L)).as("n"), sum("mx").as("sx"),
           sum(col("mx") * col("mx")).as("sxx"), max("mx").as("max_obs"))
       mom
-        .withColumn("sigma_raw", expr(
+        // single-block group (n = 1): the method-of-moments fit is 0/0 —
+        // NULL in both engines (DuckDB's double-div-by-zero is a quiet NULL)
+        .withColumn("sigma_raw", when(col("n") > 1, expr(
           """sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-               / CAST(n * (n - 1) AS DOUBLE)) * sqrt(6.0) / pi()"""))
+               / CAST(n * (n - 1) AS DOUBLE)) * sqrt(6.0) / pi()""")))
         .withColumn("mu_raw", expr(
           "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - 0.5772156649 * sigma_raw"))
         .select(col("event_type"), col("n").as("n_blocks"), col("max_obs"),
@@ -12203,7 +12184,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsHotelling = GQuery(
     (s, d) => {
-      val x1 = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+      val x1 = expr("CAST(round(value * 100) AS BIGINT)"
         + " div 100")
       val cells = t(s, d, "events")
         .select(col("event_type"),
@@ -12275,7 +12256,7 @@ object AnalyticsOps extends QueryModule {
       val d2 = "(CAST(s2a AS DOUBLE) / na - CAST(s2b AS DOUBLE) / nb)"
       s"""WITH f AS (
             SELECT event_type, CAST(user_id % 2 AS BIGINT) AS arm,
-                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 100
+                   CAST(round(value * 100) AS BIGINT) // 100
                      AS x1,
                    CAST(hour(ts) AS BIGINT) AS x2
             FROM events),
@@ -12508,7 +12489,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qTsCointegration = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val ev = t(s, d, "events")
         .select(col("event_type"), to_date(col("ts")).as("day"), cents.as("c"))
         .localCheckpoint(true) // feeds both daily aggs from one scan
@@ -12521,10 +12502,13 @@ object AnalyticsOps extends QueryModule {
           count(lit(1L)).as("t_days"), sum("x").as("sx"), sum("y").as("sy"),
           sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
           sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
-        .withColumn("b_ppm", expr(
+        // single-day / constant-x groups: den = 0 → NULL fit (DuckDB's
+        // integer // 0 is a quiet NULL; Spark ANSI div would throw)
+        .withColumn("fit_den",
+          expr("t_days * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+        .withColumn("b_ppm", when(col("fit_den") =!= 0, expr(
           """CAST((t_days * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000
-             div (t_days * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
-             AS BIGINT)"""))
+             div fit_den AS BIGINT)""")))
         .withColumn("a_micro", expr(
           """CAST((CAST(sy AS DECIMAL(38,0)) * 1000000
              - CAST(b_ppm AS DECIMAL(38,0)) * sx) div t_days AS BIGINT)"""))
@@ -12546,16 +12530,18 @@ object AnalyticsOps extends QueryModule {
           sum(expr("CAST(ep AS DECIMAL(38,0)) * ep")).as("see"),
           sum(expr("CAST(ep AS DECIMAL(38,0)) * de")).as("sed"),
           sum(expr("CAST(de AS DECIMAL(38,0)) * de")).as("sdd"))
-        .withColumn("phi_ppm",
-          expr("CAST(sed * 1000000 div see AS BIGINT)"))
+        .withColumn("phi_ppm", when(col("see") =!= 0,
+          expr("CAST(sed * 1000000 div see AS BIGINT)")))
         .withColumn("ssr", expr(
           """sdd * 1000000000000 - 2 * CAST(phi_ppm AS DECIMAL(38,0))
              * sed * 1000000
              + CAST(phi_ppm AS DECIMAL(38,0)) * phi_ppm * see"""))
-        .withColumn("df_t_raw", expr(
+        // t2 ≤ 2 (≤ 3 days) or a perfect fit (ssr = 0): the DF t is 0/0 —
+        // NULL, mirrored as a CASE in the oracle
+        .withColumn("df_t_raw", when(col("t2") > 2 && col("ssr") =!= 0, expr(
           """(CAST(phi_ppm AS DOUBLE) / 1e6)
              / sqrt(CAST(ssr AS DOUBLE)
-                    / ((t2 - 2) * CAST(see AS DOUBLE) * 1e12))"""))
+                    / ((t2 - 2) * CAST(see AS DOUBLE) * 1e12))""")))
       fit.select("event_type", "t_days", "b_ppm")
         .join(df.select(col("event_type"), col("phi_ppm"),
           dround(col("df_t_raw"), 4).as("df_t")), "event_type")
@@ -12564,7 +12550,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH ev AS (
               SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                     CAST(round(value * 100) AS BIGINT) AS c
               FROM events),
             daily_y AS (
               SELECT day, CAST(sum(c) AS BIGINT) AS y
@@ -12616,15 +12602,20 @@ object AnalyticsOps extends QueryModule {
               SELECT event_type, t2, see, sed, sdd,
                      CAST(sed * 1000000 // see AS BIGINT) AS phi_ppm
               FROM dfm),
+            dfr AS (
+              SELECT event_type, phi_ppm, t2, see,
+                     sdd * 1000000000000
+                       - 2 * CAST(phi_ppm AS HUGEINT) * sed * 1000000
+                       + CAST(phi_ppm AS HUGEINT) * phi_ppm * see AS ssr
+              FROM dfs),
             dft AS (
               SELECT event_type, phi_ppm,
-                     (CAST(phi_ppm AS DOUBLE) / 1e6)
-                     / sqrt(CAST(sdd * 1000000000000
-                         - 2 * CAST(phi_ppm AS HUGEINT) * sed * 1000000
-                         + CAST(phi_ppm AS HUGEINT) * phi_ppm * see
-                         AS DOUBLE)
-                       / ((t2 - 2) * CAST(see AS DOUBLE) * 1e12)) AS df_t_raw
-              FROM dfs)
+                     CASE WHEN t2 > 2 AND ssr <> 0 THEN
+                       (CAST(phi_ppm AS DOUBLE) / 1e6)
+                       / sqrt(CAST(ssr AS DOUBLE)
+                         / ((t2 - 2) * CAST(see AS DOUBLE) * 1e12)) END
+                       AS df_t_raw
+              FROM dfr)
             SELECT f.event_type, f.t_days, f.b_ppm, d.phi_ppm,
                    CAST(round(CAST(df_t_raw AS DECIMAL(30,8)), 4) AS DOUBLE)
                      AS df_t,
@@ -12850,7 +12841,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsMediation = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val users = t(s, d, "events")
         .groupBy("user_id")
         .agg(count(lit(1L)).as("x"),
@@ -12912,8 +12903,7 @@ object AnalyticsOps extends QueryModule {
                      CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0
                        END) AS BIGINT) AS m,
                      CAST(sum(CASE WHEN event_type = 'purchase'
-                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
-                         AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
               FROM events GROUP BY 1),
             mom AS (
               SELECT CAST(count(*) AS BIGINT) AS n,
@@ -13084,7 +13074,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qFeatureImpute = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val ev = t(s, d, "events")
         .select(col("event_type").as("et"), cents.as("v"),
           (pmod(col("event_id"), lit(7)) === 0).as("miss"))
@@ -13111,7 +13101,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH ev AS (
               SELECT event_type AS et,
-                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+                     CAST(round(value * 100) AS BIGINT) AS v,
                      event_id % 7 = 0 AS miss
               FROM events),
             grid AS (
@@ -13205,7 +13195,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qTsAr2 = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val daily = t(s, d, "events")
         .select(to_date(col("ts")).as("day"), cents.as("v"))
         .groupBy("day").agg(sum("v").as("x"))
@@ -13243,7 +13233,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH daily AS (
               SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-                     sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                     sum(CAST(round(value * 100) AS BIGINT))
                        AS x
               FROM events GROUP BY 1),
             lagged AS (
@@ -13378,7 +13368,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qAggQuantileCont = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val grid = t(s, d, "events")
         .select(col("event_type").as("et"), cents.as("v"))
         .groupBy("et", "v").agg(count(lit(1L)).as("cnt"))
@@ -13409,7 +13399,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH grid AS (
               SELECT event_type AS et,
-                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+                     CAST(round(value * 100) AS BIGINT) AS v,
                      CAST(count(*) AS BIGINT) AS cnt
               FROM events GROUP BY 1, 2),
             cum AS (
@@ -13791,7 +13781,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qTsHysteresis = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val daily = t(s, d, "events")
         .select(to_date(col("ts")).as("day"), cents.as("v"))
         .groupBy("day").agg(sum("v").as("x"))
@@ -13822,8 +13812,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH daily AS (
               SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) AS BIGINT) AS x
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
               FROM events GROUP BY 1),
             n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
             rk AS (SELECT x, row_number() OVER (ORDER BY x, day) AS rn
@@ -14065,7 +14054,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsJarqueBera = GQuery(
     (s, d) => {
-      val c = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val c = cents(col("value"))
       val g = t(s, d, "events")
         .select(col("event_type"), c.as("c"), (c * c).as("c2"))
         .groupBy("event_type")
@@ -14088,8 +14077,12 @@ object AnalyticsOps extends QueryModule {
           col("s4") / col("n") - lit(4) * col("mu") * col("s3") / col("n")
             + lit(6) * col("mu") * col("mu") * col("s2") / col("n")
             - lit(3) * col("mu") * col("mu") * col("mu") * col("mu"))
-        .withColumn("g1", col("m3") / pow(col("m2"), 1.5))
-        .withColumn("g2", col("m4") / (col("m2") * col("m2")) - 3)
+        // m2 = 0 (single-row/constant group): 0/0 — NULL, matching
+        // DuckDB's quiet double-div-by-zero NULL
+        .withColumn("g1", when(col("m2") =!= 0.0,
+          col("m3") / pow(col("m2"), 1.5)))
+        .withColumn("g2", when(col("m2") =!= 0.0,
+          col("m4") / (col("m2") * col("m2")) - 3))
         .select(col("event_type"), col("n"),
           dround(col("g1"), 4).as("skewness"),
           dround(col("g2"), 4).as("excess_kurtosis"),
@@ -14101,7 +14094,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH ev AS (
               SELECT event_type,
-                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                     CAST(round(value * 100) AS BIGINT) AS c
               FROM events),
             g AS (
               SELECT event_type, CAST(count(*) AS BIGINT) AS n,
@@ -14158,7 +14151,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsGrubbs = GQuery(
     (s, d) => {
-      val c = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val c = cents(col("value"))
       val grid = t(s, d, "events")
         .select(col("event_type"), c.as("c"))
         .groupBy("event_type", "c").agg(count(lit(1L)).as("cnt"))
@@ -14176,21 +14169,24 @@ object AnalyticsOps extends QueryModule {
         .filter(col("dabs") === col("dmax"))
         .groupBy("event_type").agg(max("c").as("extreme_cents"))
       tot.join(dm, "event_type").join(ext, "event_type")
-        .withColumn("var_num", // (n−1)-denominator variance × n²(n−1)
-          (col("s2") * col("n") - col("s1") * col("s1"))
+        .withColumn("var_num", // (n−1)-denominator variance × n²(n−1);
+          // n = 1 ⇒ NULL (matches DuckDB's quiet double-div-by-zero NULL)
+          when(col("n") > 1, (col("s2") * col("n") - col("s1") * col("s1"))
             .cast("double") / (col("n") - 1)
-            / col("n") / col("n"))
+            / col("n") / col("n")))
         .select(col("event_type"), col("n"),
           col("extreme_cents"),
           when(col("extreme_cents").cast("decimal(38,0)") * col("n")
             >= col("s1"), lit("high")).otherwise(lit("low")).as("side"),
-          dround(col("dmax").cast("double") / col("n")
-            / sqrt(col("var_num")), 4).as("g_stat"))
+          // constant group (var 0): G is 0/0 — NULL in both engines
+          dround(when(col("var_num") > 0.0,
+            col("dmax").cast("double") / col("n")
+              / sqrt(col("var_num"))), 4).as("g_stat"))
         .orderBy("event_type")
     },
     Some("""WITH grid AS (
               SELECT event_type,
-                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+                     CAST(round(value * 100) AS BIGINT) AS c,
                      CAST(count(*) AS BIGINT) AS cnt
               FROM events GROUP BY 1, 2),
             tot AS (
@@ -14340,7 +14336,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsJackknife = GQuery(
     (s, d) => {
-      val c = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val c = cents(col("value"))
       val days = t(s, d, "events")
         .select(col("event_type"), to_date(col("ts")).as("day"), c.as("c"))
         .groupBy("event_type", "day")
@@ -14381,7 +14377,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH ev AS (
               SELECT event_type, CAST(ts AS DATE) AS day,
-                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                     CAST(round(value * 100) AS BIGINT) AS c
               FROM events),
             days AS (
               SELECT event_type, day, CAST(count(*) AS BIGINT) AS ni,
@@ -14439,7 +14435,7 @@ object AnalyticsOps extends QueryModule {
     */
   private val qStatsBartlett = GQuery(
     (s, d) => {
-      val c = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val c = cents(col("value"))
       val g = t(s, d, "events")
         .select(col("event_type"), c.as("c"))
         .groupBy("event_type")
@@ -14447,6 +14443,11 @@ object AnalyticsOps extends QueryModule {
           sum(col("c").cast("decimal(38,0)")).as("s1"),
           sum(col("c").cast("decimal(38,0)") * col("c")).as("s2"))
         .withColumn("num", expr("s2 * n - s1 * s1")) // n²(n−1)·sᵢ², exact
+        // Bartlett is undefined for groups that carry no variance
+        // information: n < 2 (1/(n−1) and ln sᵢ² are div-by-zero) or a
+        // constant group (ln 0). EXCLUDE them — k counts tested groups
+        // only; mirrored WHERE in the oracle.
+        .filter(col("n") > 1 && col("num") > 0)
         .withColumn("q", expr("CAST(num div n AS DECIMAL(38,0))"))
         .withColumn("lnq", round(log(col("num").cast("double")
           / col("n") / col("n") / (col("n") - 1)) * 1e6).cast("long"))
@@ -14460,10 +14461,10 @@ object AnalyticsOps extends QueryModule {
             / (col("nn") - col("kk")).cast("double")), 6)
             .as("ln_pooled_var"),
           col("sl"), col("si"), col("kk"))
-        .withColumn("cc", lit(1.0)
+        .withColumn("cc", when(col("kk") > 1, lit(1.0)
           + (col("si").cast("double") / 1e12
              - lit(1.0) / col("df_within").cast("double"))
-            / (lit(3.0) * (col("kk") - 1).cast("double")))
+            / (lit(3.0) * (col("kk") - 1).cast("double"))))
         .select(col("k"), col("n"), col("df_within"), col("ln_pooled_var"),
           dround((col("df_within").cast("double") * col("ln_pooled_var")
             - col("sl").cast("double") / 1e6) / col("cc"), 4)
@@ -14473,7 +14474,7 @@ object AnalyticsOps extends QueryModule {
     },
     Some("""WITH ev AS (
               SELECT event_type,
-                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                     CAST(round(value * 100) AS BIGINT) AS c
               FROM events),
             g AS (
               SELECT event_type, CAST(count(*) AS BIGINT) AS n,
@@ -14486,7 +14487,8 @@ object AnalyticsOps extends QueryModule {
                      CAST(round(ln(CAST(s2 * n - s1 * s1 AS DOUBLE)
                        / n / n / (n - 1)) * 1e6) AS BIGINT) AS lnq,
                      1000000000000 // (n - 1) AS invq
-              FROM g),
+              FROM g
+              WHERE n > 1 AND s2 * n - s1 * s1 > 0),
             a AS (
               SELECT CAST(count(*) AS INT) AS k, CAST(sum(n) AS BIGINT) AS n,
                      sum(q) AS sq,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GQuery, QueryModule, Tables}
+import graft.Exact.cents
 
 /** Round-6 governance block: the data-contract and privacy-audit surface a
   * training-data platform wraps around ingestion — declarative expectation
@@ -146,7 +147,7 @@ object GovernanceOps extends QueryModule {
     */
   private val qStatsCalibration = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val bins = t(s, d, "events")
         .select(cents.as("c"),
           when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
@@ -167,7 +168,7 @@ object GovernanceOps extends QueryModule {
       bins.unionAll(ece).orderBy("bin")
     },
     Some("""WITH ev AS (
-              SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+              SELECT CAST(round(value * 100) AS BIGINT) AS c,
                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
               FROM events),
             bins AS (
@@ -216,7 +217,7 @@ object GovernanceOps extends QueryModule {
     */
   private val qStatsBrier = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val bins = t(s, d, "events")
         .select(cents.as("c"),
           when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
@@ -248,7 +249,7 @@ object GovernanceOps extends QueryModule {
             (col("rel_ppm2") - col("res_ppm2") + col("unc_ppm2")))
     },
     Some("""WITH ev AS (
-              SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+              SELECT CAST(round(value * 100) AS BIGINT) AS c,
                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
                        AS pos
               FROM events),
@@ -353,7 +354,7 @@ object GovernanceOps extends QueryModule {
     (s, d) => {
       val exp = Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L,
         57992L, 51153L, 45757L)
-      val cents = col("o_totalprice").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("o_totalprice"))
       val expCol = exp.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
         when(col("digit") === (i + 1), p).otherwise(acc)
       }
@@ -378,7 +379,7 @@ object GovernanceOps extends QueryModule {
       scored.unionAll(summary).orderBy("digit")
     },
     Some("""WITH cents AS (
-              SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              SELECT CAST(round(o_totalprice * 100) AS BIGINT)
                        AS c
               FROM orders),
             digits AS (
@@ -567,7 +568,7 @@ object GovernanceOps extends QueryModule {
     */
   private val qPrivacyDpMean = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val users = t(s, d, "events")
         .select(col("event_type"), col("user_id"), cents.as("v"))
         .groupBy("event_type", "user_id").agg(sum("v").as("uv"))
@@ -592,8 +593,7 @@ object GovernanceOps extends QueryModule {
     },
     Some(s"""WITH users AS (
                SELECT event_type, user_id,
-                      CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                        AS BIGINT)) AS BIGINT) AS uv
+                      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS uv
                FROM events GROUP BY 1, 2),
              g AS (
                SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
@@ -703,7 +703,7 @@ object GovernanceOps extends QueryModule {
     (s, d) => {
       val cells = t(s, d, "events")
         .select(col("event_type"), hour(col("ts")).as("hod"),
-          least(expr("cast(cast(value as decimal(18,2)) * 100 as bigint) div 20000"),
+          least(expr("cast(round(value * 100) as bigint) div 20000"),
             lit(9L)).as("sband"))
         .groupBy("event_type", "hod", "sband")
         .agg(count(lit(1L)).as("n_gs"))
@@ -734,7 +734,7 @@ object GovernanceOps extends QueryModule {
     },
     Some("""WITH cells AS (
               SELECT event_type, CAST(hour(ts) AS INT) AS hod,
-                     least(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     least(CAST(round(value * 100) AS BIGINT)
                        // 20000, 9) AS sband,
                      CAST(count(*) AS BIGINT) AS n_gs
               FROM events GROUP BY 1, 2, 3),
@@ -916,7 +916,7 @@ object GovernanceOps extends QueryModule {
     */
   private val qPrivacyDpQuantile = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val us = Tables(s, d, "events")
         .groupBy(col("event_type"), col("user_id"))
         .agg(sum(cents).as("c"))
@@ -958,8 +958,7 @@ object GovernanceOps extends QueryModule {
     },
     Some(s"""WITH us AS (
               SELECT event_type,
-                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) // 100 AS BIGINT) AS v
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) // 100 AS BIGINT) AS v
               FROM events GROUP BY event_type, user_id),
             grid AS (
               SELECT event_type, v, CAST(count(*) AS BIGINT) AS cnt

@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{GQuery, QueryModule, Tables}
-import graft.Exact.dround
+import graft.Exact.{cents, dround}
 
 /** Pipeline-semantics block: the reference's core behaviors (SURVEY.md §2.1
   * O4–O12) re-expressed as checkable Spark queries.
@@ -581,7 +581,7 @@ object PipelineOps extends QueryModule {
       val root = writtenDirs.computeIfAbsent(s"evolve|$d", _ => {
         val base = Files.createTempDirectory("graft-evolve-").toString
         val o = t(s, d, "orders").select(col("o_orderkey"),
-          col("o_totalprice").cast("decimal(18,2)").*(lit(100)).cast("long")
+          cents(col("o_totalprice"))
             .as("cents"),
           col("o_orderpriority"))
         o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
@@ -603,12 +603,12 @@ object PipelineOps extends QueryModule {
     },
     Some("""WITH u AS (
               SELECT 'unknown' AS priority,
-                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     CAST(round(o_totalprice * 100) AS BIGINT)
                        AS cents
               FROM orders WHERE o_orderkey % 2 = 0
               UNION ALL
               SELECT o_orderpriority,
-                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     CAST(round(o_totalprice * 100) AS BIGINT)
               FROM orders WHERE o_orderkey % 2 = 1)
             SELECT priority, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(cents) AS BIGINT) AS sum_cents

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{GQuery, QueryModule, Tables}
-import graft.Exact.dround
+import graft.Exact.{cents, dround}
 
 /** Batch relational operator block (SURVEY.md §2.3): scans, filters, joins,
   * aggregations, window functions, sort/top-k, set ops, scalar functions,
@@ -101,10 +101,15 @@ object Relational extends QueryModule {
       semi.union(anti).orderBy("c_custkey", "tag")
     },
     Some("""SELECT c_custkey, 'has_f' AS tag FROM customer
-            WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_orderstatus = 'F' AND o_custkey = c_custkey)
             UNION ALL
+            -- NOT EXISTS, deliberately not NOT IN: a NULL o_custkey makes
+            -- NOT IN three-valued-UNKNOWN for every row, while Spark's
+            -- left_anti is a null-unsafe non-match (keeps the customer)
             SELECT c_custkey, 'no_f' AS tag FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_orderstatus = 'F' AND o_custkey = c_custkey)
             ORDER BY c_custkey, tag"""))
 
   /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM) vs plain `=` —
@@ -181,7 +186,7 @@ object Relational extends QueryModule {
                    coalesce(n_orders, 0) AS n_orders,
                    coalesce(spend, 0.0) AS spend
             FROM c FULL OUTER JOIN oa ON c_custkey = o_custkey
-            ORDER BY custkey"""))
+            ORDER BY custkey NULLS FIRST"""))
 
   /** Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL keep multiplicity —
     * the distinct-set variants live in q_set_ops).
@@ -199,7 +204,9 @@ object Relational extends QueryModule {
         .select(col("o_custkey"),
           coalesce(col("n_inter"), lit(0L)).as("n_inter"),
           coalesce(col("n_except"), lit(0L)).as("n_except"))
-        .orderBy("o_custkey")
+        // a NULL custkey yields TWO rows (the full-outer join key is
+        // null-unsafe in both engines) — order all columns for totality
+        .orderBy("o_custkey", "n_inter", "n_except")
     },
     Some("""WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
                  b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
@@ -213,7 +220,7 @@ object Relational extends QueryModule {
                    coalesce(n_inter, 0) AS n_inter,
                    coalesce(n_except, 0) AS n_except
             FROM i FULL OUTER JOIN e ON i.o_custkey = e.o_custkey
-            ORDER BY o_custkey"""))
+            ORDER BY o_custkey NULLS FIRST, n_inter, n_except"""))
 
   /** 4-way star join; region/nation are explicitly broadcast (dim tables are
     * tiny at any scale factor — never shuffle the fact side for them).
@@ -319,7 +326,7 @@ object Relational extends QueryModule {
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
             QUALIFY rk <= 3
-            ORDER BY o_custkey, rk, o_orderkey"""))
+            ORDER BY o_custkey NULLS FIRST, rk, o_orderkey"""))
 
   /** Analytic windows with explicit ROWS frames: per-user running sum and
     * 3-row moving average over events, ordered by event_id (the offset — a
@@ -721,7 +728,8 @@ object Relational extends QueryModule {
                    min_by(o_orderkey, o_totalprice) AS worst_order,
                    CAST(round(CAST(max(o_totalprice) AS DECIMAL(30,8)), 2) AS DOUBLE) AS best_price,
                    CAST(count(*) AS BIGINT) AS n
-            FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
+            FROM orders GROUP BY o_custkey
+            ORDER BY o_custkey NULLS FIRST"""))
 
   /** lead/lag/ntile/first_value analytic battery per user over events. */
   private val qWindowLeadlag = GQuery(
@@ -867,7 +875,7 @@ object Relational extends QueryModule {
       val dim = t(s, d, "orders")
         .filter(col("o_orderpriority") === "1-URGENT")
         .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ship_month"))
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev"))
         .orderBy(col("rev").desc, col("ship_month"))
         .limit(5)
         .select("ship_month")
@@ -882,7 +890,7 @@ object Relational extends QueryModule {
               SELECT strftime(o_orderdate, '%Y-%m') AS ship_month
               FROM orders WHERE o_orderpriority = '1-URGENT'
               GROUP BY 1
-              ORDER BY sum(CAST(o_totalprice AS DECIMAL(18,2))) DESC,
+              ORDER BY sum(CAST(round(o_totalprice * 100) AS BIGINT)) DESC,
                 ship_month LIMIT 5)
             SELECT ship_month, CAST(count(*) AS BIGINT) AS n_items,
                    CAST(round(CAST(sum(l_extendedprice) AS DECIMAL(30,8)), 2)
@@ -1102,8 +1110,8 @@ object Relational extends QueryModule {
       s.sql("""
         SELECT n.n_name,
                count(*) AS n_items,
-               sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-                   * (100L - CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)))
+               sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * (100L - CAST(round(l.l_discount * 100) AS BIGINT)))
                  AS revenue_cc
         FROM graft_lineitem l
         JOIN graft_orders o    ON l.l_orderkey = o.o_orderkey
@@ -1119,10 +1127,8 @@ object Relational extends QueryModule {
     },
     Some("""SELECT n.n_name,
                    CAST(count(*) AS BIGINT) AS n_items,
-                   CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
-                       AS BIGINT)
-                     * (100 - CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100
-                         AS BIGINT))) AS BIGINT) AS revenue_cc
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_cc
             FROM lineitem l
             JOIN orders o   ON l.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{GQuery, QueryModule, Tables}
-import graft.Exact.dround
+import graft.Exact.{cents, dround}
 
 /** Second relational block: the operator categories beyond Relational.scala's
   * round-1 inventory — explicit GROUPING SETS, distribution window functions,
@@ -146,7 +146,8 @@ object RelationalExt extends QueryModule {
                      AS statuses,
                    CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
                    CAST(count(*) AS BIGINT) AS n_orders
-            FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
+            FROM orders GROUP BY o_custkey
+            ORDER BY o_custkey NULLS FIRST"""))
 
   // ---------------------------------------- boolean / bitwise aggregates --
 
@@ -668,7 +669,7 @@ object RelationalExt extends QueryModule {
     def joined(orders: DataFrame, cust: DataFrame): DataFrame =
       orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"),
-          col("o_totalprice").cast("decimal(18,2)").*(lit(100)).cast("long")
+          cents(col("o_totalprice"))
             .as("cents"))
   }
 
@@ -686,8 +687,7 @@ object RelationalExt extends QueryModule {
         .orderBy("c_mktsegment")
     },
     Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
-                   CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-                     AS BIGINT)) AS BIGINT) AS sum_cents,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
                    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
             FROM orders JOIN customer ON o_custkey = c_custkey
             WHERE o_orderkey % 7 <> 0
@@ -789,8 +789,8 @@ object RelationalExt extends QueryModule {
     */
   private val qAggWquantile = GQuery(
     (s, d) => {
-      val v = col("l_extendedprice").cast("decimal(18,2)").*(lit(100)).cast("long")
-      val w = col("l_quantity").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val v = cents(col("l_extendedprice"))
+      val w = cents(col("l_quantity"))
       // the grid feeds off + cum (and tot through cum) — materialize the
       // value-domain-sized aggregate once or the corpus scan runs per
       // consumer (the triangles/setjoin lesson; plan-pinned to 1 scan)
@@ -822,9 +822,8 @@ object RelationalExt extends QueryModule {
     },
     Some("""WITH grid AS (
               SELECT l_returnflag AS flag,
-                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
-                     CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) AS BIGINT) AS vw
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                     CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS vw
               FROM lineitem GROUP BY 1, 2),
             cum AS (
               SELECT flag, v, vw,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GQuery, QueryModule, Tables}
-import graft.Exact.dround
+import graft.Exact.{cents, dround}
 
 /** Round-6 block: ranking/scoring operators a training-data platform runs on
   * top of the relational core — ROC-AUC model evaluation, hybrid lexical+
@@ -42,7 +42,7 @@ object ScoringOps extends QueryModule {
   private val qStatsAuc = GQuery(
     (s, d) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val perV = t(s, d, "events")
         .select(cents.as("v"), col("event_type"))
         .groupBy("v")
@@ -74,7 +74,7 @@ object ScoringOps extends QueryModule {
         .orderBy("event_type")
     },
     Some("""WITH perv AS (
-              SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+              SELECT CAST(round(value * 100) AS BIGINT) AS v,
                      CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS c_click,
                      CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS c_error,
                      CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c_purchase,
@@ -890,7 +890,7 @@ object ScoringOps extends QueryModule {
   private val qEvalCrossval = GQuery(
     (s, d) => {
       import graft.operators.DedupOps.hex4
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val rows = t(s, d, "events").select(
         pmod(hex4(col("event_id").cast("string")), lit(5)).cast("int")
           .as("fold"),
@@ -938,7 +938,7 @@ object ScoringOps extends QueryModule {
             SELECT CAST(($h) % 5 AS INT) AS fold,
                    CAST(date_diff('day', DATE '2024-01-01',
                      CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
-                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+                   CAST(round(value * 100) AS BIGINT) AS y
             FROM events),
           bf AS (
             SELECT fold, CAST(count(*) AS BIGINT) AS n,
@@ -1214,12 +1214,11 @@ object ScoringOps extends QueryModule {
     */
   private val qStatsXi = GQuery(
     (s, d) => {
-      val cents = col("l_extendedprice").cast("decimal(18,2)")
-        .*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("l_extendedprice"))
       val li = t(s, d, "lineitem").select(
         col("l_returnflag").as("grp"),
         floor(col("l_quantity")).cast("long").as("x"),
-        expr(s"CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100000 AS BIGINT)"
+        expr(s"CAST(round(l_extendedprice * 100) * 1000 AS BIGINT)"
           + " div CAST(floor(l_quantity) AS BIGINT)").as("y"),
         md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"),
@@ -1273,12 +1272,10 @@ object ScoringOps extends QueryModule {
     Some("""WITH li AS (
               SELECT l_returnflag AS grp,
                      CAST(floor(l_quantity) AS BIGINT) AS x,
-                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100000
-                       AS BIGINT) // CAST(floor(l_quantity) AS BIGINT) AS y,
+                     CAST(round(l_extendedprice * 100) * 1000 AS BIGINT) // CAST(floor(l_quantity) AS BIGINT) AS y,
                      md5(concat_ws('|', l_orderkey, l_linenumber, l_partkey,
                        l_suppkey, CAST(floor(l_quantity) AS BIGINT),
-                       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
-                         AS BIGINT))) AS h
+                       CAST(round(l_extendedprice * 100) AS BIGINT))) AS h
               FROM lineitem),
             seq AS (
               SELECT grp, x, y, h,
@@ -1606,7 +1603,7 @@ object ScoringOps extends QueryModule {
         .join(t(s, d, "orders"),
           col("c_custkey") === col("o_custkey"), "left")
         .groupBy(col("c_custkey"), col("c_mktsegment"))
-        .agg(coalesce(sum(col("o_totalprice").cast("decimal(18,2)") * 100),
+        .agg(coalesce(sum(cents(col("o_totalprice"))),
           lit(0)).cast("long").as("cents"))
       val b = spend.withColumn("bkt", expr("cents div 1000000"))
       val wb = Window.partitionBy("c_mktsegment").orderBy("bkt")
@@ -1628,8 +1625,8 @@ object ScoringOps extends QueryModule {
     },
     Some("""WITH spend AS (
               SELECT c_custkey, c_mktsegment,
-                     CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100),
-                       0) AS BIGINT) AS cents
+                     CAST(coalesce(sum(CAST(round(o_totalprice * 100)
+                       AS BIGINT)), 0) AS BIGINT) AS cents
               FROM customer LEFT JOIN orders ON c_custkey = o_custkey
               GROUP BY c_custkey, c_mktsegment),
             ranked AS (
@@ -1668,7 +1665,7 @@ object ScoringOps extends QueryModule {
     */
   private val qStatsPsi = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val ev = t(s, d, "events")
         .select(unix_timestamp(col("ts")).as("sec"), cents.as("c"))
       val rng = ev.agg(min("sec").as("lo"), max("sec").as("hi"))
@@ -1698,7 +1695,7 @@ object ScoringOps extends QueryModule {
     },
     Some("""WITH ev AS (
               SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
-                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                     CAST(round(value * 100) AS BIGINT) AS c
               FROM events),
             rng AS (SELECT min(sec) AS lo, max(sec) AS hi FROM ev),
             bins AS (
@@ -1751,7 +1748,7 @@ object ScoringOps extends QueryModule {
     */
   private val qStatsBootstrap = GQuery(
     (s, d) => {
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val pv = t(s, d, "events")
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), cents.as("c"))
@@ -1785,7 +1782,7 @@ object ScoringOps extends QueryModule {
     },
     Some(s"""WITH pv AS (
               SELECT event_id,
-                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                     CAST(round(value * 100) AS BIGINT) AS c
               FROM events WHERE event_type = 'purchase'),
             drawn AS (
               SELECT event_id, c, b,
@@ -1843,7 +1840,7 @@ object ScoringOps extends QueryModule {
       val discCol = array(disc.map(lit): _*)
       val spend = t(s, d, "orders")
         .select(col("o_custkey"),
-          col("o_totalprice").cast("decimal(18,2)").*(lit(100)).cast("long")
+          cents(col("o_totalprice"))
             .as("cents"))
         .groupBy("o_custkey").agg(sum("cents").as("tot"))
       val graded = t(s, d, "customer")
@@ -1881,8 +1878,7 @@ object ScoringOps extends QueryModule {
               (9, 301030), (10, 289065)),
             spend AS (
               SELECT o_custkey,
-                     sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) AS tot
+                     sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS tot
               FROM orders GROUP BY 1),
             graded AS (
               SELECT c_mktsegment AS seg, c_custkey, c_acctbal,
@@ -1932,7 +1928,7 @@ object ScoringOps extends QueryModule {
       val label = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
       val o = t(s, d, "orders")
         .select(label.as("y"),
-          col("o_totalprice").cast("decimal(18,2)").*(lit(100)).cast("long")
+          cents(col("o_totalprice"))
             .as("cents"))
       val agg = o.agg(
         count(lit(1L)).as("n"),
@@ -1964,7 +1960,7 @@ object ScoringOps extends QueryModule {
     },
     Some("""WITH o AS (
               SELECT o_orderpriority IN ('1-URGENT', '2-HIGH') AS y,
-                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     CAST(round(o_totalprice * 100) AS BIGINT)
                        AS cents
               FROM orders),
             agg AS (
@@ -2104,7 +2100,7 @@ object ScoringOps extends QueryModule {
     */
   private val qEvalRegression = GQuery(
     (s, d) => {
-      val cents = col("o_totalprice").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("o_totalprice"))
       val o = t(s, d, "orders")
         .join(broadcast(t(s, d, "customer")
           .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
@@ -2140,7 +2136,7 @@ object ScoringOps extends QueryModule {
     },
     Some("""WITH o AS (
               SELECT c_mktsegment AS seg,
-                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS y
               FROM orders JOIN customer ON o_custkey = c_custkey),
             model AS (
               SELECT seg, sum(y) * 1000000 // count(*) AS pred_micro
@@ -2616,7 +2612,7 @@ object ScoringOps extends QueryModule {
   private val qEvalAuprc = GQuery(
     (s, d) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
-      val cents = col("value").cast("decimal(18,2)").*(lit(100)).cast("long")
+      val cents = graft.Exact.cents(col("value"))
       val aggCols = count(lit(1L)).as("cnt") +: types.map(tp =>
         sum(when(col("event_type") === tp, 1L).otherwise(0L)).as(s"p_$tp"))
       val grid = t(s, d, "events")
@@ -2651,7 +2647,7 @@ object ScoringOps extends QueryModule {
         s"SELECT '$tp' AS event_type, c, cnt, p_$tp AS posc FROM grid")
         .mkString("\nUNION ALL\n")
       s"""WITH grid AS (
-            SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+            SELECT CAST(round(value * 100) AS BIGINT) AS c,
                    CAST(count(*) AS BIGINT) AS cnt,
                    $pcols
             FROM events GROUP BY 1),

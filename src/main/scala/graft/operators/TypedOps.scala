@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import graft.{GQuery, QueryModule, Tables}
-import graft.Exact.dround
+import graft.Exact.{cents, dround}
 
 /** Typed Dataset API block: the `Dataset[T]`/`Encoder` surface (SURVEY.md
   * §1.1 "Dataset[T] where type safety helps") — a custom typed `Aggregator`
@@ -101,7 +101,7 @@ object TypedOps extends QueryModule {
       val spark = s
       import spark.implicits._
       val od = t(s, d, "orders").select(col("o_custkey"),
-          col("o_totalprice").cast("decimal(18,2)").*(lit(100)).cast("long")
+          cents(col("o_totalprice"))
             .as("cents"))
         .as[OrderRow]
       val cd = t(s, d, "customer")
@@ -116,8 +116,7 @@ object TypedOps extends QueryModule {
         .orderBy("seg")
     },
     Some("""SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n_orders,
-                   CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-                     AS BIGINT)) AS BIGINT) AS sum_cents
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1 ORDER BY seg"""))
 

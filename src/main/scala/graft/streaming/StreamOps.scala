@@ -603,9 +603,10 @@ object StreamOps {
     */
   def bandIndexMaintainer(spark: SparkSession, topicDir: String,
       valueSchema: org.apache.spark.sql.types.StructType,
-      indexKey: String, checkpointDir: String): StreamingQuery = {
+      indexKey: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
     val idx = graft.operators.DedupOps.BandIndex
-    streamFromSink(spark, topicDir, valueSchema)
+    streamFromSink(spark, topicDir, valueSchema, maxFilesPerTrigger)
       .select(col("doc_id"), col("text"))
       .writeStream
       .trigger(Trigger.AvailableNow())

@@ -160,7 +160,7 @@ class PropertySpec extends SparkSpec {
     val auc = SparkEntry.queries("q_stats_auc")(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val ev = Tables(spark, sf, "events")
-      .select(col("value").cast("decimal(18,2)").*(lit(100)).cast("long").as("v"),
+      .select(graft.Exact.cents(col("value")).as("v"),
         col("event_type")).cache()
     val n = ev.count()
     for ((tp, (np, ppm)) <- auc) {
@@ -188,7 +188,7 @@ class PropertySpec extends SparkSpec {
       .join(Tables(spark, sf, "orders"),
         col("c_custkey") === col("o_custkey"), "left")
       .groupBy(col("c_custkey"), col("c_mktsegment"))
-      .agg(coalesce(sum(col("o_totalprice").cast("decimal(18,2)") * 100),
+      .agg(coalesce(sum(graft.Exact.cents(col("o_totalprice"))),
         lit(0)).cast("long").as("cents")).cache()
     for ((seg, n, s, ppm) <- g) {
       val xs = spend.filter(col("c_mktsegment") === seg).select("cents")

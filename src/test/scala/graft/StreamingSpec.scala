@@ -1075,4 +1075,78 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table(idx.name(streamKey)).distinct().count()
       == spark.table(idx.name(batchKey)).distinct().count())
   }
+
+  test("band-index maintainer killed mid-drain resumes from checkpoint (crash composition)") {
+    // VERDICT r9 item 7: land → index → KILL mid-history → restart from the
+    // same checkpoint → land more + index → the maintained index answers
+    // dedup exactly like a batch-built twin over the full history. The kill
+    // lands between micro-batches (maxFilesPerTrigger = 1 makes the drain
+    // multi-batch; we stop() the moment the first batch has committed), so
+    // the restart genuinely resumes a half-indexed history — the crash case
+    // the two-clean-runs test above never exercises.
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val idx = graft.operators.DedupOps.BandIndex
+    val docs = Tables(spark, sf, "documents")
+    def shaped(f: org.apache.spark.sql.Column) = docs.filter(f).select(
+      col("doc_id").cast("string").cast("binary").as("key"),
+      struct(col("doc_id"), col("text")).as("value"),
+      lit("docs").as("topic"),
+      pmod(col("doc_id"), lit(2)).cast("int").as("partition"),
+      col("doc_id").as("offset"),
+      lit(Timestamp.valueOf("2024-01-01 00:00:00")).as("timestamp"))
+    val out = tmp("graft-bandcrash-out-")
+    val ck = tmp("graft-bandcrash-ck-")
+    val streamKey = s"bandcrash|$out"
+    val valueSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+
+    // slice A lands as SEVERAL committed files (flushSize 100 over 300 docs
+    // × 2 partitions), so a 1-file-per-trigger drain is multi-batch
+    val topicDir = OffsetNamedOrcSink.write(shaped(col("doc_id") < 300),
+      out, flushSize = 100, topic = "docs")
+    val q1 = StreamOps.bandIndexMaintainer(spark, topicDir, valueSchema,
+      streamKey, ck, maxFilesPerTrigger = 1)
+    // poll the index table with a deadline (processAllAvailable livelocks
+    // on continuous empty batches — CLAUDE.md discipline), then KILL
+    val deadline = System.currentTimeMillis() + 60000
+    while (!(spark.catalog.tableExists(idx.name(streamKey)) &&
+        spark.table(idx.name(streamKey)).count() > 0) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+    q1.stop()
+    assert(spark.catalog.tableExists(idx.name(streamKey)),
+      "kill landed before the first batch committed anything")
+    val afterKill = spark.table(idx.name(streamKey)).distinct().count()
+
+    // restart from the SAME checkpoint: drains exactly the unindexed rest
+    val q2 = StreamOps.bandIndexMaintainer(spark, topicDir, valueSchema,
+      streamKey, ck, maxFilesPerTrigger = 1)
+    q2.awaitTermination()
+    // slice B lands after the restart; one more maintenance drain
+    OffsetNamedOrcSink.write(
+      shaped(col("doc_id") >= 300 && col("doc_id") < 400),
+      out, flushSize = 100, topic = "docs")
+    val q3 = StreamOps.bandIndexMaintainer(spark, topicDir, valueSchema,
+      streamKey, ck, maxFilesPerTrigger = 1)
+    q3.awaitTermination()
+
+    // the crash-resumed index answers dedup exactly like the batch twin
+    val batchKey = s"bandcrashbatch|$out"
+    idx.ensure(spark, batchKey, docs.filter(col("doc_id") < 400))
+    val query = docs.filter(col("doc_id") >= 400)
+    def dedupAgainst(table: String) =
+      idx.bands(query).join(spark.table(table), Seq("band"), "left")
+        .groupBy("doc_id")
+        .agg(countDistinct("hist_doc").as("n_hist_docs"),
+          min("hist_doc").as("first_hit"))
+    val viaStream = dedupAgainst(idx.name(streamKey))
+    val viaBatch = dedupAgainst(idx.name(batchKey))
+    assert(viaStream.exceptAll(viaBatch).count() == 0
+      && viaBatch.exceptAll(viaStream).count() == 0,
+      "crash-resumed index diverged from the batch twin")
+    val finalBands = spark.table(idx.name(streamKey)).distinct().count()
+    assert(finalBands == spark.table(idx.name(batchKey)).distinct().count())
+    // the kill really was mid-history: the restart had work left to do
+    assert(afterKill < finalBands,
+      s"kill was not mid-drain (afterKill=$afterKill, final=$finalBands)")
+  }
 }

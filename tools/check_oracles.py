@@ -3,9 +3,13 @@
 Spark parquet dump (written by graft.Verify) and the DuckDB oracle result,
 sort columns by name, and compare schema + row values exactly.
 
-Usage: python3 tools/check_oracles.py <sfDir> <verifyOutDir> [query...]
+Usage: python3 tools/check_oracles.py <sfDir> <verifyOutDir> [--json OUT] [query...]
+
+--json OUT additionally writes a provenance-stamped artifact: git HEAD of
+the repo, registry count, per-query ok/fail — so artifact-vs-tree drift is
+a one-line diff (VERDICT r9 item 4).
 """
-import json, math, sys
+import json, math, subprocess, sys
 import duckdb
 import pyarrow.parquet as pq
 
@@ -21,12 +25,19 @@ def norm(v):
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    rest = sys.argv[3:]
+    json_out = None
+    if "--json" in rest:
+        i = rest.index("--json")
+        json_out = rest[i + 1]
+        rest = rest[:i] + rest[i + 2:]
+    only = set(rest)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     n_ok = n_fail = 0
+    results = {}
     for name in sorted(oracles):
         if only and name not in only:
             continue
@@ -54,11 +65,28 @@ def main():
                             f"row {i} col {c}: spark={v1!r} duck={v2!r}\n"
                             f"  spark row: {r1}\n  duck row:  {r2}")
             print(f"  OK   {name} ({s.num_rows} rows)")
+            results[name] = {"ok": True, "rows": s.num_rows}
             n_ok += 1
         except Exception as e:
             print(f"  FAIL {name}: {str(e)[:500]}")
+            results[name] = {"ok": False, "err": str(e)[:300]}
             n_fail += 1
     print(f"== {n_ok} ok, {n_fail} fail ==")
+    if json_out:
+        import os
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        head = subprocess.run(["git", "-C", repo, "rev-parse", "HEAD"],
+                              capture_output=True, text=True).stdout.strip()
+        with open(json_out, "w") as f:
+            dumped = len([d for d in os.listdir(outdir)
+                          if os.path.isdir(os.path.join(outdir, d))])
+            json.dump({"head": head, "sf_dir": sfdir,
+                       "registry_count": dumped,
+                       "oracled_count": len(oracles),
+                       "checked": n_ok + n_fail,
+                       "ok": n_ok, "fail": n_fail,
+                       "results": results}, f, indent=1, sort_keys=True)
+        print(f"[json] {json_out} (head {head[:9]})")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":

@@ -1,0 +1,172 @@
+#!/usr/bin/env python3
+"""Empirical scaling probe: synthesize an sf1-equivalent corpus (10x sf0.1)
+and measure how the heavy-tail queries actually scale.
+
+SCALE.md's 100-TB stories are design arguments pinned by plan shape; this
+tool adds measured evidence: the observed scaling exponent per query,
+alpha = log10(t_sf1 / t_sf0.1), so alpha ~= 1 is linear, ~2 quadratic.
+(Wall-clock at local[32] compresses constant factors; the exponent is the
+signal, not the absolute seconds.)
+
+Synthesis (deterministic, no RNG): union sf0.1 ten times with key-shifted
+ids — SHIFT = i * 10^10 per copy i (keys are BIGINT throughout; the shift
+is a multiple of every modulus the queries use, so k % m distributions are
+preserved exactly). region/nation stay single-copy (fixed dimensions);
+foreign keys shift with their parents so join cardinalities scale 10x.
+documents get a per-copy token prefix (distinct vocab per copy: within-copy
+duplicate structure is preserved, no artificial cross-copy near-dups).
+embeddings get a per-copy deterministic sign-flip pattern (norms preserved,
+copies land in different SRP octants — no artificial cross-copy neighbors).
+
+Usage:
+  python3 tools/scale_probe.py gen [--base /root/testdata/sf0.1]
+                                   [--out /tmp/graft_sf1] [--copies 10]
+  python3 tools/scale_probe.py run [--out /tmp/graft_sf1] [query ...]
+      # default query set: the 25 heaviest from bench_r9_full.json;
+      # runs graft.Scratch (warmup + 2 timed) on sf0.1 and the synth dir,
+      # prints min-of-2 seconds each + the exponent, writes
+      # /tmp/graft_sf1/scale_probe.json
+"""
+import json
+import math
+import os
+import re
+import shutil
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SHIFT = 10_000_000_000
+
+KEY_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+SINGLE = ["region", "nation"]
+
+
+def shifted_copy(tbl, name, i):
+    if i == 0:
+        return tbl
+    arrays = []
+    for col in tbl.column_names:
+        a = tbl.column(col)
+        if col in KEY_COLS.get(name, []):
+            a = pa.chunked_array([
+                pa.array([None if v is None else v + i * SHIFT
+                          for v in c.to_pylist()], type=a.type)
+                for c in a.chunks])
+        elif name == "documents" and col == "text":
+            a = pa.chunked_array([
+                pa.array([None if v is None else
+                          " ".join(f"c{i}{w}" for w in v.split())
+                          for v in c.to_pylist()], type=a.type)
+                for c in a.chunks])
+        elif name == "embeddings" and col == "embedding":
+            def flip(vec):
+                if vec is None:
+                    return None
+                return [-x if (j + i) % 3 == 0 else x
+                        for j, x in enumerate(vec)]
+            a = pa.chunked_array([
+                pa.array([flip(v) for v in c.to_pylist()], type=a.type)
+                for c in a.chunks])
+        arrays.append(a)
+    return pa.table(dict(zip(tbl.column_names, arrays)))
+
+
+def gen(base, out, copies):
+    os.makedirs(out, exist_ok=True)
+    for name in SINGLE:
+        shutil.copyfile(f"{base}/{name}.parquet", f"{out}/{name}.parquet")
+    for name in KEY_COLS:
+        tbl = pq.read_table(f"{base}/{name}.parquet")
+        parts = [shifted_copy(tbl, name, i) for i in range(copies)]
+        big = pa.concat_tables(parts)
+        pq.write_table(big, f"{out}/{name}.parquet")
+        print(f"[gen] {name}: {tbl.num_rows} -> {big.num_rows} rows")
+    print(f"[gen] {copies}x corpus at {out}")
+
+
+def default_queries():
+    d = json.load(open(f"{REPO}/bench_r9_full.json"))
+    qs = d.get("queries", d)
+    return [k for k, _ in sorted(qs.items(), key=lambda kv: -kv[1])[:25]]
+
+
+def time_queries(sfdir, queries):
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sfdir, GRAFT_XMX="24g")
+    p = subprocess.run(
+        [f"{REPO}/tools/run_verify.sh", "graft.Scratch"] + queries,
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        text=True)
+    times = {}
+    for line in p.stdout.splitlines():
+        m = re.match(r"^(\S+?)( \(2\))?\s+([0-9.]+) s$", line.strip())
+        if m:
+            q = m.group(1)
+            t = float(m.group(3))
+            times[q] = min(times.get(q, 1e9), t)
+    return times
+
+
+def main():
+    args = sys.argv[1:]
+    if not args or args[0] not in ("gen", "run"):
+        print(__doc__)
+        return 2
+    mode = args[0]
+    rest = args[1:]
+    base = "/root/testdata/sf0.1"
+    out = "/tmp/graft_sf1"
+    copies = 10
+    queries = []
+    i = 0
+    while i < len(rest):
+        if rest[i] == "--base":
+            base = rest[i + 1]; i += 2
+        elif rest[i] == "--out":
+            out = rest[i + 1]; i += 2
+        elif rest[i] == "--copies":
+            copies = int(rest[i + 1]); i += 2
+        else:
+            queries.append(rest[i]); i += 1
+    if mode == "gen":
+        gen(base, out, copies)
+        return 0
+    if not queries:
+        queries = default_queries()
+    print(f"[probe] {len(queries)} queries, base={base}, synth={out}")
+    t0 = time_queries(base, queries)
+    print(f"[probe] base done: {len(t0)} timed")
+    t1 = time_queries(out, queries)
+    print(f"[probe] synth done: {len(t1)} timed")
+    result = {}
+    print(f"{'query':<28} {'sf0.1':>8} {'sf1':>8} {'alpha':>6}")
+    for q in queries:
+        if q in t0 and q in t1 and t0[q] > 0:
+            alpha = math.log10(t1[q] / t0[q])
+            result[q] = {"sf0.1_s": round(t0[q], 2),
+                         "sf1_s": round(t1[q], 2),
+                         "alpha": round(alpha, 2)}
+            print(f"{q:<28} {t0[q]:>8.2f} {t1[q]:>8.2f} {alpha:>6.2f}")
+        else:
+            result[q] = {"error": "missing timing"}
+            print(f"{q:<28} MISSING (sf0.1={q in t0}, sf1={q in t1})")
+    with open(f"{out}/scale_probe.json", "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    print(f"[probe] wrote {out}/scale_probe.json")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
