@@ -318,7 +318,8 @@ object AnalyticsOps extends QueryModule {
             .otherwise(4).as("bin"),
           col("o_totalprice"))
         .groupBy("o_orderpriority", "bin")
-        .agg(count(lit(1)).as("n"), dround(avg("o_totalprice")).as("avg_price"))
+        .agg(count(lit(1)).as("n"), dround(sum(cents(col("o_totalprice"))).cast("double")
+          / count(col("o_totalprice")) / 100).as("avg_price"))
         .orderBy("o_orderpriority", "bin")
     },
     Some("""WITH bounds AS (
@@ -336,8 +337,9 @@ object AnalyticsOps extends QueryModule {
                              WHEN o.o_totalprice <= b.q3 THEN 3
                              ELSE 4 END AS INT) AS bin,
                    CAST(count(*) AS BIGINT) AS n,
-                   CAST(round(CAST(avg(o.o_totalprice) AS DECIMAL(30,8)), 2)
-                     AS DOUBLE) AS avg_price
+                   CAST(round(CAST(CAST(sum(CAST(round(o.o_totalprice * 100)
+                       AS BIGINT)) AS DOUBLE) / count(o.o_totalprice) / 100
+                     AS DECIMAL(30,8)), 2) AS DOUBLE) AS avg_price
             FROM orders o JOIN bounds b USING (o_orderpriority)
             GROUP BY 1, 2 ORDER BY o_orderpriority, bin"""))
 
@@ -533,7 +535,7 @@ object AnalyticsOps extends QueryModule {
         .join(broadcast(bands),
           col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
         .groupBy("band_id")
-        .agg(count(lit(1)).as("n"), dround(sum("o_totalprice")).as("sum_price"))
+        .agg(count(lit(1)).as("n"), dround(sum(cents(col("o_totalprice"))).cast("double") / 100).as("sum_price"))
         .orderBy("band_id")
     },
     Some("""WITH bands AS (
@@ -541,7 +543,7 @@ object AnalyticsOps extends QueryModule {
                      (i + 1) * 50000.0 AS hi
               FROM generate_series(0, 9) t(i))
             SELECT band_id, CAST(count(*) AS BIGINT) AS n,
-                   CAST(round(CAST(sum(o_totalprice) AS DECIMAL(30,8)), 2)
+                   CAST(round(CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS DECIMAL(30,8)), 2)
                         AS DOUBLE) AS sum_price
             FROM orders JOIN bands
               ON o_totalprice >= lo AND o_totalprice < hi
@@ -766,7 +768,8 @@ object AnalyticsOps extends QueryModule {
         .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"),
           col("value"))
       val hourly = e.groupBy("user_id", "hr")
-        .agg(dround(avg("value"), 4).as("v_obs"))
+        .agg(dround(sum(cents(col("value"))).cast("double")
+          / count(col("value")) / 100, 4).as("v_obs"))
       val grid = hourly.groupBy("user_id")
         .agg(min("hr").as("h0"), max("hr").as("h1"))
         .select(col("user_id"),
@@ -785,7 +788,7 @@ object AnalyticsOps extends QueryModule {
               FROM events WHERE user_id < 5),
             hourly AS (
               SELECT user_id, hr,
-                     CAST(round(CAST(avg(value) AS DECIMAL(30,8)), 4) AS DOUBLE)
+                     CAST(round(CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / count(value) / 100 AS DECIMAL(30,8)), 4) AS DOUBLE)
                        AS v_obs
               FROM e GROUP BY 1, 2),
             span AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1
@@ -905,26 +908,49 @@ object AnalyticsOps extends QueryModule {
   private val qEventsOutliers = GQuery(
     (s, d) => {
       val e = t(s, d, "events").select(col("event_type"), col("value"))
+      // exact-moment sigma (engines implement stddev_samp with DIFFERENT
+      // accumulation algorithms — drift routinely exceeds the dround
+      // snap): (nΣc² − (Σc)²) is an exact DECIMAL(38) in cents², and the
+      // sqrt/divide chain on identical inputs is IEEE-identical
       val stats = e.groupBy("event_type")
-        .agg(dround(avg("value"), 6).as("mu"),
-          dround(stddev_samp(col("value")), 6).as("sigma"))
+        .agg(count(col("value")).as("nv"),
+          sum(cents(col("value")).cast("decimal(38,0)")).as("s1"),
+          sum((cents(col("value")) * cents(col("value")))
+            .cast("decimal(38,0)")).as("s2"))
+        .select(col("event_type"),
+          dround(col("s1").cast("double") / col("nv") / 100, 6).as("mu"),
+          dround(when(col("nv") > 1,
+            sqrt((col("nv") * col("s2") - col("s1") * col("s1"))
+              .cast("double") / col("nv") / (col("nv") - 1)) / 100), 6)
+            .as("sigma"))
       e.join(broadcast(stats), "event_type")
         .withColumn("is_out",
           col("value") > col("mu") + lit(3.0) * col("sigma") ||
           col("value") < col("mu") - lit(3.0) * col("sigma"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_total"),
-          sum(col("is_out").cast("long")).as("n_outliers"),
+          // when/otherwise, not a bare cast: a single-row group has NULL
+          // sigma ⇒ NULL is_out, and the oracle's CASE counts that as 0
+          sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"),
           max(when(col("is_out"), col("value"))).as("max_outlier"))
         .orderBy("event_type")
     },
-    Some("""WITH stats AS (
-              SELECT event_type,
-                     CAST(round(CAST(avg(value) AS DECIMAL(30,8)), 6) AS DOUBLE)
-                       AS mu,
-                     CAST(round(CAST(stddev_samp(value) AS DECIMAL(30,8)), 6)
-                       AS DOUBLE) AS sigma
+    Some("""WITH m AS (
+              SELECT event_type, CAST(count(value) AS BIGINT) AS nv,
+                     sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT))
+                       AS s1,
+                     sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+                       * CAST(round(value * 100) AS BIGINT)) AS s2
               FROM events GROUP BY event_type),
+            stats AS (
+              SELECT event_type,
+                     CAST(round(CAST(CAST(s1 AS DOUBLE) / nv / 100
+                       AS DECIMAL(30,8)), 6) AS DOUBLE) AS mu,
+                     CASE WHEN nv > 1 THEN
+                       CAST(round(CAST(sqrt(CAST(nv * s2 - s1 * s1 AS DOUBLE)
+                         / nv / (nv - 1)) / 100 AS DECIMAL(30,8)), 6)
+                         AS DOUBLE) END AS sigma
+              FROM m),
             flagged AS (
               SELECT e.event_type, e.value,
                      e.value > s.mu + 3.0 * s.sigma OR
@@ -956,7 +982,8 @@ object AnalyticsOps extends QueryModule {
         .filter(to_date(col("ts")) === lit("2024-01-01"))
         .select(col("user_id"), hour(col("ts")).as("h"), col("value"))
       val hourly = e.groupBy("user_id", "h")
-        .agg(dround(avg("value"), 4).as("v"))
+        .agg(dround(sum(cents(col("value"))).cast("double")
+          / count(col("value")) / 100, 4).as("v"))
       val grid = hourly.select("user_id").distinct()
         .select(col("user_id"), explode(sequence(lit(0), lit(23))).as("h"))
       val series = grid.join(hourly, Seq("user_id", "h"), "left")
@@ -985,7 +1012,7 @@ object AnalyticsOps extends QueryModule {
               FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01'),
             hourly AS (
               SELECT user_id, h,
-                     CAST(round(CAST(avg(value) AS DECIMAL(30,8)), 4) AS DOUBLE)
+                     CAST(round(CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / count(value) / 100 AS DECIMAL(30,8)), 4) AS DOUBLE)
                        AS v
               FROM e GROUP BY 1, 2),
             grid AS (
@@ -1239,16 +1266,28 @@ object AnalyticsOps extends QueryModule {
     (s, d) => {
       val e = t(s, d, "events")
         .select(col("event_type"), hour(col("ts")).as("hod"), col("value"))
+      // exact-moment mu/sigma (the q_events_outliers rail): engines'
+      // stddev_samp algorithms drift past the dround snap
       val base = e.groupBy("event_type", "hod")
-        .agg(dround(avg("value"), 6).as("mu"),
-          dround(stddev_samp(col("value")), 6).as("sigma"))
+        .agg(count(col("value")).as("nv"),
+          sum(cents(col("value")).cast("decimal(38,0)")).as("s1"),
+          sum((cents(col("value")) * cents(col("value")))
+            .cast("decimal(38,0)")).as("s2"))
+        .select(col("event_type"), col("hod"),
+          dround(col("s1").cast("double") / col("nv") / 100, 6).as("mu"),
+          dround(when(col("nv") > 1,
+            sqrt((col("nv") * col("s2") - col("s1") * col("s1"))
+              .cast("double") / col("nv") / (col("nv") - 1)) / 100), 6)
+            .as("sigma"))
       e.join(broadcast(base), Seq("event_type", "hod"))
         .withColumn("is_anom",
           col("value") > col("mu") + lit(2.0) * col("sigma") ||
           col("value") < col("mu") - lit(2.0) * col("sigma"))
         .groupBy("event_type", "hod")
         .agg(count(lit(1)).as("n"),
-          sum(col("is_anom").cast("long")).as("n_anom"),
+          // when/otherwise, not a bare cast: a single-row cell has NULL
+          // sigma ⇒ NULL is_anom, and the oracle's CASE counts that as 0
+          sum(when(col("is_anom"), 1L).otherwise(0L)).as("n_anom"),
           dround(max(when(col("is_anom"), col("value"))), 2).as("max_anom"))
         .orderBy("event_type", "hod")
     },
@@ -1256,13 +1295,22 @@ object AnalyticsOps extends QueryModule {
               SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS hod,
                      value
               FROM events),
+            bm AS (
+              SELECT event_type, hod, CAST(count(value) AS BIGINT) AS nv,
+                     sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT))
+                       AS s1,
+                     sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+                       * CAST(round(value * 100) AS BIGINT)) AS s2
+              FROM e GROUP BY 1, 2),
             base AS (
               SELECT event_type, hod,
-                     CAST(round(CAST(avg(value) AS DECIMAL(30,8)), 6)
-                       AS DOUBLE) AS mu,
-                     CAST(round(CAST(stddev_samp(value) AS DECIMAL(30,8)), 6)
-                       AS DOUBLE) AS sigma
-              FROM e GROUP BY 1, 2),
+                     CAST(round(CAST(CAST(s1 AS DOUBLE) / nv / 100
+                       AS DECIMAL(30,8)), 6) AS DOUBLE) AS mu,
+                     CASE WHEN nv > 1 THEN
+                       CAST(round(CAST(sqrt(CAST(nv * s2 - s1 * s1 AS DOUBLE)
+                         / nv / (nv - 1)) / 100 AS DECIMAL(30,8)), 6)
+                         AS DOUBLE) END AS sigma
+              FROM bm),
             f AS (
               SELECT e.event_type, e.hod, e.value,
                      e.value > b.mu + 2.0 * b.sigma OR
@@ -11645,7 +11693,10 @@ object AnalyticsOps extends QueryModule {
     (s, d) => {
       def ind(child: DataFrame, ck: String, parent: DataFrame, pk: String,
               name: String): DataFrame = {
-        val cd = child.select(col(ck).as("k")).distinct()
+        // SQL FK semantics: NULL child keys don't participate in the IND
+        // (and NOT IN in the oracle would go three-valued on them)
+        val cd = child.select(col(ck).as("k")).filter(col("k").isNotNull)
+          .distinct()
           .localCheckpoint(true) // counted AND anti-joined
         val pd = parent.select(col(pk).as("k")).distinct()
         val nC = cd.agg(count(lit(1L)).as("n_child"))
@@ -11673,17 +11724,24 @@ object AnalyticsOps extends QueryModule {
         .reduce(_ unionByName _)
         .orderBy("candidate")
     },
-    Some("""WITH c1 AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
-            c2 AS (SELECT DISTINCT l_partkey AS k FROM lineitem),
-            c3 AS (SELECT DISTINCT l_suppkey AS k FROM lineitem),
-            c4 AS (SELECT DISTINCT o_custkey AS k FROM orders),
-            c5 AS (SELECT DISTINCT c_custkey AS k FROM customer),
+    Some("""WITH c1 AS (SELECT DISTINCT l_orderkey AS k FROM lineitem
+                    WHERE l_orderkey IS NOT NULL),
+            c2 AS (SELECT DISTINCT l_partkey AS k FROM lineitem
+                    WHERE l_partkey IS NOT NULL),
+            c3 AS (SELECT DISTINCT l_suppkey AS k FROM lineitem
+                    WHERE l_suppkey IS NOT NULL),
+            c4 AS (SELECT DISTINCT o_custkey AS k FROM orders
+                    WHERE o_custkey IS NOT NULL),
+            c5 AS (SELECT DISTINCT c_custkey AS k FROM customer
+                    WHERE c_custkey IS NOT NULL),
             p1 AS (SELECT DISTINCT o_orderkey AS k FROM orders),
             p2 AS (SELECT DISTINCT p_partkey AS k FROM part),
             p3 AS (SELECT DISTINCT s_suppkey AS k FROM supplier),
             p4 AS (SELECT DISTINCT c_custkey AS k FROM customer),
-            p5 AS (SELECT DISTINCT o_custkey AS k FROM orders),
-            c6 AS (SELECT DISTINCT s_suppkey AS k FROM supplier),
+            p5 AS (SELECT DISTINCT o_custkey AS k FROM orders
+                    WHERE o_custkey IS NOT NULL),
+            c6 AS (SELECT DISTINCT s_suppkey AS k FROM supplier
+                    WHERE s_suppkey IS NOT NULL),
             p6 AS (SELECT DISTINCT c_custkey AS k FROM customer),
             rows_ AS (
               SELECT 'lineitem.orderkey->orders' AS candidate,

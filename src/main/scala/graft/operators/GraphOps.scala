@@ -87,7 +87,9 @@ object GraphOps extends QueryModule {
   private val qGraphPpr = GQuery(
     (s, d) => {
       val li = t(s, d, "lineitem")
-        .select(col("l_suppkey"), col("l_partkey")).distinct()
+        .select(col("l_suppkey"), col("l_partkey"))
+        .filter(col("l_partkey").isNotNull) // NULL keys are not graph nodes
+        .distinct()
       val edges = li.select(
           col("l_suppkey").cast("long").as("src"),
           (col("l_partkey") + lit(1000000000L)).as("dst"))
@@ -118,7 +120,8 @@ object GraphOps extends QueryModule {
       }
       rank.filter(col("mass") > 0).orderBy("node")
     },
-    Some("""WITH li AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+    Some("""WITH li AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+                        WHERE l_partkey IS NOT NULL),
             edges AS (
               SELECT CAST(l_suppkey AS BIGINT) AS src,
                      CAST(l_partkey + 1000000000 AS BIGINT) AS dst FROM li
@@ -158,7 +161,9 @@ object GraphOps extends QueryModule {
   private val qGraphPagerank = GQuery(
     (s, d) => {
       val li = t(s, d, "lineitem")
-        .select(col("l_suppkey"), col("l_partkey")).distinct()
+        .select(col("l_suppkey"), col("l_partkey"))
+        .filter(col("l_partkey").isNotNull) // NULL keys are not graph nodes
+        .distinct()
       // BIGINT node ids (suppliers raw, parts offset by 10⁹) — the
       // closeness lesson: string keys cost ~2× on every iteration's
       // join/agg hash
@@ -194,7 +199,8 @@ object GraphOps extends QueryModule {
       }
       rank.orderBy("node")
     },
-    Some("""WITH li AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+    Some("""WITH li AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+                        WHERE l_partkey IS NOT NULL),
             edges AS (
               SELECT CAST(l_suppkey AS BIGINT) AS src,
                      CAST(l_partkey + 1000000000 AS BIGINT) AS dst FROM li
@@ -239,6 +245,7 @@ object GraphOps extends QueryModule {
   private val qGraphHits = GQuery(
     (s, d) => {
       val edges = t(s, d, "lineitem")
+        .filter(col("l_partkey").isNotNull) // NULL keys are not graph nodes
         .select(col("l_suppkey").cast("long").as("src"),
           col("l_partkey").cast("long").as("dst"))
         .distinct()
@@ -267,7 +274,7 @@ object GraphOps extends QueryModule {
     Some("""WITH edges AS (
               SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
                               CAST(l_partkey AS BIGINT) AS dst
-              FROM lineitem),
+              FROM lineitem WHERE l_partkey IS NOT NULL),
             h0 AS (SELECT DISTINCT src AS id,
                      CAST(1000000 AS BIGINT) AS h FROM edges),
             a1r AS (SELECT e.dst AS id, CAST(sum(h.h) AS BIGINT) AS a
@@ -313,7 +320,9 @@ object GraphOps extends QueryModule {
     (s, d) => {
       import graft.operators.DedupOps.hex4
       val li = t(s, d, "lineitem")
-        .select(col("l_suppkey"), col("l_partkey")).distinct()
+        .select(col("l_suppkey"), col("l_partkey"))
+        .filter(col("l_partkey").isNotNull) // NULL keys are not graph nodes
+        .distinct()
       val edges = li.select(
           concat(lit("s:"), col("l_suppkey")).as("src"),
           concat(lit("p:"), col("l_partkey")).as("dst"))
@@ -363,7 +372,8 @@ object GraphOps extends QueryModule {
               JOIN degs d ON d.src = s.cur
               JOIN nbrs n ON n.src = s.cur
                 AND n.idx = ((${hx(s"'$step'")}) % d.deg) + 1)"""
-      s"""WITH li AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+      s"""WITH li AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+                        WHERE l_partkey IS NOT NULL),
             edges AS (
               SELECT 's:' || CAST(l_suppkey AS VARCHAR) AS src,
                      'p:' || CAST(l_partkey AS VARCHAR) AS dst FROM li
@@ -411,7 +421,9 @@ object GraphOps extends QueryModule {
   private val qGraphCloseness = GQuery(
     (s, d) => {
       val li = t(s, d, "lineitem")
-        .select(col("l_suppkey"), col("l_partkey")).distinct()
+        .select(col("l_suppkey"), col("l_partkey"))
+        .filter(col("l_partkey").isNotNull) // NULL keys are not graph nodes
+        .distinct()
       // BIGINT node ids (suppliers raw, parts offset by 10⁹): the K·E
       // expansion rows are hashed/compared every round — long keys cut
       // that constant vs "s:"/"p:" strings
@@ -444,7 +456,8 @@ object GraphOps extends QueryModule {
         .orderBy("node")
     },
     Some("""WITH RECURSIVE li AS (
-              SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+              SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+                        WHERE l_partkey IS NOT NULL),
             edges AS (
               SELECT CAST(l_suppkey AS BIGINT) AS src,
                      CAST(l_partkey + 1000000000 AS BIGINT) AS dst FROM li

@@ -107,11 +107,11 @@ object PipelineOps extends QueryModule {
   private val qPartitionRoute = GQuery(
     (s, d) => t(s, d, "events")
       .groupBy(pmod(col("user_id"), lit(4)).as("route"))
-      .agg(count(lit(1)).as("n"), dround(sum("value")).as("sum_val"))
+      .agg(count(lit(1)).as("n"), dround(sum(cents(col("value"))).cast("double") / 100).as("sum_val"))
       .orderBy("route"),
     Some("""SELECT CAST(user_id % 4 AS BIGINT) AS route,
                    CAST(count(*) AS BIGINT) AS n,
-                   CAST(round(CAST(sum(value) AS DECIMAL(30,8)), 2) AS DOUBLE) AS sum_val
+                   CAST(round(CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS DECIMAL(30,8)), 2) AS DOUBLE) AS sum_val
             FROM events GROUP BY 1 ORDER BY route"""))
 
   /** O11 idempotent-replay semantics: last-write-wins dedup keyed on
@@ -850,7 +850,7 @@ object PipelineOps extends QueryModule {
                  min(x) AS x_min, max(x) AS x_max,
                  min(y) AS y_min, max(y) AS y_max,
                  (max(x) - min(x)) + (max(y) - min(y)) AS span
-          FROM b GROUP BY bucket ORDER BY bucket"""
+          FROM b GROUP BY bucket ORDER BY bucket NULLS FIRST"""
     })
 
   /** Hilbert-curve layout — the locality upgrade over Z-order: the Hilbert

@@ -65,10 +65,10 @@ object Relational extends QueryModule {
       .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"), "inner")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_orders"),
-        dround(sum("o_totalprice")).as("revenue"))
+        dround(sum(cents(col("o_totalprice"))).cast("double") / 100).as("revenue"))
       .orderBy("c_mktsegment"),
     Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
-                   CAST(round(CAST(sum(o_totalprice) AS DECIMAL(30,8)), 2) AS DOUBLE) AS revenue
+                   CAST(round(CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS DECIMAL(30,8)), 2) AS DOUBLE) AS revenue
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
@@ -78,10 +78,11 @@ object Relational extends QueryModule {
       .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
       .groupBy("c_custkey")
       .agg(count(col("o_orderkey")).as("n_orders"),
-        dround(coalesce(sum("o_totalprice"), lit(0.0))).as("total_price"))
+        dround(coalesce(sum(cents(col("o_totalprice"))).cast("double") / 100,
+          lit(0.0))).as("total_price"))
       .orderBy("c_custkey"),
     Some("""SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
-                   CAST(round(CAST(coalesce(sum(o_totalprice), 0) AS DECIMAL(30,8)), 2) AS DOUBLE) AS total_price
+                   CAST(round(CAST(coalesce(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 0) AS DECIMAL(30,8)), 2) AS DOUBLE) AS total_price
             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
             GROUP BY c_custkey ORDER BY c_custkey"""))
 
@@ -167,7 +168,7 @@ object Relational extends QueryModule {
   private val qJoinFull = GQuery(
     (s, d) => {
       val ordAgg = t(s, d, "orders").groupBy("o_custkey")
-        .agg(count(lit(1)).as("n_orders"), dround(sum("o_totalprice")).as("spend"))
+        .agg(count(lit(1)).as("n_orders"), dround(sum(cents(col("o_totalprice"))).cast("double") / 100).as("spend"))
       t(s, d, "customer")
         .select(col("c_custkey"), dround(col("c_acctbal")).as("acctbal"))
         .join(ordAgg, col("c_custkey") === col("o_custkey"), "full_outer")
@@ -177,7 +178,7 @@ object Relational extends QueryModule {
         .orderBy("custkey")
     },
     Some("""WITH oa AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
-                               CAST(round(CAST(sum(o_totalprice) AS DECIMAL(30,8)), 2) AS DOUBLE) AS spend
+                               CAST(round(CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS DECIMAL(30,8)), 2) AS DOUBLE) AS spend
                         FROM orders GROUP BY o_custkey),
                  c AS (SELECT c_custkey,
                               CAST(round(CAST(c_acctbal AS DECIMAL(30,8)), 2) AS DOUBLE) AS acctbal
@@ -232,10 +233,10 @@ object Relational extends QueryModule {
       .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
       .agg(count(lit(1)).as("n_orders"),
-        dround(sum("o_totalprice")).as("revenue"))
+        dround(sum(cents(col("o_totalprice"))).cast("double") / 100).as("revenue"))
       .orderBy("r_name", "n_name"),
     Some("""SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_orders,
-                   CAST(round(CAST(sum(o_totalprice) AS DECIMAL(30,8)), 2) AS DOUBLE) AS revenue
+                   CAST(round(CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS DECIMAL(30,8)), 2) AS DOUBLE) AS revenue
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
@@ -249,24 +250,33 @@ object Relational extends QueryModule {
     (s, d) => t(s, d, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        dround(sum("l_quantity")).as("sum_qty"),
-        dround(sum("l_extendedprice")).as("sum_base"),
-        dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc"),
-        dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
-          (lit(1) + col("l_tax")))).as("sum_charge"),
-        dround(avg("l_quantity")).as("avg_qty"),
-        dround(avg("l_extendedprice")).as("avg_price"),
-        dround(avg("l_discount")).as("avg_disc"),
+        dround(sum(cents(col("l_quantity"))).cast("double") / 100).as("sum_qty"),
+        dround(sum(cents(col("l_extendedprice"))).cast("double") / 100).as("sum_base"),
+        // exact integer basis points (cents × percent × percent): the
+        // products stay ≤ ~10¹¹/row, the sums exact longs — order-proof
+        dround(sum(cents(col("l_extendedprice"))
+          * (lit(100L) - cents(col("l_discount"))))
+          .cast("double") / 10000).as("sum_disc"),
+        dround(sum(cents(col("l_extendedprice"))
+          * (lit(100L) - cents(col("l_discount")))
+          * (lit(100L) + cents(col("l_tax"))))
+          .cast("double") / 1000000).as("sum_charge"),
+        dround(sum(cents(col("l_quantity"))).cast("double")
+          / count(col("l_quantity")) / 100).as("avg_qty"),
+        dround(sum(cents(col("l_extendedprice"))).cast("double")
+          / count(col("l_extendedprice")) / 100).as("avg_price"),
+        dround(sum(cents(col("l_discount"))).cast("double")
+          / count(col("l_discount")) / 100).as("avg_disc"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "l_linestatus"),
     Some("""SELECT l_returnflag, l_linestatus,
-                   CAST(round(CAST(sum(l_quantity) AS DECIMAL(30,8)), 2) AS DOUBLE) AS sum_qty,
-                   CAST(round(CAST(sum(l_extendedprice) AS DECIMAL(30,8)), 2) AS DOUBLE) AS sum_base,
-                   CAST(round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DECIMAL(30,8)), 2) AS DOUBLE) AS sum_disc,
-                   CAST(round(CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DECIMAL(30,8)), 2) AS DOUBLE) AS sum_charge,
-                   CAST(round(CAST(avg(l_quantity) AS DECIMAL(30,8)), 2) AS DOUBLE) AS avg_qty,
-                   CAST(round(CAST(avg(l_extendedprice) AS DECIMAL(30,8)), 2) AS DOUBLE) AS avg_price,
-                   CAST(round(CAST(avg(l_discount) AS DECIMAL(30,8)), 2) AS DOUBLE) AS avg_disc,
+                   CAST(round(CAST(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS DECIMAL(30,8)), 2) AS DOUBLE) AS sum_qty,
+                   CAST(round(CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS DECIMAL(30,8)), 2) AS DOUBLE) AS sum_base,
+                   CAST(round(CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 AS DECIMAL(30,8)), 2) AS DOUBLE) AS sum_disc,
+                   CAST(round(CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS DOUBLE) / 1000000 AS DECIMAL(30,8)), 2) AS DOUBLE) AS sum_charge,
+                   CAST(round(CAST(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / count(l_quantity) / 100 AS DECIMAL(30,8)), 2) AS DOUBLE) AS avg_qty,
+                   CAST(round(CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / count(l_extendedprice) / 100 AS DECIMAL(30,8)), 2) AS DOUBLE) AS avg_price,
+                   CAST(round(CAST(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / count(l_discount) / 100 AS DECIMAL(30,8)), 2) AS DOUBLE) AS avg_disc,
                    CAST(count(*) AS BIGINT) AS n
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
@@ -337,15 +347,22 @@ object Relational extends QueryModule {
       val w = Window.partitionBy("user_id").orderBy("event_id")
       t(s, d, "events")
         .select(col("user_id"), col("event_id"), dround(col("value")).as("val"),
-          dround(sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-            .as("r_sum"),
-          dround(avg("value").over(w.rowsBetween(-2, 0))).as("m_avg"))
+          // frame sums run on exact cents (integer-valued ⇒ order-proof),
+          // divided back to dollars at presentation
+          dround(sum(cents(col("value")))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double") / 100).as("r_sum"),
+          dround(sum(cents(col("value"))).over(w.rowsBetween(-2, 0))
+            .cast("double") / 100
+            / count(lit(1)).over(w.rowsBetween(-2, 0))).as("m_avg"))
         .orderBy("user_id", "event_id")
     },
     Some("""SELECT user_id, event_id, CAST(round(CAST(value AS DECIMAL(30,8)), 2) AS DOUBLE) AS val,
-                   CAST(round(CAST(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(30,8)), 2) AS DOUBLE) AS r_sum,
-                   CAST(round(CAST(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
+                   CAST(round(CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100 AS DECIMAL(30,8)), 2) AS DOUBLE) AS r_sum,
+                   CAST(round(CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+                     / count(*) OVER (PARTITION BY user_id ORDER BY event_id
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(30,8)), 2) AS DOUBLE) AS m_avg
             FROM events ORDER BY user_id, event_id"""))
 
@@ -362,7 +379,8 @@ object Relational extends QueryModule {
         .select(col("user_id"), col("event_id"),
           unix_timestamp(col("ts")).as("ts_sec"), col("value"))
         .select(col("user_id"), col("event_id"), col("ts_sec"),
-          dround(sum("value").over(w)).as("sum_30m"),
+          dround(sum(cents(col("value"))).over(w).cast("double") / 100)
+            .as("sum_30m"),
           count(lit(1)).over(w).as("n_30m"))
         .orderBy("user_id", "event_id")
     },
@@ -372,7 +390,7 @@ object Relational extends QueryModule {
                      value
               FROM events)
             SELECT user_id, event_id, ts_sec,
-                   CAST(round(CAST(sum(value) OVER w AS DECIMAL(30,8)), 2) AS DOUBLE) AS sum_30m,
+                   CAST(round(CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100 AS DECIMAL(30,8)), 2) AS DOUBLE) AS sum_30m,
                    CAST(count(*) OVER w AS BIGINT) AS n_30m
             FROM e
             WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
@@ -499,7 +517,7 @@ object Relational extends QueryModule {
         coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")), lit("OTHER")).as("seg"),
         col("c_acctbal"))
       .groupBy("bucket", "seg")
-      .agg(count(lit(1)).as("n"), dround(sum("c_acctbal")).as("bal_sum"))
+      .agg(count(lit(1)).as("n"), dround(sum(cents(col("c_acctbal"))).cast("double") / 100).as("bal_sum"))
       .orderBy("bucket", "seg"),
     Some("""SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
                         WHEN c_acctbal < 3000 THEN 'low'
@@ -507,7 +525,7 @@ object Relational extends QueryModule {
                         ELSE 'high' END AS bucket,
                    coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg,
                    CAST(count(*) AS BIGINT) AS n,
-                   CAST(round(CAST(sum(c_acctbal) AS DECIMAL(30,8)), 2) AS DOUBLE) AS bal_sum
+                   CAST(round(CAST(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100 AS DECIMAL(30,8)), 2) AS DOUBLE) AS bal_sum
             FROM customer GROUP BY 1, 2 ORDER BY bucket, seg"""))
 
   // -------------------------------------- streaming batch twins (events) --
@@ -519,10 +537,10 @@ object Relational extends QueryModule {
     (s, d) => t(s, d, "events")
       .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_ts"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), dround(sum("value")).as("sum_val"))
+      .agg(count(lit(1)).as("n"), dround(sum(cents(col("value"))).cast("double") / 100).as("sum_val"))
       .orderBy("hour_ts", "event_type"),
     Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
-                   CAST(count(*) AS BIGINT) AS n, CAST(round(CAST(sum(value) AS DECIMAL(30,8)), 2) AS DOUBLE) AS sum_val
+                   CAST(count(*) AS BIGINT) AS n, CAST(round(CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS DECIMAL(30,8)), 2) AS DOUBLE) AS sum_val
             FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type"""))
 
   /** Sessionization with 30-min gap via the lag + running-sum formulation —
@@ -543,7 +561,7 @@ object Relational extends QueryModule {
         .agg(count(lit(1)).as("n_events"),
           min("ts_sec").as("sess_start"),
           max("ts_sec").as("sess_end"),
-          dround(sum("value")).as("sum_val"))
+          dround(sum(cents(col("value"))).cast("double") / 100).as("sum_val"))
         .orderBy("user_id", "session_id")
     },
     Some("""WITH e AS (
@@ -562,7 +580,7 @@ object Relational extends QueryModule {
               FROM flagged)
             SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
                    min(ts_sec) AS sess_start, max(ts_sec) AS sess_end,
-                   CAST(round(CAST(sum(value) AS DECIMAL(30,8)), 2) AS DOUBLE) AS sum_val
+                   CAST(round(CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS DECIMAL(30,8)), 2) AS DOUBLE) AS sum_val
             FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id"""))
 
   /** JSON field extraction from events.props ({"k": <int>}). */
@@ -831,11 +849,11 @@ object Relational extends QueryModule {
         .join(s.table(custB), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
-          dround(sum("o_totalprice")).as("revenue"))
+          dround(sum(cents(col("o_totalprice"))).cast("double") / 100).as("revenue"))
         .orderBy("c_mktsegment")
     },
     Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
-                   CAST(round(CAST(sum(o_totalprice) AS DECIMAL(30,8)), 2) AS DOUBLE) AS revenue
+                   CAST(round(CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS DECIMAL(30,8)), 2) AS DOUBLE) AS revenue
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
@@ -883,7 +901,7 @@ object Relational extends QueryModule {
         .join(dim, "ship_month")
         .groupBy("ship_month")
         .agg(count(lit(1)).as("n_items"),
-          dround(sum("l_extendedprice")).as("revenue"))
+          dround(sum(cents(col("l_extendedprice"))).cast("double") / 100).as("revenue"))
         .orderBy("ship_month")
     },
     Some("""WITH dim AS (
@@ -893,7 +911,7 @@ object Relational extends QueryModule {
               ORDER BY sum(CAST(round(o_totalprice * 100) AS BIGINT)) DESC,
                 ship_month LIMIT 5)
             SELECT ship_month, CAST(count(*) AS BIGINT) AS n_items,
-                   CAST(round(CAST(sum(l_extendedprice) AS DECIMAL(30,8)), 2)
+                   CAST(round(CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS DECIMAL(30,8)), 2)
                      AS DOUBLE) AS revenue
             FROM lineitem JOIN dim
               ON strftime(l_shipdate, '%Y-%m') = dim.ship_month
@@ -908,13 +926,15 @@ object Relational extends QueryModule {
       .agg(
         expr("count(*) FILTER (WHERE o_orderstatus = 'O')").as("n_open"),
         expr("count(*) FILTER (WHERE o_orderstatus = 'F')").as("n_done"),
-        dround(expr("sum(o_totalprice) FILTER (WHERE o_totalprice > 200000)"))
+        dround(expr("""CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+            FILTER (WHERE o_totalprice > 200000) AS DOUBLE) / 100"""))
           .as("big_spend"))
       .orderBy("o_orderpriority"),
     Some("""SELECT o_orderpriority,
                    CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
                    CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_done,
-                   CAST(round(CAST(sum(o_totalprice) FILTER (WHERE o_totalprice > 200000)
+                   CAST(round(CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       FILTER (WHERE o_totalprice > 200000) AS DOUBLE) / 100
                      AS DECIMAL(30,8)), 2) AS DOUBLE) AS big_spend
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
@@ -943,7 +963,7 @@ object Relational extends QueryModule {
         grouping(col("l_linestatus")).cast("int").as("g_ls"),
         grouping(col("ship_month")).cast("int").as("g_mon"),
         count(lit(1)).as("n"),
-        dround(sum("l_extendedprice")).as("sum_price"))
+        dround(sum(cents(col("l_extendedprice"))).cast("double") / 100).as("sum_price"))
       .orderBy(col("g_rf"), col("g_ls"), col("g_mon"),
         col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first,
@@ -955,7 +975,7 @@ object Relational extends QueryModule {
                    CAST(grouping(strftime(l_shipdate, '%Y-%m')) AS INT)
                      AS g_mon,
                    CAST(count(*) AS BIGINT) AS n,
-                   CAST(round(CAST(sum(l_extendedprice) AS DECIMAL(30,8)), 2)
+                   CAST(round(CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS DECIMAL(30,8)), 2)
                      AS DOUBLE) AS sum_price
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
@@ -970,14 +990,14 @@ object Relational extends QueryModule {
       .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
         grouping(col("l_linestatus")).cast("int").as("g_ls"),
         count(lit(1)).as("n"),
-        dround(sum("l_extendedprice")).as("sum_price"))
+        dround(sum(cents(col("l_extendedprice"))).cast("double") / 100).as("sum_price"))
       .orderBy(col("g_rf"), col("g_ls"),
         col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
     Some("""SELECT l_returnflag, l_linestatus,
                    CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
                    CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
                    CAST(count(*) AS BIGINT) AS n,
-                   CAST(round(CAST(sum(l_extendedprice) AS DECIMAL(30,8)), 2) AS DOUBLE) AS sum_price
+                   CAST(round(CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS DECIMAL(30,8)), 2) AS DOUBLE) AS sum_price
             FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
             ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
 
@@ -999,11 +1019,11 @@ object Relational extends QueryModule {
           col("o_custkey") === col("c_custkey") && salted("salt") === dimExploded("salt"))
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("n_orders"),
-          dround(sum("o_totalprice")).as("revenue"))
+          dround(sum(cents(col("o_totalprice"))).cast("double") / 100).as("revenue"))
         .orderBy("c_nationkey")
     },
     Some("""SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
-                   CAST(round(CAST(sum(o_totalprice) AS DECIMAL(30,8)), 2) AS DOUBLE) AS revenue
+                   CAST(round(CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS DECIMAL(30,8)), 2) AS DOUBLE) AS revenue
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey ORDER BY c_nationkey"""))
 

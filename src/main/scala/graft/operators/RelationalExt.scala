@@ -36,14 +36,14 @@ object RelationalExt extends QueryModule {
       .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
         grouping(col("l_linestatus")).cast("int").as("g_ls"),
         count(lit(1)).as("n"),
-        dround(sum("l_quantity")).as("sum_qty"))
+        dround(sum(cents(col("l_quantity"))).cast("double") / 100).as("sum_qty"))
       .orderBy(col("g_rf"), col("g_ls"),
         col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
     Some("""SELECT l_returnflag, l_linestatus,
                    CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
                    CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
                    CAST(count(*) AS BIGINT) AS n,
-                   CAST(round(CAST(sum(l_quantity) AS DECIMAL(30,8)), 2) AS DOUBLE) AS sum_qty
+                   CAST(round(CAST(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS DECIMAL(30,8)), 2) AS DOUBLE) AS sum_qty
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
             ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST,
@@ -182,18 +182,19 @@ object RelationalExt extends QueryModule {
   private val qUnpivot = GQuery(
     (s, d) => t(s, d, "lineitem")
       .groupBy("l_returnflag")
-      .agg(dround(sum("l_quantity")).as("sum_qty"),
-        dround(sum("l_extendedprice")).as("sum_price"),
-        dround(avg("l_discount"), 4).as("avg_disc"))
+      .agg(dround(sum(cents(col("l_quantity"))).cast("double") / 100).as("sum_qty"),
+        dround(sum(cents(col("l_extendedprice"))).cast("double") / 100).as("sum_price"),
+        dround(sum(cents(col("l_discount"))).cast("double")
+          / count(col("l_discount")) / 100, 4).as("avg_disc"))
       .unpivot(Array(col("l_returnflag")),
         Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
         "metric", "val")
       .orderBy("l_returnflag", "metric"),
     Some("""WITH base AS (
               SELECT l_returnflag,
-                     CAST(round(CAST(sum(l_quantity) AS DECIMAL(30,8)), 2) AS DOUBLE) AS sum_qty,
-                     CAST(round(CAST(sum(l_extendedprice) AS DECIMAL(30,8)), 2) AS DOUBLE) AS sum_price,
-                     CAST(round(CAST(avg(l_discount) AS DECIMAL(30,8)), 4) AS DOUBLE) AS avg_disc
+                     CAST(round(CAST(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS DECIMAL(30,8)), 2) AS DOUBLE) AS sum_qty,
+                     CAST(round(CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS DECIMAL(30,8)), 2) AS DOUBLE) AS sum_price,
+                     CAST(round(CAST(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / count(l_discount) / 100 AS DECIMAL(30,8)), 4) AS DOUBLE) AS avg_disc
               FROM lineitem GROUP BY l_returnflag)
             SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM base
             UNION ALL
@@ -272,7 +273,7 @@ object RelationalExt extends QueryModule {
     (s, d) => t(s, d, "events")
       .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), dround(sum("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), dround(sum(cents(col("value"))).cast("double") / 100).as("sum_value"))
       .select(col("w.start").cast("timestamp_ntz").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("window_start", "event_type"),
@@ -283,7 +284,7 @@ object RelationalExt extends QueryModule {
               FROM events, (SELECT unnest([0, 1]) AS k) hops)
             SELECT window_start, event_type,
                    CAST(count(*) AS BIGINT) AS n,
-                   CAST(round(CAST(sum(value) AS DECIMAL(30,8)), 2) AS DOUBLE) AS sum_value
+                   CAST(round(CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS DECIMAL(30,8)), 2) AS DOUBLE) AS sum_value
             FROM h GROUP BY 1, 2 ORDER BY window_start, event_type"""))
 
   // ------------------------------------------- approximate aggregates --
@@ -465,12 +466,15 @@ object RelationalExt extends QueryModule {
       pre.join(dim.hint("MERGE"), col("l_suppkey") === col("s_suppkey"))
         .groupBy("s_suppkey", "s_name")
         .agg(count(lit(1)).as("n"),
-          dround(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          // exact basis points: cents(price)·(100 − cents(disc)) is an
+          // integer, so the sum is order/engine-proof; /10⁴ back to dollars
+          dround(sum(cents(col("l_extendedprice"))
+            * (lit(100L) - cents(col("l_discount")))).cast("double") / 10000)
             .as("revenue"))
         .orderBy("s_suppkey")
     },
     Some("""SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n,
-                   CAST(round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DECIMAL(30,8)), 2) AS DOUBLE) AS revenue
+                   CAST(round(CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 AS DECIMAL(30,8)), 2) AS DOUBLE) AS revenue
             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
             WHERE s_acctbal > 5000 AND s_nationkey < 10
             GROUP BY s_suppkey, s_name ORDER BY s_suppkey"""))
@@ -698,7 +702,8 @@ object RelationalExt extends QueryModule {
       val e = t(s, d, "events")
         .withColumn("recent", to_date(col("ts")) >= lit("2024-01-16"))
       def state(df: DataFrame, tag: String) = df.groupBy("event_type")
-        .agg(count(lit(1)).as(s"n_$tag"), sum("value").as(s"sum_$tag"),
+        .agg(count(lit(1)).as(s"n_$tag"),
+          sum(cents(col("value"))).as(s"sum_$tag"), // exact mergeable cents
           min("value").as(s"min_$tag"), max("value").as(s"max_$tag"))
       state(e.filter(!col("recent")), "h")
         .join(state(e.filter(col("recent")), "d"), Seq("event_type"),
@@ -706,10 +711,11 @@ object RelationalExt extends QueryModule {
         .select(col("event_type"),
           (coalesce(col("n_h"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
             .as("n"),
-          dround(coalesce(col("sum_h"), lit(0.0))
-            + coalesce(col("sum_d"), lit(0.0))).as("total"),
-          dround((coalesce(col("sum_h"), lit(0.0))
-              + coalesce(col("sum_d"), lit(0.0)))
+          dround((coalesce(col("sum_h"), lit(0L))
+            + coalesce(col("sum_d"), lit(0L))).cast("double") / 100)
+            .as("total"),
+          dround((coalesce(col("sum_h"), lit(0L))
+              + coalesce(col("sum_d"), lit(0L))).cast("double") / 100
             / (coalesce(col("n_h"), lit(0L)) + coalesce(col("n_d"), lit(0L))))
             .as("mean"),
           dround(least(coalesce(col("min_h"), col("min_d")),
@@ -719,9 +725,9 @@ object RelationalExt extends QueryModule {
         .orderBy("event_type")
     },
     Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-                   CAST(round(CAST(sum(value) AS DECIMAL(30,8)), 2) AS DOUBLE)
+                   CAST(round(CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS DECIMAL(30,8)), 2) AS DOUBLE)
                      AS total,
-                   CAST(round(CAST(sum(value) / count(*) AS DECIMAL(30,8)), 2)
+                   CAST(round(CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 / count(*) AS DECIMAL(30,8)), 2)
                      AS DOUBLE) AS mean,
                    CAST(round(CAST(min(value) AS DECIMAL(30,8)), 2) AS DOUBLE)
                      AS lo,

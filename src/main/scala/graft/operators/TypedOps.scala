@@ -100,7 +100,11 @@ object TypedOps extends QueryModule {
     (s, d) => {
       val spark = s
       import spark.implicits._
-      val od = t(s, d, "orders").select(col("o_custkey"),
+      val od = t(s, d, "orders")
+        // typed rows: a NULL o_custkey cannot deserialize into a Long
+        // field (and the inner join would drop it anyway)
+        .filter(col("o_custkey").isNotNull)
+        .select(col("o_custkey"),
           cents(col("o_totalprice"))
             .as("cents"))
         .as[OrderRow]

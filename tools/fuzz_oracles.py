@@ -175,11 +175,15 @@ def main():
         gen(base, sf)
     shutil.rmtree(vdir, ignore_errors=True)
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    # GRAFT_CLASSES: optional snapshot classes dir so a concurrent compile
+    # cannot clobber lazily-loaded classfiles mid-run (SKILL.md discipline)
+    cls = os.environ.get("GRAFT_CLASSES")
+    runner = ([f"{REPO}/tools/run_snapshot.sh", cls] if cls
+              else [f"{REPO}/tools/run_verify.sh"])
     print(f"[fuzz] running graft.Verify on {sf} ...")
     with open(f"{out}/verify.err", "w") as errf:
         rc = subprocess.run(
-            [f"{REPO}/tools/run_verify.sh", "graft.Verify", sf, vdir]
-            + queries,
+            runner + ["graft.Verify", sf, vdir] + queries,
             env=env, stdout=subprocess.DEVNULL, stderr=errf).returncode
     threw = [l for l in open(f"{out}/verify.err")
              if l.startswith("[verify]")]
