@@ -55,7 +55,11 @@ object KafkaShaped {
       col("user_id").cast("string").cast("binary").as("key"),
       struct(
         (col("value") > 100).as("flag"),
-        col("user_id").cast("int").as("uid"),
+        // uid exercises the INT slot of the six-type payload contract; a
+        // raw cast ANSI-overflows once ids pass 2³¹ (caught by the sf1
+        // scale probe), so fold into INT range — identity for every id
+        // below 2³¹, a stable residue above it
+        pmod(col("user_id"), lit(2147483647L)).cast("int").as("uid"),
         col("event_id").as("id"),
         col("value").cast("float").as("fval"),
         col("value").as("dval"),

@@ -97,10 +97,20 @@ def gen(base, out, copies):
     print(f"[gen] {copies}x corpus at {out}")
 
 
+# Excluded from the default probe: components that are QUADRATIC BY
+# CONSTRUCTION and documented as such (measuring them only re-measures the
+# design note): q_knn_join_recall is the sanctioned all-pairs truth gauge
+# (sample-only in production, SCALE.md), and q_graph_ktruss rides the
+# memoized CoGraph whose per-(type, day)-cell user self-join is the known
+# quadratic one-off build cost.
+EXCLUDE = {"q_knn_join_recall", "q_graph_ktruss"}
+
+
 def default_queries():
     d = json.load(open(f"{REPO}/bench_r9_full.json"))
     qs = d.get("queries", d)
-    return [k for k, _ in sorted(qs.items(), key=lambda kv: -kv[1])[:25]]
+    top = [k for k, _ in sorted(qs.items(), key=lambda kv: -kv[1])[:27]]
+    return [k for k in top if k not in EXCLUDE][:25]
 
 
 def time_queries(sfdir, queries):
