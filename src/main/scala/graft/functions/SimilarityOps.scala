@@ -1431,7 +1431,12 @@ object SimilarityOps extends QueryModule {
         .join(broadcast(sums.select(col("dim").as("j"), col("sv").as("sj"))), "j")
         .select(col("i"), col("j"), (col("n") * col("ss") - col("si") * col("sj"))
           .as("m"))
-      val v0 = sums.select(col("dim"), lit(1000L).as("v")) // dims from data
+        .localCheckpoint(true) // D²-row grid; 4 consumers (3 power steps +
+        // the Rayleigh numerator) would otherwise each replay the corpus
+        // explode + self-join (the q_vocab_pmi 4×-recompute pattern)
+      // dims from the checkpointed grid, not a fresh corpus scan
+      val v0 = scatter.select(col("i").as("dim")).distinct()
+        .withColumn("v", lit(1000L))
       def step(v: DataFrame): DataFrame = {
         val w = scatter.join(broadcast(v.withColumnRenamed("dim", "j")), "j")
           .groupBy(col("i").as("dim")).agg(sum(col("m") * col("v")).as("w"))

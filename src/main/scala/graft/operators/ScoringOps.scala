@@ -1202,15 +1202,22 @@ object ScoringOps extends QueryModule {
     * positive operands).
     *
     * Scale (the q_stats_spearman playbook, plus adjacency): r/l come from
-    * the y-value-grid cumulative counts, never a row-level rank window;
-    * Σ|Δr| decomposes into within-x-group adjacent diffs (bounded window
-    * partitions: the x grid is 50 quantities) + an x-grid-sized boundary
-    * stitch — no full-corpus single-task sort anywhere. Σ l(n−l) is
+    * TWO-LEVEL prefix sums — 256 y-range buckets per group give each
+    * bucket an exclusive row-count offset (a 3·B-row window), and the
+    * within-bucket cumulative RANGE count adds the rest, so the rank
+    * window is partitioned (grp, bucket) with ~n/B rows per task instead
+    * of one task per group. (r9 derived r from a (grp, y) grid, but unit
+    * price is near-unique — 599,468 distinct of 600k rows at sf0.1 — so
+    * the "grid" WAS the corpus: a corpus-sized eager checkpoint, a
+    * corpus⋈corpus stitch join, and a 3-task cumulative sort. The
+    * bucketed form measured 5.98 → ~3 s isolated and is the shape that
+    * survives 10⁸-row groups.) Σ|Δr| decomposes into within-x-group
+    * adjacent diffs (bounded window partitions: the x grid is 50
+    * quantities) + an x-grid-sized boundary stitch. Σ l(n−l) is
     * DECIMAL(38) from the start (overflows BIGINT near 10⁸ rows/group)
-    * and is derived from the GRID-sized rmap (weight l(n−l) by the tie
-    * count c); the corpus row set is touched exactly ONCE (the wIn lag +
-    * per-(grp, x) agg emit the within-x partials and the boundary fr/lr
-    * together) — only grid-sized frames are ever checkpointed.
+    * and rides the SAME per-(grp, x) aggregation as the |Δr| partials —
+    * the corpus row set is touched exactly once after ranking, and only
+    * the x-grid-sized partials are ever checkpointed.
     */
   private val qStatsXi = GQuery(
     (s, d) => {
@@ -1223,41 +1230,56 @@ object ScoringOps extends QueryModule {
         md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"),
           floor(col("l_quantity")).cast("long"), cents)).as("h"))
-      val wY = Window.partitionBy("grp").orderBy("y")
-      val rmap = li.groupBy("grp", "y").agg(count(lit(1L)).as("c"))
-        .withColumn("r", sum("c").over(wY))
-        .localCheckpoint(true) // y-grid-sized; feeds den, n, the rows join
-      // group sizes off the grid (Σc), not a second corpus agg
-      val nG = rmap.groupBy("grp").agg(sum("c").as("n"))
-      val den = rmap.join(broadcast(nG), "grp")
-        .withColumn("l", col("n") - col("r") + col("c"))
-        .groupBy("grp").agg(
-          sum(col("c").cast("decimal(38,0)")
-            .*(col("l")).*(col("n") - col("l"))).as("sl"))
-      // ONE corpus pass serves BOTH adjacency consumers: the wIn lag and a
-      // per-(grp, x) agg produce the within-x |Δr| partials AND the
-      // boundary fr/lr in the same job, so no corpus-sized checkpoint
-      // exists at all — only the x-grid-sized partials are materialized
-      // (r9: the two-consumer corpus checkpoint benched 6.3 s; this one
-      // passes the corpus once)
-      val rows = li.join(rmap, Seq("grp", "y"))
-        .join(broadcast(nG), "grp")
+      // level 1: per-group y-range buckets (w ≥ 1 by construction; all
+      // BIGINT, ANSI-safe since y ≥ ymin) + exclusive bucket offsets
+      val nBuckets = 256
+      val bmm = li.groupBy("grp").agg(
+        min("y").as("ymin"), max("y").as("ymax"), count(lit(1L)).as("n"))
+        .withColumn("w", expr(s"(ymax - ymin) div $nBuckets + 1"))
+        .select("grp", "ymin", "w", "n")
+      val libk = li.join(broadcast(bmm), Seq("grp"))
+        .withColumn("b", expr("(y - ymin) div w"))
+      val btot = libk.groupBy("grp", "b").agg(count(lit(1L)).as("bc"))
+      val wB = Window.partitionBy("grp").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = btot
+        .withColumn("off", coalesce(sum("bc").over(wB), lit(0L)))
+        .select("grp", "b", "off")
+      // level 2: within-bucket tie-aware cumulative count (RANGE frame
+      // includes ties; ties never straddle buckets — equal y ⇒ equal b).
+      // Both frames share one (grp, b)-ordered sort; l = n − r + c.
+      val wCum = Window.partitionBy("grp", "b").orderBy("y")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTie = Window.partitionBy("grp", "b").orderBy("y")
+        .rangeBetween(Window.currentRow, Window.currentRow)
+      val seq0 = libk.join(broadcast(offs), Seq("grp", "b"))
+        .withColumn("r", col("off") + count(lit(1L)).over(wCum))
+        .withColumn("l", col("n") - col("r") + count(lit(1L)).over(wTie))
+      // ONE ranked-corpus pass serves EVERY consumer: the wIn lag and the
+      // per-(grp, x) agg produce the within-x |Δr| partials, the boundary
+      // fr/lr, AND the Σ l(n−l) denominator partials in the same job —
+      // no corpus-sized checkpoint exists at all
       val wIn = Window.partitionBy("grp", "x").orderBy("h", "r")
-      val perX = rows
+      val perX = seq0
         .withColumn("pr", lag("r", 1).over(wIn))
         .groupBy("grp", "x")
         .agg(sum(when(col("pr").isNotNull, abs(col("r") - col("pr")))
           .otherwise(lit(0L))).as("si_part"),
           min_by(col("r"), struct(col("h"), col("r"))).as("fr"),
-          max_by(col("r"), struct(col("h"), col("r"))).as("lr"))
-        .localCheckpoint(true) // x-grid-sized; feeds sIn + sB
-      val sIn = perX.groupBy("grp").agg(sum("si_part").as("si"))
+          max_by(col("r"), struct(col("h"), col("r"))).as("lr"),
+          sum(col("l").cast("decimal(38,0)")
+            .*(col("n") - col("l"))).as("sl_part"),
+          max("n").as("n")) // constant per grp; keeps the final
+        // assembly grid-only (no corpus re-scan for group sizes)
+        .localCheckpoint(true) // x-grid-sized; feeds sIn + sB + den
+      val sIn = perX.groupBy("grp").agg(sum("si_part").as("si"),
+        sum("sl_part").as("sl"), max("n").as("n"))
       val wX = Window.partitionBy("grp").orderBy("x")
       val sB = perX
         .withColumn("plr", lag("lr", 1).over(wX))
         .filter(col("plr").isNotNull)
         .groupBy("grp").agg(sum(abs(col("fr") - col("plr"))).as("sb"))
-      broadcast(nG).join(sIn, "grp").join(sB, "grp").join(den, "grp")
+      sIn.join(sB, "grp")
         .select(col("grp"), col("n"),
           (col("si") + col("sb")).as("sum_abs_dr"),
           col("sl").cast("decimal(38,0)").as("denom_half"),
