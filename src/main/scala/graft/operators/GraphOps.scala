@@ -61,6 +61,58 @@ object GraphOps extends QueryModule {
     }
   }
 
+  /** Memoized BUCKETED indexed adjacency of the symmetric supplier↔part
+    * bipartite graph — the shared artifact for the frontier-iterating
+    * queries over it (q_graph_closeness, q_graph_walks). CLUSTERED BY
+    * (src) INTO 32 BUCKETS: every BFS/walk round joins a frontier keyed
+    * on the source node, and the bucketed side needs ZERO exchange per
+    * round — without it each round re-shuffled the full edge list (4
+    * rounds × |E| rows; the dominant cost of both queries at sf0.1, and
+    * the term that grows with the graph at 100 TB while the frontier
+    * side stays state-sized). Columns: long node ids (suppliers raw,
+    * parts offset by 10⁹ — the closeness encoding), the string forms
+    * (walks hashes string ids — the oracle contract), the STRING-ordered
+    * neighbor index sidx + degree (walks' neighbor pick is a row_number
+    * over the string-sorted adjacency; precomputing it here also retires
+    * walks' per-round ranking window). Per-sfDir table name
+    * (the bucketedNames rule); data in a temp dir, CTAS per session.
+    */
+  private[graft] object BiAdj {
+    def tableName(d: String): String =
+      s"graft_biadj_${java.lang.Integer.toHexString(d.hashCode)}"
+    def apply(s: SparkSession, d: String): DataFrame = {
+      val nm = tableName(d)
+      if (!s.catalog.tableExists(nm)) {
+        val base = java.nio.file.Files.createTempDirectory("graft-biadj-").toString
+        val li = t(s, d, "lineitem")
+          .select(col("l_suppkey"), col("l_partkey"))
+          .filter(col("l_partkey").isNotNull) // NULL keys are not graph nodes
+          .distinct()
+        val edges = li.select(
+            col("l_suppkey").cast("long").as("src"),
+            (col("l_partkey") + lit(1000000000L)).as("dst"),
+            concat(lit("s:"), col("l_suppkey")).as("ssrc"),
+            concat(lit("p:"), col("l_partkey")).as("sdst"))
+          .union(li.select(
+            (col("l_partkey") + lit(1000000000L)).as("src"),
+            col("l_suppkey").cast("long").as("dst"),
+            concat(lit("p:"), col("l_partkey")).as("ssrc"),
+            concat(lit("s:"), col("l_suppkey")).as("sdst")))
+        val wSrc = Window.partitionBy("src")
+        edges
+          .withColumn("sidx",
+            row_number().over(wSrc.orderBy("sdst")).cast("long"))
+          .withColumn("deg", count(lit(1L)).over(wSrc))
+          .createOrReplaceTempView("graft_biadj_src")
+        s.sql(s"""CREATE TABLE $nm USING parquet
+                  CLUSTERED BY (src) SORTED BY (src) INTO 32 BUCKETS
+                  LOCATION '$base/adj'
+                  AS SELECT * FROM graft_biadj_src""")
+      }
+      s.table(nm)
+    }
+  }
+
   /** 3-iteration fixed-point PageRank (damping 0.85, initial mass 1_000_000
     * per node) over the symmetric bipartite supplier↔part graph from
     * lineitem. Symmetry guarantees every node has both in- and out-edges —
@@ -319,46 +371,34 @@ object GraphOps extends QueryModule {
   private val qGraphWalks = GQuery(
     (s, d) => {
       import graft.operators.DedupOps.hex4
-      val li = t(s, d, "lineitem")
-        .select(col("l_suppkey"), col("l_partkey"))
-        .filter(col("l_partkey").isNotNull) // NULL keys are not graph nodes
-        .distinct()
-      val edges = li.select(
-          concat(lit("s:"), col("l_suppkey")).as("src"),
-          concat(lit("p:"), col("l_partkey")).as("dst"))
-        .union(li.select(
-          concat(lit("p:"), col("l_partkey")).as("src"),
-          concat(lit("s:"), col("l_suppkey")).as("dst")))
-        .localCheckpoint(true) // indexed adjacency + degrees reuse it
-      var st = li.select(concat(lit("s:"), col("l_suppkey")).as("start"))
-        .distinct()
-        .select(col("start"), explode(sequence(lit(0), lit(1))).as("wk"),
-          col("start").as("cur"))
+      // the shared BUCKETED adjacency carries the STRING-ordered neighbor
+      // index (sidx) and degree precomputed — each step is ONE frontier
+      // join against it with zero edge-side exchange and no per-round
+      // ranking window; node ids travel as longs (the closeness key
+      // economics) and the string forms ride along for the hash rule
+      // (the walker's RNG hashes "s:"/"p:" ids — the oracle contract)
+      val adj = BiAdj(s, d)
+        .select(col("src"), col("sdst"), col("dst"), col("sidx"), col("deg"))
+      var st = BiAdj(s, d).filter(col("src") < 1000000000L)
+        .select(col("src"), col("ssrc")).distinct()
+        .select(col("ssrc").as("start"),
+          explode(sequence(lit(0), lit(1))).as("wk"),
+          col("src").as("cur"), col("ssrc").as("scur"))
       val visited = scala.collection.mutable.ArrayBuffer[DataFrame]()
       for (step <- 1 to 3) {
-        // index the adjacency ONLY for this step's frontier sources — the
-        // row_number/deg window then runs over frontier-degree rows, not
-        // the whole edge list (ranking within a src is unchanged because
-        // every edge of a kept src is kept); localCheckpoint truncates
-        // lineage (same-adjacency self-join across rounds) and keeps the
-        // loop plan flat
-        val fsrc = st.select(col("cur").as("nsrc")).distinct()
-        val wSrc = Window.partitionBy("nsrc")
-        val nb = edges.select(col("src").as("nsrc"), col("dst").as("ndst"))
-          .join(broadcast(fsrc), "nsrc")
-          .withColumn("idx",
-            row_number().over(wSrc.orderBy("ndst")).cast("long"))
-          .withColumn("deg", count(lit(1L)).over(wSrc))
+        // localCheckpoint truncates lineage (same-adjacency join across
+        // rounds) and keeps the loop plan flat
         st = st
-          .join(nb, col("cur") === col("nsrc") &&
+          .join(adj, col("cur") === col("src") &&
             pmod(hex4(concat_ws(":", col("start"), col("wk"),
-              lit(step), col("cur"))), col("deg")) + 1L === col("idx"))
-          .select(col("start"), col("wk"), col("ndst").as("cur"))
+              lit(step), col("scur"))), col("deg")) + 1L === col("sidx"))
+          .select(col("start"), col("wk"), col("dst").as("cur"),
+            col("sdst").as("scur"))
           .localCheckpoint(true)
         visited += st
       }
       visited.reduce(_ unionAll _)
-        .groupBy(col("cur").as("node")).agg(count(lit(1L)).as("n_visits"))
+        .groupBy(col("scur").as("node")).agg(count(lit(1L)).as("n_visits"))
         .orderBy("node")
     },
     Some {
@@ -420,23 +460,16 @@ object GraphOps extends QueryModule {
     */
   private val qGraphCloseness = GQuery(
     (s, d) => {
-      val li = t(s, d, "lineitem")
-        .select(col("l_suppkey"), col("l_partkey"))
-        .filter(col("l_partkey").isNotNull) // NULL keys are not graph nodes
-        .distinct()
       // BIGINT node ids (suppliers raw, parts offset by 10⁹): the K·E
       // expansion rows are hashed/compared every round — long keys cut
-      // that constant vs "s:"/"p:" strings
-      val edges = li.select(
-          col("l_suppkey").cast("long").as("src"),
-          (col("l_partkey") + lit(1000000000L)).as("dst"))
-        .union(li.select(
-          (col("l_partkey") + lit(1000000000L)).as("src"),
-          col("l_suppkey").cast("long").as("dst")))
-        .localCheckpoint(true) // four frontier joins reuse the edge list
-      val lms = li.select(col("l_suppkey")).distinct()
-        .orderBy("l_suppkey").limit(4)
-        .select(col("l_suppkey").cast("long").as("lm"))
+      // that constant vs "s:"/"p:" strings. The edge side is the shared
+      // BUCKETED adjacency: each frontier join exchanges ONLY the
+      // state-sized frontier; the edge list never re-shuffles.
+      val edges = BiAdj(s, d).select("src", "dst")
+      val lms = edges.filter(col("src") < 1000000000L)
+        .select(col("src")).distinct()
+        .orderBy("src").limit(4)
+        .select(col("src").as("lm"))
       var vis = lms.select(col("lm"), col("lm").as("node"),
         lit(0L).as("dist"))
       for (it <- 1 to 4) {

@@ -110,6 +110,32 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("graph frontier rounds join the bucketed adjacency with zero edge-side exchange") {
+    import org.apache.spark.sql.functions.col
+    // materialize the shared BiAdj artifact, then inspect a single
+    // frontier-round join with auto-broadcast off — at 100 TB the frontier
+    // does not broadcast, and the round must shuffle ONLY the frontier
+    // side (the edge list re-shuffling per round is the term that grows
+    // with the graph)
+    SparkEntry.queries("q_graph_closeness")(spark, sf).collect()
+    val adj = spark.table(operators.GraphOps.BiAdj.tableName(sf))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val frontier = adj.filter(col("src") < 1000000000L)
+        .select(col("src").as("node")).distinct()
+        .localCheckpoint(true) // isolate the round's plan from the build
+      val round = frontier.join(adj, col("node") === col("src"))
+      round.collect()
+      val p = round.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(p.contains("SortMergeJoin"), p.take(3000))
+      assert(p.contains("Bucketed: true"), p.take(3000))
+      // exactly one Exchange: the frontier; the adjacency scan is co-located
+      assert(p.linesIterator.count(_.contains("Exchange")) == 1, p.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q_dedup_incremental: bucketed SMJ on the band index, single corpus scan") {
     import org.apache.spark.sql.functions.col
     val df = SparkEntry.queries("q_dedup_incremental")(spark, sf)
