@@ -88,16 +88,22 @@ object GraphOps extends QueryModule {
           .select(col("l_suppkey"), col("l_partkey"))
           .filter(col("l_partkey").isNotNull) // NULL keys are not graph nodes
           .distinct()
+        // src_supp is the EXPLICIT node-type flag: inferring "supplier"
+        // from an id range (src < 10⁹) breaks the moment keys exceed the
+        // offset — the scale probe's key-shifted corpus does exactly that
+        // (the KafkaShaped uid-overflow lesson)
         val edges = li.select(
             col("l_suppkey").cast("long").as("src"),
             (col("l_partkey") + lit(1000000000L)).as("dst"),
             concat(lit("s:"), col("l_suppkey")).as("ssrc"),
-            concat(lit("p:"), col("l_partkey")).as("sdst"))
+            concat(lit("p:"), col("l_partkey")).as("sdst"),
+            lit(true).as("src_supp"))
           .union(li.select(
             (col("l_partkey") + lit(1000000000L)).as("src"),
             col("l_suppkey").cast("long").as("dst"),
             concat(lit("p:"), col("l_partkey")).as("ssrc"),
-            concat(lit("s:"), col("l_suppkey")).as("sdst")))
+            concat(lit("s:"), col("l_suppkey")).as("sdst"),
+            lit(false).as("src_supp")))
         val wSrc = Window.partitionBy("src")
         edges
           .withColumn("sidx",
@@ -379,7 +385,7 @@ object GraphOps extends QueryModule {
       // (the walker's RNG hashes "s:"/"p:" ids — the oracle contract)
       val adj = BiAdj(s, d)
         .select(col("src"), col("sdst"), col("dst"), col("sidx"), col("deg"))
-      var st = BiAdj(s, d).filter(col("src") < 1000000000L)
+      var st = BiAdj(s, d).filter(col("src_supp"))
         .select(col("src"), col("ssrc")).distinct()
         .select(col("ssrc").as("start"),
           explode(sequence(lit(0), lit(1))).as("wk"),
@@ -466,7 +472,7 @@ object GraphOps extends QueryModule {
       // BUCKETED adjacency: each frontier join exchanges ONLY the
       // state-sized frontier; the edge list never re-shuffles.
       val edges = BiAdj(s, d).select("src", "dst")
-      val lms = edges.filter(col("src") < 1000000000L)
+      val lms = BiAdj(s, d).filter(col("src_supp"))
         .select(col("src")).distinct()
         .orderBy("src").limit(4)
         .select(col("src").as("lm"))

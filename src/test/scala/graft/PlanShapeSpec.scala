@@ -122,7 +122,7 @@ class PlanShapeSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val frontier = adj.filter(col("src") < 1000000000L)
+      val frontier = adj.filter(col("src_supp"))
         .select(col("src").as("node")).distinct()
         .localCheckpoint(true) // isolate the round's plan from the build
       val round = frontier.join(adj, col("node") === col("src"))
