@@ -144,19 +144,9 @@ object GraphOps extends QueryModule {
     */
   private val qGraphPpr = GQuery(
     (s, d) => {
-      val li = t(s, d, "lineitem")
-        .select(col("l_suppkey"), col("l_partkey"))
-        .filter(col("l_partkey").isNotNull) // NULL keys are not graph nodes
-        .distinct()
-      val edges = li.select(
-          col("l_suppkey").cast("long").as("src"),
-          (col("l_partkey") + lit(1000000000L)).as("dst"))
-        .union(li.select(
-          (col("l_partkey") + lit(1000000000L)).as("src"),
-          col("l_suppkey").cast("long").as("dst")))
-      val withDeg = edges
-        .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
-        .localCheckpoint(true)
+      // the shared BUCKETED adjacency carries (src, dst, deg) precomputed:
+      // every iteration's edges⋈ranks join exchanges only the rank side
+      val withDeg = BiAdj(s, d).select("src", "dst", "deg")
       val bonus = withDeg.filter(col("src") < 5)
         .select(col("src").as("node")).distinct()
         .withColumn("mass", lit(150000L))
@@ -218,29 +208,12 @@ object GraphOps extends QueryModule {
 
   private val qGraphPagerank = GQuery(
     (s, d) => {
-      val li = t(s, d, "lineitem")
-        .select(col("l_suppkey"), col("l_partkey"))
-        .filter(col("l_partkey").isNotNull) // NULL keys are not graph nodes
-        .distinct()
       // BIGINT node ids (suppliers raw, parts offset by 10⁹) — the
       // closeness lesson: string keys cost ~2× on every iteration's
-      // join/agg hash
-      val edges = li.select(
-          col("l_suppkey").cast("long").as("src"),
-          (col("l_partkey") + lit(1000000000L)).as("dst"))
-        .union(li.select(
-          (col("l_partkey") + lit(1000000000L)).as("src"),
-          col("l_suppkey").cast("long").as("dst")))
-      // degree as a window over the one edge shuffle (not groupBy + join —
-      // that costs a second full-edge shuffle), then materialize ONCE:
-      // every iteration reuses the checkpointed (src, dst, deg) edge list
-      // instead of re-deriving it from the scan. Same pattern as the
-      // components operator; the checkpoint's blocks are reclaimed by
-      // Spark's ContextCleaner once the returned plan is GC'd (no explicit
-      // unpersist is possible — the result still references the RDD).
-      val withDeg = edges
-        .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
-        .localCheckpoint(true)
+      // join/agg hash. The shared BUCKETED adjacency carries
+      // (src, dst, deg) precomputed — each iteration's edges⋈ranks join
+      // exchanges only the node-sized rank side, never the edge list.
+      val withDeg = BiAdj(s, d).select("src", "dst", "deg")
       // iteration 1's rank is the constant initial mass, so it is inlined —
       // the first edges⋈ranks join exists only from iteration 2 on
       var rank = withDeg
@@ -302,31 +275,34 @@ object GraphOps extends QueryModule {
     */
   private val qGraphHits = GQuery(
     (s, d) => {
-      val edges = t(s, d, "lineitem")
-        .filter(col("l_partkey").isNotNull) // NULL keys are not graph nodes
-        .select(col("l_suppkey").cast("long").as("src"),
-          col("l_partkey").cast("long").as("dst"))
-        .distinct()
-        .localCheckpoint(true) // four half-steps reuse the edge list
+      // Both half-step directions ride the shared BUCKETED adjacency with
+      // zero edge-side exchange: the hub-push joins the supplier→part rows
+      // on src, and the auth-pull joins the SYMMETRIC part→supplier rows
+      // on src (also the bucket key) instead of the forward rows on dst.
+      // Authorities are keyed on the offset part ids internally (a
+      // bijection — every sum/renorm is value-identical) and un-offset at
+      // the output, so the emitted rows match the raw-id oracle exactly.
+      val fwd = BiAdj(s, d).filter(col("src_supp")).select("src", "dst")
+      val rev = BiAdj(s, d).filter(!col("src_supp")).select("src", "dst")
       def renorm(df: DataFrame, c: String): DataFrame = {
         val mx = df.agg(max(col(c)).as("mx")).withColumn("j", lit(1))
         df.withColumn("j", lit(1)).join(broadcast(mx), "j")
           .select(col("id"), expr(s"($c * 1000000) div mx").as(c))
       }
-      var hub = edges.select(col("src").as("id")).distinct()
+      var hub = fwd.select(col("src").as("id")).distinct()
         .withColumn("h", lit(1000000L))
       var auth: DataFrame = null
       for (_ <- 1 to 2) {
-        auth = renorm(edges.join(hub, col("src") === col("id"))
+        auth = renorm(fwd.join(hub, col("src") === col("id"))
           .groupBy("dst").agg(sum("h").as("a"))
           .select(col("dst").as("id"), col("a")), "a")
-        hub = renorm(edges.join(auth, col("dst") === col("id"))
-          .groupBy("src").agg(sum("a").as("h"))
-          .select(col("src").as("id"), col("h")), "h")
+        hub = renorm(rev.join(auth, col("src") === col("id"))
+          .groupBy("dst").agg(sum("a").as("h"))
+          .select(col("dst").as("id"), col("h")), "h")
       }
       hub.select(lit("hub").as("kind"), col("id"), col("h").as("score"))
-        .unionByName(auth.select(lit("authority").as("kind"), col("id"),
-          col("a").as("score")))
+        .unionByName(auth.select(lit("authority").as("kind"),
+          (col("id") - lit(1000000000L)).as("id"), col("a").as("score")))
         .orderBy("kind", "id")
     },
     Some("""WITH edges AS (
