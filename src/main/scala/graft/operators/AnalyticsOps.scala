@@ -2524,32 +2524,40 @@ object AnalyticsOps extends QueryModule {
   private val qStatsKs = GQuery(
     (s, d) => {
       val cents = graft.Exact.cents(col("l_extendedprice"))
-      val li = t(s, d, "lineitem")
+      def vals = t(s, d, "lineitem")
         .filter(col("l_returnflag").isin("R", "A"))
         .select(cents.as("v"),
           when(col("l_returnflag") === "R", 1L).otherwise(0L).as("isr"))
-      val vals = li.groupBy("v")
+        .groupBy("v")
         .agg(sum("isr").as("c1"), sum(lit(1L) - col("isr")).as("c2"))
-      val b = vals.withColumn("bkt", expr("v div 100000"))
+        .withColumn("bkt", expr("v div 100000"))
+      // bucket totals checkpoint (~105 rows) feeds offsets AND the group
+      // sizes; the price grid (near-unique — corpus-sized, the xi/wquantile
+      // lesson) is consumed exactly once and never materializes
+      val btot = vals.groupBy("bkt")
+        .agg(sum("c1").as("t1"), sum("c2").as("t2"))
+        .localCheckpoint(true)
       val wb = Window.orderBy("bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
-      val bp = b.groupBy("bkt").agg(sum("c1").as("t1"), sum("c2").as("t2"))
-        .select(col("bkt"),
-          coalesce(sum("t1").over(wb), lit(0L)).as("off1"),
-          coalesce(sum("t2").over(wb), lit(0L)).as("off2"))
+      val bp = btot.select(col("bkt"),
+        coalesce(sum("t1").over(wb), lit(0L)).as("off1"),
+        coalesce(sum("t2").over(wb), lit(0L)).as("off2"))
+      val tot = btot.agg(sum("t1").as("n1"), sum("t2").as("n2"))
       val wv = Window.partitionBy("bkt").orderBy("v")
-      val tot = vals.agg(sum("c1").as("n1"), sum("c2").as("n2"))
-      val cum = b.join(broadcast(bp), "bkt")
+      val sc = vals.join(broadcast(bp), "bkt")
         .select(col("v"),
           (col("off1") + sum("c1").over(wv)).as("cum1"),
           (col("off2") + sum("c2").over(wv)).as("cum2"))
-      val sc = cum.crossJoin(broadcast(tot))
-        .select(col("v"),
+        .crossJoin(broadcast(tot))
+        .select(col("v"), col("n1"), col("n2"),
           abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("dnum"))
-      val dm = sc.agg(max("dnum").as("d_num"))
-      val vAt = sc.join(broadcast(dm), col("dnum") === col("d_num"))
-        .agg(min("v").as("v_at"))
-      tot.crossJoin(dm).crossJoin(vAt)
+      // max numerator AND its smallest attaining value in ONE reduction
+      // (max_by on (dnum, −v) — the r9 two-consumer shape replayed the
+      // whole ECDF pipeline once per readout)
+      sc.groupBy("n1", "n2")
+        .agg(max("dnum").as("d_num"),
+          max_by(col("v"), struct(col("dnum"), (-col("v")).as("nv")))
+            .as("v_at"))
         .select(col("n1"), col("n2"), col("d_num"),
           dround(col("d_num").cast("double")
             / (col("n1").cast("double") * col("n2").cast("double")), 6).as("d"),

@@ -797,27 +797,28 @@ object RelationalExt extends QueryModule {
     (s, d) => {
       val v = cents(col("l_extendedprice"))
       val w = cents(col("l_quantity"))
-      // the grid feeds off + cum (and tot through cum) — materialize the
-      // value-domain-sized aggregate once or the corpus scan runs per
-      // consumer (the triangles/setjoin lesson; plan-pinned to 1 scan)
-      val grid = t(s, d, "lineitem")
+      def src = t(s, d, "lineitem")
         .select(col("l_returnflag").as("flag"), v.as("v"), w.as("w"))
-        .groupBy("flag", "v").agg(sum("w").as("vw"))
         .withColumn("bkt", expr("v div 100000000"))
-        .localCheckpoint(true)
+      // bucket offsets and totals need only (flag, bkt) sums — aggregate
+      // them straight off the scan, NOT off the (flag, v) grid: the price
+      // domain is near-unique, so the r9 grid checkpoint was corpus-sized
+      // (the q_stats_xi lesson). The v-grid then has exactly ONE consumer
+      // (the in-bucket running sum) and never materializes; the second
+      // column-pruned scan is far cheaper than the corpus checkpoint.
+      val bktAgg = src.groupBy("flag", "bkt").agg(sum("w").as("bw"))
+        .localCheckpoint(true) // bucket-grid-sized; feeds off + tot
       val wOff = Window.partitionBy("flag").orderBy("bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
-      val off = grid.groupBy("flag", "bkt").agg(sum("vw").as("bw"))
+      val off = bktAgg
         .select(col("flag"), col("bkt"),
           coalesce(sum("bw").over(wOff), lit(0L)).as("off"))
+      val tot = bktAgg.groupBy("flag").agg(sum("bw").as("totw"))
+      val grid = src.groupBy("flag", "bkt", "v").agg(sum("w").as("vw"))
       val wIn = Window.partitionBy("flag", "bkt").orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = grid.join(broadcast(off), Seq("flag", "bkt"))
         .withColumn("cw", col("off") + sum("vw").over(wIn))
-      // total weight straight off the checkpointed grid — max(cw) is the
-      // same value but re-runs the whole cum window a second time (r9: one
-      // window pass shaved)
-      val tot = grid.groupBy("flag").agg(sum("vw").as("totw"))
       cum.join(broadcast(tot), "flag")
         .groupBy("flag")
         .agg(min(when(col("cw") * 4 >= col("totw"), col("v"))).as("wq25_cents"),

@@ -849,10 +849,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!asof.contains("CartesianProduct") && !asof.contains("BroadcastNestedLoopJoin"),
       asof.take(3000))
 
-    // weighted quantiles: one scan; windows are (flag)/(flag,bkt)
-    // partitioned — never a whole-table single-partition sort
+    // weighted quantiles: two column-pruned scans (bucket sums + the
+    // v-grid — r10 retired the corpus-sized grid checkpoint, the xi
+    // lesson); windows are (flag)/(flag,bkt) partitioned — never a
+    // whole-table single-partition sort
     val wq = plan("q_agg_wquantile")
-    assert("Scan parquet".r.findAllIn(wq).length <= 1, wq.take(3000))
+    assert("Scan parquet".r.findAllIn(wq).length <= 2, wq.take(3000))
+    assert(!wq.linesIterator.exists(l =>
+      l.contains("windowspecdefinition") && !l.contains("flag")),
+      wq.take(3000))
 
     // hashing trick: top-k short-circuits
     val th = plan("q_text_hashing")
