@@ -454,22 +454,38 @@ object SimilarityOps extends QueryModule {
     * queries above broadcast a handful of probes; here BOTH sides are the
     * corpus, so the plan must be different: assign each vector to its
     * nearest coarse centroid (one broadcast map pass, the q_knn_ivf_centroid
-    * codebook), replicate the query side to its 2 nearest cells (bounded
+    * codebook), replicate the query side to its 4 nearest cells (bounded
     * ×nprobe blow-up), then a cell-keyed SHUFFLE join — corpus and queries
     * co-partitioned on `cell`, never broadcast, never all-pairs. Per-cell
     * candidate work is (n/K)·(nprobe·n/K); K grows with the corpus (√n rule)
     * so the per-task quadratic term stays bounded, and the top-3 window
     * partitions on p_id — a high-cardinality key that spreads across the
-    * cluster. Cell skew (a hot centroid) is AQE skew-join territory; the
-    * codebook stand-in here is deliberately the same 8 vectors the other IVF
-    * queries share so recall is comparable across the family.
+    * cluster. Cell skew (a hot centroid) is AQE skew-join territory.
+    *
+    * The √n rule is IMPLEMENTED, not just documented: the codebook is every
+    * stride-th vector by id with stride = n div ceil(√n), so K ≈ √n tracks
+    * the corpus (r10 scale probe caught the earlier fixed-8 stand-in going
+    * quadratic at sf1: per-cell work was n/8 a side). Both engines derive
+    * the stride with integer division (Spark `div` ≡ DuckDB BIGINT `//`)
+    * from the same count, so the t2 hash gates the whole adaptive plan.
+    * nprobe is the FIXED recall knob (4): per-cell work nprobe·(n/K)² is
+    * constant at K=√n — total compute n^1.5 spread over K constant-size
+    * tasks, so a cluster that widens with the corpus holds wall-clock
+    * flat; a recall SLO is bought by raising nprobe (one more
+    * constant-size task per cell each step), never by shrinking K. The
+    * q_knn_join_recall histogram pins this (K, nprobe) operating point's
+    * recall into the oracle gate.
     */
   private val qKnnJoin = GQuery(
     (s, d) => {
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
         .withColumn("nrm", norm(col("emb")))
-      val cents = emb.filter(col("vec_id").between(100, 107))
+      val nk = emb.agg(count(lit(1)).as("n"))
+        .select(greatest(lit(1L),
+          expr("n div cast(ceil(sqrt(cast(n as double))) as bigint)")).as("stride"))
+      val cents = emb.crossJoin(broadcast(nk))
+        .filter(col("vec_id") % col("stride") === 0)
         .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
       // aff feeds BOTH the assignment and the query-cell ranking — Spark
       // shares no subplans across consumers, so materialize the K-per-vector
@@ -485,7 +501,7 @@ object SimilarityOps extends QueryModule {
       val wCell = Window.partitionBy("vec_id").orderBy(col("aff").desc, col("c_id").asc)
       val queries = emb
         .join(aff.withColumn("crk", row_number().over(wCell))
-          .filter(col("crk") <= 2).select(col("vec_id"), col("c_id").as("cell")),
+          .filter(col("crk") <= 4).select(col("vec_id"), col("c_id").as("cell")),
           "vec_id")
         .select(col("vec_id").as("p_id"), col("emb").as("p_emb"),
           col("nrm").as("p_nrm"), col("cell"))
@@ -505,8 +521,10 @@ object SimilarityOps extends QueryModule {
                      sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
                        x -> x * x))) AS nrm
               FROM embeddings),
-            cents AS (SELECT vec_id AS c_id, emb AS c_emb FROM e
-                      WHERE vec_id BETWEEN 100 AND 107),
+            nk AS (SELECT greatest(1, count(*) //
+                     CAST(ceil(sqrt(count(*))) AS BIGINT)) AS stride FROM e),
+            cents AS (SELECT vec_id AS c_id, emb AS c_emb FROM e, nk
+                      WHERE vec_id % stride = 0),
             aff AS (
               SELECT e.vec_id, c.c_id,
                      CAST(round(CAST(list_dot_product(e.emb, c.c_emb)
@@ -523,7 +541,7 @@ object SimilarityOps extends QueryModule {
                 SELECT vec_id, c_id,
                        row_number() OVER (PARTITION BY vec_id
                          ORDER BY aff DESC, c_id) AS crk
-                FROM aff) WHERE crk <= 2),
+                FROM aff) WHERE crk <= 4),
             cand AS (
               SELECT q.p_id, ce.vec_id AS n_id,
                      CAST(round(CAST(list_dot_product(pe.emb, ce.emb)
@@ -593,8 +611,10 @@ object SimilarityOps extends QueryModule {
                 SELECT p_id, n_id, row_number() OVER (PARTITION BY p_id
                          ORDER BY cos DESC, n_id) AS rn
                 FROM tscored) WHERE rn <= 3),
-            cents AS (SELECT vec_id AS c_id, emb AS c_emb FROM e
-                      WHERE vec_id BETWEEN 100 AND 107),
+            nk AS (SELECT greatest(1, count(*) //
+                     CAST(ceil(sqrt(count(*))) AS BIGINT)) AS stride FROM e),
+            cents AS (SELECT vec_id AS c_id, emb AS c_emb FROM e, nk
+                      WHERE vec_id % stride = 0),
             aff AS (
               SELECT e.vec_id, c.c_id,
                      CAST(round(CAST(list_dot_product(e.emb, c.c_emb)
@@ -611,7 +631,7 @@ object SimilarityOps extends QueryModule {
                 SELECT vec_id, c_id,
                        row_number() OVER (PARTITION BY vec_id
                          ORDER BY aff DESC, c_id) AS crk
-                FROM aff) WHERE crk <= 2),
+                FROM aff) WHERE crk <= 4),
             cand AS (
               SELECT q.p_id, ce.vec_id AS n_id,
                      CAST(round(CAST(list_dot_product(pe.emb, ce.emb)
