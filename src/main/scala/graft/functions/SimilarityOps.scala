@@ -482,8 +482,10 @@ object SimilarityOps extends QueryModule {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
         .withColumn("nrm", norm(col("emb")))
       val nk = emb.agg(count(lit(1)).as("n"))
+        // inner greatest: empty corpus ⇒ ceil(√0) = 0 would ANSI-throw 0 div 0
         .select(greatest(lit(1L),
-          expr("n div cast(ceil(sqrt(cast(n as double))) as bigint)")).as("stride"))
+          expr("n div greatest(cast(ceil(sqrt(cast(n as double))) as bigint), 1L)"))
+          .as("stride"))
       val cents = emb.crossJoin(broadcast(nk))
         .filter(col("vec_id") % col("stride") === 0)
         .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
@@ -522,7 +524,8 @@ object SimilarityOps extends QueryModule {
                        x -> x * x))) AS nrm
               FROM embeddings),
             nk AS (SELECT greatest(1, count(*) //
-                     CAST(ceil(sqrt(count(*))) AS BIGINT)) AS stride FROM e),
+                     greatest(CAST(ceil(sqrt(count(*))) AS BIGINT), 1))
+                   AS stride FROM e),
             cents AS (SELECT vec_id AS c_id, emb AS c_emb FROM e, nk
                       WHERE vec_id % stride = 0),
             aff AS (
@@ -612,7 +615,8 @@ object SimilarityOps extends QueryModule {
                          ORDER BY cos DESC, n_id) AS rn
                 FROM tscored) WHERE rn <= 3),
             nk AS (SELECT greatest(1, count(*) //
-                     CAST(ceil(sqrt(count(*))) AS BIGINT)) AS stride FROM e),
+                     greatest(CAST(ceil(sqrt(count(*))) AS BIGINT), 1))
+                   AS stride FROM e),
             cents AS (SELECT vec_id AS c_id, emb AS c_emb FROM e, nk
                       WHERE vec_id % stride = 0),
             aff AS (
