@@ -14,9 +14,20 @@ is a multiple of every modulus the queries use, so k % m distributions are
 preserved exactly). region/nation stay single-copy (fixed dimensions);
 foreign keys shift with their parents so join cardinalities scale 10x.
 documents get a per-copy token prefix (distinct vocab per copy: within-copy
-duplicate structure is preserved, no artificial cross-copy near-dups).
-embeddings get a per-copy deterministic sign-flip pattern (norms preserved,
-copies land in different SRP octants — no artificial cross-copy neighbors).
+duplicate structure is preserved, no artificial cross-copy near-dups). The
+prefix is LENGTH-VARYING ("c" + "x"*i): a fixed-width prefix is a uniform
+brightness shift, which aHash is invariant to BY DESIGN, so the first synth
+accidentally created 10-deep cross-copy perceptual dup classes and
+q_multimodal_phash read alpha=1.60 on its own (correct, quadratic-in-class)
+all-pairs output; varying the byte alignment per copy decorrelates the
+signatures. embeddings get a per-copy deterministic sign-flip pattern (norms
+preserved, copies land in different SRP octants — no artificial cross-copy
+neighbors). events shift ts by i*53 weeks per copy (day-of-week and
+hour-of-day preserved): keeping timestamps fixed multiplied per-(type, day)
+co-occurrence CELL density 10x instead of cell count — the CoGraph
+user-pair graph came out 102x denser (30,875 -> 3.16M edges at c>=28), so
+every graph query was measured against a 100x-edge graph, not 10x data;
+more days at the SAME density is what 10x of this workload means.
 
 Usage:
   python3 tools/scale_probe.py gen [--base /root/testdata/sf0.1]
@@ -66,10 +77,21 @@ def shifted_copy(tbl, name, i):
                           for v in c.to_pylist()], type=a.type)
                 for c in a.chunks])
         elif name == "documents" and col == "text":
+            # length-varying prefix: see module doc (aHash brightness trap)
+            pre = "c" + "x" * i
             a = pa.chunked_array([
                 pa.array([None if v is None else
-                          " ".join(f"c{i}{w}" for w in v.split())
+                          " ".join(f"{pre}{w}" for w in v.split())
                           for v in c.to_pylist()], type=a.type)
+                for c in a.chunks])
+        elif name == "events" and col == "ts":
+            # 53 weeks per copy: new days at the ORIGINAL per-day density
+            # (fixed days would densify co-occurrence cells 10x instead),
+            # day-of-week and hour-of-day preserved exactly
+            import pyarrow.compute as pc
+            shift_us = i * 53 * 7 * 86400 * 1_000_000
+            a = pa.chunked_array([
+                pc.cast(pc.add(pc.cast(c, pa.int64()), shift_us), a.type)
                 for c in a.chunks])
         elif name == "embeddings" and col == "embedding":
             def flip(vec):
