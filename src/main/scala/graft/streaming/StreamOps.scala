@@ -625,17 +625,27 @@ object StreamOps {
   /** The sink as a SOURCE: tail a topic dir's committed ORC files as a
     * stream — how a downstream consumer (feature builder, trainer feed)
     * subscribes to landed data without re-reading the topic. Safe against
-    * in-flight commits by construction, in two parts (both necessary —
-    * observed live: the spec's tail runs continuous triggers against
-    * concurrent writes): (1) `recursiveFileLookup` disables directory-based
-    * partition inference, which would otherwise die with
+    * in-flight commits by construction, in three parts (each observed
+    * failing live without it — the spec's tail runs continuous triggers
+    * against concurrent writes): (1) `recursiveFileLookup` disables
+    * directory-based partition inference, which would otherwise die with
     * CONFLICTING_PARTITION_COLUMN_NAMES the moment a listing raced a
     * commit — the transient `_chunk=c` staging dirs are EXEMPT from the
     * file index's `_` filter because their names contain '='; (2) the
     * committed-name pathGlobFilter `*+*+*.orc` excludes every staging
     * `part-*` file and every sink marker, admitting exactly the
     * offset-named commits, which appear atomically at their final names
-    * via the hoist rename. The dir-encoded columns (partition, dt, chunk)
+    * via the hoist rename; (3) `ignoreMissingFiles` covers the TRAVERSAL
+    * itself: the recursive walk can enter a `_chunk=c` staging dir and
+    * have the commit hoist delete it before the child listing runs — the
+    * listing then throws "File …/_chunk=c does not exist" and kills the
+    * query (observed live, r10). The per-source option is honored in the
+    * LISTING phase (InMemoryFileIndex builds FileSourceOptions from the
+    * source's own option map — verified against the Spark 4.1 bytecode)
+    * as well as the read phase, where a committed file vanishing
+    * mid-batch (expire/compact under the single-writer caveat) degrades
+    * to the documented at-least-the-first-commit contract instead of a
+    * stream kill. The dir-encoded columns (partition, dt, chunk)
     * are re-derived from the committed path, which embeds them all.
     * Exactly-once per file from the file-source's processed-files log;
     * chunk replays rewrite the SAME file name, which the file source
@@ -669,6 +679,7 @@ object StreamOps {
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", "*+*+*.orc") // committed names only — see scaladoc
+      .option("ignoreMissingFiles", "true") // staging dir deleted mid-walk — see scaladoc
       .orc(topicDir)
       .withColumn("partition",
         regexp_extract(input_file_name(),
