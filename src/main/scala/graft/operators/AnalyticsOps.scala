@@ -6769,19 +6769,23 @@ object AnalyticsOps extends QueryModule {
     * almost nothing). Series share one global day grid (missing days
     * filled 0, integer cents, mean-centered via `div`), so the classic
     * O(L²) DP runs banded as a nested exact-BIGINT fold: outer
-    * `aggregate` over rows i carries the previous DP row, inner fold
-    * over j builds the new row left-to-right with
-    * dp = |aᵢ−bⱼ| + min(dp↖, dp↑, dp←) and out-of-band cells pinned to a
-    * 10¹⁵ sentinel (any in-band path ≪ sentinel, so min() is exact —
-    * never a float ∞). The DuckDB twin replays the identical fold via
-    * list_reduce with the list-of-lists accumulator trick (list_reduce
+    * `aggregate` over rows i carries the previous BAND-LOCAL DP row
+    * ([lo, D(i,lo)…D(i,hi)], ≤ 2r+2 elements — the fold's per-cell array
+    * copy is O(2r+1), not O(L); the r10 sf1 probe caught the original
+    * full-width inner fold at α 1.30 and the band-local rewrite returned
+    * it to α ≈ 0.5), inner fold over the band builds the new row
+    * left-to-right with dp = |aᵢ−bⱼ| + min(dp↖, dp↑, dp←), neighbor
+    * columns mapped through the carried lo offset and out-of-band cells
+    * pinned to a 10¹⁵ sentinel (any in-band path ≪ sentinel, so min() is
+    * exact — never a float ∞). The DuckDB twin replays the identical fold
+    * via list_reduce with the list-of-lists accumulator trick (list_reduce
     * has no init parameter — the seed row rides as element 0). Emits the
     * lock-step L1 distance beside dtw_c per pair: dtw ≤ lockstep on
     * every row is the self-evident sanity invariant.
     *
     * Scale: the corpus collapses to the |types|×|days| grid in one
     * map-combinable agg; the DP is |pairs|·L·(2r+1) integer ops on
-    * grid-sized arrays — independent of event count, the same
+    * band-sized arrays — independent of event count, the same
     * calendar-bounded-fold economics as q_ts_holt. More series → more
     * PAIRS (rows, distributed), never bigger cells.
     */
@@ -6812,21 +6816,37 @@ object AnalyticsOps extends QueryModule {
           col("l").cast("long").as("n_days"),
           expr("""aggregate(zip_with(aa, bb, (x, y) -> abs(x - y)),
                    CAST(0 AS BIGINT), (a, v) -> a + v)""").as("lockstep_c"),
+          // band-LOCAL DP rows: each row is [lo, D(i,lo), …, D(i,hi)] with
+          // lo = max(1, i−10), hi = min(L, i+10) — ≤ 2r+2 elements, so the
+          // fold's per-cell array copy is O(2r+1), not O(L) (the r10 sf1
+          // probe caught the full-width fold at α 1.30: every row walked
+          // all L columns and each append re-copied an L-sized array).
+          // Neighbor lookups map column c to prev index c − prev[1] + 2 and
+          // pin out-of-band cells to the 10¹⁵ sentinel — value-identical to
+          // the full matrix (a band cell's ↖/↑/← neighbors are in the
+          // previous/current band or out-of-band in BOTH representations).
           expr("""element_at(
               aggregate(sequence(1, l),
-                concat(array(CAST(0 AS BIGINT)),
-                       transform(sequence(1, l),
-                         j -> CAST(1000000000000000 AS BIGINT))),
-                (prev, i) -> aggregate(sequence(1, l),
-                  array(CAST(1000000000000000 AS BIGINT)),
+                array(CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+                (prev, i) -> aggregate(
+                  sequence(greatest(1, i - 10), least(l, i + 10)),
+                  array(CAST(greatest(1, i - 10) AS BIGINT)),
                   (acc, j) -> concat(acc, array(
-                    IF(abs(i - j) > 10,
-                       CAST(1000000000000000 AS BIGINT),
-                       abs(element_at(aa, i) - element_at(bb, j))
-                         + least(element_at(prev, j),
-                                 element_at(prev, j + 1),
-                                 element_at(acc, -1))))))),
-              l + 1)""").as("dtw_c"))
+                    abs(element_at(aa, i) - element_at(bb, j))
+                      + least(
+                          IF(j - 1 >= element_at(prev, 1)
+                               AND j - 1 <= element_at(prev, 1) + size(prev) - 2,
+                             element_at(prev,
+                               CAST(j - 1 - element_at(prev, 1) AS INT) + 2),
+                             CAST(1000000000000000 AS BIGINT)),
+                          IF(j >= element_at(prev, 1)
+                               AND j <= element_at(prev, 1) + size(prev) - 2,
+                             element_at(prev,
+                               CAST(j - element_at(prev, 1) AS INT) + 2),
+                             CAST(1000000000000000 AS BIGINT)),
+                          IF(size(acc) > 1, element_at(acc, -1),
+                             CAST(1000000000000000 AS BIGINT))))))),
+              -1)""").as("dtw_c"))
         .orderBy("et_a", "et_b")
     },
     Some("""WITH ev AS (
@@ -6860,21 +6880,28 @@ object AnalyticsOps extends QueryModule {
                    CAST(list_sum(list_transform(generate_series(1, l),
                      k -> abs(aa[k] - bb[k]))) AS BIGINT) AS lockstep_c,
                    CAST(list_reduce(
-                     list_prepend(
-                       list_prepend(CAST(0 AS BIGINT),
-                         list_transform(generate_series(1, l),
-                           j -> CAST(1000000000000000 AS BIGINT))),
-                       list_transform(generate_series(1, l), i -> [i])),
+                     list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+                       list_transform(generate_series(1, l),
+                         i -> [CAST(i AS BIGINT)])),
                      (prev, x) -> list_reduce(
-                       list_prepend([CAST(1000000000000000 AS BIGINT)],
-                         list_transform(generate_series(1, l),
-                           j -> [j])),
+                       list_prepend(
+                         [CAST(greatest(1, x[1] - 10) AS BIGINT)],
+                         list_transform(generate_series(
+                             greatest(1, x[1] - 10), least(l, x[1] + 10)),
+                           j -> [CAST(j AS BIGINT)])),
                        (acc, y) -> list_append(acc,
-                         CASE WHEN abs(x[1] - y[1]) > 10
-                           THEN CAST(1000000000000000 AS BIGINT)
-                           ELSE abs(aa[x[1]] - bb[y[1]])
-                             + least(prev[y[1]], prev[y[1] + 1],
-                                     acc[-1]) END)))[l + 1]
+                         abs(aa[x[1]] - bb[y[1]])
+                           + least(
+                               CASE WHEN y[1] - 1 >= prev[1]
+                                      AND y[1] - 1 <= prev[1] + len(prev) - 2
+                                 THEN prev[y[1] - 1 - prev[1] + 2]
+                                 ELSE CAST(1000000000000000 AS BIGINT) END,
+                               CASE WHEN y[1] >= prev[1]
+                                      AND y[1] <= prev[1] + len(prev) - 2
+                                 THEN prev[y[1] - prev[1] + 2]
+                                 ELSE CAST(1000000000000000 AS BIGINT) END,
+                               CASE WHEN len(acc) > 1 THEN acc[-1]
+                                 ELSE CAST(1000000000000000 AS BIGINT) END))))[-1]
                      AS BIGINT) AS dtw_c
             FROM pairs ORDER BY et_a, et_b"""))
 
@@ -9627,8 +9654,10 @@ object AnalyticsOps extends QueryModule {
     *
     * Scale: day-grid economics end-to-end — the only window is the
     * per-type day index, every agg is map-combinable, and the spectrum
-    * table is |types|×5 rows. power·32 packing overflows past ~5·10¹⁷
-    * c² (≈ 7·10⁸-cent daily swings) — DECIMAL widening rule.
+    * table is |types|×5 rows. power (= sc²+ss², sc ∝ days·daily-swing)
+    * and its ·10⁶/·32 products run WIDENED — Spark DECIMAL(38,0), oracle
+    * HUGEINT, both integer-div truncating — after the r10 sf1 probe
+    * overflowed the original BIGINT pw·10⁶ at 10× the day count.
     */
   private val qTsSpectralEntropy = GQuery(
     (s, d) => {
@@ -9656,13 +9685,21 @@ object AnalyticsOps extends QueryModule {
           expr("""CAST(round(CAST(xc AS DOUBLE)
                * sin(2.0 * pi() * CAST(t AS DOUBLE) / CAST(p AS DOUBLE)))
                AS BIGINT)""").as("tsn"))
+      // pw and everything it feeds run in DECIMAL(38,0) (oracle: HUGEINT) —
+      // the scaladoc's DECIMAL widening rule, now LIVE: the r10 sf1 probe
+      // overflowed the old BIGINT pw·10⁶ the moment per-type day counts
+      // grew 10× (sc scales with days; pw with days²). Spark decimal `div`
+      // and DuckDB HUGEINT `//` both truncate toward zero, so the ppm grid
+      // stays engine-exact.
       val spec = terms.groupBy("event_type", "pidx", "p")
         .agg(sum("tc").as("sc"), sum("tsn").as("ss"))
         .select(col("event_type"), col("pidx"), col("p"),
-          (col("sc") * col("sc") + col("ss") * col("ss")).as("pw"))
+          (col("sc").cast("decimal(19,0)") * col("sc")
+            + col("ss").cast("decimal(19,0)") * col("ss")).as("pw"))
       val tot = spec.groupBy("event_type").agg(sum("pw").as("tp"))
       spec.join(broadcast(tot), "event_type")
-        .withColumn("q", expr("(pw * 1000000) div greatest(1, tp)"))
+        .withColumn("q", expr(
+          "CAST((pw * 1000000) div greatest(CAST(1 AS DECIMAL(38,0)), tp) AS BIGINT)"))
         .withColumn("term",
           when(col("q") > 0,
             round(log(col("q").cast("double") / 1e6) * 1e6).cast("long"))
@@ -9674,7 +9711,7 @@ object AnalyticsOps extends QueryModule {
           (lit(1000L) - expr(
             "(h_micro * 1000) div CAST(round(ln(5.0) * 1e6) AS BIGINT)"))
             .as("forecastability_milli"),
-          expr("""CASE pmod(mx, 32) WHEN 0 THEN 3L WHEN 1 THEN 5L
+          expr("""CASE CAST(mx % 32 AS BIGINT) WHEN 0 THEN 3L WHEN 1 THEN 5L
                WHEN 2 THEN 7L WHEN 3 THEN 10L ELSE 15L END""")
             .as("dom_period"))
         .orderBy("event_type")
@@ -9704,14 +9741,15 @@ object AnalyticsOps extends QueryModule {
                 (3, 10), (4, 15)) AS v(pidx, p)) pp),
             spec AS (
               SELECT event_type, pidx, p,
-                     CAST(sum(tc) * sum(tc) + sum(tsn) * sum(tsn)
-                       AS BIGINT) AS pw
+                     CAST(sum(tc) AS HUGEINT) * sum(tc)
+                       + CAST(sum(tsn) AS HUGEINT) * sum(tsn) AS pw
               FROM terms GROUP BY 1, 2, 3),
-            tot AS (SELECT event_type, CAST(sum(pw) AS BIGINT) AS tp
+            tot AS (SELECT event_type, sum(pw) AS tp
                     FROM spec GROUP BY 1),
             qq AS (
               SELECT s.event_type, s.pidx, s.pw,
-                     (s.pw * 1000000) // greatest(1, t.tp) AS q
+                     CAST((s.pw * 1000000)
+                       // greatest(CAST(1 AS HUGEINT), t.tp) AS BIGINT) AS q
               FROM spec s JOIN tot t USING (event_type)),
             sc AS (
               SELECT event_type,
@@ -9719,7 +9757,7 @@ object AnalyticsOps extends QueryModule {
                        THEN CAST(round(ln(CAST(q AS DOUBLE) / 1e6) * 1e6)
                          AS BIGINT) ELSE 0 END) // 1000000) AS BIGINT)
                        AS h_micro,
-                     CAST(max(pw * 32 + pidx) AS BIGINT) AS mx
+                     max(pw * 32 + pidx) AS mx
               FROM qq GROUP BY 1)
             SELECT event_type, h_micro,
                    CAST(1000 - (h_micro * 1000)
