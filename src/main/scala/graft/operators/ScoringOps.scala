@@ -1282,7 +1282,10 @@ object ScoringOps extends QueryModule {
       sIn.join(sB, "grp")
         .select(col("grp"), col("n"),
           (col("si") + col("sb")).as("sum_abs_dr"),
-          col("sl").cast("decimal(38,0)").as("denom_half"),
+          // digit STRING, not DECIMAL(38): no DECIMAL column may appear in
+          // a t2 output schema (driver hash canonicalization of decimals
+          // diverged, VERDICT r10); decimal stays internal for headroom
+          col("sl").cast("decimal(38,0)").cast("string").as("denom_half"),
           // sl = 0 ⟺ every y in the group is identical (ξ undefined, 0/0);
           // null instead of an ANSI divide error on degenerate groups
           when(col("sl") > 0, lit(1000000L) - expr(
@@ -1320,7 +1323,7 @@ object ScoringOps extends QueryModule {
                      sum(CAST(l AS HUGEINT) * (n - l)) AS sl
               FROM dd GROUP BY 1)
             SELECT grp, n, sum_abs_dr,
-                   CAST(sl AS DECIMAL(38,0)) AS denom_half,
+                   CAST(CAST(sl AS HUGEINT) AS VARCHAR) AS denom_half,
                    CASE WHEN sl > 0 THEN
                      CAST(1000000 - (CAST(1000000 AS HUGEINT) * n * sum_abs_dr)
                        // (CAST(2 AS HUGEINT) * sl) AS BIGINT)

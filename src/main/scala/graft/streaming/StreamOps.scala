@@ -450,9 +450,10 @@ object StreamOps {
     * evidence per batch.
     */
   def wapPipeline(shaped: DataFrame, stagingDir: String, finalDir: String,
-      quarantineDir: String, flushSize: Long = 250)(
-      onBatch: (Long, Long, Long, Boolean) => Unit): StreamingQuery =
-    shaped.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      quarantineDir: String, flushSize: Long = 250,
+      checkpointDir: Option[String] = None)(
+      onBatch: (Long, Long, Long, Boolean) => Unit): StreamingQuery = {
+    val writer = shaped.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val b = batch.localCheckpoint(true)
       if (b.isEmpty) {
         // empty micro-batches still report: a caller polling for N audited
@@ -472,7 +473,12 @@ object StreamOps {
           if (clean) finalDir else quarantineDir, flushSize, topic = tp)
         onBatch(batchId, cnt, hi - lo + 1 - cnt, clean)
       }
-    }.start()
+    }
+    // a checkpoint makes restarts resume at the unprocessed source offsets;
+    // without one (the default) each run uses a fresh temp checkpoint and a
+    // replayed batch re-stages/re-lands byte-identically (idempotent names)
+    checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
 
   def corpusAdmit(docs: DataFrame, indexKey: String, minToks: Int)(
       onBatch: DataFrame => Unit): StreamingQuery = {

@@ -1149,4 +1149,166 @@ class StreamingSpec extends SparkSpec {
     assert(afterKill < finalBands,
       s"kill was not mid-drain (afterKill=$afterKill, final=$finalBands)")
   }
+
+  test("10x volume, 3 checkpointed restarts: wap + maintainer stay exactly-once, keyed state tracks live entities only") {
+    // VERDICT r10 item 6: the streaming monitors were spec-pinned only on
+    // MemoryStream-sized batches. Drive the three restartable consumers a
+    // production pipeline composes — (a) the WAP gate, (b) the band-index
+    // maintainer, (c) a mapGroupsWithState monitor — over THREE restart
+    // cycles from their own checkpoints at 10x the earlier scenarios'
+    // volume (5,000 sf0.1 documents vs the 300-500-doc tests above), with
+    // multi-chunk sink batches (flushSize 250), and pin that no state
+    // grows with HISTORY: wap audits each row exactly once across
+    // restarts, the index equals the batch twin, and the keyed monitor's
+    // state store holds live-TTL keys only (~1 cycle), never the 3-cycle
+    // key history.
+    import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType,
+      StringType, StructField, StructType, TimestampType}
+    val idx = graft.operators.DedupOps.BandIndex
+    val docs = Tables(spark, "/root/testdata/sf0.1", "documents")
+    def shaped(lo: Int, hi: Int) = docs
+      .filter(col("doc_id") >= lo && col("doc_id") < hi).select(
+        col("doc_id").cast("string").cast("binary").as("key"),
+        struct(col("doc_id"), col("text")).as("value"),
+        lit("docs").as("topic"),
+        pmod(col("doc_id"), lit(2)).cast("int").as("partition"),
+        col("doc_id").as("offset"),
+        lit(Timestamp.valueOf("2024-01-01 00:00:00")).as("timestamp"))
+    // slices align to flushSize-250 chunk boundaries: a non-aligned slice
+    // would land its head into an already-committed chunk (the sink's
+    // touched-chunk merge), which the path-keyed maintainer tail does NOT
+    // re-emit — the documented first-commit contract, not what this test
+    // is pinning
+    val slices = Seq((0, 1750), (1750, 3500), (3500, 5000))
+    val total = 5000L
+
+    // -- leg (a): WAP gate, one checkpoint, three restart cycles ----------
+    val wapSrc = tmp("graft-10x-wapsrc-")
+    val wapCk = tmp("graft-10x-wapck-")
+    val staging = tmp("graft-10x-stage-")
+    val fin = tmp("graft-10x-final-")
+    val quar = tmp("graft-10x-quar-")
+    val shapedSchema = StructType(Seq(
+      StructField("key", BinaryType),
+      StructField("value", StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))),
+      StructField("topic", StringType),
+      StructField("partition", IntegerType),
+      StructField("offset", LongType),
+      StructField("timestamp", TimestampType)))
+    // audits keyed by batchId: a kill between the foreachBatch body and its
+    // offset commit replays the SAME id, and the sink lands it
+    // byte-identically — the tally must not double-count that case
+    val audits = scala.collection.mutable.LinkedHashMap
+      .empty[Long, (Long, Long, Boolean)]
+
+    // -- leg (b): maintainer, one checkpoint, three restart drains --------
+    val landOut = tmp("graft-10x-land-")
+    val maintCk = tmp("graft-10x-maintck-")
+    val streamKey = s"wap10x|$landOut"
+    val valueSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+
+    // -- leg (c): keyed-state monitor, one checkpoint, three restarts -----
+    val monSrc = tmp("graft-10x-monsrc-")
+    val monCk = tmp("graft-10x-monck-")
+    val monOut = tmp("graft-10x-monout-")
+    val monSchema = StructType(Seq(
+      StructField("value", StructType(Seq(StructField("uid", IntegerType),
+        StructField("etype", StringType)))),
+      StructField("offset", LongType)))
+    val ttlMs = 2000L
+    def monRows(): Long =
+      if (new java.io.File(monOut).listFiles().exists(_.getName.endsWith(".parquet")))
+        spark.read.parquet(monOut).count()
+      else 0L
+    var lastStateRows = -1L
+
+    for (((lo, hi), cycle) <- slices.zipWithIndex) {
+      val expected = hi.toLong // cumulative rows after this cycle
+      // (a) a new slice file arrives; wap restarts from its checkpoint and
+      // must stage/audit/publish ONLY the new rows (contiguous offsets →
+      // span == count → clean publish)
+      shaped(lo, hi).coalesce(1).write.mode("append").parquet(wapSrc)
+      val wq = StreamOps.wapPipeline(
+        spark.readStream.schema(shapedSchema).parquet(wapSrc),
+        staging, fin, quar, flushSize = 250, checkpointDir = Some(wapCk)) {
+        (id, n, gaps, pub) =>
+          audits.synchronized { audits(id) = (n, gaps, pub); () }
+      }
+      val deadline = System.currentTimeMillis() + 120000
+      while (audits.synchronized(audits.values.map(_._1).sum) < expected &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+      wq.stop(); wq.awaitTermination()
+
+      // (b) the same slice lands in the single-topic layout; the maintainer
+      // drains it from ITS checkpoint (cycle > 0 = a genuine restart over a
+      // grown topic) — multi-chunk: 1750 rows / flushSize 250 across 2
+      // partition dirs
+      val topicDir = OffsetNamedOrcSink.write(shaped(lo, hi), landOut,
+        flushSize = 250, topic = "docs")
+      val mq = StreamOps.bandIndexMaintainer(spark, topicDir, valueSchema,
+        streamKey, maintCk)
+      mq.awaitTermination()
+
+      // (c) keyed monitor over the same ids: every key in a cycle is fresh,
+      // so output grows by the slice size; keys from cycle k-1 expired
+      // during the inter-cycle sleep and MUST leave the store when this
+      // cycle's batch fires their timeouts
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi).select(
+          struct(col("doc_id").cast("int").as("uid"),
+            lit("d").as("etype")).as("value"),
+          col("doc_id").as("offset"))
+        .coalesce(1).write.mode("append").parquet(monSrc)
+      val cq = StreamOps.dedupStreamExpiring(
+          spark.readStream.schema(monSchema).parquet(monSrc), ttlMs)
+        .writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[StreamOps.DedupedEvent], _: Long) =>
+            b.write.mode("append").parquet(monOut)
+        }
+        .option("checkpointLocation", monCk).outputMode("append").start()
+      // poll the landed output, never processAllAvailable:
+      // ProcessingTimeTimeout schedules continuous empty batches (CLAUDE.md)
+      val mdl = System.currentTimeMillis() + 120000
+      while (monRows() < expected && System.currentTimeMillis() < mdl)
+        Thread.sleep(100)
+      lastStateRows = cq.recentProgress.reverse
+        .collectFirst { case p if p.stateOperators.nonEmpty =>
+          p.stateOperators.map(_.numRowsTotal).sum }
+        .getOrElse(-1L)
+      cq.stop(); cq.awaitTermination()
+      if (cycle < slices.size - 1) Thread.sleep(ttlMs + 500) // let keys lapse
+    }
+
+    // (a) exactly-once across the three restarts: every row audited once,
+    // every batch clean, the published topics hold exactly the history
+    val byId = audits.synchronized(audits.toMap)
+    assert(byId.values.map(_._1).sum == total, s"staged tally: $byId")
+    assert(byId.values.forall { case (_, gaps, pub) => gaps == 0L && pub },
+      s"non-clean audit: $byId")
+    val finRows = new java.io.File(s"$fin/topics").listFiles().toSeq
+      .map(t => OffsetNamedOrcSink.read(spark, t.toString).count()).sum
+    assert(finRows == total, s"published rows $finRows")
+    assert(!new java.io.File(s"$quar/topics").exists(), "quarantine non-empty")
+
+    // (b) the restarted-3-times index answers exactly like a batch twin
+    // built in one shot over the full history
+    val batchKey = s"wap10xbatch|$landOut"
+    idx.ensure(spark, batchKey, docs)
+    val viaStream = spark.table(idx.name(streamKey)).distinct()
+    val viaBatch = spark.table(idx.name(batchKey)).distinct()
+    assert(viaStream.exceptAll(viaBatch).count() == 0
+      && viaBatch.exceptAll(viaStream).count() == 0,
+      "streamed index diverged from the batch twin")
+
+    // (c) every key admitted exactly once (output == history), and the
+    // state store after cycle 3 holds ~one cycle of live keys — NOT the
+    // 5,000-key history: state ∝ live entities, bounded across restarts
+    assert(monRows() == total, s"monitor admitted ${monRows()} of $total")
+    assert(lastStateRows > 0, "no stateOperators progress captured")
+    assert(lastStateRows <= 1750L,
+      s"keyed state grew with history: $lastStateRows rows in store " +
+        "(expected <= one live cycle of 1750)")
+  }
 }

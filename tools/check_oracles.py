@@ -54,8 +54,21 @@ def main():
                 raise AssertionError(f"row count: spark={s.num_rows} duck={d.num_rows}")
             s_types = [str(t) for t in s.schema.types]
             d_types = [str(t) for t in d.schema.types]
+            # Type drift is a FAIL, not a warn: the driver hashes value
+            # REPRESENTATIONS, so a type mismatch that python-value-compares
+            # equal can still be driver-red (this asymmetry hid two red rows
+            # for two rounds — VERDICT r10 "What's wrong" 2).
             if s_types != d_types:
-                print(f"  [warn] {name} type drift: spark={s_types} duck={d_types}")
+                raise AssertionError(
+                    f"type drift: spark={s_types} duck={d_types}")
+            # No DECIMAL column may appear in a t2 output schema (CLAUDE.md
+            # invariant): decimal hash canonicalization is the one class the
+            # two engines' driver read paths disagree on. Emit canonical
+            # digit strings for >64-bit integers instead.
+            dec = [f"{c}:{t}" for c, t in zip(s_cols, s_types)
+                   if t.startswith("decimal")]
+            if dec:
+                raise AssertionError(f"DECIMAL in output schema: {dec}")
             sp, dp = s.to_pylist(), d.to_pylist()
             for i, (r1, r2) in enumerate(zip(sp, dp)):
                 for c in s_cols:

@@ -13,21 +13,27 @@ ids — SHIFT = i * 10^10 per copy i (keys are BIGINT throughout; the shift
 is a multiple of every modulus the queries use, so k % m distributions are
 preserved exactly). region/nation stay single-copy (fixed dimensions);
 foreign keys shift with their parents so join cardinalities scale 10x.
-documents get a per-copy token prefix (distinct vocab per copy: within-copy
-duplicate structure is preserved, no artificial cross-copy near-dups). The
-prefix is LENGTH-VARYING ("c" + "x"*i): a fixed-width prefix is a uniform
-brightness shift, which aHash is invariant to BY DESIGN, so the first synth
-accidentally created 10-deep cross-copy perceptual dup classes and
-q_multimodal_phash read alpha=1.60 on its own (correct, quadratic-in-class)
-all-pairs output; varying the byte alignment per copy decorrelates the
-signatures. embeddings get a per-copy deterministic sign-flip pattern (norms
-preserved, copies land in different SRP octants — no artificial cross-copy
-neighbors). events shift ts by i*53 weeks per copy (day-of-week and
-hour-of-day preserved): keeping timestamps fixed multiplied per-(type, day)
-co-occurrence CELL density 10x instead of cell count — the CoGraph
-user-pair graph came out 102x denser (30,875 -> 3.16M edges at c>=28), so
-every graph query was measured against a 100x-edge graph, not 10x data;
-more days at the SAME density is what 10x of this workload means.
+documents get a per-copy AFFINE CHARACTER BIJECTION (corpus v3): each copy
+i >= 1 maps letters/digits through x -> a_i*x + b_i (mod alphabet size, a_i
+coprime) so (a) byte length is preserved EXACTLY — text bytes grow
+row-linearly, fixing v2's 19.84x byte blowup for 10x rows that overstated
+char-level alphas by up to +0.30; (b) within-copy duplicate structure is
+preserved exactly (bijection); (c) vocab is distinct per copy (asserted at
+gen time — pairwise-disjoint transformed token sets AND doc texts, so a
+vocab change that collides fails loudly instead of silently recreating
+cross-copy overlap); (d) the map SCRAMBLES bytes (multiplicative), not
+shifts them — a uniform shift is a brightness change aHash is invariant to
+BY DESIGN, which in synth v1 created 10-deep cross-copy perceptual dup
+classes and a phantom alpha=1.60 for q_multimodal_phash. embeddings get a
+per-copy deterministic sign-flip pattern (norms preserved, copies land in
+different SRP octants — no artificial cross-copy neighbors). events shift
+ts by i*53 weeks per copy (day-of-week and hour-of-day preserved; the shift
+multiplier is derived from the column's arrow time unit, never hardcoded):
+keeping timestamps fixed multiplied per-(type, day) co-occurrence CELL
+density 10x instead of cell count — the CoGraph user-pair graph came out
+102x denser (30,875 -> 3.16M edges at c>=28), so every graph query was
+measured against a 100x-edge graph, not 10x data; more days at the SAME
+density is what 10x of this workload means.
 
 Usage:
   python3 tools/scale_probe.py gen [--base /root/testdata/sf0.1]
@@ -51,6 +57,27 @@ import pyarrow.parquet as pq
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SHIFT = 10_000_000_000
+
+# Per-copy affine character bijection (see module doc). a_i must be coprime
+# to the alphabet size (26 for letters: odd, not 13; 10 for digits: 1/3/7/9)
+# and != 1 for i >= 1 so the map scrambles, never merely shifts.
+LETTER_A = [3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+DIGIT_A = [3, 7, 9]
+
+
+def copy_translation(i):
+    """str.translate table for copy i: affine map on a-z, A-Z, 0-9."""
+    if i == 0:
+        return None
+    la = LETTER_A[(i - 1) % len(LETTER_A)]
+    da = DIGIT_A[(i - 1) % len(DIGIT_A)]
+    table = {}
+    for base in (ord("a"), ord("A")):
+        for j in range(26):
+            table[base + j] = base + (la * j + i) % 26
+    for j in range(10):
+        table[ord("0") + j] = ord("0") + (da * j + i) % 10
+    return table
 
 KEY_COLS = {
     "customer": ["c_custkey"],
@@ -77,21 +104,25 @@ def shifted_copy(tbl, name, i):
                           for v in c.to_pylist()], type=a.type)
                 for c in a.chunks])
         elif name == "documents" and col == "text":
-            # length-varying prefix: see module doc (aHash brightness trap)
-            pre = "c" + "x" * i
+            # byte-preserving affine char bijection: see module doc (v3)
+            tr = copy_translation(i)
             a = pa.chunked_array([
-                pa.array([None if v is None else
-                          " ".join(f"{pre}{w}" for w in v.split())
+                pa.array([None if v is None else v.translate(tr)
                           for v in c.to_pylist()], type=a.type)
                 for c in a.chunks])
         elif name == "events" and col == "ts":
             # 53 weeks per copy: new days at the ORIGINAL per-day density
             # (fixed days would densify co-occurrence cells 10x instead),
-            # day-of-week and hour-of-day preserved exactly
+            # day-of-week and hour-of-day preserved exactly. The multiplier
+            # comes from the column's arrow unit — a hardcoded 1e6 on a
+            # nanos base would silently shrink the shift to ~9 hours and
+            # reintroduce the densification artifact (ADVICE r10).
             import pyarrow.compute as pc
-            shift_us = i * 53 * 7 * 86400 * 1_000_000
+            unit_per_s = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}
+            mult = unit_per_s[a.type.unit]
+            shift_units = i * 53 * 7 * 86400 * mult
             a = pa.chunked_array([
-                pc.cast(pc.add(pc.cast(c, pa.int64()), shift_us), a.type)
+                pc.cast(pc.add(pc.cast(c, pa.int64()), shift_units), a.type)
                 for c in a.chunks])
         elif name == "embeddings" and col == "embedding":
             def flip(vec):
@@ -106,12 +137,40 @@ def shifted_copy(tbl, name, i):
     return pa.table(dict(zip(tbl.column_names, arrays)))
 
 
+def assert_disjoint_text(tbl, copies):
+    """Fail loudly if the per-copy bijections collide on any token or doc
+    text across copies (robust to vocab changes — ADVICE r10): cross-copy
+    overlap would silently recreate the dup-densification artifact the
+    bijection exists to remove."""
+    texts = [v for v in tbl.column("text").to_pylist() if v is not None]
+    base_tokens = set(w for v in texts for w in v.split())
+    base_docs = set(texts)
+    seen_tok, seen_doc = set(), set()
+    for i in range(copies):
+        tr = copy_translation(i)
+        toks = base_tokens if tr is None else {w.translate(tr)
+                                               for w in base_tokens}
+        docs = base_docs if tr is None else {v.translate(tr)
+                                             for v in base_docs}
+        tok_hit, doc_hit = seen_tok & toks, seen_doc & docs
+        if tok_hit or doc_hit:
+            raise AssertionError(
+                f"copy {i} collides cross-copy: tokens={sorted(tok_hit)[:5]}"
+                f" docs={len(doc_hit)} — pick different affine params")
+        seen_tok |= toks
+        seen_doc |= docs
+    print(f"[gen] documents: {len(base_tokens)} tokens x {copies} copies "
+          f"pairwise disjoint (and {len(base_docs)} doc texts)")
+
+
 def gen(base, out, copies):
     os.makedirs(out, exist_ok=True)
     for name in SINGLE:
         shutil.copyfile(f"{base}/{name}.parquet", f"{out}/{name}.parquet")
     for name in KEY_COLS:
         tbl = pq.read_table(f"{base}/{name}.parquet")
+        if name == "documents":
+            assert_disjoint_text(tbl, copies)
         parts = [shifted_copy(tbl, name, i) for i in range(copies)]
         big = pa.concat_tables(parts)
         pq.write_table(big, f"{out}/{name}.parquet")
