@@ -202,7 +202,14 @@ object MultimodalOps extends QueryModule {
     * size-bucket) key — never all-pairs — and only candidates pay the
     * 4-popcount Hamming verify. The size bucket rides the key for the same
     * reason q_multimodal_dedup groups on (md5, size): blobs that differ
-    * grossly in length need no signature comparison at all.
+    * grossly in length need no signature comparison at all. Buckets with
+    * > 128 members are excluded from candidate generation (the LSH
+    * stopword rule): zero-padding gives every short payload the same
+    * degenerate all-zeros/all-ones bands, and those buckets grow
+    * quadratically with corpus size while carrying zero near-dup signal
+    * (measured at the sf1 probe: 124M of 124M candidate pairs; capped,
+    * 305× fewer and linear). A true near-dup pair keeps surfacing through
+    * its non-degenerate bands.
     */
   private val qMultimodalPhash = GQuery(
     (s, d) => {
@@ -227,9 +234,24 @@ object MultimodalOps extends QueryModule {
         posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
         .select(col("doc_id"), col("szb"), col("pos").as("k"),
           col("col").as("band"))
-      val cand = bands.select(col("k"), col("band"), col("szb"),
+      // Heavy-bucket cap (the LSH stopword rule): a band value shared by
+      // hundreds of payloads is a DEGENERATE pattern, not near-dup
+      // evidence — zero-padding makes every sub-128-byte payload share
+      // band 0 in the high slices (all-below-mean) and 65535 in the low
+      // ones, and those buckets alone were 124M of the 124M candidate
+      // pairs at the sf1 probe (α 1.86). Buckets over the cap are dropped
+      // from candidate GENERATION only; a real near-dup pair still
+      // surfaces through any of its other ≤128-doc bands. 128 > every
+      // non-degenerate bucket at the gate SF (max 83), so the t2 output
+      // is unchanged; at sf1 candidates drop 305× and the family is
+      // linear again.
+      val heavy = bands.groupBy("k", "band", "szb")
+        .agg(count(lit(1L)).as("bc")).filter(col("bc") > 128)
+        .select("k", "band", "szb")
+      val lite = bands.join(heavy, Seq("k", "band", "szb"), "left_anti")
+      val cand = lite.select(col("k"), col("band"), col("szb"),
           col("doc_id").as("doc_a"))
-        .join(bands.select(col("k"), col("band"), col("szb"),
+        .join(lite.select(col("k"), col("band"), col("szb"),
           col("doc_id").as("doc_b")), Seq("k", "band", "szb"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
@@ -289,12 +311,22 @@ object MultimodalOps extends QueryModule {
                      max(CASE WHEN k = 3 THEN band END) AS b3
               FROM bands b JOIN sz s USING (doc_id)
               GROUP BY 1, 2),
+            banded AS (
+              SELECT ba.doc_id, ba.k, ba.band, s.szb
+              FROM bands ba JOIN sz s USING (doc_id)),
+            -- heavy-bucket cap (mirrors the Spark side): degenerate band
+            -- values shared by >128 payloads generate no candidates
+            heavy AS (
+              SELECT k, band, szb FROM banded
+              GROUP BY 1, 2, 3 HAVING count(*) > 128),
+            lite AS (
+              SELECT * FROM banded bd
+              WHERE NOT EXISTS (SELECT 1 FROM heavy h
+                WHERE h.k = bd.k AND h.band = bd.band AND h.szb = bd.szb)),
             cand AS (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM (SELECT ba.doc_id, ba.k, ba.band, s.szb
-                    FROM bands ba JOIN sz s USING (doc_id)) a
-              JOIN (SELECT ba.doc_id, ba.k, ba.band, s.szb
-                    FROM bands ba JOIN sz s USING (doc_id)) b
+              FROM lite a
+              JOIN lite b
                 ON a.k = b.k AND a.band = b.band AND a.szb = b.szb
                    AND a.doc_id < b.doc_id)
             SELECT c.doc_a, c.doc_b,

@@ -13,18 +13,21 @@ ids — SHIFT = i * 10^10 per copy i (keys are BIGINT throughout; the shift
 is a multiple of every modulus the queries use, so k % m distributions are
 preserved exactly). region/nation stay single-copy (fixed dimensions);
 foreign keys shift with their parents so join cardinalities scale 10x.
-documents get a per-copy AFFINE CHARACTER BIJECTION (corpus v3): each copy
-i >= 1 maps letters/digits through x -> a_i*x + b_i (mod alphabet size, a_i
-coprime) so (a) byte length is preserved EXACTLY — text bytes grow
-row-linearly, fixing v2's 19.84x byte blowup for 10x rows that overstated
-char-level alphas by up to +0.30; (b) within-copy duplicate structure is
-preserved exactly (bijection); (c) vocab is distinct per copy (asserted at
-gen time — pairwise-disjoint transformed token sets AND doc texts, so a
-vocab change that collides fails loudly instead of silently recreating
-cross-copy overlap); (d) the map SCRAMBLES bytes (multiplicative), not
-shifts them — a uniform shift is a brightness change aHash is invariant to
-BY DESIGN, which in synth v1 created 10-deep cross-copy perceptual dup
-classes and a phantom alpha=1.60 for q_multimodal_phash. embeddings get a
+documents get a per-copy AFFINE CHARACTER BIJECTION + WORD ROTATION
+(corpus v3): copy i >= 1 maps letters/digits through x -> a_i*x + b_i (mod
+alphabet size, a_i coprime) and then rotates the word list by 7*i, so
+(a) byte length is preserved EXACTLY — text bytes grow row-linearly, fixing
+v2's 19.84x byte blowup for 10x rows that overstated char-level alphas by
+up to +0.30; (b) within-copy duplicate structure is preserved exactly (both
+transforms are injective); (c) vocab is distinct per copy (asserted at gen
+time on the TRANSFORMED texts — pairwise-disjoint token sets AND doc texts,
+so a vocab change that collides fails loudly instead of silently recreating
+cross-copy overlap); (d) the pair decorrelates aHash signatures across
+copies: the bijection scrambles letter bytes (a uniform shift is a
+brightness change aHash is invariant to BY DESIGN — the synth-v1 trap,
+phantom alpha=1.60 for q_multimodal_phash), and the rotation moves the
+SPACE SKELETON, which the bijection alone leaves at identical byte
+alignment in every copy (measured: bijection-only alpha 1.89). embeddings get a
 per-copy deterministic sign-flip pattern (norms preserved, copies land in
 different SRP octants — no artificial cross-copy neighbors). events shift
 ts by i*53 weeks per copy (day-of-week and hour-of-day preserved; the shift
@@ -79,6 +82,24 @@ def copy_translation(i):
         table[ord("0") + j] = ord("0") + (da * j + i) % 10
     return table
 
+
+def transform_text(v, i):
+    """Copy i's text transform: affine char bijection + WORD-list rotation
+    by 7*i positions. The bijection alone leaves SPACES unmapped, so the
+    space skeleton — the dominant brightness structure aHash thresholds
+    on — sat at identical byte alignment in every copy and signatures
+    stayed correlated (measured: q_multimodal_phash alpha 1.89 on
+    bijection-only v3). Rotating the word list moves the skeleton per copy
+    (word lengths vary) while preserving the token MULTISET exactly (no
+    seam fragments — a char-level rotation splits one word per doc into
+    short fragments that collide across copies) and byte length exactly
+    (the corpus is single-space separated, asserted in gen)."""
+    if v is None or i == 0:
+        return v
+    toks = v.translate(copy_translation(i)).split(" ")
+    k = (7 * i) % len(toks)
+    return " ".join(toks[k:] + toks[:k])
+
 KEY_COLS = {
     "customer": ["c_custkey"],
     "supplier": ["s_suppkey"],
@@ -104,11 +125,10 @@ def shifted_copy(tbl, name, i):
                           for v in c.to_pylist()], type=a.type)
                 for c in a.chunks])
         elif name == "documents" and col == "text":
-            # byte-preserving affine char bijection: see module doc (v3)
-            tr = copy_translation(i)
+            # byte-preserving affine bijection + rotation: see module doc (v3)
             a = pa.chunked_array([
-                pa.array([None if v is None else v.translate(tr)
-                          for v in c.to_pylist()], type=a.type)
+                pa.array([transform_text(v, i) for v in c.to_pylist()],
+                         type=a.type)
                 for c in a.chunks])
         elif name == "events" and col == "ts":
             # 53 weeks per copy: new days at the ORIGINAL per-day density
@@ -143,15 +163,25 @@ def assert_disjoint_text(tbl, copies):
     overlap would silently recreate the dup-densification artifact the
     bijection exists to remove."""
     texts = [v for v in tbl.column("text").to_pylist() if v is not None]
-    base_tokens = set(w for v in texts for w in v.split())
-    base_docs = set(texts)
     seen_tok, seen_doc = set(), set()
+    n_tok0 = 0
     for i in range(copies):
-        tr = copy_translation(i)
-        toks = base_tokens if tr is None else {w.translate(tr)
-                                               for w in base_tokens}
-        docs = base_docs if tr is None else {v.translate(tr)
-                                             for v in base_docs}
+        # byte-linearity is the point of v3 — verify it directly
+        for v in texts:
+            w = transform_text(v, i)
+            if len(w.encode()) != len(v.encode()):
+                raise AssertionError(
+                    f"copy {i} changed byte length: {len(v)} -> {len(w)}")
+        docs = {transform_text(v, i) for v in texts}
+        # tokenize the TRANSFORMED texts (the rotation splits one word at
+        # the seam, so copy i's vocab is not just the mapped base vocab).
+        # Length-1 tokens are exempt: a length-preserving char bijection
+        # maps 1-char tokens onto the same 26-letter alphabet, so cross-copy
+        # collisions among them are mathematically unavoidable — and they
+        # contribute nothing to shingle/n-gram overlap artifacts.
+        toks = {w for v in docs for w in v.split() if len(w) >= 2}
+        if i == 0:
+            n_tok0 = len(toks)
         tok_hit, doc_hit = seen_tok & toks, seen_doc & docs
         if tok_hit or doc_hit:
             raise AssertionError(
@@ -159,8 +189,8 @@ def assert_disjoint_text(tbl, copies):
                 f" docs={len(doc_hit)} — pick different affine params")
         seen_tok |= toks
         seen_doc |= docs
-    print(f"[gen] documents: {len(base_tokens)} tokens x {copies} copies "
-          f"pairwise disjoint (and {len(base_docs)} doc texts)")
+    print(f"[gen] documents: {n_tok0} base tokens x {copies} copies "
+          f"pairwise disjoint (tokens and doc texts)")
 
 
 def gen(base, out, copies):
