@@ -210,11 +210,11 @@ def gen(base, out, copies):
 
 # Excluded from the default probe: components that are QUADRATIC BY
 # CONSTRUCTION and documented as such (measuring them only re-measures the
-# design note): q_knn_join_recall is the sanctioned all-pairs truth gauge
-# (sample-only in production, SCALE.md), and q_graph_ktruss rides the
-# memoized CoGraph whose per-(type, day)-cell user self-join is the known
-# quadratic one-off build cost.
-EXCLUDE = {"q_knn_join_recall", "q_graph_ktruss"}
+# design note): q_graph_ktruss rides the memoized CoGraph whose
+# per-(type, day)-cell user self-join is the known quadratic one-off build
+# cost. (q_knn_join_recall left this list in r11: its truth side is now a
+# deterministic <=512-probe sample x corpus — measured alpha 0.90.)
+EXCLUDE = {"q_graph_ktruss"}
 
 
 def default_queries():
