@@ -1246,4 +1246,21 @@ class PlanShapeSpec extends SparkSpec {
         s"$q re-scans the corpus:\n" + finalPlan.take(3000))
     }
   }
+
+  test("round-11 scale mechanisms: phash heavy-bucket anti-join, sampled recall probes") {
+    // q_multimodal_phash: degenerate-band buckets (>128 members) must be
+    // excluded from candidate generation via an ANTI join against the
+    // bucket-count agg — without it every zero-padded short payload pairs
+    // with every other (124M of 124M sf1 candidate pairs, α 1.86; capped
+    // α 0.28). The pin: the plan carries a LeftAnti join.
+    val ph = plan("q_multimodal_phash")
+    assert(ph.contains("LeftAnti"), ph.take(3000))
+    // q_knn_join_recall: the brute-force truth side must score a ≤512-probe
+    // sample, selected via TakeOrderedAndProject (distributed top-K by md5
+    // order — never a global sort), and joined as a broadcast semi join so
+    // the corpus side never shuffles for the filter.
+    val kr = plan("q_knn_join_recall")
+    assert(kr.contains("TakeOrderedAndProject"), kr.take(3000))
+    assert(kr.contains("LeftSemi"), kr.take(3000))
+  }
 }
