@@ -27,36 +27,60 @@ object DedupOps extends QueryModule {
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
 
   /** Memoized J ≥ 0.8 shingle-Jaccard ground-truth pairs (doc_a, doc_b,
-    * jac_micro) — the sanctioned quadratic truth AUDIT shared by the two
-    * recall gauges (q_dedup_minhash_recall, q_dedup_lsh_tune). Built once
-    * per sfDir (the CoGraph rule): re-deriving the all-pairs intersect
-    * inside every gauge benchmarked the AUDIT, not the operator — and the
-    * probe side is repartitioned first, because a single-partition
-    * crossJoin degenerates to a 1-task nested-loop grind (measured: the
-    * sf0.1 truth ran serial for minutes before this artifact existed).
+    * jac_micro) — the truth AUDIT shared by the two recall gauges
+    * (q_dedup_minhash_recall, q_dedup_lsh_tune). Built once per sfDir (the
+    * CoGraph rule): re-deriving the truth intersect inside every gauge
+    * benchmarked the AUDIT, not the operator.
+    *
+    * The truth side is SAMPLED, not corpus×corpus (the q_knn_join_recall
+    * economics, SimilarityOps.scala:573-596): a deterministic ≤512-probe
+    * set (first 512 doc_ids by md5 order — the portable hash anchor, so
+    * both engines pick the same probes) is exact-scored against the FULL
+    * corpus, and a pair enters the truth set iff either endpoint is a
+    * probe (least/greatest canonicalization + distinct collapses the
+    * both-probes double emission). Cost is sample×corpus — linear in the
+    * corpus for a fixed sample — and the broadcast side is the ≤512-row
+    * probe slice, never the whole corpus (the full-corpus broadcast was a
+    * driver-memory killer at 100×). At the gate SF the corpus has ≤500
+    * docs, so the sample IS the corpus and the emitted truth set is the
+    * full all-pairs audit unchanged.
     */
-  private object ShingleTruth {
+  private[graft] object ShingleTruth {
     private val dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+    /** The truth-building plan, exposed for the PlanShapeSpec pin:
+      * TakeOrderedAndProject probe selection + broadcast LeftSemi probe
+      * filter; the corpus streams past the ≤512-row broadcast.
+      */
+    private[graft] def build(s: SparkSession, d: String): DataFrame = {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), tokens.as("toks"))
+        .select(col("doc_id"), array_distinct(shingles(col("toks"))).as("sh"))
+        .repartition(32)
+        .localCheckpoint(true)
+      val probeIds = docs.select(col("doc_id"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .limit(512) // TakeOrdered: distributed top-K, no global sort
+      val p = docs.join(broadcast(probeIds), Seq("doc_id"), "left_semi")
+        .select(col("doc_id").as("p_id"), col("sh").as("sh_p"))
+      val o = docs.select(col("doc_id").as("o_id"), col("sh").as("sh_o"))
+      o.crossJoin(broadcast(p))
+        .filter(col("p_id") =!= col("o_id"))
+        .select(least(col("p_id"), col("o_id")).as("doc_a"),
+          greatest(col("p_id"), col("o_id")).as("doc_b"),
+          size(array_intersect(col("sh_p"), col("sh_o"))).as("ni"),
+          (size(col("sh_p")) + size(col("sh_o"))).as("nb"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("ni * 1000000L div (nb - ni)").as("jac_micro"))
+        .filter(col("jac_micro") >= 800000L)
+        .distinct()
+    }
+
     def pairs(s: SparkSession, d: String): DataFrame = {
       val dir = dirs.computeIfAbsent(d, _ => {
         val out = java.nio.file.Files.createTempDirectory("graft-shtruth-")
           .toString
-        val docs = t(s, d, "documents")
-          .select(col("doc_id"), tokens.as("toks"))
-          .select(col("doc_id"), array_distinct(shingles(col("toks"))).as("sh"))
-          .repartition(32)
-          .localCheckpoint(true)
-        val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-        val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-        a.crossJoin(broadcast(b))
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            size(array_intersect(col("sh_a"), col("sh_b"))).as("ni"),
-            (size(col("sh_a")) + size(col("sh_b"))).as("nb"))
-          .select(col("doc_a"), col("doc_b"),
-            expr("ni * 1000000L div (nb - ni)").as("jac_micro"))
-          .filter(col("jac_micro") >= 800000L)
-          .write.mode("overwrite").parquet(out)
+        build(s, d).write.mode("overwrite").parquet(out)
         out
       })
       s.read.parquet(dir)
@@ -1081,9 +1105,10 @@ object DedupOps extends QueryModule {
     * expected catch probability at j=0.8 is 1−(1−j²)² ≈ 0.87, and the
     * hashed flags pin the realized catches exactly.
     *
-    * The truth side is the sanctioned gauge-only quadratic baseline
-    * (q_knn_join_recall economics — a production audit samples); the found
-    * side is band-KEYED self-joins, the production shape.
+    * The truth side is the SAMPLED exact-Jaccard audit (ShingleTruth:
+    * deterministic md5-ordered ≤512 probes × corpus — sample = corpus at
+    * the gate SF); the found side is band-KEYED self-joins, the
+    * production shape.
     */
   private val qDedupMinhashRecall = GQuery(
     (s, d) => {
@@ -1123,12 +1148,18 @@ object DedupOps extends QueryModule {
                    ${mh(0)} || ${mh(1)} AS b0,
                    ${mh(2)} || ${mh(3)} AS b1
             FROM t0),
+          probes AS (
+            SELECT doc_id FROM m
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 512),
           truth AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   len(list_intersect(a.sh, b.sh)) * 1000000
-                     // (len(a.sh) + len(b.sh)
-                         - len(list_intersect(a.sh, b.sh))) AS jac_micro
-            FROM m a JOIN m b ON a.doc_id < b.doc_id),
+            SELECT DISTINCT least(p.doc_id, o.doc_id) AS doc_a,
+                   greatest(p.doc_id, o.doc_id) AS doc_b,
+                   len(list_intersect(p.sh, o.sh)) * 1000000
+                     // (len(p.sh) + len(o.sh)
+                         - len(list_intersect(p.sh, o.sh))) AS jac_micro
+            FROM m p
+            JOIN probes pr ON pr.doc_id = p.doc_id
+            JOIN m o ON o.doc_id <> p.doc_id),
           tr AS (SELECT * FROM truth WHERE jac_micro >= 800000),
           cand AS (
             SELECT DISTINCT doc_a, doc_b FROM (
@@ -1159,8 +1190,8 @@ object DedupOps extends QueryModule {
     * not a candidate).
     *
     * Scale: candidates come from keyed band joins (stop-block caps apply as
-    * in production dedup); ground truth is the all-pairs AUDIT — at 100 TB
-    * it runs on a sampled stratum, the sweep itself stays keyed.
+    * in production dedup); ground truth is the SAMPLED ShingleTruth audit
+    * (≤512 md5-ordered probes × corpus), the sweep itself stays keyed.
     */
   private val qDedupLshTune = GQuery(
     (s, d) => {
@@ -1231,12 +1262,18 @@ object DedupOps extends QueryModule {
             FROM keys x JOIN keys y
               ON x.cfg = y.cfg AND x.b = y.b AND x.k = y.k
                  AND x.doc_id < y.doc_id),
+          probes AS (
+            SELECT doc_id FROM m
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 512),
           truth AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM m a JOIN m b ON a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.sh, b.sh)) * 1000000
-                    // (len(a.sh) + len(b.sh)
-                        - len(list_intersect(a.sh, b.sh))) >= 800000),
+            SELECT DISTINCT least(p.doc_id, o.doc_id) AS doc_a,
+                   greatest(p.doc_id, o.doc_id) AS doc_b
+            FROM m p
+            JOIN probes pr ON pr.doc_id = p.doc_id
+            JOIN m o ON o.doc_id <> p.doc_id
+            WHERE len(list_intersect(p.sh, o.sh)) * 1000000
+                    // (len(p.sh) + len(o.sh)
+                        - len(list_intersect(p.sh, o.sh))) >= 800000),
           nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
           pc AS (SELECT cfg, CAST(count(*) AS BIGINT) AS n_cand
                  FROM cand GROUP BY cfg),

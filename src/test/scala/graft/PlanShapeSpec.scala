@@ -1263,4 +1263,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(kr.contains("TakeOrderedAndProject"), kr.take(3000))
     assert(kr.contains("LeftSemi"), kr.take(3000))
   }
+
+  test("round-12 scale mechanism: ShingleTruth truth side is probe-sampled") {
+    // The exact-Jaccard truth audit feeding q_dedup_minhash_recall and
+    // q_dedup_lsh_tune must select a ≤512-probe sample via
+    // TakeOrderedAndProject (distributed top-K by md5 order, no global
+    // sort) and filter the probe slice with a broadcast LeftSemi; the
+    // broadcast sides are then the probe set, never the whole corpus
+    // (the r11 corpus×corpus broadcast was a driver-memory killer at
+    // 100×). The BroadcastNestedLoopJoin that remains streams the corpus
+    // past the ≤512-row probe slice.
+    val st = graft.operators.DedupOps.ShingleTruth.build(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(st.contains("TakeOrderedAndProject"), st.take(3000))
+    assert(st.contains("LeftSemi"), st.take(3000))
+    assert(st.contains("BroadcastNestedLoopJoin"), st.take(3000))
+  }
 }
