@@ -480,14 +480,16 @@ object StreamOps {
     checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
 
-  def corpusAdmit(docs: DataFrame, indexKey: String, minToks: Int)(
+  def corpusAdmit(docs: DataFrame, indexKey: String, minToks: Int,
+      checkpointDir: Option[String] = None,
+      availableNow: Boolean = false)(
       onBatch: DataFrame => Unit): StreamingQuery = {
     val B = graft.operators.DedupOps.BandIndex
     // the stream-defining (root) session: per-batch session clones inherit
     // ITS relation cache, so the post-append refresh must land there or the
     // next batch's clone starts from the pre-append file listing
     val root = docs.sparkSession
-    docs.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+    val writer = docs.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
       val norm = b.select(col("doc_id"),
           trim(regexp_replace(regexp_replace(lower(col("text")),
             "[^a-z0-9 ]", " "), " +", " ")).as("text"))
@@ -500,7 +502,14 @@ object StreamOps {
         .localCheckpoint(true)
       B.append(root, indexKey, kept)
       onBatch(kept)
-    }.start()
+    }
+    // a checkpoint makes restarts resume at the unprocessed source offsets
+    // (admission must not re-judge history after a crash — an admitted
+    // doc's replay would be rejected as a near-dup of ITSELF, silently
+    // shrinking the corpus); AvailableNow is the cron-shaped admission
+    // drain, the same discipline as bandIndexMaintainer.
+    val ck = checkpointDir.fold(writer)(writer.option("checkpointLocation", _))
+    (if (availableNow) ck.trigger(Trigger.AvailableNow()) else ck).start()
   }
 
   /** Per-micro-batch PSI drift monitor — the streaming face of the batch
@@ -521,13 +530,14 @@ object StreamOps {
     * `values` must carry a LONG `c` column (e.g. exact cents).
     */
   def driftMonitor(values: DataFrame, reference: DataFrame,
-      binWidth: Long = 5000L)(
+      binWidth: Long = 5000L, checkpointDir: Option[String] = None,
+      availableNow: Boolean = false)(
       onBatch: (Long, Long, Long) => Unit): StreamingQuery = {
     val refHist = reference
       .selectExpr(s"c div $binWidth AS bin")
       .groupBy("bin").agg(count(lit(1L)).as("cref"))
       .localCheckpoint(true)
-    values.writeStream.foreachBatch { (b: DataFrame, batchId: Long) =>
+    val writer = values.writeStream.foreachBatch { (b: DataFrame, batchId: Long) =>
       val batchHist = b
         .selectExpr(s"c div $binWidth AS bin")
         .groupBy("bin").agg(count(lit(1L)).as("ccur"))
@@ -549,7 +559,12 @@ object StreamOps {
         .agg(sum("ccur").as("n"), sum("contrib_micro").as("psi"))
         .head()
       onBatch(batchId, out.getLong(0), out.getLong(1))
-    }.start()
+    }
+    // checkpointed restarts resume at the unprocessed offsets (each batch
+    // must be scored exactly once — a replayed batch would double-page);
+    // AvailableNow is the drain-and-terminate monitoring pass.
+    val ck = checkpointDir.fold(writer)(writer.option("checkpointLocation", _))
+    (if (availableNow) ck.trigger(Trigger.AvailableNow()) else ck).start()
   }
 
   /** The reference's end-to-end job as a stream: file source → Kafka shape →

@@ -1150,6 +1150,218 @@ class StreamingSpec extends SparkSpec {
       s"kill was not mid-drain (afterKill=$afterKill, final=$finalBands)")
   }
 
+  test("10x volume, 3 checkpointed restarts: sink tail, corpusAdmit, drift + cusum monitors") {
+    // VERDICT r11 item 4: the r11 10x-restart scenario pinned wap +
+    // maintainer + keyed dedup monitor; streamFromSink tailing,
+    // corpusAdmit, and driftMonitor/cusumMonitor still only ran on
+    // small-batch specs. Drive each from its OWN checkpoint across three
+    // restart cycles at the 5,000-doc volume and pin: (a) the tail sees
+    // every committed row exactly once and path-derives partition/_chunk
+    // identically to the batch read; (b) admission decisions are
+    // exactly-once across restarts and equal a batch replay of the same
+    // slices, and a full-history replay admits ZERO; (c) the monitors
+    // score each batch exactly once, CUSUM state survives the restarts
+    // (the alarm only fires from 3-cycle ACCUMULATED drift), and keyed
+    // state stays bounded by the live key space, never row history.
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType,
+      StructField, StructType}
+    val docs = Tables(spark, "/root/testdata/sf0.1", "documents")
+    val slices = Seq((0, 1750), (1750, 3500), (3500, 5000))
+    val B = operators.DedupOps.BandIndex
+
+    // -- leg (a): streamFromSink tail, one checkpoint, three restarts -----
+    val tailSink = tmp("graft-12x-tailsink-")
+    val tailCk = tmp("graft-12x-tailck-")
+    val tailLand = tmp("graft-12x-tailland-")
+    val valueSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def shaped(lo: Int, hi: Int) = docs
+      .filter(col("doc_id") >= lo && col("doc_id") < hi).select(
+        col("doc_id").cast("string").cast("binary").as("key"),
+        struct(col("doc_id"), col("text")).as("value"),
+        lit("docs").as("topic"),
+        pmod(col("doc_id"), lit(2)).cast("int").as("partition"),
+        col("doc_id").as("offset"),
+        lit(Timestamp.valueOf("2024-01-01 00:00:00")).as("timestamp"))
+
+    // -- leg (b): corpusAdmit, one checkpoint, three restarts --------------
+    val admitSrc = tmp("graft-12x-admitsrc-")
+    val admitCk = tmp("graft-12x-admitck-")
+    val admitKey = s"admit12x|$admitSrc"
+    B.ensure(spark, admitKey, docs.filter(col("doc_id") < 100))
+    val admitSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val admittedLog = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val minToks = 5
+
+    // -- leg (c): drift + cusum monitors, one checkpoint each --------------
+    val cusumSrc = tmp("graft-12x-cusumsrc-")
+    val cusumCk = tmp("graft-12x-cusumck-")
+    val cusumOut = tmp("graft-12x-cusumout-")
+    val cusumSchema = StructType(Seq(
+      StructField("value", StructType(Seq(StructField("etype", StringType),
+        StructField("dval", DoubleType)))),
+      StructField("offset", LongType)))
+    val driftSrc = tmp("graft-12x-driftsrc-")
+    val driftCk = tmp("graft-12x-driftck-")
+    val driftRef = spark.range(0, 10000).selectExpr("(id * 7919) % 50000 AS c")
+    val driftReadings = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long)]
+    var lastCusumState = -1L
+
+    for (((lo, hi), cycle) <- slices.zipWithIndex) {
+      // (a) a new slice commits into the topic; the tail drains it from its
+      // checkpoint (slices are chunk-250-aligned: every committed file name
+      // is new, so the path-keyed source re-emits nothing)
+      val topicDir = OffsetNamedOrcSink.write(shaped(lo, hi), tailSink,
+        flushSize = 250, topic = "docs")
+      val qa = StreamOps.streamFromSink(spark, topicDir, valueSchema)
+        .writeStream.option("checkpointLocation", tailCk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(tailLand)
+        }
+        .start()
+      qa.awaitTermination()
+      assert(spark.read.parquet(tailLand).count() == hi,
+        s"cycle $cycle tail cumulative")
+
+      // (b) the slice arrives as one file = one micro-batch; admission
+      // restarts from its checkpoint (seed docs < 100 are history, cycle 0
+      // streams from 100)
+      val amin = if (cycle == 0) 100 else lo
+      docs.filter(col("doc_id") >= amin && col("doc_id") < hi)
+        .select("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(admitSrc)
+      val qb = StreamOps.corpusAdmit(
+          spark.readStream.schema(admitSchema).parquet(admitSrc),
+          admitKey, minToks, Some(admitCk), availableNow = true) { b =>
+        val ids = b.select("doc_id").collect().map(_.getLong(0))
+        admittedLog.synchronized { admittedLog ++= ids }
+      }
+      qb.awaitTermination()
+
+      // (c) cusum: 5,000 rows/cycle, two etypes, constant +200-cent shift —
+      // each cycle adds exactly 500,000 cents of S+ per etype; h=1.2M pages
+      // only from state ACCUMULATED across the two preceding restarts
+      spark.range(cycle * 5000L, cycle * 5000L + 5000L).select(
+          struct(when(col("id") % 2 === 0, lit("a")).otherwise(lit("b"))
+            .as("etype"), lit(13.00).as("dval")).as("value"),
+          col("id").as("offset"))
+        .coalesce(1).write.mode("append").parquet(cusumSrc)
+      val qc = StreamOps.cusumMonitor(
+          spark.readStream.schema(cusumSchema).parquet(cusumSrc),
+          1000L, 100L, 1200000L)
+        .writeStream.option("checkpointLocation", cusumCk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[StreamOps.CusumSnapshot], _: Long) =>
+            b.write.mode("append").parquet(cusumOut)
+        }
+        .outputMode("append").start()
+      qc.awaitTermination()
+      lastCusumState = qc.recentProgress.reverse
+        .collectFirst { case p if p.stateOperators.nonEmpty =>
+          p.stateOperators.map(_.numRowsTotal).sum }
+        .getOrElse(lastCusumState)
+
+      // drift: cycles 0-1 in-distribution, cycle 2 collapsed into one bin
+      val driftVals =
+        if (cycle < 2) spark.range(0, 5000).selectExpr("(id * 7919) % 50000 AS c")
+        else spark.range(0, 5000).selectExpr("CAST(1234 AS BIGINT) AS c")
+      driftVals.coalesce(1).write.mode("append").parquet(driftSrc)
+      val qd = StreamOps.driftMonitor(
+          spark.readStream.schema(StructType(Seq(StructField("c", LongType))))
+            .parquet(driftSrc),
+          driftRef, 5000L, Some(driftCk), availableNow = true) {
+        (bid, n, psi) =>
+          driftReadings.synchronized { driftReadings += ((bid, n, psi)) }
+      }
+      qd.awaitTermination()
+    }
+
+    // (a) exactly-once tail across the three restarts, path-derived columns
+    // identical to the batch read-back
+    val tailed = spark.read.parquet(tailLand)
+    assert(tailed.count() == 5000 &&
+      tailed.select("offset").distinct().count() == 5000,
+      "tail duplicated or dropped rows across restarts")
+    val batchBack = OffsetNamedOrcSink.read(spark, s"$tailSink/topics/docs")
+      .select("offset", "partition", "_chunk")
+    assert(tailed.select("offset", "partition", "_chunk")
+      .exceptAll(batchBack).count() == 0 &&
+      batchBack.exceptAll(tailed.select("offset", "partition", "_chunk"))
+        .count() == 0,
+      "tail's path-derived columns diverged from the batch read")
+
+    // (b) admission: exactly-once across restarts and equal to a batch
+    // replay of the same slices against the same growing band history
+    assert(admittedLog.size == admittedLog.toSet.size,
+      s"a doc was admitted twice across restarts")
+    def normed(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", " "), " +", " ")).as("text"))
+      .filter(size(split(col("text"), " ")) >= minToks)
+    val hist = scala.collection.mutable.Set.empty[String]
+    hist ++= B.bands(docs.filter(col("doc_id") < 100))
+      .collect().map(_.getString(1))
+    val expected = scala.collection.mutable.Set.empty[Long]
+    for (((lo, hi), cycle) <- slices.zipWithIndex) {
+      val amin = if (cycle == 0) 100 else lo
+      val nb = B.bands(normed(
+          docs.filter(col("doc_id") >= amin && col("doc_id") < hi)))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val dup = nb.filter { case (_, b) => hist(b) }.map(_._1).toSet
+      val kept = nb.map(_._1).toSet -- dup
+      expected ++= kept
+      hist ++= nb.collect { case (id, b) if kept(id) => b }
+    }
+    assert(admittedLog.toSet == expected,
+      s"streamed admissions != batch replay: " +
+        s"extra=${(admittedLog.toSet -- expected).take(5)} " +
+        s"missing=${(expected -- admittedLog.toSet).take(5)}")
+    assert(expected.nonEmpty, "replay admitted nothing — test is vacuous")
+    // a full-history replay (fresh ids, same texts) admits ZERO: every
+    // text is either sub-quality or a near-dup of the survived history
+    docs.filter(col("doc_id") >= 100 && col("doc_id") < 5000)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      .coalesce(1).write.mode("append").parquet(admitSrc)
+    val replayed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val qb4 = StreamOps.corpusAdmit(
+        spark.readStream.schema(admitSchema).parquet(admitSrc),
+        admitKey, minToks, Some(admitCk), availableNow = true) { b =>
+      val ids = b.select("doc_id").collect().map(_.getLong(0))
+      replayed.synchronized { replayed ++= ids }
+    }
+    qb4.awaitTermination()
+    assert(replayed.isEmpty, s"history replay admitted: ${replayed.take(5)}")
+
+    // (c) cusum: exact integer state across restarts — 500,000 cents of S+
+    // per etype per cycle, alarm only on the third; state = 2 live keys
+    val snaps = spark.read.parquet(cusumOut)
+      .orderBy("etype", "n_seen").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
+    assert(snaps.toSeq == Seq(
+      ("a", 2500L, 500000L, false), ("a", 5000L, 1000000L, false),
+      ("a", 7500L, 1500000L, true),
+      ("b", 2500L, 500000L, false), ("b", 5000L, 1000000L, false),
+      ("b", 7500L, 1500000L, true)), snaps.mkString(", "))
+    assert(lastCusumState == 2L,
+      s"cusum state store holds $lastCusumState rows, want 2 (one per etype)")
+
+    // drift: one reading per batch, every row scored exactly once, alarm
+    // only on the collapsed cycle
+    assert(driftReadings.size == 3, driftReadings.mkString(", "))
+    assert(driftReadings.map(_._2).sum == 15000L,
+      s"drift monitor lost/duplicated rows: $driftReadings")
+    assert(driftReadings(0)._3 < 50000L && driftReadings(1)._3 < 50000L,
+      s"in-distribution cycle paged: $driftReadings")
+    assert(driftReadings(2)._3 > 200000L,
+      s"collapsed cycle under the alarm: $driftReadings")
+
+    spark.sql(s"DROP TABLE ${B.name(admitKey)}")
+  }
+
   test("10x volume, 3 checkpointed restarts: wap + maintainer stay exactly-once, keyed state tracks live entities only") {
     // VERDICT r10 item 6: the streaming monitors were spec-pinned only on
     // MemoryStream-sized batches. Drive the three restartable consumers a
@@ -1219,9 +1431,16 @@ class StreamingSpec extends SparkSpec {
       StructField("offset", LongType)))
     val ttlMs = 2000L
     def monRows(): Long =
-      if (new java.io.File(monOut).listFiles().exists(_.getName.endsWith(".parquet")))
-        spark.read.parquet(monOut).count()
-      else 0L
+      // the poll races the stream's concurrent appends: a listing that
+      // catches a task-commit rename mid-flight can throw (the same
+      // listing-race class the streamFromSink invariant documents) — a
+      // transient failure here means "not yet", never a test failure
+      try {
+        if (new java.io.File(monOut).listFiles()
+            .exists(_.getName.endsWith(".parquet")))
+          spark.read.parquet(monOut).count()
+        else 0L
+      } catch { case scala.util.control.NonFatal(_) => 0L }
     var lastStateRows = -1L
 
     for (((lo, hi), cycle) <- slices.zipWithIndex) {
