@@ -97,7 +97,12 @@ def transform_text(v, i):
     if v is None or i == 0:
         return v
     toks = v.translate(copy_translation(i)).split(" ")
-    k = (7 * i) % len(toks)
+    # (7*i) % len(toks) degenerates to the IDENTITY whenever the token
+    # count divides 7*i (measured: 43-188 of 5000 sf0.1 docs per copy for
+    # i >= 2 got bijection-only treatment — the exact correlated-space-
+    # skeleton residue the rotation exists to remove; ADVICE r11). Force a
+    # nonzero rotation for every multi-token doc: k in 1..len-1 always.
+    k = 1 + (7 * i - 1) % (len(toks) - 1) if len(toks) > 1 else 0
     return " ".join(toks[k:] + toks[:k])
 
 KEY_COLS = {
