@@ -61,6 +61,26 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Inferred parquet schema per table path. Plain `spark.read.parquet`
+    * runs a footer-reading JOB for schema inference on EVERY call —
+    * measured ~90-125 ms per call on local[32], and the 449-query bench
+    * makes 450+ such calls per pass. The base tables are immutable for
+    * the life of a JVM (same contract as the sfDir-keyed bucketed-table
+    * memos), so infer once per path and hand the schema to every later
+    * read; only metadata is cached — every query still scans the parquet.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  /** Schema-cached read of a memoized artifact dir (written once per
+    * sfDir, immutable afterwards — same economics as the base tables).
+    */
+  def readStable(spark: SparkSession, dir: String): DataFrame = {
+    val sch = schemaCache.computeIfAbsent(dir,
+      _ => spark.read.parquet(dir).schema)
+    spark.read.schema(sch).parquet(dir)
+  }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     if (name == "events") {
@@ -74,7 +94,9 @@ object Tables {
       // identity on instants) — the type every downstream query was
       // written against.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(path)
+      val sch = schemaCache.computeIfAbsent(path,
+        _ => spark.read.parquet(path).schema)
+      val raw = spark.read.schema(sch).parquet(path)
       val f = org.apache.spark.sql.functions
       raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
@@ -94,6 +116,10 @@ object Tables {
               "expected TIMESTAMP(NANOS) (read as ns LONG), TIMESTAMP(MICROS) " +
               "ltz, or ntz. Update graft.Tables for the new representation.")
       }
-    } else spark.read.parquet(path)
+    } else {
+      val sch = schemaCache.computeIfAbsent(path,
+        _ => spark.read.parquet(path).schema)
+      spark.read.schema(sch).parquet(path)
+    }
   }
 }

@@ -1643,7 +1643,7 @@ object SimilarityOps extends QueryModule {
           .write.mode("overwrite").parquet(out)
         out
       })
-      s.read.parquet(dir)
+      Tables.readStable(s, dir)
     }
   }
 

@@ -83,7 +83,7 @@ object DedupOps extends QueryModule {
         build(s, d).write.mode("overwrite").parquet(out)
         out
       })
-      s.read.parquet(dir)
+      Tables.readStable(s, dir)
     }
   }
 

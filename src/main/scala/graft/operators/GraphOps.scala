@@ -57,7 +57,7 @@ object GraphOps extends QueryModule {
           .write.mode("overwrite").parquet(out)
         out
       })
-      s.read.parquet(dir)
+      Tables.readStable(s, dir)
     }
   }
 

@@ -1201,7 +1201,7 @@ object Relational extends QueryModule {
           .write.mode("overwrite").parquet(out)
         out
       })
-      s.read.parquet(dir).createOrReplaceTempView("graft_copurchase_edges")
+      Tables.readStable(s, dir).createOrReplaceTempView("graft_copurchase_edges")
       s.sql("""
         WITH RECURSIVE reach AS (
           SELECT CAST(0 AS BIGINT) AS part, 0 AS hops

@@ -668,7 +668,7 @@ object RelationalExt extends QueryModule {
           .write.mode("overwrite").parquet(out)
         out
       })
-      s.read.parquet(dir)
+      Tables.readStable(s, dir)
     }
     def joined(orders: DataFrame, cust: DataFrame): DataFrame =
       orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
