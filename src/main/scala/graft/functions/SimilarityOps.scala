@@ -1011,6 +1011,9 @@ object SimilarityOps extends QueryModule {
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
         .withColumn("nrm", norm(col("emb")))
+        // 5 consumers (codebook, encode, probe ADC tables, probe base,
+        // re-rank neighbor side) — materialize scan + norm once
+        .localCheckpoint(true)
       // explode into (vec, sub-space m, 4-dim sub-vector)
       def subs(df: DataFrame): DataFrame = df
         .withColumn("m", explode(sequence(lit(0), lit(M - 1))))
@@ -1357,6 +1360,9 @@ object SimilarityOps extends QueryModule {
           transform(col("embedding").cast("array<double>"),
             x => floor(x * lit(1000d) + lit(0.5d)).cast("long") + lit(1000L))
             .as("qarr"))
+        // 4 consumers (c0, two assign passes, update) — materialize the
+        // quantized vectors once instead of re-scanning + re-quantizing
+        .localCheckpoint(true)
       val c0 = qv.filter(col("vec_id") < 4)
         .select(col("vec_id").as("cid"), col("qarr").as("carr"))
       def assign(cents: DataFrame): DataFrame =
@@ -1382,7 +1388,7 @@ object SimilarityOps extends QueryModule {
           .agg(transform(
             sort_array(collect_list(struct(col("pos"), col("cv")))),
             x => x.getField("cv")).as("carr"))
-      val a1 = assign(c0)
+      val a1 = assign(c0).localCheckpoint(true) // feeds update + final join
       val a2 = assign(update(a1))
       a2.join(broadcast(a1.select(col("vec_id"), col("cid").as("cid1"))),
           "vec_id")
@@ -1477,8 +1483,13 @@ object SimilarityOps extends QueryModule {
       val v0 = scatter.select(col("i").as("dim")).distinct()
         .withColumn("v", lit(1000L))
       def step(v: DataFrame): DataFrame = {
+        // w is a D-row (64) table consumed twice (mx + the renorm join);
+        // checkpointing it keeps each power step's plan flat — unchained,
+        // the three steps compounded to a 4,535-line tree whose Catalyst
+        // pass dominated the bench time (q_graph_hits pattern)
         val w = scatter.join(broadcast(v.withColumnRenamed("dim", "j")), "j")
           .groupBy(col("i").as("dim")).agg(sum(col("m") * col("v")).as("w"))
+          .localCheckpoint(true)
         val mx = w.agg(max(abs(col("w"))).as("mx"))
         // two-step scaling (÷(mx÷1000), not ×1000÷mx): |w|·1000 would pass
         // 2^63 — |w| alone cannot, by the previous step's own bound
@@ -1487,7 +1498,8 @@ object SimilarityOps extends QueryModule {
             (signum(col("w")).cast("long")
               * expr("abs(w) div greatest(mx div 1000, 1)")).as("v"))
       }
-      val v3 = step(step(step(v0)))
+      // 3 downstream consumers (num, den, output) of the 64-row vector
+      val v3 = step(step(step(v0))).localCheckpoint(true)
       val num = scatter
         .join(broadcast(v3.select(col("dim").as("i"), col("v").as("xi"))), "i")
         .join(broadcast(v3.select(col("dim").as("j"), col("v").as("xj"))), "j")
@@ -2607,6 +2619,8 @@ object SimilarityOps extends QueryModule {
           transform(col("embedding").cast("array<double>"),
             x => floor(x * lit(1000d) + lit(0.5d)).cast("long") + lit(1000L))
             .as("qarr"))
+        // 4 consumers (c0, a1, c1, per) — kmeans discipline
+        .localCheckpoint(true)
       val c0 = qv.filter(col("vec_id") < 4)
         .select(col("vec_id").as("cid"), col("qarr").as("carr"))
       val sq = aggregate(
@@ -2617,6 +2631,7 @@ object SimilarityOps extends QueryModule {
         .groupBy("vec_id")
         .agg(min(col("dist") * lit(8L) + col("cid")).as("m"))
         .select(col("vec_id"), pmod(col("m"), lit(8L)).as("cid"))
+        .localCheckpoint(true) // feeds the centroid update AND the per join
       val c1 = qv.join(broadcast(a1), "vec_id")
         .select(col("cid"), posexplode(col("qarr")).as(Seq("pos", "v")))
         .groupBy("cid", "pos")

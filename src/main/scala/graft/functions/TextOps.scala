@@ -1187,6 +1187,9 @@ object TextOps extends QueryModule {
       val counts = toks.filter(col("train"))
         .groupBy("token")
         .agg(sum("y").as("c1"), sum(lit(1L) - col("y")).as("c0"))
+        // vocab-sized; feeds tot + model (and tot fans out to model/oov) —
+        // unmaterialized, the corpus explode+agg replayed under each
+        .localCheckpoint(true)
       val tot = counts.agg(sum("c1").as("t1"), sum("c0").as("t0"),
         count(lit(1L)).as("vv"))
       // per-token log-odds and the shared out-of-vocabulary floor, each
@@ -1422,15 +1425,27 @@ object TextOps extends QueryModule {
         .select(col("tri").as("phrase"), col("n_occur"), col("n_docs"),
           element_at(split(col("tri"), " "), 1).as("w1"),
           element_at(split(col("tri"), " "), 3).as("w3"))
+        // 3-row table with 3 consumers — unmaterialized, the whole trigram
+        // agg replayed per consumer (5 documents scans in the plan)
+        .localCheckpoint(true)
       val toks = docs
         .select(col("doc_id"), posexplode(col("toks")))
         .select(col("doc_id"), col("pos").as("p"), col("col").as("tok"))
-      val a = toks.join(broadcast(top3.select("phrase", "w1")),
-        col("tok") === col("w1"))
+      // both word roles matched in ONE pass over the token stream (the a/b
+      // split used to evaluate the corpus posexplode once per role); the
+      // matched set is probe-word-sized, so the checkpoint is tiny
+      val words = top3.select(col("phrase"), lit(1).as("role"),
+          col("w1").as("w"))
+        .unionByName(top3.select(col("phrase"), lit(3).as("role"),
+          col("w3").as("w")))
+      val matched = toks.join(broadcast(words), col("tok") === col("w"))
+        .select(col("phrase"), col("role"), col("doc_id"), col("p"))
+        .localCheckpoint(true)
+      val a = matched.filter(col("role") === 1)
         .select(col("phrase"), col("doc_id"), col("p").as("pa"))
-      val b = toks.join(broadcast(top3.select(col("phrase").as("phrase2"),
-          col("w3"))), col("tok") === col("w3"))
-        .select(col("phrase2"), col("doc_id").as("doc_b"), col("p").as("pb"))
+      val b = matched.filter(col("role") === 3)
+        .select(col("phrase").as("phrase2"), col("doc_id").as("doc_b"),
+          col("p").as("pb"))
       // pa =!= pb: NEAR requires two DISTINCT token positions — a probe
       // trigram whose first and last words coincide ("x y x") would
       // otherwise count every doc containing that one word as a proximity
@@ -2675,7 +2690,10 @@ object TextOps extends QueryModule {
         counts.groupBy("g").agg(sum("c").as("c")).groupBy())
         .withColumn("source", lit("TOTAL"))
         .select("source", "n", "d_obs", "f1", "f2")
-      val dGlobal = counts.select(countDistinct("g").as("d_global"))
+        .localCheckpoint(true) // 1 row; also carries d_global below
+      // d_global IS the TOTAL row's d_obs (distinct grams) — deriving it
+      // there saves a third full pass + countDistinct over the gram grid
+      val dGlobal = total.select(col("d_obs").as("d_global"))
       perSrc.unionByName(total)
         .crossJoin(broadcast(dGlobal))
         .select(col("source"), col("n"), col("d_obs"), col("f1"), col("f2"),
@@ -2965,6 +2983,7 @@ object TextOps extends QueryModule {
         .join(sw, Seq("source", "w"), "left")
         .select(col("source"), col("w"),
           expr("coalesce(c, 0) * 1000000 div ns").as("f_ppm"))
+        .localCheckpoint(true) // |sources|·20 rows; feeds mom AND z
       val mom = f.groupBy("w").agg(count(lit(1L)).as("n"),
         sum("f_ppm").as("sf"),
         sum((col("f_ppm") * col("f_ppm")).cast("decimal(38,0)")).as("qf"))
@@ -2979,6 +2998,7 @@ object TextOps extends QueryModule {
               (col("sf") * col("sf")).cast("decimal(38,0)"))
               .cast("double") * col("n").cast("double")) * 1e6)
             .cast("long").as("z_micro"))
+        .localCheckpoint(true) // both sides of the source-pair self-join
       // Delta as the exact SUM of |z_a − z_b| (all pairs share the same
       // surviving word set, so the sum orders identically to the mean —
       // no fp aggregation enters the ranking)

@@ -1225,6 +1225,7 @@ object DedupOps extends QueryModule {
           col("doc_id").as("doc_b")), Seq("cfg", "b", "k"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("cfg"), col("doc_a"), col("doc_b")).distinct()
+        .localCheckpoint(true) // feeds the count agg AND the truth join
       val truth = ShingleTruth.pairs(s, d).select(col("doc_a"), col("doc_b"))
       val nTruth = truth.agg(count(lit(1L)).as("n_truth"))
       val perCfg = cand.groupBy("cfg").agg(count(lit(1L)).as("n_cand"))
@@ -1326,9 +1327,18 @@ object DedupOps extends QueryModule {
           i => concat_ws(" ", element_at(col("toks"), i),
             element_at(col("toks"), i + 1))))
         .otherwise(array().cast("array<string>"))
+      // only docs that appear in a candidate pair ever reach the clipped
+      // joins — prune the gram aggs to that (small) doc set BEFORE the
+      // explode, and materialize: each cnt is consumed twice (hyp + ref
+      // side), which used to replay the full-corpus gram agg 4× total
+      val pairDocs = pairs.select(col("doc_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+        .localCheckpoint(true)
       def counts(g: org.apache.spark.sql.Column) = base
+        .join(broadcast(pairDocs), "doc_id")
         .select(col("doc_id"), explode(g).as("g"))
         .groupBy("doc_id", "g").agg(count(lit(1L)).as("c"))
+        .localCheckpoint(true)
       def clipped(cnt: DataFrame, name: String) = pairs
         .join(cnt.select(col("doc_id").as("doc_b"), col("g"),
           col("c").as("ch")), "doc_b")
@@ -1693,6 +1703,9 @@ object DedupOps extends QueryModule {
     (s, d) => {
       val docs = t(s, d, "documents")
         .select(col("doc_id"), tokens.as("toks"))
+        // three shingle passes union over this — materialize the tokenized
+        // corpus once instead of scanning + re-splitting per shingle width
+        .localCheckpoint(true)
       def sh(n: Int): DataFrame = docs.select(lit(n.toLong).as("shingle_n"),
         col("doc_id"),
         explode(transform(

@@ -284,7 +284,13 @@ object GraphOps extends QueryModule {
       // the output, so the emitted rows match the raw-id oracle exactly.
       val fwd = BiAdj(s, d).filter(col("src_supp")).select("src", "dst")
       val rev = BiAdj(s, d).filter(!col("src_supp")).select("src", "dst")
-      def renorm(df: DataFrame, c: String): DataFrame = {
+      def renorm(df0: DataFrame, c: String): DataFrame = {
+        // node-sized state checkpoint: the max-subquery and the renorm join
+        // both consume df — without the barrier each half-step EMBEDS the
+        // full upstream lineage twice, so 4 half-steps compound to a ~2⁴-
+        // duplicated tree (measured: 4,232-line plan, 67 Exchanges; the
+        // bench cost was mostly Catalyst on the duplicated subtrees)
+        val df = df0.localCheckpoint(true)
         val mx = df.agg(max(col(c)).as("mx")).withColumn("j", lit(1))
         df.withColumn("j", lit(1)).join(broadcast(mx), "j")
           .select(col("id"), expr(s"($c * 1000000) div mx").as(c))
@@ -820,17 +826,23 @@ object GraphOps extends QueryModule {
     */
   private val qGraphLinkpred = GQuery(
     (s, d) => {
+      // edges / deg / pivots are each consumed 2-3× (union sides, the
+      // wedge self-join, the anti-join, two deg attach joins) — without
+      // the checkpoints the plan re-read the CoGraph artifact 13 times
       val edges = CoGraph.pairCounts(s, d)
         .filter(col("c") >= 28)
         .select("u", "v")
+        .localCheckpoint(true)
       val deg = edges.select(col("u").as("x"))
         .union(edges.select(col("v").as("x")))
         .groupBy("x").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
       val adj = edges.select(col("u").as("w"), col("v").as("n"))
         .union(edges.select(col("v").as("w"), col("u").as("n")))
       // pivot role capped: hubs fan out deg^2 wedges, so they don't pivot
       val pivots = adj.join(
         deg.filter(col("deg") <= 64).select(col("x").as("w")), "w")
+        .localCheckpoint(true)
       val cn = pivots.select(col("w"), col("n").as("a"))
         .join(pivots.select(col("w"), col("n").as("b")), "w")
         .filter(col("a") < col("b"))

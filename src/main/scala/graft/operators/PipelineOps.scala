@@ -1024,10 +1024,15 @@ object PipelineOps extends QueryModule {
       val ev = t(s, d, "events")
         .select(col("event_id"), expr("event_id div 250").as("chunk"))
         .withColumn("skey", h("s:", col("event_id")))
+        // 4 consumers (bits, stats, probes, act) — materialize so the
+        // events scan + per-row md5 skey run once, not per consumer
+        .localCheckpoint(true)
       val bits = ev.select(col("chunk"),
           explode(array(pmod(h("b1:", col("skey")), lit(4096)),
             pmod(h("b2:", col("skey")), lit(4096)))).as("bit"))
         .distinct()
+        // both sides of the two-bit membership join read this
+        .localCheckpoint(true)
       val stats = ev.groupBy("chunk")
         .agg(min("skey").as("mn"), max("skey").as("mx"))
       val probes = ev.filter(col("event_id") < 15)

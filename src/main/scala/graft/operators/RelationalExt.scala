@@ -100,6 +100,9 @@ object RelationalExt extends QueryModule {
         .groupBy("o_orderpriority", "o_totalprice")
         .agg(count(lit(1)).as("cnt"))
         .withColumn("bin", floor(col("o_totalprice") / 10000.0))
+        // two consumers (bin totals + the cume-dist join) — materialize the
+        // (prio, price)-grid once instead of re-running the orders agg
+        .localCheckpoint(true)
       val binTotals = hist.groupBy("o_orderpriority", "bin")
         .agg(sum("cnt").as("bin_cnt"))
       val wBins = Window.partitionBy("o_orderpriority").orderBy("bin")
@@ -814,7 +817,12 @@ object RelationalExt extends QueryModule {
         .select(col("flag"), col("bkt"),
           coalesce(sum("bw").over(wOff), lit(0L)).as("off"))
       val tot = bktAgg.groupBy("flag").agg(sum("bw").as("totw"))
-      val grid = src.groupBy("flag", "bkt", "v").agg(sum("w").as("vw"))
+      // one exchange for grid-agg AND window: clustering by (flag, bkt)
+      // satisfies both the groupBy (subset of its keys) and the window
+      // partitioning; the price domain is near-unique so the partial agg
+      // the default two-exchange plan buys reduces nothing anyway
+      val grid = src.repartition(col("flag"), col("bkt"))
+        .groupBy("flag", "bkt", "v").agg(sum("w").as("vw"))
       val wIn = Window.partitionBy("flag", "bkt").orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = grid.join(broadcast(off), Seq("flag", "bkt"))

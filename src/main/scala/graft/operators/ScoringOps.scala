@@ -763,10 +763,15 @@ object ScoringOps extends QueryModule {
       val bseg = vocab.select(col("tok"),
         size(filter(split(trim(col("s")), " "), c => c =!= ""))
           .cast("long").as("n_bpe"))
+      // per-distinct-word piece counts — materialize each small segmenter
+      // table so the unigram/wordpiece training chains (each with its own
+      // documents scan) run once instead of replaying under the 3-way join
       val useg = unigramPieces(s, d)
         .groupBy("w").agg(count(lit(1L)).as("n_uni"))
+        .localCheckpoint(true)
       val wseg = wordpiecePieces(s, d)
         .groupBy("w").agg(count(lit(1L)).as("n_wp"))
+        .localCheckpoint(true)
       t(s, d, "documents")
         .select(col("lang"), explode(split(lower(col("text")), " ")).as("tok"))
         .join(bseg, "tok")
@@ -2439,12 +2444,14 @@ object ScoringOps extends QueryModule {
         .unionByName(matches.select(col("l").as("a"), col("w").as("b"),
           col("cnt")))
         .groupBy("a", "b").agg(sum("cnt").as("n_ab"))
+        .localCheckpoint(true) // |types|²; 3 consumers (base + 2 MM rounds)
       val wins = matches.groupBy("w").agg(sum("cnt").as("wins"))
         .select(col("w").as("a"), col("wins"))
       val base = pairs.groupBy("a").agg(sum("n_ab").as("n_matches"))
         .join(wins, Seq("a"), "left")
         .select(col("a"), col("n_matches"),
           coalesce(col("wins"), lit(0L)).as("wins"))
+        .localCheckpoint(true) // |types|; 4 consumers (r0, 2 rounds, final)
       def mmRound(r: DataFrame): DataFrame = {
         val d = pairs
           .join(r.select(col("a"), col("r").as("ra")), Seq("a"))

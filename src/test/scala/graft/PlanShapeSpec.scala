@@ -270,12 +270,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(windowLines.exists(l =>
       l.contains("o_orderpriority") && l.contains("bin") && l.contains("o_totalprice")),
       s"no (priority, bin)-partitioned running window:\n${windowLines.mkString("\n")}")
-    // and the window input is the histogram aggregate, not raw rows
+    // and the window input is the MATERIALIZED histogram grid (the r12
+    // localCheckpoint: the (prio, price) aggregate runs once and both the
+    // bin-totals branch and this window read it as an ExistingRDD scan —
+    // not raw rows, and not a second orders scan + re-aggregation)
     val wIdx = p.indexOf("Window")
-    val aggIdx = p.indexOf("HashAggregate", wIdx)
-    assert(wIdx >= 0 && aggIdx > wIdx,
-      s"window not fed by the histogram aggregate:\n${p.take(3000)}")
-    assert(p.contains("partial_count"), p.take(3000)) // map-side combine
+    val rddIdx = p.indexOf("ExistingRDD", wIdx)
+    assert(wIdx >= 0 && rddIdx > wIdx,
+      s"window not fed by the checkpointed histogram grid:\n${p.take(3000)}")
+    assert(!p.contains("Scan parquet"),
+      s"final plan should read only the materialized grid:\n${p.take(3000)}")
   }
 
   test("q_stats_xi windows are all partitioned; output derives from grids") {
