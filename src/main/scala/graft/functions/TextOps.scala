@@ -882,12 +882,17 @@ object TextOps extends QueryModule {
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
         .filter(col("p.w2").isNotNull)
         .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      // one corpus pass builds the bigram table; the unigram marginals are
+      // its per-w1 sums (identical to counting pair instances), so the
+      // model needs no second corpus pass — and it broadcasts, so scoring
+      // never shuffles the exploded pair stream
       val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      val uni = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+        .localCheckpoint(true)
+      val uni = big.groupBy("w1").agg(sum("c12").as("c1"))
       val model = big.join(uni, "w1")
         .withColumn("q",
           round(log(col("c12").cast("double") / col("c1")) * 1000).cast("long"))
-      pairs.join(model, Seq("w1", "w2"))
+      pairs.join(broadcast(model), Seq("w1", "w2"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"), sum("q").as("sum_milli"))
         .select(col("doc_id"), col("n_bigrams"), col("sum_milli"),
@@ -1540,14 +1545,21 @@ object TextOps extends QueryModule {
     */
   private val qTextHeaps = GQuery(
     (s, d) => {
-      val toks = t(s, d, "documents")
+      val base = t(s, d, "documents")
         .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
         .filter(size(col("ts")) >= 3)
+      val toks = base
         .select(col("doc_id"), explode(expr(
           """transform(sequence(1, size(ts) - 2),
                i -> concat_ws(' ', slice(ts, i, 3)))""")).as("w"))
       val firstDoc = toks.groupBy("w").agg(min("doc_id").as("fd"))
-      val docTok = toks.groupBy("doc_id").agg(count(lit(1L)).as("nt"))
+      // collapse the vocab-sized first-doc table to ≤ #docs rows BEFORE the
+      // 10-threshold ladder fan (the fan then touches 10·#docs rows, not
+      // 10·|trigram vocab|); Σ nw over fd < thr ≡ the original row count
+      val fdc = firstDoc.groupBy("fd").agg(count(lit(1L)).as("nw"))
+      // trigrams per doc ARE size(ts) − 2 — no second corpus explode
+      val docTok = base
+        .select(col("doc_id"), (size(col("ts")) - 2).cast("long").as("nt"))
       val mx = t(s, d, "documents")
         .agg(max("doc_id").as("mid")).withColumn("j", lit(1))
       val ladder = mx.select(explode(sequence(lit(1), lit(10))).as("k"),
@@ -1555,9 +1567,10 @@ object TextOps extends QueryModule {
         .withColumn("thr", expr("(mid + 1) * k div 10"))
         .withColumn("j", lit(1))
       val pts = ladder
-        .join(firstDoc.withColumn("j", lit(1)), "j")
+        .join(fdc.withColumn("j", lit(1)), "j")
         .groupBy("k", "thr")
-        .agg(sum(when(col("fd") < col("thr"), 1L).otherwise(0L)).as("vocab"))
+        .agg(sum(when(col("fd") < col("thr"), col("nw")).otherwise(0L))
+          .as("vocab"))
         .join(ladder.join(docTok.withColumn("j", lit(1)), "j")
           .groupBy("k").agg(sum(when(col("doc_id") < col("thr"), col("nt"))
             .otherwise(0L)).as("n_tokens")), "k")
@@ -2385,6 +2398,10 @@ object TextOps extends QueryModule {
       val stok = sent
         .select(col("doc_id"), col("pos"),
           explode(slice(col("toks"), col("pos"), lit(10))).as("tok"))
+        // cluster by the join key BEFORE the distinct: (doc, tok) is a
+        // subset of the distinct's keys, so the dedup, and then BOTH
+        // sides of the inverted-index self-join, ride this one exchange
+        .repartition(col("doc_id"), col("tok"))
         .distinct()
       val ed0 = stok.as("a").join(stok.as("b"),
           col("a.doc_id") === col("b.doc_id") &&
@@ -2857,7 +2874,10 @@ object TextOps extends QueryModule {
         .agg(countDistinct("doc_id").as("df"))
         .filter(col("df") >= 5)
         .select(col("source"), col("bg"), lit(1L).as("bo"))
-      pos.join(boiler, Seq("source", "bg"), "left")
+      // broadcast the df≥5 boiler set (sub-linear in the corpus — it is
+      // the repeated-phrase vocabulary) so the exploded bigram side joins
+      // map-side instead of shuffling by (source, bg)
+      pos.join(broadcast(boiler), Seq("source", "bg"), "left")
         .groupBy("doc_id", "source")
         .agg(count(lit(1L)).as("n_sh"),
           sum(coalesce(col("bo"), lit(0L))).as("n_boiler"))

@@ -2527,13 +2527,18 @@ object AnalyticsOps extends QueryModule {
   private val qStatsKs = GQuery(
     (s, d) => {
       val cents = graft.Exact.cents(col("l_extendedprice"))
+      // bkt joins the group key (it is a function of v, so the groups are
+      // unchanged) and the scan clusters on it up front: the grid agg, the
+      // bucket-totals agg, and the in-bucket cumsum window then all ride
+      // ONE exchange instead of re-shuffling the near-unique price grid
       def vals = t(s, d, "lineitem")
         .filter(col("l_returnflag").isin("R", "A"))
         .select(cents.as("v"),
           when(col("l_returnflag") === "R", 1L).otherwise(0L).as("isr"))
-        .groupBy("v")
-        .agg(sum("isr").as("c1"), sum(lit(1L) - col("isr")).as("c2"))
         .withColumn("bkt", expr("v div 100000"))
+        .repartition(col("bkt"))
+        .groupBy("bkt", "v")
+        .agg(sum("isr").as("c1"), sum(lit(1L) - col("isr")).as("c2"))
       // bucket totals checkpoint (~105 rows) feeds offsets AND the group
       // sizes; the price grid (near-unique — corpus-sized, the xi/wquantile
       // lesson) is consumed exactly once and never materializes
@@ -3058,9 +3063,27 @@ object AnalyticsOps extends QueryModule {
           .withColumn("cumb", coalesce(sum("cnt").over(w), lit(0L)))
           .select(col(c), (col("cumb") * 2 + col("cnt") + 1).as(s"r$c"))
       }
-      val ranked = rows
+      // x has ~50 distinct values — its rank map broadcasts for free. y is
+      // near-unique (the price domain), so the r11 shape — groupBy(y) +
+      // UNPARTITIONED cumsum window + a 500k-row broadcast rank map — paid
+      // a single-task global sort and a heavyweight broadcast build. The
+      // xi two-level trick computes ry directly on the rows instead:
+      // bucket offsets (≤ ~105-row window) + within-bucket RANGE count of
+      // strictly-smaller values + an equal-value count. Exactly
+      // ry = 2·(#rows below y) + (#rows at y) + 1, the same integer.
+      val ybkt = rows.withColumn("ybkt", expr("y div 100000"))
+      val boff = ybkt.groupBy("ybkt").agg(count(lit(1L)).as("bc"))
+        .withColumn("off", coalesce(sum("bc").over(Window.orderBy("ybkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("ybkt", "off")
+      val wLt = Window.partitionBy("ybkt").orderBy("y")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wEq = Window.partitionBy("ybkt", "y")
+      val ranked = ybkt.join(broadcast(boff), "ybkt")
+        .withColumn("ry",
+          (col("off") + count(lit(1L)).over(wLt)) * 2
+            + count(lit(1L)).over(wEq) + 1)
         .join(broadcast(rankMap("x")), "x")
-        .join(broadcast(rankMap("y")), "y")
       val st = ranked.agg(
         count(lit(1L)).as("n"),
         sum(col("rx").cast("decimal(38,0)")).as("sx"),
@@ -9589,8 +9612,11 @@ object AnalyticsOps extends QueryModule {
         "l_linestatus", "l_partkey", "l_suppkey")
         .localCheckpoint(true) // 4 candidate scans
       def candOver(src: DataFrame, lhs: String, rhs: String): DataFrame = {
-        val pc = src.groupBy(col(lhs).cast("string").as("lv"),
-            col(rhs).cast("string").as("rv"))
+        // group on the NATIVE key types: the string cast the oracle mirrors
+        // is injective per column, so the groups (and every downstream
+        // count) are identical — but long keys shuffle half the bytes and
+        // hash far cheaper than their string renderings
+        val pc = src.groupBy(col(lhs).as("lv"), col(rhs).as("rv"))
           .agg(count(lit(1L)).as("c"))
         pc.groupBy("lv")
           .agg(count(lit(1L)).as("n_rhs"), max("c").as("mx"),
@@ -10353,6 +10379,11 @@ object AnalyticsOps extends QueryModule {
       val cells = broadcast(pairs)
         .join(grid, col("event_type") === col("ta") ||
           col("event_type") === col("tb"))
+        // one exchange for the cell agg AND the pair-partitioned cumsum
+        // windows: (ta, tb) is a subset of the agg keys and exactly the
+        // window key, so clustering here serves both (the near-unique c
+        // grid gains nothing from the default plan's partial agg)
+        .repartition(col("ta"), col("tb"))
         .groupBy("ta", "tb", "na", "nb", "c")
         .agg(sum(when(col("event_type") === col("ta"), col("cnt"))
             .otherwise(0L)).as("ca"),
@@ -11502,6 +11533,11 @@ object AnalyticsOps extends QueryModule {
       val cells = broadcast(pairs)
         .join(grid, col("event_type") === col("ta") ||
           col("event_type") === col("tb"))
+        // one exchange for the cell agg AND the pair-partitioned cumsum
+        // windows: (ta, tb) is a subset of the agg keys and exactly the
+        // window key, so clustering here serves both (the near-unique c
+        // grid gains nothing from the default plan's partial agg)
+        .repartition(col("ta"), col("tb"))
         .groupBy("ta", "tb", "na", "nb", "c")
         .agg(sum(when(col("event_type") === col("ta"), col("cnt"))
             .otherwise(0L)).as("ca"),

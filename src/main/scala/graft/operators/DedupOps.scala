@@ -859,6 +859,9 @@ object DedupOps extends QueryModule {
         transform(col("embedding").cast("array<double>"),
           x => floor(x * lit(1000d) + lit(0.5d)).cast("long") + lit(1000L))
           .as("qarr"))
+        // 2 consumers (seed centroids + the assign crossJoin) — scan,
+        // SRP-hash and quantize once
+        .localCheckpoint(true)
       val cents = base.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cid"), col("qarr").as("carr"))
       val assigned = base.crossJoin(broadcast(cents))
@@ -878,6 +881,9 @@ object DedupOps extends QueryModule {
           .otherwise(col("cluster") * 4096 + col("b12") + 16))
         .withColumn("n2", count(lit(1)).over(Window.partitionBy("bucket")))
         .filter(col("n2") <= SemClusterCap)
+        // both sides of the bucket self-join — the assign + two capping
+        // windows used to replay per side
+        .localCheckpoint(true)
       val a = keyed.select(col("vec_id").as("a_id"), col("cluster"),
         col("bucket"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
       val b = keyed.select(col("vec_id").as("b_id"),

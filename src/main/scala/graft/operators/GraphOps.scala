@@ -943,6 +943,9 @@ object GraphOps extends QueryModule {
           coalesce(col("m_intra"), lit(0L)).as("m_intra"))
         .withColumn("num",
           lit(4L * m) * col("m_intra") - col("d_sum") * col("d_sum"))
+        // |communities| rows; feeds the total agg AND the final union —
+        // unmaterialized, the comm⋈intra aggregation pipeline ran twice
+        .localCheckpoint(true)
       val total = cells.agg(sum("n_nodes").as("n_nodes"),
           sum("d_sum").as("d_sum"), sum("m_intra").as("m_intra"),
           sum("num").as("num"))
@@ -1454,6 +1457,9 @@ object GraphOps extends QueryModule {
           coalesce(col("m_intra"), lit(0L)).as("m_intra"))
         .withColumn("num",
           lit(4L * m) * col("m_intra") - col("d_sum") * col("d_sum"))
+        // |communities| rows; feeds the total agg AND the final union —
+        // unmaterialized, the comm⋈intra aggregation pipeline ran twice
+        .localCheckpoint(true)
       val total = cells.agg(sum("n_nodes").as("n_nodes"),
           sum("d_sum").as("d_sum"), sum("m_intra").as("m_intra"),
           sum("num").as("num"))
@@ -1700,7 +1706,9 @@ object GraphOps extends QueryModule {
         .localCheckpoint(true)
       val rounds = new scala.collection.mutable.ArrayBuffer[DataFrame]
       for (r <- 1 to 2) {
-        val sup = support(edges)
+        // edge-sized; consumed by the keep-filter join AND the stat sum —
+        // unmaterialized, the whole wedge pipeline ran twice per round
+        val sup = support(edges).localCheckpoint(true)
         val kept = edges.join(sup, Seq("u", "v"), "left")
           .filter(coalesce(col("sup"), lit(0L)) >= 2)
           .select("u", "v")

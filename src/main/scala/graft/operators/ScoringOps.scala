@@ -1031,6 +1031,9 @@ object ScoringOps extends QueryModule {
         // candidate n-gram totals: size - n + 1, positive since size >= 4
         (1 to 4).map(k => sum(col("mc") - lit(k - 1)).as(s"t$k"))
       val wide = perDoc.groupBy("lang").agg(aggs.head, aggs.tail: _*)
+        // |langs| rows, 2 consumers (per-n explode + summary row) — the
+        // corpus-wide ngram-match kernel pass used to run once per consumer
+        .localCheckpoint(true)
       val perN = wide.select(col("lang"), explode(array((1 to 4).map(k =>
           struct(lit(k).cast("int").as("n"), col(s"m$k").as("match_n"),
             col(s"t$k").as("total_n"))): _*)).as("x"))
@@ -1378,6 +1381,9 @@ object ScoringOps extends QueryModule {
         (1 to 4).map(k => sum(col("nc") - lit(k - 1)).as(s"tc$k")) ++
         (1 to 4).map(k => sum(col("nr") - lit(k - 1)).as(s"tr$k"))
       val wide = perDoc.groupBy("lang").agg(aggs.head, aggs.tail: _*)
+        // |langs| rows, 2 consumers (per-n explode + summary row) — the
+        // corpus-wide ngram-match kernel pass used to run once per consumer
+        .localCheckpoint(true)
       val perN = wide.select(col("lang"), explode(array((1 to 4).map(k =>
           struct(lit(k).cast("int").as("n"), col(s"m$k").as("match_n"),
             col(s"tc$k").as("cand_n"), col(s"tr$k").as("ref_n"))): _*)).as("x"))

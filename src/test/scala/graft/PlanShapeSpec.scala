@@ -478,16 +478,18 @@ class PlanShapeSpec extends SparkSpec {
   test("q_dedup_semantic: cap windows gate the self-join; centroids broadcast") {
     val p = SparkEntry.queries("q_dedup_semantic")(spark, sf)
       .queryExecution.executedPlan.toString
-    // the pairing join must see only capped buckets: both count-windows
-    // (cluster, then sub-bucket) sit below the self-join in the plan tree
+    // the pairing join must see only capped buckets: since r12 the assign
+    // + both cap windows run once into an eager localCheckpoint, so the
+    // join's inputs are scans of that materialized capped table — no
+    // parquet (and hence no uncapped row) can reach the join
     val lines = p.linesIterator.toSeq
     val joinAt = lines.indexWhere(l =>
       l.contains("Join") && l.contains("bucket"))
     assert(joinAt >= 0, p.take(3000))
-    assert(lines.drop(joinAt).count(_.contains("Window")) >= 2,
-      "cap windows not below the pairing join")
-    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastNestedLoopJoin"),
-      p.take(2000))
+    assert(lines.drop(joinAt).exists(_.contains("ExistingRDD")),
+      "pairing join does not read the checkpointed capped table")
+    assert(!p.contains("Scan parquet"),
+      s"raw embeddings reach the pairing join:\n${p.take(3000)}")
   }
 
   test("q_layout_skipping compares both layouts from ONE scan") {
