@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver launches `sbt "runMain graft.Bench"` and parses the bench's
+// JSON lines from a bounded stdout tail. sbt's default LoggedOutput wraps
+// every forked-run line in an "[info] " prefix, which broke the driver's
+// JSON parse in ALL twelve rounds (BENCH_r01..r12: parsed=null). Forked
+// run output goes straight to stdout so the contract lines are bare JSON.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -73,6 +73,21 @@ object Bench {
     // rounds running (r2 and r3 both lost the head fields); a final line
     // under 200 bytes survives any tail window and parses on its own.
     println(s"""{"metric":"detail","runs":$nRuns,"queries":$qjson,"errors":$errs,"sf":"$sfDir"}""")
+    // Mid-size per-family rollup (<1.5 KB): the ~12 KB detail line exceeds
+    // the driver's ~2,000-char stdout tail every round, so the tail's last
+    // complete JSON lines are this rollup plus the short total below —
+    // enough to reconstruct family-level regressions when the detail line
+    // is truncated. Key is "families" (not "queries") so no parser can
+    // mistake it for the per-query contract map. Families are the q_<fam>
+    // name prefix; per-query ground truth stays in the detail line and the
+    // committed bench_latest.json.
+    val fams = results.groupBy { case (k, _, _) =>
+      k.split('_').take(2).mkString("_")
+    }.toSeq.sortBy(_._1).map { case (f, rs) =>
+      // ok-only sum, matching the total line's semantics
+      s"\"" + f + "\":" + fmt(rs.collect { case (_, v, true) => v }.sum)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"rollup","families":$fams,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$nRuns,"nqueries":${qs.size},"nerrors":${results.count(!_._3)},"sf":"$sfDir"}""")
     // The round artifact (BENCH_r0N.json) keeps only a truncated stdout tail
     // — most per-query timings were lost to it every round. Persist the FULL

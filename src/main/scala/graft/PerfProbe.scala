@@ -45,17 +45,22 @@ object PerfProbe {
     println(f"${"query"}%-28s ${"construct"}%9s ${"execute"}%9s  (min of $nRuns, sec)")
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
-      try noop(fn(spark, d)) catch { case t: Throwable =>
-        println(s"$n WARMUP FAILED: $t"); }
-      val runs = (1 to nRuns).map { _ =>
-        val t0 = System.nanoTime()
-        val df = fn(spark, d)
-        val t1 = System.nanoTime()
-        noop(df)
-        val t2 = System.nanoTime()
-        ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+      // a failed warmup skips the timed passes for THIS query only — the
+      // same uncaught exception in a timed pass previously aborted the
+      // whole probe and left every remaining query untimed
+      val warmOk = try { noop(fn(spark, d)); true } catch { case t: Throwable =>
+        println(s"$n WARMUP FAILED: $t"); false }
+      if (warmOk) {
+        val runs = (1 to nRuns).map { _ =>
+          val t0 = System.nanoTime()
+          val df = fn(spark, d)
+          val t1 = System.nanoTime()
+          noop(df)
+          val t2 = System.nanoTime()
+          ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+        }
+        println(f"$n%-28s ${runs.map(_._1).min}%9.3f ${runs.map(_._2).min}%9.3f")
       }
-      println(f"$n%-28s ${runs.map(_._1).min}%9.3f ${runs.map(_._2).min}%9.3f")
     }
     spark.stop()
   }

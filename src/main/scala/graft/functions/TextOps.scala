@@ -892,7 +892,19 @@ object TextOps extends QueryModule {
       val model = big.join(uni, "w1")
         .withColumn("q",
           round(log(col("c12").cast("double") / col("c1")) * 1000).cast("long"))
-      pairs.join(broadcast(model), Seq("w1", "w2"))
+      // SIZE-GUARDED broadcast (guide §3.1, ADVICE r12): the model is
+      // O(distinct bigrams) — broadcastable on this corpus (so scoring
+      // never shuffles the exploded pair stream) but NOT at a 100-TB
+      // bigram vocabulary. `big` is already materialized (the checkpoint
+      // above), so counting it is a metadata-cheap job, and model rows ==
+      // big rows (the uni join is key-preserving). Above the bound the
+      // scoring join falls back to the documented shuffle-join contract
+      // (SCALE.md). 5M bigram rows ≈ low hundreds of MB framed — inside
+      // broadcast limits with slack.
+      val modelBroadcastable =
+        big.count() <= s.conf.get("graft.broadcast.maxKeys", "5000000").toLong
+      pairs.join(if (modelBroadcastable) broadcast(model) else model,
+          Seq("w1", "w2"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"), sum("q").as("sum_milli"))
         .select(col("doc_id"), col("n_bigrams"), col("sum_milli"),
@@ -1437,28 +1449,35 @@ object TextOps extends QueryModule {
         .select(col("doc_id"), posexplode(col("toks")))
         .select(col("doc_id"), col("pos").as("p"), col("col").as("tok"))
       // both word roles matched in ONE pass over the token stream (the a/b
-      // split used to evaluate the corpus posexplode once per role); the
-      // matched set is probe-word-sized, so the checkpoint is tiny
+      // split used to evaluate the corpus posexplode once per role)
       val words = top3.select(col("phrase"), lit(1).as("role"),
           col("w1").as("w"))
         .unionByName(top3.select(col("phrase"), lit(3).as("role"),
           col("w3").as("w")))
       val matched = toks.join(broadcast(words), col("tok") === col("w"))
         .select(col("phrase"), col("role"), col("doc_id"), col("p"))
-        .localCheckpoint(true)
-      val a = matched.filter(col("role") === 1)
-        .select(col("phrase"), col("doc_id"), col("p").as("pa"))
-      val b = matched.filter(col("role") === 3)
-        .select(col("phrase").as("phrase2"), col("doc_id").as("doc_b"),
-          col("p").as("pb"))
-      // pa =!= pb: NEAR requires two DISTINCT token positions — a probe
+      // NEAR evaluated per (phrase, doc) on aggregated position arrays —
+      // the r12 shape materialized every matched token position
+      // (localCheckpoint) and positionally self-joined it, which measured
+      // SLOWER in-bench than the r11 two-scan form (builder floor
+      // 1.46→1.62 s, driver 1.38→1.76; VERDICT r12 §wrong #1). The single
+      // matched pass now collapses straight into per-doc role position
+      // lists (bounded by doc length) and the pair predicate runs as an
+      // `exists` over those ARRAY COLUMNS (real aggregated attributes —
+      // the HOF-capture rule is satisfied without any checkpoint), so the
+      // plan keeps one documents scan, no materialization job, and no
+      // position×position join blowup.
+      // pa != pb: NEAR requires two DISTINCT token positions — a probe
       // trigram whose first and last words coincide ("x y x") would
       // otherwise count every doc containing that one word as a proximity
       // match, inflating n_prox_docs
-      val prox = a.join(b,
-          col("phrase") === col("phrase2") && col("doc_id") === col("doc_b") &&
-            col("pa") =!= col("pb") && abs(col("pa") - col("pb")) <= 4)
-        .groupBy("phrase").agg(countDistinct("doc_id").as("n_prox_docs"))
+      val prox = matched
+        .groupBy("phrase", "doc_id")
+        .agg(collect_list(when(col("role") === 1, col("p"))).as("pas"),
+          collect_list(when(col("role") === 3, col("p"))).as("pbs"))
+        .filter(expr(
+          "exists(pas, pa -> exists(pbs, pb -> pa != pb AND abs(pa - pb) <= 4))"))
+        .groupBy("phrase").agg(count(lit(1L)).as("n_prox_docs"))
       top3.join(prox, "phrase")
         .select(col("phrase"), col("n_occur"), col("n_docs"),
           col("n_prox_docs"))
@@ -2874,10 +2893,19 @@ object TextOps extends QueryModule {
         .agg(countDistinct("doc_id").as("df"))
         .filter(col("df") >= 5)
         .select(col("source"), col("bg"), lit(1L).as("bo"))
-      // broadcast the df≥5 boiler set (sub-linear in the corpus — it is
-      // the repeated-phrase vocabulary) so the exploded bigram side joins
-      // map-side instead of shuffling by (source, bg)
-      pos.join(broadcast(boiler), Seq("source", "bg"), "left")
+        // high-df tail of the per-source bigram vocabulary: tiny here, and
+        // materializing it makes the size guard below a metadata-cheap
+        // count instead of a second df-agg pass
+        .localCheckpoint(true)
+      // SIZE-GUARDED broadcast (guide §3.1, ADVICE r12): the df≥5 boiler
+      // set is sub-linear in the corpus (repeated-phrase vocabulary) but
+      // has no hard bound; below graft.broadcast.maxKeys the exploded
+      // bigram side joins map-side instead of shuffling by (source, bg),
+      // above it the join falls back to the shuffle contract (SCALE.md)
+      val boilerBroadcastable =
+        boiler.count() <= s.conf.get("graft.broadcast.maxKeys", "5000000").toLong
+      pos.join(if (boilerBroadcastable) broadcast(boiler) else boiler,
+          Seq("source", "bg"), "left")
         .groupBy("doc_id", "source")
         .agg(count(lit(1L)).as("n_sh"),
           sum(coalesce(col("bo"), lit(0L))).as("n_boiler"))

@@ -365,6 +365,14 @@ object GraphOps extends QueryModule {
       // ranking window; node ids travel as longs (the closeness key
       // economics) and the string forms ride along for the hash rule
       // (the walker's RNG hashes "s:"/"p:" ids — the oracle contract)
+      // r13 NOTE — adjacency localCheckpoint attempted and REVERTED: under
+      // AQE this Spark build records UnknownPartitioning(0) on the
+      // checkpointed LogicalRDD (observed in the r13 plan dumps), so the
+      // materialized adjacency LOSES HashPartitioning(src) and every step
+      // join re-shuffles the full edge list — measured isolated min-of-3
+      // 1.63 s → 2.09 s (+28%). The per-step bucketed parquet re-scan is
+      // the cheaper leg at any SF; the bucketed artifact remains the
+      // zero-exchange contract (PlanShapeSpec pin).
       val adj = BiAdj(s, d)
         .select(col("src"), col("sdst"), col("dst"), col("sidx"), col("deg"))
       var st = BiAdj(s, d).filter(col("src_supp"))
@@ -453,6 +461,10 @@ object GraphOps extends QueryModule {
       // that constant vs "s:"/"p:" strings. The edge side is the shared
       // BUCKETED adjacency: each frontier join exchanges ONLY the
       // state-sized frontier; the edge list never re-shuffles.
+      // r13 NOTE — edge localCheckpoint attempted and REVERTED (same
+      // evidence as q_graph_walks above: AQE checkpoint loses the bucketed
+      // HashPartitioning → per-round edge re-shuffles; isolated min-of-3
+      // 2.41 s → 2.67 s). The per-round bucketed scan stays.
       val edges = BiAdj(s, d).select("src", "dst")
       val lms = BiAdj(s, d).filter(col("src_supp"))
         .select(col("src")).distinct()

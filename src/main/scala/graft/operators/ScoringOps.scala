@@ -1230,14 +1230,21 @@ object ScoringOps extends QueryModule {
   private val qStatsXi = GQuery(
     (s, d) => {
       val cents = graft.Exact.cents(col("l_extendedprice"))
+      // NARROW corpus-pass schema (r13, §2.3/§5): the ranked rows cross
+      // two window exchanges; x rides as INT (quantity grid) and the
+      // md5 tie-break as its 16-BYTE BINARY form instead of the 32-char
+      // hex string — BinaryType compares unsigned bytewise, which orders
+      // IDENTICALLY to the lowercase-hex string (each hex digit maps
+      // monotonically to its nibble), so every window permutation and
+      // min_by/max_by pick is unchanged; the oracle keeps the VARCHAR md5
       val li = t(s, d, "lineitem").select(
         col("l_returnflag").as("grp"),
-        floor(col("l_quantity")).cast("long").as("x"),
+        floor(col("l_quantity")).cast("int").as("x"),
         expr(s"CAST(round(l_extendedprice * 100) * 1000 AS BIGINT)"
           + " div CAST(floor(l_quantity) AS BIGINT)").as("y"),
-        md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+        unhex(md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"),
-          floor(col("l_quantity")).cast("long"), cents)).as("h"))
+          floor(col("l_quantity")).cast("long"), cents))).as("h"))
       // level 1: per-group y-range buckets (w ≥ 1 by construction; all
       // BIGINT, ANSI-safe since y ≥ ymin) + exclusive bucket offsets
       val nBuckets = 256
@@ -1246,7 +1253,7 @@ object ScoringOps extends QueryModule {
         .withColumn("w", expr(s"(ymax - ymin) div $nBuckets + 1"))
         .select("grp", "ymin", "w", "n")
       val libk = li.join(broadcast(bmm), Seq("grp"))
-        .withColumn("b", expr("(y - ymin) div w"))
+        .withColumn("b", expr("CAST((y - ymin) div w AS INT)"))
       val btot = libk.groupBy("grp", "b").agg(count(lit(1L)).as("bc"))
       val wB = Window.partitionBy("grp").orderBy("b")
         .rowsBetween(Window.unboundedPreceding, -1)

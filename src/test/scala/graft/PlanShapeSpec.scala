@@ -1285,4 +1285,48 @@ class PlanShapeSpec extends SparkSpec {
     assert(st.contains("LeftSemi"), st.take(3000))
     assert(st.contains("BroadcastNestedLoopJoin"), st.take(3000))
   }
+
+  test("r13 shapes: phrase single-scan NEAR agg, one-generate dedup curve, " +
+    "narrowed setjoin/xi schemas") {
+    // q_text_phrase: ONE documents scan total (top3 is checkpointed; the
+    // NEAR side aggregates per (phrase, doc) position arrays instead of
+    // the r12 matched-positions checkpoint + positional self-join that
+    // regressed in-bench)
+    val ph = plan("q_text_phrase")
+    assert(ph.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"phrase re-scans documents:\n" + ph.take(3000))
+    // the position-pair predicate runs as an `exists` HOF over aggregated
+    // arrays — no join between two position streams survives
+    assert(ph.contains("exists"), ph.take(3000))
+    // q_corpus_dedup_curve: all three shingle widths from ONE generator
+    // pass — exactly one Generate, no corpus-sized ExistingRDD (the r12
+    // tokenized-corpus checkpoint is gone), and the generator consumes the
+    // PROJECTED toks attribute (split must not be inlined per element —
+    // the HOF-capture cubic trap)
+    val cv = plan("q_corpus_dedup_curve")
+    assert(cv.linesIterator.count(_.contains("Generate")) == 1, cv.take(3000))
+    assert(!cv.contains("ExistingRDD"), cv.take(3000))
+    val gen = cv.linesIterator.find(_.contains("explode(concat(transform"))
+      .getOrElse("")
+    assert(gen.nonEmpty && !gen.contains("split("),
+      s"split inlined into the generator lambda:\n$gen")
+    // q_dedup_setjoin: doc ids / sizes travel as INT through the candidate
+    // join (the scan-side cast lives behind the ranked/pref checkpoints,
+    // so the visible pin is the INT→BIGINT restore at the output boundary
+    // — doc_a/na are narrower-than-long right up to the final Project)
+    val sj = plan("q_dedup_setjoin")
+    assert(sj.matches("(?s).*cast\\(doc_a#\\d+ as bigint\\).*"), sj.take(3000))
+    assert(sj.matches("(?s).*cast\\(na#\\d+ as bigint\\).*"), sj.take(3000))
+    // q_stats_xi's narrowing rests on one ordering equivalence: unsigned
+    // bytewise comparison of unhex(md5(x)) must order EXACTLY like the
+    // lowercase-hex md5 string (each hex digit maps monotonically to its
+    // nibble). Pin it behaviorally — the corpus pass itself lives behind
+    // the perX checkpoint and is invisible to final-plan asserts.
+    import org.apache.spark.sql.functions.{col, md5, unhex}
+    val base = spark.range(500)
+      .select(md5(col("id").cast("string")).as("h"))
+    val byHex = base.orderBy(col("h")).collect().map(_.getString(0))
+    val byBin = base.orderBy(unhex(col("h"))).collect().map(_.getString(0))
+    assert(byHex.sameElements(byBin), "binary md5 order diverges from hex order")
+  }
 }
